@@ -1,0 +1,114 @@
+"""Tokenization + sensitivity normalization (vectorized over Arrow).
+
+Reference semantics (reimplemented, not ported):
+- BlackLab's standard analyzer tokenizes and, for the insensitive (`@i`)
+  sensitivity, lowercases and strips accents
+  (engine/src/main/java/nl/inl/blacklab/analysis/BLStandardAnalyzer.java:20-43,
+  DesensitizeFilter.java:33-47, RemoveAllAccentsFilter.java:20).
+- Token values are clamped to a max length
+  (engine/src/main/java/nl/inl/blacklab/index/annotated/AnnotationWriter.java:29-30).
+
+Our normalization pipeline (must stay in lock-step with the DuckDB oracle
+SQL in __ray_entry__.py: ``regexp_extract_all(lower(strip_accents(text)),
+'[a-z0-9]+')``):
+
+    normalize(text) = drop_combining_marks(NFKD(lower(text)))
+    tokens = re.findall('[a-z0-9]+', normalize(text))
+
+The Arrow path dictionary-encodes before normalizing so the Python
+unicodedata call runs once per *unique* string, and token splitting uses
+``pyarrow.compute`` kernels (no per-row Python in the hot path).
+"""
+
+from __future__ import annotations
+
+import re
+import unicodedata
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+TOKEN_RE = re.compile(r"[a-z0-9]+")
+MAX_TOKEN_LEN = 1000  # parity with AnnotationWriter's clamp
+
+# Fixed stopword list (used by quality scoring and hot-term salting
+# defaults; the synthetic corpus puts these at the Zipf head).
+STOPWORDS = (
+    "the of and to a in is it you that he was for on are as with his they i "
+    "at be this have from or one had by word"
+).split()
+STOPWORD_SET = frozenset(STOPWORDS)
+
+
+def strip_accents(s: str) -> str:
+    """NFKD-decompose and drop combining marks."""
+    return "".join(
+        ch for ch in unicodedata.normalize("NFKD", s)
+        if not unicodedata.combining(ch)
+    )
+
+
+def normalize_text(s: str) -> str:
+    """Insensitive-sensitivity normalization: lowercase + accent strip."""
+    return strip_accents(s.lower())
+
+
+def tokenize_text(s: str) -> list[str]:
+    """Reference tokenizer for one string (tests / tiny fixtures)."""
+    return [t[:MAX_TOKEN_LEN] for t in TOKEN_RE.findall(normalize_text(s))]
+
+
+def _normalize_array(col: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """Vectorized normalize over a string column.
+
+    Fast path: ``pc.utf8_lower``; accent stripping runs in Python but only
+    over the batch's *unique* values via dictionary encoding, and is skipped
+    entirely for pure-ASCII batches.
+    """
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    lowered = pc.utf8_lower(col)
+    # cheap ASCII check: if the binary length equals the codepoint length
+    # for every row, there is nothing to strip.
+    if pc.all(
+        pc.equal(pc.binary_length(lowered), pc.utf8_length(lowered))
+    ).as_py():
+        return lowered
+    dict_arr = pc.dictionary_encode(lowered)
+    uniques = dict_arr.dictionary.to_pylist()
+    fixed = pa.array([strip_accents(u) if u is not None else None
+                      for u in uniques], type=pa.string())
+    return pc.take(fixed, dict_arr.indices)
+
+
+def tokenize_column(col: pa.Array | pa.ChunkedArray) -> tuple[
+        np.ndarray, pa.Array, np.ndarray, np.ndarray]:
+    """Tokenize a string column into flat (row_idx, token, position) arrays.
+
+    Returns ``(row_indices, tokens, positions, doc_lens)`` where the first
+    three are parallel flat arrays over all tokens of the batch and
+    ``doc_lens[i]`` is the token count of row ``i``. Fully vectorized:
+    split via ``pc.split_pattern_regex`` then flatten; empty tokens from
+    leading/trailing separators are masked out before positions are
+    assigned, matching ``re.findall`` semantics.
+    """
+    norm = _normalize_array(col)
+    token_lists = pc.split_pattern_regex(norm, pattern="[^a-z0-9]+")
+    flat = pc.list_flatten(token_lists)
+    parents = pc.list_parent_indices(token_lists).to_numpy(
+        zero_copy_only=False)
+    nonempty = pc.not_equal(flat, "")
+    mask = nonempty.to_numpy(zero_copy_only=False)
+    flat = flat.filter(nonempty)
+    parents = parents[mask]
+    n_rows = len(norm)
+    doc_lens = np.bincount(parents, minlength=n_rows).astype(np.int64)
+    # positions: 0..len-1 within each row (parents are nondecreasing)
+    starts = np.zeros(n_rows, dtype=np.int64)
+    np.cumsum(doc_lens[:-1], out=starts[1:])
+    positions = np.arange(parents.size, dtype=np.int64) - starts[parents]
+    # clamp pathological token lengths (parity with the reference clamp)
+    if len(flat) and pc.max(pc.utf8_length(flat)).as_py() > MAX_TOKEN_LEN:
+        flat = pc.utf8_slice_codeunits(flat, 0, MAX_TOKEN_LEN)
+    return parents, flat, positions, doc_lens

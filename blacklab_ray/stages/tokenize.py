@@ -1,0 +1,153 @@
+"""Tokenize stage: pages → per-doc term vectors (the forward index rows).
+
+Ray-native analogue of BlackLab's per-document AnnotationWriter buffers +
+forward index (engine/src/main/java/nl/inl/blacklab/index/annotated/
+AnnotationWriter.java:41-57, forwardindex/AnnotationForwardIndex.java:12):
+for each document we emit ONE row carrying the doc-level metadata plus its
+aggregated term vector — ``terms:list<string>`` (unique terms, first-seen
+order not required; grouped), ``tfs:list<int32>``, and
+``pos:list<binary>`` (per-term delta+VByte position blobs). This row set
+is simultaneously:
+
+- the **forward index** artifact (doc → token info; powers KWIC,
+  collocations, phrase verification),
+- the **doc table** source (doc_id, url, lang, doc_len, norm),
+- the pre-aggregated, batch-local **combiner** ahead of the postings
+  shuffle (SURVEY §7: shuffle bytes ≈ postings size, not token count).
+
+Everything is numpy/Arrow vectorized; the per-batch Python work is O(1)
+calls, not O(rows).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from blacklab_ray.analysis.analyzers import tokenize_column
+from blacklab_ray.codec.smallfloat import encode_lengths
+from blacklab_ray.codec.vbyte import encode_position_lists
+
+
+def hash64(s: str) -> int:
+    """Stable 63-bit id from a string (doc_id = hash64(url)).
+
+    Deterministic across runs/partitionings — the property BlackLab's
+    pid-field lookup provides (docId independent of ingest order is what
+    makes retries value-identical; SURVEY §4 stragglers row).
+    """
+    return int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(),
+                          "big") & 0x7FFF_FFFF_FFFF_FFFF
+
+
+def _varint_byte_lens(values: np.ndarray) -> np.ndarray:
+    """Byte length each value takes under VByte (vectorized bit length)."""
+    v = np.asarray(values, dtype=np.uint64)
+    nbits = np.zeros(v.shape, dtype=np.int64)
+    tmp = v.copy()
+    for shift in (32, 16, 8, 4, 2, 1):
+        mask = tmp >= (np.uint64(1) << np.uint64(shift))
+        nbits[mask] += shift
+        tmp[mask] >>= np.uint64(shift)
+    nbits += 1
+    return (nbits + 6) // 7
+
+
+class TokenizeForwardIndex:
+    """``map_batches`` actor: pages batch → forward-index rows.
+
+    Input batch columns: ``text`` (+ ``url``/``doc_id``, optional
+    ``warc_ts``/``lang``). Output: one row per doc with
+    ``doc_id,url,lang,doc_len,norm,terms,tfs,pos``.
+    """
+
+    def __init__(self, id_column: str = "url"):
+        self._id_column = id_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        parents, tokens, positions, doc_lens = tokenize_column(
+            batch.column("text"))
+        n_docs = batch.num_rows
+
+        # ---- group (doc, term) pairs: dictionary-encode tokens, stable
+        # lexsort by (term_code, doc) keeps positions ascending in groups.
+        dict_arr = pc.dictionary_encode(tokens)
+        codes = dict_arr.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((codes, parents))  # sort by doc, then term code
+        sp = parents[order]
+        sc = codes[order]
+        spos = positions[order]
+        if sp.size:
+            new_group = np.empty(sp.size, dtype=bool)
+            new_group[0] = True
+            np.logical_or(sp[1:] != sp[:-1], sc[1:] != sc[:-1],
+                          out=new_group[1:])
+            group_starts = np.flatnonzero(new_group)
+            tfs = np.diff(np.append(group_starts, sp.size)).astype(np.int64)
+        else:
+            group_starts = np.empty(0, dtype=np.int64)
+            tfs = np.empty(0, dtype=np.int64)
+
+        # ---- per-(doc,term) position blobs, one vectorized encode + slice
+        stream = encode_position_lists(spos, tfs) if sp.size else b""
+        # byte length per delta value, summed per group -> blob offsets
+        if sp.size:
+            deltas = np.empty(spos.size, dtype=np.int64)
+            np.subtract(spos[1:], spos[:-1], out=deltas[1:])
+            deltas[0] = spos[0]
+            deltas[group_starts] = spos[group_starts]
+            vlens = _varint_byte_lens(deltas)
+            grp_bytes = np.add.reduceat(vlens, group_starts)
+        else:
+            grp_bytes = np.empty(0, dtype=np.int64)
+        blob_offsets = np.zeros(grp_bytes.size + 1, dtype=np.int32)
+        blob_offsets[1:] = np.cumsum(grp_bytes)
+        pos_values = pa.Array.from_buffers(
+            pa.binary(), grp_bytes.size,
+            [None, pa.py_buffer(blob_offsets.tobytes()),
+             pa.py_buffer(stream)])
+
+        # ---- per-doc list offsets over the (doc,term) groups
+        groups_per_doc = np.bincount(sp[group_starts], minlength=n_docs) \
+            if sp.size else np.zeros(n_docs, dtype=np.int64)
+        doc_offsets = np.zeros(n_docs + 1, dtype=np.int32)
+        doc_offsets[1:] = np.cumsum(groups_per_doc)
+        off_arr = pa.array(doc_offsets, pa.int32())
+
+        term_values = pc.take(dict_arr.dictionary, pa.array(sc[group_starts]))
+        terms_list = pa.ListArray.from_arrays(off_arr,
+                                              term_values.combine_chunks()
+                                              if isinstance(term_values,
+                                                            pa.ChunkedArray)
+                                              else term_values)
+        tfs_list = pa.ListArray.from_arrays(off_arr,
+                                            pa.array(tfs, pa.int32()))
+        pos_list = pa.ListArray.from_arrays(off_arr, pos_values)
+
+        # ---- doc-level columns
+        if self._id_column == "doc_id" and "doc_id" in batch.column_names:
+            doc_ids = batch.column("doc_id").cast(pa.int64())
+            urls = (batch.column("url") if "url" in batch.column_names
+                    else pa.array([str(i) for i in doc_ids.to_pylist()]))
+        else:
+            url_list = batch.column("url").to_pylist()
+            doc_ids = pa.array([hash64(u) for u in url_list], pa.int64())
+            urls = batch.column("url")
+        norm = encode_lengths(doc_lens)
+        cols = {
+            "doc_id": doc_ids,
+            "url": urls,
+            "lang": (batch.column("lang") if "lang" in batch.column_names
+                     else pa.nulls(n_docs, pa.string())),
+            "doc_len": pa.array(doc_lens, pa.int64()),
+            "norm": pa.array(norm.astype(np.int32), pa.int32()),
+            "terms": terms_list,
+            "tfs": tfs_list,
+            "pos": pos_list,
+        }
+        if "warc_ts" in batch.column_names:
+            cols["warc_ts"] = batch.column("warc_ts")
+        return pa.table(cols)
