@@ -1,0 +1,351 @@
+"""BM25 top-k query engine: TAAT cross-check scorer, Block-Max WAND,
+conjunctive (AND) DAAT intersection, and positional phrase search.
+
+BlackLab's retrieval core re-expressed over the partitioned posting
+segments this engine builds:
+
+- OR top-k = document-at-a-time Block-Max WAND over per-(term,salt)
+  segment iterators — the per-Lucene-segment SpansReader fan-out/merge
+  of the reference (search/results/HitsFromQuery.java:109-123) becomes a
+  k-way merge over salted posting segments; block-max metadata gives the
+  skipping Lucene 8's BlockMax-WAND provides.
+- AND = vectorized sorted-array intersection (the SpanQueryAnd /
+  doc-at-a-time conjunction semantics, search/lucene/SpansAnd.java:13).
+- Phrase = AND + position-adjacency verification from the per-posting
+  position blobs (SpansSequenceSimple adjacency join semantics,
+  search/lucene/SpansSequenceSimple.java:20).
+
+All orderings are deterministic: results sort by (-score, doc_id).
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pyarrow as pa
+
+from blacklab_ray.codec.smallfloat import decode_norms
+from blacklab_ray.query.bm25 import B, K1, block_upper_bound, idf, score_tf
+from blacklab_ray.query.reader import IndexReader, Segment
+
+_INF = np.iinfo(np.int64).max
+
+
+def _result_table(reader: IndexReader, doc_ids: np.ndarray,
+                  scores: np.ndarray, resolve_urls: bool) -> pa.Table:
+    cols = {
+        "doc_id": pa.array(doc_ids, pa.int64()),
+        "score": pa.array(scores, pa.float64()),
+        "rank": pa.array(np.arange(1, doc_ids.size + 1), pa.int64()),
+    }
+    if resolve_urls:
+        cols["url"] = pa.array(reader.urls(doc_ids), pa.string())
+    return pa.table(cols)
+
+
+def _term_arrays(reader: IndexReader, segs: list[Segment], term_idf: float,
+                 quantize: bool):
+    """Merge a term's segments → sorted (doc_ids, scores, tfs)."""
+    docs, tfs, norms = [], [], []
+    for s in segs:
+        d, t, n = s.decode_all()
+        docs.append(d), tfs.append(t), norms.append(n)
+    if not docs:
+        e = np.empty(0, dtype=np.int64)
+        return e, np.empty(0, dtype=np.float64), e.copy()
+    d = np.concatenate(docs)
+    t = np.concatenate(tfs)
+    n = np.concatenate(norms)
+    order = np.argsort(d, kind="stable")  # salted segments are doc-disjoint
+    d, t, n = d[order], t[order], n[order]
+    dl = decode_norms(n) if quantize else reader.doc_lens(d)
+    scores = term_idf * score_tf(t, dl, reader.avgdl)
+    return d, scores, t
+
+
+def search_taat(reader: IndexReader, terms: list[str], k: int = 10,
+                mode: str = "or", quantize: bool = True,
+                resolve_urls: bool = False) -> pa.Table:
+    """Exact term-at-a-time scorer (vectorized); the WAND cross-check."""
+    terms = list(dict.fromkeys(terms))
+    stats = reader.term_stats(terms)
+    present = [t for t in terms if t in stats]
+    if mode == "and" and len(present) < len(terms):
+        return _result_table(reader, np.empty(0, np.int64),
+                             np.empty(0, np.float64), resolve_urls)
+    if not present:
+        return _result_table(reader, np.empty(0, np.int64),
+                             np.empty(0, np.float64), resolve_urls)
+    segs = reader.segments(present)
+    all_docs, all_scores = [], []
+    for t in present:
+        t_idf = float(idf(stats[t][0], reader.n_docs))
+        d, s, _ = _term_arrays(reader, segs[t], t_idf, quantize)
+        all_docs.append(d)
+        all_scores.append(s)
+    docs = np.concatenate(all_docs)
+    scores = np.concatenate(all_scores)
+    uniq, inv = np.unique(docs, return_inverse=True)
+    sums = np.zeros(uniq.size, dtype=np.float64)
+    np.add.at(sums, inv, scores)
+    if mode == "and":
+        counts = np.bincount(inv, minlength=uniq.size)
+        keep = counts == len(present)
+        uniq, sums = uniq[keep], sums[keep]
+    order = np.lexsort((uniq, -sums))[:k]
+    return _result_table(reader, uniq[order], sums[order], resolve_urls)
+
+
+class _SegIter:
+    """Posting iterator over one segment with block-max skipping."""
+
+    __slots__ = ("seg", "idf", "avgdl", "last_docs", "block_ubs",
+                 "max_score", "bi", "pi", "cur_doc", "_docs", "_scores",
+                 "quantize", "reader")
+
+    def __init__(self, seg: Segment, term_idf: float, reader: IndexReader,
+                 quantize: bool):
+        self.seg = seg
+        self.idf = term_idf
+        self.reader = reader
+        self.quantize = quantize
+        self.avgdl = reader.avgdl
+        self.last_docs = np.array([b["last_doc"] for b in seg.blocks],
+                                  dtype=np.int64)
+        self.block_ubs = np.array([
+            block_upper_bound(b["max_tf"], b["min_norm"], self.avgdl,
+                              term_idf) for b in seg.blocks])
+        self.max_score = float(self.block_ubs.max()) if seg.blocks else 0.0
+        self.bi = -1
+        self._docs = None
+        self._scores = None
+        self.pi = 0
+        self.cur_doc = -1
+        self._load_block(0)
+
+    def _load_block(self, bi: int):
+        if bi >= len(self.seg.blocks):
+            self.cur_doc = _INF
+            return
+        self.bi = bi
+        d, t, n = self.seg.decode_block(bi)
+        dl = decode_norms(n) if self.quantize else self.reader.doc_lens(d)
+        self._docs = d
+        self._scores = self.idf * score_tf(t, dl, self.avgdl)
+        self.pi = 0
+        self.cur_doc = int(d[0])
+
+    def advance_to(self, target: int):
+        """Move to the first posting with doc >= target."""
+        if self.cur_doc >= target or self.cur_doc == _INF:
+            return
+        if self.bi < len(self.seg.blocks) and \
+                target > self.last_docs[self.bi]:
+            nbi = int(np.searchsorted(self.last_docs, target))
+            if nbi >= len(self.seg.blocks):
+                self.cur_doc = _INF
+                return
+            self._load_block(nbi)
+        self.pi = int(np.searchsorted(self._docs, target, side="left"))
+        self.cur_doc = int(self._docs[self.pi])
+
+    def next(self):
+        self.pi += 1
+        if self.pi >= self._docs.size:
+            self._load_block(self.bi + 1)
+        else:
+            self.cur_doc = int(self._docs[self.pi])
+
+    def score_current(self) -> float:
+        return float(self._scores[self.pi])
+
+    def block_ub_for(self, doc: int) -> float:
+        """Upper bound of the block that would contain doc (shallow)."""
+        i = int(np.searchsorted(self.last_docs, doc))
+        return float(self.block_ubs[i]) if i < self.last_docs.size else 0.0
+
+    def block_last_for(self, doc: int) -> int:
+        i = int(np.searchsorted(self.last_docs, doc))
+        return int(self.last_docs[i]) if i < self.last_docs.size else _INF
+
+
+def search_wand(reader: IndexReader, terms: list[str], k: int = 10,
+                quantize: bool = True,
+                resolve_urls: bool = False) -> pa.Table:
+    """Top-k disjunctive BM25 via document-at-a-time Block-Max WAND."""
+    terms = list(dict.fromkeys(terms))
+    stats = reader.term_stats(terms)
+    present = [t for t in terms if t in stats]
+    if not present:
+        return _result_table(reader, np.empty(0, np.int64),
+                             np.empty(0, np.float64), resolve_urls)
+    segs = reader.segments(present)
+    iters: list[_SegIter] = []
+    for t in present:
+        t_idf = float(idf(stats[t][0], reader.n_docs))
+        for s in segs[t]:
+            if s.blocks:
+                iters.append(_SegIter(s, t_idf, reader, quantize))
+    heap: list[tuple[float, int]] = []  # (score, -doc_id), size <= k
+
+    def theta() -> float:
+        return heap[0][0] if len(heap) == k else -1.0
+
+    while True:
+        live = [it for it in iters if it.cur_doc != _INF]
+        if not live:
+            break
+        live.sort(key=lambda it: it.cur_doc)
+        # WAND pivot on global per-iterator upper bounds
+        acc = 0.0
+        pivot_idx = -1
+        th = theta()
+        for i, it in enumerate(live):
+            acc += it.max_score
+            if acc >= th:  # >= keeps equal-score candidates (tie safety)
+                pivot_idx = i
+                break
+        if pivot_idx < 0:
+            break
+        pivot_doc = live[pivot_idx].cur_doc
+        # include any further iterators already at pivot_doc
+        while (pivot_idx + 1 < len(live)
+               and live[pivot_idx + 1].cur_doc == pivot_doc):
+            pivot_idx += 1
+        head = live[:pivot_idx + 1]
+        # block-max refinement (shallow — no decode)
+        ub = sum(it.block_ub_for(pivot_doc) for it in head)
+        if len(heap) == k and ub < th:
+            # skip past the shortest current block among head iterators
+            d = min(it.block_last_for(pivot_doc) for it in head) + 1
+            d = max(d, head[0].cur_doc + 1)
+            for it in head:
+                if it.cur_doc < d:
+                    it.advance_to(d)
+            continue
+        if head[0].cur_doc == pivot_doc:
+            # all head iterators aligned on pivot: full evaluation
+            score = 0.0
+            for it in head:
+                it.advance_to(pivot_doc)
+                if it.cur_doc == pivot_doc:
+                    score += it.score_current()
+            entry = (score, -pivot_doc)
+            if len(heap) < k:
+                heapq.heappush(heap, entry)
+            elif entry > heap[0]:
+                heapq.heapreplace(heap, entry)
+            for it in head:
+                if it.cur_doc == pivot_doc:
+                    it.next()
+        else:
+            # advance the lagging iterator (cur_doc < pivot) with the
+            # largest upper bound — must strictly lag or we don't progress
+            lag = max((it for it in head if it.cur_doc < pivot_doc),
+                      key=lambda it: it.max_score)
+            lag.advance_to(pivot_doc)
+    ordered = sorted(heap, key=lambda e: (-e[0], -e[1]))
+    doc_ids = np.array([-d for _, d in ordered], dtype=np.int64)
+    scores = np.array([s for s, _ in ordered], dtype=np.float64)
+    return _result_table(reader, doc_ids, scores, resolve_urls)
+
+
+def search(reader: IndexReader, terms: list[str], k: int = 10,
+           mode: str = "or", algo: str = "wand", quantize: bool = True,
+           resolve_urls: bool = False) -> pa.Table:
+    """Front door: OR via WAND (or TAAT), AND via DAAT intersection."""
+    if mode == "and":
+        return search_taat(reader, terms, k, "and", quantize, resolve_urls)
+    if algo == "taat":
+        return search_taat(reader, terms, k, "or", quantize, resolve_urls)
+    return search_wand(reader, terms, k, quantize, resolve_urls)
+
+
+# ---- positional phrase search ---------------------------------------------
+
+def _positions_by_doc(segs: list[Segment], targets: np.ndarray
+                      ) -> dict[int, np.ndarray]:
+    """doc_id → absolute token positions of the term, for target docs."""
+    out: dict[int, np.ndarray] = {}
+    tset = targets
+    for seg in segs:
+        if not seg.blocks:
+            continue
+        for i, blk in enumerate(seg.blocks):
+            d, t, _ = seg.decode_block(i)
+            mask = np.isin(d, tset, assume_unique=False)
+            if not mask.any():
+                continue
+            pos = seg.decode_block_positions(i, t)
+            starts = np.zeros(t.size + 1, dtype=np.int64)
+            starts[1:] = np.cumsum(t)
+            for j in np.flatnonzero(mask):
+                out[int(d[j])] = pos[starts[j]:starts[j + 1]]
+    return out
+
+
+def phrase_search(reader: IndexReader, phrase: list[str], k: int = 10,
+                  quantize: bool = True,
+                  resolve_urls: bool = False) -> pa.Table:
+    """Exact-phrase top-k: docs where phrase terms occur adjacently.
+
+    Scored like a single BM25 term with tf = phrase frequency (the
+    Lucene PhraseQuery convention).
+    """
+    if not phrase:
+        raise ValueError("empty phrase")
+    uniq_terms = list(dict.fromkeys(phrase))
+    stats = reader.term_stats(uniq_terms)
+    if len(stats) < len(uniq_terms):
+        return _result_table(reader, np.empty(0, np.int64),
+                             np.empty(0, np.float64), resolve_urls)
+    segs = reader.segments(uniq_terms)
+    # candidate docs: sorted intersection across distinct terms
+    cand: np.ndarray | None = None
+    per_term_docs: dict[str, np.ndarray] = {}
+    for t in uniq_terms:
+        docs = np.concatenate([s.decode_all()[0] for s in segs[t]]) \
+            if segs[t] else np.empty(0, np.int64)
+        docs = np.sort(docs)
+        per_term_docs[t] = docs
+        cand = docs if cand is None else cand[np.isin(cand, docs,
+                                                      assume_unique=True)]
+        if cand.size == 0:
+            break
+    if cand is None or cand.size == 0:
+        return _result_table(reader, np.empty(0, np.int64),
+                             np.empty(0, np.float64), resolve_urls)
+    pos_maps = {t: _positions_by_doc(segs[t], cand) for t in uniq_terms}
+    doc_ids, phrase_tfs = [], []
+    for doc in cand.tolist():
+        cur = pos_maps[phrase[0]][doc]
+        for i, t in enumerate(phrase[1:], start=1):
+            nxt = pos_maps[t].get(doc)
+            if nxt is None:
+                cur = cur[:0]
+                break
+            cur = cur[np.isin(cur + i, nxt)]
+            if cur.size == 0:
+                break
+        if cur.size:
+            doc_ids.append(doc)
+            phrase_tfs.append(cur.size)
+    if not doc_ids:
+        return _result_table(reader, np.empty(0, np.int64),
+                             np.empty(0, np.float64), resolve_urls)
+    d = np.array(doc_ids, dtype=np.int64)
+    tf = np.array(phrase_tfs, dtype=np.int64)
+    df = d.size  # phrase df over the corpus (exact, from this match set)
+    p_idf = float(idf(df, reader.n_docs))
+    dl = reader.doc_lens(d) if not quantize else decode_norms(
+        _norms_for(reader, d))
+    scores = p_idf * score_tf(tf, dl, reader.avgdl)
+    order = np.lexsort((d, -scores))[:k]
+    tbl = _result_table(reader, d[order], scores[order], resolve_urls)
+    return tbl.append_column("phrase_tf", pa.array(tf[order], pa.int64()))
+
+
+def _norms_for(reader: IndexReader, doc_ids: np.ndarray) -> np.ndarray:
+    from blacklab_ray.codec.smallfloat import encode_lengths
+    return encode_lengths(reader.doc_lens(doc_ids))

@@ -1,0 +1,142 @@
+"""Index reader: lazy access to postings segments + side tables.
+
+The query-side state holder (SURVEY §2.11 "query-engine state"): loads
+``meta.json`` and the terms-stats table once, resolves a query term to its
+bucket partition, and reads only that partition's Parquet (predicate
+pushdown on ``term``) — the analogue of BlackLab's mmap'd terms/forward
+index singletons (forwardindex/TermsReaderAbstract.java:18) but backed by
+partitioned Parquet instead of custom files.
+
+Decoded segments are returned as numpy arrays; per-segment block decoding
+stays lazy for WAND (block-at-a-time skipping).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from functools import lru_cache
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.dataset as pa_ds
+import pyarrow.parquet as pq
+
+from blacklab_ray.codec.vbyte import (
+    decode_position_lists, delta_decode, vbyte_decode,
+)
+from blacklab_ray.stages.tokenize import hash64
+
+
+class Segment:
+    """One (term, salt, seg) posting segment; lazy block decode."""
+
+    __slots__ = ("term", "df_seg", "ctf_seg", "first_doc", "last_doc",
+                 "blocks")
+
+    def __init__(self, row: dict):
+        self.term = row["term"]
+        self.df_seg = row["df_seg"]
+        self.ctf_seg = row["ctf_seg"]
+        self.first_doc = row["first_doc"]
+        self.last_doc = row["last_doc"]
+        self.blocks = row["blocks"]  # list of block dicts
+
+    def decode_all(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(doc_ids, tfs, norms) for the whole segment."""
+        docs, tfs, norms = [], [], []
+        for blk in self.blocks:
+            docs.append(delta_decode(blk["docs"]))
+            tfs.append(vbyte_decode(blk["tfs"]).astype(np.int64))
+            norms.append(np.frombuffer(blk["norms"], dtype=np.uint8))
+        if not docs:
+            e = np.empty(0, dtype=np.int64)
+            return e, e.copy(), np.empty(0, dtype=np.uint8)
+        return (np.concatenate(docs), np.concatenate(tfs),
+                np.concatenate(norms))
+
+    def decode_block(self, i: int):
+        blk = self.blocks[i]
+        return (delta_decode(blk["docs"]),
+                vbyte_decode(blk["tfs"]).astype(np.int64),
+                np.frombuffer(blk["norms"], dtype=np.uint8))
+
+    def decode_block_positions(self, i: int, tfs: np.ndarray) -> np.ndarray:
+        """Concatenated absolute positions for block i (aligned by tfs)."""
+        return decode_position_lists(self.blocks[i]["pos"], tfs)
+
+
+class IndexReader:
+    """Driver/actor-side handle on an index directory."""
+
+    def __init__(self, index_dir: str):
+        self.index_dir = index_dir
+        with open(os.path.join(index_dir, "meta.json")) as f:
+            self.meta = json.load(f)
+        self.n_docs = self.meta["n_docs"]
+        self.avgdl = self.meta["avg_doc_len"]
+        self.num_buckets = self.meta["params"]["num_buckets"]
+        self._terms_tbl: pa.Table | None = None
+        self._docs: dict | None = None
+
+    # ---- side tables ----------------------------------------------------
+
+    @property
+    def terms_table(self) -> pa.Table:
+        if self._terms_tbl is None:
+            self._terms_tbl = pq.read_table(
+                os.path.join(self.index_dir, "terms"))
+        return self._terms_tbl
+
+    def term_stats(self, terms: list[str]) -> dict[str, tuple[int, int]]:
+        """term → (doc_freq, collection_tf); absent terms omitted."""
+        tbl = self.terms_table
+        mask = pc.is_in(tbl["term"], value_set=pa.array(terms))
+        sub = tbl.filter(mask)
+        return {t.as_py(): (df.as_py(), ctf.as_py())
+                for t, df, ctf in zip(sub["term"], sub["doc_freq"],
+                                      sub["collection_tf"])}
+
+    def _load_docs(self) -> dict:
+        if self._docs is None:
+            tbl = pq.read_table(os.path.join(self.index_dir, "docs"))
+            order = pc.sort_indices(tbl["doc_id"])
+            tbl = tbl.take(order)
+            self._docs = {
+                "doc_id": tbl["doc_id"].to_numpy(),
+                "url": tbl["url"].combine_chunks(),
+                "doc_len": tbl["doc_len"].to_numpy(),
+            }
+        return self._docs
+
+    def doc_lens(self, doc_ids: np.ndarray) -> np.ndarray:
+        d = self._load_docs()
+        idx = np.searchsorted(d["doc_id"], doc_ids)
+        return d["doc_len"][idx]
+
+    def urls(self, doc_ids: np.ndarray) -> list[str]:
+        d = self._load_docs()
+        idx = np.searchsorted(d["doc_id"], doc_ids)
+        return pc.take(d["url"], pa.array(idx)).to_pylist()
+
+    # ---- postings -------------------------------------------------------
+
+    def segments(self, terms: list[str]) -> dict[str, list[Segment]]:
+        """Read all posting segments for the given terms (bucket-pruned)."""
+        by_bucket: dict[int, list[str]] = {}
+        for t in set(terms):
+            by_bucket.setdefault(hash64(t) % self.num_buckets, []).append(t)
+        out: dict[str, list[Segment]] = {t: [] for t in terms}
+        post_root = os.path.join(self.index_dir, "postings")
+        for bucket, bterms in sorted(by_bucket.items()):
+            path = os.path.join(post_root, f"bucket={bucket}")
+            if not os.path.isdir(path):
+                continue
+            ds = pa_ds.dataset(path, format="parquet")
+            tbl = ds.to_table(filter=pc.field("term").isin(bterms))
+            for row in tbl.to_pylist():
+                out[row["term"]].append(Segment(row))
+        for t in out:
+            out[t].sort(key=lambda s: (s.first_doc, s.last_doc))
+        return out
