@@ -1,0 +1,103 @@
+import json
+import os
+
+import pyarrow.dataset as pa_ds
+import pyarrow.parquet as pq
+import pytest
+
+from blacklab_ray.index import BuildParams, build_index
+from blacklab_ray.query import IndexReader
+
+# hand-computed stats for the pangram4 corpus (FIXTURES.md §2)
+PANGRAM_DOC_LENS = {"u0": 9, "u1": 12, "u2": 6, "u3": 10}
+# note: '.' is not a token under [a-z0-9]+; u0 has 9 tokens ('the' twice),
+# u3: to find or not to find that is the question = 10
+PANGRAM_DF = {"the": 3, "to": 1, "aap": 1, "noot": 1, "mier": 1,
+              "find": 1, "force": 1}
+PANGRAM_CTF = {"the": 4, "to": 2, "aap": 5, "mier": 4, "noot": 3,
+               "find": 2, "quick": 1}
+
+
+def test_pangram_stats(pangram_index):
+    reader = IndexReader(pangram_index)
+    assert reader.n_docs == 4
+    assert reader.meta["total_tokens"] == sum(PANGRAM_DOC_LENS.values())
+    docs = pq.read_table(os.path.join(pangram_index, "docs"))
+    by_url = dict(zip(docs["url"].to_pylist(), docs["doc_len"].to_pylist()))
+    assert by_url == PANGRAM_DOC_LENS
+    terms = pq.read_table(os.path.join(pangram_index, "terms"))
+    df = dict(zip(terms["term"].to_pylist(), terms["doc_freq"].to_pylist()))
+    ctf = dict(zip(terms["term"].to_pylist(),
+                   terms["collection_tf"].to_pylist()))
+    for t, v in PANGRAM_DF.items():
+        assert df[t] == v, t
+    for t, v in PANGRAM_CTF.items():
+        assert ctf[t] == v, t
+
+
+def test_resume_skips_completed_stages(ray_session, small_corpus_dir,
+                                       tmp_path):
+    idx = str(tmp_path / "idx")
+    p = BuildParams(num_buckets=4, n_salts=2)
+    build_index(small_corpus_dir, idx, p)
+    with open(os.path.join(idx, "manifest.json")) as f:
+        man1 = json.load(f)
+    # record postings mtime, rebuild with resume → nothing rewritten
+    post_dir = os.path.join(idx, "postings")
+    before = {f: os.path.getmtime(os.path.join(r, f))
+              for r, _, fs in os.walk(post_dir) for f in fs}
+    build_index(small_corpus_dir, idx, p, resume=True)
+    after = {f: os.path.getmtime(os.path.join(r, f))
+             for r, _, fs in os.walk(post_dir) for f in fs}
+    assert before == after
+    # param change invalidates
+    p2 = BuildParams(num_buckets=8, n_salts=2)
+    build_index(small_corpus_dir, idx, p2, resume=True)
+    with open(os.path.join(idx, "manifest.json")) as f:
+        man2 = json.load(f)
+    assert man2["stages"]["postings"]["params"] != \
+        man1["stages"]["postings"]["params"]
+
+
+def _logical_postings(idx: str):
+    tbl = pa_ds.dataset(os.path.join(idx, "postings"),
+                        format="parquet").to_table()
+    rows = tbl.to_pylist()
+    rows.sort(key=lambda r: (r["term"], int(r["salt"]), int(r["seg"])))
+    return rows
+
+
+def test_build_determinism_across_partitioning(ray_session,
+                                               small_corpus_dir, tmp_path):
+    """Same logical index regardless of batch size / shard layout."""
+    a = str(tmp_path / "a")
+    b = str(tmp_path / "b")
+    build_index(small_corpus_dir, a,
+                BuildParams(num_buckets=4, n_salts=2, batch_size=32))
+    build_index(small_corpus_dir, b,
+                BuildParams(num_buckets=4, n_salts=2, batch_size=256,
+                            bucket_shards=2))
+    ra = _logical_postings(a)
+    rb = _logical_postings(b)
+    assert ra == rb
+    da = pq.read_table(os.path.join(a, "docs")).sort_by("doc_id")
+    db = pq.read_table(os.path.join(b, "docs")).sort_by("doc_id")
+    assert da.equals(db)
+
+
+def test_hot_term_salting_and_segment_split(small_index):
+    """Stopwords spread across salts; long postings split by doc range."""
+    rows = _logical_postings(small_index)
+    the_rows = [r for r in rows if r["term"] == "the"]
+    salts = {r["salt"] for r in the_rows}
+    assert len(salts) > 1, "hot term should be salted across groups"
+    # doc-disjoint across salts, ascending within segments
+    seen = set()
+    for r in the_rows:
+        assert r["first_doc"] <= r["last_doc"]
+        for blk in r["blocks"]:
+            assert blk["n"] >= 1
+    # rare term: single segment, salt 0
+    rare = [r for r in rows if r["df_seg"] == 1]
+    assert rare and all(r["salt"] == 0 for r in rare
+                        if r["term"] not in ("the",))

@@ -1,0 +1,105 @@
+import math
+
+import numpy as np
+import pytest
+
+from blacklab_ray.query import (
+    IndexReader, phrase_search, search, search_taat, search_wand,
+)
+from blacklab_ray.query.bm25 import B, K1
+
+
+@pytest.fixture(scope="module")
+def reader(small_index):
+    return IndexReader(small_index)
+
+
+def _pairs(tbl):
+    return list(zip(tbl["doc_id"].to_pylist(), tbl["score"].to_pylist()))
+
+
+def _assert_match(got, exp):
+    assert [d for d, _ in got] == [d for d, _ in exp]
+    for (_, a), (_, b) in zip(got, exp):
+        assert abs(a - b) < 1e-9
+
+
+def test_pangram_bm25_exact_scores(pangram_index, small_oracle):
+    """Hand-checkable: score of 'aap' on u1 (df=1, tf=5, dl=12)."""
+    r = IndexReader(pangram_index)
+    res = search_taat(r, ["aap"], 5, quantize=False, resolve_urls=True)
+    assert res.num_rows == 1
+    assert res["url"].to_pylist() == ["u1"]
+    n, df, tf, dl = 4, 1, 5, 12
+    avgdl = 37 / 4
+    idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+    exp = idf * tf / (tf + K1 * (1 - B + B * dl / avgdl))
+    assert abs(res["score"][0].as_py() - exp) < 1e-12
+
+
+def test_random_queries_match_oracle(reader, small_oracle):
+    rng = np.random.default_rng(43)
+    vocab = sorted(small_oracle.doc_freq().keys())
+    for qi in range(30):
+        nt = int(rng.integers(1, 5))
+        terms = [vocab[int(rng.integers(0, len(vocab)))] for _ in range(nt)]
+        if qi % 3 == 0:
+            terms.append("the")        # hot term (salted postings)
+        if qi % 7 == 0:
+            terms.append("zz_nohit")   # zero-hit term mixed in
+        mode = "and" if qi % 5 == 4 else "or"
+        k = int(rng.integers(1, 25))
+        exp = small_oracle.topk(terms, k, mode)
+        _assert_match(_pairs(search_taat(reader, terms, k, mode=mode)), exp)
+        if mode == "or":
+            _assert_match(_pairs(search_wand(reader, terms, k)), exp)
+
+
+def test_quantize_false_uses_exact_lengths(reader, small_oracle):
+    exp = small_oracle.topk(["the", "of"], 15, quantize=False)
+    got = search_taat(reader, ["the", "of"], 15, quantize=False)
+    _assert_match(_pairs(got), exp)
+
+
+def test_empty_and_missing_terms(reader):
+    assert search(reader, ["zz_nohit"], 10).num_rows == 0
+    assert search(reader, ["zz_nohit", "the"], 10, mode="and").num_rows == 0
+    assert search(reader, ["zz_nohit", "the"], 10).num_rows > 0
+
+
+def test_duplicate_query_terms_deduped(reader):
+    a = _pairs(search_taat(reader, ["the", "the"], 10))
+    b = _pairs(search_taat(reader, ["the"], 10))
+    assert a == b
+
+
+def test_phrase_matches_oracle(reader, small_oracle):
+    # pick a phrase known to occur: most common bigram starting with 'the'
+    import collections
+    follow = collections.Counter()
+    for toks in small_oracle.docs.values():
+        for x, y in zip(toks, toks[1:]):
+            if x == "the":
+                follow[y] += 1
+    nxt = follow.most_common(1)[0][0]
+    phrase = ["the", nxt]
+    exp = small_oracle.phrase_docs(phrase)
+    got = phrase_search(reader, phrase, k=10_000)
+    got_map = dict(zip(got["doc_id"].to_pylist(),
+                       got["phrase_tf"].to_pylist()))
+    assert got_map == exp
+    assert phrase_search(reader, ["zz_a", "zz_b"], 10).num_rows == 0
+
+
+def test_wand_equals_taat_on_hot_terms(reader):
+    """Stopword-heavy query stresses salted-segment k-way correctness."""
+    terms = ["the", "of", "and", "to", "a"]
+    for k in (1, 5, 37, 200):
+        _assert_match(_pairs(search_wand(reader, terms, k)),
+                      _pairs(search_taat(reader, terms, k)))
+
+
+def test_rank_column_and_url_resolution(reader):
+    t = search(reader, ["the"], 5, resolve_urls=True)
+    assert t["rank"].to_pylist() == [1, 2, 3, 4, 5]
+    assert all(u.startswith("https://") for u in t["url"].to_pylist())
