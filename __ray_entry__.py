@@ -1,44 +1,480 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship pipeline (index build + BM25 WAND top-k)
+on sf0.001. ``queries()`` exposes one callable per implemented operator
+from SURVEY.md §2 plus the training-data operators; ``oracle_sql()``
+gives DuckDB-equivalent SQL for every SQL-expressible one (same column
+names, deterministic tie-breaks, floats rounded identically on both
+sides).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ``ray.init``/``ray.shutdown``.
 """
 
 from __future__ import annotations
 
+import hashlib
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+# ---------------------------------------------------------------------------
+# shared config
+# ---------------------------------------------------------------------------
+
+OR_TERMS = ["spark", "window", "merge"]
+AND_TERMS = ["spark", "join", "customer"]
+PHRASE = ["batch", "batch"]
+HIT_TERM = "spark"
+TOPK = 20
+
+_TOKS_SQL = ("regexp_extract_all(lower(strip_accents(text)), "
+             "'[a-z0-9]+')")
+
+_IDX_CACHE: dict[str, Any] = {}
+
+
+def _index_for(sf_dir: str):
+    """Build (once per sf_dir, resumable) the inverted index over the
+    ``documents`` table and return an IndexReader."""
+    from blacklab_ray.index import BuildParams, build_index
+    from blacklab_ray.query import IndexReader
+    if sf_dir in _IDX_CACHE:
+        return _IDX_CACHE[sf_dir]
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    idx_dir = f"/tmp/blray_index_{tag}"
+    build_index([os.path.join(sf_dir, "documents.parquet")], idx_dir,
+                BuildParams(num_buckets=16, n_salts=4,
+                            id_column="doc_id", extract_html=False,
+                            batch_size=512))
+    reader = IndexReader(idx_dir)
+    _IDX_CACHE[sf_dir] = reader
+    return reader
+
+
+def _docs_ds(sf_dir: str):
+    import ray.data
+    return ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _events_ds(sf_dir: str):
+    import ray.data
+    return ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"))
+
+
+def _emb_ds(sf_dir: str):
+    import ray.data
+    return ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def _round_cols(df: pd.DataFrame, spec: dict[str, int]) -> pd.DataFrame:
+    for c, n in spec.items():
+        if c in df.columns:
+            df[c] = df[c].astype(float).round(n)
+    return df
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: build the inverted index over sf0.001 documents, then
+    run a Block-Max-WAND BM25 top-k query. Returns the hit table."""
+    from blacklab_ray.query import search
+    reader = _index_for("/root/testdata/sf0.001")
+    return search(reader, OR_TERMS, k=TOPK, algo="wand",
+                  resolve_urls=False)
 
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from blacklab_ray.pipelines import (
+        ann, dedup, frequency, hits, multimodal, textstats, windows,
+    )
+    from blacklab_ray.query import phrase_search, search, search_taat
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # ---- index-backed retrieval ----------------------------------------
+
+    def q_term_stats(sf):
+        r = _index_for(sf)
+        return r.terms_table
+
+    def q_doc_stats(sf):
+        import pyarrow.parquet as pq
+        r = _index_for(sf)
+        t = pq.read_table(os.path.join(r.index_dir, "docs"),
+                          columns=["doc_id", "doc_len"])
+        return t
+
+    def q_corpus_stats(sf):
+        r = _index_for(sf)
+        return pa.table({
+            "total_docs": pa.array([r.n_docs], pa.int64()),
+            "total_tokens": pa.array([r.meta["total_tokens"]], pa.int64()),
+            "avg_doc_len": pa.array([round(r.avgdl, 6)], pa.float64()),
+        })
+
+    def q_bm25_or_scores(sf):
+        r = _index_for(sf)
+        t = search_taat(r, OR_TERMS, k=10**9).select(["doc_id", "score"])
+        return _round_cols(t.to_pandas(), {"score": 4})
+
+    def q_bm25_topk(sf):
+        r = _index_for(sf)
+        t = search(r, OR_TERMS, k=TOPK, algo="wand") \
+            .select(["doc_id", "score", "rank"])
+        return _round_cols(t.to_pandas(), {"score": 4})
+
+    def q_bm25_and(sf):
+        r = _index_for(sf)
+        t = search_taat(r, AND_TERMS, k=10**9, mode="and") \
+            .select(["doc_id", "score"])
+        return _round_cols(t.to_pandas(), {"score": 4})
+
+    def q_phrase_docs(sf):
+        r = _index_for(sf)
+        t = phrase_search(r, PHRASE, k=10**9)
+        return t.select(["doc_id"]).to_pandas().sort_values("doc_id") \
+            .reset_index(drop=True)
+
+    # ---- corpus analytics (direct Dataset pipelines) -------------------
+
+    def q_hits_by_lang(sf):
+        return hits.hits_by(_docs_ds(sf), HIT_TERM, "lang")
+
+    def q_collocations(sf):
+        return hits.collocations(_docs_ds(sf), HIT_TERM, window=2)
+
+    def q_kwic(sf):
+        t = hits.kwic(_docs_ds(sf), HIT_TERM, context=2, limit=TOPK)
+        df = t.to_pandas()
+        return df.rename(columns={"left": "lctx", "right": "rctx"})
+
+    def q_freq_by_lang(sf):
+        t = frequency.freq_by(_docs_ds(sf), "lang").to_pandas()
+        t = t.sort_values(["tf", "term", "lang"],
+                          ascending=[False, True, True]).head(100)
+        return t.reset_index(drop=True)
+
+    # ---- dedup / fingerprints ------------------------------------------
+
+    def q_dedup_exact(sf):
+        return dedup.exact_dedup_keep_ids(_docs_ds(sf))
+
+    def q_fingerprints(sf):
+        return dedup.fingerprints(_docs_ds(sf), normalize=True)
+
+    def q_minhash_pairs(sf):
+        pairs = dedup.minhash_candidate_pairs(_docs_ds(sf))
+        return dedup.verify_jaccard_pairs(
+            _docs_ds(sf), pairs, threshold=0.8)
+
+    def q_simhash(sf):
+        return dedup.simhashes(_docs_ds(sf))
+
+    # ---- ANN / embeddings ----------------------------------------------
+
+    def _query_vectors(sf):
+        import pyarrow.parquet as pq
+        t = pq.read_table(os.path.join(sf, "embeddings.parquet"))
+        t = t.filter(pa.compute.less(t["vec_id"], 10))
+        ids = t["vec_id"].to_numpy()
+        mat = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+        return ids, mat
+
+    def q_ann_topk(sf):
+        ids, mat = _query_vectors(sf)
+        t = ann.brute_topk(_emb_ds(sf), ids, mat, k=5)
+        return _round_cols(
+            t.select(["query_id", "neighbor_id", "cosine"]).to_pandas(),
+            {"cosine": 4})
+
+    def q_emb_dup_pairs(sf):
+        t = ann.cosine_dup_pairs(_emb_ds(sf), threshold=0.95)
+        return _round_cols(t.to_pandas(), {"cosine": 4})
+
+    def q_ann_lsh(sf):
+        ids, mat = _query_vectors(sf)
+        return ann.lsh_topk(_emb_ds(sf), ids, mat, k=5)
+
+    # ---- text stats ----------------------------------------------------
+
+    def q_quality_by_source(sf):
+        df = textstats.quality_by(_docs_ds(sf), "source").to_pandas()
+        return _round_cols(df, {"avg_tokens": 6, "avg_stopword_ratio": 6,
+                                "avg_alpha_ratio": 6})
+
+    def q_token_count_by_lang(sf):
+        return textstats.token_counts_by(_docs_ds(sf), "lang")
+
+    def q_lang_id(sf):
+        df = textstats.lang_id(_docs_ds(sf)).to_pandas()
+        out = df.groupby("lang_pred").size().reset_index(name="n_docs")
+        return out
+
+    # ---- windowed event aggregates -------------------------------------
+
+    def q_events_hourly(sf):
+        df = windows.tumbling(_events_ds(sf), 3600).to_pandas()
+        return _round_cols(df, {"sum_value": 6})
+
+    def q_events_sessions(sf):
+        return windows.sessionize(_events_ds(sf), gap_s=1800)
+
+    # ---- multimodal plumbing (decode STUB, real Ray plumbing) ----------
+
+    def q_media_features(sf):
+        import ray.data
+        tbl = multimodal.synth_media_table(100)
+        ds = ray.data.from_arrow(tbl)
+        return multimodal.extract_features(ds)
+
+    return {
+        "term_stats": q_term_stats,
+        "doc_stats": q_doc_stats,
+        "corpus_stats": q_corpus_stats,
+        "bm25_or_scores": q_bm25_or_scores,
+        "bm25_topk": q_bm25_topk,
+        "bm25_and": q_bm25_and,
+        "phrase_docs": q_phrase_docs,
+        "hits_by_lang": q_hits_by_lang,
+        "collocations_spark": q_collocations,
+        "kwic_spark": q_kwic,
+        "freq_by_lang": q_freq_by_lang,
+        "dedup_exact": q_dedup_exact,
+        "fingerprints": q_fingerprints,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash64": q_simhash,
+        "ann_topk": q_ann_topk,
+        "ann_lsh_topk": q_ann_lsh,
+        "emb_dup_pairs": q_emb_dup_pairs,
+        "quality_by_source": q_quality_by_source,
+        "token_count_by_lang": q_token_count_by_lang,
+        "lang_id_counts": q_lang_id,
+        "events_hourly": q_events_hourly,
+        "events_sessions": q_events_sessions,
+        "media_features": q_media_features,
+    }
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL
+# ---------------------------------------------------------------------------
+
+def _smallfloat_values_sql() -> str:
+    from blacklab_ray.codec.smallfloat import DECODE_TABLE
+    vals = ",".join(f"({int(v)})" for v in DECODE_TABLE)
+    return f"(VALUES {vals}) AS q(v)"
+
+
+def _sql_list(terms: list[str]) -> str:
+    return ", ".join(f"'{t}'" for t in terms)
+
+
+def _bm25_sql(terms: list[str], mode: str, topk: int | None) -> str:
+    tl = _sql_list(list(dict.fromkeys(terms)))
+    n_terms = len(dict.fromkeys(terms))
+    and_having = (f"HAVING count(distinct term) = {n_terms}"
+                  if mode == "and" else "")
+    rank_sel = ""
+    limit = ""
+    if topk is not None:
+        rank_sel = (", row_number() OVER (ORDER BY sum(idf * w) DESC, "
+                    "doc_id) AS rank")
+        limit = f"ORDER BY sum(idf * w) DESC, doc_id LIMIT {topk}"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents
+),
+dl AS (SELECT d.doc_id, count(t.term) AS dl
+       FROM documents d LEFT JOIN toks t ON d.doc_id = t.doc_id
+       GROUP BY d.doc_id),
+corpus AS (SELECT count(*) AS n, sum(dl)::DOUBLE / count(*) AS avgdl
+           FROM dl),
+qdl AS (SELECT doc_id,
+               (SELECT max(v) FROM {_smallfloat_values_sql()}
+                WHERE v <= dl.dl) AS qdl
+        FROM dl),
+stats AS (SELECT term, count(distinct doc_id) AS df FROM toks
+          WHERE term IN ({tl}) GROUP BY term),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+       WHERE term IN ({tl}) GROUP BY doc_id, term),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         ln(1 + (corpus.n - stats.df + 0.5) / (stats.df + 0.5)) AS idf,
+         tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * qdl.qdl / corpus.avgdl))
+            AS w
+  FROM tf
+  JOIN stats USING (term)
+  JOIN qdl ON qdl.doc_id = tf.doc_id, corpus
+)
+SELECT doc_id, round(sum(idf * w), 4) AS score{rank_sel}
+FROM scored GROUP BY doc_id {and_having} {limit}
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    toks = f"SELECT doc_id, lang, source, unnest({_TOKS_SQL}) AS term " \
+           "FROM documents"
+    toks_pos = f"""
+  WITH tl AS (SELECT doc_id, lang, {_TOKS_SQL} AS toks FROM documents)
+  SELECT doc_id, lang, unnest(toks) AS term,
+         unnest(range(len(toks))) AS pos FROM tl
+"""
+    return {
+        "term_stats": f"""
+WITH toks AS ({toks})
+SELECT term, count(distinct doc_id) AS doc_freq,
+       count(*) AS collection_tf
+FROM toks GROUP BY term
+""",
+        "doc_stats": f"""
+WITH toks AS ({toks})
+SELECT d.doc_id, count(t.term) AS doc_len
+FROM documents d LEFT JOIN toks t ON d.doc_id = t.doc_id
+GROUP BY d.doc_id
+""",
+        "corpus_stats": f"""
+WITH toks AS ({toks})
+SELECT (SELECT count(*) FROM documents) AS total_docs,
+       count(*) AS total_tokens,
+       round(count(*)::DOUBLE / (SELECT count(*) FROM documents), 6)
+           AS avg_doc_len
+FROM toks
+""",
+        "bm25_or_scores": _bm25_sql(OR_TERMS, "or", None),
+        "bm25_topk": _bm25_sql(OR_TERMS, "or", TOPK),
+        "bm25_and": _bm25_sql(AND_TERMS, "and", None),
+        "phrase_docs": f"""
+WITH toks AS ({toks_pos})
+SELECT DISTINCT a.doc_id
+FROM toks a JOIN toks b
+  ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+WHERE a.term = '{PHRASE[0]}' AND b.term = '{PHRASE[1]}'
+""",
+        "hits_by_lang": f"""
+WITH toks AS ({toks})
+SELECT lang, count(distinct doc_id) AS n_docs, count(*) AS n_hits
+FROM toks WHERE term = '{HIT_TERM}' GROUP BY lang
+""",
+        "collocations_spark": f"""
+WITH toks AS ({toks_pos}),
+hits AS (SELECT doc_id, pos FROM toks WHERE term = '{HIT_TERM}')
+SELECT t.term AS context_term, count(*) AS n
+FROM hits h
+JOIN toks t ON t.doc_id = h.doc_id
+  AND t.pos BETWEEN h.pos - 2 AND h.pos + 2
+  AND t.pos != h.pos AND t.term != '{HIT_TERM}'
+GROUP BY t.term
+""",
+        "kwic_spark": f"""
+WITH tl AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+toks AS (SELECT doc_id, unnest(toks) AS term,
+                unnest(range(len(toks))) AS pos FROM tl)
+SELECT t.doc_id, t.pos,
+       array_to_string(list_slice(tl.toks, greatest(t.pos - 1, 1),
+                                  t.pos), ' ') AS lctx,
+       array_to_string(list_slice(tl.toks, t.pos + 2, t.pos + 3), ' ')
+           AS rctx
+FROM toks t JOIN tl ON t.doc_id = tl.doc_id
+WHERE t.term = '{HIT_TERM}'
+ORDER BY t.doc_id, t.pos LIMIT {TOPK}
+""",
+        "freq_by_lang": f"""
+WITH toks AS ({toks})
+SELECT term, lang, count(*) AS tf FROM toks GROUP BY term, lang
+ORDER BY tf DESC, term, lang LIMIT 100
+""",
+        "dedup_exact": """
+SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
+""",
+        "fingerprints": f"""
+SELECT doc_id,
+       md5(array_to_string({_TOKS_SQL}, ' ')) AS fingerprint
+FROM documents
+""",
+        "ann_topk": """
+WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
+           FROM embeddings WHERE vec_id < 10),
+sims AS (SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+                list_cosine_similarity(q.qe, e.embedding::DOUBLE[]) AS c
+         FROM q, embeddings e WHERE e.vec_id != q.qid),
+ranked AS (SELECT *, row_number() OVER (
+             PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rn
+           FROM sims)
+SELECT query_id, neighbor_id, round(c, 4) AS cosine
+FROM ranked WHERE rn <= 5
+""",
+        "emb_dup_pairs": """
+SELECT a.vec_id AS a, b.vec_id AS b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                    b.embedding::DOUBLE[]), 4) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                             b.embedding::DOUBLE[]) >= 0.95
+""",
+        "quality_by_source": f"""
+WITH toks AS ({toks}),
+per_doc AS (
+  SELECT d.doc_id, d.source,
+         count(t.term) AS token_count,
+         coalesce(sum(CASE WHEN t.term IN
+           ('the','of','and','to','a','in','is','it','you','that','he',
+            'was','for','on','are','as','with','his','they','i','at',
+            'be','this','have','from','or','one','had','by','word')
+           THEN 1 ELSE 0 END)::DOUBLE
+           / greatest(count(t.term), 1), 0) AS stopword_ratio,
+         length(regexp_replace(d.text, '[^a-zA-Z \\t\\n]', '', 'g'))::DOUBLE
+           / greatest(length(d.text), 1) AS alpha_ratio
+  FROM documents d LEFT JOIN toks t ON d.doc_id = t.doc_id
+  GROUP BY d.doc_id, d.source, d.text
+)
+SELECT source, count(*) AS n_docs,
+       round(avg(token_count), 6) AS avg_tokens,
+       round(avg(stopword_ratio), 6) AS avg_stopword_ratio,
+       round(avg(alpha_ratio), 6) AS avg_alpha_ratio
+FROM per_doc GROUP BY source
+""",
+        "token_count_by_lang": f"""
+WITH toks AS ({toks})
+SELECT d.lang, count(distinct d.doc_id) AS n_docs,
+       count(t.term) AS total_tokens
+FROM documents d LEFT JOIN toks t ON d.doc_id = t.doc_id
+GROUP BY d.lang
+""",
+        "events_hourly": """
+SELECT to_timestamp(floor(epoch(ts) / 3600) * 3600)::TIMESTAMP
+         AS window_start,
+       event_type, count(*) AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM events GROUP BY 1, 2
+""",
+        "events_sessions": """
+WITH o AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 1800 SECONDS
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (SELECT user_id, ts,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sess
+      FROM o)
+SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events
+FROM s GROUP BY user_id, sess
+""",
+    }

@@ -155,25 +155,31 @@ def build_index(source: str | list[str] | ray.data.Dataset, index_dir: str,
     if not (resume and man.stage_complete("fwd", src_fp, pfp)):
         t0 = time.perf_counter()
         ds = read_pages()
+        # Instance UDFs run as elastic tasks by default; pass
+        # tokenize_concurrency to pin an actor pool instead (worth it when
+        # per-actor setup is heavy). Chained actor pools on small CPU
+        # budgets can starve downstream stages — tasks cannot.
         if params.extract_html:
+            if params.tokenize_concurrency is not None:
+                ds = ds.map_batches(
+                    HtmlExtractor,
+                    fn_constructor_kwargs={"trust_text": params.trust_text},
+                    batch_format="pyarrow", batch_size=params.batch_size,
+                    concurrency=params.tokenize_concurrency)
+            else:
+                ds = ds.map_batches(
+                    HtmlExtractor(trust_text=params.trust_text),
+                    batch_format="pyarrow", batch_size=params.batch_size)
+        if params.tokenize_concurrency is not None:
             ds = ds.map_batches(
-                HtmlExtractor,
-                fn_constructor_kwargs={"trust_text": params.trust_text},
+                TokenizeForwardIndex,
+                fn_constructor_kwargs={"id_column": params.id_column},
                 batch_format="pyarrow", batch_size=params.batch_size,
                 concurrency=params.tokenize_concurrency)
-        tok_kwargs = {"id_column": params.id_column}
-        if params.tokenize_concurrency is not None:
-            ds = ds.map_batches(TokenizeForwardIndex,
-                                fn_constructor_kwargs=tok_kwargs,
-                                batch_format="pyarrow",
-                                batch_size=params.batch_size,
-                                concurrency=params.tokenize_concurrency)
         else:
-            ds = ds.map_batches(TokenizeForwardIndex,
-                                fn_constructor_kwargs=tok_kwargs,
-                                batch_format="pyarrow",
-                                batch_size=params.batch_size,
-                                concurrency=2)
+            ds = ds.map_batches(
+                TokenizeForwardIndex(id_column=params.id_column),
+                batch_format="pyarrow", batch_size=params.batch_size)
         _fresh_dir(fwd_dir)
         ds.write_parquet(fwd_dir)
         n_docs = ray.data.read_parquet(fwd_dir, columns=["doc_id"]).count()
@@ -208,13 +214,10 @@ def build_index(source: str | list[str] | ray.data.Dataset, index_dir: str,
             fwd = ray.data.read_parquet(
                 fwd_dir, columns=["doc_id", "norm", "terms", "tfs", "pos"])
             exploded = fwd.map_batches(
-                ExplodePostings,
-                fn_constructor_kwargs={
-                    "num_buckets": params.num_buckets,
-                    "n_salts": params.n_salts,
-                    "hot_terms": params.hot_terms,
-                },
-                batch_format="pyarrow", concurrency=2)
+                ExplodePostings(num_buckets=params.num_buckets,
+                                n_salts=params.n_salts,
+                                hot_terms=params.hot_terms),
+                batch_format="pyarrow")
             if n_shards > 1:
                 lo = shard * params.num_buckets // n_shards
                 hi = (shard + 1) * params.num_buckets // n_shards

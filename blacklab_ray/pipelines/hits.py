@@ -1,0 +1,193 @@
+"""Hits pipeline: per-token match production, grouping, KWIC, collocations.
+
+The result-set operators of the reference (SURVEY §2.6) re-expressed as
+Dataset transforms over the hit table ``(doc_id, pos[, group cols])`` —
+BlackLab's HitsInternal structure-of-arrays (search/results/
+HitsInternalNoLock.java:66-68) is literally an Arrow table here:
+
+- ``find_hits``       → HitsFromQuery (per-partition production, no lock)
+- ``hits_by``         → HitGroups hash grouping (HitGroups.java:103-160)
+- ``collocations``    → TermFrequencyList.collocations context counting
+                        (search/TermFrequencyList.java:55-96, Contexts.java:166)
+- ``kwic``            → Kwics/Concordances context windows (Kwics.java:17)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+from ray.data.aggregate import Count, Sum
+
+from blacklab_ray.analysis.analyzers import tokenize_column
+
+
+class HitFinder:
+    """map_batches: emit one row per occurrence of ``term`` in a batch.
+
+    Output: doc_id, pos, plus requested carry-along metadata columns.
+    """
+
+    def __init__(self, term: str, id_col: str = "doc_id",
+                 text_col: str = "text", carry: tuple[str, ...] = ()):
+        self._term = term
+        self._id = id_col
+        self._text = text_col
+        self._carry = carry
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        parents, toks, positions, _ = tokenize_column(
+            batch.column(self._text))
+        mask = pc.equal(toks, self._term).to_numpy(zero_copy_only=False)
+        sel = np.flatnonzero(mask)
+        p = parents[sel]
+        cols = {
+            "doc_id": pc.take(batch.column(self._id).cast(pa.int64()),
+                              pa.array(p)),
+            "pos": pa.array(positions[sel], pa.int64()),
+        }
+        for c in self._carry:
+            cols[c] = pc.take(batch.column(c), pa.array(p))
+        return pa.table(cols)
+
+
+def find_hits(ds: ray.data.Dataset, term: str, id_col: str = "doc_id",
+              text_col: str = "text",
+              carry: tuple[str, ...] = ()) -> ray.data.Dataset:
+    return ds.map_batches(HitFinder(term, id_col, text_col, carry),
+                          batch_format="pyarrow")
+
+
+def hits_by(ds: ray.data.Dataset, term: str, group_col: str,
+            id_col: str = "doc_id",
+            text_col: str = "text") -> ray.data.Dataset:
+    """Group hits of ``term`` by a metadata column → n_docs, n_hits."""
+
+    class _Partial:
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            parents, toks, _, _ = tokenize_column(batch.column(text_col))
+            mask = pc.equal(toks, term).to_numpy(zero_copy_only=False)
+            sel = np.flatnonzero(mask)
+            p = parents[sel]
+            tbl = pa.table({
+                "grp": pc.take(batch.column(group_col), pa.array(p)),
+                "doc": pc.take(batch.column(id_col).cast(pa.int64()),
+                               pa.array(p)),
+            })
+            per_doc = tbl.group_by(["grp", "doc"]).aggregate(
+                [([], "count_all")])
+            return pa.table({
+                "grp": per_doc["grp"],
+                "n_docs_p": pa.array(
+                    np.ones(per_doc.num_rows, dtype=np.int64)),
+                "n_hits_p": per_doc["count_all"].cast(pa.int64()),
+            })
+
+    partial = ds.map_batches(_Partial(), batch_format="pyarrow")
+    out = partial.groupby("grp").aggregate(
+        Sum("n_docs_p", alias_name="n_docs"),
+        Sum("n_hits_p", alias_name="n_hits"))
+    return out.map_batches(
+        lambda t: t.rename_columns([group_col, "n_docs", "n_hits"]),
+        batch_format="pyarrow")
+
+
+class CollocationPartial:
+    """map_batches: count context terms within ±window of hits of ``term``,
+    excluding the hit positions themselves (the reference's convention,
+    TermFrequencyList.java:55-96)."""
+
+    def __init__(self, term: str, window: int, text_col: str = "text"):
+        self._term = term
+        self._window = window
+        self._text = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        parents, toks, positions, lens = tokenize_column(
+            batch.column(self._text))
+        toks_np = np.asarray(toks)
+        mask = pc.equal(toks, self._term).to_numpy(zero_copy_only=False)
+        hit_idx = np.flatnonzero(mask)
+        if hit_idx.size == 0:
+            return pa.table({"context_term": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        starts = np.zeros(lens.size, dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        # flat token index range of each hit's window, clamped to its doc
+        ctx_parts = []
+        for off in range(-self._window, self._window + 1):
+            if off == 0:
+                continue
+            j = hit_idx + off
+            doc = parents[hit_idx]
+            lo = starts[doc]
+            hi = lo + lens[doc]
+            ok = (j >= lo) & (j < hi)
+            jj = j[ok]
+            # exclude positions that are themselves hits of the term
+            jj = jj[~mask[jj]]
+            ctx_parts.append(jj)
+        ctx = np.concatenate(ctx_parts) if ctx_parts else \
+            np.empty(0, np.int64)
+        if ctx.size == 0:
+            return pa.table({"context_term": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        sub = pa.table({"context_term": pa.array(toks_np[ctx])})
+        gb = sub.group_by("context_term").aggregate([([], "count_all")])
+        return pa.table({"context_term": gb["context_term"],
+                         "n": gb["count_all"].cast(pa.int64())})
+
+
+def collocations(ds: ray.data.Dataset, term: str, window: int = 2,
+                 text_col: str = "text") -> ray.data.Dataset:
+    partial = ds.map_batches(CollocationPartial(term, window, text_col),
+                             batch_format="pyarrow")
+    return partial.groupby("context_term").aggregate(
+        Sum("n", alias_name="n"))
+
+
+class KwicBuilder:
+    """map_batches: keyword-in-context rows for hits of ``term``."""
+
+    def __init__(self, term: str, context: int = 2,
+                 id_col: str = "doc_id", text_col: str = "text"):
+        self._term = term
+        self._ctx = context
+        self._id = id_col
+        self._text = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        parents, toks, positions, lens = tokenize_column(
+            batch.column(self._text))
+        toks_np = np.asarray(toks)
+        mask = pc.equal(toks, self._term).to_numpy(zero_copy_only=False)
+        hit_idx = np.flatnonzero(mask)
+        starts = np.zeros(lens.size, dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        rows = {"doc_id": [], "pos": [], "left": [], "right": []}
+        ids = batch.column(self._id).cast(pa.int64()).to_pylist()
+        for j in hit_idx.tolist():
+            d = int(parents[j])
+            lo, hi = int(starts[d]), int(starts[d] + lens[d])
+            left = toks_np[max(lo, j - self._ctx):j]
+            right = toks_np[j + 1:min(hi, j + 1 + self._ctx)]
+            rows["doc_id"].append(ids[d])
+            rows["pos"].append(int(positions[j]))
+            rows["left"].append(" ".join(left))
+            rows["right"].append(" ".join(right))
+        return pa.table({
+            "doc_id": pa.array(rows["doc_id"], pa.int64()),
+            "pos": pa.array(rows["pos"], pa.int64()),
+            "left": pa.array(rows["left"], pa.string()),
+            "right": pa.array(rows["right"], pa.string()),
+        })
+
+
+def kwic(ds: ray.data.Dataset, term: str, context: int = 2,
+         limit: int | None = None, id_col: str = "doc_id",
+         text_col: str = "text") -> ray.data.Dataset:
+    out = ds.map_batches(KwicBuilder(term, context, id_col, text_col),
+                         batch_format="pyarrow")
+    out = out.sort(["doc_id", "pos"])
+    return out.limit(limit) if limit else out

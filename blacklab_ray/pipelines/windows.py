@@ -1,0 +1,91 @@
+"""Windowed event aggregates (stream-shaped batch operators).
+
+Ray Data has no event-time windowing; the reference has none either (its
+model is batch, SURVEY §1.2). These implement the training-pipeline
+versions over an ordered events table:
+
+- tumbling windows: pure partial-agg + groupby (no ordering assumption —
+  window id is a function of ts).
+- session windows: gaps-and-islands per user inside
+  ``groupby(user).map_groups`` over the ts-sorted group (ordering
+  assumption: only within each group, which map_groups guarantees after
+  its sort).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+from ray.data.aggregate import Count, Sum
+
+
+class TumblingPartial:
+    """map_batches combiner: (window_start, key) partial count/sum."""
+
+    def __init__(self, window_s: int, ts_col: str = "ts",
+                 key_col: str = "event_type", value_col: str = "value"):
+        self._w = window_s
+        self._ts = ts_col
+        self._key = key_col
+        self._val = value_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ts = batch.column(self._ts).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)  # microseconds
+        win = (ts // (self._w * 1_000_000)) * (self._w * 1_000_000)
+        tbl = pa.table({
+            "window_start": pa.array(win, pa.int64()),
+            "key": batch.column(self._key),
+            "value": batch.column(self._val),
+        })
+        gb = tbl.group_by(["window_start", "key"]).aggregate(
+            [("value", "sum"), ([], "count_all")])
+        return pa.table({
+            "window_start": gb["window_start"],
+            "key": gb["key"],
+            "sum_p": gb["value_sum"],
+            "n_p": gb["count_all"].cast(pa.int64()),
+        })
+
+
+def tumbling(ds: ray.data.Dataset, window_s: int, ts_col: str = "ts",
+             key_col: str = "event_type",
+             value_col: str = "value") -> ray.data.Dataset:
+    """Tumbling-window count + sum per key; window_start in epoch µs."""
+    partial = ds.map_batches(
+        TumblingPartial(window_s, ts_col, key_col, value_col),
+        batch_format="pyarrow")
+    out = partial.groupby(["window_start", "key"]).aggregate(
+        Sum("n_p", alias_name="n_events"),
+        Sum("sum_p", alias_name="sum_value"))
+    return out.map_batches(
+        lambda t: pa.table({
+            "window_start": t["window_start"].cast(pa.timestamp("us")),
+            key_col: t["key"],
+            "n_events": t["n_events"],
+            "sum_value": t["sum_value"],
+        }), batch_format="pyarrow")
+
+
+def sessionize(ds: ray.data.Dataset, gap_s: int, ts_col: str = "ts",
+               user_col: str = "user_id") -> ray.data.Dataset:
+    """Session windows per user (new session when gap > gap_s)."""
+    gap_us = gap_s * 1_000_000
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(ts_col)
+        ts = g[ts_col].astype("int64").to_numpy()
+        new = np.ones(ts.size, dtype=bool)
+        new[1:] = (ts[1:] - ts[:-1]) > gap_us
+        sess = np.cumsum(new) - 1
+        out = g.assign(_sess=sess).groupby("_sess").agg(
+            session_start=(ts_col, "min"),
+            session_end=(ts_col, "max"),
+            n_events=(ts_col, "size"))
+        out[user_col] = g[user_col].iloc[0]
+        return out.reset_index(drop=True)[
+            [user_col, "session_start", "session_end", "n_events"]]
+
+    return ds.groupby(user_col).map_groups(per_user, batch_format="pandas")

@@ -217,8 +217,12 @@ def search_wand(reader: IndexReader, terms: list[str], k: int = 10,
         # block-max refinement (shallow — no decode)
         ub = sum(it.block_ub_for(pivot_doc) for it in head)
         if len(heap) == k and ub < th:
-            # skip past the shortest current block among head iterators
+            # skip past the shortest current block among head iterators —
+            # capped at the next non-head iterator's doc, since from there
+            # on that iterator adds mass the block-level bound didn't count
             d = min(it.block_last_for(pivot_doc) for it in head) + 1
+            if pivot_idx + 1 < len(live):
+                d = min(d, live[pivot_idx + 1].cur_doc)
             d = max(d, head[0].cur_doc + 1)
             for it in head:
                 if it.cur_doc < d:

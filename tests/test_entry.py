@@ -1,0 +1,101 @@
+"""Mini-driver: runs every queries() entry against its oracle_sql() via
+DuckDB on the sf0.01 testdata — the same comparison the external driver
+performs (row count + schema + order-insensitive values)."""
+
+import os
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+@pytest.fixture(scope="module")
+def entry_mod(ray_session):
+    import __ray_entry__ as m
+    return m
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(SF_DIR, f"{t}.parquet")
+        if os.path.exists(p):
+            c.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    return c
+
+
+def _to_pandas(res):
+    import pyarrow as pa
+    import ray.data
+    if isinstance(res, ray.data.Dataset):
+        return res.to_pandas()
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    return res
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.copy()
+    df = df[sorted(df.columns)]
+    for c in df.columns:
+        if pd.api.types.is_float_dtype(df[c]):
+            df[c] = np.round(df[c].astype(float), 9)
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+    df = df.sort_values(list(df.columns), kind="mergesort")
+    return df.reset_index(drop=True)
+
+
+def test_entry_smoke(entry_mod):
+    res = _to_pandas(entry_mod.entry())
+    assert len(res) >= 0
+    assert "doc_id" in res.columns and "score" in res.columns
+
+
+def test_oracle_keys_subset(entry_mod):
+    q = set(entry_mod.queries())
+    o = set(entry_mod.oracle_sql())
+    assert o <= q, o - q
+
+
+@pytest.mark.parametrize("name", [
+    "term_stats", "doc_stats", "corpus_stats", "bm25_or_scores",
+    "bm25_topk", "bm25_and", "phrase_docs", "hits_by_lang",
+    "collocations_spark", "kwic_spark", "freq_by_lang", "dedup_exact",
+    "fingerprints", "ann_topk", "emb_dup_pairs", "quality_by_source",
+    "token_count_by_lang", "events_hourly", "events_sessions",
+])
+def test_query_matches_oracle(entry_mod, con, name):
+    ray_df = _norm(_to_pandas(entry_mod.queries()[name](SF_DIR)))
+    sql_df = _norm(con.sql(entry_mod.oracle_sql()[name]).df())
+    assert list(ray_df.columns) == list(sql_df.columns), (
+        ray_df.columns, sql_df.columns)
+    assert len(ray_df) == len(sql_df), (len(ray_df), len(sql_df))
+    pd.testing.assert_frame_equal(ray_df, sql_df, check_dtype=False,
+                                  check_exact=False, atol=1e-9, rtol=1e-9)
+
+
+@pytest.mark.parametrize("name", [
+    "minhash_pairs", "simhash64", "lang_id_counts", "ann_lsh_topk",
+    "media_features",
+])
+def test_rows_only_queries_run(entry_mod, name):
+    df = _to_pandas(entry_mod.queries()[name](SF_DIR))
+    assert df is not None and len(df) >= 0
+
+
+def test_simhash_deterministic(entry_mod):
+    a = _norm(_to_pandas(entry_mod.queries()["simhash64"](SF_DIR)))
+    b = _norm(_to_pandas(entry_mod.queries()["simhash64"](SF_DIR)))
+    pd.testing.assert_frame_equal(a, b)
