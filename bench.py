@@ -1,0 +1,217 @@
+"""Benchmark harness: headline pipelines + N-vs-4N scaling evidence.
+
+Headline: full inverted-index build (extract → tokenize → salted postings
+shuffle → stats) over a deterministic synthetic Common-Crawl-style pages
+corpus (BASELINE.json input_hint schema), then the reference query set
+(60 BM25 queries, FIXTURES.md §3 mix) via Block-Max WAND, plus the
+corpus-analytics and training-data pipelines over $GRAFT_SF_DIR tables.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <headline sec>, "unit": "sec",
+   "queries": {...per-stage sec...}, "sf": ..., "num_cpus": N}
+
+--scaling: runs the same job in two fresh processes (num_cpus=8 and 32 —
+the sandbox stand-in for N vs 4N nodes) and reports throughput at both
+plus scaling efficiency.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_DOCS = int(os.environ.get("BLRAY_BENCH_DOCS", "20000"))
+CORPUS_DIR = f"/tmp/blray_bench_corpus_{BENCH_DOCS}"
+N_SHARDS = 16
+
+
+def _gen_queries(n: int = 60, seed: int = 43) -> list[dict]:
+    """Reference query set: stopword/mid/rare single terms, OR, AND,
+    zero-hit mixes (FIXTURES.md §3)."""
+    import numpy as np
+    from blacklab_ray.analysis.analyzers import STOPWORDS
+    rng = np.random.default_rng(seed)
+    qs = []
+    for i in range(n):
+        if i < 20:
+            if i % 3 == 0:
+                terms = [STOPWORDS[int(rng.integers(0, len(STOPWORDS)))]]
+            elif i % 3 == 1:
+                terms = [f"w{int(rng.integers(0, 500)):06d}"]
+            else:
+                terms = [f"w{int(rng.integers(500, 49000)):06d}"]
+            mode = "or"
+        elif i < 45:
+            k = int(rng.integers(2, 6))
+            terms = ([STOPWORDS[int(rng.integers(0, len(STOPWORDS)))]]
+                     + [f"w{int(rng.integers(0, 20000)):06d}"
+                        for _ in range(k - 1)])
+            mode = "or"
+        elif i < 55:
+            terms = [STOPWORDS[int(rng.integers(0, 10))],
+                     f"w{int(rng.integers(0, 200)):06d}"]
+            mode = "and"
+        else:
+            terms = [f"w{int(rng.integers(0, 1000)):06d}", "zz_nohit"]
+            mode = "or"
+        qs.append({"qid": f"q{i:03d}", "terms": terms, "mode": mode,
+                   "k": 10})
+    return qs
+
+
+def _ensure_corpus(ray):
+    """Generate the bench pages corpus once (parallel shards, cached)."""
+    os.makedirs(CORPUS_DIR, exist_ok=True)
+    existing = [f for f in os.listdir(CORPUS_DIR) if f.endswith(".parquet")]
+    if len(existing) == N_SHARDS:
+        return
+
+    import pyarrow.parquet as pq
+
+    @ray.remote
+    def gen_shard(shard: int):
+        from blacklab_ray.sources.synth import generate_pages
+        per = (BENCH_DOCS + N_SHARDS - 1) // N_SHARDS
+        lo = shard * per
+        hi = min(BENCH_DOCS, lo + per)
+        path = os.path.join(CORPUS_DIR, f"pages-{shard:04d}.parquet")
+        if not os.path.exists(path):
+            tbl = generate_pages(hi - lo, doc_offset=lo)
+            pq.write_table(tbl, path + ".tmp")
+            os.replace(path + ".tmp", path)
+        return path
+
+    ray.get([gen_shard.remote(s) for s in range(N_SHARDS)])
+
+
+def run_bench(num_cpus: int) -> dict:
+    import ray
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    import ray.data
+    ctx = ray.data.DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import numpy as np
+
+    from blacklab_ray.index import BuildParams, build_index
+    from blacklab_ray.query import IndexReader, search
+
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    timings: dict[str, float] = {}
+
+    _ensure_corpus(ray)
+    # warm the page cache so we measure compute + shuffle, not first read
+    import pyarrow.dataset as pa_ds
+    pa_ds.dataset(CORPUS_DIR, format="parquet").head(1)
+
+    # ---- headline: index build over pages (extraction included) --------
+    idx_dir = f"/tmp/blray_bench_idx_{num_cpus}"
+    import shutil
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    t0 = time.perf_counter()
+    build_index(CORPUS_DIR, idx_dir,
+                BuildParams(num_buckets=max(32, num_cpus * 2), n_salts=8,
+                            extract_html=True, trust_text=False,
+                            batch_size=256),
+                resume=False)
+    t_build = time.perf_counter() - t0
+    timings["index_build"] = round(t_build, 3)
+    reader = IndexReader(idx_dir)
+    timings["index_build_docs_per_sec"] = round(reader.n_docs / t_build, 1)
+    timings["index_build_tokens_per_sec"] = round(
+        reader.meta["total_tokens"] / t_build, 1)
+
+    # ---- reference query set via Block-Max WAND ------------------------
+    queries = _gen_queries()
+    lat = []
+    t0 = time.perf_counter()
+    for q in queries:
+        s = time.perf_counter()
+        search(reader, q["terms"], k=q["k"], mode=q["mode"], algo="wand")
+        lat.append(time.perf_counter() - s)
+    timings["query_total"] = round(time.perf_counter() - t0, 3)
+    timings["query_p50_ms"] = round(float(np.percentile(lat, 50)) * 1000, 2)
+    timings["query_p99_ms"] = round(float(np.percentile(lat, 99)) * 1000, 2)
+
+    # ---- analytics + training-data pipelines over sf tables ------------
+    from blacklab_ray.pipelines import ann, dedup, frequency, windows
+
+    def timed(name, fn):
+        s = time.perf_counter()
+        fn()
+        timings[name] = round(time.perf_counter() - s, 3)
+
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+    events_path = os.path.join(sf_dir, "events.parquet")
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+
+    timed("term_frequencies", lambda: frequency.term_frequencies(
+        ray.data.read_parquet(docs_path)).count())
+    timed("dedup_minhash", lambda: dedup.minhash_candidate_pairs(
+        ray.data.read_parquet(docs_path)).count())
+    timed("events_tumbling", lambda: windows.tumbling(
+        ray.data.read_parquet(events_path), 3600).count())
+
+    def _ann():
+        import pyarrow.parquet as pq
+        t = pq.read_table(emb_path)
+        import pyarrow as pa
+        t = t.filter(pa.compute.less(t["vec_id"], 10))
+        ids = t["vec_id"].to_numpy()
+        mat = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+        ann.brute_topk(ray.data.read_parquet(emb_path), ids, mat, k=5)
+
+    timed("ann_brute_topk", _ann)
+
+    result = {
+        "metric": "index-build+query wall time (synthetic CC pages, "
+                  f"{reader.n_docs} docs, {reader.meta['total_tokens']} "
+                  "tokens; BM25 WAND query set; sf analytics)",
+        "value": round(t_build + timings["query_total"], 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "n_docs": reader.n_docs,
+        "total_tokens": reader.meta["total_tokens"],
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    """Same job at num_cpus=8 and 32 in fresh processes."""
+    out = {}
+    for n in (8, 32):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(n))
+        p = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                           env=env, capture_output=True, text=True,
+                           check=True)
+        out[n] = json.loads(p.stdout.strip().splitlines()[-1])
+    thr8 = out[8]["queries"]["index_build_docs_per_sec"]
+    thr32 = out[32]["queries"]["index_build_docs_per_sec"]
+    eff = (thr32 / thr8) / (32 / 8)
+    return {
+        "metric": "scaling efficiency (index build docs/s, "
+                  "num_cpus 8 vs 32 fresh sessions — N vs 4N stand-in)",
+        "docs_per_sec_8": thr8,
+        "docs_per_sec_32": thr32,
+        "sec_8": out[8]["queries"]["index_build"],
+        "sec_32": out[32]["queries"]["index_build"],
+        "scaling_efficiency": round(eff, 3),
+        "n_docs": out[32]["n_docs"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+        print(json.dumps(run_bench(ncpu)))
