@@ -20,7 +20,9 @@ All orderings are deterministic: results sort by (-score, doc_id).
 
 from __future__ import annotations
 
+import bisect
 import heapq
+from operator import attrgetter
 
 import numpy as np
 import pyarrow as pa
@@ -98,11 +100,17 @@ def search_taat(reader: IndexReader, terms: list[str], k: int = 10,
 
 
 class _SegIter:
-    """Posting iterator over one segment with block-max skipping."""
+    """Posting iterator over one segment with block-max skipping.
 
-    __slots__ = ("seg", "idf", "avgdl", "last_docs", "block_ubs",
-                 "max_score", "bi", "pi", "cur_doc", "_docs", "_scores",
-                 "quantize", "reader")
+    Hot-path state is plain Python lists/ints — numpy scalar indexing and
+    per-call ``searchsorted`` cost ~10× more than list indexing at
+    doc-at-a-time granularity; numpy is used only for whole-block decode.
+    """
+
+    __slots__ = ("seg", "idf", "avgdl", "last_docs", "_last_docs_np",
+                 "block_ubs", "max_score", "bi", "pi", "cur_doc", "_docs",
+                 "_scores", "_n", "_cur_last", "quantize", "reader",
+                 "n_blocks")
 
     def __init__(self, seg: Segment, term_idf: float, reader: IndexReader,
                  quantize: bool):
@@ -111,63 +119,91 @@ class _SegIter:
         self.reader = reader
         self.quantize = quantize
         self.avgdl = reader.avgdl
-        self.last_docs = np.array([b["last_doc"] for b in seg.blocks],
-                                  dtype=np.int64)
-        self.block_ubs = np.array([
+        self._last_docs_np = np.array([b["last_doc"] for b in seg.blocks],
+                                      dtype=np.int64)
+        self.last_docs = self._last_docs_np.tolist()
+        self.n_blocks = len(self.last_docs)
+        self.block_ubs = [
             block_upper_bound(b["max_tf"], b["min_norm"], self.avgdl,
-                              term_idf) for b in seg.blocks])
-        self.max_score = float(self.block_ubs.max()) if seg.blocks else 0.0
+                              term_idf) for b in seg.blocks]
+        self.max_score = max(self.block_ubs) if seg.blocks else 0.0
         self.bi = -1
-        self._docs = None
-        self._scores = None
+        self._docs: list[int] = []
+        self._scores: list[float] = []
+        self._n = 0
+        self._cur_last = -1
         self.pi = 0
         self.cur_doc = -1
         self._load_block(0)
 
     def _load_block(self, bi: int):
-        if bi >= len(self.seg.blocks):
+        if bi >= self.n_blocks:
             self.cur_doc = _INF
             return
         self.bi = bi
         d, t, n = self.seg.decode_block(bi)
         dl = decode_norms(n) if self.quantize else self.reader.doc_lens(d)
-        self._docs = d
-        self._scores = self.idf * score_tf(t, dl, self.avgdl)
+        self._docs = d.tolist()
+        self._scores = (self.idf * score_tf(t, dl, self.avgdl)).tolist()
+        self._n = len(self._docs)
+        self._cur_last = self.last_docs[bi]
         self.pi = 0
-        self.cur_doc = int(d[0])
+        self.cur_doc = self._docs[0]
+
+    def _seek_block(self, target: int) -> int:
+        """Index of the first block whose last_doc >= target."""
+        return int(np.searchsorted(self._last_docs_np, target))
 
     def advance_to(self, target: int):
         """Move to the first posting with doc >= target."""
-        if self.cur_doc >= target or self.cur_doc == _INF:
+        if self.cur_doc >= target:
             return
-        if self.bi < len(self.seg.blocks) and \
-                target > self.last_docs[self.bi]:
-            nbi = int(np.searchsorted(self.last_docs, target))
-            if nbi >= len(self.seg.blocks):
+        if target > self._cur_last:
+            nbi = self._seek_block(target)
+            if nbi >= self.n_blocks:
                 self.cur_doc = _INF
                 return
             self._load_block(nbi)
-        self.pi = int(np.searchsorted(self._docs, target, side="left"))
-        self.cur_doc = int(self._docs[self.pi])
+        docs = self._docs
+        pi = self.pi
+        # short linear scan first (common case: advance by a few docs)
+        n = self._n
+        for _ in range(8):
+            if pi < n and docs[pi] < target:
+                pi += 1
+            else:
+                break
+        else:
+            pi = bisect.bisect_left(docs, target, pi)
+        self.pi = pi
+        self.cur_doc = docs[pi]
 
     def next(self):
-        self.pi += 1
-        if self.pi >= self._docs.size:
+        pi = self.pi + 1
+        if pi >= self._n:
             self._load_block(self.bi + 1)
         else:
-            self.cur_doc = int(self._docs[self.pi])
+            self.pi = pi
+            self.cur_doc = self._docs[pi]
 
     def score_current(self) -> float:
-        return float(self._scores[self.pi])
+        return self._scores[self.pi]
 
     def block_ub_for(self, doc: int) -> float:
         """Upper bound of the block that would contain doc (shallow)."""
-        i = int(np.searchsorted(self.last_docs, doc))
-        return float(self.block_ubs[i]) if i < self.last_docs.size else 0.0
+        if doc <= self._cur_last:
+            return self.block_ubs[self.bi]
+        i = self._seek_block(doc)
+        return self.block_ubs[i] if i < self.n_blocks else 0.0
 
     def block_last_for(self, doc: int) -> int:
-        i = int(np.searchsorted(self.last_docs, doc))
-        return int(self.last_docs[i]) if i < self.last_docs.size else _INF
+        if doc <= self._cur_last:
+            return self._cur_last
+        i = self._seek_block(doc)
+        return self.last_docs[i] if i < self.n_blocks else _INF
+
+
+_CURDOC = attrgetter("cur_doc")
 
 
 def search_wand(reader: IndexReader, terms: list[str], k: int = 10,
@@ -196,7 +232,7 @@ def search_wand(reader: IndexReader, terms: list[str], k: int = 10,
         live = [it for it in iters if it.cur_doc != _INF]
         if not live:
             break
-        live.sort(key=lambda it: it.cur_doc)
+        live.sort(key=_CURDOC)
         # WAND pivot on global per-iterator upper bounds
         acc = 0.0
         pivot_idx = -1
@@ -215,7 +251,9 @@ def search_wand(reader: IndexReader, terms: list[str], k: int = 10,
             pivot_idx += 1
         head = live[:pivot_idx + 1]
         # block-max refinement (shallow — no decode)
-        ub = sum(it.block_ub_for(pivot_doc) for it in head)
+        ub = 0.0
+        for it in head:
+            ub += it.block_ub_for(pivot_doc)
         if len(heap) == k and ub < th:
             # skip past the shortest current block among head iterators —
             # capped at the next non-head iterator's doc, since from there
@@ -258,10 +296,15 @@ def search_wand(reader: IndexReader, terms: list[str], k: int = 10,
 def search(reader: IndexReader, terms: list[str], k: int = 10,
            mode: str = "or", algo: str = "wand", quantize: bool = True,
            resolve_urls: bool = False) -> pa.Table:
-    """Front door: OR via WAND (or TAAT), AND via DAAT intersection."""
+    """Front door: OR via WAND (or TAAT), AND via DAAT intersection.
+
+    Single-term queries always take the vectorized scorer — WAND's
+    doc-at-a-time machinery cannot skip anything when one iterator's
+    upper bound is the whole threshold, so the numpy path strictly wins.
+    """
     if mode == "and":
         return search_taat(reader, terms, k, "and", quantize, resolve_urls)
-    if algo == "taat":
+    if algo == "taat" or len(dict.fromkeys(terms)) == 1:
         return search_taat(reader, terms, k, "or", quantize, resolve_urls)
     return search_wand(reader, terms, k, quantize, resolve_urls)
 
