@@ -282,8 +282,13 @@ def _sql_list(terms: list[str]) -> str:
     return ", ".join(f"'{t}'" for t in terms)
 
 
-def _bm25_sql(terms: list[str], mode: str, topk: int | None) -> str:
-    tl = _sql_list(list(dict.fromkeys(terms)))
+def _bm25_sql(terms: list[str], mode: str, topk: int | None,
+              term_pred: str | None = None,
+              doc_filter: str | None = None) -> str:
+    """BM25 oracle SQL. ``term_pred`` overrides the IN-list (multi-term
+    expansion); ``doc_filter`` restricts scored docs (metadata semi-join)
+    while stats stay corpus-wide (Lucene filtered-query semantics)."""
+    pred = term_pred or f"term IN ({_sql_list(list(dict.fromkeys(terms)))})"
     n_terms = len(dict.fromkeys(terms))
     and_having = (f"HAVING count(distinct term) = {n_terms}"
                   if mode == "and" else "")
@@ -293,6 +298,10 @@ def _bm25_sql(terms: list[str], mode: str, topk: int | None) -> str:
         rank_sel = (", row_number() OVER (ORDER BY sum(idf * w) DESC, "
                     "doc_id) AS rank")
         limit = f"ORDER BY sum(idf * w) DESC, doc_id LIMIT {topk}"
+    filt = ""
+    if doc_filter:
+        filt = (" AND tf.doc_id IN (SELECT doc_id FROM documents WHERE "
+                f"{doc_filter})")
     return f"""
 WITH toks AS (
   SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents
@@ -307,9 +316,9 @@ qdl AS (SELECT doc_id,
                 WHERE v <= dl.dl) AS qdl
         FROM dl),
 stats AS (SELECT term, count(distinct doc_id) AS df FROM toks
-          WHERE term IN ({tl}) GROUP BY term),
+          WHERE {pred} GROUP BY term),
 tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
-       WHERE term IN ({tl}) GROUP BY doc_id, term),
+       WHERE {pred} GROUP BY doc_id, term),
 scored AS (
   SELECT tf.doc_id, tf.term,
          ln(1 + (corpus.n - stats.df + 0.5) / (stats.df + 0.5)) AS idf,

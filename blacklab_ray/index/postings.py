@@ -30,7 +30,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from blacklab_ray.analysis.analyzers import STOPWORDS
-from blacklab_ray.codec.vbyte import delta_encode, vbyte_encode
+from blacklab_ray.codec.vbyte import vbyte_encode
 from blacklab_ray.stages.tokenize import hash64
 
 BLOCK_SIZE = 128
@@ -122,33 +122,6 @@ class ExplodePostings:
         })
 
 
-def _encode_segment(term: str, bucket: int, salt: int, seg: int,
-                    doc_ids: np.ndarray, tfs: np.ndarray, norms: np.ndarray,
-                    pos_data: bytes, pos_offsets: np.ndarray,
-                    block_size: int) -> dict:
-    """Pack one (term, salt, doc-range) segment into block structs."""
-    n = doc_ids.size
-    blocks = []
-    for lo in range(0, n, block_size):
-        hi = min(n, lo + block_size)
-        blocks.append({
-            "last_doc": int(doc_ids[hi - 1]),
-            "max_tf": int(tfs[lo:hi].max()),
-            "min_norm": int(norms[lo:hi].min()),
-            "n": hi - lo,
-            "docs": delta_encode(doc_ids[lo:hi]),
-            "tfs": vbyte_encode(tfs[lo:hi].astype(np.uint64)),
-            "norms": norms[lo:hi].astype(np.uint8).tobytes(),
-            "pos": pos_data[pos_offsets[lo]:pos_offsets[hi]],
-        })
-    return {
-        "term": term, "bucket": bucket, "salt": salt, "seg": seg,
-        "df_seg": n, "ctf_seg": int(tfs.sum()),
-        "first_doc": int(doc_ids[0]), "last_doc": int(doc_ids[-1]),
-        "blocks": blocks,
-    }
-
-
 def build_segments(group: pa.Table, block_size: int = BLOCK_SIZE,
                    max_seg_postings: int = MAX_SEG_POSTINGS) -> pa.Table:
     """``map_groups`` body: one shuffle group (gkey) → segment rows.
@@ -198,15 +171,107 @@ def build_segments(group: pa.Table, block_size: int = BLOCK_SIZE,
     bounds = np.flatnonzero(np.diff(sc)) + 1
     starts = np.concatenate(([0], bounds))
     ends = np.concatenate((bounds, [sc.size]))
-    rows = []
-    for s, e in zip(starts, ends):
-        term = uniq[sc[s]]
+
+    # ---- segment ranges (term split by max_seg_postings) ---------------
+    seg_lo, seg_hi, seg_term, seg_idx = [], [], [], []
+    for s, e in zip(starts.tolist(), ends.tolist()):
         seg = 0
         for lo in range(s, e, max_seg_postings):
-            hi = min(e, lo + max_seg_postings)
-            rows.append(_encode_segment(
-                term, bucket, salt, seg,
-                sd[lo:hi], stf[lo:hi], snorm[lo:hi],
-                stream, sorted_off[lo:hi + 1], block_size))
+            seg_lo.append(lo)
+            seg_hi.append(min(e, lo + max_seg_postings))
+            seg_term.append(sc[s])
+            seg_idx.append(seg)
             seg += 1
-    return pa.Table.from_pylist(rows, schema=SEGMENT_SCHEMA)
+    seg_lo = np.array(seg_lo, dtype=np.int64)
+    seg_hi = np.array(seg_hi, dtype=np.int64)
+    n_segs = seg_lo.size
+
+    # ---- block ranges within segments (all vectorized) -----------------
+    seg_nblocks = (seg_hi - seg_lo + block_size - 1) // block_size
+    blk_seg = np.repeat(np.arange(n_segs), seg_nblocks)
+    blk_rank = np.arange(blk_seg.size) - np.repeat(
+        np.cumsum(seg_nblocks) - seg_nblocks, seg_nblocks)
+    blk_lo = seg_lo[blk_seg] + blk_rank * block_size
+    blk_hi = np.minimum(seg_hi[blk_seg], blk_lo + block_size)
+    n_blocks = blk_lo.size
+
+    # ---- per-block metadata (reduceat over posting arrays) -------------
+    blk_last = sd[blk_hi - 1]
+    blk_maxtf = np.maximum.reduceat(stf, blk_lo)
+    blk_minnorm = np.minimum.reduceat(snorm, blk_lo)
+    blk_n = (blk_hi - blk_lo).astype(np.int32)
+
+    # ---- one-shot VByte encode of docs deltas + tfs, sliced per block --
+    deltas = np.empty(sd.size, dtype=np.int64)
+    deltas[1:] = sd[1:] - sd[:-1]
+    deltas[0] = sd[0]
+    deltas[blk_lo] = sd[blk_lo]  # absolute first doc per block
+    doc_stream = vbyte_encode(deltas.astype(np.uint64))
+    from blacklab_ray.stages.tokenize import _varint_byte_lens
+    dlens = _varint_byte_lens(deltas)
+    doc_off = np.zeros(sd.size + 1, dtype=np.int64)
+    doc_off[1:] = np.cumsum(dlens)
+    tf_stream = vbyte_encode(stf.astype(np.uint64))
+    tlens = _varint_byte_lens(stf)
+    tf_off = np.zeros(sd.size + 1, dtype=np.int64)
+    tf_off[1:] = np.cumsum(tlens)
+    norm_stream = snorm.astype(np.uint8).tobytes()
+
+    def _bin_from_spans(stream_bytes: bytes, lo_b: np.ndarray,
+                        hi_b: np.ndarray) -> pa.Array:
+        """Binary array of byte spans — spans are contiguous per block
+        but the array needs its own offsets buffer, so gather once."""
+        lens_b = hi_b - lo_b
+        offs = np.zeros(lens_b.size + 1, dtype=np.int64)
+        offs[1:] = np.cumsum(lens_b)
+        total_b = int(offs[-1])
+        if total_b == len(stream_bytes) and (lo_b[:1] == 0).all() and \
+                np.array_equal(offs[1:], hi_b):
+            data = stream_bytes  # contiguous cover: zero-copy
+        else:
+            bi = np.repeat(np.arange(lens_b.size), lens_b)
+            src = lo_b[bi] + np.arange(total_b) - offs[bi]
+            data = np.frombuffer(stream_bytes, dtype=np.uint8)[src] \
+                .tobytes()
+        if offs[-1] < 2**31:
+            return pa.Array.from_buffers(
+                pa.binary(), lens_b.size,
+                [None, pa.py_buffer(offs.astype(np.int32).tobytes()),
+                 pa.py_buffer(data)])
+        return pa.array([data[o:o2] for o, o2 in zip(offs[:-1], offs[1:])],
+                        pa.binary())
+
+    docs_arr = _bin_from_spans(doc_stream, doc_off[blk_lo], doc_off[blk_hi])
+    tfs_arr = _bin_from_spans(tf_stream, tf_off[blk_lo], tf_off[blk_hi])
+    norms_arr = _bin_from_spans(norm_stream, blk_lo, blk_hi)
+    pos_arr = _bin_from_spans(stream, sorted_off[blk_lo],
+                              sorted_off[blk_hi])
+
+    block_struct = pa.StructArray.from_arrays(
+        [pa.array(blk_last, pa.int64()),
+         pa.array(blk_maxtf.astype(np.int32), pa.int32()),
+         pa.array(blk_minnorm.astype(np.int32), pa.int32()),
+         pa.array(blk_n, pa.int32()),
+         docs_arr, tfs_arr, norms_arr, pos_arr],
+        fields=list(BLOCK_STRUCT))
+    seg_block_off = np.zeros(n_segs + 1, dtype=np.int32)
+    seg_block_off[1:] = np.cumsum(seg_nblocks)
+    blocks_list = pa.ListArray.from_arrays(
+        pa.array(seg_block_off, pa.int32()), block_struct)
+
+    ctf_cum = np.zeros(sd.size + 1, dtype=np.int64)
+    ctf_cum[1:] = np.cumsum(stf)
+    term_values = pc.take(d.dictionary, pa.array(seg_term))
+    return pa.Table.from_arrays([
+        term_values.combine_chunks() if isinstance(term_values,
+                                                   pa.ChunkedArray)
+        else term_values,
+        pa.array(np.full(n_segs, bucket, dtype=np.int32), pa.int32()),
+        pa.array(np.full(n_segs, salt, dtype=np.int32), pa.int32()),
+        pa.array(np.array(seg_idx, dtype=np.int32), pa.int32()),
+        pa.array(seg_hi - seg_lo, pa.int64()),
+        pa.array(ctf_cum[seg_hi] - ctf_cum[seg_lo], pa.int64()),
+        pa.array(sd[seg_lo], pa.int64()),
+        pa.array(sd[seg_hi - 1], pa.int64()),
+        blocks_list,
+    ], schema=SEGMENT_SCHEMA)

@@ -14,6 +14,8 @@ HitsInternalNoLock.java:66-68) is literally an Arrow table here:
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -189,5 +191,118 @@ def kwic(ds: ray.data.Dataset, term: str, context: int = 2,
          text_col: str = "text") -> ray.data.Dataset:
     out = ds.map_batches(KwicBuilder(term, context, id_col, text_col),
                          batch_format="pyarrow")
+    out = out.sort(["doc_id", "pos"])
+    return out.limit(limit) if limit else out
+
+
+def facets(ds: ray.data.Dataset, term: str, group_cols: list[str],
+           id_col: str = "doc_id",
+           text_col: str = "text") -> ray.data.Dataset:
+    """Multiple doc-property group-bys over one hit set (the reference's
+    Facets operator, search/Facets.java:9): returns stacked rows
+    (facet, value, n_docs, n_hits) — one groupby pipeline per facet,
+    unioned (each facet shares the same map-side hit production)."""
+    parts = []
+    for col in group_cols:
+        f = hits_by(ds, term, col, id_col, text_col)
+        f = f.map_batches(
+            lambda t, col=col: pa.table({
+                "facet": pa.array([col] * t.num_rows, pa.string()),
+                "value": t[col].cast(pa.string()),
+                "n_docs": t["n_docs"],
+                "n_hits": t["n_hits"],
+            }), batch_format="pyarrow")
+        parts.append(f)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out
+
+
+class HashSampleHits:
+    """Deterministic seeded hit sampling: keep a hit iff
+    blake2b(doc_id:pos:seed) mod 2^20 < frac * 2^20. Partition-order
+    independent (the determinism BlackLab's seeded Random sampling has
+    per-index but not per-layout; SampleParameters.java:9)."""
+
+    def __init__(self, term: str, frac: float, seed: int = 17,
+                 id_col: str = "doc_id", text_col: str = "text"):
+        self._inner = HitFinder(term, id_col, text_col)
+        self._frac = frac
+        self._seed = seed
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import hashlib
+        t = self._inner(batch)
+        thresh = int(self._frac * (1 << 20))
+        keep = []
+        for d, p in zip(t["doc_id"].to_pylist(), t["pos"].to_pylist()):
+            h = hashlib.blake2b(f"{d}:{p}:{self._seed}".encode(),
+                                digest_size=4).digest()
+            keep.append(int.from_bytes(h, "big") % (1 << 20) < thresh)
+        return t.filter(pa.array(keep))
+
+
+def sample_hits(ds: ray.data.Dataset, term: str, frac: float,
+                seed: int = 17, id_col: str = "doc_id",
+                text_col: str = "text") -> ray.data.Dataset:
+    return ds.map_batches(HashSampleHits(term, frac, seed, id_col,
+                                         text_col),
+                          batch_format="pyarrow")
+
+
+class FwdIndexKwic:
+    """KWIC from the *forward index* artifact (BlackLab's own mechanism:
+    Kwics gather context words from the forward index, Kwics.java:17,
+    Contexts.java:166): reconstructs each matching doc's token stream
+    from its (terms, tfs, pos) term vector — no re-tokenization."""
+
+    def __init__(self, term: str, context: int = 2):
+        self._term = term
+        self._ctx = context
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from blacklab_ray.codec.vbyte import decode_position_lists
+        rows = {"doc_id": [], "pos": [], "left": [], "right": []}
+        doc_ids = batch["doc_id"].to_pylist()
+        doc_lens = batch["doc_len"].to_pylist()
+        terms_l = batch["terms"].to_pylist()
+        tfs_l = batch["tfs"].to_pylist()
+        pos_l = batch["pos"].to_pylist()
+        for i, terms in enumerate(terms_l):
+            if self._term not in terms:
+                continue
+            # rebuild pos -> token mapping for the whole doc
+            tokens = [""] * doc_lens[i]
+            hit_positions = []
+            for t, tf, blob in zip(terms, tfs_l[i], pos_l[i]):
+                ps = decode_position_lists(blob, np.array([tf]))
+                for p in ps.tolist():
+                    tokens[p] = t
+                if t == self._term:
+                    hit_positions = ps.tolist()
+            for p in hit_positions:
+                rows["doc_id"].append(doc_ids[i])
+                rows["pos"].append(p)
+                rows["left"].append(
+                    " ".join(tokens[max(0, p - self._ctx):p]))
+                rows["right"].append(
+                    " ".join(tokens[p + 1:p + 1 + self._ctx]))
+        return pa.table({
+            "doc_id": pa.array(rows["doc_id"], pa.int64()),
+            "pos": pa.array(rows["pos"], pa.int64()),
+            "left": pa.array(rows["left"], pa.string()),
+            "right": pa.array(rows["right"], pa.string()),
+        })
+
+
+def kwic_from_forward_index(index_dir: str, term: str, context: int = 2,
+                            limit: int | None = None) -> ray.data.Dataset:
+    import ray.data as rdm
+    fwd = rdm.read_parquet(
+        os.path.join(index_dir, "fwd"),
+        columns=["doc_id", "doc_len", "terms", "tfs", "pos"])
+    out = fwd.map_batches(FwdIndexKwic(term, context),
+                          batch_format="pyarrow")
     out = out.sort(["doc_id", "pos"])
     return out.limit(limit) if limit else out

@@ -396,3 +396,146 @@ def phrase_search(reader: IndexReader, phrase: list[str], k: int = 10,
 def _norms_for(reader: IndexReader, doc_ids: np.ndarray) -> np.ndarray:
     from blacklab_ray.codec.smallfloat import encode_lengths
     return encode_lengths(reader.doc_lens(doc_ids))
+
+
+# ---- multi-term expansion (regex / wildcard / prefix / fuzzy) -------------
+
+def _levenshtein_leq(a: str, b: str, max_d: int) -> bool:
+    """Banded edit distance <= max_d (early-exit rows)."""
+    if abs(len(a) - len(b)) > max_d:
+        return False
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i] + [0] * len(b)
+        best = i
+        for j, cb in enumerate(b, 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                         prev[j - 1] + (ca != cb))
+            best = min(best, cur[j])
+        if best > max_d:
+            return False
+        prev = cur
+    return prev[-1] <= max_d
+
+
+def expand_terms(reader: IndexReader, pattern: str, kind: str = "regex",
+                 max_terms: int = 1024, max_edits: int = 1) -> list[str]:
+    """Expand a term pattern over the term dictionary.
+
+    The analogue of BlackLab's multi-term query wrapping
+    (BLSpanMultiTermQueryWrapper.java:35 — regex/wildcard/prefix expand to
+    an OR over dictionary terms; SpanFuzzyQuery.java:34 for fuzzy). Kinds:
+    ``regex`` (full-match), ``wildcard`` (* and ?), ``prefix``, ``fuzzy``.
+    Deterministic: matches sorted lexicographically, truncated at
+    ``max_terms`` (truncation surfaced by result length == max_terms).
+    """
+    import pyarrow.compute as _pc
+    col = reader.terms_table["term"]
+    if kind == "prefix":
+        mask = _pc.starts_with(col, pattern)
+    elif kind == "wildcard":
+        import re as _re
+        rx = "".join(".*" if c == "*" else "." if c == "?"
+                     else _re.escape(c) for c in pattern)
+        mask = _pc.match_substring_regex(col, f"^(?:{rx})$")
+    elif kind == "regex":
+        mask = _pc.match_substring_regex(col, f"^(?:{pattern})$")
+    elif kind == "fuzzy":
+        terms = col.to_pylist()
+        out = sorted(t for t in terms
+                     if _levenshtein_leq(t, pattern, max_edits))
+        return out[:max_terms]
+    else:
+        raise ValueError(f"unknown expansion kind: {kind}")
+    matched = col.filter(mask).to_pylist()
+    return sorted(matched)[:max_terms]
+
+
+def search_pattern(reader: IndexReader, pattern: str, kind: str = "regex",
+                   k: int = 10, algo: str = "taat", quantize: bool = True,
+                   resolve_urls: bool = False,
+                   max_terms: int = 1024) -> pa.Table:
+    """BM25 top-k over all dictionary terms matching a pattern
+    (TextPatternRegex / Wildcard / Prefix / Fuzzy semantics: each matched
+    term scores with its own idf, summed per doc — Lucene's boolean
+    rewrite of small multi-term queries)."""
+    terms = expand_terms(reader, pattern, kind, max_terms)
+    if not terms:
+        return _result_table(reader, np.empty(0, np.int64),
+                             np.empty(0, np.float64), resolve_urls)
+    return search(reader, terms, k=k, mode="or", algo=algo,
+                  quantize=quantize, resolve_urls=resolve_urls)
+
+
+# ---- doc-filtered search (metadata semi-join) -----------------------------
+
+def search_filtered(reader: IndexReader, terms: list[str],
+                    allowed_doc_ids: np.ndarray, k: int = 10,
+                    mode: str = "or", quantize: bool = True,
+                    resolve_urls: bool = False) -> pa.Table:
+    """BM25 restricted to an allowed doc-id set (SpanQueryFiltered
+    semantics, search/lucene/SpanQueryFiltered.java:23): a broadcast
+    doc-id semi-join applied to each term's postings before scoring.
+    Statistics (idf, avgdl) stay corpus-wide, matching Lucene's behavior
+    for filtered queries."""
+    allowed = np.unique(np.asarray(allowed_doc_ids, dtype=np.int64))
+    terms = list(dict.fromkeys(terms))
+    stats = reader.term_stats(terms)
+    present = [t for t in terms if t in stats]
+    if (not present) or (mode == "and" and len(present) < len(terms)):
+        return _result_table(reader, np.empty(0, np.int64),
+                             np.empty(0, np.float64), resolve_urls)
+    segs = reader.segments(present)
+    all_docs, all_scores = [], []
+    for t in present:
+        t_idf = float(idf(stats[t][0], reader.n_docs))
+        d, s, _ = _term_arrays(reader, segs[t], t_idf, quantize)
+        keep = np.isin(d, allowed) if allowed.size \
+            else np.zeros(d.size, bool)
+        all_docs.append(d[keep])
+        all_scores.append(s[keep])
+    docs = np.concatenate(all_docs)
+    scores = np.concatenate(all_scores)
+    uniq, inv = np.unique(docs, return_inverse=True)
+    sums = np.zeros(uniq.size, dtype=np.float64)
+    np.add.at(sums, inv, scores)
+    if mode == "and":
+        counts = np.bincount(inv, minlength=uniq.size)
+        m = counts == len(present)
+        uniq, sums = uniq[m], sums[m]
+    order = np.lexsort((uniq, -sums))[:k]
+    return _result_table(reader, uniq[order], sums[order], resolve_urls)
+
+
+def count_hits(reader: IndexReader, terms: list[str],
+               mode: str = "or") -> pa.Table:
+    """ResultCount analogue (search/results/ResultCount.java:8): number
+    of matching docs + total term occurrences for a query."""
+    terms = list(dict.fromkeys(terms))
+    stats = reader.term_stats(terms)
+    present = [t for t in terms if t in stats]
+    if (not present) or (mode == "and" and len(present) < len(terms)):
+        return pa.table({"n_docs": pa.array([0], pa.int64()),
+                         "n_hits": pa.array([0], pa.int64())})
+    segs = reader.segments(present)
+    all_docs, all_tfs = [], []
+    for t in present:
+        docs, tfs = [], []
+        for s in segs[t]:
+            d, tf, _ = s.decode_all()
+            docs.append(d), tfs.append(tf)
+        d = np.concatenate(docs)
+        tf = np.concatenate(tfs)
+        all_docs.append(d)
+        all_tfs.append(tf)
+    docs = np.concatenate(all_docs)
+    tfs = np.concatenate(all_tfs)
+    uniq, inv = np.unique(docs, return_inverse=True)
+    tf_sums = np.zeros(uniq.size, dtype=np.int64)
+    np.add.at(tf_sums, inv, tfs)
+    if mode == "and":
+        counts = np.bincount(inv, minlength=uniq.size)
+        m = counts == len(present)
+        uniq, tf_sums = uniq[m], tf_sums[m]
+    return pa.table({"n_docs": pa.array([int(uniq.size)], pa.int64()),
+                     "n_hits": pa.array([int(tf_sums.sum())], pa.int64())})
