@@ -219,16 +219,19 @@ def build_index(source: str | list[str] | ray.data.Dataset, index_dir: str,
                                 hot_terms=params.hot_terms),
                 batch_format="pyarrow")
             if n_shards > 1:
+                # bucket = gkey // n_salts; shard owns a bucket range
                 lo = shard * params.num_buckets // n_shards
                 hi = (shard + 1) * params.num_buckets // n_shards
+                lo_g, hi_g = lo * params.n_salts, hi * params.n_salts
                 exploded = exploded.map_batches(
-                    lambda t, lo=lo, hi=hi: t.filter(
-                        (pa.compute.field("bucket") >= lo)
-                        & (pa.compute.field("bucket") < hi)),
+                    lambda t, lo_g=lo_g, hi_g=hi_g: t.filter(
+                        (pa.compute.field("gkey") >= lo_g)
+                        & (pa.compute.field("gkey") < hi_g)),
                     batch_format="pyarrow")
             segs = exploded.groupby("gkey").map_groups(
                 lambda g: build_segments(
-                    g, params.block_size, params.max_seg_postings),
+                    g, params.block_size, params.max_seg_postings,
+                    params.n_salts),
                 batch_format="pyarrow")
             segs.write_parquet(post_dir, partition_cols=["bucket"])
             shard_info[key] = {"complete": True,

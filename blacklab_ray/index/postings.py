@@ -110,10 +110,11 @@ class ExplodePostings:
             salt[hot] = (doc_rep[hot] * np.int64(2654435761)
                          & np.int64(0x7FFFFFFF)) % self._salts
         gkey = bucket * self._salts + salt
+        # bucket/salt are NOT shipped through the shuffle — they are
+        # recomputed from gkey in build_segments (shuffle bytes matter:
+        # 5.7M rows/20k docs at bench scale)
         return pa.table({
             "gkey": pa.array(gkey, pa.int64()),
-            "bucket": pa.array(bucket.astype(np.int32), pa.int32()),
-            "salt": pa.array(salt.astype(np.int32), pa.int32()),
             "term": flat_terms,
             "doc_id": pa.array(doc_rep, pa.int64()),
             "tf": flat_tfs,
@@ -123,7 +124,8 @@ class ExplodePostings:
 
 
 def build_segments(group: pa.Table, block_size: int = BLOCK_SIZE,
-                   max_seg_postings: int = MAX_SEG_POSTINGS) -> pa.Table:
+                   max_seg_postings: int = MAX_SEG_POSTINGS,
+                   n_salts: int = DEFAULT_SALTS) -> pa.Table:
     """``map_groups`` body: one shuffle group (gkey) → segment rows.
 
     Sorts by (term, doc_id) — doc-ascending order is required for delta
@@ -151,8 +153,8 @@ def build_segments(group: pa.Table, block_size: int = BLOCK_SIZE,
     sd = doc_ids[order]
     stf = tfs[order]
     snorm = norms[order]
-    bucket = int(group.column("bucket")[0].as_py())
-    salt = int(group.column("salt")[0].as_py())
+    gkey = int(group.column("gkey")[0].as_py())
+    bucket, salt = divmod(gkey, n_salts)
 
     # contiguous posbin stream in sorted order (vectorized byte gather)
     src_starts = pb_offsets[:-1][order].astype(np.int64)
