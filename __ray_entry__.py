@@ -113,7 +113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_doc_stats(sf):
         import pyarrow.parquet as pq
         r = _index_for(sf)
-        t = pq.read_table(os.path.join(r.index_dir, "docs"),
+        t = pq.read_table(os.path.join(r.index_dir, "fwd"),
                           columns=["doc_id", "doc_len"])
         return t
 

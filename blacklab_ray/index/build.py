@@ -147,7 +147,6 @@ def build_index(source: str | list[str] | ray.data.Dataset, index_dir: str,
     man = Manifest(index_dir)
     pfp = params.fingerprint()
     fwd_dir = os.path.join(index_dir, "fwd")
-    docs_dir = os.path.join(index_dir, "docs")
     post_dir = os.path.join(index_dir, "postings")
     terms_dir = os.path.join(index_dir, "terms")
 
@@ -182,19 +181,33 @@ def build_index(source: str | list[str] | ray.data.Dataset, index_dir: str,
                 batch_format="pyarrow", batch_size=params.batch_size)
         _fresh_dir(fwd_dir)
         ds.write_parquet(fwd_dir)
-        n_docs = ray.data.read_parquet(fwd_dir, columns=["doc_id"]).count()
         dt = time.perf_counter() - t0
-        man.record("fwd", src_fp, pfp, rows=n_docs, seconds=round(dt, 3),
-                   rows_per_sec=round(n_docs / max(dt, 1e-9), 1))
+        man.record("fwd", src_fp, pfp, seconds=round(dt, 3))
 
-    # ---- stage 2: doc table ---------------------------------------------
-    if not (resume and man.stage_complete("docs", src_fp, pfp)):
+    # ---- stage 2: corpus meta (single aggregate pass over fwd) ----------
+    # The doc table is NOT rewritten — it IS the fwd Parquet read with
+    # column pruning (doc_id, url, lang, doc_len, norm); a separate copy
+    # would cost one more pipeline execution per build for no new bytes.
+    if not (resume and man.stage_complete("meta", src_fp, pfp)):
         t0 = time.perf_counter()
-        _fresh_dir(docs_dir)
-        ray.data.read_parquet(fwd_dir, columns=DOC_COLUMNS) \
-            .write_parquet(docs_dir)
+        from ray.data.aggregate import Count, Sum
+        agg = ray.data.read_parquet(fwd_dir, columns=["doc_len"]) \
+            .aggregate(Count(alias_name="n_docs"),
+                       Sum("doc_len", alias_name="total_tokens"))
+        n_docs = int(agg["n_docs"])
+        total_tokens = int(agg["total_tokens"] or 0)
+        meta = {
+            "n_docs": n_docs,
+            "total_tokens": total_tokens,
+            "avg_doc_len": total_tokens / max(n_docs, 1),
+            "params": pfp,
+        }
+        with open(os.path.join(index_dir, "meta.json"), "w") as f:
+            json.dump(meta, f, indent=1)
         dt = time.perf_counter() - t0
-        man.record("docs", src_fp, pfp, seconds=round(dt, 3))
+        man.record("meta", src_fp, pfp, seconds=round(dt, 3),
+                   n_docs=n_docs, total_tokens=total_tokens,
+                   docs_per_sec=round(n_docs / max(dt, 1e-9), 1))
 
     # ---- stage 3: postings shuffle --------------------------------------
     shards_done = man.data["stages"].get("postings_shards", {}) \
@@ -237,15 +250,10 @@ def build_index(source: str | list[str] | ray.data.Dataset, index_dir: str,
             shard_info[key] = {"complete": True,
                                "seconds": round(time.perf_counter() - ts, 3)}
             man.record("postings_shards", src_fp, pfp, shards=shard_info)
-        # per-bucket lineage
-        seg_meta = ray.data.read_parquet(
-            post_dir, columns=["term", "df_seg"])
-        n_segments = seg_meta.count()
         dt = time.perf_counter() - t0
-        man.record("postings", src_fp, pfp, segments=n_segments,
-                   seconds=round(dt, 3))
+        man.record("postings", src_fp, pfp, seconds=round(dt, 3))
 
-    # ---- stage 4: term stats --------------------------------------------
+    # ---- stage 4: term stats (doubles as per-bucket lineage) ------------
     if not (resume and man.stage_complete("terms", src_fp, pfp)):
         t0 = time.perf_counter()
         from ray.data.aggregate import Sum
@@ -258,26 +266,5 @@ def build_index(source: str | list[str] | ray.data.Dataset, index_dir: str,
         stats.write_parquet(terms_dir)
         dt = time.perf_counter() - t0
         man.record("terms", src_fp, pfp, seconds=round(dt, 3))
-
-    # ---- stage 5: corpus meta -------------------------------------------
-    if not (resume and man.stage_complete("meta", src_fp, pfp)):
-        t0 = time.perf_counter()
-        from ray.data.aggregate import Count, Sum
-        agg = ray.data.read_parquet(docs_dir, columns=["doc_len"]) \
-            .aggregate(Count(alias_name="n_docs"),
-                       Sum("doc_len", alias_name="total_tokens"))
-        n_docs = int(agg["n_docs"])
-        total_tokens = int(agg["total_tokens"] or 0)
-        meta = {
-            "n_docs": n_docs,
-            "total_tokens": total_tokens,
-            "avg_doc_len": total_tokens / max(n_docs, 1),
-            "params": pfp,
-        }
-        with open(os.path.join(index_dir, "meta.json"), "w") as f:
-            json.dump(meta, f, indent=1)
-        man.record("meta", src_fp, pfp,
-                   seconds=round(time.perf_counter() - t0, 3),
-                   n_docs=n_docs, total_tokens=total_tokens)
 
     return man.data

@@ -99,8 +99,11 @@ class IndexReader:
                                       sub["collection_tf"])}
 
     def _load_docs(self) -> dict:
+        # the doc table IS the forward index with column pruning (no
+        # separate copy is written at build time)
         if self._docs is None:
-            tbl = pq.read_table(os.path.join(self.index_dir, "docs"))
+            tbl = pq.read_table(os.path.join(self.index_dir, "fwd"),
+                                columns=["doc_id", "url", "doc_len"])
             order = pc.sort_indices(tbl["doc_id"])
             tbl = tbl.take(order)
             self._docs = {

@@ -72,11 +72,20 @@ class TokenizeForwardIndex:
             batch.column("text"))
         n_docs = batch.num_rows
 
-        # ---- group (doc, term) pairs: dictionary-encode tokens, stable
-        # lexsort by (term_code, doc) keeps positions ascending in groups.
+        # ---- group (doc, term) pairs: dictionary-encode tokens, then sort
+        # by (doc, lexicographic term rank). Ranks — not raw dictionary
+        # codes — make the per-doc term vector order independent of batch
+        # composition (the determinism invariant: identical fwd bytes at
+        # any batch size / parallelism).
         dict_arr = pc.dictionary_encode(tokens)
         codes = dict_arr.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        order = np.lexsort((codes, parents))  # sort by doc, then term code
+        rank_of = np.empty(len(dict_arr.dictionary), dtype=np.int64)
+        rank_of[pc.sort_indices(dict_arr.dictionary).to_numpy(
+            zero_copy_only=False)] = np.arange(len(dict_arr.dictionary))
+        codes = rank_of[codes]
+        sorted_dict = pc.take(dict_arr.dictionary,
+                              pc.sort_indices(dict_arr.dictionary))
+        order = np.lexsort((codes, parents))  # sort by doc, then term rank
         sp = parents[order]
         sc = codes[order]
         spos = positions[order]
@@ -117,7 +126,7 @@ class TokenizeForwardIndex:
         doc_offsets[1:] = np.cumsum(groups_per_doc)
         off_arr = pa.array(doc_offsets, pa.int32())
 
-        term_values = pc.take(dict_arr.dictionary, pa.array(sc[group_starts]))
+        term_values = pc.take(sorted_dict, pa.array(sc[group_starts]))
         terms_list = pa.ListArray.from_arrays(off_arr,
                                               term_values.combine_chunks()
                                               if isinstance(term_values,

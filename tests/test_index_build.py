@@ -22,7 +22,8 @@ def test_pangram_stats(pangram_index):
     reader = IndexReader(pangram_index)
     assert reader.n_docs == 4
     assert reader.meta["total_tokens"] == sum(PANGRAM_DOC_LENS.values())
-    docs = pq.read_table(os.path.join(pangram_index, "docs"))
+    docs = pq.read_table(os.path.join(pangram_index, "fwd"),
+                         columns=["url", "doc_len"])
     by_url = dict(zip(docs["url"].to_pylist(), docs["doc_len"].to_pylist()))
     assert by_url == PANGRAM_DOC_LENS
     terms = pq.read_table(os.path.join(pangram_index, "terms"))
@@ -80,8 +81,8 @@ def test_build_determinism_across_partitioning(ray_session,
     ra = _logical_postings(a)
     rb = _logical_postings(b)
     assert ra == rb
-    da = pq.read_table(os.path.join(a, "docs")).sort_by("doc_id")
-    db = pq.read_table(os.path.join(b, "docs")).sort_by("doc_id")
+    da = pq.read_table(os.path.join(a, "fwd")).sort_by("doc_id")
+    db = pq.read_table(os.path.join(b, "fwd")).sort_by("doc_id")
     assert da.equals(db)
 
 
