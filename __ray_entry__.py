@@ -148,6 +148,51 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return t.select(["doc_id"]).to_pandas().sort_values("doc_id") \
             .reset_index(drop=True)
 
+    def q_wildcard_scores(sf):
+        from blacklab_ray.query.engine import search_pattern
+        r = _index_for(sf)
+        t = search_pattern(r, "s*", kind="wildcard", k=10**9,
+                           algo="taat").select(["doc_id", "score"])
+        return _round_cols(t.to_pandas(), {"score": 4})
+
+    def q_fuzzy_expand(sf):
+        from blacklab_ray.query.engine import expand_terms
+        r = _index_for(sf)
+        return pa.table({"term": pa.array(
+            expand_terms(r, "spark", "fuzzy", max_edits=1), pa.string())})
+
+    def q_regex_expand(sf):
+        from blacklab_ray.query.engine import expand_terms
+        r = _index_for(sf)
+        return pa.table({"term": pa.array(
+            expand_terms(r, "s.*a.*", "regex"), pa.string())})
+
+    def q_bm25_filtered_en(sf):
+        import pyarrow.parquet as pq
+        from blacklab_ray.query.engine import search_filtered
+        r = _index_for(sf)
+        langs = pq.read_table(os.path.join(r.index_dir, "fwd"),
+                              columns=["doc_id", "lang"])
+        allowed = langs.filter(
+            pa.compute.equal(langs["lang"], "en"))["doc_id"].to_numpy()
+        t = search_filtered(r, OR_TERMS, allowed, k=10**9) \
+            .select(["doc_id", "score"])
+        return _round_cols(t.to_pandas(), {"score": 4})
+
+    def q_hit_counts(sf):
+        from blacklab_ray.query.engine import count_hits
+        r = _index_for(sf)
+        return count_hits(r, OR_TERMS, "or")
+
+    def q_top_docs_by_len(sf):
+        import pyarrow.parquet as pq
+        r = _index_for(sf)
+        t = pq.read_table(os.path.join(r.index_dir, "fwd"),
+                          columns=["doc_id", "doc_len"])
+        df = t.to_pandas().sort_values(["doc_len", "doc_id"],
+                                       ascending=[False, True]).head(TOPK)
+        return df.reset_index(drop=True)
+
     # ---- corpus analytics (direct Dataset pipelines) -------------------
 
     def q_hits_by_lang(sf):
@@ -160,6 +205,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         t = hits.kwic(_docs_ds(sf), HIT_TERM, context=2, limit=TOPK)
         df = t.to_pandas()
         return df.rename(columns={"left": "lctx", "right": "rctx"})
+
+    def q_kwic_fwd(sf):
+        r = _index_for(sf)
+        t = hits.kwic_from_forward_index(r.index_dir, HIT_TERM,
+                                         context=2, limit=TOPK)
+        return t.to_pandas().rename(columns={"left": "lctx",
+                                             "right": "rctx"})
+
+    def q_facets(sf):
+        return hits.facets(_docs_ds(sf), HIT_TERM, ["lang", "source"])
+
+    def q_sample_hits(sf):
+        return hits.sample_hits(_docs_ds(sf), HIT_TERM, frac=0.25,
+                                seed=17)
 
     def q_freq_by_lang(sf):
         t = frequency.freq_by(_docs_ds(sf), "lang").to_pandas()
@@ -241,6 +300,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return multimodal.extract_features(ds)
 
     return {
+        "wildcard_or_scores": q_wildcard_scores,
+        "fuzzy_expand": q_fuzzy_expand,
+        "regex_expand": q_regex_expand,
+        "bm25_filtered_en": q_bm25_filtered_en,
+        "hit_counts": q_hit_counts,
+        "top_docs_by_len": q_top_docs_by_len,
+        "kwic_fwd": q_kwic_fwd,
+        "facets_spark": q_facets,
+        "sample_hits_spark": q_sample_hits,
         "term_stats": q_term_stats,
         "doc_stats": q_doc_stats,
         "corpus_stats": q_corpus_stats,
@@ -334,6 +402,12 @@ FROM scored GROUP BY doc_id {and_having} {limit}
 
 
 def oracle_sql() -> dict[str, str]:
+    out = _oracle_sql_base()
+    out["kwic_fwd"] = out["kwic_spark"]  # same output, index-backed path
+    return out
+
+
+def _oracle_sql_base() -> dict[str, str]:
     toks = f"SELECT doc_id, lang, source, unnest({_TOKS_SQL}) AS term " \
            "FROM documents"
     toks_pos = f"""
@@ -365,6 +439,42 @@ FROM toks
         "bm25_or_scores": _bm25_sql(OR_TERMS, "or", None),
         "bm25_topk": _bm25_sql(OR_TERMS, "or", TOPK),
         "bm25_and": _bm25_sql(AND_TERMS, "and", None),
+        "wildcard_or_scores": _bm25_sql(
+            [], "or", None, term_pred="term LIKE 's%'"),
+        "bm25_filtered_en": _bm25_sql(
+            OR_TERMS, "or", None, doc_filter="lang = 'en'"),
+        "fuzzy_expand": f"""
+WITH toks AS ({toks})
+SELECT DISTINCT term FROM toks WHERE levenshtein(term, 'spark') <= 1
+""",
+        "regex_expand": f"""
+WITH toks AS ({toks})
+SELECT DISTINCT term FROM toks
+WHERE regexp_matches(term, '^(?:s.*a.*)$')
+""",
+        "hit_counts": f"""
+WITH toks AS ({toks})
+SELECT count(distinct doc_id) AS n_docs, count(*) AS n_hits
+FROM toks WHERE term IN ({_sql_list(OR_TERMS)})
+""",
+        "top_docs_by_len": f"""
+WITH toks AS ({toks})
+SELECT d.doc_id, count(t.term) AS doc_len
+FROM documents d LEFT JOIN toks t ON d.doc_id = t.doc_id
+GROUP BY d.doc_id
+ORDER BY doc_len DESC, d.doc_id LIMIT {TOPK}
+""",
+        "facets_spark": f"""
+WITH toks AS ({toks}),
+h AS (SELECT doc_id, lang, source FROM toks WHERE term = '{HIT_TERM}')
+SELECT 'lang' AS facet, lang AS value,
+       count(distinct doc_id) AS n_docs, count(*) AS n_hits
+FROM h GROUP BY lang
+UNION ALL
+SELECT 'source' AS facet, source AS value,
+       count(distinct doc_id) AS n_docs, count(*) AS n_hits
+FROM h GROUP BY source
+""",
         "phrase_docs": f"""
 WITH toks AS ({toks_pos})
 SELECT DISTINCT a.doc_id

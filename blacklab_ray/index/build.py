@@ -63,7 +63,8 @@ class BuildParams:
     hot_terms: tuple[str, ...] | None = None   # None → stopword default
     tokenize_concurrency: Any = None  # actor pool size; None → tasks default
     batch_size: int = 1024
-    bucket_shards: int = 1           # postings shuffle checkpoint granularity
+    bucket_shards: int = 1           # sort-exchange checkpoint granularity
+    exchange: str = "mapreduce"      # postings shuffle: mapreduce | sort
 
     def fingerprint(self) -> dict:
         d = dict(self.__dict__)
@@ -212,46 +213,34 @@ def build_index(source: str | list[str] | ray.data.Dataset, index_dir: str,
     # ---- stage 3: postings shuffle --------------------------------------
     shards_done = man.data["stages"].get("postings_shards", {}) \
         if resume else {}
+    if not (isinstance(shards_done, dict)
+            and shards_done.get("fingerprint") == src_fp
+            and shards_done.get("params") == pfp):
+        shards_done = {}  # stale lineage (inputs/params changed)
     if not (resume and man.stage_complete("postings", src_fp, pfp)):
         t0 = time.perf_counter()
-        shard_info = dict(shards_done.get("shards", {})) \
-            if isinstance(shards_done, dict) else {}
-        n_shards = max(1, params.bucket_shards)
-        if not shard_info:
-            _fresh_dir(post_dir)
-        for shard in range(n_shards):
-            key = str(shard)
-            if shard_info.get(key, {}).get("complete"):
-                continue
-            ts = time.perf_counter()
-            fwd = ray.data.read_parquet(
-                fwd_dir, columns=["doc_id", "norm", "terms", "tfs", "pos"])
-            exploded = fwd.map_batches(
-                ExplodePostings(num_buckets=params.num_buckets,
-                                n_salts=params.n_salts,
-                                hot_terms=params.hot_terms),
-                batch_format="pyarrow")
-            if n_shards > 1:
-                # bucket = gkey // n_salts; shard owns a bucket range
-                lo = shard * params.num_buckets // n_shards
-                hi = (shard + 1) * params.num_buckets // n_shards
-                lo_g, hi_g = lo * params.n_salts, hi * params.n_salts
-                exploded = exploded.map_batches(
-                    lambda t, lo_g=lo_g, hi_g=hi_g: t.filter(
-                        (pa.compute.field("gkey") >= lo_g)
-                        & (pa.compute.field("gkey") < hi_g)),
-                    batch_format="pyarrow")
-            segs = exploded.groupby("gkey").map_groups(
-                lambda g: build_segments(
-                    g, params.block_size, params.max_seg_postings,
-                    params.n_salts),
-                batch_format="pyarrow")
-            segs.write_parquet(post_dir, partition_cols=["bucket"])
-            shard_info[key] = {"complete": True,
-                               "seconds": round(time.perf_counter() - ts, 3)}
+        shard_info = dict(shards_done.get("shards", {}))
+        if params.exchange == "mapreduce":
+            from blacklab_ray.index.exchange import run_postings_exchange
+            completed = {int(k) for k, v in shard_info.items()
+                         if v.get("complete")}
+            if not completed:
+                _fresh_dir(post_dir)
+            new_parts = run_postings_exchange(
+                fwd_dir, post_dir,
+                num_buckets=params.num_buckets, n_salts=params.n_salts,
+                hot_terms=params.hot_terms, block_size=params.block_size,
+                max_seg_postings=params.max_seg_postings,
+                completed_parts=completed)
+            shard_info.update(new_parts)
             man.record("postings_shards", src_fp, pfp, shards=shard_info)
-        dt = time.perf_counter() - t0
-        man.record("postings", src_fp, pfp, seconds=round(dt, 3))
+            dt = time.perf_counter() - t0
+            man.record("postings", src_fp, pfp, seconds=round(dt, 3),
+                       exchange="mapreduce", parts=len(shard_info))
+            shards_done = {}
+        else:
+            _build_postings_sort(params, man, src_fp, pfp, fwd_dir,
+                                 post_dir, shard_info, t0)
 
     # ---- stage 4: term stats (doubles as per-bucket lineage) ------------
     if not (resume and man.stage_complete("terms", src_fp, pfp)):
@@ -268,3 +257,47 @@ def build_index(source: str | list[str] | ray.data.Dataset, index_dir: str,
         man.record("terms", src_fp, pfp, seconds=round(dt, 3))
 
     return man.data
+
+
+def _build_postings_sort(params, man, src_fp, pfp, fwd_dir, post_dir,
+                         shard_info, t0):
+    """Dataset-API sort-exchange path (groupby().map_groups), kept for
+    cross-checking the map/reduce exchange and for environments where
+    raw-task scheduling is undesirable."""
+    n_shards = max(1, params.bucket_shards)
+    if not shard_info:
+        _fresh_dir(post_dir)
+    for shard in range(n_shards):
+        key = str(shard)
+        if shard_info.get(key, {}).get("complete"):
+            continue
+        ts = time.perf_counter()
+        fwd = ray.data.read_parquet(
+            fwd_dir, columns=["doc_id", "norm", "terms", "tfs", "pos"])
+        exploded = fwd.map_batches(
+            ExplodePostings(num_buckets=params.num_buckets,
+                            n_salts=params.n_salts,
+                            hot_terms=params.hot_terms),
+            batch_format="pyarrow")
+        if n_shards > 1:
+            # bucket = gkey // n_salts; shard owns a bucket range
+            lo = shard * params.num_buckets // n_shards
+            hi = (shard + 1) * params.num_buckets // n_shards
+            lo_g, hi_g = lo * params.n_salts, hi * params.n_salts
+            exploded = exploded.map_batches(
+                lambda t, lo_g=lo_g, hi_g=hi_g: t.filter(
+                    (pa.compute.field("gkey") >= lo_g)
+                    & (pa.compute.field("gkey") < hi_g)),
+                batch_format="pyarrow")
+        segs = exploded.groupby("gkey").map_groups(
+            lambda g: build_segments(
+                g, params.block_size, params.max_seg_postings,
+                params.n_salts),
+            batch_format="pyarrow")
+        segs.write_parquet(post_dir, partition_cols=["bucket"])
+        shard_info[key] = {"complete": True,
+                           "seconds": round(time.perf_counter() - ts, 3)}
+        man.record("postings_shards", src_fp, pfp, shards=shard_info)
+    dt = time.perf_counter() - t0
+    man.record("postings", src_fp, pfp, seconds=round(dt, 3),
+               exchange="sort")

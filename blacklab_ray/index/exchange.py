@@ -1,0 +1,143 @@
+"""Explicit hash exchange for the postings shuffle (map/reduce on raw Ray).
+
+The postings build needs a hash-partitioned exchange, not a sort:
+``Dataset.groupby`` implements group-by via a global sort, which at bench
+scale costs more than the rest of the stage combined and regresses with
+added CPUs. This module is the one place we drop below the Dataset API
+(per the Ray guidance: raw tasks only where the Dataset API can't express
+the semantics efficiently) and implement the textbook two-phase shuffle:
+
+- M map tasks: read a chunk of forward-index files, explode to posting
+  partials, split by ``part = gkey % P`` and return P sub-tables
+  (``num_returns=P`` — each object lands in the store once).
+- P reduce tasks: concat their M sub-tables, group by gkey in numpy,
+  pack segments (``build_segments``) and write their own Parquet files
+  under ``postings/bucket=K/`` — the same layout the query side prunes.
+
+Every reduce partition writes independently and records lineage, giving
+true per-partition resume (north_rule checkpoint requirement): a re-run
+skips reduce parts whose manifest entry is complete.
+
+Determinism: map chunking is a pure function of the sorted file list;
+reduce output depends only on the union of its rows (build_segments
+sorts), so the index bytes are independent of scheduling order.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+
+from blacklab_ray.index.postings import (
+    SEGMENT_SCHEMA, ExplodePostings, build_segments,
+)
+
+FWD_COLUMNS = ["doc_id", "norm", "terms", "tfs", "pos"]
+
+
+def _split_by_part(tbl: pa.Table, n_parts: int, n_salts: int) -> list:
+    gkey = tbl.column("gkey").to_numpy(zero_copy_only=False)
+    part = gkey % n_parts
+    order = np.argsort(part, kind="stable")
+    sorted_tbl = tbl.take(pa.array(order))
+    counts = np.bincount(part, minlength=n_parts)
+    offsets = np.zeros(n_parts + 1, dtype=np.int64)
+    offsets[1:] = np.cumsum(counts)
+    return [sorted_tbl.slice(int(offsets[i]),
+                             int(offsets[i + 1] - offsets[i]))
+            for i in range(n_parts)]
+
+
+def _map_explode(paths: list[str], n_parts: int, num_buckets: int,
+                 n_salts: int, hot_terms) -> list[pa.Table]:
+    explode = ExplodePostings(num_buckets=num_buckets, n_salts=n_salts,
+                              hot_terms=hot_terms)
+    outs = []
+    for p in paths:
+        tbl = pq.read_table(p, columns=FWD_COLUMNS)
+        outs.append(explode(tbl))
+    merged = pa.concat_tables(outs) if outs else None
+    if merged is None or merged.num_rows == 0:
+        return [None] * n_parts
+    return _split_by_part(merged.combine_chunks(), n_parts, n_salts)
+
+
+def _reduce_build(part_id: int, out_dir: str, block_size: int,
+                  max_seg_postings: int, n_salts: int,
+                  *tables) -> dict:
+    tables = [t for t in tables if t is not None and t.num_rows]
+    if not tables:
+        return {"part": part_id, "segments": 0, "postings": 0}
+    t = pa.concat_tables(tables).combine_chunks()
+    gkey = t.column("gkey").to_numpy(zero_copy_only=False)
+    order = np.argsort(gkey, kind="stable")
+    t = t.take(pa.array(order))
+    gkey = gkey[order]
+    bounds = np.flatnonzero(np.diff(gkey)) + 1
+    starts = np.concatenate(([0], bounds))
+    ends = np.concatenate((bounds, [gkey.size]))
+    seg_tables = []
+    for s, e in zip(starts.tolist(), ends.tolist()):
+        seg_tables.append(build_segments(
+            t.slice(s, e - s), block_size, max_seg_postings, n_salts))
+    segs = pa.concat_tables(seg_tables)
+    # one file per (bucket, reduce-part) under the hive layout the
+    # query side prunes on
+    buckets = segs.column("bucket").to_numpy(zero_copy_only=False)
+    n_segments = 0
+    for b in np.unique(buckets):
+        sub = segs.filter(pa.compute.equal(segs["bucket"], int(b)))
+        sub = sub.drop_columns(["bucket"])
+        bdir = os.path.join(out_dir, f"bucket={int(b)}")
+        os.makedirs(bdir, exist_ok=True)
+        path = os.path.join(bdir, f"part-{part_id:05d}.parquet")
+        pq.write_table(sub, path + ".tmp", row_group_size=1024)
+        os.replace(path + ".tmp", path)
+        n_segments += sub.num_rows
+    return {"part": part_id, "segments": int(n_segments),
+            "postings": int(t.num_rows)}
+
+
+def run_postings_exchange(fwd_dir: str, out_dir: str, *, num_buckets: int,
+                          n_salts: int, hot_terms, block_size: int,
+                          max_seg_postings: int,
+                          n_parts: int | None = None,
+                          files_per_map: int = 4,
+                          completed_parts: set[int] | None = None) -> dict:
+    """Run the map/reduce postings exchange; returns per-part lineage.
+
+    ``completed_parts`` (from the manifest) are skipped — their output
+    files are already on disk (per-partition resume).
+    """
+    files = sorted(os.path.join(fwd_dir, f) for f in os.listdir(fwd_dir)
+                   if f.endswith(".parquet"))
+    if n_parts is None:
+        n_parts = num_buckets
+    n_parts = max(2, n_parts)  # num_returns semantics need >= 2
+    completed = completed_parts or set()
+    chunks = [files[i:i + files_per_map]
+              for i in range(0, len(files), files_per_map)]
+
+    map_task = ray.remote(num_returns=n_parts)(_map_explode)
+    reduce_task = ray.remote(_reduce_build)
+
+    map_out = [map_task.remote(c, n_parts, num_buckets, n_salts, hot_terms)
+               for c in chunks]
+    # transpose: refs per part
+    reduce_refs = []
+    for p in range(n_parts):
+        if p in completed:
+            continue
+        part_inputs = [m[p] for m in map_out]
+        reduce_refs.append(reduce_task.remote(
+            p, out_dir, block_size, max_seg_postings, n_salts,
+            *part_inputs))
+    results = ray.get(reduce_refs)
+    return {str(r["part"]): {"complete": True,
+                             "segments": r["segments"],
+                             "postings": r["postings"]}
+            for r in results}

@@ -73,11 +73,14 @@ def test_build_determinism_across_partitioning(ray_session,
     """Same logical index regardless of batch size / shard layout."""
     a = str(tmp_path / "a")
     b = str(tmp_path / "b")
+    # different batch size AND different exchange implementation (raw-Ray
+    # map/reduce vs Dataset sort) must yield the identical logical index
     build_index(small_corpus_dir, a,
-                BuildParams(num_buckets=4, n_salts=2, batch_size=32))
+                BuildParams(num_buckets=4, n_salts=2, batch_size=32,
+                            exchange="sort"))
     build_index(small_corpus_dir, b,
                 BuildParams(num_buckets=4, n_salts=2, batch_size=256,
-                            bucket_shards=2))
+                            bucket_shards=2, exchange="mapreduce"))
     ra = _logical_postings(a)
     rb = _logical_postings(b)
     assert ra == rb
