@@ -115,8 +115,11 @@ def run_bench(num_cpus: int) -> dict:
     import shutil
     shutil.rmtree(idx_dir, ignore_errors=True)
     t0 = time.perf_counter()
+    # num_buckets fixed so the 8-cpu and 32-cpu scaling runs execute the
+    # IDENTICAL job (same partition count, same shuffle) — only the
+    # parallelism level differs
     build_index(CORPUS_DIR, idx_dir,
-                BuildParams(num_buckets=max(32, num_cpus * 2), n_salts=8,
+                BuildParams(num_buckets=64, n_salts=8,
                             extract_html=True, trust_text=False,
                             batch_size=256),
                 resume=False)
