@@ -52,13 +52,19 @@ def _split_by_part(tbl: pa.Table, n_parts: int, n_salts: int) -> list:
             for i in range(n_parts)]
 
 
+def _set_single_threaded_arrow():
+    from blacklab_ray.util import pin_worker_arrow_threads
+    pin_worker_arrow_threads()
+
+
 def _map_explode(paths: list[str], n_parts: int, num_buckets: int,
                  n_salts: int, hot_terms) -> list[pa.Table]:
+    _set_single_threaded_arrow()
     explode = ExplodePostings(num_buckets=num_buckets, n_salts=n_salts,
                               hot_terms=hot_terms)
     outs = []
     for p in paths:
-        tbl = pq.read_table(p, columns=FWD_COLUMNS)
+        tbl = pq.read_table(p, columns=FWD_COLUMNS, use_threads=False)
         outs.append(explode(tbl))
     merged = pa.concat_tables(outs) if outs else None
     if merged is None or merged.num_rows == 0:
@@ -69,6 +75,7 @@ def _map_explode(paths: list[str], n_parts: int, num_buckets: int,
 def _reduce_build(part_id: int, out_dir: str, block_size: int,
                   max_seg_postings: int, n_salts: int,
                   *tables) -> dict:
+    _set_single_threaded_arrow()
     tables = [t for t in tables if t is not None and t.num_rows]
     if not tables:
         return {"part": part_id, "segments": 0, "postings": 0}

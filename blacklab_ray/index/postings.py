@@ -86,6 +86,8 @@ class ExplodePostings:
         self._hot = frozenset(STOPWORDS if hot_terms is None else hot_terms)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from blacklab_ray.util import pin_worker_arrow_threads
+        pin_worker_arrow_threads()
         terms_col = batch.column("terms").combine_chunks()
         flat_terms = pc.list_flatten(terms_col)
         parents = pc.list_parent_indices(terms_col).to_numpy(

@@ -68,6 +68,8 @@ class TokenizeForwardIndex:
         self._id_column = id_column
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from blacklab_ray.util import pin_worker_arrow_threads
+        pin_worker_arrow_threads()
         parents, tokens, positions, doc_lens = tokenize_column(
             batch.column("text"))
         n_docs = batch.num_rows

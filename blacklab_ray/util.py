@@ -1,0 +1,25 @@
+"""Small shared runtime helpers."""
+
+from __future__ import annotations
+
+_arrow_pinned = False
+
+
+def pin_worker_arrow_threads(n: int = 1) -> None:
+    """Cap pyarrow's per-process compute pool inside worker processes.
+
+    Every Ray worker process inherits Arrow's default pool size (= machine
+    CPUs); with 32 concurrent single-CPU tasks that is 32×32 threads
+    fighting over 32 cores. Called at the top of hot UDFs (idempotent,
+    first call only); the driver process is left alone.
+    """
+    global _arrow_pinned
+    if _arrow_pinned:
+        return
+    import pyarrow as pa
+    try:
+        pa.set_cpu_count(n)
+        pa.set_io_thread_count(max(2, n))
+    except Exception:
+        pass
+    _arrow_pinned = True
