@@ -185,11 +185,13 @@ def build_index(source: str | list[str] | ray.data.Dataset, index_dir: str,
         dt = time.perf_counter() - t0
         man.record("fwd", src_fp, pfp, seconds=round(dt, 3))
 
-    # ---- stage 2: corpus meta (single aggregate pass over fwd) ----------
+    # ---- stage 2: corpus meta (sort path: one aggregate pass over fwd;
+    # mapreduce path: derived driver-side after the exchange) ------------
     # The doc table is NOT rewritten — it IS the fwd Parquet read with
     # column pruning (doc_id, url, lang, doc_len, norm); a separate copy
     # would cost one more pipeline execution per build for no new bytes.
-    if not (resume and man.stage_complete("meta", src_fp, pfp)):
+    if params.exchange != "mapreduce" and \
+            not (resume and man.stage_complete("meta", src_fp, pfp)):
         t0 = time.perf_counter()
         from ray.data.aggregate import Count, Sum
         agg = ray.data.read_parquet(fwd_dir, columns=["doc_len"]) \
@@ -226,6 +228,7 @@ def build_index(source: str | list[str] | ray.data.Dataset, index_dir: str,
                          if v.get("complete")}
             if not completed:
                 _fresh_dir(post_dir)
+                _fresh_dir(os.path.join(index_dir, "terms_parts"))
             new_parts = run_postings_exchange(
                 fwd_dir, post_dir,
                 num_buckets=params.num_buckets, n_salts=params.n_salts,
@@ -242,19 +245,60 @@ def build_index(source: str | list[str] | ray.data.Dataset, index_dir: str,
             _build_postings_sort(params, man, src_fp, pfp, fwd_dir,
                                  post_dir, shard_info, t0)
 
-    # ---- stage 4: term stats (doubles as per-bucket lineage) ------------
+    # ---- stage 4: term stats (+ meta on the mapreduce path) -------------
+    terms_parts_dir = os.path.join(index_dir, "terms_parts")
     if not (resume and man.stage_complete("terms", src_fp, pfp)):
         t0 = time.perf_counter()
-        from ray.data.aggregate import Sum
-        stats = ray.data.read_parquet(
-            post_dir, columns=["term", "df_seg", "ctf_seg"]) \
-            .groupby("term") \
-            .aggregate(Sum("df_seg", alias_name="doc_freq"),
-                       Sum("ctf_seg", alias_name="collection_tf"))
-        _fresh_dir(terms_dir)
-        stats.write_parquet(terms_dir)
+        import pyarrow.parquet as pq
+        done = False
+        if params.exchange == "mapreduce" and os.path.isdir(terms_parts_dir):
+            # finish from the exchange's per-part stats: driver-side,
+            # vocab-sized — no extra pipeline over the postings
+            parts = pq.read_table(terms_parts_dir)
+            gb = parts.group_by("term").aggregate(
+                [("df_seg_sum", "sum"), ("ctf_seg_sum", "sum")])
+            stats_tbl = pa.table({
+                "term": gb["term"],
+                "doc_freq": gb["df_seg_sum_sum"].cast(pa.int64()),
+                "collection_tf": gb["ctf_seg_sum_sum"].cast(pa.int64()),
+            })
+            _fresh_dir(terms_dir)
+            pq.write_table(stats_tbl,
+                           os.path.join(terms_dir, "terms.parquet"))
+            done = True
+        if not done:
+            from ray.data.aggregate import Sum
+            stats = ray.data.read_parquet(
+                post_dir, columns=["term", "df_seg", "ctf_seg"]) \
+                .groupby("term") \
+                .aggregate(Sum("df_seg", alias_name="doc_freq"),
+                           Sum("ctf_seg", alias_name="collection_tf"))
+            _fresh_dir(terms_dir)
+            stats.write_parquet(terms_dir)
         dt = time.perf_counter() - t0
         man.record("terms", src_fp, pfp, seconds=round(dt, 3))
+
+    if params.exchange == "mapreduce" and \
+            not (resume and man.stage_complete("meta", src_fp, pfp)):
+        t0 = time.perf_counter()
+        import pyarrow.parquet as pq
+        n_docs = sum(pq.read_metadata(os.path.join(fwd_dir, f)).num_rows
+                     for f in os.listdir(fwd_dir)
+                     if f.endswith(".parquet"))
+        terms_tbl = pq.read_table(terms_dir, columns=["collection_tf"])
+        total_tokens = int(pa.compute.sum(
+            terms_tbl["collection_tf"]).as_py() or 0)
+        meta = {
+            "n_docs": n_docs,
+            "total_tokens": total_tokens,
+            "avg_doc_len": total_tokens / max(n_docs, 1),
+            "params": pfp,
+        }
+        with open(os.path.join(index_dir, "meta.json"), "w") as f:
+            json.dump(meta, f, indent=1)
+        man.record("meta", src_fp, pfp,
+                   seconds=round(time.perf_counter() - t0, 3),
+                   n_docs=n_docs, total_tokens=total_tokens)
 
     return man.data
 

@@ -92,6 +92,17 @@ def _reduce_build(part_id: int, out_dir: str, block_size: int,
         seg_tables.append(build_segments(
             t.slice(s, e - s), block_size, max_seg_postings, n_salts))
     segs = pa.concat_tables(seg_tables)
+    # per-part term stats (term, df, ctf) — the terms side table is
+    # finished on the driver from these, avoiding a whole extra
+    # groupby pipeline over the postings afterwards
+    stats = segs.select(["term", "df_seg", "ctf_seg"]).group_by("term") \
+        .aggregate([("df_seg", "sum"), ("ctf_seg", "sum")])
+    tdir = os.path.join(os.path.dirname(out_dir.rstrip("/")),
+                        "terms_parts")
+    os.makedirs(tdir, exist_ok=True)
+    tpath = os.path.join(tdir, f"part-{part_id:05d}.parquet")
+    pq.write_table(stats, tpath + ".tmp")
+    os.replace(tpath + ".tmp", tpath)
     # one file per (bucket, reduce-part) under the hive layout the
     # query side prunes on
     buckets = segs.column("bucket").to_numpy(zero_copy_only=False)
