@@ -39,9 +39,21 @@ from blacklab_ray.index.postings import (
 FWD_COLUMNS = ["doc_id", "norm", "terms", "tfs", "pos"]
 
 
+def _part_of(gkey: np.ndarray, n_parts: int) -> np.ndarray:
+    """Reduce-part assignment: multiplicative hash of gkey.
+
+    NOT ``gkey % n_parts`` — gkey = bucket * n_salts + salt, and when
+    n_parts is a multiple of n_salts that modulus collapses all salt-0
+    (i.e. every non-hot term's) mass onto n_salts of the parts: one
+    profiled reduce held 3.2M of 29M rows while its neighbor held ~none.
+    """
+    h = (gkey.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+    return ((h >> np.uint64(32)).astype(np.int64)) % n_parts
+
+
 def _split_by_part(tbl: pa.Table, n_parts: int, n_salts: int) -> list:
     gkey = tbl.column("gkey").to_numpy(zero_copy_only=False)
-    part = gkey % n_parts
+    part = _part_of(gkey, n_parts)
     order = np.argsort(part, kind="stable")
     sorted_tbl = tbl.take(pa.array(order))
     counts = np.bincount(part, minlength=n_parts)

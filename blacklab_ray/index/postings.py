@@ -80,10 +80,19 @@ class ExplodePostings:
 
     def __init__(self, num_buckets: int = DEFAULT_BUCKETS,
                  n_salts: int = DEFAULT_SALTS,
-                 hot_terms: tuple[str, ...] | None = None):
+                 hot_terms: tuple[str, ...] | None = None,
+                 hot_df_frac: float = 0.05):
         self._buckets = num_buckets
         self._salts = n_salts
         self._hot = frozenset(STOPWORDS if hot_terms is None else hot_terms)
+        # frequency-adaptive salting: any term matching > hot_df_frac of
+        # this batch's docs is salted too. Correct under local decisions:
+        # each (term, doc) pair is globally unique, so whatever rule its
+        # batch applies, it lands in exactly one shuffle group and the
+        # term's segments stay doc-disjoint. The static stopword list
+        # alone missed the Zipf mid-head (profiled reduce skew: 3.5M-row
+        # part vs 20k-row part on the synthetic corpus).
+        self._hot_frac = hot_df_frac
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from blacklab_ray.util import pin_worker_arrow_threads
@@ -105,6 +114,10 @@ class ExplodePostings:
         uniq_buckets = np.array([hash64(t) % self._buckets for t in uniq],
                                 dtype=np.int64)
         uniq_hot = np.array([t in self._hot for t in uniq], dtype=bool)
+        if self._hot_frac and batch.num_rows:
+            df_local = np.bincount(codes, minlength=len(uniq))
+            uniq_hot |= df_local > max(64.0,
+                                       self._hot_frac * batch.num_rows)
         bucket = uniq_buckets[codes]
         hot = uniq_hot[codes]
         salt = np.zeros(doc_rep.size, dtype=np.int64)

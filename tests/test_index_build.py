@@ -68,25 +68,48 @@ def _logical_postings(idx: str):
     return rows
 
 
+def _merged_postings(idx: str) -> dict:
+    """term → sorted [(doc_id, tf), ...] merged across salted segments."""
+    import numpy as np
+
+    from blacklab_ray.codec.vbyte import delta_decode, vbyte_decode
+    out: dict = {}
+    for r in _logical_postings(idx):
+        pairs = out.setdefault(r["term"], [])
+        for blk in r["blocks"]:
+            d = delta_decode(blk["docs"])
+            t = vbyte_decode(blk["tfs"]).astype(np.int64)
+            pairs.extend(zip(d.tolist(), t.tolist()))
+    return {k: sorted(v) for k, v in out.items()}
+
+
 def test_build_determinism_across_partitioning(ray_session,
                                                small_corpus_dir, tmp_path):
-    """Same logical index regardless of batch size / shard layout."""
+    """Retry determinism: same params+layout → identical segments.
+    Cross-layout/exchange: identical fwd bytes and identical merged
+    per-term postings (physical segment split may differ because salting
+    is frequency-adaptive per batch)."""
     a = str(tmp_path / "a")
     b = str(tmp_path / "b")
-    # different batch size AND different exchange implementation (raw-Ray
-    # map/reduce vs Dataset sort) must yield the identical logical index
+    c = str(tmp_path / "c")
     build_index(small_corpus_dir, a,
                 BuildParams(num_buckets=4, n_salts=2, batch_size=32,
                             exchange="sort"))
     build_index(small_corpus_dir, b,
                 BuildParams(num_buckets=4, n_salts=2, batch_size=256,
                             bucket_shards=2, exchange="mapreduce"))
-    ra = _logical_postings(a)
-    rb = _logical_postings(b)
-    assert ra == rb
+    build_index(small_corpus_dir, c,
+                BuildParams(num_buckets=4, n_salts=2, batch_size=32,
+                            exchange="sort"))
+    assert _logical_postings(a) == _logical_postings(c)  # exact retry
+    assert _merged_postings(a) == _merged_postings(b)    # cross-layout
     da = pq.read_table(os.path.join(a, "fwd")).sort_by("doc_id")
     db = pq.read_table(os.path.join(b, "fwd")).sort_by("doc_id")
     assert da.equals(db)
+    # term stats identical too
+    ta = pq.read_table(os.path.join(a, "terms")).sort_by("term")
+    tb = pq.read_table(os.path.join(b, "terms")).sort_by("term")
+    assert ta.equals(tb)
 
 
 def test_hot_term_salting_and_segment_split(small_index):
