@@ -1,0 +1,142 @@
+"""Command-line entry points (IndexTool / FrequencyTool analogues).
+
+Mirrors the reference's CLI surface (tools/src/main/java/nl/inl/blacklab/
+tools/IndexTool.java:44 — {create|add|delete} index input format — and
+FrequencyTool.java:55) as subcommands over the Ray engine:
+
+    python -m blacklab_ray.cli build  --input DIR --index DIR [--extract-html]
+    python -m blacklab_ray.cli search --index DIR --terms a,b --mode or -k 10
+    python -m blacklab_ray.cli phrase --index DIR --terms a,b -k 10
+    python -m blacklab_ray.cli freq   --input DIR --group-by lang --out DIR
+    python -m blacklab_ray.cli gen    --out DIR --docs 10000
+
+Owns its Ray session (guarded init), unlike the library code.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ray_session():
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False,
+                 ignore_reinit_error=True, logging_level="ERROR")
+    import ray.data
+    ray.data.DataContext.get_current().enable_progress_bars = False
+    return ray
+
+
+def cmd_build(args) -> int:
+    _ray_session()
+    from blacklab_ray.index import BuildParams, build_index
+    man = build_index(
+        args.input, args.index,
+        BuildParams(num_buckets=args.buckets, n_salts=args.salts,
+                    extract_html=args.extract_html,
+                    trust_text=not args.extract_html,
+                    id_column=args.id_column),
+        resume=not args.no_resume)
+    print(json.dumps({k: {kk: vv for kk, vv in v.items()
+                          if kk in ("seconds", "n_docs", "total_tokens")}
+                      for k, v in man["stages"].items()}, indent=1))
+    return 0
+
+
+def cmd_search(args) -> int:
+    from blacklab_ray.query import IndexReader, search
+    reader = IndexReader(args.index)
+    res = search(reader, args.terms.split(","), k=args.k, mode=args.mode,
+                 algo=args.algo, resolve_urls=True)
+    for row in res.to_pylist():
+        print(json.dumps(row))
+    return 0
+
+
+def cmd_phrase(args) -> int:
+    from blacklab_ray.query import IndexReader, phrase_search
+    reader = IndexReader(args.index)
+    res = phrase_search(reader, args.terms.split(","), k=args.k,
+                        resolve_urls=True)
+    for row in res.to_pylist():
+        print(json.dumps(row))
+    return 0
+
+
+def cmd_freq(args) -> int:
+    ray = _ray_session()
+    import ray.data
+
+    from blacklab_ray.pipelines import frequency
+    ds = ray.data.read_parquet(args.input)
+    if args.group_by:
+        out = frequency.freq_by(ds, args.group_by, text_col=args.text_col)
+    else:
+        out = frequency.term_frequencies(ds, text_col=args.text_col)
+    if args.out:
+        out.write_csv(args.out)
+        print(f"wrote {args.out}")
+    else:
+        for row in out.limit(args.limit).take_all():
+            print(json.dumps(row))
+    return 0
+
+
+def cmd_gen(args) -> int:
+    from blacklab_ray.sources.synth import write_pages_corpus
+    paths = write_pages_corpus(args.out, args.docs, n_shards=args.shards)
+    print(json.dumps({"files": len(paths), "docs": args.docs}))
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="blacklab_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build")
+    b.add_argument("--input", required=True)
+    b.add_argument("--index", required=True)
+    b.add_argument("--buckets", type=int, default=32)
+    b.add_argument("--salts", type=int, default=8)
+    b.add_argument("--extract-html", action="store_true")
+    b.add_argument("--id-column", default="url")
+    b.add_argument("--no-resume", action="store_true")
+    b.set_defaults(fn=cmd_build)
+
+    s = sub.add_parser("search")
+    s.add_argument("--index", required=True)
+    s.add_argument("--terms", required=True)
+    s.add_argument("--mode", default="or", choices=["or", "and"])
+    s.add_argument("--algo", default="wand", choices=["wand", "taat"])
+    s.add_argument("-k", type=int, default=10)
+    s.set_defaults(fn=cmd_search)
+
+    ph = sub.add_parser("phrase")
+    ph.add_argument("--index", required=True)
+    ph.add_argument("--terms", required=True)
+    ph.add_argument("-k", type=int, default=10)
+    ph.set_defaults(fn=cmd_phrase)
+
+    f = sub.add_parser("freq")
+    f.add_argument("--input", required=True)
+    f.add_argument("--group-by", default=None)
+    f.add_argument("--text-col", default="text")
+    f.add_argument("--out", default=None)
+    f.add_argument("--limit", type=int, default=50)
+    f.set_defaults(fn=cmd_freq)
+
+    g = sub.add_parser("gen")
+    g.add_argument("--out", required=True)
+    g.add_argument("--docs", type=int, default=10_000)
+    g.add_argument("--shards", type=int, default=8)
+    g.set_defaults(fn=cmd_gen)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -29,6 +29,7 @@ import os
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray
 
@@ -37,6 +38,20 @@ from blacklab_ray.index.postings import (
 )
 
 FWD_COLUMNS = ["doc_id", "norm", "terms", "tfs", "pos"]
+
+
+def _encode_terms_as_codes(tbl: pa.Table) -> tuple[pa.Table, pa.Table]:
+    """Replace the term string column with map-local int32 codes.
+
+    Term strings are ~30% of exchange bytes and the most expensive thing
+    to gather/sort; at 10^12 docs you never shuffle strings. Returns
+    (rows-with-term_code, dictionary-table(term) indexed by code).
+    """
+    d = pc.dictionary_encode(tbl.column("term").combine_chunks())
+    codes = d.indices.cast(pa.int32())
+    rows = tbl.drop_columns(["term"]).append_column("term_code", codes)
+    vocab = pa.table({"term": d.dictionary})
+    return rows, vocab
 
 
 def _part_of(gkey: np.ndarray, n_parts: int) -> np.ndarray:
@@ -70,7 +85,9 @@ def _set_single_threaded_arrow():
 
 
 def _map_explode(paths: list[str], n_parts: int, num_buckets: int,
-                 n_salts: int, hot_terms) -> list[pa.Table]:
+                 n_salts: int, hot_terms) -> list:
+    """Returns n_parts part-tables + the map-local term dictionary as the
+    final (index n_parts) return value."""
     _set_single_threaded_arrow()
     explode = ExplodePostings(num_buckets=num_buckets, n_salts=n_salts,
                               hot_terms=hot_terms)
@@ -80,21 +97,45 @@ def _map_explode(paths: list[str], n_parts: int, num_buckets: int,
         outs.append(explode(tbl))
     merged = pa.concat_tables(outs) if outs else None
     if merged is None or merged.num_rows == 0:
-        return [None] * n_parts
-    return _split_by_part(merged.combine_chunks(), n_parts, n_salts)
+        return [None] * (n_parts + 1)
+    rows, vocab = _encode_terms_as_codes(merged.combine_chunks())
+    return _split_by_part(rows, n_parts, n_salts) + [vocab]
 
 
 def _reduce_build(part_id: int, out_dir: str, block_size: int,
-                  max_seg_postings: int, n_salts: int,
-                  *tables) -> dict:
+                  max_seg_postings: int, n_salts: int, n_maps: int,
+                  *objs) -> dict:
     _set_single_threaded_arrow()
-    tables = [t for t in tables if t is not None and t.num_rows]
-    if not tables:
+    tables = list(objs[:n_maps])      # aligned with vocabs by map index
+    vocabs = list(objs[n_maps:])
+    live = [(i, t) for i, t in enumerate(tables)
+            if t is not None and t.num_rows]
+    if not live:
         return {"part": part_id, "segments": 0, "postings": 0}
-    t = pa.concat_tables(tables).combine_chunks()
+    # global term codes: concat per-map vocabularies, dedupe once (C++),
+    # then offset+remap each table's map-local codes
+    vocab_sizes = [len(vocabs[i]["term"]) if vocabs[i] is not None else 0
+                   for i in range(n_maps)]
+    offsets = np.zeros(n_maps + 1, dtype=np.int64)
+    offsets[1:] = np.cumsum(vocab_sizes)
+    concat_vocab = pa.concat_tables(
+        [v for v in vocabs if v is not None])["term"].combine_chunks()
+    dvocab = pc.dictionary_encode(concat_vocab)
+    concat_to_global = dvocab.indices.to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    global_vocab = dvocab.dictionary
+    code_arrays = []
+    for i, t in live:
+        local = t.column("term_code").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        code_arrays.append(concat_to_global[local + offsets[i]])
+    gcodes = np.concatenate(code_arrays)
+    t = pa.concat_tables([t.drop_columns(["term_code"])
+                          for _, t in live]).combine_chunks()
     gkey = t.column("gkey").to_numpy(zero_copy_only=False)
     order = np.argsort(gkey, kind="stable")
     t = t.take(pa.array(order))
+    gcodes = gcodes[order]
     gkey = gkey[order]
     bounds = np.flatnonzero(np.diff(gkey)) + 1
     starts = np.concatenate(([0], bounds))
@@ -102,7 +143,8 @@ def _reduce_build(part_id: int, out_dir: str, block_size: int,
     seg_tables = []
     for s, e in zip(starts.tolist(), ends.tolist()):
         seg_tables.append(build_segments(
-            t.slice(s, e - s), block_size, max_seg_postings, n_salts))
+            t.slice(s, e - s), block_size, max_seg_postings, n_salts,
+            codes=gcodes[s:e], vocab=global_vocab))
     segs = pa.concat_tables(seg_tables)
     # per-part term stats (term, df, ctf) — the terms side table is
     # finished on the driver from these, avoiding a whole extra
@@ -152,12 +194,13 @@ def run_postings_exchange(fwd_dir: str, out_dir: str, *, num_buckets: int,
     chunks = [files[i:i + files_per_map]
               for i in range(0, len(files), files_per_map)]
 
-    map_task = ray.remote(num_returns=n_parts)(_map_explode)
+    map_task = ray.remote(num_returns=n_parts + 1)(_map_explode)
     reduce_task = ray.remote(_reduce_build)
 
     map_out = [map_task.remote(c, n_parts, num_buckets, n_salts, hot_terms)
                for c in chunks]
-    # transpose: refs per part
+    vocab_refs = [m[n_parts] for m in map_out]
+    # transpose: refs per part (+ every map's term dictionary)
     reduce_refs = []
     for p in range(n_parts):
         if p in completed:
@@ -165,7 +208,7 @@ def run_postings_exchange(fwd_dir: str, out_dir: str, *, num_buckets: int,
         part_inputs = [m[p] for m in map_out]
         reduce_refs.append(reduce_task.remote(
             p, out_dir, block_size, max_seg_postings, n_salts,
-            *part_inputs))
+            len(map_out), *part_inputs, *vocab_refs))
     results = ray.get(reduce_refs)
     return {str(r["part"]): {"complete": True,
                              "segments": r["segments"],

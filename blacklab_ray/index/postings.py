@@ -140,19 +140,25 @@ class ExplodePostings:
 
 def build_segments(group: pa.Table, block_size: int = BLOCK_SIZE,
                    max_seg_postings: int = MAX_SEG_POSTINGS,
-                   n_salts: int = DEFAULT_SALTS) -> pa.Table:
+                   n_salts: int = DEFAULT_SALTS,
+                   codes: np.ndarray | None = None,
+                   vocab: pa.Array | None = None) -> pa.Table:
     """``map_groups`` body: one shuffle group (gkey) → segment rows.
 
     Sorts by (term, doc_id) — doc-ascending order is required for delta
     coding and WAND (the analogue of BlackLab's automatic sort/unique
     guards, search/lucene/SpanQuerySorted.java) — then packs each term's
-    postings into blocks.
+    postings into blocks. When ``codes``/``vocab`` are given (the
+    map/reduce exchange's string-free path) the ``term`` column is not
+    required.
     """
     if group.num_rows == 0:
         return SEGMENT_SCHEMA.empty_table()
-    d = pc.dictionary_encode(group.column("term").combine_chunks())
-    codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-    uniq = d.dictionary.to_pylist()
+    if codes is None:
+        d = pc.dictionary_encode(group.column("term").combine_chunks())
+        codes = d.indices.to_numpy(zero_copy_only=False)
+        vocab = d.dictionary
+    codes = np.asarray(codes, dtype=np.int64)
     doc_ids = group.column("doc_id").to_numpy(zero_copy_only=False)
     tfs = group.column("tf").to_numpy(zero_copy_only=False).astype(np.int64)
     norms = group.column("norm").to_numpy(zero_copy_only=False)
@@ -278,7 +284,7 @@ def build_segments(group: pa.Table, block_size: int = BLOCK_SIZE,
 
     ctf_cum = np.zeros(sd.size + 1, dtype=np.int64)
     ctf_cum[1:] = np.cumsum(stf)
-    term_values = pc.take(d.dictionary, pa.array(seg_term))
+    term_values = pc.take(vocab, pa.array(seg_term))
     return pa.Table.from_arrays([
         term_values.combine_chunks() if isinstance(term_values,
                                                    pa.ChunkedArray)

@@ -1,0 +1,154 @@
+"""Tests for the extended operator surface: pattern expansion, filtered
+search, counts, facets, sampling, forward-index KWIC, pipelines."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from blacklab_ray.query import IndexReader, search_taat
+from blacklab_ray.query.engine import (
+    count_hits, expand_terms, search_filtered, search_pattern,
+)
+
+
+@pytest.fixture(scope="module")
+def reader(small_index):
+    return IndexReader(small_index)
+
+
+def test_expand_prefix_wildcard_regex(reader, small_oracle):
+    vocab = set(small_oracle.doc_freq())
+    exp = sorted(t for t in vocab if t.startswith("w0001"))
+    assert expand_terms(reader, "w0001", "prefix") == exp
+    assert expand_terms(reader, "w0001*", "wildcard") == exp
+    assert expand_terms(reader, "w0001.*", "regex") == exp
+    # '?' wildcard: exactly one char
+    one = sorted(t for t in vocab if len(t) == 7 and
+                 t.startswith("w00010"))
+    assert expand_terms(reader, "w00010?", "wildcard") == one
+
+
+def test_expand_fuzzy(reader, small_oracle):
+    vocab = set(small_oracle.doc_freq())
+    target = next(iter(sorted(vocab)))
+    got = expand_terms(reader, "the", "fuzzy", max_edits=1)
+    def dist1(a, b):
+        if a == b:
+            return True
+        if abs(len(a) - len(b)) > 1:
+            return False
+        # brute force check
+        import itertools
+        alpha = "abcdefghijklmnopqrstuvwxyz0123456789"
+        cands = {a[:i] + a[i+1:] for i in range(len(a))}
+        cands |= {a[:i] + c + a[i:] for i in range(len(a)+1) for c in alpha}
+        cands |= {a[:i] + c + a[i+1:] for i in range(len(a)) for c in alpha}
+        return b in cands
+    exp = sorted(t for t in vocab if dist1("the", t))
+    assert got == exp
+
+
+def test_search_pattern_matches_multi_term_or(reader, small_oracle):
+    terms = expand_terms(reader, "w0001", "prefix")
+    a = search_pattern(reader, "w0001", "prefix", k=15, algo="taat")
+    b = search_taat(reader, terms, k=15)
+    assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist()
+
+
+def test_search_filtered(reader, small_oracle):
+    # allowed = half the docs; results must be the subset restricted to it
+    all_ids = sorted(small_oracle.docs)
+    allowed = np.array(all_ids[: len(all_ids) // 2], dtype=np.int64)
+    full = search_taat(reader, ["the", "of"], k=10**9)
+    filt = search_filtered(reader, ["the", "of"], allowed, k=10**9)
+    keep = set(allowed.tolist())
+    exp = [(d, s) for d, s in zip(full["doc_id"].to_pylist(),
+                                  full["score"].to_pylist()) if d in keep]
+    got = list(zip(filt["doc_id"].to_pylist(), filt["score"].to_pylist()))
+    assert got == exp
+
+
+def test_count_hits(reader, small_oracle):
+    df = small_oracle.doc_freq()
+    ctf = small_oracle.collection_tf()
+    t = count_hits(reader, ["the"])
+    assert t["n_docs"][0].as_py() == df["the"]
+    assert t["n_hits"][0].as_py() == ctf["the"]
+    t2 = count_hits(reader, ["zz_nohit"])
+    assert t2["n_docs"][0].as_py() == 0
+
+
+def test_facets_and_sample(ray_session, small_corpus_dir):
+    import ray.data
+
+    from blacklab_ray.pipelines import hits
+    ds = ray.data.read_parquet(small_corpus_dir)
+    ds = ds.map_batches(
+        lambda t: t.append_column(
+            "doc_id", pa.array(range(t.num_rows), pa.int64())),
+        batch_format="pyarrow")
+    fac = hits.facets(ds, "the", ["lang"]).to_pandas()
+    assert set(fac["facet"]) == {"lang"}
+    assert (fac["n_hits"] >= fac["n_docs"]).all()
+    # deterministic sampling: same seed → same rows; frac bounds roughly
+    a = hits.sample_hits(ds, "the", 0.3, seed=5).to_pandas()
+    b = hits.sample_hits(ds, "the", 0.3, seed=5).to_pandas()
+    full = hits.find_hits(ds, "the").to_pandas()
+    assert len(a) == len(b)
+    assert 0 < len(a) < len(full)
+    pa_ = a.sort_values(["doc_id", "pos"]).reset_index(drop=True)
+    pb_ = b.sort_values(["doc_id", "pos"]).reset_index(drop=True)
+    assert pa_.equals(pb_)
+
+
+def test_kwic_fwd_matches_text_kwic(ray_session, small_index,
+                                    small_corpus_dir):
+    import ray.data
+
+    from blacklab_ray.pipelines import hits
+    from blacklab_ray.stages.tokenize import hash64
+    fwd_kwic = hits.kwic_from_forward_index(small_index, "the",
+                                            context=2).to_pandas()
+    ds = ray.data.read_parquet(small_corpus_dir)
+    ds = ds.map_batches(
+        lambda t: t.append_column(
+            "doc_id", pa.array([hash64(u) for u in
+                                t["url"].to_pylist()], pa.int64())),
+        batch_format="pyarrow")
+    txt_kwic = hits.kwic(ds, "the", context=2).to_pandas()
+    fa = fwd_kwic.sort_values(["doc_id", "pos"]).reset_index(drop=True)
+    tb = txt_kwic.sort_values(["doc_id", "pos"]).reset_index(drop=True)
+    assert fa.equals(tb)
+
+
+def test_mapreduce_resume_skips_parts(ray_session, small_corpus_dir,
+                                      tmp_path):
+    import json
+    import os
+
+    from blacklab_ray.index import BuildParams, build_index
+    idx = str(tmp_path / "idx")
+    p = BuildParams(num_buckets=4, n_salts=2)
+    build_index(small_corpus_dir, idx, p)
+    with open(os.path.join(idx, "manifest.json")) as f:
+        man = json.load(f)
+    shards = man["stages"]["postings_shards"]["shards"]
+    assert all(v["complete"] for v in shards.values())
+    # simulate a partial build: mark postings incomplete, keep part files
+    man["stages"]["postings"]["complete"] = False
+    removed = sorted(shards)[-1]
+    del shards[removed]
+    with open(os.path.join(idx, "manifest.json"), "w") as f:
+        json.dump(man, f)
+    post_dir = os.path.join(idx, "postings")
+    before = {os.path.join(r, fl): os.path.getmtime(os.path.join(r, fl))
+              for r, _, fs in os.walk(post_dir) for fl in fs}
+    build_index(small_corpus_dir, idx, p, resume=True)
+    after = {os.path.join(r, fl): os.path.getmtime(os.path.join(r, fl))
+             for r, _, fs in os.walk(post_dir) for fl in fs}
+    # files of completed parts untouched; only the removed part rewritten
+    suffix = f"part-{int(removed):05d}.parquet"
+    for path, mt in before.items():
+        if path.endswith(suffix):
+            continue
+        assert after[path] == mt, path
