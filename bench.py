@@ -145,6 +145,16 @@ def run_bench(num_cpus: int) -> dict:
     timings["index_build_tokens_per_sec"] = round(
         reader.meta["total_tokens"] / t_build, 1)
 
+    if os.environ.get("BLRAY_BUILD_ONLY"):
+        result = {
+            "metric": "index build only (scaling mode)",
+            "value": t_build, "unit": "sec", "queries": timings,
+            "sf": sf_dir, "num_cpus": num_cpus, "n_docs": reader.n_docs,
+            "total_tokens": reader.meta["total_tokens"],
+        }
+        ray.shutdown()
+        return result
+
     # ---- reference query set via Block-Max WAND ------------------------
     queries = _gen_queries()
     lat = []
@@ -215,7 +225,8 @@ def run_scaling() -> dict:
     for n in (8, 32):
         best = None
         for _ in range(2):
-            env = dict(os.environ, RAY_GRAFT_CPUS=str(n))
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(n),
+                       BLRAY_BUILD_ONLY="1")
             p = subprocess.run([sys.executable, os.path.abspath(__file__)],
                                env=env, capture_output=True, text=True,
                                check=True)
