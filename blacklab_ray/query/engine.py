@@ -293,19 +293,33 @@ def search_wand(reader: IndexReader, terms: list[str], k: int = 10,
     return _result_table(reader, doc_ids, scores, resolve_urls)
 
 
-def search(reader: IndexReader, terms: list[str], k: int = 10,
-           mode: str = "or", algo: str = "wand", quantize: bool = True,
-           resolve_urls: bool = False) -> pa.Table:
-    """Front door: OR via WAND (or TAAT), AND via DAAT intersection.
+AUTO_TAAT_MAX_POSTINGS = 5_000_000
 
-    Single-term queries always take the vectorized scorer — WAND's
-    doc-at-a-time machinery cannot skip anything when one iterator's
-    upper bound is the whole threshold, so the numpy path strictly wins.
+
+def search(reader: IndexReader, terms: list[str], k: int = 10,
+           mode: str = "or", algo: str = "auto", quantize: bool = True,
+           resolve_urls: bool = False) -> pa.Table:
+    """Front door: OR via WAND/TAAT, AND via DAAT intersection.
+
+    ``algo="auto"`` is cost-based: when the query terms' total df is
+    small enough that decoding every posting is cheap (vectorized numpy
+    beats doc-at-a-time Python by ~10×), use TAAT; above the threshold,
+    Block-Max WAND's skipping wins — at 10^12 docs a stopword list can
+    never be fully decoded, which is WAND's whole reason to exist.
+    Single-term queries always take the vectorized scorer (one iterator's
+    upper bound IS the threshold — WAND cannot skip anything).
     """
     if mode == "and":
         return search_taat(reader, terms, k, "and", quantize, resolve_urls)
-    if algo == "taat" or len(dict.fromkeys(terms)) == 1:
+    uniq = list(dict.fromkeys(terms))
+    if algo == "taat" or len(uniq) == 1:
         return search_taat(reader, terms, k, "or", quantize, resolve_urls)
+    if algo == "auto":
+        stats = reader.term_stats(uniq)
+        total_df = sum(df for df, _ in stats.values())
+        if total_df <= AUTO_TAAT_MAX_POSTINGS:
+            return search_taat(reader, terms, k, "or", quantize,
+                               resolve_urls)
     return search_wand(reader, terms, k, quantize, resolve_urls)
 
 

@@ -75,6 +75,9 @@ def test_oracle_keys_subset(entry_mod):
     "collocations_spark", "kwic_spark", "freq_by_lang", "dedup_exact",
     "fingerprints", "ann_topk", "emb_dup_pairs", "quality_by_source",
     "token_count_by_lang", "events_hourly", "events_sessions",
+    "wildcard_or_scores", "bm25_filtered_en", "fuzzy_expand",
+    "regex_expand", "hit_counts", "top_docs_by_len", "kwic_fwd",
+    "facets_spark",
 ])
 def test_query_matches_oracle(entry_mod, con, name):
     ray_df = _norm(_to_pandas(entry_mod.queries()[name](SF_DIR)))
