@@ -395,6 +395,7 @@ scored AS (
   FROM tf
   JOIN stats USING (term)
   JOIN qdl ON qdl.doc_id = tf.doc_id, corpus
+  WHERE 1 = 1{filt}
 )
 SELECT doc_id, round(sum(idf * w), 4) AS score{rank_sel}
 FROM scored GROUP BY doc_id {and_having} {limit}
