@@ -104,7 +104,7 @@ def _map_explode(paths: list[str], n_parts: int, num_buckets: int,
 
 def _reduce_build(part_id: int, out_dir: str, block_size: int,
                   max_seg_postings: int, n_salts: int, n_maps: int,
-                  *objs) -> dict:
+                  part_suffix: str, *objs) -> dict:
     _set_single_threaded_arrow()
     tables = list(objs[:n_maps])      # aligned with vocabs by map index
     vocabs = list(objs[n_maps:])
@@ -154,7 +154,7 @@ def _reduce_build(part_id: int, out_dir: str, block_size: int,
     tdir = os.path.join(os.path.dirname(out_dir.rstrip("/")),
                         "terms_parts")
     os.makedirs(tdir, exist_ok=True)
-    tpath = os.path.join(tdir, f"part-{part_id:05d}.parquet")
+    tpath = os.path.join(tdir, f"part-{part_id:05d}{part_suffix}.parquet")
     pq.write_table(stats, tpath + ".tmp")
     os.replace(tpath + ".tmp", tpath)
     # one file per (bucket, reduce-part) under the hive layout the
@@ -166,7 +166,8 @@ def _reduce_build(part_id: int, out_dir: str, block_size: int,
         sub = sub.drop_columns(["bucket"])
         bdir = os.path.join(out_dir, f"bucket={int(b)}")
         os.makedirs(bdir, exist_ok=True)
-        path = os.path.join(bdir, f"part-{part_id:05d}.parquet")
+        path = os.path.join(bdir,
+                            f"part-{part_id:05d}{part_suffix}.parquet")
         pq.write_table(sub, path + ".tmp", row_group_size=1024)
         os.replace(path + ".tmp", path)
         n_segments += sub.num_rows
@@ -179,7 +180,8 @@ def run_postings_exchange(fwd_dir: str, out_dir: str, *, num_buckets: int,
                           max_seg_postings: int,
                           n_parts: int | None = None,
                           files_per_map: int = 4,
-                          completed_parts: set[int] | None = None) -> dict:
+                          completed_parts: set[int] | None = None,
+                          part_suffix: str = "") -> dict:
     """Run the map/reduce postings exchange; returns per-part lineage.
 
     ``completed_parts`` (from the manifest) are skipped — their output
@@ -208,7 +210,7 @@ def run_postings_exchange(fwd_dir: str, out_dir: str, *, num_buckets: int,
         part_inputs = [m[p] for m in map_out]
         reduce_refs.append(reduce_task.remote(
             p, out_dir, block_size, max_seg_postings, n_salts,
-            len(map_out), *part_inputs, *vocab_refs))
+            len(map_out), part_suffix, *part_inputs, *vocab_refs))
     results = ray.get(reduce_refs)
     return {str(r["part"]): {"complete": True,
                              "segments": r["segments"],

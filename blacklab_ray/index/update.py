@@ -1,0 +1,170 @@
+"""Incremental index maintenance: append / delete / update documents.
+
+Parity with BlackLab's Indexer.index()/update()/delete-by-pid lifecycle
+(engine/src/main/java/nl/inl/blacklab/index/Indexer.java:159-219,
+IndexerImpl.delete): new documents become *additional* posting segments —
+exactly how Lucene adds segments without touching existing ones — and the
+query side's per-term k-way segment merge (reader.segments) absorbs them
+with no code change. Deletes are tombstones (doc_id set) filtered at
+scoring time; a later compaction (round 2) can fold them in. Corpus
+statistics keep counting tombstoned docs until compaction, matching
+Lucene's deleted-docs-until-merge behavior.
+
+Updates re-add a url under a new generation-salted doc_id
+(hash64(f"{url}@g{gen}")) and tombstone the previous id, so the
+content-addressed id scheme stays deterministic.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import pyarrow.parquet as pq
+import ray
+import ray.data
+
+from blacklab_ray.index.build import BuildParams, Manifest, _fresh_dir
+from blacklab_ray.index.exchange import run_postings_exchange
+from blacklab_ray.stages.extract import HtmlExtractor
+from blacklab_ray.stages.tokenize import TokenizeForwardIndex, hash64
+
+
+def _load_updates(index_dir: str) -> dict:
+    p = os.path.join(index_dir, "updates.json")
+    if os.path.exists(p):
+        with open(p) as f:
+            return json.load(f)
+    return {"generation": 0, "tombstones": []}
+
+
+def _save_updates(index_dir: str, upd: dict) -> None:
+    p = os.path.join(index_dir, "updates.json")
+    with open(p + ".tmp", "w") as f:
+        json.dump(upd, f)
+    os.replace(p + ".tmp", p)
+
+
+def _refresh_terms_and_meta(index_dir: str) -> None:
+    """Recompute terms table + meta from all exchange part stats."""
+    import pyarrow as pa
+    terms_parts = os.path.join(index_dir, "terms_parts")
+    terms_dir = os.path.join(index_dir, "terms")
+    parts = pq.read_table(terms_parts)
+    gb = parts.group_by("term").aggregate(
+        [("df_seg_sum", "sum"), ("ctf_seg_sum", "sum")])
+    stats = pa.table({
+        "term": gb["term"],
+        "doc_freq": gb["df_seg_sum_sum"].cast(pa.int64()),
+        "collection_tf": gb["ctf_seg_sum_sum"].cast(pa.int64()),
+    })
+    _fresh_dir(terms_dir)
+    pq.write_table(stats, os.path.join(terms_dir, "terms.parquet"))
+    fwd_dir = os.path.join(index_dir, "fwd")
+    n_docs = sum(pq.read_metadata(os.path.join(fwd_dir, f)).num_rows
+                 for f in os.listdir(fwd_dir) if f.endswith(".parquet"))
+    total_tokens = int(pa.compute.sum(stats["collection_tf"]).as_py() or 0)
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    meta.update(n_docs=n_docs, total_tokens=total_tokens,
+                avg_doc_len=total_tokens / max(n_docs, 1))
+    with open(os.path.join(index_dir, "meta.json"), "w") as f:
+        json.dump(meta, f, indent=1)
+
+
+def add_documents(index_dir: str, source, params: BuildParams | None = None,
+                  generation: int | None = None) -> dict:
+    """Append documents to an existing index (new segments, no rewrite).
+
+    ``source``: path(s) to pages Parquet or a Dataset (same schema as the
+    original build). Returns the update record.
+    """
+    params = params or BuildParams()
+    upd = _load_updates(index_dir)
+    gen = generation if generation is not None else upd["generation"] + 1
+    fwd_dir = os.path.join(index_dir, "fwd")
+    post_dir = os.path.join(index_dir, "postings")
+
+    if isinstance(source, str):
+        source = [source]
+    if isinstance(source, list):
+        paths = []
+        for p in source:
+            if os.path.isdir(p):
+                paths += [os.path.join(p, f) for f in sorted(os.listdir(p))
+                          if f.endswith(".parquet")]
+            else:
+                paths.append(p)
+        ds = ray.data.read_parquet(paths)
+    else:
+        ds = source
+
+    t0 = time.perf_counter()
+    before = set(os.listdir(fwd_dir))
+    if params.extract_html:
+        ds = ds.map_batches(HtmlExtractor(trust_text=params.trust_text),
+                            batch_format="pyarrow",
+                            batch_size=params.batch_size)
+    ds = ds.map_batches(TokenizeForwardIndex(id_column=params.id_column),
+                        batch_format="pyarrow",
+                        batch_size=params.batch_size)
+    ds.write_parquet(fwd_dir)  # appends new uuid-named files
+    new_files = sorted(set(os.listdir(fwd_dir)) - before)
+
+    # exchange over only the new fwd files; part files are suffixed by
+    # generation so they never collide with existing segment files
+    tmp_fwd = os.path.join(index_dir, f"_delta_fwd_g{gen}")
+    _fresh_dir(tmp_fwd)
+    for f in new_files:
+        os.link(os.path.join(fwd_dir, f), os.path.join(tmp_fwd, f))
+    info = run_postings_exchange(
+        tmp_fwd, post_dir,
+        num_buckets=params.num_buckets, n_salts=params.n_salts,
+        hot_terms=params.hot_terms, block_size=params.block_size,
+        max_seg_postings=params.max_seg_postings,
+        part_suffix=f"-g{gen}")
+    import shutil
+    shutil.rmtree(tmp_fwd)
+    _refresh_terms_and_meta(index_dir)
+
+    upd["generation"] = gen
+    upd.setdefault("log", []).append({
+        "gen": gen, "op": "add", "fwd_files": len(new_files),
+        "postings": sum(v["postings"] for v in info.values()),
+        "seconds": round(time.perf_counter() - t0, 3),
+    })
+    _save_updates(index_dir, upd)
+    return upd["log"][-1]
+
+
+def delete_documents(index_dir: str, doc_ids=None, urls=None) -> dict:
+    """Tombstone documents by doc_id or url (BlackLab delete-by-pid)."""
+    upd = _load_updates(index_dir)
+    ids = set(int(i) for i in (doc_ids or []))
+    for u in (urls or []):
+        ids.add(hash64(u))
+    upd["tombstones"] = sorted(set(upd["tombstones"]) | ids)
+    _save_updates(index_dir, upd)
+    return {"op": "delete", "n_tombstones": len(upd["tombstones"])}
+
+
+def update_documents(index_dir: str, pages_table,
+                     params: BuildParams | None = None) -> dict:
+    """Replace documents by url: tombstone the current ids, re-add the
+    new contents under generation-salted doc_ids."""
+    import pyarrow as pa
+    params = params or BuildParams()
+    upd = _load_updates(index_dir)
+    gen = upd["generation"] + 1
+    urls = pages_table["url"].to_pylist()
+    # tombstone every previous generation of these urls
+    olds = [hash64(u) for u in urls]
+    for g in range(1, gen):
+        olds += [hash64(f"{u}@g{g}") for u in urls]
+    delete_documents(index_dir, doc_ids=olds)
+    salted = pages_table.set_column(
+        pages_table.schema.get_field_index("url"), "url",
+        pa.array([f"{u}@g{gen}" for u in urls], pa.string()))
+    ds = ray.data.from_arrow(salted)
+    return add_documents(index_dir, ds, params, generation=gen)

@@ -59,6 +59,9 @@ def _term_arrays(reader: IndexReader, segs: list[Segment], term_idf: float,
     d = np.concatenate(docs)
     t = np.concatenate(tfs)
     n = np.concatenate(norms)
+    keep = reader.mask_tombstones(d)
+    if not keep.all():
+        d, t, n = d[keep], t[keep], n[keep]
     order = np.argsort(d, kind="stable")  # salted segments are doc-disjoint
     d, t, n = d[order], t[order], n[order]
     dl = decode_norms(n) if quantize else reader.doc_lens(d)
@@ -224,6 +227,7 @@ def search_wand(reader: IndexReader, terms: list[str], k: int = 10,
             if s.blocks:
                 iters.append(_SegIter(s, t_idf, reader, quantize))
     heap: list[tuple[float, int]] = []  # (score, -doc_id), size <= k
+    tombstones = reader.tombstones
 
     def theta() -> float:
         return heap[0][0] if len(heap) == k else -1.0
@@ -268,16 +272,16 @@ def search_wand(reader: IndexReader, terms: list[str], k: int = 10,
             continue
         if head[0].cur_doc == pivot_doc:
             # all head iterators aligned on pivot: full evaluation
-            score = 0.0
-            for it in head:
-                it.advance_to(pivot_doc)
-                if it.cur_doc == pivot_doc:
-                    score += it.score_current()
-            entry = (score, -pivot_doc)
-            if len(heap) < k:
-                heapq.heappush(heap, entry)
-            elif entry > heap[0]:
-                heapq.heapreplace(heap, entry)
+            if pivot_doc not in tombstones:
+                score = 0.0
+                for it in head:
+                    if it.cur_doc == pivot_doc:
+                        score += it.score_current()
+                entry = (score, -pivot_doc)
+                if len(heap) < k:
+                    heapq.heappush(heap, entry)
+                elif entry > heap[0]:
+                    heapq.heapreplace(heap, entry)
             for it in head:
                 if it.cur_doc == pivot_doc:
                     it.next()
@@ -374,6 +378,8 @@ def phrase_search(reader: IndexReader, phrase: list[str], k: int = 10,
                                                       assume_unique=True)]
         if cand.size == 0:
             break
+    if cand is not None and cand.size:
+        cand = cand[reader.mask_tombstones(cand)]
     if cand is None or cand.size == 0:
         return _result_table(reader, np.empty(0, np.int64),
                              np.empty(0, np.float64), resolve_urls)
@@ -540,8 +546,9 @@ def count_hits(reader: IndexReader, terms: list[str],
             docs.append(d), tfs.append(tf)
         d = np.concatenate(docs)
         tf = np.concatenate(tfs)
-        all_docs.append(d)
-        all_tfs.append(tf)
+        keep = reader.mask_tombstones(d)
+        all_docs.append(d[keep])
+        all_tfs.append(tf[keep])
     docs = np.concatenate(all_docs)
     tfs = np.concatenate(all_tfs)
     uniq, inv = np.unique(docs, return_inverse=True)

@@ -79,6 +79,22 @@ class IndexReader:
         self.num_buckets = self.meta["params"]["num_buckets"]
         self._terms_tbl: pa.Table | None = None
         self._docs: dict | None = None
+        # tombstoned doc ids from incremental deletes (updates.json);
+        # stats keep counting them until compaction (Lucene-like)
+        self.tombstones: frozenset[int] = frozenset()
+        self._tomb_arr = np.empty(0, dtype=np.int64)
+        upd_path = os.path.join(index_dir, "updates.json")
+        if os.path.exists(upd_path):
+            with open(upd_path) as f:
+                tombs = json.load(f).get("tombstones", [])
+            self.tombstones = frozenset(tombs)
+            self._tomb_arr = np.array(sorted(tombs), dtype=np.int64)
+
+    def mask_tombstones(self, doc_ids: np.ndarray) -> np.ndarray:
+        """Boolean mask of NON-deleted docs (vectorized)."""
+        if not self.tombstones.__len__():
+            return np.ones(doc_ids.size, dtype=bool)
+        return ~np.isin(doc_ids, self._tomb_arr, assume_unique=False)
 
     # ---- side tables ----------------------------------------------------
 

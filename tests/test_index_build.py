@@ -128,3 +128,26 @@ def test_hot_term_salting_and_segment_split(small_index):
     rare = [r for r in rows if r["df_seg"] == 1]
     assert rare and all(r["salt"] == 0 for r in rare
                         if r["term"] not in ("the",))
+
+
+def test_build_from_html_extraction(ray_session, tmp_path):
+    """extract_html=True path: building from html equals building from
+    the pre-extracted text column (byte-identical extraction invariant
+    carried through the whole pipeline)."""
+    import pyarrow.parquet as pq_
+
+    from blacklab_ray.sources.synth import generate_pages
+    pages = generate_pages(60)
+    src_dir = tmp_path / "pages"
+    src_dir.mkdir()
+    pq_.write_table(pages, str(src_dir / "p.parquet"))
+    a = str(tmp_path / "idx_text")
+    b = str(tmp_path / "idx_html")
+    build_index(str(src_dir), a, BuildParams(num_buckets=4, n_salts=2))
+    build_index(str(src_dir), b,
+                BuildParams(num_buckets=4, n_salts=2, extract_html=True,
+                            trust_text=False))
+    ta = pq.read_table(os.path.join(a, "terms")).sort_by("term")
+    tb = pq.read_table(os.path.join(b, "terms")).sort_by("term")
+    assert ta.equals(tb)
+    assert _merged_postings(a) == _merged_postings(b)

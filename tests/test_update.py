@@ -1,0 +1,103 @@
+"""Incremental index maintenance: add / delete / update documents."""
+
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from blacklab_ray.index import BuildParams, build_index
+from blacklab_ray.index.update import (
+    add_documents, delete_documents, update_documents,
+)
+from blacklab_ray.query import IndexReader, search_taat
+from blacklab_ray.stages.tokenize import hash64
+from blacklab_ray.testoracle import CorpusOracle
+
+
+@pytest.fixture()
+def incremental_index(ray_session, tmp_path):
+    from blacklab_ray.sources.synth import generate_pages
+    src = tmp_path / "pages"
+    src.mkdir()
+    pq.write_table(generate_pages(80), str(src / "base.parquet"))
+    idx = str(tmp_path / "idx")
+    build_index(str(src), idx, BuildParams(num_buckets=4, n_salts=2))
+    return idx
+
+
+def test_add_documents_matches_full_rebuild(incremental_index, tmp_path,
+                                            ray_session):
+    import pyarrow as pa
+
+    from blacklab_ray.sources.synth import generate_pages
+    extra = generate_pages(40, doc_offset=80)
+    extra_dir = tmp_path / "extra"
+    extra_dir.mkdir()
+    pq.write_table(extra, str(extra_dir / "e.parquet"))
+    rec = add_documents(incremental_index, str(extra_dir),
+                        BuildParams(num_buckets=4, n_salts=2))
+    assert rec["op"] == "add" and rec["postings"] > 0
+
+    # oracle over the union corpus
+    full = pa.concat_tables([generate_pages(120)])
+    oracle = CorpusOracle.from_pages(full)
+    reader = IndexReader(incremental_index)
+    assert reader.n_docs == 120
+    for terms in (["the"], ["the", "w000010"], ["w000123"]):
+        exp = oracle.topk(terms, 15)
+        got = search_taat(reader, terms, 15)
+        assert got["doc_id"].to_pylist() == [d for d, _ in exp]
+        for g, (_, s) in zip(got["score"].to_pylist(), exp):
+            assert abs(g - s) < 1e-9
+    # term stats equal the union's
+    terms_tbl = pq.read_table(os.path.join(incremental_index, "terms"))
+    df = dict(zip(terms_tbl["term"].to_pylist(),
+                  terms_tbl["doc_freq"].to_pylist()))
+    assert df == oracle.doc_freq()
+
+
+def test_delete_documents_tombstones(incremental_index, ray_session):
+    from blacklab_ray.sources.synth import generate_pages
+    pages = generate_pages(80)
+    urls = pages["url"].to_pylist()
+    victim_urls = urls[:10]
+    delete_documents(incremental_index, urls=victim_urls)
+    reader = IndexReader(incremental_index)
+    victims = {hash64(u) for u in victim_urls}
+    res = search_taat(reader, ["the"], k=10**9)
+    assert not victims & set(res["doc_id"].to_pylist())
+    # WAND path honors tombstones too
+    from blacklab_ray.query import search_wand
+    res_w = search_wand(reader, ["the", "of"], k=10**9)
+    assert not victims & set(res_w["doc_id"].to_pylist())
+    # phrase + counts
+    from blacklab_ray.query.engine import count_hits
+    c = count_hits(reader, ["the"])
+    oracle = CorpusOracle.from_pages(pages)
+    live_df = sum(1 for did, toks in oracle.docs.items()
+                  if "the" in toks and did not in victims)
+    assert c["n_docs"][0].as_py() == live_df
+
+
+def test_update_documents_replaces_content(incremental_index, ray_session):
+    import pyarrow as pa
+
+    from blacklab_ray.sources.synth import generate_pages
+    pages = generate_pages(80)
+    url0 = pages["url"][0].as_py()
+    new_text = "zzzupdated content only here"
+    new_tbl = pa.table({
+        "url": pa.array([url0], pa.string()),
+        "warc_ts": pa.array([0], pa.timestamp("us")),
+        "html": pa.array([new_text.encode()], pa.binary()),
+        "text": pa.array([new_text], pa.string()),
+        "lang": pa.array(["en"], pa.string()),
+    })
+    update_documents(incremental_index, new_tbl,
+                     BuildParams(num_buckets=4, n_salts=2))
+    reader = IndexReader(incremental_index)
+    # old doc id is tombstoned; new content findable
+    res = search_taat(reader, ["zzzupdated"], 10, resolve_urls=True)
+    assert res.num_rows == 1
+    assert res["url"][0].as_py() == f"{url0}@g1"
+    assert hash64(url0) in reader.tombstones
