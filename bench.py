@@ -172,6 +172,17 @@ def run_bench(num_cpus: int) -> dict:
         timings[f"query_p99_ms{suffix}"] = round(
             float(np.percentile(lat, 99)) * 1000, 2)
 
+    # ---- replicated query actors (serving throughput) ------------------
+    from blacklab_ray.query.service import QueryService
+    svc = QueryService(idx_dir, n_actors=min(8, num_cpus))
+    svc.search_many(queries[:4])  # warm actors
+    t0 = time.perf_counter()
+    svc_res = svc.search_many(queries)
+    svc_wall = time.perf_counter() - t0
+    timings["service_batch_sec"] = round(svc_wall, 3)
+    timings["service_qps"] = round(len(queries) / svc_wall, 1)
+    svc.shutdown()
+
     # ---- analytics + training-data pipelines over sf tables ------------
     from blacklab_ray.pipelines import ann, dedup, frequency, windows
 

@@ -152,3 +152,17 @@ def test_mapreduce_resume_skips_parts(ray_session, small_corpus_dir,
         if path.endswith(suffix):
             continue
         assert after[path] == mt, path
+
+
+def test_query_service_pool(ray_session, small_index, small_oracle):
+    from blacklab_ray.query import QueryService
+    svc = QueryService(small_index, n_actors=2)
+    queries = [{"terms": ["the"], "k": 5},
+               {"terms": ["the", "of"], "k": 7},
+               {"terms": ["zz_nohit"], "k": 3}]
+    out = svc.search_many(queries)
+    assert len(out) == 3
+    exp = small_oracle.topk(["the"], 5)
+    assert [r["doc_id"] for r in out[0]["rows"]] == [d for d, _ in exp]
+    assert out[2]["rows"] == []
+    svc.shutdown()
