@@ -26,8 +26,8 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 BENCH_DOCS = int(os.environ.get("BLRAY_BENCH_DOCS", "20000"))
-CORPUS_DIR = f"/tmp/blray_bench_corpus_{BENCH_DOCS}_{os.environ.get("BLRAY_BENCH_SHARDS", "64")}"
 N_SHARDS = int(os.environ.get("BLRAY_BENCH_SHARDS", "64"))
+CORPUS_DIR = f"/tmp/blray_bench_corpus_{BENCH_DOCS}_{N_SHARDS}"
 
 
 def _gen_queries(n: int = 60, seed: int = 43) -> list[dict]:
