@@ -168,3 +168,49 @@ def update_documents(index_dir: str, pages_table,
         pa.array([f"{u}@g{gen}" for u in urls], pa.string()))
     ds = ray.data.from_arrow(salted)
     return add_documents(index_dir, ds, params, generation=gen)
+
+
+def compact_index(index_dir: str, params: BuildParams | None = None) -> dict:
+    """Fold tombstones in and merge generation segments (the Lucene
+    merge/expunge-deletes analogue): filter deleted docs out of the
+    forward index, rebuild the postings exchange from the surviving
+    rows, and reset the tombstone list. Statistics become exact again.
+    """
+    import pyarrow as pa
+
+    params = params or BuildParams()
+    upd = _load_updates(index_dir)
+    tombs = set(upd.get("tombstones", []))
+    fwd_dir = os.path.join(index_dir, "fwd")
+    post_dir = os.path.join(index_dir, "postings")
+    t0 = time.perf_counter()
+
+    if tombs:
+        tomb_arr = pa.array(sorted(tombs), pa.int64())
+        ds = ray.data.read_parquet(fwd_dir)
+        ds = ds.map_batches(
+            lambda t: t.filter(pa.compute.invert(pa.compute.is_in(
+                t["doc_id"], value_set=tomb_arr))),
+            batch_format="pyarrow")
+        new_fwd = os.path.join(index_dir, "fwd_compacted")
+        _fresh_dir(new_fwd)
+        ds.write_parquet(new_fwd)
+        import shutil
+        shutil.rmtree(fwd_dir)
+        os.replace(new_fwd, fwd_dir)
+
+    _fresh_dir(post_dir)
+    _fresh_dir(os.path.join(index_dir, "terms_parts"))
+    run_postings_exchange(
+        fwd_dir, post_dir,
+        num_buckets=params.num_buckets, n_salts=params.n_salts,
+        hot_terms=params.hot_terms, block_size=params.block_size,
+        max_seg_postings=params.max_seg_postings)
+    _refresh_terms_and_meta(index_dir)
+    upd["tombstones"] = []
+    upd.setdefault("log", []).append({
+        "gen": upd["generation"], "op": "compact",
+        "removed": len(tombs),
+        "seconds": round(time.perf_counter() - t0, 3)})
+    _save_updates(index_dir, upd)
+    return upd["log"][-1]

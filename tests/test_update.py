@@ -101,3 +101,28 @@ def test_update_documents_replaces_content(incremental_index, ray_session):
     assert res.num_rows == 1
     assert res["url"][0].as_py() == f"{url0}@g1"
     assert hash64(url0) in reader.tombstones
+
+
+def test_compact_folds_tombstones(incremental_index, ray_session):
+    from blacklab_ray.index.update import compact_index
+    from blacklab_ray.sources.synth import generate_pages
+    pages = generate_pages(80)
+    urls = pages["url"].to_pylist()
+    delete_documents(incremental_index, urls=urls[:15])
+    rec = compact_index(incremental_index,
+                        BuildParams(num_buckets=4, n_salts=2))
+    assert rec["removed"] == 15
+    reader = IndexReader(incremental_index)
+    assert not reader.tombstones
+    assert reader.n_docs == 65  # stats exact again
+    # results equal an oracle over the surviving docs
+    import pyarrow as pa
+    keep = pa.compute.invert(pa.compute.is_in(
+        pages["url"], value_set=pa.array(urls[:15])))
+    survivors = pages.filter(keep)
+    oracle = CorpusOracle.from_pages(survivors)
+    res = search_taat(reader, ["the"], 10)
+    exp = oracle.topk(["the"], 10)
+    assert res["doc_id"].to_pylist() == [d for d, _ in exp]
+    for g, (_, s) in zip(res["score"].to_pylist(), exp):
+        assert abs(g - s) < 1e-9
