@@ -318,12 +318,17 @@ def search(reader: IndexReader, terms: list[str], k: int = 10,
     uniq = list(dict.fromkeys(terms))
     if algo == "taat" or len(uniq) == 1:
         return search_taat(reader, terms, k, "or", quantize, resolve_urls)
+    if algo == "maxscore":
+        from blacklab_ray.query.maxscore import search_maxscore
+        return search_maxscore(reader, terms, k, quantize, resolve_urls)
     if algo == "auto":
         stats = reader.term_stats(uniq)
         total_df = sum(df for df, _ in stats.values())
         if total_df <= AUTO_TAAT_MAX_POSTINGS:
             return search_taat(reader, terms, k, "or", quantize,
                                resolve_urls)
+        from blacklab_ray.query.maxscore import search_maxscore
+        return search_maxscore(reader, terms, k, quantize, resolve_urls)
     return search_wand(reader, terms, k, quantize, resolve_urls)
 
 

@@ -33,7 +33,7 @@ class Segment:
     """One (term, salt, seg) posting segment; lazy block decode."""
 
     __slots__ = ("term", "df_seg", "ctf_seg", "first_doc", "last_doc",
-                 "blocks")
+                 "blocks", "_decoded")
 
     def __init__(self, row: dict):
         self.term = row["term"]
@@ -42,19 +42,36 @@ class Segment:
         self.first_doc = row["first_doc"]
         self.last_doc = row["last_doc"]
         self.blocks = row["blocks"]  # list of block dicts
+        self._decoded = None
 
     def decode_all(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-        """(doc_ids, tfs, norms) for the whole segment."""
-        docs, tfs, norms = [], [], []
-        for blk in self.blocks:
-            docs.append(delta_decode(blk["docs"]))
-            tfs.append(vbyte_decode(blk["tfs"]).astype(np.int64))
-            norms.append(np.frombuffer(blk["norms"], dtype=np.uint8))
-        if not docs:
+        """(doc_ids, tfs, norms) for the whole segment.
+
+        One VByte pass over the concatenation of all blocks' streams
+        (VByte is self-delimiting), then a segmented cumsum restores the
+        per-block absolute doc ids — ~100× fewer numpy-call overheads
+        than per-block decoding for long posting lists.
+        """
+        if self._decoded is not None:
+            return self._decoded
+        if not self.blocks:
             e = np.empty(0, dtype=np.int64)
             return e, e.copy(), np.empty(0, dtype=np.uint8)
-        return (np.concatenate(docs), np.concatenate(tfs),
-                np.concatenate(norms))
+        counts = np.array([b["n"] for b in self.blocks], dtype=np.int64)
+        deltas = vbyte_decode(
+            b"".join(b["docs"] for b in self.blocks)).astype(np.int64)
+        # segmented cumsum: each block's first delta is its absolute doc
+        csum = np.cumsum(deltas)
+        starts = np.zeros(counts.size, dtype=np.int64)
+        np.cumsum(counts[:-1], out=starts[1:])
+        base = csum[starts] - deltas[starts]
+        docs = csum - np.repeat(base, counts)
+        tfs = vbyte_decode(
+            b"".join(b["tfs"] for b in self.blocks)).astype(np.int64)
+        norms = np.frombuffer(
+            b"".join(b["norms"] for b in self.blocks), dtype=np.uint8)
+        self._decoded = (docs, tfs, norms)
+        return self._decoded
 
     def decode_block(self, i: int):
         blk = self.blocks[i]
@@ -141,13 +158,20 @@ class IndexReader:
 
     # ---- postings -------------------------------------------------------
 
+    _SEG_CACHE_MAX = 4096  # cached terms (BlackLab mmap-everything analogue)
+
     def segments(self, terms: list[str]) -> dict[str, list[Segment]]:
-        """Read all posting segments for the given terms (bucket-pruned)."""
+        """Read posting segments for the given terms (bucket-pruned read,
+        per-term LRU cache — hot/stopword lists are read from Parquet
+        once per reader, like the reference's mmap'd postings)."""
+        if not hasattr(self, "_seg_cache"):
+            self._seg_cache: dict[str, list[Segment]] = {}
+        missing = [t for t in set(terms) if t not in self._seg_cache]
         by_bucket: dict[int, list[str]] = {}
-        for t in set(terms):
+        for t in missing:
             by_bucket.setdefault(hash64(t) % self.num_buckets, []).append(t)
-        out: dict[str, list[Segment]] = {t: [] for t in terms}
         post_root = os.path.join(self.index_dir, "postings")
+        fetched: dict[str, list[Segment]] = {t: [] for t in missing}
         for bucket, bterms in sorted(by_bucket.items()):
             path = os.path.join(post_root, f"bucket={bucket}")
             if not os.path.isdir(path):
@@ -155,7 +179,10 @@ class IndexReader:
             ds = pa_ds.dataset(path, format="parquet")
             tbl = ds.to_table(filter=pc.field("term").isin(bterms))
             for row in tbl.to_pylist():
-                out[row["term"]].append(Segment(row))
-        for t in out:
-            out[t].sort(key=lambda s: (s.first_doc, s.last_doc))
-        return out
+                fetched[row["term"]].append(Segment(row))
+        for t, segs in fetched.items():
+            segs.sort(key=lambda s: (s.first_doc, s.last_doc))
+            if len(self._seg_cache) >= self._SEG_CACHE_MAX:
+                self._seg_cache.pop(next(iter(self._seg_cache)))
+            self._seg_cache[t] = segs
+        return {t: self._seg_cache.get(t, []) for t in terms}
