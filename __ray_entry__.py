@@ -226,6 +226,60 @@ def queries() -> dict[str, Callable[[str], Any]]:
                           ascending=[False, True, True]).head(100)
         return t.reset_index(drop=True)
 
+    def q_hits_sorted(sf):
+        """Hits of HIT_TERM sorted by (lang, doc_id, pos), first 50 —
+        the HitProperty sort operator (HitsAbstract.sort analogue)."""
+        ds = hits.find_hits(_docs_ds(sf), HIT_TERM, carry=("lang",))
+        return ds.sort(["lang", "doc_id", "pos"]).limit(50)
+
+    def q_docs_by_lang(sf):
+        """Doc-level grouping of matching docs (DocResults.group
+        analogue): docs containing HIT_TERM grouped by lang with doc
+        counts and total lengths."""
+        from blacklab_ray.pipelines import frequency as fq
+        import ray.data
+        ds = _docs_ds(sf)
+
+        def _partial(batch: pa.Table) -> pa.Table:
+            from blacklab_ray.analysis.analyzers import tokenize_column
+            import pyarrow.compute as pc
+            parents, toks, _, lens = tokenize_column(batch.column("text"))
+            mask = pc.equal(toks, HIT_TERM).to_numpy(zero_copy_only=False)
+            has = np.zeros(batch.num_rows, dtype=bool)
+            has[parents[mask]] = True
+            sub = batch.filter(pa.array(has))
+            _, _, _, sub_lens = tokenize_column(sub.column("text"))
+            return pa.table({
+                "lang": sub.column("lang"),
+                "doc_len": pa.array(sub_lens, pa.int64()),
+            })
+
+        from ray.data.aggregate import Count, Sum
+        out = ds.map_batches(_partial, batch_format="pyarrow") \
+            .groupby("lang").aggregate(
+                Count(alias_name="n_docs"),
+                Sum("doc_len", alias_name="total_len"))
+        return out
+
+    def q_docs_filter(sf):
+        """Metadata-only document query (Lucene BooleanQuery doc filter
+        analogue): en docs with 40..60 tokens, ids sorted."""
+        from blacklab_ray.pipelines import frequency as fq
+        ds = _docs_ds(sf)
+        stats = fq.doc_stats(ds)  # doc_id, doc_len
+
+        def _filt(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            m = pc.and_(pc.greater_equal(batch["doc_len"], 40),
+                        pc.less_equal(batch["doc_len"], 60))
+            return batch.filter(m)
+
+        lens = stats.map_batches(_filt, batch_format="pyarrow").to_pandas()
+        langs = _docs_ds(sf).select_columns(["doc_id", "lang"]).to_pandas()
+        out = lens.merge(langs, on="doc_id")
+        out = out[out["lang"] == "en"][["doc_id", "doc_len"]]
+        return out.sort_values("doc_id").reset_index(drop=True)
+
     # ---- dedup / fingerprints ------------------------------------------
 
     def q_dedup_exact(sf):
@@ -307,6 +361,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hit_counts": q_hit_counts,
         "top_docs_by_len": q_top_docs_by_len,
         "kwic_fwd": q_kwic_fwd,
+        "hits_sorted": q_hits_sorted,
+        "docs_by_lang": q_docs_by_lang,
+        "docs_filter": q_docs_filter,
         "facets_spark": q_facets,
         "sample_hits_spark": q_sample_hits,
         "term_stats": q_term_stats,
@@ -464,6 +521,26 @@ SELECT d.doc_id, count(t.term) AS doc_len
 FROM documents d LEFT JOIN toks t ON d.doc_id = t.doc_id
 GROUP BY d.doc_id
 ORDER BY doc_len DESC, d.doc_id LIMIT {TOPK}
+""",
+        "hits_sorted": f"""
+WITH toks AS ({toks_pos})
+SELECT doc_id, lang, pos FROM toks WHERE term = '{HIT_TERM}'
+ORDER BY lang, doc_id, pos LIMIT 50
+""",
+        "docs_by_lang": f"""
+WITH toks AS ({toks}),
+dl AS (SELECT doc_id, count(*) AS doc_len FROM toks GROUP BY doc_id),
+m AS (SELECT DISTINCT doc_id, lang FROM toks WHERE term = '{HIT_TERM}')
+SELECT m.lang, count(*) AS n_docs, sum(dl.doc_len) AS total_len
+FROM m JOIN dl USING (doc_id) GROUP BY m.lang
+""",
+        "docs_filter": f"""
+WITH toks AS ({toks}),
+dl AS (SELECT d.doc_id, d.lang, count(t.term) AS doc_len
+       FROM documents d LEFT JOIN toks t ON d.doc_id = t.doc_id
+       GROUP BY d.doc_id, d.lang)
+SELECT doc_id, doc_len FROM dl
+WHERE lang = 'en' AND doc_len BETWEEN 40 AND 60
 """,
         "facets_spark": f"""
 WITH toks AS ({toks}),
