@@ -33,9 +33,7 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray
 
-from blacklab_ray.index.postings import (
-    SEGMENT_SCHEMA, ExplodePostings, build_segments,
-)
+from blacklab_ray.index.postings import ExplodePostings, build_segments
 
 FWD_COLUMNS = ["doc_id", "norm", "terms", "tfs", "pos"]
 

@@ -25,7 +25,7 @@ import pyarrow.parquet as pq
 import ray
 import ray.data
 
-from blacklab_ray.index.build import BuildParams, Manifest, _fresh_dir
+from blacklab_ray.index.build import BuildParams, _fresh_dir
 from blacklab_ray.index.exchange import run_postings_exchange
 from blacklab_ray.stages.extract import HtmlExtractor
 from blacklab_ray.stages.tokenize import TokenizeForwardIndex, hash64

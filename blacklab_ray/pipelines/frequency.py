@@ -10,7 +10,6 @@ keys, not token count) followed by a small ``groupby().sum()``.
 
 from __future__ import annotations
 
-import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data

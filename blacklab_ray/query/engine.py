@@ -28,7 +28,7 @@ import numpy as np
 import pyarrow as pa
 
 from blacklab_ray.codec.smallfloat import decode_norms
-from blacklab_ray.query.bm25 import B, K1, block_upper_bound, idf, score_tf
+from blacklab_ray.query.bm25 import block_upper_bound, idf, score_tf
 from blacklab_ray.query.reader import IndexReader, Segment
 
 _INF = np.iinfo(np.int64).max

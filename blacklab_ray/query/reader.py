@@ -15,8 +15,6 @@ from __future__ import annotations
 
 import json
 import os
-from functools import lru_cache
-
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
