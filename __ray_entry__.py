@@ -226,6 +226,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
                           ascending=[False, True, True]).head(100)
         return t.reset_index(drop=True)
 
+    def q_seq_gap(sf):
+        from blacklab_ray.query.engine import sequence_search
+        r = _index_for(sf)
+        t = sequence_search(r, PHRASE, gaps=[(0, 2)], k=10**9)
+        df = t.select(["doc_id", "seq_tf"]).to_pandas()
+        return df.sort_values("doc_id").reset_index(drop=True)
+
     def q_hits_sorted(sf):
         """Hits of HIT_TERM sorted by (lang, doc_id, pos), first 50 —
         the HitProperty sort operator (HitsAbstract.sort analogue)."""
@@ -361,6 +368,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hit_counts": q_hit_counts,
         "top_docs_by_len": q_top_docs_by_len,
         "kwic_fwd": q_kwic_fwd,
+        "seq_gap_docs": q_seq_gap,
         "hits_sorted": q_hits_sorted,
         "docs_by_lang": q_docs_by_lang,
         "docs_filter": q_docs_filter,
@@ -521,6 +529,14 @@ SELECT d.doc_id, count(t.term) AS doc_len
 FROM documents d LEFT JOIN toks t ON d.doc_id = t.doc_id
 GROUP BY d.doc_id
 ORDER BY doc_len DESC, d.doc_id LIMIT {TOPK}
+""",
+        "seq_gap_docs": f"""
+WITH toks AS ({toks_pos})
+SELECT a.doc_id, count(*) AS seq_tf
+FROM toks a JOIN toks b
+  ON a.doc_id = b.doc_id AND b.pos BETWEEN a.pos + 1 AND a.pos + 3
+WHERE a.term = '{PHRASE[0]}' AND b.term = '{PHRASE[1]}'
+GROUP BY a.doc_id
 """,
         "hits_sorted": f"""
 WITH toks AS ({toks_pos})

@@ -565,3 +565,81 @@ def count_hits(reader: IndexReader, terms: list[str],
         uniq, tf_sums = uniq[m], tf_sums[m]
     return pa.table({"n_docs": pa.array([int(uniq.size)], pa.int64()),
                      "n_hits": pa.array([int(tf_sums.sum())], pa.int64())})
+
+
+def sequence_search(reader: IndexReader, terms: list[str],
+                    gaps: list[tuple[int, int]] | None = None,
+                    k: int = 10, quantize: bool = True,
+                    resolve_urls: bool = False) -> pa.Table:
+    """Sequence query with bounded gaps (SpansSequenceWithGap semantics,
+    search/lucene/SpansSequenceWithGap.java:49; `[]{n,m}` expansion
+    between anchors, SpanQueryExpansion.java:36): term i+1 must start
+    gaps[i] = (lo, hi) tokens after term i ends. ``gaps=None`` → exact
+    adjacency (== phrase_search). Returns docs with ``seq_tf`` = number
+    of matching spans, scored like a phrase (tf = span count).
+    """
+    if not terms:
+        raise ValueError("empty sequence")
+    n_joins = len(terms) - 1
+    gaps = gaps or [(0, 0)] * n_joins
+    if len(gaps) != n_joins:
+        raise ValueError("need len(terms)-1 gap bounds")
+    uniq_terms = list(dict.fromkeys(terms))
+    stats = reader.term_stats(uniq_terms)
+    if len(stats) < len(uniq_terms):
+        return _result_table(reader, np.empty(0, np.int64),
+                             np.empty(0, np.float64), resolve_urls)
+    segs = reader.segments(uniq_terms)
+    cand: np.ndarray | None = None
+    for t in uniq_terms:
+        docs = np.concatenate([s.decode_all()[0] for s in segs[t]]) \
+            if segs[t] else np.empty(0, np.int64)
+        docs = np.sort(docs)
+        cand = docs if cand is None else cand[np.isin(cand, docs,
+                                                      assume_unique=True)]
+        if cand.size == 0:
+            break
+    if cand is not None and cand.size:
+        cand = cand[reader.mask_tombstones(cand)]
+    if cand is None or cand.size == 0:
+        return _result_table(reader, np.empty(0, np.int64),
+                             np.empty(0, np.float64), resolve_urls)
+    pos_maps = {t: _positions_by_doc(segs[t], cand) for t in uniq_terms}
+    doc_ids, seq_tfs = [], []
+    for doc in cand.tolist():
+        # spans tracked as arrays of last-token positions (all terms are
+        # single tokens, so start bookkeeping is only needed for output)
+        lasts = pos_maps[terms[0]].get(doc)
+        if lasts is None:
+            continue
+        ok = True
+        for (lo, hi), t in zip(gaps, terms[1:]):
+            nxt = pos_maps[t].get(doc)
+            if nxt is None or lasts.size == 0:
+                ok = False
+                break
+            # for each current last L, matches are q in [L+1+lo, L+1+hi]
+            left = np.searchsorted(nxt, lasts + 1 + lo, side="left")
+            right = np.searchsorted(nxt, lasts + 1 + hi, side="right")
+            counts = right - left
+            if counts.sum() == 0:
+                ok = False
+                break
+            idx = np.concatenate([np.arange(l, r)
+                                  for l, r in zip(left, right) if r > l])
+            lasts = nxt[idx]  # may contain duplicates: distinct span paths
+        if ok and lasts.size:
+            doc_ids.append(doc)
+            seq_tfs.append(int(lasts.size))
+    if not doc_ids:
+        return _result_table(reader, np.empty(0, np.int64),
+                             np.empty(0, np.float64), resolve_urls)
+    d = np.array(doc_ids, dtype=np.int64)
+    tf = np.array(seq_tfs, dtype=np.int64)
+    p_idf = float(idf(d.size, reader.n_docs))
+    dl = decode_norms(_norms_for(reader, d)) if quantize \
+        else reader.doc_lens(d)
+    scores = p_idf * score_tf(tf, dl, reader.avgdl)
+    order = np.lexsort((d, -scores))[:k]
+    tbl = _result_table(reader, d[order], scores[order], resolve_urls)
+    return tbl.append_column("seq_tf", pa.array(tf[order], pa.int64()))

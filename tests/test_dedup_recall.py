@@ -1,0 +1,102 @@
+"""Planted-duplicate recall tests: the synthetic corpora have no natural
+near-dups, so these plant exact and near duplicates and assert the dedup
+family actually finds them (and nothing spurious at high thresholds)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _docs_with_planted_dups():
+    rng = np.random.default_rng(21)
+    vocab = [f"v{i}" for i in range(500)]
+    texts = []
+    for i in range(60):
+        n = int(rng.integers(30, 80))
+        texts.append(" ".join(vocab[int(rng.integers(0, 500))]
+                              for _ in range(n)))
+    # exact duplicates of docs 0..4 → ids 60..64
+    texts += [texts[i] for i in range(5)]
+    # near-duplicates of docs 5..9 (one token changed) → ids 65..69
+    for i in range(5, 10):
+        toks = texts[i].split()
+        toks[len(toks) // 2] = "zzchanged"
+        texts.append(" ".join(toks))
+    return pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+
+
+@pytest.fixture(scope="module")
+def planted_ds(ray_session):
+    import ray.data
+    return ray.data.from_arrow(_docs_with_planted_dups())
+
+
+def test_exact_dedup_recall(planted_ds):
+    from blacklab_ray.pipelines import dedup
+    kept = set(dedup.exact_dedup_keep_ids(planted_ds)
+               .to_pandas()["doc_id"])
+    # the five exact copies (60..64) must be dropped, originals kept
+    assert kept & {60, 61, 62, 63, 64} == set()
+    assert {0, 1, 2, 3, 4} <= kept
+    assert len(kept) == 65
+
+
+def test_minhash_finds_planted_near_dups(planted_ds):
+    from blacklab_ray.pipelines import dedup
+    cand = dedup.minhash_candidate_pairs(planted_ds, num_perm=64,
+                                         bands=16)
+    verified = dedup.verify_jaccard_pairs(planted_ds, cand,
+                                          threshold=0.6)
+    pairs = set(zip(verified["a"].to_pylist(), verified["b"].to_pylist()))
+    # exact copies are certainly found
+    for i in range(5):
+        assert (i, 60 + i) in pairs, f"missed exact dup {i}"
+    # one-token-changed near dups (Jaccard ≈ 0.9 on 3-shingles)
+    found_near = sum((i, 65 + (i - 5)) in pairs for i in range(5, 10))
+    assert found_near >= 4, f"minhash recall too low: {found_near}/5"
+    # no spurious random-pair matches at this threshold
+    planted = {(i, 60 + i) for i in range(5)} | \
+              {(i, 65 + (i - 5)) for i in range(5, 10)}
+    assert not (pairs - planted)
+
+
+def test_simhash_near_dups_close(planted_ds):
+    from blacklab_ray.pipelines import dedup
+    sh = dedup.simhashes(planted_ds).to_pandas()
+    by_id = dict(zip(sh["doc_id"], sh["simhash"]))
+
+    def hamming(a, b):
+        return bin(int(a, 16) ^ int(b, 16)).count("1")
+
+    for i in range(5):
+        assert hamming(by_id[i], by_id[60 + i]) == 0       # exact copy
+    for i in range(5, 10):
+        assert hamming(by_id[i], by_id[65 + (i - 5)]) <= 12  # near dup
+    # random pairs are far apart
+    rng = np.random.default_rng(2)
+    far = [hamming(by_id[int(a)], by_id[int(b)])
+           for a, b in rng.integers(0, 60, size=(20, 2)) if a != b]
+    assert min(far) > 12
+
+
+def test_embedding_dup_pairs_planted(ray_session):
+    import ray.data
+
+    from blacklab_ray.pipelines import ann
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((40, 32))
+    # plant: vec 40 = copy of 0; vec 41 = tiny perturbation of 1
+    planted = np.vstack([base, base[0], base[1] + 0.01 * rng.standard_normal(32)])
+    tbl = pa.table({
+        "vec_id": pa.array(range(42), pa.int64()),
+        "embedding": pa.array(planted.tolist(),
+                              pa.list_(pa.float64(), 32)),
+    })
+    pairs = ann.cosine_dup_pairs(ray.data.from_arrow(tbl),
+                                 threshold=0.99)
+    got = set(zip(pairs["a"].to_pylist(), pairs["b"].to_pylist()))
+    assert (0, 40) in got and (1, 41) in got
+    assert not (got - {(0, 40), (1, 41)})

@@ -166,3 +166,38 @@ def test_query_service_pool(ray_session, small_index, small_oracle):
     assert [r["doc_id"] for r in out[0]["rows"]] == [d for d, _ in exp]
     assert out[2]["rows"] == []
     svc.shutdown()
+
+
+def test_sequence_with_gaps_matches_bruteforce(reader, small_oracle):
+    from blacklab_ray.query.engine import sequence_search
+    import collections
+    # pick bigram "the X" with the most common follower, allow gap 0..2
+    follow = collections.Counter()
+    for toks in small_oracle.docs.values():
+        for x, y in zip(toks, toks[1:]):
+            if x == "the":
+                follow[y] += 1
+    nxt = follow.most_common(1)[0][0]
+    gaps = [(0, 2)]
+
+    def brute(doc_toks):
+        c = 0
+        for i, t in enumerate(doc_toks):
+            if t != "the":
+                continue
+            for j in range(i + 1, min(i + 4, len(doc_toks))):
+                if doc_toks[j] == nxt:
+                    c += 1
+        return c
+
+    exp = {d: brute(t) for d, t in small_oracle.docs.items() if brute(t)}
+    got = sequence_search(reader, ["the", nxt], gaps=gaps, k=10**9)
+    got_map = dict(zip(got["doc_id"].to_pylist(),
+                       got["seq_tf"].to_pylist()))
+    assert got_map == exp
+    # gap (0,0) == phrase
+    from blacklab_ray.query import phrase_search
+    a = sequence_search(reader, ["the", nxt], gaps=[(0, 0)], k=10**9)
+    b = phrase_search(reader, ["the", nxt], k=10**9)
+    assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist()
+    assert a["seq_tf"].to_pylist() == b["phrase_tf"].to_pylist()
