@@ -328,6 +328,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ids, mat = _query_vectors(sf)
         return ann.lsh_topk(_emb_ds(sf), ids, mat, k=5)
 
+    def q_ann_ivf(sf):
+        ids, mat = _query_vectors(sf)
+        return ann.ivf_topk(_emb_ds(sf), ids, mat, k=5, n_cells=8,
+                            nprobe=4)
+
     # ---- text stats ----------------------------------------------------
 
     def q_quality_by_source(sf):
@@ -391,6 +396,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash64": q_simhash,
         "ann_topk": q_ann_topk,
         "ann_lsh_topk": q_ann_lsh,
+        "ann_ivf_topk": q_ann_ivf,
         "emb_dup_pairs": q_emb_dup_pairs,
         "quality_by_source": q_quality_by_source,
         "token_count_by_lang": q_token_count_by_lang,

@@ -206,3 +206,71 @@ def cosine_dup_pairs(ds: ray.data.Dataset, threshold: float = 0.95,
     if tbl.num_rows:
         tbl = tbl.sort_by([("a", "ascending"), ("b", "ascending")])
     return tbl
+
+
+# ---- IVF (inverted-file) variant — the coarse-quantizer scale path --------
+
+def train_ivf_centroids(ds: ray.data.Dataset, n_cells: int = 16,
+                        sample_frac: float = 1.0, iters: int = 10,
+                        seed: int = 13,
+                        vec_col: str = "embedding") -> np.ndarray:
+    """Seeded Lloyd k-means over a (sample of the) corpus — driver-side
+    on the sample, like any IVF coarse quantizer. Returns normalized
+    centroids (n_cells, dim)."""
+    sample = ds if sample_frac >= 1.0 else ds.random_sample(sample_frac,
+                                                            seed=seed)
+    mat = _normalize(np.concatenate(
+        [_batch_matrix(b, vec_col) for b in
+         sample.iter_batches(batch_format="pyarrow")]))
+    rng = np.random.default_rng(seed)
+    cent = mat[rng.choice(mat.shape[0], size=min(n_cells, mat.shape[0]),
+                          replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(mat @ cent.T, axis=1)
+        for c in range(cent.shape[0]):
+            members = mat[assign == c]
+            if members.size:
+                cent[c] = members.mean(axis=0)
+        cent = _normalize(cent)
+    return cent
+
+
+class IvfAssigner:
+    """Instance UDF: add the nearest-centroid cell id per vector."""
+
+    def __init__(self, centroids_ref, vec_col: str = "embedding"):
+        self._ref = centroids_ref
+        self._cent = None
+        self._vec = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self._cent is None:
+            self._cent = ray.get(self._ref)
+        mat = _normalize(_batch_matrix(batch, self._vec))
+        cells = np.argmax(mat @ self._cent.T, axis=1)
+        return batch.append_column("ivf_cell",
+                                   pa.array(cells.astype(np.int64),
+                                            pa.int64()))
+
+
+def ivf_topk(ds: ray.data.Dataset, query_ids: np.ndarray,
+             query_mat: np.ndarray, k: int = 5, n_cells: int = 16,
+             nprobe: int = 4, vec_col: str = "embedding",
+             id_col: str = "vec_id") -> pa.Table:
+    """IVF approximate top-k: score only vectors in each query's
+    ``nprobe`` closest cells. At corpus scale the assignment is built
+    once (a Dataset write partitioned by cell); here it is computed
+    inline over the streamed batches."""
+    cent = train_ivf_centroids(ds, n_cells=n_cells, vec_col=vec_col)
+    cent_ref = ray.put(cent)
+    qmat = _normalize(np.asarray(query_mat, dtype=np.float64))
+    qcells = np.argsort(-(qmat @ cent.T), axis=1)[:, :nprobe]
+    probed = pa.array(sorted(set(qcells.ravel().tolist())), pa.int64())
+    assigned = ds.map_batches(IvfAssigner(cent_ref, vec_col),
+                              batch_format="pyarrow")
+    cand = assigned.map_batches(
+        lambda t: t.filter(pa.compute.is_in(t["ivf_cell"],
+                                            value_set=probed)),
+        batch_format="pyarrow")
+    return brute_topk(cand, query_ids, qmat, k,
+                      vec_col=vec_col, id_col=id_col)

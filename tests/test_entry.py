@@ -92,6 +92,7 @@ def test_query_matches_oracle(entry_mod, con, name):
 
 @pytest.mark.parametrize("name", [
     "minhash_pairs", "simhash64", "lang_id_counts", "ann_lsh_topk",
+    "ann_ivf_topk",
     "media_features",
 ])
 def test_rows_only_queries_run(entry_mod, name):

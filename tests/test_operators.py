@@ -201,3 +201,32 @@ def test_sequence_with_gaps_matches_bruteforce(reader, small_oracle):
     b = phrase_search(reader, ["the", nxt], k=10**9)
     assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist()
     assert a["seq_tf"].to_pylist() == b["phrase_tf"].to_pylist()
+
+
+def test_ivf_topk_recall(ray_session):
+    import ray.data
+
+    from blacklab_ray.pipelines import ann
+    rng = np.random.default_rng(8)
+    mat = rng.standard_normal((400, 16))
+    tbl = pa.table({
+        "vec_id": pa.array(range(400), pa.int64()),
+        "embedding": pa.array(mat.tolist(), pa.list_(pa.float64(), 16)),
+    })
+    ds = ray.data.from_arrow(tbl)
+    qids = np.arange(5)
+    qmat = mat[:5]
+    exact = ann.brute_topk(ds, qids, qmat, k=5).to_pandas()
+    approx = ann.ivf_topk(ds, qids, qmat, k=5, n_cells=8,
+                          nprobe=4).to_pandas()
+    # recall@5 across queries
+    rec = 0
+    for q in range(5):
+        e = set(exact[exact.query_id == q].neighbor_id)
+        a = set(approx[approx.query_id == q].neighbor_id)
+        rec += len(e & a) / 5
+    assert rec / 5 >= 0.6, rec / 5
+    # nprobe = n_cells → exact
+    full = ann.ivf_topk(ds, qids, qmat, k=5, n_cells=8,
+                        nprobe=8).to_pandas()
+    assert full.neighbor_id.tolist() == exact.neighbor_id.tolist()
