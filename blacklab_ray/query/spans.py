@@ -1,0 +1,225 @@
+"""Span algebra: position-filter operators over span tables.
+
+BlackLab's span operators consume/produce streams of (doc, start, end)
+spans (BLSpans, engine/src/main/java/nl/inl/blacklab/search/lucene/
+BLSpans.java:21). Here a span set IS an Arrow table
+``(doc_id:int64, start:int64, end:int64)`` (end exclusive), and the
+operators are vectorized set transforms:
+
+- ``spans_within(a, b)``       → SpanQueryPositionFilter WITHIN
+  (SpansPositionFilter.java:14): spans of a contained in some span of b
+- ``spans_containing(a, b)``   → CONTAINING: spans of a that contain
+  some span of b
+- ``spans_not_within`` / ``spans_not_containing`` → negated variants
+- ``spans_edge(a, trailing)``  → SpanQueryEdge (SpansEdge.java:14)
+- ``expand_spans``             → SpanQueryExpansion (clamped stretch)
+- ``unique_spans``             → SpansUnique exact dedup
+- ``sequence_spans``           → materialize sequence/phrase matches as
+  spans (SpansSequence* producing side)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+SPAN_SCHEMA = pa.schema([("doc_id", pa.int64()), ("start", pa.int64()),
+                         ("end", pa.int64())])
+
+
+def span_table(doc_ids, starts, ends) -> pa.Table:
+    return pa.table({"doc_id": pa.array(np.asarray(doc_ids, np.int64)),
+                     "start": pa.array(np.asarray(starts, np.int64)),
+                     "end": pa.array(np.asarray(ends, np.int64))})
+
+
+def _arrays(t: pa.Table):
+    return (t["doc_id"].to_numpy(), t["start"].to_numpy(),
+            t["end"].to_numpy())
+
+
+def _sorted(t: pa.Table) -> pa.Table:
+    d, s, e = _arrays(t)
+    order = np.lexsort((e, s, d))
+    return t.take(pa.array(order))
+
+
+def unique_spans(t: pa.Table) -> pa.Table:
+    """Exact (doc,start,end) dedup, sorted (SpansUnique.java:13)."""
+    t = _sorted(t)
+    d, s, e = _arrays(t)
+    if d.size == 0:
+        return t
+    keep = np.ones(d.size, dtype=bool)
+    keep[1:] = (d[1:] != d[:-1]) | (s[1:] != s[:-1]) | (e[1:] != e[:-1])
+    return t.filter(pa.array(keep))
+
+
+def _within_mask(a: pa.Table, b: pa.Table) -> np.ndarray:
+    """mask over a's rows: contained in >= 1 span of b (same doc)."""
+    da, sa, ea = _arrays(a)
+    db, sb, eb = _arrays(b)
+    mask = np.zeros(da.size, dtype=bool)
+    if da.size == 0 or db.size == 0:
+        return mask
+    # group b by doc; per-doc: container exists iff some b-span has
+    # start <= a.start and end >= a.end → max over b-spans with
+    # start <= a.start of their end, compared to a.end
+    order_b = np.lexsort((sb, db))
+    db, sb, eb = db[order_b], sb[order_b], eb[order_b]
+    doc_bounds = np.flatnonzero(np.diff(db)) + 1
+    starts_idx = np.concatenate(([0], doc_bounds))
+    ends_idx = np.concatenate((doc_bounds, [db.size]))
+    doc_of_group = db[starts_idx]
+    for gi, doc in enumerate(doc_of_group.tolist()):
+        lo, hi = starts_idx[gi], ends_idx[gi]
+        rows = np.flatnonzero(da == doc)
+        if rows.size == 0:
+            continue
+        bs = sb[lo:hi]
+        be = eb[lo:hi]
+        # prefix running max of end over b sorted by start
+        run_max = np.maximum.accumulate(be)
+        pos = np.searchsorted(bs, sa[rows], side="right") - 1
+        ok = pos >= 0
+        ok[ok] = run_max[pos[ok]] >= ea[rows[ok]]
+        mask[rows] = ok
+    return mask
+
+
+def spans_within(a: pa.Table, b: pa.Table) -> pa.Table:
+    """Spans of a lying within some span of b (same doc)."""
+    return a.filter(pa.array(_within_mask(a, b)))
+
+
+def spans_not_within(a: pa.Table, b: pa.Table) -> pa.Table:
+    return a.filter(pa.array(~_within_mask(a, b)))
+
+
+def _containing_mask(a: pa.Table, b: pa.Table) -> np.ndarray:
+    """mask over a's rows: containing >= 1 span of b (same doc)."""
+    da, sa, ea = _arrays(a)
+    db, sb, eb = _arrays(b)
+    mask = np.zeros(da.size, dtype=bool)
+    if da.size == 0 or db.size == 0:
+        return mask
+    order_b = np.lexsort((eb, db))     # by doc, then end
+    db, sb, eb = db[order_b], sb[order_b], eb[order_b]
+    doc_bounds = np.flatnonzero(np.diff(db)) + 1
+    starts_idx = np.concatenate(([0], doc_bounds))
+    ends_idx = np.concatenate((doc_bounds, [db.size]))
+    for gi, doc in enumerate(db[starts_idx].tolist()):
+        lo, hi = starts_idx[gi], ends_idx[gi]
+        rows = np.flatnonzero(da == doc)
+        if rows.size == 0:
+            continue
+        be = eb[lo:hi]
+        bs = sb[lo:hi]
+        # contained b exists iff some b has end <= a.end and start >=
+        # a.start → among b with end <= a.end, is max(start) >= a.start?
+        run_max_start = np.maximum.accumulate(bs)
+        pos = np.searchsorted(be, ea[rows], side="right") - 1
+        ok = pos >= 0
+        ok[ok] = run_max_start[pos[ok]] >= sa[rows[ok]]
+        mask[rows] = ok
+    return mask
+
+
+def spans_containing(a: pa.Table, b: pa.Table) -> pa.Table:
+    """Spans of a that contain some span of b (same doc)."""
+    return a.filter(pa.array(_containing_mask(a, b)))
+
+
+def spans_not_containing(a: pa.Table, b: pa.Table) -> pa.Table:
+    return a.filter(pa.array(~_containing_mask(a, b)))
+
+
+def spans_edge(t: pa.Table, trailing: bool = False) -> pa.Table:
+    """Collapse spans to their start (or end) point (SpansEdge.java:14)."""
+    d, s, e = _arrays(t)
+    point = e if trailing else s
+    return span_table(d, point, point)
+
+
+def expand_spans(t: pa.Table, left: tuple[int, int] = (0, 0),
+                 right: tuple[int, int] = (0, 0),
+                 doc_lens: dict[int, int] | None = None) -> pa.Table:
+    """Stretch spans left/right by fixed amounts, clamped to doc bounds
+    (SpanQueryExpansion.java:36 with min==max; the variable n..m form is
+    covered by sequence_search gaps). ``left``/``right`` use (min,max)
+    with min==max enforced for determinism here."""
+    if left[0] != left[1] or right[0] != right[1]:
+        raise NotImplementedError(
+            "variable expansion is expressed via sequence_search gaps")
+    d, s, e = _arrays(t)
+    s2 = np.maximum(s - left[0], 0)
+    e2 = e + right[0]
+    if doc_lens:
+        lens = np.array([doc_lens.get(int(x), np.iinfo(np.int64).max)
+                         for x in d])
+        e2 = np.minimum(e2, lens)
+    return span_table(d, s2, e2)
+
+
+def sequence_spans(reader, terms: list[str],
+                   gaps: list[tuple[int, int]] | None = None) -> pa.Table:
+    """All match spans of a (gapped) sequence as a span table —
+    single-token terms: span start = first term's position, end = last
+    term's position + 1."""
+    from blacklab_ray.query.engine import _positions_by_doc
+    if not terms:
+        raise ValueError("empty sequence")
+    n_joins = len(terms) - 1
+    gaps = gaps or [(0, 0)] * n_joins
+    uniq_terms = list(dict.fromkeys(terms))
+    stats = reader.term_stats(uniq_terms)
+    if len(stats) < len(uniq_terms):
+        return SPAN_SCHEMA.empty_table()
+    segs = reader.segments(uniq_terms)
+    cand = None
+    for t in uniq_terms:
+        docs = np.concatenate([s.decode_all()[0] for s in segs[t]]) \
+            if segs[t] else np.empty(0, np.int64)
+        docs = np.sort(docs)
+        cand = docs if cand is None else cand[np.isin(cand, docs,
+                                                      assume_unique=True)]
+        if cand.size == 0:
+            break
+    if cand is not None and cand.size:
+        cand = cand[reader.mask_tombstones(cand)]
+    if cand is None or cand.size == 0:
+        return SPAN_SCHEMA.empty_table()
+    pos_maps = {t: _positions_by_doc(segs[t], cand) for t in uniq_terms}
+    out_d, out_s, out_e = [], [], []
+    for doc in cand.tolist():
+        first = pos_maps[terms[0]].get(doc)
+        if first is None:
+            continue
+        starts = first
+        lasts = first
+        ok = True
+        for (lo, hi), t in zip(gaps, terms[1:]):
+            nxt = pos_maps[t].get(doc)
+            if nxt is None or lasts.size == 0:
+                ok = False
+                break
+            left_i = np.searchsorted(nxt, lasts + 1 + lo, side="left")
+            right_i = np.searchsorted(nxt, lasts + 1 + hi, side="right")
+            counts = right_i - left_i
+            if counts.sum() == 0:
+                ok = False
+                break
+            sel = np.flatnonzero(counts)
+            idx = np.concatenate([np.arange(left_i[i], right_i[i])
+                                  for i in sel])
+            starts = np.repeat(starts[sel], counts[sel])
+            lasts = nxt[idx]
+        if ok and lasts.size:
+            out_d.append(np.full(lasts.size, doc, dtype=np.int64))
+            out_s.append(starts)
+            out_e.append(lasts + 1)
+    if not out_d:
+        return SPAN_SCHEMA.empty_table()
+    return unique_spans(span_table(np.concatenate(out_d),
+                                   np.concatenate(out_s),
+                                   np.concatenate(out_e)))
