@@ -270,22 +270,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def q_docs_filter(sf):
         """Metadata-only document query (Lucene BooleanQuery doc filter
-        analogue): en docs with 40..60 tokens, ids sorted."""
-        from blacklab_ray.pipelines import frequency as fq
-        ds = _docs_ds(sf)
-        stats = fq.doc_stats(ds)  # doc_id, doc_len
+        analogue): en docs with 40..60 tokens — one vectorized
+        map_batches (tokenize + predicate), no join."""
 
         def _filt(batch: pa.Table) -> pa.Table:
             import pyarrow.compute as pc
-            m = pc.and_(pc.greater_equal(batch["doc_len"], 40),
-                        pc.less_equal(batch["doc_len"], 60))
-            return batch.filter(m)
+            from blacklab_ray.analysis.analyzers import tokenize_column
+            _, _, _, lens = tokenize_column(batch.column("text"))
+            out = pa.table({
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "doc_len": pa.array(lens, pa.int64()),
+                "lang": batch.column("lang"),
+            })
+            m = pc.and_(pc.and_(pc.greater_equal(out["doc_len"], 40),
+                                pc.less_equal(out["doc_len"], 60)),
+                        pc.equal(out["lang"], "en"))
+            return out.filter(m).select(["doc_id", "doc_len"])
 
-        lens = stats.map_batches(_filt, batch_format="pyarrow").to_pandas()
-        langs = _docs_ds(sf).select_columns(["doc_id", "lang"]).to_pandas()
-        out = lens.merge(langs, on="doc_id")
-        out = out[out["lang"] == "en"][["doc_id", "doc_len"]]
-        return out.sort_values("doc_id").reset_index(drop=True)
+        return _docs_ds(sf).map_batches(_filt, batch_format="pyarrow")
 
     # ---- dedup / fingerprints ------------------------------------------
 
@@ -344,9 +346,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return textstats.token_counts_by(_docs_ds(sf), "lang")
 
     def q_lang_id(sf):
-        df = textstats.lang_id(_docs_ds(sf)).to_pandas()
-        out = df.groupby("lang_pred").size().reset_index(name="n_docs")
-        return out
+        from ray.data.aggregate import Count
+        return textstats.lang_id(_docs_ds(sf)) \
+            .groupby("lang_pred").aggregate(Count(alias_name="n_docs"))
 
     # ---- windowed event aggregates -------------------------------------
 

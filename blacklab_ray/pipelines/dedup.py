@@ -208,12 +208,13 @@ def verify_jaccard_pairs(ds: ray.data.Dataset, pairs: ray.data.Dataset,
                          "jaccard": pa.array([], pa.float64())})
     need = np.unique(np.concatenate([
         pair_tbl["a"].to_numpy(), pair_tbl["b"].to_numpy()]))
-    need_ref = _ray.put(set(need.tolist()))
+    need_ref = _ray.put(need.tolist())
 
     def gather(batch: pa.Table) -> pa.Table:
-        needed = _ray.get(need_ref)
-        ids = batch.column(id_col).cast(pa.int64())
-        mask = pa.array([i in needed for i in ids.to_pylist()])
+        import pyarrow.compute as _pc
+        needed = _ray.get(need_ref)   # sorted int64 array (broadcast)
+        mask = _pc.is_in(batch.column(id_col).cast(pa.int64()),
+                         value_set=pa.array(needed, pa.int64()))
         sub = batch.filter(mask)
         return pa.table({
             "doc_id": sub.column(id_col).cast(pa.int64()),
