@@ -25,7 +25,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-BENCH_DOCS = int(os.environ.get("BLRAY_BENCH_DOCS", "20000"))
+BENCH_DOCS = int(os.environ.get("BLRAY_BENCH_DOCS", "50000"))
 N_SHARDS = int(os.environ.get("BLRAY_BENCH_SHARDS", "64"))
 CORPUS_DIR = f"/tmp/blray_bench_corpus_{BENCH_DOCS}_{N_SHARDS}"
 
