@@ -226,6 +226,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
                           ascending=[False, True, True]).head(100)
         return t.reset_index(drop=True)
 
+    def q_cql(sf):
+        from blacklab_ray.query.cql import search_cql
+        r = _index_for(sf)
+        t = search_cql(r, '[word="b.*"] "batch"', k=10**9)
+        df = t.select(["doc_id", "span_tf"]).to_pandas()
+        return df.sort_values("doc_id").reset_index(drop=True)
+
     def q_seq_gap(sf):
         from blacklab_ray.query.engine import sequence_search
         r = _index_for(sf)
@@ -375,6 +382,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hit_counts": q_hit_counts,
         "top_docs_by_len": q_top_docs_by_len,
         "kwic_fwd": q_kwic_fwd,
+        "cql_docs": q_cql,
         "seq_gap_docs": q_seq_gap,
         "hits_sorted": q_hits_sorted,
         "docs_by_lang": q_docs_by_lang,
@@ -537,6 +545,14 @@ SELECT d.doc_id, count(t.term) AS doc_len
 FROM documents d LEFT JOIN toks t ON d.doc_id = t.doc_id
 GROUP BY d.doc_id
 ORDER BY doc_len DESC, d.doc_id LIMIT {TOPK}
+""",
+        "cql_docs": f"""
+WITH toks AS ({toks_pos})
+SELECT a.doc_id, count(*) AS span_tf
+FROM toks a JOIN toks b
+  ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+WHERE regexp_matches(a.term, '^(?:b.*)$') AND b.term = 'batch'
+GROUP BY a.doc_id
 """,
         "seq_gap_docs": f"""
 WITH toks AS ({toks_pos})

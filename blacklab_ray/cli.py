@@ -66,6 +66,16 @@ def cmd_phrase(args) -> int:
     return 0
 
 
+def cmd_cql(args) -> int:
+    from blacklab_ray.query import IndexReader
+    from blacklab_ray.query.cql import search_cql
+    reader = IndexReader(args.index)
+    res = search_cql(reader, args.query, k=args.k, resolve_urls=True)
+    for row in res.to_pylist():
+        print(json.dumps(row))
+    return 0
+
+
 def cmd_freq(args) -> int:
     ray = _ray_session()
     import ray.data
@@ -119,6 +129,12 @@ def main(argv=None) -> int:
     ph.add_argument("--terms", required=True)
     ph.add_argument("-k", type=int, default=10)
     ph.set_defaults(fn=cmd_phrase)
+
+    cq = sub.add_parser("cql")
+    cq.add_argument("--index", required=True)
+    cq.add_argument("--query", required=True)
+    cq.add_argument("-k", type=int, default=10)
+    cq.set_defaults(fn=cmd_cql)
 
     f = sub.add_parser("freq")
     f.add_argument("--input", required=True)

@@ -223,3 +223,89 @@ def sequence_spans(reader, terms: list[str],
     return unique_spans(span_table(np.concatenate(out_d),
                                    np.concatenate(out_s),
                                    np.concatenate(out_e)))
+
+
+def sequence_spans_multi(reader, term_sets: list[list[str]],
+                         gaps: list[tuple[int, int]] | None = None
+                         ) -> pa.Table:
+    """Sequence spans where each position matches ANY of a term set
+    (multi-term positions — the lowering target for CQL regex/bracket
+    positions). Positional union per doc; otherwise identical join
+    semantics to sequence_spans."""
+    from blacklab_ray.query.engine import _positions_by_doc
+    if not term_sets:
+        raise ValueError("empty sequence")
+    n_joins = len(term_sets) - 1
+    gaps = gaps or [(0, 0)] * n_joins
+    if len(gaps) != n_joins:
+        raise ValueError("need len(term_sets)-1 gap bounds")
+    all_terms = sorted({t for ts in term_sets for t in ts})
+    stats = reader.term_stats(all_terms)
+    live_sets = [[t for t in ts if t in stats] for ts in term_sets]
+    if any(not ts for ts in live_sets):
+        return SPAN_SCHEMA.empty_table()
+    segs = reader.segments(sorted({t for ts in live_sets for t in ts}))
+
+    # candidate docs: intersection over positions of (union over the
+    # position's terms)
+    def _docs_of(ts: list[str]) -> np.ndarray:
+        parts = [s.decode_all()[0] for t in ts for s in segs[t]]
+        if not parts:
+            return np.empty(0, np.int64)
+        return np.unique(np.concatenate(parts))
+
+    cand = None
+    for ts in live_sets:
+        docs = _docs_of(ts)
+        cand = docs if cand is None else cand[np.isin(cand, docs,
+                                                      assume_unique=True)]
+        if cand.size == 0:
+            break
+    if cand is not None and cand.size:
+        cand = cand[reader.mask_tombstones(cand)]
+    if cand is None or cand.size == 0:
+        return SPAN_SCHEMA.empty_table()
+
+    # per-position doc → sorted positions (union over the term set)
+    pos_maps = []
+    for ts in live_sets:
+        merged: dict[int, list] = {}
+        for t in ts:
+            for doc, ps in _positions_by_doc(segs[t], cand).items():
+                merged.setdefault(doc, []).append(ps)
+        pos_maps.append({doc: np.sort(np.concatenate(lst))
+                         for doc, lst in merged.items()})
+
+    out_d, out_s, out_e = [], [], []
+    for doc in cand.tolist():
+        first = pos_maps[0].get(doc)
+        if first is None:
+            continue
+        starts = first
+        lasts = first
+        ok = True
+        for (lo, hi), pm in zip(gaps, pos_maps[1:]):
+            nxt = pm.get(doc)
+            if nxt is None or lasts.size == 0:
+                ok = False
+                break
+            left_i = np.searchsorted(nxt, lasts + 1 + lo, side="left")
+            right_i = np.searchsorted(nxt, lasts + 1 + hi, side="right")
+            counts = right_i - left_i
+            if counts.sum() == 0:
+                ok = False
+                break
+            sel = np.flatnonzero(counts)
+            idx = np.concatenate([np.arange(left_i[i], right_i[i])
+                                  for i in sel])
+            starts = np.repeat(starts[sel], counts[sel])
+            lasts = nxt[idx]
+        if ok and lasts.size:
+            out_d.append(np.full(lasts.size, doc, dtype=np.int64))
+            out_s.append(starts)
+            out_e.append(lasts + 1)
+    if not out_d:
+        return SPAN_SCHEMA.empty_table()
+    return unique_spans(span_table(np.concatenate(out_d),
+                                   np.concatenate(out_s),
+                                   np.concatenate(out_e)))

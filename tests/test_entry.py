@@ -78,7 +78,7 @@ def test_oracle_keys_subset(entry_mod):
     "wildcard_or_scores", "bm25_filtered_en", "fuzzy_expand",
     "regex_expand", "hit_counts", "top_docs_by_len", "kwic_fwd",
     "facets_spark", "hits_sorted", "docs_by_lang", "docs_filter",
-    "seq_gap_docs",
+    "seq_gap_docs", "cql_docs",
 ])
 def test_query_matches_oracle(entry_mod, con, name):
     ray_df = _norm(_to_pandas(entry_mod.queries()[name](SF_DIR)))
