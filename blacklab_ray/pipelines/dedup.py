@@ -200,8 +200,14 @@ def verify_jaccard_pairs(ds: ray.data.Dataset, pairs: ray.data.Dataset,
     Returns a small Arrow table (a, b, jaccard).
     """
     import ray as _ray
-    pair_tbl = pairs.to_arrow_refs()
-    pair_tbl = pa.concat_tables([_ray.get(r) for r in pair_tbl])
+    refs = pairs.to_arrow_refs()
+    blocks = [_ray.get(r) for r in refs]
+    # Ray's groupby can emit schema-less empty blocks — drop them before
+    # concat (observed: "Schema at index N was different: <empty>")
+    blocks = [b for b in blocks if b.num_rows and b.num_columns]
+    pair_tbl = pa.concat_tables(blocks) if blocks else \
+        pa.table({"a": pa.array([], pa.int64()),
+                  "b": pa.array([], pa.int64())})
     if pair_tbl.num_rows == 0:
         return pa.table({"a": pa.array([], pa.int64()),
                          "b": pa.array([], pa.int64()),
