@@ -65,6 +65,7 @@ class BuildParams:
     batch_size: int = 1024
     bucket_shards: int = 1           # sort-exchange checkpoint granularity
     exchange: str = "mapreduce"      # postings shuffle: mapreduce | sort
+    paragraph_spans: bool = False    # store per-doc paragraph token counts
 
     def fingerprint(self) -> dict:
         d = dict(self.__dict__)
@@ -170,15 +171,17 @@ def build_index(source: str | list[str] | ray.data.Dataset, index_dir: str,
                 ds = ds.map_batches(
                     HtmlExtractor(trust_text=params.trust_text),
                     batch_format="pyarrow", batch_size=params.batch_size)
+        tok_kwargs = {"id_column": params.id_column,
+                      "paragraph_spans": params.paragraph_spans}
         if params.tokenize_concurrency is not None:
             ds = ds.map_batches(
                 TokenizeForwardIndex,
-                fn_constructor_kwargs={"id_column": params.id_column},
+                fn_constructor_kwargs=tok_kwargs,
                 batch_format="pyarrow", batch_size=params.batch_size,
                 concurrency=params.tokenize_concurrency)
         else:
             ds = ds.map_batches(
-                TokenizeForwardIndex(id_column=params.id_column),
+                TokenizeForwardIndex(**tok_kwargs),
                 batch_format="pyarrow", batch_size=params.batch_size)
         _fresh_dir(fwd_dir)
         ds.write_parquet(fwd_dir)

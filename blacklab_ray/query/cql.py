@@ -39,6 +39,7 @@ _TOKEN_RE = re.compile(r"""
     | (?P<any>\[\s*\])
     | (?P<rep>\{\s*(?P<rlo>\d+)\s*(?:,\s*(?P<rhi>\d+)\s*)?\})
     | (?P<qmark>\?)
+    | (?P<tag><\s*(?P<tagname>\w+)\s*/\s*>)
     | (?P<word>within|containing)
     )""", re.VERBOSE)
 
@@ -56,10 +57,15 @@ class SeqPlan:
 
 
 @dataclass
+class TagPlan:
+    name: str                       # structural span source ("p")
+
+
+@dataclass
 class FilterPlan:
     op: str                         # "within" | "containing"
     producer: SeqPlan
-    filter: SeqPlan
+    filter: "SeqPlan | TagPlan"
 
 
 _REGEX_META = set(".*+?[](){}|\\^$")
@@ -97,14 +103,23 @@ def parse_cql(q: str) -> SeqPlan | FilterPlan:
             items.append(("rep", (lo, hi)))
         elif m.group("qmark") is not None:
             items.append(("rep", (0, 1)))
+        elif m.group("tag") is not None:
+            items.append(("tag", m.group("tagname")))
         elif m.group("word") is not None:
             items.append(("op", m.group("word")))
     # split on within/containing
     for i, (kind, val) in enumerate(items):
         if kind == "op":
             left = _build_seq(items[:i])
-            right = _build_seq(items[i + 1:])
+            rest = items[i + 1:]
+            if len(rest) == 1 and rest[0][0] == "tag":
+                right: SeqPlan | TagPlan = TagPlan(name=str(rest[0][1]))
+            else:
+                right = _build_seq(rest)
             return FilterPlan(op=str(val), producer=left, filter=right)
+    if any(k == "tag" for k, _ in items):
+        raise ValueError("structural tags are only supported as the "
+                         "filter operand of within/containing")
     return _build_seq(items)
 
 
@@ -171,7 +186,13 @@ def cql_spans(reader, q: str) -> pa.Table:
     plan = parse_cql(q)
     if isinstance(plan, FilterPlan):
         prod = cql_spans_seq(reader, plan.producer)
-        filt = cql_spans_seq(reader, plan.filter)
+        if isinstance(plan.filter, TagPlan):
+            if plan.filter.name != "p":
+                raise ValueError(
+                    f"unknown structural tag <{plan.filter.name}/>")
+            filt = reader.paragraph_spans()
+        else:
+            filt = cql_spans_seq(reader, plan.filter)
         if plan.op == "within":
             return spans_within(prod, filt)
         return spans_containing(prod, filt)

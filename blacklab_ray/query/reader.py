@@ -154,6 +154,35 @@ class IndexReader:
         idx = np.searchsorted(d["doc_id"], doc_ids)
         return pc.take(d["url"], pa.array(idx)).to_pylist()
 
+    def paragraph_spans(self) -> "pa.Table":
+        """Structural paragraph spans (doc_id, start, end) from the
+        forward index (requires BuildParams.paragraph_spans=True) — the
+        tags-span source (SpanQueryTags analogue) for tagless webtext."""
+        if getattr(self, "_para_spans", None) is not None:
+            return self._para_spans
+        from blacklab_ray.query.spans import span_table
+        tbl = pq.read_table(os.path.join(self.index_dir, "fwd"),
+                            columns=["doc_id", "para_lens"])
+        lens_col = tbl["para_lens"].combine_chunks()
+        flat = pc.list_flatten(lens_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        parents = pc.list_parent_indices(lens_col).to_numpy(
+            zero_copy_only=False)
+        doc_ids = tbl["doc_id"].to_numpy()[parents]
+        # segmented cumsum: token offsets restart at each doc's run
+        ends_global = np.cumsum(flat)
+        first = np.ones(parents.size, dtype=bool)
+        first[1:] = parents[1:] != parents[:-1]
+        run_starts = np.flatnonzero(first)
+        run_base = ends_global[run_starts] - flat[run_starts]
+        run_id = np.cumsum(first) - 1
+        ends = ends_global - run_base[run_id]
+        starts = ends - flat
+        keep = flat > 0
+        self._para_spans = span_table(doc_ids[keep], starts[keep],
+                                      ends[keep])
+        return self._para_spans
+
     # ---- postings -------------------------------------------------------
 
     _SEG_CACHE_MAX = 4096  # cached terms (BlackLab mmap-everything analogue)

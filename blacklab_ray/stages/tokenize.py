@@ -64,8 +64,31 @@ class TokenizeForwardIndex:
     ``doc_id,url,lang,doc_len,norm,terms,tfs,pos``.
     """
 
-    def __init__(self, id_column: str = "url"):
+    def __init__(self, id_column: str = "url",
+                 paragraph_spans: bool = False):
         self._id_column = id_column
+        self._para = paragraph_spans
+
+    def _paragraph_lens(self, text_col: pa.Array | pa.ChunkedArray,
+                        n_docs: int) -> pa.ListArray:
+        """Token count per newline-separated block, as list<int32> per doc.
+
+        Extracted text uses one '\\n' between blocks (extract.py), and
+        '\\n' is a token separator, so per-block token counts tile the
+        doc's token stream exactly — the structural spans BlackLab gets
+        from inline tags (SpanQueryTags), recovered here for tagless
+        webtext."""
+        paras = pc.split_pattern(text_col, "\n")
+        flat = pc.list_flatten(paras)
+        para_parents = pc.list_parent_indices(paras).to_numpy(
+            zero_copy_only=False)
+        _, _, _, para_lens = tokenize_column(flat)
+        counts = np.bincount(para_parents, minlength=n_docs)
+        offsets = np.zeros(n_docs + 1, dtype=np.int32)
+        offsets[1:] = np.cumsum(counts)
+        return pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()),
+            pa.array(para_lens, pa.int32()))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from blacklab_ray.util import pin_worker_arrow_threads
@@ -159,6 +182,9 @@ class TokenizeForwardIndex:
             "tfs": tfs_list,
             "pos": pos_list,
         }
+        if self._para:
+            cols["para_lens"] = self._paragraph_lens(
+                batch.column("text"), n_docs)
         if "warc_ts" in batch.column_names:
             cols["warc_ts"] = batch.column("warc_ts")
         return pa.table(cols)

@@ -124,3 +124,37 @@ def test_search_cql_scoring(reader, small_oracle):
     assert res["span_tf"].to_pylist() == ph["phrase_tf"].to_pylist()
     for a, b in zip(res["score"].to_pylist(), ph["score"].to_pylist()):
         assert abs(a - b) < 1e-12
+
+
+def test_cql_within_paragraph(ray_session, tmp_path):
+    """`X within <p/>`: sequences crossing a paragraph boundary are
+    matched by the plain sequence but excluded by the filter."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from blacklab_ray.index import BuildParams, build_index
+    from blacklab_ray.query.cql import cql_spans
+    texts = [
+        "alpha beta\ngamma delta",     # 'beta gamma' crosses the boundary
+        "alpha beta gamma\ndelta",     # 'beta gamma' inside paragraph 1
+    ]
+    pages = pa.table({
+        "url": pa.array(["d0", "d1"], pa.string()),
+        "warc_ts": pa.array([0, 0], pa.timestamp("us")),
+        "html": pa.array([t.encode() for t in texts], pa.binary()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en", "en"], pa.string()),
+    })
+    src = tmp_path / "p"
+    src.mkdir()
+    pq.write_table(pages, str(src / "x.parquet"))
+    idx = str(tmp_path / "idx")
+    build_index(str(src), idx,
+                BuildParams(num_buckets=2, n_salts=1,
+                            paragraph_spans=True))
+    r = IndexReader(idx)
+    from blacklab_ray.stages.tokenize import hash64
+    plain = cql_spans(r, '"beta" "gamma"')
+    filt = cql_spans(r, '"beta" "gamma" within <p/>')
+    assert set(plain["doc_id"].to_pylist()) == {hash64("d0"), hash64("d1")}
+    assert filt["doc_id"].to_pylist() == [hash64("d1")]
