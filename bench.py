@@ -136,7 +136,7 @@ def run_bench(num_cpus: int) -> dict:
     build_index(CORPUS_DIR, idx_dir,
                 BuildParams(num_buckets=64, n_salts=8,
                             extract_html=True, trust_text=False,
-                            batch_size=256),
+                            batch_size=512),
                 resume=False)
     t_build = time.perf_counter() - t0
     timings["index_build"] = round(t_build, 3)
