@@ -81,6 +81,16 @@ def add_documents(index_dir: str, source, params: BuildParams | None = None,
     original build). Returns the update record.
     """
     params = params or BuildParams()
+    # schema-affecting settings must match the base build (a delta fwd
+    # file without para_lens would break reads of the merged fwd dir)
+    man_path = os.path.join(index_dir, "manifest.json")
+    if os.path.exists(man_path):
+        with open(man_path) as f:
+            rec = json.load(f)["stages"].get("fwd", {}).get("params", {})
+        if rec:
+            params.paragraph_spans = rec.get("paragraph_spans",
+                                             params.paragraph_spans)
+            params.id_column = rec.get("id_column", params.id_column)
     upd = _load_updates(index_dir)
     gen = generation if generation is not None else upd["generation"] + 1
     fwd_dir = os.path.join(index_dir, "fwd")
@@ -106,7 +116,9 @@ def add_documents(index_dir: str, source, params: BuildParams | None = None,
         ds = ds.map_batches(HtmlExtractor(trust_text=params.trust_text),
                             batch_format="pyarrow",
                             batch_size=params.batch_size)
-    ds = ds.map_batches(TokenizeForwardIndex(id_column=params.id_column),
+    ds = ds.map_batches(TokenizeForwardIndex(
+        id_column=params.id_column,
+        paragraph_spans=params.paragraph_spans),
                         batch_format="pyarrow",
                         batch_size=params.batch_size)
     ds.write_parquet(fwd_dir)  # appends new uuid-named files
