@@ -369,10 +369,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # ---- multimodal plumbing (decode STUB, real Ray plumbing) ----------
 
     def q_media_features(sf):
+        import hashlib as _hl
+
         import ray.data
         tbl = multimodal.synth_media_table(100)
         ds = ray.data.from_arrow(tbl)
-        return multimodal.extract_features(ds)
+        feats = multimodal.extract_features(ds)
+
+        def _sig(batch: pa.Table) -> pa.Table:
+            # project the vector column to a hashable deterministic
+            # signature (drivers hash cell values; list cells are not
+            # reliably hashable)
+            vecs = batch["feature"].to_pylist()
+            return pa.table({
+                "media_id": batch["media_id"],
+                "media_type": batch["media_type"],
+                "feature_dim": pa.array([len(v) for v in vecs],
+                                        pa.int64()),
+                "feature_sha256": pa.array(
+                    [_hl.sha256(np.asarray(v, np.float64).tobytes())
+                     .hexdigest() for v in vecs], pa.string()),
+            })
+
+        return feats.map_batches(_sig, batch_format="pyarrow")
 
     return {
         "wildcard_or_scores": q_wildcard_scores,
