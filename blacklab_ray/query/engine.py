@@ -297,7 +297,7 @@ def search_wand(reader: IndexReader, terms: list[str], k: int = 10,
     return _result_table(reader, doc_ids, scores, resolve_urls)
 
 
-AUTO_TAAT_MAX_POSTINGS = 5_000_000
+AUTO_TAAT_MAX_POSTINGS = 100_000
 
 
 def search(reader: IndexReader, terms: list[str], k: int = 10,

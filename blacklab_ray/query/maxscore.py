@@ -74,7 +74,11 @@ class _TermList:
 
     def scores_for(self, targets: np.ndarray) -> np.ndarray:
         """True contribution of this term for each target doc (0 when
-        absent) — decodes only the blocks containing targets."""
+        absent) — decodes only the blocks containing targets. When the
+        target set is dense (would touch most blocks anyway), a full
+        decode + one searchsorted is cheaper than per-block gathers."""
+        if self._full is None and targets.size >= 4096:
+            self.full()
         if self._full is not None:
             d, s = self._full
             idx = np.searchsorted(d, targets)
