@@ -177,13 +177,18 @@ def run_postings_exchange(fwd_dir: str, out_dir: str, *, num_buckets: int,
                           n_salts: int, hot_terms, block_size: int,
                           max_seg_postings: int,
                           n_parts: int | None = None,
-                          files_per_map: int = 4,
+                          files_per_map: int | None = None,
                           completed_parts: set[int] | None = None,
                           part_suffix: str = "") -> dict:
     """Run the map/reduce postings exchange; returns per-part lineage.
 
     ``completed_parts`` (from the manifest) are skipped — their output
     files are already on disk (per-partition resume).
+
+    ``files_per_map=None`` auto-sizes maps to ~one wave across the
+    cluster's CPUs (fewer, bigger maps amortize per-batch overhead —
+    measured 131.7s → 83.4s on a 550M-token exchange), capped so a map's
+    input stays ≤ ~256 MB of fwd Parquet.
     """
     files = sorted(os.path.join(fwd_dir, f) for f in os.listdir(fwd_dir)
                    if f.endswith(".parquet"))
@@ -191,6 +196,14 @@ def run_postings_exchange(fwd_dir: str, out_dir: str, *, num_buckets: int,
         n_parts = num_buckets
     n_parts = max(2, n_parts)  # num_returns semantics need >= 2
     completed = completed_parts or set()
+    if files_per_map is None and files:
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+        avg_sz = max(1, sum(os.path.getsize(f) for f in files)
+                     // len(files))
+        by_mem = max(1, (256 << 20) // avg_sz)
+        files_per_map = max(1, min(round(len(files) / ncpu) or 1,
+                                   by_mem, 64))
+    files_per_map = files_per_map or 4
     chunks = [files[i:i + files_per_map]
               for i in range(0, len(files), files_per_map)]
 
