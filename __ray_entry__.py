@@ -590,7 +590,7 @@ ORDER BY lang, doc_id, pos LIMIT 50
 WITH toks AS ({toks}),
 dl AS (SELECT doc_id, count(*) AS doc_len FROM toks GROUP BY doc_id),
 m AS (SELECT DISTINCT doc_id, lang FROM toks WHERE term = '{HIT_TERM}')
-SELECT m.lang, count(*) AS n_docs, sum(dl.doc_len) AS total_len
+SELECT m.lang, count(*) AS n_docs, sum(dl.doc_len)::BIGINT AS total_len
 FROM m JOIN dl USING (doc_id) GROUP BY m.lang
 """,
         "docs_filter": f"""

@@ -66,6 +66,7 @@ class BuildParams:
     bucket_shards: int = 1           # sort-exchange checkpoint granularity
     exchange: str = "mapreduce"      # postings shuffle: mapreduce | sort
     paragraph_spans: bool = False    # store per-doc paragraph token counts
+    verify_doc_ids: bool = False     # post-fwd hash-collision audit
 
     def fingerprint(self) -> dict:
         d = dict(self.__dict__)
@@ -118,6 +119,24 @@ def _fresh_dir(path: str) -> None:
     os.makedirs(path, exist_ok=True)
 
 
+def check_doc_id_collisions(fwd_dir: str) -> int:
+    """Count doc_id hash collisions in the forward index.
+
+    doc_id = 63-bit blake2b(url); at ~10^12 docs the birthday bound
+    yields real collisions that would silently merge distinct documents.
+    This audit is one groupby over the int64 id column (shuffle of ids
+    only, not payloads); run it at build time via
+    ``BuildParams.verify_doc_ids`` or standalone. At extreme scale the
+    durable fix is a 128-bit id; this detects when that day has come.
+    """
+    dup = (ray.data.read_parquet(fwd_dir, columns=["doc_id"])
+           .groupby("doc_id").count()
+           .map_batches(
+               lambda t: t.filter(pa.compute.greater(t["count()"], 1)),
+               batch_format="pyarrow"))
+    return int(dup.count())
+
+
 def build_index(source: str | list[str] | ray.data.Dataset, index_dir: str,
                 params: BuildParams | None = None,
                 resume: bool = True) -> dict:
@@ -141,7 +160,12 @@ def build_index(source: str | list[str] | ray.data.Dataset, index_dir: str,
             return ray.data.read_parquet(paths, columns=cols)
     else:
         ds_in = source
-        src_fp = "dataset:" + str(id(source))
+        # In-memory Dataset sources are never resumable: id()-style
+        # fingerprints are reused across processes and content hashing
+        # would require executing the pipeline. A fresh uuid guarantees
+        # no spurious stage-skip against a previous build's lineage.
+        import uuid
+        src_fp = "dataset:" + uuid.uuid4().hex
 
         def read_pages():
             return ds_in
@@ -185,6 +209,12 @@ def build_index(source: str | list[str] | ray.data.Dataset, index_dir: str,
                 batch_format="pyarrow", batch_size=params.batch_size)
         _fresh_dir(fwd_dir)
         ds.write_parquet(fwd_dir)
+        if params.verify_doc_ids:
+            n_dup = check_doc_id_collisions(fwd_dir)
+            if n_dup:
+                raise RuntimeError(
+                    f"{n_dup} doc_id hash collisions in {fwd_dir}; "
+                    "distinct urls map to one 63-bit id — use a wider id")
         dt = time.perf_counter() - t0
         man.record("fwd", src_fp, pfp, seconds=round(dt, 3))
 

@@ -46,6 +46,49 @@ def _save_updates(index_dir: str, upd: dict) -> None:
     os.replace(p + ".tmp", p)
 
 
+def _inherit_layout(index_dir: str, params: BuildParams) -> BuildParams:
+    """Override layout-affecting params from the index's recorded build
+    params (meta.json['params']). An update run with caller defaults must
+    not write segments under a different num_buckets/n_salts modulus than
+    the base index — the reader prunes by meta.json's layout and would
+    silently miss them."""
+    meta_p = os.path.join(index_dir, "meta.json")
+    if os.path.exists(meta_p):
+        with open(meta_p) as f:
+            rec = json.load(f).get("params") or {}
+        for k in ("num_buckets", "n_salts", "block_size",
+                  "max_seg_postings", "paragraph_spans", "id_column",
+                  "exchange"):
+            if k in rec:
+                setattr(params, k, rec[k])
+        if "hot_terms" in rec:
+            params.hot_terms = (tuple(rec["hot_terms"])
+                                if rec["hot_terms"] else None)
+    return params
+
+
+def _ensure_terms_parts(index_dir: str) -> None:
+    """Backfill terms_parts/ from the existing postings when absent.
+
+    The exchange='sort' build path writes no terms_parts; without this,
+    _refresh_terms_and_meta after an add would overwrite the global terms
+    table with delta-only stats (base-corpus terms would vanish)."""
+    tdir = os.path.join(index_dir, "terms_parts")
+    if os.path.isdir(tdir) and any(f.endswith(".parquet")
+                                   for f in os.listdir(tdir)):
+        return
+    post_dir = os.path.join(index_dir, "postings")
+    import pyarrow.dataset as pads
+    dset = pads.dataset(post_dir, partitioning="hive")
+    tbl = dset.to_table(columns=["term", "df_seg", "ctf_seg"])
+    stats = tbl.group_by("term").aggregate(
+        [("df_seg", "sum"), ("ctf_seg", "sum")])
+    os.makedirs(tdir, exist_ok=True)
+    out = os.path.join(tdir, "part-backfill.parquet")
+    pq.write_table(stats, out + ".tmp")
+    os.replace(out + ".tmp", out)
+
+
 def _refresh_terms_and_meta(index_dir: str) -> None:
     """Recompute terms table + meta from all exchange part stats."""
     import pyarrow as pa
@@ -80,17 +123,7 @@ def add_documents(index_dir: str, source, params: BuildParams | None = None,
     ``source``: path(s) to pages Parquet or a Dataset (same schema as the
     original build). Returns the update record.
     """
-    params = params or BuildParams()
-    # schema-affecting settings must match the base build (a delta fwd
-    # file without para_lens would break reads of the merged fwd dir)
-    man_path = os.path.join(index_dir, "manifest.json")
-    if os.path.exists(man_path):
-        with open(man_path) as f:
-            rec = json.load(f)["stages"].get("fwd", {}).get("params", {})
-        if rec:
-            params.paragraph_spans = rec.get("paragraph_spans",
-                                             params.paragraph_spans)
-            params.id_column = rec.get("id_column", params.id_column)
+    params = _inherit_layout(index_dir, params or BuildParams())
     upd = _load_updates(index_dir)
     gen = generation if generation is not None else upd["generation"] + 1
     fwd_dir = os.path.join(index_dir, "fwd")
@@ -126,6 +159,7 @@ def add_documents(index_dir: str, source, params: BuildParams | None = None,
 
     # exchange over only the new fwd files; part files are suffixed by
     # generation so they never collide with existing segment files
+    _ensure_terms_parts(index_dir)
     tmp_fwd = os.path.join(index_dir, f"_delta_fwd_g{gen}")
     _fresh_dir(tmp_fwd)
     for f in new_files:
@@ -151,11 +185,18 @@ def add_documents(index_dir: str, source, params: BuildParams | None = None,
 
 
 def delete_documents(index_dir: str, doc_ids=None, urls=None) -> dict:
-    """Tombstone documents by doc_id or url (BlackLab delete-by-pid)."""
+    """Tombstone documents by doc_id or url (BlackLab delete-by-pid).
+
+    Deleting by url also tombstones every generation-salted re-add of
+    that url ('<url>@g{g}'): update_documents re-adds content under
+    salted ids, and delete-by-pid semantics must remove the live
+    generation too, not just the original."""
     upd = _load_updates(index_dir)
     ids = set(int(i) for i in (doc_ids or []))
     for u in (urls or []):
         ids.add(hash64(u))
+        for g in range(1, upd.get("generation", 0) + 1):
+            ids.add(hash64(f"{u}@g{g}"))
     upd["tombstones"] = sorted(set(upd["tombstones"]) | ids)
     _save_updates(index_dir, upd)
     return {"op": "delete", "n_tombstones": len(upd["tombstones"])}
@@ -190,7 +231,7 @@ def compact_index(index_dir: str, params: BuildParams | None = None) -> dict:
     """
     import pyarrow as pa
 
-    params = params or BuildParams()
+    params = _inherit_layout(index_dir, params or BuildParams())
     upd = _load_updates(index_dir)
     tombs = set(upd.get("tombstones", []))
     fwd_dir = os.path.join(index_dir, "fwd")

@@ -126,3 +126,98 @@ def test_compact_folds_tombstones(incremental_index, ray_session):
     assert res["doc_id"].to_pylist() == [d for d, _ in exp]
     for g, (_, s) in zip(res["score"].to_pylist(), exp):
         assert abs(g - s) < 1e-9
+
+
+def test_add_documents_inherits_layout(incremental_index, tmp_path,
+                                       ray_session):
+    """ADVICE fix: an add run with caller-default BuildParams (32
+    buckets) on a 4-bucket base index must inherit the recorded layout —
+    otherwise the new segments land under a modulus the reader prunes
+    away and the added docs are silently unsearchable."""
+    from blacklab_ray.sources.synth import generate_pages
+    extra = generate_pages(20, doc_offset=200)
+    extra_dir = tmp_path / "extra2"
+    extra_dir.mkdir()
+    pq.write_table(extra, str(extra_dir / "e.parquet"))
+    add_documents(incremental_index, str(extra_dir))  # defaults on purpose
+    reader = IndexReader(incremental_index)
+    assert reader.n_docs == 100
+    new_urls = set(extra["url"].to_pylist())
+    new_ids = {hash64(u) for u in new_urls}
+    res = search_taat(reader, ["the"], k=10**9)
+    assert new_ids & set(res["doc_id"].to_pylist())
+
+
+def test_add_documents_on_sort_built_index(tmp_path, ray_session):
+    """ADVICE fix: exchange='sort' builds write no terms_parts;
+    add_documents must backfill them so base-corpus terms survive the
+    terms-table refresh."""
+    import pyarrow as pa
+
+    from blacklab_ray.sources.synth import generate_pages
+    src = tmp_path / "pages"
+    src.mkdir()
+    pq.write_table(generate_pages(60), str(src / "base.parquet"))
+    idx = str(tmp_path / "idx_sort")
+    build_index(str(src), idx,
+                BuildParams(num_buckets=4, n_salts=2, exchange="sort"))
+    extra = generate_pages(30, doc_offset=60)
+    extra_dir = tmp_path / "extra3"
+    extra_dir.mkdir()
+    pq.write_table(extra, str(extra_dir / "e.parquet"))
+    add_documents(idx, str(extra_dir))
+    oracle = CorpusOracle.from_pages(pa.concat_tables(
+        [generate_pages(90)]))
+    terms_tbl = pq.read_table(os.path.join(idx, "terms"))
+    df = dict(zip(terms_tbl["term"].to_pylist(),
+                  terms_tbl["doc_freq"].to_pylist()))
+    assert df == oracle.doc_freq()
+
+
+def test_delete_by_url_covers_updated_generations(incremental_index,
+                                                  ray_session):
+    """ADVICE fix: after update_documents, delete by the ORIGINAL url
+    must also tombstone the generation-salted live re-add."""
+    import pyarrow as pa
+
+    from blacklab_ray.sources.synth import generate_pages
+    pages = generate_pages(80)
+    url0 = pages["url"][0].as_py()
+    new_text = "qqqreplacement text body"
+    new_tbl = pa.table({
+        "url": pa.array([url0], pa.string()),
+        "warc_ts": pa.array([0], pa.timestamp("us")),
+        "html": pa.array([new_text.encode()], pa.binary()),
+        "text": pa.array([new_text], pa.string()),
+        "lang": pa.array(["en"], pa.string()),
+    })
+    update_documents(incremental_index, new_tbl,
+                     BuildParams(num_buckets=4, n_salts=2))
+    delete_documents(incremental_index, urls=[url0])
+    reader = IndexReader(incremental_index)
+    res = search_taat(reader, ["qqqreplacement"], 10)
+    assert res.num_rows == 0
+
+
+def test_doc_id_collision_audit(tmp_path, ray_session):
+    """verify_doc_ids flags duplicate urls (same 63-bit id) at build."""
+    import pyarrow as pa
+    import ray.data
+
+    from blacklab_ray.index.build import check_doc_id_collisions
+    from blacklab_ray.sources.synth import generate_pages
+    pages = generate_pages(20)
+    src = tmp_path / "pages"
+    src.mkdir()
+    pq.write_table(pages, str(src / "p.parquet"))
+    idx = str(tmp_path / "idx_ok")
+    build_index(str(src), idx, BuildParams(num_buckets=4, n_salts=2,
+                                           verify_doc_ids=True))
+    assert check_doc_id_collisions(os.path.join(idx, "fwd")) == 0
+
+    dup = pa.concat_tables([pages, pages.slice(0, 3)])
+    idx2 = str(tmp_path / "idx_dup")
+    with pytest.raises(RuntimeError, match="collision"):
+        build_index(ray.data.from_arrow(dup), idx2,
+                    BuildParams(num_buckets=4, n_salts=2,
+                                verify_doc_ids=True))
