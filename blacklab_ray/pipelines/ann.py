@@ -158,70 +158,168 @@ def lsh_topk(ds: ray.data.Dataset, query_ids: np.ndarray,
 
 # ---- embedding near-dup pairs ---------------------------------------------
 
+_EMPTY_PAIRS = {"a": pa.array([], pa.int64()),
+                "b": pa.array([], pa.int64()),
+                "cosine": pa.array([], pa.float64())}
+
+
+def _block_pair_table(ta: pa.Table, tb: pa.Table | None, threshold: float,
+                      id_col: str, vec_col: str) -> pa.Table:
+    """Thresholded cosine pairs between two id+vector blocks (or within
+    one when ``tb is None``): one float64 matmul, upper triangle for the
+    self case, (a < b) normalization for the cross case."""
+    ids_a = ta.column(id_col).to_numpy(zero_copy_only=False)
+    mat_a = _normalize(_batch_matrix(ta, vec_col))
+    if tb is None:
+        sims = mat_a @ mat_a.T
+        rows, cols = np.nonzero(np.triu(sims >= threshold, k=1))
+        a, b = ids_a[rows], ids_a[cols]
+    else:
+        ids_b = tb.column(id_col).to_numpy(zero_copy_only=False)
+        mat_b = _normalize(_batch_matrix(tb, vec_col))
+        sims = mat_a @ mat_b.T
+        rows, cols = np.nonzero(sims >= threshold)
+        a, b = ids_a[rows], ids_b[cols]
+    lo = np.minimum(a, b)
+    hi = np.maximum(a, b)
+    keep = lo < hi
+    return pa.table({"a": pa.array(lo[keep], pa.int64()),
+                     "b": pa.array(hi[keep], pa.int64()),
+                     "cosine": pa.array(sims[rows, cols][keep],
+                                        pa.float64())})
+
+
 def cosine_dup_pairs(ds: ray.data.Dataset, threshold: float = 0.95,
                      vec_col: str = "embedding",
-                     id_col: str = "vec_id") -> pa.Table:
-    """All pairs (a < b) with cosine ≥ threshold.
+                     id_col: str = "vec_id",
+                     max_blocks: int = 32) -> pa.Table:
+    """All pairs (a < b) with cosine ≥ threshold — EXACT, distributed.
 
-    Implementation: the full id+vector set is broadcast once (`ray.put`)
-    and each batch compares its rows against the whole set — exact, no
-    shuffle, O(N·batch) compute like the brute-force ANN baseline. For
-    10^12-scale, swap the broadcast side for LSH buckets (lsh_topk's
-    signer) — recorded as the scale path, same interface.
-    """
-    full = pa.concat_tables(
-        [b for b in ds.select_columns([id_col, vec_col])
-         .iter_batches(batch_format="pyarrow")])
-    all_ids = full[id_col].to_numpy()
-    all_mat = _normalize(_batch_matrix(full, vec_col))
-    ref = ray.put({"ids": all_ids, "mat": all_mat})
+    Block-pair join: the pruned (id, vector) dataset is split into B
+    blocks held in the object store; B(B+1)/2 Ray tasks each matmul one
+    block pair and emit only thresholded pairs. The driver handles block
+    *refs* and the (small) pair results — never the corpus. Compute is
+    inherently O(N²·d/cluster) for exact all-pairs; for approximate
+    near-dup at 10^12 scale use ``cosine_dup_pairs_lsh`` (same output
+    schema, banded-LSH recall)."""
+    slim = ds.select_columns([id_col, vec_col]).materialize()
+    refs = [r for r in slim.to_arrow_refs()]
+    if len(refs) > max_blocks:
+        slim = slim.repartition(max_blocks)
+        refs = [r for r in slim.to_arrow_refs()]
 
-    class _Pairs:
-        def __init__(self):
-            d = ray.get(ref)
-            self.ids = d["ids"]
-            self.mat = d["mat"]
+    @ray.remote
+    def _task(ta, tb, th, idc, vc):
+        if ta.num_rows == 0 or (tb is not None and tb.num_rows == 0):
+            return pa.table(_EMPTY_PAIRS)
+        return _block_pair_table(ta, tb, th, idc, vc)
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            mat = _normalize(_batch_matrix(batch, vec_col))
-            ids = batch.column(id_col).to_numpy(zero_copy_only=False)
-            sims = mat @ self.mat.T
-            rows, cols = np.nonzero(sims >= threshold)
-            a = ids[rows]
-            b = self.ids[cols]
-            keep = a < b
-            return pa.table({
-                "a": pa.array(a[keep], pa.int64()),
-                "b": pa.array(b[keep], pa.int64()),
-                "cosine": pa.array(sims[rows, cols][keep], pa.float64()),
-            })
+    futs = []
+    for i in range(len(refs)):
+        futs.append(_task.remote(refs[i], None, threshold, id_col, vec_col))
+        for j in range(i + 1, len(refs)):
+            futs.append(_task.remote(refs[i], refs[j], threshold,
+                                     id_col, vec_col))
+    parts = [t for t in ray.get(futs) if t.num_rows]
+    if not parts:
+        return pa.table(_EMPTY_PAIRS)
+    tbl = pa.concat_tables(parts)
+    return tbl.sort_by([("a", "ascending"), ("b", "ascending")])
 
-    out = ds.map_batches(_Pairs, batch_format="pyarrow", concurrency=2)
-    batches = [b for b in out.iter_batches(batch_format="pyarrow")]
-    if not batches:
-        return pa.table({"a": pa.array([], pa.int64()),
-                         "b": pa.array([], pa.int64()),
-                         "cosine": pa.array([], pa.float64())})
-    tbl = pa.concat_tables(batches)
-    if tbl.num_rows:
-        tbl = tbl.sort_by([("a", "ascending"), ("b", "ascending")])
-    return tbl
+
+class MultiTableSigner:
+    """map_batches task: explode each vector into L LSH-table rows
+    ``(tbl, lsh_bucket, id, vec…)`` — one sign-pattern bucket per table.
+    Multiple independent tables are what gives banded-LSH its recall:
+    P(miss) = (1 - p^k)^L for match prob p per plane."""
+
+    def __init__(self, dim: int, n_planes: int = 10, n_tables: int = 8,
+                 seed: int = 23, vec_col: str = "embedding"):
+        rng = np.random.default_rng(seed)
+        self._planes = rng.standard_normal((n_tables, dim, n_planes))
+        self._vec = vec_col
+        self._weights = (1 << np.arange(n_planes)).astype(np.int64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mat = _normalize(_batch_matrix(batch, self._vec))
+        outs = []
+        for t in range(self._planes.shape[0]):
+            signs = (mat @ self._planes[t]) >= 0
+            buckets = signs @ self._weights
+            outs.append(batch.append_column(
+                "tbl", pa.array(np.full(batch.num_rows, t), pa.int32()))
+                .append_column("lsh_bucket",
+                               pa.array(buckets, pa.int64())))
+        return pa.concat_tables(outs)
+
+
+def cosine_dup_pairs_lsh(ds: ray.data.Dataset, threshold: float = 0.95,
+                         vec_col: str = "embedding",
+                         id_col: str = "vec_id", dim: int | None = None,
+                         n_planes: int = 10, n_tables: int = 8,
+                         bucket_cap: int = 2000) -> pa.Table:
+    """Approximate near-dup pairs — the 10^12-scale path.
+
+    Explode to L LSH tables → groupby (tbl, bucket) → exact cosine
+    within each bucket → dedupe pairs across tables. Shuffle volume is
+    L× the (id, vector) columns; compute is within-bucket only. Buckets
+    over ``bucket_cap`` rows are truncated deterministically (sorted by
+    id) — log-worthy skew, like the minhash bucket cap."""
+    if dim is None:
+        first = ds.take_batch(1, batch_format="pyarrow")
+        dim = len(first[vec_col][0])
+    slim = ds.select_columns([id_col, vec_col])
+    exploded = slim.map_batches(
+        MultiTableSigner(dim, n_planes=n_planes, n_tables=n_tables,
+                         vec_col=vec_col),
+        batch_format="pyarrow")
+
+    def _bucket_pairs(group: pa.Table) -> pa.Table:
+        if group.num_rows < 2:
+            return pa.table(_EMPTY_PAIRS)
+        if group.num_rows > bucket_cap:
+            group = group.sort_by(id_col).slice(0, bucket_cap)
+        return _block_pair_table(group, None, threshold, id_col, vec_col)
+
+    pairs = exploded.groupby(["tbl", "lsh_bucket"]).map_groups(
+        _bucket_pairs, batch_format="pyarrow")
+    from ray.data.aggregate import Min
+    distinct = pairs.groupby(["a", "b"]).aggregate(
+        Min("cosine", alias_name="cosine"))
+    tbl = distinct.take_all()
+    if not tbl:
+        return pa.table(_EMPTY_PAIRS)
+    out = pa.Table.from_pylist(tbl)
+    return out.select(["a", "b", "cosine"]).sort_by(
+        [("a", "ascending"), ("b", "ascending")])
 
 
 # ---- IVF (inverted-file) variant — the coarse-quantizer scale path --------
 
 def train_ivf_centroids(ds: ray.data.Dataset, n_cells: int = 16,
-                        sample_frac: float = 1.0, iters: int = 10,
-                        seed: int = 13,
+                        sample_frac: float | None = None, iters: int = 10,
+                        seed: int = 13, max_train: int = 262_144,
                         vec_col: str = "embedding") -> np.ndarray:
-    """Seeded Lloyd k-means over a (sample of the) corpus — driver-side
-    on the sample, like any IVF coarse quantizer. Returns normalized
-    centroids (n_cells, dim)."""
+    """Seeded Lloyd k-means over a BOUNDED sample of the corpus —
+    driver-side on the sample, like any IVF coarse quantizer. Returns
+    normalized centroids (n_cells, dim).
+
+    ``sample_frac=None`` (default) sizes the sample to at most
+    ``max_train`` vectors (256k) — never the whole corpus. The
+    truncation is logged; pass an explicit frac to override."""
+    if sample_frac is None:
+        n = ds.count()
+        sample_frac = min(1.0, max_train / max(n, 1))
+        if sample_frac < 1.0:
+            import logging
+            logging.getLogger(__name__).info(
+                "train_ivf_centroids: sampling %.4f of %d vectors "
+                "(max_train=%d)", sample_frac, n, max_train)
     sample = ds if sample_frac >= 1.0 else ds.random_sample(sample_frac,
                                                             seed=seed)
     mat = _normalize(np.concatenate(
         [_batch_matrix(b, vec_col) for b in
-         sample.iter_batches(batch_format="pyarrow")]))
+         sample.iter_batches(batch_format="pyarrow")])[:max_train])
     rng = np.random.default_rng(seed)
     cent = mat[rng.choice(mat.shape[0], size=min(n_cells, mat.shape[0]),
                           replace=False)]

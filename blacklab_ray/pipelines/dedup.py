@@ -29,6 +29,24 @@ def _md5_hex(s: str) -> str:
     return hashlib.md5(s.encode()).hexdigest()
 
 
+def _tokens_list_array(col: pa.Array | pa.ChunkedArray) -> pa.ListArray:
+    """Tokenize a string column to list<string> via the vectorized
+    Arrow path (same normalization as tokenize_text, batch-at-once)."""
+    from blacklab_ray.analysis.analyzers import tokenize_column
+    parents, toks, _, doc_lens = tokenize_column(col)
+    offsets = np.zeros(doc_lens.size + 1, dtype=np.int32)
+    np.cumsum(doc_lens, out=offsets[1:])
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    return pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), toks)
+
+
+def _normalized_join(col: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """' '.join(tokenize_text(t)) per row, fully vectorized."""
+    import pyarrow.compute as pc
+    return pc.binary_join(_tokens_list_array(col), " ")
+
+
 class ContentHash:
     """map_batches: add md5 hex of the (raw) text column."""
 
@@ -39,9 +57,12 @@ class ContentHash:
         self._normalize = normalize
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch.column(self._text).to_pylist()
         if self._normalize:
-            texts = [" ".join(tokenize_text(t)) for t in texts]
+            # vectorized: tokenize + join via Arrow kernels; only the
+            # md5 digests remain scalar (no pure-Python tokenization)
+            texts = _normalized_join(batch.column(self._text)).to_pylist()
+        else:
+            texts = batch.column(self._text).to_pylist()
         h = pa.array([_md5_hex(t) for t in texts], pa.string())
         return batch.append_column(self._out, h)
 
@@ -116,11 +137,59 @@ class MinHashSignature:
         return vals.min(axis=1)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        sigs = []
-        for t in batch.column(self._text).to_pylist():
-            sigs.append(self.signature(tokenize_text(t)))
-        sig_arr = pa.array([s.tolist() for s in sigs],
-                           pa.list_(pa.uint64(), self._num))
+        """Vectorized batch path: tokenization and k-gram construction
+        via Arrow kernels; only the per-gram blake2b digest loop is
+        scalar (output identical to the scalar ``signature`` path —
+        min over a multiset equals min over the set)."""
+        import pyarrow.compute as pc
+
+        from blacklab_ray.analysis.analyzers import tokenize_column
+        parents, toks, _, doc_lens = tokenize_column(
+            batch.column(self._text))
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        n_docs = batch.num_rows
+        n_tok = len(toks)
+        k = self._k
+
+        gram_strs: list = []
+        gram_parents: list = []
+        if n_tok >= k:
+            slices = [toks.slice(j, n_tok - k + 1) for j in range(k)]
+            grams = pc.binary_join_element_wise(*slices, " ")
+            valid = parents[:n_tok - k + 1] == parents[k - 1:]
+            gvals = np.asarray(grams.to_pylist(), dtype=object)[valid]
+            gram_strs.append(gvals)
+            gram_parents.append(parents[:n_tok - k + 1][valid])
+        # short docs (< k tokens, incl. empty): padded single gram
+        short = np.flatnonzero(doc_lens < k)
+        if short.size:
+            offsets = np.zeros(n_docs + 1, dtype=np.int64)
+            np.cumsum(doc_lens, out=offsets[1:])
+            tok_list = toks.to_pylist()
+            for d in short.tolist():
+                t = tok_list[offsets[d]:offsets[d + 1]]
+                t = t + ["_"] * (k - len(t))
+                gram_strs.append(np.asarray([" ".join(t)], dtype=object))
+                gram_parents.append(np.asarray([d], dtype=np.int64))
+        gs = np.concatenate(gram_strs) if gram_strs else \
+            np.empty(0, dtype=object)
+        gp = np.concatenate(gram_parents) if gram_parents else \
+            np.empty(0, dtype=np.int64)
+        order = np.argsort(gp, kind="stable")
+        gp = gp[order]
+        h = np.fromiter(
+            (int.from_bytes(hashlib.blake2b(g.encode(), digest_size=8)
+                            .digest(), "big") >> 3 for g in gs[order]),
+            dtype=np.uint64, count=gs.size)
+        sig = np.zeros((n_docs, self._num), dtype=np.uint64)
+        if gp.size:
+            seg_starts = np.searchsorted(gp, np.arange(n_docs))
+            for pi in range(self._num):
+                v = (self._a[pi] * h + self._b[pi]) % np.uint64(_MERSENNE)
+                sig[:, pi] = np.minimum.reduceat(v, seg_starts)
+        sig_arr = pa.FixedSizeListArray.from_arrays(
+            pa.array(sig.ravel(), pa.uint64()), self._num)
         return pa.table({
             "doc_id": batch.column(self._id).cast(pa.int64()),
             "minhash": sig_arr,
@@ -189,71 +258,129 @@ def minhash_candidate_pairs(ds: ray.data.Dataset, num_perm: int = 64,
     return distinct.select_columns(["a", "b"])
 
 
+def _hashed_shingles(text: str, shingle_k: int) -> np.ndarray:
+    """Sorted unique blake2b-64 hashes of the text's k-token shingles —
+    the set representation that travels instead of raw text (8 bytes per
+    shingle vs the document body)."""
+    toks = tokenize_text(text)
+    if len(toks) < shingle_k:
+        toks = toks + ["_"] * (shingle_k - len(toks))
+    grams = {" ".join(toks[i:i + shingle_k])
+             for i in range(len(toks) - shingle_k + 1)}
+    return np.unique(np.array(
+        [int.from_bytes(hashlib.blake2b(g.encode(), digest_size=8)
+                        .digest(), "big") >> 1 for g in grams],
+        dtype=np.int64))
+
+
 def verify_jaccard_pairs(ds: ray.data.Dataset, pairs: ray.data.Dataset,
                          threshold: float = 0.8, shingle_k: int = 3,
                          text_col: str = "text",
                          id_col: str = "doc_id") -> pa.Table:
-    """Exact shingle-Jaccard verification of candidate pairs.
+    """Exact shingle-Jaccard verification of candidate pairs — distributed.
 
-    Candidate sets are assumed small relative to the corpus (LSH output);
-    the needed docs' shingle sets are gathered via a broadcast id set.
-    Returns a small Arrow table (a, b, jaccard).
+    Shape (VERDICT r1 fix — no driver dicts of raw text):
+    1. the candidate id set (int64s only) is collected and broadcast;
+    2. each corpus batch computes hashed-shingle SIGNATURES for its
+       candidate docs inside ``map_batches`` (text never leaves the
+       task);
+    3. the signature table (candidate-sized: ~8 bytes × shingles per
+       doc, orders of magnitude smaller than the text) is broadcast
+       once via ``ray.put``;
+    4. pairs are verified inside ``map_batches`` over the PAIRS dataset
+       via sorted-array intersection — the per-pair work is distributed
+       across the pair partitions.
+
+    Driver memory holds candidate ids + signatures + surviving pairs,
+    never corpus text. Returns a small Arrow table (a, b, jaccard).
     """
     import ray as _ray
-    refs = pairs.to_arrow_refs()
-    blocks = [_ray.get(r) for r in refs]
-    # Ray's groupby can emit schema-less empty blocks — drop them before
-    # concat (observed: "Schema at index N was different: <empty>")
-    blocks = [b for b in blocks if b.num_rows and b.num_columns]
-    pair_tbl = pa.concat_tables(blocks) if blocks else \
-        pa.table({"a": pa.array([], pa.int64()),
-                  "b": pa.array([], pa.int64())})
-    if pair_tbl.num_rows == 0:
-        return pa.table({"a": pa.array([], pa.int64()),
-                         "b": pa.array([], pa.int64()),
-                         "jaccard": pa.array([], pa.float64())})
-    need = np.unique(np.concatenate([
-        pair_tbl["a"].to_numpy(), pair_tbl["b"].to_numpy()]))
-    need_ref = _ray.put(need.tolist())
 
-    def gather(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as _pc
-        needed = _ray.get(need_ref)   # sorted int64 array (broadcast)
-        mask = _pc.is_in(batch.column(id_col).cast(pa.int64()),
-                         value_set=pa.array(needed, pa.int64()))
-        sub = batch.filter(mask)
-        return pa.table({
-            "doc_id": sub.column(id_col).cast(pa.int64()),
-            "text": sub.column(text_col),
-        })
+    empty = pa.table({"a": pa.array([], pa.int64()),
+                      "b": pa.array([], pa.int64()),
+                      "jaccard": pa.array([], pa.float64())})
+    # candidate ids: distributed unique over both pair columns
+    def _ids(batch: pa.Table) -> pa.Table:
+        u = np.unique(np.concatenate([
+            batch["a"].to_numpy(zero_copy_only=False),
+            batch["b"].to_numpy(zero_copy_only=False)])) \
+            if batch.num_rows else np.empty(0, np.int64)
+        return pa.table({"doc_id": pa.array(u, pa.int64())})
 
-    docs = {}
-    for b in ds.map_batches(gather, batch_format="pyarrow") \
-            .iter_batches(batch_format="pyarrow"):
-        for i, t in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
-            docs[i] = t
+    id_batches = [b["doc_id"].to_numpy() for b in
+                  pairs.map_batches(_ids, batch_format="pyarrow")
+                  .iter_batches(batch_format="pyarrow")]
+    need = np.unique(np.concatenate(id_batches)) if id_batches else \
+        np.empty(0, np.int64)
+    if need.size == 0:
+        return empty
+    need_ref = _ray.put(need)
 
-    def shingles(text: str) -> set:
-        toks = tokenize_text(text)
-        if len(toks) < shingle_k:
-            toks = toks + ["_"] * (shingle_k - len(toks))
-        return {" ".join(toks[i:i + shingle_k])
-                for i in range(len(toks) - shingle_k + 1)}
+    class _Signatures:
+        """Corpus batch → (doc_id, shingles:list<int64>) for candidates."""
 
-    sh = {i: shingles(t) for i, t in docs.items()}
-    out_a, out_b, out_j = [], [], []
-    for a, b_ in zip(pair_tbl["a"].to_pylist(), pair_tbl["b"].to_pylist()):
-        sa, sb = sh.get(a), sh.get(b_)
-        if not sa or not sb:
-            continue
-        j = len(sa & sb) / len(sa | sb)
-        if j >= threshold:
-            out_a.append(a)
-            out_b.append(b_)
-            out_j.append(round(j, 6))
-    return pa.table({"a": pa.array(out_a, pa.int64()),
-                     "b": pa.array(out_b, pa.int64()),
-                     "jaccard": pa.array(out_j, pa.float64())})
+        def __init__(self):
+            self._need = None
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as _pc
+            if self._need is None:
+                self._need = pa.array(_ray.get(need_ref), pa.int64())
+            mask = _pc.is_in(batch.column(id_col).cast(pa.int64()),
+                             value_set=self._need)
+            sub = batch.filter(mask)
+            sigs = [_hashed_shingles(t, shingle_k)
+                    for t in sub.column(text_col).to_pylist()]
+            return pa.table({
+                "doc_id": sub.column(id_col).cast(pa.int64()),
+                "shingles": pa.array([s.tolist() for s in sigs],
+                                     pa.list_(pa.int64())),
+            })
+
+    sig_blocks = [b for b in
+                  ds.map_batches(_Signatures, batch_format="pyarrow",
+                                 concurrency=2)
+                  .iter_batches(batch_format="pyarrow") if b.num_rows]
+    if not sig_blocks:
+        return empty
+    sig_tbl = pa.concat_tables(sig_blocks)  # candidate-sized
+    sig_map = {i: np.asarray(s, dtype=np.int64)
+               for i, s in zip(sig_tbl["doc_id"].to_pylist(),
+                               sig_tbl["shingles"].to_pylist())}
+    sig_ref = _ray.put(sig_map)
+
+    class _Verify:
+        def __init__(self):
+            self._sigs = None
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if self._sigs is None:
+                self._sigs = _ray.get(sig_ref)
+            out_a, out_b, out_j = [], [], []
+            for a, b_ in zip(batch["a"].to_pylist(),
+                             batch["b"].to_pylist()):
+                sa = self._sigs.get(a)
+                sb = self._sigs.get(b_)
+                if sa is None or sb is None or not sa.size or not sb.size:
+                    continue
+                inter = np.intersect1d(sa, sb, assume_unique=True).size
+                j = inter / (sa.size + sb.size - inter)
+                if j >= threshold:
+                    out_a.append(a)
+                    out_b.append(b_)
+                    out_j.append(round(j, 6))
+            return pa.table({"a": pa.array(out_a, pa.int64()),
+                             "b": pa.array(out_b, pa.int64()),
+                             "jaccard": pa.array(out_j, pa.float64())})
+
+    verified = [b for b in
+                pairs.map_batches(_Verify, batch_format="pyarrow",
+                                  concurrency=2)
+                .iter_batches(batch_format="pyarrow") if b.num_rows]
+    if not verified:
+        return empty
+    return pa.concat_tables(verified).sort_by(
+        [("a", "ascending"), ("b", "ascending")])
 
 
 # ---- SimHash ---------------------------------------------------------------
@@ -280,11 +407,41 @@ class SimHash64:
                     << self._bit_cols).sum())
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        vals = [self.simhash(tokenize_text(t))
-                for t in batch.column(self._text).to_pylist()]
+        """Vectorized batch path: tokenize once via Arrow, blake2b only
+        over the batch's UNIQUE tokens (dictionary-encoded), per-doc
+        bit charges via reduceat. Identical output to ``simhash``."""
+        import pyarrow.compute as pc
+
+        from blacklab_ray.analysis.analyzers import tokenize_column
+        parents, toks, _, doc_lens = tokenize_column(
+            batch.column(self._text))
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        n_docs = batch.num_rows
+        out = np.zeros(n_docs, dtype=np.uint64)
+        if len(toks):
+            d = pc.dictionary_encode(toks)
+            uniq = d.dictionary.to_pylist()
+            uh = np.fromiter(
+                (int.from_bytes(hashlib.blake2b(u.encode(), digest_size=8)
+                                .digest(), "big") for u in uniq),
+                dtype=np.uint64, count=len(uniq))
+            hs = uh[d.indices.to_numpy(zero_copy_only=False)]
+            nz = np.flatnonzero(doc_lens > 0)
+            offsets = np.zeros(n_docs, dtype=np.int64)
+            np.cumsum(doc_lens[:-1], out=offsets[1:])
+            seg_starts = offsets[nz]
+            seg_lens = doc_lens[nz]
+            for b in range(64):
+                bit = ((hs >> np.uint64(b)) & np.uint64(1)) \
+                    .astype(np.int64)
+                cnt = np.add.reduceat(bit, seg_starts)
+                charge = 2 * cnt - seg_lens
+                out[nz] |= ((charge > 0).astype(np.uint64)
+                            << np.uint64(b))
         return pa.table({
             "doc_id": batch.column(self._id).cast(pa.int64()),
-            "simhash": pa.array([format(v, "016x") for v in vals],
+            "simhash": pa.array([format(int(v), "016x") for v in out],
                                 pa.string()),
         })
 

@@ -71,21 +71,31 @@ def tumbling(ds: ray.data.Dataset, window_s: int, ts_col: str = "ts",
 
 def sessionize(ds: ray.data.Dataset, gap_s: int, ts_col: str = "ts",
                user_col: str = "user_id") -> ray.data.Dataset:
-    """Session windows per user (new session when gap > gap_s)."""
+    """Session windows per user (new session when gap > gap_s).
+
+    Gaps-and-islands in pure numpy over the Arrow group table — no
+    pandas conversion (the rest of the codebase is Arrow-native and the
+    computation is three array ops)."""
     gap_us = gap_s * 1_000_000
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(ts_col)
-        ts = g[ts_col].astype("int64").to_numpy()
+    def per_user(g: pa.Table) -> pa.Table:
+        ts = np.sort(g.column(ts_col).cast(pa.int64()).to_numpy(
+            zero_copy_only=False))
         new = np.ones(ts.size, dtype=bool)
         new[1:] = (ts[1:] - ts[:-1]) > gap_us
-        sess = np.cumsum(new) - 1
-        out = g.assign(_sess=sess).groupby("_sess").agg(
-            session_start=(ts_col, "min"),
-            session_end=(ts_col, "max"),
-            n_events=(ts_col, "size"))
-        out[user_col] = g[user_col].iloc[0]
-        return out.reset_index(drop=True)[
-            [user_col, "session_start", "session_end", "n_events"]]
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], ts.size) - 1
+        n = np.diff(np.append(starts, ts.size)).astype(np.int64)
+        user_arr = g.column(user_col).take(
+            pa.array(np.zeros(starts.size, np.int64)))
+        return pa.table({
+            user_col: user_arr,
+            "session_start": pa.array(ts[starts], pa.int64())
+            .cast(pa.timestamp("us")),
+            "session_end": pa.array(ts[ends], pa.int64())
+            .cast(pa.timestamp("us")),
+            "n_events": pa.array(n, pa.int64()),
+        })
 
-    return ds.groupby(user_col).map_groups(per_user, batch_format="pandas")
+    return ds.groupby(user_col).map_groups(per_user,
+                                           batch_format="pyarrow")

@@ -100,3 +100,80 @@ def test_embedding_dup_pairs_planted(ray_session):
     got = set(zip(pairs["a"].to_pylist(), pairs["b"].to_pylist()))
     assert (0, 40) in got and (1, 41) in got
     assert not (got - {(0, 40), (1, 41)})
+
+
+def test_embedding_lsh_pairs_match_exact(ray_session):
+    """The LSH scale path finds the same planted near-dup pairs as the
+    exact block-pair join (multi-table recall), with identical cosines."""
+    import ray.data
+
+    from blacklab_ray.pipelines import ann
+    rng = np.random.default_rng(9)
+    base = rng.standard_normal((80, 32))
+    planted = np.vstack([base,
+                         base[0],
+                         base[1] + 0.01 * rng.standard_normal(32),
+                         base[2] + 0.02 * rng.standard_normal(32)])
+    tbl = pa.table({
+        "vec_id": pa.array(range(planted.shape[0]), pa.int64()),
+        "embedding": pa.array(planted.tolist(),
+                              pa.list_(pa.float64(), 32)),
+    })
+    ds = ray.data.from_arrow(tbl)
+    exact = ann.cosine_dup_pairs(ds, threshold=0.95)
+    lsh = ann.cosine_dup_pairs_lsh(ds, threshold=0.95, n_planes=10,
+                                   n_tables=8)
+    e = {(a, b): c for a, b, c in zip(exact["a"].to_pylist(),
+                                      exact["b"].to_pylist(),
+                                      exact["cosine"].to_pylist())}
+    l = {(a, b): c for a, b, c in zip(lsh["a"].to_pylist(),
+                                     lsh["b"].to_pylist(),
+                                     lsh["cosine"].to_pylist())}
+    assert set(l) <= set(e)          # LSH never invents pairs
+    assert len(l) >= len(e) - 0      # full recall on these planted dups
+    for k, c in l.items():
+        assert abs(c - e[k]) < 1e-9
+
+
+def test_exact_dup_pairs_multiblock(ray_session):
+    """Block-pair join is exact across block boundaries (repartitioned
+    so planted pairs land in different blocks)."""
+    import ray.data
+
+    from blacklab_ray.pipelines import ann
+    rng = np.random.default_rng(31)
+    base = rng.standard_normal((100, 16))
+    planted = np.vstack([base, base[7], base[93]])
+    tbl = pa.table({
+        "vec_id": pa.array(range(planted.shape[0]), pa.int64()),
+        "embedding": pa.array(planted.tolist(),
+                              pa.list_(pa.float64(), 16)),
+    })
+    ds = ray.data.from_arrow(tbl).repartition(6)
+    pairs = ann.cosine_dup_pairs(ds, threshold=0.999, max_blocks=6)
+    got = set(zip(pairs["a"].to_pylist(), pairs["b"].to_pylist()))
+    assert (7, 100) in got and (93, 101) in got
+
+
+def test_vectorized_paths_match_scalar(ray_session):
+    """The vectorized batch __call__ paths must equal the scalar
+    reference methods doc-for-doc (incl. short/empty docs)."""
+    from blacklab_ray.analysis.analyzers import tokenize_text
+    from blacklab_ray.pipelines.dedup import MinHashSignature, SimHash64
+    texts = ["the quick brown fox jumps over the lazy dog",
+             "", "a", "a b", "naïve café déjà vu",
+             "x " * 200, "one two three one two three"]
+    batch = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    mh = MinHashSignature(num_perm=32, shingle_k=3)
+    got = mh(batch)["minhash"].to_pylist()
+    for i, t in enumerate(texts):
+        exp = mh.signature(tokenize_text(t)).tolist()
+        assert got[i] == exp, f"minhash mismatch doc {i}"
+    sh = SimHash64()
+    got_s = sh(batch)["simhash"].to_pylist()
+    for i, t in enumerate(texts):
+        assert got_s[i] == format(sh.simhash(tokenize_text(t)), "016x"), \
+            f"simhash mismatch doc {i}"
