@@ -31,8 +31,10 @@ import pyarrow as pa
 
 OR_TERMS = ["spark", "window", "merge"]
 AND_TERMS = ["spark", "join", "customer"]
+NEG_TERMS = ["join"]
 PHRASE = ["batch", "batch"]
 HIT_TERM = "spark"
+CQL_NOT = '"batch" [word != "join"]'
 TOPK = 20
 
 _TOKS_SQL = ("regexp_extract_all(lower(strip_accents(text)), "
@@ -233,6 +235,42 @@ def queries() -> dict[str, Callable[[str], Any]]:
         df = t.select(["doc_id", "span_tf"]).to_pandas()
         return df.sort_values("doc_id").reset_index(drop=True)
 
+    def q_cql_rep(sf):
+        """Repetition range `"batch"{1,2}` (SpanQueryRepetition →
+        union of fixed-count variants)."""
+        from blacklab_ray.query.cql import search_cql
+        r = _index_for(sf)
+        t = search_cql(r, '"batch"{1,2}', k=10**9)
+        df = t.select(["doc_id", "span_tf"]).to_pandas()
+        return df.sort_values("doc_id").reset_index(drop=True)
+
+    def q_cql_alt(sf):
+        """Group alternation `("batch"|"spark") "hash"` (BLSpanOrQuery
+        union at one sequence position)."""
+        from blacklab_ray.query.cql import search_cql
+        r = _index_for(sf)
+        t = search_cql(r, '("batch"|"spark") "hash"', k=10**9)
+        df = t.select(["doc_id", "span_tf"]).to_pandas()
+        return df.sort_values("doc_id").reset_index(drop=True)
+
+    def q_bm25_andnot(sf):
+        """Doc-level AND-NOT (SpanQueryAndNot): BM25 over OR_TERMS,
+        excluding docs containing any NEG_TERMS."""
+        from blacklab_ray.query.engine import search_andnot
+        r = _index_for(sf)
+        t = search_andnot(r, OR_TERMS, NEG_TERMS, k=10**9) \
+            .select(["doc_id", "score"])
+        return _round_cols(t.to_pandas(), {"score": 4})
+
+    def q_cql_not(sf):
+        """Token-level NOT inside a sequence ([word != "x"] —
+        SpanQueryNot/SpansNot semantics)."""
+        from blacklab_ray.query.cql import search_cql
+        r = _index_for(sf)
+        t = search_cql(r, CQL_NOT, k=10**9)
+        df = t.select(["doc_id", "span_tf"]).to_pandas()
+        return df.sort_values("doc_id").reset_index(drop=True)
+
     def q_seq_gap(sf):
         from blacklab_ray.query.engine import sequence_search
         r = _index_for(sf)
@@ -402,6 +440,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_docs_by_len": q_top_docs_by_len,
         "kwic_fwd": q_kwic_fwd,
         "cql_docs": q_cql,
+        "bm25_andnot": q_bm25_andnot,
+        "cql_not_docs": q_cql_not,
+        "cql_rep_docs": q_cql_rep,
+        "cql_alt_docs": q_cql_alt,
         "seq_gap_docs": q_seq_gap,
         "hits_sorted": q_hits_sorted,
         "docs_by_lang": q_docs_by_lang,
@@ -452,10 +494,12 @@ def _sql_list(terms: list[str]) -> str:
 
 def _bm25_sql(terms: list[str], mode: str, topk: int | None,
               term_pred: str | None = None,
-              doc_filter: str | None = None) -> str:
+              doc_filter: str | None = None,
+              anti_terms: list[str] | None = None) -> str:
     """BM25 oracle SQL. ``term_pred`` overrides the IN-list (multi-term
     expansion); ``doc_filter`` restricts scored docs (metadata semi-join)
-    while stats stay corpus-wide (Lucene filtered-query semantics)."""
+    while stats stay corpus-wide (Lucene filtered-query semantics);
+    ``anti_terms`` excludes docs containing any of them (AND-NOT)."""
     pred = term_pred or f"term IN ({_sql_list(list(dict.fromkeys(terms)))})"
     n_terms = len(dict.fromkeys(terms))
     and_having = (f"HAVING count(distinct term) = {n_terms}"
@@ -470,6 +514,9 @@ def _bm25_sql(terms: list[str], mode: str, topk: int | None,
     if doc_filter:
         filt = (" AND tf.doc_id IN (SELECT doc_id FROM documents WHERE "
                 f"{doc_filter})")
+    if anti_terms:
+        filt += (" AND tf.doc_id NOT IN (SELECT doc_id FROM toks WHERE "
+                 f"term IN ({_sql_list(anti_terms)}))")
     return f"""
 WITH toks AS (
   SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents
@@ -571,6 +618,35 @@ SELECT a.doc_id, count(*) AS span_tf
 FROM toks a JOIN toks b
   ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
 WHERE regexp_matches(a.term, '^(?:b.*)$') AND b.term = 'batch'
+GROUP BY a.doc_id
+""",
+        "bm25_andnot": _bm25_sql(OR_TERMS, "or", None,
+                                 anti_terms=NEG_TERMS),
+        "cql_rep_docs": f"""
+WITH toks AS ({toks_pos}),
+s1 AS (SELECT doc_id, pos AS s, pos + 1 AS e FROM toks
+       WHERE term = 'batch'),
+s2 AS (SELECT a.doc_id, a.pos AS s, b.pos + 1 AS e
+       FROM toks a JOIN toks b
+         ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+       WHERE a.term = 'batch' AND b.term = 'batch'),
+u AS (SELECT * FROM s1 UNION SELECT * FROM s2)
+SELECT doc_id, count(*) AS span_tf FROM u GROUP BY doc_id
+""",
+        "cql_alt_docs": f"""
+WITH toks AS ({toks_pos})
+SELECT a.doc_id, count(*) AS span_tf
+FROM toks a JOIN toks b
+  ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+WHERE a.term IN ('batch', 'spark') AND b.term = 'hash'
+GROUP BY a.doc_id
+""",
+        "cql_not_docs": f"""
+WITH toks AS ({toks_pos})
+SELECT a.doc_id, count(*) AS span_tf
+FROM toks a JOIN toks b
+  ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+WHERE a.term = 'batch' AND b.term != 'join'
 GROUP BY a.doc_id
 """,
         "seq_gap_docs": f"""

@@ -8,24 +8,35 @@ CorpusQueryLanguageParser.java:12). Supported subset:
   "fox"                       literal term
   "f.x" / "fo*"               regex term (full-match; * ? treated as regex)
   [word="re"]                 token constraint on the word annotation
+  [word!="re"]                negated token constraint (SpanQueryNot /
+                              SpansNot semantics: matches every token
+                              position whose term does not match)
   "a" "b"                     sequence (adjacent)
   []{n,m} / []{n} / [] / []?  bounded any-token gaps inside a sequence
-  "a"{n}                      fixed repetition of a term
+  "a"{n} / "a"{n,m}           fixed and RANGE repetition
+                              (SpanQueryRepetition.java:25 — ranges lower
+                              to a union of fixed-count variants)
+  "a" "b" | "c"               alternation between sequences
+                              (BLSpanOrQuery.java:57 — union of spans)
+  ("a"|"b")                   single-position alternation group
   X within Y  /  X containing Y   position filters between sequences
 
 Lowering: each sequence position expands (via the term dictionary,
 expand_terms) to a set of concrete terms; sequences run through
-sequence_spans (multi-term positions = positional union); within/
-containing run through the span algebra. Scoring: spans per doc become a
-BM25 'phrase tf' exactly like phrase_search.
+sequence_spans_multi (positional union per position, complement for
+negated positions); alternation and repetition ranges union their
+branches' span tables; within/containing run through the span algebra.
+Scoring: spans per doc become a BM25 'phrase tf' exactly like
+phrase_search.
 
 Out of subset (rejected with a clear error): capture groups, global
-constraints (::), non-word annotations, tags (<s/>), | between sequence
-items (alternation inside one position is covered by regex `a|b`).
+constraints (::), non-word annotations, nested parens, groups of
+multi-position sequences.
 """
 
 from __future__ import annotations
 
+import itertools
 import re
 from dataclasses import dataclass
 
@@ -35,25 +46,37 @@ import pyarrow as pa
 _TOKEN_RE = re.compile(r"""
     \s*(?:
       (?P<quoted>"(?P<qbody>[^"]*)")
-    | (?P<bracket>\[\s*(?P<battr>\w+)\s*=\s*"(?P<bval>[^"]*)"\s*\])
+    | (?P<bracket>\[\s*(?P<battr>\w+)\s*(?P<bneg>!?)=\s*"(?P<bval>[^"]*)"\s*\])
     | (?P<any>\[\s*\])
     | (?P<rep>\{\s*(?P<rlo>\d+)\s*(?:,\s*(?P<rhi>\d+)\s*)?\})
     | (?P<qmark>\?)
     | (?P<tag><\s*(?P<tagname>\w+)\s*/\s*>)
     | (?P<word>within|containing)
+    | (?P<pipe>\|)
+    | (?P<lparen>\()
+    | (?P<rparen>\))
     )""", re.VERBOSE)
+
+MAX_VARIANTS = 256   # cap on the cross-product of repetition ranges
 
 
 @dataclass
 class SeqPos:
     pattern: str          # regex (full-match) over the term dictionary
     literal: bool         # True → exact term, no expansion needed
+    negate: bool = False  # [word != "..."] complement position
+    alts: tuple[str, ...] = ()   # additional ("a"|"b") alternatives
 
 
 @dataclass
 class SeqPlan:
     positions: list[SeqPos]
     gaps: list[tuple[int, int]]     # between consecutive positions
+
+
+@dataclass
+class UnionPlan:
+    branches: list[SeqPlan]         # span union (BLSpanOrQuery)
 
 
 @dataclass
@@ -64,8 +87,8 @@ class TagPlan:
 @dataclass
 class FilterPlan:
     op: str                         # "within" | "containing"
-    producer: SeqPlan
-    filter: "SeqPlan | TagPlan"
+    producer: "SeqPlan | UnionPlan"
+    filter: "SeqPlan | UnionPlan | TagPlan"
 
 
 _REGEX_META = set(".*+?[](){}|\\^$")
@@ -75,10 +98,8 @@ def _is_regex(s: str) -> bool:
     return any(c in _REGEX_META for c in s)
 
 
-def parse_cql(q: str) -> SeqPlan | FilterPlan:
-    """Parse the CQL subset into a plan; raises ValueError on anything
-    outside the subset."""
-    items: list[tuple[str, object]] = []   # (kind, payload)
+def _tokenize(q: str) -> list[tuple[str, object]]:
+    items: list[tuple[str, object]] = []
     pos = 0
     while pos < len(q):
         m = _TOKEN_RE.match(q, pos)
@@ -94,12 +115,15 @@ def parse_cql(q: str) -> SeqPlan | FilterPlan:
                 raise ValueError(
                     f"only the 'word' annotation is indexed; got "
                     f"{m.group('battr')!r}")
-            items.append(("term", m.group("bval")))
+            kind = "nterm" if m.group("bneg") else "term"
+            items.append((kind, m.group("bval")))
         elif m.group("any") is not None:
             items.append(("any", None))
         elif m.group("rep") is not None:
             lo = int(m.group("rlo"))
             hi = int(m.group("rhi")) if m.group("rhi") else lo
+            if hi < lo:
+                raise ValueError(f"bad repetition range {{{lo},{hi}}}")
             items.append(("rep", (lo, hi)))
         elif m.group("qmark") is not None:
             items.append(("rep", (0, 1)))
@@ -107,64 +131,187 @@ def parse_cql(q: str) -> SeqPlan | FilterPlan:
             items.append(("tag", m.group("tagname")))
         elif m.group("word") is not None:
             items.append(("op", m.group("word")))
-    # split on within/containing
+        elif m.group("pipe") is not None:
+            items.append(("pipe", None))
+        elif m.group("lparen") is not None:
+            items.append(("lparen", None))
+        elif m.group("rparen") is not None:
+            items.append(("rparen", None))
+    return items
+
+
+def parse_cql(q: str) -> SeqPlan | UnionPlan | FilterPlan:
+    """Parse the CQL subset into a plan; raises ValueError on anything
+    outside the subset."""
+    items = _tokenize(q)
+    # split on within/containing (only meaningful at paren depth 0)
+    depth = 0
     for i, (kind, val) in enumerate(items):
-        if kind == "op":
-            left = _build_seq(items[:i])
+        if kind == "lparen":
+            depth += 1
+        elif kind == "rparen":
+            depth -= 1
+        elif kind == "op" and depth == 0:
+            left = _build_union(items[:i])
             rest = items[i + 1:]
             if len(rest) == 1 and rest[0][0] == "tag":
-                right: SeqPlan | TagPlan = TagPlan(name=str(rest[0][1]))
+                right: SeqPlan | UnionPlan | TagPlan = \
+                    TagPlan(name=str(rest[0][1]))
             else:
-                right = _build_seq(rest)
+                right = _build_union(rest)
             return FilterPlan(op=str(val), producer=left, filter=right)
     if any(k == "tag" for k, _ in items):
         raise ValueError("structural tags are only supported as the "
                          "filter operand of within/containing")
-    return _build_seq(items)
+    return _build_union(items)
 
 
-def _build_seq(items: list) -> SeqPlan:
-    positions: list[SeqPos] = []
-    gaps: list[tuple[int, int]] = []
-    pending_gap: tuple[int, int] | None = None
+def _split_pipe_depth0(items: list) -> list[list]:
+    """Split an item list on `|` at paren depth 0."""
+    out, cur, depth = [], [], 0
+    for kind, val in items:
+        if kind == "lparen":
+            depth += 1
+        elif kind == "rparen":
+            depth -= 1
+            if depth < 0:
+                raise ValueError("unbalanced ')'")
+        if kind == "pipe" and depth == 0:
+            out.append(cur)
+            cur = []
+        else:
+            cur.append((kind, val))
+    if depth != 0:
+        raise ValueError("unbalanced '('")
+    out.append(cur)
+    return out
+
+
+def _collapse_groups(items: list) -> list:
+    """Replace `( p1 | p2 | ... )` groups (single positions only) with
+    one ("alt", [patterns]) item. Nested parens are out of subset."""
+    out = []
     i = 0
     while i < len(items):
         kind, val = items[i]
-        if kind == "term":
+        if kind == "lparen":
+            j = i + 1
+            inner = []
+            while j < len(items) and items[j][0] != "rparen":
+                if items[j][0] == "lparen":
+                    raise ValueError("nested parens are out of subset")
+                inner.append(items[j])
+                j += 1
+            if j >= len(items):
+                raise ValueError("unbalanced '('")
+            alts = []
+            expect_term = True
+            for k, v in inner:
+                if expect_term and k == "term":
+                    alts.append(str(v))
+                    expect_term = False
+                elif not expect_term and k == "pipe":
+                    expect_term = True
+                else:
+                    raise ValueError(
+                        "parenthesized groups support single-position "
+                        "alternation only, e.g. (\"a\"|\"b\")")
+            if expect_term or not alts:
+                raise ValueError("empty or dangling '|' in group")
+            out.append(("alt", alts))
+            i = j + 1
+        elif kind == "rparen":
+            raise ValueError("unbalanced ')'")
+        else:
+            out.append((kind, val))
+            i += 1
+    return out
+
+
+def _build_union(items: list) -> SeqPlan | UnionPlan:
+    branches: list[SeqPlan] = []
+    for branch in _split_pipe_depth0(items):
+        branches.extend(_build_seq_variants(_collapse_groups(branch)))
+    if not branches:
+        raise ValueError("empty query")
+    if len(branches) == 1:
+        return branches[0]
+    return UnionPlan(branches=branches)
+
+
+def _build_seq_variants(items: list) -> list[SeqPlan]:
+    """One tokenized branch → SeqPlans, one per combination of
+    repetition-range counts (SpanQueryRepetition lowering: `x{2,3}` is
+    the union of `x x` and `x x x`)."""
+    # pass 1: attach repetitions to positions / any-tokens
+    structs: list[tuple] = []   # ("pos", patterns, negate, (lo,hi))
+    #                           | ("any", (lo,hi))
+    i = 0
+    while i < len(items):
+        kind, val = items[i]
+        if kind in ("term", "nterm", "alt"):
+            patterns = list(val) if kind == "alt" else [str(val)]
             rep = (1, 1)
             if i + 1 < len(items) and items[i + 1][0] == "rep":
                 rep = items[i + 1][1]
-                if rep[0] != rep[1]:
-                    raise ValueError(
-                        "variable repetition of terms is out of subset "
-                        "(use []{n,m} gaps)")
                 i += 1
-            for _ in range(rep[0]):
-                if positions:
-                    gaps.append(pending_gap or (0, 0))
-                pending_gap = None
-                positions.append(SeqPos(pattern=str(val),
-                                        literal=not _is_regex(str(val))))
+            structs.append(("pos", patterns, kind == "nterm", rep))
         elif kind == "any":
             lo, hi = 1, 1
             if i + 1 < len(items) and items[i + 1][0] == "rep":
                 lo, hi = items[i + 1][1]
                 i += 1
-            if not positions:
+            if not structs:
                 raise ValueError(
                     "leading any-token is out of subset (no anchor)")
-            g = pending_gap or (0, 0)
-            pending_gap = (g[0] + lo, g[1] + hi)
+            structs.append(("any", (lo, hi)))
         elif kind == "rep":
             raise ValueError("repetition without a preceding item")
         else:
             raise ValueError(f"unexpected {kind}")
         i += 1
-    if pending_gap is not None:
-        raise ValueError("trailing any-token is out of subset (no anchor)")
-    if not positions:
-        raise ValueError("empty query")
-    return SeqPlan(positions=positions, gaps=gaps)
+    # pass 2: cross product over variable repetition counts
+    pos_ranges = [range(s[3][0], s[3][1] + 1)
+                  for s in structs if s[0] == "pos"]
+    n_variants = 1
+    for r in pos_ranges:
+        n_variants *= len(r)
+    if n_variants > MAX_VARIANTS:
+        raise ValueError(
+            f"repetition ranges expand to {n_variants} variants "
+            f"(cap {MAX_VARIANTS})")
+    plans: list[SeqPlan] = []
+    for combo in itertools.product(*pos_ranges):
+        positions: list[SeqPos] = []
+        gaps: list[tuple[int, int]] = []
+        pending: tuple[int, int] | None = None
+        ci = 0
+        for s in structs:
+            if s[0] == "any":
+                lo, hi = s[1]
+                g = pending or (0, 0)
+                pending = (g[0] + lo, g[1] + hi)
+                continue
+            _, patterns, negate, _ = s
+            count = combo[ci]
+            ci += 1
+            for _ in range(count):
+                if positions:
+                    gaps.append(pending or (0, 0))
+                pending = None
+                positions.append(SeqPos(
+                    pattern=patterns[0],
+                    literal=not _is_regex(patterns[0]),
+                    negate=negate,
+                    alts=tuple(patterns[1:])))
+        if pending is not None:
+            raise ValueError(
+                "trailing any-token is out of subset (no anchor)")
+        if positions:
+            plans.append(SeqPlan(positions=positions, gaps=gaps))
+    if not plans:
+        raise ValueError("empty query (all-zero repetitions)")
+    return plans
 
 
 # ---------------------------------------------------------------------------
@@ -173,38 +320,56 @@ def _build_seq(items: list) -> SeqPlan:
 
 def _expand_position(reader, p: SeqPos, max_terms: int = 1024) -> list[str]:
     from blacklab_ray.query.engine import expand_terms
-    if p.literal:
-        return [p.pattern] if reader.term_stats([p.pattern]) else []
-    return expand_terms(reader, p.pattern, "regex", max_terms)
+    out: set[str] = set()
+    for pat in (p.pattern, *p.alts):
+        if not _is_regex(pat):
+            if reader.term_stats([pat]):
+                out.add(pat)
+        else:
+            out.update(expand_terms(reader, pat, "regex", max_terms))
+    return sorted(out)
+
+
+def _seq_args(reader, plan: SeqPlan):
+    term_sets = [_expand_position(reader, p) for p in plan.positions]
+    negates = [p.negate for p in plan.positions]
+    return term_sets, negates
 
 
 def cql_spans(reader, q: str) -> pa.Table:
     """Evaluate a CQL query to a span table (doc_id, start, end)."""
-    from blacklab_ray.query.spans import (
-        SPAN_SCHEMA, sequence_spans_multi, spans_containing, spans_within,
-    )
+    from blacklab_ray.query.spans import spans_containing, spans_within
     plan = parse_cql(q)
     if isinstance(plan, FilterPlan):
-        prod = cql_spans_seq(reader, plan.producer)
+        prod = _plan_spans(reader, plan.producer)
         if isinstance(plan.filter, TagPlan):
             if plan.filter.name != "p":
                 raise ValueError(
                     f"unknown structural tag <{plan.filter.name}/>")
             filt = reader.paragraph_spans()
         else:
-            filt = cql_spans_seq(reader, plan.filter)
+            filt = _plan_spans(reader, plan.filter)
         if plan.op == "within":
             return spans_within(prod, filt)
         return spans_containing(prod, filt)
-    return cql_spans_seq(reader, plan)
+    return _plan_spans(reader, plan)
+
+
+def _plan_spans(reader, plan: SeqPlan | UnionPlan) -> pa.Table:
+    from blacklab_ray.query.spans import unique_spans
+    if isinstance(plan, SeqPlan):
+        return cql_spans_seq(reader, plan)
+    parts = [cql_spans_seq(reader, b) for b in plan.branches]
+    return unique_spans(pa.concat_tables(parts))
 
 
 def cql_spans_seq(reader, plan: SeqPlan) -> pa.Table:
     from blacklab_ray.query.spans import SPAN_SCHEMA, sequence_spans_multi
-    term_sets = [_expand_position(reader, p) for p in plan.positions]
-    if any(not ts for ts in term_sets):
+    term_sets, negates = _seq_args(reader, plan)
+    if any(not ts and not neg for ts, neg in zip(term_sets, negates)):
         return SPAN_SCHEMA.empty_table()
-    return sequence_spans_multi(reader, term_sets, plan.gaps)
+    return sequence_spans_multi(reader, term_sets, plan.gaps,
+                                negates=negates)
 
 
 def search_cql(reader, q: str, k: int = 10, quantize: bool = True,

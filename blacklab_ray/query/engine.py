@@ -332,6 +332,35 @@ def search(reader: IndexReader, terms: list[str], k: int = 10,
     return search_wand(reader, terms, k, quantize, resolve_urls)
 
 
+def search_andnot(reader: IndexReader, terms: list[str],
+                  neg_terms: list[str], k: int = 10, mode: str = "or",
+                  quantize: bool = True,
+                  resolve_urls: bool = False) -> pa.Table:
+    """Doc-level AND-NOT (SpanQueryAndNot.java:32 semantics at document
+    granularity): BM25 over the positive terms, restricted to documents
+    containing NONE of the negative terms. Scoring statistics stay
+    corpus-wide (matching Lucene's MUST_NOT, which filters without
+    changing idf)."""
+    neg_terms = list(dict.fromkeys(neg_terms))
+    neg_stats = reader.term_stats(neg_terms)
+    neg_present = [t for t in neg_terms if t in neg_stats]
+    neg_docs = np.empty(0, dtype=np.int64)
+    if neg_present:
+        segs = reader.segments(neg_present)
+        parts = [s.decode_all()[0] for t in neg_present for s in segs[t]]
+        if parts:
+            neg_docs = np.unique(np.concatenate(parts))
+    full = search_taat(reader, terms, k=1 << 62, mode=mode,
+                       quantize=quantize, resolve_urls=False)
+    d = full["doc_id"].to_numpy()
+    s = full["score"].to_numpy()
+    if neg_docs.size:
+        keep = ~np.isin(d, neg_docs, assume_unique=False)
+        d, s = d[keep], s[keep]
+    order = np.lexsort((d, -s))[:k]
+    return _result_table(reader, d[order], s[order], resolve_urls)
+
+
 # ---- positional phrase search ---------------------------------------------
 
 def _positions_by_doc(segs: list[Segment], targets: np.ndarray

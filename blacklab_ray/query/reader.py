@@ -149,6 +149,14 @@ class IndexReader:
         idx = np.searchsorted(d["doc_id"], doc_ids)
         return d["doc_len"][idx]
 
+    def all_doc_ids(self) -> np.ndarray:
+        """Sorted live doc ids — the complement universe for NOT queries
+        (the reference's SpansNot needs the doc-length table the same
+        way, search/lucene/SpansNot.java:19)."""
+        d = self._load_docs()
+        ids = d["doc_id"]
+        return ids[self.mask_tombstones(ids)]
+
     def urls(self, doc_ids: np.ndarray) -> list[str]:
         d = self._load_docs()
         idx = np.searchsorted(d["doc_id"], doc_ids)

@@ -134,6 +134,27 @@ def spans_not_containing(a: pa.Table, b: pa.Table) -> pa.Table:
     return a.filter(pa.array(~_containing_mask(a, b)))
 
 
+def not_spans(reader, terms: list[str]) -> pa.Table:
+    """Width-1 spans at every token position NOT matching any of
+    ``terms``, over the full live-doc universe (SpanQueryNot.java:26 —
+    the complement needs the doc-length table, which the forward index
+    provides)."""
+    return sequence_spans_multi(reader, [list(terms)], negates=[True])
+
+
+def andnot_spans(a: pa.Table, b: pa.Table) -> pa.Table:
+    """Spans of a that are NOT exact spans of b — the span-level set
+    andnot (SpanQueryAndNot.java:32). Exact (doc,start,end) anti-join."""
+    da, sa, ea = _arrays(a)
+    if da.size == 0 or b.num_rows == 0:
+        return a
+    bset = set(zip(*_arrays(b)))
+    keep = np.fromiter(
+        ((d, s, e) not in bset for d, s, e in zip(da, sa, ea)),
+        dtype=bool, count=da.size)
+    return a.filter(pa.array(keep))
+
+
 def spans_edge(t: pa.Table, trailing: bool = False) -> pa.Table:
     """Collapse spans to their start (or end) point (SpansEdge.java:14)."""
     d, s, e = _arrays(t)
@@ -226,12 +247,21 @@ def sequence_spans(reader, terms: list[str],
 
 
 def sequence_spans_multi(reader, term_sets: list[list[str]],
-                         gaps: list[tuple[int, int]] | None = None
+                         gaps: list[tuple[int, int]] | None = None,
+                         negates: list[bool] | None = None
                          ) -> pa.Table:
     """Sequence spans where each position matches ANY of a term set
     (multi-term positions — the lowering target for CQL regex/bracket
     positions). Positional union per doc; otherwise identical join
-    semantics to sequence_spans."""
+    semantics to sequence_spans.
+
+    ``negates[i]=True`` inverts position i (SpanQueryNot semantics,
+    search/lucene/SpanQueryNot.java:26, SpansNot.java:19): it matches
+    every token position NOT occupied by the set's terms — the
+    complement over [0, doc_len), doc lengths from the forward index.
+    Candidate docs come from the POSITIVE positions' postings
+    (SpanQueryAndNot's De-Morgan-style planning, SpanQueryAndNot.java:32);
+    an all-negative query falls back to the full live-doc universe."""
     from blacklab_ray.query.engine import _positions_by_doc
     if not term_sets:
         raise ValueError("empty sequence")
@@ -239,15 +269,19 @@ def sequence_spans_multi(reader, term_sets: list[list[str]],
     gaps = gaps or [(0, 0)] * n_joins
     if len(gaps) != n_joins:
         raise ValueError("need len(term_sets)-1 gap bounds")
+    negates = negates or [False] * len(term_sets)
+    if len(negates) != len(term_sets):
+        raise ValueError("need one negate flag per position")
     all_terms = sorted({t for ts in term_sets for t in ts})
     stats = reader.term_stats(all_terms)
     live_sets = [[t for t in ts if t in stats] for ts in term_sets]
-    if any(not ts for ts in live_sets):
+    if any(not ts and not neg
+           for ts, neg in zip(live_sets, negates)):
         return SPAN_SCHEMA.empty_table()
     segs = reader.segments(sorted({t for ts in live_sets for t in ts}))
 
     # candidate docs: intersection over positions of (union over the
-    # position's terms)
+    # position's terms); negated positions don't constrain the doc set
     def _docs_of(ts: list[str]) -> np.ndarray:
         parts = [s.decode_all()[0] for t in ts for s in segs[t]]
         if not parts:
@@ -255,26 +289,42 @@ def sequence_spans_multi(reader, term_sets: list[list[str]],
         return np.unique(np.concatenate(parts))
 
     cand = None
-    for ts in live_sets:
+    for ts, neg in zip(live_sets, negates):
+        if neg:
+            continue
         docs = _docs_of(ts)
         cand = docs if cand is None else cand[np.isin(cand, docs,
                                                       assume_unique=True)]
         if cand.size == 0:
             break
-    if cand is not None and cand.size:
+    if cand is None:
+        cand = np.sort(reader.all_doc_ids())   # all-negative query
+    elif cand.size:
         cand = cand[reader.mask_tombstones(cand)]
-    if cand is None or cand.size == 0:
+    if cand.size == 0:
         return SPAN_SCHEMA.empty_table()
+    cand_lens = reader.doc_lens(cand) if any(negates) else None
 
-    # per-position doc → sorted positions (union over the term set)
+    # per-position doc → sorted positions (union over the term set;
+    # complement of the union for negated positions)
     pos_maps = []
-    for ts in live_sets:
+    for ts, neg in zip(live_sets, negates):
         merged: dict[int, list] = {}
         for t in ts:
             for doc, ps in _positions_by_doc(segs[t], cand).items():
                 merged.setdefault(doc, []).append(ps)
-        pos_maps.append({doc: np.sort(np.concatenate(lst))
-                         for doc, lst in merged.items()})
+        pm = {doc: np.sort(np.concatenate(lst))
+              for doc, lst in merged.items()}
+        if neg:
+            comp = {}
+            for i, doc in enumerate(cand.tolist()):
+                n = int(cand_lens[i])
+                excl = pm.get(doc)
+                comp[doc] = np.arange(n, dtype=np.int64) if excl is None \
+                    else np.setdiff1d(np.arange(n, dtype=np.int64), excl,
+                                      assume_unique=True)
+            pm = comp
+        pos_maps.append(pm)
 
     out_d, out_s, out_e = [], [], []
     for doc in cand.tolist():

@@ -6,7 +6,8 @@ import numpy as np
 import pytest
 
 from blacklab_ray.query import IndexReader
-from blacklab_ray.query.cql import FilterPlan, parse_cql, search_cql
+from blacklab_ray.query.cql import (FilterPlan, UnionPlan, parse_cql,
+                                    search_cql)
 from blacklab_ray.query.cql import cql_spans
 
 
@@ -65,8 +66,6 @@ def test_parse_shapes():
         parse_cql('[] "a"')
     with pytest.raises(ValueError):
         parse_cql('[lemma="x"]')
-    with pytest.raises(ValueError):
-        parse_cql('"a"{1,3}')
 
 
 def test_cql_literal_phrase(reader, small_oracle):
@@ -158,3 +157,161 @@ def test_cql_within_paragraph(ray_session, tmp_path):
     filt = cql_spans(r, '"beta" "gamma" within <p/>')
     assert set(plain["doc_id"].to_pylist()) == {hash64("d0"), hash64("d1")}
     assert filt["doc_id"].to_pylist() == [hash64("d1")]
+
+
+def _brute_seq_spans_neg(docs, preds, gaps):
+    """Brute sequence spans where preds[i] is a callable tok->bool."""
+    out = []
+    for did, toks in docs.items():
+        n = len(toks)
+        for s in range(n):
+            if not preds[0](toks[s]):
+                continue
+            frontier = [s]
+            for (lo, hi), pred in zip(gaps, preds[1:]):
+                nxt = []
+                for last in frontier:
+                    for q in range(last + 1 + lo,
+                                   min(n, last + 1 + hi + 1)):
+                        if pred(toks[q]):
+                            nxt.append(q)
+                frontier = nxt
+                if not frontier:
+                    break
+            for last in set(frontier):
+                out.append((did, s, last + 1))
+    return sorted(set(out))
+
+
+def test_parse_negated_bracket():
+    p = parse_cql('"the" [word != "of"]')
+    assert p.positions[1].negate and p.positions[1].pattern == "of"
+    p = parse_cql('[word!="th.*"]')
+    assert p.positions[0].negate and not p.positions[0].literal
+
+
+def test_cql_negated_position(reader, small_oracle):
+    """TestSpansNot analogue: "the" followed by a non-"of" token."""
+    got = _rows(cql_spans(reader, '"the" [word != "of"]'))
+    exp = _brute_seq_spans_neg(
+        small_oracle.docs,
+        [lambda t: t == "the", lambda t: t != "of"], [(0, 0)])
+    assert got == exp
+
+
+def test_cql_negated_regex_position(reader, small_oracle):
+    got = _rows(cql_spans(reader, '[word!="th.*"] "the"'))
+    rx = re.compile(r"^(?:th.*)$")
+    exp = _brute_seq_spans_neg(
+        small_oracle.docs,
+        [lambda t: not rx.match(t), lambda t: t == "the"], [(0, 0)])
+    assert got == exp
+
+
+def test_not_spans_complement(reader, small_oracle):
+    """not_spans == all positions whose token != any of the terms,
+    over the whole doc universe (SpansNot semantics)."""
+    from blacklab_ray.query.spans import not_spans
+    got = _rows(not_spans(reader, ["the", "of"]))
+    exp = []
+    for did, toks in small_oracle.docs.items():
+        for i, t in enumerate(toks):
+            if t not in ("the", "of"):
+                exp.append((did, i, i + 1))
+    assert got == sorted(exp)
+
+
+def test_all_negative_cql(reader, small_oracle):
+    """An all-negative query runs over the full doc universe."""
+    got = _rows(cql_spans(reader, '[word != "the"]'))
+    exp = [(did, i, i + 1)
+           for did, toks in small_oracle.docs.items()
+           for i, t in enumerate(toks) if t != "the"]
+    assert got == sorted(exp)
+
+
+def test_andnot_spans(reader):
+    from blacklab_ray.query.spans import andnot_spans, span_table
+    a = span_table([1, 1, 2], [0, 3, 5], [1, 4, 6])
+    b = span_table([1, 2], [3, 9], [4, 10])
+    got = _rows(andnot_spans(a, b))
+    assert got == [(1, 0, 1), (2, 5, 6)]
+
+
+def test_search_andnot_matches_oracle(reader, small_oracle):
+    from blacklab_ray.query.engine import search_andnot, search_taat
+    pos, neg = ["the", "of"], ["w000010"]
+    res = search_andnot(reader, pos, neg, k=10**9)
+    # oracle: taat result minus docs containing the neg term
+    full = search_taat(reader, pos, k=10**9)
+    neg_docs = {did for did, toks in small_oracle.docs.items()
+                if "w000010" in toks}
+    exp = [(d, s) for d, s in zip(full["doc_id"].to_pylist(),
+                                  full["score"].to_pylist())
+           if d not in neg_docs]
+    assert res["doc_id"].to_pylist() == [d for d, _ in exp]
+    for g, (_, s) in zip(res["score"].to_pylist(), exp):
+        assert abs(g - s) < 1e-12
+
+
+def test_parse_repetition_range_and_alternation():
+    """TestQueryRewrite-style golden checks on the lowered plans."""
+    p = parse_cql('"a"{1,3}')
+    assert isinstance(p, UnionPlan) and len(p.branches) == 3
+    assert [len(b.positions) for b in p.branches] == [1, 2, 3]
+    p = parse_cql('"a" "b" | "c"')
+    assert isinstance(p, UnionPlan) and len(p.branches) == 2
+    assert len(p.branches[0].positions) == 2
+    assert len(p.branches[1].positions) == 1
+    p = parse_cql('("a"|"b") "c"')
+    assert len(p.positions) == 2
+    assert p.positions[0].pattern == "a" and p.positions[0].alts == ("b",)
+    p = parse_cql('"x" "y"{0,1} "z"')
+    assert isinstance(p, UnionPlan) and len(p.branches) == 2
+    assert [len(b.positions) for b in p.branches] == [2, 3]
+    with pytest.raises(ValueError):
+        parse_cql('("a" "b"|"c")')     # multi-position group
+    with pytest.raises(ValueError):
+        parse_cql('(("a"))')           # nested parens
+    with pytest.raises(ValueError):
+        parse_cql('"a"{3,1}')          # bad range
+
+
+def test_cql_repetition_range(reader, small_oracle):
+    """`"the"{1,2}` == spans of "the" plus spans of "the the"."""
+    got = _rows(cql_spans(reader, '"the"{1,2}'))
+    exp = sorted(set(
+        _brute_seq_spans(small_oracle.docs, ["the"], []) +
+        _brute_seq_spans(small_oracle.docs, ["the", "the"], [(0, 0)])))
+    assert got == exp
+
+
+def test_cql_alternation_sequences(reader, small_oracle):
+    import collections
+    follow = collections.Counter()
+    for toks in small_oracle.docs.values():
+        for x, y in zip(toks, toks[1:]):
+            if x == "the":
+                follow[y] += 1
+    nxt = follow.most_common(1)[0][0]
+    got = _rows(cql_spans(reader, f'"the" "{nxt}" | "of"'))
+    exp = sorted(set(
+        _brute_seq_spans(small_oracle.docs, ["the", nxt], [(0, 0)]) +
+        _brute_seq_spans(small_oracle.docs, ["of"], [])))
+    assert got == exp
+
+
+def test_cql_group_alternation(reader, small_oracle):
+    got = _rows(cql_spans(reader, '("the"|"of") "the"'))
+    exp = _brute_seq_spans(small_oracle.docs, ["the|of", "the"], [(0, 0)])
+    assert got == exp
+
+
+def test_cql_optional_position(reader, small_oracle):
+    """`"the" "of"{0,1} "the"` — optional middle term."""
+    got = _rows(cql_spans(reader, '"the" "of"{0,1} "the"'))
+    exp = sorted(set(
+        _brute_seq_spans(small_oracle.docs, ["the", "the"], [(0, 0)]) +
+        _brute_seq_spans(small_oracle.docs, ["the", "of", "the"],
+                         [(0, 0), (0, 0)])))
+    assert got == exp
