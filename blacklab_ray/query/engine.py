@@ -365,15 +365,31 @@ def search_andnot(reader: IndexReader, terms: list[str],
 
 def _positions_by_doc(segs: list[Segment], targets: np.ndarray
                       ) -> dict[int, np.ndarray]:
-    """doc_id → absolute token positions of the term, for target docs."""
+    """doc_id → absolute token positions of the term, for target docs.
+
+    Block-skipped: only blocks whose doc range can contain a target are
+    decoded (searchsorted over the per-block last_doc skip list) — a
+    stopword's posting list is NOT fully decoded when the target set is
+    small (the SpanQueryFiSeq/ClauseCombinerNfa motivation,
+    doc/blacklab-internals.md:52-63, realized as skip-pruning here)."""
     out: dict[int, np.ndarray] = {}
-    tset = targets
+    tsorted = np.unique(np.asarray(targets, dtype=np.int64))
+    if tsorted.size == 0:
+        return out
     for seg in segs:
         if not seg.blocks:
             continue
-        for i, blk in enumerate(seg.blocks):
+        lo = int(np.searchsorted(tsorted, seg.first_doc))
+        hi = int(np.searchsorted(tsorted, seg.last_doc, side="right"))
+        sub = tsorted[lo:hi]
+        if sub.size == 0:
+            continue
+        last_docs = seg.block_last_docs()
+        needed = np.unique(np.searchsorted(last_docs, sub))
+        needed = needed[needed < last_docs.size]
+        for i in needed.tolist():
             d, t, _ = seg.decode_block(i)
-            mask = np.isin(d, tset, assume_unique=False)
+            mask = np.isin(d, sub, assume_unique=True)
             if not mask.any():
                 continue
             pos = seg.decode_block_positions(i, t)
@@ -382,6 +398,79 @@ def _positions_by_doc(segs: list[Segment], targets: np.ndarray
             for j in np.flatnonzero(mask):
                 out[int(d[j])] = pos[starts[j]:starts[j + 1]]
     return out
+
+
+def _docs_within(segs: list[Segment], cand: np.ndarray) -> np.ndarray:
+    """Docs of a term present in the sorted candidate set, decoding only
+    the blocks whose range intersects a candidate (DAAT advance-by-
+    rarest-term, vectorized per block)."""
+    found = []
+    for seg in segs:
+        if not seg.blocks:
+            continue
+        lo = int(np.searchsorted(cand, seg.first_doc))
+        hi = int(np.searchsorted(cand, seg.last_doc, side="right"))
+        sub = cand[lo:hi]
+        if sub.size == 0:
+            continue
+        if seg._decoded is not None:   # already fully decoded — reuse
+            d = seg._decoded[0]
+            found.append(d[np.isin(d, sub, assume_unique=True)])
+            continue
+        last_docs = seg.block_last_docs()
+        needed = np.unique(np.searchsorted(last_docs, sub))
+        needed = needed[needed < last_docs.size]
+        if needed.size * 2 >= last_docs.size:
+            # dense candidates: one cached full decode beats
+            # block-at-a-time (and later _positions_by_doc reuses it)
+            d = seg.decode_all()[0]
+            found.append(d[np.isin(d, sub, assume_unique=True)])
+            continue
+        for i in needed.tolist():
+            d = seg.decode_block(i)[0]
+            found.append(d[np.isin(d, sub, assume_unique=True)])
+    if not found:
+        return np.empty(0, np.int64)
+    return np.unique(np.concatenate(found))
+
+
+def candidate_intersection(reader: IndexReader,
+                           term_groups: list[list[str]],
+                           segs: dict[str, list[Segment]],
+                           stats: dict[str, tuple[int, int]]
+                           ) -> np.ndarray:
+    """Sorted doc ids containing >= 1 term of EVERY group.
+
+    Groups are processed rarest-first (by summed df): the rarest group
+    is decoded in full; every later group only decodes blocks that can
+    contain a surviving candidate. For `"the" "w000123"`-style phrases
+    this decodes a handful of stopword blocks instead of the entire
+    stopword posting list (SpansSequenceSimple via skip-pruned DAAT)."""
+    def group_df(g: list[str]) -> int:
+        return sum(stats.get(t, (0, 0))[0] for t in g)
+
+    order = sorted(range(len(term_groups)),
+                   key=lambda i: group_df(term_groups[i]))
+    cand: np.ndarray | None = None
+    for gi in order:
+        group = term_groups[gi]
+        if cand is None:
+            parts = [s.decode_all()[0] for t in group for s in segs[t]]
+            docs = np.unique(np.concatenate(parts)) if parts \
+                else np.empty(0, np.int64)
+            cand = docs
+        else:
+            found = [_docs_within(segs[t], cand) for t in group]
+            docs = np.unique(np.concatenate(found)) if found \
+                else np.empty(0, np.int64)
+            cand = cand[np.isin(cand, docs, assume_unique=True)]
+        if cand.size == 0:
+            break
+    if cand is None:
+        return np.empty(0, np.int64)
+    if cand.size:
+        cand = cand[reader.mask_tombstones(cand)]
+    return cand
 
 
 def phrase_search(reader: IndexReader, phrase: list[str], k: int = 10,
@@ -400,21 +489,10 @@ def phrase_search(reader: IndexReader, phrase: list[str], k: int = 10,
         return _result_table(reader, np.empty(0, np.int64),
                              np.empty(0, np.float64), resolve_urls)
     segs = reader.segments(uniq_terms)
-    # candidate docs: sorted intersection across distinct terms
-    cand: np.ndarray | None = None
-    per_term_docs: dict[str, np.ndarray] = {}
-    for t in uniq_terms:
-        docs = np.concatenate([s.decode_all()[0] for s in segs[t]]) \
-            if segs[t] else np.empty(0, np.int64)
-        docs = np.sort(docs)
-        per_term_docs[t] = docs
-        cand = docs if cand is None else cand[np.isin(cand, docs,
-                                                      assume_unique=True)]
-        if cand.size == 0:
-            break
-    if cand is not None and cand.size:
-        cand = cand[reader.mask_tombstones(cand)]
-    if cand is None or cand.size == 0:
+    # candidate docs: rarest-first skip-pruned intersection
+    cand = candidate_intersection(reader, [[t] for t in uniq_terms],
+                                  segs, stats)
+    if cand.size == 0:
         return _result_table(reader, np.empty(0, np.int64),
                              np.empty(0, np.float64), resolve_urls)
     pos_maps = {t: _positions_by_doc(segs[t], cand) for t in uniq_terms}
@@ -619,18 +697,9 @@ def sequence_search(reader: IndexReader, terms: list[str],
         return _result_table(reader, np.empty(0, np.int64),
                              np.empty(0, np.float64), resolve_urls)
     segs = reader.segments(uniq_terms)
-    cand: np.ndarray | None = None
-    for t in uniq_terms:
-        docs = np.concatenate([s.decode_all()[0] for s in segs[t]]) \
-            if segs[t] else np.empty(0, np.int64)
-        docs = np.sort(docs)
-        cand = docs if cand is None else cand[np.isin(cand, docs,
-                                                      assume_unique=True)]
-        if cand.size == 0:
-            break
-    if cand is not None and cand.size:
-        cand = cand[reader.mask_tombstones(cand)]
-    if cand is None or cand.size == 0:
+    cand = candidate_intersection(reader, [[t] for t in uniq_terms],
+                                  segs, stats)
+    if cand.size == 0:
         return _result_table(reader, np.empty(0, np.int64),
                              np.empty(0, np.float64), resolve_urls)
     pos_maps = {t: _positions_by_doc(segs[t], cand) for t in uniq_terms}

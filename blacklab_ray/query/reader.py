@@ -27,6 +27,17 @@ from blacklab_ray.codec.vbyte import (
 from blacklab_ray.stages.tokenize import hash64
 
 
+# observability: block-decode counters (asserted by the phrase-skipping
+# tests; negligible overhead — two dict increments per decode)
+DECODE_STATS = {"blocks_decoded": 0, "full_segments": 0}
+
+
+def reset_decode_stats() -> dict:
+    DECODE_STATS["blocks_decoded"] = 0
+    DECODE_STATS["full_segments"] = 0
+    return DECODE_STATS
+
+
 class Segment:
     """One (term, salt, seg) posting segment; lazy block decode."""
 
@@ -55,6 +66,8 @@ class Segment:
         if not self.blocks:
             e = np.empty(0, dtype=np.int64)
             return e, e.copy(), np.empty(0, dtype=np.uint8)
+        DECODE_STATS["blocks_decoded"] += len(self.blocks)
+        DECODE_STATS["full_segments"] += 1
         counts = np.array([b["n"] for b in self.blocks], dtype=np.int64)
         deltas = vbyte_decode(
             b"".join(b["docs"] for b in self.blocks)).astype(np.int64)
@@ -72,10 +85,16 @@ class Segment:
         return self._decoded
 
     def decode_block(self, i: int):
+        DECODE_STATS["blocks_decoded"] += 1
         blk = self.blocks[i]
         return (delta_decode(blk["docs"]),
                 vbyte_decode(blk["tfs"]).astype(np.int64),
                 np.frombuffer(blk["norms"], dtype=np.uint8))
+
+    def block_last_docs(self) -> np.ndarray:
+        """last_doc per block — the skip list for candidate pruning."""
+        return np.array([b["last_doc"] for b in self.blocks],
+                        dtype=np.int64)
 
     def decode_block_positions(self, i: int, tfs: np.ndarray) -> np.ndarray:
         """Concatenated absolute positions for block i (aligned by tfs)."""

@@ -187,7 +187,9 @@ def sequence_spans(reader, terms: list[str],
     """All match spans of a (gapped) sequence as a span table —
     single-token terms: span start = first term's position, end = last
     term's position + 1."""
-    from blacklab_ray.query.engine import _positions_by_doc
+    from blacklab_ray.query.engine import (
+        _positions_by_doc, candidate_intersection,
+    )
     if not terms:
         raise ValueError("empty sequence")
     n_joins = len(terms) - 1
@@ -197,18 +199,9 @@ def sequence_spans(reader, terms: list[str],
     if len(stats) < len(uniq_terms):
         return SPAN_SCHEMA.empty_table()
     segs = reader.segments(uniq_terms)
-    cand = None
-    for t in uniq_terms:
-        docs = np.concatenate([s.decode_all()[0] for s in segs[t]]) \
-            if segs[t] else np.empty(0, np.int64)
-        docs = np.sort(docs)
-        cand = docs if cand is None else cand[np.isin(cand, docs,
-                                                      assume_unique=True)]
-        if cand.size == 0:
-            break
-    if cand is not None and cand.size:
-        cand = cand[reader.mask_tombstones(cand)]
-    if cand is None or cand.size == 0:
+    cand = candidate_intersection(reader, [[t] for t in uniq_terms],
+                                  segs, stats)
+    if cand.size == 0:
         return SPAN_SCHEMA.empty_table()
     pos_maps = {t: _positions_by_doc(segs[t], cand) for t in uniq_terms}
     out_d, out_s, out_e = [], [], []
@@ -280,27 +273,15 @@ def sequence_spans_multi(reader, term_sets: list[list[str]],
         return SPAN_SCHEMA.empty_table()
     segs = reader.segments(sorted({t for ts in live_sets for t in ts}))
 
-    # candidate docs: intersection over positions of (union over the
-    # position's terms); negated positions don't constrain the doc set
-    def _docs_of(ts: list[str]) -> np.ndarray:
-        parts = [s.decode_all()[0] for t in ts for s in segs[t]]
-        if not parts:
-            return np.empty(0, np.int64)
-        return np.unique(np.concatenate(parts))
-
-    cand = None
-    for ts, neg in zip(live_sets, negates):
-        if neg:
-            continue
-        docs = _docs_of(ts)
-        cand = docs if cand is None else cand[np.isin(cand, docs,
-                                                      assume_unique=True)]
-        if cand.size == 0:
-            break
-    if cand is None:
+    # candidate docs: rarest-first skip-pruned intersection over the
+    # positive positions (union within each position's term set);
+    # negated positions don't constrain the doc set
+    from blacklab_ray.query.engine import candidate_intersection
+    pos_groups = [ts for ts, neg in zip(live_sets, negates) if not neg]
+    if pos_groups:
+        cand = candidate_intersection(reader, pos_groups, segs, stats)
+    else:
         cand = np.sort(reader.all_doc_ids())   # all-negative query
-    elif cand.size:
-        cand = cand[reader.mask_tombstones(cand)]
     if cand.size == 0:
         return SPAN_SCHEMA.empty_table()
     cand_lens = reader.doc_lens(cand) if any(negates) else None

@@ -103,3 +103,54 @@ def test_rank_column_and_url_resolution(reader):
     t = search(reader, ["the"], 5, resolve_urls=True)
     assert t["rank"].to_pylist() == [1, 2, 3, 4, 5]
     assert all(u.startswith("https://") for u in t["url"].to_pylist())
+
+
+def test_phrase_candidate_skipping(ray_session, tmp_path):
+    """VERDICT r1 item 6: a phrase of (stopword, rare term) must NOT
+    fully decode the stopword's posting list — candidates come from the
+    rare term and only stopword blocks containing candidates decode."""
+    import pyarrow.parquet as pq
+
+    from blacklab_ray.index import BuildParams, build_index
+    from blacklab_ray.query import IndexReader, phrase_search
+    from blacklab_ray.query.reader import DECODE_STATS, reset_decode_stats
+    from blacklab_ray.sources.synth import generate_pages
+    from blacklab_ray.testoracle import CorpusOracle
+    pages = generate_pages(5000)
+    src = tmp_path / "pages"
+    src.mkdir()
+    pq.write_table(pages, str(src / "p.parquet"))
+    idx = str(tmp_path / "idx")
+    build_index(str(src), idx, BuildParams(num_buckets=4, n_salts=2))
+    oracle = CorpusOracle.from_pages(pages)
+    # pick a rare term that actually follows "the" somewhere
+    rare = None
+    for did, toks in oracle.docs.items():
+        for x, y in zip(toks, toks[1:]):
+            if x == "the" and y.startswith("w0") and \
+                    sum(y in t for t in oracle.docs.values()) <= 5:
+                rare = y
+                break
+        if rare:
+            break
+    assert rare is not None
+    reader = IndexReader(idx)
+    the_blocks = sum(len(s.blocks) for s in reader.segments(["the"])["the"])
+    rare_blocks = sum(len(s.blocks)
+                      for s in reader.segments([rare])[rare])
+    assert the_blocks >= 8, "fixture too small to prove skipping"
+    reset_decode_stats()
+    res = phrase_search(reader, ["the", rare], k=10**9)
+    decoded = DECODE_STATS["blocks_decoded"]
+    # decodes scale with the candidate count (few docs × salted
+    # segments × [membership + positions] passes), NOT with the
+    # stopword's list length: the old full-decode path cost
+    # >= 2*(the_blocks + rare_blocks). Assert we stay below even ONE
+    # full decode of the stopword.
+    assert decoded < the_blocks, (decoded, the_blocks)
+    assert DECODE_STATS["full_segments"] <= rare_blocks + 2
+    # correctness unchanged vs brute oracle
+    exp = sorted(did for did, toks in oracle.docs.items()
+                 if any(a == "the" and b == rare
+                        for a, b in zip(toks, toks[1:])))
+    assert sorted(res["doc_id"].to_pylist()) == exp
