@@ -55,10 +55,14 @@ class HitFinder:
 
 
 def find_hits(ds: ray.data.Dataset, term: str, id_col: str = "doc_id",
-              text_col: str = "text",
-              carry: tuple[str, ...] = ()) -> ray.data.Dataset:
-    return ds.map_batches(HitFinder(term, id_col, text_col, carry),
-                          batch_format="pyarrow")
+              text_col: str = "text", carry: tuple[str, ...] = (),
+              max_hits: int | None = None) -> ray.data.Dataset:
+    """Hit production. ``max_hits`` is the maxHitsToProcess clamp
+    (BLConfigSearch.java:13): a streaming ``limit`` that stops the
+    pipeline early — blocks past the clamp are never produced."""
+    out = ds.map_batches(HitFinder(term, id_col, text_col, carry),
+                         batch_format="pyarrow")
+    return out.limit(max_hits) if max_hits is not None else out
 
 
 def hits_by(ds: ray.data.Dataset, term: str, group_col: str,

@@ -1,0 +1,63 @@
+"""Search-description result cache (BlsCache analogue).
+
+BlackLab Server caches results keyed by the search's *description* — the
+canonical string of the operation tree (wslib/src/main/java/nl/inl/
+blacklab/server/search/BlsCache.java:104-120); repeated identical
+searches return the cached result and popular searches stay warm via
+LRU. Here the description is the canonical repr of (operation, args)
+built by ``describe``; values are small Arrow tables (top-k results),
+so an entry cap — not byte accounting — bounds memory (the reference's
+heap-watermark eviction maps to Ray's object-store spill for big
+intermediates, which never live in this cache).
+
+The cache is deliberately driver/actor-local: each query actor holds
+one (replicas warm independently), exactly like each BLS node's cache.
+"""
+
+from __future__ import annotations
+
+from collections import OrderedDict
+from typing import Any, Callable
+
+
+def describe(op: str, **kwargs) -> str:
+    """Canonical search description: operation + sorted kwargs. Lists
+    are normalized to tuples so equal queries collide."""
+    parts = [op]
+    for k in sorted(kwargs):
+        v = kwargs[k]
+        if isinstance(v, (list, tuple)):
+            v = tuple(v)
+        parts.append(f"{k}={v!r}")
+    return ";".join(parts)
+
+
+class SearchCache:
+    """LRU memo of search results keyed by description."""
+
+    def __init__(self, max_entries: int = 256):
+        self._max = max_entries
+        self._d: OrderedDict[str, Any] = OrderedDict()
+        self.hits = 0
+        self.misses = 0
+
+    def get_or_run(self, key: str, fn: Callable[[], Any]) -> Any:
+        if key in self._d:
+            self._d.move_to_end(key)
+            self.hits += 1
+            return self._d[key]
+        self.misses += 1
+        val = fn()
+        self._d[key] = val
+        if len(self._d) > self._max:
+            self._d.popitem(last=False)
+        return val
+
+    def invalidate(self) -> None:
+        """Drop everything (index updated — the BlsCache clear-on-
+        index-change behavior)."""
+        self._d.clear()
+
+    def stats(self) -> dict:
+        return {"entries": len(self._d), "hits": self.hits,
+                "misses": self.misses}

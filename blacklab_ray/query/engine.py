@@ -639,6 +639,66 @@ def search_filtered(reader: IndexReader, terms: list[str],
     return _result_table(reader, uniq[order], sums[order], resolve_urls)
 
 
+# BlackLab's runaway-query safety rails (BLConfigSearch.java:13-15)
+MAX_HITS_TO_PROCESS = 5_000_000
+MAX_HITS_TO_COUNT = 10_000_000
+
+
+def count_hits_clamped(reader: IndexReader, terms: list[str],
+                       mode: str = "or",
+                       max_process: int = MAX_HITS_TO_PROCESS,
+                       max_count: int = MAX_HITS_TO_COUNT) -> pa.Table:
+    """ResultCount with the reference's maxHitsToProcess/maxHitsToCount
+    clamps (BLConfigSearch.java:13-15, ResultCount.java:8): processing
+    stops segment-at-a-time once ``max_process`` postings have been
+    decoded, and the hit count is capped at ``max_count``. Clamped
+    results are lower bounds, flagged in the output — the reference's
+    'stoppedProcessing/stoppedCounting' semantics."""
+    terms = list(dict.fromkeys(terms))
+    stats = reader.term_stats(terms)
+    present = [t for t in terms if t in stats]
+    if (not present) or (mode == "and" and len(present) < len(terms)):
+        return pa.table({"n_docs": pa.array([0], pa.int64()),
+                         "n_hits": pa.array([0], pa.int64()),
+                         "clamped_process": pa.array([False]),
+                         "clamped_count": pa.array([False])})
+    segs = reader.segments(present)
+    processed = 0
+    clamped_process = False
+    all_docs, all_tfs = [], []
+    for t in present:
+        for s in segs[t]:
+            if processed >= max_process:
+                clamped_process = True
+                break
+            d, tf, _ = s.decode_all()
+            keep = reader.mask_tombstones(d)
+            all_docs.append(d[keep])
+            all_tfs.append(tf[keep])
+            processed += int(d.size)
+        if clamped_process:
+            break
+    docs = np.concatenate(all_docs) if all_docs else np.empty(0, np.int64)
+    tfs = np.concatenate(all_tfs) if all_tfs else np.empty(0, np.int64)
+    uniq, inv = np.unique(docs, return_inverse=True)
+    tf_sums = np.zeros(uniq.size, dtype=np.int64)
+    np.add.at(tf_sums, inv, tfs)
+    if mode == "and" and not clamped_process:
+        counts = np.bincount(inv, minlength=uniq.size)
+        m = counts == len(present)
+        uniq, tf_sums = uniq[m], tf_sums[m]
+    n_hits = int(tf_sums.sum())
+    clamped_count = n_hits > max_count
+    if clamped_count:
+        n_hits = max_count
+    return pa.table({
+        "n_docs": pa.array([int(uniq.size)], pa.int64()),
+        "n_hits": pa.array([n_hits], pa.int64()),
+        "clamped_process": pa.array([clamped_process]),
+        "clamped_count": pa.array([clamped_count]),
+    })
+
+
 def count_hits(reader: IndexReader, terms: list[str],
                mode: str = "or") -> pa.Table:
     """ResultCount analogue (search/results/ResultCount.java:8): number

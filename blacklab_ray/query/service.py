@@ -16,28 +16,41 @@ import ray
 
 
 class QueryWorker:
-    """One replica: holds reader state, answers search calls."""
+    """One replica: holds reader state + a description-keyed result
+    cache (each replica warms independently, like each BLS node's
+    BlsCache)."""
 
-    def __init__(self, index_dir: str):
+    def __init__(self, index_dir: str, cache_entries: int = 256):
         from blacklab_ray.query import IndexReader
+        from blacklab_ray.query.cache import SearchCache
         from blacklab_ray.util import pin_worker_arrow_threads
         pin_worker_arrow_threads()
         self.reader = IndexReader(index_dir)
+        self.cache = SearchCache(max_entries=cache_entries)
         _ = self.reader.terms_table  # warm the dictionary once per actor
 
     def search(self, terms, k=10, mode="or", algo="auto"):
         from blacklab_ray.query import search
+        from blacklab_ray.query.cache import describe
         t0 = time.perf_counter()
-        res = search(self.reader, terms, k=k, mode=mode, algo=algo)
-        return {"rows": res.to_pylist(),
-                "seconds": time.perf_counter() - t0}
+        key = describe("search", terms=terms, k=k, mode=mode, algo=algo)
+        rows = self.cache.get_or_run(
+            key, lambda: search(self.reader, terms, k=k, mode=mode,
+                                algo=algo).to_pylist())
+        return {"rows": rows, "seconds": time.perf_counter() - t0}
 
     def phrase(self, terms, k=10):
         from blacklab_ray.query import phrase_search
+        from blacklab_ray.query.cache import describe
         t0 = time.perf_counter()
-        res = phrase_search(self.reader, terms, k=k)
-        return {"rows": res.to_pylist(),
-                "seconds": time.perf_counter() - t0}
+        key = describe("phrase", terms=terms, k=k)
+        rows = self.cache.get_or_run(
+            key, lambda: phrase_search(self.reader, terms,
+                                       k=k).to_pylist())
+        return {"rows": rows, "seconds": time.perf_counter() - t0}
+
+    def cache_stats(self):
+        return self.cache.stats()
 
 
 class QueryService:

@@ -154,3 +154,69 @@ def test_phrase_candidate_skipping(ray_session, tmp_path):
                  if any(a == "the" and b == rare
                         for a, b in zip(toks, toks[1:])))
     assert sorted(res["doc_id"].to_pylist()) == exp
+
+
+def test_count_hits_clamps(ray_session, small_index):
+    """maxHitsToProcess / maxHitsToCount safety rails
+    (BLConfigSearch.java:13-15)."""
+    from blacklab_ray.query import IndexReader
+    from blacklab_ray.query.engine import count_hits, count_hits_clamped
+    r = IndexReader(small_index)
+    exact = count_hits(r, ["the"])
+    # no clamp hit: same numbers, flags false
+    c = count_hits_clamped(r, ["the"])
+    assert c["n_docs"][0].as_py() == exact["n_docs"][0].as_py()
+    assert c["n_hits"][0].as_py() == exact["n_hits"][0].as_py()
+    assert not c["clamped_process"][0].as_py()
+    assert not c["clamped_count"][0].as_py()
+    # count clamp: n_hits capped, flagged
+    c2 = count_hits_clamped(r, ["the"], max_count=5)
+    assert c2["n_hits"][0].as_py() == 5
+    assert c2["clamped_count"][0].as_py()
+    # process clamp: stops decoding early, flagged, counts are a
+    # lower bound
+    c3 = count_hits_clamped(r, ["the"], max_process=1)
+    assert c3["clamped_process"][0].as_py()
+    assert c3["n_hits"][0].as_py() <= exact["n_hits"][0].as_py()
+    assert c3["n_docs"][0].as_py() >= 1
+
+
+def test_search_cache(ray_session, small_index):
+    """BlsCache analogue: repeated identical searches hit the memo."""
+    from blacklab_ray.query import IndexReader, search_taat
+    from blacklab_ray.query.cache import SearchCache, describe
+    r = IndexReader(small_index)
+    cache = SearchCache(max_entries=4)
+    calls = {"n": 0}
+
+    def run():
+        calls["n"] += 1
+        return search_taat(r, ["the", "of"], k=5)
+
+    key = describe("search", terms=["the", "of"], k=5, mode="or")
+    a = cache.get_or_run(key, run)
+    b = cache.get_or_run(key, run)
+    assert calls["n"] == 1 and a is b
+    assert cache.stats()["hits"] == 1
+    # same query as tuple → same key (normalization)
+    assert describe("search", terms=("the", "of"), k=5, mode="or") == key
+    # LRU eviction at capacity
+    for i in range(5):
+        cache.get_or_run(f"k{i}", lambda: i)
+    assert cache.stats()["entries"] == 4
+    cache.invalidate()
+    assert cache.stats()["entries"] == 0
+
+
+def test_find_hits_clamp(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from blacklab_ray.pipelines.hits import find_hits
+    tbl = pa.table({
+        "doc_id": pa.array(range(100), pa.int64()),
+        "text": pa.array(["spark spark spark"] * 100, pa.string()),
+    })
+    ds = ray.data.from_arrow(tbl)
+    assert find_hits(ds, "spark").count() == 300
+    assert find_hits(ds, "spark", max_hits=7).count() == 7
