@@ -253,6 +253,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         df = t.select(["doc_id", "span_tf"]).to_pandas()
         return df.sort_values("doc_id").reset_index(drop=True)
 
+    def q_cql_capture(sf):
+        """Capture groups + global constraint: adjacent same-b-word
+        pairs (A:[word="b.*"] B:[word="b.*"] :: A.word = B.word)."""
+        from blacklab_ray.query.cql import search_cql
+        r = _index_for(sf)
+        t = search_cql(r, 'A:[word="b.*"] B:[word="b.*"] '
+                          ':: A.word = B.word', k=10**9)
+        df = t.select(["doc_id", "span_tf"]).to_pandas()
+        return df.sort_values("doc_id").reset_index(drop=True)
+
     def q_bm25_andnot(sf):
         """Doc-level AND-NOT (SpanQueryAndNot): BM25 over OR_TERMS,
         excluding docs containing any NEG_TERMS."""
@@ -444,6 +454,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cql_not_docs": q_cql_not,
         "cql_rep_docs": q_cql_rep,
         "cql_alt_docs": q_cql_alt,
+        "cql_capture_docs": q_cql_capture,
         "seq_gap_docs": q_seq_gap,
         "hits_sorted": q_hits_sorted,
         "docs_by_lang": q_docs_by_lang,
@@ -639,6 +650,16 @@ SELECT a.doc_id, count(*) AS span_tf
 FROM toks a JOIN toks b
   ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
 WHERE a.term IN ('batch', 'spark') AND b.term = 'hash'
+GROUP BY a.doc_id
+""",
+        "cql_capture_docs": f"""
+WITH toks AS ({toks_pos})
+SELECT a.doc_id, count(*) AS span_tf
+FROM toks a JOIN toks b
+  ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+WHERE regexp_matches(a.term, '^(?:b.*)$')
+  AND regexp_matches(b.term, '^(?:b.*)$')
+  AND a.term = b.term
 GROUP BY a.doc_id
 """,
         "cql_not_docs": f"""

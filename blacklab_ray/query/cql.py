@@ -19,6 +19,12 @@ CorpusQueryLanguageParser.java:12). Supported subset:
   "a" "b" | "c"               alternation between sequences
                               (BLSpanOrQuery.java:57 — union of spans)
   ("a"|"b")                   single-position alternation group
+  A:"x" / A:[word="re"]       capture groups: hit rows gain a {A}_pos
+                              column (SpanQueryCaptureGroup.java:18)
+  ... :: A.word = B.word      global constraints comparing captured
+                              tokens via the forward index
+                              (SpansConstrained.java:15); & to combine,
+                              != supported
   X within Y  /  X containing Y   position filters between sequences
 
 Lowering: each sequence position expands (via the term dictionary,
@@ -29,9 +35,9 @@ branches' span tables; within/containing run through the span algebra.
 Scoring: spans per doc become a BM25 'phrase tf' exactly like
 phrase_search.
 
-Out of subset (rejected with a clear error): capture groups, global
-constraints (::), non-word annotations, nested parens, groups of
-multi-position sequences.
+Out of subset (rejected with a clear error): non-word annotations,
+nested parens, groups of multi-position sequences, repetition of
+captured positions, constraints on non-captured names.
 """
 
 from __future__ import annotations
@@ -52,6 +58,7 @@ _TOKEN_RE = re.compile(r"""
     | (?P<qmark>\?)
     | (?P<tag><\s*(?P<tagname>\w+)\s*/\s*>)
     | (?P<word>within|containing)
+    | (?P<capture>(?P<capname>[A-Za-z_]\w*)\s*:)
     | (?P<pipe>\|)
     | (?P<lparen>\()
     | (?P<rparen>\))
@@ -66,6 +73,35 @@ class SeqPos:
     literal: bool         # True → exact term, no expansion needed
     negate: bool = False  # [word != "..."] complement position
     alts: tuple[str, ...] = ()   # additional ("a"|"b") alternatives
+    capture: str | None = None   # A:[...] capture-group label
+
+
+@dataclass
+class Constraint:
+    """Global constraint `:: A.word = B.word` (TextPatternConstrained /
+    SpansConstrained.java:15): compare captured groups' token values via
+    the forward index, post-filtering hits."""
+    a: str
+    op: str                     # "=" | "!="
+    b: str
+
+
+_CONSTRAINT_RE = re.compile(
+    r"\s*([A-Za-z_]\w*)\.word\s*(!?=)\s*([A-Za-z_]\w*)\.word\s*$")
+
+
+def parse_constraints(expr: str) -> list[Constraint]:
+    out = []
+    for part in expr.split("&"):
+        m = _CONSTRAINT_RE.match(part)
+        if not m:
+            raise ValueError(
+                f"unsupported global constraint {part.strip()!r} "
+                "(subset: A.word = B.word, A.word != B.word, joined "
+                "by &)")
+        out.append(Constraint(a=m.group(1), op=m.group(2).replace("!=",
+                   "!=").replace("==", "="), b=m.group(3)))
+    return out
 
 
 @dataclass
@@ -131,6 +167,8 @@ def _tokenize(q: str) -> list[tuple[str, object]]:
             items.append(("tag", m.group("tagname")))
         elif m.group("word") is not None:
             items.append(("op", m.group("word")))
+        elif m.group("capture") is not None:
+            items.append(("cap", m.group("capname")))
         elif m.group("pipe") is not None:
             items.append(("pipe", None))
         elif m.group("lparen") is not None:
@@ -244,18 +282,30 @@ def _build_seq_variants(items: list) -> list[SeqPlan]:
     repetition-range counts (SpanQueryRepetition lowering: `x{2,3}` is
     the union of `x x` and `x x x`)."""
     # pass 1: attach repetitions to positions / any-tokens
-    structs: list[tuple] = []   # ("pos", patterns, negate, (lo,hi))
+    structs: list[tuple] = []   # ("pos", patterns, negate, (lo,hi), cap)
     #                           | ("any", (lo,hi))
+    pending_cap: str | None = None
     i = 0
     while i < len(items):
         kind, val = items[i]
+        if kind == "cap":
+            if pending_cap is not None:
+                raise ValueError("dangling capture label")
+            pending_cap = str(val)
+            i += 1
+            continue
         if kind in ("term", "nterm", "alt"):
             patterns = list(val) if kind == "alt" else [str(val)]
             rep = (1, 1)
             if i + 1 < len(items) and items[i + 1][0] == "rep":
                 rep = items[i + 1][1]
                 i += 1
-            structs.append(("pos", patterns, kind == "nterm", rep))
+            if pending_cap is not None and rep != (1, 1):
+                raise ValueError(
+                    "captured positions cannot repeat (out of subset)")
+            structs.append(("pos", patterns, kind == "nterm", rep,
+                            pending_cap))
+            pending_cap = None
         elif kind == "any":
             lo, hi = 1, 1
             if i + 1 < len(items) and items[i + 1][0] == "rep":
@@ -270,6 +320,8 @@ def _build_seq_variants(items: list) -> list[SeqPlan]:
         else:
             raise ValueError(f"unexpected {kind}")
         i += 1
+    if pending_cap is not None:
+        raise ValueError("dangling capture label")
     # pass 2: cross product over variable repetition counts
     pos_ranges = [range(s[3][0], s[3][1] + 1)
                   for s in structs if s[0] == "pos"]
@@ -292,7 +344,7 @@ def _build_seq_variants(items: list) -> list[SeqPlan]:
                 g = pending or (0, 0)
                 pending = (g[0] + lo, g[1] + hi)
                 continue
-            _, patterns, negate, _ = s
+            _, patterns, negate, _, cap = s
             count = combo[ci]
             ci += 1
             for _ in range(count):
@@ -303,7 +355,8 @@ def _build_seq_variants(items: list) -> list[SeqPlan]:
                     pattern=patterns[0],
                     literal=not _is_regex(patterns[0]),
                     negate=negate,
-                    alts=tuple(patterns[1:])))
+                    alts=tuple(patterns[1:]),
+                    capture=cap))
         if pending is not None:
             raise ValueError(
                 "trailing any-token is out of subset (no anchor)")
@@ -326,7 +379,14 @@ def _expand_position(reader, p: SeqPos, max_terms: int = 1024) -> list[str]:
             if reader.term_stats([pat]):
                 out.add(pat)
         else:
-            out.update(expand_terms(reader, pat, "regex", max_terms))
+            matched = expand_terms(reader, pat, "regex", max_terms)
+            if len(matched) >= max_terms:
+                # silent truncation would return wrong (incomplete)
+                # spans — refuse like BlackLab's too-many-terms error
+                raise ValueError(
+                    f"pattern {pat!r} expands to >= {max_terms} "
+                    "dictionary terms; narrow it")
+            out.update(matched)
     return sorted(out)
 
 
@@ -337,8 +397,14 @@ def _seq_args(reader, plan: SeqPlan):
 
 
 def cql_spans(reader, q: str) -> pa.Table:
-    """Evaluate a CQL query to a span table (doc_id, start, end)."""
+    """Evaluate a CQL query to a span table (doc_id, start, end[,
+    {cap}_pos per capture group]); `:: A.word = B.word` global
+    constraints post-filter via forward-index lookups."""
     from blacklab_ray.query.spans import spans_containing, spans_within
+    constraints: list[Constraint] = []
+    if "::" in q:
+        q, _, cexpr = q.partition("::")
+        constraints = parse_constraints(cexpr)
     plan = parse_cql(q)
     if isinstance(plan, FilterPlan):
         prod = _plan_spans(reader, plan.producer)
@@ -349,10 +415,30 @@ def cql_spans(reader, q: str) -> pa.Table:
             filt = reader.paragraph_spans()
         else:
             filt = _plan_spans(reader, plan.filter)
-        if plan.op == "within":
-            return spans_within(prod, filt)
-        return spans_containing(prod, filt)
-    return _plan_spans(reader, plan)
+        out = spans_within(prod, filt) if plan.op == "within" \
+            else spans_containing(prod, filt)
+    else:
+        out = _plan_spans(reader, plan)
+    return _apply_constraints(reader, out, constraints)
+
+
+def _apply_constraints(reader, spans: pa.Table,
+                       constraints: list[Constraint]) -> pa.Table:
+    if not constraints or spans.num_rows == 0:
+        return spans
+    keep = np.ones(spans.num_rows, dtype=bool)
+    d = spans["doc_id"].to_numpy()
+    for c in constraints:
+        for name in (c.a, c.b):
+            if f"{name}_pos" not in spans.column_names:
+                raise ValueError(
+                    f"constraint references unknown capture {name!r}")
+        ta = reader.tokens_at(d, spans[f"{c.a}_pos"].to_numpy())
+        tb = reader.tokens_at(d, spans[f"{c.b}_pos"].to_numpy())
+        eq = np.array([x is not None and x == y
+                       for x, y in zip(ta, tb)], dtype=bool)
+        keep &= eq if c.op == "=" else ~eq
+    return spans.filter(pa.array(keep))
 
 
 def _plan_spans(reader, plan: SeqPlan | UnionPlan) -> pa.Table:
@@ -366,10 +452,19 @@ def _plan_spans(reader, plan: SeqPlan | UnionPlan) -> pa.Table:
 def cql_spans_seq(reader, plan: SeqPlan) -> pa.Table:
     from blacklab_ray.query.spans import SPAN_SCHEMA, sequence_spans_multi
     term_sets, negates = _seq_args(reader, plan)
+    captures = [p.capture for p in plan.positions]
     if any(not ts and not neg for ts, neg in zip(term_sets, negates)):
-        return SPAN_SCHEMA.empty_table()
+        if not any(captures):
+            return SPAN_SCHEMA.empty_table()
+        cols = {"doc_id": pa.array([], pa.int64()),
+                "start": pa.array([], pa.int64()),
+                "end": pa.array([], pa.int64())}
+        for c in captures:
+            if c:
+                cols[f"{c}_pos"] = pa.array([], pa.int64())
+        return pa.table(cols)
     return sequence_spans_multi(reader, term_sets, plan.gaps,
-                                negates=negates)
+                                negates=negates, captures=captures)
 
 
 def search_cql(reader, q: str, k: int = 10, quantize: bool = True,

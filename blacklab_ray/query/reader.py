@@ -210,6 +210,40 @@ class IndexReader:
                                       ends[keep])
         return self._para_spans
 
+    def tokens_at(self, doc_ids: np.ndarray,
+                  positions: np.ndarray) -> list[str | None]:
+        """Token string at each (doc_id, position) pair — the forward-
+        index lookup global constraints post-filter with
+        (SpansConstrained.java:15 compares captured groups' token values
+        via ForwardIndexAccessor). Reads only the needed docs' fwd rows
+        (predicate-pushdown gather; at cluster scale this is a gather
+        join against the fwd dataset keyed by doc_id)."""
+        from blacklab_ray.codec.vbyte import decode_position_lists
+        doc_ids = np.asarray(doc_ids, dtype=np.int64)
+        positions = np.asarray(positions, dtype=np.int64)
+        need = np.unique(doc_ids)
+        if not hasattr(self, "_fwd_tok_cache"):
+            self._fwd_tok_cache: dict[int, dict[int, str]] = {}
+        missing = [int(d) for d in need
+                   if int(d) not in self._fwd_tok_cache]
+        if missing:
+            ds = pa_ds.dataset(os.path.join(self.index_dir, "fwd"),
+                               format="parquet")
+            tbl = ds.to_table(
+                columns=["doc_id", "terms", "tfs", "pos"],
+                filter=pc.field("doc_id").isin(missing))
+            for row in tbl.to_pylist():
+                posmap: dict[int, str] = {}
+                for term, tf, blob in zip(row["terms"], row["tfs"],
+                                          row["pos"]):
+                    ps = decode_position_lists(
+                        blob, np.array([tf], dtype=np.int64))
+                    for p in ps.tolist():
+                        posmap[int(p)] = term
+                self._fwd_tok_cache[int(row["doc_id"])] = posmap
+        return [self._fwd_tok_cache.get(int(d), {}).get(int(p))
+                for d, p in zip(doc_ids, positions)]
+
     # ---- postings -------------------------------------------------------
 
     _SEG_CACHE_MAX = 4096  # cached terms (BlackLab mmap-everything analogue)

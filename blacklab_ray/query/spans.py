@@ -241,7 +241,8 @@ def sequence_spans(reader, terms: list[str],
 
 def sequence_spans_multi(reader, term_sets: list[list[str]],
                          gaps: list[tuple[int, int]] | None = None,
-                         negates: list[bool] | None = None
+                         negates: list[bool] | None = None,
+                         captures: list[str | None] | None = None
                          ) -> pa.Table:
     """Sequence spans where each position matches ANY of a term set
     (multi-term positions — the lowering target for CQL regex/bracket
@@ -307,15 +308,25 @@ def sequence_spans_multi(reader, term_sets: list[list[str]],
             pm = comp
         pos_maps.append(pm)
 
+    captures = captures or [None] * len(term_sets)
+    if len(captures) != len(term_sets):
+        raise ValueError("need one capture label (or None) per position")
+    cap_names = [c for c in captures if c]
+
     out_d, out_s, out_e = [], [], []
+    out_caps: dict[str, list] = {c: [] for c in cap_names}
     for doc in cand.tolist():
         first = pos_maps[0].get(doc)
         if first is None:
             continue
         starts = first
         lasts = first
+        # per-capture position arrays, aligned with the active paths
+        caps: dict[str, np.ndarray] = {}
+        if captures[0]:
+            caps[captures[0]] = first
         ok = True
-        for (lo, hi), pm in zip(gaps, pos_maps[1:]):
+        for (lo, hi), pm, cap in zip(gaps, pos_maps[1:], captures[1:]):
             nxt = pm.get(doc)
             if nxt is None or lasts.size == 0:
                 ok = False
@@ -330,13 +341,40 @@ def sequence_spans_multi(reader, term_sets: list[list[str]],
             idx = np.concatenate([np.arange(left_i[i], right_i[i])
                                   for i in sel])
             starts = np.repeat(starts[sel], counts[sel])
+            for name in caps:
+                caps[name] = np.repeat(caps[name][sel], counts[sel])
             lasts = nxt[idx]
+            if cap:
+                caps[cap] = lasts
         if ok and lasts.size:
             out_d.append(np.full(lasts.size, doc, dtype=np.int64))
             out_s.append(starts)
             out_e.append(lasts + 1)
+            for name in cap_names:
+                out_caps[name].append(caps[name])
     if not out_d:
-        return SPAN_SCHEMA.empty_table()
-    return unique_spans(span_table(np.concatenate(out_d),
-                                   np.concatenate(out_s),
-                                   np.concatenate(out_e)))
+        if not cap_names:
+            return SPAN_SCHEMA.empty_table()
+        cols = {"doc_id": pa.array([], pa.int64()),
+                "start": pa.array([], pa.int64()),
+                "end": pa.array([], pa.int64())}
+        for name in cap_names:
+            cols[f"{name}_pos"] = pa.array([], pa.int64())
+        return pa.table(cols)
+    tbl = span_table(np.concatenate(out_d), np.concatenate(out_s),
+                     np.concatenate(out_e))
+    if not cap_names:
+        return unique_spans(tbl)
+    # capture columns: token position of each captured group
+    # (SpanQueryCaptureGroup.java:18 — sub-span per hit; single-token
+    # positions, so one position column per capture)
+    for name in cap_names:
+        tbl = tbl.append_column(f"{name}_pos",
+                                pa.array(np.concatenate(out_caps[name]),
+                                         pa.int64()))
+    # dedupe over ALL columns (identical spans with different captures
+    # are distinct hits)
+    d = tbl.to_pandas().drop_duplicates().sort_values(
+        list(tbl.column_names), kind="mergesort")
+    return pa.Table.from_pandas(d.reset_index(drop=True),
+                                preserve_index=False)

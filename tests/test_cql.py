@@ -315,3 +315,76 @@ def test_cql_optional_position(reader, small_oracle):
         _brute_seq_spans(small_oracle.docs, ["the", "of", "the"],
                          [(0, 0), (0, 0)])))
     assert got == exp
+
+
+def test_capture_groups(reader, small_oracle):
+    """A:[...] capture groups: hit rows carry the captured token
+    position (SpanQueryCaptureGroup semantics)."""
+    # narrow regex: stays under the 1024-term expansion cap
+    t = cql_spans(reader, 'A:"the" []{0,1} B:[word="w000.."]')
+    assert {"A_pos", "B_pos"} <= set(t.column_names)
+    docs = small_oracle.docs
+    got = sorted(zip(t["doc_id"].to_pylist(), t["start"].to_pylist(),
+                     t["end"].to_pylist(), t["A_pos"].to_pylist(),
+                     t["B_pos"].to_pylist()))
+    exp = []
+    for did, toks in docs.items():
+        for i, tok in enumerate(toks):
+            if tok != "the":
+                continue
+            for j in (i + 1, i + 2):
+                if j < len(toks) and re.match(r"^(?:w000..)$", toks[j]):
+                    exp.append((did, i, j + 1, i, j))
+    assert got == sorted(exp)
+    # capture positions always equal the captured token's position
+    assert all(a == s for a, s in zip(t["A_pos"].to_pylist(),
+                                      t["start"].to_pylist()))
+
+
+def test_global_constraint_equal(reader, small_oracle):
+    """`A:[] ... :: A.word = B.word` — same-token repetition at
+    distance 2 (TestSpansConstrained-style)."""
+    t = cql_spans(reader, 'A:[word="th.*"] [] B:[word="th.*"] '
+                          ':: A.word = B.word')
+    docs = small_oracle.docs
+    rx = re.compile(r"^(?:th.*)$")
+    exp = []
+    for did, toks in docs.items():
+        for i in range(len(toks) - 2):
+            if rx.match(toks[i]) and rx.match(toks[i + 2]) \
+                    and toks[i] == toks[i + 2]:
+                exp.append((did, i, i + 3))
+    got = sorted(zip(t["doc_id"].to_pylist(), t["start"].to_pylist(),
+                     t["end"].to_pylist()))
+    assert got == sorted(exp)
+
+
+def test_global_constraint_not_equal(reader, small_oracle):
+    t_eq = cql_spans(reader, 'A:"the" B:[word="th.*"] '
+                             ':: A.word = B.word')
+    t_ne = cql_spans(reader, 'A:"the" B:[word="th.*"] '
+                             ':: A.word != B.word')
+    t_all = cql_spans(reader, '"the" [word="th.*"]')
+    assert t_eq.num_rows + t_ne.num_rows == t_all.num_rows
+    # eq keeps only "the the"
+    docs = small_oracle.docs
+    exp_eq = sum(1 for did, toks in docs.items()
+                 for i in range(len(toks) - 1)
+                 if toks[i] == "the" and toks[i + 1] == "the")
+    assert t_eq.num_rows == exp_eq
+
+
+def test_constraint_errors(reader):
+    with pytest.raises(ValueError, match="unknown capture"):
+        cql_spans(reader, 'A:"the" "of" :: A.word = Z.word')
+    with pytest.raises(ValueError, match="unsupported global"):
+        cql_spans(reader, 'A:"the" B:"of" :: A.word < B.word')
+    with pytest.raises(ValueError, match="cannot repeat"):
+        parse_cql('A:"the"{2}')
+    with pytest.raises(ValueError, match="dangling capture"):
+        parse_cql('A: B:"the"')
+
+
+def test_too_broad_pattern_rejected(reader):
+    with pytest.raises(ValueError, match="expands to"):
+        cql_spans(reader, '[word=".*"] "the"')
