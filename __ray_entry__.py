@@ -39,6 +39,9 @@ TOPK = 20
 
 _TOKS_SQL = ("regexp_extract_all(lower(strip_accents(text)), "
              "'[a-z0-9]+')")
+# the @s (case-sensitive) annotation: accent-stripped, case-preserving
+_TOKS_SQL_S = ("regexp_extract_all(strip_accents(text), "
+               "'[A-Za-z0-9]+')")
 
 _IDX_CACHE: dict[str, Any] = {}
 
@@ -55,7 +58,7 @@ def _index_for(sf_dir: str):
     build_index([os.path.join(sf_dir, "documents.parquet")], idx_dir,
                 BuildParams(num_buckets=16, n_salts=4,
                             id_column="doc_id", extract_html=False,
-                            batch_size=512))
+                            batch_size=512, sensitive=True))
     reader = IndexReader(idx_dir)
     _IDX_CACHE[sf_dir] = reader
     return reader
@@ -263,6 +266,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         df = t.select(["doc_id", "span_tf"]).to_pandas()
         return df.sort_values("doc_id").reset_index(drop=True)
 
+    def q_bm25_sensitive(sf):
+        """Case-SENSITIVE term match against the @s annotation's own
+        posting partition (MatchSensitivity @s routing; df/idf from
+        terms_s)."""
+        r = _index_for(sf)
+        t = search_taat(r, ["spark"], k=10**9, sensitivity="s") \
+            .select(["doc_id", "score"])
+        return _round_cols(t.to_pandas(), {"score": 4})
+
     def q_bm25_andnot(sf):
         """Doc-level AND-NOT (SpanQueryAndNot): BM25 over OR_TERMS,
         excluding docs containing any NEG_TERMS."""
@@ -451,6 +463,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kwic_fwd": q_kwic_fwd,
         "cql_docs": q_cql,
         "bm25_andnot": q_bm25_andnot,
+        "bm25_sensitive": q_bm25_sensitive,
         "cql_not_docs": q_cql_not,
         "cql_rep_docs": q_cql_rep,
         "cql_alt_docs": q_cql_alt,
@@ -506,7 +519,8 @@ def _sql_list(terms: list[str]) -> str:
 def _bm25_sql(terms: list[str], mode: str, topk: int | None,
               term_pred: str | None = None,
               doc_filter: str | None = None,
-              anti_terms: list[str] | None = None) -> str:
+              anti_terms: list[str] | None = None,
+              toks_sql: str | None = None) -> str:
     """BM25 oracle SQL. ``term_pred`` overrides the IN-list (multi-term
     expansion); ``doc_filter`` restricts scored docs (metadata semi-join)
     while stats stay corpus-wide (Lucene filtered-query semantics);
@@ -530,7 +544,7 @@ def _bm25_sql(terms: list[str], mode: str, topk: int | None,
                  f"term IN ({_sql_list(anti_terms)}))")
     return f"""
 WITH toks AS (
-  SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents
+  SELECT doc_id, unnest({toks_sql or _TOKS_SQL}) AS term FROM documents
 ),
 dl AS (SELECT d.doc_id, count(t.term) AS dl
        FROM documents d LEFT JOIN toks t ON d.doc_id = t.doc_id
@@ -633,6 +647,8 @@ GROUP BY a.doc_id
 """,
         "bm25_andnot": _bm25_sql(OR_TERMS, "or", None,
                                  anti_terms=NEG_TERMS),
+        "bm25_sensitive": _bm25_sql(["spark"], "or", None,
+                                    toks_sql=_TOKS_SQL_S),
         "cql_rep_docs": f"""
 WITH toks AS ({toks_pos}),
 s1 AS (SELECT doc_id, pos AS s, pos + 1 AS e FROM toks

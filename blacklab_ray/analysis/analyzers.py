@@ -96,6 +96,50 @@ def _normalize_array(col: pa.Array | pa.ChunkedArray) -> pa.Array:
     return pc.take(fixed, dict_arr.indices)
 
 
+def tokenize_text_sensitive(s: str) -> list[str]:
+    """Case-SENSITIVE tokenizer (the `@s` sensitivity,
+    MatchSensitivity.java:12-17): accent-stripped but case-preserving,
+    split on the case-insensitive class so token boundaries — and hence
+    positions — align with the insensitive annotation (a char is in
+    [A-Za-z0-9] iff its lowercase is in [a-z0-9])."""
+    return [t[:MAX_TOKEN_LEN]
+            for t in re.findall(r"[A-Za-z0-9]+", strip_accents(s))]
+
+
+def tokenize_column_sensitive(col: pa.Array | pa.ChunkedArray) -> tuple[
+        np.ndarray, pa.Array, np.ndarray, np.ndarray]:
+    """Vectorized sensitive-variant tokenizer; same return contract as
+    tokenize_column. Positions align 1:1 with the insensitive stream."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    # accent-strip without lowering (Python only over unique values)
+    if pc.all(pc.equal(pc.binary_length(col),
+                       pc.utf8_length(col))).as_py():
+        norm = col
+    else:
+        dict_arr = pc.dictionary_encode(col)
+        uniques = dict_arr.dictionary.to_pylist()
+        fixed = pa.array([strip_accents(u) if u is not None else None
+                          for u in uniques], type=pa.string())
+        norm = pc.take(fixed, dict_arr.indices)
+    token_lists = pc.split_pattern_regex(norm, pattern="[^A-Za-z0-9]+")
+    flat = pc.list_flatten(token_lists)
+    parents = pc.list_parent_indices(token_lists).to_numpy(
+        zero_copy_only=False)
+    nonempty = pc.not_equal(flat, "")
+    mask = nonempty.to_numpy(zero_copy_only=False)
+    flat = flat.filter(nonempty)
+    parents = parents[mask]
+    n_rows = len(norm)
+    doc_lens = np.bincount(parents, minlength=n_rows).astype(np.int64)
+    starts = np.zeros(n_rows, dtype=np.int64)
+    np.cumsum(doc_lens[:-1], out=starts[1:])
+    positions = np.arange(parents.size, dtype=np.int64) - starts[parents]
+    if len(flat) and pc.max(pc.utf8_length(flat)).as_py() > MAX_TOKEN_LEN:
+        flat = pc.utf8_slice_codeunits(flat, 0, MAX_TOKEN_LEN)
+    return parents, flat, positions, doc_lens
+
+
 def tokenize_column(col: pa.Array | pa.ChunkedArray) -> tuple[
         np.ndarray, pa.Array, np.ndarray, np.ndarray]:
     """Tokenize a string column into flat (row_idx, token, position) arrays.

@@ -67,6 +67,8 @@ class BuildParams:
     exchange: str = "mapreduce"      # postings shuffle: mapreduce | sort
     paragraph_spans: bool = False    # store per-doc paragraph token counts
     verify_doc_ids: bool = False     # post-fwd hash-collision audit
+    sensitive: bool = False          # also index the @s (case-sensitive)
+    #                                  annotation: postings_s/ + terms_s/
 
     def fingerprint(self) -> dict:
         d = dict(self.__dict__)
@@ -196,7 +198,8 @@ def build_index(source: str | list[str] | ray.data.Dataset, index_dir: str,
                     HtmlExtractor(trust_text=params.trust_text),
                     batch_format="pyarrow", batch_size=params.batch_size)
         tok_kwargs = {"id_column": params.id_column,
-                      "paragraph_spans": params.paragraph_spans}
+                      "paragraph_spans": params.paragraph_spans,
+                      "sensitive": params.sensitive}
         if params.tokenize_concurrency is not None:
             ds = ds.map_batches(
                 TokenizeForwardIndex,
@@ -278,6 +281,24 @@ def build_index(source: str | list[str] | ray.data.Dataset, index_dir: str,
             _build_postings_sort(params, man, src_fp, pfp, fwd_dir,
                                  post_dir, shard_info, t0)
 
+    # ---- stage 3b: sensitive-annotation postings (`word@s`) -------------
+    if params.sensitive and \
+            not (resume and man.stage_complete("postings_s", src_fp, pfp)):
+        t0 = time.perf_counter()
+        from blacklab_ray.index.exchange import run_postings_exchange
+        post_s = os.path.join(index_dir, "postings_s")
+        _fresh_dir(post_s)
+        _fresh_dir(os.path.join(index_dir, "terms_parts_s"))
+        run_postings_exchange(
+            fwd_dir, post_s,
+            num_buckets=params.num_buckets, n_salts=params.n_salts,
+            hot_terms=params.hot_terms, block_size=params.block_size,
+            max_seg_postings=params.max_seg_postings,
+            annot_cols=("terms_s", "tfs_s", "pos_s"),
+            terms_parts_name="terms_parts_s")
+        man.record("postings_s", src_fp, pfp,
+                   seconds=round(time.perf_counter() - t0, 3))
+
     # ---- stage 4: term stats (+ meta on the mapreduce path) -------------
     terms_parts_dir = os.path.join(index_dir, "terms_parts")
     if not (resume and man.stage_complete("terms", src_fp, pfp)):
@@ -310,6 +331,24 @@ def build_index(source: str | list[str] | ray.data.Dataset, index_dir: str,
             stats.write_parquet(terms_dir)
         dt = time.perf_counter() - t0
         man.record("terms", src_fp, pfp, seconds=round(dt, 3))
+
+    if params.sensitive and \
+            not (resume and man.stage_complete("terms_s", src_fp, pfp)):
+        t0 = time.perf_counter()
+        import pyarrow.parquet as pq
+        parts = pq.read_table(os.path.join(index_dir, "terms_parts_s"))
+        gb = parts.group_by("term").aggregate(
+            [("df_seg_sum", "sum"), ("ctf_seg_sum", "sum")])
+        stats_tbl = pa.table({
+            "term": gb["term"],
+            "doc_freq": gb["df_seg_sum_sum"].cast(pa.int64()),
+            "collection_tf": gb["ctf_seg_sum_sum"].cast(pa.int64()),
+        })
+        tdir = os.path.join(index_dir, "terms_s")
+        _fresh_dir(tdir)
+        pq.write_table(stats_tbl, os.path.join(tdir, "terms.parquet"))
+        man.record("terms_s", src_fp, pfp,
+                   seconds=round(time.perf_counter() - t0, 3))
 
     if params.exchange == "mapreduce" and \
             not (resume and man.stage_complete("meta", src_fp, pfp)):

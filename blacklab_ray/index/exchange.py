@@ -38,6 +38,10 @@ from blacklab_ray.index.postings import ExplodePostings, build_segments
 FWD_COLUMNS = ["doc_id", "norm", "terms", "tfs", "pos"]
 
 
+def _fwd_columns(annot_cols) -> list[str]:
+    return ["doc_id", "norm", *annot_cols]
+
+
 def _encode_terms_as_codes(tbl: pa.Table) -> tuple[pa.Table, pa.Table]:
     """Replace the term string column with map-local int32 codes.
 
@@ -83,15 +87,17 @@ def _set_single_threaded_arrow():
 
 
 def _map_explode(paths: list[str], n_parts: int, num_buckets: int,
-                 n_salts: int, hot_terms) -> list:
+                 n_salts: int, hot_terms,
+                 annot_cols=("terms", "tfs", "pos")) -> list:
     """Returns n_parts part-tables + the map-local term dictionary as the
     final (index n_parts) return value."""
     _set_single_threaded_arrow()
     explode = ExplodePostings(num_buckets=num_buckets, n_salts=n_salts,
-                              hot_terms=hot_terms)
+                              hot_terms=hot_terms, annot_cols=annot_cols)
     outs = []
     for p in paths:
-        tbl = pq.read_table(p, columns=FWD_COLUMNS, use_threads=False)
+        tbl = pq.read_table(p, columns=_fwd_columns(annot_cols),
+                            use_threads=False)
         outs.append(explode(tbl))
     merged = pa.concat_tables(outs) if outs else None
     if merged is None or merged.num_rows == 0:
@@ -102,7 +108,8 @@ def _map_explode(paths: list[str], n_parts: int, num_buckets: int,
 
 def _reduce_build(part_id: int, out_dir: str, block_size: int,
                   max_seg_postings: int, n_salts: int, n_maps: int,
-                  part_suffix: str, *objs) -> dict:
+                  part_suffix: str, terms_parts_name: str,
+                  *objs) -> dict:
     _set_single_threaded_arrow()
     tables = list(objs[:n_maps])      # aligned with vocabs by map index
     vocabs = list(objs[n_maps:])
@@ -150,7 +157,7 @@ def _reduce_build(part_id: int, out_dir: str, block_size: int,
     stats = segs.select(["term", "df_seg", "ctf_seg"]).group_by("term") \
         .aggregate([("df_seg", "sum"), ("ctf_seg", "sum")])
     tdir = os.path.join(os.path.dirname(out_dir.rstrip("/")),
-                        "terms_parts")
+                        terms_parts_name)
     os.makedirs(tdir, exist_ok=True)
     tpath = os.path.join(tdir, f"part-{part_id:05d}{part_suffix}.parquet")
     pq.write_table(stats, tpath + ".tmp")
@@ -179,7 +186,9 @@ def run_postings_exchange(fwd_dir: str, out_dir: str, *, num_buckets: int,
                           n_parts: int | None = None,
                           files_per_map: int | None = None,
                           completed_parts: set[int] | None = None,
-                          part_suffix: str = "") -> dict:
+                          part_suffix: str = "",
+                          annot_cols: tuple = ("terms", "tfs", "pos"),
+                          terms_parts_name: str = "terms_parts") -> dict:
     """Run the map/reduce postings exchange; returns per-part lineage.
 
     ``completed_parts`` (from the manifest) are skipped — their output
@@ -210,7 +219,8 @@ def run_postings_exchange(fwd_dir: str, out_dir: str, *, num_buckets: int,
     map_task = ray.remote(num_returns=n_parts + 1)(_map_explode)
     reduce_task = ray.remote(_reduce_build)
 
-    map_out = [map_task.remote(c, n_parts, num_buckets, n_salts, hot_terms)
+    map_out = [map_task.remote(c, n_parts, num_buckets, n_salts,
+                               hot_terms, annot_cols)
                for c in chunks]
     vocab_refs = [m[n_parts] for m in map_out]
     # transpose: refs per part (+ every map's term dictionary)
@@ -221,7 +231,8 @@ def run_postings_exchange(fwd_dir: str, out_dir: str, *, num_buckets: int,
         part_inputs = [m[p] for m in map_out]
         reduce_refs.append(reduce_task.remote(
             p, out_dir, block_size, max_seg_postings, n_salts,
-            len(map_out), part_suffix, *part_inputs, *vocab_refs))
+            len(map_out), part_suffix, terms_parts_name,
+            *part_inputs, *vocab_refs))
     results = ray.get(reduce_refs)
     return {str(r["part"]): {"complete": True,
                              "segments": r["segments"],

@@ -81,9 +81,12 @@ class ExplodePostings:
     def __init__(self, num_buckets: int = DEFAULT_BUCKETS,
                  n_salts: int = DEFAULT_SALTS,
                  hot_terms: tuple[str, ...] | None = None,
-                 hot_df_frac: float = 0.05):
+                 hot_df_frac: float = 0.05,
+                 annot_cols: tuple[str, str, str] = ("terms", "tfs",
+                                                    "pos")):
         self._buckets = num_buckets
         self._salts = n_salts
+        self._cols = annot_cols
         self._hot = frozenset(STOPWORDS if hot_terms is None else hot_terms)
         # frequency-adaptive salting: any term matching > hot_df_frac of
         # this batch's docs is salted too. Correct under local decisions:
@@ -97,12 +100,12 @@ class ExplodePostings:
     def __call__(self, batch: pa.Table) -> pa.Table:
         from blacklab_ray.util import pin_worker_arrow_threads
         pin_worker_arrow_threads()
-        terms_col = batch.column("terms").combine_chunks()
+        terms_col = batch.column(self._cols[0]).combine_chunks()
         flat_terms = pc.list_flatten(terms_col)
         parents = pc.list_parent_indices(terms_col).to_numpy(
             zero_copy_only=False)
-        flat_tfs = pc.list_flatten(batch.column("tfs"))
-        flat_pos = pc.list_flatten(batch.column("pos"))
+        flat_tfs = pc.list_flatten(batch.column(self._cols[1]))
+        flat_pos = pc.list_flatten(batch.column(self._cols[2]))
         doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
         norms = batch.column("norm").to_numpy(zero_copy_only=False)
         doc_rep = doc_ids[parents]

@@ -58,7 +58,7 @@ def _inherit_layout(index_dir: str, params: BuildParams) -> BuildParams:
             rec = json.load(f).get("params") or {}
         for k in ("num_buckets", "n_salts", "block_size",
                   "max_seg_postings", "paragraph_spans", "id_column",
-                  "exchange"):
+                  "exchange", "sensitive"):
             if k in rec:
                 setattr(params, k, rec[k])
         if "hot_terms" in rec:
@@ -89,12 +89,10 @@ def _ensure_terms_parts(index_dir: str) -> None:
     os.replace(out + ".tmp", out)
 
 
-def _refresh_terms_and_meta(index_dir: str) -> None:
-    """Recompute terms table + meta from all exchange part stats."""
+def _refresh_terms_table(index_dir: str, parts_name: str,
+                         out_name: str) -> "object":
     import pyarrow as pa
-    terms_parts = os.path.join(index_dir, "terms_parts")
-    terms_dir = os.path.join(index_dir, "terms")
-    parts = pq.read_table(terms_parts)
+    parts = pq.read_table(os.path.join(index_dir, parts_name))
     gb = parts.group_by("term").aggregate(
         [("df_seg_sum", "sum"), ("ctf_seg_sum", "sum")])
     stats = pa.table({
@@ -102,8 +100,18 @@ def _refresh_terms_and_meta(index_dir: str) -> None:
         "doc_freq": gb["df_seg_sum_sum"].cast(pa.int64()),
         "collection_tf": gb["ctf_seg_sum_sum"].cast(pa.int64()),
     })
+    terms_dir = os.path.join(index_dir, out_name)
     _fresh_dir(terms_dir)
     pq.write_table(stats, os.path.join(terms_dir, "terms.parquet"))
+    return stats
+
+
+def _refresh_terms_and_meta(index_dir: str) -> None:
+    """Recompute terms table(s) + meta from all exchange part stats."""
+    import pyarrow as pa
+    stats = _refresh_terms_table(index_dir, "terms_parts", "terms")
+    if os.path.isdir(os.path.join(index_dir, "terms_parts_s")):
+        _refresh_terms_table(index_dir, "terms_parts_s", "terms_s")
     fwd_dir = os.path.join(index_dir, "fwd")
     n_docs = sum(pq.read_metadata(os.path.join(fwd_dir, f)).num_rows
                  for f in os.listdir(fwd_dir) if f.endswith(".parquet"))
@@ -151,7 +159,8 @@ def add_documents(index_dir: str, source, params: BuildParams | None = None,
                             batch_size=params.batch_size)
     ds = ds.map_batches(TokenizeForwardIndex(
         id_column=params.id_column,
-        paragraph_spans=params.paragraph_spans),
+        paragraph_spans=params.paragraph_spans,
+        sensitive=params.sensitive),
                         batch_format="pyarrow",
                         batch_size=params.batch_size)
     ds.write_parquet(fwd_dir)  # appends new uuid-named files
@@ -170,6 +179,15 @@ def add_documents(index_dir: str, source, params: BuildParams | None = None,
         hot_terms=params.hot_terms, block_size=params.block_size,
         max_seg_postings=params.max_seg_postings,
         part_suffix=f"-g{gen}")
+    if params.sensitive:
+        run_postings_exchange(
+            tmp_fwd, os.path.join(index_dir, "postings_s"),
+            num_buckets=params.num_buckets, n_salts=params.n_salts,
+            hot_terms=params.hot_terms, block_size=params.block_size,
+            max_seg_postings=params.max_seg_postings,
+            part_suffix=f"-g{gen}",
+            annot_cols=("terms_s", "tfs_s", "pos_s"),
+            terms_parts_name="terms_parts_s")
     import shutil
     shutil.rmtree(tmp_fwd)
     _refresh_terms_and_meta(index_dir)
@@ -259,6 +277,16 @@ def compact_index(index_dir: str, params: BuildParams | None = None) -> dict:
         num_buckets=params.num_buckets, n_salts=params.n_salts,
         hot_terms=params.hot_terms, block_size=params.block_size,
         max_seg_postings=params.max_seg_postings)
+    if params.sensitive:
+        _fresh_dir(os.path.join(index_dir, "postings_s"))
+        _fresh_dir(os.path.join(index_dir, "terms_parts_s"))
+        run_postings_exchange(
+            fwd_dir, os.path.join(index_dir, "postings_s"),
+            num_buckets=params.num_buckets, n_salts=params.n_salts,
+            hot_terms=params.hot_terms, block_size=params.block_size,
+            max_seg_postings=params.max_seg_postings,
+            annot_cols=("terms_s", "tfs_s", "pos_s"),
+            terms_parts_name="terms_parts_s")
     _refresh_terms_and_meta(index_dir)
     upd["tombstones"] = []
     upd.setdefault("log", []).append({

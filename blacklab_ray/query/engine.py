@@ -71,10 +71,13 @@ def _term_arrays(reader: IndexReader, segs: list[Segment], term_idf: float,
 
 def search_taat(reader: IndexReader, terms: list[str], k: int = 10,
                 mode: str = "or", quantize: bool = True,
-                resolve_urls: bool = False) -> pa.Table:
-    """Exact term-at-a-time scorer (vectorized); the WAND cross-check."""
+                resolve_urls: bool = False,
+                sensitivity: str = "i") -> pa.Table:
+    """Exact term-at-a-time scorer (vectorized); the WAND cross-check.
+    ``sensitivity="s"`` matches case-sensitively against the `@s`
+    annotation's postings (MatchSensitivity.java:12-17 routing)."""
     terms = list(dict.fromkeys(terms))
-    stats = reader.term_stats(terms)
+    stats = reader.term_stats(terms, sensitivity)
     present = [t for t in terms if t in stats]
     if mode == "and" and len(present) < len(terms):
         return _result_table(reader, np.empty(0, np.int64),
@@ -82,7 +85,7 @@ def search_taat(reader: IndexReader, terms: list[str], k: int = 10,
     if not present:
         return _result_table(reader, np.empty(0, np.int64),
                              np.empty(0, np.float64), resolve_urls)
-    segs = reader.segments(present)
+    segs = reader.segments(present, sensitivity)
     all_docs, all_scores = [], []
     for t in present:
         t_idf = float(idf(stats[t][0], reader.n_docs))

@@ -139,9 +139,27 @@ class IndexReader:
                 os.path.join(self.index_dir, "terms"))
         return self._terms_tbl
 
-    def term_stats(self, terms: list[str]) -> dict[str, tuple[int, int]]:
-        """term → (doc_freq, collection_tf); absent terms omitted."""
-        tbl = self.terms_table
+    @property
+    def terms_table_sensitive(self) -> pa.Table:
+        """Terms table of the `@s` annotation (terms_s/); raises if the
+        index was built without ``BuildParams.sensitive``."""
+        if getattr(self, "_terms_tbl_s", None) is None:
+            p = os.path.join(self.index_dir, "terms_s")
+            if not os.path.isdir(p):
+                raise FileNotFoundError(
+                    "index has no sensitive annotation (build with "
+                    "BuildParams.sensitive=True)")
+            self._terms_tbl_s = pq.read_table(p)
+        return self._terms_tbl_s
+
+    def term_stats(self, terms: list[str],
+                   sensitivity: str = "i") -> dict[str, tuple[int, int]]:
+        """term → (doc_freq, collection_tf); absent terms omitted.
+        ``sensitivity`` routes to the `@i` (default) or `@s` annotation
+        (the contents%word@i / @s field routing,
+        AnnotatedFieldNameUtil.java:47)."""
+        tbl = self.terms_table if sensitivity == "i" \
+            else self.terms_table_sensitive
         mask = pc.is_in(tbl["term"], value_set=pa.array(terms))
         sub = tbl.filter(mask)
         return {t.as_py(): (df.as_py(), ctf.as_py())
@@ -248,17 +266,22 @@ class IndexReader:
 
     _SEG_CACHE_MAX = 4096  # cached terms (BlackLab mmap-everything analogue)
 
-    def segments(self, terms: list[str]) -> dict[str, list[Segment]]:
+    def segments(self, terms: list[str],
+                 sensitivity: str = "i") -> dict[str, list[Segment]]:
         """Read posting segments for the given terms (bucket-pruned read,
         per-term LRU cache — hot/stopword lists are read from Parquet
-        once per reader, like the reference's mmap'd postings)."""
+        once per reader, like the reference's mmap'd postings).
+        ``sensitivity`` routes to postings/ (`@i`) or postings_s/
+        (`@s`) — the per-annotation posting partitions."""
         if not hasattr(self, "_seg_cache"):
-            self._seg_cache: dict[str, list[Segment]] = {}
-        missing = [t for t in set(terms) if t not in self._seg_cache]
+            self._seg_cache: dict[tuple[str, str], list[Segment]] = {}
+        missing = [t for t in set(terms)
+                   if (sensitivity, t) not in self._seg_cache]
         by_bucket: dict[int, list[str]] = {}
         for t in missing:
             by_bucket.setdefault(hash64(t) % self.num_buckets, []).append(t)
-        post_root = os.path.join(self.index_dir, "postings")
+        sub = "postings" if sensitivity == "i" else "postings_s"
+        post_root = os.path.join(self.index_dir, sub)
         fetched: dict[str, list[Segment]] = {t: [] for t in missing}
         for bucket, bterms in sorted(by_bucket.items()):
             path = os.path.join(post_root, f"bucket={bucket}")
@@ -272,5 +295,6 @@ class IndexReader:
             segs.sort(key=lambda s: (s.first_doc, s.last_doc))
             if len(self._seg_cache) >= self._SEG_CACHE_MAX:
                 self._seg_cache.pop(next(iter(self._seg_cache)))
-            self._seg_cache[t] = segs
-        return {t: self._seg_cache.get(t, []) for t in terms}
+            self._seg_cache[(sensitivity, t)] = segs
+        return {t: self._seg_cache.get((sensitivity, t), [])
+                for t in terms}

@@ -65,9 +65,11 @@ class TokenizeForwardIndex:
     """
 
     def __init__(self, id_column: str = "url",
-                 paragraph_spans: bool = False):
+                 paragraph_spans: bool = False,
+                 sensitive: bool = False):
         self._id_column = id_column
         self._para = paragraph_spans
+        self._sensitive = sensitive
 
     def _paragraph_lens(self, text_col: pa.Array | pa.ChunkedArray,
                         n_docs: int) -> pa.ListArray:
@@ -96,7 +98,51 @@ class TokenizeForwardIndex:
         parents, tokens, positions, doc_lens = tokenize_column(
             batch.column("text"))
         n_docs = batch.num_rows
+        vec = self._term_vector(parents, tokens, positions, n_docs)
 
+        # ---- doc-level columns
+        if self._id_column == "doc_id" and "doc_id" in batch.column_names:
+            doc_ids = batch.column("doc_id").cast(pa.int64())
+            urls = (batch.column("url") if "url" in batch.column_names
+                    else pa.array([str(i) for i in doc_ids.to_pylist()]))
+        else:
+            url_list = batch.column("url").to_pylist()
+            doc_ids = pa.array([hash64(u) for u in url_list], pa.int64())
+            urls = batch.column("url")
+        norm = encode_lengths(doc_lens)
+        cols = {
+            "doc_id": doc_ids,
+            "url": urls,
+            "lang": (batch.column("lang") if "lang" in batch.column_names
+                     else pa.nulls(n_docs, pa.string())),
+            "doc_len": pa.array(doc_lens, pa.int64()),
+            "norm": pa.array(norm.astype(np.int32), pa.int32()),
+            "terms": vec[0],
+            "tfs": vec[1],
+            "pos": vec[2],
+        }
+        if self._sensitive:
+            # parallel case-SENSITIVE annotation (`word@s`,
+            # MatchSensitivity.java:12-17) — same docs, own term vector
+            from blacklab_ray.analysis.analyzers import (
+                tokenize_column_sensitive,
+            )
+            sp, st, spos, _ = tokenize_column_sensitive(
+                batch.column("text"))
+            svec = self._term_vector(sp, st, spos, n_docs)
+            cols["terms_s"] = svec[0]
+            cols["tfs_s"] = svec[1]
+            cols["pos_s"] = svec[2]
+        if self._para:
+            cols["para_lens"] = self._paragraph_lens(
+                batch.column("text"), n_docs)
+        if "warc_ts" in batch.column_names:
+            cols["warc_ts"] = batch.column("warc_ts")
+        return pa.table(cols)
+
+    def _term_vector(self, parents, tokens, positions, n_docs):
+        """Flat token stream → per-doc (terms, tfs, pos-blob) list
+        columns (the grouped forward-index representation)."""
         # ---- group (doc, term) pairs: dictionary-encode tokens, then sort
         # by (doc, lexicographic term rank). Ranks — not raw dictionary
         # codes — make the per-doc term vector order independent of batch
@@ -160,31 +206,4 @@ class TokenizeForwardIndex:
         tfs_list = pa.ListArray.from_arrays(off_arr,
                                             pa.array(tfs, pa.int32()))
         pos_list = pa.ListArray.from_arrays(off_arr, pos_values)
-
-        # ---- doc-level columns
-        if self._id_column == "doc_id" and "doc_id" in batch.column_names:
-            doc_ids = batch.column("doc_id").cast(pa.int64())
-            urls = (batch.column("url") if "url" in batch.column_names
-                    else pa.array([str(i) for i in doc_ids.to_pylist()]))
-        else:
-            url_list = batch.column("url").to_pylist()
-            doc_ids = pa.array([hash64(u) for u in url_list], pa.int64())
-            urls = batch.column("url")
-        norm = encode_lengths(doc_lens)
-        cols = {
-            "doc_id": doc_ids,
-            "url": urls,
-            "lang": (batch.column("lang") if "lang" in batch.column_names
-                     else pa.nulls(n_docs, pa.string())),
-            "doc_len": pa.array(doc_lens, pa.int64()),
-            "norm": pa.array(norm.astype(np.int32), pa.int32()),
-            "terms": terms_list,
-            "tfs": tfs_list,
-            "pos": pos_list,
-        }
-        if self._para:
-            cols["para_lens"] = self._paragraph_lens(
-                batch.column("text"), n_docs)
-        if "warc_ts" in batch.column_names:
-            cols["warc_ts"] = batch.column("warc_ts")
-        return pa.table(cols)
+        return terms_list, tfs_list, pos_list

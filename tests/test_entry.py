@@ -80,6 +80,7 @@ def test_oracle_keys_subset(entry_mod):
     "facets_spark", "hits_sorted", "docs_by_lang", "docs_filter",
     "seq_gap_docs", "cql_docs", "bm25_andnot", "cql_not_docs",
     "cql_rep_docs", "cql_alt_docs", "cql_capture_docs",
+    "bm25_sensitive",
 ])
 def test_query_matches_oracle(entry_mod, con, name):
     ray_df = _norm(_to_pandas(entry_mod.queries()[name](SF_DIR)))

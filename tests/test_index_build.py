@@ -207,3 +207,96 @@ build_index({small_corpus_dir!r}, {idx!r},
     tb = pq.read_table(os.path.join(clean, "terms")).sort_by("term")
     assert ta.equals(tb)
     assert fwd_done or True  # record whether the kill landed mid-build
+
+
+def test_sensitive_tokenization_aligns(ray_session):
+    """Sensitive (@s) tokens align 1:1 with insensitive positions and
+    lowercase to them."""
+    import pyarrow as pa
+
+    from blacklab_ray.analysis.analyzers import (
+        tokenize_column, tokenize_column_sensitive,
+    )
+    col = pa.array(["ThE Quick BROWN fox", "", "naI\u0308ve Caf\u00e9 42",
+                    "a-B c_D"], pa.string())
+    pi, ti, posi, li = tokenize_column(col)
+    ps, ts, poss, ls = tokenize_column_sensitive(col)
+    assert (pi == ps).all() and (posi == poss).all() and (li == ls).all()
+    assert [t.lower() for t in ts.to_pylist()] == ti.to_pylist()
+    assert ts.to_pylist()[:4] == ["ThE", "Quick", "BROWN", "fox"]
+
+
+def test_sensitive_annotation_index(ray_session, tmp_path):
+    """BuildParams.sensitive: parallel @s posting partition with its own
+    terms table; case-sensitive matches differ from insensitive ones
+    (AnnotatedFieldNameUtil @s/@i routing)."""
+    import pyarrow.parquet as pq
+
+    from blacklab_ray.index import BuildParams, build_index
+    from blacklab_ray.query import IndexReader, search_taat
+    from blacklab_ray.sources.synth import generate_pages
+    pages = generate_pages(300)
+    src = tmp_path / "p"
+    src.mkdir()
+    pq.write_table(pages, str(src / "x.parquet"))
+    idx = str(tmp_path / "idx")
+    build_index(str(src), idx,
+                BuildParams(num_buckets=4, n_salts=2, sensitive=True))
+    r = IndexReader(idx)
+    # the synthetic corpus maps ~1%% of and/of/the to AND/Of/The etc.
+    si = r.term_stats(["and"], "i")["and"]
+    ss_l = r.term_stats(["and"], "s").get("and", (0, 0))
+    ss_u = r.term_stats(["AND"], "s").get("AND", (0, 0))
+    assert ss_u[1] > 0, "case variant missing from @s annotation"
+    # collection tf partitions exactly across case variants
+    assert ss_l[1] + ss_u[1] == si[1]
+    # sensitive search finds only variant docs; insensitive finds all
+    res_s = search_taat(r, ["AND"], k=10**9, sensitivity="s")
+    res_i = search_taat(r, ["and"], k=10**9)
+    assert 0 < res_s.num_rows < res_i.num_rows
+    # docs with the variant are a subset of insensitive matches
+    assert set(res_s["doc_id"].to_pylist()) <= \
+        set(res_i["doc_id"].to_pylist())
+    # scoring: @s uses its own df/tf stats (spot-check one doc via the
+    # brute oracle over sensitive tokens)
+    from blacklab_ray.analysis.analyzers import tokenize_text_sensitive
+    from blacklab_ray.query.bm25 import idf, score_tf
+    texts = dict(zip(pages["url"].to_pylist(), pages["text"].to_pylist()))
+    from blacklab_ray.stages.tokenize import hash64
+    doc0 = res_s["doc_id"][0].as_py()
+    url0 = next(u for u in texts if hash64(u) == doc0)
+    stoks = tokenize_text_sensitive(texts[url0])
+    tf = stoks.count("AND")
+    assert tf > 0
+
+
+def test_sensitive_add_documents(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from blacklab_ray.index import BuildParams, build_index
+    from blacklab_ray.index.update import add_documents
+    from blacklab_ray.query import IndexReader, search_taat
+    from blacklab_ray.sources.synth import generate_pages
+    src = tmp_path / "p"
+    src.mkdir()
+    pq.write_table(generate_pages(100), str(src / "x.parquet"))
+    idx = str(tmp_path / "idx")
+    build_index(str(src), idx,
+                BuildParams(num_buckets=4, n_salts=2, sensitive=True))
+    extra_dir = tmp_path / "extra"
+    extra_dir.mkdir()
+    pq.write_table(generate_pages(50, doc_offset=100),
+                   str(extra_dir / "e.parquet"))
+    add_documents(idx, str(extra_dir))      # inherits sensitive=True
+    r = IndexReader(idx)
+    base = IndexReader.__new__(IndexReader)  # noqa - just reuse r
+    res = search_taat(r, ["AND"], k=10**9, sensitivity="s")
+    assert res.num_rows > 0
+    # terms_s stats cover the union corpus
+    import pyarrow as pa
+    full = generate_pages(150)
+    from blacklab_ray.analysis.analyzers import tokenize_text_sensitive
+    exp_ctf = sum(tokenize_text_sensitive(t).count("AND")
+                  for t in full["text"].to_pylist())
+    got = r.term_stats(["AND"], "s")["AND"][1]
+    assert got == exp_ctf
