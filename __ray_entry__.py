@@ -516,6 +516,17 @@ def _sql_list(terms: list[str]) -> str:
     return ", ".join(f"'{t}'" for t in terms)
 
 
+def _lang_profile_values() -> str:
+    """The lang-id stopword profiles as SQL VALUES rows (kept in sync
+    with the engine by importing the same constant)."""
+    from blacklab_ray.pipelines.textstats import _LANG_PROFILES
+    rows = []
+    for lang in sorted(_LANG_PROFILES):
+        for term in sorted(_LANG_PROFILES[lang]):
+            rows.append(f"('{lang}', '{term}')")
+    return ", ".join(rows)
+
+
 def _bm25_sql(terms: list[str], mode: str, topk: int | None,
               term_pred: str | None = None,
               doc_filter: str | None = None,
@@ -764,6 +775,68 @@ ORDER BY t.doc_id, t.pos LIMIT {TOPK}
 WITH toks AS ({toks})
 SELECT term, lang, count(*) AS tf FROM toks GROUP BY term, lang
 ORDER BY tf DESC, term, lang LIMIT 100
+""",
+        "sample_hits_spark": f"""
+WITH toks AS ({toks_pos})
+SELECT doc_id, pos FROM toks
+WHERE term = '{HIT_TERM}'
+  AND md5_number_lower(doc_id::VARCHAR || ':' || pos::VARCHAR
+                       || ':17') % 1048576 < 262144
+""",
+        "simhash64": f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKS_SQL}) AS term
+              FROM documents),
+bits AS (
+  SELECT doc_id, r.b,
+         CASE WHEN (md5_number_lower(term) >> r.b) & 1 = 1
+              THEN 1 ELSE -1 END AS c
+  FROM toks, range(64) r(b)
+),
+charge AS (SELECT doc_id, b, sum(c) AS ch FROM bits
+           GROUP BY doc_id, b),
+v AS (SELECT doc_id,
+             sum(CASE WHEN ch > 0 THEN (1::HUGEINT << b)
+                      ELSE 0 END) AS sh
+      FROM charge GROUP BY doc_id)
+SELECT d.doc_id,
+       lower(lpad(to_hex(coalesce(v.sh, 0)::UBIGINT), 16, '0'))
+         AS simhash
+FROM documents d LEFT JOIN v USING (doc_id)
+""",
+        "minhash_pairs": f"""
+WITH toks AS ({toks_pos}),
+g AS (SELECT a.doc_id,
+             a.term || ' ' || b.term || ' ' || c.term AS gram
+      FROM toks a
+      JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+      JOIN toks c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2),
+gd AS (SELECT DISTINCT doc_id, gram FROM g),
+s AS (SELECT doc_id, count(*) AS n FROM gd GROUP BY doc_id),
+inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+          FROM gd x JOIN gd y
+            ON x.gram = y.gram AND x.doc_id < y.doc_id
+          GROUP BY x.doc_id, y.doc_id)
+SELECT a, b,
+       round(i::DOUBLE / (sa.n + sb.n - i), 6) AS jaccard
+FROM inter JOIN s sa ON sa.doc_id = a JOIN s sb ON sb.doc_id = b
+WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.8
+""",
+        "lang_id_counts": f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKS_SQL}) AS term
+              FROM documents),
+profiles(lang, term) AS (VALUES {_lang_profile_values()}),
+scores AS (SELECT t.doc_id, p.lang, count(*) AS score
+           FROM toks t JOIN profiles p ON t.term = p.term
+           GROUP BY t.doc_id, p.lang),
+best AS (SELECT doc_id, lang,
+                row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, lang) AS rn
+         FROM scores),
+pred AS (SELECT d.doc_id, coalesce(b.lang, 'und') AS lang_pred
+         FROM documents d
+         LEFT JOIN (SELECT doc_id, lang FROM best WHERE rn = 1) b
+           USING (doc_id))
+SELECT lang_pred, count(*) AS n_docs FROM pred GROUP BY lang_pred
 """,
         "dedup_exact": """
 SELECT min(doc_id) AS doc_id FROM documents GROUP BY text

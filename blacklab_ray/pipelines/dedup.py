@@ -385,8 +385,17 @@ def verify_jaccard_pairs(ds: ray.data.Dataset, pairs: ray.data.Dataset,
 
 # ---- SimHash ---------------------------------------------------------------
 
+def _md5_low64(s: str) -> int:
+    """Low 8 md5 bytes little-endian == DuckDB md5_number_lower."""
+    return int.from_bytes(hashlib.md5(s.encode()).digest()[8:16],
+                          "little")
+
+
 class SimHash64:
-    """map_batches actor: 64-bit SimHash of token unigrams."""
+    """map_batches actor: 64-bit SimHash of token unigrams.
+
+    Token hash = md5_low64 (== DuckDB's md5_number_lower), so the whole
+    fingerprint is SQL-reproducible bit-for-bit."""
 
     def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
         self._text = text_col
@@ -396,10 +405,7 @@ class SimHash64:
     def simhash(self, toks: list[str]) -> int:
         if not toks:
             return 0
-        hs = np.array(
-            [int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8)
-                            .digest(), "big") for t in toks],
-            dtype=np.uint64)
+        hs = np.array([_md5_low64(t) for t in toks], dtype=np.uint64)
         bits = ((hs[:, None] >> self._bit_cols[None, :])
                 & np.uint64(1)).astype(np.int64)
         charge = (2 * bits - 1).sum(axis=0)
@@ -422,10 +428,8 @@ class SimHash64:
         if len(toks):
             d = pc.dictionary_encode(toks)
             uniq = d.dictionary.to_pylist()
-            uh = np.fromiter(
-                (int.from_bytes(hashlib.blake2b(u.encode(), digest_size=8)
-                                .digest(), "big") for u in uniq),
-                dtype=np.uint64, count=len(uniq))
+            uh = np.fromiter((_md5_low64(u) for u in uniq),
+                             dtype=np.uint64, count=len(uniq))
             hs = uh[d.indices.to_numpy(zero_copy_only=False)]
             nz = np.flatnonzero(doc_lens > 0)
             offsets = np.zeros(n_docs, dtype=np.int64)

@@ -223,11 +223,21 @@ def facets(ds: ray.data.Dataset, term: str, group_cols: list[str],
     return out
 
 
+def md5_low64(s: str) -> int:
+    """Low 8 bytes of md5, little-endian — EXACTLY DuckDB's
+    md5_number_lower, so seeded sampling and simhash are
+    SQL-reproducible (the oracle requirement)."""
+    import hashlib
+    return int.from_bytes(hashlib.md5(s.encode()).digest()[8:16],
+                          "little")
+
+
 class HashSampleHits:
     """Deterministic seeded hit sampling: keep a hit iff
-    blake2b(doc_id:pos:seed) mod 2^20 < frac * 2^20. Partition-order
+    md5_low64(doc_id:pos:seed) mod 2^20 < frac * 2^20. Partition-order
     independent (the determinism BlackLab's seeded Random sampling has
-    per-index but not per-layout; SampleParameters.java:9)."""
+    per-index but not per-layout; SampleParameters.java:9), and
+    DuckDB-replicable via md5_number_lower."""
 
     def __init__(self, term: str, frac: float, seed: int = 17,
                  id_col: str = "doc_id", text_col: str = "text"):
@@ -236,14 +246,11 @@ class HashSampleHits:
         self._seed = seed
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        import hashlib
         t = self._inner(batch)
         thresh = int(self._frac * (1 << 20))
-        keep = []
-        for d, p in zip(t["doc_id"].to_pylist(), t["pos"].to_pylist()):
-            h = hashlib.blake2b(f"{d}:{p}:{self._seed}".encode(),
-                                digest_size=4).digest()
-            keep.append(int.from_bytes(h, "big") % (1 << 20) < thresh)
+        keep = [md5_low64(f"{d}:{p}:{self._seed}") % (1 << 20) < thresh
+                for d, p in zip(t["doc_id"].to_pylist(),
+                                t["pos"].to_pylist())]
         return t.filter(pa.array(keep))
 
 

@@ -80,7 +80,8 @@ def test_oracle_keys_subset(entry_mod):
     "facets_spark", "hits_sorted", "docs_by_lang", "docs_filter",
     "seq_gap_docs", "cql_docs", "bm25_andnot", "cql_not_docs",
     "cql_rep_docs", "cql_alt_docs", "cql_capture_docs",
-    "bm25_sensitive",
+    "bm25_sensitive", "sample_hits_spark", "simhash64", "minhash_pairs",
+    "lang_id_counts",
 ])
 def test_query_matches_oracle(entry_mod, con, name):
     ray_df = _norm(_to_pandas(entry_mod.queries()[name](SF_DIR)))
@@ -93,9 +94,7 @@ def test_query_matches_oracle(entry_mod, con, name):
 
 
 @pytest.mark.parametrize("name", [
-    "minhash_pairs", "simhash64", "lang_id_counts", "ann_lsh_topk",
-    "ann_ivf_topk",
-    "media_features",
+    "ann_lsh_topk", "ann_ivf_topk", "media_features",
 ])
 def test_rows_only_queries_run(entry_mod, name):
     df = _to_pandas(entry_mod.queries()[name](SF_DIR))
