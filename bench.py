@@ -183,6 +183,17 @@ def run_bench(num_cpus: int) -> dict:
     timings["service_qps"] = round(len(queries) / svc_wall, 1)
     svc.shutdown()
 
+    # ---- bucket-sharded scatter-gather serving (ROADMAP 7) -------------
+    from blacklab_ray.query.service import ShardedQueryService
+    ssvc = ShardedQueryService(idx_dir, n_shards=min(8, num_cpus))
+    ssvc.search_many(queries[:4])  # warm shard actors + term memos
+    t0 = time.perf_counter()
+    ssvc.search_many(queries)
+    s_wall = time.perf_counter() - t0
+    timings["service_sharded_batch_sec"] = round(s_wall, 3)
+    timings["service_sharded_qps"] = round(len(queries) / s_wall, 1)
+    ssvc.shutdown()
+
     # ---- analytics + training-data pipelines over sf tables ------------
     from blacklab_ray.pipelines import ann, dedup, frequency, windows
 

@@ -230,3 +230,30 @@ def test_ivf_topk_recall(ray_session):
     full = ann.ivf_topk(ds, qids, qmat, k=5, n_cells=8,
                         nprobe=8).to_pandas()
     assert full.neighbor_id.tolist() == exact.neighbor_id.tolist()
+
+
+def test_sharded_query_service(ray_session, small_index):
+    """Bucket-sharded scatter-gather returns the exact search_taat
+    results (every term's postings are shard-local)."""
+    from blacklab_ray.query import IndexReader, search_taat
+    from blacklab_ray.query.service import ShardedQueryService
+    svc = ShardedQueryService(small_index, n_shards=2)
+    reader = IndexReader(small_index)
+    try:
+        for terms, mode in [(["the", "of"], "or"),
+                            (["the", "w000010"], "or"),
+                            (["the", "of", "and"], "and"),
+                            (["zz_nohit"], "or")]:
+            got = svc.search(terms, k=15, mode=mode)["rows"]
+            exp = search_taat(reader, terms, k=15, mode=mode)
+            assert [r["doc_id"] for r in got] == \
+                exp["doc_id"].to_pylist()
+            for g, s in zip(got, exp["score"].to_pylist()):
+                assert abs(g["score"] - s) < 1e-12
+        # per-shard vocabulary really is a slice, not a replica
+        import ray as _ray
+        sizes = _ray.get([a.term_partials.remote(["the"])
+                          for a in svc._actors])
+        assert sum("the" in d for d in sizes) == 1  # exactly one shard
+    finally:
+        svc.shutdown()
