@@ -529,8 +529,8 @@ def phrase_search(reader: IndexReader, phrase: list[str], k: int = 10,
 
 
 def _norms_for(reader: IndexReader, doc_ids: np.ndarray) -> np.ndarray:
-    from blacklab_ray.codec.smallfloat import encode_lengths
-    return encode_lengths(reader.doc_lens(doc_ids))
+    # gather from the fwd norm column — no full doc-table load
+    return reader.norms_for(doc_ids)
 
 
 # ---- multi-term expansion (regex / wildcard / prefix / fuzzy) -------------

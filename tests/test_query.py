@@ -220,3 +220,20 @@ def test_find_hits_clamp(ray_session):
     ds = ray.data.from_arrow(tbl)
     assert find_hits(ds, "spark").count() == 300
     assert find_hits(ds, "spark", max_hits=7).count() == 7
+
+
+def test_quantized_paths_avoid_doc_table(ray_session, small_index):
+    """VERDICT r1 #7: quantized phrase/sequence/url paths must not
+    materialize the full doc table (query-actor OOM at corpus scale)."""
+    from blacklab_ray.query import IndexReader, phrase_search, search
+    r = IndexReader(small_index)
+    res = phrase_search(r, ["the", "of"], k=5)
+    assert r._docs is None, "phrase_search loaded the full doc table"
+    t = search(r, ["the"], 5, resolve_urls=True)
+    assert r._docs is None, "url resolution loaded the full doc table"
+    assert all(u.startswith("https://") for u in t["url"].to_pylist())
+    # norms gathered == norms computed from doc lengths
+    import numpy as np
+    from blacklab_ray.codec.smallfloat import encode_lengths
+    ids = t["doc_id"].to_numpy()
+    assert (r.norms_for(ids) == encode_lengths(r.doc_lens(ids))).all()
