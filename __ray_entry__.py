@@ -218,6 +218,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return t.to_pandas().rename(columns={"left": "lctx",
                                              "right": "rctx"})
 
+    def q_hits_ctx_sorted(sf):
+        """Sort hits by right-context words (faq.md:85's operation),
+        first 50 — context-sort via the kwic table."""
+        t = hits.sort_hits_by_context(_docs_ds(sf), HIT_TERM,
+                                      side="right", context=2, limit=50)
+        df = t.to_pandas()[["doc_id", "pos", "right"]]
+        return df.rename(columns={"right": "rctx"})
+
     def q_facets(sf):
         return hits.facets(_docs_ds(sf), HIT_TERM, ["lang", "source"])
 
@@ -473,6 +481,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_by_lang": q_docs_by_lang,
         "docs_filter": q_docs_filter,
         "facets_spark": q_facets,
+        "hits_ctx_sorted": q_hits_ctx_sorted,
         "sample_hits_spark": q_sample_hits,
         "term_stats": q_term_stats,
         "doc_stats": q_doc_stats,
@@ -758,15 +767,26 @@ JOIN toks t ON t.doc_id = h.doc_id
   AND t.pos != h.pos AND t.term != '{HIT_TERM}'
 GROUP BY t.term
 """,
+        "hits_ctx_sorted": f"""
+WITH tl AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+toks AS (SELECT doc_id, unnest(toks) AS term,
+                unnest(range(len(toks))) AS pos FROM tl)
+SELECT t.doc_id, t.pos,
+       coalesce(array_to_string(
+           list_slice(tl.toks, t.pos + 2, t.pos + 3), ' '), '') AS rctx
+FROM toks t JOIN tl ON t.doc_id = tl.doc_id
+WHERE t.term = '{HIT_TERM}'
+ORDER BY rctx, t.doc_id, t.pos LIMIT 50
+""",
         "kwic_spark": f"""
 WITH tl AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
 toks AS (SELECT doc_id, unnest(toks) AS term,
                 unnest(range(len(toks))) AS pos FROM tl)
 SELECT t.doc_id, t.pos,
-       array_to_string(list_slice(tl.toks, greatest(t.pos - 1, 1),
-                                  t.pos), ' ') AS lctx,
-       array_to_string(list_slice(tl.toks, t.pos + 2, t.pos + 3), ' ')
-           AS rctx
+       coalesce(array_to_string(list_slice(tl.toks, greatest(t.pos - 1, 1),
+                                  t.pos), ' '), '') AS lctx,
+       coalesce(array_to_string(
+           list_slice(tl.toks, t.pos + 2, t.pos + 3), ' '), '') AS rctx
 FROM toks t JOIN tl ON t.doc_id = tl.doc_id
 WHERE t.term = '{HIT_TERM}'
 ORDER BY t.doc_id, t.pos LIMIT {TOPK}

@@ -4,7 +4,8 @@ Mirrors the reference's CLI surface (tools/src/main/java/nl/inl/blacklab/
 tools/IndexTool.java:44 — {create|add|delete} index input format — and
 FrequencyTool.java:55) as subcommands over the Ray engine:
 
-    python -m blacklab_ray.cli build  --input DIR --index DIR [--extract-html]
+    python -m blacklab_ray.cli build  --input DIR --index DIR
+                                      [--extract-html] [--format FMT]
     python -m blacklab_ray.cli search --index DIR --terms a,b --mode or -k 10
     python -m blacklab_ray.cli phrase --index DIR --terms a,b -k 10
     python -m blacklab_ray.cli freq   --input DIR --group-by lang --out DIR
@@ -33,12 +34,20 @@ def _ray_session():
 def cmd_build(args) -> int:
     _ray_session()
     from blacklab_ray.index import BuildParams, build_index
+    source = args.input
+    id_column = args.id_column
+    if args.format not in ("webtext-html", "webtext-text"):
+        # non-parquet formats read through the registry into the
+        # canonical pages schema (url becomes the pid)
+        from blacklab_ray.formats import read_pages
+        source = read_pages(args.format, args.input)
+        id_column = "url"
     man = build_index(
-        args.input, args.index,
+        source, args.index,
         BuildParams(num_buckets=args.buckets, n_salts=args.salts,
                     extract_html=args.extract_html,
                     trust_text=not args.extract_html,
-                    id_column=args.id_column),
+                    id_column=id_column),
         resume=not args.no_resume)
     print(json.dumps({k: {kk: vv for kk, vv in v.items()
                           if kk in ("seconds", "n_docs", "total_tokens")}
@@ -112,6 +121,8 @@ def main(argv=None) -> int:
     b.add_argument("--buckets", type=int, default=32)
     b.add_argument("--salts", type=int, default=8)
     b.add_argument("--extract-html", action="store_true")
+    b.add_argument("--format", default="webtext-text",
+                   help="input format (see blacklab_ray.formats)")
     b.add_argument("--id-column", default="url")
     b.add_argument("--no-resume", action="store_true")
     b.set_defaults(fn=cmd_build)

@@ -1,0 +1,116 @@
+"""Input-format registry (DocumentFormats analogue).
+
+BlackLab resolves a format id to a DocIndexer via a registry
+(engine/src/main/java/nl/inl/blacklab/index/DocumentFormats.java:19);
+here a format name resolves to a reader producing the canonical pages
+schema ``(url, warc_ts, html, text, lang)`` as a ``ray.data.Dataset``:
+
+- ``webtext-html``  — pages Parquet carrying raw ``html``; text is
+  extracted by the build's HtmlExtractor stage (DocIndexerXPath
+  analogue, the round-1 format).
+- ``webtext-text``  — pages Parquet with a trusted ``text`` column.
+- ``plaintext``     — one document per file
+  (DocIndexerPlainText.java:27): url = file path, text = file body.
+- ``tabular-tsv`` / ``tabular-csv`` — word-per-line token streams
+  (DocIndexerTabular.java:37) with explicit ``(url, pos, word[, lang])``
+  columns; rows group by url, sort by pos, and join into the document
+  text. The groupby is the one wide step — shuffle key = url, exactly
+  one group per document (scale-safe: group size = document length).
+
+``register_format`` is the user-extension slot (SURVEY §2.12).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import pyarrow as pa
+import ray.data
+
+PAGES_SCHEMA_COLUMNS = ["url", "warc_ts", "html", "text", "lang"]
+
+_FORMATS: dict[str, Callable[..., ray.data.Dataset]] = {}
+
+
+def register_format(name: str,
+                    reader: Callable[..., ray.data.Dataset]) -> None:
+    """Register a format reader: fn(paths, **opts) -> pages Dataset."""
+    _FORMATS[name] = reader
+
+
+def formats() -> list[str]:
+    return sorted(_FORMATS)
+
+
+def read_pages(fmt: str, paths, **opts) -> ray.data.Dataset:
+    if fmt not in _FORMATS:
+        raise ValueError(
+            f"unknown input format {fmt!r}; registered: {formats()}")
+    return _FORMATS[fmt](paths, **opts)
+
+
+# ---------------------------------------------------------------------------
+# built-in formats
+# ---------------------------------------------------------------------------
+
+def _read_webtext(paths, **opts) -> ray.data.Dataset:
+    return ray.data.read_parquet(paths, **opts)
+
+
+def _read_plaintext(paths, encoding: str = "utf-8",
+                    **opts) -> ray.data.Dataset:
+    """One doc per file: url = path, text = decoded body."""
+    ds = ray.data.read_binary_files(paths, include_paths=True, **opts)
+
+    def to_pages(batch: pa.Table) -> pa.Table:
+        bodies = batch.column("bytes").to_pylist()
+        texts = [b.decode(encoding, errors="replace") for b in bodies]
+        n = batch.num_rows
+        return pa.table({
+            "url": batch.column("path").cast(pa.string()),
+            "warc_ts": pa.nulls(n, pa.timestamp("us")),
+            "html": pa.array(bodies, pa.binary()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.nulls(n, pa.string()),
+        })
+
+    return ds.map_batches(to_pages, batch_format="pyarrow")
+
+
+def _read_tabular(paths, delimiter: str = "\t",
+                  **opts) -> ray.data.Dataset:
+    """Word-per-line rows (url, pos, word[, lang]) → one page per url."""
+    from pyarrow import csv as pa_csv
+    ds = ray.data.read_csv(
+        paths,
+        parse_options=pa_csv.ParseOptions(delimiter=delimiter),
+        **opts)
+
+    def to_page(group: pa.Table) -> pa.Table:
+        import numpy as np
+        pos = group.column("pos").to_numpy(zero_copy_only=False)
+        order = np.argsort(pos, kind="stable")
+        words = np.asarray(group.column("word").to_pylist(),
+                           dtype=object)[order]
+        text = " ".join(str(w) for w in words)
+        lang = (group.column("lang")[0].as_py()
+                if "lang" in group.column_names else None)
+        return pa.table({
+            "url": pa.array([group.column("url")[0].as_py()],
+                            pa.string()),
+            "warc_ts": pa.nulls(1, pa.timestamp("us")),
+            "html": pa.array([text.encode()], pa.binary()),
+            "text": pa.array([text], pa.string()),
+            "lang": pa.array([lang], pa.string()),
+        })
+
+    return ds.groupby("url").map_groups(to_page, batch_format="pyarrow")
+
+
+register_format("webtext-html", _read_webtext)
+register_format("webtext-text", _read_webtext)
+register_format("plaintext", _read_plaintext)
+register_format("tabular-tsv", _read_tabular)
+register_format("tabular-csv",
+                lambda paths, **o: _read_tabular(paths, delimiter=",",
+                                                 **o))

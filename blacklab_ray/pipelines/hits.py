@@ -199,6 +199,35 @@ def kwic(ds: ray.data.Dataset, term: str, context: int = 2,
     return out.limit(limit) if limit else out
 
 
+def sort_hits_by_context(ds: ray.data.Dataset, term: str,
+                         side: str = "right", context: int = 2,
+                         limit: int | None = None,
+                         id_col: str = "doc_id",
+                         text_col: str = "text") -> ray.data.Dataset:
+    """Sort hits by their context WORDS (the faq.md:85 'sort 100K hits
+    by right context' operation; BlackLab uses collator term ranks,
+    Terms.java:69-95 — our analyzer lowercases, so plain string order
+    IS the insensitive collation). ``side="left"`` sorts by the words
+    nearest the hit first, i.e. the reversed left context — the
+    concordance convention."""
+    out = ds.map_batches(KwicBuilder(term, context, id_col, text_col),
+                         batch_format="pyarrow")
+    if side == "left":
+        def rev(batch: pa.Table) -> pa.Table:
+            key = pa.array([" ".join(reversed(v.split(" "))) if v else ""
+                            for v in batch["left"].to_pylist()],
+                           pa.string())
+            return batch.append_column("sort_key", key)
+        out = out.map_batches(rev, batch_format="pyarrow")
+        out = out.sort(["sort_key", "doc_id", "pos"]) \
+            .drop_columns(["sort_key"])
+    elif side == "right":
+        out = out.sort(["right", "doc_id", "pos"])
+    else:
+        raise ValueError(f"side must be left|right, got {side!r}")
+    return out.limit(limit) if limit else out
+
+
 def facets(ds: ray.data.Dataset, term: str, group_cols: list[str],
            id_col: str = "doc_id",
            text_col: str = "text") -> ray.data.Dataset:

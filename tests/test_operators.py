@@ -257,3 +257,28 @@ def test_sharded_query_service(ray_session, small_index):
         assert sum("the" in d for d in sizes) == 1  # exactly one shard
     finally:
         svc.shutdown()
+
+
+def test_sort_hits_by_context(ray_session):
+    """Context sort (faq.md:85): right side by following words; left
+    side by nearest-preceding-word-first (concordance convention)."""
+    import pyarrow as pa
+    import ray.data
+
+    from blacklab_ray.pipelines.hits import sort_hits_by_context
+    texts = ["x zeta alpha", "a x beta q", "m n x", "x alpha zeta"]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(4), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }))
+    right = sort_hits_by_context(ds, "x", side="right", context=2) \
+        .to_pandas()
+    # rctx values: doc0 'zeta alpha', doc1 'beta q', doc2 '', doc3 'alpha zeta'
+    assert right["right"].tolist() == ["", "alpha zeta", "beta q",
+                                       "zeta alpha"]
+    left = sort_hits_by_context(ds, "x", side="left", context=2) \
+        .to_pandas()
+    # reversed-left keys: doc0 '', doc1 'a', doc2 'n m', doc3 ''
+    assert left["doc_id"].tolist() == [0, 3, 1, 2]
+    with pytest.raises(ValueError):
+        sort_hits_by_context(ds, "x", side="middle")
