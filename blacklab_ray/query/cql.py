@@ -21,6 +21,11 @@ CorpusQueryLanguageParser.java:12). Supported subset:
   ("a"|"b")                   single-position alternation group
   A:"x" / A:[word="re"]       capture groups: hit rows gain a {A}_pos
                               column (SpanQueryCaptureGroup.java:18)
+  "Xyz"%c / [word="Xyz"]%c    case-SENSITIVE position: matched against
+                              the @s annotation's postings
+                              (TextPatternSensitive / MatchSensitivity
+                              routing; index must be built with
+                              BuildParams.sensitive=True)
   ... :: A.word = B.word      global constraints comparing captured
                               tokens via the forward index
                               (SpansConstrained.java:15); & to combine,
@@ -59,6 +64,7 @@ _TOKEN_RE = re.compile(r"""
     | (?P<tag><\s*(?P<tagname>\w+)\s*/\s*>)
     | (?P<word>within|containing)
     | (?P<capture>(?P<capname>[A-Za-z_]\w*)\s*:)
+    | (?P<flag>%\s*c)
     | (?P<pipe>\|)
     | (?P<lparen>\()
     | (?P<rparen>\))
@@ -74,6 +80,7 @@ class SeqPos:
     negate: bool = False  # [word != "..."] complement position
     alts: tuple[str, ...] = ()   # additional ("a"|"b") alternatives
     capture: str | None = None   # A:[...] capture-group label
+    sensitivity: str = "i"       # "%c" flag → match the @s annotation
 
 
 @dataclass
@@ -169,6 +176,8 @@ def _tokenize(q: str) -> list[tuple[str, object]]:
             items.append(("op", m.group("word")))
         elif m.group("capture") is not None:
             items.append(("cap", m.group("capname")))
+        elif m.group("flag") is not None:
+            items.append(("flag", "c"))
         elif m.group("pipe") is not None:
             items.append(("pipe", None))
         elif m.group("lparen") is not None:
@@ -297,14 +306,20 @@ def _build_seq_variants(items: list) -> list[SeqPlan]:
         if kind in ("term", "nterm", "alt"):
             patterns = list(val) if kind == "alt" else [str(val)]
             rep = (1, 1)
-            if i + 1 < len(items) and items[i + 1][0] == "rep":
-                rep = items[i + 1][1]
+            sens = "i"
+            # %c and {n,m} may follow the position in either order
+            while i + 1 < len(items) and items[i + 1][0] in ("rep",
+                                                             "flag"):
+                if items[i + 1][0] == "rep":
+                    rep = items[i + 1][1]
+                else:
+                    sens = "s"
                 i += 1
             if pending_cap is not None and rep != (1, 1):
                 raise ValueError(
                     "captured positions cannot repeat (out of subset)")
             structs.append(("pos", patterns, kind == "nterm", rep,
-                            pending_cap))
+                            pending_cap, sens))
             pending_cap = None
         elif kind == "any":
             lo, hi = 1, 1
@@ -315,8 +330,8 @@ def _build_seq_variants(items: list) -> list[SeqPlan]:
                 raise ValueError(
                     "leading any-token is out of subset (no anchor)")
             structs.append(("any", (lo, hi)))
-        elif kind == "rep":
-            raise ValueError("repetition without a preceding item")
+        elif kind in ("rep", "flag"):
+            raise ValueError(f"{kind} without a preceding position")
         else:
             raise ValueError(f"unexpected {kind}")
         i += 1
@@ -344,7 +359,7 @@ def _build_seq_variants(items: list) -> list[SeqPlan]:
                 g = pending or (0, 0)
                 pending = (g[0] + lo, g[1] + hi)
                 continue
-            _, patterns, negate, _, cap = s
+            _, patterns, negate, _, cap, sens = s
             count = combo[ci]
             ci += 1
             for _ in range(count):
@@ -356,7 +371,8 @@ def _build_seq_variants(items: list) -> list[SeqPlan]:
                     literal=not _is_regex(patterns[0]),
                     negate=negate,
                     alts=tuple(patterns[1:]),
-                    capture=cap))
+                    capture=cap,
+                    sensitivity=sens))
         if pending is not None:
             raise ValueError(
                 "trailing any-token is out of subset (no anchor)")
@@ -376,10 +392,11 @@ def _expand_position(reader, p: SeqPos, max_terms: int = 1024) -> list[str]:
     out: set[str] = set()
     for pat in (p.pattern, *p.alts):
         if not _is_regex(pat):
-            if reader.term_stats([pat]):
+            if reader.term_stats([pat], p.sensitivity):
                 out.add(pat)
         else:
-            matched = expand_terms(reader, pat, "regex", max_terms)
+            matched = expand_terms(reader, pat, "regex", max_terms,
+                                   sensitivity=p.sensitivity)
             if len(matched) >= max_terms:
                 # silent truncation would return wrong (incomplete)
                 # spans — refuse like BlackLab's too-many-terms error
@@ -464,7 +481,9 @@ def cql_spans_seq(reader, plan: SeqPlan) -> pa.Table:
                 cols[f"{c}_pos"] = pa.array([], pa.int64())
         return pa.table(cols)
     return sequence_spans_multi(reader, term_sets, plan.gaps,
-                                negates=negates, captures=captures)
+                                negates=negates, captures=captures,
+                                annots=[p.sensitivity
+                                        for p in plan.positions])
 
 
 def search_cql(reader, q: str, k: int = 10, quantize: bool = True,

@@ -439,8 +439,8 @@ def _docs_within(segs: list[Segment], cand: np.ndarray) -> np.ndarray:
 
 def candidate_intersection(reader: IndexReader,
                            term_groups: list[list[str]],
-                           segs: dict[str, list[Segment]],
-                           stats: dict[str, tuple[int, int]]
+                           segs: dict[str, list[Segment]] | list[dict],
+                           stats: dict[str, tuple[int, int]] | list[dict]
                            ) -> np.ndarray:
     """Sorted doc ids containing >= 1 term of EVERY group.
 
@@ -448,22 +448,31 @@ def candidate_intersection(reader: IndexReader,
     is decoded in full; every later group only decodes blocks that can
     contain a surviving candidate. For `"the" "w000123"`-style phrases
     this decodes a handful of stopword blocks instead of the entire
-    stopword posting list (SpansSequenceSimple via skip-pruned DAAT)."""
-    def group_df(g: list[str]) -> int:
-        return sum(stats.get(t, (0, 0))[0] for t in g)
+    stopword posting list (SpansSequenceSimple via skip-pruned DAAT).
 
-    order = sorted(range(len(term_groups)),
-                   key=lambda i: group_df(term_groups[i]))
+    ``segs``/``stats`` may be single dicts shared by all groups, or
+    parallel per-group lists (multi-annotation positions: each group
+    resolves against its own annotation's partitions)."""
+    n = len(term_groups)
+    segs_list = segs if isinstance(segs, list) else [segs] * n
+    stats_list = stats if isinstance(stats, list) else [stats] * n
+
+    def group_df(i: int) -> int:
+        return sum(stats_list[i].get(t, (0, 0))[0]
+                   for t in term_groups[i])
+
+    order = sorted(range(n), key=group_df)
     cand: np.ndarray | None = None
     for gi in order:
         group = term_groups[gi]
+        gsegs = segs_list[gi]
         if cand is None:
-            parts = [s.decode_all()[0] for t in group for s in segs[t]]
+            parts = [s.decode_all()[0] for t in group for s in gsegs[t]]
             docs = np.unique(np.concatenate(parts)) if parts \
                 else np.empty(0, np.int64)
             cand = docs
         else:
-            found = [_docs_within(segs[t], cand) for t in group]
+            found = [_docs_within(gsegs[t], cand) for t in group]
             docs = np.unique(np.concatenate(found)) if found \
                 else np.empty(0, np.int64)
             cand = cand[np.isin(cand, docs, assume_unique=True)]
@@ -554,7 +563,8 @@ def _levenshtein_leq(a: str, b: str, max_d: int) -> bool:
 
 
 def expand_terms(reader: IndexReader, pattern: str, kind: str = "regex",
-                 max_terms: int = 1024, max_edits: int = 1) -> list[str]:
+                 max_terms: int = 1024, max_edits: int = 1,
+                 sensitivity: str = "i") -> list[str]:
     """Expand a term pattern over the term dictionary.
 
     The analogue of BlackLab's multi-term query wrapping
@@ -565,7 +575,8 @@ def expand_terms(reader: IndexReader, pattern: str, kind: str = "regex",
     ``max_terms`` (truncation surfaced by result length == max_terms).
     """
     import pyarrow.compute as _pc
-    col = reader.terms_table["term"]
+    col = (reader.terms_table if sensitivity == "i"
+           else reader.terms_table_sensitive)["term"]
     if kind == "prefix":
         mask = _pc.starts_with(col, pattern)
     elif kind == "wildcard":

@@ -242,8 +242,8 @@ def sequence_spans(reader, terms: list[str],
 def sequence_spans_multi(reader, term_sets: list[list[str]],
                          gaps: list[tuple[int, int]] | None = None,
                          negates: list[bool] | None = None,
-                         captures: list[str | None] | None = None
-                         ) -> pa.Table:
+                         captures: list[str | None] | None = None,
+                         annots: list[str] | None = None) -> pa.Table:
     """Sequence spans where each position matches ANY of a term set
     (multi-term positions — the lowering target for CQL regex/bracket
     positions). Positional union per doc; otherwise identical join
@@ -266,21 +266,31 @@ def sequence_spans_multi(reader, term_sets: list[list[str]],
     negates = negates or [False] * len(term_sets)
     if len(negates) != len(term_sets):
         raise ValueError("need one negate flag per position")
-    all_terms = sorted({t for ts in term_sets for t in ts})
-    stats = reader.term_stats(all_terms)
-    live_sets = [[t for t in ts if t in stats] for ts in term_sets]
+    annots = annots or ["i"] * len(term_sets)
+    if len(annots) != len(term_sets):
+        raise ValueError("need one annotation per position")
+    # per-position stats + segments, each against its own annotation's
+    # partitions (the contents%word@i / @s routing per position)
+    stats_list = [reader.term_stats(ts, a)
+                  for ts, a in zip(term_sets, annots)]
+    live_sets = [[t for t in ts if t in st]
+                 for ts, st in zip(term_sets, stats_list)]
     if any(not ts and not neg
            for ts, neg in zip(live_sets, negates)):
         return SPAN_SCHEMA.empty_table()
-    segs = reader.segments(sorted({t for ts in live_sets for t in ts}))
+    segs_list = [reader.segments(ts, a)
+                 for ts, a in zip(live_sets, annots)]
 
     # candidate docs: rarest-first skip-pruned intersection over the
     # positive positions (union within each position's term set);
     # negated positions don't constrain the doc set
     from blacklab_ray.query.engine import candidate_intersection
-    pos_groups = [ts for ts, neg in zip(live_sets, negates) if not neg]
-    if pos_groups:
-        cand = candidate_intersection(reader, pos_groups, segs, stats)
+    pos_idx = [i for i, neg in enumerate(negates) if not neg]
+    if pos_idx:
+        cand = candidate_intersection(
+            reader, [live_sets[i] for i in pos_idx],
+            [segs_list[i] for i in pos_idx],
+            [stats_list[i] for i in pos_idx])
     else:
         cand = np.sort(reader.all_doc_ids())   # all-negative query
     if cand.size == 0:
@@ -290,7 +300,7 @@ def sequence_spans_multi(reader, term_sets: list[list[str]],
     # per-position doc → sorted positions (union over the term set;
     # complement of the union for negated positions)
     pos_maps = []
-    for ts, neg in zip(live_sets, negates):
+    for ts, neg, segs in zip(live_sets, negates, segs_list):
         merged: dict[int, list] = {}
         for t in ts:
             for doc, ps in _positions_by_doc(segs[t], cand).items():

@@ -388,3 +388,46 @@ def test_constraint_errors(reader):
 def test_too_broad_pattern_rejected(reader):
     with pytest.raises(ValueError, match="expands to"):
         cql_spans(reader, '[word=".*"] "the"')
+
+
+def test_cql_sensitive_flag(ray_session, tmp_path):
+    """`"X"%c` routes a position to the @s annotation: case-sensitive
+    match inside an otherwise-insensitive sequence."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from blacklab_ray.index import BuildParams, build_index
+    from blacklab_ray.query import IndexReader
+    texts = ["The spark engine runs",
+             "the spark engine runs",
+             "THE spark engine stops"]
+    pages = pa.table({
+        "url": pa.array([f"u{i}" for i in range(3)], pa.string()),
+        "warc_ts": pa.array([0] * 3, pa.timestamp("us")),
+        "html": pa.array([t.encode() for t in texts], pa.binary()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * 3, pa.string()),
+    })
+    src = tmp_path / "p"
+    src.mkdir()
+    pq.write_table(pages, str(src / "x.parquet"))
+    idx = str(tmp_path / "idx")
+    build_index(str(src), idx,
+                BuildParams(num_buckets=2, n_salts=1, sensitive=True))
+    r = IndexReader(idx)
+    from blacklab_ray.stages.tokenize import hash64
+    ids = {f"u{i}": hash64(f"u{i}") for i in range(3)}
+    # insensitive: all three docs
+    all3 = cql_spans(r, '"the" "spark"')
+    assert set(all3["doc_id"].to_pylist()) == set(ids.values())
+    # sensitive first position: only the "The" doc
+    only_The = cql_spans(r, '"The"%c "spark"')
+    assert only_The["doc_id"].to_pylist() == [ids["u0"]]
+    only_THE = cql_spans(r, '"THE"%c "spark"')
+    assert only_THE["doc_id"].to_pylist() == [ids["u2"]]
+    # sensitive regex position
+    rx = cql_spans(r, '[word="TH.*"]%c "spark"')
+    assert rx["doc_id"].to_pylist() == [ids["u2"]]
+    # flag without a position errors
+    with pytest.raises(ValueError, match="flag without"):
+        parse_cql('%c "the"')
