@@ -366,6 +366,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     # ---- dedup / fingerprints ------------------------------------------
 
+    def q_jaccard_pairs(sf):
+        """Standalone EXACT n-gram-Jaccard near-dup pairs (distributed
+        block-pair join over hashed shingle signatures)."""
+        t = dedup.jaccard_dup_pairs(_docs_ds(sf), threshold=0.8)
+        return _round_cols(t.to_pandas(), {"jaccard": 6})
+
+    def q_docs_window(sf):
+        """DocResults.window analogue: docs sorted by (doc_len DESC,
+        doc_id), rows [10, 20)."""
+        from blacklab_ray.pipelines import docsops
+
+        def _with_len(batch: pa.Table) -> pa.Table:
+            from blacklab_ray.analysis.analyzers import tokenize_column
+            _, _, _, lens = tokenize_column(batch.column("text"))
+            return pa.table({
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "doc_len": pa.array(lens, pa.int64()),
+            })
+
+        ds = _docs_ds(sf).map_batches(_with_len, batch_format="pyarrow")
+        return docsops.docs_window(ds, ["doc_len", "doc_id"],
+                                   [True, False], 10, 10)
+
+    def q_docs_sample(sf):
+        """DocResults.sample analogue: deterministic seeded doc ids."""
+        from blacklab_ray.pipelines import docsops
+        return docsops.sample_docs(
+            _docs_ds(sf).select_columns(["doc_id"]), frac=0.3, seed=29)
+
     def q_dedup_exact(sf):
         return dedup.exact_dedup_keep_ids(_docs_ds(sf))
 
@@ -495,6 +524,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kwic_spark": q_kwic,
         "freq_by_lang": q_freq_by_lang,
         "dedup_exact": q_dedup_exact,
+        "jaccard_pairs": q_jaccard_pairs,
+        "docs_window": q_docs_window,
+        "docs_sample": q_docs_sample,
         "fingerprints": q_fingerprints,
         "minhash_pairs": q_minhash_pairs,
         "simhash64": q_simhash,
@@ -860,6 +892,37 @@ SELECT lang_pred, count(*) AS n_docs FROM pred GROUP BY lang_pred
 """,
         "dedup_exact": """
 SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
+""",
+        "jaccard_pairs": f"""
+WITH toks AS ({toks_pos}),
+g AS (SELECT a.doc_id,
+             a.term || ' ' || b.term || ' ' || c.term AS gram
+      FROM toks a
+      JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+      JOIN toks c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2),
+gd AS (SELECT DISTINCT doc_id, gram FROM g),
+s AS (SELECT doc_id, count(*) AS n FROM gd GROUP BY doc_id),
+inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+          FROM gd x JOIN gd y
+            ON x.gram = y.gram AND x.doc_id < y.doc_id
+          GROUP BY x.doc_id, y.doc_id)
+SELECT a, b,
+       round(i::DOUBLE / (sa.n + sb.n - i), 6) AS jaccard
+FROM inter JOIN s sa ON sa.doc_id = a JOIN s sb ON sb.doc_id = b
+WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.8
+""",
+        "docs_window": f"""
+WITH toks AS ({toks}),
+dl AS (SELECT d.doc_id, count(t.term) AS doc_len
+       FROM documents d LEFT JOIN toks t ON d.doc_id = t.doc_id
+       GROUP BY d.doc_id)
+SELECT doc_id, doc_len FROM dl
+ORDER BY doc_len DESC, doc_id LIMIT 10 OFFSET 10
+""",
+        "docs_sample": """
+SELECT doc_id FROM documents
+WHERE md5_number_lower(doc_id::VARCHAR || ':29') % 1048576
+      < CAST(0.3 * 1048576 AS BIGINT)
 """,
         "fingerprints": f"""
 SELECT doc_id,

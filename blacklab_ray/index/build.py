@@ -66,6 +66,7 @@ class BuildParams:
     bucket_shards: int = 1           # sort-exchange checkpoint granularity
     exchange: str = "mapreduce"      # postings shuffle: mapreduce | sort
     paragraph_spans: bool = False    # store per-doc paragraph token counts
+    sentence_spans: bool = False     # store per-doc sentence token counts
     verify_doc_ids: bool = False     # post-fwd hash-collision audit
     sensitive: bool = False          # also index the @s (case-sensitive)
     #                                  annotation: postings_s/ + terms_s/
@@ -199,6 +200,7 @@ def build_index(source: str | list[str] | ray.data.Dataset, index_dir: str,
                     batch_format="pyarrow", batch_size=params.batch_size)
         tok_kwargs = {"id_column": params.id_column,
                       "paragraph_spans": params.paragraph_spans,
+                      "sentence_spans": params.sentence_spans,
                       "sensitive": params.sensitive}
         if params.tokenize_concurrency is not None:
             ds = ds.map_batches(

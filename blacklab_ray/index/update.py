@@ -57,7 +57,8 @@ def _inherit_layout(index_dir: str, params: BuildParams) -> BuildParams:
         with open(meta_p) as f:
             rec = json.load(f).get("params") or {}
         for k in ("num_buckets", "n_salts", "block_size",
-                  "max_seg_postings", "paragraph_spans", "id_column",
+                  "max_seg_postings", "paragraph_spans",
+                  "sentence_spans", "id_column",
                   "exchange", "sensitive"):
             if k in rec:
                 setattr(params, k, rec[k])
@@ -160,6 +161,7 @@ def add_documents(index_dir: str, source, params: BuildParams | None = None,
     ds = ds.map_batches(TokenizeForwardIndex(
         id_column=params.id_column,
         paragraph_spans=params.paragraph_spans,
+        sentence_spans=params.sentence_spans,
         sensitive=params.sensitive),
                         batch_format="pyarrow",
                         batch_size=params.batch_size)

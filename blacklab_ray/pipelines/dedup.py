@@ -383,6 +383,81 @@ def verify_jaccard_pairs(ds: ray.data.Dataset, pairs: ray.data.Dataset,
         [("a", "ascending"), ("b", "ascending")])
 
 
+def jaccard_dup_pairs(ds: ray.data.Dataset, threshold: float = 0.8,
+                      shingle_k: int = 3, text_col: str = "text",
+                      id_col: str = "doc_id",
+                      max_blocks: int = 32) -> pa.Table:
+    """EXACT n-gram-Jaccard near-dup pairs (a < b, jaccard >= threshold).
+
+    Distributed block-pair join over hashed-shingle SIGNATURES (the
+    same shape as ann.cosine_dup_pairs): each doc reduces to a sorted
+    int64 shingle-hash array inside ``map_batches`` (text never leaves
+    the task), signature blocks live in the object store, and
+    B(B+1)/2 tasks compare their block pair via sorted-array
+    intersections. Exact but inherently O(N^2) pairs — at 10^12 scale
+    use minhash_candidate_pairs + verify_jaccard_pairs (the banded-LSH
+    path with identical verification semantics)."""
+    import ray as _ray
+
+    def sigs(batch: pa.Table) -> pa.Table:
+        out = [_hashed_shingles(t, shingle_k)
+               for t in batch.column(text_col).to_pylist()]
+        return pa.table({
+            "doc_id": batch.column(id_col).cast(pa.int64()),
+            "shingles": pa.array([s.tolist() for s in out],
+                                 pa.list_(pa.int64())),
+        })
+
+    slim = ds.map_batches(sigs, batch_format="pyarrow").materialize()
+    refs = [r for r in slim.to_arrow_refs()]
+    if len(refs) > max_blocks:
+        slim = slim.repartition(max_blocks)
+        refs = [r for r in slim.to_arrow_refs()]
+
+    def _pairs(ta: pa.Table, tb: pa.Table | None) -> pa.Table:
+        ids_a = ta["doc_id"].to_numpy()
+        sh_a = [np.asarray(s, np.int64) for s in
+                ta["shingles"].to_pylist()]
+        if tb is None:
+            ids_b, sh_b = ids_a, sh_a
+        else:
+            ids_b = tb["doc_id"].to_numpy()
+            sh_b = [np.asarray(s, np.int64) for s in
+                    tb["shingles"].to_pylist()]
+        out_a, out_b, out_j = [], [], []
+        for i in range(len(sh_a)):
+            j0 = i + 1 if tb is None else 0
+            for j in range(j0, len(sh_b)):
+                sa, sb = sh_a[i], sh_b[j]
+                if not sa.size or not sb.size:
+                    continue
+                inter = np.intersect1d(sa, sb,
+                                       assume_unique=True).size
+                jac = inter / (sa.size + sb.size - inter)
+                if jac >= threshold:
+                    lo, hi = sorted((int(ids_a[i]), int(ids_b[j])))
+                    out_a.append(lo)
+                    out_b.append(hi)
+                    out_j.append(round(jac, 6))
+        return pa.table({"a": pa.array(out_a, pa.int64()),
+                         "b": pa.array(out_b, pa.int64()),
+                         "jaccard": pa.array(out_j, pa.float64())})
+
+    task = _ray.remote(_pairs)
+    futs = []
+    for i in range(len(refs)):
+        futs.append(task.remote(refs[i], None))
+        for j in range(i + 1, len(refs)):
+            futs.append(task.remote(refs[i], refs[j]))
+    parts = [t for t in _ray.get(futs) if t.num_rows]
+    if not parts:
+        return pa.table({"a": pa.array([], pa.int64()),
+                         "b": pa.array([], pa.int64()),
+                         "jaccard": pa.array([], pa.float64())})
+    return pa.concat_tables(parts).sort_by(
+        [("a", "ascending"), ("b", "ascending")])
+
+
 # ---- SimHash ---------------------------------------------------------------
 
 def _md5_low64(s: str) -> int:

@@ -426,10 +426,13 @@ def cql_spans(reader, q: str) -> pa.Table:
     if isinstance(plan, FilterPlan):
         prod = _plan_spans(reader, plan.producer)
         if isinstance(plan.filter, TagPlan):
-            if plan.filter.name != "p":
+            if plan.filter.name == "p":
+                filt = reader.paragraph_spans()
+            elif plan.filter.name == "s":
+                filt = reader.sentence_spans()
+            else:
                 raise ValueError(
                     f"unknown structural tag <{plan.filter.name}/>")
-            filt = reader.paragraph_spans()
         else:
             filt = _plan_spans(reader, plan.filter)
         out = spans_within(prod, filt) if plan.op == "within" \

@@ -241,12 +241,20 @@ class IndexReader:
         """Structural paragraph spans (doc_id, start, end) from the
         forward index (requires BuildParams.paragraph_spans=True) — the
         tags-span source (SpanQueryTags analogue) for tagless webtext."""
-        if getattr(self, "_para_spans", None) is not None:
-            return self._para_spans
+        return self._block_spans("para_lens", "_para_spans")
+
+    def sentence_spans(self) -> "pa.Table":
+        """Structural sentence spans (requires
+        BuildParams.sentence_spans=True) — the `<s/>` tag source."""
+        return self._block_spans("sent_lens", "_sent_spans")
+
+    def _block_spans(self, col: str, cache_attr: str) -> "pa.Table":
+        if getattr(self, cache_attr, None) is not None:
+            return getattr(self, cache_attr)
         from blacklab_ray.query.spans import span_table
         tbl = pq.read_table(os.path.join(self.index_dir, "fwd"),
-                            columns=["doc_id", "para_lens"])
-        lens_col = tbl["para_lens"].combine_chunks()
+                            columns=["doc_id", col])
+        lens_col = tbl[col].combine_chunks()
         flat = pc.list_flatten(lens_col).to_numpy(zero_copy_only=False) \
             .astype(np.int64)
         parents = pc.list_parent_indices(lens_col).to_numpy(
@@ -262,9 +270,9 @@ class IndexReader:
         ends = ends_global - run_base[run_id]
         starts = ends - flat
         keep = flat > 0
-        self._para_spans = span_table(doc_ids[keep], starts[keep],
-                                      ends[keep])
-        return self._para_spans
+        out = span_table(doc_ids[keep], starts[keep], ends[keep])
+        setattr(self, cache_attr, out)
+        return out
 
     def tokens_at(self, doc_ids: np.ndarray,
                   positions: np.ndarray) -> list[str | None]:

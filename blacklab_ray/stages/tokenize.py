@@ -66,21 +66,30 @@ class TokenizeForwardIndex:
 
     def __init__(self, id_column: str = "url",
                  paragraph_spans: bool = False,
+                 sentence_spans: bool = False,
                  sensitive: bool = False):
         self._id_column = id_column
         self._para = paragraph_spans
+        self._sent = sentence_spans
         self._sensitive = sensitive
 
     def _paragraph_lens(self, text_col: pa.Array | pa.ChunkedArray,
-                        n_docs: int) -> pa.ListArray:
-        """Token count per newline-separated block, as list<int32> per doc.
+                        n_docs: int,
+                        pattern: str | None = None) -> pa.ListArray:
+        """Token count per separator-delimited block, as list<int32> per
+        doc.
 
         Extracted text uses one '\\n' between blocks (extract.py), and
         '\\n' is a token separator, so per-block token counts tile the
         doc's token stream exactly — the structural spans BlackLab gets
         from inline tags (SpanQueryTags), recovered here for tagless
-        webtext."""
-        paras = pc.split_pattern(text_col, "\n")
+        webtext. With a regex ``pattern``, blocks split on separator
+        RUNS instead (sentence spans: '[.!?\\n]+' — all non-alnum, so
+        still token separators and the tiling holds)."""
+        if pattern is not None:
+            paras = pc.split_pattern_regex(text_col, pattern=pattern)
+        else:
+            paras = pc.split_pattern(text_col, "\n")
         flat = pc.list_flatten(paras)
         para_parents = pc.list_parent_indices(paras).to_numpy(
             zero_copy_only=False)
@@ -136,6 +145,9 @@ class TokenizeForwardIndex:
         if self._para:
             cols["para_lens"] = self._paragraph_lens(
                 batch.column("text"), n_docs)
+        if self._sent:
+            cols["sent_lens"] = self._paragraph_lens(
+                batch.column("text"), n_docs, pattern="[.!?\n]+")
         if "warc_ts" in batch.column_names:
             cols["warc_ts"] = batch.column("warc_ts")
         return pa.table(cols)

@@ -431,3 +431,40 @@ def test_cql_sensitive_flag(ray_session, tmp_path):
     # flag without a position errors
     with pytest.raises(ValueError, match="flag without"):
         parse_cql('%c "the"')
+
+
+def test_cql_within_sentence(ray_session, tmp_path):
+    """`X within <s/>`: sequences crossing a sentence boundary are
+    excluded (sentence spans from [.!?\\n]+ splits)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from blacklab_ray.index import BuildParams, build_index
+    from blacklab_ray.stages.tokenize import hash64
+    texts = [
+        "alpha beta. gamma delta",     # 'beta gamma' crosses sentences
+        "alpha beta gamma! delta",     # 'beta gamma' inside sentence 1
+        "what? beta gamma\ndelta",     # inside sentence 2 (newline ends it)
+    ]
+    pages = pa.table({
+        "url": pa.array([f"d{i}" for i in range(3)], pa.string()),
+        "warc_ts": pa.array([0] * 3, pa.timestamp("us")),
+        "html": pa.array([t.encode() for t in texts], pa.binary()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * 3, pa.string()),
+    })
+    src = tmp_path / "p"
+    src.mkdir()
+    pq.write_table(pages, str(src / "x.parquet"))
+    idx = str(tmp_path / "idx")
+    build_index(str(src), idx,
+                BuildParams(num_buckets=2, n_salts=1,
+                            sentence_spans=True))
+    from blacklab_ray.query import IndexReader
+    r = IndexReader(idx)
+    plain = cql_spans(r, '"beta" "gamma"')
+    filt = cql_spans(r, '"beta" "gamma" within <s/>')
+    assert set(plain["doc_id"].to_pylist()) == \
+        {hash64(f"d{i}") for i in range(3)}
+    assert sorted(filt["doc_id"].to_pylist()) == \
+        sorted([hash64("d1"), hash64("d2")])

@@ -81,7 +81,8 @@ def test_oracle_keys_subset(entry_mod):
     "seq_gap_docs", "cql_docs", "bm25_andnot", "cql_not_docs",
     "cql_rep_docs", "cql_alt_docs", "cql_capture_docs",
     "bm25_sensitive", "sample_hits_spark", "simhash64", "minhash_pairs",
-    "lang_id_counts", "hits_ctx_sorted",
+    "lang_id_counts", "hits_ctx_sorted", "jaccard_pairs", "docs_window",
+    "docs_sample",
 ])
 def test_query_matches_oracle(entry_mod, con, name):
     ray_df = _norm(_to_pandas(entry_mod.queries()[name](SF_DIR)))
