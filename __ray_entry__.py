@@ -274,6 +274,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         df = t.select(["doc_id", "span_tf"]).to_pandas()
         return df.sort_values("doc_id").reset_index(drop=True)
 
+    def q_contextql(sf):
+        """ContextQL (SRU) front-end: and/not chain lowered onto the
+        shared engine (ContextualQueryLanguageParser analogue)."""
+        from blacklab_ray.query.contextql import search_contextql
+        r = _index_for(sf)
+        t = search_contextql(r, 'word = "spark" and window not join',
+                             k=10**9).select(["doc_id", "score"])
+        return _round_cols(t.to_pandas(), {"score": 4})
+
     def q_bm25_sensitive(sf):
         """Case-SENSITIVE term match against the @s annotation's own
         posting partition (MatchSensitivity @s routing; df/idf from
@@ -501,6 +510,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cql_docs": q_cql,
         "bm25_andnot": q_bm25_andnot,
         "bm25_sensitive": q_bm25_sensitive,
+        "contextql_docs": q_contextql,
         "cql_not_docs": q_cql_not,
         "cql_rep_docs": q_cql_rep,
         "cql_alt_docs": q_cql_alt,
@@ -701,6 +711,8 @@ GROUP BY a.doc_id
                                  anti_terms=NEG_TERMS),
         "bm25_sensitive": _bm25_sql(["spark"], "or", None,
                                     toks_sql=_TOKS_SQL_S),
+        "contextql_docs": _bm25_sql(["spark", "window"], "and", None,
+                                    anti_terms=["join"]),
         "cql_rep_docs": f"""
 WITH toks AS ({toks_pos}),
 s1 AS (SELECT doc_id, pos AS s, pos + 1 AS e FROM toks

@@ -468,3 +468,30 @@ def test_cql_within_sentence(ray_session, tmp_path):
         {hash64(f"d{i}") for i in range(3)}
     assert sorted(filt["doc_id"].to_pylist()) == \
         sorted([hash64("d1"), hash64("d2")])
+
+
+def test_contextql(reader, small_oracle):
+    """SRU ContextQL front-end lowers onto the shared engine."""
+    from blacklab_ray.query.contextql import (
+        parse_contextql, search_contextql,
+    )
+    from blacklab_ray.query.engine import (
+        search_andnot, search_taat, sequence_search,
+    )
+    p = parse_contextql('word = "the" and of not w000010')
+    assert p == {"op": "and", "terms": ["the", "of"],
+                 "neg_terms": ["w000010"], "distance": None}
+    a = search_contextql(reader, '"the" or "of"', k=15)
+    b = search_taat(reader, ["the", "of"], k=15)
+    assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist()
+    c = search_contextql(reader, 'the and of not w000010', k=15)
+    d = search_andnot(reader, ["the", "of"], ["w000010"], k=15,
+                      mode="and")
+    assert c["doc_id"].to_pylist() == d["doc_id"].to_pylist()
+    e = search_contextql(reader, 'the prox/distance=2 of', k=15)
+    f = sequence_search(reader, ["the", "of"], gaps=[(0, 1)], k=15)
+    assert e["doc_id"].to_pylist() == f["doc_id"].to_pylist()
+    for bad in ("the and of or x", "the not", "prox the",
+                "lemma = \"x\"", "the prox/distance=2 of and x"):
+        with pytest.raises(ValueError):
+            parse_contextql(bad)
