@@ -60,8 +60,15 @@ def cmd_search(args) -> int:
     reader = IndexReader(args.index)
     res = search(reader, args.terms.split(","), k=args.k, mode=args.mode,
                  algo=args.algo, resolve_urls=True)
-    for row in res.to_pylist():
-        print(json.dumps(row))
+    if getattr(args, "out", None):
+        # CSV export of results (WriteCsv analogue,
+        # wslib/.../server/lib/WriteCsv.java)
+        from pyarrow import csv as pa_csv
+        pa_csv.write_csv(res, args.out)
+        print(json.dumps({"written": args.out, "rows": res.num_rows}))
+    else:
+        for row in res.to_pylist():
+            print(json.dumps(row))
     return 0
 
 
@@ -133,6 +140,7 @@ def main(argv=None) -> int:
     s.add_argument("--mode", default="or", choices=["or", "and"])
     s.add_argument("--algo", default="wand", choices=["wand", "taat"])
     s.add_argument("-k", type=int, default=10)
+    s.add_argument("--out", default=None, help="write results CSV")
     s.set_defaults(fn=cmd_search)
 
     ph = sub.add_parser("phrase")
