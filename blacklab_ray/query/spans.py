@@ -155,6 +155,53 @@ def andnot_spans(a: pa.Table, b: pa.Table) -> pa.Table:
     return a.filter(pa.array(keep))
 
 
+def filter_ngrams(reader, filt: pa.Table, op: str, nmin: int,
+                  nmax: int) -> pa.Table:
+    """All token n-grams (length nmin..nmax) standing in ``op`` relation
+    to a filter span (SpanQueryFilterNGrams.java:18,
+    SpansFilterNGramsRaw.java:31). Like the reference's optimizer, the
+    n-gram universe is never materialized — grams are enumerated only
+    around each filter span, clamped to doc bounds:
+
+    - ``within``:     grams lying inside the filter span
+    - ``containing``: grams containing the filter span
+    """
+    if nmin < 1 or nmax < nmin:
+        raise ValueError(f"bad n-gram range [{nmin},{nmax}]")
+    if op not in ("within", "containing"):
+        raise ValueError(f"op must be within|containing, got {op!r}")
+    d, s, e = _arrays(filt)
+    if d.size == 0:
+        return SPAN_SCHEMA.empty_table()
+    uniq_docs = np.unique(d)
+    doc_lens = dict(zip(uniq_docs.tolist(),
+                        reader.doc_lens(uniq_docs).tolist()))
+    out_d, out_s, out_e = [], [], []
+    for doc, fs, fe in zip(d.tolist(), s.tolist(), e.tolist()):
+        dl = doc_lens[doc]
+        if op == "within":
+            for L in range(nmin, nmax + 1):
+                starts = np.arange(fs, fe - L + 1, dtype=np.int64)
+                if starts.size:
+                    out_d.append(np.full(starts.size, doc, np.int64))
+                    out_s.append(starts)
+                    out_e.append(starts + L)
+        else:  # containing
+            for s2 in range(max(0, fe - nmax), fs + 1):
+                lo = max(fe, s2 + nmin)
+                hi = min(s2 + nmax, dl)
+                ends = np.arange(lo, hi + 1, dtype=np.int64)
+                if ends.size:
+                    out_d.append(np.full(ends.size, doc, np.int64))
+                    out_s.append(np.full(ends.size, s2, np.int64))
+                    out_e.append(ends)
+    if not out_d:
+        return SPAN_SCHEMA.empty_table()
+    return unique_spans(span_table(np.concatenate(out_d),
+                                   np.concatenate(out_s),
+                                   np.concatenate(out_e)))
+
+
 def spans_edge(t: pa.Table, trailing: bool = False) -> pa.Table:
     """Collapse spans to their start (or end) point (SpansEdge.java:14)."""
     d, s, e = _arrays(t)

@@ -83,3 +83,36 @@ def test_sequence_spans_vs_scan(small_index, small_oracle):
     got = _rows(spans_within(spans, wide))
     exp_w = _brute_within(_rows(spans), _rows(wide))
     assert got == exp_w
+
+
+def test_filter_ngrams(ray_session, small_index, small_oracle):
+    """SpanQueryFilterNGrams vs a brute n-gram enumeration."""
+    from blacklab_ray.query import IndexReader
+    from blacklab_ray.query.spans import filter_ngrams, sequence_spans
+    r = IndexReader(small_index)
+    filt = sequence_spans(r, ["the"])
+    got_w = sorted(zip(*[filter_ngrams(r, filt, "within", 1, 1)[c]
+                         .to_pylist() for c in ("doc_id", "start",
+                                                "end")]))
+    # within a width-1 filter span, the only 1-gram is the span itself
+    exp_w = sorted(zip(filt["doc_id"].to_pylist(),
+                       filt["start"].to_pylist(),
+                       filt["end"].to_pylist()))
+    assert got_w == exp_w
+    got_c = sorted(zip(*[filter_ngrams(r, filt, "containing", 2, 3)[c]
+                         .to_pylist() for c in ("doc_id", "start",
+                                                "end")]))
+    exp_c = set()
+    for did, fs, fe in exp_w:
+        dl = len(small_oracle.docs[did])
+        for L in (2, 3):
+            for s2 in range(max(0, fe - L), fs + 1):
+                e2 = s2 + L
+                if e2 <= dl and s2 <= fs and e2 >= fe:
+                    exp_c.add((did, s2, e2))
+    assert got_c == sorted(exp_c)
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        filter_ngrams(r, filt, "overlap", 1, 2)
+    with _pt.raises(ValueError):
+        filter_ngrams(r, filt, "within", 2, 1)
