@@ -136,7 +136,13 @@ def run_bench(num_cpus: int) -> dict:
     build_index(CORPUS_DIR, idx_dir,
                 BuildParams(num_buckets=64, n_salts=8,
                             extract_html=True, trust_text=False,
-                            batch_size=512),
+                            batch_size=512,
+                            exchange=os.environ.get(
+                                "BLRAY_BENCH_EXCHANGE", "fused"),
+                            # fixed map chunking: the scaling runs must
+                            # execute the IDENTICAL job at both levels
+                            files_per_map=int(os.environ.get(
+                                "BLRAY_FILES_PER_MAP", "2"))),
                 resume=False)
     t_build = time.perf_counter() - t0
     timings["index_build"] = round(t_build, 3)

@@ -67,6 +67,10 @@ class BuildParams:
     exchange: str = "mapreduce"      # postings shuffle: mapreduce | sort
     paragraph_spans: bool = False    # store per-doc paragraph token counts
     sentence_spans: bool = False     # store per-doc sentence token counts
+    files_per_map: int | None = None  # exchange map chunking (None: auto
+    #                                   by cluster size — set explicitly
+    #                                   for cross-cluster-size identical
+    #                                   jobs, e.g. scaling measurements)
     verify_doc_ids: bool = False     # post-fwd hash-collision audit
     sensitive: bool = False          # also index the @s (case-sensitive)
     #                                  annotation: postings_s/ + terms_s/
@@ -180,7 +184,10 @@ def build_index(source: str | list[str] | ray.data.Dataset, index_dir: str,
     terms_dir = os.path.join(index_dir, "terms")
 
     # ---- stage 1: extract + tokenize → forward index --------------------
-    if not (resume and man.stage_complete("fwd", src_fp, pfp)):
+    # (skipped for exchange="fused": the fused maps write fwd shards
+    # while exploding postings — one pass over the input)
+    if params.exchange != "fused" and \
+            not (resume and man.stage_complete("fwd", src_fp, pfp)):
         t0 = time.perf_counter()
         ds = read_pages()
         # Instance UDFs run as elastic tasks by default; pass
@@ -228,7 +235,7 @@ def build_index(source: str | list[str] | ray.data.Dataset, index_dir: str,
     # The doc table is NOT rewritten — it IS the fwd Parquet read with
     # column pruning (doc_id, url, lang, doc_len, norm); a separate copy
     # would cost one more pipeline execution per build for no new bytes.
-    if params.exchange != "mapreduce" and \
+    if params.exchange == "sort" and \
             not (resume and man.stage_complete("meta", src_fp, pfp)):
         t0 = time.perf_counter()
         from ray.data.aggregate import Count, Sum
@@ -260,7 +267,43 @@ def build_index(source: str | list[str] | ray.data.Dataset, index_dir: str,
     if not (resume and man.stage_complete("postings", src_fp, pfp)):
         t0 = time.perf_counter()
         shard_info = dict(shards_done.get("shards", {}))
-        if params.exchange == "mapreduce":
+        if params.exchange == "fused":
+            from blacklab_ray.index.exchange import run_fused_build
+            if not isinstance(source, list):
+                raise ValueError(
+                    "exchange='fused' needs file paths (its maps chunk "
+                    "the input files); pass paths or use 'mapreduce'")
+            _fresh_dir(fwd_dir)
+            _fresh_dir(post_dir)
+            _fresh_dir(os.path.join(index_dir, "terms_parts"))
+            parts = run_fused_build(
+                paths, index_dir,
+                num_buckets=params.num_buckets, n_salts=params.n_salts,
+                hot_terms=params.hot_terms, block_size=params.block_size,
+                max_seg_postings=params.max_seg_postings,
+                extract_html=params.extract_html,
+                trust_text=params.trust_text,
+                id_column=params.id_column,
+                paragraph_spans=params.paragraph_spans,
+                sentence_spans=params.sentence_spans,
+                sensitive=params.sensitive,
+                batch_size=params.batch_size,
+                files_per_map=params.files_per_map)
+            if params.verify_doc_ids:
+                n_dup = check_doc_id_collisions(fwd_dir)
+                if n_dup:
+                    raise RuntimeError(
+                        f"{n_dup} doc_id hash collisions in {fwd_dir}")
+            dt = time.perf_counter() - t0
+            man.record("fwd", src_fp, pfp, seconds=round(dt, 3),
+                       fused=True)
+            man.record("postings_shards", src_fp, pfp, shards=parts)
+            man.record("postings", src_fp, pfp, seconds=round(dt, 3),
+                       exchange="fused", parts=len(parts))
+            shards_done = {}
+            # the sensitive annotation still exchanges from the
+            # written fwd shards (stage 3b below)
+        elif params.exchange == "mapreduce":
             from blacklab_ray.index.exchange import run_postings_exchange
             completed = {int(k) for k, v in shard_info.items()
                          if v.get("complete")}
@@ -272,7 +315,8 @@ def build_index(source: str | list[str] | ray.data.Dataset, index_dir: str,
                 num_buckets=params.num_buckets, n_salts=params.n_salts,
                 hot_terms=params.hot_terms, block_size=params.block_size,
                 max_seg_postings=params.max_seg_postings,
-                completed_parts=completed)
+                completed_parts=completed,
+                files_per_map=params.files_per_map)
             shard_info.update(new_parts)
             man.record("postings_shards", src_fp, pfp, shards=shard_info)
             dt = time.perf_counter() - t0
@@ -284,6 +328,7 @@ def build_index(source: str | list[str] | ray.data.Dataset, index_dir: str,
                                  post_dir, shard_info, t0)
 
     # ---- stage 3b: sensitive-annotation postings (`word@s`) -------------
+    # (runs for mapreduce AND fused builds — reads the written fwd)
     if params.sensitive and \
             not (resume and man.stage_complete("postings_s", src_fp, pfp)):
         t0 = time.perf_counter()
@@ -307,7 +352,8 @@ def build_index(source: str | list[str] | ray.data.Dataset, index_dir: str,
         t0 = time.perf_counter()
         import pyarrow.parquet as pq
         done = False
-        if params.exchange == "mapreduce" and os.path.isdir(terms_parts_dir):
+        if params.exchange in ("mapreduce", "fused") \
+                and os.path.isdir(terms_parts_dir):
             # finish from the exchange's per-part stats: driver-side,
             # vocab-sized — no extra pipeline over the postings
             parts = pq.read_table(terms_parts_dir)
@@ -352,7 +398,7 @@ def build_index(source: str | list[str] | ray.data.Dataset, index_dir: str,
         man.record("terms_s", src_fp, pfp,
                    seconds=round(time.perf_counter() - t0, 3))
 
-    if params.exchange == "mapreduce" and \
+    if params.exchange in ("mapreduce", "fused") and \
             not (resume and man.stage_complete("meta", src_fp, pfp)):
         t0 = time.perf_counter()
         import pyarrow.parquet as pq

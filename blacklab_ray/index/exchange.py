@@ -180,6 +180,99 @@ def _reduce_build(part_id: int, out_dir: str, block_size: int,
             "postings": int(t.num_rows)}
 
 
+def _map_fused(paths: list[str], fwd_dir: str, chunk_id: int,
+               n_parts: int, num_buckets: int, n_salts: int, hot_terms,
+               extract_html: bool, trust_text: bool, id_column: str,
+               paragraph_spans: bool, sentence_spans: bool,
+               sensitive: bool, batch_size: int) -> list:
+    """Fused single-pass map: pages chunk → extract → tokenize → write
+    the fwd shard (atomic, deterministic name) → explode → split.
+
+    One pass over the input: the forward-index write overlaps the
+    exchange instead of being a separate stage with a disk round-trip
+    between them (ROADMAP 'exchange streaming'). Returns the same
+    (parts..., vocab) contract as _map_explode."""
+    _set_single_threaded_arrow()
+    from blacklab_ray.stages.extract import HtmlExtractor
+    from blacklab_ray.stages.tokenize import TokenizeForwardIndex
+    extractor = HtmlExtractor(trust_text=trust_text) if extract_html \
+        else None
+    tok = TokenizeForwardIndex(id_column=id_column,
+                               paragraph_spans=paragraph_spans,
+                               sentence_spans=sentence_spans,
+                               sensitive=sensitive)
+    explode = ExplodePostings(num_buckets=num_buckets, n_salts=n_salts,
+                              hot_terms=hot_terms)
+    fwd_tables = []
+    outs = []
+    for p in paths:
+        pages = pq.read_table(p, use_threads=False)
+        for lo in range(0, pages.num_rows, batch_size):
+            batch = pages.slice(lo, batch_size)
+            if extractor is not None:
+                batch = extractor(batch)
+            fwd = tok(batch)
+            fwd_tables.append(fwd)
+            outs.append(explode(fwd))
+    if fwd_tables:
+        os.makedirs(fwd_dir, exist_ok=True)
+        fpath = os.path.join(fwd_dir, f"part-{chunk_id:05d}.parquet")
+        pq.write_table(pa.concat_tables(fwd_tables), fpath + ".tmp")
+        os.replace(fpath + ".tmp", fpath)
+    merged = pa.concat_tables(outs) if outs else None
+    if merged is None or merged.num_rows == 0:
+        return [None] * (n_parts + 1)
+    rows, vocab = _encode_terms_as_codes(merged.combine_chunks())
+    return _split_by_part(rows, n_parts, n_salts) + [vocab]
+
+
+def run_fused_build(page_paths: list[str], index_dir: str, *,
+                    num_buckets: int, n_salts: int, hot_terms,
+                    block_size: int, max_seg_postings: int,
+                    extract_html: bool, trust_text: bool, id_column: str,
+                    paragraph_spans: bool, sentence_spans: bool,
+                    sensitive: bool, batch_size: int,
+                    n_parts: int | None = None,
+                    files_per_map: int | None = None) -> dict:
+    """Single-pass build: pages → (fwd shards + postings) in one wave of
+    map tasks feeding the standard reduces. Returns per-part lineage."""
+    files = sorted(page_paths)
+    fwd_dir = os.path.join(index_dir, "fwd")
+    out_dir = os.path.join(index_dir, "postings")
+    if n_parts is None:
+        n_parts = num_buckets
+    n_parts = max(2, n_parts)
+    if files_per_map is None and files:
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+        avg_sz = max(1, sum(os.path.getsize(f) for f in files)
+                     // len(files))
+        by_mem = max(1, (128 << 20) // avg_sz)   # pages carry html
+        files_per_map = max(1, min(round(len(files) / ncpu) or 1,
+                                   by_mem, 64))
+    files_per_map = files_per_map or 4
+    chunks = [files[i:i + files_per_map]
+              for i in range(0, len(files), files_per_map)]
+    map_task = ray.remote(num_returns=n_parts + 1)(_map_fused)
+    reduce_task = ray.remote(_reduce_build)
+    map_out = [map_task.remote(c, fwd_dir, ci, n_parts, num_buckets,
+                               n_salts, hot_terms, extract_html,
+                               trust_text, id_column, paragraph_spans,
+                               sentence_spans, sensitive, batch_size)
+               for ci, c in enumerate(chunks)]
+    vocab_refs = [m[n_parts] for m in map_out]
+    reduce_refs = []
+    for p in range(n_parts):
+        part_inputs = [m[p] for m in map_out]
+        reduce_refs.append(reduce_task.remote(
+            p, out_dir, block_size, max_seg_postings, n_salts,
+            len(map_out), "", "terms_parts", *part_inputs, *vocab_refs))
+    results = ray.get(reduce_refs)
+    return {str(r["part"]): {"complete": True,
+                             "segments": r["segments"],
+                             "postings": r["postings"]}
+            for r in results}
+
+
 def run_postings_exchange(fwd_dir: str, out_dir: str, *, num_buckets: int,
                           n_salts: int, hot_terms, block_size: int,
                           max_seg_postings: int,

@@ -300,3 +300,59 @@ def test_sensitive_add_documents(ray_session, tmp_path):
                   for t in full["text"].to_pylist())
     got = r.term_stats(["AND"], "s")["AND"][1]
     assert got == exp_ctf
+
+
+def test_fused_build_matches_staged(ray_session, tmp_path):
+    """exchange='fused' (single-pass pages→fwd+postings) produces an
+    index with identical terms stats and query results to the staged
+    mapreduce build."""
+    import pyarrow.parquet as pq
+
+    from blacklab_ray.index import BuildParams, build_index
+    from blacklab_ray.query import IndexReader, search_taat, search_wand
+    from blacklab_ray.sources.synth import generate_pages
+    src = tmp_path / "pages"
+    src.mkdir()
+    for shard in range(4):
+        pq.write_table(generate_pages(100, doc_offset=shard * 100),
+                       str(src / f"p{shard}.parquet"))
+    idx_a = str(tmp_path / "idx_staged")
+    idx_b = str(tmp_path / "idx_fused")
+    build_index(str(src), idx_a, BuildParams(num_buckets=4, n_salts=2))
+    build_index(str(src), idx_b,
+                BuildParams(num_buckets=4, n_salts=2, exchange="fused"))
+    ra, rb = IndexReader(idx_a), IndexReader(idx_b)
+    assert ra.n_docs == rb.n_docs == 400
+    assert ra.meta["total_tokens"] == rb.meta["total_tokens"]
+    ta = ra.terms_table.sort_by("term").to_pylist()
+    tb = rb.terms_table.sort_by("term").to_pylist()
+    assert ta == tb
+    for terms in (["the"], ["the", "of", "w000010"], ["w000123"]):
+        a = search_taat(ra, terms, 20)
+        b = search_taat(rb, terms, 20)
+        assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist()
+        assert a["score"].to_pylist() == b["score"].to_pylist()
+    w = search_wand(rb, ["the", "of"], 10)
+    assert w.num_rows == 10
+
+
+def test_fused_build_with_extraction_and_sensitive(ray_session, tmp_path):
+    """Fused path also covers HTML extraction and the @s annotation."""
+    import pyarrow.parquet as pq
+
+    from blacklab_ray.index import BuildParams, build_index
+    from blacklab_ray.query import IndexReader, search_taat
+    from blacklab_ray.sources.synth import generate_pages
+    src = tmp_path / "pages"
+    src.mkdir()
+    pq.write_table(generate_pages(120), str(src / "p.parquet"))
+    idx = str(tmp_path / "idx")
+    build_index(str(src), idx,
+                BuildParams(num_buckets=4, n_salts=2, exchange="fused",
+                            extract_html=True, trust_text=False,
+                            sensitive=True))
+    r = IndexReader(idx)
+    assert r.n_docs == 120
+    res = search_taat(r, ["AND"], k=10, sensitivity="s")
+    assert res.num_rows >= 0   # @s partition exists and is queryable
+    assert search_taat(r, ["the"], k=10).num_rows == 10
