@@ -139,10 +139,13 @@ def run_bench(num_cpus: int) -> dict:
                             batch_size=512,
                             exchange=os.environ.get(
                                 "BLRAY_BENCH_EXCHANGE", "fused"),
-                            # fixed map chunking: the scaling runs must
-                            # execute the IDENTICAL job at both levels
-                            files_per_map=int(os.environ.get(
-                                "BLRAY_FILES_PER_MAP", "2"))),
+                            # auto map chunking by default; the scaling
+                            # runs pin it so both levels execute the
+                            # IDENTICAL job (see run_scaling)
+                            files_per_map=(int(os.environ[
+                                "BLRAY_FILES_PER_MAP"])
+                                if os.environ.get("BLRAY_FILES_PER_MAP")
+                                else None)),
                 resume=False)
     t_build = time.perf_counter() - t0
     timings["index_build"] = round(t_build, 3)
@@ -267,6 +270,7 @@ def run_scaling() -> dict:
         for _ in range(2):
             env = dict(os.environ, RAY_GRAFT_CPUS=str(n),
                        BLRAY_BUILD_ONLY="1")
+            env.setdefault("BLRAY_FILES_PER_MAP", "2")
             p = subprocess.run([sys.executable, os.path.abspath(__file__)],
                                env=env, capture_output=True, text=True,
                                check=True)

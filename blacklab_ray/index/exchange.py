@@ -191,7 +191,15 @@ def _map_fused(paths: list[str], fwd_dir: str, chunk_id: int,
     One pass over the input: the forward-index write overlaps the
     exchange instead of being a separate stage with a disk round-trip
     between them (ROADMAP 'exchange streaming'). Returns the same
-    (parts..., vocab) contract as _map_explode."""
+    (parts..., vocab) contract as _map_explode.
+
+    Regime note (measured): fused wins when the job fits one map wave
+    (50k docs: 4.6-6.7 s vs 6.5-7.8 s staged) because the fwd round
+    trip disappears; at 1M docs the fused maps' unbounded buffering of
+    chunk-sized exploded partials loses to the staged path's Ray-Data
+    backpressure (staged 111 s vs fused 121-245 s, high variance under
+    memory pressure). Default BuildParams keep exchange='mapreduce';
+    choose 'fused' for interactive/medium builds."""
     _set_single_threaded_arrow()
     from blacklab_ray.stages.extract import HtmlExtractor
     from blacklab_ray.stages.tokenize import TokenizeForwardIndex
@@ -246,7 +254,10 @@ def run_fused_build(page_paths: list[str], index_dir: str, *,
         ncpu = int(ray.cluster_resources().get("CPU", 8))
         avg_sz = max(1, sum(os.path.getsize(f) for f in files)
                      // len(files))
-        by_mem = max(1, (128 << 20) // avg_sz)   # pages carry html
+        # pages carry html AND each map buffers its chunk's fwd +
+        # exploded partials: small chunks balance the wave (large-map
+        # stragglers measured 259s vs 121s on the 1M-doc corpus)
+        by_mem = max(1, (64 << 20) // avg_sz)
         files_per_map = max(1, min(round(len(files) / ncpu) or 1,
                                    by_mem, 64))
     files_per_map = files_per_map or 4

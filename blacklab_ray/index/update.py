@@ -243,6 +243,177 @@ def update_documents(index_dir: str, pages_table,
     return add_documents(index_dir, ds, params, generation=gen)
 
 
+def _segment_posting_rows(row: dict, gkey: int,
+                          tomb_arr=None) -> "object":
+    """One segment row → (gkey, doc_id, tf, norm, posbin) posting rows,
+    optionally dropping tombstoned docs — the decode half of a segment
+    merge (inverse of build_segments)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from blacklab_ray.codec.vbyte import (
+        decode_position_lists, delta_decode, vbyte_decode,
+    )
+    from blacklab_ray.stages.tokenize import _varint_byte_lens
+    docs_l, tfs_l, norms_l, blobs = [], [], [], []
+    for blk in row["blocks"]:
+        d = delta_decode(blk["docs"])
+        tf = vbyte_decode(blk["tfs"]).astype(np.int64)
+        nm = np.frombuffer(blk["norms"], dtype=np.uint8)
+        pos = decode_position_lists(blk["pos"], tf)
+        # per-posting byte spans inside the block's pos blob
+        gstarts = np.zeros(tf.size, dtype=np.int64)
+        np.cumsum(tf[:-1], out=gstarts[1:])
+        deltas = np.empty(pos.size, dtype=np.int64)
+        if pos.size:
+            deltas[1:] = pos[1:] - pos[:-1]
+            deltas[gstarts] = pos[gstarts]
+        vlens = _varint_byte_lens(deltas) if pos.size else \
+            np.empty(0, np.int64)
+        per_post = np.add.reduceat(vlens, gstarts) if tf.size else \
+            np.empty(0, np.int64)
+        offs = np.zeros(tf.size + 1, dtype=np.int64)
+        np.cumsum(per_post, out=offs[1:])
+        blob = blk["pos"]
+        keep = np.ones(d.size, dtype=bool) if tomb_arr is None else \
+            ~np.isin(d, tomb_arr)
+        for j in np.flatnonzero(keep).tolist():
+            blobs.append(blob[offs[j]:offs[j + 1]])
+        docs_l.append(d[keep])
+        tfs_l.append(tf[keep])
+        norms_l.append(nm[keep])
+    docs = np.concatenate(docs_l) if docs_l else np.empty(0, np.int64)
+    return pa.table({
+        "gkey": pa.array(np.full(docs.size, gkey), pa.int64()),
+        "term": pa.array([row["term"]] * docs.size, pa.string()),
+        "doc_id": pa.array(docs, pa.int64()),
+        "tf": pa.array(np.concatenate(tfs_l) if tfs_l
+                       else np.empty(0, np.int64), pa.int64()),
+        "norm": pa.array((np.concatenate(norms_l) if norms_l
+                          else np.empty(0, np.uint8)).astype(np.int32),
+                         pa.int32()),
+        "posbin": pa.array(blobs, pa.binary()),
+    })
+
+
+def compact_generations(index_dir: str,
+                        max_files_per_bucket: int = 4) -> dict:
+    """Size-tiered generation merge (the Lucene tiered-merge analogue,
+    vs compact_index's full rebuild): buckets whose part-file count
+    exceeds the tier threshold — or that may contain tombstoned docs —
+    are re-packed in parallel Ray tasks (decode → drop tombstones →
+    build_segments per salt group). Cold buckets are NOT touched.
+    Folds tombstones in and re-derives terms/meta afterwards."""
+    import numpy as np
+    import pyarrow as pa
+
+    from blacklab_ray.index.postings import build_segments
+    params = _inherit_layout(index_dir, BuildParams())
+    upd = _load_updates(index_dir)
+    tombs = np.array(sorted(upd.get("tombstones", [])), dtype=np.int64)
+    t0 = time.perf_counter()
+
+    @ray.remote
+    def merge_bucket(bucket_dir: str, bucket: int, n_salts: int,
+                     block_size: int, max_seg: int, tomb) -> int:
+        import pyarrow.parquet as _pq
+        files = sorted(os.path.join(bucket_dir, f)
+                       for f in os.listdir(bucket_dir)
+                       if f.endswith(".parquet"))
+        segs = pa.concat_tables([_pq.read_table(f) for f in files])
+        out_parts = []
+        for salt in sorted(set(segs["salt"].to_pylist())):
+            sub = segs.filter(pa.compute.equal(segs["salt"], salt))
+            gkey = bucket * n_salts + salt
+            rows = pa.concat_tables(
+                [_segment_posting_rows(r, gkey,
+                                       tomb if tomb.size else None)
+                 for r in sub.to_pylist()])
+            if rows.num_rows:
+                out_parts.append(build_segments(
+                    rows, block_size, max_seg, n_salts))
+        out = pa.concat_tables(out_parts) if out_parts else None
+        tier_path = os.path.join(bucket_dir, "part-tier0.parquet")
+        if out is not None and out.num_rows:
+            _pq.write_table(out.drop_columns(["bucket"]),
+                            tier_path + ".tmp", row_group_size=1024)
+            os.replace(tier_path + ".tmp", tier_path)
+        for f in files:
+            if f != tier_path:
+                os.remove(f)
+        return out.num_rows if out is not None else 0
+
+    merged = {}
+    for sub in ("postings", "postings_s"):
+        root = os.path.join(index_dir, sub)
+        if not os.path.isdir(root):
+            continue
+        tasks = {}
+        for bdir in sorted(os.listdir(root)):
+            if not bdir.startswith("bucket="):
+                continue
+            bucket = int(bdir.split("=")[1])
+            full = os.path.join(root, bdir)
+            n_files = sum(f.endswith(".parquet")
+                          for f in os.listdir(full))
+            if n_files <= max_files_per_bucket and tombs.size == 0:
+                continue
+            tasks[f"{sub}/{bdir}"] = merge_bucket.remote(
+                full, bucket, params.n_salts, params.block_size,
+                params.max_seg_postings, tombs)
+        for k, r in zip(tasks, ray.get(list(tasks.values()))):
+            merged[k] = r
+
+    if tombs.size:
+        # fold tombstones out of the forward index too, then re-derive
+        # stats from the re-packed postings
+        tomb_pa = pa.array(tombs, pa.int64())
+        fwd_dir = os.path.join(index_dir, "fwd")
+        ds = ray.data.read_parquet(fwd_dir)
+        ds = ds.map_batches(
+            lambda t: t.filter(pa.compute.invert(pa.compute.is_in(
+                t["doc_id"], value_set=tomb_pa))),
+            batch_format="pyarrow")
+        new_fwd = os.path.join(index_dir, "fwd_compacted")
+        _fresh_dir(new_fwd)
+        ds.write_parquet(new_fwd)
+        import shutil
+        shutil.rmtree(fwd_dir)
+        os.replace(new_fwd, fwd_dir)
+        # regenerate per-part stats from the compacted postings
+        for parts_name in ("terms_parts", "terms_parts_s"):
+            pdir = os.path.join(index_dir, parts_name)
+            if os.path.isdir(pdir):
+                import shutil as _sh
+                _sh.rmtree(pdir)
+        _ensure_terms_parts(index_dir)
+        if os.path.isdir(os.path.join(index_dir, "postings_s")):
+            _ensure_terms_parts_for(index_dir, "postings_s",
+                                    "terms_parts_s")
+        _refresh_terms_and_meta(index_dir)
+        upd["tombstones"] = []
+    rec = {"op": "compact_tier", "buckets_merged": len(merged),
+           "seconds": round(time.perf_counter() - t0, 3)}
+    upd.setdefault("log", []).append(rec)
+    _save_updates(index_dir, upd)
+    return rec
+
+
+def _ensure_terms_parts_for(index_dir: str, postings_name: str,
+                            parts_name: str) -> None:
+    import pyarrow.dataset as pads
+    dset = pads.dataset(os.path.join(index_dir, postings_name),
+                        partitioning="hive")
+    tbl = dset.to_table(columns=["term", "df_seg", "ctf_seg"])
+    stats = tbl.group_by("term").aggregate(
+        [("df_seg", "sum"), ("ctf_seg", "sum")])
+    tdir = os.path.join(index_dir, parts_name)
+    os.makedirs(tdir, exist_ok=True)
+    out = os.path.join(tdir, "part-backfill.parquet")
+    pq.write_table(stats, out + ".tmp")
+    os.replace(out + ".tmp", out)
+
+
 def compact_index(index_dir: str, params: BuildParams | None = None) -> dict:
     """Fold tombstones in and merge generation segments (the Lucene
     merge/expunge-deletes analogue): filter deleted docs out of the

@@ -221,3 +221,68 @@ def test_doc_id_collision_audit(tmp_path, ray_session):
         build_index(ray.data.from_arrow(dup), idx2,
                     BuildParams(num_buckets=4, n_salts=2,
                                 verify_doc_ids=True))
+
+
+def test_compact_generations_tiered(tmp_path, ray_session):
+    """Size-tiered merge: many generation part files collapse to one
+    per bucket, tombstones fold in, and results equal a full oracle
+    over the surviving corpus."""
+    import os as _os
+
+    import pyarrow as pa
+
+    from blacklab_ray.index.update import compact_generations
+    from blacklab_ray.query import search_wand
+    from blacklab_ray.sources.synth import generate_pages
+    src_dir = tmp_path / "pages"
+    src_dir.mkdir()
+    pq.write_table(generate_pages(60), str(src_dir / "base.parquet"))
+    idx = str(tmp_path / "idx")
+    build_index(str(src_dir), idx, BuildParams(num_buckets=4, n_salts=2))
+    # three generations of adds -> many part files per bucket
+    for g in range(3):
+        extra = generate_pages(30, doc_offset=100 + g * 30)
+        d = tmp_path / f"extra{g}"
+        d.mkdir()
+        pq.write_table(extra, str(d / "e.parquet"))
+        add_documents(idx, str(d))
+    # delete a few docs from the base
+    pages = generate_pages(60)
+    victims = pages["url"].to_pylist()[:8]
+    delete_documents(idx, urls=victims)
+    before_files = sum(
+        len([f for f in _os.listdir(_os.path.join(idx, "postings", b))
+             if f.endswith(".parquet")])
+        for b in _os.listdir(_os.path.join(idx, "postings")))
+    rec = compact_generations(idx, max_files_per_bucket=1)
+    after_files = sum(
+        len([f for f in _os.listdir(_os.path.join(idx, "postings", b))
+             if f.endswith(".parquet")])
+        for b in _os.listdir(_os.path.join(idx, "postings")))
+    assert rec["buckets_merged"] == 4
+    assert after_files == 4 < before_files
+    # correctness: equal to an oracle over the union minus victims
+    all_pages = pa.concat_tables(
+        [generate_pages(60)]
+        + [generate_pages(30, doc_offset=100 + g * 30)
+           for g in range(3)])
+    keep = pa.compute.invert(pa.compute.is_in(
+        all_pages["url"], value_set=pa.array(victims)))
+    survivors = all_pages.filter(keep)
+    oracle = CorpusOracle.from_pages(survivors)
+    reader = IndexReader(idx)
+    assert not reader.tombstones
+    assert reader.n_docs == survivors.num_rows
+    terms_tbl = pq.read_table(_os.path.join(idx, "terms"))
+    df = dict(zip(terms_tbl["term"].to_pylist(),
+                  terms_tbl["doc_freq"].to_pylist()))
+    assert df == oracle.doc_freq()
+    for terms in (["the"], ["the", "w000010"], ["w000123", "of"]):
+        exp = oracle.topk(terms, 15)
+        got = search_taat(reader, terms, 15)
+        assert got["doc_id"].to_pylist() == [d for d, _ in exp]
+        for gv, (_, s) in zip(got["score"].to_pylist(), exp):
+            assert abs(gv - s) < 1e-9
+    w = search_wand(reader, ["the", "of"], 10)
+    t = search_taat(reader, ["the", "of"], 10)
+    assert w["doc_id"].to_pylist() == t["doc_id"].to_pylist()
