@@ -57,6 +57,11 @@ def vbyte_decode(data: bytes | memoryview | np.ndarray) -> np.ndarray:
         return np.empty(0, dtype=np.uint64)
     is_last = raw < 0x80
     n_values = int(is_last.sum())
+    if n_values == raw.size:
+        # fast path: every value fits one byte (dense doc deltas, tfs —
+        # the overwhelmingly common case in 128-posting blocks); skips
+        # the starts/ends bookkeeping and the per-byte-position loop
+        return raw.astype(np.uint64)
     # start offset of each value = 0, then 1 past each terminator
     starts = np.empty(n_values, dtype=np.int64)
     ends = np.flatnonzero(is_last)

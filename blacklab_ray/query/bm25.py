@@ -53,6 +53,16 @@ def score_block(tfs: np.ndarray, norms: np.ndarray, avgdl: float,
     return term_idf * score_tf(tfs, dl, avgdl)
 
 
+def block_upper_bounds(max_tfs: np.ndarray, min_norms: np.ndarray,
+                       avgdl: float, term_idf: float) -> np.ndarray:
+    """Vectorized block_upper_bound over per-block metadata arrays."""
+    dl = decode_norms(
+        np.asarray(min_norms).astype(np.uint8)).astype(np.float64)
+    k = K1 * (1.0 - B + B * dl / avgdl)
+    mt = np.asarray(max_tfs, dtype=np.float64)
+    return term_idf * mt / (mt + k)
+
+
 def block_upper_bound(max_tf: int, min_norm: int, avgdl: float,
                       term_idf: float) -> float:
     """Upper bound for any posting in a block with (max_tf, min_norm).

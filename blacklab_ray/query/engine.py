@@ -125,14 +125,14 @@ class _SegIter:
         self.reader = reader
         self.quantize = quantize
         self.avgdl = reader.avgdl
-        self._last_docs_np = np.array([b["last_doc"] for b in seg.blocks],
-                                      dtype=np.int64)
+        self._last_docs_np = seg.last_docs
         self.last_docs = self._last_docs_np.tolist()
-        self.n_blocks = len(self.last_docs)
-        self.block_ubs = [
-            block_upper_bound(b["max_tf"], b["min_norm"], self.avgdl,
-                              term_idf) for b in seg.blocks]
-        self.max_score = max(self.block_ubs) if seg.blocks else 0.0
+        self.n_blocks = seg.n_blocks
+        from blacklab_ray.query.bm25 import block_upper_bounds
+        ubs = block_upper_bounds(seg.max_tfs, seg.min_norms, self.avgdl,
+                                 term_idf)
+        self.block_ubs = ubs.tolist()
+        self.max_score = float(ubs.max()) if seg.n_blocks else 0.0
         self.bi = -1
         self._docs: list[int] = []
         self._scores: list[float] = []
@@ -227,7 +227,7 @@ def search_wand(reader: IndexReader, terms: list[str], k: int = 10,
     for t in present:
         t_idf = float(idf(stats[t][0], reader.n_docs))
         for s in segs[t]:
-            if s.blocks:
+            if s.n_blocks:
                 iters.append(_SegIter(s, t_idf, reader, quantize))
     heap: list[tuple[float, int]] = []  # (score, -doc_id), size <= k
     tombstones = reader.tombstones
@@ -380,7 +380,7 @@ def _positions_by_doc(segs: list[Segment], targets: np.ndarray
     if tsorted.size == 0:
         return out
     for seg in segs:
-        if not seg.blocks:
+        if not seg.n_blocks:
             continue
         lo = int(np.searchsorted(tsorted, seg.first_doc))
         hi = int(np.searchsorted(tsorted, seg.last_doc, side="right"))
@@ -409,7 +409,7 @@ def _docs_within(segs: list[Segment], cand: np.ndarray) -> np.ndarray:
     rarest-term, vectorized per block)."""
     found = []
     for seg in segs:
-        if not seg.blocks:
+        if not seg.n_blocks:
             continue
         lo = int(np.searchsorted(cand, seg.first_doc))
         hi = int(np.searchsorted(cand, seg.last_doc, side="right"))

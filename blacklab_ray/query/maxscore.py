@@ -30,7 +30,7 @@ import numpy as np
 import pyarrow as pa
 
 from blacklab_ray.codec.smallfloat import decode_norms
-from blacklab_ray.query.bm25 import block_upper_bound, idf, score_tf
+from blacklab_ray.query.bm25 import block_upper_bounds, idf, score_tf
 from blacklab_ray.query.reader import IndexReader, Segment
 
 
@@ -44,11 +44,11 @@ class _TermList:
         self.idf = float(idf(df, reader.n_docs))
         self.reader = reader
         self.quantize = quantize
-        self.segs = [s for s in segs if s.blocks]
+        self.segs = [s for s in segs if s.n_blocks]
         self.max_score = max(
-            (block_upper_bound(b["max_tf"], b["min_norm"], reader.avgdl,
-                               self.idf)
-             for s in self.segs for b in s.blocks), default=0.0)
+            (float(block_upper_bounds(s.max_tfs, s.min_norms,
+                                      reader.avgdl, self.idf).max())
+             for s in self.segs), default=0.0)
         self._full = None
 
     def full(self):
@@ -90,8 +90,7 @@ class _TermList:
             return out
         out = np.zeros(targets.size, dtype=np.float64)
         for seg in self.segs:
-            last_docs = np.array([b["last_doc"] for b in seg.blocks],
-                                 dtype=np.int64)
+            last_docs = seg.last_docs
             bi = np.searchsorted(last_docs, targets)
             in_range = bi < last_docs.size
             if not in_range.any():

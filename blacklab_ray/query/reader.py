@@ -39,66 +39,140 @@ def reset_decode_stats() -> dict:
 
 
 class Segment:
-    """One (term, salt, seg) posting segment; lazy block decode."""
+    """One (term, salt, seg) posting segment; lazy block decode.
+
+    Backed by ZERO-COPY views into the fetched Arrow blocks column:
+    block metadata are numpy slices of shared arrays and blob access is
+    memoryview slicing of the shared binary buffers — no per-row
+    ``to_pylist`` dict materialization (which dominated cold segment
+    reads: 11 s of a 60-query profiled run)."""
 
     __slots__ = ("term", "df_seg", "ctf_seg", "first_doc", "last_doc",
-                 "blocks", "_decoded")
+                 "n_blocks", "last_docs", "max_tfs", "min_norms", "ns",
+                 "_bins", "_lo", "_decoded")
 
-    def __init__(self, row: dict):
-        self.term = row["term"]
-        self.df_seg = row["df_seg"]
-        self.ctf_seg = row["ctf_seg"]
-        self.first_doc = row["first_doc"]
-        self.last_doc = row["last_doc"]
-        self.blocks = row["blocks"]  # list of block dicts
+    def __init__(self, term, df_seg, ctf_seg, first_doc, last_doc,
+                 lo, hi, meta, bins):
+        self.term = term
+        self.df_seg = df_seg
+        self.ctf_seg = ctf_seg
+        self.first_doc = first_doc
+        self.last_doc = last_doc
+        self._lo = lo
+        self.n_blocks = hi - lo
+        self.last_docs = meta["last_doc"][lo:hi]
+        self.max_tfs = meta["max_tf"][lo:hi]
+        self.min_norms = meta["min_norm"][lo:hi]
+        self.ns = meta["n"][lo:hi]
+        self._bins = bins
         self._decoded = None
+
+    @classmethod
+    def from_table(cls, tbl: pa.Table) -> list["Segment"]:
+        """Build segments for every row of a fetched postings table."""
+        if tbl.num_rows == 0:
+            return []
+        blocks_col = tbl.column("blocks").combine_chunks()
+        lens = pc.list_value_length(blocks_col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        offs = np.zeros(lens.size + 1, dtype=np.int64)
+        np.cumsum(lens, out=offs[1:])
+        flat = blocks_col.flatten()
+        meta = {f: flat.field(f).to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+                for f in ("last_doc", "max_tf", "min_norm", "n")}
+        bins = {}
+        for f in ("docs", "tfs", "norms", "pos"):
+            arr = flat.field(f)
+            bufs = arr.buffers()
+            o = np.frombuffer(bufs[1], np.int32)[
+                arr.offset: arr.offset + len(arr) + 1].astype(np.int64)
+            mv = memoryview(bufs[2]) if bufs[2] is not None \
+                else memoryview(b"")
+            bins[f] = (o, mv)
+        terms = tbl["term"].to_pylist()
+        df = tbl["df_seg"].to_numpy()
+        ctf = tbl["ctf_seg"].to_numpy()
+        fd = tbl["first_doc"].to_numpy()
+        ld = tbl["last_doc"].to_numpy()
+        return [cls(terms[i], int(df[i]), int(ctf[i]), int(fd[i]),
+                    int(ld[i]), int(offs[i]), int(offs[i + 1]),
+                    meta, bins)
+                for i in range(tbl.num_rows)]
+
+    def _blob(self, field: str, i: int) -> memoryview:
+        o, mv = self._bins[field]
+        j = self._lo + i
+        return mv[o[j]:o[j + 1]]
+
+    def _blob_span(self, field: str) -> memoryview:
+        """All blocks' blobs in one contiguous slice (blocks of one
+        segment are adjacent in the fetched buffer)."""
+        o, mv = self._bins[field]
+        return mv[o[self._lo]:o[self._lo + self.n_blocks]]
+
+    @property
+    def blocks(self) -> list[dict]:
+        """Back-compat materialization (tests / diagnostics only — NOT
+        on the query hot path)."""
+        return [{"last_doc": int(self.last_docs[i]),
+                 "max_tf": int(self.max_tfs[i]),
+                 "min_norm": int(self.min_norms[i]),
+                 "n": int(self.ns[i]),
+                 "docs": bytes(self._blob("docs", i)),
+                 "tfs": bytes(self._blob("tfs", i)),
+                 "norms": bytes(self._blob("norms", i)),
+                 "pos": bytes(self._blob("pos", i))}
+                for i in range(self.n_blocks)]
 
     def decode_all(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """(doc_ids, tfs, norms) for the whole segment.
 
-        One VByte pass over the concatenation of all blocks' streams
-        (VByte is self-delimiting), then a segmented cumsum restores the
+        One VByte pass over the contiguous blob span (VByte is
+        self-delimiting), then a segmented cumsum restores the
         per-block absolute doc ids — ~100× fewer numpy-call overheads
         than per-block decoding for long posting lists.
         """
         if self._decoded is not None:
             return self._decoded
-        if not self.blocks:
+        if not self.n_blocks:
             e = np.empty(0, dtype=np.int64)
             return e, e.copy(), np.empty(0, dtype=np.uint8)
-        DECODE_STATS["blocks_decoded"] += len(self.blocks)
+        DECODE_STATS["blocks_decoded"] += self.n_blocks
         DECODE_STATS["full_segments"] += 1
-        counts = np.array([b["n"] for b in self.blocks], dtype=np.int64)
-        deltas = vbyte_decode(
-            b"".join(b["docs"] for b in self.blocks)).astype(np.int64)
+        counts = self.ns
+        deltas = vbyte_decode(self._blob_span("docs")).astype(np.int64)
         # segmented cumsum: each block's first delta is its absolute doc
         csum = np.cumsum(deltas)
         starts = np.zeros(counts.size, dtype=np.int64)
         np.cumsum(counts[:-1], out=starts[1:])
         base = csum[starts] - deltas[starts]
         docs = csum - np.repeat(base, counts)
-        tfs = vbyte_decode(
-            b"".join(b["tfs"] for b in self.blocks)).astype(np.int64)
-        norms = np.frombuffer(
-            b"".join(b["norms"] for b in self.blocks), dtype=np.uint8)
+        tfs = vbyte_decode(self._blob_span("tfs")).astype(np.int64)
+        norms = np.frombuffer(self._blob_span("norms"), dtype=np.uint8)
         self._decoded = (docs, tfs, norms)
         return self._decoded
 
     def decode_block(self, i: int):
         DECODE_STATS["blocks_decoded"] += 1
-        blk = self.blocks[i]
-        return (delta_decode(blk["docs"]),
-                vbyte_decode(blk["tfs"]).astype(np.int64),
-                np.frombuffer(blk["norms"], dtype=np.uint8))
+        n = int(self.ns[i])
+        # fused decode: docs deltas + tfs in ONE varint pass (per-call
+        # numpy overhead halves; streams are separated by count)
+        db = self._blob("docs", i)
+        tb = self._blob("tfs", i)
+        vals = vbyte_decode(bytes(db) + bytes(tb)).astype(np.int64)
+        docs = np.cumsum(vals[:n])
+        tfs = vals[n:]
+        norms = np.frombuffer(self._blob("norms", i), dtype=np.uint8)
+        return docs, tfs, norms
 
     def block_last_docs(self) -> np.ndarray:
         """last_doc per block — the skip list for candidate pruning."""
-        return np.array([b["last_doc"] for b in self.blocks],
-                        dtype=np.int64)
+        return self.last_docs
 
     def decode_block_positions(self, i: int, tfs: np.ndarray) -> np.ndarray:
         """Concatenated absolute positions for block i (aligned by tfs)."""
-        return decode_position_lists(self.blocks[i]["pos"], tfs)
+        return decode_position_lists(self._blob("pos", i), tfs)
 
 
 class IndexReader:
@@ -335,8 +409,8 @@ class IndexReader:
                 continue
             ds = pa_ds.dataset(path, format="parquet")
             tbl = ds.to_table(filter=pc.field("term").isin(bterms))
-            for row in tbl.to_pylist():
-                fetched[row["term"]].append(Segment(row))
+            for seg in Segment.from_table(tbl):
+                fetched[seg.term].append(seg)
         for t, segs in fetched.items():
             segs.sort(key=lambda s: (s.first_doc, s.last_doc))
             if len(self._seg_cache) >= self._SEG_CACHE_MAX:
