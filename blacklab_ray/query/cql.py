@@ -115,6 +115,8 @@ def parse_constraints(expr: str) -> list[Constraint]:
 class SeqPlan:
     positions: list[SeqPos]
     gaps: list[tuple[int, int]]     # between consecutive positions
+    lead: tuple[int, int] | None = None    # leading []{n,m} expansion
+    trail: tuple[int, int] | None = None   # trailing []{n,m} expansion
 
 
 @dataclass
@@ -326,9 +328,6 @@ def _build_seq_variants(items: list) -> list[SeqPlan]:
             if i + 1 < len(items) and items[i + 1][0] == "rep":
                 lo, hi = items[i + 1][1]
                 i += 1
-            if not structs:
-                raise ValueError(
-                    "leading any-token is out of subset (no anchor)")
             structs.append(("any", (lo, hi)))
         elif kind in ("rep", "flag"):
             raise ValueError(f"{kind} without a preceding position")
@@ -352,6 +351,7 @@ def _build_seq_variants(items: list) -> list[SeqPlan]:
         positions: list[SeqPos] = []
         gaps: list[tuple[int, int]] = []
         pending: tuple[int, int] | None = None
+        lead: tuple[int, int] | None = None
         ci = 0
         for s in structs:
             if s[0] == "any":
@@ -363,6 +363,12 @@ def _build_seq_variants(items: list) -> list[SeqPlan]:
             count = combo[ci]
             ci += 1
             for _ in range(count):
+                if not positions and pending is not None:
+                    # any-tokens before the first position become a
+                    # LEADING expansion (SpanQueryExpansion.java:36 /
+                    # SpansExpansionRaw left-stretch semantics)
+                    lead = pending
+                    pending = None
                 if positions:
                     gaps.append(pending or (0, 0))
                 pending = None
@@ -373,11 +379,12 @@ def _build_seq_variants(items: list) -> list[SeqPlan]:
                     alts=tuple(patterns[1:]),
                     capture=cap,
                     sensitivity=sens))
-        if pending is not None:
+        if not positions:
             raise ValueError(
-                "trailing any-token is out of subset (no anchor)")
-        if positions:
-            plans.append(SeqPlan(positions=positions, gaps=gaps))
+                "pure any-token queries are out of subset (no anchor; "
+                "use filter_ngrams for n-gram generation)")
+        plans.append(SeqPlan(positions=positions, gaps=gaps,
+                             lead=lead, trail=pending))
     if not plans:
         raise ValueError("empty query (all-zero repetitions)")
     return plans
@@ -483,10 +490,56 @@ def cql_spans_seq(reader, plan: SeqPlan) -> pa.Table:
             if c:
                 cols[f"{c}_pos"] = pa.array([], pa.int64())
         return pa.table(cols)
-    return sequence_spans_multi(reader, term_sets, plan.gaps,
-                                negates=negates, captures=captures,
-                                annots=[p.sensitivity
-                                        for p in plan.positions])
+    spans = sequence_spans_multi(reader, term_sets, plan.gaps,
+                                 negates=negates, captures=captures,
+                                 annots=[p.sensitivity
+                                         for p in plan.positions])
+    return _expand_edges(reader, spans, plan.lead, plan.trail)
+
+
+def _expand_edges(reader, spans: pa.Table,
+                  lead: tuple[int, int] | None,
+                  trail: tuple[int, int] | None) -> pa.Table:
+    """Stretch spans by leading/trailing any-token ranges: one span per
+    expansion length, dropped when it would cross a doc bound (the
+    expansion needs L real tokens — SpansExpansionRaw.java:36)."""
+    if (lead is None and trail is None) or spans.num_rows == 0:
+        return spans
+    from blacklab_ray.query.spans import unique_spans
+    d = spans["doc_id"].to_numpy()
+    s = spans["start"].to_numpy()
+    e = spans["end"].to_numpy()
+    extra = [c for c in spans.column_names
+             if c not in ("doc_id", "start", "end")]
+    parts = []
+    lead_r = range(lead[0], lead[1] + 1) if lead else range(0, 1)
+    trail_r = range(trail[0], trail[1] + 1) if trail else range(0, 1)
+    import numpy as _np
+    uniq = _np.unique(d)
+    dl = dict(zip(uniq.tolist(), reader.doc_lens(uniq).tolist()))
+    lens = _np.array([dl[x] for x in d.tolist()], dtype=_np.int64)
+    for L in lead_r:
+        for R in trail_r:
+            s2 = s - L
+            e2 = e + R
+            ok = (s2 >= 0) & (e2 <= lens)
+            if not ok.any():
+                continue
+            t = pa.table({"doc_id": pa.array(d[ok], pa.int64()),
+                          "start": pa.array(s2[ok], pa.int64()),
+                          "end": pa.array(e2[ok], pa.int64())})
+            for c in extra:
+                t = t.append_column(c, spans[c].filter(pa.array(ok)))
+            parts.append(t)
+    if not parts:
+        return spans.slice(0, 0)
+    out = pa.concat_tables(parts)
+    if extra:
+        df = out.to_pandas().drop_duplicates().sort_values(
+            list(out.column_names), kind="mergesort")
+        return pa.Table.from_pandas(df.reset_index(drop=True),
+                                    preserve_index=False)
+    return unique_spans(out)
 
 
 def search_cql(reader, q: str, k: int = 10, quantize: bool = True,

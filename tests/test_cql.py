@@ -62,8 +62,12 @@ def test_parse_shapes():
     assert len(p.positions) == 3
     p = parse_cql('"a" "b" within "c" "d"')
     assert isinstance(p, FilterPlan) and p.op == "within"
+    p = parse_cql('[] "a"')
+    assert p.lead == (1, 1) and len(p.positions) == 1
+    p = parse_cql('"a" []{0,2}')
+    assert p.trail == (0, 2)
     with pytest.raises(ValueError):
-        parse_cql('[] "a"')
+        parse_cql('[]{2}')          # pure any-token: no anchor
     with pytest.raises(ValueError):
         parse_cql('[lemma="x"]')
 
@@ -495,3 +499,32 @@ def test_contextql(reader, small_oracle):
                 "lemma = \"x\"", "the prox/distance=2 of and x"):
         with pytest.raises(ValueError):
             parse_contextql(bad)
+
+
+def test_cql_edge_expansion(reader, small_oracle):
+    """Leading/trailing []{n,m} stretch matched spans by real tokens,
+    dropping expansions that cross doc bounds (SpanQueryExpansion)."""
+    got = _rows(cql_spans(reader, '[]{1,2} "the"'))
+    exp = set()
+    for did, toks in small_oracle.docs.items():
+        for i, t in enumerate(toks):
+            if t == "the":
+                for L in (1, 2):
+                    if i - L >= 0:
+                        exp.add((did, i - L, i + 1))
+    assert got == sorted(exp)
+    got_t = _rows(cql_spans(reader, '"the" []'))
+    exp_t = set()
+    for did, toks in small_oracle.docs.items():
+        for i, t in enumerate(toks):
+            if t == "the" and i + 2 <= len(toks):
+                exp_t.add((did, i, i + 2))
+    assert got_t == sorted(exp_t)
+    # both edges at once
+    got_b = _rows(cql_spans(reader, '[] "the" []'))
+    exp_b = set()
+    for did, toks in small_oracle.docs.items():
+        for i, t in enumerate(toks):
+            if t == "the" and i - 1 >= 0 and i + 2 <= len(toks):
+                exp_b.add((did, i - 1, i + 2))
+    assert got_b == sorted(exp_b)
