@@ -81,6 +81,9 @@ class SeqPos:
     alts: tuple[str, ...] = ()   # additional ("a"|"b") alternatives
     capture: str | None = None   # A:[...] capture-group label
     sensitivity: str = "i"       # "%c" flag → match the @s annotation
+    verify: str | None = None    # too-broad pattern: post-verify via
+    #                              forward index (ClauseCombinerNfa /
+    #                              SpanQueryFiSeq semantics)
 
 
 @dataclass
@@ -394,6 +397,10 @@ def _build_seq_variants(items: list) -> list[SeqPlan]:
 # execution
 # ---------------------------------------------------------------------------
 
+class TooBroad(ValueError):
+    """A pattern matches too much of the term dictionary to expand."""
+
+
 def _expand_position(reader, p: SeqPos, max_terms: int = 1024) -> list[str]:
     from blacklab_ray.query.engine import expand_terms
     out: set[str] = set()
@@ -406,8 +413,10 @@ def _expand_position(reader, p: SeqPos, max_terms: int = 1024) -> list[str]:
                                    sensitivity=p.sensitivity)
             if len(matched) >= max_terms:
                 # silent truncation would return wrong (incomplete)
-                # spans — refuse like BlackLab's too-many-terms error
-                raise ValueError(
+                # spans; anchored sequences fall back to forward-index
+                # verification instead (the reference's NFA resolution,
+                # ClauseCombinerNfa.java:38 / SpanQueryFiSeq.java:24)
+                raise TooBroad(
                     f"pattern {pat!r} expands to >= {max_terms} "
                     "dictionary terms; narrow it")
             out.update(matched)
@@ -478,8 +487,42 @@ def _plan_spans(reader, plan: SeqPlan | UnionPlan) -> pa.Table:
 
 def cql_spans_seq(reader, plan: SeqPlan) -> pa.Table:
     from blacklab_ray.query.spans import SPAN_SCHEMA, sequence_spans_multi
-    term_sets, negates = _seq_args(reader, plan)
-    captures = [p.capture for p in plan.positions]
+    import re as _re
+    # positions whose pattern is too broad to expand become VERIFY
+    # positions: matched as any-token during the positional join and
+    # post-checked against the forward index from the anchors — the
+    # reference's NFA strategy (doc/blacklab-internals.md:52-63,
+    # SpanQueryFiSeq.java:24), realized with the capture machinery.
+    positions = list(plan.positions)
+    term_sets = []
+    negates = []
+    verifies: list[str | None] = []
+    n_anchors = 0
+    for p in positions:
+        try:
+            ts = _expand_position(reader, p)
+            term_sets.append(ts)
+            negates.append(p.negate)
+            verifies.append(None)
+            if not p.negate:
+                n_anchors += 1
+        except TooBroad:
+            if p.negate or p.sensitivity != "i":
+                raise
+            term_sets.append([])
+            negates.append(True)     # complement of nothing = any token
+            verifies.append(p.pattern)
+    if any(verifies) and n_anchors == 0:
+        raise ValueError(
+            "every position is too broad to expand and there is no "
+            "anchor for forward-index verification; narrow a pattern")
+    captures = [p.capture for p in positions]
+    auto = []
+    for i, v in enumerate(verifies):
+        if v and not captures[i]:
+            captures[i] = f"__v{i}"
+        if v:
+            auto.append((i, captures[i], v))
     if any(not ts and not neg for ts, neg in zip(term_sets, negates)):
         if not any(captures):
             return SPAN_SCHEMA.empty_table()
@@ -493,7 +536,24 @@ def cql_spans_seq(reader, plan: SeqPlan) -> pa.Table:
     spans = sequence_spans_multi(reader, term_sets, plan.gaps,
                                  negates=negates, captures=captures,
                                  annots=[p.sensitivity
-                                         for p in plan.positions])
+                                         for p in positions])
+    # forward-index verification of too-broad positions
+    for i, cap, pattern in auto:
+        if spans.num_rows:
+            rx = _re.compile(f"^(?:{pattern})$")
+            toks = reader.tokens_at(spans["doc_id"].to_numpy(),
+                                    spans[f"{cap}_pos"].to_numpy())
+            keep = pa.array([t is not None and rx.match(t) is not None
+                             for t in toks])
+            spans = spans.filter(keep)
+    drop = [f"__v{i}_pos" for i, c, v in auto if c == f"__v{i}"]
+    if drop:
+        spans = spans.drop_columns([c for c in drop
+                                    if c in spans.column_names])
+        from blacklab_ray.query.spans import unique_spans
+        if spans.num_rows and spans.column_names == ["doc_id", "start",
+                                                     "end"]:
+            spans = unique_spans(spans)
     return _expand_edges(reader, spans, plan.lead, plan.trail)
 
 

@@ -232,9 +232,12 @@ class IndexReader:
         ``sensitivity`` routes to the `@i` (default) or `@s` annotation
         (the contents%word@i / @s field routing,
         AnnotatedFieldNameUtil.java:47)."""
+        if not terms:
+            return {}
         tbl = self.terms_table if sensitivity == "i" \
             else self.terms_table_sensitive
-        mask = pc.is_in(tbl["term"], value_set=pa.array(terms))
+        mask = pc.is_in(tbl["term"],
+                        value_set=pa.array(terms, pa.string()))
         sub = tbl.filter(mask)
         return {t.as_py(): (df.as_py(), ctf.as_py())
                 for t, df, ctf in zip(sub["term"], sub["doc_freq"],

@@ -389,9 +389,9 @@ def test_constraint_errors(reader):
         parse_cql('A: B:"the"')
 
 
-def test_too_broad_pattern_rejected(reader):
-    with pytest.raises(ValueError, match="expands to"):
-        cql_spans(reader, '[word=".*"] "the"')
+def test_too_broad_pattern_rejected_without_anchor(reader):
+    with pytest.raises(ValueError, match="no\\s+anchor|too broad"):
+        cql_spans(reader, '[word=".*"] [word=".*"]')
 
 
 def test_cql_sensitive_flag(ray_session, tmp_path):
@@ -528,3 +528,29 @@ def test_cql_edge_expansion(reader, small_oracle):
             if t == "the" and i - 1 >= 0 and i + 2 <= len(toks):
                 exp_b.add((did, i - 1, i + 2))
     assert got_b == sorted(exp_b)
+
+
+def test_fiseq_verification(reader, small_oracle):
+    """Too-broad patterns in anchored sequences resolve via forward-
+    index verification (ClauseCombinerNfa / SpanQueryFiSeq analogue):
+    same result as if the pattern had been expanded."""
+    # '.*' expands past the term cap; anchored on "the" it must match
+    # every token following "the"
+    got = _rows(cql_spans(reader, '"the" [word=".*"]'))
+    exp = []
+    for did, toks in small_oracle.docs.items():
+        for i, t in enumerate(toks[:-1]):
+            if t == "the":
+                exp.append((did, i, i + 2))
+    assert got == sorted(set(exp))
+    # broad pattern with real selectivity: token after "the" ending 'e'
+    got2 = _rows(cql_spans(reader, '"the" [word=".*e"]'))
+    exp2 = []
+    for did, toks in small_oracle.docs.items():
+        for i, t in enumerate(toks[:-1]):
+            if t == "the" and toks[i + 1].endswith("e"):
+                exp2.append((did, i, i + 2))
+    assert got2 == sorted(set(exp2))
+    # verify position may carry an explicit capture label
+    t = cql_spans(reader, 'A:[word=".*"] "the"')
+    assert "A_pos" in t.column_names and t.num_rows > 0
