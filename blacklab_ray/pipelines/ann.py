@@ -351,6 +351,54 @@ class IvfAssigner:
                                             pa.int64()))
 
 
+def build_ivf_index(ds: ray.data.Dataset, out_dir: str,
+                    n_cells: int = 16, seed: int = 13,
+                    vec_col: str = "embedding",
+                    id_col: str = "vec_id") -> np.ndarray:
+    """Materialize the IVF index: vectors written as cell-partitioned
+    Parquet (``out_dir/ivf_cell=K/``) plus the centroid matrix
+    (``centroids.npy``). This is the scale path the inline ivf_topk
+    docstring promises: the assignment pipeline runs ONCE, searches
+    then read only their probed cells' partitions (predicate-pushdown
+    on the hive key), and the per-cell layout is resumable output.
+    Returns the trained centroids."""
+    import os
+    cent = train_ivf_centroids(ds, n_cells=n_cells, seed=seed,
+                               vec_col=vec_col)
+    os.makedirs(out_dir, exist_ok=True)
+    np.save(os.path.join(out_dir, "centroids.npy"), cent)
+    assigned = ds.map_batches(IvfAssigner(ray.put(cent), vec_col),
+                              batch_format="pyarrow")
+    assigned.write_parquet(out_dir, partition_cols=["ivf_cell"])
+    return cent
+
+
+def ivf_topk_indexed(index_dir: str, query_ids: np.ndarray,
+                     query_mat: np.ndarray, k: int = 5, nprobe: int = 4,
+                     vec_col: str = "embedding",
+                     id_col: str = "vec_id") -> pa.Table:
+    """IVF search over a materialized index: reads ONLY the probed
+    cells' partitions. Identical results to the inline ivf_topk given
+    the same centroids (deterministic training)."""
+    import os
+    cent = np.load(os.path.join(index_dir, "centroids.npy"))
+    qmat = _normalize(np.asarray(query_mat, dtype=np.float64))
+    qcells = np.argsort(-(qmat @ cent.T), axis=1)[:, :nprobe]
+    probed = sorted(set(qcells.ravel().tolist()))
+    cell_dirs = [os.path.join(index_dir, f"ivf_cell={c}")
+                 for c in probed]
+    paths = [os.path.join(d, f) for d in cell_dirs if os.path.isdir(d)
+             for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
+    if not paths:
+        return pa.table({"query_id": pa.array([], pa.int64()),
+                         "neighbor_id": pa.array([], pa.int64()),
+                         "cosine": pa.array([], pa.float64()),
+                         "rank": pa.array([], pa.int64())})
+    cand = ray.data.read_parquet(paths)
+    return brute_topk(cand, query_ids, qmat, k,
+                      vec_col=vec_col, id_col=id_col)
+
+
 def ivf_topk(ds: ray.data.Dataset, query_ids: np.ndarray,
              query_mat: np.ndarray, k: int = 5, n_cells: int = 16,
              nprobe: int = 4, vec_col: str = "embedding",

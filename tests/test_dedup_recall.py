@@ -177,3 +177,37 @@ def test_vectorized_paths_match_scalar(ray_session):
     for i, t in enumerate(texts):
         assert got_s[i] == format(sh.simhash(tokenize_text(t)), "016x"), \
             f"simhash mismatch doc {i}"
+
+
+def test_ivf_indexed_matches_inline(ray_session, tmp_path):
+    """The materialized cell-partitioned IVF index returns exactly the
+    inline ivf_topk results (same deterministic centroids), reading
+    only probed-cell partitions."""
+    import os
+
+    import ray.data
+
+    from blacklab_ray.pipelines import ann
+    rng = np.random.default_rng(7)
+    mat = rng.standard_normal((400, 16))
+    tbl = pa.table({
+        "vec_id": pa.array(range(400), pa.int64()),
+        "embedding": pa.array(mat.tolist(), pa.list_(pa.float64(), 16)),
+    })
+    ds = ray.data.from_arrow(tbl)
+    qids = np.arange(5)
+    qmat = mat[:5]
+    idx = str(tmp_path / "ivf")
+    cent = ann.build_ivf_index(ds, idx, n_cells=8)
+    assert os.path.exists(os.path.join(idx, "centroids.npy"))
+    cells = [d for d in os.listdir(idx) if d.startswith("ivf_cell=")]
+    assert len(cells) >= 2    # vectors actually partitioned by cell
+    a = ann.ivf_topk_indexed(idx, qids, qmat, k=5, nprobe=3)
+    b = ann.ivf_topk(ds, qids, qmat, k=5, n_cells=8, nprobe=3)
+    # ids/ranks identical; cosines to float tolerance (batch boundaries
+    # differ between the partitioned read and the original, so matmul
+    # accumulation can differ by an ulp)
+    for x, y in zip(a.to_pylist(), b.to_pylist()):
+        assert (x["query_id"], x["neighbor_id"], x["rank"]) == \
+            (y["query_id"], y["neighbor_id"], y["rank"])
+        assert abs(x["cosine"] - y["cosine"]) < 1e-9
