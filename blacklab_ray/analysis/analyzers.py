@@ -96,6 +96,76 @@ def _normalize_array(col: pa.Array | pa.ChunkedArray) -> pa.Array:
     return pc.take(fixed, dict_arr.indices)
 
 
+def tokenize_column_whitespace(col: pa.Array | pa.ChunkedArray) -> tuple[
+        np.ndarray, pa.Array, np.ndarray, np.ndarray]:
+    """Whitespace analyzer (BLWhitespaceAnalyzer.java:18): split on
+    whitespace runs only — case, accents and punctuation preserved.
+    Same return contract as tokenize_column."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    token_lists = pc.split_pattern_regex(col, pattern=r"\s+")
+    flat = pc.list_flatten(token_lists)
+    parents = pc.list_parent_indices(token_lists).to_numpy(
+        zero_copy_only=False)
+    nonempty = pc.not_equal(flat, "")
+    mask = nonempty.to_numpy(zero_copy_only=False)
+    flat = flat.filter(nonempty)
+    parents = parents[mask]
+    n_rows = len(col)
+    doc_lens = np.bincount(parents, minlength=n_rows).astype(np.int64)
+    starts = np.zeros(n_rows, dtype=np.int64)
+    np.cumsum(doc_lens[:-1], out=starts[1:])
+    positions = np.arange(parents.size, dtype=np.int64) - starts[parents]
+    if len(flat) and pc.max(pc.utf8_length(flat)).as_py() > MAX_TOKEN_LEN:
+        flat = pc.utf8_slice_codeunits(flat, 0, MAX_TOKEN_LEN)
+    return parents, flat, positions, doc_lens
+
+
+def tokenize_column_nontokenizing(col: pa.Array | pa.ChunkedArray
+                                  ) -> tuple[np.ndarray, pa.Array,
+                                             np.ndarray, np.ndarray]:
+    """Non-tokenizing analyzer (BLNonTokenizingAnalyzer.java:11 — the
+    UNTOKENIZED metadata field type): each value is ONE token, as-is
+    (empty/null values yield zero tokens)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n_rows = len(col)
+    valid = pc.and_(col.is_valid(), pc.not_equal(
+        pc.fill_null(col, ""), "")).to_numpy(zero_copy_only=False)
+    parents = np.flatnonzero(valid)
+    flat = col.filter(pa.array(valid))
+    if len(flat) and pc.max(pc.utf8_length(flat)).as_py() > MAX_TOKEN_LEN:
+        flat = pc.utf8_slice_codeunits(flat, 0, MAX_TOKEN_LEN)
+    doc_lens = valid.astype(np.int64)
+    positions = np.zeros(parents.size, dtype=np.int64)
+    return parents, flat, positions, doc_lens
+
+
+# Analyzer registry (BLStandardAnalyzer / BLWhitespaceAnalyzer /
+# BLNonTokenizingAnalyzer family + the per-language slot,
+# SURVEY §2.3). Each entry is a tokenize_column-contract callable.
+# Oracle SQL parity holds for "standard" (the indexing default);
+# the variants serve metadata fields and custom formats.
+ANALYZERS = {
+    "standard": None,   # filled below (tokenize_column defined later)
+    "whitespace": tokenize_column_whitespace,
+    "nontokenizing": tokenize_column_nontokenizing,
+}
+
+
+def register_analyzer(name: str, fn) -> None:
+    """User-extension slot: a tokenize_column-contract callable."""
+    ANALYZERS[name] = fn
+
+
+def get_analyzer(name: str):
+    if name not in ANALYZERS:
+        raise ValueError(
+            f"unknown analyzer {name!r}; registered: "
+            f"{sorted(ANALYZERS)}")
+    return ANALYZERS[name]
+
+
 def tokenize_text_sensitive(s: str) -> list[str]:
     """Case-SENSITIVE tokenizer (the `@s` sensitivity,
     MatchSensitivity.java:12-17): accent-stripped but case-preserving,
@@ -170,3 +240,6 @@ def tokenize_column(col: pa.Array | pa.ChunkedArray) -> tuple[
     if len(flat) and pc.max(pc.utf8_length(flat)).as_py() > MAX_TOKEN_LEN:
         flat = pc.utf8_slice_codeunits(flat, 0, MAX_TOKEN_LEN)
     return parents, flat, positions, doc_lens
+
+
+ANALYZERS["standard"] = tokenize_column

@@ -72,6 +72,7 @@ class BuildParams:
     #                                   for cross-cluster-size identical
     #                                   jobs, e.g. scaling measurements)
     verify_doc_ids: bool = False     # post-fwd hash-collision audit
+    analyzer: str = "standard"       # analyzer registry key (contents)
     sensitive: bool = False          # also index the @s (case-sensitive)
     #                                  annotation: postings_s/ + terms_s/
 
@@ -208,7 +209,8 @@ def build_index(source: str | list[str] | ray.data.Dataset, index_dir: str,
         tok_kwargs = {"id_column": params.id_column,
                       "paragraph_spans": params.paragraph_spans,
                       "sentence_spans": params.sentence_spans,
-                      "sensitive": params.sensitive}
+                      "sensitive": params.sensitive,
+                      "analyzer": params.analyzer}
         if params.tokenize_concurrency is not None:
             ds = ds.map_batches(
                 TokenizeForwardIndex,

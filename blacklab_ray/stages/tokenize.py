@@ -67,11 +67,15 @@ class TokenizeForwardIndex:
     def __init__(self, id_column: str = "url",
                  paragraph_spans: bool = False,
                  sentence_spans: bool = False,
-                 sensitive: bool = False):
+                 sensitive: bool = False,
+                 analyzer: str = "standard"):
+        from blacklab_ray.analysis.analyzers import get_analyzer
         self._id_column = id_column
         self._para = paragraph_spans
         self._sent = sentence_spans
         self._sensitive = sensitive
+        self._analyzer = analyzer
+        self._tokenize = get_analyzer(analyzer)
 
     def _paragraph_lens(self, text_col: pa.Array | pa.ChunkedArray,
                         n_docs: int,
@@ -104,7 +108,7 @@ class TokenizeForwardIndex:
     def __call__(self, batch: pa.Table) -> pa.Table:
         from blacklab_ray.util import pin_worker_arrow_threads
         pin_worker_arrow_threads()
-        parents, tokens, positions, doc_lens = tokenize_column(
+        parents, tokens, positions, doc_lens = self._tokenize(
             batch.column("text"))
         n_docs = batch.num_rows
         vec = self._term_vector(parents, tokens, positions, n_docs)

@@ -40,3 +40,83 @@ def test_token_length_clamp():
     assert tokenize_text(long) == ["x" * 1000]
     _, toks, _, _ = tokenize_column(pa.array([long]))
     assert toks.to_pylist() == ["x" * 1000]
+
+
+def test_analyzer_registry():
+    import numpy as np
+    import pyarrow as pa
+
+    from blacklab_ray.analysis.analyzers import (
+        get_analyzer, register_analyzer,
+    )
+    col = pa.array(["Don't STOP", "  a\tb ", "", None], pa.string())
+    p, t, pos, lens = get_analyzer("whitespace")(col)
+    assert t.to_pylist() == ["Don't", "STOP", "a", "b"]
+    assert lens.tolist() == [2, 2, 0, 0]
+    p, t, pos, lens = get_analyzer("nontokenizing")(col)
+    assert t.to_pylist() == ["Don't STOP", "  a\tb "]
+    assert lens.tolist() == [1, 1, 0, 0]
+    assert pos.tolist() == [0, 0]
+    std = get_analyzer("standard")
+    _, t, _, _ = std(pa.array(["Don't STOP"]))
+    assert t.to_pylist() == ["don", "t", "stop"]
+    import pytest as _pt
+    with _pt.raises(ValueError, match="unknown analyzer"):
+        get_analyzer("nope")
+    register_analyzer("custom", std)
+    assert get_analyzer("custom") is std
+
+
+def test_whitespace_analyzer_build(ray_session, tmp_path):
+    """An index built with the whitespace analyzer preserves case and
+    punctuation as token content."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from blacklab_ray.index import BuildParams, build_index
+    from blacklab_ray.query import IndexReader, search_taat
+    pages = pa.table({
+        "url": pa.array(["u1", "u2"], pa.string()),
+        "warc_ts": pa.array([0, 0], pa.timestamp("us")),
+        "html": pa.array([b"", b""], pa.binary()),
+        "text": pa.array(["Don't STOP now", "don't stop Now"],
+                         pa.string()),
+        "lang": pa.array(["en", "en"], pa.string()),
+    })
+    src = tmp_path / "p"
+    src.mkdir()
+    pq.write_table(pages, str(src / "x.parquet"))
+    idx = str(tmp_path / "idx")
+    build_index(str(src), idx,
+                BuildParams(num_buckets=2, n_salts=1,
+                            analyzer="whitespace"))
+    r = IndexReader(idx)
+    terms = set(r.terms_table["term"].to_pylist())
+    assert {"Don't", "don't", "STOP", "stop", "Now", "now"} <= terms
+    from blacklab_ray.stages.tokenize import hash64
+    res = search_taat(r, ["Don't"], k=5)
+    assert res["doc_id"].to_pylist() == [hash64("u1")]
+
+
+def test_linked_metadata_join(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from blacklab_ray.stages.linked import join_linked_metadata
+    pages = pa.table({
+        "url": pa.array(["a", "b", "c"], pa.string()),
+        "text": pa.array(["x", "y", "z"], pa.string()),
+    })
+    side = pa.table({
+        "url": pa.array(["b", "a"], pa.string()),
+        "collection": pa.array(["news", "web"], pa.string()),
+    })
+    out = join_linked_metadata(ray.data.from_arrow(pages), side) \
+        .take_all()
+    assert [r["url"] for r in out] == ["a", "b", "c"]   # order kept
+    assert [r["collection"] for r in out] == ["web", "news", None]
+    import pytest as _pt
+    dup = pa.table({"url": pa.array(["a", "a"]),
+                    "collection": pa.array(["1", "2"])})
+    with _pt.raises(ValueError, match="duplicate"):
+        join_linked_metadata(ray.data.from_arrow(pages), dup)
