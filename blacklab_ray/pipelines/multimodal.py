@@ -71,6 +71,98 @@ def extract_features(ds: ray.data.Dataset,
                           batch_size=batch_size, concurrency=concurrency)
 
 
+class FakeResizer:
+    """Resize stage STUB (PIL unavailable): the Ray plumbing — binary
+    in/out, metadata columns updated, actor-pool batch sizing — is
+    real; the pixel work is a deterministic byte transform standing in
+    for the decode→resample→encode kernel."""
+
+    def __init__(self, width: int = 32, height: int = 32):
+        self._w = width
+        self._h = height
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        # deterministic stand-in: truncate/fold payload to w*h bytes
+        out = []
+        for p in batch.column("payload"):
+            b = p.as_py()
+            size = self._w * self._h
+            rep = (b * ((size // max(len(b), 1)) + 1))[:size]
+            out.append(rep)
+        batch = batch.set_column(
+            batch.schema.get_field_index("payload"), "payload",
+            pa.array(out, pa.binary()))
+        batch = batch.set_column(
+            batch.schema.get_field_index("width"), "width",
+            pa.array([self._w] * n, pa.int32()))
+        return batch.set_column(
+            batch.schema.get_field_index("height"), "height",
+            pa.array([self._h] * n, pa.int32()))
+
+
+class FrameSampler:
+    """Video frame sampling STUB: one video row → ``n_frames`` frame
+    rows (the fan-out shape a real pyav sampler has — output rows
+    exceed input rows, so downstream batch sizing must account for the
+    multiplier). Frames are deterministic payload slices standing in
+    for decoded frames; non-video rows pass through with frame_idx 0."""
+
+    def __init__(self, n_frames: int = 4):
+        self._n = n_frames
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = {"media_id": [], "media_type": [], "frame_idx": [],
+                "payload": [], "width": [], "height": []}
+        for i in range(batch.num_rows):
+            mt = batch["media_type"][i].as_py()
+            payload = batch["payload"][i].as_py()
+            w = batch["width"][i].as_py()
+            h = batch["height"][i].as_py()
+            mid = batch["media_id"][i].as_py()
+            if mt == "video":
+                step = max(1, len(payload) // self._n)
+                for f in range(self._n):
+                    rows["media_id"].append(mid)
+                    rows["media_type"].append("image")
+                    rows["frame_idx"].append(f)
+                    rows["payload"].append(
+                        payload[f * step:(f + 1) * step] or b"\0")
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+            else:
+                rows["media_id"].append(mid)
+                rows["media_type"].append(mt)
+                rows["frame_idx"].append(0)
+                rows["payload"].append(payload)
+                rows["width"].append(w)
+                rows["height"].append(h)
+        return pa.table({
+            "media_id": pa.array(rows["media_id"], pa.int64()),
+            "media_type": pa.array(rows["media_type"], pa.string()),
+            "frame_idx": pa.array(rows["frame_idx"], pa.int32()),
+            "payload": pa.array(rows["payload"], pa.binary()),
+            "width": pa.array(rows["width"], pa.int32()),
+            "height": pa.array(rows["height"], pa.int32()),
+        })
+
+
+def media_pipeline(ds: ray.data.Dataset, n_frames: int = 4,
+                   width: int = 32, height: int = 32,
+                   decoder_cls=FakeDecoder,
+                   batch_size: int = 64) -> ray.data.Dataset:
+    """frame-sample → resize → feature-extract, each an actor-pool
+    map_batches stage with small batches (binary payloads; SURVEY
+    memory-aware note). The composition is the real multimodal
+    training-data shape; only the pixel kernels are stubbed."""
+    out = ds.map_batches(FrameSampler(n_frames), batch_format="pyarrow",
+                         batch_size=batch_size)
+    out = out.map_batches(FakeResizer(width, height),
+                          batch_format="pyarrow", batch_size=batch_size)
+    return out.map_batches(decoder_cls, batch_format="pyarrow",
+                           batch_size=batch_size, concurrency=2)
+
+
 def synth_media_table(n: int, seed: int = 9) -> pa.Table:
     """Deterministic fake media rows for tests."""
     rng = np.random.default_rng(seed)
@@ -78,8 +170,9 @@ def synth_media_table(n: int, seed: int = 9) -> pa.Table:
                              dtype=np.uint8).tobytes() for _ in range(n)]
     return pa.table({
         "media_id": pa.array(range(n), pa.int64()),
-        "media_type": pa.array(["image" if i % 2 == 0 else "audio"
-                                for i in range(n)], pa.string()),
+        "media_type": pa.array(
+            [("image", "audio", "video")[i % 3] for i in range(n)],
+            pa.string()),
         "payload": pa.array(payloads, pa.binary()),
         "width": pa.array([64] * n, pa.int32()),
         "height": pa.array([64] * n, pa.int32()),

@@ -282,3 +282,31 @@ def test_sort_hits_by_context(ray_session):
     assert left["doc_id"].tolist() == [0, 3, 1, 2]
     with pytest.raises(ValueError):
         sort_hits_by_context(ds, "x", side="middle")
+
+
+def test_media_pipeline_plumbing(ray_session):
+    """frame-sample -> resize -> features: the fan-out and metadata
+    bookkeeping are real; only pixel kernels are stubbed."""
+    import pyarrow as pa
+    import ray.data
+
+    from blacklab_ray.pipelines import multimodal
+    tbl = multimodal.synth_media_table(30)
+    n_video = sum(1 for t in tbl["media_type"].to_pylist()
+                  if t == "video")
+    ds = ray.data.from_arrow(tbl)
+    sampled = ds.map_batches(multimodal.FrameSampler(4),
+                             batch_format="pyarrow")
+    rows = sampled.take_all()
+    # each video fans out to 4 frames; others pass through
+    assert len(rows) == (30 - n_video) + 4 * n_video
+    assert all(r["media_type"] != "video" for r in rows)
+    vids = [r for r in rows if r["frame_idx"] > 0]
+    assert len(vids) == 3 * n_video
+    out = multimodal.media_pipeline(ds, n_frames=4).take_all()
+    assert len(out) == len(rows)
+    assert all(len(r["feature"]) == 8 for r in out)
+    # determinism
+    out2 = multimodal.media_pipeline(ds, n_frames=4).take_all()
+    key = lambda r: (r["media_id"], tuple(r["feature"]))
+    assert sorted(map(key, out)) == sorted(map(key, out2))
