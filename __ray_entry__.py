@@ -292,6 +292,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             .select(["doc_id", "score"])
         return _round_cols(t.to_pandas(), {"score": 4})
 
+    def q_ngrams_containing(sf):
+        """2-grams containing HIT_TERM hits (SpanQueryFilterNGrams,
+        enumerated around filter spans only)."""
+        from blacklab_ray.query.spans import filter_ngrams, sequence_spans
+        r = _index_for(sf)
+        filt = sequence_spans(r, [HIT_TERM])
+        t = filter_ngrams(r, filt, "containing", 2, 2)
+        df = t.to_pandas()
+        return df.sort_values(["doc_id", "start"]).reset_index(drop=True)
+
     def q_bm25_andnot(sf):
         """Doc-level AND-NOT (SpanQueryAndNot): BM25 over OR_TERMS,
         excluding docs containing any NEG_TERMS."""
@@ -515,6 +525,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cql_rep_docs": q_cql_rep,
         "cql_alt_docs": q_cql_alt,
         "cql_capture_docs": q_cql_capture,
+        "ngrams_containing": q_ngrams_containing,
         "seq_gap_docs": q_seq_gap,
         "hits_sorted": q_hits_sorted,
         "docs_by_lang": q_docs_by_lang,
@@ -731,6 +742,16 @@ FROM toks a JOIN toks b
   ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
 WHERE a.term IN ('batch', 'spark') AND b.term = 'hash'
 GROUP BY a.doc_id
+""",
+        "ngrams_containing": f"""
+WITH tl AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+toks AS (SELECT doc_id, unnest(toks) AS term,
+                unnest(range(len(toks))) AS pos, len(toks) AS dl
+         FROM tl)
+SELECT DISTINCT t.doc_id, t.pos - o.d AS start, t.pos - o.d + 2 AS "end"
+FROM toks t CROSS JOIN (VALUES (0), (1)) o(d)
+WHERE t.term = '{HIT_TERM}' AND t.pos - o.d >= 0
+  AND t.pos - o.d + 2 <= t.dl
 """,
         "cql_capture_docs": f"""
 WITH toks AS ({toks_pos})

@@ -95,14 +95,26 @@ def _read_tabular(paths, delimiter: str = "\t",
         text = " ".join(str(w) for w in words)
         lang = (group.column("lang")[0].as_py()
                 if "lang" in group.column_names else None)
-        return pa.table({
+        cols = {
             "url": pa.array([group.column("url")[0].as_py()],
                             pa.string()),
             "warc_ts": pa.nulls(1, pa.timestamp("us")),
             "html": pa.array([text.encode()], pa.binary()),
             "text": pa.array([text], pa.string()),
             "lang": pa.array([lang], pa.string()),
-        })
+        }
+        # extra columns (lemma, pos tags, …) become token-aligned
+        # list<string> annotation columns — the word-per-line formats'
+        # parallel annotations (tsv-frog's word/lemma/pos triples,
+        # DocIndexerTabular.java:37)
+        for c in group.column_names:
+            if c in ("url", "pos", "word", "lang"):
+                continue
+            vals = np.asarray(group.column(c).to_pylist(),
+                              dtype=object)[order]
+            cols[c] = pa.array([[str(v) for v in vals]],
+                               pa.list_(pa.string()))
+        return pa.table(cols)
 
     return ds.groupby("url").map_groups(to_page, batch_format="pyarrow")
 

@@ -73,12 +73,16 @@ class BuildParams:
     #                                   jobs, e.g. scaling measurements)
     verify_doc_ids: bool = False     # post-fwd hash-collision audit
     analyzer: str = "standard"       # analyzer registry key (contents)
+    annotations: tuple[str, ...] = ()  # extra parallel annotations
+    #                                    (lemma/pos): input list<string>
+    #                                    columns aligned by token
     sensitive: bool = False          # also index the @s (case-sensitive)
     #                                  annotation: postings_s/ + terms_s/
 
     def fingerprint(self) -> dict:
         d = dict(self.__dict__)
         d["hot_terms"] = sorted(self.hot_terms) if self.hot_terms else None
+        d["annotations"] = list(self.annotations)
         d.pop("tokenize_concurrency")
         return d
 
@@ -210,7 +214,8 @@ def build_index(source: str | list[str] | ray.data.Dataset, index_dir: str,
                       "paragraph_spans": params.paragraph_spans,
                       "sentence_spans": params.sentence_spans,
                       "sensitive": params.sensitive,
-                      "analyzer": params.analyzer}
+                      "analyzer": params.analyzer,
+                      "annotations": tuple(params.annotations)}
         if params.tokenize_concurrency is not None:
             ds = ds.map_batches(
                 TokenizeForwardIndex,
@@ -329,23 +334,28 @@ def build_index(source: str | list[str] | ray.data.Dataset, index_dir: str,
             _build_postings_sort(params, man, src_fp, pfp, fwd_dir,
                                  post_dir, shard_info, t0)
 
-    # ---- stage 3b: sensitive-annotation postings (`word@s`) -------------
-    # (runs for mapreduce AND fused builds — reads the written fwd)
-    if params.sensitive and \
-            not (resume and man.stage_complete("postings_s", src_fp, pfp)):
+    # ---- stage 3b: additional annotation postings (`word@s` + any
+    # parallel annotations like lemma/pos) — reads the written fwd ----
+    extra_annots = (["s"] if params.sensitive else []) \
+        + list(params.annotations)
+    for annot in extra_annots:
+        stage = f"postings_{annot}"
+        if resume and man.stage_complete(stage, src_fp, pfp):
+            continue
         t0 = time.perf_counter()
         from blacklab_ray.index.exchange import run_postings_exchange
-        post_s = os.path.join(index_dir, "postings_s")
-        _fresh_dir(post_s)
-        _fresh_dir(os.path.join(index_dir, "terms_parts_s"))
+        post_a = os.path.join(index_dir, f"postings_{annot}")
+        _fresh_dir(post_a)
+        _fresh_dir(os.path.join(index_dir, f"terms_parts_{annot}"))
         run_postings_exchange(
-            fwd_dir, post_s,
+            fwd_dir, post_a,
             num_buckets=params.num_buckets, n_salts=params.n_salts,
             hot_terms=params.hot_terms, block_size=params.block_size,
             max_seg_postings=params.max_seg_postings,
-            annot_cols=("terms_s", "tfs_s", "pos_s"),
-            terms_parts_name="terms_parts_s")
-        man.record("postings_s", src_fp, pfp,
+            annot_cols=(f"terms_{annot}", f"tfs_{annot}",
+                        f"pos_{annot}"),
+            terms_parts_name=f"terms_parts_{annot}")
+        man.record(stage, src_fp, pfp,
                    seconds=round(time.perf_counter() - t0, 3))
 
     # ---- stage 4: term stats (+ meta on the mapreduce path) -------------
@@ -382,11 +392,14 @@ def build_index(source: str | list[str] | ray.data.Dataset, index_dir: str,
         dt = time.perf_counter() - t0
         man.record("terms", src_fp, pfp, seconds=round(dt, 3))
 
-    if params.sensitive and \
-            not (resume and man.stage_complete("terms_s", src_fp, pfp)):
+    for annot in extra_annots:
+        stage = f"terms_{annot}"
+        if resume and man.stage_complete(stage, src_fp, pfp):
+            continue
         t0 = time.perf_counter()
         import pyarrow.parquet as pq
-        parts = pq.read_table(os.path.join(index_dir, "terms_parts_s"))
+        parts = pq.read_table(
+            os.path.join(index_dir, f"terms_parts_{annot}"))
         gb = parts.group_by("term").aggregate(
             [("df_seg_sum", "sum"), ("ctf_seg_sum", "sum")])
         stats_tbl = pa.table({
@@ -394,10 +407,10 @@ def build_index(source: str | list[str] | ray.data.Dataset, index_dir: str,
             "doc_freq": gb["df_seg_sum_sum"].cast(pa.int64()),
             "collection_tf": gb["ctf_seg_sum_sum"].cast(pa.int64()),
         })
-        tdir = os.path.join(index_dir, "terms_s")
+        tdir = os.path.join(index_dir, f"terms_{annot}")
         _fresh_dir(tdir)
         pq.write_table(stats_tbl, os.path.join(tdir, "terms.parquet"))
-        man.record("terms_s", src_fp, pfp,
+        man.record(stage, src_fp, pfp,
                    seconds=round(time.perf_counter() - t0, 3))
 
     if params.exchange in ("mapreduce", "fused") and \

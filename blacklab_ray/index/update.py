@@ -59,9 +59,11 @@ def _inherit_layout(index_dir: str, params: BuildParams) -> BuildParams:
         for k in ("num_buckets", "n_salts", "block_size",
                   "max_seg_postings", "paragraph_spans",
                   "sentence_spans", "id_column",
-                  "exchange", "sensitive"):
+                  "exchange", "sensitive", "analyzer"):
             if k in rec:
                 setattr(params, k, rec[k])
+        if "annotations" in rec:
+            params.annotations = tuple(rec["annotations"] or ())
         if "hot_terms" in rec:
             params.hot_terms = (tuple(rec["hot_terms"])
                                 if rec["hot_terms"] else None)
@@ -111,8 +113,11 @@ def _refresh_terms_and_meta(index_dir: str) -> None:
     """Recompute terms table(s) + meta from all exchange part stats."""
     import pyarrow as pa
     stats = _refresh_terms_table(index_dir, "terms_parts", "terms")
-    if os.path.isdir(os.path.join(index_dir, "terms_parts_s")):
-        _refresh_terms_table(index_dir, "terms_parts_s", "terms_s")
+    for d in sorted(os.listdir(index_dir)):
+        if d.startswith("terms_parts_") and \
+                os.path.isdir(os.path.join(index_dir, d)):
+            annot = d[len("terms_parts_"):]
+            _refresh_terms_table(index_dir, d, f"terms_{annot}")
     fwd_dir = os.path.join(index_dir, "fwd")
     n_docs = sum(pq.read_metadata(os.path.join(fwd_dir, f)).num_rows
                  for f in os.listdir(fwd_dir) if f.endswith(".parquet"))
@@ -162,7 +167,9 @@ def add_documents(index_dir: str, source, params: BuildParams | None = None,
         id_column=params.id_column,
         paragraph_spans=params.paragraph_spans,
         sentence_spans=params.sentence_spans,
-        sensitive=params.sensitive),
+        sensitive=params.sensitive,
+        analyzer=params.analyzer,
+        annotations=tuple(params.annotations)),
                         batch_format="pyarrow",
                         batch_size=params.batch_size)
     ds.write_parquet(fwd_dir)  # appends new uuid-named files
@@ -181,15 +188,18 @@ def add_documents(index_dir: str, source, params: BuildParams | None = None,
         hot_terms=params.hot_terms, block_size=params.block_size,
         max_seg_postings=params.max_seg_postings,
         part_suffix=f"-g{gen}")
-    if params.sensitive:
+    extra_annots = (["s"] if params.sensitive else []) \
+        + list(params.annotations)
+    for annot in extra_annots:
         run_postings_exchange(
-            tmp_fwd, os.path.join(index_dir, "postings_s"),
+            tmp_fwd, os.path.join(index_dir, f"postings_{annot}"),
             num_buckets=params.num_buckets, n_salts=params.n_salts,
             hot_terms=params.hot_terms, block_size=params.block_size,
             max_seg_postings=params.max_seg_postings,
             part_suffix=f"-g{gen}",
-            annot_cols=("terms_s", "tfs_s", "pos_s"),
-            terms_parts_name="terms_parts_s")
+            annot_cols=(f"terms_{annot}", f"tfs_{annot}",
+                        f"pos_{annot}"),
+            terms_parts_name=f"terms_parts_{annot}")
     import shutil
     shutil.rmtree(tmp_fwd)
     _refresh_terms_and_meta(index_dir)
@@ -450,16 +460,18 @@ def compact_index(index_dir: str, params: BuildParams | None = None) -> dict:
         num_buckets=params.num_buckets, n_salts=params.n_salts,
         hot_terms=params.hot_terms, block_size=params.block_size,
         max_seg_postings=params.max_seg_postings)
-    if params.sensitive:
-        _fresh_dir(os.path.join(index_dir, "postings_s"))
-        _fresh_dir(os.path.join(index_dir, "terms_parts_s"))
+    for annot in (["s"] if params.sensitive else []) \
+            + list(params.annotations):
+        _fresh_dir(os.path.join(index_dir, f"postings_{annot}"))
+        _fresh_dir(os.path.join(index_dir, f"terms_parts_{annot}"))
         run_postings_exchange(
-            fwd_dir, os.path.join(index_dir, "postings_s"),
+            fwd_dir, os.path.join(index_dir, f"postings_{annot}"),
             num_buckets=params.num_buckets, n_salts=params.n_salts,
             hot_terms=params.hot_terms, block_size=params.block_size,
             max_seg_postings=params.max_seg_postings,
-            annot_cols=("terms_s", "tfs_s", "pos_s"),
-            terms_parts_name="terms_parts_s")
+            annot_cols=(f"terms_{annot}", f"tfs_{annot}",
+                        f"pos_{annot}"),
+            terms_parts_name=f"terms_parts_{annot}")
     _refresh_terms_and_meta(index_dir)
     upd["tombstones"] = []
     upd.setdefault("log", []).append({

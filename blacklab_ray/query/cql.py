@@ -159,12 +159,15 @@ def _tokenize(q: str) -> list[tuple[str, object]]:
         if m.group("quoted") is not None:
             items.append(("term", m.group("qbody")))
         elif m.group("bracket") is not None:
-            if m.group("battr") != "word":
-                raise ValueError(
-                    f"only the 'word' annotation is indexed; got "
-                    f"{m.group('battr')!r}")
+            attr = m.group("battr")
             kind = "nterm" if m.group("bneg") else "term"
-            items.append((kind, m.group("bval")))
+            if attr == "word":
+                items.append((kind, m.group("bval")))
+            else:
+                # parallel-annotation constraint ([lemma="..."] etc.):
+                # routed at execution time; unknown annotations fail
+                # there with the index's actual annotation list
+                items.append((kind, (attr, m.group("bval"))))
         elif m.group("any") is not None:
             items.append(("any", None))
         elif m.group("rep") is not None:
@@ -309,6 +312,9 @@ def _build_seq_variants(items: list) -> list[SeqPlan]:
             i += 1
             continue
         if kind in ("term", "nterm", "alt"):
+            annot = None
+            if kind in ("term", "nterm") and isinstance(val, tuple):
+                annot, val = val
             patterns = list(val) if kind == "alt" else [str(val)]
             rep = (1, 1)
             sens = "i"
@@ -323,6 +329,11 @@ def _build_seq_variants(items: list) -> list[SeqPlan]:
             if pending_cap is not None and rep != (1, 1):
                 raise ValueError(
                     "captured positions cannot repeat (out of subset)")
+            if annot is not None:
+                if sens == "s":
+                    raise ValueError(
+                        "%c applies to the word annotation only")
+                sens = annot
             structs.append(("pos", patterns, kind == "nterm", rep,
                             pending_cap, sens))
             pending_cap = None

@@ -215,27 +215,47 @@ class IndexReader:
 
     @property
     def terms_table_sensitive(self) -> pa.Table:
-        """Terms table of the `@s` annotation (terms_s/); raises if the
-        index was built without ``BuildParams.sensitive``."""
-        if getattr(self, "_terms_tbl_s", None) is None:
-            p = os.path.join(self.index_dir, "terms_s")
+        """Terms table of the `@s` annotation (terms_s/)."""
+        return self.terms_table_for("s")
+
+    def terms_table_for(self, annot: str) -> pa.Table:
+        """Terms table of an annotation: "i" (default word@i), "s"
+        (case-sensitive word@s), or a parallel annotation name like
+        "lemma" (the contents%lemma field routing,
+        AnnotatedFieldNameUtil.java:47)."""
+        if annot == "i":
+            return self.terms_table
+        if not hasattr(self, "_terms_tbls"):
+            self._terms_tbls: dict[str, pa.Table] = {}
+        if annot not in self._terms_tbls:
+            p = os.path.join(self.index_dir, f"terms_{annot}")
             if not os.path.isdir(p):
+                hint = ("BuildParams.sensitive=True" if annot == "s"
+                        else f"BuildParams.annotations=({annot!r},)")
                 raise FileNotFoundError(
-                    "index has no sensitive annotation (build with "
-                    "BuildParams.sensitive=True)")
-            self._terms_tbl_s = pq.read_table(p)
-        return self._terms_tbl_s
+                    f"index has no {annot!r} annotation (build with "
+                    f"{hint})")
+            self._terms_tbls[annot] = pq.read_table(p)
+        return self._terms_tbls[annot]
+
+    def annotations(self) -> list[str]:
+        """Annotation names this index carries (always includes 'i')."""
+        out = ["i"]
+        for d in sorted(os.listdir(self.index_dir)):
+            if d.startswith("terms_") \
+                    and not d.startswith("terms_parts") \
+                    and os.path.isdir(os.path.join(self.index_dir, d)):
+                out.append(d[len("terms_"):])
+        return out
 
     def term_stats(self, terms: list[str],
                    sensitivity: str = "i") -> dict[str, tuple[int, int]]:
         """term → (doc_freq, collection_tf); absent terms omitted.
-        ``sensitivity`` routes to the `@i` (default) or `@s` annotation
-        (the contents%word@i / @s field routing,
-        AnnotatedFieldNameUtil.java:47)."""
+        ``sensitivity`` is the annotation route: "i" (default), "s",
+        or a parallel annotation name (lemma/pos)."""
         if not terms:
             return {}
-        tbl = self.terms_table if sensitivity == "i" \
-            else self.terms_table_sensitive
+        tbl = self.terms_table_for(sensitivity)
         mask = pc.is_in(tbl["term"],
                         value_set=pa.array(terms, pa.string()))
         sub = tbl.filter(mask)
@@ -403,7 +423,8 @@ class IndexReader:
         by_bucket: dict[int, list[str]] = {}
         for t in missing:
             by_bucket.setdefault(hash64(t) % self.num_buckets, []).append(t)
-        sub = "postings" if sensitivity == "i" else "postings_s"
+        sub = "postings" if sensitivity == "i" \
+            else f"postings_{sensitivity}"
         post_root = os.path.join(self.index_dir, sub)
         fetched: dict[str, list[Segment]] = {t: [] for t in missing}
         for bucket, bterms in sorted(by_bucket.items()):

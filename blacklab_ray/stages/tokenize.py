@@ -68,7 +68,8 @@ class TokenizeForwardIndex:
                  paragraph_spans: bool = False,
                  sentence_spans: bool = False,
                  sensitive: bool = False,
-                 analyzer: str = "standard"):
+                 analyzer: str = "standard",
+                 annotations: tuple[str, ...] = ()):
         from blacklab_ray.analysis.analyzers import get_analyzer
         self._id_column = id_column
         self._para = paragraph_spans
@@ -76,6 +77,12 @@ class TokenizeForwardIndex:
         self._sensitive = sensitive
         self._analyzer = analyzer
         self._tokenize = get_analyzer(analyzer)
+        # extra PARALLEL annotations (lemma/pos — the reference's
+        # multi-annotation data model, AnnotatedField.java:14): each
+        # name is a list<string> input column whose element i is the
+        # annotation value of token i; alignment with the analyzer's
+        # tokenization of `text` is the contract (checked per doc).
+        self._annotations = tuple(annotations)
 
     def _paragraph_lens(self, text_col: pa.Array | pa.ChunkedArray,
                         n_docs: int,
@@ -146,6 +153,27 @@ class TokenizeForwardIndex:
             cols["terms_s"] = svec[0]
             cols["tfs_s"] = svec[1]
             cols["pos_s"] = svec[2]
+        for name in self._annotations:
+            ann_col = batch.column(name).combine_chunks() \
+                if isinstance(batch.column(name), pa.ChunkedArray) \
+                else batch.column(name)
+            flat = pc.list_flatten(ann_col)
+            ap = pc.list_parent_indices(ann_col).to_numpy(
+                zero_copy_only=False)
+            alens = np.bincount(ap, minlength=n_docs).astype(np.int64)
+            if not np.array_equal(alens, doc_lens):
+                bad = int(np.flatnonzero(alens != doc_lens)[0])
+                raise ValueError(
+                    f"annotation {name!r} misaligned with tokenization "
+                    f"at batch row {bad}: {int(alens[bad])} values vs "
+                    f"{int(doc_lens[bad])} tokens")
+            starts_a = np.zeros(n_docs, dtype=np.int64)
+            np.cumsum(alens[:-1], out=starts_a[1:])
+            apos = np.arange(ap.size, dtype=np.int64) - starts_a[ap]
+            avec = self._term_vector(ap, flat, apos, n_docs)
+            cols[f"terms_{name}"] = avec[0]
+            cols[f"tfs_{name}"] = avec[1]
+            cols[f"pos_{name}"] = avec[2]
         if self._para:
             cols["para_lens"] = self._paragraph_lens(
                 batch.column("text"), n_docs)

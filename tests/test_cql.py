@@ -68,8 +68,8 @@ def test_parse_shapes():
     assert p.trail == (0, 2)
     with pytest.raises(ValueError):
         parse_cql('[]{2}')          # pure any-token: no anchor
-    with pytest.raises(ValueError):
-        parse_cql('[lemma="x"]')
+    p = parse_cql('[lemma="x"]')     # parallel-annotation routing
+    assert p.positions[0].sensitivity == "lemma"
 
 
 def test_cql_literal_phrase(reader, small_oracle):

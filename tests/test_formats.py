@@ -85,3 +85,75 @@ def test_tabular_csv_and_custom_format(ray_session, tmp_path):
     # extension slot: registering a custom format makes it resolvable
     register_format("null-format", lambda paths, **o: None)
     assert "null-format" in formats()
+
+
+def test_lemma_annotation_end_to_end(ray_session, tmp_path):
+    """tsv-frog-style (url, pos, word, lemma) input -> parallel lemma
+    annotation -> CQL [lemma=...] routing (the reference's
+    multi-annotation bread and butter)."""
+    from blacklab_ray.index import BuildParams, build_index
+    from blacklab_ray.query import IndexReader, search_taat
+    from blacklab_ray.query.cql import cql_spans
+    from blacklab_ray.stages.tokenize import hash64
+    docs = {
+        "d1": [("the", "the"), ("cats", "cat"), ("ran", "run"),
+               ("home", "home")],
+        "d2": [("a", "a"), ("cat", "cat"), ("runs", "run"),
+               ("fast", "fast")],
+        "d3": [("dogs", "dog"), ("run", "run"), ("the", "the"),
+               ("race", "race")],
+    }
+    lines = ["url\tpos\tword\tlemma"]
+    for url, toks in docs.items():
+        for i, (w, l) in enumerate(toks):
+            lines.append(f"{url}\t{i}\t{w}\t{l}")
+    tsv = tmp_path / "c.tsv"
+    tsv.write_text("\n".join(lines) + "\n")
+    ds = read_pages("tabular-tsv", str(tsv))
+    idx = str(tmp_path / "idx")
+    build_index(ds, idx,
+                BuildParams(num_buckets=2, n_salts=1,
+                            annotations=("lemma",)))
+    r = IndexReader(idx)
+    assert "lemma" in r.annotations()
+    # lemma stats: 'run' occurs in all three docs under the lemma
+    # annotation but only once as a word form
+    assert r.term_stats(["run"], "lemma")["run"] == (3, 3)
+    assert r.term_stats(["run"])["run"][0] == 1
+    # lemma BM25 search hits all three docs
+    res = search_taat(r, ["run"], k=10, sensitivity="lemma")
+    assert set(res["doc_id"].to_pylist()) == {hash64(u) for u in docs}
+    # CQL routing: [lemma="cat"] [word="run.*"] — only d2's "runs"
+    # matches the word regex ("ran" in d1 does not)
+    t = cql_spans(r, '[lemma="cat"] [word="run.*"]')
+    assert t["doc_id"].to_pylist() == [hash64("d2")]
+    # lemma-routed second position catches both surface forms
+    t1 = cql_spans(r, '[lemma="cat"] [lemma="run"]')
+    assert sorted(t1["doc_id"].to_pylist()) == \
+        sorted([hash64("d1"), hash64("d2")])
+    # unknown annotation errors with the fix hint
+    import pytest as _pt
+    with _pt.raises(FileNotFoundError, match="annotation"):
+        cql_spans(r, '[pos="VERB"]')
+
+
+def test_annotation_misalignment_raises(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from blacklab_ray.index import BuildParams, build_index
+    pages = pa.table({
+        "url": pa.array(["u1"], pa.string()),
+        "warc_ts": pa.array([0], pa.timestamp("us")),
+        "html": pa.array([b""], pa.binary()),
+        "text": pa.array(["three token text"], pa.string()),
+        "lemma": pa.array([["only", "two"]], pa.list_(pa.string())),
+        "lang": pa.array(["en"], pa.string()),
+    })
+    src = tmp_path / "p"
+    src.mkdir()
+    pq.write_table(pages, str(src / "x.parquet"))
+    with pytest.raises(Exception, match="misaligned"):
+        build_index(str(src), str(tmp_path / "idx"),
+                    BuildParams(num_buckets=2, n_salts=1,
+                                annotations=("lemma",)))
