@@ -42,12 +42,16 @@ def cmd_build(args) -> int:
         from blacklab_ray.formats import read_pages
         source = read_pages(args.format, args.input)
         id_column = "url"
+    annots = tuple(a for a in (args.annotations or "").split(",") if a)
     man = build_index(
         source, args.index,
         BuildParams(num_buckets=args.buckets, n_salts=args.salts,
                     extract_html=args.extract_html,
                     trust_text=not args.extract_html,
-                    id_column=id_column),
+                    id_column=id_column,
+                    sensitive=args.sensitive,
+                    annotations=annots,
+                    analyzer=args.analyzer),
         resume=not args.no_resume)
     print(json.dumps({k: {kk: vv for kk, vv in v.items()
                           if kk in ("seconds", "n_docs", "total_tokens")}
@@ -130,6 +134,12 @@ def main(argv=None) -> int:
     b.add_argument("--extract-html", action="store_true")
     b.add_argument("--format", default="webtext-text",
                    help="input format (see blacklab_ray.formats)")
+    b.add_argument("--sensitive", action="store_true",
+                   help="also index the case-sensitive @s annotation")
+    b.add_argument("--annotations", default="",
+                   help="comma-separated parallel annotation columns")
+    b.add_argument("--analyzer", default="standard",
+                   help="analyzer registry key")
     b.add_argument("--id-column", default="url")
     b.add_argument("--no-resume", action="store_true")
     b.set_defaults(fn=cmd_build)
