@@ -119,6 +119,56 @@ def _read_tabular(paths, delimiter: str = "\t",
     return ds.groupby("url").map_groups(to_page, batch_format="pyarrow")
 
 
+def _read_xml(paths, document_tag: str | None = None,
+              text_tags: tuple[str, ...] | None = None,
+              encoding: str = "utf-8", **opts) -> ray.data.Dataset:
+    """Config-driven XML extraction (the DocIndexerXPath shape,
+    indexers/config/DocIndexerXPath.java:53, simplified to ElementTree
+    instead of full XPath): one document per file, or one per
+    ``document_tag`` element (the documentPath config); text is the
+    concatenated text of ``text_tags`` elements (valuePath), or the
+    whole document's text when unset. Parsing runs inside map_batches
+    tasks — one parser per batch, never on the driver."""
+    import xml.etree.ElementTree as ET
+    ds = ray.data.read_binary_files(paths, include_paths=True, **opts)
+
+    def _text_of(el) -> str:
+        if not text_tags:
+            return " ".join(s.strip() for s in el.itertext() if s.strip())
+        parts = []
+        for tag in text_tags:
+            for sub in el.iter(tag):
+                parts.append(" ".join(s.strip() for s in sub.itertext()
+                                      if s.strip()))
+        return "\n".join(p for p in parts if p)
+
+    def to_pages(batch: pa.Table) -> pa.Table:
+        urls, texts, payloads = [], [], []
+        for path, body in zip(batch.column("path").to_pylist(),
+                              batch.column("bytes").to_pylist()):
+            root = ET.fromstring(body.decode(encoding,
+                                             errors="replace"))
+            if document_tag:
+                for i, el in enumerate(root.iter(document_tag)):
+                    urls.append(f"{path}#{i}")
+                    texts.append(_text_of(el))
+                    payloads.append(ET.tostring(el))
+            else:
+                urls.append(path)
+                texts.append(_text_of(root))
+                payloads.append(body)
+        n = len(urls)
+        return pa.table({
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.nulls(n, pa.timestamp("us")),
+            "html": pa.array(payloads, pa.binary()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.nulls(n, pa.string()),
+        })
+
+    return ds.map_batches(to_pages, batch_format="pyarrow")
+
+
 register_format("webtext-html", _read_webtext)
 register_format("webtext-text", _read_webtext)
 register_format("plaintext", _read_plaintext)
@@ -126,3 +176,9 @@ register_format("tabular-tsv", _read_tabular)
 register_format("tabular-csv",
                 lambda paths, **o: _read_tabular(paths, delimiter=",",
                                                  **o))
+register_format("xml", _read_xml)
+register_format("tei",
+                lambda paths, **o: _read_xml(
+                    paths, document_tag="TEI",
+                    text_tags=("p",), **o))   # block-per-<p>, like
+#                                               the webtext extractor

@@ -157,3 +157,35 @@ def test_annotation_misalignment_raises(ray_session, tmp_path):
         build_index(str(src), str(tmp_path / "idx"),
                     BuildParams(num_buckets=2, n_salts=1,
                                 annotations=("lemma",)))
+
+
+def test_xml_format(ray_session, tmp_path):
+    """Config-driven XML extraction: per-element docs + text tags."""
+    xml = """<corpus>
+      <TEI><teiHeader><title>Doc One</title></teiHeader>
+        <body><p>the quick fox</p><p>jumps high</p></body></TEI>
+      <TEI><teiHeader><title>Doc Two</title></teiHeader>
+        <body><p>lazy dogs sleep</p></body></TEI>
+    </corpus>"""
+    f = tmp_path / "corpus.xml"
+    f.write_text(xml)
+    ds = read_pages("tei", str(f))
+    rows = sorted(ds.take_all(), key=lambda r: r["url"])
+    assert len(rows) == 2
+    assert rows[0]["url"].endswith("#0")
+    assert rows[0]["text"] == "the quick fox\njumps high"
+    assert rows[1]["text"] == "lazy dogs sleep"
+    # whole-file mode grabs everything
+    ds2 = read_pages("xml", str(f))
+    rows2 = ds2.take_all()
+    assert len(rows2) == 1
+    assert "Doc One" in rows2[0]["text"]
+    # and it indexes + searches end-to-end
+    from blacklab_ray.index import BuildParams, build_index
+    from blacklab_ray.query import IndexReader, search_taat
+    idx = str(tmp_path / "idx")
+    build_index(read_pages("tei", str(f)), idx,
+                BuildParams(num_buckets=2, n_salts=1))
+    r = IndexReader(idx)
+    assert r.n_docs == 2
+    assert search_taat(r, ["fox"], k=5).num_rows == 1
