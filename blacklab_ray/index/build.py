@@ -71,6 +71,10 @@ class BuildParams:
     #                                   by cluster size — set explicitly
     #                                   for cross-cluster-size identical
     #                                   jobs, e.g. scaling measurements)
+    fwd_rows_per_file: int | None = None  # pin fwd shard size so the
+    #                                   fwd file count (and hence the
+    #                                   exchange map fan-in) does not
+    #                                   vary with cluster size
     verify_doc_ids: bool = False     # post-fwd hash-collision audit
     analyzer: str = "standard"       # analyzer registry key (contents)
     annotations: tuple[str, ...] = ()  # extra parallel annotations
@@ -227,7 +231,12 @@ def build_index(source: str | list[str] | ray.data.Dataset, index_dir: str,
                 TokenizeForwardIndex(**tok_kwargs),
                 batch_format="pyarrow", batch_size=params.batch_size)
         _fresh_dir(fwd_dir)
-        ds.write_parquet(fwd_dir)
+        if params.fwd_rows_per_file:
+            ds.write_parquet(fwd_dir,
+                             min_rows_per_file=params.fwd_rows_per_file,
+                             max_rows_per_file=params.fwd_rows_per_file)
+        else:
+            ds.write_parquet(fwd_dir)
         if params.verify_doc_ids:
             n_dup = check_doc_id_collisions(fwd_dir)
             if n_dup:
