@@ -232,18 +232,23 @@ def search_wand(reader: IndexReader, terms: list[str], k: int = 10,
     heap: list[tuple[float, int]] = []  # (score, -doc_id), size <= k
     tombstones = reader.tombstones
 
-    def theta() -> float:
-        return heap[0][0] if len(heap) == k else -1.0
+    # `live` is kept SORTED by cur_doc incrementally: after advances,
+    # only the moved iterators re-insert (bisect) — replacing the
+    # full re-sort every pivot iteration (the dominant loop cost at
+    # ~35 µs/evaluation doc-at-a-time granularity)
+    live = sorted((it for it in iters if it.cur_doc != _INF),
+                  key=_CURDOC)
 
-    while True:
-        live = [it for it in iters if it.cur_doc != _INF]
-        if not live:
-            break
-        live.sort(key=_CURDOC)
+    def _reinsert(moved: list) -> None:
+        for it in moved:
+            if it.cur_doc != _INF:
+                bisect.insort(live, it, key=_CURDOC)
+
+    while live:
         # WAND pivot on global per-iterator upper bounds
         acc = 0.0
         pivot_idx = -1
-        th = theta()
+        th = heap[0][0] if len(heap) == k else -1.0
         for i, it in enumerate(live):
             acc += it.max_score
             if acc >= th:  # >= keeps equal-score candidates (tie safety)
@@ -269,31 +274,44 @@ def search_wand(reader: IndexReader, terms: list[str], k: int = 10,
             if pivot_idx + 1 < len(live):
                 d = min(d, live[pivot_idx + 1].cur_doc)
             d = max(d, head[0].cur_doc + 1)
-            for it in head:
-                if it.cur_doc < d:
-                    it.advance_to(d)
+            # head is cur_doc-ascending: iterators below d are a prefix
+            j = pivot_idx + 1
+            while j > 0 and head[j - 1].cur_doc >= d:
+                j -= 1
+            moved = head[:j]
+            del live[:j]
+            for it in moved:
+                it.advance_to(d)
+            _reinsert(moved)
             continue
         if head[0].cur_doc == pivot_doc:
             # all head iterators aligned on pivot: full evaluation
             if pivot_doc not in tombstones:
                 score = 0.0
                 for it in head:
-                    if it.cur_doc == pivot_doc:
-                        score += it.score_current()
+                    score += it.score_current()
                 entry = (score, -pivot_doc)
                 if len(heap) < k:
                     heapq.heappush(heap, entry)
                 elif entry > heap[0]:
                     heapq.heapreplace(heap, entry)
+            del live[:pivot_idx + 1]
             for it in head:
-                if it.cur_doc == pivot_doc:
-                    it.next()
+                it.next()
+            _reinsert(head)
         else:
             # advance the lagging iterator (cur_doc < pivot) with the
             # largest upper bound — must strictly lag or we don't progress
-            lag = max((it for it in head if it.cur_doc < pivot_doc),
-                      key=lambda it: it.max_score)
+            lag_i = 0
+            for i in range(1, pivot_idx + 1):
+                it = head[i]
+                if it.cur_doc >= pivot_doc:
+                    break
+                if it.max_score > head[lag_i].max_score:
+                    lag_i = i
+            lag = live.pop(lag_i)
             lag.advance_to(pivot_doc)
+            _reinsert([lag])
     ordered = sorted(heap, key=lambda e: (-e[0], -e[1]))
     doc_ids = np.array([-d for _, d in ordered], dtype=np.int64)
     scores = np.array([s for s, _ in ordered], dtype=np.float64)
