@@ -417,6 +417,65 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_dedup_exact(sf):
         return dedup.exact_dedup_keep_ids(_docs_ds(sf))
 
+    def q_canonical_urls(sf):
+        """URL canonicalization (crawl-pipeline normalization ahead of
+        URL-level dedup): deterministic messy urls synthesized from
+        (doc_id, source), canonicalized with Arrow kernels."""
+        import pyarrow.compute as pc
+        from blacklab_ray.pipelines.dedup import canonicalize_url_expr
+
+        def _mk(batch: pa.Table) -> pa.Table:
+            did = batch.column("doc_id").cast(pa.string())
+            even = pc.equal(
+                pc.bit_wise_and(batch.column("doc_id").cast(pa.int64()),
+                                1), 0)
+            up = pc.binary_join_element_wise(
+                pa.scalar("HTTPS://WWW."), batch.column("source"),
+                pa.scalar(".Example.COM/P/"), did,
+                pa.scalar("/?q=1#frag"), "")
+            lo = pc.binary_join_element_wise(
+                pa.scalar("http://"), batch.column("source"),
+                pa.scalar(".example.com/p/"), did, "")
+            url = pc.if_else(even, up, lo)
+            return pa.table({
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "canonical_url": canonicalize_url_expr(url),
+            })
+
+        return _docs_ds(sf).map_batches(_mk, batch_format="pyarrow")
+
+    def q_url_dedup(sf):
+        """Canonical-URL dedup: min doc_id per canonical url (half the
+        synthesized urls collide after canonicalization: the even form
+        differs only in case/scheme/query/fragment from ITSELF — so we
+        make pairs collide by mapping doc_id -> doc_id - (doc_id % 2))."""
+        import pyarrow.compute as pc
+        from blacklab_ray.pipelines.dedup import url_dedup_keep_ids
+
+        def _mk(batch: pa.Table) -> pa.Table:
+            base = pc.subtract(
+                batch.column("doc_id").cast(pa.int64()),
+                pc.bit_wise_and(batch.column("doc_id").cast(pa.int64()),
+                                1))
+            did = base.cast(pa.string())
+            even = pc.equal(
+                pc.bit_wise_and(batch.column("doc_id").cast(pa.int64()),
+                                1), 0)
+            up = pc.binary_join_element_wise(
+                pa.scalar("HTTPS://WWW."), batch.column("source"),
+                pa.scalar(".Example.COM/p/"), did,
+                pa.scalar("/?q=1#frag"), "")
+            lo = pc.binary_join_element_wise(
+                pa.scalar("http://"), batch.column("source"),
+                pa.scalar(".example.com/p/"), did, "")
+            return pa.table({
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "url": pc.if_else(even, up, lo),
+            })
+
+        ds = _docs_ds(sf).map_batches(_mk, batch_format="pyarrow")
+        return url_dedup_keep_ids(ds)
+
     def q_fingerprints(sf):
         return dedup.fingerprints(_docs_ds(sf), normalize=True)
 
@@ -549,6 +608,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_window": q_docs_window,
         "docs_sample": q_docs_sample,
         "fingerprints": q_fingerprints,
+        "canonical_urls": q_canonical_urls,
+        "url_dedup": q_url_dedup,
         "minhash_pairs": q_minhash_pairs,
         "simhash64": q_simhash,
         "ann_topk": q_ann_topk,
@@ -956,6 +1017,48 @@ ORDER BY doc_len DESC, doc_id LIMIT 10 OFFSET 10
 SELECT doc_id FROM documents
 WHERE md5_number_lower(doc_id::VARCHAR || ':29') % 1048576
       < CAST(0.3 * 1048576 AS BIGINT)
+""",
+        "canonical_urls": r"""
+WITH u AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0
+              THEN 'HTTPS://WWW.' || source || '.Example.COM/P/'
+                   || doc_id || '/?q=1#frag'
+              ELSE 'http://' || source || '.example.com/p/' || doc_id
+         END AS url
+  FROM documents),
+s1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS u FROM u),
+s2 AS (SELECT doc_id, regexp_replace(u, '\?.*$', '') AS u FROM s1),
+s3 AS (SELECT doc_id,
+              regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.-]*://', '')
+                AS u FROM s2),
+s4 AS (SELECT doc_id,
+              regexp_replace(lower(regexp_replace(u, '/.*$', '')),
+                             '^www\.', '')
+              || regexp_replace(u, '^[^/]*', '') AS u FROM s3)
+SELECT doc_id, regexp_replace(u, '/$', '') AS canonical_url FROM s4
+""",
+        "url_dedup": r"""
+WITH u AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0
+              THEN 'HTTPS://WWW.' || source || '.Example.COM/p/'
+                   || (doc_id - doc_id % 2) || '/?q=1#frag'
+              ELSE 'http://' || source || '.example.com/p/'
+                   || (doc_id - doc_id % 2)
+         END AS url
+  FROM documents),
+s1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS u FROM u),
+s2 AS (SELECT doc_id, regexp_replace(u, '\?.*$', '') AS u FROM s1),
+s3 AS (SELECT doc_id,
+              regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.-]*://', '')
+                AS u FROM s2),
+s4 AS (SELECT doc_id,
+              regexp_replace(lower(regexp_replace(u, '/.*$', '')),
+                             '^www\.', '')
+              || regexp_replace(u, '^[^/]*', '') AS u FROM s3),
+canon AS (SELECT doc_id, regexp_replace(u, '/$', '') AS c FROM s4)
+SELECT min(doc_id) AS doc_id FROM canon GROUP BY c
 """,
         "fingerprints": f"""
 SELECT doc_id,

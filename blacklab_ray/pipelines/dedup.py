@@ -92,6 +92,52 @@ def fingerprints(ds: ray.data.Dataset, id_col: str = "doc_id",
     return hashed.select_columns([id_col, "fingerprint"])
 
 
+def canonicalize_url_expr(col: pa.ChunkedArray | pa.Array):
+    """Vectorized URL canonicalization (Arrow kernels only):
+    lowercase scheme+host, drop the scheme, drop the #fragment and
+    ?query, strip a trailing slash and a leading 'www.'. The standard
+    crawl-pipeline normalization ahead of URL-level dedup."""
+    import pyarrow.compute as pc
+    u = col
+    u = pc.replace_substring_regex(u, pattern=r"#.*$", replacement="")
+    u = pc.replace_substring_regex(u, pattern=r"\?.*$", replacement="")
+    u = pc.replace_substring_regex(u, pattern=r"^[A-Za-z][A-Za-z0-9+.-]*://",
+                                   replacement="")
+    # lowercase the host part only (up to the first '/')
+    host = pc.replace_substring_regex(u, pattern=r"/.*$", replacement="")
+    path = pc.replace_substring_regex(u, pattern=r"^[^/]*",
+                                      replacement="")
+    host = pc.utf8_lower(host)
+    host = pc.replace_substring_regex(host, pattern=r"^www\.",
+                                      replacement="")
+    u = pc.binary_join_element_wise(host, path, "")
+    u = pc.replace_substring_regex(u, pattern=r"/$", replacement="")
+    return u
+
+
+def canonical_urls(ds: ray.data.Dataset,
+                   url_col: str = "url") -> ray.data.Dataset:
+    """Add a ``canonical_url`` column."""
+
+    def _c(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "canonical_url", canonicalize_url_expr(batch.column(url_col)))
+
+    return ds.map_batches(_c, batch_format="pyarrow")
+
+
+def url_dedup_keep_ids(ds: ray.data.Dataset, id_col: str = "doc_id",
+                       url_col: str = "url") -> ray.data.Dataset:
+    """Doc ids surviving canonical-URL dedup (min id per canonical
+    url) — same hash-partitioned groupby shape as exact content dedup;
+    only (canonical_url, id) pairs shuffle."""
+    slim = canonical_urls(ds, url_col) \
+        .select_columns(["canonical_url", id_col])
+    kept = slim.groupby("canonical_url").aggregate(
+        Min(id_col, alias_name=id_col))
+    return kept.select_columns([id_col])
+
+
 # ---- MinHash + LSH ---------------------------------------------------------
 
 _MERSENNE = (1 << 61) - 1

@@ -61,7 +61,7 @@ _TOKEN_RE = re.compile(r"""
     | (?P<any>\[\s*\])
     | (?P<rep>\{\s*(?P<rlo>\d+)\s*(?:,\s*(?P<rhi>\d+)\s*)?\})
     | (?P<qmark>\?)
-    | (?P<tag><\s*(?P<tagname>\w+)\s*/\s*>)
+    | (?P<tag><\s*(?P<tagname>\w+)(?P<tagattrs>(?:\s+\w+\s*=\s*"[^"]*")*)\s*/\s*>)
     | (?P<word>within|containing)
     | (?P<capture>(?P<capname>[A-Za-z_]\w*)\s*:)
     | (?P<flag>%\s*c)
@@ -129,7 +129,8 @@ class UnionPlan:
 
 @dataclass
 class TagPlan:
-    name: str                       # structural span source ("p")
+    name: str                       # structural span source
+    attrs: dict = None              # attribute filters (<s type="q"/>)
 
 
 @dataclass
@@ -179,7 +180,9 @@ def _tokenize(q: str) -> list[tuple[str, object]]:
         elif m.group("qmark") is not None:
             items.append(("rep", (0, 1)))
         elif m.group("tag") is not None:
-            items.append(("tag", m.group("tagname")))
+            attrs = dict(re.findall(r'(\w+)\s*=\s*"([^"]*)"',
+                                    m.group("tagattrs") or ""))
+            items.append(("tag", (m.group("tagname"), attrs)))
         elif m.group("word") is not None:
             items.append(("op", m.group("word")))
         elif m.group("capture") is not None:
@@ -210,8 +213,9 @@ def parse_cql(q: str) -> SeqPlan | UnionPlan | FilterPlan:
             left = _build_union(items[:i])
             rest = items[i + 1:]
             if len(rest) == 1 and rest[0][0] == "tag":
+                tname, tattrs = rest[0][1]
                 right: SeqPlan | UnionPlan | TagPlan = \
-                    TagPlan(name=str(rest[0][1]))
+                    TagPlan(name=str(tname), attrs=tattrs)
             else:
                 right = _build_union(rest)
             return FilterPlan(op=str(val), producer=left, filter=right)
@@ -453,13 +457,14 @@ def cql_spans(reader, q: str) -> pa.Table:
     if isinstance(plan, FilterPlan):
         prod = _plan_spans(reader, plan.producer)
         if isinstance(plan.filter, TagPlan):
-            if plan.filter.name == "p":
+            if plan.filter.name == "p" and not plan.filter.attrs:
                 filt = reader.paragraph_spans()
-            elif plan.filter.name == "s":
+            elif plan.filter.name == "s" and not plan.filter.attrs:
                 filt = reader.sentence_spans()
             else:
-                raise ValueError(
-                    f"unknown structural tag <{plan.filter.name}/>")
+                # standoff tag spans with attribute filters
+                filt = reader.tag_spans(plan.filter.name,
+                                        plan.filter.attrs or None)
         else:
             filt = _plan_spans(reader, plan.filter)
         out = spans_within(prod, filt) if plan.op == "within" \

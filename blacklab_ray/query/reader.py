@@ -345,6 +345,48 @@ class IndexReader:
         BuildParams.sentence_spans=True) — the `<s/>` tag source."""
         return self._block_spans("sent_lens", "_sent_spans")
 
+    def tag_spans(self, name: str,
+                  attrs: dict[str, str] | None = None) -> "pa.Table":
+        """Structural spans of tag ``name`` filtered by attribute
+        values (SpanQueryTags.java:31 with @attr__value filtering,
+        AnnotatedFieldNameUtil.java:93-106). Requires the corpus to
+        carry a standoff ``tags`` column
+        (list<struct<name,start,end,attrs>>; attrs is a
+        'k=v;k2=v2' string)."""
+        from blacklab_ray.query.spans import span_table
+        if getattr(self, "_tag_spans_tbl", None) is None:
+            try:
+                tbl = pq.read_table(os.path.join(self.index_dir, "fwd"),
+                                    columns=["doc_id", "tag_spans"])
+            except Exception as e:
+                raise FileNotFoundError(
+                    "index has no structural tag spans (input needs a "
+                    "'tags' standoff column)") from e
+            col = tbl["tag_spans"].combine_chunks()
+            flat = col.flatten()
+            parents = pc.list_parent_indices(col).to_numpy(
+                zero_copy_only=False)
+            self._tag_spans_tbl = {
+                "doc_id": tbl["doc_id"].to_numpy()[parents],
+                "name": flat.field("name").to_pylist(),
+                "start": flat.field("start").to_numpy(
+                    zero_copy_only=False).astype(np.int64),
+                "end": flat.field("end").to_numpy(
+                    zero_copy_only=False).astype(np.int64),
+                "attrs": flat.field("attrs").to_pylist(),
+            }
+        t = self._tag_spans_tbl
+        keep = np.array([n == name for n in t["name"]], dtype=bool)
+        if attrs:
+            def _match(s: str) -> bool:
+                if not s:
+                    return False
+                d = dict(kv.split("=", 1) for kv in s.split(";") if kv)
+                return all(d.get(k) == v for k, v in attrs.items())
+            keep &= np.array([_match(s) for s in t["attrs"]], dtype=bool)
+        return span_table(t["doc_id"][keep], t["start"][keep],
+                          t["end"][keep])
+
     def _block_spans(self, col: str, cache_attr: str) -> "pa.Table":
         if getattr(self, cache_attr, None) is not None:
             return getattr(self, cache_attr)

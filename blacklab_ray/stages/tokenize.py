@@ -174,6 +174,12 @@ class TokenizeForwardIndex:
             cols[f"terms_{name}"] = avec[0]
             cols[f"tfs_{name}"] = avec[1]
             cols[f"pos_{name}"] = avec[2]
+        if "tags" in batch.column_names:
+            # standoff structural spans with attributes (the reference
+            # indexes these as starttag tokens + @attr__value tokens at
+            # the same position, AnnotatedFieldNameUtil.java:93-106;
+            # here they ride the forward index as a typed list column)
+            cols["tag_spans"] = batch.column("tags")
         if self._para:
             cols["para_lens"] = self._paragraph_lens(
                 batch.column("text"), n_docs)

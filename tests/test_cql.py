@@ -554,3 +554,53 @@ def test_fiseq_verification(reader, small_oracle):
     # verify position may carry an explicit capture label
     t = cql_spans(reader, 'A:[word=".*"] "the"')
     assert "A_pos" in t.column_names and t.num_rows > 0
+
+
+def test_tags_with_attributes(ray_session, tmp_path):
+    """Standoff tag spans with attributes: `X within <q speaker="a"/>`
+    (SpanQueryTags + @attr__value filtering)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from blacklab_ray.index import BuildParams, build_index
+    from blacklab_ray.query import IndexReader
+    from blacklab_ray.stages.tokenize import hash64
+    tag_t = pa.list_(pa.struct([("name", pa.string()),
+                                ("start", pa.int32()),
+                                ("end", pa.int32()),
+                                ("attrs", pa.string())]))
+    texts = ["alpha beta gamma delta", "beta gamma epsilon zeta"]
+    tags = [
+        [{"name": "q", "start": 0, "end": 3, "attrs": "speaker=a"},
+         {"name": "q", "start": 2, "end": 4, "attrs": "speaker=b"}],
+        [{"name": "q", "start": 0, "end": 2, "attrs": "speaker=b"},
+         {"name": "ne", "start": 2, "end": 3, "attrs": "type=loc"}],
+    ]
+    pages = pa.table({
+        "url": pa.array(["d0", "d1"], pa.string()),
+        "warc_ts": pa.array([0, 0], pa.timestamp("us")),
+        "html": pa.array([b"", b""], pa.binary()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en", "en"], pa.string()),
+        "tags": pa.array(tags, tag_t),
+    })
+    src = tmp_path / "p"
+    src.mkdir()
+    pq.write_table(pages, str(src / "x.parquet"))
+    idx = str(tmp_path / "idx")
+    build_index(str(src), idx, BuildParams(num_buckets=2, n_salts=1))
+    r = IndexReader(idx)
+    # raw tag spans with attr filter
+    q_a = r.tag_spans("q", {"speaker": "a"})
+    assert _rows(q_a) == [(hash64("d0"), 0, 3)]
+    assert r.tag_spans("q").num_rows == 3
+    assert r.tag_spans("ne", {"type": "loc"}).num_rows == 1
+    # CQL: 'beta gamma' within <q speaker="b"/> — d0's speaker-b q is
+    # [2,4) (no beta gamma); d1's is [0,2) which contains it
+    got = _rows(cql_spans(r, '"beta" "gamma" within <q speaker="b"/>'))
+    assert got == [(hash64("d1"), 0, 2)]
+    # without the attribute both docs' q spans count
+    got_all = _rows(cql_spans(r, '"beta" "gamma" within <q/>'))
+    assert got_all == [(hash64("d0"), 1, 3), (hash64("d1"), 0, 2)]
+    # unknown tag name → empty spans, not an error (tag column exists)
+    assert cql_spans(r, '"beta" within <nope/>').num_rows == 0

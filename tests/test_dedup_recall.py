@@ -211,3 +211,22 @@ def test_ivf_indexed_matches_inline(ray_session, tmp_path):
         assert (x["query_id"], x["neighbor_id"], x["rank"]) == \
             (y["query_id"], y["neighbor_id"], y["rank"])
         assert abs(x["cosine"] - y["cosine"]) < 1e-9
+
+
+def test_url_canonicalization_edges():
+    import pyarrow as pa
+
+    from blacklab_ray.pipelines.dedup import canonicalize_url_expr
+    urls = pa.array([
+        "HTTPS://WWW.Example.COM/Path/?q=1#frag",
+        "http://example.com/Path",
+        "example.com/Path/",
+        "ftp://www.Files.org/a/b?x#y",
+        "https://example.com",
+        "https://example.com/",
+        "www.example.com",
+    ])
+    got = canonicalize_url_expr(urls).to_pylist()
+    assert got == ["example.com/Path", "example.com/Path",
+                   "example.com/Path", "files.org/a/b",
+                   "example.com", "example.com", "example.com"]

@@ -83,6 +83,7 @@ def test_oracle_keys_subset(entry_mod):
     "bm25_sensitive", "sample_hits_spark", "simhash64", "minhash_pairs",
     "lang_id_counts", "hits_ctx_sorted", "jaccard_pairs", "docs_window",
     "docs_sample", "contextql_docs", "ngrams_containing",
+    "canonical_urls", "url_dedup",
 ])
 def test_query_matches_oracle(entry_mod, con, name):
     ray_df = _norm(_to_pandas(entry_mod.queries()[name](SF_DIR)))
