@@ -1,0 +1,174 @@
+"""Property-based CQL fuzzing: random queries from the supported
+grammar, executed by the engine AND by a brute-force interpreter over
+the raw token lists. Catches interaction bugs between negation,
+repetition, alternation, gaps, captures and edge expansion that
+hand-written cases miss (the randomized-coverage upgrade over the
+reference's hand-built TestSpans* suites, SURVEY §5)."""
+
+import re
+
+import numpy as np
+import pytest
+
+from blacklab_ray.query import IndexReader
+from blacklab_ray.query.cql import cql_spans
+
+
+@pytest.fixture(scope="module")
+def reader(small_index):
+    return IndexReader(small_index)
+
+
+# ---------------------------------------------------------------------------
+# brute interpreter over docs: dict[doc_id -> list[str]]
+# ---------------------------------------------------------------------------
+
+def _brute_positions(plan_positions, gaps, docs):
+    """All (doc, start, end) for a sequence of predicates with gaps."""
+    out = set()
+    for did, toks in docs.items():
+        n = len(toks)
+        for s in range(n):
+            if not plan_positions[0](toks[s]):
+                continue
+            frontier = [s]
+            for (lo, hi), pred in zip(gaps, plan_positions[1:]):
+                nxt = []
+                for last in frontier:
+                    for q in range(last + 1 + lo,
+                                   min(n, last + 1 + hi + 1)):
+                        if pred(toks[q]):
+                            nxt.append(q)
+                frontier = nxt
+                if not frontier:
+                    break
+            for last in frontier:
+                out.add((did, s, last + 1))
+    return out
+
+
+def _brute_cql(q, docs):
+    """Interpret the same subset grammar by expanding to predicate
+    sequences (mirrors the parser's lowering independently)."""
+    from blacklab_ray.query.cql import (
+        FilterPlan, SeqPlan, UnionPlan, parse_cql,
+    )
+    plan = parse_cql(q)
+
+    def pred_of(p):
+        if p.negate:
+            rxs = [re.compile(f"^(?:{x})$") for x in (p.pattern,
+                                                      *p.alts)]
+            return lambda t: not any(r.match(t) for r in rxs)
+        rxs = [re.compile(f"^(?:{x})$") for x in (p.pattern, *p.alts)]
+        return lambda t: any(r.match(t) for r in rxs)
+
+    def seq_spans(sp: SeqPlan):
+        preds = [pred_of(p) for p in sp.positions]
+        spans = _brute_positions(preds, sp.gaps, docs)
+        # edge expansion
+        if sp.lead or sp.trail:
+            lead = sp.lead or (0, 0)
+            trail = sp.trail or (0, 0)
+            out = set()
+            for did, s, e in spans:
+                n = len(docs[did])
+                for L in range(lead[0], lead[1] + 1):
+                    for R in range(trail[0], trail[1] + 1):
+                        if s - L >= 0 and e + R <= n:
+                            out.add((did, s - L, e + R))
+            spans = out
+        return spans
+
+    def plan_spans(pl):
+        if isinstance(pl, SeqPlan):
+            return seq_spans(pl)
+        if isinstance(pl, UnionPlan):
+            out = set()
+            for b in pl.branches:
+                out |= seq_spans(b)
+            return out
+        raise AssertionError(type(pl))
+
+    if isinstance(plan, FilterPlan):
+        prod = plan_spans(plan.producer)
+        filt = plan_spans(plan.filter)
+        if plan.op == "within":
+            return {x for x in prod
+                    if any(f[0] == x[0] and f[1] <= x[1] and x[2] <= f[2]
+                           for f in filt)}
+        return {x for x in prod
+                if any(f[0] == x[0] and x[1] <= f[1] and f[2] <= x[2]
+                       for f in filt)}
+    return plan_spans(plan)
+
+
+# ---------------------------------------------------------------------------
+# random query generation from the supported grammar
+# ---------------------------------------------------------------------------
+
+def _rand_position(rng, vocab):
+    r = rng.random()
+    term = vocab[int(rng.integers(0, len(vocab)))]
+    if r < 0.45:
+        body = f'"{term}"'
+    elif r < 0.65:
+        body = f'[word="{term[:2]}.*"]'       # narrow regex
+    elif r < 0.8:
+        t2 = vocab[int(rng.integers(0, len(vocab)))]
+        body = f'("{term}"|"{t2}")'
+    else:
+        body = f'[word != "{term}"]'
+    if rng.random() < 0.15 and not body.startswith("[word !="):
+        lo = int(rng.integers(1, 3))
+        hi = lo + int(rng.integers(0, 2))
+        body += f"{{{lo},{hi}}}" if hi > lo else f"{{{lo}}}"
+    return body
+
+
+def _rand_query(rng, vocab) -> str:
+    n = int(rng.integers(1, 4))
+    parts = []
+    for i in range(n):
+        parts.append(_rand_position(rng, vocab))
+        if i < n - 1 and rng.random() < 0.4:
+            lo = int(rng.integers(0, 2))
+            hi = lo + int(rng.integers(0, 3))
+            parts.append(f"[]{{{lo},{hi}}}")
+    q = " ".join(parts)
+    if rng.random() < 0.15:
+        q = f"[]{{1,2}} {q}"                    # leading expansion
+    if rng.random() < 0.2:
+        t = vocab[int(rng.integers(0, len(vocab)))]
+        q = f'{q} | "{t}"'                      # alternation branch
+    return q
+
+
+def test_cql_fuzz_vs_brute(reader, small_oracle):
+    rng = np.random.default_rng(97)
+    # vocab skewed toward common terms so sequences actually match
+    df = small_oracle.doc_freq()
+    vocab = sorted(df, key=df.get, reverse=True)[:40]
+    docs = small_oracle.docs
+    checked = 0
+    for qi in range(60):
+        q = _rand_query(rng, vocab)
+        try:
+            exp = _brute_cql(q, docs)
+        except ValueError:
+            continue    # generated an out-of-subset shape
+        try:
+            t = cql_spans(reader, q)
+        except ValueError as e:
+            # declared refusal (e.g. all positions too broad with no
+            # anchor) — allowed; count as exercised error handling
+            assert "anchor" in str(e) or "expands" in str(e), (q, e)
+            continue
+        got = set(zip(*[t[c].to_pylist()
+                        for c in ("doc_id", "start", "end")])) \
+            if t.num_rows else set()
+        assert got == exp, f"query {qi}: {q!r}\nonly engine: " \
+            f"{sorted(got - exp)[:5]}\nonly brute: " \
+            f"{sorted(exp - got)[:5]}"
+        checked += 1
+    assert checked >= 50, f"only {checked} queries exercised"
