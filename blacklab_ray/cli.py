@@ -107,10 +107,37 @@ def cmd_freq(args) -> int:
     else:
         out = frequency.term_frequencies(ds, text_col=args.text_col)
     if args.out:
-        out.write_csv(args.out)
-        print(f"wrote {args.out}")
+        # FreqListOutputTsv analogue: csv or json lines, optionally
+        # gzip-compressed partitioned output
+        fmt = getattr(args, "fmt", "csv")
+        open_args = {"compression": "gzip"} if args.gzip else {}
+        if fmt == "json":
+            out.write_json(args.out, arrow_open_stream_args=open_args)
+        else:
+            out.write_csv(args.out, arrow_open_stream_args=open_args)
+        print(f"wrote {args.out} ({fmt}{', gzip' if args.gzip else ''})")
     else:
         for row in out.limit(args.limit).take_all():
+            print(json.dumps(row))
+    return 0
+
+
+def cmd_kwic(args) -> int:
+    """Keyword-in-context from an index's forward index (Kwics.java)."""
+    _ray_session()
+    from blacklab_ray.pipelines import hits
+    res = hits.kwic_from_forward_index(args.index, args.term,
+                                       context=args.context,
+                                       limit=args.k)
+    import pyarrow as pa
+    t = res if isinstance(res, pa.Table) else \
+        pa.Table.from_pylist(res.take_all())
+    if args.out:
+        from pyarrow import csv as pa_csv
+        pa_csv.write_csv(t, args.out)
+        print(json.dumps({"written": args.out, "rows": t.num_rows}))
+    else:
+        for row in t.to_pylist():
             print(json.dumps(row))
     return 0
 
@@ -171,7 +198,16 @@ def main(argv=None) -> int:
     f.add_argument("--text-col", default="text")
     f.add_argument("--out", default=None)
     f.add_argument("--limit", type=int, default=50)
+    f.add_argument("--fmt", default="csv", choices=["csv", "json"])
+    f.add_argument("--gzip", action="store_true")
+    kw = sub.add_parser("kwic")
+    kw.add_argument("--index", required=True)
+    kw.add_argument("--term", required=True)
+    kw.add_argument("--context", type=int, default=2)
+    kw.add_argument("-k", type=int, default=20)
+    kw.add_argument("--out", default=None)
     f.set_defaults(fn=cmd_freq)
+    kw.set_defaults(fn=cmd_kwic)
 
     g = sub.add_parser("gen")
     g.add_argument("--out", required=True)
