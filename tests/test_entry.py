@@ -69,22 +69,18 @@ def test_oracle_keys_subset(entry_mod):
     assert o <= q, o - q
 
 
-@pytest.mark.parametrize("name", [
-    "term_stats", "doc_stats", "corpus_stats", "bm25_or_scores",
-    "bm25_topk", "bm25_and", "phrase_docs", "hits_by_lang",
-    "collocations_spark", "kwic_spark", "freq_by_lang", "dedup_exact",
-    "fingerprints", "ann_topk", "emb_dup_pairs", "quality_by_source",
-    "token_count_by_lang", "events_hourly", "events_sessions",
-    "wildcard_or_scores", "bm25_filtered_en", "fuzzy_expand",
-    "regex_expand", "hit_counts", "top_docs_by_len", "kwic_fwd",
-    "facets_spark", "hits_sorted", "docs_by_lang", "docs_filter",
-    "seq_gap_docs", "cql_docs", "bm25_andnot", "cql_not_docs",
-    "cql_rep_docs", "cql_alt_docs", "cql_capture_docs",
-    "bm25_sensitive", "sample_hits_spark", "simhash64", "minhash_pairs",
-    "lang_id_counts", "hits_ctx_sorted", "jaccard_pairs", "docs_window",
-    "docs_sample", "contextql_docs", "ngrams_containing",
-    "canonical_urls", "url_dedup",
-])
+def _contract():
+    """Import the driver contract WITHOUT Ray running (queries() and
+    oracle_sql() only build closures/strings)."""
+    import __ray_entry__ as m
+    return m
+
+
+_ORACLED = sorted(_contract().oracle_sql())
+_ROWS_ONLY = sorted(set(_contract().queries()) - set(_ORACLED))
+
+
+@pytest.mark.parametrize("name", _ORACLED)
 def test_query_matches_oracle(entry_mod, con, name):
     ray_df = _norm(_to_pandas(entry_mod.queries()[name](SF_DIR)))
     sql_df = _norm(con.sql(entry_mod.oracle_sql()[name]).df())
@@ -95,9 +91,7 @@ def test_query_matches_oracle(entry_mod, con, name):
                                   check_exact=False, atol=1e-9, rtol=1e-9)
 
 
-@pytest.mark.parametrize("name", [
-    "ann_lsh_topk", "ann_ivf_topk", "media_features",
-])
+@pytest.mark.parametrize("name", _ROWS_ONLY)
 def test_rows_only_queries_run(entry_mod, name):
     df = _to_pandas(entry_mod.queries()[name](SF_DIR))
     assert df is not None and len(df) >= 0
