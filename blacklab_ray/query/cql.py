@@ -84,6 +84,8 @@ class SeqPos:
     verify: str | None = None    # too-broad pattern: post-verify via
     #                              forward index (ClauseCombinerNfa /
     #                              SpanQueryFiSeq semantics)
+    cap_open: str | None = None   # A:( ... ) group-capture start here
+    cap_close: str | None = None  # ... and ends here (inclusive token)
 
 
 @dataclass
@@ -263,6 +265,18 @@ def _collapse_groups(items: list) -> list:
                 j += 1
             if j >= len(items):
                 raise ValueError("unbalanced '('")
+            if not any(k == "pipe" for k, _ in inner):
+                # pipe-free group: a SEQUENCE group — splice its items
+                # back wrapped in markers so a preceding capture label
+                # binds the whole sub-span (A:("x" "y") →
+                # SpanQueryCaptureGroup over a multi-token clause)
+                if not inner:
+                    raise ValueError("empty group")
+                out.append(("gopen", None))
+                out.extend(inner)
+                out.append(("gclose", None))
+                i = j + 1
+                continue
             alts = []
             expect_term = True
             for k, v in inner:
@@ -274,7 +288,8 @@ def _collapse_groups(items: list) -> list:
                 else:
                     raise ValueError(
                         "parenthesized groups support single-position "
-                        "alternation only, e.g. (\"a\"|\"b\")")
+                        "alternation only, e.g. (\"a\"|\"b\") — or a "
+                        "pipe-free sequence group")
             if expect_term or not alts:
                 raise ValueError("empty or dangling '|' in group")
             out.append(("alt", alts))
@@ -303,9 +318,12 @@ def _build_seq_variants(items: list) -> list[SeqPlan]:
     repetition-range counts (SpanQueryRepetition lowering: `x{2,3}` is
     the union of `x x` and `x x x`)."""
     # pass 1: attach repetitions to positions / any-tokens
-    structs: list[tuple] = []   # ("pos", patterns, negate, (lo,hi), cap)
+    structs: list[tuple] = []   # ("pos", patterns, negate, (lo,hi),
+    #                               cap, sens, copen, cclose)
     #                           | ("any", (lo,hi))
     pending_cap: str | None = None
+    open_group: str | None = None      # capture name of an open group
+    group_cap: str | None = None       # pending label for next gopen
     i = 0
     while i < len(items):
         kind, val = items[i]
@@ -313,6 +331,31 @@ def _build_seq_variants(items: list) -> list[SeqPlan]:
             if pending_cap is not None:
                 raise ValueError("dangling capture label")
             pending_cap = str(val)
+            i += 1
+            continue
+        if kind == "gopen":
+            if open_group is not None or group_cap is not None:
+                raise ValueError("nested groups are out of subset")
+            group_cap = pending_cap      # may be None (plain grouping)
+            pending_cap = None
+            open_group = "PENDING"
+            i += 1
+            continue
+        if kind == "gclose":
+            if open_group is None:
+                raise ValueError("unbalanced group close")
+            # mark the LAST emitted position as the capture close
+            if group_cap is not None:
+                for bi in range(len(structs) - 1, -1, -1):
+                    if structs[bi][0] == "pos":
+                        s = structs[bi]
+                        structs[bi] = s[:7] + (group_cap,)
+                        break
+                else:
+                    raise ValueError("captured group has no positions")
+            open_group = None
+            group_cap_done = group_cap
+            group_cap = None
             i += 1
             continue
         if kind in ("term", "nterm", "alt"):
@@ -338,8 +381,17 @@ def _build_seq_variants(items: list) -> list[SeqPlan]:
                     raise ValueError(
                         "%c applies to the word annotation only")
                 sens = annot
+            copen = None
+            if open_group == "PENDING" and group_cap is not None:
+                copen = group_cap          # first position of the group
+                open_group = "OPENED"
+            elif open_group == "PENDING":
+                open_group = "OPENED"
+            if open_group is not None and rep != (1, 1):
+                raise ValueError(
+                    "repetition inside groups is out of subset")
             structs.append(("pos", patterns, kind == "nterm", rep,
-                            pending_cap, sens))
+                            pending_cap, sens, copen, None))
             pending_cap = None
         elif kind == "any":
             lo, hi = 1, 1
@@ -354,6 +406,8 @@ def _build_seq_variants(items: list) -> list[SeqPlan]:
         i += 1
     if pending_cap is not None:
         raise ValueError("dangling capture label")
+    if open_group is not None:
+        raise ValueError("unclosed group")
     # pass 2: cross product over variable repetition counts
     pos_ranges = [range(s[3][0], s[3][1] + 1)
                   for s in structs if s[0] == "pos"]
@@ -377,7 +431,7 @@ def _build_seq_variants(items: list) -> list[SeqPlan]:
                 g = pending or (0, 0)
                 pending = (g[0] + lo, g[1] + hi)
                 continue
-            _, patterns, negate, _, cap, sens = s
+            _, patterns, negate, _, cap, sens, copen, cclose = s
             count = combo[ci]
             ci += 1
             for _ in range(count):
@@ -396,7 +450,9 @@ def _build_seq_variants(items: list) -> list[SeqPlan]:
                     negate=negate,
                     alts=tuple(patterns[1:]),
                     capture=cap,
-                    sensitivity=sens))
+                    sensitivity=sens,
+                    cap_open=copen,
+                    cap_close=cclose))
         if not positions:
             raise ValueError(
                 "pure any-token queries are out of subset (no anchor; "
@@ -476,15 +532,25 @@ def cql_spans(reader, q: str) -> pa.Table:
 
 def _apply_constraints(reader, spans: pa.Table,
                        constraints: list[Constraint]) -> pa.Table:
-    if not constraints or spans.num_rows == 0:
+    if not constraints:
+        return spans
+    # validate capture references even for empty results (a group
+    # capture has {name}_start/_end, not a single token — constraints
+    # need single-position captures)
+    for c in constraints:
+        for name in (c.a, c.b):
+            if f"{name}_pos" not in spans.column_names:
+                hint = (" (group captures span multiple tokens; "
+                        "constraints need single-position captures)"
+                        if f"{name}_start" in spans.column_names else "")
+                raise ValueError(
+                    f"constraint references unknown capture "
+                    f"{name!r}{hint}")
+    if spans.num_rows == 0:
         return spans
     keep = np.ones(spans.num_rows, dtype=bool)
     d = spans["doc_id"].to_numpy()
     for c in constraints:
-        for name in (c.a, c.b):
-            if f"{name}_pos" not in spans.column_names:
-                raise ValueError(
-                    f"constraint references unknown capture {name!r}")
         ta = reader.tokens_at(d, spans[f"{c.a}_pos"].to_numpy())
         tb = reader.tokens_at(d, spans[f"{c.b}_pos"].to_numpy())
         eq = np.array([x is not None and x == y
@@ -532,22 +598,36 @@ def cql_spans_seq(reader, plan: SeqPlan) -> pa.Table:
         raise ValueError(
             "every position is too broad to expand and there is no "
             "anchor for forward-index verification; narrow a pattern")
-    captures = [p.capture for p in positions]
+    captures: list = []
+    for p in positions:
+        specs = []
+        if p.capture:
+            specs.append((p.capture, "pos"))
+        if p.cap_open:
+            specs.append((p.cap_open, "start"))
+        if p.cap_close:
+            specs.append((p.cap_close, "end"))
+        captures.append(specs or None)
     auto = []
     for i, v in enumerate(verifies):
-        if v and not captures[i]:
-            captures[i] = f"__v{i}"
         if v:
-            auto.append((i, captures[i], v))
+            name = None
+            for spec in (captures[i] or []):
+                if spec[1] == "pos":
+                    name = spec[0]
+            if name is None:
+                name = f"__v{i}"
+                captures[i] = (captures[i] or []) + [(name, "pos")]
+            auto.append((i, name, v))
     if any(not ts and not neg for ts, neg in zip(term_sets, negates)):
         if not any(captures):
             return SPAN_SCHEMA.empty_table()
         cols = {"doc_id": pa.array([], pa.int64()),
                 "start": pa.array([], pa.int64()),
                 "end": pa.array([], pa.int64())}
-        for c in captures:
-            if c:
-                cols[f"{c}_pos"] = pa.array([], pa.int64())
+        for specs in captures:
+            for n, k in (specs or []):
+                cols[f"{n}_{k}"] = pa.array([], pa.int64())
         return pa.table(cols)
     spans = sequence_spans_multi(reader, term_sets, plan.gaps,
                                  negates=negates, captures=captures,

@@ -365,13 +365,26 @@ def sequence_spans_multi(reader, term_sets: list[list[str]],
             pm = comp
         pos_maps.append(pm)
 
+    # captures: per position either None, a str (single-position
+    # capture → "{name}_pos" column), or a list of (name, kind) with
+    # kind in pos|start|end (multi-token group captures →
+    # "{name}_start"/"{name}_end" columns; SpanQueryCaptureGroup
+    # sub-span semantics)
     captures = captures or [None] * len(term_sets)
     if len(captures) != len(term_sets):
-        raise ValueError("need one capture label (or None) per position")
-    cap_names = [c for c in captures if c]
+        raise ValueError("need one capture spec (or None) per position")
+    cap_specs: list[list[tuple[str, str]]] = []
+    for c in captures:
+        if c is None:
+            cap_specs.append([])
+        elif isinstance(c, str):
+            cap_specs.append([(c, "pos")])
+        else:
+            cap_specs.append(list(c))
+    col_names = [f"{n}_{k}" for specs in cap_specs for n, k in specs]
 
     out_d, out_s, out_e = [], [], []
-    out_caps: dict[str, list] = {c: [] for c in cap_names}
+    out_caps: dict[str, list] = {c: [] for c in col_names}
     for doc in cand.tolist():
         first = pos_maps[0].get(doc)
         if first is None:
@@ -380,10 +393,11 @@ def sequence_spans_multi(reader, term_sets: list[list[str]],
         lasts = first
         # per-capture position arrays, aligned with the active paths
         caps: dict[str, np.ndarray] = {}
-        if captures[0]:
-            caps[captures[0]] = first
+        for n, k in cap_specs[0]:
+            caps[f"{n}_{k}"] = first
         ok = True
-        for (lo, hi), pm, cap in zip(gaps, pos_maps[1:], captures[1:]):
+        for (lo, hi), pm, specs in zip(gaps, pos_maps[1:],
+                                       cap_specs[1:]):
             nxt = pm.get(doc)
             if nxt is None or lasts.size == 0:
                 ok = False
@@ -401,34 +415,32 @@ def sequence_spans_multi(reader, term_sets: list[list[str]],
             for name in caps:
                 caps[name] = np.repeat(caps[name][sel], counts[sel])
             lasts = nxt[idx]
-            if cap:
-                caps[cap] = lasts
+            for n, k in specs:
+                caps[f"{n}_{k}"] = lasts
         if ok and lasts.size:
             out_d.append(np.full(lasts.size, doc, dtype=np.int64))
             out_s.append(starts)
             out_e.append(lasts + 1)
-            for name in cap_names:
+            for name in col_names:
                 out_caps[name].append(caps[name])
     if not out_d:
-        if not cap_names:
+        if not col_names:
             return SPAN_SCHEMA.empty_table()
         cols = {"doc_id": pa.array([], pa.int64()),
                 "start": pa.array([], pa.int64()),
                 "end": pa.array([], pa.int64())}
-        for name in cap_names:
-            cols[f"{name}_pos"] = pa.array([], pa.int64())
+        for name in col_names:
+            cols[name] = pa.array([], pa.int64())
         return pa.table(cols)
     tbl = span_table(np.concatenate(out_d), np.concatenate(out_s),
                      np.concatenate(out_e))
-    if not cap_names:
+    if not col_names:
         return unique_spans(tbl)
-    # capture columns: token position of each captured group
-    # (SpanQueryCaptureGroup.java:18 — sub-span per hit; single-token
-    # positions, so one position column per capture)
-    for name in cap_names:
-        tbl = tbl.append_column(f"{name}_pos",
-                                pa.array(np.concatenate(out_caps[name]),
-                                         pa.int64()))
+    for name in col_names:
+        vals = np.concatenate(out_caps[name])
+        if name.endswith("_end"):
+            vals = vals + 1          # exclusive end, like span ends
+        tbl = tbl.append_column(name, pa.array(vals, pa.int64()))
     # dedupe over ALL columns (identical spans with different captures
     # are distinct hits)
     d = tbl.to_pandas().drop_duplicates().sort_values(

@@ -604,3 +604,44 @@ def test_tags_with_attributes(ray_session, tmp_path):
     assert got_all == [(hash64("d0"), 1, 3), (hash64("d1"), 0, 2)]
     # unknown tag name → empty spans, not an error (tag column exists)
     assert cql_spans(r, '"beta" within <nope/>').num_rows == 0
+
+
+def test_sequence_group_capture(reader, small_oracle):
+    """A:("x" "y") captures the SUB-SPAN of the group
+    (SpanQueryCaptureGroup over a multi-token clause): hit rows gain
+    {A}_start / {A}_end columns covering the group's tokens."""
+    import collections
+    follow = collections.Counter()
+    for toks in small_oracle.docs.values():
+        for x, y in zip(toks, toks[1:]):
+            if x == "the":
+                follow[y] += 1
+    nxt = follow.most_common(1)[0][0]
+    t = cql_spans(reader, f'A:("the" "{nxt}") [word="w0.*"]'
+                  .replace("w0.*", "w000.."))
+    assert {"A_start", "A_end"} <= set(t.column_names)
+    for s, a_s, a_e, e in zip(t["start"].to_pylist(),
+                              t["A_start"].to_pylist(),
+                              t["A_end"].to_pylist(),
+                              t["end"].to_pylist()):
+        assert a_s == s and a_e == s + 2 and e == s + 3
+    # brute check of the full matches
+    exp = _brute_seq_spans(small_oracle.docs, ["the", nxt, "w000.."],
+                           [(0, 0), (0, 0)])
+    got = _rows(t)
+    assert got == exp
+    # plain (uncaptured) sequence groups parse and run identically
+    t2 = cql_spans(reader, f'("the" "{nxt}") [word="w000.."]')
+    assert _rows(t2) == exp
+    # group capture composes with a gap inside the group
+    t3 = cql_spans(reader, f'B:("the" []? "{nxt}")')
+    assert {"B_start", "B_end"} <= set(t3.column_names)
+    for s, b_s, b_e, e in zip(t3["start"].to_pylist(),
+                              t3["B_start"].to_pylist(),
+                              t3["B_end"].to_pylist(),
+                              t3["end"].to_pylist()):
+        assert b_s == s and b_e == e
+    with pytest.raises(ValueError, match="nested"):
+        parse_cql('A:(("x") "y")')
+    with pytest.raises(ValueError, match="repetition inside"):
+        parse_cql('("x" "y"{2})')
