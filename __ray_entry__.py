@@ -538,6 +538,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         df = windows.tumbling(_events_ds(sf), 3600).to_pandas()
         return _round_cols(df, {"sum_value": 6})
 
+    def q_events_sliding(sf):
+        """Sliding (hopping) windows: 1h windows advancing every 30min."""
+        df = windows.sliding(_events_ds(sf), 3600, 1800).to_pandas()
+        return _round_cols(df, {"sum_value": 6})
+
     def q_events_sessions(sf):
         return windows.sessionize(_events_ds(sf), gap_s=1800)
 
@@ -620,6 +625,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count_by_lang": q_token_count_by_lang,
         "lang_id_counts": q_lang_id,
         "events_hourly": q_events_hourly,
+        "events_sliding": q_events_sliding,
         "events_sessions": q_events_sessions,
         "media_features": q_media_features,
     }
@@ -1120,6 +1126,19 @@ SELECT to_timestamp(floor(epoch(ts) / 3600) * 3600)::TIMESTAMP
        event_type, count(*) AS n_events,
        round(sum(value), 6) AS sum_value
 FROM events GROUP BY 1, 2
+""",
+        "events_sliding": """
+WITH w AS (
+  SELECT to_timestamp(floor(epoch(ts) / 1800) * 1800
+                      - g.i * 1800)::TIMESTAMP AS window_start,
+         event_type, value
+  FROM events CROSS JOIN (VALUES (0), (1)) g(i)
+  WHERE floor(epoch(ts) / 1800) * 1800 - g.i * 1800
+        > epoch(ts) - 3600
+)
+SELECT window_start, event_type, count(*) AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM w GROUP BY 1, 2
 """,
         "events_sessions": """
 WITH o AS (

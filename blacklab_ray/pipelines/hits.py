@@ -99,6 +99,44 @@ def hits_by(ds: ray.data.Dataset, term: str, group_col: str,
         batch_format="pyarrow")
 
 
+def hits_by_with_examples(ds: ray.data.Dataset, term: str,
+                          group_col: str, max_stored: int = 5,
+                          id_col: str = "doc_id",
+                          text_col: str = "text") -> pa.Table:
+    """Hit grouping that also STORES up to ``max_stored`` example hits
+    per group (HitGroups' maxValuesToStorePerGroup behavior,
+    HitGroups.java:103-160) plus the largest-group stat. Examples are
+    the deterministic smallest (doc_id, pos) hits per group — selection
+    happens inside ``map_groups`` so only the capped examples leave the
+    shuffle."""
+    found = find_hits(ds, term, id_col, text_col, carry=(group_col,))
+
+    def per_group(g: pa.Table) -> pa.Table:
+        d = g["doc_id"].to_numpy()
+        p = g["pos"].to_numpy()
+        order = np.lexsort((p, d))[:max_stored]
+        ex = [{"doc_id": int(d[i]), "pos": int(p[i])}
+              for i in order.tolist()]
+        return pa.table({
+            group_col: pa.array([g[group_col][0].as_py()], pa.string()),
+            "n_hits": pa.array([g.num_rows], pa.int64()),
+            "examples": pa.array([ex], pa.list_(pa.struct(
+                [("doc_id", pa.int64()), ("pos", pa.int64())]))),
+        })
+
+    out = found.groupby(group_col).map_groups(per_group,
+                                              batch_format="pyarrow")
+    tbl = pa.Table.from_pylist(out.take_all())
+    if tbl.num_rows == 0:
+        return pa.table({group_col: pa.array([], pa.string()),
+                         "n_hits": pa.array([], pa.int64()),
+                         "examples": pa.array([], pa.list_(pa.struct(
+                             [("doc_id", pa.int64()),
+                              ("pos", pa.int64())])))})
+    return tbl.sort_by([("n_hits", "descending"),
+                        (group_col, "ascending")])
+
+
 class CollocationPartial:
     """map_batches: count context terms within ±window of hits of ``term``,
     excluding the hit positions themselves (the reference's convention,

@@ -69,6 +69,73 @@ def tumbling(ds: ray.data.Dataset, window_s: int, ts_col: str = "ts",
         }), batch_format="pyarrow")
 
 
+class SlidingPartial:
+    """map_batches combiner for SLIDING (hopping) windows: each event
+    belongs to ``window/hop`` overlapping windows; the explode happens
+    batch-locally and pre-aggregates before the shuffle (window count
+    per event is the fan-out multiplier — shuffle rows stay
+    per-(window,key) partials, not per-event copies)."""
+
+    def __init__(self, window_s: int, hop_s: int, ts_col: str = "ts",
+                 key_col: str = "event_type", value_col: str = "value"):
+        if window_s % hop_s != 0:
+            raise ValueError("window_s must be a multiple of hop_s")
+        self._w = window_s * 1_000_000
+        self._h = hop_s * 1_000_000
+        self._k = window_s // hop_s
+        self._ts = ts_col
+        self._key = key_col
+        self._val = value_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ts = batch.column(self._ts).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        # newest window containing the event starts at hop-floor(ts);
+        # the k windows start at floor - i*hop for i in 0..k-1, valid
+        # while start > ts - window
+        base = (ts // self._h) * self._h
+        parts = []
+        for i in range(self._k):
+            start = base - i * self._h
+            keep = start > ts - self._w
+            sub = pa.table({
+                "window_start": pa.array(start[keep], pa.int64()),
+                "key": batch.column(self._key).filter(pa.array(keep)),
+                "value": batch.column(self._val).filter(pa.array(keep)),
+            })
+            parts.append(sub)
+        tbl = pa.concat_tables(parts)
+        gb = tbl.group_by(["window_start", "key"]).aggregate(
+            [("value", "sum"), ([], "count_all")])
+        return pa.table({
+            "window_start": gb["window_start"],
+            "key": gb["key"],
+            "sum_p": gb["value_sum"],
+            "n_p": gb["count_all"].cast(pa.int64()),
+        })
+
+
+def sliding(ds: ray.data.Dataset, window_s: int, hop_s: int,
+            ts_col: str = "ts", key_col: str = "event_type",
+            value_col: str = "value") -> ray.data.Dataset:
+    """Sliding-window count + sum per key (window length ``window_s``,
+    advancing every ``hop_s``); window_start in epoch µs. Same
+    partial-agg + tiny-groupby shape as tumbling."""
+    partial = ds.map_batches(
+        SlidingPartial(window_s, hop_s, ts_col, key_col, value_col),
+        batch_format="pyarrow")
+    out = partial.groupby(["window_start", "key"]).aggregate(
+        Sum("n_p", alias_name="n_events"),
+        Sum("sum_p", alias_name="sum_value"))
+    return out.map_batches(
+        lambda t: pa.table({
+            "window_start": t["window_start"].cast(pa.timestamp("us")),
+            key_col: t["key"],
+            "n_events": t["n_events"],
+            "sum_value": t["sum_value"],
+        }), batch_format="pyarrow")
+
+
 def sessionize(ds: ray.data.Dataset, gap_s: int, ts_col: str = "ts",
                user_col: str = "user_id") -> ray.data.Dataset:
     """Session windows per user (new session when gap > gap_s).

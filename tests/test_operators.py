@@ -310,3 +310,52 @@ def test_media_pipeline_plumbing(ray_session):
     out2 = multimodal.media_pipeline(ds, n_frames=4).take_all()
     key = lambda r: (r["media_id"], tuple(r["feature"]))
     assert sorted(map(key, out)) == sorted(map(key, out2))
+
+
+def test_sliding_windows(ray_session):
+    """Hopping windows: each event lands in window/hop windows."""
+    import pyarrow as pa
+    import ray.data
+
+    from blacklab_ray.pipelines import windows
+    ts = [0, 1700, 1900, 3700]    # seconds
+    tbl = pa.table({
+        "ts": pa.array([t * 1_000_000 for t in ts],
+                       pa.timestamp("us")),
+        "event_type": pa.array(["a"] * 4, pa.string()),
+        "value": pa.array([1.0, 2.0, 4.0, 8.0], pa.float64()),
+    })
+    out = windows.sliding(ray.data.from_arrow(tbl), 3600, 1800) \
+        .to_pandas().sort_values("window_start").reset_index(drop=True)
+    # windows: [-1800,1800)@-1800: events 0,1700 -> 3.0
+    #          [0,3600)@0: 0,1700,1900 -> 7.0
+    #          [1800,5400)@1800: 1900,3700 -> 12.0
+    #          [3600,7200)@3600: 3700 -> 8.0
+    assert out["sum_value"].tolist() == [3.0, 7.0, 12.0, 8.0]
+    assert out["n_events"].tolist() == [2, 3, 2, 1]
+    import pytest as _pt
+    with _pt.raises(ValueError, match="multiple"):
+        windows.sliding(ray.data.from_arrow(tbl), 3600, 1000)
+
+
+def test_hits_by_with_examples(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from blacklab_ray.pipelines.hits import hits_by_with_examples
+    tbl = pa.table({
+        "doc_id": pa.array(range(6), pa.int64()),
+        "lang": pa.array(["en", "en", "en", "de", "de", "fr"],
+                         pa.string()),
+        "text": pa.array(["x x x", "x", "x x", "x", "x x", "y"],
+                         pa.string()),
+    })
+    t = hits_by_with_examples(ray.data.from_arrow(tbl), "x", "lang",
+                              max_stored=2)
+    rows = {r["lang"]: r for r in t.to_pylist()}
+    assert rows["en"]["n_hits"] == 6 and rows["de"]["n_hits"] == 3
+    assert "fr" not in rows
+    # stored examples capped + deterministic smallest (doc_id, pos)
+    assert rows["en"]["examples"] == [
+        {"doc_id": 0, "pos": 0}, {"doc_id": 0, "pos": 1}]
+    assert t["lang"][0].as_py() == "en"    # largest group first
