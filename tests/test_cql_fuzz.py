@@ -141,6 +141,14 @@ def _rand_query(rng, vocab) -> str:
     if rng.random() < 0.2:
         t = vocab[int(rng.integers(0, len(vocab)))]
         q = f'{q} | "{t}"'                      # alternation branch
+    elif rng.random() < 0.25:
+        # position filter against a window sequence
+        a = vocab[int(rng.integers(0, len(vocab)))]
+        b = vocab[int(rng.integers(0, len(vocab)))]
+        op = "within" if rng.random() < 0.5 else "containing"
+        lo = int(rng.integers(0, 2))
+        hi = lo + int(rng.integers(1, 4))
+        q = f'{q} {op} "{a}" []{{{lo},{hi}}} "{b}"'
     return q
 
 
@@ -151,7 +159,7 @@ def test_cql_fuzz_vs_brute(reader, small_oracle):
     vocab = sorted(df, key=df.get, reverse=True)[:40]
     docs = small_oracle.docs
     checked = 0
-    for qi in range(60):
+    for qi in range(80):
         q = _rand_query(rng, vocab)
         try:
             exp = _brute_cql(q, docs)
