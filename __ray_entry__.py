@@ -1019,10 +1019,14 @@ dl AS (SELECT d.doc_id, count(t.term) AS doc_len
 SELECT doc_id, doc_len FROM dl
 ORDER BY doc_len DESC, doc_id LIMIT 10 OFFSET 10
 """,
-        "docs_sample": """
+        # threshold emitted as the PYTHON-truncated constant so the
+        # oracle can't diverge on boundary hashes (DuckDB's CAST
+        # rounds 0.3*2^20 to 314573; int() truncates to 314572 —
+        # ADVICE r2 #4)
+        "docs_sample": f"""
 SELECT doc_id FROM documents
 WHERE md5_number_lower(doc_id::VARCHAR || ':29') % 1048576
-      < CAST(0.3 * 1048576 AS BIGINT)
+      < {int(0.3 * (1 << 20))}
 """,
         "canonical_urls": r"""
 WITH u AS (

@@ -304,7 +304,9 @@ def build_index(source: str | list[str] | ray.data.Dataset, index_dir: str,
                 sentence_spans=params.sentence_spans,
                 sensitive=params.sensitive,
                 batch_size=params.batch_size,
-                files_per_map=params.files_per_map)
+                files_per_map=params.files_per_map,
+                analyzer=params.analyzer,
+                annotations=tuple(params.annotations))
             if params.verify_doc_ids:
                 n_dup = check_doc_id_collisions(fwd_dir)
                 if n_dup:

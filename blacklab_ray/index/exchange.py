@@ -184,7 +184,9 @@ def _map_fused(paths: list[str], fwd_dir: str, chunk_id: int,
                n_parts: int, num_buckets: int, n_salts: int, hot_terms,
                extract_html: bool, trust_text: bool, id_column: str,
                paragraph_spans: bool, sentence_spans: bool,
-               sensitive: bool, batch_size: int) -> list:
+               sensitive: bool, batch_size: int,
+               analyzer: str = "standard",
+               annotations: tuple = ()) -> list:
     """Fused single-pass map: pages chunk → extract → tokenize → write
     the fwd shard (atomic, deterministic name) → explode → split.
 
@@ -205,10 +207,15 @@ def _map_fused(paths: list[str], fwd_dir: str, chunk_id: int,
     from blacklab_ray.stages.tokenize import TokenizeForwardIndex
     extractor = HtmlExtractor(trust_text=trust_text) if extract_html \
         else None
+    # analyzer + annotations MUST be threaded through: dropping them
+    # silently indexed custom-analyzer builds with the standard
+    # analyzer and broke stage-3b annotation exchanges (ADVICE r2 #2)
     tok = TokenizeForwardIndex(id_column=id_column,
                                paragraph_spans=paragraph_spans,
                                sentence_spans=sentence_spans,
-                               sensitive=sensitive)
+                               sensitive=sensitive,
+                               analyzer=analyzer,
+                               annotations=annotations)
     explode = ExplodePostings(num_buckets=num_buckets, n_salts=n_salts,
                               hot_terms=hot_terms)
     fwd_tables = []
@@ -241,7 +248,9 @@ def run_fused_build(page_paths: list[str], index_dir: str, *,
                     paragraph_spans: bool, sentence_spans: bool,
                     sensitive: bool, batch_size: int,
                     n_parts: int | None = None,
-                    files_per_map: int | None = None) -> dict:
+                    files_per_map: int | None = None,
+                    analyzer: str = "standard",
+                    annotations: tuple = ()) -> dict:
     """Single-pass build: pages → (fwd shards + postings) in one wave of
     map tasks feeding the standard reduces. Returns per-part lineage."""
     files = sorted(page_paths)
@@ -268,7 +277,8 @@ def run_fused_build(page_paths: list[str], index_dir: str, *,
     map_out = [map_task.remote(c, fwd_dir, ci, n_parts, num_buckets,
                                n_salts, hot_terms, extract_html,
                                trust_text, id_column, paragraph_spans,
-                               sentence_spans, sensitive, batch_size)
+                               sentence_spans, sensitive, batch_size,
+                               analyzer, annotations)
                for ci, c in enumerate(chunks)]
     vocab_refs = [m[n_parts] for m in map_out]
     reduce_refs = []

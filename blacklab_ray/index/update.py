@@ -354,7 +354,15 @@ def compact_generations(index_dir: str,
         return out.num_rows if out is not None else 0
 
     merged = {}
-    for sub in ("postings", "postings_s"):
+    # ALL postings partitions: base, sensitive (postings_s) AND every
+    # parallel-annotation partition (postings_lemma, ...) — otherwise
+    # tombstoned docs stay matchable via [lemma="..."] after the
+    # tombstone list is cleared below (ADVICE r2 #1)
+    all_postings = sorted(
+        d for d in os.listdir(index_dir)
+        if (d == "postings" or d.startswith("postings_"))
+        and os.path.isdir(os.path.join(index_dir, d)))
+    for sub in all_postings:
         root = os.path.join(index_dir, sub)
         if not os.path.isdir(root):
             continue
@@ -390,16 +398,22 @@ def compact_generations(index_dir: str,
         import shutil
         shutil.rmtree(fwd_dir)
         os.replace(new_fwd, fwd_dir)
-        # regenerate per-part stats from the compacted postings
-        for parts_name in ("terms_parts", "terms_parts_s"):
+        # regenerate per-part stats from the compacted postings — for
+        # EVERY postings partition incl. annotations (ADVICE r2 #1)
+        for sub in all_postings:
+            parts_name = ("terms_parts" if sub == "postings"
+                          else "terms_parts_" + sub[len("postings_"):])
             pdir = os.path.join(index_dir, parts_name)
             if os.path.isdir(pdir):
                 import shutil as _sh
                 _sh.rmtree(pdir)
         _ensure_terms_parts(index_dir)
-        if os.path.isdir(os.path.join(index_dir, "postings_s")):
-            _ensure_terms_parts_for(index_dir, "postings_s",
-                                    "terms_parts_s")
+        for sub in all_postings:
+            if sub == "postings":
+                continue
+            _ensure_terms_parts_for(
+                index_dir, sub,
+                "terms_parts_" + sub[len("postings_"):])
         _refresh_terms_and_meta(index_dir)
         upd["tombstones"] = []
     rec = {"op": "compact_tier", "buckets_merged": len(merged),

@@ -293,6 +293,11 @@ class IndexReader:
         doc_ids = np.asarray(doc_ids, dtype=np.int64)
         if not hasattr(self, "_norm_cache"):
             self._norm_cache: dict[int, int] = {}
+        # evict BEFORE computing `missing`: clearing after would wipe
+        # cached entries the current call still relies on and the final
+        # lookup would KeyError once the cache fills (ADVICE r2 #3)
+        if len(self._norm_cache) > self._NORM_CACHE_MAX:
+            self._norm_cache.clear()
         missing = [int(d) for d in np.unique(doc_ids)
                    if int(d) not in self._norm_cache]
         if missing:
@@ -300,8 +305,6 @@ class IndexReader:
                                format="parquet")
             tbl = ds.to_table(columns=["doc_id", "norm"],
                               filter=pc.field("doc_id").isin(missing))
-            if len(self._norm_cache) + tbl.num_rows > self._NORM_CACHE_MAX:
-                self._norm_cache.clear()
             for d, n in zip(tbl["doc_id"].to_numpy(),
                             tbl["norm"].to_numpy()):
                 self._norm_cache[int(d)] = int(n)
@@ -332,7 +335,9 @@ class IndexReader:
                           filter=pc.field("doc_id").isin(need))
         lookup = dict(zip(tbl["doc_id"].to_numpy(),
                           tbl["url"].to_pylist()))
-        return [lookup[int(d)] for d in doc_ids]
+        # .get: a doc_id absent from fwd (stale candidate after a
+        # compaction race) yields a placeholder, not a crash
+        return [lookup.get(int(d)) for d in doc_ids]
 
     def paragraph_spans(self) -> "pa.Table":
         """Structural paragraph spans (doc_id, start, end) from the
@@ -413,6 +418,8 @@ class IndexReader:
         setattr(self, cache_attr, out)
         return out
 
+    _TOK_CACHE_MAX = 1 << 16   # ~65k cached per-doc position maps
+
     def tokens_at(self, doc_ids: np.ndarray,
                   positions: np.ndarray) -> list[str | None]:
         """Token string at each (doc_id, position) pair — the forward-
@@ -427,6 +434,11 @@ class IndexReader:
         need = np.unique(doc_ids)
         if not hasattr(self, "_fwd_tok_cache"):
             self._fwd_tok_cache: dict[int, dict[int, str]] = {}
+        # bounded like the norm cache: whole-dict reset before the
+        # `missing` computation keeps long-lived readers from growing
+        # without limit (ADVICE r2 #5)
+        if len(self._fwd_tok_cache) > self._TOK_CACHE_MAX:
+            self._fwd_tok_cache.clear()
         missing = [int(d) for d in need
                    if int(d) not in self._fwd_tok_cache]
         if missing:

@@ -237,3 +237,78 @@ def test_quantized_paths_avoid_doc_table(ray_session, small_index):
     from blacklab_ray.codec.smallfloat import encode_lengths
     ids = t["doc_id"].to_numpy()
     assert (r.norms_for(ids) == encode_lengths(r.doc_lens(ids))).all()
+
+
+def _brute_andnot(oracle, pos, neg, k):
+    scored = oracle.topk(pos, 10**6, "or")
+    negdocs = {did for did, toks in oracle.docs.items()
+               if any(t in toks for t in neg)}
+    return [(d, s) for d, s in scored if d not in negdocs][:k]
+
+
+def test_andnot_matches_brute(small_index, small_oracle):
+    from blacklab_ray.query.engine import search_andnot
+    r = IndexReader(small_index)
+    for pos, neg in ([["the"], ["of"]], [["the", "of"], ["and"]],
+                     [["the"], ["zz_nohit"]], [["of", "and"], ["the"]]):
+        got = _pairs(search_andnot(r, pos, neg, k=10))
+        _assert_match(got, _brute_andnot(small_oracle, pos, neg, 10))
+
+
+def test_andnot_negative_decode_bounded(small_index, small_oracle):
+    """VERDICT r2 #4: a stopword NEGATIVE must not be fully decoded —
+    it is probed block-at-a-time over the positive candidate set."""
+    from blacklab_ray.query.engine import search_andnot
+    from blacklab_ray.query.reader import DECODE_STATS, reset_decode_stats
+    r = IndexReader(small_index)  # fresh reader: no cached decodes
+    vocab = small_oracle.doc_freq()
+    rare = min((t for t in vocab if t.startswith("w")),
+               key=lambda t: vocab[t])
+    the_blocks = sum(len(s.blocks) for s in r.segments(["the"])["the"])
+    assert the_blocks >= 8, "fixture too small to prove skipping"
+    reset_decode_stats()
+    got = _pairs(search_andnot(r, [rare], ["the"], k=10))
+    assert DECODE_STATS["blocks_decoded"] < the_blocks, \
+        "negative stopword list was fully decoded"
+    _assert_match(got, _brute_andnot(small_oracle, [rare], ["the"], 10))
+
+
+def test_andnot_wand_exclusion_path(small_index, small_oracle,
+                                    monkeypatch):
+    """Stopword-heavy POSITIVE side takes Block-Max WAND with the
+    negatives as forward-only exclusion probes (not k=2^62 TAAT)."""
+    from blacklab_ray.query import engine
+    monkeypatch.setattr(engine, "AUTO_TAAT_MAX_POSTINGS", 0)
+    r = IndexReader(small_index)
+    for pos, neg in ([["the", "of"], ["and"]],
+                     [["the", "of", "a"], ["w000001", "and"]],
+                     [["the"], ["of"]]):
+        got = _pairs(engine.search_andnot(r, pos, neg, k=10))
+        _assert_match(got, _brute_andnot(small_oracle, pos, neg, 10))
+
+
+def test_kwic_fwd_candidates_pruned(ray_session, small_index,
+                                    small_oracle):
+    """VERDICT r2 #4 (kwic): index-backed KWIC seeds candidate docs
+    from the term's postings instead of scanning the whole fwd."""
+    from blacklab_ray.pipelines.hits import (
+        kwic_from_forward_index, term_doc_ids,
+    )
+    vocab = small_oracle.doc_freq()
+    rare = min((t for t in vocab if t.startswith("w")),
+               key=lambda t: vocab[t])
+    cand = term_doc_ids(small_index, rare)
+    exp_docs = sorted(did for did, toks in small_oracle.docs.items()
+                      if rare in toks)
+    assert sorted(cand.tolist()) == exp_docs
+    assert cand.size < len(small_oracle.docs), "no pruning happened"
+    out = kwic_from_forward_index(small_index, rare, context=2)
+    tbl = out.take_all()
+    assert sorted({r["doc_id"] for r in tbl}) == exp_docs
+    # windows match the oracle token streams
+    for row in tbl:
+        toks = small_oracle.docs[row["doc_id"]]
+        p = row["pos"]
+        assert toks[p] == rare
+        assert row["left"] == " ".join(toks[max(0, p - 2):p])
+        assert row["right"] == " ".join(toks[p + 1:p + 3])
