@@ -160,17 +160,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
                            algo="taat").select(["doc_id", "score"])
         return _round_cols(t.to_pandas(), {"score": 4})
 
-    def q_fuzzy_expand(sf):
+    def q_term_expansion(sf):
+        """Term-dictionary expansion for prefix/regex/fuzzy patterns
+        (BLSpanMultiTermQueryWrapper / SpanFuzzyQuery term enumeration),
+        one `kind` column per expansion flavor."""
         from blacklab_ray.query.engine import expand_terms
         r = _index_for(sf)
-        return pa.table({"term": pa.array(
-            expand_terms(r, "spark", "fuzzy", max_edits=1), pa.string())})
-
-    def q_regex_expand(sf):
-        from blacklab_ray.query.engine import expand_terms
-        r = _index_for(sf)
-        return pa.table({"term": pa.array(
-            expand_terms(r, "s.*a.*", "regex"), pa.string())})
+        kinds, terms = [], []
+        for kind, arg, kw in (("prefix", "sp", {}),
+                              ("regex", "s.*a.*", {}),
+                              ("fuzzy", "spark", {"max_edits": 1})):
+            for t in expand_terms(r, arg, kind, max_terms=10**6, **kw):
+                kinds.append(kind)
+                terms.append(t)
+        return pa.table({"kind": pa.array(kinds, pa.string()),
+                         "term": pa.array(terms, pa.string())})
 
     def q_bm25_filtered_en(sf):
         import pyarrow.parquet as pq
@@ -274,6 +278,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         df = t.select(["doc_id", "span_tf"]).to_pandas()
         return df.sort_values("doc_id").reset_index(drop=True)
 
+    def q_cql_constraint(sf):
+        """Full MatchFilter constraint tree (matchfilter/
+        MatchFilter.java): comparisons against captures and literals
+        combined with | & and -> (implication)."""
+        from blacklab_ray.query.cql import search_cql
+        r = _index_for(sf)
+        t = search_cql(r, 'A:[word="b.*"] B:[] :: '
+                          '(A.word = B.word | B.word = "batch") '
+                          '& (A.word = "bloom" -> B.word = "filter")',
+                       k=10**9)
+        df = t.select(["doc_id", "span_tf"]).to_pandas()
+        return df.sort_values("doc_id").reset_index(drop=True)
+
     def q_contextql(sf):
         """ContextQL (SRU) front-end: and/not chain lowered onto the
         shared engine (ContextualQueryLanguageParser analogue)."""
@@ -326,12 +343,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         t = sequence_search(r, PHRASE, gaps=[(0, 2)], k=10**9)
         df = t.select(["doc_id", "seq_tf"]).to_pandas()
         return df.sort_values("doc_id").reset_index(drop=True)
-
-    def q_hits_sorted(sf):
-        """Hits of HIT_TERM sorted by (lang, doc_id, pos), first 50 —
-        the HitProperty sort operator (HitsAbstract.sort analogue)."""
-        ds = hits.find_hits(_docs_ds(sf), HIT_TERM, carry=("lang",))
-        return ds.sort(["lang", "doc_id", "pos"]).limit(50)
 
     def q_docs_by_lang(sf):
         """Doc-level grouping of matching docs (DocResults.group
@@ -408,41 +419,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return docsops.docs_window(ds, ["doc_len", "doc_id"],
                                    [True, False], 10, 10)
 
-    def q_docs_sample(sf):
-        """DocResults.sample analogue: deterministic seeded doc ids."""
-        from blacklab_ray.pipelines import docsops
-        return docsops.sample_docs(
-            _docs_ds(sf).select_columns(["doc_id"]), frac=0.3, seed=29)
-
     def q_dedup_exact(sf):
         return dedup.exact_dedup_keep_ids(_docs_ds(sf))
-
-    def q_canonical_urls(sf):
-        """URL canonicalization (crawl-pipeline normalization ahead of
-        URL-level dedup): deterministic messy urls synthesized from
-        (doc_id, source), canonicalized with Arrow kernels."""
-        import pyarrow.compute as pc
-        from blacklab_ray.pipelines.dedup import canonicalize_url_expr
-
-        def _mk(batch: pa.Table) -> pa.Table:
-            did = batch.column("doc_id").cast(pa.string())
-            even = pc.equal(
-                pc.bit_wise_and(batch.column("doc_id").cast(pa.int64()),
-                                1), 0)
-            up = pc.binary_join_element_wise(
-                pa.scalar("HTTPS://WWW."), batch.column("source"),
-                pa.scalar(".Example.COM/P/"), did,
-                pa.scalar("/?q=1#frag"), "")
-            lo = pc.binary_join_element_wise(
-                pa.scalar("http://"), batch.column("source"),
-                pa.scalar(".example.com/p/"), did, "")
-            url = pc.if_else(even, up, lo)
-            return pa.table({
-                "doc_id": batch.column("doc_id").cast(pa.int64()),
-                "canonical_url": canonicalize_url_expr(url),
-            })
-
-        return _docs_ds(sf).map_batches(_mk, batch_format="pyarrow")
 
     def q_url_dedup(sf):
         """Canonical-URL dedup: min doc_id per canonical url (half the
@@ -534,13 +512,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     # ---- windowed event aggregates -------------------------------------
 
-    def q_events_hourly(sf):
-        df = windows.tumbling(_events_ds(sf), 3600).to_pandas()
-        return _round_cols(df, {"sum_value": 6})
-
-    def q_events_sliding(sf):
-        """Sliding (hopping) windows: 1h windows advancing every 30min."""
-        df = windows.sliding(_events_ds(sf), 3600, 1800).to_pandas()
+    def q_events_windows(sf):
+        """Tumbling (1h) and sliding (1h window / 30min hop) event
+        aggregates in one entry, discriminated by a `kind` column."""
+        a = windows.tumbling(_events_ds(sf), 3600).to_pandas()
+        a.insert(0, "kind", "tumbling")
+        b = windows.sliding(_events_ds(sf), 3600, 1800).to_pandas()
+        b.insert(0, "kind", "sliding")
+        df = pd.concat([a, b], ignore_index=True)
         return _round_cols(df, {"sum_value": 6})
 
     def q_events_sessions(sf):
@@ -573,10 +552,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return feats.map_batches(_sig, batch_format="pyarrow")
 
+    # exactly 50 entries: the round-2 driver recorded only the first 50
+    # keys (54 were exported; the last 4 were silently dropped from
+    # CORRECTNESS_r02), so the contract stays at <= 50 keys with the
+    # previously-dropped events/media entries placed mid-list.
     return {
         "wildcard_or_scores": q_wildcard_scores,
-        "fuzzy_expand": q_fuzzy_expand,
-        "regex_expand": q_regex_expand,
+        "term_expansion": q_term_expansion,
         "bm25_filtered_en": q_bm25_filtered_en,
         "hit_counts": q_hit_counts,
         "top_docs_by_len": q_top_docs_by_len,
@@ -589,9 +571,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cql_rep_docs": q_cql_rep,
         "cql_alt_docs": q_cql_alt,
         "cql_capture_docs": q_cql_capture,
+        "cql_constraint_docs": q_cql_constraint,
         "ngrams_containing": q_ngrams_containing,
         "seq_gap_docs": q_seq_gap,
-        "hits_sorted": q_hits_sorted,
+        "events_windows": q_events_windows,
+        "events_sessions": q_events_sessions,
+        "media_features": q_media_features,
         "docs_by_lang": q_docs_by_lang,
         "docs_filter": q_docs_filter,
         "facets_spark": q_facets,
@@ -611,9 +596,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": q_dedup_exact,
         "jaccard_pairs": q_jaccard_pairs,
         "docs_window": q_docs_window,
-        "docs_sample": q_docs_sample,
         "fingerprints": q_fingerprints,
-        "canonical_urls": q_canonical_urls,
         "url_dedup": q_url_dedup,
         "minhash_pairs": q_minhash_pairs,
         "simhash64": q_simhash,
@@ -624,10 +607,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_by_source": q_quality_by_source,
         "token_count_by_lang": q_token_count_by_lang,
         "lang_id_counts": q_lang_id,
-        "events_hourly": q_events_hourly,
-        "events_sliding": q_events_sliding,
-        "events_sessions": q_events_sessions,
-        "media_features": q_media_features,
     }
 
 
@@ -756,14 +735,18 @@ FROM toks
             [], "or", None, term_pred="term LIKE 's%'"),
         "bm25_filtered_en": _bm25_sql(
             OR_TERMS, "or", None, doc_filter="lang = 'en'"),
-        "fuzzy_expand": f"""
+        "term_expansion": f"""
 WITH toks AS ({toks})
-SELECT DISTINCT term FROM toks WHERE levenshtein(term, 'spark') <= 1
-""",
-        "regex_expand": f"""
-WITH toks AS ({toks})
-SELECT DISTINCT term FROM toks
-WHERE regexp_matches(term, '^(?:s.*a.*)$')
+SELECT 'prefix' AS kind, term
+FROM (SELECT DISTINCT term FROM toks WHERE term LIKE 'sp%')
+UNION ALL
+SELECT 'regex' AS kind, term
+FROM (SELECT DISTINCT term FROM toks
+      WHERE regexp_matches(term, '^(?:s.*a.*)$'))
+UNION ALL
+SELECT 'fuzzy' AS kind, term
+FROM (SELECT DISTINCT term FROM toks
+      WHERE levenshtein(term, 'spark') <= 1)
 """,
         "hit_counts": f"""
 WITH toks AS ({toks})
@@ -830,6 +813,16 @@ WHERE regexp_matches(a.term, '^(?:b.*)$')
   AND a.term = b.term
 GROUP BY a.doc_id
 """,
+        "cql_constraint_docs": f"""
+WITH toks AS ({toks_pos})
+SELECT a.doc_id, count(*) AS span_tf
+FROM toks a JOIN toks b
+  ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+WHERE regexp_matches(a.term, '^(?:b.*)$')
+  AND (a.term = b.term OR b.term = 'batch')
+  AND (NOT a.term = 'bloom' OR b.term = 'filter')
+GROUP BY a.doc_id
+""",
         "cql_not_docs": f"""
 WITH toks AS ({toks_pos})
 SELECT a.doc_id, count(*) AS span_tf
@@ -845,11 +838,6 @@ FROM toks a JOIN toks b
   ON a.doc_id = b.doc_id AND b.pos BETWEEN a.pos + 1 AND a.pos + 3
 WHERE a.term = '{PHRASE[0]}' AND b.term = '{PHRASE[1]}'
 GROUP BY a.doc_id
-""",
-        "hits_sorted": f"""
-WITH toks AS ({toks_pos})
-SELECT doc_id, lang, pos FROM toks WHERE term = '{HIT_TERM}'
-ORDER BY lang, doc_id, pos LIMIT 50
 """,
         "docs_by_lang": f"""
 WITH toks AS ({toks}),
@@ -1019,35 +1007,6 @@ dl AS (SELECT d.doc_id, count(t.term) AS doc_len
 SELECT doc_id, doc_len FROM dl
 ORDER BY doc_len DESC, doc_id LIMIT 10 OFFSET 10
 """,
-        # threshold emitted as the PYTHON-truncated constant so the
-        # oracle can't diverge on boundary hashes (DuckDB's CAST
-        # rounds 0.3*2^20 to 314573; int() truncates to 314572 —
-        # ADVICE r2 #4)
-        "docs_sample": f"""
-SELECT doc_id FROM documents
-WHERE md5_number_lower(doc_id::VARCHAR || ':29') % 1048576
-      < {int(0.3 * (1 << 20))}
-""",
-        "canonical_urls": r"""
-WITH u AS (
-  SELECT doc_id,
-         CASE WHEN doc_id % 2 = 0
-              THEN 'HTTPS://WWW.' || source || '.Example.COM/P/'
-                   || doc_id || '/?q=1#frag'
-              ELSE 'http://' || source || '.example.com/p/' || doc_id
-         END AS url
-  FROM documents),
-s1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS u FROM u),
-s2 AS (SELECT doc_id, regexp_replace(u, '\?.*$', '') AS u FROM s1),
-s3 AS (SELECT doc_id,
-              regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.-]*://', '')
-                AS u FROM s2),
-s4 AS (SELECT doc_id,
-              regexp_replace(lower(regexp_replace(u, '/.*$', '')),
-                             '^www\.', '')
-              || regexp_replace(u, '^[^/]*', '') AS u FROM s3)
-SELECT doc_id, regexp_replace(u, '/$', '') AS canonical_url FROM s4
-""",
         "url_dedup": r"""
 WITH u AS (
   SELECT doc_id,
@@ -1124,15 +1083,8 @@ SELECT d.lang, count(distinct d.doc_id) AS n_docs,
 FROM documents d LEFT JOIN toks t ON d.doc_id = t.doc_id
 GROUP BY d.lang
 """,
-        "events_hourly": """
-SELECT to_timestamp(floor(epoch(ts) / 3600) * 3600)::TIMESTAMP
-         AS window_start,
-       event_type, count(*) AS n_events,
-       round(sum(value), 6) AS sum_value
-FROM events GROUP BY 1, 2
-""",
-        "events_sliding": """
-WITH w AS (
+        "events_windows": """
+WITH sl AS (
   SELECT to_timestamp(floor(epoch(ts) / 1800) * 1800
                       - g.i * 1800)::TIMESTAMP AS window_start,
          event_type, value
@@ -1140,9 +1092,16 @@ WITH w AS (
   WHERE floor(epoch(ts) / 1800) * 1800 - g.i * 1800
         > epoch(ts) - 3600
 )
-SELECT window_start, event_type, count(*) AS n_events,
+SELECT 'tumbling' AS kind,
+       to_timestamp(floor(epoch(ts) / 3600) * 3600)::TIMESTAMP
+         AS window_start,
+       event_type, count(*) AS n_events,
        round(sum(value), 6) AS sum_value
-FROM w GROUP BY 1, 2
+FROM events GROUP BY 2, 3
+UNION ALL
+SELECT 'sliding' AS kind, window_start, event_type,
+       count(*) AS n_events, round(sum(value), 6) AS sum_value
+FROM sl GROUP BY 2, 3
 """,
         "events_sessions": """
 WITH o AS (

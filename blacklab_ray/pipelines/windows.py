@@ -15,7 +15,6 @@ versions over an ordered events table:
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import ray.data
 from ray.data.aggregate import Sum

@@ -26,10 +26,15 @@ CorpusQueryLanguageParser.java:12). Supported subset:
                               (TextPatternSensitive / MatchSensitivity
                               routing; index must be built with
                               BuildParams.sensitive=True)
-  ... :: A.word = B.word      global constraints comparing captured
-                              tokens via the forward index
-                              (SpansConstrained.java:15); & to combine,
-                              != supported
+  ... :: <constraints>        global constraints over captured tokens,
+                              evaluated via the forward index
+                              (SpansConstrained.java:15) with the full
+                              MatchFilter algebra (matchfilter/
+                              MatchFilter.java): comparisons
+                              `A.word = B.word`, `A.lemma != "x"`,
+                              annotation operands (A.lemma, A.pos, ...),
+                              string constants, combined with
+                              & | ! -> (implication) and parens
   X within Y  /  X containing Y   position filters between sequences
 
 Lowering: each sequence position expands (via the term dictionary,
@@ -40,9 +45,11 @@ branches' span tables; within/containing run through the span algebra.
 Scoring: spans per doc become a BM25 'phrase tf' exactly like
 phrase_search.
 
-Out of subset (rejected with a clear error): non-word annotations,
-nested parens, groups of multi-position sequences, repetition of
-captured positions, constraints on non-captured names.
+Out of subset (rejected with a clear error): nested parens, groups of
+multi-position sequences, repetition of captured positions, constraints
+on non-captured names.  (Parallel annotations ARE supported: `[lemma=…]`
+positions route to that annotation's postings, and constraints may
+compare any indexed annotation.)
 """
 
 from __future__ import annotations
@@ -88,32 +95,225 @@ class SeqPos:
     cap_close: str | None = None  # ... and ends here (inclusive token)
 
 
+# ---------------------------------------------------------------------------
+# global constraint algebra (the MatchFilter tree)
+# ---------------------------------------------------------------------------
+# The reference models `::` constraints as a 15-class MatchFilter tree
+# (search/matchfilter/MatchFilter.java; TextPatternConstrained.java:17):
+# and/or/not/implication over comparisons of captured tokens' annotation
+# values (A.word, A.lemma, ...) and string constants.  Re-expressed here
+# as a small recursive-descent expression parser producing CNode trees,
+# evaluated vectorized over the span table via forward-index gathers
+# (reader.tokens_at with annotation routing).  Values compared are the
+# ANALYZED token forms (the forward index stores analyzer output), like
+# the reference's insensitive default.
+
 @dataclass
-class Constraint:
-    """Global constraint `:: A.word = B.word` (TextPatternConstrained /
-    SpansConstrained.java:15): compare captured groups' token values via
-    the forward index, post-filtering hits."""
-    a: str
-    op: str                     # "=" | "!="
-    b: str
+class CCmp:
+    """`A.annot = B.annot` / `A.annot != "lit"` (MatchFilterEquals /
+    MatchFilterCompare over MatchFilterTokenAnnotation and
+    MatchFilterString operands)."""
+    left: tuple     # ("cap", name, annot) | ("lit", value)
+    op: str         # "=" | "!="
+    right: tuple
 
 
-_CONSTRAINT_RE = re.compile(
-    r"\s*([A-Za-z_]\w*)\.word\s*(!?=)\s*([A-Za-z_]\w*)\.word\s*$")
+@dataclass
+class CNot:
+    x: "CNode"
 
 
-def parse_constraints(expr: str) -> list[Constraint]:
-    out = []
-    for part in expr.split("&"):
-        m = _CONSTRAINT_RE.match(part)
-        if not m:
+@dataclass
+class CAnd:
+    parts: list
+
+
+@dataclass
+class COr:
+    parts: list
+
+
+@dataclass
+class CImpl:
+    """`a -> b` (MatchFilterImplication): !a | b."""
+    a: "CNode"
+    b: "CNode"
+
+
+CNode = CCmp | CNot | CAnd | COr | CImpl
+
+_C_TOKEN_RE = re.compile(r"""\s*(?:
+      (?P<name>[A-Za-z_]\w*)\s*\.\s*(?P<annot>[A-Za-z_]\w*)
+    | "(?P<lit>[^"]*)"
+    | (?P<arrow>->)
+    | (?P<neq>!=)
+    | (?P<eq>=)
+    | (?P<bang>!)
+    | (?P<amp>&)
+    | (?P<pipe>\|)
+    | (?P<lp>\()
+    | (?P<rp>\))
+    )""", re.VERBOSE)
+
+
+class _ConstraintParser:
+    """expr := or ('->' expr)? ; or := and ('|' and)* ;
+    and := unary ('&' unary)* ; unary := '!' unary | '(' expr ')' | cmp ;
+    cmp := operand ('='|'!=') operand ;
+    operand := NAME.NAME | "literal"."""
+
+    def __init__(self, expr: str):
+        self.toks: list[tuple[str, object]] = []
+        pos = 0
+        while pos < len(expr):
+            m = _C_TOKEN_RE.match(expr, pos)
+            if not m or m.end() == pos:
+                if expr[pos:].strip() == "":
+                    break
+                raise ValueError(
+                    f"unsupported global constraint at: {expr[pos:]!r}")
+            pos = m.end()
+            if m.group("name") is not None:
+                self.toks.append(("cap", (m.group("name"),
+                                          m.group("annot"))))
+            elif m.group("lit") is not None:
+                self.toks.append(("lit", m.group("lit")))
+            elif m.group("arrow"):
+                self.toks.append(("op", "->"))
+            elif m.group("neq"):
+                self.toks.append(("op", "!="))
+            elif m.group("eq"):
+                self.toks.append(("op", "="))
+            elif m.group("bang"):
+                self.toks.append(("op", "!"))
+            elif m.group("amp"):
+                self.toks.append(("op", "&"))
+            elif m.group("pipe"):
+                self.toks.append(("op", "|"))
+            elif m.group("lp"):
+                self.toks.append(("lp", None))
+            else:
+                self.toks.append(("rp", None))
+        self.i = 0
+
+    def _peek(self):
+        return self.toks[self.i] if self.i < len(self.toks) else (None,
+                                                                  None)
+
+    def parse(self) -> CNode:
+        node = self._expr()
+        if self.i < len(self.toks):
             raise ValueError(
-                f"unsupported global constraint {part.strip()!r} "
-                "(subset: A.word = B.word, A.word != B.word, joined "
-                "by &)")
-        out.append(Constraint(a=m.group(1), op=m.group(2).replace("!=",
-                   "!=").replace("==", "="), b=m.group(3)))
-    return out
+                f"trailing constraint tokens: {self.toks[self.i:]!r}")
+        return node
+
+    def _expr(self) -> CNode:
+        left = self._or()
+        if self._peek() == ("op", "->"):
+            self.i += 1
+            return CImpl(a=left, b=self._expr())   # right-assoc
+        return left
+
+    def _or(self) -> CNode:
+        parts = [self._and()]
+        while self._peek() == ("op", "|"):
+            self.i += 1
+            parts.append(self._and())
+        return parts[0] if len(parts) == 1 else COr(parts=parts)
+
+    def _and(self) -> CNode:
+        parts = [self._unary()]
+        while self._peek() == ("op", "&"):
+            self.i += 1
+            parts.append(self._unary())
+        return parts[0] if len(parts) == 1 else CAnd(parts=parts)
+
+    def _unary(self) -> CNode:
+        kind, val = self._peek()
+        if (kind, val) == ("op", "!"):
+            self.i += 1
+            return CNot(x=self._unary())
+        if kind == "lp":
+            self.i += 1
+            node = self._expr()
+            if self._peek()[0] != "rp":
+                raise ValueError("unbalanced '(' in constraint")
+            self.i += 1
+            return node
+        return self._cmp()
+
+    def _operand(self) -> tuple:
+        kind, val = self._peek()
+        if kind == "cap":
+            self.i += 1
+            return ("cap", val[0], val[1])
+        if kind == "lit":
+            self.i += 1
+            return ("lit", val)
+        raise ValueError(
+            f"expected A.annotation or \"literal\" in constraint, "
+            f"got {val!r}")
+
+    def _cmp(self) -> CCmp:
+        left = self._operand()
+        kind, val = self._peek()
+        if kind != "op" or val not in ("=", "!="):
+            raise ValueError(
+                "constraint comparisons support = and != only "
+                f"(got {val!r})")
+        self.i += 1
+        right = self._operand()
+        return CCmp(left=left, op=str(val), right=right)
+
+
+def parse_constraints(expr: str) -> CNode:
+    """Parse a `::` constraint expression into a MatchFilter tree."""
+    return _ConstraintParser(expr).parse()
+
+
+def _constraint_captures(node: CNode) -> set[str]:
+    if isinstance(node, CCmp):
+        return {o[1] for o in (node.left, node.right) if o[0] == "cap"}
+    if isinstance(node, CNot):
+        return _constraint_captures(node.x)
+    if isinstance(node, CImpl):
+        return _constraint_captures(node.a) | _constraint_captures(node.b)
+    return set().union(*(_constraint_captures(p) for p in node.parts))
+
+
+def _eval_constraint(reader, node: CNode, spans: pa.Table,
+                     d: np.ndarray) -> np.ndarray:
+    """Vectorized boolean evaluation of a MatchFilter tree over a span
+    table (SpansConstrained.java:15 post-filter, one forward-index
+    gather per distinct (capture, annotation) operand)."""
+    if isinstance(node, CCmp):
+        def resolve(op):
+            if op[0] == "lit":
+                return None  # handled below
+            _, name, annot = op
+            return reader.tokens_at(d, spans[f"{name}_pos"].to_numpy(),
+                                    annotation=annot)
+        ta = resolve(node.left)
+        tb = resolve(node.right)
+        if ta is None and tb is None:
+            eq = np.full(len(d), node.left[1] == node.right[1])
+        elif ta is None or tb is None:
+            toks = tb if ta is None else ta
+            lit = node.left[1] if ta is None else node.right[1]
+            eq = np.array([x is not None and x == lit for x in toks],
+                          dtype=bool)
+        else:
+            eq = np.array([x is not None and x == y
+                           for x, y in zip(ta, tb)], dtype=bool)
+        return eq if node.op == "=" else ~eq
+    if isinstance(node, CNot):
+        return ~_eval_constraint(reader, node.x, spans, d)
+    if isinstance(node, CImpl):
+        return (~_eval_constraint(reader, node.a, spans, d)
+                | _eval_constraint(reader, node.b, spans, d))
+    parts = [_eval_constraint(reader, p, spans, d) for p in node.parts]
+    return np.logical_and.reduce(parts) if isinstance(node, CAnd) \
+        else np.logical_or.reduce(parts)
 
 
 @dataclass
@@ -398,7 +598,20 @@ def _build_seq_variants(items: list) -> list[SeqPlan]:
             if i + 1 < len(items) and items[i + 1][0] == "rep":
                 lo, hi = items[i + 1][1]
                 i += 1
-            structs.append(("any", (lo, hi)))
+            if pending_cap is not None:
+                # A:[] — a CAPTURED any-token is a real position
+                # (complement of the empty term set), not a gap, so
+                # the capture machinery can bind it (the reference's
+                # SpanQueryCaptureGroup over SpanQueryAnyToken)
+                if (lo, hi) != (1, 1):
+                    raise ValueError(
+                        "captured any-token cannot repeat "
+                        "(out of subset)")
+                structs.append(("pos", [""], True, (1, 1),
+                                pending_cap, "i", None, None))
+                pending_cap = None
+            else:
+                structs.append(("any", (lo, hi)))
         elif kind in ("rep", "flag"):
             raise ValueError(f"{kind} without a preceding position")
         else:
@@ -505,7 +718,7 @@ def cql_spans(reader, q: str) -> pa.Table:
     {cap}_pos per capture group]); `:: A.word = B.word` global
     constraints post-filter via forward-index lookups."""
     from blacklab_ray.query.spans import spans_containing, spans_within
-    constraints: list[Constraint] = []
+    constraints: CNode | None = None
     if "::" in q:
         q, _, cexpr = q.partition("::")
         constraints = parse_constraints(cexpr)
@@ -531,31 +744,24 @@ def cql_spans(reader, q: str) -> pa.Table:
 
 
 def _apply_constraints(reader, spans: pa.Table,
-                       constraints: list[Constraint]) -> pa.Table:
-    if not constraints:
+                       constraints: CNode | None) -> pa.Table:
+    if constraints is None:
         return spans
     # validate capture references even for empty results (a group
     # capture has {name}_start/_end, not a single token — constraints
     # need single-position captures)
-    for c in constraints:
-        for name in (c.a, c.b):
-            if f"{name}_pos" not in spans.column_names:
-                hint = (" (group captures span multiple tokens; "
-                        "constraints need single-position captures)"
-                        if f"{name}_start" in spans.column_names else "")
-                raise ValueError(
-                    f"constraint references unknown capture "
-                    f"{name!r}{hint}")
+    for name in sorted(_constraint_captures(constraints)):
+        if f"{name}_pos" not in spans.column_names:
+            hint = (" (group captures span multiple tokens; "
+                    "constraints need single-position captures)"
+                    if f"{name}_start" in spans.column_names else "")
+            raise ValueError(
+                f"constraint references unknown capture "
+                f"{name!r}{hint}")
     if spans.num_rows == 0:
         return spans
-    keep = np.ones(spans.num_rows, dtype=bool)
     d = spans["doc_id"].to_numpy()
-    for c in constraints:
-        ta = reader.tokens_at(d, spans[f"{c.a}_pos"].to_numpy())
-        tb = reader.tokens_at(d, spans[f"{c.b}_pos"].to_numpy())
-        eq = np.array([x is not None and x == y
-                       for x, y in zip(ta, tb)], dtype=bool)
-        keep &= eq if c.op == "=" else ~eq
+    keep = _eval_constraint(reader, constraints, spans, d)
     return spans.filter(pa.array(keep))
 
 

@@ -421,42 +421,55 @@ class IndexReader:
     _TOK_CACHE_MAX = 1 << 16   # ~65k cached per-doc position maps
 
     def tokens_at(self, doc_ids: np.ndarray,
-                  positions: np.ndarray) -> list[str | None]:
+                  positions: np.ndarray,
+                  annotation: str | None = None) -> list[str | None]:
         """Token string at each (doc_id, position) pair — the forward-
         index lookup global constraints post-filter with
         (SpansConstrained.java:15 compares captured groups' token values
-        via ForwardIndexAccessor). Reads only the needed docs' fwd rows
+        via ForwardIndexAccessor). ``annotation`` selects a parallel
+        annotation's token stream (``A.lemma`` constraints —
+        MatchFilterTokenAnnotation semantics); None/'word' reads the
+        word annotation. Reads only the needed docs' fwd rows
         (predicate-pushdown gather; at cluster scale this is a gather
         join against the fwd dataset keyed by doc_id)."""
         from blacklab_ray.codec.vbyte import decode_position_lists
         doc_ids = np.asarray(doc_ids, dtype=np.int64)
         positions = np.asarray(positions, dtype=np.int64)
         need = np.unique(doc_ids)
+        annot = None if annotation in (None, "word") else annotation
+        suffix = "" if annot is None else f"_{annot}"
         if not hasattr(self, "_fwd_tok_cache"):
-            self._fwd_tok_cache: dict[int, dict[int, str]] = {}
+            self._fwd_tok_cache: dict[tuple, dict[int, str]] = {}
         # bounded like the norm cache: whole-dict reset before the
         # `missing` computation keeps long-lived readers from growing
         # without limit (ADVICE r2 #5)
         if len(self._fwd_tok_cache) > self._TOK_CACHE_MAX:
             self._fwd_tok_cache.clear()
         missing = [int(d) for d in need
-                   if int(d) not in self._fwd_tok_cache]
+                   if (annot, int(d)) not in self._fwd_tok_cache]
         if missing:
             ds = pa_ds.dataset(os.path.join(self.index_dir, "fwd"),
                                format="parquet")
-            tbl = ds.to_table(
-                columns=["doc_id", "terms", "tfs", "pos"],
-                filter=pc.field("doc_id").isin(missing))
+            cols = ["doc_id", f"terms{suffix}", f"tfs{suffix}",
+                    f"pos{suffix}"]
+            if annot is not None and \
+                    f"terms{suffix}" not in ds.schema.names:
+                raise FileNotFoundError(
+                    f"index has no {annot!r} annotation (fwd columns: "
+                    f"{[c for c in ds.schema.names]})")
+            tbl = ds.to_table(columns=cols,
+                              filter=pc.field("doc_id").isin(missing))
             for row in tbl.to_pylist():
                 posmap: dict[int, str] = {}
-                for term, tf, blob in zip(row["terms"], row["tfs"],
-                                          row["pos"]):
+                for term, tf, blob in zip(row[f"terms{suffix}"],
+                                          row[f"tfs{suffix}"],
+                                          row[f"pos{suffix}"]):
                     ps = decode_position_lists(
                         blob, np.array([tf], dtype=np.int64))
                     for p in ps.tolist():
                         posmap[int(p)] = term
-                self._fwd_tok_cache[int(row["doc_id"])] = posmap
-        return [self._fwd_tok_cache.get(int(d), {}).get(int(p))
+                self._fwd_tok_cache[(annot, int(row["doc_id"]))] = posmap
+        return [self._fwd_tok_cache.get((annot, int(d)), {}).get(int(p))
                 for d, p in zip(doc_ids, positions)]
 
     # ---- postings -------------------------------------------------------

@@ -645,3 +645,86 @@ def test_sequence_group_capture(reader, small_oracle):
         parse_cql('A:(("x") "y")')
     with pytest.raises(ValueError, match="repetition inside"):
         parse_cql('("x" "y"{2})')
+
+
+def test_constraint_literal_comparison(reader, small_oracle):
+    """MatchFilterEquals with a string-constant operand
+    (matchfilter/MatchFilterString.java semantics)."""
+    t = cql_spans(reader, 'A:[word="th.*"] :: A.word = "the"')
+    t_the = cql_spans(reader, '"the"')
+    assert sorted(zip(t["doc_id"].to_pylist(), t["start"].to_pylist())) \
+        == sorted(zip(t_the["doc_id"].to_pylist(),
+                      t_the["start"].to_pylist()))
+    # reversed operand order works too
+    t2 = cql_spans(reader, 'A:[word="th.*"] :: "the" = A.word')
+    assert t2.num_rows == t.num_rows
+
+
+def test_constraint_boolean_algebra(reader):
+    """and/or/not/implication over comparisons
+    (MatchFilterAnd/Or/Not/Implication)."""
+    base = 'A:[word="th.*"] B:[word="th.*"]'
+    t_eq = cql_spans(reader, f'{base} :: A.word = B.word')
+    t_ne = cql_spans(reader, f'{base} :: A.word != B.word')
+    t_all = cql_spans(reader, base)
+    n = t_all.num_rows
+    assert t_eq.num_rows + t_ne.num_rows == n
+    # ! distributes: !(A = B) == A != B
+    t_not = cql_spans(reader, f'{base} :: !(A.word = B.word)')
+    assert t_not.num_rows == t_ne.num_rows
+    # or of complementary halves covers everything
+    t_or = cql_spans(reader,
+                     f'{base} :: A.word = B.word | A.word != B.word')
+    assert t_or.num_rows == n
+    # and with a literal narrows
+    t_and = cql_spans(reader,
+                      f'{base} :: A.word = B.word & A.word = "the"')
+    assert t_and.num_rows <= t_eq.num_rows
+    # implication == !a | b
+    t_imp = cql_spans(reader,
+                      f'{base} :: A.word = "the" -> B.word = "the"')
+    t_equiv = cql_spans(
+        reader, f'{base} :: !(A.word = "the") | B.word = "the"')
+    assert t_imp.num_rows == t_equiv.num_rows
+    # precedence: & binds tighter than |
+    t_prec = cql_spans(
+        reader,
+        f'{base} :: A.word = "the" & A.word != "the" | A.word = B.word')
+    assert t_prec.num_rows == t_eq.num_rows
+
+
+def test_constraint_annotation_operands(ray_session, tmp_path):
+    """`A.lemma = B.lemma` constraints gather the lemma annotation's
+    forward index (MatchFilterTokenAnnotation)."""
+    from blacklab_ray.formats import read_pages
+    from blacklab_ray.index import BuildParams, build_index
+    from blacklab_ray.query import IndexReader
+    from blacklab_ray.stages.tokenize import hash64
+    docs = {
+        "d1": [("cats", "cat"), ("and", "and"), ("cat", "cat")],
+        "d2": [("cat", "cat"), ("and", "and"), ("dogs", "dog")],
+        "d3": [("runs", "run"), ("and", "and"), ("ran", "run")],
+    }
+    lines = ["url\tpos\tword\tlemma"]
+    for url, toks in docs.items():
+        for i, (w, le) in enumerate(toks):
+            lines.append(f"{url}\t{i}\t{w}\t{le}")
+    tsv = tmp_path / "c.tsv"
+    tsv.write_text("\n".join(lines) + "\n")
+    idx = str(tmp_path / "idx")
+    build_index(read_pages("tabular-tsv", str(tsv)), idx,
+                BuildParams(num_buckets=2, n_salts=1,
+                            annotations=("lemma",)))
+    r = IndexReader(idx)
+    t = cql_spans(r, 'A:[] "and" B:[] :: A.lemma = B.lemma')
+    assert sorted(t["doc_id"].to_pylist()) == \
+        sorted([hash64("d1"), hash64("d3")])
+    t2 = cql_spans(r, 'A:[] "and" B:[] :: A.lemma != B.lemma')
+    assert t2["doc_id"].to_pylist() == [hash64("d2")]
+    # annotation vs literal
+    t3 = cql_spans(r, 'A:[] "and" B:[] :: A.lemma = "cat"')
+    assert sorted(t3["doc_id"].to_pylist()) == \
+        sorted([hash64("d1"), hash64("d2")])
+    # unknown annotation errors clearly
+    with pytest.raises(FileNotFoundError, match="annotation"):
+        cql_spans(r, 'A:[] "and" B:[] :: A.pos = B.pos')

@@ -180,3 +180,95 @@ def test_cql_fuzz_vs_brute(reader, small_oracle):
             f"{sorted(exp - got)[:5]}"
         checked += 1
     assert checked >= 50, f"only {checked} queries exercised"
+
+
+# ---------------------------------------------------------------------------
+# constraint-clause fuzzing (MatchFilter tree)
+# ---------------------------------------------------------------------------
+
+def _rand_cexpr(rng, caps, vocab, depth=0):
+    """Random constraint expression + an INDEPENDENT evaluator built
+    alongside it (fn: {cap: token} -> bool), so the check never reuses
+    the engine's parser."""
+    r = rng.random()
+    if depth >= 2 or r < 0.45:
+        a = caps[int(rng.integers(0, len(caps)))]
+        op = "=" if rng.random() < 0.6 else "!="
+        if rng.random() < 0.5:
+            b = caps[int(rng.integers(0, len(caps)))]
+            expr = f"{a}.word {op} {b}.word"
+            fn = (lambda tm, a=a, b=b: tm[a] == tm[b]) if op == "=" \
+                else (lambda tm, a=a, b=b: tm[a] != tm[b])
+        else:
+            lit = vocab[int(rng.integers(0, len(vocab)))]
+            expr = f'{a}.word {op} "{lit}"'
+            fn = (lambda tm, a=a, lit=lit: tm[a] == lit) if op == "=" \
+                else (lambda tm, a=a, lit=lit: tm[a] != lit)
+        return expr, fn
+    xa, fa = _rand_cexpr(rng, caps, vocab, depth + 1)
+    if r < 0.6:
+        return f"!({xa})", lambda tm, fa=fa: not fa(tm)
+    xb, fb = _rand_cexpr(rng, caps, vocab, depth + 1)
+    if r < 0.75:
+        return f"({xa} & {xb})", lambda tm, fa=fa, fb=fb: \
+            fa(tm) and fb(tm)
+    if r < 0.9:
+        return f"({xa} | {xb})", lambda tm, fa=fa, fb=fb: \
+            fa(tm) or fb(tm)
+    return f"({xa} -> {xb})", lambda tm, fa=fa, fb=fb: \
+        (not fa(tm)) or fb(tm)
+
+
+def test_cql_constraint_fuzz_vs_brute(reader, small_oracle):
+    """Random captured sequences + random MatchFilter constraint trees
+    vs a brute evaluator over the raw token lists."""
+    rng = np.random.default_rng(131)
+    df = small_oracle.doc_freq()
+    vocab = sorted(df, key=df.get, reverse=True)[:30]
+    docs = small_oracle.docs
+    names = ["A", "B", "C"]
+    checked = 0
+    for qi in range(60):
+        n = int(rng.integers(2, 4))
+        caps = names[:n]
+        parts, preds, offsets = [], [], []
+        off = 0
+        for i, cap in enumerate(caps):
+            r = rng.random()
+            term = vocab[int(rng.integers(0, len(vocab)))]
+            if r < 0.4:
+                parts.append(f'{cap}:"{term}"')
+                preds.append(lambda t, term=term: t == term)
+            elif r < 0.7:
+                rx = f"{term[:2]}.*"
+                parts.append(f'{cap}:[word="{rx}"]')
+                preds.append(lambda t, rx=rx:
+                             re.match(f"^(?:{rx})$", t) is not None)
+            else:
+                parts.append(f"{cap}:[]")
+                preds.append(lambda t: True)
+            offsets.append(off)
+            off += 1
+            if i < n - 1 and rng.random() < 0.3:
+                g = int(rng.integers(1, 3))
+                parts.append(f"[]{{{g}}}")
+                off += g
+        cexpr, cfn = _rand_cexpr(rng, caps, vocab)
+        q = " ".join(parts) + " :: " + cexpr
+        exp = set()
+        for did, toks in docs.items():
+            for s in range(len(toks) - off + 1):
+                if all(p(toks[s + o]) for p, o in zip(preds, offsets)):
+                    tm = {c: toks[s + o]
+                          for c, o in zip(caps, offsets)}
+                    if cfn(tm):
+                        exp.add((did, s, s + off))
+        t = cql_spans(reader, q)
+        got = set(zip(*[t[c].to_pylist()
+                        for c in ("doc_id", "start", "end")])) \
+            if t.num_rows else set()
+        assert got == exp, f"query {qi}: {q!r}\nonly engine: " \
+            f"{sorted(got - exp)[:5]}\nonly brute: " \
+            f"{sorted(exp - got)[:5]}"
+        checked += 1
+    assert checked >= 50

@@ -69,6 +69,14 @@ def test_oracle_keys_subset(entry_mod):
     assert o <= q, o - q
 
 
+def test_driver_key_cap(entry_mod):
+    """The round-2 driver recorded only the FIRST 50 of 54 exported
+    keys (events_*/media_features silently dropped from
+    CORRECTNESS_r02) — keep the contract at <= 50 keys so every entry
+    is driver-verified."""
+    assert len(entry_mod.queries()) <= 50
+
+
 def _contract():
     """Import the driver contract WITHOUT Ray running (queries() and
     oracle_sql() only build closures/strings)."""
