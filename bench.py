@@ -208,6 +208,31 @@ def run_bench(num_cpus: int) -> dict:
     timings["service_sharded_qps"] = round(len(queries) / s_wall, 1)
     ssvc.shutdown()
 
+    # ---- CQL rewrite layer: OR-of-terms merge in anger -----------------
+    # (TestQueryRewrite evidence: the rewritten plan evaluates ONE
+    # multi-term position — one postings pass, already-unique spans —
+    # where the raw union evaluates N branches then pays a global
+    # concat + dedup sort; same span set, cheaper plan)
+    from blacklab_ray.query.cql import _plan_spans, parse_cql
+    from blacklab_ray.query.rewrite import rewrite as rewrite_plan
+    from blacklab_ray.query.spans import unique_spans as _uniq  # warm import
+    alt_q = " | ".join(f'"w{i:06d}"' for i in range(40, 56))
+    parsed = parse_cql(alt_q)
+    rewritten = rewrite_plan(parsed)
+    _plan_spans(reader, rewritten)      # warm both paths once so the
+    _plan_spans(reader, parsed)         # comparison is plan cost only
+    t0 = time.perf_counter()
+    n_rw = _plan_spans(reader, rewritten).num_rows
+    t_rw = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    n_raw = _plan_spans(reader, parsed).num_rows
+    t_raw = time.perf_counter() - t0
+    if n_rw != n_raw:
+        raise RuntimeError(f"rewrite changed results: {n_rw} vs {n_raw}")
+    timings["cql_alt_rewritten_sec"] = round(t_rw, 4)
+    timings["cql_alt_unrewritten_sec"] = round(t_raw, 4)
+    timings["cql_rewrite_speedup"] = round(t_raw / max(t_rw, 1e-9), 2)
+
     # ---- analytics + training-data pipelines over sf tables ------------
     from blacklab_ray.pipelines import ann, dedup, frequency, windows
 

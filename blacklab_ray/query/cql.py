@@ -688,10 +688,15 @@ class TooBroad(ValueError):
 def _expand_position(reader, p: SeqPos, max_terms: int = 1024) -> list[str]:
     from blacklab_ray.query.engine import expand_terms
     out: set[str] = set()
+    # one batched dictionary probe for ALL literal alternatives (the
+    # rewritten OR-of-terms clause arrives here as one position with
+    # many literals; per-literal probes would re-scan the dictionary)
+    literals = [pat for pat in (p.pattern, *p.alts) if not _is_regex(pat)]
+    if literals:
+        out.update(reader.term_stats(literals, p.sensitivity))
     for pat in (p.pattern, *p.alts):
         if not _is_regex(pat):
-            if reader.term_stats([pat], p.sensitivity):
-                out.add(pat)
+            continue
         else:
             matched = expand_terms(reader, pat, "regex", max_terms,
                                    sensitivity=p.sensitivity)
@@ -718,11 +723,12 @@ def cql_spans(reader, q: str) -> pa.Table:
     {cap}_pos per capture group]); `:: A.word = B.word` global
     constraints post-filter via forward-index lookups."""
     from blacklab_ray.query.spans import spans_containing, spans_within
+    from blacklab_ray.query.rewrite import rewrite
     constraints: CNode | None = None
     if "::" in q:
         q, _, cexpr = q.partition("::")
         constraints = parse_constraints(cexpr)
-    plan = parse_cql(q)
+    plan = rewrite(parse_cql(q))
     if isinstance(plan, FilterPlan):
         prod = _plan_spans(reader, plan.producer)
         if isinstance(plan.filter, TagPlan):
