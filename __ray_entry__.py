@@ -487,13 +487,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _round_cols(t.to_pandas(), {"cosine": 4})
 
     def q_ann_lsh(sf):
+        # md5-derived hyperplanes: the DuckDB oracle replicates the
+        # bucketing bit-exactly (VERDICT r2 item 9)
         ids, mat = _query_vectors(sf)
-        return ann.lsh_topk(_emb_ds(sf), ids, mat, k=5)
+        t = ann.lsh_topk(_emb_ds(sf), ids, mat, k=5, planes="md5")
+        return _round_cols(
+            t.select(["query_id", "neighbor_id", "cosine"]).to_pandas(),
+            {"cosine": 4})
 
     def q_ann_ivf(sf):
+        # md5 hash-seeded centroids: deterministic, SQL-replicable
         ids, mat = _query_vectors(sf)
-        return ann.ivf_topk(_emb_ds(sf), ids, mat, k=5, n_cells=8,
-                            nprobe=4)
+        t = ann.ivf_topk(_emb_ds(sf), ids, mat, k=5, n_cells=8,
+                         nprobe=4, centroids="md5")
+        return _round_cols(
+            t.select(["query_id", "neighbor_id", "cosine"]).to_pandas(),
+            {"cosine": 4})
 
     # ---- text stats ----------------------------------------------------
 
@@ -1040,6 +1049,77 @@ WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
 sims AS (SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
                 list_cosine_similarity(q.qe, e.embedding::DOUBLE[]) AS c
          FROM q, embeddings e WHERE e.vec_id != q.qid),
+ranked AS (SELECT *, row_number() OVER (
+             PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rn
+           FROM sims)
+SELECT query_id, neighbor_id, round(c, 4) AS cosine
+FROM ranked WHERE rn <= 5
+""",
+        "ann_lsh_topk": """
+WITH planes AS (
+  SELECT pp.p, dd.d,
+         md5_number_lower('lshplane:' || pp.p || ':' || dd.d)::DOUBLE
+           / 9223372036854775808.0 - 1.0 AS w
+  FROM (SELECT unnest(range(8)) AS p) pp,
+       (SELECT unnest(range((SELECT len(embedding) FROM embeddings
+                             LIMIT 1))) AS d) dd),
+comp AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+         unnest(embedding)::DOUBLE AS v
+  FROM embeddings),
+dots AS (
+  SELECT c.vec_id, pl.p, sum(c.v * pl.w) AS dot
+  FROM comp c JOIN planes pl ON c.d = pl.d GROUP BY c.vec_id, pl.p),
+buckets AS (
+  SELECT vec_id,
+         sum(CASE WHEN dot >= 0 THEN (1::BIGINT << p::INT)
+             ELSE 0 END)::BIGINT AS bucket
+  FROM dots GROUP BY vec_id),
+qbuckets AS (SELECT DISTINCT bucket FROM buckets WHERE vec_id < 10),
+cand AS (SELECT b.vec_id FROM buckets b
+         JOIN qbuckets q ON b.bucket = q.bucket),
+q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
+      FROM embeddings WHERE vec_id < 10),
+sims AS (SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+                list_cosine_similarity(q.qe, e.embedding::DOUBLE[]) AS c
+         FROM q, embeddings e
+         WHERE e.vec_id != q.qid
+           AND e.vec_id IN (SELECT vec_id FROM cand)),
+ranked AS (SELECT *, row_number() OVER (
+             PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rn
+           FROM sims)
+SELECT query_id, neighbor_id, round(c, 4) AS cosine
+FROM ranked WHERE rn <= 5
+""",
+        "ann_ivf_topk": """
+WITH seeds AS (
+  SELECT embedding::DOUBLE[] AS ce,
+         row_number() OVER (ORDER BY
+           md5_number_lower('ivfseed:' || vec_id), vec_id) - 1 AS cell
+  FROM embeddings
+  QUALIFY cell < 8),
+assign AS (
+  SELECT e.vec_id, s.cell
+  FROM embeddings e, seeds s
+  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+    ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], s.ce) DESC,
+             s.cell) = 1),
+qprobe AS (
+  SELECT s.cell
+  FROM embeddings e, seeds s
+  WHERE e.vec_id < 10
+  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+    ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], s.ce) DESC,
+             s.cell) <= 4),
+cand AS (SELECT DISTINCT a.vec_id FROM assign a
+         WHERE a.cell IN (SELECT DISTINCT cell FROM qprobe)),
+q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
+      FROM embeddings WHERE vec_id < 10),
+sims AS (SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+                list_cosine_similarity(q.qe, e.embedding::DOUBLE[]) AS c
+         FROM q, embeddings e
+         WHERE e.vec_id != q.qid
+           AND e.vec_id IN (SELECT vec_id FROM cand)),
 ranked AS (SELECT *, row_number() OVER (
              PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rn
            FROM sims)

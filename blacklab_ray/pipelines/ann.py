@@ -37,6 +37,30 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / n
 
 
+def _md5_low64(s: str) -> int:
+    """Low 8 bytes of md5, little-endian — EXACTLY DuckDB's
+    md5_number_lower (the oracle-reproducibility primitive, same as
+    pipelines/hits.py:md5_low64)."""
+    import hashlib
+    return int.from_bytes(hashlib.md5(s.encode()).digest()[8:16],
+                          "little")
+
+
+def md5_planes(dim: int, n_planes: int,
+               tag: str = "lshplane") -> np.ndarray:
+    """SQL-reproducible LSH hyperplanes: component (d, p) is
+    ``md5_low64(f"{tag}:{p}:{d}") / 2^63 - 1`` — uniform in [-1, 1).
+    DuckDB replicates it bit-exactly as
+    ``md5_number_lower('lshplane:'||p||':'||d)::DOUBLE
+    / 9223372036854775808.0 - 1.0`` (dividing by a power of two is
+    exact, so both sides round the integer identically). Returns
+    (dim, n_planes)."""
+    return np.array(
+        [[(_md5_low64(f"{tag}:{p}:{d}") / 2.0 ** 63) - 1.0
+          for p in range(n_planes)] for d in range(dim)],
+        dtype=np.float64)
+
+
 class BruteTopK:
     """Instance UDF: local cosine top-k against broadcast queries.
 
@@ -120,9 +144,16 @@ class HyperplaneSigner:
     """map_batches actor: add an LSH bucket (sign pattern) per vector."""
 
     def __init__(self, dim: int, n_planes: int = 8, seed: int = 11,
-                 vec_col: str = "embedding"):
-        rng = np.random.default_rng(seed)
-        self._planes = rng.standard_normal((dim, n_planes))
+                 vec_col: str = "embedding",
+                 planes: str | np.ndarray | None = None):
+        if isinstance(planes, np.ndarray):
+            self._planes = planes
+        elif planes == "md5":
+            # SQL-reproducible hyperplanes (oracle mode)
+            self._planes = md5_planes(dim, n_planes)
+        else:
+            rng = np.random.default_rng(seed)
+            self._planes = rng.standard_normal((dim, n_planes))
         self._vec = vec_col
 
     def bucket_of(self, mat: np.ndarray) -> np.ndarray:
@@ -138,15 +169,18 @@ class HyperplaneSigner:
 def lsh_topk(ds: ray.data.Dataset, query_ids: np.ndarray,
              query_mat: np.ndarray, k: int = 5, dim: int | None = None,
              n_planes: int = 8, vec_col: str = "embedding",
-             id_col: str = "vec_id") -> pa.Table:
-    """Approximate top-k: score only vectors sharing a query's bucket."""
+             id_col: str = "vec_id",
+             planes: str | np.ndarray | None = None) -> pa.Table:
+    """Approximate top-k: score only vectors sharing a query's bucket.
+    ``planes="md5"`` uses the SQL-reproducible hyperplanes so a DuckDB
+    oracle can replicate the bucketing exactly."""
     qmat = _normalize(np.asarray(query_mat, dtype=np.float64))
     dim = dim or qmat.shape[1]
-    signer = HyperplaneSigner(dim, n_planes)
+    signer = HyperplaneSigner(dim, n_planes, planes=planes)
     qbuckets = signer.bucket_of(qmat)
     wanted = pa.array(sorted(set(qbuckets.tolist())), pa.int64())
     bucketed = ds.map_batches(
-        HyperplaneSigner(dim, n_planes, vec_col=vec_col),
+        HyperplaneSigner(dim, n_planes, vec_col=vec_col, planes=planes),
         batch_format="pyarrow")
     cand = bucketed.map_batches(
         lambda t: t.filter(pa.compute.is_in(t["lsh_bucket"],
@@ -333,6 +367,43 @@ def train_ivf_centroids(ds: ray.data.Dataset, n_cells: int = 16,
     return cent
 
 
+def md5_seed_centroids(ds: ray.data.Dataset, n_cells: int = 8,
+                       vec_col: str = "embedding",
+                       id_col: str = "vec_id") -> np.ndarray:
+    """SQL-reproducible IVF "training": the centroids are the
+    (normalized) embeddings of the ``n_cells`` vectors with the
+    smallest ``md5_low64('ivfseed:' || vec_id)`` (ties by vec_id) —
+    a deterministic hash-sample DuckDB replicates with
+    ``row_number() OVER (ORDER BY md5_number_lower(...), vec_id)``.
+    Cell index = rank in that order. Distributed: per-batch local
+    top-n, then a tiny (n_cells-sized) driver merge."""
+
+    def _local(batch: pa.Table) -> pa.Table:
+        if not batch.num_rows:
+            return pa.table({"key": pa.array([], pa.uint64()),
+                             id_col: pa.array([], pa.int64()),
+                             vec_col: batch.column(vec_col)})
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        keys = np.array([_md5_low64(f"ivfseed:{int(i)}") for i in ids],
+                        dtype=np.uint64)
+        order = np.lexsort((ids, keys))[:n_cells]
+        sub = batch.take(pa.array(order, pa.int64()))
+        return pa.table({
+            "key": pa.array(keys[order], pa.uint64()),
+            id_col: sub.column(id_col).cast(pa.int64()),
+            vec_col: sub.column(vec_col),
+        })
+
+    parts = [b for b in
+             ds.map_batches(_local, batch_format="pyarrow")
+             .iter_batches(batch_format="pyarrow") if b.num_rows]
+    if not parts:
+        raise ValueError("empty embedding dataset")
+    merged = pa.concat_tables(parts).sort_by(
+        [("key", "ascending"), (id_col, "ascending")]).slice(0, n_cells)
+    return _normalize(_batch_matrix(merged, vec_col))
+
+
 class IvfAssigner:
     """Instance UDF: add the nearest-centroid cell id per vector."""
 
@@ -402,15 +473,26 @@ def ivf_topk_indexed(index_dir: str, query_ids: np.ndarray,
 def ivf_topk(ds: ray.data.Dataset, query_ids: np.ndarray,
              query_mat: np.ndarray, k: int = 5, n_cells: int = 16,
              nprobe: int = 4, vec_col: str = "embedding",
-             id_col: str = "vec_id") -> pa.Table:
+             id_col: str = "vec_id",
+             centroids: str | np.ndarray = "kmeans") -> pa.Table:
     """IVF approximate top-k: score only vectors in each query's
     ``nprobe`` closest cells. At corpus scale the assignment is built
     once (a Dataset write partitioned by cell); here it is computed
-    inline over the streamed batches."""
-    cent = train_ivf_centroids(ds, n_cells=n_cells, vec_col=vec_col)
+    inline over the streamed batches. ``centroids="md5"`` uses the
+    SQL-reproducible hash-seeded centroids (oracle mode)."""
+    if isinstance(centroids, np.ndarray):
+        cent = centroids
+    elif centroids == "md5":
+        cent = md5_seed_centroids(ds, n_cells=n_cells, vec_col=vec_col,
+                                  id_col=id_col)
+    else:
+        cent = train_ivf_centroids(ds, n_cells=n_cells, vec_col=vec_col)
     cent_ref = ray.put(cent)
     qmat = _normalize(np.asarray(query_mat, dtype=np.float64))
-    qcells = np.argsort(-(qmat @ cent.T), axis=1)[:, :nprobe]
+    # stable sort: equal similarities keep ascending cell order,
+    # matching the oracle's ORDER BY sim DESC, cell
+    qcells = np.argsort(-(qmat @ cent.T), axis=1,
+                        kind="stable")[:, :nprobe]
     probed = pa.array(sorted(set(qcells.ravel().tolist())), pa.int64())
     assigned = ds.map_batches(IvfAssigner(cent_ref, vec_col),
                               batch_format="pyarrow")

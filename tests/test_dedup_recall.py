@@ -260,3 +260,41 @@ def test_jaccard_verify_no_driver_signature_map(planted_ds, monkeypatch):
     # the only driver broadcast is the int64 candidate-id vector
     assert any(isinstance(p, np.ndarray) and p.dtype == np.int64
                for p in puts)
+
+
+def test_md5_ann_modes_deterministic(ray_session):
+    """Oracle-mode ANN (md5 planes / md5 seed centroids) is fully
+    deterministic and finds the planted near-duplicate neighbors."""
+    import ray.data
+    from blacklab_ray.pipelines import ann
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((80, 16))
+    # plant: vec 70..74 are near-copies of 0..4
+    for i in range(5):
+        base[70 + i] = base[i] + rng.standard_normal(16) * 0.01
+    tbl = pa.table({
+        "vec_id": pa.array(range(80), pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in base],
+                              pa.list_(pa.float64())),
+    })
+    ds = ray.data.from_arrow(tbl)
+    ids = np.arange(5)
+    mat = base[:5]
+
+    a = ann.lsh_topk(ds, ids, mat, k=3, planes="md5")
+    b = ann.lsh_topk(ds, ids, mat, k=3, planes="md5")
+    assert a.equals(b)
+
+    c = ann.ivf_topk(ds, ids, mat, k=3, n_cells=4, nprobe=3,
+                     centroids="md5")
+    d = ann.ivf_topk(ds, ids, mat, k=3, n_cells=4, nprobe=3,
+                     centroids="md5")
+    assert c.equals(d)
+    # each query's top neighbor is its planted near-copy (IVF with
+    # 3/4 probes keeps high recall on this tiny set)
+    top = {int(q): int(n) for q, n, r in
+           zip(c["query_id"].to_pylist(), c["neighbor_id"].to_pylist(),
+               c["rank"].to_pylist()) if r == 1}
+    hits = sum(top.get(i) == 70 + i for i in range(5))
+    assert hits >= 4
