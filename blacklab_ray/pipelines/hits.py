@@ -242,27 +242,35 @@ def sort_hits_by_context(ds: ray.data.Dataset, term: str,
                          limit: int | None = None,
                          id_col: str = "doc_id",
                          text_col: str = "text") -> ray.data.Dataset:
-    """Sort hits by their context WORDS (the faq.md:85 'sort 100K hits
-    by right context' operation; BlackLab uses collator term ranks,
-    Terms.java:69-95 — our analyzer lowercases, so plain string order
-    IS the insensitive collation). ``side="left"`` sorts by the words
-    nearest the hit first, i.e. the reversed left context — the
-    concordance convention."""
+    """Sort hits by their context WORDS via per-word COLLATION keys —
+    the faq.md:85 'sort 100K hits by right context' operation. BlackLab
+    compares collator term ranks (Terms.java:69-95); we compare joined
+    per-word collation keys (analysis/collate.py), which equals the
+    rank-array comparison and fixes non-ASCII ordering. On
+    already-desensitized contexts (the analyzer output) the order
+    coincides with plain string order, keeping the SQL oracle valid.
+    ``side="left"`` sorts by the words nearest the hit first, i.e. the
+    reversed left context — the concordance convention."""
+    from blacklab_ray.analysis.collate import collation_key_column
     out = ds.map_batches(KwicBuilder(term, context, id_col, text_col),
                          batch_format="pyarrow")
     if side == "left":
         def rev(batch: pa.Table) -> pa.Table:
-            key = pa.array([" ".join(reversed(v.split(" "))) if v else ""
+            ctx = pa.array([" ".join(reversed(v.split(" "))) if v else ""
                             for v in batch["left"].to_pylist()],
                            pa.string())
-            return batch.append_column("sort_key", key)
-        out = out.map_batches(rev, batch_format="pyarrow")
-        out = out.sort(["sort_key", "doc_id", "pos"]) \
-            .drop_columns(["sort_key"])
+            return batch.append_column(
+                "sort_key", collation_key_column(ctx, context=True))
     elif side == "right":
-        out = out.sort(["right", "doc_id", "pos"])
+        def rev(batch: pa.Table) -> pa.Table:
+            return batch.append_column(
+                "sort_key",
+                collation_key_column(batch["right"], context=True))
     else:
         raise ValueError(f"side must be left|right, got {side!r}")
+    out = out.map_batches(rev, batch_format="pyarrow")
+    out = out.sort(["sort_key", "doc_id", "pos"]) \
+        .drop_columns(["sort_key"])
     return out.limit(limit) if limit else out
 
 

@@ -238,6 +238,29 @@ class IndexReader:
             self._terms_tbls[annot] = pq.read_table(p)
         return self._terms_tbls[annot]
 
+    def sorted_terms(self, annot: str = "i") -> list[str]:
+        """Term dictionary in COLLATED order (the Terms.java:69-95 /
+        TermsIntegrated.java:145-215 sort orders): the "i" route uses
+        the insensitive fold (ties broken by the full key), any other
+        route the full three-level collation — so "Cafe"/"café"/"cafe"
+        list together instead of scattering by codepoint."""
+        from blacklab_ray.analysis.collate import sort_terms
+        terms = self.terms_table_for(annot)["term"].to_pylist()
+        return sort_terms(terms, sensitive=(annot != "i"))
+
+    def term_sort_ranks(self, annot: str = "i") -> np.ndarray:
+        """Sort position per terms-table row (Terms.idToSortPosition):
+        insensitive ranks are SHARED by fold-equal terms, sensitive
+        ranks are unique. Cached per annotation route."""
+        from blacklab_ray.analysis.collate import term_sort_ranks
+        if not hasattr(self, "_sort_ranks"):
+            self._sort_ranks: dict[str, np.ndarray] = {}
+        if annot not in self._sort_ranks:
+            terms = self.terms_table_for(annot)["term"].to_pylist()
+            self._sort_ranks[annot] = term_sort_ranks(
+                terms, sensitive=(annot != "i"))
+        return self._sort_ranks[annot]
+
     def annotations(self) -> list[str]:
         """Annotation names this index carries (always includes 'i')."""
         out = ["i"]
