@@ -182,3 +182,20 @@ register_format("tei",
                     paths, document_tag="TEI",
                     text_tags=("p",), **o))   # block-per-<p>, like
 #                                               the webtext extractor
+
+
+def _register_xml_configs() -> None:
+    """Config-driven XML formats (DocIndexerXPath analogue): the
+    shipped .blf.yaml shapes — TEI-with-<w>, FoLiA, Alto, PageXML,
+    NAF — each compiling to a map_batches extraction
+    (stages/xmlconfig.py)."""
+    from blacklab_ray.stages.xmlconfig import (BUILTIN_CONFIGS,
+                                               read_xml_config)
+    for cname, cfg in BUILTIN_CONFIGS.items():
+        register_format(
+            cname,
+            lambda paths, _cfg=cfg, **o: read_xml_config(paths, _cfg,
+                                                         **o))
+
+
+_register_xml_configs()

@@ -733,9 +733,17 @@ def cql_spans(reader, q: str) -> pa.Table:
         prod = _plan_spans(reader, plan.producer)
         if isinstance(plan.filter, TagPlan):
             if plan.filter.name == "p" and not plan.filter.attrs:
-                filt = reader.paragraph_spans()
+                try:
+                    filt = reader.paragraph_spans()
+                except (FileNotFoundError, KeyError, pa.lib.ArrowInvalid):
+                    # corpus carries <p> as STANDOFF tags instead of
+                    # the derived block spans (config-driven XML input)
+                    filt = reader.tag_spans("p")
             elif plan.filter.name == "s" and not plan.filter.attrs:
-                filt = reader.sentence_spans()
+                try:
+                    filt = reader.sentence_spans()
+                except (FileNotFoundError, KeyError, pa.lib.ArrowInvalid):
+                    filt = reader.tag_spans("s")
             else:
                 # standoff tag spans with attribute filters
                 filt = reader.tag_spans(plan.filter.name,

@@ -1,0 +1,139 @@
+"""Config-driven XML extraction (DocIndexerXPath analogue) tests:
+TEI-with-<w>, FoLiA, Alto shapes → pages schema with token-aligned
+annotations + standoff tag spans → full index build + CQL."""
+import pyarrow as pa
+import pytest
+
+from blacklab_ray.stages.xmlconfig import (ALTO, FOLIA,
+                                           TEI_P5_ANNOTATED,
+                                           XmlFormatConfig,
+                                           extract_xml_config)
+
+
+def _pages(cfg, docs: dict[str, str]) -> pa.Table:
+    fn = extract_xml_config(cfg)
+    batch = pa.table({
+        "path": pa.array(list(docs), pa.string()),
+        "bytes": pa.array([d.encode() for d in docs.values()],
+                          pa.binary()),
+    })
+    return fn(batch)
+
+
+TEI_DOC = """
+<TEI xmlns="http://www.tei-c.org/ns/1.0">
+ <teiHeader><fileDesc><titleStmt><title>Proef</title></titleStmt>
+  <idno>doc-1</idno></fileDesc>
+  <profileDesc><langUsage><language>nl</language></langUsage>
+  </profileDesc></teiHeader>
+ <text><body>
+  <p><s><w lemma="de" type="LID">De</w>
+        <w lemma="kat" type="ZN">kat</w></s>
+     <s><w lemma="slapen" type="WW">slaapt</w></s></p>
+ </body></text>
+</TEI>
+"""
+
+FOLIA_DOC = """
+<FoLiA xmlns="http://ilk.uvt.nl/folia" xml:id="f1">
+ <text>
+  <p><s><w xml:id="w1"><t>Een</t><lemma class="een"/>
+         <pos class="LID"/></w>
+        <w xml:id="w2"><t>huis</t><lemma class="huis"/>
+         <pos class="N"/></w></s></p>
+ </text>
+</FoLiA>
+"""
+
+ALTO_DOC = """
+<alto xmlns="http://www.loc.gov/standards/alto/ns-v2#">
+ <Description><sourceImageInformation><fileName>scan1.tif</fileName>
+ </sourceImageInformation></Description>
+ <Layout><Page><PrintSpace>
+  <TextBlock ID="b1"><TextLine>
+    <String CONTENT="Lorem"/><String CONTENT="ipsum"/>
+  </TextLine><TextLine><String CONTENT="dolor"/></TextLine></TextBlock>
+ </PrintSpace></Page></Layout>
+</alto>
+"""
+
+
+def test_tei_extraction():
+    t = _pages(TEI_P5_ANNOTATED, {"a.xml": TEI_DOC})
+    assert t.num_rows == 1
+    assert t["url"][0].as_py() == "doc-1"           # idno pid
+    assert t["text"][0].as_py() == "De kat slaapt"
+    assert t["lemma"][0].as_py() == ["de", "kat", "slapen"]
+    assert t["pos"][0].as_py() == ["LID", "ZN", "WW"]
+    assert t["lang"][0].as_py() == "nl"
+    assert t["meta_title"][0].as_py() == "Proef"
+    spans = t["tags"][0].as_py()
+    by = {(s["name"], s["start"], s["end"]) for s in spans}
+    assert ("s", 0, 2) in by and ("s", 2, 3) in by and ("p", 0, 3) in by
+
+
+def test_folia_extraction():
+    t = _pages(FOLIA, {"f.xml": FOLIA_DOC})
+    assert t["text"][0].as_py() == "Een huis"
+    assert t["lemma"][0].as_py() == ["een", "huis"]
+    assert t["pos"][0].as_py() == ["LID", "N"]
+    assert {(s["name"], s["start"], s["end"])
+            for s in t["tags"][0].as_py()} >= {("s", 0, 2), ("p", 0, 2)}
+
+
+def test_alto_extraction():
+    t = _pages(ALTO, {"s.xml": ALTO_DOC})
+    assert t["text"][0].as_py() == "Lorem ipsum dolor"
+    assert t["meta_filename"][0].as_py() == "scan1.tif"
+    names = {(s["name"], s["start"], s["end"])
+             for s in t["tags"][0].as_py()}
+    assert ("TextLine", 0, 2) in names and ("TextLine", 2, 3) in names
+    assert ("TextBlock", 0, 3) in names
+
+
+def test_multi_doc_file_and_fallbacks():
+    cfg = XmlFormatConfig(name="multi", document_path=".//doc",
+                          word_path=".//w", word_value=".")
+    xml = "<c><doc><w>a</w><w>b</w></doc><doc><w>c</w></doc></c>"
+    t = _pages(cfg, {"m.xml": xml})
+    assert t.num_rows == 2
+    assert t["url"].to_pylist() == ["m.xml#0", "m.xml#1"]
+    assert t["text"].to_pylist() == ["a b", "c"]
+    # a form with internal whitespace cannot break token alignment
+    xml2 = "<doc><w>New  York</w><w>x</w></doc>"
+    cfg2 = XmlFormatConfig(name="d", document_path=".//doc",
+                           word_path=".//w")
+    t2 = _pages(cfg2, {"n.xml": xml2})
+    assert t2["text"][0].as_py() == "New_York x"
+
+
+def test_tei_index_build_and_cql(ray_session, tmp_path):
+    """End-to-end: config extraction → whitespace-analyzer build with
+    lemma/pos annotations → [lemma=...] and within <s/> queries."""
+    from blacklab_ray.formats import read_pages
+    from blacklab_ray.index import BuildParams, build_index
+    from blacklab_ray.query import IndexReader
+    from blacklab_ray.query.cql import cql_spans
+
+    src = tmp_path / "tei"
+    src.mkdir()
+    (src / "a.xml").write_text(TEI_DOC)
+    ds = read_pages("tei-p5-annotated", [str(src / "a.xml")])
+    idx = str(tmp_path / "idx")
+    build_index(ds, idx, BuildParams(num_buckets=2, n_salts=1,
+                                     analyzer="whitespace",
+                                     annotations=("lemma", "pos")))
+    r = IndexReader(idx)
+    got = cql_spans(r, '[lemma="slapen"]')
+    assert got.num_rows == 1 and got["start"][0].as_py() == 2
+    got2 = cql_spans(r, '[lemma="de"] [pos="ZN"] within <s/>')
+    assert got2.num_rows == 1
+    assert (got2["start"][0].as_py(), got2["end"][0].as_py()) == (0, 2)
+    # the second sentence does not contain the phrase
+    assert cql_spans(r, '[lemma="kat"] within <s/>').num_rows == 1
+
+
+def test_formats_registry_has_xml_configs():
+    from blacklab_ray.formats import formats
+    for name in ("tei-p5-annotated", "folia", "alto", "pagexml", "naf"):
+        assert name in formats()
