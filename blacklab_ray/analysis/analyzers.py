@@ -141,15 +141,71 @@ def tokenize_column_nontokenizing(col: pa.Array | pa.ChunkedArray
     return parents, flat, positions, doc_lens
 
 
+# ---- Dutch analyzer family (BLDutchAnalyzer.java:19,
+# BLDutchTokenizer.java:15, BLDutchTokenFilter.java:17) -------------------
+#
+# Tokenizer: a token char is any letter/digit PLUS the exception set
+# ' - . ( ) [ ] (zo'n, ex-man, a.u.b., bel(len), [pre]cursor); all
+# other chars split. Filter: periods/parens/brackets are removed
+# inside tokens, ONE leading and trailing apostrophe strips, and
+# tokens left without any letter/digit drop. The analyzer then
+# desensitizes (lowercase + accent strip) for the @i route.
+
+_DUTCH_SPLIT = r"[^\p{L}\p{N}'\-.()\[\]]+"
+_DUTCH_REMOVE = r"[.()\[\]]|^'|'$"      # BLDutchTokenFilter.REMOVE_PATTERN
+_DUTCH_KEEP = r"[\p{L}\p{N}]"           # ANY_LETTER_PATTERN
+
+
+def tokenize_text_dutch(s: str) -> list[str]:
+    """Scalar reference path for the Dutch analyzer (tests/oracles)."""
+    out = []
+    for t in re.split(r"[^\w'\-.()\[\]]+", s.replace("_", " ")):
+        t = re.sub(r"[.()\[\]]|^'|'$", "", t)
+        if re.search(r"[^\W_]", t):
+            out.append(normalize_text(t)[:MAX_TOKEN_LEN])
+    return out
+
+
+def tokenize_column_dutch(col: pa.Array | pa.ChunkedArray) -> tuple[
+        np.ndarray, pa.Array, np.ndarray, np.ndarray]:
+    """Vectorized Dutch analyzer; same return contract as
+    tokenize_column. Underscores are separators (\\w includes them in
+    the scalar path; here they split like the reference's
+    non-exception punctuation)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    col = pc.replace_substring(col, "_", " ")
+    token_lists = pc.split_pattern_regex(col, pattern=_DUTCH_SPLIT)
+    flat = pc.list_flatten(token_lists)
+    parents = pc.list_parent_indices(token_lists).to_numpy(
+        zero_copy_only=False)
+    # token filter: remove . ( ) [ ] and one leading/trailing '
+    flat = pc.replace_substring_regex(flat, pattern=_DUTCH_REMOVE,
+                                      replacement="")
+    keep = pc.match_substring_regex(flat, _DUTCH_KEEP)
+    mask = keep.to_numpy(zero_copy_only=False)
+    flat = _normalize_array(flat.filter(keep))
+    parents = parents[mask]
+    n_rows = len(col)
+    doc_lens = np.bincount(parents, minlength=n_rows).astype(np.int64)
+    starts = np.zeros(n_rows, dtype=np.int64)
+    np.cumsum(doc_lens[:-1], out=starts[1:])
+    positions = np.arange(parents.size, dtype=np.int64) - starts[parents]
+    if len(flat) and pc.max(pc.utf8_length(flat)).as_py() > MAX_TOKEN_LEN:
+        flat = pc.utf8_slice_codeunits(flat, 0, MAX_TOKEN_LEN)
+    return parents, flat, positions, doc_lens
+
+
 # Analyzer registry (BLStandardAnalyzer / BLWhitespaceAnalyzer /
-# BLNonTokenizingAnalyzer family + the per-language slot,
-# SURVEY §2.3). Each entry is a tokenize_column-contract callable.
-# Oracle SQL parity holds for "standard" (the indexing default);
-# the variants serve metadata fields and custom formats.
+# BLNonTokenizingAnalyzer / BLDutchAnalyzer family + the per-language
+# slot, SURVEY §2.3). Each entry is a tokenize_column-contract
+# callable. Oracle SQL parity holds for "standard" (the indexing
+# default); the variants serve metadata fields and custom formats.
 ANALYZERS = {
     "standard": None,   # filled below (tokenize_column defined later)
     "whitespace": tokenize_column_whitespace,
     "nontokenizing": tokenize_column_nontokenizing,
+    "dutch": tokenize_column_dutch,
 }
 
 

@@ -120,3 +120,72 @@ def test_linked_metadata_join(ray_session):
                     "collection": pa.array(["1", "2"])})
     with _pt.raises(ValueError, match="duplicate"):
         join_linked_metadata(ray.data.from_arrow(pages), dup)
+
+
+class TestDutchAnalyzer:
+    """Mirrors the reference's TestBLDutchTokenizer/TokenFilter cases
+    (BLDutchTokenizer.java:15, BLDutchTokenFilter.java:17), plus the
+    desensitize step of BLDutchAnalyzer.java:19."""
+
+    CASES = [
+        ("hond, a.u.b. bél(len)! [pre]cursor zo'n 'Hij zij' ex-man -",
+         ["hond", "aub", "bellen", "precursor", "zo'n", "hij", "zij",
+          "ex-man"]),
+        ("''quote'' 'n beetje", ["'quote'", "n", "beetje"]),
+        ("multi- én 100%", ["multi-", "en", "100"]),
+        ("", []),
+        ("...', -", []),                  # no letters/digits → dropped
+    ]
+
+    def test_scalar_matches_reference_cases(self):
+        from blacklab_ray.analysis.analyzers import tokenize_text_dutch
+        for s, exp in self.CASES:
+            assert tokenize_text_dutch(s) == exp, s
+
+    def test_vectorized_matches_scalar(self):
+        import pyarrow as pa
+
+        from blacklab_ray.analysis.analyzers import (
+            tokenize_column_dutch, tokenize_text_dutch)
+        texts = [s for s, _ in self.CASES] + \
+            ["zo'n 's-Gravenhage, (pre)cursor a.u.b."]
+        parents, flat, pos, lens = tokenize_column_dutch(
+            pa.array(texts, pa.string()))
+        toks = flat.to_pylist()
+        off = 0
+        for i, t in enumerate(texts):
+            exp = tokenize_text_dutch(t)
+            assert toks[off:off + len(exp)] == exp, t
+            assert lens[i] == len(exp)
+            off += len(exp)
+        assert pos.tolist() == [p for n in lens
+                                for p in range(n)]
+
+    def test_registered_and_buildable(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from blacklab_ray.analysis.analyzers import get_analyzer
+        from blacklab_ray.index import BuildParams, build_index
+        from blacklab_ray.query import IndexReader
+        from blacklab_ray.query.cql import cql_spans
+        assert get_analyzer("dutch") is not None
+        pages = pa.table({
+            "url": pa.array(["d0"], pa.string()),
+            "warc_ts": pa.array([0], pa.timestamp("us")),
+            "html": pa.array([b""], pa.binary()),
+            "text": pa.array(["Bel(len) a.u.b. zo'n ex-man!"],
+                             pa.string()),
+            "lang": pa.array(["nl"], pa.string()),
+        })
+        src = tmp_path / "p"
+        src.mkdir()
+        pq.write_table(pages, str(src / "x.parquet"))
+        idx = str(tmp_path / "idx")
+        build_index(str(src), idx,
+                    BuildParams(num_buckets=2, n_salts=1,
+                                analyzer="dutch"))
+        r = IndexReader(idx)
+        assert cql_spans(r, '"bellen"').num_rows == 1
+        assert cql_spans(r, '"aub" "zo\'n"').num_rows == 1
+        assert cql_spans(r, '"ex-man"').num_rows == 1
