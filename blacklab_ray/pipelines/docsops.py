@@ -33,7 +33,10 @@ def sample_docs(ds: ray.data.Dataset, frac: float, seed: int = 29,
                 id_col: str = "doc_id") -> ray.data.Dataset:
     """Keep a doc iff md5_low64(f"{id}:{seed}") mod 2^20 < frac*2^20."""
     from blacklab_ray.pipelines.hits import md5_low64
-    thresh = int(frac * (1 << 20))
+    # round, don't truncate: DuckDB's CAST(frac * 1048576 AS BIGINT)
+    # rounds half-away-from-zero, so int() truncation puts a boundary
+    # doc on the wrong side of the oracle (ADVICE r2 #4)
+    thresh = int(round(frac * (1 << 20)))
 
     def _filt(batch: pa.Table) -> pa.Table:
         keep = [md5_low64(f"{d}:{seed}") % (1 << 20) < thresh

@@ -322,7 +322,9 @@ class HashSampleHits:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         t = self._inner(batch)
-        thresh = int(self._frac * (1 << 20))
+        # round to match DuckDB's CAST(frac * 1048576 AS BIGINT)
+        # (ADVICE r2 #4 — truncation flips boundary hits vs the oracle)
+        thresh = int(round(self._frac * (1 << 20)))
         keep = [md5_low64(f"{d}:{p}:{self._seed}") % (1 << 20) < thresh
                 for d, p in zip(t["doc_id"].to_pylist(),
                                 t["pos"].to_pylist())]

@@ -718,6 +718,58 @@ def _norms_for(reader: IndexReader, doc_ids: np.ndarray) -> np.ndarray:
 
 # ---- multi-term expansion (regex / wildcard / prefix / fuzzy) -------------
 
+def _fuzzy_match_terms(terms: list[str], pattern: str,
+                       max_d: int) -> list[str]:
+    """All dictionary terms within edit distance ``max_d`` of
+    ``pattern``, computed as ONE vectorized Wagner-Fischer DP across the
+    whole (length-filtered) dictionary instead of a Python loop per term
+    (the reference expands fuzzy terms with a Levenshtein automaton over
+    the term index, SpanFuzzyQuery.java:34 — same O(dict) scan shape,
+    but each DP cell update here is a numpy op over every surviving
+    term at once; rows whose banded minimum exceeds max_d are dropped
+    between pattern characters, so common 1-edit queries touch only the
+    terms inside the length window for a handful of vector ops)."""
+    if not terms:
+        return []
+    plen = len(pattern)
+    lens = np.array([len(t) for t in terms], dtype=np.int32)
+    keep = np.abs(lens - plen) <= max_d
+    cand = [t for t, k in zip(terms, keep) if k]
+    if not cand:
+        return []
+    lens = lens[keep]
+    width = int(lens.max())
+    # padded code-point matrix (n_terms × width); pad char 0 never
+    # equals a real pattern char
+    mat = np.zeros((len(cand), width), dtype=np.uint32)
+    for i, t in enumerate(cand):
+        mat[i, :len(t)] = np.frombuffer(
+            t.encode("utf-32-le"), dtype=np.uint32)
+    alive = np.arange(len(cand))
+    dist = np.broadcast_to(np.arange(width + 1, dtype=np.int32),
+                           (len(cand), width + 1)).copy()
+    for i, ch in enumerate(pattern, 1):
+        sub = dist[:, :-1] + (mat[alive] != ord(ch))
+        dele = dist[:, 1:] + 1
+        new = np.empty_like(dist)
+        new[:, 0] = i
+        np.minimum(sub, dele, out=new[:, 1:])
+        # insertion column sweep (dependency along j)
+        for j in range(1, width + 1):
+            np.minimum(new[:, j], new[:, j - 1] + 1, out=new[:, j])
+        dist = new
+        row_min = dist.min(axis=1)
+        ok = row_min <= max_d
+        if not ok.all():
+            alive = alive[ok]
+            dist = dist[ok]
+            if not len(alive):
+                return []
+    final = dist[np.arange(len(alive)), lens[alive]]
+    return sorted(cand[int(a)] for a, d in zip(alive, final)
+                  if d <= max_d)
+
+
 def _levenshtein_leq(a: str, b: str, max_d: int) -> bool:
     """Banded edit distance <= max_d (early-exit rows)."""
     if abs(len(a) - len(b)) > max_d:
@@ -761,9 +813,7 @@ def expand_terms(reader: IndexReader, pattern: str, kind: str = "regex",
     elif kind == "regex":
         mask = _pc.match_substring_regex(col, f"^(?:{pattern})$")
     elif kind == "fuzzy":
-        terms = col.to_pylist()
-        out = sorted(t for t in terms
-                     if _levenshtein_leq(t, pattern, max_edits))
+        out = _fuzzy_match_terms(col.to_pylist(), pattern, max_edits)
         return out[:max_terms]
     else:
         raise ValueError(f"unknown expansion kind: {kind}")

@@ -359,3 +359,31 @@ def test_hits_by_with_examples(ray_session):
     assert rows["en"]["examples"] == [
         {"doc_id": 0, "pos": 0}, {"doc_id": 0, "pos": 1}]
     assert t["lang"][0].as_py() == "en"    # largest group first
+
+
+def test_fuzzy_vectorized_matches_scalar_oracle():
+    """The vectorized dictionary-wide DP must agree with the per-term
+    banded Levenshtein on random vocabularies (incl. unicode)."""
+    import random
+    from blacklab_ray.query.engine import (
+        _fuzzy_match_terms, _levenshtein_leq)
+    rng = random.Random(1234)
+    alpha = "abcdeé今"
+    for trial in range(30):
+        vocab = sorted({"".join(rng.choice(alpha)
+                                for _ in range(rng.randint(1, 8)))
+                        for _ in range(rng.randint(1, 80))})
+        pattern = "".join(rng.choice(alpha)
+                          for _ in range(rng.randint(1, 6)))
+        for max_d in (0, 1, 2):
+            exp = sorted(t for t in vocab
+                         if _levenshtein_leq(t, pattern, max_d))
+            got = _fuzzy_match_terms(vocab, pattern, max_d)
+            assert got == exp, (pattern, max_d, vocab)
+
+
+def test_fuzzy_vectorized_empty_and_edgecases():
+    from blacklab_ray.query.engine import _fuzzy_match_terms
+    assert _fuzzy_match_terms([], "abc", 1) == []
+    assert _fuzzy_match_terms(["zzzzzzzz"], "a", 1) == []
+    assert _fuzzy_match_terms(["a", "b"], "a", 0) == ["a"]
