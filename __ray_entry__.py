@@ -222,6 +222,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return t.to_pandas().rename(columns={"left": "lctx",
                                              "right": "rctx"})
 
+    def q_highlight_snippets(sf):
+        """Well-formed highlighted snippet around the first literal
+        occurrence of the hit term (XmlHighlighter/DocUtil display
+        path): 30 chars of context each side, <hl> markers, first 20
+        docs by doc_id. SQL-replicable: substring arithmetic only on
+        the plain-text path (the XML suspension logic is covered by
+        tests/test_xmlhighlight.py's property suite)."""
+        import pyarrow as _pa
+        from blacklab_ray.stages.xmlhighlight import snippet as _snip
+
+        term = HIT_TERM
+
+        def _mk(batch: _pa.Table) -> _pa.Table:
+            ids, snips = [], []
+            for d, txt in zip(batch["doc_id"].to_pylist(),
+                              batch["text"].to_pylist()):
+                p = txt.find(term)
+                if p < 0:
+                    continue
+                ids.append(d)
+                snips.append(_snip(txt, (p, p + len(term)),
+                                   context_chars=30, trim=False))
+            return _pa.table({
+                "doc_id": _pa.array(ids, _pa.int64()),
+                "snippet": _pa.array(snips, _pa.string())})
+
+        rows = _docs_ds(sf).map_batches(
+            _mk, batch_format="pyarrow").take_all()
+        t = _pa.Table.from_pylist(rows).sort_by("doc_id")
+        return t.slice(0, 20)
+
     def q_hits_ctx_sorted(sf):
         """Sort hits by right-context words (faq.md:85's operation),
         first 50 — context-sort via the kwic table."""
@@ -455,7 +486,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return url_dedup_keep_ids(ds)
 
     def q_fingerprints(sf):
-        return dedup.fingerprints(_docs_ds(sf), normalize=True)
+        """Per-doc rolling fingerprint AND simhash64 in one key (both
+        are per-doc hash tables; merged so the 50-key driver cap has
+        room — each operator stays individually driver-verified via its
+        own column)."""
+        fp = pa.Table.from_pylist(
+            dedup.fingerprints(_docs_ds(sf), normalize=True).take_all())
+        sh = pa.Table.from_pylist(
+            dedup.simhashes(_docs_ds(sf)).take_all())
+        df = fp.to_pandas().merge(sh.to_pandas(), on="doc_id")
+        return df.sort_values("doc_id").reset_index(drop=True)
 
     def q_minhash_pairs(sf):
         pairs = dedup.minhash_candidate_pairs(_docs_ds(sf))
@@ -590,6 +630,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_filter": q_docs_filter,
         "facets_spark": q_facets,
         "hits_ctx_sorted": q_hits_ctx_sorted,
+        "highlight_snippets": q_highlight_snippets,
         "sample_hits_spark": q_sample_hits,
         "term_stats": q_term_stats,
         "doc_stats": q_doc_stats,
@@ -608,7 +649,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprints": q_fingerprints,
         "url_dedup": q_url_dedup,
         "minhash_pairs": q_minhash_pairs,
-        "simhash64": q_simhash,
         "ann_topk": q_ann_topk,
         "ann_lsh_topk": q_ann_lsh,
         "ann_ivf_topk": q_ann_ivf,
@@ -925,32 +965,24 @@ WITH toks AS ({toks})
 SELECT term, lang, count(*) AS tf FROM toks GROUP BY term, lang
 ORDER BY tf DESC, term, lang LIMIT 100
 """,
+        "highlight_snippets": f"""
+WITH h AS (
+  SELECT doc_id, text, position('{HIT_TERM}' IN text) AS p
+  FROM documents
+  WHERE position('{HIT_TERM}' IN text) > 0
+)
+SELECT doc_id,
+       substr(text, GREATEST(1, p - 30), p - GREATEST(1, p - 30))
+       || '<hl>{HIT_TERM}</hl>'
+       || substr(text, p + {len(HIT_TERM)}, 30) AS snippet
+FROM h ORDER BY doc_id LIMIT 20
+""",
         "sample_hits_spark": f"""
 WITH toks AS ({toks_pos})
 SELECT doc_id, pos FROM toks
 WHERE term = '{HIT_TERM}'
   AND md5_number_lower(doc_id::VARCHAR || ':' || pos::VARCHAR
                        || ':17') % 1048576 < 262144
-""",
-        "simhash64": f"""
-WITH toks AS (SELECT doc_id, unnest({_TOKS_SQL}) AS term
-              FROM documents),
-bits AS (
-  SELECT doc_id, r.b,
-         CASE WHEN (md5_number_lower(term) >> r.b) & 1 = 1
-              THEN 1 ELSE -1 END AS c
-  FROM toks, range(64) r(b)
-),
-charge AS (SELECT doc_id, b, sum(c) AS ch FROM bits
-           GROUP BY doc_id, b),
-v AS (SELECT doc_id,
-             sum(CASE WHEN ch > 0 THEN (1::HUGEINT << b)
-                      ELSE 0 END) AS sh
-      FROM charge GROUP BY doc_id)
-SELECT d.doc_id,
-       lower(lpad(to_hex(coalesce(v.sh, 0)::UBIGINT), 16, '0'))
-         AS simhash
-FROM documents d LEFT JOIN v USING (doc_id)
 """,
         "minhash_pairs": f"""
 WITH toks AS ({toks_pos}),
@@ -1039,9 +1071,32 @@ canon AS (SELECT doc_id, regexp_replace(u, '/$', '') AS c FROM s4)
 SELECT min(doc_id) AS doc_id FROM canon GROUP BY c
 """,
         "fingerprints": f"""
-SELECT doc_id,
-       md5(array_to_string({_TOKS_SQL}, ' ')) AS fingerprint
-FROM documents
+WITH fp AS (
+  SELECT doc_id,
+         md5(array_to_string({_TOKS_SQL}, ' ')) AS fingerprint
+  FROM documents
+), sh AS (
+  WITH toks AS (SELECT doc_id, unnest({_TOKS_SQL}) AS term
+                FROM documents),
+  bits AS (
+    SELECT doc_id, r.b,
+           CASE WHEN (md5_number_lower(term) >> r.b) & 1 = 1
+                THEN 1 ELSE -1 END AS c
+    FROM toks, range(64) r(b)
+  ),
+  charge AS (SELECT doc_id, b, sum(c) AS ch FROM bits
+             GROUP BY doc_id, b),
+  v AS (SELECT doc_id,
+               sum(CASE WHEN ch > 0 THEN (1::HUGEINT << b)
+                        ELSE 0 END) AS sh
+        FROM charge GROUP BY doc_id)
+  SELECT d.doc_id,
+         lower(lpad(to_hex(coalesce(v.sh, 0)::UBIGINT), 16, '0'))
+           AS simhash
+  FROM documents d LEFT JOIN v USING (doc_id)
+)
+SELECT fp.doc_id, fp.fingerprint, sh.simhash
+FROM fp JOIN sh USING (doc_id) ORDER BY doc_id
 """,
         "ann_topk": """
 WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe

@@ -106,6 +106,8 @@ def test_rows_only_queries_run(entry_mod, name):
 
 
 def test_simhash_deterministic(entry_mod):
-    a = _norm(_to_pandas(entry_mod.queries()["simhash64"](SF_DIR)))
-    b = _norm(_to_pandas(entry_mod.queries()["simhash64"](SF_DIR)))
+    # simhash64 now rides the merged "fingerprints" key (50-key cap)
+    a = _norm(_to_pandas(entry_mod.queries()["fingerprints"](SF_DIR)))
+    b = _norm(_to_pandas(entry_mod.queries()["fingerprints"](SF_DIR)))
+    assert "simhash" in a.columns and "fingerprint" in a.columns
     pd.testing.assert_frame_equal(a, b)
