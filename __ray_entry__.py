@@ -69,6 +69,50 @@ def _docs_ds(sf_dir: str):
     return ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
 
 
+def _mv_index_for(sf_dir: str):
+    """Index with a derived multivalue column: synonym 'sparksyn' at
+    every position of the token 'spark' (deterministic, so DuckDB can
+    reproduce the equivalence class). Dataset-source builds never
+    resume, so this is cached per-process only."""
+    from blacklab_ray.index import BuildParams, build_index
+    from blacklab_ray.query import IndexReader
+    key = ("mv", sf_dir)
+    if key in _IDX_CACHE:
+        return _IDX_CACHE[key]
+    import numpy as np
+    import pyarrow.compute as pc
+
+    def _add_multi(batch: pa.Table) -> pa.Table:
+        from blacklab_ray.analysis.analyzers import tokenize_column
+        parents, tokens, positions, _lens = tokenize_column(
+            batch.column("text"))
+        mask = pc.equal(tokens, "spark").to_numpy(zero_copy_only=False)
+        mp = parents[mask]
+        mpos = positions[mask]
+        counts = np.bincount(mp, minlength=batch.num_rows)
+        offsets = np.zeros(batch.num_rows + 1, dtype=np.int32)
+        np.cumsum(counts, out=offsets[1:])
+        flat = pa.StructArray.from_arrays(
+            [pa.array(mpos.astype(np.int32), pa.int32()),
+             pa.array(["sparksyn"] * int(mp.size), pa.string())],
+            names=["pos", "value"])
+        multi = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
+                                         flat)
+        return batch.append_column("multi", multi)
+
+    ds = _docs_ds(sf_dir).map_batches(_add_multi, batch_format="pyarrow")
+    tag = hashlib.md5(("mv:" + sf_dir).encode()).hexdigest()[:10]
+    idx_dir = f"/tmp/blray_mvindex_{tag}"
+    build_index(ds, idx_dir,
+                BuildParams(num_buckets=8, n_salts=2,
+                            id_column="doc_id", extract_html=False,
+                            batch_size=512,
+                            multivalue_column="multi"))
+    reader = IndexReader(idx_dir)
+    _IDX_CACHE[key] = reader
+    return reader
+
+
 def _events_ds(sf_dir: str):
     import ray.data
     return ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"))
@@ -275,10 +319,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return t.reset_index(drop=True)
 
     def q_cql(sf):
+        """Two CQL shapes in one key ('q' label column, 50-key driver
+        cap): a regex+literal sequence and a token-level NOT sequence
+        (SpanQueryNot/SpansNot) — formerly the cql_not_docs key."""
         from blacklab_ray.query.cql import search_cql
         r = _index_for(sf)
-        t = search_cql(r, '[word="b.*"] "batch"', k=10**9)
-        df = t.select(["doc_id", "span_tf"]).to_pandas()
+        frames = []
+        for label, pat in (("seq", '[word="b.*"] "batch"'),
+                           ("not", CQL_NOT)):
+            t = search_cql(r, pat, k=10**9)
+            df = t.select(["doc_id", "span_tf"]).to_pandas()
+            df.insert(0, "q", label)
+            frames.append(df)
+        return pd.concat(frames).sort_values(["q", "doc_id"])             .reset_index(drop=True)
+
+    def q_cql_multivalue(sf):
+        """Multi-value (position-increment-0) annotations: a synonym
+        'sparksyn' is indexed at every position of the token 'spark'
+        (AnnotationWriter.java:44-47 payload-primary model); the phrase
+        "sparksyn join" must then match exactly where "spark join" is
+        adjacent. Built from a derived Dataset via the multivalue_column
+        build path."""
+        from blacklab_ray.query import phrase_search
+        r = _mv_index_for(sf)
+        t = phrase_search(r, ["sparksyn", "join"], k=10**9)
+        df = t.select(["doc_id"]).to_pandas().drop_duplicates()
         return df.sort_values("doc_id").reset_index(drop=True)
 
     def q_cql_rep(sf):
@@ -358,15 +423,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         t = search_andnot(r, OR_TERMS, NEG_TERMS, k=10**9) \
             .select(["doc_id", "score"])
         return _round_cols(t.to_pandas(), {"score": 4})
-
-    def q_cql_not(sf):
-        """Token-level NOT inside a sequence ([word != "x"] —
-        SpanQueryNot/SpansNot semantics)."""
-        from blacklab_ray.query.cql import search_cql
-        r = _index_for(sf)
-        t = search_cql(r, CQL_NOT, k=10**9)
-        df = t.select(["doc_id", "span_tf"]).to_pandas()
-        return df.sort_values("doc_id").reset_index(drop=True)
 
     def q_seq_gap(sf):
         from blacklab_ray.query.engine import sequence_search
@@ -616,11 +672,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_andnot": q_bm25_andnot,
         "bm25_sensitive": q_bm25_sensitive,
         "contextql_docs": q_contextql,
-        "cql_not_docs": q_cql_not,
         "cql_rep_docs": q_cql_rep,
         "cql_alt_docs": q_cql_alt,
         "cql_capture_docs": q_cql_capture,
         "cql_constraint_docs": q_cql_constraint,
+        "cql_multivalue_docs": q_cql_multivalue,
         "ngrams_containing": q_ngrams_containing,
         "seq_gap_docs": q_seq_gap,
         "events_windows": q_events_windows,
@@ -811,11 +867,24 @@ ORDER BY doc_len DESC, d.doc_id LIMIT {TOPK}
 """,
         "cql_docs": f"""
 WITH toks AS ({toks_pos})
-SELECT a.doc_id, count(*) AS span_tf
+SELECT 'seq' AS q, a.doc_id, count(*) AS span_tf
 FROM toks a JOIN toks b
   ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
 WHERE regexp_matches(a.term, '^(?:b.*)$') AND b.term = 'batch'
 GROUP BY a.doc_id
+UNION ALL
+SELECT 'not' AS q, a.doc_id, count(*) AS span_tf
+FROM toks a JOIN toks b
+  ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+WHERE a.term = 'batch' AND b.term != 'join'
+GROUP BY a.doc_id
+""",
+        "cql_multivalue_docs": f"""
+WITH toks AS ({toks_pos})
+SELECT DISTINCT a.doc_id
+FROM toks a JOIN toks b
+  ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+WHERE a.term = 'spark' AND b.term = 'join'
 """,
         "bm25_andnot": _bm25_sql(OR_TERMS, "or", None,
                                  anti_terms=NEG_TERMS),
@@ -872,14 +941,7 @@ WHERE regexp_matches(a.term, '^(?:b.*)$')
   AND (NOT a.term = 'bloom' OR b.term = 'filter')
 GROUP BY a.doc_id
 """,
-        "cql_not_docs": f"""
-WITH toks AS ({toks_pos})
-SELECT a.doc_id, count(*) AS span_tf
-FROM toks a JOIN toks b
-  ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
-WHERE a.term = 'batch' AND b.term != 'join'
-GROUP BY a.doc_id
-""",
+
         "seq_gap_docs": f"""
 WITH toks AS ({toks_pos})
 SELECT a.doc_id, count(*) AS seq_tf

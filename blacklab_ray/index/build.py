@@ -82,6 +82,12 @@ class BuildParams:
     #                                    columns aligned by token
     sensitive: bool = False          # also index the @s (case-sensitive)
     #                                  annotation: postings_s/ + terms_s/
+    multivalue_column: str | None = None  # standoff secondary values
+    #                                  (list<struct<pos,value>>): indexed
+    #                                  into the main annotation's
+    #                                  postings at the same positions
+    #                                  (position-increment 0); fwd keeps
+    #                                  the primary value only
 
     def fingerprint(self) -> dict:
         d = dict(self.__dict__)
@@ -159,6 +165,12 @@ def build_index(source: str | list[str] | ray.data.Dataset, index_dir: str,
     """Build (or resume building) the index; returns the manifest dict."""
     params = params or BuildParams()
     os.makedirs(index_dir, exist_ok=True)
+    if params.multivalue_column and params.exchange != "mapreduce":
+        # fused/sort paths don't fold terms_mv into the main postings;
+        # refusing beats silently dropping secondary values (the same
+        # failure mode as the fused-analyzer gap fixed for ADVICE r2 #2)
+        raise ValueError(
+            "multivalue_column requires exchange='mapreduce'")
     if isinstance(source, str):
         source = [source]
     if isinstance(source, list):
@@ -219,7 +231,8 @@ def build_index(source: str | list[str] | ray.data.Dataset, index_dir: str,
                       "sentence_spans": params.sentence_spans,
                       "sensitive": params.sensitive,
                       "analyzer": params.analyzer,
-                      "annotations": tuple(params.annotations)}
+                      "annotations": tuple(params.annotations),
+                      "multivalue_column": params.multivalue_column}
         if params.tokenize_concurrency is not None:
             ds = ds.map_batches(
                 TokenizeForwardIndex,
@@ -334,7 +347,9 @@ def build_index(source: str | list[str] | ray.data.Dataset, index_dir: str,
                 hot_terms=params.hot_terms, block_size=params.block_size,
                 max_seg_postings=params.max_seg_postings,
                 completed_parts=completed,
-                files_per_map=params.files_per_map)
+                files_per_map=params.files_per_map,
+                mv_cols=(("terms_mv", "tfs_mv", "pos_mv")
+                         if params.multivalue_column else None))
             shard_info.update(new_parts)
             man.record("postings_shards", src_fp, pfp, shards=shard_info)
             dt = time.perf_counter() - t0
@@ -431,9 +446,18 @@ def build_index(source: str | list[str] | ray.data.Dataset, index_dir: str,
         n_docs = sum(pq.read_metadata(os.path.join(fwd_dir, f)).num_rows
                      for f in os.listdir(fwd_dir)
                      if f.endswith(".parquet"))
-        terms_tbl = pq.read_table(terms_dir, columns=["collection_tf"])
-        total_tokens = int(pa.compute.sum(
-            terms_tbl["collection_tf"]).as_py() or 0)
+        if params.multivalue_column:
+            # ctf now counts secondary values too; the corpus token
+            # count is token POSITIONS (IndexMetadata.addToTokenCount
+            # semantics) = sum of doc lengths
+            lens = pq.read_table(fwd_dir, columns=["doc_len"])
+            total_tokens = int(pa.compute.sum(
+                lens["doc_len"]).as_py() or 0)
+        else:
+            terms_tbl = pq.read_table(terms_dir,
+                                      columns=["collection_tf"])
+            total_tokens = int(pa.compute.sum(
+                terms_tbl["collection_tf"]).as_py() or 0)
         meta = {
             "n_docs": n_docs,
             "total_tokens": total_tokens,

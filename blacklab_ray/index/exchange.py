@@ -88,16 +88,18 @@ def _set_single_threaded_arrow():
 
 def _map_explode(paths: list[str], n_parts: int, num_buckets: int,
                  n_salts: int, hot_terms,
-                 annot_cols=("terms", "tfs", "pos")) -> list:
+                 annot_cols=("terms", "tfs", "pos"),
+                 mv_cols=None) -> list:
     """Returns n_parts part-tables + the map-local term dictionary as the
     final (index n_parts) return value."""
     _set_single_threaded_arrow()
     explode = ExplodePostings(num_buckets=num_buckets, n_salts=n_salts,
-                              hot_terms=hot_terms, annot_cols=annot_cols)
+                              hot_terms=hot_terms, annot_cols=annot_cols,
+                              mv_cols=mv_cols)
     outs = []
+    cols = _fwd_columns(annot_cols) + list(mv_cols or ())
     for p in paths:
-        tbl = pq.read_table(p, columns=_fwd_columns(annot_cols),
-                            use_threads=False)
+        tbl = pq.read_table(p, columns=cols, use_threads=False)
         outs.append(explode(tbl))
     merged = pa.concat_tables(outs) if outs else None
     if merged is None or merged.num_rows == 0:
@@ -302,7 +304,8 @@ def run_postings_exchange(fwd_dir: str, out_dir: str, *, num_buckets: int,
                           completed_parts: set[int] | None = None,
                           part_suffix: str = "",
                           annot_cols: tuple = ("terms", "tfs", "pos"),
-                          terms_parts_name: str = "terms_parts") -> dict:
+                          terms_parts_name: str = "terms_parts",
+                          mv_cols: tuple | None = None) -> dict:
     """Run the map/reduce postings exchange; returns per-part lineage.
 
     ``completed_parts`` (from the manifest) are skipped — their output
@@ -334,7 +337,7 @@ def run_postings_exchange(fwd_dir: str, out_dir: str, *, num_buckets: int,
     reduce_task = ray.remote(_reduce_build)
 
     map_out = [map_task.remote(c, n_parts, num_buckets, n_salts,
-                               hot_terms, annot_cols)
+                               hot_terms, annot_cols, mv_cols)
                for c in chunks]
     vocab_refs = [m[n_parts] for m in map_out]
     # transpose: refs per part (+ every map's term dictionary)

@@ -71,6 +71,66 @@ def term_bucket_array(terms: pa.Array, num_buckets: int) -> np.ndarray:
     return uniq_buckets[d.indices.to_numpy(zero_copy_only=False)]
 
 
+def _plain(arr):
+    return arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+
+
+def _merge_duplicate_doc_terms(tbl: pa.Table, codes: np.ndarray) -> pa.Table:
+    """Collapse duplicate (term, doc) rows into one posting row
+    (tf summed, position blobs decoded/merged/re-encoded).
+
+    Only reachable on multivalue builds, and only does real work when a
+    secondary value string collides with a token of the SAME document —
+    the no-duplicate fast path is one lexsort + one boolean reduction.
+    """
+    from blacklab_ray.codec.vbyte import vbyte_decode, vbyte_encode
+    doc = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+    order = np.lexsort((doc, codes))
+    c = codes[order]
+    d = doc[order]
+    if c.size == 0:
+        return tbl
+    new_grp = np.empty(c.size, dtype=bool)
+    new_grp[0] = True
+    np.logical_or(c[1:] != c[:-1], d[1:] != d[:-1], out=new_grp[1:])
+    if new_grp.all():
+        return tbl
+    starts = np.flatnonzero(new_grp)
+    sizes = np.diff(np.append(starts, c.size))
+    sorted_tbl = tbl.take(pa.array(order))
+    tf = sorted_tbl.column("tf").to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    tf_out = np.add.reduceat(tf, starts)
+    base = sorted_tbl.take(pa.array(starts))
+    posbin = sorted_tbl.column("posbin").combine_chunks()
+    bufs = posbin.buffers()
+    off = np.frombuffer(bufs[1], dtype=np.int32)[
+        posbin.offset: posbin.offset + len(posbin) + 1].astype(np.int64)
+    data = bufs[2]
+    merged: dict[int, bytes] = {}
+    for gi in np.flatnonzero(sizes > 1).tolist():
+        s, n = int(starts[gi]), int(sizes[gi])
+        pos_all = np.sort(np.concatenate([
+            np.cumsum(vbyte_decode(
+                np.frombuffer(data, np.uint8,
+                              count=int(off[j + 1] - off[j]),
+                              offset=int(off[j]))))
+            for j in range(s, s + n)]))
+        deltas = np.empty(pos_all.size, dtype=np.int64)
+        deltas[0] = pos_all[0]
+        np.subtract(pos_all[1:], pos_all[:-1], out=deltas[1:])
+        merged[gi] = vbyte_encode(deltas)
+    base_posbin = base.column("posbin").to_pylist()
+    for gi, blob in merged.items():
+        base_posbin[gi] = blob
+    return base.set_column(
+        base.schema.get_field_index("tf"), "tf",
+        pa.array(tf_out, pa.int32())
+    ).set_column(
+        base.schema.get_field_index("posbin"), "posbin",
+        pa.array(base_posbin, pa.binary()))
+
+
 class ExplodePostings:
     """``map_batches`` stage: forward-index rows → posting partial rows.
 
@@ -83,10 +143,17 @@ class ExplodePostings:
                  hot_terms: tuple[str, ...] | None = None,
                  hot_df_frac: float = 0.05,
                  annot_cols: tuple[str, str, str] = ("terms", "tfs",
-                                                    "pos")):
+                                                    "pos"),
+                 mv_cols: tuple[str, str, str] | None = None):
         self._buckets = num_buckets
         self._salts = n_salts
         self._cols = annot_cols
+        # secondary multi-values folded into the SAME explode so a
+        # synonym string equal to a real token of the same doc merges
+        # into one (term, doc) posting row here — after the shuffle the
+        # two could land in different salt groups (frequency-adaptive
+        # salting is batch-local) and duplicate the doc across segments
+        self._mv_cols = mv_cols
         self._hot = frozenset(STOPWORDS if hot_terms is None else hot_terms)
         # frequency-adaptive salting: any term matching > hot_df_frac of
         # this batch's docs is salted too. Correct under local decisions:
@@ -106,6 +173,27 @@ class ExplodePostings:
             zero_copy_only=False)
         flat_tfs = pc.list_flatten(batch.column(self._cols[1]))
         flat_pos = pc.list_flatten(batch.column(self._cols[2]))
+        mv = (self._mv_cols if self._mv_cols
+              and self._mv_cols[0] in batch.column_names else None)
+        if mv is not None:
+            mv_col = batch.column(mv[0]).combine_chunks()
+            mflat = pc.list_flatten(mv_col)
+            if len(mflat):
+                mparents = pc.list_parent_indices(mv_col).to_numpy(
+                    zero_copy_only=False)
+                flat_terms = pa.concat_arrays(
+                    [_plain(flat_terms), _plain(mflat)])
+                parents = np.concatenate([parents, mparents])
+                flat_tfs = pa.concat_arrays(
+                    [_plain(flat_tfs),
+                     _plain(pc.list_flatten(
+                         batch.column(mv[1]).combine_chunks()))])
+                flat_pos = pa.concat_arrays(
+                    [_plain(flat_pos),
+                     _plain(pc.list_flatten(
+                         batch.column(mv[2]).combine_chunks()))])
+            else:
+                mv = None
         doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
         norms = batch.column("norm").to_numpy(zero_copy_only=False)
         doc_rep = doc_ids[parents]
@@ -131,7 +219,7 @@ class ExplodePostings:
         # bucket/salt are NOT shipped through the shuffle — they are
         # recomputed from gkey in build_segments (shuffle bytes matter:
         # 5.7M rows/20k docs at bench scale)
-        return pa.table({
+        out = pa.table({
             "gkey": pa.array(gkey, pa.int64()),
             "term": flat_terms,
             "doc_id": pa.array(doc_rep, pa.int64()),
@@ -139,6 +227,9 @@ class ExplodePostings:
             "norm": pa.array(norm_rep.astype(np.int32), pa.int32()),
             "posbin": flat_pos,
         })
+        if mv is not None:
+            out = _merge_duplicate_doc_terms(out, codes)
+        return out
 
 
 def build_segments(group: pa.Table, block_size: int = BLOCK_SIZE,

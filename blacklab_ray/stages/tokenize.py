@@ -69,7 +69,8 @@ class TokenizeForwardIndex:
                  sentence_spans: bool = False,
                  sensitive: bool = False,
                  analyzer: str = "standard",
-                 annotations: tuple[str, ...] = ()):
+                 annotations: tuple[str, ...] = (),
+                 multivalue_column: str | None = None):
         from blacklab_ray.analysis.analyzers import get_analyzer
         self._id_column = id_column
         self._para = paragraph_spans
@@ -77,6 +78,17 @@ class TokenizeForwardIndex:
         self._sensitive = sensitive
         self._analyzer = analyzer
         self._tokenize = get_analyzer(analyzer)
+        # SECONDARY values at existing token positions (the reference's
+        # position-increment-0 multi-value annotations: synonyms and
+        # stemmed forms indexed at the same position, with the primary
+        # value flagged in the payload and stored in the forward index —
+        # AnnotationWriter.java:44-47, AddIsPrimaryValueToPayloadFilter
+        # .java:28). Input: a list<struct<pos:int32,value:string>>
+        # column; output: parallel terms_mv/tfs_mv/pos_mv fwd columns.
+        # The fwd terms column stays PRIMARY-only (display/KWIC), while
+        # the postings exchange folds the mv vector into the main
+        # annotation's postings so queries match secondaries too.
+        self._multivalue = multivalue_column
         # extra PARALLEL annotations (lemma/pos — the reference's
         # multi-annotation data model, AnnotatedField.java:14): each
         # name is a list<string> input column whose element i is the
@@ -174,6 +186,32 @@ class TokenizeForwardIndex:
             cols[f"terms_{name}"] = avec[0]
             cols[f"tfs_{name}"] = avec[1]
             cols[f"pos_{name}"] = avec[2]
+        if self._multivalue and self._multivalue in batch.column_names:
+            mv_col = batch.column(self._multivalue).combine_chunks() \
+                if isinstance(batch.column(self._multivalue),
+                              pa.ChunkedArray) \
+                else batch.column(self._multivalue)
+            mp = pc.list_parent_indices(mv_col).to_numpy(
+                zero_copy_only=False)
+            flat_mv = pc.list_flatten(mv_col)
+            mv_vals = flat_mv.field("value")
+            mv_pos = flat_mv.field("pos").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            # positions must exist in the doc (increment-0 attaches to a
+            # real token position)
+            if mv_pos.size and (mv_pos < 0).any():
+                raise ValueError("negative multivalue position")
+            bad = mv_pos >= doc_lens[mp]
+            if bad.any():
+                i = int(np.flatnonzero(bad)[0])
+                raise ValueError(
+                    f"multivalue position {int(mv_pos[i])} >= doc_len "
+                    f"{int(doc_lens[mp[i]])} at batch row {int(mp[i])}")
+            mvec = self._term_vector(mp, mv_vals, mv_pos, n_docs,
+                                     sort_positions=True)
+            cols["terms_mv"] = mvec[0]
+            cols["tfs_mv"] = mvec[1]
+            cols["pos_mv"] = mvec[2]
         if "tags" in batch.column_names:
             # standoff structural spans with attributes (the reference
             # indexes these as starttag tokens + @attr__value tokens at
@@ -190,9 +228,15 @@ class TokenizeForwardIndex:
             cols["warc_ts"] = batch.column("warc_ts")
         return pa.table(cols)
 
-    def _term_vector(self, parents, tokens, positions, n_docs):
+    def _term_vector(self, parents, tokens, positions, n_docs,
+                     sort_positions: bool = False):
         """Flat token stream → per-doc (terms, tfs, pos-blob) list
-        columns (the grouped forward-index representation)."""
+        columns (the grouped forward-index representation).
+
+        ``sort_positions`` adds position as the innermost sort key —
+        needed when the input triples are not already position-ascending
+        per doc (standoff multi-values); the main token stream is
+        scan-ordered so the extra key would be a no-op there."""
         # ---- group (doc, term) pairs: dictionary-encode tokens, then sort
         # by (doc, lexicographic term rank). Ranks — not raw dictionary
         # codes — make the per-doc term vector order independent of batch
@@ -206,7 +250,10 @@ class TokenizeForwardIndex:
         codes = rank_of[codes]
         sorted_dict = pc.take(dict_arr.dictionary,
                               pc.sort_indices(dict_arr.dictionary))
-        order = np.lexsort((codes, parents))  # sort by doc, then term rank
+        if sort_positions:
+            order = np.lexsort((positions, codes, parents))
+        else:
+            order = np.lexsort((codes, parents))  # doc, then term rank
         sp = parents[order]
         sc = codes[order]
         spos = positions[order]
