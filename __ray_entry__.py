@@ -58,7 +58,9 @@ def _index_for(sf_dir: str):
     build_index([os.path.join(sf_dir, "documents.parquet")], idx_dir,
                 BuildParams(num_buckets=16, n_salts=4,
                             id_column="doc_id", extract_html=False,
-                            batch_size=512, sensitive=True))
+                            batch_size=512, sensitive=True,
+                            metadata_fields=(("source", "tokenized"),
+                                             ("n_chars", "numeric"))))
     reader = IndexReader(idx_dir)
     _IDX_CACHE[sf_dir] = reader
     return reader
@@ -461,25 +463,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return out
 
     def q_docs_filter(sf):
-        """Metadata-only document query (Lucene BooleanQuery doc filter
-        analogue): en docs with 40..60 tokens — one vectorized
-        map_batches (tokenize + predicate), no join."""
-
-        def _filt(batch: pa.Table) -> pa.Table:
-            import pyarrow.compute as pc
-            from blacklab_ray.analysis.analyzers import tokenize_column
-            _, _, _, lens = tokenize_column(batch.column("text"))
-            out = pa.table({
-                "doc_id": batch.column("doc_id").cast(pa.int64()),
-                "doc_len": pa.array(lens, pa.int64()),
-                "lang": batch.column("lang"),
-            })
-            m = pc.and_(pc.and_(pc.greater_equal(out["doc_len"], 40),
-                                pc.less_equal(out["doc_len"], 60)),
-                        pc.equal(out["lang"], "en"))
-            return out.filter(m).select(["doc_id", "doc_len"])
-
-        return _docs_ds(sf).map_batches(_filt, batch_format="pyarrow")
+        """TYPED metadata doc filter (FieldType.java:5-7 routing:
+        untokenized exact + numeric ranges + tokenized analyzed match)
+        — lang='en' (untokenized), doc_len 40..60 and n_chars >= 200
+        (numeric, pushed down to the Parquet reader), source token in
+        src0..src9 (tokenized)."""
+        from blacklab_ray.query.metafilter import filter_docs_meta
+        r = _index_for(sf)
+        ids = filter_docs_meta(r, [
+            ("lang", "=", "en"),
+            ("doc_len", "range", (40, 60)),
+            ("n_chars", "range", (200, 1 << 40)),
+            ("source", "in", [f"src{i}" for i in range(10)]),
+        ])
+        lens = r.doc_lens(ids)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "doc_len": pa.array(lens, pa.int64())})
 
     # ---- dedup / fingerprints ------------------------------------------
 
@@ -959,11 +958,17 @@ FROM m JOIN dl USING (doc_id) GROUP BY m.lang
 """,
         "docs_filter": f"""
 WITH toks AS ({toks}),
-dl AS (SELECT d.doc_id, d.lang, count(t.term) AS doc_len
+dl AS (SELECT d.doc_id, d.lang, d.n_chars, d.source,
+              count(t.term) AS doc_len
        FROM documents d LEFT JOIN toks t ON d.doc_id = t.doc_id
-       GROUP BY d.doc_id, d.lang)
+       GROUP BY d.doc_id, d.lang, d.n_chars, d.source)
 SELECT doc_id, doc_len FROM dl
 WHERE lang = 'en' AND doc_len BETWEEN 40 AND 60
+  AND n_chars >= 200
+  AND len(list_intersect(
+        regexp_extract_all(lower(strip_accents(source)), '[a-z0-9]+'),
+        ['src0','src1','src2','src3','src4',
+         'src5','src6','src7','src8','src9'])) > 0
 """,
         "facets_spark": f"""
 WITH toks AS ({toks}),

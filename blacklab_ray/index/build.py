@@ -82,6 +82,11 @@ class BuildParams:
     #                                    columns aligned by token
     sensitive: bool = False          # also index the @s (case-sensitive)
     #                                  annotation: postings_s/ + terms_s/
+    metadata_fields: tuple = ()      # ((name, type), ...) typed metadata
+    #                                  declarations (FieldType.java:5-7:
+    #                                  tokenized | numeric | untokenized);
+    #                                  the named input columns are carried
+    #                                  into fwd and typed in meta.json
     multivalue_column: str | None = None  # standoff secondary values
     #                                  (list<struct<pos,value>>): indexed
     #                                  into the main annotation's
@@ -93,6 +98,7 @@ class BuildParams:
         d = dict(self.__dict__)
         d["hot_terms"] = sorted(self.hot_terms) if self.hot_terms else None
         d["annotations"] = list(self.annotations)
+        d["metadata_fields"] = [list(x) for x in self.metadata_fields]
         d.pop("tokenize_concurrency")
         return d
 
@@ -171,6 +177,15 @@ def build_index(source: str | list[str] | ray.data.Dataset, index_dir: str,
         # failure mode as the fused-analyzer gap fixed for ADVICE r2 #2)
         raise ValueError(
             "multivalue_column requires exchange='mapreduce'")
+    if params.metadata_fields:
+        bad = [t for _n, t in params.metadata_fields
+               if t not in ("tokenized", "numeric", "untokenized")]
+        if bad:
+            raise ValueError(f"unknown metadata field types: {bad}")
+        if params.exchange == "fused":
+            raise ValueError(
+                "metadata_fields requires exchange='mapreduce' or "
+                "'sort' (the fused map does not carry extra columns)")
     if isinstance(source, str):
         source = [source]
     if isinstance(source, list):
@@ -232,7 +247,9 @@ def build_index(source: str | list[str] | ray.data.Dataset, index_dir: str,
                       "sensitive": params.sensitive,
                       "analyzer": params.analyzer,
                       "annotations": tuple(params.annotations),
-                      "multivalue_column": params.multivalue_column}
+                      "multivalue_column": params.multivalue_column,
+                      "metadata_cols": tuple(
+                          n for n, _t in params.metadata_fields)}
         if params.tokenize_concurrency is not None:
             ds = ds.map_batches(
                 TokenizeForwardIndex,
@@ -277,6 +294,7 @@ def build_index(source: str | list[str] | ray.data.Dataset, index_dir: str,
             "n_docs": n_docs,
             "total_tokens": total_tokens,
             "avg_doc_len": total_tokens / max(n_docs, 1),
+            "metadata_fields": {n: t for n, t in params.metadata_fields},
             "params": pfp,
         }
         with open(os.path.join(index_dir, "meta.json"), "w") as f:
@@ -462,6 +480,7 @@ def build_index(source: str | list[str] | ray.data.Dataset, index_dir: str,
             "n_docs": n_docs,
             "total_tokens": total_tokens,
             "avg_doc_len": total_tokens / max(n_docs, 1),
+            "metadata_fields": {n: t for n, t in params.metadata_fields},
             "params": pfp,
         }
         with open(os.path.join(index_dir, "meta.json"), "w") as f:

@@ -70,7 +70,8 @@ class TokenizeForwardIndex:
                  sensitive: bool = False,
                  analyzer: str = "standard",
                  annotations: tuple[str, ...] = (),
-                 multivalue_column: str | None = None):
+                 multivalue_column: str | None = None,
+                 metadata_cols: tuple[str, ...] = ()):
         from blacklab_ray.analysis.analyzers import get_analyzer
         self._id_column = id_column
         self._para = paragraph_spans
@@ -89,6 +90,10 @@ class TokenizeForwardIndex:
         # the postings exchange folds the mv vector into the main
         # annotation's postings so queries match secondaries too.
         self._multivalue = multivalue_column
+        # typed metadata fields (FieldType.java:5-7): named input
+        # columns carried verbatim into the fwd rows; their declared
+        # types live in meta.json and drive filter_docs_meta semantics
+        self._metadata_cols = tuple(metadata_cols)
         # extra PARALLEL annotations (lemma/pos — the reference's
         # multi-annotation data model, AnnotatedField.java:14): each
         # name is a list<string> input column whose element i is the
@@ -226,6 +231,13 @@ class TokenizeForwardIndex:
                 batch.column("text"), n_docs, pattern="[.!?\n]+")
         if "warc_ts" in batch.column_names:
             cols["warc_ts"] = batch.column("warc_ts")
+        for name in self._metadata_cols:
+            if name in cols:
+                continue   # built-ins (lang/url/...) already carried
+            if name not in batch.column_names:
+                raise KeyError(f"metadata field {name!r} not in input "
+                               f"columns {batch.column_names}")
+            cols[name] = batch.column(name)
         return pa.table(cols)
 
     def _term_vector(self, parents, tokens, positions, n_docs,
