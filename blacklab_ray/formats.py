@@ -176,7 +176,33 @@ register_format("tabular-tsv", _read_tabular)
 register_format("tabular-csv",
                 lambda paths, **o: _read_tabular(paths, delimiter=",",
                                                  **o))
+def _read_chat(paths, encoding: str | None = None,
+               **opts) -> ray.data.Dataset:
+    """CHAT transcription files (DocIndexerChat.java:44): one doc per
+    file with header metadata, cleaned utterances, and <u speaker=…/>
+    standoff spans per utterance (stages/chat.py)."""
+    from blacklab_ray.sources.files import decode_bytes
+    from blacklab_ray.stages.chat import TAG_TYPE, chat_to_page
+    ds = ray.data.read_binary_files(paths, include_paths=True, **opts)
+
+    def to_pages(batch: pa.Table) -> pa.Table:
+        rows = [chat_to_page(p, decode_bytes(b, encoding))
+                for p, b in zip(batch.column("path").to_pylist(),
+                                batch.column("bytes").to_pylist())]
+        return pa.table({
+            "url": pa.array([r["url"] for r in rows], pa.string()),
+            "warc_ts": pa.nulls(len(rows), pa.timestamp("us")),
+            "html": pa.array([r["html"] for r in rows], pa.binary()),
+            "text": pa.array([r["text"] for r in rows], pa.string()),
+            "lang": pa.array([r["lang"] for r in rows], pa.string()),
+            "tags": pa.array([r["tags"] for r in rows], TAG_TYPE),
+        })
+
+    return ds.map_batches(to_pages, batch_format="pyarrow")
+
+
 register_format("xml", _read_xml)
+register_format("chat", _read_chat)
 register_format("tei",
                 lambda paths, **o: _read_xml(
                     paths, document_tag="TEI",
