@@ -142,6 +142,27 @@ def cmd_kwic(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    """BLS-style HTTP server over one or more built indexes
+    (``--corpus name=/path/to/index``, repeatable)."""
+    _ray_session()
+    from blacklab_ray.server import serve
+    dirs = {}
+    for spec in args.corpus:
+        name, _, path = spec.partition("=")
+        if not path:
+            name, path = "default", spec
+        dirs[name] = path
+    httpd, _ = serve(dirs, host=args.host, port=args.port)
+    print(json.dumps({"serving": sorted(dirs),
+                      "port": httpd.server_address[1]}))
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    return 0
+
+
 def cmd_gen(args) -> int:
     from blacklab_ray.sources.synth import write_pages_corpus
     paths = write_pages_corpus(args.out, args.docs, n_shards=args.shards)
@@ -208,6 +229,13 @@ def main(argv=None) -> int:
     kw.add_argument("--out", default=None)
     f.set_defaults(fn=cmd_freq)
     kw.set_defaults(fn=cmd_kwic)
+
+    sv = sub.add_parser("serve")
+    sv.add_argument("--corpus", action="append", required=True,
+                    help="name=/path/to/index (repeatable)")
+    sv.add_argument("--host", default="127.0.0.1")
+    sv.add_argument("--port", type=int, default=8080)
+    sv.set_defaults(fn=cmd_serve)
 
     g = sub.add_parser("gen")
     g.add_argument("--out", required=True)
