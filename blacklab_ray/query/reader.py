@@ -342,6 +342,33 @@ class IndexReader:
         ids = d["doc_id"]
         return ids[self.mask_tombstones(ids)]
 
+    def iter_doc_id_chunks(self, chunk_docs: int = 1 << 20):
+        """Stream sorted live doc-id chunks WITHOUT materializing the
+        doc table (VERDICT r2 #7: `_load_docs` holds doc_id+url+doc_len
+        for the whole corpus in the query actor — a purely negative
+        query at 10^12 docs OOMs there). Reads only the int64 id column
+        per fwd row group; each yielded chunk is sorted (global
+        cross-chunk order is not needed: complement evaluation is
+        per-doc and results are re-sorted by unique_spans)."""
+        ds = pa_ds.dataset(os.path.join(self.index_dir, "fwd"),
+                           format="parquet")
+        buf: list[np.ndarray] = []
+        n = 0
+        for batch in ds.to_batches(columns=["doc_id"],
+                                   batch_size=chunk_docs):
+            if batch.num_rows == 0:
+                continue
+            ids = batch.column(0).to_numpy(zero_copy_only=False)
+            buf.append(ids)
+            n += ids.size
+            if n >= chunk_docs:
+                out = np.sort(np.concatenate(buf))
+                yield out[self.mask_tombstones(out)]
+                buf, n = [], 0
+        if buf:
+            out = np.sort(np.concatenate(buf))
+            yield out[self.mask_tombstones(out)]
+
     def urls(self, doc_ids: np.ndarray) -> list[str]:
         """Resolve urls for (top-k-sized) doc id sets via a doc_id-pruned
         gather — never materializes the full url column (VERDICT r1 #7).

