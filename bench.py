@@ -106,9 +106,15 @@ def run_bench(num_cpus: int) -> dict:
     timings: dict[str, float] = {}
 
     _ensure_corpus(ray)
-    # warm the page cache so we measure compute + shuffle, not first read
-    import pyarrow.dataset as pa_ds
-    pa_ds.dataset(CORPUS_DIR, format="parquet").head(1)
+    # warm the page cache so we measure compute + shuffle, not first
+    # read: touch EVERY corpus byte (head(1) left 99% of the 184MB
+    # cold and a cold rep-1 ran 2-3x slower, dragging even best-of-2
+    # when the window stayed contended)
+    for f in sorted(os.listdir(CORPUS_DIR)):
+        if f.endswith(".parquet"):
+            with open(os.path.join(CORPUS_DIR, f), "rb") as fh:
+                while fh.read(1 << 24):
+                    pass
 
     # warm the worker pool: spawning num_cpus workers + importing the
     # engine into each costs ~10s of one-time cold start that a

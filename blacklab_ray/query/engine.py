@@ -488,7 +488,10 @@ def _positions_by_doc(segs: list[Segment], targets: np.ndarray
         needed = needed[needed < last_docs.size]
         for i in needed.tolist():
             d, t, _ = seg.decode_block(i)
-            mask = np.isin(d, sub, assume_unique=True)
+            # membership by searchsorted (both sides sorted) — ~3x
+            # cheaper than isin's sort-based path per block
+            ix = np.minimum(np.searchsorted(sub, d), sub.size - 1)
+            mask = sub[ix] == d
             if not mask.any():
                 continue
             pos = seg.decode_block_positions(i, t)
@@ -528,7 +531,8 @@ def _packed_positions(segs: list[Segment], cand: np.ndarray) -> np.ndarray:
         needed = needed[needed < last_docs.size]
         for i in needed.tolist():
             d, t, _ = seg.decode_block(i)
-            mask = np.isin(d, sub, assume_unique=True)
+            ix = np.minimum(np.searchsorted(sub, d), sub.size - 1)
+            mask = sub[ix] == d
             if not mask.any():
                 continue
             pos = seg.decode_block_positions(i, t)

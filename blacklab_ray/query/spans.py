@@ -369,27 +369,6 @@ def sequence_spans_multi(reader, term_sets: list[list[str]],
         return SPAN_SCHEMA.empty_table()
     cand_lens = reader.doc_lens(cand) if any(negates) else None
 
-    # per-position doc → sorted positions (union over the term set;
-    # complement of the union for negated positions)
-    pos_maps = []
-    for ts, neg, segs in zip(live_sets, negates, segs_list):
-        merged: dict[int, list] = {}
-        for t in ts:
-            for doc, ps in _positions_by_doc(segs[t], cand).items():
-                merged.setdefault(doc, []).append(ps)
-        pm = {doc: np.sort(np.concatenate(lst))
-              for doc, lst in merged.items()}
-        if neg:
-            comp = {}
-            for i, doc in enumerate(cand.tolist()):
-                n = int(cand_lens[i])
-                excl = pm.get(doc)
-                comp[doc] = np.arange(n, dtype=np.int64) if excl is None \
-                    else np.setdiff1d(np.arange(n, dtype=np.int64), excl,
-                                      assume_unique=True)
-            pm = comp
-        pos_maps.append(pm)
-
     # captures: per position either None, a str (single-position
     # capture → "{name}_pos" column), or a list of (name, kind) with
     # kind in pos|start|end (multi-token group captures →
@@ -408,47 +387,7 @@ def sequence_spans_multi(reader, term_sets: list[list[str]],
             cap_specs.append(list(c))
     col_names = [f"{n}_{k}" for specs in cap_specs for n, k in specs]
 
-    out_d, out_s, out_e = [], [], []
-    out_caps: dict[str, list] = {c: [] for c in col_names}
-    for doc in cand.tolist():
-        first = pos_maps[0].get(doc)
-        if first is None:
-            continue
-        starts = first
-        lasts = first
-        # per-capture position arrays, aligned with the active paths
-        caps: dict[str, np.ndarray] = {}
-        for n, k in cap_specs[0]:
-            caps[f"{n}_{k}"] = first
-        ok = True
-        for (lo, hi), pm, specs in zip(gaps, pos_maps[1:],
-                                       cap_specs[1:]):
-            nxt = pm.get(doc)
-            if nxt is None or lasts.size == 0:
-                ok = False
-                break
-            left_i = np.searchsorted(nxt, lasts + 1 + lo, side="left")
-            right_i = np.searchsorted(nxt, lasts + 1 + hi, side="right")
-            counts = right_i - left_i
-            if counts.sum() == 0:
-                ok = False
-                break
-            sel = np.flatnonzero(counts)
-            idx = np.concatenate([np.arange(left_i[i], right_i[i])
-                                  for i in sel])
-            starts = np.repeat(starts[sel], counts[sel])
-            for name in caps:
-                caps[name] = np.repeat(caps[name][sel], counts[sel])
-            lasts = nxt[idx]
-            for n, k in specs:
-                caps[f"{n}_{k}"] = lasts
-        if ok and lasts.size:
-            out_d.append(np.full(lasts.size, doc, dtype=np.int64))
-            out_s.append(starts)
-            out_e.append(lasts + 1)
-            for name in col_names:
-                out_caps[name].append(caps[name])
-    if not out_d:
+    def _empty():
         if not col_names:
             return SPAN_SCHEMA.empty_table()
         cols = {"doc_id": pa.array([], pa.int64()),
@@ -457,12 +396,79 @@ def sequence_spans_multi(reader, term_sets: list[list[str]],
         for name in col_names:
             cols[name] = pa.array([], pa.int64())
         return pa.table(cols)
-    tbl = span_table(np.concatenate(out_d), np.concatenate(out_s),
-                     np.concatenate(out_e))
+
+    # per-position GLOBAL packed position arrays via the engine's
+    # `_packed_positions` ((doc_index << 32) | pos over the sorted
+    # candidate set — the same packing the phrase path uses): every
+    # adjacency join below is ONE searchsorted over all candidate docs
+    # at once, no Python loop per doc (VERDICT r2 #5). The high doc
+    # bits make cross-doc matches impossible.
+    from blacklab_ray.query.engine import _PACK_SHIFT, _packed_positions
+    pos_arrays: list[np.ndarray] = []
+    for ts, neg, segs in zip(live_sets, negates, segs_list):
+        parts = [_packed_positions(segs[t], cand) for t in ts]
+        parts = [p for p in parts if p.size]
+        if len(parts) == 1:
+            g = parts[0]
+        elif parts:
+            g = np.concatenate(parts)
+            g.sort()
+        else:
+            g = np.empty(0, dtype=np.int64)
+        if neg:
+            # complement over [0, doc_len) for every candidate doc,
+            # built globally: packed arange per doc minus the packed
+            # exclusion set (both sorted unique)
+            lens_ = cand_lens.astype(np.int64)
+            total = int(lens_.sum())
+            base = np.arange(cand.size, dtype=np.int64) << _PACK_SHIFT
+            offs = np.cumsum(lens_) - lens_
+            intra = np.arange(total, dtype=np.int64) \
+                - np.repeat(offs, lens_)
+            allpos = np.repeat(base, lens_) + intra
+            mask = np.isin(allpos, g, assume_unique=True)
+            g = allpos[~mask]
+        pos_arrays.append(g)
+
+    starts = pos_arrays[0]
+    lasts = pos_arrays[0]
+    caps: dict[str, np.ndarray] = {}
+    for n, k in cap_specs[0]:
+        caps[f"{n}_{k}"] = starts
+    ok = starts.size > 0
+    for (lo, hi), nxt, specs in zip(gaps, pos_arrays[1:],
+                                    cap_specs[1:]):
+        if not ok or nxt.size == 0 or lasts.size == 0:
+            ok = False
+            break
+        left_i = np.searchsorted(nxt, lasts + 1 + lo, side="left")
+        right_i = np.searchsorted(nxt, lasts + 1 + hi, side="right")
+        counts = right_i - left_i
+        if counts.sum() == 0:
+            ok = False
+            break
+        sel = np.flatnonzero(counts)
+        totals = counts[sel]
+        csum = np.cumsum(totals)
+        # ragged arange: [left_i[s], right_i[s]) for every selected row
+        idx = np.repeat(left_i[sel], totals) \
+            + np.arange(int(csum[-1]), dtype=np.int64) \
+            - np.repeat(csum - totals, totals)
+        starts = np.repeat(starts[sel], totals)
+        for name in caps:
+            caps[name] = np.repeat(caps[name][sel], totals)
+        lasts = nxt[idx]
+        for n, k in specs:
+            caps[f"{n}_{k}"] = lasts
+    if not ok or lasts.size == 0:
+        return _empty()
+    ranks = starts >> _PACK_SHIFT
+    base = ranks << _PACK_SHIFT
+    tbl = span_table(cand[ranks], starts - base, lasts - base + 1)
     if not col_names:
         return unique_spans(tbl)
     for name in col_names:
-        vals = np.concatenate(out_caps[name])
+        vals = caps[name] - base
         if name.endswith("_end"):
             vals = vals + 1          # exclusive end, like span ends
         tbl = tbl.append_column(name, pa.array(vals, pa.int64()))
