@@ -529,15 +529,30 @@ def _packed_positions(segs: list[Segment], cand: np.ndarray) -> np.ndarray:
         last_docs = seg.block_last_docs()
         needed = np.unique(np.searchsorted(last_docs, sub))
         needed = needed[needed < last_docs.size]
+        if needed.size > max(4, seg.n_blocks // 2):
+            # dense candidate set: one whole-segment decode (single
+            # VByte pass for docs+tfs and one for positions) beats
+            # per-block decoding — measured 2x on two-frequent-term
+            # CQL sequences where most blocks are needed anyway
+            d, t, _ = seg.decode_all()
+            pos = seg.decode_all_positions(t)
+            didx = np.searchsorted(cand, d)
+            mask = (didx < cand.size) \
+                & (cand[np.minimum(didx, cand.size - 1)] == d)
+            if not mask.any():
+                continue
+            rep = np.repeat(didx, t)
+            pmask = np.repeat(mask, t)
+            parts.append((rep[pmask] << _PACK_SHIFT) | pos[pmask])
+            continue
         for i in needed.tolist():
             d, t, _ = seg.decode_block(i)
-            ix = np.minimum(np.searchsorted(sub, d), sub.size - 1)
-            mask = sub[ix] == d
+            didx = np.searchsorted(cand, d)
+            mask = (didx < cand.size) \
+                & (cand[np.minimum(didx, cand.size - 1)] == d)
             if not mask.any():
                 continue
             pos = seg.decode_block_positions(i, t)
-            # doc index within cand, repeated per occurrence
-            didx = np.searchsorted(cand, d)
             rep = np.repeat(didx, t)
             pmask = np.repeat(mask, t)
             parts.append((rep[pmask] << _PACK_SHIFT) | pos[pmask])

@@ -174,6 +174,13 @@ class Segment:
         """Concatenated absolute positions for block i (aligned by tfs)."""
         return decode_position_lists(self._blob("pos", i), tfs)
 
+    def decode_all_positions(self, tfs: np.ndarray) -> np.ndarray:
+        """Concatenated absolute positions for the WHOLE segment in one
+        VByte pass (the positions counterpart of decode_all: the full
+        blob span is the concatenation of per-doc delta lists, so one
+        decode_position_lists call with all tfs restores it)."""
+        return decode_position_lists(self._blob_span("pos"), tfs)
+
 
 class IndexReader:
     """Driver/actor-side handle on an index directory."""
