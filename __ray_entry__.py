@@ -632,29 +632,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # ---- multimodal plumbing (decode STUB, real Ray plumbing) ----------
 
     def q_media_features(sf):
-        import hashlib as _hl
-
-        import ray.data
-        tbl = multimodal.synth_media_table(100)
-        ds = ray.data.from_arrow(tbl)
-        feats = multimodal.extract_features(ds)
+        # Real multimodal plumbing (actor-pool decode over binary
+        # payloads) over driver-oracleable inputs: payload = UTF-8 doc
+        # text, decoder = Md5Decoder (md5_number_lower/upper-replicable).
+        ds = multimodal.media_from_documents(_docs_ds(sf))
+        feats = multimodal.extract_features(
+            ds, decoder_cls=multimodal.Md5Decoder)
 
         def _sig(batch: pa.Table) -> pa.Table:
-            # project the vector column to a hashable deterministic
-            # signature (drivers hash cell values; list cells are not
-            # reliably hashable)
+            # project the fixed-size vector column to scalar lanes
+            # (drivers hash cell values; list cells are not reliably
+            # hashable)
             vecs = batch["feature"].to_pylist()
             return pa.table({
                 "media_id": batch["media_id"],
                 "media_type": batch["media_type"],
                 "feature_dim": pa.array([len(v) for v in vecs],
-                                        pa.int64()),
-                "feature_sha256": pa.array(
-                    [_hl.sha256(np.asarray(v, np.float64).tobytes())
-                     .hexdigest() for v in vecs], pa.string()),
+                                        pa.int32()),
+                "f0": pa.array([v[0] for v in vecs], pa.float64()),
+                "f1": pa.array([v[1] for v in vecs], pa.float64()),
             })
 
-        return feats.map_batches(_sig, batch_format="pyarrow")
+        df = (feats.map_batches(_sig, batch_format="pyarrow")
+              .to_pandas())
+        return _round_cols(df, {"f0": 6, "f1": 6})
 
     # exactly 50 entries: the round-2 driver recorded only the first 50
     # keys (54 were exported; the last 4 were silently dropped from
@@ -800,6 +801,18 @@ FROM scored GROUP BY doc_id {and_having} {limit}
 def oracle_sql() -> dict[str, str]:
     out = _oracle_sql_base()
     out["kwic_fwd"] = out["kwic_spark"]  # same output, index-backed path
+    out["media_features"] = """
+SELECT doc_id AS media_id,
+       CASE md5_number_lower(text) % 3
+            WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video'
+       END AS media_type,
+       CAST(2 AS INTEGER) AS feature_dim,
+       ROUND(CAST(md5_number_lower(text) AS DOUBLE)
+             / 18446744073709551616.0, 6) AS f0,
+       ROUND(CAST(md5_number_upper(text) AS DOUBLE)
+             / 18446744073709551616.0, 6) AS f1
+FROM documents
+"""
     return out
 
 

@@ -49,6 +49,50 @@ class FakeDecoder:
         })
 
 
+class Md5Decoder(FakeDecoder):
+    """Deterministic decode stand-in whose output is SQL-replicable:
+    feature = [md5_lower64(payload) / 2^64, md5_upper64(payload) / 2^64]
+    == DuckDB ``md5_number_lower(x)::DOUBLE / 2^64`` /
+    ``md5_number_upper(x)::DOUBLE / 2^64`` (uint64→double rounding then
+    exact power-of-two scaling equals correctly-rounded division on
+    both sides). Same interface as FakeDecoder, so it slots into
+    extract_features / media_pipeline; used by the driver-oracled
+    ``media_features`` entry."""
+
+    def decode(self, payload: bytes) -> np.ndarray:
+        d = hashlib.md5(payload).digest()
+        return np.array(
+            [int.from_bytes(d[8:16], "little") / 2.0 ** 64,
+             int.from_bytes(d[0:8], "little") / 2.0 ** 64], np.float64)
+
+
+def media_from_documents(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Derive a MEDIA_SCHEMA-shaped table from the ``documents`` table:
+    payload = UTF-8 text bytes, media_type = md5_lower64(text) % 3
+    (DuckDB: ``md5_number_lower(text) % 3``). Lets the multimodal
+    actor-pool plumbing run over driver-oracleable inputs — real media
+    would arrive as binary Parquet columns of the same shape."""
+
+    _TYPES = ("image", "audio", "video")
+
+    def _mk(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        kinds = []
+        for t in texts:
+            d = hashlib.md5(t.encode()).digest()
+            kinds.append(_TYPES[int.from_bytes(d[8:16], "little") % 3])
+        n = batch.num_rows
+        return pa.table({
+            "media_id": batch.column("doc_id"),
+            "media_type": pa.array(kinds, pa.string()),
+            "payload": pa.array([t.encode() for t in texts], pa.binary()),
+            "width": pa.array([0] * n, pa.int32()),
+            "height": pa.array([0] * n, pa.int32()),
+        })
+
+    return ds.map_batches(_mk, batch_format="pyarrow")
+
+
 class RealDecoderUnavailable:
     """Marker for the real decode path."""
 
