@@ -56,6 +56,29 @@ def _encode_terms_as_codes(tbl: pa.Table) -> tuple[pa.Table, pa.Table]:
     return rows, vocab
 
 
+def _encode_terms_incremental(tbl: pa.Table, vocab_index: dict,
+                              vocab_terms: list) -> pa.Table:
+    """Per-batch term→code encoding against a growing map-local
+    dictionary (first-occurrence order, same contract as
+    _encode_terms_as_codes). Lets the fused map encode each batch as
+    it streams instead of holding raw term strings for the whole
+    chunk; the dict lookup touches only the batch's UNIQUE terms."""
+    d = pc.dictionary_encode(tbl.column("term").combine_chunks())
+    local = d.dictionary.to_pylist()
+    remap = np.empty(len(local), np.int64)
+    for i, t in enumerate(local):
+        c = vocab_index.get(t)
+        if c is None:
+            c = len(vocab_terms)
+            vocab_index[t] = c
+            vocab_terms.append(t)
+        remap[i] = c
+    codes = remap[d.indices.to_numpy(zero_copy_only=False)] \
+        .astype(np.int32)
+    return tbl.drop_columns(["term"]).append_column(
+        "term_code", pa.array(codes, pa.int32()))
+
+
 def _part_of(gkey: np.ndarray, n_parts: int) -> np.ndarray:
     """Reduce-part assignment: multiplicative hash of gkey.
 
@@ -197,13 +220,15 @@ def _map_fused(paths: list[str], fwd_dir: str, chunk_id: int,
     between them (ROADMAP 'exchange streaming'). Returns the same
     (parts..., vocab) contract as _map_explode.
 
-    Regime note (measured): fused wins when the job fits one map wave
-    (50k docs: 4.6-6.7 s vs 6.5-7.8 s staged) because the fwd round
-    trip disappears; at 1M docs the fused maps' unbounded buffering of
-    chunk-sized exploded partials loses to the staged path's Ray-Data
-    backpressure (staged 111 s vs fused 121-245 s, high variance under
-    memory pressure). Default BuildParams keep exchange='mapreduce';
-    choose 'fused' for interactive/medium builds."""
+    Bounded buffering (ROADMAP 'fused backpressure'): the fwd shard
+    streams through a ParquetWriter batch-by-batch and exploded
+    partials are term-code-encoded against a growing map-local
+    dictionary and part-split per batch — the only chunk-sized state
+    is the int-encoded per-part accumulators (the inherent return
+    value). Raw page text, fwd tables and string postings never pile
+    up across the chunk, which is what lost fused the >1-wave regime
+    in round 2 (staged 111 s vs fused 121-245 s at 1M docs under
+    memory pressure)."""
     _set_single_threaded_arrow()
     from blacklab_ray.stages.extract import HtmlExtractor
     from blacklab_ray.stages.tokenize import TokenizeForwardIndex
@@ -220,8 +245,11 @@ def _map_fused(paths: list[str], fwd_dir: str, chunk_id: int,
                                annotations=annotations)
     explode = ExplodePostings(num_buckets=num_buckets, n_salts=n_salts,
                               hot_terms=hot_terms)
-    fwd_tables = []
-    outs = []
+    writer = None
+    fpath = os.path.join(fwd_dir, f"part-{chunk_id:05d}.parquet")
+    vocab_index: dict = {}
+    vocab_terms: list = []
+    part_accum: list[list] = [[] for _ in range(n_parts)]
     for p in paths:
         pages = pq.read_table(p, use_threads=False)
         for lo in range(0, pages.num_rows, batch_size):
@@ -229,18 +257,28 @@ def _map_fused(paths: list[str], fwd_dir: str, chunk_id: int,
             if extractor is not None:
                 batch = extractor(batch)
             fwd = tok(batch)
-            fwd_tables.append(fwd)
-            outs.append(explode(fwd))
-    if fwd_tables:
-        os.makedirs(fwd_dir, exist_ok=True)
-        fpath = os.path.join(fwd_dir, f"part-{chunk_id:05d}.parquet")
-        pq.write_table(pa.concat_tables(fwd_tables), fpath + ".tmp")
-        os.replace(fpath + ".tmp", fpath)
-    merged = pa.concat_tables(outs) if outs else None
-    if merged is None or merged.num_rows == 0:
+            if writer is None:
+                os.makedirs(fwd_dir, exist_ok=True)
+                writer = pq.ParquetWriter(fpath + ".tmp", fwd.schema)
+            writer.write_table(fwd)
+            ex = explode(fwd)
+            if ex.num_rows == 0:
+                continue
+            rows = _encode_terms_incremental(ex, vocab_index,
+                                             vocab_terms)
+            for part, piece in enumerate(
+                    _split_by_part(rows, n_parts, n_salts)):
+                if piece.num_rows:
+                    part_accum[part].append(piece)
+    if writer is not None:
+        writer.close()
+        os.replace(fpath + ".tmp", fpath)  # atomic resume contract
+    if not vocab_terms:
         return [None] * (n_parts + 1)
-    rows, vocab = _encode_terms_as_codes(merged.combine_chunks())
-    return _split_by_part(rows, n_parts, n_salts) + [vocab]
+    vocab = pa.table({"term": pa.array(vocab_terms, pa.string())})
+    parts = [pa.concat_tables(ps).combine_chunks() if ps else None
+             for ps in part_accum]
+    return parts + [vocab]
 
 
 def run_fused_build(page_paths: list[str], index_dir: str, *,

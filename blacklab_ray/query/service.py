@@ -20,21 +20,45 @@ class QueryWorker:
     cache (each replica warms independently, like each BLS node's
     BlsCache)."""
 
-    def __init__(self, index_dir: str, cache_entries: int = 256):
+    def __init__(self, index_dir: str, cache_entries: int = 256,
+                 shared_cache: list | None = None):
         from blacklab_ray.query import IndexReader
         from blacklab_ray.query.cache import SearchCache
         from blacklab_ray.util import pin_worker_arrow_threads
         pin_worker_arrow_threads()
         self.reader = IndexReader(index_dir)
         self.cache = SearchCache(max_entries=cache_entries)
+        # optional L2: key-hash-sharded SharedCacheShard actor handles
+        self._shared = list(shared_cache or [])
+        self.shared_hits = 0
         _ = self.reader.terms_table  # warm the dictionary once per actor
+
+    def _cached(self, key: str, fn):
+        """L1 local LRU → L2 shared tier (on miss, one round trip) →
+        compute; computed values populate L2 fire-and-forget so cold
+        queries never block on the shared actor."""
+        from blacklab_ray.query.cache import cache_shard_of
+        if not self._shared:
+            return self.cache.get_or_run(key, fn)
+        shard = self._shared[cache_shard_of(key, len(self._shared))]
+
+        def l2_or_run():
+            val = ray.get(shard.get.remote(key))
+            if val is not None:
+                self.shared_hits += 1
+                return val
+            val = fn()
+            shard.put.remote(key, val)
+            return val
+
+        return self.cache.get_or_run(key, l2_or_run)
 
     def search(self, terms, k=10, mode="or", algo="auto"):
         from blacklab_ray.query import search
         from blacklab_ray.query.cache import describe
         t0 = time.perf_counter()
         key = describe("search", terms=terms, k=k, mode=mode, algo=algo)
-        rows = self.cache.get_or_run(
+        rows = self._cached(
             key, lambda: search(self.reader, terms, k=k, mode=mode,
                                 algo=algo).to_pylist())
         return {"rows": rows, "seconds": time.perf_counter() - t0}
@@ -44,13 +68,15 @@ class QueryWorker:
         from blacklab_ray.query.cache import describe
         t0 = time.perf_counter()
         key = describe("phrase", terms=terms, k=k)
-        rows = self.cache.get_or_run(
+        rows = self._cached(
             key, lambda: phrase_search(self.reader, terms,
                                        k=k).to_pylist())
         return {"rows": rows, "seconds": time.perf_counter() - t0}
 
     def cache_stats(self):
-        return self.cache.stats()
+        out = self.cache.stats()
+        out["shared_hits"] = self.shared_hits
+        return out
 
 
 class ShardWorker:
@@ -194,13 +220,29 @@ class ShardedQueryService:
 
 
 class QueryService:
-    """Driver-side handle on a pool of query actors."""
+    """Driver-side handle on a pool of query actors.
+
+    ``shared_cache_shards > 0`` adds the pool-shared L2 result-cache
+    tier (ROADMAP r3: per-actor memos don't help a skewed workload
+    whose hot query lands on every replica — the shared tier computes
+    it once pool-wide)."""
 
     def __init__(self, index_dir: str, n_actors: int = 4,
-                 num_cpus_per_actor: float = 1):
+                 num_cpus_per_actor: float = 1,
+                 shared_cache_shards: int = 0,
+                 shared_cache_entries: int = 4096):
+        from blacklab_ray.query.cache import SharedCacheShard
+        self._cache_actors = []
+        if shared_cache_shards:
+            shard_cls = ray.remote(num_cpus=0.1)(SharedCacheShard)
+            self._cache_actors = [
+                shard_cls.remote(max_entries=shared_cache_entries)
+                for _ in range(shared_cache_shards)]
         actor_cls = ray.remote(num_cpus=num_cpus_per_actor)(QueryWorker)
-        self._actors = [actor_cls.remote(index_dir)
-                        for _ in range(n_actors)]
+        self._actors = [
+            actor_cls.remote(index_dir,
+                             shared_cache=self._cache_actors or None)
+            for _ in range(n_actors)]
         self._rr = 0
 
     def submit(self, terms, k=10, mode="or", algo="auto"):
@@ -217,6 +259,7 @@ class QueryService:
         return ray.get(refs)
 
     def shutdown(self):
-        for a in self._actors:
+        for a in self._actors + self._cache_actors:
             ray.kill(a)
         self._actors = []
+        self._cache_actors = []

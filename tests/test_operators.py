@@ -168,6 +168,39 @@ def test_query_service_pool(ray_session, small_index, small_oracle):
     svc.shutdown()
 
 
+def test_query_service_shared_cache_tier(ray_session, small_index,
+                                         small_oracle):
+    """L2 shared tier: a query computed on one replica is served from
+    the shared cache on a DIFFERENT cold replica (skewed-workload
+    path), with identical results."""
+    import ray as _ray
+
+    from blacklab_ray.query import QueryService
+    svc = QueryService(small_index, n_actors=2, shared_cache_shards=2)
+    # round-robin sends the same query to replica 0 then replica 1:
+    # replica 1's local cache is cold, so it must come from L2
+    out = [_ray.get(svc.submit(["the"], k=5))]
+    # the L2 put is fire-and-forget — wait for it to land before the
+    # second replica looks it up
+    import time as _time
+    for _ in range(100):
+        if sum(s["entries"] for s in _ray.get(
+                [c.stats.remote() for c in svc._cache_actors])) == 1:
+            break
+        _time.sleep(0.05)
+    out.append(_ray.get(svc.submit(["the"], k=5)))
+    exp = small_oracle.topk(["the"], 5)
+    for o in out:
+        assert [r["doc_id"] for r in o["rows"]] == [d for d, _ in exp]
+    stats = _ray.get([a.cache_stats.remote() for a in svc._actors])
+    assert sum(s["shared_hits"] for s in stats) == 1
+    shard_stats = _ray.get([c.stats.remote()
+                            for c in svc._cache_actors])
+    assert sum(s["hits"] for s in shard_stats) == 1
+    assert sum(s["entries"] for s in shard_stats) == 1
+    svc.shutdown()
+
+
 def test_sequence_with_gaps_matches_bruteforce(reader, small_oracle):
     from blacklab_ray.query.engine import sequence_search
     import collections
