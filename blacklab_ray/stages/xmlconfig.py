@@ -18,12 +18,22 @@ config-driven corpus builds with ``BuildParams(analyzer="whitespace",
 annotations=(...))`` and queries with ``[lemma="…"]`` /
 ``within <s/>`` out of the box.
 
-Path subset (vs full XPath): steps are matched by LOCAL NAME (TEI /
-FoLiA / PageXML namespaces need no declaration), ``.//x`` means
-descendant, ``a/b`` child steps, ``@attr`` an attribute, ``a/@attr``
-an attribute of a child, ``.`` the element's own text. That covers
-every shipped .blf.yaml word/annotation path shape; anything fancier
-belongs in a custom ``register_format`` reader.
+Path subset (vs full XPath; the DocIndexerSaxon analogue —
+indexers/config/DocIndexerSaxon.java:30 pairs the same config model
+with an XPath 3 engine): steps are matched by LOCAL NAME (TEI /
+FoLiA / PageXML namespaces need no declaration), ``.//x`` and ``//x``
+mean descendant, ``a/b`` child steps, ``*`` any element, ``..`` the
+parent, ``@attr`` an attribute, ``a/@attr`` an attribute of a child,
+``.`` the element's own text. Steps take predicates:
+``[@attr]``, ``[@attr='v']``, ``[not(@attr)]``, ``[child='v']`` and
+positional ``[n]`` (1-based) — the shapes the shipped .blf.yaml
+files use (e.g. ``.//listBibl[@id='inlMetadata']``, ``../@type``).
+``|`` unions whole paths. ``metadata_foreach`` mirrors the config
+model's forEachPath/namePath/valuePath dynamic metadata, with field
+names DECLARED up front (``foreach_fields``) for a stable Arrow
+schema — the reference imposes the same constraint on annotations
+for the same reason (tei-p5.blf.yaml note). Anything fancier belongs
+in a custom ``register_format`` reader.
 
 Pre-tokenized formats pair with the whitespace analyzer (the
 reference pairs them with BLWhitespaceAnalyzer for the same reason:
@@ -31,6 +41,7 @@ the token stream is the document's, not the tokenizer's).
 """
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
 from typing import Mapping
 
@@ -57,6 +68,11 @@ class XmlFormatConfig:
     metadata: Mapping[str, str] = field(default_factory=dict)
     doc_id_value: str | None = None     # pid path relative to doc root
     text_path: str | None = None        # non-tokenized text extraction
+    # forEachPath/namePath/valuePath dynamic metadata (ConfigMetadata-
+    # Block.java): tuples of (for_each_path, name_path, value_path);
+    # discovered names land in meta_{name} for names in foreach_fields
+    metadata_foreach: tuple = ()
+    foreach_fields: tuple = ()      # declared dynamic field names
 
 
 def _local(tag) -> str:
@@ -66,82 +82,153 @@ def _local(tag) -> str:
     return tag.rsplit("}", 1)[-1]
 
 
-def _iter_path(el, path: str):
-    """Elements matching a local-name path relative to ``el``."""
+_STEP_RE = re.compile(r"^(\.\.|\*|[\w:-]+)((?:\[[^\]]*\])*)$")
+_PRED_RE = re.compile(r"\[([^\]]*)\]")
+
+
+def _parse_step(step: str):
+    """'name[@a='v'][2]' → (name, [predicate, ...])."""
+    m = _STEP_RE.match(step)
+    if m is None:
+        raise ValueError(f"unsupported path step: {step!r}")
+    return m.group(1), _PRED_RE.findall(m.group(2))
+
+
+def _pred_ok(el, pred: str, pos: int) -> bool:
+    """Evaluate one step predicate (the shipped-config subset)."""
+    pred = pred.strip()
+    if pred.isdigit():                          # [n] — 1-based position
+        return pos == int(pred)
+    neg = False
+    if pred.startswith("not(") and pred.endswith(")"):
+        neg, pred = True, pred[4:-1].strip()
+    if "=" in pred:
+        lhs, rhs = pred.split("=", 1)
+        rhs = rhs.strip().strip("'\"")
+        lhs = lhs.strip()
+        if lhs.startswith("@"):
+            got = el.get(lhs[1:])
+        else:                                   # child-element text
+            got = next((_text_of(c) for c in el
+                        if _local(c.tag) == lhs), None)
+        ok = got == rhs
+    elif pred.startswith("@"):
+        ok = el.get(pred[1:]) is not None
+    else:                                       # [child] existence
+        ok = any(_local(c.tag) == pred for c in el)
+    return ok != neg
+
+
+def _iter_path(el, path: str, parents: dict | None = None):
+    """Elements matching a path relative to ``el`` (subset XPath: see
+    module docstring). ``parents`` enables the ``..`` axis."""
+    for alt in path.split("|"):
+        yield from _iter_one_path(el, alt.strip(), parents)
+
+
+def _iter_one_path(el, path: str, parents: dict | None):
     if path in (".", ""):
         yield el
         return
-    descend = path.startswith(".//")
-    steps = (path[3:] if descend else path.lstrip("./")).split("/")
-    if descend:
-        first, rest = steps[0], steps[1:]
-        for sub in el.iter():
-            if sub is not el and _local(sub.tag) == first:
-                yield from _walk_steps(sub, rest)
+    if path.startswith(".//"):
+        descend, path = True, path[3:]
+    elif path.startswith("//"):
+        descend, path = True, path[2:]
     else:
-        yield from _walk_steps_from(el, steps)
+        descend = False
+        path = path[2:] if path.startswith("./") else path
+    steps = [_parse_step(s) for s in path.split("/")]
+    if descend:
+        (first, preds), rest = steps[0], steps[1:]
+        pos = 0
+        for sub in el.iter():
+            if sub is not el and (first == "*"
+                                  or _local(sub.tag) == first):
+                pos += 1
+                if all(_pred_ok(sub, p, pos) for p in preds):
+                    yield from _walk_steps_from(sub, rest, parents)
+    else:
+        yield from _walk_steps_from(el, steps, parents)
 
 
-def _walk_steps_from(el, steps):
+def _walk_steps_from(el, steps, parents: dict | None = None):
     if not steps:
         yield el
         return
-    first, rest = steps[0], steps[1:]
+    (first, preds), rest = steps[0], steps[1:]
+    if first == "..":
+        parent = (parents or {}).get(el)
+        if parent is not None:
+            yield from _walk_steps_from(parent, rest, parents)
+        return
+    pos = 0
     for child in el:
-        if _local(child.tag) == first:
-            yield from _walk_steps_from(child, rest)
-
-
-def _walk_steps(el, rest):
-    yield from _walk_steps_from(el, rest) if rest else iter((el,))
+        if first == "*" or _local(child.tag) == first:
+            pos += 1
+            if all(_pred_ok(child, p, pos) for p in preds):
+                yield from _walk_steps_from(child, rest, parents)
 
 
 def _text_of(el) -> str:
     return " ".join(s.strip() for s in el.itertext() if s.strip())
 
 
-def _value(el, path: str) -> str:
-    """Resolve a value path: '.', '@attr', 'a/b', 'a/@attr', './/a'."""
+def _value(el, path: str, parents: dict | None = None) -> str:
+    """Resolve a value path: '.', '@attr', 'a/b', 'a/@attr', './/a',
+    '../@attr' (parent axis needs ``parents``)."""
     if path in (".", "text()"):
         return _text_of(el)
     if path.startswith("@"):
         return el.get(path[1:], "") or ""
     if "/@" in path:
         sub_path, attr = path.rsplit("/@", 1)
-        for sub in _iter_path(el, sub_path):
+        for sub in _iter_path(el, sub_path, parents):
             return sub.get(attr, "") or ""
         return ""
-    for sub in _iter_path(el, path):
+    for sub in _iter_path(el, path, parents):
         return _text_of(sub)
     return ""
 
 
-def _extract_doc(doc_el, cfg: XmlFormatConfig):
+def _extract_doc(doc_el, cfg: XmlFormatConfig,
+                 parents: dict | None = None):
     """One document element → (text, {ann: values}, tag_spans, meta)."""
-    meta = {k: _value(doc_el, p) for k, p in cfg.metadata.items()}
+    meta = {k: _value(doc_el, p, parents)
+            for k, p in cfg.metadata.items()}
+    # forEachPath/namePath/valuePath dynamic metadata: names resolved
+    # per matched element (e.g. interpGrp/interp with namePath
+    # ../@type); only DECLARED names become columns
+    declared = set(cfg.foreach_fields)
+    for fe_path, name_path, value_path in cfg.metadata_foreach:
+        for m_el in _iter_path(doc_el, fe_path, parents):
+            name = _value(m_el, name_path, parents)
+            if name in declared and name not in meta:
+                meta[name] = _value(m_el, value_path, parents)
     if cfg.word_path is None:
         if cfg.text_path:
             parts = [_text_of(s) for s in _iter_path(doc_el,
-                                                     cfg.text_path)]
+                                                     cfg.text_path,
+                                                     parents)]
             text = "\n".join(p for p in parts if p)
         else:
             text = _text_of(doc_el)
         return text, {}, [], meta
 
-    word_tag = cfg.word_path.split("/")[-1]
+    word_step, word_preds = _parse_step(cfg.word_path.split("/")[-1])
     inline = set(cfg.inline_tags)
     words: list[str] = []
     anns: dict[str, list[str]] = {a: [] for a in cfg.annotations}
     spans: list[dict] = []
 
     def walk(el):
-        if _local(el.tag) == word_tag:
-            w = _value(el, cfg.word_value)
+        if _local(el.tag) == word_step and \
+                all(_pred_ok(el, p, 1) for p in word_preds):
+            w = _value(el, cfg.word_value, parents)
             # keep whitespace-analyzer alignment: a form may not
             # contain token separators
             words.append("_".join(w.split()) or "_")
             for a, p in cfg.annotations.items():
-                v = _value(el, p)
+                v = _value(el, p, parents)
                 anns[a].append("_".join(v.split()) or "_")
             return
         opened = None
@@ -170,24 +257,36 @@ def extract_xml_config(cfg: XmlFormatConfig, encoding: str = "utf-8"):
         urls, texts, payloads = [], [], []
         ann_cols: dict[str, list] = {a: [] for a in cfg.annotations}
         tag_col: list = []
-        meta_cols: dict[str, list] = {m: [] for m in cfg.metadata}
+        meta_cols: dict[str, list] = {
+            m: [] for m in list(cfg.metadata) + list(cfg.foreach_fields)}
         langs: list = []
+        needs_parents = any(
+            ".." in p for p in
+            list(cfg.metadata.values()) + [cfg.word_value]
+            + list(cfg.annotations.values())
+            + [v for fe in cfg.metadata_foreach for v in fe])
         for path, body in zip(batch.column("path").to_pylist(),
                               batch.column("bytes").to_pylist()):
             root = ET.fromstring(body.decode(encoding,
                                              errors="replace"))
+            # one O(n) pass builds the ``..`` axis; skipped when no
+            # configured path uses it
+            parents = ({c: p for p in root.iter() for c in p}
+                       if needs_parents else None)
             if cfg.document_path in (".", ""):
                 doc_els = [root]
             else:
-                doc_els = list(_iter_path(root, cfg.document_path))
-                first_step = cfg.document_path.removeprefix(
-                    ".//").lstrip("./").split("/")[0]
+                doc_els = list(_iter_path(root, cfg.document_path,
+                                          parents))
+                first_step = _parse_step(
+                    cfg.document_path.removeprefix(".//")
+                    .removeprefix("//").lstrip("./").split("/")[0])[0]
                 if not doc_els and _local(root.tag) == first_step:
                     # the file's root element IS the document tag
                     doc_els = [root]
             for i, el in enumerate(doc_els):
-                text, anns, spans, meta = _extract_doc(el, cfg)
-                pid = (_value(el, cfg.doc_id_value)
+                text, anns, spans, meta = _extract_doc(el, cfg, parents)
+                pid = (_value(el, cfg.doc_id_value, parents)
                        if cfg.doc_id_value else "") or f"{path}#{i}"
                 urls.append(pid)
                 texts.append(text)
@@ -282,5 +381,23 @@ NAF = XmlFormatConfig(
     metadata={"title": ".//fileDesc/@title"},
 )
 
+TEI_P5_INL = XmlFormatConfig(
+    name="tei-p5-inl",              # tei-p5.blf.yaml incl. its
+    document_path="//TEI",          # inlMetadata forEach block
+    word_path=".//w",
+    word_value=".",
+    annotations={"lemma": "@lemma", "pos": "@type"},
+    inline_tags=("s", "p"),
+    metadata={"title": ".//title", "lang": ".//language"},
+    doc_id_value=".//idno",
+    # forEachPath: bibl/interpGrp/interp under
+    # listBibl[@id='inlMetadata']; namePath ../@type; valuePath .
+    metadata_foreach=((
+        ".//listBibl[@id='inlMetadata']/bibl/interpGrp/interp",
+        "../@type", "."),),
+    foreach_fields=("author", "witnessYear_from"),
+)
+
 BUILTIN_CONFIGS = {c.name: c for c in
-                   (TEI_P5_ANNOTATED, FOLIA, ALTO, PAGEXML, NAF)}
+                   (TEI_P5_ANNOTATED, FOLIA, ALTO, PAGEXML, NAF,
+                    TEI_P5_INL)}

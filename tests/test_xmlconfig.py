@@ -137,3 +137,94 @@ def test_formats_registry_has_xml_configs():
     from blacklab_ray.formats import formats
     for name in ("tei-p5-annotated", "folia", "alto", "pagexml", "naf"):
         assert name in formats()
+
+
+# ---- XPath-subset extensions (DocIndexerSaxon analogue) ---------------
+
+TEI_INL_DOC = """
+<TEI xmlns="http://www.tei-c.org/ns/1.0">
+ <teiHeader><fileDesc><titleStmt><title>Reis</title></titleStmt>
+  <idno>doc-9</idno>
+  <sourceDesc>
+   <listBibl id="inlMetadata">
+    <bibl>
+     <interpGrp type="author"><interp>W. Bilderdijk</interp></interpGrp>
+     <interpGrp type="witnessYear_from"><interp>1795</interp></interpGrp>
+     <interpGrp type="ignoredField"><interp>x</interp></interpGrp>
+    </bibl>
+   </listBibl>
+  </sourceDesc></fileDesc>
+  <profileDesc><langUsage><language>nl</language></langUsage>
+  </profileDesc></teiHeader>
+ <text><body>
+  <p><s><w lemma="de" type="LID">De</w>
+        <w lemma="reis" type="ZN">reis</w></s></p>
+ </body></text>
+</TEI>
+"""
+
+
+def test_foreach_metadata_and_predicates():
+    """tei-p5.blf.yaml's inlMetadata block: forEachPath
+    bibl/interpGrp/interp under listBibl[@id='inlMetadata'], namePath
+    ../@type (parent axis), valuePath '.' — only DECLARED names become
+    columns."""
+    from blacklab_ray.stages.xmlconfig import TEI_P5_INL
+    t = _pages(TEI_P5_INL, {"x.xml": TEI_INL_DOC})
+    assert t.num_rows == 1
+    assert t["url"][0].as_py() == "doc-9"
+    assert t["meta_author"][0].as_py() == "W. Bilderdijk"
+    assert t["meta_witnessYear_from"][0].as_py() == "1795"
+    assert "meta_ignoredField" not in t.schema.names
+    assert t["text"][0].as_py() == "De reis"
+
+
+def test_predicate_shapes():
+    """[@a], [@a='v'], [not(@a)], [child='v'] and positional [n]."""
+    doc = """<root>
+      <item kind="a"><v>one</v></item>
+      <item kind="b"><v>two</v></item>
+      <item><v>three</v></item>
+    </root>"""
+    cfg = XmlFormatConfig(name="p", document_path=".")
+    import xml.etree.ElementTree as ET
+
+    from blacklab_ray.stages.xmlconfig import _iter_path, _text_of
+    root = ET.fromstring(doc)
+    got = [_text_of(e) for e in _iter_path(root, "item[@kind='b']")]
+    assert got == ["two"]
+    got = [_text_of(e) for e in _iter_path(root, "item[@kind]")]
+    assert got == ["one", "two"]
+    got = [_text_of(e) for e in _iter_path(root, "item[not(@kind)]")]
+    assert got == ["three"]
+    got = [_text_of(e) for e in _iter_path(root, "item[v='two']")]
+    assert got == ["two"]
+    got = [_text_of(e) for e in _iter_path(root, "item[2]")]
+    assert got == ["two"]
+    got = [_text_of(e) for e in _iter_path(root, ".//v[3]")]
+    assert got == ["three"]
+
+
+def test_wildcard_union_and_absolute():
+    doc = """<d><a><w>x</w></a><b><w>y</w></b><c>z</c></d>"""
+    import xml.etree.ElementTree as ET
+
+    from blacklab_ray.stages.xmlconfig import _iter_path, _text_of
+    root = ET.fromstring(doc)
+    got = [_text_of(e) for e in _iter_path(root, "*/w")]
+    assert got == ["x", "y"]
+    got = [_text_of(e) for e in _iter_path(root, "a/w|c")]
+    assert got == ["x", "z"]
+    got = [_text_of(e) for e in _iter_path(root, "//w")]
+    assert got == ["x", "y"]
+
+
+def test_parent_axis_value():
+    doc = """<d><g type="author"><i>A. Smith</i></g></d>"""
+    import xml.etree.ElementTree as ET
+
+    from blacklab_ray.stages.xmlconfig import _iter_path, _value
+    root = ET.fromstring(doc)
+    parents = {c: p for p in root.iter() for c in p}
+    (i_el,) = _iter_path(root, ".//i", parents)
+    assert _value(i_el, "../@type", parents) == "author"
