@@ -73,6 +73,13 @@ class XmlFormatConfig:
     # discovered names land in meta_{name} for names in foreach_fields
     metadata_foreach: tuple = ()
     foreach_fields: tuple = ()      # declared dynamic field names
+    # tokenIdPath + standoffAnnotations (ConfigStandoffAnnotations.java;
+    # eaf/tcf.blf.yaml): token_id_path names each word element; each
+    # standoff entry is (path, token_ref_path, {ann: value_path}) whose
+    # refs (whitespace-separated id list, TCF @tokenIDs style) attach
+    # values to the referenced token positions
+    token_id_path: str | None = None
+    standoff_annotations: tuple = ()
 
 
 def _local(tag) -> str:
@@ -214,16 +221,27 @@ def _extract_doc(doc_el, cfg: XmlFormatConfig,
             text = _text_of(doc_el)
         return text, {}, [], meta
 
-    word_step, word_preds = _parse_step(cfg.word_path.split("/")[-1])
+    # full-path word selection (EAF's tier-predicated word path needs
+    # more than a last-step match); the tree walk below preserves
+    # document order and inline-tag nesting
+    word_ids = {id(e) for e in _iter_path(doc_el, cfg.word_path,
+                                          parents)}
     inline = set(cfg.inline_tags)
     words: list[str] = []
     anns: dict[str, list[str]] = {a: [] for a in cfg.annotations}
+    for _, _, st_anns in cfg.standoff_annotations:
+        for a in st_anns:
+            anns.setdefault(a, [])
     spans: list[dict] = []
+    tok_pos: dict[str, int] = {}    # token id → position (tokenIdPath)
 
     def walk(el):
-        if _local(el.tag) == word_step and \
-                all(_pred_ok(el, p, 1) for p in word_preds):
+        if id(el) in word_ids:
             w = _value(el, cfg.word_value, parents)
+            if cfg.token_id_path:
+                tid = _value(el, cfg.token_id_path, parents)
+                if tid:
+                    tok_pos[tid] = len(words)
             # keep whitespace-analyzer alignment: a form may not
             # contain token separators
             words.append("_".join(w.split()) or "_")
@@ -245,6 +263,19 @@ def _extract_doc(doc_el, cfg: XmlFormatConfig,
                 spans.append(opened)
 
     walk(doc_el)
+    # standoff annotations attach by token reference after the walk
+    for st_path, ref_path, st_anns in cfg.standoff_annotations:
+        filled = {a: ["_"] * len(words) for a in st_anns}
+        for el in _iter_path(doc_el, st_path, parents):
+            refs = (_value(el, ref_path, parents) or "").split()
+            for a, vp in st_anns.items():
+                v = "_".join(_value(el, vp, parents).split()) or "_"
+                for ref in refs:
+                    pos = tok_pos.get(ref)
+                    if pos is not None:
+                        filled[a][pos] = v
+        for a in st_anns:
+            anns[a] = filled[a]
     return " ".join(words), anns, spans, meta
 
 
@@ -255,7 +286,9 @@ def extract_xml_config(cfg: XmlFormatConfig, encoding: str = "utf-8"):
 
     def to_pages(batch: pa.Table) -> pa.Table:
         urls, texts, payloads = [], [], []
-        ann_cols: dict[str, list] = {a: [] for a in cfg.annotations}
+        ann_names = list(cfg.annotations) + [
+            a for _, _, st in cfg.standoff_annotations for a in st]
+        ann_cols: dict[str, list] = {a: [] for a in ann_names}
         tag_col: list = []
         meta_cols: dict[str, list] = {
             m: [] for m in list(cfg.metadata) + list(cfg.foreach_fields)}
@@ -264,7 +297,9 @@ def extract_xml_config(cfg: XmlFormatConfig, encoding: str = "utf-8"):
             ".." in p for p in
             list(cfg.metadata.values()) + [cfg.word_value]
             + list(cfg.annotations.values())
-            + [v for fe in cfg.metadata_foreach for v in fe])
+            + [v for fe in cfg.metadata_foreach for v in fe]
+            + [p for st in cfg.standoff_annotations
+               for p in (st[0], st[1], *st[2].values())])
         for path, body in zip(batch.column("path").to_pylist(),
                               batch.column("bytes").to_pylist()):
             root = ET.fromstring(body.decode(encoding,
@@ -398,6 +433,35 @@ TEI_P5_INL = XmlFormatConfig(
     foreach_fields=("author", "witnessYear_from"),
 )
 
+EAF = XmlFormatConfig(
+    name="eaf",                     # eaf.blf.yaml: tier-predicated
+    document_path=".",              # words + standoff lemma/pos tiers
+    word_path=".//TIER[@LINGUISTIC_TYPE_REF='Words']/ANNOTATION"
+              "/ALIGNABLE_ANNOTATION",
+    word_value="ANNOTATION_VALUE",
+    token_id_path="@ANNOTATION_ID",
+    standoff_annotations=(
+        (".//TIER[@LINGUISTIC_TYPE_REF='Lemma']/ANNOTATION"
+         "/REF_ANNOTATION", "@ANNOTATION_REF",
+         {"lemma": "ANNOTATION_VALUE"}),
+        (".//TIER[@LINGUISTIC_TYPE_REF='PoS']/ANNOTATION"
+         "/REF_ANNOTATION", "@ANNOTATION_REF",
+         {"pos": "ANNOTATION_VALUE"}),
+    ),
+)
+
+TCF = XmlFormatConfig(
+    name="tcf",                     # tcf.blf.yaml: @tokenIDs-list
+    document_path=".",              # standoff lemmas/POStags
+    word_path=".//tokens/token",
+    word_value=".",
+    token_id_path="@ID",
+    standoff_annotations=(
+        (".//lemmas/lemma", "@tokenIDs", {"lemma": "."}),
+        (".//POStags/tag", "@tokenIDs", {"pos": "."}),
+    ),
+)
+
 BUILTIN_CONFIGS = {c.name: c for c in
                    (TEI_P5_ANNOTATED, FOLIA, ALTO, PAGEXML, NAF,
-                    TEI_P5_INL)}
+                    TEI_P5_INL, EAF, TCF)}

@@ -228,3 +228,71 @@ def test_parent_axis_value():
     parents = {c: p for p in root.iter() for c in p}
     (i_el,) = _iter_path(root, ".//i", parents)
     assert _value(i_el, "../@type", parents) == "author"
+
+
+EAF_DOC = """
+<ANNOTATION_DOCUMENT>
+ <TIER LINGUISTIC_TYPE_REF="Words" TIER_ID="w">
+  <ANNOTATION><ALIGNABLE_ANNOTATION ANNOTATION_ID="a1">
+    <ANNOTATION_VALUE>ik</ANNOTATION_VALUE>
+  </ALIGNABLE_ANNOTATION></ANNOTATION>
+  <ANNOTATION><ALIGNABLE_ANNOTATION ANNOTATION_ID="a2">
+    <ANNOTATION_VALUE>loop</ANNOTATION_VALUE>
+  </ALIGNABLE_ANNOTATION></ANNOTATION>
+ </TIER>
+ <TIER LINGUISTIC_TYPE_REF="Lemma" TIER_ID="l">
+  <ANNOTATION><REF_ANNOTATION ANNOTATION_ID="l1" ANNOTATION_REF="a2">
+    <ANNOTATION_VALUE>lopen</ANNOTATION_VALUE>
+  </REF_ANNOTATION></ANNOTATION>
+ </TIER>
+ <TIER LINGUISTIC_TYPE_REF="PoS" TIER_ID="p">
+  <ANNOTATION><REF_ANNOTATION ANNOTATION_ID="p1" ANNOTATION_REF="a1">
+    <ANNOTATION_VALUE>VNW</ANNOTATION_VALUE>
+  </REF_ANNOTATION></ANNOTATION>
+ </TIER>
+ <TIER LINGUISTIC_TYPE_REF="Other" TIER_ID="o">
+  <ANNOTATION><ALIGNABLE_ANNOTATION ANNOTATION_ID="x1">
+    <ANNOTATION_VALUE>NOTAWORD</ANNOTATION_VALUE>
+  </ALIGNABLE_ANNOTATION></ANNOTATION>
+ </TIER>
+</ANNOTATION_DOCUMENT>
+"""
+
+
+def test_eaf_standoff_tiers():
+    """eaf.blf.yaml: tier-predicated word path (the Other tier must NOT
+    produce tokens) + standoff lemma/pos attached by ANNOTATION_REF."""
+    from blacklab_ray.stages.xmlconfig import EAF
+    t = _pages(EAF, {"e.eaf": EAF_DOC})
+    assert t["text"][0].as_py() == "ik loop"
+    assert t["lemma"][0].as_py() == ["_", "lopen"]
+    assert t["pos"][0].as_py() == ["VNW", "_"]
+
+
+TCF_DOC = """
+<D-Spin xmlns="http://www.dspin.de/data">
+ <TextCorpus xmlns="http://www.dspin.de/data/textcorpus">
+  <tokens>
+   <token ID="t1">Das</token>
+   <token ID="t2">Haus</token>
+  </tokens>
+  <lemmas>
+   <lemma tokenIDs="t1">der</lemma>
+   <lemma tokenIDs="t2">haus</lemma>
+  </lemmas>
+  <POStags>
+   <tag tokenIDs="t1 t2">X</tag>
+  </POStags>
+ </TextCorpus>
+</D-Spin>
+"""
+
+
+def test_tcf_token_id_lists():
+    """tcf.blf.yaml: @tokenIDs may reference a LIST of tokens (the
+    reference expresses this with a contains() XPath contortion)."""
+    from blacklab_ray.stages.xmlconfig import TCF
+    t = _pages(TCF, {"t.xml": TCF_DOC})
+    assert t["text"][0].as_py() == "Das Haus"
+    assert t["lemma"][0].as_py() == ["der", "haus"]
+    assert t["pos"][0].as_py() == ["X", "X"]
