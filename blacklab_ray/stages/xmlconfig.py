@@ -80,6 +80,12 @@ class XmlFormatConfig:
     # values to the referenced token positions
     token_id_path: str | None = None
     standoff_annotations: tuple = ()
+    # punctPath analogue (tei-p5.blf.yaml: .//text()[not(ancestor::w)]
+    # = all text nodes not inside a word element): True captures
+    # inter-word XML text into a ``punct`` column, punct-before-each-
+    # word convention (len = n_tokens + 1), matching
+    # stages/offsets.punct_between
+    capture_punct: bool = False
 
 
 def _local(tag) -> str:
@@ -234,6 +240,12 @@ def _extract_doc(doc_el, cfg: XmlFormatConfig,
             anns.setdefault(a, [])
     spans: list[dict] = []
     tok_pos: dict[str, int] = {}    # token id → position (tokenIdPath)
+    punct: list[str] = []           # punct BEFORE each word + trailing
+    pbuf: list[str] = []
+
+    def note_text(s):
+        if s and s.strip():
+            pbuf.append(s.strip())
 
     def walk(el):
         if id(el) in word_ids:
@@ -242,6 +254,9 @@ def _extract_doc(doc_el, cfg: XmlFormatConfig,
                 tid = _value(el, cfg.token_id_path, parents)
                 if tid:
                     tok_pos[tid] = len(words)
+            if cfg.capture_punct:
+                punct.append(" ".join(pbuf))
+                pbuf.clear()
             # keep whitespace-analyzer alignment: a form may not
             # contain token separators
             words.append("_".join(w.split()) or "_")
@@ -255,14 +270,22 @@ def _extract_doc(doc_el, cfg: XmlFormatConfig,
                       "attrs": ";".join(
                           f"{_local(k)}={v}"
                           for k, v in sorted(el.attrib.items()))}
+        if cfg.capture_punct:
+            note_text(el.text)
         for child in el:
             walk(child)
+            if cfg.capture_punct:
+                note_text(child.tail)
         if opened is not None:
             opened["end"] = len(words)
             if opened["end"] > opened["start"]:
                 spans.append(opened)
 
     walk(doc_el)
+    if cfg.capture_punct:
+        punct.append(" ".join(pbuf))    # trailing text
+        pbuf.clear()
+        anns["punct"] = punct
     # standoff annotations attach by token reference after the walk
     for st_path, ref_path, st_anns in cfg.standoff_annotations:
         filled = {a: ["_"] * len(words) for a in st_anns}
@@ -287,7 +310,8 @@ def extract_xml_config(cfg: XmlFormatConfig, encoding: str = "utf-8"):
     def to_pages(batch: pa.Table) -> pa.Table:
         urls, texts, payloads = [], [], []
         ann_names = list(cfg.annotations) + [
-            a for _, _, st in cfg.standoff_annotations for a in st]
+            a for _, _, st in cfg.standoff_annotations for a in st] + (
+            ["punct"] if cfg.capture_punct else [])
         ann_cols: dict[str, list] = {a: [] for a in ann_names}
         tag_col: list = []
         meta_cols: dict[str, list] = {

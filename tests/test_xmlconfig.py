@@ -296,3 +296,14 @@ def test_tcf_token_id_lists():
     assert t["text"][0].as_py() == "Das Haus"
     assert t["lemma"][0].as_py() == ["der", "haus"]
     assert t["pos"][0].as_py() == ["X", "X"]
+
+
+def test_punct_path_capture():
+    """punctPath analogue: inter-word text nodes (not inside <w>)
+    become the punct column, punct-before-each-word + trailing."""
+    doc = """<doc><s><w>Hello</w>, <w>world</w>!</s> the end</doc>"""
+    cfg = XmlFormatConfig(name="pp", document_path=".",
+                          word_path=".//w", capture_punct=True)
+    t = _pages(cfg, {"p.xml": doc})
+    assert t["text"][0].as_py() == "Hello world"
+    assert t["punct"][0].as_py() == ["", ",", "! the end"]
