@@ -16,6 +16,9 @@ schema ``(url, warc_ts, html, text, lang)`` as a ``ray.data.Dataset``:
   columns; rows group by url, sort by pos, and join into the document
   text. The groupby is the one wide step — shuffle key = url, exactly
   one group per document (scale-safe: group size = document length).
+- ``sketch-wpl``    — Sketch Engine word-per-line with inline/glue
+  tags and <doc> metadata (sketch-wpl.blf.yaml); pure per-file parse,
+  no shuffle (docs never span files).
 
 ``register_format`` is the user-extension slot (SURVEY §2.12).
 """
@@ -119,6 +122,123 @@ def _read_tabular(paths, delimiter: str = "\t",
     return ds.groupby("url").map_groups(to_page, batch_format="pyarrow")
 
 
+def _read_sketch_wpl(paths, encoding: str = "utf-8",
+                     meta_fields: tuple = ("id", "lang"),
+                     **opts) -> ray.data.Dataset:
+    """Sketch Engine WPL (sketch-wpl.blf.yaml; DocIndexerTabular with
+    inlineTags+glueTags): word-per-line ``word TAB pos TAB lemma``
+    rows, ``<doc attr="...">`` document boundaries (declared attrs →
+    metadata), other inline tags → standoff spans, ``<g/>`` glue tags
+    → empty punct between the adjacent tokens (punct-before-each-word
+    convention, n_tokens+1). Parsing is a pure per-file map_batches
+    task; one file may hold many docs."""
+    import re as _re
+
+    from blacklab_ray.stages.xmlconfig import TAG_SPANS_TYPE
+    ds = ray.data.read_binary_files(paths, include_paths=True, **opts)
+    attr_re = _re.compile(r'([\w:-]+)\s*=\s*"([^"]*)"')
+
+    def to_pages(batch: pa.Table) -> pa.Table:
+        rows: dict[str, list] = {
+            "url": [], "text": [], "lang": [],
+            "lemma": [], "pos": [], "tags": [], "punct": []}
+        meta: dict[str, list] = {m: [] for m in meta_fields}
+
+        def flush(doc):
+            if doc is None or not doc["words"]:
+                return
+            rows["url"].append(doc["attrs"].get("id") or doc["fallback"])
+            rows["text"].append(" ".join(doc["words"]))
+            rows["lang"].append(doc["attrs"].get("lang"))
+            rows["lemma"].append(doc["lemma"])
+            rows["pos"].append(doc["pos"])
+            # close any unclosed inline tags at doc end
+            for name, start, attrs in doc["open"]:
+                if len(doc["words"]) > start:
+                    doc["spans"].append(
+                        {"name": name, "start": start,
+                         "end": len(doc["words"]), "attrs": attrs})
+            rows["tags"].append(doc["spans"])
+            doc["punct"].append("")          # trailing slot
+            rows["punct"].append(doc["punct"])
+            for m in meta_fields:
+                meta[m].append(doc["attrs"].get(m, ""))
+
+        for path, body in zip(batch.column("path").to_pylist(),
+                              batch.column("bytes").to_pylist()):
+            doc = None
+            n_docs = 0
+            for line in body.decode(encoding,
+                                    errors="replace").splitlines():
+                line = line.strip()
+                if not line:
+                    continue
+                if line.startswith("<"):
+                    if line.startswith("<doc"):
+                        flush(doc)
+                        doc = {"attrs": dict(attr_re.findall(line)),
+                               "fallback": f"{path}#{n_docs}",
+                               "words": [], "lemma": [], "pos": [],
+                               "spans": [], "open": [], "punct": [],
+                               "glue": False}
+                        n_docs += 1
+                    elif line.startswith("</doc"):
+                        flush(doc)
+                        doc = None
+                    elif doc is not None and line.startswith("<g/>"):
+                        doc["glue"] = True
+                    elif doc is not None and line.startswith("</"):
+                        name = line[2:].strip("> ")
+                        for i in range(len(doc["open"]) - 1, -1, -1):
+                            if doc["open"][i][0] == name:
+                                nm, start, attrs = doc["open"].pop(i)
+                                if len(doc["words"]) > start:
+                                    doc["spans"].append(
+                                        {"name": nm, "start": start,
+                                         "end": len(doc["words"]),
+                                         "attrs": attrs})
+                                break
+                    elif doc is not None:
+                        name = line[1:].split(">")[0].split()[0] \
+                            .strip("/")
+                        attrs = ";".join(
+                            f"{k}={v}" for k, v in
+                            sorted(attr_re.findall(line)))
+                        if not line.endswith("/>"):
+                            doc["open"].append(
+                                (name, len(doc["words"]), attrs))
+                    continue
+                if doc is None:
+                    continue
+                parts = line.split("\t")
+                doc["punct"].append(
+                    "" if (doc["glue"] or not doc["words"]) else " ")
+                doc["glue"] = False
+                doc["words"].append(parts[0])
+                doc["pos"].append(parts[1] if len(parts) > 1 else "_")
+                doc["lemma"].append(parts[2] if len(parts) > 2 else "_")
+            flush(doc)
+        n = len(rows["url"])
+        cols = {
+            "url": pa.array(rows["url"], pa.string()),
+            "warc_ts": pa.nulls(n, pa.timestamp("us")),
+            "html": pa.array([t.encode() for t in rows["text"]],
+                             pa.binary()),
+            "text": pa.array(rows["text"], pa.string()),
+            "lang": pa.array(rows["lang"], pa.string()),
+            "lemma": pa.array(rows["lemma"], pa.list_(pa.string())),
+            "pos": pa.array(rows["pos"], pa.list_(pa.string())),
+            "tags": pa.array(rows["tags"], TAG_SPANS_TYPE),
+            "punct": pa.array(rows["punct"], pa.list_(pa.string())),
+        }
+        for m in meta_fields:
+            if m != "lang":
+                cols[f"meta_{m}"] = pa.array(meta[m], pa.string())
+        return pa.table(cols)
+
+    return ds.map_batches(to_pages, batch_format="pyarrow")
+
+
 def _read_xml(paths, document_tag: str | None = None,
               text_tags: tuple[str, ...] | None = None,
               encoding: str = "utf-8", **opts) -> ray.data.Dataset:
@@ -203,6 +323,7 @@ def _read_chat(paths, encoding: str | None = None,
 
 register_format("xml", _read_xml)
 register_format("chat", _read_chat)
+register_format("sketch-wpl", _read_sketch_wpl)
 register_format("tei",
                 lambda paths, **o: _read_xml(
                     paths, document_tag="TEI",

@@ -189,3 +189,45 @@ def test_xml_format(ray_session, tmp_path):
     r = IndexReader(idx)
     assert r.n_docs == 2
     assert search_taat(r, ["fox"], k=5).num_rows == 1
+
+
+SKETCH_WPL = """<doc id="d1" lang="en" year="2001">
+<p>
+<s>
+Hello\tUH\thello
+<g/>
+,\t,\t,
+world\tNN\tworld
+</s>
+</p>
+</doc>
+<doc id="d2">
+<s>
+Bye\tUH\tbye
+</s>
+</doc>
+"""
+
+
+def test_sketch_wpl_reader(ray_session, tmp_path):
+    """sketch-wpl.blf.yaml: word/pos/lemma columns, <doc> attrs →
+    metadata, inline <s>/<p> → spans, <g/> glue → empty punct."""
+    from blacklab_ray.formats import read_pages
+    p = tmp_path / "c.wpl"
+    p.write_text(SKETCH_WPL)
+    t = read_pages("sketch-wpl", [str(p)],
+                   meta_fields=("id", "lang", "year")).take_all()
+    assert len(t) == 2
+    d1 = next(r for r in t if r["url"] == "d1")
+    assert d1["text"] == "Hello , world"
+    assert d1["lemma"] == ["hello", ",", "world"]
+    assert d1["pos"] == ["UH", ",", "NN"]
+    assert d1["lang"] == "en"
+    assert d1["meta_year"] == "2001"
+    # glue tag: no space between Hello and ","
+    assert d1["punct"] == ["", "", " ", ""]
+    names = sorted((s["name"], s["start"], s["end"])
+                   for s in d1["tags"])
+    assert names == [("p", 0, 3), ("s", 0, 3)]
+    d2 = next(r for r in t if r["url"] == "d2")
+    assert d2["text"] == "Bye" and d2["lang"] is None
