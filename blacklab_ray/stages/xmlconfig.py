@@ -110,11 +110,17 @@ def _parse_step(step: str):
 def _pred_ok(el, pred: str, pos: int) -> bool:
     """Evaluate one step predicate (the shipped-config subset)."""
     pred = pred.strip()
+    if " and " in pred:                         # [not(*) and text()]
+        return all(_pred_ok(el, p, pos) for p in pred.split(" and "))
     if pred.isdigit():                          # [n] — 1-based position
         return pos == int(pred)
     neg = False
     if pred.startswith("not(") and pred.endswith(")"):
         neg, pred = True, pred[4:-1].strip()
+    if pred == "*":                             # any element child
+        return (len(el) > 0) != neg
+    if pred == "text()":                        # non-empty text content
+        return bool(_text_of(el)) != neg
     if "=" in pred:
         lhs, rhs = pred.split("=", 1)
         rhs = rhs.strip().strip("'\"")
@@ -191,6 +197,8 @@ def _value(el, path: str, parents: dict | None = None) -> str:
     '../@attr' (parent axis needs ``parents``)."""
     if path in (".", "text()"):
         return _text_of(el)
+    if path == "local-name()":      # cmdi.blf.yaml namePath
+        return _local(el.tag)
     if path.startswith("@"):
         return el.get(path[1:], "") or ""
     if "/@" in path:
@@ -485,6 +493,23 @@ TCF = XmlFormatConfig(
         (".//POStags/tag", "@tokenIDs", {"pos": "."}),
     ),
 )
+
+def cmdi_config(fields: tuple) -> XmlFormatConfig:
+    """cmdi.blf.yaml (type: metadata, store: false): capture every
+    leaf element with text as a metadata field — forEachPath
+    ``.//*[not(*) and text()]``, namePath ``local-name()``. CMDI is a
+    metadata-ONLY format: extract it with word_path=None and feed the
+    resulting table to ``stages.linked.join_linked_metadata`` keyed on
+    the self-link id. Field names must be declared (``fields``) for a
+    stable Arrow schema, as everywhere in this config model."""
+    return XmlFormatConfig(
+        name="cmdi",
+        document_path=".//Components",
+        metadata_foreach=((".//*[not(*) and text()]",
+                           "local-name()", "."),),
+        foreach_fields=tuple(fields),
+    )
+
 
 BUILTIN_CONFIGS = {c.name: c for c in
                    (TEI_P5_ANNOTATED, FOLIA, ALTO, PAGEXML, NAF,

@@ -307,3 +307,41 @@ def test_punct_path_capture():
     t = _pages(cfg, {"p.xml": doc})
     assert t["text"][0].as_py() == "Hello world"
     assert t["punct"][0].as_py() == ["", ",", "! the end"]
+
+
+CMDI_DOC = """
+<CMD xmlns="http://www.clarin.eu/cmd/">
+ <Header><MdSelfLink>hdl:1839/00-X</MdSelfLink></Header>
+ <Components>
+  <Session>
+   <Name>sess-1</Name>
+   <Location><Country>Netherlands</Country></Location>
+   <Empty/>
+  </Session>
+ </Components>
+</CMD>
+"""
+
+
+def test_cmdi_leaf_metadata_and_linked_join(ray_session):
+    """cmdi.blf.yaml: every leaf element with text becomes a metadata
+    field (forEachPath .//*[not(*) and text()], namePath
+    local-name()); the extracted table joins onto pages via the
+    linked-document broadcast join."""
+    import ray.data
+
+    from blacklab_ray.stages.linked import join_linked_metadata
+    from blacklab_ray.stages.xmlconfig import cmdi_config
+    cfg = cmdi_config(("Name", "Country"))
+    t = _pages(cfg, {"m.cmdi": CMDI_DOC})
+    assert t["meta_Name"][0].as_py() == "sess-1"
+    assert t["meta_Country"][0].as_py() == "Netherlands"
+    # metadata-only: attach to a content corpus by id
+    side = pa.table({"link": ["sess-1"],
+                     "Country": ["Netherlands"]})
+    pages = ray.data.from_arrow(pa.table({
+        "url": ["u1", "u2"], "link": ["sess-1", "nope"],
+        "text": ["a", "b"]}))
+    out = join_linked_metadata(pages, side, on="link").take_all()
+    assert out[0]["Country"] == "Netherlands"
+    assert out[1]["Country"] is None
