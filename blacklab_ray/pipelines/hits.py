@@ -360,6 +360,11 @@ class FwdIndexKwic:
         terms_l = batch["terms"].to_pylist()
         tfs_l = batch["tfs"].to_pylist()
         pos_l = batch["pos"].to_pylist()
+        # punct-aware rendering (the reference's concordances join
+        # context words with the punct annotation, Kwics.java): slot
+        # q is the separator BEFORE token q
+        punct_l = (batch["punct"].to_pylist()
+                   if "punct" in batch.column_names else None)
         offs = np.arange(-self._ctx, self._ctx + 1, dtype=np.int64)
         for i, terms in enumerate(terms_l):
             try:
@@ -377,15 +382,25 @@ class FwdIndexKwic:
                 for p in ps[np.isin(ps, win)].tolist():
                     tok_at[p] = t
             dl = doc_lens[i]
+            pct = punct_l[i] if punct_l is not None else None
+
+            def render(lo, hi):
+                if pct is None:
+                    return " ".join(tok_at.get(q, "")
+                                    for q in range(lo, hi))
+                parts = []
+                for q in range(lo, hi):
+                    if q > lo:
+                        parts.append(pct[q] if q < len(pct) else " ")
+                    parts.append(tok_at.get(q, ""))
+                return "".join(parts)
+
             for p in hp.tolist():
                 rows["doc_id"].append(doc_ids[i])
                 rows["pos"].append(p)
-                rows["left"].append(" ".join(
-                    tok_at.get(q, "")
-                    for q in range(max(0, p - self._ctx), p)))
-                rows["right"].append(" ".join(
-                    tok_at.get(q, "")
-                    for q in range(p + 1, min(dl, p + 1 + self._ctx))))
+                rows["left"].append(render(max(0, p - self._ctx), p))
+                rows["right"].append(
+                    render(p + 1, min(dl, p + 1 + self._ctx)))
         return pa.table({
             "doc_id": pa.array(rows["doc_id"], pa.int64()),
             "pos": pa.array(rows["pos"], pa.int64()),
@@ -418,9 +433,13 @@ def kwic_from_forward_index(index_dir: str, term: str, context: int = 2,
     import pyarrow.compute as pc
     import ray.data as rdm
     cand = term_doc_ids(index_dir, term)
+    import pyarrow.dataset as pads
+    cols = ["doc_id", "doc_len", "terms", "tfs", "pos"]
+    fwd_dir = os.path.join(index_dir, "fwd")
+    if "punct" in pads.dataset(fwd_dir, format="parquet").schema.names:
+        cols.append("punct")    # faithful separators when indexed
     fwd = rdm.read_parquet(
-        os.path.join(index_dir, "fwd"),
-        columns=["doc_id", "doc_len", "terms", "tfs", "pos"],
+        fwd_dir, columns=cols,
         filter=pc.field("doc_id").isin(pa.array(cand, pa.int64())))
     out = fwd.map_batches(FwdIndexKwic(term, context),
                           batch_format="pyarrow")

@@ -217,6 +217,11 @@ class TokenizeForwardIndex:
             cols["terms_mv"] = mvec[0]
             cols["tfs_mv"] = mvec[1]
             cols["pos_mv"] = mvec[2]
+        if "punct" in batch.column_names:
+            # inter-token separators (punct-before-each-word, len
+            # n_tokens+1) ride the forward index for faithful KWIC
+            # rendering — fwd-only, never posted
+            cols["punct"] = batch.column("punct")
         if "tags" in batch.column_names:
             # standoff structural spans with attributes (the reference
             # indexes these as starttag tokens + @attr__value tokens at

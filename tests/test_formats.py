@@ -231,3 +231,21 @@ def test_sketch_wpl_reader(ray_session, tmp_path):
     assert names == [("p", 0, 3), ("s", 0, 3)]
     d2 = next(r for r in t if r["url"] == "d2")
     assert d2["text"] == "Bye" and d2["lang"] is None
+
+
+def test_sketch_wpl_punct_aware_kwic(ray_session, tmp_path):
+    """punct rides the forward index and kwic_fwd renders original
+    spacing: the glue tag makes 'Hello,' (no space) in the left
+    context."""
+    from blacklab_ray.formats import read_pages
+    from blacklab_ray.index import BuildParams, build_index
+    from blacklab_ray.pipelines.hits import kwic_from_forward_index
+    p = tmp_path / "c.wpl"
+    p.write_text(SKETCH_WPL)
+    ds = read_pages("sketch-wpl", [str(p)])
+    idx = str(tmp_path / "idx")
+    build_index(ds, idx, BuildParams(num_buckets=2, n_salts=1,
+                                     analyzer="whitespace"))
+    out = kwic_from_forward_index(idx, "world", context=2).take_all()
+    assert len(out) == 1
+    assert out[0]["left"] == "Hello,"
