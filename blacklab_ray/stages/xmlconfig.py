@@ -49,7 +49,7 @@ import pyarrow as pa
 import ray.data
 
 __all__ = ["XmlFormatConfig", "extract_xml_config", "read_xml_config",
-           "TAG_SPANS_TYPE"]
+           "TAG_SPANS_TYPE", "BUILTIN_CONFIGS", "cmdi_config"]
 
 TAG_SPANS_TYPE = pa.list_(pa.struct([
     ("name", pa.string()), ("start", pa.int32()),
