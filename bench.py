@@ -203,6 +203,19 @@ def run_bench(num_cpus: int) -> dict:
     timings["service_qps"] = round(len(queries) / svc_wall, 1)
     svc.shutdown()
 
+    # ---- skewed workload: pool-shared L2 cache tier (r3) ---------------
+    # a hot query landing on EVERY replica: the shared tier computes it
+    # once pool-wide; each replica then serves from L1 after one L2 hit
+    svc2 = QueryService(idx_dir, n_actors=min(8, num_cpus),
+                        shared_cache_shards=2)
+    hot = [queries[0]] * 200
+    svc2.search_many(hot[:8])   # warm: one compute + L2 populate
+    t0 = time.perf_counter()
+    svc2.search_many(hot)
+    hot_wall = time.perf_counter() - t0
+    timings["service_hot_query_qps"] = round(len(hot) / hot_wall, 1)
+    svc2.shutdown()
+
     # ---- bucket-sharded scatter-gather serving (ROADMAP 7) -------------
     from blacklab_ray.query.service import ShardedQueryService
     ssvc = ShardedQueryService(idx_dir, n_shards=min(8, num_cpus))
