@@ -69,3 +69,35 @@ def test_smallfloat_vectorized_parity():
     # idempotent on quantized values
     q = decode_norms(enc)
     assert (decode_norms(encode_lengths(q)) == q).all()
+
+
+def test_encode_terms_incremental_matches_batch_encode():
+    """Per-batch incremental encoding (fused bounded-buffer path) must
+    produce the same first-occurrence code contract as the one-shot
+    dictionary_encode over any batch split."""
+    import numpy as np
+    import pyarrow as pa
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from blacklab_ray.index.exchange import (_encode_terms_as_codes,
+                                             _encode_terms_incremental)
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.lists(st.sampled_from("abcdef"), min_size=1, max_size=60),
+           st.integers(min_value=1, max_value=7))
+    def check(terms, split):
+        tbl = pa.table({"term": pa.array(terms, pa.string()),
+                        "gkey": pa.array(range(len(terms)), pa.int64())})
+        whole, vocab = _encode_terms_as_codes(tbl)
+        idx, vlist = {}, []
+        pieces = [tbl.slice(i, split)
+                  for i in range(0, len(terms), split)]
+        enc = pa.concat_tables(
+            [_encode_terms_incremental(p, idx, vlist) for p in pieces])
+        assert vlist == vocab["term"].to_pylist()
+        np.testing.assert_array_equal(
+            enc["term_code"].to_numpy(zero_copy_only=False),
+            whole["term_code"].to_numpy(zero_copy_only=False))
+
+    check()

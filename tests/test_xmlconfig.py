@@ -345,3 +345,53 @@ def test_cmdi_leaf_metadata_and_linked_join(ray_session):
     out = join_linked_metadata(pages, side, on="link").take_all()
     assert out[0]["Country"] == "Netherlands"
     assert out[1]["Country"] is None
+
+
+def test_path_engine_properties():
+    """Property check: on random trees, `a/b`-style child paths agree
+    with an independent recursive matcher, and predicates always
+    select a subset of the unpredicated step."""
+    import random
+    import xml.etree.ElementTree as ET
+
+    from blacklab_ray.stages.xmlconfig import _iter_path
+
+    rng = random.Random(7)
+    NAMES = ["a", "b", "c"]
+
+    def rand_tree(depth=0):
+        el = ET.Element(rng.choice(NAMES))
+        if rng.random() < 0.5:
+            el.set("k", rng.choice(["x", "y"]))
+        if rng.random() < 0.4:
+            el.text = rng.choice(["t", ""])
+        if depth < 4:
+            for _ in range(rng.randrange(0, 4)):
+                el.append(rand_tree(depth + 1))
+        return el
+
+    def brute_children(el, names):
+        if not names:
+            return [el]
+        out = []
+        for c in el:
+            if c.tag == names[0]:
+                out.extend(brute_children(c, names[1:]))
+        return out
+
+    for _ in range(60):
+        root = rand_tree()
+        steps = [rng.choice(NAMES)
+                 for _ in range(rng.randrange(1, 4))]
+        path = "/".join(steps)
+        got = list(_iter_path(root, path))
+        assert got == brute_children(root, steps), path
+        # descendant form yields a superset of the child form when
+        # the first step can appear deeper
+        desc = list(_iter_path(root, ".//" + path))
+        assert set(map(id, got)) <= set(map(id, desc)), path
+        # a predicate never widens a step's result
+        pred = list(_iter_path(root, f"{steps[0]}[@k='x']"))
+        base = list(_iter_path(root, steps[0]))
+        assert set(map(id, pred)) <= set(map(id, base))
+        assert all(e.get("k") == "x" for e in pred)
