@@ -16,6 +16,13 @@ CorpusQueryLanguageParser.java:12). Supported subset:
   "a"{n} / "a"{n,m}           fixed and RANGE repetition
                               (SpanQueryRepetition.java:25 — ranges lower
                               to a union of fixed-count variants)
+  "a"? / "a"+ / "a"* / "a"{n,}  quantifiers; unbounded forms are CAPPED
+                              at lo + UNBOUNDED_REP_CAP occurrences
+                              (documented subset deviation — the
+                              reference resolves these via NFA)
+  ("a" "b"){n,m} / (...)+     repetition of a multi-token group: union
+                              over counts of the body concatenated
+                              count times (captures cannot repeat)
   "a" "b" | "c"               alternation between sequences
                               (BLSpanOrQuery.java:57 — union of spans)
   ("a"|"b")                   single-position alternation group
@@ -66,8 +73,10 @@ _TOKEN_RE = re.compile(r"""
       (?P<quoted>"(?P<qbody>[^"]*)")
     | (?P<bracket>\[\s*(?P<battr>\w+)\s*(?P<bneg>!?)=\s*"(?P<bval>[^"]*)"\s*\])
     | (?P<any>\[\s*\])
-    | (?P<rep>\{\s*(?P<rlo>\d+)\s*(?:,\s*(?P<rhi>\d+)\s*)?\})
+    | (?P<rep>\{\s*(?P<rlo>\d+)\s*(?:(?P<rcomma>,)\s*(?P<rhi>\d+)?\s*)?\})
     | (?P<qmark>\?)
+    | (?P<plus>\+)
+    | (?P<star>\*)
     | (?P<tag><\s*(?P<tagname>\w+)(?P<tagattrs>(?:\s+\w+\s*=\s*"[^"]*")*)\s*/\s*>)
     | (?P<word>within|containing)
     | (?P<capture>(?P<capname>[A-Za-z_]\w*)\s*:)
@@ -78,6 +87,13 @@ _TOKEN_RE = re.compile(r"""
     )""", re.VERBOSE)
 
 MAX_VARIANTS = 256   # cap on the cross-product of repetition ranges
+
+# `x+` / `x*` / `x{n,}` are lowered to bounded ranges capped at
+# lo + UNBOUNDED_REP_CAP occurrences — a DOCUMENTED subset deviation
+# (the reference resolves unbounded repetition with an NFA,
+# SpanQueryRepetition.java / ClauseCombinerNfa.java:38; runs longer
+# than the cap are not matched here)
+UNBOUNDED_REP_CAP = 4
 
 
 @dataclass
@@ -375,12 +391,21 @@ def _tokenize(q: str) -> list[tuple[str, object]]:
             items.append(("any", None))
         elif m.group("rep") is not None:
             lo = int(m.group("rlo"))
-            hi = int(m.group("rhi")) if m.group("rhi") else lo
+            if m.group("rhi"):
+                hi = int(m.group("rhi"))
+            elif m.group("rcomma"):        # {n,} — open range, capped
+                hi = lo + UNBOUNDED_REP_CAP
+            else:
+                hi = lo
             if hi < lo:
                 raise ValueError(f"bad repetition range {{{lo},{hi}}}")
             items.append(("rep", (lo, hi)))
         elif m.group("qmark") is not None:
             items.append(("rep", (0, 1)))
+        elif m.group("plus") is not None:
+            items.append(("rep", (1, 1 + UNBOUNDED_REP_CAP)))
+        elif m.group("star") is not None:
+            items.append(("rep", (0, UNBOUNDED_REP_CAP)))
         elif m.group("tag") is not None:
             attrs = dict(re.findall(r'(\w+)\s*=\s*"([^"]*)"',
                                     m.group("tagattrs") or ""))
@@ -505,12 +530,53 @@ def _collapse_groups(items: list) -> list:
 def _build_union(items: list) -> SeqPlan | UnionPlan:
     branches: list[SeqPlan] = []
     for branch in _split_pipe_depth0(items):
-        branches.extend(_build_seq_variants(_collapse_groups(branch)))
+        for var in _expand_group_reps(_collapse_groups(branch)):
+            branches.extend(_build_seq_variants(var))
     if not branches:
         raise ValueError("empty query")
     if len(branches) == 1:
         return branches[0]
     return UnionPlan(branches=branches)
+
+
+def _expand_group_reps(items: list) -> list[list]:
+    """Lower repeated sequence groups — `("a" "b"){2,3}` — into item-
+    list variants (SpanQueryRepetition over a multi-token clause: the
+    union over counts of the body concatenated count times). Group
+    markers are dropped for repeated groups (captures cannot repeat);
+    un-repeated groups pass through untouched for the capture
+    machinery."""
+    variants: list[list] = [[]]
+    i = 0
+    while i < len(items):
+        kind, val = items[i]
+        if kind == "gopen":
+            j = i + 1
+            while j < len(items) and items[j][0] != "gclose":
+                j += 1
+            if j + 1 < len(items) and items[j + 1][0] == "rep":
+                lo, hi = items[j + 1][1]
+                body = items[i + 1:j]
+                if (i > 0 and items[i - 1][0] == "cap") or \
+                        any(k == "cap" for k, _ in body):
+                    raise ValueError(
+                        "captured groups cannot repeat (out of subset)")
+                counts = [list(body) * c for c in range(lo, hi + 1)]
+                variants = [pre + c for pre in variants for c in counts]
+                if len(variants) > MAX_VARIANTS:
+                    raise ValueError(
+                        f"group repetitions expand to {len(variants)} "
+                        f"variants (cap {MAX_VARIANTS})")
+                i = j + 2
+                continue
+        for v in variants:
+            v.append(items[i])
+        i += 1
+    # a zero-count variant of a lone repeated group is the empty
+    # sequence — drop it (it matches nothing span-shaped) unless it is
+    # the only variant, which should fail as an empty query downstream
+    non_empty = [v for v in variants if v]
+    return non_empty if non_empty else variants[:1]
 
 
 def _build_seq_variants(items: list) -> list[SeqPlan]:

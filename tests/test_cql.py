@@ -728,3 +728,65 @@ def test_constraint_annotation_operands(ray_session, tmp_path):
     # unknown annotation errors clearly
     with pytest.raises(FileNotFoundError, match="annotation"):
         cql_spans(r, 'A:[] "and" B:[] :: A.pos = B.pos')
+
+
+def test_quantifiers_and_group_repetition(ray_session, tmp_path):
+    """`+`/`*`/`{n,}` quantifiers (capped unbounded forms) and
+    repetition of multi-token groups, cross-checked against a brute
+    regex matcher over the token streams."""
+    import re as _re
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from blacklab_ray.index import BuildParams, build_index
+    from blacklab_ray.query.cql import UNBOUNDED_REP_CAP
+    from blacklab_ray.stages.tokenize import hash64
+
+    texts = ["a b a b c", "x a b y", "a a b b", "a a a a a b",
+             "c a b a b a b c"]
+    pages = tmp_path / "p"
+    pages.mkdir()
+    pq.write_table(pa.table({
+        "url": [f"u{i}" for i in range(len(texts))],
+        "warc_ts": pa.nulls(len(texts), pa.timestamp("us")),
+        "html": [t.encode() for t in texts],
+        "text": texts, "lang": ["en"] * len(texts)}),
+        str(pages / "0.parquet"))
+    idx = str(tmp_path / "idx")
+    build_index(str(pages), idx,
+                BuildParams(num_buckets=2, n_salts=1,
+                            analyzer="whitespace"))
+    r = IndexReader(idx)
+
+    def brute(tok_regex):
+        """All (doc, start, end) where the concatenated tokens match
+        tok_regex (tokens here are single chars)."""
+        out = set()
+        for i, t in enumerate(texts):
+            toks = t.split()
+            for s in range(len(toks)):
+                for e in range(s + 1, len(toks) + 1):
+                    if _re.fullmatch(tok_regex, "".join(toks[s:e])):
+                        out.add((hash64(f"u{i}"), s, e))
+        return out
+
+    C = UNBOUNDED_REP_CAP
+    cases = [
+        ('("a" "b"){2}', "(ab){2}"),
+        ('("a" "b")+', "(ab){1,%d}" % (1 + C)),
+        ('"a"+ "b"', "a{1,%d}b" % (1 + C)),
+        ('"a"* "b"', "a{0,%d}b" % C),
+        ('"a"{2,}', "a{2,%d}" % (2 + C)),
+        ('("a" "b"){0,1} "c"', "(ab)?c"),
+    ]
+    for q, rx in cases:
+        tb = cql_spans(r, q)
+        got = set(zip(tb["doc_id"].to_pylist(),
+                      tb["start"].to_pylist(), tb["end"].to_pylist()))
+        exp = brute(rx)
+        assert got == exp, (q, sorted(got), sorted(exp))
+
+    # captured groups cannot repeat
+    with pytest.raises(ValueError, match="captured groups"):
+        cql_spans(r, 'A:("a" "b"){2}')
