@@ -119,10 +119,18 @@ def _rand_position(rng, vocab):
         body = f'("{term}"|"{t2}")'
     else:
         body = f'[word != "{term}"]'
-    if rng.random() < 0.15 and not body.startswith("[word !="):
-        lo = int(rng.integers(1, 3))
-        hi = lo + int(rng.integers(0, 2))
-        body += f"{{{lo},{hi}}}" if hi > lo else f"{{{lo}}}"
+    if rng.random() < 0.2 and not body.startswith("[word !="):
+        r2 = rng.random()
+        if r2 < 0.5:
+            lo = int(rng.integers(1, 3))
+            hi = lo + int(rng.integers(0, 2))
+            body += f"{{{lo},{hi}}}" if hi > lo else f"{{{lo}}}"
+        elif r2 < 0.7:
+            body += "?"
+        elif r2 < 0.85:
+            body += "+"          # capped unbounded (UNBOUNDED_REP_CAP)
+        else:
+            body += f"{{{int(rng.integers(1, 3))},}}"
     return body
 
 
@@ -136,6 +144,12 @@ def _rand_query(rng, vocab) -> str:
             hi = lo + int(rng.integers(0, 3))
             parts.append(f"[]{{{lo},{hi}}}")
     q = " ".join(parts)
+    if rng.random() < 0.15:
+        # repeated multi-token group prefix (group-rep lowering)
+        a = vocab[int(rng.integers(0, len(vocab)))]
+        b = vocab[int(rng.integers(0, len(vocab)))]
+        lo = int(rng.integers(0, 2))
+        q = f'("{a}" "{b}"){{{lo},{lo + 1}}} {q}'
     if rng.random() < 0.15:
         q = f"[]{{1,2}} {q}"                    # leading expansion
     if rng.random() < 0.2:
