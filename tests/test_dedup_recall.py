@@ -63,6 +63,29 @@ def test_minhash_finds_planted_near_dups(planted_ds):
     assert not (pairs - planted)
 
 
+def test_minhash_verify_multiblock_partitions(ray_session):
+    """Regression for the r3 minhash_pairs failure: a MULTI-BLOCK
+    corpus whose LSH-candidate aggregate emits schema-less empty
+    blocks used to poison the downstream signature join (acero
+    "No match ... FieldRef.Name(a)" at >=16 partitions). The keyed
+    groupby co-partition must survive many tiny/empty blocks."""
+    import ray.data
+
+    from blacklab_ray.pipelines import dedup
+    tbl = _docs_with_planted_dups()
+    # >=16 blocks, most holding a handful of rows, several empty
+    # aggregate partitions downstream — the r3 failure shape
+    ds = ray.data.from_arrow(tbl).repartition(20).materialize()
+    assert ds.num_blocks() >= 16
+    cand = dedup.minhash_candidate_pairs(ds, num_perm=64, bands=16)
+    verified = dedup.verify_jaccard_pairs(ds, cand, threshold=0.6)
+    pairs = set(zip(verified["a"].to_pylist(),
+                    verified["b"].to_pylist()))
+    for i in range(5):
+        assert (i, 60 + i) in pairs, f"missed exact dup {i}"
+    assert sum((i, 65 + (i - 5)) in pairs for i in range(5, 10)) >= 4
+
+
 def test_simhash_near_dups_close(planted_ds):
     from blacklab_ray.pipelines import dedup
     sh = dedup.simhashes(planted_ds).to_pandas()
