@@ -222,18 +222,54 @@ def test_find_hits_clamp(ray_session):
     assert find_hits(ds, "spark", max_hits=7).count() == 7
 
 
-def test_quantized_paths_avoid_doc_table(ray_session, small_index):
-    """VERDICT r1 #7: quantized phrase/sequence/url paths must not
-    materialize the full doc table (query-actor OOM at corpus scale)."""
-    from blacklab_ray.query import IndexReader, phrase_search, search
-    r = IndexReader(small_index)
-    res = phrase_search(r, ["the", "of"], k=5)
-    assert r._docs is None, "phrase_search loaded the full doc table"
-    t = search(r, ["the"], 5, resolve_urls=True)
-    assert r._docs is None, "url resolution loaded the full doc table"
-    assert all(u.startswith("https://") for u in t["url"].to_pylist())
-    # norms gathered == norms computed from doc lengths
+def test_quantized_paths_avoid_doc_table(ray_session, small_index,
+                                         monkeypatch):
+    """VERDICT r1 #7 / r3 #2: query paths must never materialize the
+    full doc table (query-actor OOM at corpus scale). Spy on every
+    fwd-dataset read: `to_table` must always carry a doc_id filter
+    (pruned gather); whole-table `pq.read_table` over fwd is banned."""
     import numpy as np
+
+    from blacklab_ray.query import IndexReader, phrase_search, search
+    from blacklab_ray.query import reader as reader_mod
+    r = IndexReader(small_index)
+
+    real_dataset = reader_mod.pa_ds.dataset
+
+    class _SpyDS:
+        def __init__(self, inner):
+            self._inner = inner
+
+        def to_table(self, columns=None, filter=None, **kw):
+            assert filter is not None, \
+                "unfiltered fwd to_table — full doc-table load"
+            return self._inner.to_table(columns=columns, filter=filter,
+                                        **kw)
+
+        def __getattr__(self, name):
+            return getattr(self._inner, name)
+
+    def spy_dataset(path, *a, **kw):
+        inner = real_dataset(path, *a, **kw)
+        return _SpyDS(inner) if "fwd" in str(path) else inner
+
+    real_read_table = reader_mod.pq.read_table
+
+    def banned_read_table(path, *a, **kw):
+        if "fwd" in str(path):   # terms/meta loads are vocabulary-sized
+            raise AssertionError(f"pq.read_table on {path} in query path")
+        return real_read_table(path, *a, **kw)
+
+    monkeypatch.setattr(reader_mod.pa_ds, "dataset", spy_dataset)
+    monkeypatch.setattr(reader_mod.pq, "read_table", banned_read_table)
+
+    phrase_search(r, ["the", "of"], k=5, quantize=False)  # doc_lens path
+    t = search(r, ["the"], 5, resolve_urls=True)          # urls path
+    assert all(u.startswith("https://") for u in t["url"].to_pylist())
+    # negated-position CQL exercises spans.py's doc_lens(cand)
+    from blacklab_ray.query.cql import search_cql
+    search_cql(r, '"the" [word != "of"]', k=5)
+    # norms gathered == norms computed from doc lengths
     from blacklab_ray.codec.smallfloat import encode_lengths
     ids = t["doc_id"].to_numpy()
     assert (r.norms_for(ids) == encode_lengths(r.doc_lens(ids))).all()
