@@ -16,10 +16,10 @@ CorpusQueryLanguageParser.java:12). Supported subset:
   "a"{n} / "a"{n,m}           fixed and RANGE repetition
                               (SpanQueryRepetition.java:25 — ranges lower
                               to a union of fixed-count variants)
-  "a"? / "a"+ / "a"* / "a"{n,}  quantifiers; unbounded forms are CAPPED
-                              at lo + UNBOUNDED_REP_CAP occurrences
-                              (documented subset deviation — the
-                              reference resolves these via NFA)
+  "a"? / "a"+ / "a"* / "a"{n,}  quantifiers; unbounded forms are EXACT
+                              (run-enumerated span elements chained to
+                              a fixed point — SpansRepetition semantics
+                              without the reference's NFA machinery)
   ("a" "b"){n,m} / (...)+     repetition of a multi-token group: union
                               over counts of the body concatenated
                               count times (captures cannot repeat)
@@ -86,14 +86,16 @@ _TOKEN_RE = re.compile(r"""
     | (?P<rparen>\))
     )""", re.VERBOSE)
 
-MAX_VARIANTS = 256   # cap on the cross-product of repetition ranges
+MAX_VARIANTS = 256   # cap on the cross-product of BOUNDED repetition ranges
 
-# `x+` / `x*` / `x{n,}` are lowered to bounded ranges capped at
-# lo + UNBOUNDED_REP_CAP occurrences — a DOCUMENTED subset deviation
-# (the reference resolves unbounded repetition with an NFA,
-# SpanQueryRepetition.java / ClauseCombinerNfa.java:38; runs longer
-# than the cap are not matched here)
-UNBOUNDED_REP_CAP = 4
+# `x+` / `x*` / `x{n,}` are EXACT (r4; closes the r3 UNBOUNDED_REP_CAP
+# deviation): an unbounded repetition becomes one run-enumerated span
+# element — the matched positions' consecutive runs yield every subrun
+# of length >= lo, iterated to a fixed point for multi-token bodies —
+# and the sequence composes span tables with a packed concat join
+# (spans.concat_spans). Matches SpansRepetition semantics
+# (SpanQueryRepetition.java:25) without the reference's NFA machinery
+# (fimatch/Nfa.java): runs of ANY length are matched.
 
 
 @dataclass
@@ -109,6 +111,11 @@ class SeqPos:
     #                              SpanQueryFiSeq semantics)
     cap_open: str | None = None   # A:( ... ) group-capture start here
     cap_close: str | None = None  # ... and ends here (inclusive token)
+    rep_min: int = 1              # unbounded repetition minimum (>= 1)
+    unbounded: bool = False       # True → matches rep_min..∞ consecutive
+    #                               occurrences (SpansRepetition exact)
+    body: tuple | None = None     # unbounded GROUP repetition body:
+    #                               (positions: tuple[SeqPos], gaps: tuple)
 
 
 # ---------------------------------------------------------------------------
@@ -392,20 +399,20 @@ def _tokenize(q: str) -> list[tuple[str, object]]:
         elif m.group("rep") is not None:
             lo = int(m.group("rlo"))
             if m.group("rhi"):
-                hi = int(m.group("rhi"))
-            elif m.group("rcomma"):        # {n,} — open range, capped
-                hi = lo + UNBOUNDED_REP_CAP
+                hi: int | None = int(m.group("rhi"))
+            elif m.group("rcomma"):        # {n,} — open range, EXACT
+                hi = None
             else:
                 hi = lo
-            if hi < lo:
+            if hi is not None and hi < lo:
                 raise ValueError(f"bad repetition range {{{lo},{hi}}}")
             items.append(("rep", (lo, hi)))
         elif m.group("qmark") is not None:
             items.append(("rep", (0, 1)))
         elif m.group("plus") is not None:
-            items.append(("rep", (1, 1 + UNBOUNDED_REP_CAP)))
+            items.append(("rep", (1, None)))
         elif m.group("star") is not None:
-            items.append(("rep", (0, UNBOUNDED_REP_CAP)))
+            items.append(("rep", (0, None)))
         elif m.group("tag") is not None:
             attrs = dict(re.findall(r'(\w+)\s*=\s*"([^"]*)"',
                                     m.group("tagattrs") or ""))
@@ -561,6 +568,18 @@ def _expand_group_reps(items: list) -> list[list]:
                         any(k == "cap" for k, _ in body):
                     raise ValueError(
                         "captured groups cannot repeat (out of subset)")
+                if hi is None:
+                    # `(...){n,}` / `(...)+` / `(...)*` — EXACT: one
+                    # unbounded-group element (chained to a fixed
+                    # point at execution), plus the absent variant
+                    # for lo == 0
+                    marker = ("ubgroup", (tuple(body), max(lo, 1)))
+                    absent = [list(v) for v in variants] if lo == 0 \
+                        else []
+                    variants = [v + [marker] for v in variants]
+                    variants += absent
+                    i = j + 2
+                    continue
                 counts = [list(body) * c for c in range(lo, hi + 1)]
                 variants = [pre + c for pre in variants for c in counts]
                 if len(variants) > MAX_VARIANTS:
@@ -622,6 +641,28 @@ def _build_seq_variants(items: list) -> list[SeqPlan]:
             open_group = None
             group_cap_done = group_cap
             group_cap = None
+            i += 1
+            continue
+        if kind == "ubgroup":
+            body_items, m_min = val
+            bplans = _build_seq_variants(list(body_items))
+            if len(bplans) != 1:
+                raise ValueError(
+                    "bounded repetition inside an unbounded group "
+                    "is out of subset")
+            bp = bplans[0]
+            if bp.lead is not None or bp.trail is not None:
+                raise ValueError(
+                    "any-token at repeated-group edges is out of "
+                    "subset")
+            if any(p.unbounded for p in bp.positions):
+                raise ValueError(
+                    "nested unbounded repetition is out of subset")
+            if pending_cap is not None or open_group is not None:
+                raise ValueError(
+                    "captured groups cannot repeat (out of subset)")
+            structs.append(("ubody", tuple(bp.positions),
+                            tuple(bp.gaps), m_min))
             i += 1
             continue
         if kind in ("term", "nterm", "alt"):
@@ -687,43 +728,79 @@ def _build_seq_variants(items: list) -> list[SeqPlan]:
         raise ValueError("dangling capture label")
     if open_group is not None:
         raise ValueError("unclosed group")
-    # pass 2: cross product over variable repetition counts
-    pos_ranges = [range(s[3][0], s[3][1] + 1)
-                  for s in structs if s[0] == "pos"]
+    # pass 2: cross product over variable repetition counts. Bounded
+    # ranges enumerate counts as before; UNBOUNDED ranges contribute a
+    # single run-element option (plus an absent option when lo == 0) —
+    # exact SpansRepetition semantics, no cap on match length.
+    pos_options: list[list] = []
+    for s in structs:
+        if s[0] != "pos":
+            continue
+        lo, hi = s[3]
+        if hi is None:
+            opts: list = [0] if lo == 0 else []
+            opts.append(("U", max(lo, 1)))
+            pos_options.append(opts)
+        else:
+            pos_options.append(list(range(lo, hi + 1)))
     n_variants = 1
-    for r in pos_ranges:
+    for r in pos_options:
         n_variants *= len(r)
     if n_variants > MAX_VARIANTS:
         raise ValueError(
             f"repetition ranges expand to {n_variants} variants "
             f"(cap {MAX_VARIANTS})")
     plans: list[SeqPlan] = []
-    for combo in itertools.product(*pos_ranges):
+    for combo in itertools.product(*pos_options):
         positions: list[SeqPos] = []
-        gaps: list[tuple[int, int]] = []
-        pending: tuple[int, int] | None = None
-        lead: tuple[int, int] | None = None
+        gaps: list[tuple[int, int | None]] = []
+        pending: tuple[int, int | None] | None = None
+        lead: tuple[int, int | None] | None = None
+
+        def _emit(pos: SeqPos):
+            nonlocal pending, lead
+            if not positions and pending is not None:
+                # any-tokens before the first position become a
+                # LEADING expansion (SpanQueryExpansion.java:36 /
+                # SpansExpansionRaw left-stretch semantics)
+                lead = pending
+                pending = None
+            if positions:
+                gaps.append(pending or (0, 0))
+            pending = None
+            positions.append(pos)
+
         ci = 0
         for s in structs:
             if s[0] == "any":
                 lo, hi = s[1]
                 g = pending or (0, 0)
-                pending = (g[0] + lo, g[1] + hi)
+                ghi = None if (hi is None or g[1] is None) \
+                    else g[1] + hi
+                pending = (g[0] + lo, ghi)
+                continue
+            if s[0] == "ubody":
+                _, bpositions, bgaps, m_min = s
+                _emit(SeqPos(
+                    pattern=bpositions[0].pattern, literal=True,
+                    rep_min=m_min, unbounded=True,
+                    body=(bpositions, bgaps)))
                 continue
             _, patterns, negate, _, cap, sens, copen, cclose = s
             count = combo[ci]
             ci += 1
+            if isinstance(count, tuple):      # ("U", m): unbounded run
+                _emit(SeqPos(
+                    pattern=patterns[0],
+                    literal=not _is_regex(patterns[0]),
+                    negate=negate,
+                    alts=tuple(patterns[1:]),
+                    sensitivity=sens,
+                    rep_min=count[1],
+                    unbounded=True))
+                continue
             for _ in range(count):
-                if not positions and pending is not None:
-                    # any-tokens before the first position become a
-                    # LEADING expansion (SpanQueryExpansion.java:36 /
-                    # SpansExpansionRaw left-stretch semantics)
-                    lead = pending
-                    pending = None
-                if positions:
-                    gaps.append(pending or (0, 0))
-                pending = None
-                positions.append(SeqPos(
+                _emit(SeqPos(
                     pattern=patterns[0],
                     literal=not _is_regex(patterns[0]),
                     negate=negate,
@@ -853,9 +930,115 @@ def _plan_spans(reader, plan: SeqPlan | UnionPlan) -> pa.Table:
     return unique_spans(pa.concat_tables(parts))
 
 
+def _has_unbounded(plan: SeqPlan) -> bool:
+    return (any(p.unbounded for p in plan.positions)
+            or any(g[1] is None for g in plan.gaps)
+            or (plan.lead is not None and plan.lead[1] is None)
+            or (plan.trail is not None and plan.trail[1] is None))
+
+
+def _rep_spans(reader, p: SeqPos) -> pa.Table:
+    """EXACT unbounded repetition (SpansRepetition semantics,
+    SpanQueryRepetition.java:25): spans of ``rep_min..∞`` consecutive
+    matches of the unit. The unit's span table chains with itself via
+    ``concat_spans`` to a fixed point — chain token length strictly
+    grows per level, so the iteration terminates at the longest run."""
+    from blacklab_ray.query.spans import (SPAN_SCHEMA, concat_spans,
+                                          unique_spans)
+    if p.body is not None:
+        bpos, bgaps = p.body
+        base = cql_spans_seq(reader, SeqPlan(
+            positions=list(bpos), gaps=list(bgaps),
+            lead=None, trail=None))
+    else:
+        single = SeqPos(pattern=p.pattern, literal=p.literal,
+                        negate=p.negate, alts=p.alts,
+                        sensitivity=p.sensitivity)
+        base = cql_spans_seq(reader, SeqPlan(positions=[single],
+                                             gaps=[]))
+    if base.num_rows == 0:
+        return SPAN_SCHEMA.empty_table()
+    base = base.select(["doc_id", "start", "end"])
+    levels: list[pa.Table] = []
+    cur = base
+    c = 1
+    while cur.num_rows:
+        if c >= p.rep_min:
+            levels.append(cur)
+        cur = concat_spans(cur, base, gap=(0, 0))
+        c += 1
+    if not levels:
+        return SPAN_SCHEMA.empty_table()
+    return unique_spans(pa.concat_tables(levels))
+
+
+def _cql_spans_seq_unbounded(reader, plan: SeqPlan) -> pa.Table:
+    """Evaluate a SeqPlan containing unbounded repetitions and/or
+    unbounded any-token gaps: split into maximal BOUNDED segments
+    (evaluated by the existing vectorized positional join, captures
+    and all) interleaved with run elements, then compose the span
+    tables left-to-right with ``concat_spans``."""
+    from blacklab_ray.query.spans import concat_spans, unique_spans
+    elems: list[tuple[str, object]] = []
+    conns: list[tuple[int, int | None]] = []
+    cur: list[int] = []
+    cur_gaps: list[tuple[int, int]] = []
+    seg_gap_before: tuple[int, int | None] = (0, 0)
+
+    def add_elem(kind, payload, gap_before):
+        if elems:
+            conns.append(gap_before)
+        elems.append((kind, payload))
+
+    for i, p in enumerate(plan.positions):
+        g = (0, 0) if i == 0 else plan.gaps[i - 1]
+        if p.unbounded:
+            if cur:
+                add_elem("seg", (cur, cur_gaps), seg_gap_before)
+                cur, cur_gaps = [], []
+            add_elem("rep", i, g)
+        elif cur and g[1] is not None:
+            cur_gaps.append(g)
+            cur.append(i)
+        else:
+            if cur:                      # split on an unbounded gap
+                add_elem("seg", (cur, cur_gaps), seg_gap_before)
+                cur, cur_gaps = [], []
+            seg_gap_before = g
+            cur.append(i)
+    if cur:
+        add_elem("seg", (cur, cur_gaps), seg_gap_before)
+
+    tables: list[pa.Table] = []
+    for kind, payload in elems:
+        if kind == "seg":
+            idxs, sgaps = payload
+            sub = SeqPlan(positions=[plan.positions[i] for i in idxs],
+                          gaps=list(sgaps), lead=None, trail=None)
+            tables.append(cql_spans_seq(reader, sub))
+        else:
+            tables.append(_rep_spans(reader, plan.positions[payload]))
+    out = tables[0]
+    for t, g in zip(tables[1:], conns):
+        if out.num_rows == 0:
+            break
+        out = concat_spans(out, t, gap=g)
+    out = _expand_edges(reader, out, plan.lead, plan.trail)
+    if out.num_rows == 0:
+        return out
+    if out.column_names == ["doc_id", "start", "end"]:
+        return unique_spans(out)
+    d = out.to_pandas().drop_duplicates().sort_values(
+        list(out.column_names), kind="mergesort")
+    return pa.Table.from_pandas(d.reset_index(drop=True),
+                                preserve_index=False)
+
+
 def cql_spans_seq(reader, plan: SeqPlan) -> pa.Table:
     from blacklab_ray.query.spans import SPAN_SCHEMA, sequence_spans_multi
     import re as _re
+    if _has_unbounded(plan):
+        return _cql_spans_seq_unbounded(reader, plan)
     # positions whose pattern is too broad to expand become VERIFY
     # positions: matched as any-token during the positional join and
     # post-checked against the forward index from the anchors — the
@@ -954,12 +1137,18 @@ def _expand_edges(reader, spans: pa.Table,
     extra = [c for c in spans.column_names
              if c not in ("doc_id", "start", "end")]
     parts = []
-    lead_r = range(lead[0], lead[1] + 1) if lead else range(0, 1)
-    trail_r = range(trail[0], trail[1] + 1) if trail else range(0, 1)
     import numpy as _np
     uniq = _np.unique(d)
     dl = dict(zip(uniq.tolist(), reader.doc_lens(uniq).tolist()))
     lens = _np.array([dl[x] for x in d.tolist()], dtype=_np.int64)
+    # unbounded lead/trail ([]{n,} at the edges): stretch to the doc
+    # bounds — the per-span ok mask below makes the enumeration exact
+    lead_hi = (int(s.max()) if lead[1] is None else lead[1]) \
+        if lead else 0
+    trail_hi = (int((lens - e).max()) if trail[1] is None
+                else trail[1]) if trail else 0
+    lead_r = range(lead[0], lead_hi + 1) if lead else range(0, 1)
+    trail_r = range(trail[0], trail_hi + 1) if trail else range(0, 1)
     for L in lead_r:
         for R in trail_r:
             s2 = s - L

@@ -42,6 +42,9 @@ __all__ = ["rewrite", "plan_str"]
 # ---------------------------------------------------------------------------
 
 def _pos_str(p: SeqPos) -> str:
+    if p.unbounded and p.body is not None:
+        inner = ", ".join(_pos_str(x) for x in p.body[0])
+        return f"REP({inner}){{{p.rep_min},}}"
     pats = "|".join((p.pattern, *p.alts))
     kind = "TERM" if p.literal and not any(_is_regex(a) for a in p.alts) \
         else "REGEX"
@@ -51,6 +54,8 @@ def _pos_str(p: SeqPos) -> str:
         body = f"{kind}({pats})"
         if p.negate:
             body = f"NOT({body})"
+    if p.unbounded:
+        body = f"{body}{{{p.rep_min},}}"
     if p.sensitivity != "i":
         suffix = "@s" if p.sensitivity == "s" else f"@{p.sensitivity}"
         body += suffix
@@ -130,7 +135,9 @@ def _rw_pos(p: SeqPos) -> SeqPos:
     return SeqPos(pattern=head, literal=not _is_regex(head),
                   negate=p.negate, alts=rest, capture=p.capture,
                   sensitivity=p.sensitivity, verify=p.verify,
-                  cap_open=p.cap_open, cap_close=p.cap_close)
+                  cap_open=p.cap_open, cap_close=p.cap_close,
+                  rep_min=p.rep_min, unbounded=p.unbounded,
+                  body=p.body)
 
 
 def _rw_seq(s: SeqPlan) -> SeqPlan:
@@ -149,7 +156,7 @@ def _mergeable_single(b: SeqPlan) -> SeqPos | None:
     p = b.positions[0]
     if (p.negate or p.capture is not None or p.cap_open is not None
             or p.cap_close is not None or p.verify is not None
-            or p.pattern == ""):
+            or p.pattern == "" or p.unbounded):
         return None
     return p
 

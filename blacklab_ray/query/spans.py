@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 SPAN_SCHEMA = pa.schema([("doc_id", pa.int64()), ("start", pa.int64()),
                          ("end", pa.int64())])
@@ -227,6 +228,72 @@ def expand_spans(t: pa.Table, left: tuple[int, int] = (0, 0),
                          for x in d])
         e2 = np.minimum(e2, lens)
     return span_table(d, s2, e2)
+
+
+def concat_spans(left: pa.Table, right: pa.Table,
+                 gap: tuple[int, int | None] = (0, 0)) -> pa.Table:
+    """Span-level sequence join: every (L, R) pair with ``R.start -
+    L.end`` in ``[gap_lo, gap_hi]`` (``gap_hi=None`` → unbounded,
+    bounded by the doc). The composition step for EXACT unbounded CQL
+    repetition (SpansSequenceRaw adjacency over span clauses,
+    SpanQuerySequence.java:33): packed ``(doc_index << 32) | pos``
+    keys, one searchsorted pair over all docs at once. Extra (capture)
+    columns from both sides are carried; output spans are
+    ``(doc_id, L.start, R.end)``. Duplicates are the caller's to drop."""
+    l_extra = [c for c in left.column_names
+               if c not in ("doc_id", "start", "end")]
+    r_extra = [c for c in right.column_names
+               if c not in ("doc_id", "start", "end")]
+
+    def _empty():
+        cols = {"doc_id": pa.array([], pa.int64()),
+                "start": pa.array([], pa.int64()),
+                "end": pa.array([], pa.int64())}
+        for c in l_extra + r_extra:
+            cols[c] = pa.array([], pa.int64())
+        return pa.table(cols)
+
+    if left.num_rows == 0 or right.num_rows == 0:
+        return _empty()
+    lo, hi = gap
+    ld = left["doc_id"].to_numpy()
+    ls = left["start"].to_numpy()
+    le = left["end"].to_numpy()
+    rd = right["doc_id"].to_numpy()
+    rs = right["start"].to_numpy()
+    re_ = right["end"].to_numpy()
+    docs = np.union1d(np.unique(ld), np.unique(rd))
+    li = np.searchsorted(docs, ld).astype(np.int64)
+    ri = np.searchsorted(docs, rd).astype(np.int64)
+    SHIFT = 32
+    lkey = (li << SHIFT) + le
+    rkey = (ri << SHIFT) + rs
+    order = np.argsort(rkey, kind="stable")
+    rk = rkey[order]
+    doc_end = (li + 1) << SHIFT          # exclusive per-row doc bound
+    lo_t = lkey + lo
+    hi_t = doc_end if hi is None else np.minimum(lkey + hi + 1, doc_end)
+    lo_i = np.searchsorted(rk, lo_t, side="left")
+    hi_i = np.searchsorted(rk, hi_t, side="left")
+    counts = hi_i - lo_i
+    sel = np.flatnonzero(counts > 0)
+    if sel.size == 0:
+        return _empty()
+    totals = counts[sel]
+    csum = np.cumsum(totals)
+    idx = np.repeat(lo_i[sel], totals) \
+        + np.arange(int(csum[-1]), dtype=np.int64) \
+        - np.repeat(csum - totals, totals)
+    r_rows = order[idx]
+    l_rows = np.repeat(sel, totals)
+    cols = {"doc_id": pa.array(ld[l_rows], pa.int64()),
+            "start": pa.array(ls[l_rows], pa.int64()),
+            "end": pa.array(re_[r_rows], pa.int64())}
+    for c in l_extra:
+        cols[c] = pc.take(left[c], pa.array(l_rows))
+    for c in r_extra:
+        cols[c] = pc.take(right[c], pa.array(r_rows))
+    return pa.table(cols)
 
 
 def sequence_spans(reader, terms: list[str],

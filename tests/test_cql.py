@@ -731,7 +731,7 @@ def test_constraint_annotation_operands(ray_session, tmp_path):
 
 
 def test_quantifiers_and_group_repetition(ray_session, tmp_path):
-    """`+`/`*`/`{n,}` quantifiers (capped unbounded forms) and
+    """`+`/`*`/`{n,}` quantifiers (EXACT unbounded forms, r4) and
     repetition of multi-token groups, cross-checked against a brute
     regex matcher over the token streams."""
     import re as _re
@@ -740,11 +740,13 @@ def test_quantifiers_and_group_repetition(ray_session, tmp_path):
     import pyarrow.parquet as pq
 
     from blacklab_ray.index import BuildParams, build_index
-    from blacklab_ray.query.cql import UNBOUNDED_REP_CAP
     from blacklab_ray.stages.tokenize import hash64
 
     texts = ["a b a b c", "x a b y", "a a b b", "a a a a a b",
-             "c a b a b a b c"]
+             "c a b a b a b c",
+             # run FAR past the old UNBOUNDED_REP_CAP=4 lowering —
+             # exactness means these 12-deep runs must all match
+             "a a a a a a a a a a a a b"]
     pages = tmp_path / "p"
     pages.mkdir()
     pq.write_table(pa.table({
@@ -771,13 +773,14 @@ def test_quantifiers_and_group_repetition(ray_session, tmp_path):
                         out.add((hash64(f"u{i}"), s, e))
         return out
 
-    C = UNBOUNDED_REP_CAP
     cases = [
         ('("a" "b"){2}', "(ab){2}"),
-        ('("a" "b")+', "(ab){1,%d}" % (1 + C)),
-        ('"a"+ "b"', "a{1,%d}b" % (1 + C)),
-        ('"a"* "b"', "a{0,%d}b" % C),
-        ('"a"{2,}', "a{2,%d}" % (2 + C)),
+        ('("a" "b")+', "(ab)+"),
+        ('("a" "b")*  "c"', "(ab)*c"),
+        ('"a"+ "b"', "a+b"),
+        ('"a"* "b"', "a*b"),
+        ('"a"{2,}', "a{2,}"),
+        ('"a"{3,} "b"', "a{3,}b"),
         ('("a" "b"){0,1} "c"', "(ab)?c"),
     ]
     for q, rx in cases:

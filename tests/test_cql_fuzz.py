@@ -23,27 +23,66 @@ def reader(small_index):
 # brute interpreter over docs: dict[doc_id -> list[str]]
 # ---------------------------------------------------------------------------
 
-def _brute_positions(plan_positions, gaps, docs):
-    """All (doc, start, end) for a sequence of predicates with gaps."""
+def _match_at(pos, toks, q, pred_of):
+    """End positions (exclusive) for matches of one plan position
+    starting at token q — handles EXACT unbounded repetitions
+    (single-token runs and repeated group bodies) independently of the
+    engine's run/chain machinery."""
+    n = len(toks)
+    if getattr(pos, "unbounded", False):
+        m = pos.rep_min
+        if pos.body is not None:
+            bpos, bgaps = pos.body
+            out: set[int] = set()
+            frontier = {q}
+            level = 0
+            while frontier:
+                nxt: set[int] = set()
+                for st in frontier:
+                    nxt.update(_match_seq_at(list(bpos), list(bgaps),
+                                             toks, st, pred_of))
+                level += 1
+                if level >= m:
+                    out.update(nxt)
+                frontier = nxt
+            return sorted(out)
+        pred = pred_of(pos)
+        c = 0
+        while q + c < n and pred(toks[q + c]):
+            c += 1
+        return [q + k for k in range(m, c + 1)]
+    if q < n and pred_of(pos)(toks[q]):
+        return [q + 1]
+    return []
+
+
+def _match_seq_at(positions, gaps, toks, s, pred_of):
+    """End positions for the full position sequence anchored at s."""
+    n = len(toks)
+    frontier = list(_match_at(positions[0], toks, s, pred_of))
+    for (lo, hi), pos in zip(gaps, positions[1:]):
+        nxt: set[int] = set()
+        hi_eff = n if hi is None else hi
+        for en in frontier:
+            for g in range(lo, hi_eff + 1):
+                q = en + g
+                if q >= n:
+                    break
+                nxt.update(_match_at(pos, toks, q, pred_of))
+        frontier = sorted(nxt)
+        if not frontier:
+            break
+    return frontier
+
+
+def _brute_positions(plan_positions, gaps, docs, pred_of):
+    """All (doc, start, end) for a sequence of plan positions."""
     out = set()
     for did, toks in docs.items():
-        n = len(toks)
-        for s in range(n):
-            if not plan_positions[0](toks[s]):
-                continue
-            frontier = [s]
-            for (lo, hi), pred in zip(gaps, plan_positions[1:]):
-                nxt = []
-                for last in frontier:
-                    for q in range(last + 1 + lo,
-                                   min(n, last + 1 + hi + 1)):
-                        if pred(toks[q]):
-                            nxt.append(q)
-                frontier = nxt
-                if not frontier:
-                    break
-            for last in frontier:
-                out.add((did, s, last + 1))
+        for s in range(len(toks)):
+            for e in _match_seq_at(plan_positions, gaps, toks, s,
+                                   pred_of):
+                out.add((did, s, e))
     return out
 
 
@@ -64,17 +103,18 @@ def _brute_cql(q, docs):
         return lambda t: any(r.match(t) for r in rxs)
 
     def seq_spans(sp: SeqPlan):
-        preds = [pred_of(p) for p in sp.positions]
-        spans = _brute_positions(preds, sp.gaps, docs)
-        # edge expansion
+        spans = _brute_positions(sp.positions, sp.gaps, docs, pred_of)
+        # edge expansion (hi=None → stretch to the doc bounds)
         if sp.lead or sp.trail:
             lead = sp.lead or (0, 0)
             trail = sp.trail or (0, 0)
             out = set()
             for did, s, e in spans:
                 n = len(docs[did])
-                for L in range(lead[0], lead[1] + 1):
-                    for R in range(trail[0], trail[1] + 1):
+                lead_hi = s if lead[1] is None else lead[1]
+                trail_hi = (n - e) if trail[1] is None else trail[1]
+                for L in range(lead[0], lead_hi + 1):
+                    for R in range(trail[0], trail_hi + 1):
                         if s - L >= 0 and e + R <= n:
                             out.add((did, s - L, e + R))
             spans = out
@@ -127,8 +167,10 @@ def _rand_position(rng, vocab):
             body += f"{{{lo},{hi}}}" if hi > lo else f"{{{lo}}}"
         elif r2 < 0.7:
             body += "?"
-        elif r2 < 0.85:
-            body += "+"          # capped unbounded (UNBOUNDED_REP_CAP)
+        elif r2 < 0.8:
+            body += "+"          # EXACT unbounded (r4)
+        elif r2 < 0.9:
+            body += "*"
         else:
             body += f"{{{int(rng.integers(1, 3))},}}"
     return body
@@ -141,15 +183,22 @@ def _rand_query(rng, vocab) -> str:
         parts.append(_rand_position(rng, vocab))
         if i < n - 1 and rng.random() < 0.4:
             lo = int(rng.integers(0, 2))
-            hi = lo + int(rng.integers(0, 3))
-            parts.append(f"[]{{{lo},{hi}}}")
+            if rng.random() < 0.25:          # unbounded any-gap
+                parts.append(f"[]{{{lo},}}")
+            else:
+                hi = lo + int(rng.integers(0, 3))
+                parts.append(f"[]{{{lo},{hi}}}")
     q = " ".join(parts)
     if rng.random() < 0.15:
-        # repeated multi-token group prefix (group-rep lowering)
+        # repeated multi-token group prefix (group-rep lowering);
+        # sometimes UNBOUNDED (chained fixed-point path)
         a = vocab[int(rng.integers(0, len(vocab)))]
         b = vocab[int(rng.integers(0, len(vocab)))]
         lo = int(rng.integers(0, 2))
-        q = f'("{a}" "{b}"){{{lo},{lo + 1}}} {q}'
+        if rng.random() < 0.3:
+            q = f'("{a}" "{b}"){{{max(lo, 1)},}} {q}'
+        else:
+            q = f'("{a}" "{b}"){{{lo},{lo + 1}}} {q}'
     if rng.random() < 0.15:
         q = f"[]{{1,2}} {q}"                    # leading expansion
     if rng.random() < 0.2:
