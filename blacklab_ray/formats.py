@@ -185,7 +185,10 @@ def _read_sketch_wpl(paths, encoding: str = "utf-8",
                     elif line.startswith("</doc"):
                         flush(doc)
                         doc = None
-                    elif doc is not None and line.startswith("<g/>"):
+                    elif doc is not None and _re.match(
+                            r"<g\s*/\s*>", line):
+                        # any self-closing tag named g is glue —
+                        # "<g />" included (ADVICE r3)
                         doc["glue"] = True
                     elif doc is not None and line.startswith("</"):
                         name = line[2:].strip("> ")

@@ -62,8 +62,17 @@ def parse_filter(expr: str) -> list[tuple]:
 def _allowed_ids(reader, filter_expr: str | None):
     if not filter_expr:
         return None
-    from blacklab_ray.query.metafilter import filter_docs_meta
-    return filter_docs_meta(reader, parse_filter(filter_expr))
+    from blacklab_ray.query.metafilter import (filter_docs_meta,
+                                               metadata_field_types)
+    conds = parse_filter(filter_expr)
+    # BLS `field:value` on a TOKENIZED field is an analyzed-token
+    # match, not exact equality (ADVICE r3: "=" would FieldTypeError)
+    types = metadata_field_types(reader)
+    conds = [(f, "contains", v)
+             if op == "=" and types.get(f) == "tokenized"
+             else (f, op, v)
+             for f, op, v in conds]
+    return filter_docs_meta(reader, conds)
 
 
 # ---------------------------------------------------------------------------
@@ -167,8 +176,18 @@ def handle_hits_grouped(reader, params: dict) -> dict:
         keys = [str(lookup.get(int(x))) for x in d]
         prop = f"doc:{fieldname}"
     else:
-        words = reader.tokens_at(d, s)
-        keys = [" ".join(filter(None, [w])) for w in words]
+        # group identity is the FULL matched text (BLS groups
+        # multi-token hits by all tokens s..e-1, not the first word —
+        # ADVICE r3): one batched tokens_at over the ragged positions
+        lens = (e - s).astype(np.int64)
+        csum = np.cumsum(lens)
+        flat_docs = np.repeat(d, lens)
+        flat_pos = np.repeat(s, lens) \
+            + np.arange(int(csum[-1]), dtype=np.int64) \
+            - np.repeat(csum - lens, lens)
+        toks = reader.tokens_at(flat_docs, flat_pos)
+        keys = [" ".join(filter(None, toks[a:b]))
+                for a, b in zip((csum - lens).tolist(), csum.tolist())]
         prop = "hit:word:i"
     groups: dict[str, dict] = {}
     for k, doc in zip(keys, d):

@@ -233,6 +233,18 @@ def test_sketch_wpl_reader(ray_session, tmp_path):
     assert d2["text"] == "Bye" and d2["lang"] is None
 
 
+def test_sketch_wpl_glue_space_variant(ray_session, tmp_path):
+    """A self-closing glue tag written as '<g />' is still glue
+    (ADVICE r3: only the exact '<g/>' string was recognized)."""
+    from blacklab_ray.formats import read_pages
+    p = tmp_path / "g.wpl"
+    p.write_text(SKETCH_WPL.replace("<g/>", "<g />"))
+    t = read_pages("sketch-wpl", [str(p)],
+                   meta_fields=("id",)).take_all()
+    d1 = next(r for r in t if r["url"] == "d1")
+    assert d1["punct"] == ["", "", " ", ""]
+
+
 def test_sketch_wpl_punct_aware_kwic(ray_session, tmp_path):
     """punct rides the forward index and kwic_fwd renders original
     spacing: the glue tag makes 'Hello,' (no space) in the left

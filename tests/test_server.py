@@ -20,6 +20,7 @@ def srv_index(ray_session, tmp_path_factory):
         "text": ["the quick fox jumps", "a quick dog", "slow snail"],
         "lang": ["en", "en", "fr"],
         "year": pa.array([2000, 2010, 2020], pa.int64()),
+        "title": ["The Fox Story", "Dog Days", "Snail Mail"],
     })
     src = root / "pages.parquet"
     pq.write_table(tbl, str(src))
@@ -27,7 +28,8 @@ def srv_index(ray_session, tmp_path_factory):
     build_index(str(src), idx,
                 BuildParams(num_buckets=4, n_salts=2,
                             id_column="doc_id",
-                            metadata_fields=(("year", "numeric"),)))
+                            metadata_fields=(("year", "numeric"),
+                                             ("title", "tokenized"))))
     return idx
 
 
@@ -79,6 +81,26 @@ def test_handle_hits_grouped(srv_reader):
     csv_txt = groups_csv(resp)
     assert csv_txt.splitlines()[0] == "identity,size,numberOfDocs"
     assert "quick,2," in csv_txt
+
+
+def test_handle_hits_grouped_multitoken_identity(srv_reader):
+    """Multi-token hits group by the FULL matched text, not the first
+    word (ADVICE r3)."""
+    from blacklab_ray.server import handle_hits_grouped
+    resp = handle_hits_grouped(srv_reader,
+                               {"patt": '"quick" [word="fox|dog"]',
+                                "group": "hit:word:i"})
+    idents = sorted(g["identityDisplay"] for g in resp["hitGroups"])
+    assert idents == ["quick dog", "quick fox"]
+
+
+def test_handle_hits_filter_tokenized_field(srv_reader):
+    """BLS-style field:value on a TOKENIZED field is an analyzed-token
+    match, not a FieldTypeError 500 (ADVICE r3)."""
+    from blacklab_ray.server import handle_hits
+    resp = handle_hits(srv_reader, {"patt": '"quick"',
+                                    "filter": "title:fox"})
+    assert [h["docPid"] for h in resp["hits"]] == ["d0"]
 
 
 def test_handle_hits_grouped_by_field(srv_reader):
