@@ -1,0 +1,430 @@
+/* Block-Max WAND top-k kernel.
+ *
+ * A C mirror of blacklab_ray.query.engine.search_wand's doc-at-a-time
+ * loop (same pivoting, block-max refinement, advancing and tie rules —
+ * results are bit-identical to the Python path, which remains the
+ * fallback). The kernel owns the whole hot path the Python loop paid
+ * interpreter overhead for: varint block decode, BM25 posting scores
+ * via a 256-entry quantized-norm table, skip-list seeks, the sorted
+ * live list and the k-sized min-heap.
+ *
+ * Posting layout (index/postings.py): per block, doc-id deltas and
+ * tfs as LEB128 varints (low 7 bits first, high bit = continuation),
+ * norms as one raw uint8 per posting; per-block metadata arrays
+ * (last_doc, n) and precomputed float64 block upper bounds arrive
+ * from Python as pointers into the fetched Arrow buffers — zero copy.
+ *
+ * Compiled on first use via gcc -O3 -shared -fPIC (query/ckernel.py);
+ * absence of gcc or a compile failure silently selects the Python
+ * fallback.
+ */
+#include <stdint.h>
+#include <stdlib.h>
+#include <string.h>
+
+#define DOC_INF INT64_MAX
+
+typedef struct {
+    const uint8_t *docs_blob;
+    const int64_t *docs_offs;   /* absolute, n_blocks+1 entries */
+    const uint8_t *tfs_blob;
+    const int64_t *tfs_offs;
+    const uint8_t *norms_blob;
+    const int64_t *norms_offs;
+    const int64_t *last_docs;
+    const double  *block_ubs;
+    const int64_t *ns;
+    int64_t n_blocks;
+    double idf;
+    double max_score;
+    const double *ktab;         /* 256-entry K1*(1-B+B*dl/avgdl) */
+    /* state */
+    int64_t bi, pi, n, cur_doc, cur_last;
+    int64_t *docs;
+    double *scores;
+} SegIt;
+
+static inline uint64_t read_varint(const uint8_t **pp) {
+    uint64_t v = 0;
+    int shift = 0;
+    uint8_t byte;
+    do {
+        byte = *(*pp)++;
+        v |= ((uint64_t)(byte & 0x7F)) << shift;
+        shift += 7;
+    } while (byte & 0x80);
+    return v;
+}
+
+static void load_block(SegIt *s, int64_t bi) {
+    if (bi >= s->n_blocks) {
+        s->cur_doc = DOC_INF;
+        return;
+    }
+    s->bi = bi;
+    int64_t n = s->ns[bi];
+    const uint8_t *p = s->docs_blob + s->docs_offs[bi];
+    int64_t acc = 0;
+    for (int64_t i = 0; i < n; i++) {
+        acc += (int64_t)read_varint(&p);
+        s->docs[i] = acc;
+    }
+    const uint8_t *q = s->tfs_blob + s->tfs_offs[bi];
+    const uint8_t *nr = s->norms_blob + s->norms_offs[bi];
+    for (int64_t i = 0; i < n; i++) {
+        double tf = (double)read_varint(&q);
+        /* idf * (tf / (tf + K)) — same association as the Python
+           score path, so scores are BIT-identical to the fallback */
+        s->scores[i] = s->idf * (tf / (tf + s->ktab[nr[i]]));
+    }
+    s->n = n;
+    s->cur_last = s->last_docs[bi];
+    s->pi = 0;
+    s->cur_doc = s->docs[0];
+}
+
+/* first block whose last_doc >= target */
+static inline int64_t seek_block(const SegIt *s, int64_t target) {
+    int64_t lo = 0, hi = s->n_blocks;
+    while (lo < hi) {
+        int64_t mid = (lo + hi) >> 1;
+        if (s->last_docs[mid] < target) lo = mid + 1; else hi = mid;
+    }
+    return lo;
+}
+
+static void advance_to(SegIt *s, int64_t target) {
+    if (s->cur_doc >= target) return;
+    if (target > s->cur_last) {
+        int64_t nbi = seek_block(s, target);
+        if (nbi >= s->n_blocks) {
+            s->cur_doc = DOC_INF;
+            return;
+        }
+        load_block(s, nbi);
+    }
+    int64_t pi = s->pi, n = s->n;
+    const int64_t *docs = s->docs;
+    /* short linear scan, then binary */
+    int lin = 0;
+    while (lin < 8 && pi < n && docs[pi] < target) { pi++; lin++; }
+    if (lin == 8) {
+        int64_t lo = pi, hi = n;
+        while (lo < hi) {
+            int64_t mid = (lo + hi) >> 1;
+            if (docs[mid] < target) lo = mid + 1; else hi = mid;
+        }
+        pi = lo;
+    }
+    s->pi = pi;
+    s->cur_doc = docs[pi];   /* pi < n guaranteed: target <= cur_last */
+}
+
+static void it_next(SegIt *s) {
+    int64_t pi = s->pi + 1;
+    if (pi >= s->n) {
+        load_block(s, s->bi + 1);
+    } else {
+        s->pi = pi;
+        s->cur_doc = s->docs[pi];
+    }
+}
+
+static inline double block_ub_for(const SegIt *s, int64_t doc) {
+    if (doc <= s->cur_last) return s->block_ubs[s->bi];
+    int64_t i = seek_block(s, doc);
+    return i < s->n_blocks ? s->block_ubs[i] : 0.0;
+}
+
+static inline int64_t block_last_for(const SegIt *s, int64_t doc) {
+    if (doc <= s->cur_last) return s->cur_last;
+    int64_t i = seek_block(s, doc);
+    return i < s->n_blocks ? s->last_docs[i] : DOC_INF;
+}
+
+/* (score, -doc) lexicographic less-than: the Python heap entry order */
+static inline int entry_lt(double sa, int64_t da, double sb, int64_t db) {
+    if (sa != sb) return sa < sb;
+    return -da < -db;
+}
+
+static inline int tomb_contains(const int64_t *t, int64_t n, int64_t d) {
+    int64_t lo = 0, hi = n;
+    while (lo < hi) {
+        int64_t mid = (lo + hi) >> 1;
+        if (t[mid] < d) lo = mid + 1; else hi = mid;
+    }
+    return lo < n && t[lo] == d;
+}
+
+int64_t wand_topk(
+    int64_t n_iters,
+    const uint8_t **docs_blob, const int64_t **docs_offs,
+    const uint8_t **tfs_blob, const int64_t **tfs_offs,
+    const uint8_t **norms_blob, const int64_t **norms_offs,
+    const int64_t **last_docs, const double **block_ubs,
+    const int64_t **ns, const int64_t *n_blocks,
+    const double *idfs, const double *max_scores,
+    const double *ktab,
+    const int64_t *tombstones, int64_t n_tombstones,
+    int64_t max_n, int64_t k,
+    int64_t *out_docs, double *out_scores)
+{
+    if (n_iters <= 0 || k <= 0) return 0;
+    SegIt *its = calloc(n_iters, sizeof(SegIt));
+    int64_t *dbuf = malloc(n_iters * max_n * sizeof(int64_t));
+    double *sbuf = malloc(n_iters * max_n * sizeof(double));
+    SegIt **live = malloc(n_iters * sizeof(SegIt *));
+    double *hs = malloc(k * sizeof(double));
+    int64_t *hd = malloc(k * sizeof(int64_t));
+    if (!its || !dbuf || !sbuf || !live || !hs || !hd) {
+        free(its); free(dbuf); free(sbuf); free(live);
+        free(hs); free(hd);
+        return -1;
+    }
+    int64_t n_live = 0;
+    for (int64_t i = 0; i < n_iters; i++) {
+        SegIt *s = &its[i];
+        s->docs_blob = docs_blob[i];
+        s->docs_offs = docs_offs[i];
+        s->tfs_blob = tfs_blob[i];
+        s->tfs_offs = tfs_offs[i];
+        s->norms_blob = norms_blob[i];
+        s->norms_offs = norms_offs[i];
+        s->last_docs = last_docs[i];
+        s->block_ubs = block_ubs[i];
+        s->ns = ns[i];
+        s->n_blocks = n_blocks[i];
+        s->idf = idfs[i];
+        s->max_score = max_scores[i];
+        s->ktab = ktab;
+        s->docs = dbuf + i * max_n;
+        s->scores = sbuf + i * max_n;
+        load_block(s, 0);
+        if (s->cur_doc != DOC_INF)
+            live[n_live++] = s;
+    }
+    /* insertion sort by cur_doc (matches Python's sorted-by-_CURDOC) */
+    for (int64_t i = 1; i < n_live; i++) {
+        SegIt *x = live[i];
+        int64_t j = i - 1;
+        while (j >= 0 && live[j]->cur_doc > x->cur_doc) {
+            live[j + 1] = live[j];
+            j--;
+        }
+        live[j + 1] = x;
+    }
+    int64_t heap_n = 0;
+
+    while (n_live > 0) {
+        double th = heap_n == k ? hs[0] : -1.0;
+        double acc = 0.0;
+        int64_t pivot_idx = -1;
+        for (int64_t i = 0; i < n_live; i++) {
+            acc += live[i]->max_score;
+            if (acc >= th) { pivot_idx = i; break; }
+        }
+        if (pivot_idx < 0) break;
+        int64_t pivot_doc = live[pivot_idx]->cur_doc;
+        while (pivot_idx + 1 < n_live
+               && live[pivot_idx + 1]->cur_doc == pivot_doc)
+            pivot_idx++;
+        /* block-max refinement (shallow) */
+        double ub = 0.0;
+        for (int64_t i = 0; i <= pivot_idx; i++)
+            ub += block_ub_for(live[i], pivot_doc);
+        if (heap_n == k && ub < th) {
+            int64_t d = DOC_INF;
+            for (int64_t i = 0; i <= pivot_idx; i++) {
+                int64_t bl = block_last_for(live[i], pivot_doc);
+                if (bl < d) d = bl;
+            }
+            if (d != DOC_INF) d += 1;
+            if (pivot_idx + 1 < n_live
+                && live[pivot_idx + 1]->cur_doc < d)
+                d = live[pivot_idx + 1]->cur_doc;
+            if (live[0]->cur_doc + 1 > d)
+                d = live[0]->cur_doc + 1;
+            int64_t j = pivot_idx + 1;
+            while (j > 0 && live[j - 1]->cur_doc >= d) j--;
+            /* advance the prefix [0, j), drop dead, re-merge sorted */
+            int64_t w = 0;
+            SegIt **moved = live;           /* reuse prefix in place */
+            for (int64_t i = 0; i < j; i++) {
+                advance_to(live[i], d);
+                if (live[i]->cur_doc != DOC_INF)
+                    moved[w++] = live[i];
+            }
+            /* moved[0..w) unsorted? advance_to(d) on all: cur_doc >= d,
+               may differ between iterators — sort then merge with the
+               still-sorted suffix live[j..n_live) */
+            for (int64_t i = 1; i < w; i++) {
+                SegIt *x = moved[i];
+                int64_t p = i - 1;
+                while (p >= 0 && moved[p]->cur_doc > x->cur_doc) {
+                    moved[p + 1] = moved[p];
+                    p--;
+                }
+                moved[p + 1] = x;
+            }
+            /* merge in place into a scratch-free rotation: copy prefix
+               out, then standard two-way merge */
+            if (w > 0 && j < n_live) {
+                SegIt **tmp = malloc(w * sizeof(SegIt *));
+                if (!tmp) { free(its); free(dbuf); free(sbuf);
+                            free(live); free(hs); free(hd); return -1; }
+                memcpy(tmp, moved, w * sizeof(SegIt *));
+                int64_t a = 0, b = j, o = 0;
+                while (a < w && b < n_live) {
+                    if (tmp[a]->cur_doc <= live[b]->cur_doc)
+                        live[o++] = tmp[a++];
+                    else
+                        live[o++] = live[b++];
+                }
+                while (a < w) live[o++] = tmp[a++];
+                while (b < n_live) live[o++] = live[b++];
+                n_live = o;
+                free(tmp);
+            } else if (j < n_live) {
+                memmove(live, live + j,
+                        (n_live - j) * sizeof(SegIt *));
+                n_live -= j;
+            } else {
+                n_live = w;
+            }
+            continue;
+        }
+        if (live[0]->cur_doc == pivot_doc) {
+            /* full evaluation — sum in CREATION order (its[] is
+               contiguous, so pointer order == creation order), the
+               same canonical float association as the Python loop */
+            if (!tomb_contains(tombstones, n_tombstones, pivot_doc)) {
+                double score = 0.0;
+                for (SegIt *s = its; s < its + n_iters; s++) {
+                    for (int64_t i = 0; i <= pivot_idx; i++) {
+                        if (live[i] == s) {
+                            score += s->scores[s->pi];
+                            break;
+                        }
+                    }
+                }
+                if (heap_n < k) {
+                    /* sift up */
+                    int64_t c = heap_n++;
+                    hs[c] = score;
+                    hd[c] = pivot_doc;
+                    while (c > 0) {
+                        int64_t par = (c - 1) >> 1;
+                        if (entry_lt(hs[c], hd[c], hs[par], hd[par])) {
+                            double ts = hs[c]; hs[c] = hs[par]; hs[par] = ts;
+                            int64_t td = hd[c]; hd[c] = hd[par]; hd[par] = td;
+                            c = par;
+                        } else break;
+                    }
+                } else if (entry_lt(hs[0], hd[0], score, pivot_doc)) {
+                    hs[0] = score;
+                    hd[0] = pivot_doc;
+                    int64_t c = 0;
+                    for (;;) {
+                        int64_t l = 2 * c + 1, r = l + 1, m = c;
+                        if (l < k && entry_lt(hs[l], hd[l], hs[m], hd[m]))
+                            m = l;
+                        if (r < k && entry_lt(hs[r], hd[r], hs[m], hd[m]))
+                            m = r;
+                        if (m == c) break;
+                        double ts = hs[c]; hs[c] = hs[m]; hs[m] = ts;
+                        int64_t td = hd[c]; hd[c] = hd[m]; hd[m] = td;
+                        c = m;
+                    }
+                }
+            }
+            int64_t j = pivot_idx + 1;
+            int64_t w = 0;
+            for (int64_t i = 0; i < j; i++) {
+                it_next(live[i]);
+                if (live[i]->cur_doc != DOC_INF)
+                    live[w++] = live[i];
+            }
+            for (int64_t i = 1; i < w; i++) {
+                SegIt *x = live[i];
+                int64_t p = i - 1;
+                while (p >= 0 && live[p]->cur_doc > x->cur_doc) {
+                    live[p + 1] = live[p];
+                    p--;
+                }
+                live[p + 1] = x;
+            }
+            if (j < n_live) {
+                SegIt **tmp = malloc((w > 0 ? w : 1) * sizeof(SegIt *));
+                if (!tmp) { free(its); free(dbuf); free(sbuf);
+                            free(live); free(hs); free(hd); return -1; }
+                memcpy(tmp, live, w * sizeof(SegIt *));
+                int64_t a = 0, b = j, o = 0;
+                while (a < w && b < n_live) {
+                    if (tmp[a]->cur_doc <= live[b]->cur_doc)
+                        live[o++] = tmp[a++];
+                    else
+                        live[o++] = live[b++];
+                }
+                while (a < w) live[o++] = tmp[a++];
+                while (b < n_live) live[o++] = live[b++];
+                n_live = o;
+                free(tmp);
+            } else {
+                n_live = w;
+            }
+        } else {
+            /* advance the lagging iterator with the largest bound */
+            int64_t lag_i = 0;
+            for (int64_t i = 1; i <= pivot_idx; i++) {
+                if (live[i]->cur_doc >= pivot_doc) break;
+                if (live[i]->max_score > live[lag_i]->max_score)
+                    lag_i = i;
+            }
+            SegIt *lag = live[lag_i];
+            memmove(live + lag_i, live + lag_i + 1,
+                    (n_live - lag_i - 1) * sizeof(SegIt *));
+            n_live--;
+            advance_to(lag, pivot_doc);
+            if (lag->cur_doc != DOC_INF) {
+                /* bisect insort */
+                int64_t lo = 0, hi = n_live;
+                while (lo < hi) {
+                    int64_t mid = (lo + hi) >> 1;
+                    if (live[mid]->cur_doc < lag->cur_doc)
+                        lo = mid + 1;
+                    else
+                        hi = mid;
+                }
+                memmove(live + lo + 1, live + lo,
+                        (n_live - lo) * sizeof(SegIt *));
+                live[lo] = lag;
+                n_live++;
+            }
+        }
+    }
+    /* drain the heap: ascending pops give (score asc, -doc asc);
+       emit reversed → score desc, doc asc (the Python sort order) */
+    int64_t n_out = heap_n;
+    for (int64_t i = n_out - 1; i >= 0; i--) {
+        out_scores[i] = hs[0];
+        out_docs[i] = hd[0];
+        heap_n--;
+        hs[0] = hs[heap_n];
+        hd[0] = hd[heap_n];
+        int64_t c = 0;
+        for (;;) {
+            int64_t l = 2 * c + 1, r = l + 1, m = c;
+            if (l < heap_n && entry_lt(hs[l], hd[l], hs[m], hd[m]))
+                m = l;
+            if (r < heap_n && entry_lt(hs[r], hd[r], hs[m], hd[m]))
+                m = r;
+            if (m == c) break;
+            double ts = hs[c]; hs[c] = hs[m]; hs[m] = ts;
+            int64_t td = hd[c]; hd[c] = hd[m]; hd[m] = td;
+            c = m;
+        }
+    }
+    free(its); free(dbuf); free(sbuf); free(live); free(hs); free(hd);
+    return n_out;
+}

@@ -116,7 +116,7 @@ class _SegIter:
     __slots__ = ("seg", "idf", "avgdl", "last_docs", "_last_docs_np",
                  "block_ubs", "max_score", "bi", "pi", "cur_doc", "_docs",
                  "_scores", "_n", "_cur_last", "quantize", "reader",
-                 "n_blocks")
+                 "n_blocks", "ord")
 
     def __init__(self, seg: Segment, term_idf: float, reader: IndexReader,
                  quantize: bool):
@@ -210,6 +210,7 @@ class _SegIter:
 
 
 _CURDOC = attrgetter("cur_doc")
+_ORD = attrgetter("ord")
 
 
 class _DocIter:
@@ -278,12 +279,22 @@ def search_wand(reader: IndexReader, terms: list[str], k: int = 10,
         return _result_table(reader, np.empty(0, np.int64),
                              np.empty(0, np.float64), resolve_urls)
     segs = reader.segments(present)
+    if quantize and exclude is None:
+        # compiled kernel (gcc'd on first use; bit-identical results —
+        # tests assert parity): owns varint decode, scoring, skip seeks
+        # and the heap. Python loop below is the always-there fallback.
+        from blacklab_ray.query.ckernel import wand_topk_c
+        res = wand_topk_c(reader, present, segs, stats, k)
+        if res is not None:
+            return _result_table(reader, res[0], res[1], resolve_urls)
     iters: list[_SegIter] = []
     for t in present:
         t_idf = float(idf(stats[t][0], reader.n_docs))
         for s in segs[t]:
             if s.n_blocks:
-                iters.append(_SegIter(s, t_idf, reader, quantize))
+                it = _SegIter(s, t_idf, reader, quantize)
+                it.ord = len(iters)
+                iters.append(it)
     heap: list[tuple[float, int]] = []  # (score, -doc_id), size <= k
     tombstones = reader.tombstones
 
@@ -340,11 +351,14 @@ def search_wand(reader: IndexReader, terms: list[str], k: int = 10,
             _reinsert(moved)
             continue
         if head[0].cur_doc == pivot_doc:
-            # all head iterators aligned on pivot: full evaluation
+            # all head iterators aligned on pivot: full evaluation.
+            # Sum in CREATION order (not live-list order, which depends
+            # on insertion history) — a canonical float association the
+            # compiled kernel reproduces bit-identically.
             if pivot_doc not in tombstones and \
                     not (exclude is not None and exclude(pivot_doc)):
                 score = 0.0
-                for it in head:
+                for it in sorted(head, key=_ORD):
                     score += it.score_current()
                 entry = (score, -pivot_doc)
                 if len(heap) < k:
@@ -404,6 +418,13 @@ def search(reader: IndexReader, terms: list[str], k: int = 10,
         if total_df <= AUTO_TAAT_MAX_POSTINGS:
             return search_taat(reader, terms, k, "or", quantize,
                                resolve_urls)
+        if quantize:
+            # compiled Block-Max WAND beats the Python MaxScore loop
+            # ~3× at p50 (measured, r4) — prefer it when available
+            from blacklab_ray.query.ckernel import get_kernel
+            if get_kernel() is not None:
+                return search_wand(reader, terms, k, quantize,
+                                   resolve_urls)
         from blacklab_ray.query.maxscore import search_maxscore
         return search_maxscore(reader, terms, k, quantize, resolve_urls)
     return search_wand(reader, terms, k, quantize, resolve_urls)

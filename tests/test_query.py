@@ -275,6 +275,37 @@ def test_quantized_paths_avoid_doc_table(ray_session, small_index,
     assert (r.norms_for(ids) == encode_lengths(r.doc_lens(ids))).all()
 
 
+def test_wand_ckernel_parity_and_fallback(ray_session, small_index,
+                                          monkeypatch):
+    """The compiled WAND kernel must return BIT-identical tables to the
+    pure-Python loop, and disabling it (BLRAY_NO_CKERNEL) must silently
+    select the fallback."""
+    import pytest as _pytest
+
+    from blacklab_ray.query import IndexReader, ckernel
+    from blacklab_ray.query.engine import search_wand
+    r = IndexReader(small_index)
+    orig = ckernel._kernel
+    try:
+        ckernel._kernel = False
+        if ckernel.get_kernel() is None:
+            _pytest.skip("no C toolchain in this environment")
+        queries = [["the"], ["the", "of"], ["the", "of", "and", "a"],
+                   ["quick", "the"], ["nosuchterm", "the"]]
+        for q in queries:
+            for k in (3, 10):
+                ckernel._kernel = False
+                monkeypatch.delenv("BLRAY_NO_CKERNEL", raising=False)
+                t_c = search_wand(r, q, k=k)
+                monkeypatch.setenv("BLRAY_NO_CKERNEL", "1")
+                ckernel._kernel = False
+                t_p = search_wand(r, q, k=k)
+                assert t_c.equals(t_p), (q, k)
+        monkeypatch.delenv("BLRAY_NO_CKERNEL", raising=False)
+    finally:
+        ckernel._kernel = orig
+
+
 def _brute_andnot(oracle, pos, neg, k):
     scored = oracle.topk(pos, 10**6, "or")
     negdocs = {did for did, toks in oracle.docs.items()
