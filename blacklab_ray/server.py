@@ -265,6 +265,140 @@ def _field_types(reader) -> dict:
     return metadata_field_types(reader)
 
 
+def _doc_by_pid(reader, pid: str) -> tuple[int, int]:
+    """(doc_id, doc_len) for a pid (=url) — a url-filtered pushdown
+    gather over the fwd dataset, never a full scan."""
+    import os
+
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pa_ds
+    ds = pa_ds.dataset(os.path.join(reader.index_dir, "fwd"),
+                       format="parquet")
+    tbl = ds.to_table(columns=["doc_id", "doc_len"],
+                      filter=pc.field("url") == pid)
+    if tbl.num_rows == 0:
+        raise KeyError(f"document {pid!r} not found")
+    return int(tbl["doc_id"][0].as_py()), int(tbl["doc_len"][0].as_py())
+
+
+def handle_doc_info(reader, pid: str) -> dict:
+    """GET /corpora/<c>/docs/<pid> — single-doc metadata
+    (RequestHandlerDocInfo.java shape)."""
+    _, dl = _doc_by_pid(reader, pid)
+    return {"docPid": pid,
+            "docInfo": {"pid": [pid], "lengthInTokens": dl,
+                        "mayView": True}}
+
+
+def handle_doc_snippet(reader, pid: str, params: dict) -> dict:
+    """GET /corpora/<c>/docs/<pid>/snippet — context words around a
+    hit window (RequestHandlerDocSnippet.java: hitstart/hitend +
+    wordsaroundhit → left/match/right word lists)."""
+    did, dl = _doc_by_pid(reader, pid)
+    hitstart = int(params.get("hitstart", 0))
+    hitend = int(params.get("hitend", hitstart + 1))
+    n_ctx = int(params.get("wordsaroundhit", 5))
+    if not (0 <= hitstart < hitend <= dl):
+        raise ValueError(f"hit window [{hitstart},{hitend}) outside "
+                         f"document (0..{dl})")
+    lo = max(0, hitstart - n_ctx)
+    hi = min(dl, hitend + n_ctx)
+    pos = np.arange(lo, hi, dtype=np.int64)
+    toks = reader.tokens_at(np.full(pos.size, did, dtype=np.int64), pos)
+    words = ["" if t is None else t for t in toks]
+    return {
+        "docPid": pid,
+        "start": hitstart,
+        "end": hitend,
+        "left": {"word": words[:hitstart - lo]},
+        "match": {"word": words[hitstart - lo:hitend - lo]},
+        "right": {"word": words[hitend - lo:]},
+    }
+
+
+def handle_doc_contents(reader, pid: str) -> str:
+    """GET /corpora/<c>/docs/<pid>/contents — the document rendered
+    from the FORWARD INDEX (tokens joined punct-aware when the corpus
+    stores punctuation). The reference serves the stored original from
+    its content store (RequestHandlerDocContents.java); this engine's
+    content store is the source parquet, and the serving surface
+    reconstructs the analyzed text instead — documented deviation."""
+    import os
+
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pa_ds
+    did, dl = _doc_by_pid(reader, pid)
+    pos = np.arange(dl, dtype=np.int64)
+    toks = reader.tokens_at(np.full(dl, did, dtype=np.int64), pos)
+    words = ["" if t is None else t for t in toks]
+    ds = pa_ds.dataset(os.path.join(reader.index_dir, "fwd"),
+                       format="parquet")
+    punct = None
+    if "punct" in ds.schema.names:
+        tbl = ds.to_table(columns=["punct"],
+                          filter=pc.field("doc_id") == did)
+        if tbl.num_rows:
+            punct = tbl["punct"][0].as_py()
+    if punct is None:
+        return " ".join(words)
+    parts = []
+    for q, w in enumerate(words):
+        if q > 0:
+            parts.append(punct[q] if q < len(punct) else " ")
+        parts.append(w)
+    return "".join(parts)
+
+
+def handle_termfreq(reader, params: dict) -> dict:
+    """GET /corpora/<c>/termfreq — most frequent terms of an
+    annotation (RequestHandlerTermFreq.java: ``annotation``,
+    ``number``, optional comma-separated ``terms`` restriction)."""
+    annot = params.get("annotation", "word")
+    number = int(params.get("number", 20))
+    route = "i" if annot == "word" else annot
+    tbl = reader.terms_table_for(route)
+    terms = tbl["term"].to_pylist()
+    ctf = tbl["collection_tf"].to_numpy(zero_copy_only=False)
+    if params.get("terms"):
+        want = set(params["terms"].split(","))
+        keep = [i for i, t in enumerate(terms) if t in want]
+        terms = [terms[i] for i in keep]
+        ctf = ctf[keep]
+    order = sorted(range(len(terms)), key=lambda i: (-int(ctf[i]),
+                                                     terms[i]))
+    window = order[:number]
+    return {"termFreq": {terms[i]: int(ctf[i]) for i in window}}
+
+
+def handle_autocomplete(reader, fieldname: str, params: dict) -> list:
+    """GET /corpora/<c>/autocomplete/<field>?term=prefix — matching
+    terms, BLS-style bare list (RequestHandlerAutocomplete.java).
+    Annotated fields (word/lemma/pos/...) complete from the terms
+    dictionary; metadata fields from their distinct values."""
+    prefix = params.get("term", "")
+    number = int(params.get("number", 20))
+    route = "i" if fieldname == "word" else fieldname
+    try:
+        tbl = reader.terms_table_for(route)
+        terms = tbl["term"].to_pylist()
+    except (KeyError, FileNotFoundError):
+        # metadata field: distinct values from a pruned column read
+        import os
+
+        import pyarrow.compute as pc
+        import pyarrow.dataset as pa_ds
+        ds = pa_ds.dataset(os.path.join(reader.index_dir, "fwd"),
+                           format="parquet")
+        if fieldname not in ds.schema.names:
+            raise KeyError(f"unknown field {fieldname!r}") from None
+        col = ds.to_table(columns=[fieldname])[fieldname]
+        terms = [str(v) for v in
+                 pc.unique(col.combine_chunks()).to_pylist()
+                 if v is not None]
+    out = sorted(t for t in terms if t.startswith(prefix))
+    return out[:number]
+
+
 def _summary(params, first, number, actual, total, n_docs) -> dict:
     return {
         "searchParam": {k: str(v) for k, v in sorted(params.items())},
@@ -290,7 +424,8 @@ def _summary(params, first, number, actual, total, n_docs) -> dict:
 
 _SINGULAR = {"hits": "hit", "docs": "doc", "hitGroups": "hitGroup",
              "docGroups": "docGroup", "properties": "property",
-             "left": "w", "match": "w", "right": "w", "word": "w"}
+             "left": "w", "match": "w", "right": "w", "word": "w",
+             "terms": "term"}
 
 
 def to_xml(obj: Any, root: str = "blacklabResponse") -> str:
@@ -310,6 +445,13 @@ def _xml_value(v: Any, key: str, out: list) -> None:
                 out.append(f"<docInfo pid={quoteattr(str(pid))}>")
                 _xml_value(info, "docInfo", out)
                 out.append("</docInfo>")
+            return
+        if key == "termFreq":
+            # arbitrary term strings can't be element names —
+            # <term text="...">freq</term>, the DataStream map shape
+            for term, freq in v.items():
+                out.append(f"<term text={quoteattr(str(term))}>"
+                           f"{int(freq)}</term>")
             return
         for k, sub in v.items():
             if isinstance(sub, list):
@@ -385,7 +527,8 @@ class BlsApp:
         return [data]
 
     def _route(self, path: str, params: dict) -> tuple[str, str]:
-        parts = [p for p in path.split("/") if p]
+        from urllib.parse import unquote
+        parts = [unquote(p) for p in path.split("/") if p]
         if not parts or parts[0] != "corpora":
             raise KeyError(f"unknown path {path!r}")
         if len(parts) < 2:
@@ -394,17 +537,31 @@ class BlsApp:
         op = parts[2] if len(parts) > 2 else None
         fmt = params.get("outputformat", "json")
         if op is None:
-            resp = handle_info(reader, parts[1])
+            resp: Any = handle_info(reader, parts[1])
         elif op == "hits" and "group" in params:
             resp = handle_hits_grouped(reader, params)
         elif op == "hits":
             resp = handle_hits(reader, params)
-        elif op == "docs":
+        elif op == "docs" and len(parts) == 3:
             resp = handle_docs(reader, params)
+        elif op == "docs" and len(parts) == 4:
+            resp = handle_doc_info(reader, parts[3])
+        elif op == "docs" and len(parts) == 5 and parts[4] == "snippet":
+            resp = handle_doc_snippet(reader, parts[3], params)
+        elif op == "docs" and len(parts) == 5 and \
+                parts[4] == "contents":
+            # contents is raw text, never DataStream-wrapped
+            return handle_doc_contents(reader, parts[3]), \
+                "text/plain; charset=utf-8"
+        elif op == "termfreq":
+            resp = handle_termfreq(reader, params)
+        elif op == "autocomplete" and len(parts) == 4:
+            resp = handle_autocomplete(reader, parts[3], params)
         else:
             raise KeyError(f"unknown operation {op!r}")
         if fmt == "xml":
-            return to_xml(resp), "application/xml"
+            wrapped = {"terms": resp} if isinstance(resp, list) else resp
+            return to_xml(wrapped), "application/xml"
         if fmt == "csv":
             return groups_csv(resp), "text/csv"
         return json.dumps(resp, indent=1), "application/json"

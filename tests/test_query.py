@@ -208,6 +208,35 @@ def test_search_cache(ray_session, small_index):
     assert cache.stats()["entries"] == 0
 
 
+def test_search_cache_byte_budget():
+    """VERDICT r3 #6 (BlsCache.java:351-407 analogue): a few OVERSIZED
+    results evict by the byte watermark long before the entry cap."""
+    import numpy as np
+
+    from blacklab_ray.query.cache import SearchCache, SharedCacheShard
+    cache = SearchCache(max_entries=100, max_bytes=1 << 20)  # 1 MiB
+    # 3 × 512 KiB results: the third insert must evict the first
+    for i in range(3):
+        cache.get_or_run(f"big{i}",
+                         lambda: np.zeros(512 << 10, np.uint8))
+    st = cache.stats()
+    assert st["entries"] == 2, "byte budget did not evict"
+    assert st["byte_evictions"] >= 1
+    assert st["bytes"] <= 1 << 20
+    # small entries still obey the entry cap
+    cache = SearchCache(max_entries=4, max_bytes=1 << 30)
+    for i in range(6):
+        cache.get_or_run(f"k{i}", lambda: i)
+    assert cache.stats()["entries"] == 4
+    # the shared tier enforces the same budget through put()
+    shard = SharedCacheShard(max_entries=100, max_bytes=1 << 20)
+    for i in range(3):
+        shard.put(f"big{i}", np.zeros(512 << 10, np.uint8))
+    assert shard.stats()["entries"] == 2
+    assert shard.get("big0") is None       # evicted
+    assert shard.get("big2") is not None
+
+
 def test_find_hits_clamp(ray_session):
     import pyarrow as pa
     import ray.data

@@ -143,6 +143,105 @@ def test_to_xml_wellformed(srv_reader):
     assert pids == {"d0", "d1"}
 
 
+def test_handle_doc_info_and_snippet(srv_reader):
+    from blacklab_ray.server import handle_doc_info, handle_doc_snippet
+    info = handle_doc_info(srv_reader, "d0")
+    assert info["docInfo"]["lengthInTokens"] == 4
+    # "the quick fox jumps": hit window [1,2) with 1 ctx word each side
+    snip = handle_doc_snippet(srv_reader, "d0",
+                              {"hitstart": 1, "hitend": 2,
+                               "wordsaroundhit": 1})
+    assert snip["left"]["word"] == ["the"]
+    assert snip["match"]["word"] == ["quick"]
+    assert snip["right"]["word"] == ["fox"]
+    import pytest as _pytest
+    with _pytest.raises(KeyError):
+        handle_doc_info(srv_reader, "nope")
+    with _pytest.raises(ValueError):
+        handle_doc_snippet(srv_reader, "d0", {"hitstart": 99})
+
+
+def test_handle_doc_contents(srv_reader):
+    from blacklab_ray.server import handle_doc_contents
+    txt = handle_doc_contents(srv_reader, "d0")
+    assert txt == "the quick fox jumps"
+
+
+def test_handle_termfreq(srv_reader):
+    from blacklab_ray.server import handle_termfreq
+    resp = handle_termfreq(srv_reader, {"number": 3})
+    tf = resp["termFreq"]
+    assert len(tf) == 3
+    assert tf["quick"] == 2          # in two docs
+    # restriction list
+    resp = handle_termfreq(srv_reader, {"terms": "quick,snail"})
+    assert set(resp["termFreq"]) == {"quick", "snail"}
+
+
+def test_handle_autocomplete(srv_reader):
+    from blacklab_ray.server import handle_autocomplete
+    # annotation completion from the terms dictionary
+    out = handle_autocomplete(srv_reader, "word", {"term": "s"})
+    assert out == ["slow", "snail"]
+    # metadata field completion from distinct values
+    out = handle_autocomplete(srv_reader, "lang", {"term": ""})
+    assert out == ["en", "fr"]
+
+
+def test_new_routes_xml_json_parity(srv_index):
+    """The r4 endpoints speak both DataStream formats over the WSGI
+    app (RequestHandlerDocSnippet / RequestHandlerTermFreq /
+    RequestHandlerAutocomplete analogues)."""
+    from blacklab_ray.query import IndexReader
+    from blacklab_ray.server import BlsApp
+    app = BlsApp({"test": IndexReader(srv_index)})
+
+    def call(path_qs):
+        path, _, qs = path_qs.partition("?")
+        out = {}
+
+        def sr(status, headers):
+            out["status"] = status
+            out["ctype"] = dict(headers)["Content-Type"]
+        body = b"".join(app({"PATH_INFO": path, "QUERY_STRING": qs},
+                            sr))
+        return out["status"], out["ctype"], body.decode()
+
+    st, ct, body = call("/corpora/test/docs/d0/snippet?hitstart=1"
+                        "&hitend=2&wordsaroundhit=1")
+    assert st.startswith("200")
+    snip = json.loads(body)
+    assert snip["match"]["word"] == ["quick"]
+    st, ct, xml_body = call("/corpora/test/docs/d0/snippet?hitstart=1"
+                            "&hitend=2&outputformat=xml")
+    root = ET.fromstring(xml_body)
+    assert [w.text for w in
+            root.find("match").find("word").findall("w")] == ["quick"]
+
+    st, ct, body = call("/corpora/test/docs/d0/contents")
+    assert ct.startswith("text/plain")
+    assert body == "the quick fox jumps"
+
+    st, ct, body = call("/corpora/test/termfreq?number=2")
+    assert len(json.loads(body)["termFreq"]) == 2
+    st, ct, xml_body = call("/corpora/test/termfreq?number=2"
+                            "&outputformat=xml")
+    root = ET.fromstring(xml_body)
+    terms = root.find("termFreq").findall("term")
+    assert len(terms) == 2 and all(t.get("text") for t in terms)
+
+    st, ct, body = call("/corpora/test/autocomplete/word?term=s")
+    assert json.loads(body) == ["slow", "snail"]
+    st, ct, xml_body = call("/corpora/test/autocomplete/word?term=s"
+                            "&outputformat=xml")
+    root = ET.fromstring(xml_body)
+    assert [t.text for t in root.find("terms").findall("term")] == \
+        ["slow", "snail"]
+
+    st, ct, body = call("/corpora/test/docs/d1")
+    assert json.loads(body)["docInfo"]["lengthInTokens"] == 3
+
+
 def test_wsgi_live_roundtrip(srv_index):
     """Full HTTP round-trip on localhost (the BLS wire protocol)."""
     from blacklab_ray.server import serve
