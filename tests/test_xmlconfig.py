@@ -230,6 +230,48 @@ def test_parent_axis_value():
     assert _value(i_el, "../@type", parents) == "author"
 
 
+def test_xpath_function_subset():
+    """User-config XPath functions (DocIndexerSaxon.java:30 shapes):
+    concat / substring / normalize-space / local-name in value paths,
+    including nesting and path arguments."""
+    import xml.etree.ElementTree as ET
+
+    from blacklab_ray.stages.xmlconfig import _value
+    root = ET.fromstring(
+        "<d year='1984'><t>  A   Tale  </t><a n='x'>body</a></d>")
+    assert _value(root, "concat(@year, '-', t)") == "1984-A   Tale"
+    assert _value(root, "normalize-space(t)") == "A Tale"
+    assert _value(root, "substring(@year, 1, 2)") == "19"
+    assert _value(root, "substring(@year, 3)") == "84"
+    assert _value(root, "local-name(a)") == "a"
+    assert _value(root, "local-name()") == "d"
+    # nesting + literal/number args
+    assert _value(root,
+                  "concat(substring(@year, 1, 2), '00')") == "1900"
+    assert _value(root, "concat('a,b', normalize-space(t))") == \
+        "a,bA Tale"
+
+
+def test_xpath_functions_in_metadata_extraction():
+    """Functions flow through a user-style config's metadata and pid
+    paths end-to-end."""
+    cfg = XmlFormatConfig(
+        name="user-fmt",
+        document_path=".//doc",
+        word_path=".//w",
+        doc_id_value="concat('doc-', @n)",
+        metadata={"title": "normalize-space(head)",
+                  "century": "substring(@year, 1, 2)"})
+    t = _pages(cfg, {"f.xml": (
+        "<root><doc n='7' year='1848'><head> The   Title </head>"
+        "<w>hello</w><w>world</w></doc></root>")})
+    row = t.to_pylist()[0]
+    assert row["url"] == "doc-7"
+    assert row["meta_title"] == "The Title"
+    assert row["meta_century"] == "18"
+    assert row["text"] == "hello world"
+
+
 EAF_DOC = """
 <ANNOTATION_DOCUMENT>
  <TIER LINGUISTIC_TYPE_REF="Words" TIER_ID="w">
