@@ -312,6 +312,12 @@ def cosine_dup_pairs_lsh(ds: ray.data.Dataset, threshold: float = 0.95,
         if group.num_rows < 2:
             return pa.table(_EMPTY_PAIRS)
         if group.num_rows > bucket_cap:
+            import logging
+            logging.getLogger("blacklab_ray.ann").warning(
+                "cosine LSH bucket truncated: %d rows -> cap %d "
+                "(tbl=%s bucket=%s); recall may drop for this bucket",
+                group.num_rows, bucket_cap, group.column("tbl")[0],
+                group.column("lsh_bucket")[0])
             group = group.sort_by(id_col).slice(0, bucket_cap)
         return _block_pair_table(group, None, threshold, id_col, vec_col)
 
