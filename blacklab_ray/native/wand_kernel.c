@@ -142,6 +142,68 @@ static inline int64_t block_last_for(const SegIt *s, int64_t doc) {
     return i < s->n_blocks ? s->last_docs[i] : DOC_INF;
 }
 
+/* Forward-only exclusion iterator over one negative-term segment —
+ * decodes DOC IDS ONLY for blocks actually visited (skip-list seek),
+ * the C mirror of engine._DocIter (AND-NOT negative-clause probes).
+ * Probed at full evaluation just like the tombstone check; candidates
+ * arrive ascending, so each negative list is walked at most once. */
+typedef struct {
+    const uint8_t *docs_blob;
+    const int64_t *docs_offs;
+    const int64_t *last_docs;
+    const int64_t *ns;
+    int64_t n_blocks;
+    int64_t bi, pi, n, cur_doc, cur_last;
+    int64_t *docs;
+} ExclIt;
+
+static void excl_load(ExclIt *s, int64_t bi) {
+    s->bi = bi;
+    int64_t n = s->ns[bi];
+    const uint8_t *p = s->docs_blob + s->docs_offs[bi];
+    int64_t acc = 0;
+    for (int64_t i = 0; i < n; i++) {
+        acc += (int64_t)read_varint(&p);
+        s->docs[i] = acc;
+    }
+    s->n = n;
+    s->cur_last = s->last_docs[bi];
+    s->pi = 0;
+    s->cur_doc = s->docs[0];
+}
+
+static inline int excl_contains(ExclIt *s, int64_t target) {
+    if (s->cur_doc >= target) return s->cur_doc == target;
+    if (target > s->cur_last) {
+        int64_t lo = 0, hi = s->n_blocks;
+        while (lo < hi) {
+            int64_t mid = (lo + hi) >> 1;
+            if (s->last_docs[mid] < target) lo = mid + 1; else hi = mid;
+        }
+        if (lo >= s->n_blocks) {
+            s->cur_doc = DOC_INF;
+            return 0;
+        }
+        excl_load(s, lo);
+        if (s->cur_doc >= target) return s->cur_doc == target;
+    }
+    int64_t lo = s->pi, hi = s->n;
+    const int64_t *docs = s->docs;
+    int lin = 0;
+    while (lin < 8 && lo < hi && docs[lo] < target) { lo++; lin++; }
+    if (lin == 8) {
+        int64_t a = lo, b = hi;
+        while (a < b) {
+            int64_t mid = (a + b) >> 1;
+            if (docs[mid] < target) a = mid + 1; else b = mid;
+        }
+        lo = a;
+    }
+    s->pi = lo;
+    s->cur_doc = lo < s->n ? docs[lo] : s->cur_last;
+    return s->cur_doc == target;
+}
+
 /* (score, -doc) lexicographic less-than: the Python heap entry order */
 static inline int entry_lt(double sa, int64_t da, double sb, int64_t db) {
     if (sa != sb) return sa < sb;
@@ -167,6 +229,9 @@ int64_t wand_topk(
     const double *idfs, const double *max_scores,
     const double *ktab,
     const int64_t *tombstones, int64_t n_tombstones,
+    const uint8_t **ex_docs_blob, const int64_t **ex_docs_offs,
+    const int64_t **ex_last_docs, const int64_t **ex_ns,
+    const int64_t *ex_n_blocks, int64_t n_excl, int64_t ex_max_n,
     int64_t max_n, int64_t k,
     int64_t *out_docs, double *out_scores)
 {
@@ -177,10 +242,26 @@ int64_t wand_topk(
     SegIt **live = malloc(n_iters * sizeof(SegIt *));
     double *hs = malloc(k * sizeof(double));
     int64_t *hd = malloc(k * sizeof(int64_t));
-    if (!its || !dbuf || !sbuf || !live || !hs || !hd) {
+    ExclIt *exs = n_excl > 0 ? calloc(n_excl, sizeof(ExclIt)) : NULL;
+    int64_t *exbuf = n_excl > 0
+        ? malloc(n_excl * ex_max_n * sizeof(int64_t)) : NULL;
+    if (!its || !dbuf || !sbuf || !live || !hs || !hd
+        || (n_excl > 0 && (!exs || !exbuf))) {
         free(its); free(dbuf); free(sbuf); free(live);
-        free(hs); free(hd);
+        free(hs); free(hd); free(exs); free(exbuf);
         return -1;
+    }
+    for (int64_t i = 0; i < n_excl; i++) {
+        ExclIt *e = &exs[i];
+        e->docs_blob = ex_docs_blob[i];
+        e->docs_offs = ex_docs_offs[i];
+        e->last_docs = ex_last_docs[i];
+        e->ns = ex_ns[i];
+        e->n_blocks = ex_n_blocks[i];
+        e->bi = -1; e->pi = 0; e->n = 0;
+        e->cur_last = -1;
+        e->cur_doc = e->n_blocks ? -1 : DOC_INF;
+        e->docs = exbuf + i * ex_max_n;
     }
     int64_t n_live = 0;
     for (int64_t i = 0; i < n_iters; i++) {
@@ -272,7 +353,8 @@ int64_t wand_topk(
             if (w > 0 && j < n_live) {
                 SegIt **tmp = malloc(w * sizeof(SegIt *));
                 if (!tmp) { free(its); free(dbuf); free(sbuf);
-                            free(live); free(hs); free(hd); return -1; }
+                            free(live); free(hs); free(hd);
+                            free(exs); free(exbuf); return -1; }
                 memcpy(tmp, moved, w * sizeof(SegIt *));
                 int64_t a = 0, b = j, o = 0;
                 while (a < w && b < n_live) {
@@ -298,7 +380,10 @@ int64_t wand_topk(
             /* full evaluation — sum in CREATION order (its[] is
                contiguous, so pointer order == creation order), the
                same canonical float association as the Python loop */
-            if (!tomb_contains(tombstones, n_tombstones, pivot_doc)) {
+            int skip = tomb_contains(tombstones, n_tombstones, pivot_doc);
+            for (int64_t e = 0; !skip && e < n_excl; e++)
+                if (excl_contains(&exs[e], pivot_doc)) skip = 1;
+            if (!skip) {
                 double score = 0.0;
                 for (SegIt *s = its; s < its + n_iters; s++) {
                     for (int64_t i = 0; i <= pivot_idx; i++) {
@@ -357,7 +442,8 @@ int64_t wand_topk(
             if (j < n_live) {
                 SegIt **tmp = malloc((w > 0 ? w : 1) * sizeof(SegIt *));
                 if (!tmp) { free(its); free(dbuf); free(sbuf);
-                            free(live); free(hs); free(hd); return -1; }
+                            free(live); free(hs); free(hd);
+                            free(exs); free(exbuf); return -1; }
                 memcpy(tmp, live, w * sizeof(SegIt *));
                 int64_t a = 0, b = j, o = 0;
                 while (a < w && b < n_live) {
@@ -426,5 +512,6 @@ int64_t wand_topk(
         }
     }
     free(its); free(dbuf); free(sbuf); free(live); free(hs); free(hd);
+    free(exs); free(exbuf);
     return n_out;
 }

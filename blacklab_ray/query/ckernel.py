@@ -77,6 +77,9 @@ def _compile() -> "ctypes.CDLL | None":
         _PF64, _PF64,                                  # idfs, max_scores
         _PF64,                                         # ktab[256]
         _PI64, ctypes.c_int64,                         # tombstones
+        ctypes.POINTER(_PU8), ctypes.POINTER(_PI64),   # excl docs
+        ctypes.POINTER(_PI64), ctypes.POINTER(_PI64),  # excl last/ns
+        _PI64, ctypes.c_int64, ctypes.c_int64,         # excl nb/n/max_n
         ctypes.c_int64, ctypes.c_int64,                # max_n, k
         _PI64, _PF64,                                  # out
     ]
@@ -112,9 +115,14 @@ def _f64_ptr(a: np.ndarray) -> _PF64:
 
 
 def wand_topk_c(reader, present: list[str], segs: dict, stats: dict,
-                k: int) -> "tuple[np.ndarray, np.ndarray] | None":
+                k: int, excl_segs: "list | None" = None,
+                ) -> "tuple[np.ndarray, np.ndarray] | None":
     """Run the compiled kernel over the fetched segments; None → caller
-    must fall back to the Python loop."""
+    must fall back to the Python loop.
+
+    ``excl_segs``: negative-term posting segments (AND-NOT) — probed
+    forward-only at full evaluation inside the kernel, doc-id decode
+    only, exactly mirroring engine._DocIter."""
     lib = get_kernel()
     if lib is None:
         return None
@@ -177,6 +185,27 @@ def wand_topk_c(reader, present: list[str], segs: dict, stats: dict,
         dtype=np.float64)
     tombs = np.sort(np.fromiter(reader.tombstones, dtype=np.int64,
                                 count=len(reader.tombstones)))
+    ex = [s for s in (excl_segs or []) if s.n_blocks]
+    n_ex = len(ex)
+    ex_docs_blob = (_PU8 * max(n_ex, 1))()
+    ex_docs_offs = (_PI64 * max(n_ex, 1))()
+    ex_last = (_PI64 * max(n_ex, 1))()
+    ex_ns = (_PI64 * max(n_ex, 1))()
+    ex_nb = np.empty(max(n_ex, 1), np.int64)
+    ex_max_n = 0
+    for i, s in enumerate(ex):
+        o, mv = s._bins["docs"]
+        offs = np.ascontiguousarray(
+            o[s._lo:s._lo + s.n_blocks + 1], dtype=np.int64)
+        ld = np.ascontiguousarray(s.last_docs, dtype=np.int64)
+        nsv = np.ascontiguousarray(s.ns, dtype=np.int64)
+        keep.extend((offs, mv, ld, nsv))
+        ex_docs_blob[i] = _u8_ptr(mv)
+        ex_docs_offs[i] = _i64_ptr(offs)
+        ex_last[i] = _i64_ptr(ld)
+        ex_ns[i] = _i64_ptr(nsv)
+        ex_nb[i] = s.n_blocks
+        ex_max_n = max(ex_max_n, int(nsv.max()))
     out_docs = np.empty(k, np.int64)
     out_scores = np.empty(k, np.float64)
     n_out = lib.wand_topk(
@@ -184,6 +213,8 @@ def wand_topk_c(reader, present: list[str], segs: dict, stats: dict,
         norms_blob, norms_offs, last_docs, ubs_p, ns_p,
         _i64_ptr(n_blocks), _f64_ptr(idfs), _f64_ptr(max_scores),
         _f64_ptr(ktab), _i64_ptr(tombs), tombs.size,
+        ex_docs_blob, ex_docs_offs, ex_last, ex_ns,
+        _i64_ptr(ex_nb), n_ex, ex_max_n,
         max_n, k, _i64_ptr(out_docs), _f64_ptr(out_scores))
     del keep
     if n_out < 0:

@@ -266,12 +266,17 @@ class _DocIter:
 def search_wand(reader: IndexReader, terms: list[str], k: int = 10,
                 quantize: bool = True,
                 resolve_urls: bool = False,
-                exclude=None) -> pa.Table:
+                exclude=None, exclude_segs=None) -> pa.Table:
     """Top-k disjunctive BM25 via document-at-a-time Block-Max WAND.
 
     ``exclude``: optional ``doc_id -> bool`` probed only at full
     evaluation (like the tombstone check) — candidates arrive in
-    ascending order, so forward-only _DocIter probes stay cheap."""
+    ascending order, so forward-only _DocIter probes stay cheap.
+
+    ``exclude_segs``: negative-term posting SEGMENTS (AND-NOT) — the
+    structured form of ``exclude`` that the compiled kernel can carry
+    (forward-only doc-id probes in C); the Python fallback wraps them
+    in _DocIters itself. Mutually exclusive with ``exclude``."""
     terms = list(dict.fromkeys(terms))
     stats = reader.term_stats(terms)
     present = [t for t in terms if t in stats]
@@ -282,11 +287,21 @@ def search_wand(reader: IndexReader, terms: list[str], k: int = 10,
     if quantize and exclude is None:
         # compiled kernel (gcc'd on first use; bit-identical results —
         # tests assert parity): owns varint decode, scoring, skip seeks
-        # and the heap. Python loop below is the always-there fallback.
+        # and the heap — including AND-NOT exclusion probes. Python
+        # loop below is the always-there fallback.
         from blacklab_ray.query.ckernel import wand_topk_c
-        res = wand_topk_c(reader, present, segs, stats, k)
+        res = wand_topk_c(reader, present, segs, stats, k,
+                          excl_segs=exclude_segs)
         if res is not None:
             return _result_table(reader, res[0], res[1], resolve_urls)
+    if exclude is None and exclude_segs:
+        ex_iters = [_DocIter(s) for s in exclude_segs if s.n_blocks]
+
+        def exclude(doc: int) -> bool:  # noqa: F811 — documented above
+            for it in ex_iters:
+                if it.contains(doc):
+                    return True
+            return False
     iters: list[_SegIter] = []
     for t in present:
         t_idf = float(idf(stats[t][0], reader.n_docs))
@@ -455,17 +470,10 @@ def search_andnot(reader: IndexReader, terms: list[str],
     pos_stats = reader.term_stats(pos_uniq)
     total_df = sum(df for df, _ in pos_stats.values())
     if mode == "or" and total_df > AUTO_TAAT_MAX_POSTINGS:
-        ex_iters = [_DocIter(s) for t in neg_present
-                    for s in neg_segs[t] if s.n_blocks]
-
-        def excluded(doc: int) -> bool:
-            for it in ex_iters:
-                if it.contains(doc):
-                    return True
-            return False
-
+        ex_segs = [s for t in neg_present
+                   for s in neg_segs[t] if s.n_blocks]
         return search_wand(reader, terms, k, quantize, resolve_urls,
-                           exclude=excluded if ex_iters else None)
+                           exclude_segs=ex_segs or None)
     full = search_taat(reader, terms, k=1 << 62, mode=mode,
                        quantize=quantize, resolve_urls=False)
     d = full["doc_id"].to_numpy()

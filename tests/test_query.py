@@ -383,6 +383,42 @@ def test_andnot_wand_exclusion_path(small_index, small_oracle,
         _assert_match(got, _brute_andnot(small_oracle, pos, neg, 10))
 
 
+def test_andnot_ckernel_exclusion_parity(small_index, small_oracle,
+                                         monkeypatch):
+    """The compiled kernel's exclusion probes (ExclIt) must return
+    BIT-identical tables to the pure-Python _DocIter fallback on the
+    WAND AND-NOT path."""
+    import pytest as _pytest
+
+    from blacklab_ray.query import ckernel, engine
+    monkeypatch.setattr(engine, "AUTO_TAAT_MAX_POSTINGS", 0)
+    r = IndexReader(small_index)
+    orig = ckernel._kernel
+    try:
+        ckernel._kernel = False
+        if ckernel.get_kernel() is None:
+            _pytest.skip("no C toolchain in this environment")
+        cases = ([["the", "of"], ["and"]],
+                 [["the"], ["of"]],
+                 [["the", "of", "a"], ["w000001", "and"]],
+                 [["of", "and"], ["the"]],
+                 [["the"], ["zz_nohit"]])
+        for pos, neg in cases:
+            for k in (3, 10):
+                ckernel._kernel = False
+                monkeypatch.delenv("BLRAY_NO_CKERNEL", raising=False)
+                t_c = engine.search_andnot(r, pos, neg, k=k)
+                monkeypatch.setenv("BLRAY_NO_CKERNEL", "1")
+                ckernel._kernel = False
+                t_p = engine.search_andnot(r, pos, neg, k=k)
+                assert t_c.equals(t_p), (pos, neg, k)
+                _assert_match(_pairs(t_c),
+                              _brute_andnot(small_oracle, pos, neg, k))
+        monkeypatch.delenv("BLRAY_NO_CKERNEL", raising=False)
+    finally:
+        ckernel._kernel = orig
+
+
 def test_kwic_fwd_candidates_pruned(ray_session, small_index,
                                     small_oracle):
     """VERDICT r2 #4 (kwic): index-backed KWIC seeds candidate docs
