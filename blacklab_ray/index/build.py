@@ -57,6 +57,9 @@ class BuildParams:
     n_salts: int = DEFAULT_SALTS
     block_size: int = BLOCK_SIZE
     max_seg_postings: int = MAX_SEG_POSTINGS
+    codec: str = "vbyte"             # posting-block codec: vbyte | pfor
+    #                                  (north_star "VByte/PForDelta");
+    #                                  pfor needs block_size <= 255
     id_column: str = "url"          # "url" → doc_id = hash64(url); or "doc_id"
     extract_html: bool = False       # run HtmlExtractor (html → text)
     trust_text: bool = True          # keep an existing text column as-is
@@ -171,6 +174,11 @@ def build_index(source: str | list[str] | ray.data.Dataset, index_dir: str,
     """Build (or resume building) the index; returns the manifest dict."""
     params = params or BuildParams()
     os.makedirs(index_dir, exist_ok=True)
+    if params.codec not in ("vbyte", "pfor"):
+        raise ValueError("unknown posting codec: %r" % params.codec)
+    if params.codec == "pfor" and params.block_size > 255:
+        raise ValueError("codec='pfor' needs block_size <= 255 "
+                         "(exception positions/counts are uint8)")
     if params.multivalue_column and params.exchange != "mapreduce":
         # fused/sort paths don't fold terms_mv into the main postings;
         # refusing beats silently dropping secondary values (the same
@@ -328,6 +336,7 @@ def build_index(source: str | list[str] | ray.data.Dataset, index_dir: str,
                 num_buckets=params.num_buckets, n_salts=params.n_salts,
                 hot_terms=params.hot_terms, block_size=params.block_size,
                 max_seg_postings=params.max_seg_postings,
+                codec=params.codec,
                 extract_html=params.extract_html,
                 trust_text=params.trust_text,
                 id_column=params.id_column,
@@ -364,6 +373,7 @@ def build_index(source: str | list[str] | ray.data.Dataset, index_dir: str,
                 num_buckets=params.num_buckets, n_salts=params.n_salts,
                 hot_terms=params.hot_terms, block_size=params.block_size,
                 max_seg_postings=params.max_seg_postings,
+                codec=params.codec,
                 completed_parts=completed,
                 files_per_map=params.files_per_map,
                 mv_cols=(("terms_mv", "tfs_mv", "pos_mv")
@@ -396,6 +406,7 @@ def build_index(source: str | list[str] | ray.data.Dataset, index_dir: str,
             num_buckets=params.num_buckets, n_salts=params.n_salts,
             hot_terms=params.hot_terms, block_size=params.block_size,
             max_seg_postings=params.max_seg_postings,
+            codec=params.codec,
             annot_cols=(f"terms_{annot}", f"tfs_{annot}",
                         f"pos_{annot}"),
             terms_parts_name=f"terms_parts_{annot}")
@@ -525,7 +536,7 @@ def _build_postings_sort(params, man, src_fp, pfp, fwd_dir, post_dir,
         segs = exploded.groupby("gkey").map_groups(
             lambda g: build_segments(
                 g, params.block_size, params.max_seg_postings,
-                params.n_salts),
+                params.n_salts, codec=params.codec),
             batch_format="pyarrow")
         segs.write_parquet(post_dir, partition_cols=["bucket"])
         shard_info[key] = {"complete": True,

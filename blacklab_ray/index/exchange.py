@@ -133,7 +133,7 @@ def _map_explode(paths: list[str], n_parts: int, num_buckets: int,
 
 def _reduce_build(part_id: int, out_dir: str, block_size: int,
                   max_seg_postings: int, n_salts: int, n_maps: int,
-                  part_suffix: str, terms_parts_name: str,
+                  part_suffix: str, terms_parts_name: str, codec: str,
                   *objs) -> dict:
     _set_single_threaded_arrow()
     tables = list(objs[:n_maps])      # aligned with vocabs by map index
@@ -174,7 +174,7 @@ def _reduce_build(part_id: int, out_dir: str, block_size: int,
     for s, e in zip(starts.tolist(), ends.tolist()):
         seg_tables.append(build_segments(
             t.slice(s, e - s), block_size, max_seg_postings, n_salts,
-            codes=gcodes[s:e], vocab=global_vocab))
+            codes=gcodes[s:e], vocab=global_vocab, codec=codec))
     segs = pa.concat_tables(seg_tables)
     # per-part term stats (term, df, ctf) — the terms side table is
     # finished on the driver from these, avoiding a whole extra
@@ -285,6 +285,7 @@ def run_fused_build(page_paths: list[str], index_dir: str, *,
                     num_buckets: int, n_salts: int, hot_terms,
                     block_size: int, max_seg_postings: int,
                     extract_html: bool, trust_text: bool, id_column: str,
+                    codec: str = "vbyte",
                     paragraph_spans: bool, sentence_spans: bool,
                     sensitive: bool, batch_size: int,
                     n_parts: int | None = None,
@@ -326,7 +327,8 @@ def run_fused_build(page_paths: list[str], index_dir: str, *,
         part_inputs = [m[p] for m in map_out]
         reduce_refs.append(reduce_task.remote(
             p, out_dir, block_size, max_seg_postings, n_salts,
-            len(map_out), "", "terms_parts", *part_inputs, *vocab_refs))
+            len(map_out), "", "terms_parts", codec,
+            *part_inputs, *vocab_refs))
     results = ray.get(reduce_refs)
     return {str(r["part"]): {"complete": True,
                              "segments": r["segments"],
@@ -337,6 +339,7 @@ def run_fused_build(page_paths: list[str], index_dir: str, *,
 def run_postings_exchange(fwd_dir: str, out_dir: str, *, num_buckets: int,
                           n_salts: int, hot_terms, block_size: int,
                           max_seg_postings: int,
+                          codec: str = "vbyte",
                           n_parts: int | None = None,
                           files_per_map: int | None = None,
                           completed_parts: set[int] | None = None,
@@ -386,7 +389,7 @@ def run_postings_exchange(fwd_dir: str, out_dir: str, *, num_buckets: int,
         part_inputs = [m[p] for m in map_out]
         reduce_refs.append(reduce_task.remote(
             p, out_dir, block_size, max_seg_postings, n_salts,
-            len(map_out), part_suffix, terms_parts_name,
+            len(map_out), part_suffix, terms_parts_name, codec,
             *part_inputs, *vocab_refs))
     results = ray.get(reduce_refs)
     return {str(r["part"]): {"complete": True,

@@ -236,7 +236,8 @@ def build_segments(group: pa.Table, block_size: int = BLOCK_SIZE,
                    max_seg_postings: int = MAX_SEG_POSTINGS,
                    n_salts: int = DEFAULT_SALTS,
                    codes: np.ndarray | None = None,
-                   vocab: pa.Array | None = None) -> pa.Table:
+                   vocab: pa.Array | None = None,
+                   codec: str = "vbyte") -> pa.Table:
     """``map_groups`` body: one shuffle group (gkey) → segment rows.
 
     Sorts by (term, doc_id) — doc-ascending order is required for delta
@@ -245,6 +246,12 @@ def build_segments(group: pa.Table, block_size: int = BLOCK_SIZE,
     postings into blocks. When ``codes``/``vocab`` are given (the
     map/reduce exchange's string-free path) the ``term`` column is not
     required.
+
+    ``codec`` selects the posting-block compression for the doc-delta
+    and tf streams ("vbyte" | "pfor" — the codec slot; BASELINE
+    north_star's "VByte/PForDelta-compressed blocks"). Position blobs
+    stay VByte under either codec: they are sliced per POSTING by the
+    tf-derived offsets, which needs a self-delimiting stream.
     """
     if group.num_rows == 0:
         return SEGMENT_SCHEMA.empty_table()
@@ -318,20 +325,33 @@ def build_segments(group: pa.Table, block_size: int = BLOCK_SIZE,
     blk_minnorm = np.minimum.reduceat(snorm, blk_lo)
     blk_n = (blk_hi - blk_lo).astype(np.int32)
 
-    # ---- one-shot VByte encode of docs deltas + tfs, sliced per block --
+    # ---- one-shot encode of docs deltas + tfs, sliced per block --------
     deltas = np.empty(sd.size, dtype=np.int64)
     deltas[1:] = sd[1:] - sd[:-1]
     deltas[0] = sd[0]
     deltas[blk_lo] = sd[blk_lo]  # absolute first doc per block
-    doc_stream = vbyte_encode(deltas.astype(np.uint64))
-    from blacklab_ray.stages.tokenize import _varint_byte_lens
-    dlens = _varint_byte_lens(deltas)
-    doc_off = np.zeros(sd.size + 1, dtype=np.int64)
-    doc_off[1:] = np.cumsum(dlens)
-    tf_stream = vbyte_encode(stf.astype(np.uint64))
-    tlens = _varint_byte_lens(stf)
-    tf_off = np.zeros(sd.size + 1, dtype=np.int64)
-    tf_off[1:] = np.cumsum(tlens)
+    if codec == "pfor":
+        from blacklab_ray.codec.pfor import encode_blocks
+        doc_stream, d_offs = encode_blocks(
+            deltas.astype(np.uint64), blk_lo, blk_hi)
+        doc_lo_b, doc_hi_b = d_offs[:-1], d_offs[1:]
+        tf_stream, t_offs = encode_blocks(
+            stf.astype(np.uint64), blk_lo, blk_hi)
+        tf_lo_b, tf_hi_b = t_offs[:-1], t_offs[1:]
+    elif codec == "vbyte":
+        doc_stream = vbyte_encode(deltas.astype(np.uint64))
+        from blacklab_ray.stages.tokenize import _varint_byte_lens
+        dlens = _varint_byte_lens(deltas)
+        doc_off = np.zeros(sd.size + 1, dtype=np.int64)
+        doc_off[1:] = np.cumsum(dlens)
+        doc_lo_b, doc_hi_b = doc_off[blk_lo], doc_off[blk_hi]
+        tf_stream = vbyte_encode(stf.astype(np.uint64))
+        tlens = _varint_byte_lens(stf)
+        tf_off = np.zeros(sd.size + 1, dtype=np.int64)
+        tf_off[1:] = np.cumsum(tlens)
+        tf_lo_b, tf_hi_b = tf_off[blk_lo], tf_off[blk_hi]
+    else:
+        raise ValueError("unknown posting codec: %r" % codec)
     norm_stream = snorm.astype(np.uint8).tobytes()
 
     def _bin_from_spans(stream_bytes: bytes, lo_b: np.ndarray,
@@ -358,8 +378,8 @@ def build_segments(group: pa.Table, block_size: int = BLOCK_SIZE,
         return pa.array([data[o:o2] for o, o2 in zip(offs[:-1], offs[1:])],
                         pa.binary())
 
-    docs_arr = _bin_from_spans(doc_stream, doc_off[blk_lo], doc_off[blk_hi])
-    tfs_arr = _bin_from_spans(tf_stream, tf_off[blk_lo], tf_off[blk_hi])
+    docs_arr = _bin_from_spans(doc_stream, doc_lo_b, doc_hi_b)
+    tfs_arr = _bin_from_spans(tf_stream, tf_lo_b, tf_hi_b)
     norms_arr = _bin_from_spans(norm_stream, blk_lo, blk_hi)
     pos_arr = _bin_from_spans(stream, sorted_off[blk_lo],
                               sorted_off[blk_hi])

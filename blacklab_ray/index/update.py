@@ -58,7 +58,7 @@ def _inherit_layout(index_dir: str, params: BuildParams) -> BuildParams:
             rec = json.load(f).get("params") or {}
         for k in ("num_buckets", "n_salts", "block_size",
                   "max_seg_postings", "paragraph_spans",
-                  "sentence_spans", "id_column",
+                  "sentence_spans", "id_column", "codec",
                   "exchange", "sensitive", "analyzer"):
             if k in rec:
                 setattr(params, k, rec[k])
@@ -187,6 +187,7 @@ def add_documents(index_dir: str, source, params: BuildParams | None = None,
         num_buckets=params.num_buckets, n_salts=params.n_salts,
         hot_terms=params.hot_terms, block_size=params.block_size,
         max_seg_postings=params.max_seg_postings,
+        codec=params.codec,
         part_suffix=f"-g{gen}")
     extra_annots = (["s"] if params.sensitive else []) \
         + list(params.annotations)
@@ -196,6 +197,7 @@ def add_documents(index_dir: str, source, params: BuildParams | None = None,
             num_buckets=params.num_buckets, n_salts=params.n_salts,
             hot_terms=params.hot_terms, block_size=params.block_size,
             max_seg_postings=params.max_seg_postings,
+            codec=params.codec,
             part_suffix=f"-g{gen}",
             annot_cols=(f"terms_{annot}", f"tfs_{annot}",
                         f"pos_{annot}"),
@@ -254,10 +256,11 @@ def update_documents(index_dir: str, pages_table,
 
 
 def _segment_posting_rows(row: dict, gkey: int,
-                          tomb_arr=None) -> "object":
+                          tomb_arr=None, codec: str = "vbyte") -> "object":
     """One segment row → (gkey, doc_id, tf, norm, posbin) posting rows,
     optionally dropping tombstoned docs — the decode half of a segment
-    merge (inverse of build_segments)."""
+    merge (inverse of build_segments). ``codec`` must match the codec
+    the blocks were written with (meta.json params)."""
     import numpy as np
     import pyarrow as pa
 
@@ -267,8 +270,18 @@ def _segment_posting_rows(row: dict, gkey: int,
     from blacklab_ray.stages.tokenize import _varint_byte_lens
     docs_l, tfs_l, norms_l, blobs = [], [], [], []
     for blk in row["blocks"]:
-        d = delta_decode(blk["docs"])
-        tf = vbyte_decode(blk["tfs"]).astype(np.int64)
+        if codec == "pfor":
+            from blacklab_ray.codec.pfor import decode_span
+            one_n = np.array([blk["n"]], dtype=np.int64)
+            d = np.cumsum(decode_span(
+                blk["docs"], np.array([0, len(blk["docs"])]),
+                one_n).astype(np.int64))
+            tf = decode_span(
+                blk["tfs"], np.array([0, len(blk["tfs"])]),
+                one_n).astype(np.int64)
+        else:
+            d = delta_decode(blk["docs"])
+            tf = vbyte_decode(blk["tfs"]).astype(np.int64)
         nm = np.frombuffer(blk["norms"], dtype=np.uint8)
         pos = decode_position_lists(blk["pos"], tf)
         # per-posting byte spans inside the block's pos blob
@@ -325,7 +338,8 @@ def compact_generations(index_dir: str,
 
     @ray.remote
     def merge_bucket(bucket_dir: str, bucket: int, n_salts: int,
-                     block_size: int, max_seg: int, tomb) -> int:
+                     block_size: int, max_seg: int, tomb,
+                     codec: str) -> int:
         import pyarrow.parquet as _pq
         files = sorted(os.path.join(bucket_dir, f)
                        for f in os.listdir(bucket_dir)
@@ -337,11 +351,12 @@ def compact_generations(index_dir: str,
             gkey = bucket * n_salts + salt
             rows = pa.concat_tables(
                 [_segment_posting_rows(r, gkey,
-                                       tomb if tomb.size else None)
+                                       tomb if tomb.size else None,
+                                       codec=codec)
                  for r in sub.to_pylist()])
             if rows.num_rows:
                 out_parts.append(build_segments(
-                    rows, block_size, max_seg, n_salts))
+                    rows, block_size, max_seg, n_salts, codec=codec))
         out = pa.concat_tables(out_parts) if out_parts else None
         tier_path = os.path.join(bucket_dir, "part-tier0.parquet")
         if out is not None and out.num_rows:
@@ -378,7 +393,7 @@ def compact_generations(index_dir: str,
                 continue
             tasks[f"{sub}/{bdir}"] = merge_bucket.remote(
                 full, bucket, params.n_salts, params.block_size,
-                params.max_seg_postings, tombs)
+                params.max_seg_postings, tombs, params.codec)
         for k, r in zip(tasks, ray.get(list(tasks.values()))):
             merged[k] = r
 
@@ -473,7 +488,8 @@ def compact_index(index_dir: str, params: BuildParams | None = None) -> dict:
         fwd_dir, post_dir,
         num_buckets=params.num_buckets, n_salts=params.n_salts,
         hot_terms=params.hot_terms, block_size=params.block_size,
-        max_seg_postings=params.max_seg_postings)
+        max_seg_postings=params.max_seg_postings,
+        codec=params.codec)
     for annot in (["s"] if params.sensitive else []) \
             + list(params.annotations):
         _fresh_dir(os.path.join(index_dir, f"postings_{annot}"))
@@ -483,6 +499,7 @@ def compact_index(index_dir: str, params: BuildParams | None = None) -> dict:
             num_buckets=params.num_buckets, n_salts=params.n_salts,
             hot_terms=params.hot_terms, block_size=params.block_size,
             max_seg_postings=params.max_seg_postings,
+            codec=params.codec,
             annot_cols=(f"terms_{annot}", f"tfs_{annot}",
                         f"pos_{annot}"),
             terms_parts_name=f"terms_parts_{annot}")

@@ -38,6 +38,7 @@ typedef struct {
     double idf;
     double max_score;
     const double *ktab;         /* 256-entry K1*(1-B+B*dl/avgdl) */
+    int codec;                  /* 0 = vbyte varint, 1 = pfor */
     /* state */
     int64_t bi, pi, n, cur_doc, cur_last;
     int64_t *docs;
@@ -56,6 +57,36 @@ static inline uint64_t read_varint(const uint8_t **pp) {
     return v;
 }
 
+/* PForDelta block decode (codec/pfor.py layout): byte0 = bit width b,
+ * byte1 = n_exceptions e, ceil(n*b/8) packed low bits (little-endian
+ * bit order), e uint8 exception positions, e LEB128 high parts.
+ * n comes from block metadata; pfor blocks hold at most 255 values. */
+static void pfor_decode(const uint8_t *p, int64_t n, int64_t *out) {
+    int b = p[0], e = p[1];
+    const uint8_t *pk = p + 2;
+    int64_t plen = ((n * b) + 7) >> 3;
+    if (b == 0) {
+        for (int64_t i = 0; i < n; i++) out[i] = 0;
+    } else {
+        uint64_t buf = 0;
+        int bits = 0;
+        const uint8_t *pp = pk;
+        uint64_t mask = (1ULL << b) - 1;   /* b <= 32 by construction */
+        for (int64_t i = 0; i < n; i++) {
+            while (bits < b) { buf |= ((uint64_t)*pp++) << bits; bits += 8; }
+            out[i] = (int64_t)(buf & mask);
+            buf >>= b;
+            bits -= b;
+        }
+    }
+    const uint8_t *xi = pk + plen;
+    const uint8_t *xh = xi + e;
+    for (int i = 0; i < e; i++) {
+        uint64_t high = read_varint(&xh);
+        out[xi[i]] = (int64_t)((uint64_t)out[xi[i]] | (high << b));
+    }
+}
+
 static void load_block(SegIt *s, int64_t bi) {
     if (bi >= s->n_blocks) {
         s->cur_doc = DOC_INF;
@@ -63,19 +94,34 @@ static void load_block(SegIt *s, int64_t bi) {
     }
     s->bi = bi;
     int64_t n = s->ns[bi];
-    const uint8_t *p = s->docs_blob + s->docs_offs[bi];
-    int64_t acc = 0;
-    for (int64_t i = 0; i < n; i++) {
-        acc += (int64_t)read_varint(&p);
-        s->docs[i] = acc;
-    }
-    const uint8_t *q = s->tfs_blob + s->tfs_offs[bi];
     const uint8_t *nr = s->norms_blob + s->norms_offs[bi];
-    for (int64_t i = 0; i < n; i++) {
-        double tf = (double)read_varint(&q);
-        /* idf * (tf / (tf + K)) — same association as the Python
-           score path, so scores are BIT-identical to the fallback */
-        s->scores[i] = s->idf * (tf / (tf + s->ktab[nr[i]]));
+    if (s->codec) {
+        int64_t tfs[256];       /* pfor blocks hold <= 255 postings */
+        pfor_decode(s->docs_blob + s->docs_offs[bi], n, s->docs);
+        int64_t acc = 0;
+        for (int64_t i = 0; i < n; i++) {
+            acc += s->docs[i];
+            s->docs[i] = acc;
+        }
+        pfor_decode(s->tfs_blob + s->tfs_offs[bi], n, tfs);
+        for (int64_t i = 0; i < n; i++) {
+            double tf = (double)tfs[i];
+            s->scores[i] = s->idf * (tf / (tf + s->ktab[nr[i]]));
+        }
+    } else {
+        const uint8_t *p = s->docs_blob + s->docs_offs[bi];
+        int64_t acc = 0;
+        for (int64_t i = 0; i < n; i++) {
+            acc += (int64_t)read_varint(&p);
+            s->docs[i] = acc;
+        }
+        const uint8_t *q = s->tfs_blob + s->tfs_offs[bi];
+        for (int64_t i = 0; i < n; i++) {
+            double tf = (double)read_varint(&q);
+            /* idf * (tf / (tf + K)) — same association as the Python
+               score path, so scores are BIT-identical to the fallback */
+            s->scores[i] = s->idf * (tf / (tf + s->ktab[nr[i]]));
+        }
     }
     s->n = n;
     s->cur_last = s->last_docs[bi];
@@ -153,6 +199,7 @@ typedef struct {
     const int64_t *last_docs;
     const int64_t *ns;
     int64_t n_blocks;
+    int codec;
     int64_t bi, pi, n, cur_doc, cur_last;
     int64_t *docs;
 } ExclIt;
@@ -160,12 +207,22 @@ typedef struct {
 static void excl_load(ExclIt *s, int64_t bi) {
     s->bi = bi;
     int64_t n = s->ns[bi];
+    if (s->codec) {
+        pfor_decode(s->docs_blob + s->docs_offs[bi], n, s->docs);
+        int64_t acc = 0;
+        for (int64_t i = 0; i < n; i++) {
+            acc += s->docs[i];
+            s->docs[i] = acc;
+        }
+        goto loaded;
+    }
     const uint8_t *p = s->docs_blob + s->docs_offs[bi];
     int64_t acc = 0;
     for (int64_t i = 0; i < n; i++) {
         acc += (int64_t)read_varint(&p);
         s->docs[i] = acc;
     }
+loaded:;
     s->n = n;
     s->cur_last = s->last_docs[bi];
     s->pi = 0;
@@ -227,7 +284,7 @@ int64_t wand_topk(
     const int64_t **last_docs, const double **block_ubs,
     const int64_t **ns, const int64_t *n_blocks,
     const double *idfs, const double *max_scores,
-    const double *ktab,
+    const double *ktab, int64_t codec_id,
     const int64_t *tombstones, int64_t n_tombstones,
     const uint8_t **ex_docs_blob, const int64_t **ex_docs_offs,
     const int64_t **ex_last_docs, const int64_t **ex_ns,
@@ -259,6 +316,7 @@ int64_t wand_topk(
         e->ns = ex_ns[i];
         e->n_blocks = ex_n_blocks[i];
         e->bi = -1; e->pi = 0; e->n = 0;
+        e->codec = (int)codec_id;
         e->cur_last = -1;
         e->cur_doc = e->n_blocks ? -1 : DOC_INF;
         e->docs = exbuf + i * ex_max_n;
@@ -279,6 +337,7 @@ int64_t wand_topk(
         s->idf = idfs[i];
         s->max_score = max_scores[i];
         s->ktab = ktab;
+        s->codec = (int)codec_id;
         s->docs = dbuf + i * max_n;
         s->scores = sbuf + i * max_n;
         load_block(s, 0);

@@ -75,7 +75,7 @@ def _compile() -> "ctypes.CDLL | None":
         ctypes.POINTER(_PI64),                         # ns
         _PI64,                                         # n_blocks
         _PF64, _PF64,                                  # idfs, max_scores
-        _PF64,                                         # ktab[256]
+        _PF64, ctypes.c_int64,                         # ktab, codec_id
         _PI64, ctypes.c_int64,                         # tombstones
         ctypes.POINTER(_PU8), ctypes.POINTER(_PI64),   # excl docs
         ctypes.POINTER(_PI64), ctypes.POINTER(_PI64),  # excl last/ns
@@ -208,11 +208,15 @@ def wand_topk_c(reader, present: list[str], segs: dict, stats: dict,
         ex_max_n = max(ex_max_n, int(nsv.max()))
     out_docs = np.empty(k, np.int64)
     out_scores = np.empty(k, np.float64)
+    codec_id = {"vbyte": 0, "pfor": 1}.get(
+        getattr(reader, "codec", "vbyte"))
+    if codec_id is None:
+        return None     # unknown codec -> Python fallback
     n_out = lib.wand_topk(
         n, docs_blob, docs_offs, tfs_blob, tfs_offs,
         norms_blob, norms_offs, last_docs, ubs_p, ns_p,
         _i64_ptr(n_blocks), _f64_ptr(idfs), _f64_ptr(max_scores),
-        _f64_ptr(ktab), _i64_ptr(tombs), tombs.size,
+        _f64_ptr(ktab), codec_id, _i64_ptr(tombs), tombs.size,
         ex_docs_blob, ex_docs_offs, ex_last, ex_ns,
         _i64_ptr(ex_nb), n_ex, ex_max_n,
         max_n, k, _i64_ptr(out_docs), _f64_ptr(out_scores))

@@ -49,10 +49,11 @@ class Segment:
 
     __slots__ = ("term", "df_seg", "ctf_seg", "first_doc", "last_doc",
                  "n_blocks", "last_docs", "max_tfs", "min_norms", "ns",
-                 "_bins", "_lo", "_decoded")
+                 "_bins", "_lo", "_decoded", "codec")
 
     def __init__(self, term, df_seg, ctf_seg, first_doc, last_doc,
-                 lo, hi, meta, bins):
+                 lo, hi, meta, bins, codec="vbyte"):
+        self.codec = codec
         self.term = term
         self.df_seg = df_seg
         self.ctf_seg = ctf_seg
@@ -68,7 +69,8 @@ class Segment:
         self._decoded = None
 
     @classmethod
-    def from_table(cls, tbl: pa.Table) -> list["Segment"]:
+    def from_table(cls, tbl: pa.Table,
+                   codec: str = "vbyte") -> list["Segment"]:
         """Build segments for every row of a fetched postings table."""
         if tbl.num_rows == 0:
             return []
@@ -97,7 +99,7 @@ class Segment:
         ld = tbl["last_doc"].to_numpy()
         return [cls(terms[i], int(df[i]), int(ctf[i]), int(fd[i]),
                     int(ld[i]), int(offs[i]), int(offs[i + 1]),
-                    meta, bins)
+                    meta, bins, codec)
                 for i in range(tbl.num_rows)]
 
     def _blob(self, field: str, i: int) -> memoryview:
@@ -110,6 +112,13 @@ class Segment:
         segment are adjacent in the fetched buffer)."""
         o, mv = self._bins[field]
         return mv[o[self._lo]:o[self._lo + self.n_blocks]]
+
+    def _span_offsets(self, field: str) -> np.ndarray:
+        """Per-block byte offsets WITHIN the blob span (pfor blocks are
+        not self-delimiting; the reader always has these)."""
+        o, _mv = self._bins[field]
+        sl = o[self._lo:self._lo + self.n_blocks + 1]
+        return sl - sl[0]
 
     @property
     def blocks(self) -> list[dict]:
@@ -141,14 +150,26 @@ class Segment:
         DECODE_STATS["blocks_decoded"] += self.n_blocks
         DECODE_STATS["full_segments"] += 1
         counts = self.ns
-        deltas = vbyte_decode(self._blob_span("docs")).astype(np.int64)
+        if self.codec == "pfor":
+            from blacklab_ray.codec.pfor import decode_span
+            deltas = decode_span(
+                self._blob_span("docs"), self._span_offsets("docs"),
+                counts).astype(np.int64)
+        else:
+            deltas = vbyte_decode(self._blob_span("docs")).astype(np.int64)
         # segmented cumsum: each block's first delta is its absolute doc
         csum = np.cumsum(deltas)
         starts = np.zeros(counts.size, dtype=np.int64)
         np.cumsum(counts[:-1], out=starts[1:])
         base = csum[starts] - deltas[starts]
         docs = csum - np.repeat(base, counts)
-        tfs = vbyte_decode(self._blob_span("tfs")).astype(np.int64)
+        if self.codec == "pfor":
+            from blacklab_ray.codec.pfor import decode_span
+            tfs = decode_span(
+                self._blob_span("tfs"), self._span_offsets("tfs"),
+                counts).astype(np.int64)
+        else:
+            tfs = vbyte_decode(self._blob_span("tfs")).astype(np.int64)
         norms = np.frombuffer(self._blob_span("norms"), dtype=np.uint8)
         self._decoded = (docs, tfs, norms)
         return self._decoded
@@ -156,13 +177,22 @@ class Segment:
     def decode_block(self, i: int):
         DECODE_STATS["blocks_decoded"] += 1
         n = int(self.ns[i])
-        # fused decode: docs deltas + tfs in ONE varint pass (per-call
-        # numpy overhead halves; streams are separated by count)
         db = self._blob("docs", i)
         tb = self._blob("tfs", i)
-        vals = vbyte_decode(bytes(db) + bytes(tb)).astype(np.int64)
-        docs = np.cumsum(vals[:n])
-        tfs = vals[n:]
+        if self.codec == "pfor":
+            from blacklab_ray.codec.pfor import decode_span
+            one = np.array([n], dtype=np.int64)
+            docs = np.cumsum(decode_span(
+                db, np.array([0, len(db)]), one).astype(np.int64))
+            tfs = decode_span(
+                tb, np.array([0, len(tb)]), one).astype(np.int64)
+        else:
+            # fused decode: docs deltas + tfs in ONE varint pass
+            # (per-call numpy overhead halves; streams are separated
+            # by count)
+            vals = vbyte_decode(bytes(db) + bytes(tb)).astype(np.int64)
+            docs = np.cumsum(vals[:n])
+            tfs = vals[n:]
         norms = np.frombuffer(self._blob("norms", i), dtype=np.uint8)
         return docs, tfs, norms
 
@@ -192,6 +222,7 @@ class IndexReader:
         self.n_docs = self.meta["n_docs"]
         self.avgdl = self.meta["avg_doc_len"]
         self.num_buckets = self.meta["params"]["num_buckets"]
+        self.codec = self.meta["params"].get("codec", "vbyte")
         self._terms_tbl: pa.Table | None = None
         # tombstoned doc ids from incremental deletes (updates.json);
         # stats keep counting them until compaction (Lucene-like)
@@ -562,7 +593,7 @@ class IndexReader:
                 continue
             ds = pa_ds.dataset(path, format="parquet")
             tbl = ds.to_table(filter=pc.field("term").isin(bterms))
-            for seg in Segment.from_table(tbl):
+            for seg in Segment.from_table(tbl, codec=self.codec):
                 fetched[seg.term].append(seg)
         for t, segs in fetched.items():
             segs.sort(key=lambda s: (s.first_doc, s.last_doc))
