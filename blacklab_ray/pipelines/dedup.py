@@ -271,31 +271,83 @@ class ExplodeBands:
         })
 
 
-def _pairs_from_bucket(group: pa.Table, cap: int = 50) -> pa.Table:
-    ids = np.unique(group.column("doc_id").to_numpy(zero_copy_only=False))
-    if ids.size < 2:
-        return pa.table({"a": pa.array([], pa.int64()),
-                         "b": pa.array([], pa.int64())})
-    if ids.size > cap:  # cap pathological buckets — and SAY so
-        import logging
-        logging.getLogger("blacklab_ray.dedup").warning(
-            "LSH bucket truncated: %d ids -> cap %d "
-            "(band=%s hash=%s); recall may drop for this bucket",
-            ids.size, cap, group.column("band")[0],
-            group.column("band_hash")[0])
-        ids = ids[:cap]
-    ii, jj = np.triu_indices(ids.size, k=1)
-    return pa.table({"a": pa.array(ids[ii], pa.int64()),
-                     "b": pa.array(ids[jj], pa.int64())})
+def _pairs_from_buckets(group: pa.Table, cap: int = 50) -> pa.Table:
+    """One HASH PARTITION of banded rows (complete buckets — the
+    partition key is derived from (band, band_hash)): emit candidate
+    pairs for every bucket with >= 2 distinct docs. Vectorized run
+    detection over the sorted partition; the Python loop touches only
+    multi-doc buckets (collisions), not every bucket — the per-group
+    ``map_groups`` shape this replaced paid one UDF call per BUCKET
+    (~80k at bench scale)."""
+    schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+    if group.num_rows == 0 or "band" not in group.column_names:
+        return schema.empty_table()
+    band = group.column("band").to_numpy(zero_copy_only=False)
+    bh = group.column("band_hash").to_numpy(zero_copy_only=False)
+    doc = group.column("doc_id").to_numpy(zero_copy_only=False)
+    order = np.lexsort((doc, bh, band))
+    band, bh, doc = band[order], bh[order], doc[order]
+    keep = np.ones(doc.size, bool)
+    keep[1:] = ((band[1:] != band[:-1]) | (bh[1:] != bh[:-1])
+                | (doc[1:] != doc[:-1]))
+    band, bh, doc = band[keep], bh[keep], doc[keep]
+    m = doc.size
+    new = np.ones(m, bool)
+    new[1:] = (band[1:] != band[:-1]) | (bh[1:] != bh[:-1])
+    starts = np.flatnonzero(new)
+    sizes = np.diff(np.append(starts, m))
+    multi = sizes >= 2
+    out_a, out_b = [], []
+    for s0, sz in zip(starts[multi].tolist(), sizes[multi].tolist()):
+        ids = doc[s0:s0 + sz]
+        if sz > cap:  # cap pathological buckets — and SAY so
+            import logging
+            logging.getLogger("blacklab_ray.dedup").warning(
+                "LSH bucket truncated: %d ids -> cap %d "
+                "(band=%s hash=%s); recall may drop for this bucket",
+                sz, cap, band[s0], bh[s0])
+            ids = ids[:cap]
+        ii, jj = np.triu_indices(ids.size, k=1)
+        out_a.append(ids[ii])
+        out_b.append(ids[jj])
+    if not out_a:
+        return schema.empty_table()
+    return pa.table({
+        "a": pa.array(np.concatenate(out_a), pa.int64()),
+        "b": pa.array(np.concatenate(out_b), pa.int64())})
+
+
+def _distinct_pairs(group: pa.Table) -> pa.Table:
+    """One hash partition of candidate pairs → distinct (a, b) rows
+    (vectorized; replaces a per-(a,b)-group aggregate)."""
+    schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+    if group.num_rows == 0 or "a" not in group.column_names:
+        return schema.empty_table()
+    a = group.column("a").to_numpy(zero_copy_only=False)
+    b = group.column("b").to_numpy(zero_copy_only=False)
+    order = np.lexsort((b, a))
+    a, b = a[order], b[order]
+    keep = np.ones(a.size, bool)
+    keep[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+    return pa.table({"a": pa.array(a[keep], pa.int64()),
+                     "b": pa.array(b[keep], pa.int64())})
 
 
 def minhash_candidate_pairs(ds: ray.data.Dataset, num_perm: int = 64,
                             bands: int = 16, shingle_k: int = 3,
                             text_col: str = "text",
-                            id_col: str = "doc_id") -> ray.data.Dataset:
-    """LSH candidate pairs (a < b), deduplicated across bands."""
+                            id_col: str = "doc_id",
+                            num_partitions: int = 32) -> ray.data.Dataset:
+    """LSH candidate pairs (a < b), deduplicated across bands.
+
+    Both shuffles are PART-HASH keyed (``num_partitions`` groups, one
+    vectorized UDF call each) rather than per-bucket / per-pair
+    groupbys: bucket pair-expansion partitions on
+    ``hash(band, band_hash)`` (buckets stay whole) and the cross-band
+    dedup partitions on ``hash(a, b)``."""
     # instance UDFs → stateless tasks: state (perm tables) is tiny, and
     # task-based stages can't starve the downstream groupby of CPUs
+    P = num_partitions
     sigs = ds.map_batches(
         MinHashSignature(num_perm=num_perm, shingle_k=shingle_k,
                          text_col=text_col, id_col=id_col),
@@ -303,12 +355,33 @@ def minhash_candidate_pairs(ds: ray.data.Dataset, num_perm: int = 64,
     banded = sigs.map_batches(
         ExplodeBands(num_perm=num_perm, bands=bands),
         batch_format="pyarrow")
-    pairs = banded.groupby(["band", "band_hash"]).map_groups(
-        _pairs_from_bucket, batch_format="pyarrow")
-    from ray.data.aggregate import Count
-    distinct = pairs.groupby(["a", "b"]).aggregate(
-        Count(alias_name="n_bands"))
-    return distinct.select_columns(["a", "b"])
+
+    def _bucket_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema([("part", pa.int64()), ("band", pa.int32()),
+                              ("band_hash", pa.int64()),
+                              ("doc_id", pa.int64())]).empty_table()
+        key = (t.column("band_hash").to_numpy(zero_copy_only=False)
+               ^ (t.column("band").to_numpy(zero_copy_only=False)
+                  .astype(np.int64) * np.int64(0x9E3779B1)))
+        part = ((key * np.int64(2654435761)) & np.int64(0x7FFFFFFF)) % P
+        return t.append_column("part", pa.array(part, pa.int64()))             .select(["part", "band", "band_hash", "doc_id"])
+
+    def _pair_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "a" not in t.column_names:
+            return pa.schema([("part", pa.int64()), ("a", pa.int64()),
+                              ("b", pa.int64())]).empty_table()
+        key = (t.column("a").to_numpy(zero_copy_only=False)
+               * np.int64(31)
+               + t.column("b").to_numpy(zero_copy_only=False))
+        part = ((key * np.int64(2654435761)) & np.int64(0x7FFFFFFF)) % P
+        return t.append_column("part", pa.array(part, pa.int64()))             .select(["part", "a", "b"])
+
+    pairs = banded.map_batches(_bucket_part, batch_format="pyarrow")         .groupby("part").map_groups(
+            _pairs_from_buckets, batch_format="pyarrow")
+    distinct = pairs.map_batches(_pair_part, batch_format="pyarrow")         .groupby("part").map_groups(
+            _distinct_pairs, batch_format="pyarrow")
+    return distinct
 
 
 def _hashed_shingles(text: str, shingle_k: int) -> np.ndarray:
@@ -333,66 +406,93 @@ def verify_jaccard_pairs(ds: ray.data.Dataset, pairs: ray.data.Dataset,
                          num_partitions: int | None = None) -> pa.Table:
     """Exact shingle-Jaccard verification of candidate pairs — distributed.
 
-    Shape (VERDICT r2 item 8 — no driver-held signature map):
-    1. the candidate id set (int64s only) is collected and broadcast;
+    Shape (VERDICT r2 item 8 — no driver-held signature map; reworked
+    round 4 from two per-DOC ``map_groups`` rounds to two PART-HASH
+    shuffles with vectorized within-partition joins, because a Python
+    UDF call per candidate doc is the per-group pattern that dies at
+    scale):
+
+    1. candidate ids (int64s only) are read off the materialized pairs
+       and broadcast via ``ray.put`` — pairs are candidate-pair-sized
+       (16 bytes/row) by LSH construction, never corpus-sized;
     2. each corpus batch computes hashed-shingle SIGNATURES (sorted
-       unique int64 hashes, packed as one binary value) for its
+       unique int64 hashes packed as one binary value) for its
        candidate docs inside ``map_batches`` — text never leaves the
-       task, and the signature table stays a distributed Dataset;
-    3. signatures attach to the pairs via TWO keyed co-partition
-       rounds — union(pairs-keyed-by-a, sigs-keyed-by-doc_id) →
-       ``groupby(key).map_groups`` (sort-based shuffle), then the same
-       keyed on ``b``. This deliberately avoids ``Dataset.join``: in
-       Ray 2.49 the upstream hash-shuffle aggregate emits SCHEMA-LESS
-       empty blocks that poison the acero join finalize ("No match
-       ... FieldRef.Name(a)") at num_partitions>=16, and map operators
-       pass empty input blocks through WITHOUT calling the UDF, so the
-       blocks can't be schema-pinned away. The sort-based groupby
-       shuffle tolerates them (r3 regression, root-caused in VERDICT
-       r3 "What's wrong" #1). No global signature dict anywhere;
-    4. each joined pair verifies by sorted-array intersection inside
-       ``map_batches`` over the pair partitions.
+       task and the signature stream feeds the shuffle directly (no
+       materialization barrier);
+    3. ONE ``groupby(part).map_groups`` over
+       union(pairs exploded to (key=a|b, side), signatures keyed by
+       doc) with ``part = hash(key) % P``: inside each partition the
+       attach is a vectorized searchsorted join (sig keys sorted once,
+       pair keys looked up in bulk) — P Python calls total, not one
+       per doc. Sort-based groupby also tolerates the schema-less
+       empty blocks Ray 2.49's hash aggregates emit (the r3
+       ``Dataset.join`` poison, VERDICT r3 "What's wrong" #1);
+    4. a second part-hash shuffle on ``hash(a,b) % P`` brings each
+       pair's two sides together; the verify is a sorted-array
+       intersection per pair inside the partition UDF.
 
     Driver memory holds candidate ids + the surviving pairs only.
     Returns a small Arrow table (a, b, jaccard).
+
+    Skew note: one doc participating in very many pairs concentrates
+    its pair rows in one partition (same bound as the per-doc group
+    shape it replaces); the LSH bucket cap already limits per-doc
+    fan-out upstream.
     """
+    import pyarrow.compute as _pc
     import ray as _ray
 
-    # pairs is consumed twice (candidate-id scan + the keyed attach);
-    # materialize once so the lazy LSH pipeline doesn't re-execute.
-    # Candidate-pair-sized (16 bytes/row), never corpus-sized.
-    pairs = pairs.materialize()
-
+    P = num_partitions or 32
     empty = pa.table({"a": pa.array([], pa.int64()),
                       "b": pa.array([], pa.int64()),
                       "jaccard": pa.array([], pa.float64())})
-    # candidate ids: distributed unique over both pair columns
-    def _ids(batch: pa.Table) -> pa.Table:
-        u = np.unique(np.concatenate([
-            batch["a"].to_numpy(zero_copy_only=False),
-            batch["b"].to_numpy(zero_copy_only=False)])) \
-            if batch.num_rows else np.empty(0, np.int64)
-        return pa.table({"doc_id": pa.array(u, pa.int64())})
 
-    id_batches = [b["doc_id"].to_numpy() for b in
-                  pairs.map_batches(_ids, batch_format="pyarrow")
-                  .iter_batches(batch_format="pyarrow")]
-    need = np.unique(np.concatenate(id_batches)) if id_batches else \
-        np.empty(0, np.int64)
-    if need.size == 0:
+    # pairs is consumed twice (id scan + explode): materialize once so
+    # the lazy LSH pipeline doesn't re-execute. Candidate-pair-sized.
+    pairs = pairs.materialize()
+    id_parts = [np.unique(np.concatenate([
+        b["a"].to_numpy(zero_copy_only=False),
+        b["b"].to_numpy(zero_copy_only=False)]))
+        for b in pairs.iter_batches(batch_format="pyarrow")
+        if b.num_rows]
+    if not id_parts:
         return empty
+    need = np.unique(np.concatenate(id_parts))
     need_ref = _ray.put(need)
 
+    SIG_T = pa.large_binary()
+    UNION_SCHEMA = pa.schema([
+        ("part", pa.int64()), ("key", pa.int64()),
+        ("a", pa.int64()), ("b", pa.int64()),
+        ("side", pa.int8()), ("sig", SIG_T)])
+
+    def _part_of(keys: np.ndarray) -> np.ndarray:
+        return ((keys * np.int64(2654435761)) & np.int64(0x7FFFFFFF)) % P
+
+    def _explode_pairs(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "a" not in batch.column_names:
+            return UNION_SCHEMA.empty_table()
+        a = batch["a"].to_numpy(zero_copy_only=False)
+        b = batch["b"].to_numpy(zero_copy_only=False)
+        key = np.concatenate([a, b])
+        return pa.table({
+            "part": pa.array(_part_of(key), pa.int64()),
+            "key": pa.array(key, pa.int64()),
+            "a": pa.array(np.concatenate([a, a]), pa.int64()),
+            "b": pa.array(np.concatenate([b, b]), pa.int64()),
+            "side": pa.array(np.repeat(
+                np.array([0, 1], np.int8), a.size), pa.int8()),
+            "sig": pa.nulls(2 * a.size, SIG_T),
+        })
+
     class _Signatures:
-        """Corpus batch → (doc_id, sig:binary) for candidate docs;
-        sig is the sorted unique int64 shingle hashes as raw bytes
-        (acero hash joins carry binary payloads, not lists)."""
+        """Corpus batch → signature rows for candidate docs only."""
 
         def __init__(self):
             self._need = None
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            import pyarrow.compute as _pc
             if self._need is None:
                 self._need = pa.array(_ray.get(need_ref), pa.int64())
             mask = _pc.is_in(batch.column(id_col).cast(pa.int64()),
@@ -400,131 +500,91 @@ def verify_jaccard_pairs(ds: ray.data.Dataset, pairs: ray.data.Dataset,
             sub = batch.filter(mask)
             sigs = [_hashed_shingles(t, shingle_k).tobytes()
                     for t in sub.column(text_col).to_pylist()]
+            key = sub.column(id_col).cast(pa.int64())                 .to_numpy(zero_copy_only=False)
+            n = key.size
             return pa.table({
-                "doc_id": sub.column(id_col).cast(pa.int64()),
-                "sig": pa.array(sigs, pa.large_binary()),
+                "part": pa.array(_part_of(key), pa.int64()),
+                "key": pa.array(key, pa.int64()),
+                "a": pa.nulls(n, pa.int64()),
+                "b": pa.nulls(n, pa.int64()),
+                "side": pa.nulls(n, pa.int8()),
+                "sig": pa.array(sigs, SIG_T),
             })
 
-    # candidate-sized (~8 bytes/shingle, no text): materialize once so
-    # the two attach rounds don't each re-scan the corpus for signatures
-    sigs = ds.map_batches(_Signatures, batch_format="pyarrow",
-                          concurrency=2).materialize()
+    def _attach(g: pa.Table) -> pa.Table:
+        """One hash partition: vectorized sig lookup for every pair row."""
+        schema = pa.schema([("part", pa.int64()), ("a", pa.int64()),
+                            ("b", pa.int64()), ("side", pa.int8()),
+                            ("sig", SIG_T)])
+        if g.num_rows == 0 or "sig" not in g.column_names:
+            return schema.empty_table()
+        is_sig = _pc.is_valid(g.column("sig"))
+        sig_rows = g.filter(is_sig)
+        pair_rows = g.filter(_pc.invert(is_sig))
+        if sig_rows.num_rows == 0 or pair_rows.num_rows == 0:
+            return schema.empty_table()
+        sig_keys = sig_rows.column("key").to_numpy(zero_copy_only=False)
+        order = np.argsort(sig_keys, kind="stable")
+        sig_keys = sig_keys[order]
+        sig_col = sig_rows.column("sig").take(pa.array(order))
+        pk = pair_rows.column("key").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(sig_keys, pk)
+        pos_c = np.minimum(pos, sig_keys.size - 1)
+        found = sig_keys[pos_c] == pk
+        pr = pair_rows.filter(pa.array(found))
+        a = pr.column("a").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "part": pa.array(_part_of(
+                a * np.int64(31) + pr.column("b")
+                .to_numpy(zero_copy_only=False)), pa.int64()),
+            "a": pr.column("a"),
+            "b": pr.column("b"),
+            "side": pr.column("side"),
+            "sig": sig_col.take(pa.array(pos_c[found])),
+        })
 
-    SIG_T = pa.large_binary()
-
-    def _pin(schema: pa.Schema):
-        """Normalize every block (incl. schema-less empties from the
-        upstream aggregate) to one pinned schema so union + sort see
-        schema-stable input."""
-        def f(t: pa.Table) -> pa.Table:
-            if t.num_columns == 0 or t.num_rows == 0:
-                return schema.empty_table()
-            cols = []
-            for name in schema.names:
-                if name in t.column_names:
-                    cols.append(t.column(name).cast(schema.field(name).type))
-                else:
-                    cols.append(pa.nulls(t.num_rows, schema.field(name).type))
-            return pa.table(dict(zip(schema.names, cols)))
-        return f
-
-    def _attach(union_key: str, carry: str, out_cols: tuple[str, str]):
-        """map_groups over union(pairs-side, sigs-side) keyed on
-        ``union_key``: attach the group's signature row to every pair
-        row. Pair rows carry a non-null ``carry`` column; the sig row
-        carries a non-null ``sig``."""
-        key_out, sig_out = out_cols
-
-        def f(g: pa.Table) -> pa.Table:
-            import pyarrow.compute as _pc
-            sig_rows = g.filter(_pc.is_valid(g.column("sig")))
-            pair_rows = g.filter(_pc.is_valid(g.column(carry)))
-            schema_out = pa.schema(
-                [(key_out, pa.int64()), (carry, pa.int64()),
-                 (sig_out, SIG_T)] if carry == "b" else
-                [("a", pa.int64()), ("key", pa.int64()),
-                 ("sig_a", SIG_T), (sig_out, SIG_T)])
-            if sig_rows.num_rows == 0 or pair_rows.num_rows == 0:
-                return schema_out.empty_table()
-            sig_val = sig_rows.column("sig")[0].as_py()
-            n = pair_rows.num_rows
-            if carry == "b":   # round 1: key = a
-                return pa.table({
-                    key_out: pair_rows.column(union_key),
-                    "b": pair_rows.column("b"),
-                    sig_out: pa.array([sig_val] * n, SIG_T)})
-            # round 2: key = b; carry a + sig_a through
-            return pa.table({
-                "a": pair_rows.column("a"),
-                "key": pair_rows.column(union_key),
-                "sig_a": pair_rows.column("sig_a"),
-                sig_out: pa.array([sig_val] * n, SIG_T)})
-        return f
-
-    # round 1 — attach sig_a, keyed on a
-    r1_schema = pa.schema([("key", pa.int64()), ("b", pa.int64()),
-                           ("sig", SIG_T)])
-    pairs_a = pairs.map_batches(
-        lambda t: t.rename_columns(
-            ["key" if c == "a" else c for c in t.column_names])
-        if t.num_columns else t,
-        batch_format="pyarrow").map_batches(
-        _pin(r1_schema), batch_format="pyarrow")
-    sigs_a = sigs.map_batches(
-        lambda t: t.rename_columns(
-            ["key" if c == "doc_id" else c for c in t.column_names]),
-        batch_format="pyarrow").map_batches(
-        _pin(r1_schema), batch_format="pyarrow")
-    with_sig_a = pairs_a.union(sigs_a).groupby("key").map_groups(
-        _attach("key", carry="b", out_cols=("a", "sig_a")),
-        batch_format="pyarrow")
-
-    # round 2 — attach sig_b, keyed on b
-    r2_schema = pa.schema([("a", pa.int64()), ("key", pa.int64()),
-                           ("sig_a", SIG_T), ("sig", SIG_T)])
-    pairs_b = with_sig_a.map_batches(
-        lambda t: t.rename_columns(
-            ["key" if c == "b" else c for c in t.column_names])
-        if t.num_columns else t,
-        batch_format="pyarrow").map_batches(
-        _pin(r2_schema), batch_format="pyarrow")
-    sigs_b = sigs.map_batches(
-        lambda t: t.rename_columns(
-            ["key" if c == "doc_id" else c for c in t.column_names]),
-        batch_format="pyarrow").map_batches(
-        _pin(r2_schema), batch_format="pyarrow")
-    joined = pairs_b.union(sigs_b).groupby("key").map_groups(
-        _attach("key", carry="a", out_cols=("b", "sig_b")),
-        batch_format="pyarrow").map_batches(
-        lambda t: t.rename_columns(
-            ["b" if c == "key" else c for c in t.column_names])
-        if t.num_columns else t,
-        batch_format="pyarrow")
-
-    def _verify(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0 or "a" not in batch.column_names:
+    def _verify(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "a" not in g.column_names:
             return empty
+        idx = np.lexsort((
+            g.column("side").to_numpy(zero_copy_only=False),
+            g.column("b").to_numpy(zero_copy_only=False),
+            g.column("a").to_numpy(zero_copy_only=False)))
+        t = g.take(pa.array(idx))
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        side = t.column("side").to_numpy(zero_copy_only=False)
+        sig = t.column("sig")
         out_a, out_b, out_j = [], [], []
-        for a, b_, ba, bb in zip(batch["a"].to_pylist(),
-                                 batch["b"].to_pylist(),
-                                 batch["sig_a"].to_pylist(),
-                                 batch["sig_b"].to_pylist()):
-            sa = np.frombuffer(ba, np.int64)
-            sb = np.frombuffer(bb, np.int64)
-            if not sa.size or not sb.size:
-                continue
-            inter = np.intersect1d(sa, sb, assume_unique=True).size
-            j = inter / (sa.size + sb.size - inter)
-            if j >= threshold:
-                out_a.append(a)
-                out_b.append(b_)
-                out_j.append(round(j, 6))
+        i, n = 0, a.size
+        while i + 1 < n:
+            # complete pair = adjacent rows (a,b,0) then (a,b,1)
+            if a[i] == a[i + 1] and b[i] == b[i + 1]                     and side[i] == 0 and side[i + 1] == 1:
+                sa = np.frombuffer(sig[i].as_py(), np.int64)
+                sb = np.frombuffer(sig[i + 1].as_py(), np.int64)
+                if sa.size and sb.size:
+                    inter = np.intersect1d(
+                        sa, sb, assume_unique=True).size
+                    j = inter / (sa.size + sb.size - inter)
+                    if j >= threshold:
+                        out_a.append(int(a[i]))
+                        out_b.append(int(b[i]))
+                        out_j.append(round(j, 6))
+                i += 2
+            else:
+                i += 1
         return pa.table({"a": pa.array(out_a, pa.int64()),
                          "b": pa.array(out_b, pa.int64()),
                          "jaccard": pa.array(out_j, pa.float64())})
 
+    exploded = pairs.map_batches(_explode_pairs, batch_format="pyarrow")
+    sigs = ds.map_batches(_Signatures, batch_format="pyarrow",
+                          concurrency=2)
+    attached = exploded.union(sigs).groupby("part").map_groups(
+        _attach, batch_format="pyarrow")
     verified = [b for b in
-                joined.map_batches(_verify, batch_format="pyarrow")
+                attached.groupby("part").map_groups(
+                    _verify, batch_format="pyarrow")
                 .iter_batches(batch_format="pyarrow") if b.num_rows]
     if not verified:
         return empty
