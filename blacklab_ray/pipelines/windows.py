@@ -136,31 +136,87 @@ def sliding(ds: ray.data.Dataset, window_s: int, hop_s: int,
 
 
 def sessionize(ds: ray.data.Dataset, gap_s: int, ts_col: str = "ts",
-               user_col: str = "user_id") -> ray.data.Dataset:
+               user_col: str = "user_id",
+               num_partitions: int = 32) -> ray.data.Dataset:
     """Session windows per user (new session when gap > gap_s).
 
-    Gaps-and-islands in pure numpy over the Arrow group table — no
-    pandas conversion (the rest of the codebase is Arrow-native and the
-    computation is three array ops)."""
-    gap_us = gap_s * 1_000_000
+    Integer user keys shuffle on ``hash(user) % num_partitions`` and
+    the whole partition sessionizes in ONE vectorized pass (lexsort by
+    (user, ts), boundary = user change OR gap) — one Python UDF call
+    per partition instead of one per user (the per-group shape dies at
+    web-scale user counts). Non-integer keys keep the per-user
+    ``map_groups`` fallback (no portable vectorized hash for Arrow
+    strings).
 
-    def per_user(g: pa.Table) -> pa.Table:
-        ts = np.sort(g.column(ts_col).cast(pa.int64()).to_numpy(
-            zero_copy_only=False))
-        new = np.ones(ts.size, dtype=bool)
-        new[1:] = (ts[1:] - ts[:-1]) > gap_us
+    Gaps-and-islands in pure numpy over the Arrow tables — no pandas
+    conversion."""
+    gap_us = gap_s * 1_000_000
+    key_type = ds.schema().base_schema.field(user_col).type
+    out_schema = pa.schema([
+        (user_col, key_type),
+        ("session_start", pa.timestamp("us")),
+        ("session_end", pa.timestamp("us")),
+        ("n_events", pa.int64()),
+    ])
+
+    def _sessions_sorted(user: np.ndarray, ts: np.ndarray,
+                         utype) -> pa.Table:
+        n = ts.size
+        new = np.ones(n, dtype=bool)
+        new[1:] = (user[1:] != user[:-1]) | ((ts[1:] - ts[:-1]) > gap_us)
         starts = np.flatnonzero(new)
-        ends = np.append(starts[1:], ts.size) - 1
-        n = np.diff(np.append(starts, ts.size)).astype(np.int64)
-        user_arr = g.column(user_col).take(
-            pa.array(np.zeros(starts.size, np.int64)))
+        ends = np.append(starts[1:], n) - 1
+        counts = np.diff(np.append(starts, n)).astype(np.int64)
         return pa.table({
-            user_col: user_arr,
+            user_col: pa.array(user[starts]).cast(utype),
             "session_start": pa.array(ts[starts], pa.int64())
             .cast(pa.timestamp("us")),
             "session_end": pa.array(ts[ends], pa.int64())
             .cast(pa.timestamp("us")),
-            "n_events": pa.array(n, pa.int64()),
+            "n_events": pa.array(counts, pa.int64()),
+        })
+
+    if pa.types.is_integer(key_type):
+        P = num_partitions
+
+        def _part(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.schema(
+                    [("part", pa.int64()), ("u", pa.int64()),
+                     ("t", pa.int64())]).empty_table()
+            u = t.column(user_col).cast(pa.int64()).to_numpy(
+                zero_copy_only=False)
+            ts = t.column(ts_col).cast(pa.int64()).to_numpy(
+                zero_copy_only=False)
+            part = ((u * np.int64(2654435761))
+                    & np.int64(0x7FFFFFFF)) % P
+            return pa.table({"part": pa.array(part, pa.int64()),
+                             "u": pa.array(u, pa.int64()),
+                             "t": pa.array(ts, pa.int64())})
+
+        def per_part(g: pa.Table) -> pa.Table:
+            if g.num_rows == 0 or "u" not in g.column_names:
+                return out_schema.empty_table()
+            u = g.column("u").to_numpy(zero_copy_only=False)
+            ts = g.column("t").to_numpy(zero_copy_only=False)
+            order = np.lexsort((ts, u))
+            return _sessions_sorted(u[order], ts[order], key_type)
+
+        return ds.map_batches(_part, batch_format="pyarrow")             .groupby("part").map_groups(per_part,
+                                        batch_format="pyarrow")
+
+    def per_user(g: pa.Table) -> pa.Table:
+        ts = np.sort(g.column(ts_col).cast(pa.int64()).to_numpy(
+            zero_copy_only=False))
+        t = _sessions_sorted(np.zeros(ts.size, np.int64), ts,
+                             pa.int64())
+        n_sess = t.num_rows
+        return pa.table({
+            user_col: g.column(user_col).take(
+                pa.array(np.zeros(n_sess, np.int64))),
+            "session_start": t["session_start"],
+            "session_end": t["session_end"],
+            "n_events": t["n_events"],
         })
 
     return ds.groupby(user_col).map_groups(per_user,
