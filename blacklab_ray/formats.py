@@ -14,8 +14,10 @@ schema ``(url, warc_ts, html, text, lang)`` as a ``ray.data.Dataset``:
 - ``tabular-tsv`` / ``tabular-csv`` — word-per-line token streams
   (DocIndexerTabular.java:37) with explicit ``(url, pos, word[, lang])``
   columns; rows group by url, sort by pos, and join into the document
-  text. The groupby is the one wide step — shuffle key = url, exactly
-  one group per document (scale-safe: group size = document length).
+  text. The one wide step shuffles on ``hash(url) % 32`` (docs stay
+  whole) and assembles every document in the partition with ONE
+  vectorized UDF call (ListArray offsets + binary_join) — not one
+  Python call per document.
 - ``sketch-wpl``    — Sketch Engine word-per-line with inline/glue
   tags and <doc> metadata (sketch-wpl.blf.yaml); pure per-file parse,
   no shuffle (docs never span files).
@@ -27,6 +29,7 @@ from __future__ import annotations
 
 from typing import Callable
 
+import numpy as np
 import pyarrow as pa
 import ray.data
 
@@ -89,37 +92,69 @@ def _read_tabular(paths, delimiter: str = "\t",
         parse_options=pa_csv.ParseOptions(delimiter=delimiter),
         **opts)
 
-    def to_page(group: pa.Table) -> pa.Table:
-        import numpy as np
-        pos = group.column("pos").to_numpy(zero_copy_only=False)
-        order = np.argsort(pos, kind="stable")
-        words = np.asarray(group.column("word").to_pylist(),
-                           dtype=object)[order]
-        text = " ".join(str(w) for w in words)
-        lang = (group.column("lang")[0].as_py()
-                if "lang" in group.column_names else None)
+    P = 32
+
+    def _part(t: pa.Table) -> pa.Table:
+        """Partition key from batch-unique url hashes (docs stay whole;
+        one vectorized UDF call per PARTITION, not per url — the
+        per-doc map_groups shape pays one Python call per document)."""
+        if t.num_rows == 0:
+            return t
+        import pyarrow.compute as pc
+        from blacklab_ray.stages.tokenize import hash64
+        d = pc.dictionary_encode(t.column("url").combine_chunks())
+        uniq = d.dictionary.to_pylist()
+        uniq_part = np.array([hash64(u) % P for u in uniq], np.int64)
+        part = uniq_part[d.indices.to_numpy(zero_copy_only=False)]
+        return t.append_column("part", pa.array(part, pa.int64()))
+
+    def pages_from_part(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        base = pa.schema([
+            ("url", pa.string()), ("warc_ts", pa.timestamp("us")),
+            ("html", pa.binary()), ("text", pa.string()),
+            ("lang", pa.string())])
+        if g.num_rows == 0 or "url" not in g.column_names:
+            return base.empty_table()
+        urls = np.asarray(g.column("url").to_pylist(), dtype=object)
+        pos = g.column("pos").to_numpy(zero_copy_only=False)
+        order = np.lexsort((pos, urls))
+        t = g.take(pa.array(order))
+        urls = urls[order]
+        n = urls.size
+        new = np.ones(n, dtype=bool)
+        new[1:] = urls[1:] != urls[:-1]
+        starts = np.flatnonzero(new)
+        offs = np.append(starts, n).astype(np.int32)
+        words = pc.cast(t.column("word").combine_chunks(), pa.string())
+        texts = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(offs, pa.int32()), words),
+            " ")
+        starts_pa = pa.array(starts, pa.int64())
         cols = {
-            "url": pa.array([group.column("url")[0].as_py()],
-                            pa.string()),
-            "warc_ts": pa.nulls(1, pa.timestamp("us")),
-            "html": pa.array([text.encode()], pa.binary()),
-            "text": pa.array([text], pa.string()),
-            "lang": pa.array([lang], pa.string()),
+            "url": t.column("url").take(starts_pa),
+            "warc_ts": pa.nulls(starts.size, pa.timestamp("us")),
+            "html": pc.cast(texts, pa.binary()),
+            "text": texts,
+            "lang": (t.column("lang").take(starts_pa)
+                     if "lang" in t.column_names
+                     else pa.nulls(starts.size, pa.string())),
         }
         # extra columns (lemma, pos tags, …) become token-aligned
         # list<string> annotation columns — the word-per-line formats'
         # parallel annotations (tsv-frog's word/lemma/pos triples,
         # DocIndexerTabular.java:37)
-        for c in group.column_names:
-            if c in ("url", "pos", "word", "lang"):
+        for c in t.column_names:
+            if c in ("url", "pos", "word", "lang", "part"):
                 continue
-            vals = np.asarray(group.column(c).to_pylist(),
-                              dtype=object)[order]
-            cols[c] = pa.array([[str(v) for v in vals]],
-                               pa.list_(pa.string()))
+            cols[c] = pa.ListArray.from_arrays(
+                pa.array(offs, pa.int32()),
+                pc.cast(t.column(c).combine_chunks(), pa.string()))
         return pa.table(cols)
 
-    return ds.groupby("url").map_groups(to_page, batch_format="pyarrow")
+    return ds.map_batches(_part, batch_format="pyarrow") \
+        .groupby("part").map_groups(pages_from_part,
+                                    batch_format="pyarrow")
 
 
 def _read_sketch_wpl(paths, encoding: str = "utf-8",
