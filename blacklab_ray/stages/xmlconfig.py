@@ -24,10 +24,19 @@ with an XPath 3 engine): steps are matched by LOCAL NAME (TEI /
 FoLiA / PageXML namespaces need no declaration), ``.//x`` and ``//x``
 mean descendant, ``a/b`` child steps, ``*`` any element, ``..`` the
 parent, ``@attr`` an attribute, ``a/@attr`` an attribute of a child,
-``.`` the element's own text. Steps take predicates:
-``[@attr]``, ``[@attr='v']``, ``[not(@attr)]``, ``[child='v']`` and
-positional ``[n]`` (1-based) — the shapes the shipped .blf.yaml
-files use (e.g. ``.//listBibl[@id='inlMetadata']``, ``../@type``).
+``.`` the element's own text. Explicit axes are supported:
+``child:: self:: parent:: ancestor[-or-self]:: descendant[-or-self]::
+following-sibling:: preceding-sibling::`` (sibling/ancestor axes need
+the parent map, available in all config extraction paths). Steps take
+predicates: ``[@attr]``, ``[@attr='v']``, ``[not(@attr)]``,
+``[child='v']``, positional ``[n]`` / ``[position()=n]`` (1-based),
+``!= < > <= >=`` comparisons, ``and`` / ``or``, and string-function
+calls — the shapes the shipped .blf.yaml files use (e.g.
+``.//listBibl[@id='inlMetadata']``, ``../@type``) plus user-config
+shapes. Value paths evaluate the XPath function subset concat,
+substring(-before/-after), normalize-space, local-name, contains,
+starts-with, ends-with, string-length, string, translate,
+upper-case, lower-case, replace — nested calls allowed.
 ``|`` unions whole paths. ``metadata_foreach`` mirrors the config
 model's forEachPath/namePath/valuePath dynamic metadata, with field
 names DECLARED up front (``foreach_fields``) for a stable Arrow
@@ -95,23 +104,72 @@ def _local(tag) -> str:
     return tag.rsplit("}", 1)[-1]
 
 
-_STEP_RE = re.compile(r"^(\.\.|\*|[\w:-]+)((?:\[[^\]]*\])*)$")
+_STEP_RE = re.compile(
+    r"^(?:([a-z-]+)::)?(\.\.|\*|[\w:-]+)((?:\[[^\]]*\])*)$")
 _PRED_RE = re.compile(r"\[([^\]]*)\]")
+
+_AXES = ("child", "self", "parent", "ancestor", "ancestor-or-self",
+         "descendant", "descendant-or-self", "following-sibling",
+         "preceding-sibling")
 
 
 def _parse_step(step: str):
-    """'name[@a='v'][2]' → (name, [predicate, ...])."""
+    """'axis::name[@a='v'][2]' → (axis|None, name, [predicate, ...])."""
     m = _STEP_RE.match(step)
     if m is None:
         raise ValueError(f"unsupported path step: {step!r}")
-    return m.group(1), _PRED_RE.findall(m.group(2))
+    axis = m.group(1)
+    if axis is not None and axis not in _AXES:
+        raise ValueError(f"unsupported axis: {axis!r}")
+    return axis, m.group(2), _PRED_RE.findall(m.group(3))
 
 
-def _pred_ok(el, pred: str, pos: int) -> bool:
-    """Evaluate one step predicate (the shipped-config subset)."""
+def _axis_candidates(el, axis: str | None, parents: dict | None):
+    """Candidate elements of one axis step (document order; reversed
+    for the preceding/ancestor axes, per XPath proximity order)."""
+    if axis in (None, "child"):
+        return list(el)
+    if axis == "self":
+        return [el]
+    if axis == "parent":
+        p = (parents or {}).get(el)
+        return [] if p is None else [p]
+    if axis in ("ancestor", "ancestor-or-self"):
+        out = [el] if axis.endswith("-or-self") else []
+        p = (parents or {}).get(el)
+        while p is not None:
+            out.append(p)
+            p = (parents or {}).get(p)
+        return out
+    if axis == "descendant":
+        return [x for x in el.iter() if x is not el]
+    if axis == "descendant-or-self":
+        return list(el.iter())
+    # sibling axes
+    p = (parents or {}).get(el)
+    if p is None:
+        return []
+    kids = list(p)
+    i = next(j for j, k in enumerate(kids) if k is el)
+    return kids[i + 1:] if axis == "following-sibling" \
+        else kids[i - 1::-1]
+
+
+_CMP_RE = re.compile(r"^(.*?)\s*(!=|>=|<=|=|>|<)\s*(.*)$")
+
+
+def _pred_ok(el, pred: str, pos: int,
+             parents: dict | None = None) -> bool:
+    """Evaluate one step predicate: position, existence, (in)equality
+    and order comparisons, boolean and/or, not(), and string-function
+    calls (contains/starts-with/... via the _eval_func subset)."""
     pred = pred.strip()
+    if " or " in pred:
+        return any(_pred_ok(el, p, pos, parents)
+                   for p in pred.split(" or "))
     if " and " in pred:                         # [not(*) and text()]
-        return all(_pred_ok(el, p, pos) for p in pred.split(" and "))
+        return all(_pred_ok(el, p, pos, parents)
+                   for p in pred.split(" and "))
     if pred.isdigit():                          # [n] — 1-based position
         return pos == int(pred)
     neg = False
@@ -121,18 +179,25 @@ def _pred_ok(el, pred: str, pos: int) -> bool:
         return (len(el) > 0) != neg
     if pred == "text()":                        # non-empty text content
         return bool(_text_of(el)) != neg
-    if "=" in pred:
-        lhs, rhs = pred.split("=", 1)
-        rhs = rhs.strip().strip("'\"")
-        lhs = lhs.strip()
-        if lhs.startswith("@"):
-            got = el.get(lhs[1:])
-        else:                                   # child-element text
-            got = next((_text_of(c) for c in el
-                        if _local(c.tag) == lhs), None)
-        ok = got == rhs
-    elif pred.startswith("@"):
+    m = _CMP_RE.match(pred)
+    if m is not None:
+        lhs, op, rhs = m.group(1).strip(), m.group(2), m.group(3).strip()
+        lv = str(pos) if lhs == "position()" else _value(el, lhs, parents)
+        rv = str(pos) if rhs == "position()" else _value(el, rhs, parents)
+        if op in ("=", "!="):
+            ok = (lv == rv) if op == "=" else (lv != rv)
+        else:
+            try:
+                ln, rn = float(lv), float(rv)
+            except ValueError:
+                return neg                       # non-numeric order cmp
+            ok = {"<": ln < rn, ">": ln > rn,
+                  "<=": ln <= rn, ">=": ln >= rn}[op]
+        return ok != neg
+    if pred.startswith("@"):
         ok = el.get(pred[1:]) is not None
+    elif _FUNC_RE.match(pred):                  # [contains(@a,'x')] etc.
+        ok = bool(_value(el, pred, parents))
     else:                                       # [child] existence
         ok = any(_local(c.tag) == pred for c in el)
     return ok != neg
@@ -158,13 +223,13 @@ def _iter_one_path(el, path: str, parents: dict | None):
         path = path[2:] if path.startswith("./") else path
     steps = [_parse_step(s) for s in path.split("/")]
     if descend:
-        (first, preds), rest = steps[0], steps[1:]
+        (_axis, first, preds), rest = steps[0], steps[1:]
         pos = 0
         for sub in el.iter():
             if sub is not el and (first == "*"
                                   or _local(sub.tag) == first):
                 pos += 1
-                if all(_pred_ok(sub, p, pos) for p in preds):
+                if all(_pred_ok(sub, p, pos, parents) for p in preds):
                     yield from _walk_steps_from(sub, rest, parents)
     else:
         yield from _walk_steps_from(el, steps, parents)
@@ -174,26 +239,29 @@ def _walk_steps_from(el, steps, parents: dict | None = None):
     if not steps:
         yield el
         return
-    (first, preds), rest = steps[0], steps[1:]
+    (axis, first, preds), rest = steps[0], steps[1:]
     if first == "..":
         parent = (parents or {}).get(el)
         if parent is not None:
             yield from _walk_steps_from(parent, rest, parents)
         return
     pos = 0
-    for child in el:
-        if first == "*" or _local(child.tag) == first:
+    for cand in _axis_candidates(el, axis, parents):
+        if first == "*" or _local(cand.tag) == first:
             pos += 1
-            if all(_pred_ok(child, p, pos) for p in preds):
-                yield from _walk_steps_from(child, rest, parents)
+            if all(_pred_ok(cand, p, pos, parents) for p in preds):
+                yield from _walk_steps_from(cand, rest, parents)
 
 
 def _text_of(el) -> str:
     return " ".join(s.strip() for s in el.itertext() if s.strip())
 
 
-_FUNC_RE = re.compile(r"^(concat|substring|normalize-space|"
-                      r"local-name)\((.*)\)$", re.S)
+_FUNC_RE = re.compile(
+    r"^(concat|substring-before|substring-after|substring|"
+    r"normalize-space|local-name|contains|starts-with|ends-with|"
+    r"string-length|string|translate|upper-case|lower-case|"
+    r"replace)\((.*)\)$", re.S)
 
 
 def _split_args(s: str) -> list[str]:
@@ -223,8 +291,12 @@ def _split_args(s: str) -> list[str]:
 def _eval_func(el, name: str, argstr: str, parents) -> str:
     """XPath function subset for USER configs (VERDICT r3 #9;
     DocIndexerSaxon.java:30 value-path shapes): concat, substring
-    (XPath 1-based), normalize-space, local-name. Arguments may be
-    quoted literals, numbers, paths, or nested calls."""
+    (XPath 1-based), substring-before/-after, normalize-space,
+    local-name, contains, starts-with, ends-with, string-length,
+    string, translate, upper-case, lower-case, replace (XPath 2
+    regex). Boolean functions return "true"/"" (XPath string-value of
+    a boolean; predicates test non-emptiness). Arguments may be quoted
+    literals, numbers, paths, or nested calls."""
     args = _split_args(argstr)
 
     def ev(a: str) -> str:
@@ -235,6 +307,36 @@ def _eval_func(el, name: str, argstr: str, parents) -> str:
     if name == "normalize-space":
         s = ev(args[0]) if args and args[0] else _text_of(el)
         return " ".join(s.split())
+    if name == "string":
+        return ev(args[0]) if args and args[0] else _text_of(el)
+    if name == "contains":
+        return "true" if ev(args[1]) in ev(args[0]) else ""
+    if name == "starts-with":
+        return "true" if ev(args[0]).startswith(ev(args[1])) else ""
+    if name == "ends-with":
+        return "true" if ev(args[0]).endswith(ev(args[1])) else ""
+    if name == "string-length":
+        s = ev(args[0]) if args and args[0] else _text_of(el)
+        return str(len(s))
+    if name == "upper-case":
+        return ev(args[0]).upper()
+    if name == "lower-case":
+        return ev(args[0]).lower()
+    if name == "translate":
+        src, frm, to = ev(args[0]), ev(args[1]), ev(args[2])
+        tbl = {ord(f): (to[i] if i < len(to) else None)
+               for i, f in enumerate(frm)}
+        return src.translate(tbl)
+    if name == "substring-before":
+        s, sep = ev(args[0]), ev(args[1])
+        i = s.find(sep)
+        return s[:i] if i >= 0 else ""
+    if name == "substring-after":
+        s, sep = ev(args[0]), ev(args[1])
+        i = s.find(sep)
+        return s[i + len(sep):] if i >= 0 else ""
+    if name == "replace":
+        return re.sub(ev(args[1]), ev(args[2]), ev(args[0]))
     if name == "local-name":
         if not args or not args[0]:
             return _local(el.tag)
@@ -263,7 +365,7 @@ def _value(el, path: str, parents: dict | None = None) -> str:
     '../@attr' (parent axis needs ``parents``), quoted literals,
     numbers, and the concat/substring/normalize-space/local-name
     function subset (nested calls allowed)."""
-    path = path.strip()
+    path = path.strip().replace("attribute::", "@")
     if path in (".", "text()"):
         return _text_of(el)
     if path == "local-name()":      # cmdi.blf.yaml namePath
@@ -402,7 +504,8 @@ def extract_xml_config(cfg: XmlFormatConfig, encoding: str = "utf-8"):
             m: [] for m in list(cfg.metadata) + list(cfg.foreach_fields)}
         langs: list = []
         needs_parents = any(
-            ".." in p for p in
+            ".." in p or "ancestor" in p or "sibling" in p
+            or "parent::" in p for p in
             list(cfg.metadata.values()) + [cfg.word_value]
             + list(cfg.annotations.values())
             + [v for fe in cfg.metadata_foreach for v in fe]
@@ -423,7 +526,7 @@ def extract_xml_config(cfg: XmlFormatConfig, encoding: str = "utf-8"):
                                           parents))
                 first_step = _parse_step(
                     cfg.document_path.removeprefix(".//")
-                    .removeprefix("//").lstrip("./").split("/")[0])[0]
+                    .removeprefix("//").lstrip("./").split("/")[0])[1]
                 if not doc_els and _local(root.tag) == first_step:
                     # the file's root element IS the document tag
                     doc_els = [root]

@@ -437,3 +437,88 @@ def test_path_engine_properties():
         base = list(_iter_path(root, steps[0]))
         assert set(map(id, pred)) <= set(map(id, base))
         assert all(e.get("k") == "x" for e in pred)
+
+
+def test_xpath_axes_and_function_breadth():
+    """Round-4 Saxon-gap narrowing: explicit axes, comparison/boolean
+    predicates and the wider string-function set on user-style paths."""
+    import xml.etree.ElementTree as ET
+
+    from blacklab_ray.stages.xmlconfig import _iter_path, _value
+
+    root = ET.fromstring(
+        "<doc><head><title>The Title</title></head>"
+        "<body><s n='1'><w id='w1' t='Db'>aa</w><w id='w2'>bb</w></s>"
+        "<s n='2'><w id='w3'>cc</w></s></body></doc>")
+    parents = {c: p for p in root.iter() for c in p}
+    w2 = next(_iter_path(root, ".//w[@id='w2']"))
+
+    # axes
+    assert [e.get("n") for e in
+            _iter_path(w2, "ancestor::s", parents)] == ["1"]
+    assert next(_iter_path(w2, "parent::s", parents)).get("n") == "1"
+    assert [e.get("id") for e in
+            _iter_path(w2, "preceding-sibling::w", parents)] == ["w1"]
+    s1 = next(_iter_path(root, ".//s[@n='1']"))
+    assert [e.get("n") for e in
+            _iter_path(s1, "following-sibling::s", parents)] == ["2"]
+    assert len(list(_iter_path(root, "descendant::w"))) == 3
+    assert next(_iter_path(w2, "self::w", parents)) is w2
+
+    # comparison / boolean predicates
+    assert [e.get("id") for e in
+            _iter_path(root, ".//w[@id!='w2']")] == ["w1", "w3"]
+    assert [e.get("n") for e in
+            _iter_path(root, ".//s[position()=2]")] == ["2"]
+    assert [e.get("id") for e in
+            _iter_path(root, ".//w[@id='w1' or @id='w3']")] \
+        == ["w1", "w3"]
+    assert [e.get("id") for e in
+            _iter_path(root, ".//w[contains(@id,'2')]")] == ["w2"]
+    assert [e.get("n") for e in _iter_path(root, ".//s[@n>1]")] == ["2"]
+
+    # string functions in value paths
+    v = lambda p: _value(root, p, parents)  # noqa: E731
+    assert v("contains(.//title, 'Title')") == "true"
+    assert v("starts-with(.//title, 'The')") == "true"
+    assert v("ends-with(.//title, 'The')") == ""
+    assert v("string-length(.//title)") == "9"
+    assert v("upper-case(substring-before(.//title, ' '))") == "THE"
+    assert v("substring-after(.//title, ' ')") == "Title"
+    assert v("translate(.//title, 'Te', 'Xy')") == "Xhy Xitly"
+    assert v("lower-case(replace(.//title, '[aeiou]', '*'))") \
+        == "th* t*tl*"
+    assert v("string(.//w[@id='w3'])") == "cc"
+    assert _value(w2, "attribute::id", parents) == "w2"
+
+
+def test_xpath_axes_in_extraction_config():
+    """A user-style config whose annotation paths use sibling/ancestor
+    axes and functions extracts correctly end-to-end."""
+    from blacklab_ray.stages.xmlconfig import (XmlFormatConfig,
+                                               extract_xml_config)
+    doc = ("<corpus><text id='T1'>"
+           "<s n='1'><w pos='DET'>De</w><w pos='N'>kat</w></s>"
+           "</text></corpus>")
+    cfg = XmlFormatConfig(
+        name="user-axes",
+        document_path=".//text",
+        word_path=".//w",
+        word_value=".",
+        annotations={
+            "pos": "lower-case(@pos)",
+            "sid": "ancestor::s/@n",
+        },
+        metadata={"title": "upper-case(@id)"},
+    )
+    fn = extract_xml_config(cfg)
+    import pyarrow as pa
+    t = fn(pa.table({
+        "path": pa.array(["a.xml"], pa.string()),
+        "bytes": pa.array([doc.encode()], pa.binary()),
+    }))
+    assert t.num_rows == 1
+    assert t["text"][0].as_py() == "De kat"
+    assert t["pos"][0].as_py() == ["det", "n"]
+    assert t["sid"][0].as_py() == ["1", "1"]
+    assert t["meta_title"][0].as_py() == "T1"
