@@ -607,7 +607,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                 "avg_alpha_ratio": 6})
 
     def q_token_count_by_lang(sf):
-        return textstats.token_counts_by(_docs_ds(sf), "lang")
+        # bpe=True adds the BPE-ish pretokenizer estimate — same RE2
+        # pattern string runs in the DuckDB oracle (regexp_extract_all)
+        return textstats.token_counts_by(_docs_ds(sf), "lang", bpe=True)
 
     def q_lang_id(sf):
         from ray.data.aggregate import Count
@@ -1292,10 +1294,18 @@ SELECT source, count(*) AS n_docs,
 FROM per_doc GROUP BY source
 """,
         "token_count_by_lang": f"""
-WITH toks AS ({toks})
+WITH toks AS ({toks}),
+bpe AS (
+  SELECT lang, sum(length(regexp_extract_all(text,
+    ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\n]+|[ \t\n]+')))
+    AS total_bpe_tokens
+  FROM documents GROUP BY lang
+)
 SELECT d.lang, count(distinct d.doc_id) AS n_docs,
-       count(t.term) AS total_tokens
+       count(t.term) AS total_tokens,
+       any_value(b.total_bpe_tokens)::BIGINT AS total_bpe_tokens
 FROM documents d LEFT JOIN toks t ON d.doc_id = t.doc_id
+LEFT JOIN bpe b ON d.lang = b.lang
 GROUP BY d.lang
 """,
         "events_windows": """

@@ -132,23 +132,50 @@ def lang_id(ds: ray.data.Dataset, text_col: str = "text",
         batch_format="pyarrow", concurrency=2)
 
 
+# GPT-2-style pretokenizer shape, restricted to RE2-portable ASCII
+# classes (no lookahead, no \p{} — the SAME pattern string runs in
+# Arrow's count_substring_regex AND DuckDB's regexp_extract_all, so
+# the operator is exactly SQL-oracleable): a token is an optional
+# leading space + a letter run / digit run / punctuation run, or a
+# whitespace run.
+BPE_SPLIT_RE = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\n]+|[ \t\n]+"
+
+
+def bpe_token_counts(col: pa.Array | pa.ChunkedArray,
+                     pattern: str = BPE_SPLIT_RE) -> pa.Array:
+    """Per-row BPE-ish token counts — one vectorized RE2 kernel."""
+    return pc.count_substring_regex(col, pattern)
+
+
 def token_counts_by(ds: ray.data.Dataset, group_col: str,
                     text_col: str = "text",
-                    id_col: str = "doc_id") -> ray.data.Dataset:
-    """Per-group doc + token counts (partial-agg then tiny groupby)."""
+                    id_col: str = "doc_id",
+                    bpe: bool = False) -> ray.data.Dataset:
+    """Per-group doc + token counts (partial-agg then tiny groupby).
+
+    ``bpe=True`` adds ``total_bpe_tokens``: the BPE-ish pretokenizer
+    match count (BPE_SPLIT_RE) — the "how many LLM tokens is this
+    corpus" estimator a training-data pipeline sizes batches with."""
 
     class _P:
         def __call__(self, batch: pa.Table) -> pa.Table:
             _, _, _, lens = tokenize_column(batch.column(text_col))
-            return pa.table({
+            cols = {
                 "grp": batch.column(group_col),
                 "doc_len": pa.array(lens, pa.int64()),
-            })
+            }
+            if bpe:
+                cols["bpe_len"] = bpe_token_counts(
+                    batch.column(text_col)).cast(pa.int64())
+            return pa.table(cols)
 
     partial = ds.map_batches(_P(), batch_format="pyarrow")
-    out = partial.groupby("grp").aggregate(
-        Count(alias_name="n_docs"),
-        Sum("doc_len", alias_name="total_tokens"))
+    aggs = [Count(alias_name="n_docs"),
+            Sum("doc_len", alias_name="total_tokens")]
+    names = [group_col, "n_docs", "total_tokens"]
+    if bpe:
+        aggs.append(Sum("bpe_len", alias_name="total_bpe_tokens"))
+        names.append("total_bpe_tokens")
+    out = partial.groupby("grp").aggregate(*aggs)
     return out.map_batches(
-        lambda t: t.rename_columns([group_col, "n_docs", "total_tokens"]),
-        batch_format="pyarrow")
+        lambda t: t.rename_columns(names), batch_format="pyarrow")

@@ -537,3 +537,25 @@ def test_fuzzy_vectorized_empty_and_edgecases():
     assert _fuzzy_match_terms([], "abc", 1) == []
     assert _fuzzy_match_terms(["zzzzzzzz"], "a", 1) == []
     assert _fuzzy_match_terms(["a", "b"], "a", 0) == ["a"]
+
+
+def test_bpe_token_counts_matches_duckdb(ray_session):
+    """BPE-ish pretokenizer counts: the SAME RE2 pattern string must
+    count identically through Arrow's count_substring_regex and
+    DuckDB's regexp_extract_all (that parity is what makes the
+    operator SQL-oracleable)."""
+    import duckdb
+    import pyarrow as pa
+
+    from blacklab_ray.pipelines.textstats import (
+        BPE_SPLIT_RE, bpe_token_counts,
+    )
+    texts = ["Hello world, it's 2024!", "  foo-bar baz_qux 12.5%",
+             "", "a", "tab\there\nline", "...!!!", "CamelCase99x"]
+    got = bpe_token_counts(pa.array(texts)).to_pylist()
+    con = duckdb.connect()
+    want = [r[0] for r in con.execute(
+        "SELECT length(regexp_extract_all(t, ?)) "
+        "FROM (SELECT unnest(?) t)", [BPE_SPLIT_RE, texts]).fetchall()]
+    assert got == want
+    assert got[2] == 0 and got[3] == 1
