@@ -143,6 +143,10 @@ def run_bench(num_cpus: int) -> dict:
                 BuildParams(num_buckets=64, n_salts=8,
                             extract_html=True, trust_text=False,
                             batch_size=512,
+                            # posting-block codec A/B hook
+                            # (BLRAY_BENCH_CODEC=pfor)
+                            codec=os.environ.get(
+                                "BLRAY_BENCH_CODEC", "vbyte"),
                             exchange=os.environ.get(
                                 "BLRAY_BENCH_EXCHANGE", "fused"),
                             # auto map chunking by default; the scaling

@@ -18,6 +18,19 @@ def pin_worker_arrow_threads(n: int = 1) -> None:
         return
     import pyarrow as pa
     try:
+        # raise glibc's mmap threshold so numpy's large temporaries come
+        # from the reusable heap instead of fresh mmap/munmap pairs —
+        # with 32 concurrent workers the kernel page-fault/zone-lock
+        # storm made allocating kernels (np.repeat/np.arange) 100x
+        # slower than isolated (profiled on the pfor postings encode:
+        # reduce p50 19.5s -> see BASELINE.md round-4 notes)
+        import ctypes
+        libc = ctypes.CDLL("libc.so.6", use_errno=True)
+        M_MMAP_THRESHOLD = -3
+        libc.mallopt(M_MMAP_THRESHOLD, 1 << 30)
+    except Exception:
+        pass
+    try:
         pa.set_cpu_count(n)
         pa.set_io_thread_count(max(2, n))
     except Exception:
