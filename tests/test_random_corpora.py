@@ -65,8 +65,10 @@ def _random_corpus(rng, n_docs, vocab_size):
     })
 
 
-@pytest.mark.parametrize("seed", [11, 12, 13])
-def test_wand_taat_oracle_on_random_corpus(ray_session, tmp_path, seed):
+@pytest.mark.parametrize("seed,codec", [(11, "vbyte"), (12, "vbyte"),
+                                        (13, "pfor"), (14, "pfor")])
+def test_wand_taat_oracle_on_random_corpus(ray_session, tmp_path, seed,
+                                           codec):
     import pyarrow.parquet as pq
 
     from blacklab_ray.index import BuildParams, build_index
@@ -81,7 +83,7 @@ def test_wand_taat_oracle_on_random_corpus(ray_session, tmp_path, seed):
     idx = str(tmp_path / f"idx{seed}")
     build_index(str(src), idx,
                 BuildParams(num_buckets=3, n_salts=2, block_size=4,
-                            max_seg_postings=16))
+                            max_seg_postings=16, codec=codec))
     reader = IndexReader(idx)
     oracle = CorpusOracle.from_pages(pages)
     vocab = sorted(oracle.doc_freq())
