@@ -84,15 +84,20 @@ def _read_plaintext(paths, encoding: str = "utf-8",
 
 
 def _read_tabular(paths, delimiter: str = "\t",
+                  num_partitions: int = 32,
                   **opts) -> ray.data.Dataset:
-    """Word-per-line rows (url, pos, word[, lang]) → one page per url."""
+    """Word-per-line rows (url, pos, word[, lang]) → one page per url.
+
+    ``num_partitions``: part-hash shuffle width for doc assembly —
+    size to a few x cluster cores at scale (each partition is one
+    task's working set)."""
     from pyarrow import csv as pa_csv
     ds = ray.data.read_csv(
         paths,
         parse_options=pa_csv.ParseOptions(delimiter=delimiter),
         **opts)
 
-    P = 32
+    P = num_partitions
 
     def _part(t: pa.Table) -> pa.Table:
         """Partition key from batch-unique url hashes (docs stay whole;

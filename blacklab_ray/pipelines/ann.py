@@ -291,7 +291,8 @@ def cosine_dup_pairs_lsh(ds: ray.data.Dataset, threshold: float = 0.95,
                          vec_col: str = "embedding",
                          id_col: str = "vec_id", dim: int | None = None,
                          n_planes: int = 10, n_tables: int = 8,
-                         bucket_cap: int = 2000) -> pa.Table:
+                         bucket_cap: int = 2000,
+                         num_partitions: int = 32) -> pa.Table:
     """Approximate near-dup pairs — the 10^12-scale path.
 
     Explode to L LSH tables → groupby (tbl, bucket) → exact cosine
