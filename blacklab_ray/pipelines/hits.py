@@ -111,28 +111,72 @@ def hits_by_with_examples(ds: ray.data.Dataset, term: str,
     shuffle."""
     found = find_hits(ds, term, id_col, text_col, carry=(group_col,))
 
-    def per_group(g: pa.Table) -> pa.Table:
-        d = g["doc_id"].to_numpy()
-        p = g["pos"].to_numpy()
-        order = np.lexsort((p, d))[:max_stored]
-        ex = [{"doc_id": int(d[i]), "pos": int(p[i])}
-              for i in order.tolist()]
+    # part-hash shuffle: group values stay whole within a partition and
+    # the whole partition reduces in ONE vectorized UDF call — group
+    # cardinality (e.g. grouping by hit text) is unbounded at scale, so
+    # a per-group map_groups (one Python call per distinct value) is
+    # the shape that dies first
+    P = 32
+
+    def _part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        import pyarrow.compute as pc
+
+        from blacklab_ray.stages.tokenize import hash64
+        d = pc.dictionary_encode(t.column(group_col).combine_chunks())
+        uniq = d.dictionary.to_pylist()
+        uniq_part = np.array([hash64(str(u)) % P for u in uniq],
+                             np.int64)
+        part = uniq_part[d.indices.to_numpy(zero_copy_only=False)]
+        return t.append_column("part", pa.array(part, pa.int64()))
+
+    EX_T = pa.list_(pa.struct([("doc_id", pa.int64()),
+                               ("pos", pa.int64())]))
+    out_schema = pa.schema([(group_col, pa.string()),
+                            ("n_hits", pa.int64()),
+                            ("examples", EX_T)])
+
+    def per_part(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "doc_id" not in g.column_names:
+            return out_schema.empty_table()
+        grp = np.asarray(g[group_col].to_pylist(), dtype=object)
+        d = g["doc_id"].to_numpy(zero_copy_only=False)
+        p = g["pos"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((p, d, grp))
+        grp, d, p = grp[order], d[order], p[order]
+        n = grp.size
+        new = np.ones(n, dtype=bool)
+        new[1:] = grp[1:] != grp[:-1]
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.append(starts, n))
+        take = np.minimum(sizes, max_stored)
+        tk_cum = np.zeros(starts.size + 1, dtype=np.int64)
+        np.cumsum(take, out=tk_cum[1:])
+        gi = np.repeat(np.arange(starts.size), take)
+        idx = starts[gi] + np.arange(int(tk_cum[-1])) - tk_cum[gi]
+        ex_struct = pa.StructArray.from_arrays(
+            [pa.array(d[idx], pa.int64()), pa.array(p[idx], pa.int64())],
+            names=["doc_id", "pos"])
+        examples = pa.ListArray.from_arrays(
+            pa.array(tk_cum.astype(np.int32), pa.int32()), ex_struct)
         return pa.table({
-            group_col: pa.array([g[group_col][0].as_py()], pa.string()),
-            "n_hits": pa.array([g.num_rows], pa.int64()),
-            "examples": pa.array([ex], pa.list_(pa.struct(
-                [("doc_id", pa.int64()), ("pos", pa.int64())]))),
+            group_col: pa.array([str(x) for x in grp[starts]],
+                                pa.string()),
+            "n_hits": pa.array(sizes, pa.int64()),
+            "examples": examples.cast(EX_T),
         })
 
-    out = found.groupby(group_col).map_groups(per_group,
-                                              batch_format="pyarrow")
+    out = found.map_batches(_part, batch_format="pyarrow") \
+        .groupby("part").map_groups(per_part, batch_format="pyarrow")
     tbl = pa.Table.from_pylist(out.take_all())
     if tbl.num_rows == 0:
-        return pa.table({group_col: pa.array([], pa.string()),
-                         "n_hits": pa.array([], pa.int64()),
-                         "examples": pa.array([], pa.list_(pa.struct(
-                             [("doc_id", pa.int64()),
-                              ("pos", pa.int64())])))})
+        return out_schema.empty_table()
+    tbl = pa.table({
+        group_col: tbl[group_col].cast(pa.string()),
+        "n_hits": tbl["n_hits"].cast(pa.int64()),
+        "examples": tbl["examples"].cast(EX_T),
+    })
     return tbl.sort_by([("n_hits", "descending"),
                         (group_col, "ascending")])
 
