@@ -205,6 +205,15 @@ def run_bench(num_cpus: int) -> dict:
     svc_wall = time.perf_counter() - t0
     timings["service_batch_sec"] = round(svc_wall, 3)
     timings["service_qps"] = round(len(queries) / svc_wall, 1)
+    # cache-affinity routing: the same batch again, routed by term-set
+    # hash — repeats land on replicas whose segment/result caches are
+    # already warm (round-robin scatters repeats across cold replicas)
+    svc.search_many(queries, routing="affinity")
+    t0 = time.perf_counter()
+    svc.search_many(queries, routing="affinity")
+    aff_wall = time.perf_counter() - t0
+    timings["service_affinity_repeat_qps"] = round(
+        len(queries) / aff_wall, 1)
     svc.shutdown()
 
     # ---- skewed workload: pool-shared L2 cache tier (r3) ---------------

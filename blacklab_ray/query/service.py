@@ -245,16 +245,29 @@ class QueryService:
             for _ in range(n_actors)]
         self._rr = 0
 
-    def submit(self, terms, k=10, mode="or", algo="auto"):
-        a = self._actors[self._rr % len(self._actors)]
-        self._rr += 1
+    def submit(self, terms, k=10, mode="or", algo="auto",
+               routing: str = "roundrobin"):
+        """``routing="affinity"`` hashes the (sorted, deduped) term set
+        to a fixed replica, so a repeated query always lands where its
+        segments and result cache are already warm — the standard
+        cache-affinity tradeoff vs round-robin's perfect load spread
+        (a hot query can skew one replica; the shared L2 tier covers
+        that case)."""
+        if routing == "affinity":
+            from blacklab_ray.stages.tokenize import hash64
+            key = hash64("\x00".join(sorted(set(terms))))
+            a = self._actors[key % len(self._actors)]
+        else:
+            a = self._actors[self._rr % len(self._actors)]
+            self._rr += 1
         return a.search.remote(terms, k=k, mode=mode, algo=algo)
 
-    def search_many(self, queries: list[dict]) -> list[dict]:
+    def search_many(self, queries: list[dict],
+                    routing: str = "roundrobin") -> list[dict]:
         """Run a query batch across the pool; returns results in order."""
         refs = [self.submit(q["terms"], k=q.get("k", 10),
                             mode=q.get("mode", "or"),
-                            algo=q.get("algo", "auto"))
+                            algo=q.get("algo", "auto"), routing=routing)
                 for q in queries]
         return ray.get(refs)
 

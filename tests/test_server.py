@@ -277,3 +277,24 @@ def test_wsgi_live_roundtrip(srv_index):
     finally:
         httpd.shutdown()
         httpd.server_close()
+
+
+def test_affinity_routing_same_results(ray_session, small_index):
+    """routing="affinity" returns the same results as round-robin and
+    deterministically pins a query's term set to one replica."""
+    from blacklab_ray.query.service import QueryService
+    svc = QueryService(small_index, n_actors=3)
+    qs = [{"terms": ["the"]}, {"terms": ["of", "the"]},
+          {"terms": ["quick"]}, {"terms": ["the", "of"]}]
+    try:
+        rr = svc.search_many(qs)
+        aff = svc.search_many(qs, routing="affinity")
+        for a, b in zip(rr, aff):
+            assert a["rows"] == b["rows"]
+        # same term SET -> same replica (order-insensitive hash)
+        from blacklab_ray.stages.tokenize import hash64
+        k1 = hash64("\x00".join(sorted({"of", "the"}))) % 3
+        k2 = hash64("\x00".join(sorted({"the", "of"}))) % 3
+        assert k1 == k2
+    finally:
+        svc.shutdown()
