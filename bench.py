@@ -409,12 +409,28 @@ def _merge_best(runs: list[dict]) -> dict:
     return base
 
 
-def run_bench_defended(reps: int = 2) -> dict:
+def _wait_for_idle(max_load: float = 2.0, timeout_s: int = 120) -> None:
+    """Idle-host discipline (BASELINE.md): a rep launched while the
+    previous rep's load is still draining absorbs the contention and
+    poisons even best-of-N. Gate on the 1-minute load average."""
+    deadline = time.time() + timeout_s
+    while time.time() < deadline:
+        try:
+            with open("/proc/loadavg") as f:
+                if float(f.read().split()[0]) < max_load:
+                    return
+        except OSError:
+            return
+        time.sleep(5)
+
+
+def run_bench_defended(reps: int = 3) -> dict:
     """Run the headline bench `reps` times in fresh processes; merge
     best-of per stage.  Each rep gets its own Ray session so a stray
     degraded session can't poison the next rep."""
     runs = []
     for _ in range(reps):
+        _wait_for_idle()
         env = dict(os.environ, BLRAY_BENCH_INNER="1")
         p = subprocess.run([sys.executable, os.path.abspath(__file__)],
                            env=env, capture_output=True, text=True)
@@ -435,4 +451,4 @@ if __name__ == "__main__":
         print(json.dumps(run_bench(ncpu)))
     else:
         print(json.dumps(run_bench_defended(
-            int(os.environ.get("BLRAY_BENCH_REPS", "2")))))
+            int(os.environ.get("BLRAY_BENCH_REPS", "3")))))
