@@ -937,12 +937,21 @@ def _has_unbounded(plan: SeqPlan) -> bool:
             or (plan.trail is not None and plan.trail[1] is None))
 
 
-def _rep_spans(reader, p: SeqPos) -> pa.Table:
+def _rep_spans(reader, p: SeqPos,
+               end_anchors: "tuple | None" = None,
+               start_anchors: "tuple | None" = None) -> pa.Table:
     """EXACT unbounded repetition (SpansRepetition semantics,
     SpanQueryRepetition.java:25): spans of ``rep_min..∞`` consecutive
-    matches of the unit. The unit's span table chains with itself via
-    ``concat_spans`` to a fixed point — chain token length strictly
-    grows per level, so the iteration terminates at the longest run."""
+    matches of the unit.
+
+    Single-token units enumerate their maximal runs directly in one
+    vectorized pass (the generic fixed-point ``concat_spans`` chain
+    below is kept for multi-token bodies). ``end_anchors`` /
+    ``start_anchors`` — (doc_ids, positions) of the abutting
+    neighbor element in the sequence — restrict enumeration to spans
+    the downstream (0,0)-gap join could keep anyway: without them a
+    near-universal unit (``[word != "x"]+``) materializes O(run²)
+    subspans."""
     from blacklab_ray.query.spans import (SPAN_SCHEMA, concat_spans,
                                           unique_spans)
     if p.body is not None:
@@ -959,6 +968,93 @@ def _rep_spans(reader, p: SeqPos) -> pa.Table:
     if base.num_rows == 0:
         return SPAN_SCHEMA.empty_table()
     base = base.select(["doc_id", "start", "end"])
+    if p.body is None:
+        d = base["doc_id"].to_numpy(zero_copy_only=False)
+        s = base["start"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((s, d))
+        d, s = d[order], s[order]
+        new_run = np.ones(d.size, dtype=bool)
+        new_run[1:] = (d[1:] != d[:-1]) | (s[1:] != s[:-1] + 1)
+        run_start_i = np.flatnonzero(new_run)
+        L = np.diff(np.append(run_start_i, d.size))
+        rs = s[run_start_i]
+        rd = d[run_start_i]
+        lo = max(1, p.rep_min)
+        anchors = end_anchors or start_anchors
+        if anchors is not None:
+            ad = np.asarray(anchors[0], dtype=np.int64)
+            ap = np.asarray(anchors[1], dtype=np.int64)
+            aorder = np.lexsort((ap, ad))
+            ad, ap = ad[aorder], ap[aorder]
+            alld = np.unique(np.concatenate([rd, ad]))
+            rdi = np.searchsorted(alld, rd).astype(np.int64)
+            adi = np.searchsorted(alld, ad).astype(np.int64)
+            akey = (adi << np.int64(32)) | ap
+            if end_anchors is not None:
+                # anchor = candidate span END: e in [rs+lo, rs+L]
+                lo_k = (rdi << np.int64(32)) | (rs + lo)
+                hi_k = (rdi << np.int64(32)) | (rs + L)
+            else:
+                # anchor = candidate span START: s in [rs, rs+L-lo]
+                lo_k = (rdi << np.int64(32)) | rs
+                hi_k = (rdi << np.int64(32)) | (rs + L - lo)
+            i0 = np.searchsorted(akey, lo_k, side="left")
+            i1 = np.searchsorted(akey, hi_k, side="right")
+            cnt = np.maximum(i1 - i0, 0)
+            tot = int(cnt.sum())
+            if tot == 0:
+                return SPAN_SCHEMA.empty_table()
+            rr = np.repeat(np.arange(cnt.size), cnt)
+            cum = np.zeros(cnt.size + 1, dtype=np.int64)
+            np.cumsum(cnt, out=cum[1:])
+            a_idx = i0[rr] + np.arange(tot) - cum[rr]
+            a_pos = ap[a_idx]
+            if end_anchors is not None:
+                # per anchored end e: s in [rs, e-lo]
+                n_s = a_pos - lo - rs[rr] + 1
+                rr2 = np.repeat(np.arange(tot), n_s)
+                cum2 = np.zeros(tot + 1, dtype=np.int64)
+                np.cumsum(n_s, out=cum2[1:])
+                start = rs[rr][rr2] + (np.arange(int(cum2[-1]))
+                                       - cum2[rr2])
+                end = np.repeat(a_pos, n_s)
+            else:
+                # per anchored start st: e in [st+lo, rs+L]
+                n_e = (rs[rr] + L[rr]) - (a_pos + lo) + 1
+                rr2 = np.repeat(np.arange(tot), n_e)
+                cum2 = np.zeros(tot + 1, dtype=np.int64)
+                np.cumsum(n_e, out=cum2[1:])
+                start = np.repeat(a_pos, n_e)
+                end = (a_pos[rr2] + lo
+                       + (np.arange(int(cum2[-1])) - cum2[rr2]))
+            out = pa.table({
+                "doc_id": pa.array(rd[rr][rr2], pa.int64()),
+                "start": pa.array(start, pa.int64()),
+                "end": pa.array(end, pa.int64()),
+            })
+            return unique_spans(out)
+        # anchorless: emit per (run, start asc, end asc) — exactly
+        # (doc, start, end) sorted and unique, no sort pass needed
+        n_starts = np.maximum(L - lo + 1, 0)
+        tot = int(n_starts.sum())
+        if tot == 0:
+            return SPAN_SCHEMA.empty_table()
+        pr = np.repeat(np.arange(n_starts.size), n_starts)
+        cum = np.zeros(n_starts.size + 1, dtype=np.int64)
+        np.cumsum(n_starts, out=cum[1:])
+        j = np.arange(tot) - cum[pr]
+        start1 = rs[pr] + j
+        n_ends = L[pr] - lo + 1 - j
+        sp = np.repeat(np.arange(tot), n_ends)
+        cum2 = np.zeros(tot + 1, dtype=np.int64)
+        np.cumsum(n_ends, out=cum2[1:])
+        start = start1[sp]
+        end = start + lo + (np.arange(int(cum2[-1])) - cum2[sp])
+        return pa.table({
+            "doc_id": pa.array(rd[pr][sp], pa.int64()),
+            "start": pa.array(start, pa.int64()),
+            "end": pa.array(end, pa.int64()),
+        })
     levels: list[pa.Table] = []
     cur = base
     c = 1
@@ -1009,15 +1105,37 @@ def _cql_spans_seq_unbounded(reader, plan: SeqPlan) -> pa.Table:
     if cur:
         add_elem("seg", (cur, cur_gaps), seg_gap_before)
 
-    tables: list[pa.Table] = []
-    for kind, payload in elems:
+    # bounded segments first: their span positions anchor the rep
+    # elements that abut them with a (0,0) gap, collapsing the rep's
+    # O(run^2) enumeration to spans the join could keep anyway
+    tables: list[pa.Table | None] = [None] * len(elems)
+    for j, (kind, payload) in enumerate(elems):
         if kind == "seg":
             idxs, sgaps = payload
             sub = SeqPlan(positions=[plan.positions[i] for i in idxs],
                           gaps=list(sgaps), lead=None, trail=None)
-            tables.append(cql_spans_seq(reader, sub))
-        else:
-            tables.append(_rep_spans(reader, plan.positions[payload]))
+            tables[j] = cql_spans_seq(reader, sub)
+    for j, (kind, payload) in enumerate(elems):
+        if kind != "rep":
+            continue
+        end_anchors = start_anchors = None
+        if (j + 1 < len(elems) and elems[j + 1][0] == "seg"
+                and conns[j] == (0, 0)
+                and tables[j + 1] is not None):
+            nxt = tables[j + 1]
+            end_anchors = (
+                nxt["doc_id"].to_numpy(zero_copy_only=False),
+                nxt["start"].to_numpy(zero_copy_only=False))
+        elif (j > 0 and elems[j - 1][0] == "seg"
+                and conns[j - 1] == (0, 0)
+                and tables[j - 1] is not None):
+            prv = tables[j - 1]
+            start_anchors = (
+                prv["doc_id"].to_numpy(zero_copy_only=False),
+                prv["end"].to_numpy(zero_copy_only=False))
+        tables[j] = _rep_spans(reader, plan.positions[payload],
+                               end_anchors=end_anchors,
+                               start_anchors=start_anchors)
     out = tables[0]
     for t, g in zip(tables[1:], conns):
         if out.num_rows == 0:

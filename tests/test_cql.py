@@ -782,6 +782,13 @@ def test_quantifiers_and_group_repetition(ray_session, tmp_path):
         ('"a"{2,}', "a{2,}"),
         ('"a"{3,} "b"', "a{3,}b"),
         ('("a" "b"){0,1} "c"', "(ab)?c"),
+        # negated near-universal units take the ANCHORED run
+        # enumeration (r4: end/start anchors from the abutting
+        # element collapse the O(run^2) closure)
+        ('[word != "c"]+ "b"', "[^c]+b"),
+        ('"b" [word != "c"]+', "b[^c]+"),
+        ('[word != "c"]{2,} "b"', "[^c]{2,}b"),
+        ('[word != "c"]+', "[^c]+"),
     ]
     for q, rx in cases:
         tb = cql_spans(r, q)
