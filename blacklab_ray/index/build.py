@@ -38,6 +38,7 @@ from dataclasses import dataclass, field
 from typing import Any
 
 import pyarrow as pa
+import pyarrow.parquet as pq
 import ray
 import ray.data
 
@@ -79,6 +80,16 @@ class BuildParams:
     #                                   exchange map fan-in) does not
     #                                   vary with cluster size
     verify_doc_ids: bool = False     # post-fwd hash-collision audit
+    resolve_doc_ids: Any = "auto"    # 63-bit id-collision RESOLUTION
+    #                                  (idspace.py): True | False |
+    #                                  "auto" (run when n_docs >=
+    #                                  idspace.AUTO_RESOLVE_MIN_DOCS —
+    #                                  the scale where the birthday
+    #                                  bound makes collisions real);
+    #                                  staged exchanges only (the fused
+    #                                  single pass writes postings
+    #                                  before detection can see the
+    #                                  global id set — use verify there)
     analyzer: str = "standard"       # analyzer registry key (contents)
     annotations: tuple[str, ...] = ()  # extra parallel annotations
     #                                    (lemma/pos): input list<string>
@@ -284,6 +295,28 @@ def build_index(source: str | list[str] | ray.data.Dataset, index_dir: str,
         dt = time.perf_counter() - t0
         man.record("fwd", src_fp, pfp, seconds=round(dt, 3))
 
+    # ---- stage 1b: doc-id collision resolution (idspace.py) -------------
+    # Runs between fwd and every consumer of doc ids (meta/exchange) so
+    # postings are built over the resolved id space.
+    if params.exchange != "fused" and \
+            not (resume and man.stage_complete("doc_ids", src_fp, pfp)):
+        from blacklab_ray.index.idspace import (
+            AUTO_RESOLVE_MIN_DOCS, resolve_index_doc_ids,
+        )
+        do = params.resolve_doc_ids
+        if do == "auto":
+            n_fwd = sum(
+                pq.read_metadata(os.path.join(fwd_dir, f)).num_rows
+                for f in os.listdir(fwd_dir) if f.endswith(".parquet"))
+            do = n_fwd >= AUTO_RESOLVE_MIN_DOCS
+        if do:
+            t0 = time.perf_counter()
+            info = resolve_index_doc_ids(index_dir, fwd_dir)
+            man.record("doc_ids", src_fp, pfp,
+                       seconds=round(time.perf_counter() - t0, 3), **info)
+        else:
+            man.record("doc_ids", src_fp, pfp, skipped=True)
+
     # ---- stage 2: corpus meta (sort path: one aggregate pass over fwd;
     # mapreduce path: derived driver-side after the exchange) ------------
     # The doc table is NOT rewritten — it IS the fwd Parquet read with
@@ -417,7 +450,6 @@ def build_index(source: str | list[str] | ray.data.Dataset, index_dir: str,
     terms_parts_dir = os.path.join(index_dir, "terms_parts")
     if not (resume and man.stage_complete("terms", src_fp, pfp)):
         t0 = time.perf_counter()
-        import pyarrow.parquet as pq
         done = False
         if params.exchange in ("mapreduce", "fused") \
                 and os.path.isdir(terms_parts_dir):
@@ -452,7 +484,6 @@ def build_index(source: str | list[str] | ray.data.Dataset, index_dir: str,
         if resume and man.stage_complete(stage, src_fp, pfp):
             continue
         t0 = time.perf_counter()
-        import pyarrow.parquet as pq
         parts = pq.read_table(
             os.path.join(index_dir, f"terms_parts_{annot}"))
         gb = parts.group_by("term").aggregate(
@@ -471,7 +502,6 @@ def build_index(source: str | list[str] | ray.data.Dataset, index_dir: str,
     if params.exchange in ("mapreduce", "fused") and \
             not (resume and man.stage_complete("meta", src_fp, pfp)):
         t0 = time.perf_counter()
-        import pyarrow.parquet as pq
         n_docs = sum(pq.read_metadata(os.path.join(fwd_dir, f)).num_rows
                      for f in os.listdir(fwd_dir)
                      if f.endswith(".parquet"))

@@ -27,8 +27,21 @@ import ray.data
 
 from blacklab_ray.index.build import BuildParams, _fresh_dir
 from blacklab_ray.index.exchange import run_postings_exchange
+from blacklab_ray.index.idspace import (
+    AUTO_RESOLVE_MIN_DOCS as _AUTO_RESOLVE_MIN_DOCS,
+)
 from blacklab_ray.stages.extract import HtmlExtractor
 from blacklab_ray.stages.tokenize import TokenizeForwardIndex, hash64
+
+
+def _corpus_n_docs(index_dir: str) -> int:
+    """Current corpus size from meta.json (drives the "auto" threshold
+    for incremental doc-id collision resolution)."""
+    p = os.path.join(index_dir, "meta.json")
+    if os.path.exists(p):
+        with open(p) as f:
+            return int(json.load(f).get("n_docs") or 0)
+    return 0
 
 
 def _load_updates(index_dir: str) -> dict:
@@ -175,6 +188,16 @@ def add_documents(index_dir: str, source, params: BuildParams | None = None,
     ds.write_parquet(fwd_dir)  # appends new uuid-named files
     new_files = sorted(set(os.listdir(fwd_dir)) - before)
 
+    # 63-bit id-collision resolution for the delta (idspace.py):
+    # incumbents keep their ids, colliding new urls rehash. Must run
+    # BEFORE the hard links below — the rewrite replaces directory
+    # entries, and the exchange must read the resolved ids.
+    if getattr(params, "resolve_doc_ids", "auto") is True or (
+            getattr(params, "resolve_doc_ids", "auto") == "auto"
+            and _corpus_n_docs(index_dir) >= _AUTO_RESOLVE_MIN_DOCS):
+        from blacklab_ray.index.idspace import resolve_added_doc_ids
+        resolve_added_doc_ids(index_dir, fwd_dir, new_files)
+
     # exchange over only the new fwd files; part files are suffixed by
     # generation so they never collide with existing segment files
     _ensure_terms_parts(index_dir)
@@ -223,12 +246,16 @@ def delete_documents(index_dir: str, doc_ids=None, urls=None) -> dict:
     that url ('<url>@g{g}'): update_documents re-adds content under
     salted ids, and delete-by-pid semantics must remove the live
     generation too, not just the original."""
+    from blacklab_ray.index.idspace import doc_id_for_url, load_remap
     upd = _load_updates(index_dir)
+    remap = load_remap(index_dir)
     ids = set(int(i) for i in (doc_ids or []))
     for u in (urls or []):
-        ids.add(hash64(u))
+        # collision-resolved ids (idspace.py) take precedence over the
+        # plain hash — delete-by-pid must hit the id actually indexed
+        ids.add(doc_id_for_url(u, remap))
         for g in range(1, upd.get("generation", 0) + 1):
-            ids.add(hash64(f"{u}@g{g}"))
+            ids.add(doc_id_for_url(f"{u}@g{g}", remap))
     upd["tombstones"] = sorted(set(upd["tombstones"]) | ids)
     _save_updates(index_dir, upd)
     return {"op": "delete", "n_tombstones": len(upd["tombstones"])}
@@ -242,11 +269,13 @@ def update_documents(index_dir: str, pages_table,
     params = params or BuildParams()
     upd = _load_updates(index_dir)
     gen = upd["generation"] + 1
+    from blacklab_ray.index.idspace import doc_id_for_url, load_remap
+    remap = load_remap(index_dir)
     urls = pages_table["url"].to_pylist()
     # tombstone every previous generation of these urls
-    olds = [hash64(u) for u in urls]
+    olds = [doc_id_for_url(u, remap) for u in urls]
     for g in range(1, gen):
-        olds += [hash64(f"{u}@g{g}") for u in urls]
+        olds += [doc_id_for_url(f"{u}@g{g}", remap) for u in urls]
     delete_documents(index_dir, doc_ids=olds)
     salted = pages_table.set_column(
         pages_table.schema.get_field_index("url"), "url",
