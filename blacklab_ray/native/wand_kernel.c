@@ -38,12 +38,34 @@ typedef struct {
     double idf;
     double max_score;
     const double *ktab;         /* 256-entry K1*(1-B+B*dl/avgdl) */
+    /* exact-length scoring (quantize=False): sorted doc ids + their
+     * precomputed K(dl_exact); n_dl == 0 selects the ktab path. The
+     * block upper bounds stay valid: SmallFloat norms round dl DOWN,
+     * so the quantized-min-norm bound >= any exact score. */
+    const int64_t *dl_keys;
+    const double *dl_kd;
+    int64_t n_dl;
+    int *err;                   /* set on dl lookup miss -> caller -2 */
     int codec;                  /* 0 = vbyte varint, 1 = pfor */
     /* state */
     int64_t bi, pi, n, cur_doc, cur_last;
     int64_t *docs;
     double *scores;
 } SegIt;
+
+/* K(dl) for one doc by binary search over the sorted exact-dl table */
+static inline double exact_kd(const SegIt *s, int64_t doc) {
+    int64_t lo = 0, hi = s->n_dl;
+    while (lo < hi) {
+        int64_t mid = (lo + hi) >> 1;
+        if (s->dl_keys[mid] < doc) lo = mid + 1; else hi = mid;
+    }
+    if (lo >= s->n_dl || s->dl_keys[lo] != doc) {
+        *s->err = 1;            /* incomplete table: force the fallback */
+        return 1.0;
+    }
+    return s->dl_kd[lo];
+}
 
 static inline uint64_t read_varint(const uint8_t **pp) {
     uint64_t v = 0;
@@ -104,9 +126,17 @@ static void load_block(SegIt *s, int64_t bi) {
             s->docs[i] = acc;
         }
         pfor_decode(s->tfs_blob + s->tfs_offs[bi], n, tfs);
-        for (int64_t i = 0; i < n; i++) {
-            double tf = (double)tfs[i];
-            s->scores[i] = s->idf * (tf / (tf + s->ktab[nr[i]]));
+        if (s->n_dl) {
+            for (int64_t i = 0; i < n; i++) {
+                double tf = (double)tfs[i];
+                s->scores[i] = s->idf
+                    * (tf / (tf + exact_kd(s, s->docs[i])));
+            }
+        } else {
+            for (int64_t i = 0; i < n; i++) {
+                double tf = (double)tfs[i];
+                s->scores[i] = s->idf * (tf / (tf + s->ktab[nr[i]]));
+            }
         }
     } else {
         const uint8_t *p = s->docs_blob + s->docs_offs[bi];
@@ -116,11 +146,20 @@ static void load_block(SegIt *s, int64_t bi) {
             s->docs[i] = acc;
         }
         const uint8_t *q = s->tfs_blob + s->tfs_offs[bi];
-        for (int64_t i = 0; i < n; i++) {
-            double tf = (double)read_varint(&q);
-            /* idf * (tf / (tf + K)) — same association as the Python
-               score path, so scores are BIT-identical to the fallback */
-            s->scores[i] = s->idf * (tf / (tf + s->ktab[nr[i]]));
+        if (s->n_dl) {
+            for (int64_t i = 0; i < n; i++) {
+                double tf = (double)read_varint(&q);
+                s->scores[i] = s->idf
+                    * (tf / (tf + exact_kd(s, s->docs[i])));
+            }
+        } else {
+            for (int64_t i = 0; i < n; i++) {
+                double tf = (double)read_varint(&q);
+                /* idf * (tf / (tf + K)) — same association as the Python
+                   score path, so scores are BIT-identical to the
+                   fallback */
+                s->scores[i] = s->idf * (tf / (tf + s->ktab[nr[i]]));
+            }
         }
     }
     s->n = n;
@@ -285,6 +324,7 @@ int64_t wand_topk(
     const int64_t **ns, const int64_t *n_blocks,
     const double *idfs, const double *max_scores,
     const double *ktab, int64_t codec_id,
+    const int64_t *dl_keys, const double *dl_kd, int64_t n_dl,
     const int64_t *tombstones, int64_t n_tombstones,
     const uint8_t **ex_docs_blob, const int64_t **ex_docs_offs,
     const int64_t **ex_last_docs, const int64_t **ex_ns,
@@ -321,9 +361,14 @@ int64_t wand_topk(
         e->cur_doc = e->n_blocks ? -1 : DOC_INF;
         e->docs = exbuf + i * ex_max_n;
     }
+    int err = 0;
     int64_t n_live = 0;
     for (int64_t i = 0; i < n_iters; i++) {
         SegIt *s = &its[i];
+        s->dl_keys = dl_keys;
+        s->dl_kd = dl_kd;
+        s->n_dl = n_dl;
+        s->err = &err;
         s->docs_blob = docs_blob[i];
         s->docs_offs = docs_offs[i];
         s->tfs_blob = tfs_blob[i];
@@ -356,7 +401,7 @@ int64_t wand_topk(
     }
     int64_t heap_n = 0;
 
-    while (n_live > 0) {
+    while (n_live > 0 && !err) {
         double th = heap_n == k ? hs[0] : -1.0;
         double acc = 0.0;
         int64_t pivot_idx = -1;
@@ -547,6 +592,11 @@ int64_t wand_topk(
                 n_live++;
             }
         }
+    }
+    if (err) {   /* exact-dl table miss: results unusable -> fallback */
+        free(its); free(dbuf); free(sbuf); free(live); free(hs);
+        free(hd); free(exs); free(exbuf);
+        return -2;
     }
     /* drain the heap: ascending pops give (score asc, -doc asc);
        emit reversed → score desc, doc asc (the Python sort order) */

@@ -76,6 +76,7 @@ def _compile() -> "ctypes.CDLL | None":
         _PI64,                                         # n_blocks
         _PF64, _PF64,                                  # idfs, max_scores
         _PF64, ctypes.c_int64,                         # ktab, codec_id
+        _PI64, _PF64, ctypes.c_int64,                  # exact dl keys/kd/n
         _PI64, ctypes.c_int64,                         # tombstones
         ctypes.POINTER(_PU8), ctypes.POINTER(_PI64),   # excl docs
         ctypes.POINTER(_PI64), ctypes.POINTER(_PI64),  # excl last/ns
@@ -116,13 +117,20 @@ def _f64_ptr(a: np.ndarray) -> _PF64:
 
 def wand_topk_c(reader, present: list[str], segs: dict, stats: dict,
                 k: int, excl_segs: "list | None" = None,
+                exact_dl: "tuple | None" = None,
                 ) -> "tuple[np.ndarray, np.ndarray] | None":
     """Run the compiled kernel over the fetched segments; None → caller
     must fall back to the Python loop.
 
     ``excl_segs``: negative-term posting segments (AND-NOT) — probed
     forward-only at full evaluation inside the kernel, doc-id decode
-    only, exactly mirroring engine._DocIter."""
+    only, exactly mirroring engine._DocIter.
+
+    ``exact_dl``: ``(sorted_doc_ids int64, kd float64)`` for
+    quantize=False scoring — per-doc precomputed ``K(dl_exact)``
+    replacing the 256-entry quantized table at full evaluation (block
+    upper bounds stay quantized-min-norm: norms round dl down, so they
+    still dominate every exact score)."""
     lib = get_kernel()
     if lib is None:
         return None
@@ -212,11 +220,22 @@ def wand_topk_c(reader, present: list[str], segs: dict, stats: dict,
         getattr(reader, "codec", "vbyte"))
     if codec_id is None:
         return None     # unknown codec -> Python fallback
+    if exact_dl is not None:
+        dl_keys = np.ascontiguousarray(exact_dl[0], dtype=np.int64)
+        dl_kd = np.ascontiguousarray(exact_dl[1], dtype=np.float64)
+        keep.extend((dl_keys, dl_kd))
+        n_dl = dl_keys.size
+    else:
+        dl_keys = np.empty(0, np.int64)
+        dl_kd = np.empty(0, np.float64)
+        n_dl = 0
     n_out = lib.wand_topk(
         n, docs_blob, docs_offs, tfs_blob, tfs_offs,
         norms_blob, norms_offs, last_docs, ubs_p, ns_p,
         _i64_ptr(n_blocks), _f64_ptr(idfs), _f64_ptr(max_scores),
-        _f64_ptr(ktab), codec_id, _i64_ptr(tombs), tombs.size,
+        _f64_ptr(ktab), codec_id,
+        _i64_ptr(dl_keys), _f64_ptr(dl_kd), n_dl,
+        _i64_ptr(tombs), tombs.size,
         ex_docs_blob, ex_docs_offs, ex_last, ex_ns,
         _i64_ptr(ex_nb), n_ex, ex_max_n,
         max_n, k, _i64_ptr(out_docs), _f64_ptr(out_scores))

@@ -284,14 +284,28 @@ def search_wand(reader: IndexReader, terms: list[str], k: int = 10,
         return _result_table(reader, np.empty(0, np.int64),
                              np.empty(0, np.float64), resolve_urls)
     segs = reader.segments(present)
-    if quantize and exclude is None:
+    if exclude is None:
         # compiled kernel (gcc'd on first use; bit-identical results —
         # tests assert parity): owns varint decode, scoring, skip seeks
         # and the heap — including AND-NOT exclusion probes. Python
-        # loop below is the always-there fallback.
+        # loop below is the always-there fallback. quantize=False rides
+        # the kernel too: one doc_lens gather over the union of posting
+        # docs builds a sorted (doc_id, K(dl_exact)) side table the
+        # kernel binary-searches at score time — replacing the Python
+        # path's per-block doc_lens gathers with a single pruned read.
         from blacklab_ray.query.ckernel import wand_topk_c
+        exact_dl = None
+        if not quantize:
+            from blacklab_ray.query.bm25 import length_norm_k
+            all_d = [s.decode_all()[0] for t in present for s in segs[t]
+                     if s.n_blocks]
+            uniq = (np.unique(np.concatenate(all_d)) if all_d
+                    else np.empty(0, np.int64))
+            kd = length_norm_k(
+                reader.doc_lens(uniq).astype(np.float64), reader.avgdl)
+            exact_dl = (uniq, kd)
         res = wand_topk_c(reader, present, segs, stats, k,
-                          excl_segs=exclude_segs)
+                          excl_segs=exclude_segs, exact_dl=exact_dl)
         if res is not None:
             return _result_table(reader, res[0], res[1], resolve_urls)
     if exclude is None and exclude_segs:

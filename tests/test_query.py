@@ -335,6 +335,42 @@ def test_wand_ckernel_parity_and_fallback(ray_session, small_index,
         ckernel._kernel = orig
 
 
+def test_wand_ckernel_exact_scoring_parity(ray_session, small_index,
+                                           monkeypatch):
+    """quantize=False (exact doc-length scoring) also rides the kernel:
+    a sorted (doc_id, K(dl)) side table replaces the 256-entry norm
+    table. Results must be BIT-identical to the Python exact loop and
+    value-match the exact TAAT scorer."""
+    import pytest as _pytest
+
+    from blacklab_ray.query import IndexReader, ckernel
+    from blacklab_ray.query.engine import search_taat, search_wand
+    r = IndexReader(small_index)
+    orig = ckernel._kernel
+    try:
+        ckernel._kernel = False
+        if ckernel.get_kernel() is None:
+            _pytest.skip("no C toolchain in this environment")
+        for q in (["the"], ["the", "of"], ["quick", "the", "and"]):
+            for k in (3, 10):
+                ckernel._kernel = False
+                monkeypatch.delenv("BLRAY_NO_CKERNEL", raising=False)
+                t_c = search_wand(r, q, k=k, quantize=False)
+                monkeypatch.setenv("BLRAY_NO_CKERNEL", "1")
+                ckernel._kernel = False
+                t_p = search_wand(r, q, k=k, quantize=False)
+                assert t_c.equals(t_p), (q, k)
+                t_exact = search_taat(r, q, k=k, quantize=False)
+                assert t_c["doc_id"].to_pylist() \
+                    == t_exact["doc_id"].to_pylist(), (q, k)
+                for a, b in zip(t_c["score"].to_pylist(),
+                                t_exact["score"].to_pylist()):
+                    assert abs(a - b) < 1e-9
+        monkeypatch.delenv("BLRAY_NO_CKERNEL", raising=False)
+    finally:
+        ckernel._kernel = orig
+
+
 def _brute_andnot(oracle, pos, neg, k):
     scored = oracle.topk(pos, 10**6, "or")
     negdocs = {did for did, toks in oracle.docs.items()
