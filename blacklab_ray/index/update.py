@@ -80,6 +80,12 @@ def _inherit_layout(index_dir: str, params: BuildParams) -> BuildParams:
         if "hot_terms" in rec:
             params.hot_terms = (tuple(rec["hot_terms"])
                                 if rec["hot_terms"] else None)
+        if "metadata_fields" in rec:
+            # typed metadata columns must keep flowing into the fwd
+            # rows on append, or the delta files drop the columns and
+            # the fwd dataset schema splits
+            params.metadata_fields = tuple(
+                tuple(x) for x in (rec["metadata_fields"] or ()))
     return params
 
 
@@ -182,7 +188,8 @@ def add_documents(index_dir: str, source, params: BuildParams | None = None,
         sentence_spans=params.sentence_spans,
         sensitive=params.sensitive,
         analyzer=params.analyzer,
-        annotations=tuple(params.annotations)),
+        annotations=tuple(params.annotations),
+        metadata_cols=tuple(n for n, _t in params.metadata_fields)),
                         batch_format="pyarrow",
                         batch_size=params.batch_size)
     ds.write_parquet(fwd_dir)  # appends new uuid-named files

@@ -565,6 +565,25 @@ class IndexReader:
         return [self._fwd_tok_cache.get((annot, int(d)), {}).get(int(p))
                 for d, p in zip(doc_ids, positions)]
 
+    # ---- cache introspection (BLS /cache-info and /cache-clear
+    # analogues, RequestHandlerCacheInfo.java / ClearCache.java — here
+    # scoped to the reader-level gather caches; the serving-tier result
+    # caches live in query/cache.py and report through the service) ----
+
+    _CACHE_ATTRS = ("_doclen_cache", "_norm_cache", "_fwd_tok_cache",
+                    "_seg_cache")
+
+    def cache_info(self) -> dict:
+        """Entry counts per reader-level cache (0 when never touched)."""
+        return {a.strip("_"): len(getattr(self, a, {}) or {})
+                for a in self._CACHE_ATTRS}
+
+    def clear_caches(self) -> None:
+        for a in self._CACHE_ATTRS:
+            c = getattr(self, a, None)
+            if c:
+                c.clear()
+
     # ---- postings -------------------------------------------------------
 
     _SEG_CACHE_MAX = 4096  # cached terms (BlackLab mmap-everything analogue)

@@ -399,6 +399,210 @@ def handle_autocomplete(reader, fieldname: str, params: dict) -> list:
     return out[:number]
 
 
+def handle_docs_grouped(reader, params: dict) -> dict:
+    """GET /docs?group=field:<meta> — RequestHandlerDocsGrouped
+    analogue: document groups by a metadata field, sized in docs and
+    tokens (DocGroups). With ``patt``, only documents matching the
+    pattern are grouped and per-group hit counts are included. The
+    scale path for corpus-wide grouping is pipelines/docsops.py; this
+    endpoint serves the interactive window."""
+    import os
+
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pa_ds
+    crit = params["group"]
+    if not crit.startswith("field:"):
+        raise ValueError("docs grouping supports field:<metadata>")
+    fieldname = crit.split(":", 1)[1]
+    first = int(params.get("first", 0))
+    number = int(params.get("number", 50))
+    patt = params.get("patt")
+    ds = pa_ds.dataset(os.path.join(reader.index_dir, "fwd"),
+                       format="parquet")
+    if fieldname not in ds.schema.names:
+        raise KeyError(f"unknown metadata field {fieldname!r}")
+    if patt:
+        d, s, e = _spans_for(reader, patt, params.get("filter"))
+        uniq, hitc = np.unique(d, return_counts=True)
+        tbl = ds.to_table(columns=["doc_id", fieldname, "doc_len"],
+                          filter=pc.field("doc_id").isin(uniq.tolist()))
+        hits_by_doc = dict(zip(uniq.tolist(), hitc.tolist()))
+    else:
+        allowed = _allowed_ids(reader, params.get("filter"))
+        flt = (pc.field("doc_id").isin(allowed.tolist())
+               if allowed is not None else None)
+        tbl = ds.to_table(columns=["doc_id", fieldname, "doc_len"],
+                          filter=flt)
+        hits_by_doc = {}
+    groups: dict[str, dict] = {}
+    for did, val, dl in zip(tbl["doc_id"].to_pylist(),
+                            tbl[fieldname].to_pylist(),
+                            tbl["doc_len"].to_pylist()):
+        g = groups.setdefault(str(val), {"size": 0, "tokens": 0,
+                                         "hits": 0})
+        g["size"] += 1
+        g["tokens"] += int(dl)
+        g["hits"] += hits_by_doc.get(did, 0)
+    ordered = sorted(groups.items(), key=lambda kv: (-kv[1]["size"],
+                                                     kv[0]))
+    window = ordered[first:first + number]
+    total_docs = int(tbl.num_rows)
+    return {
+        "summary": {
+            **_summary(params, first, number, len(window), total_docs,
+                       total_docs),
+            "numberOfGroups": len(groups),
+            "largestGroupSize": (ordered[0][1]["size"] if ordered
+                                 else 0),
+        },
+        "docGroups": [{
+            "identity": f"{fieldname}:{k}",
+            "identityDisplay": k,
+            "size": g["size"],
+            "numberOfTokens": g["tokens"],
+            **({"numberOfHits": g["hits"]} if patt else {}),
+            "properties": [{"name": f"field:{fieldname}", "value": k}],
+        } for k, g in window],
+    }
+
+
+def handle_explain(reader, params: dict) -> dict:
+    """GET /corpora/<c>/explain?patt= — RequestHandlerExplain
+    analogue: the parsed plan and the optimizer's rewrite of it
+    (query/rewrite.py's canonical plan strings)."""
+    from blacklab_ray.query.cql import parse_cql
+    from blacklab_ray.query.rewrite import plan_str, rewrite
+    plan = parse_cql(params["patt"])
+    return {"explain": {
+        "originalQuery": plan_str(plan),
+        "rewrittenQuery": plan_str(rewrite(plan)),
+    }}
+
+
+def handle_fieldinfo(reader, fieldname: str, params: dict) -> dict:
+    """GET /corpora/<c>/fields/<name> — RequestHandlerFieldInfo
+    analogue. ``contents`` (the annotated field) reports its
+    annotations + sensitivities; a metadata field reports its type and
+    a top-values distribution (``fieldValues`` capped at ``number``,
+    ``valueListComplete`` says whether the cap truncated)."""
+    bp = reader.meta.get("params", {})
+    if fieldname in ("contents", "word"):
+        annots = {"word": {
+            "sensitivity": ("SENSITIVE_AND_INSENSITIVE"
+                            if bp.get("sensitive")
+                            else "ONLY_INSENSITIVE"),
+            "isInternal": False}}
+        for a in bp.get("annotations", []) or []:
+            annots[a] = {"sensitivity": "ONLY_INSENSITIVE",
+                         "isInternal": False}
+        return {"fieldName": "contents", "isAnnotatedField": True,
+                "mainAnnotation": "word", "annotations": annots}
+    import os
+
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pa_ds
+    types = _field_types(reader)
+    if fieldname not in types:
+        raise KeyError(f"unknown field {fieldname!r}")
+    number = int(params.get("number", 50))
+    ds = pa_ds.dataset(os.path.join(reader.index_dir, "fwd"),
+                       format="parquet")
+    col = ds.to_table(columns=[fieldname])[fieldname].combine_chunks()
+    vc = pc.value_counts(col)
+    pairs = sorted(((str(x["values"]), int(x["counts"]))
+                    for x in vc.to_pylist()
+                    if x["values"] is not None),
+                   key=lambda p: (-p[1], p[0]))
+    return {"fieldName": fieldname, "isAnnotatedField": False,
+            "type": types[fieldname],
+            "fieldValues": dict(pairs[:number]),
+            "valueListComplete": len(pairs) <= number}
+
+
+def handle_server_info(readers: dict) -> dict:
+    """GET / — RequestHandlerServerInfo analogue: the corpora this
+    server exposes."""
+    return {"indices": {name: {
+        "displayName": name,
+        "status": "available",
+        "documentFormat": "webtext",
+        "tokenCount": int(r.meta["total_tokens"]),
+    } for name, r in sorted(readers.items())}}
+
+
+def handle_index_status(reader, name: str) -> dict:
+    """GET /corpora/<c>/status — RequestHandlerIndexStatus analogue,
+    plus this engine's incremental-update state (generation +
+    tombstone count from updates.json)."""
+    import os
+    upd_p = os.path.join(reader.index_dir, "updates.json")
+    gen, n_tomb = 0, 0
+    if os.path.exists(upd_p):
+        with open(upd_p) as f:
+            upd = json.load(f)
+        gen = int(upd.get("generation", 0))
+        n_tomb = len(upd.get("tombstones", []))
+    return {"indexName": name, "status": "available",
+            "documentCount": int(reader.n_docs),
+            "tokenCount": int(reader.meta["total_tokens"]),
+            "generation": gen, "tombstones": n_tomb}
+
+
+def handle_cache_info(readers: dict) -> dict:
+    """GET /cache-info — RequestHandlerCacheInfo analogue over the
+    reader-level gather caches (serving-tier result caches report
+    through query/service.py)."""
+    return {"cacheStatus": {name: r.cache_info()
+                            for name, r in sorted(readers.items())}}
+
+
+def handle_cache_clear(readers: dict) -> dict:
+    """POST /cache-clear — RequestHandlerClearCache analogue."""
+    for r in readers.values():
+        r.clear_caches()
+    return {"status": {"code": "SUCCESS",
+                       "message": "Cache cleared succesfully."}}
+
+
+def handle_input_formats() -> dict:
+    """GET /input-formats — RequestHandlerListInputFormats analogue
+    over the formats registry."""
+    from blacklab_ray.formats import formats
+    return {"supportedInputFormats": {
+        name: {"displayName": name, "configurationBased": True}
+        for name in formats()}}
+
+
+def hits_csv(resp: dict) -> str:
+    """CSV of a hits response (WriteCsv.hitsResponse shape: context +
+    pid columns)."""
+    import csv
+    import io
+    buf = io.StringIO()
+    w = csv.writer(buf)
+    w.writerow(["docPid", "start", "end", "left_context", "match",
+                "right_context"])
+    for h in resp.get("hits", []):
+        w.writerow([h["docPid"], h["start"], h["end"],
+                    " ".join(h["left"]["word"]),
+                    " ".join(h["match"]["word"]),
+                    " ".join(h["right"]["word"])])
+    return buf.getvalue()
+
+
+def docs_csv(resp: dict) -> str:
+    """CSV of a docs response (WriteCsv.docsResponse shape)."""
+    import csv
+    import io
+    buf = io.StringIO()
+    w = csv.writer(buf)
+    w.writerow(["docPid", "numberOfHits", "lengthInTokens"])
+    for d in resp.get("docs", []):
+        w.writerow([d["docPid"], d["numberOfHits"],
+                    d["docInfo"]["lengthInTokens"]])
+    return buf.getvalue()
+
+
 def _summary(params, first, number, actual, total, n_docs) -> dict:
     return {
         "searchParam": {k: str(v) for k, v in sorted(params.items())},
@@ -446,12 +650,13 @@ def _xml_value(v: Any, key: str, out: list) -> None:
                 _xml_value(info, "docInfo", out)
                 out.append("</docInfo>")
             return
-        if key == "termFreq":
-            # arbitrary term strings can't be element names —
+        if key in ("termFreq", "fieldValues"):
+            # arbitrary term/value strings can't be element names —
             # <term text="...">freq</term>, the DataStream map shape
+            child = "term" if key == "termFreq" else "value"
             for term, freq in v.items():
-                out.append(f"<term text={quoteattr(str(term))}>"
-                           f"{int(freq)}</term>")
+                out.append(f"<{child} text={quoteattr(str(term))}>"
+                           f"{int(freq)}</{child}>")
             return
         for k, sub in v.items():
             if isinstance(sub, list):
@@ -499,19 +704,41 @@ def groups_csv(resp: dict) -> str:
 # ---------------------------------------------------------------------------
 
 class BlsApp:
-    """WSGI app: ``/corpora/<name>`` info, ``/corpora/<name>/hits``
-    (+ ``group=``), ``/corpora/<name>/docs``; ``outputformat``
-    json (default) | xml | csv (grouped only)."""
+    """WSGI app over the handlers above (BLS URL scheme):
 
-    def __init__(self, readers: dict):
+    - ``/`` server info; ``/input-formats``; ``/cache-info``;
+      ``/cache-clear`` (POST)
+    - ``/corpora/<name>`` info, ``/status``, ``/explain``,
+      ``/fields/<f>``, ``/termfreq``, ``/autocomplete/<f>``
+    - ``/corpora/<name>/hits`` (+ ``group=``), ``/docs``
+      (+ ``group=``), ``/docs/<pid>`` (+ ``/snippet``,
+      ``/contents``)
+    - mutations (AddToIndex analogue): ``POST /corpora/<name>/docs``
+      with a JSON array of page objects appends via
+      ``update.add_documents``; ``DELETE /corpora/<name>/docs/<pid>``
+      tombstones by pid. The corpus reader is reopened after either.
+
+    ``outputformat`` json (default) | xml | csv (hits/docs/grouped).
+    """
+
+    def __init__(self, readers: dict, index_dirs: dict | None = None):
         self._readers = readers
+        self._dirs = dict(index_dirs or {})
 
     def __call__(self, environ, start_response):
         from urllib.parse import parse_qsl
         path = environ.get("PATH_INFO", "")
+        method = environ.get("REQUEST_METHOD", "GET").upper()
         params = dict(parse_qsl(environ.get("QUERY_STRING", "")))
+        body_in = b""
         try:
-            body, ctype = self._route(path, params)
+            n = int(environ.get("CONTENT_LENGTH") or 0)
+        except ValueError:
+            n = 0
+        if n and "wsgi.input" in environ:
+            body_in = environ["wsgi.input"].read(n)
+        try:
+            body, ctype = self._route(path, params, method, body_in)
             status = "200 OK"
         except KeyError as e:
             body = json.dumps({"error": {"code": "NOT_FOUND",
@@ -526,30 +753,122 @@ class BlsApp:
                                 ("Content-Length", str(len(data)))])
         return [data]
 
-    def _route(self, path: str, params: dict) -> tuple[str, str]:
+    def _reopen(self, name: str):
+        from blacklab_ray.query import IndexReader
+        self._readers[name] = IndexReader(self._dirs[name])
+        return self._readers[name]
+
+    def _mutate(self, name: str, method: str, parts: list,
+                body_in: bytes) -> dict:
+        if name not in self._dirs:
+            raise ValueError(f"corpus {name!r} is read-only "
+                             "(no index dir registered)")
+        if method == "POST" and len(parts) == 3:
+            import pyarrow as pa
+
+            import ray.data
+
+            from blacklab_ray.index.update import add_documents
+            pages = json.loads(body_in.decode("utf-8"))
+            if not isinstance(pages, list) or not pages:
+                raise ValueError("POST body must be a non-empty JSON "
+                                 "array of page objects")
+            tbl = pa.Table.from_pylist(pages)
+            rec = add_documents(self._dirs[name],
+                                ray.data.from_arrow(tbl))
+            self._reopen(name)
+            return {"status": {"code": "SUCCESS"}, "added": rec}
+        if method == "DELETE" and len(parts) == 4:
+            from blacklab_ray.index.update import delete_documents
+            # resolve the pid against the index (works for both
+            # hash-derived and user-supplied doc ids) and tombstone by
+            # BOTH id and url — the url form also covers
+            # generation-salted re-adds in hash-id indexes
+            did, _dl = _doc_by_pid(self._readers[name], parts[3])
+            rec = delete_documents(self._dirs[name], doc_ids=[did],
+                                   urls=[parts[3]])
+            self._reopen(name)
+            return {"status": {"code": "SUCCESS"}, **rec}
+        raise KeyError(f"unsupported mutation {method} on "
+                       f"{'/'.join(parts)}")
+
+    def _route(self, path: str, params: dict, method: str = "GET",
+               body_in: bytes = b"") -> tuple[str, str]:
         from urllib.parse import unquote
         parts = [unquote(p) for p in path.split("/") if p]
-        if not parts or parts[0] != "corpora":
+        fmt = params.get("outputformat", "json")
+
+        def emit(resp):
+            if fmt == "xml":
+                wrapped = ({"terms": resp} if isinstance(resp, list)
+                           else resp)
+                return to_xml(wrapped), "application/xml"
+            if fmt == "csv":
+                if "hitGroups" in resp or "docGroups" in resp:
+                    return groups_csv(resp), "text/csv"
+                if "hits" in resp:
+                    return hits_csv(resp), "text/csv"
+                if "docs" in resp:
+                    return docs_csv(resp), "text/csv"
+            return json.dumps(resp, indent=1), "application/json"
+
+        if not parts:
+            return emit(handle_server_info(self._readers))
+        if parts[0] == "input-formats":
+            return emit(handle_input_formats())
+        if parts[0] == "cache-info":
+            return emit(handle_cache_info(self._readers))
+        if parts[0] == "cache-clear":
+            if method != "POST":
+                raise ValueError("cache-clear requires POST")
+            return emit(handle_cache_clear(self._readers))
+        if parts[0] != "corpora":
             raise KeyError(f"unknown path {path!r}")
         if len(parts) < 2:
             raise KeyError("no corpus named")
-        reader = self._readers[parts[1]]
+        name = parts[1]
+        reader = self._readers[name]
         op = parts[2] if len(parts) > 2 else None
-        fmt = params.get("outputformat", "json")
+        # pids are urls and may contain slashes (the server decodes
+        # %2F before PATH_INFO splits) — take everything after /docs/
+        # VERBATIM from the decoded path (part-splitting would eat the
+        # empty segment in '//'), minus a trailing snippet/contents
+        # sub-operation
+        sub = None
+        if op == "docs" and len(parts) > 3:
+            raw = unquote(path)
+            pid = raw[raw.index("/docs/") + len("/docs/"):]
+            for s in ("snippet", "contents"):
+                if pid.endswith("/" + s):
+                    sub = s
+                    pid = pid[:-(len(s) + 1)]
+                    break
+            parts = parts[:3] + [pid]
+        if method in ("POST", "DELETE"):
+            if op != "docs":
+                raise KeyError(f"unsupported {method} on {path!r}")
+            return emit(self._mutate(name, method, parts, body_in))
         if op is None:
-            resp: Any = handle_info(reader, parts[1])
+            resp: Any = handle_info(reader, name)
+        elif op == "status":
+            resp = handle_index_status(reader, name)
+        elif op == "explain":
+            resp = handle_explain(reader, params)
+        elif op == "fields" and len(parts) == 4:
+            resp = handle_fieldinfo(reader, parts[3], params)
         elif op == "hits" and "group" in params:
             resp = handle_hits_grouped(reader, params)
         elif op == "hits":
             resp = handle_hits(reader, params)
+        elif op == "docs" and len(parts) == 3 and "group" in params:
+            resp = handle_docs_grouped(reader, params)
         elif op == "docs" and len(parts) == 3:
             resp = handle_docs(reader, params)
-        elif op == "docs" and len(parts) == 4:
+        elif op == "docs" and len(parts) == 4 and sub is None:
             resp = handle_doc_info(reader, parts[3])
-        elif op == "docs" and len(parts) == 5 and parts[4] == "snippet":
+        elif op == "docs" and len(parts) == 4 and sub == "snippet":
             resp = handle_doc_snippet(reader, parts[3], params)
-        elif op == "docs" and len(parts) == 5 and \
-                parts[4] == "contents":
+        elif op == "docs" and len(parts) == 4 and sub == "contents":
             # contents is raw text, never DataStream-wrapped
             return handle_doc_contents(reader, parts[3]), \
                 "text/plain; charset=utf-8"
@@ -559,12 +878,7 @@ class BlsApp:
             resp = handle_autocomplete(reader, parts[3], params)
         else:
             raise KeyError(f"unknown operation {op!r}")
-        if fmt == "xml":
-            wrapped = {"terms": resp} if isinstance(resp, list) else resp
-            return to_xml(wrapped), "application/xml"
-        if fmt == "csv":
-            return groups_csv(resp), "text/csv"
-        return json.dumps(resp, indent=1), "application/json"
+        return emit(resp)
 
 
 def serve(index_dirs: dict, host: str = "127.0.0.1",
@@ -576,6 +890,6 @@ def serve(index_dirs: dict, host: str = "127.0.0.1",
 
     from blacklab_ray.query import IndexReader
     readers = {name: IndexReader(d) for name, d in index_dirs.items()}
-    app = BlsApp(readers)
+    app = BlsApp(readers, index_dirs)
     httpd = make_server(host, port, app)
     return httpd, app

@@ -242,6 +242,138 @@ def test_new_routes_xml_json_parity(srv_index):
     assert json.loads(body)["docInfo"]["lengthInTokens"] == 3
 
 
+def _mkcall(app):
+    import io
+
+    def call(path_qs, method="GET", body=None):
+        path, _, qs = path_qs.partition("?")
+        out = {}
+
+        def sr(status, headers):
+            out["status"] = status
+            out["ctype"] = dict(headers)["Content-Type"]
+        env = {"PATH_INFO": path, "QUERY_STRING": qs,
+               "REQUEST_METHOD": method}
+        if body is not None:
+            env["CONTENT_LENGTH"] = str(len(body))
+            env["wsgi.input"] = io.BytesIO(body)
+        b = b"".join(app(env, sr))
+        return out["status"], out["ctype"], b.decode()
+    return call
+
+
+def test_breadth_endpoints(srv_index):
+    """Server info / status / explain / fields / docs-grouped /
+    input-formats / cache endpoints + hits/docs CSV (the remaining
+    BLS RequestHandler analogues)."""
+    from urllib.parse import quote
+
+    from blacklab_ray.query import IndexReader
+    from blacklab_ray.server import BlsApp
+    call = _mkcall(BlsApp({"test": IndexReader(srv_index)}))
+
+    st, _, body = call("/")
+    assert json.loads(body)["indices"]["test"]["tokenCount"] > 0
+
+    st, _, body = call("/corpora/test/status")
+    s = json.loads(body)
+    assert s["status"] == "available" and s["documentCount"] == 3
+    assert s["generation"] == 0 and s["tombstones"] == 0
+
+    st, _, body = call("/corpora/test/explain?patt="
+                       + quote('"the" "quick"'))
+    e = json.loads(body)["explain"]
+    # the rewrite layer fuses the adjacent literals into a phrase
+    assert e["originalQuery"] != "" and e["rewrittenQuery"] != ""
+
+    st, _, body = call("/corpora/test/fields/year")
+    fv = json.loads(body)
+    assert fv["type"] == "numeric" and fv["valueListComplete"] is True
+    assert fv["fieldValues"] == {"2000": 1, "2010": 1, "2020": 1}
+    st, _, body = call("/corpora/test/fields/contents")
+    fc = json.loads(body)
+    assert fc["isAnnotatedField"] is True and "word" in fc["annotations"]
+
+    st, _, body = call("/corpora/test/docs?group=field:lang")
+    dg = json.loads(body)
+    assert dg["summary"]["numberOfGroups"] == 2
+    gm = {g["identityDisplay"]: g for g in dg["docGroups"]}
+    assert gm["en"]["size"] == 2 and gm["fr"]["size"] == 1
+    assert gm["en"]["numberOfTokens"] == 7
+
+    st, _, body = call("/corpora/test/docs?group=field:lang"
+                       "&patt=%22quick%22")
+    gm = {g["identityDisplay"]: g
+          for g in json.loads(body)["docGroups"]}
+    assert gm["en"]["numberOfHits"] == 2 and "fr" not in gm
+
+    st, ct, body = call("/corpora/test/hits?patt=%22quick%22"
+                        "&outputformat=csv")
+    assert ct.startswith("text/csv")
+    assert body.startswith("docPid,start,end")
+    assert body.count("\n") == 3  # header + 2 hits
+    st, ct, body = call("/corpora/test/docs?patt=%22quick%22"
+                        "&outputformat=csv")
+    assert body.startswith("docPid,numberOfHits")
+
+    st, _, body = call("/input-formats")
+    assert "plaintext" in json.loads(body)["supportedInputFormats"]
+
+    st, _, body = call("/cache-info")
+    assert "test" in json.loads(body)["cacheStatus"]
+    st, _, body = call("/cache-clear", method="POST")
+    assert json.loads(body)["status"]["code"] == "SUCCESS"
+    st, _, _ = call("/cache-clear")          # GET is rejected
+    assert st.startswith("500")
+
+    for path in ("/corpora/test/docs?group=field:lang&outputformat=xml",
+                 "/corpora/test/fields/year?outputformat=xml",
+                 "/corpora/test/status?outputformat=xml",
+                 "/?outputformat=xml"):
+        st, _, xml_body = call(path)
+        assert st.startswith("200")
+        ET.fromstring(xml_body)
+
+
+def test_mutation_endpoints(ray_session, srv_index, tmp_path):
+    """POST /docs (AddToIndex analogue) and DELETE /docs/<pid>: the
+    index mutates through update.add/delete_documents and the corpus
+    reader reopens with the new state."""
+    import shutil
+
+    from blacklab_ray.query import IndexReader
+    from blacklab_ray.server import BlsApp
+    idx = str(tmp_path / "idx")
+    shutil.copytree(srv_index, idx)
+    app = BlsApp({"m": IndexReader(idx)}, {"m": idx})
+    call = _mkcall(app)
+
+    pages = [{"doc_id": 7, "url": "d7", "text": "a fresh quick doc",
+              "lang": "en", "year": 2021, "title": "New Doc"}]
+    st, _, body = call("/corpora/m/docs", method="POST",
+                       body=json.dumps(pages).encode())
+    assert st.startswith("200"), body
+    assert json.loads(body)["status"]["code"] == "SUCCESS"
+    st, _, body = call("/corpora/m/hits?patt=%22quick%22")
+    assert json.loads(body)["summary"]["numberOfHits"] == 3
+    st, _, body = call("/corpora/m/docs/d7")
+    assert json.loads(body)["docInfo"]["lengthInTokens"] == 4
+
+    st, _, body = call("/corpora/m/docs/d7", method="DELETE")
+    assert st.startswith("200"), body
+    st, _, body = call("/corpora/m/hits?patt=%22quick%22")
+    assert json.loads(body)["summary"]["numberOfHits"] == 2
+    st, _, body = call("/corpora/m/status")
+    # one per tombstoned id form (doc_id + url hash + generation salt)
+    assert json.loads(body)["tombstones"] >= 1
+
+    # a reader-only corpus refuses mutation
+    ro = BlsApp({"r": IndexReader(idx)})
+    st, _, body = _mkcall(ro)("/corpora/r/docs", method="POST",
+                              body=b"[]")
+    assert st.startswith("500")
+
+
 def test_wsgi_live_roundtrip(srv_index):
     """Full HTTP round-trip on localhost (the BLS wire protocol)."""
     from blacklab_ray.server import serve
