@@ -203,11 +203,71 @@ def _pred_ok(el, pred: str, pos: int,
     return ok != neg
 
 
+_EXPR_TOPLEVEL_RE = re.compile(
+    r"\s(\+|-|\*|div|mod|or|and)\s|[<>]|!=|="
+    r"|\b(count|sum|number|boolean|position|last|floor|"
+    r"ceiling|round|matches)\(")
+
+
+def _outside_brackets(s: str) -> str:
+    """The expression with bracketed predicates and quoted literals
+    removed — operator sniffing must not fire on predicate contents
+    (the subset evaluates those itself)."""
+    out: list[str] = []
+    depth = 0
+    quote: str | None = None
+    for ch in s:
+        if quote:
+            if ch == quote:
+                quote = None
+            continue
+        if ch in "'\"":
+            quote = ch
+            continue
+        if ch == "[":
+            depth += 1
+            continue
+        if ch == "]":
+            depth -= 1
+            continue
+        if depth == 0:
+            out.append(ch)
+    return "".join(out)
+
+
+def _needs_full_engine(path: str) -> bool:
+    """True when the expression uses operators/functions outside the
+    subset — those must not be misread as odd attribute/element names
+    (e.g. '@a + 1' is an arithmetic expression, not an attribute
+    called 'a + 1')."""
+    return _EXPR_TOPLEVEL_RE.search(_outside_brackets(path)) is not None
+
+
+def _full_engine_nodes(el, path: str, parents: dict | None):
+    """Route one expression through the grammar-based engine
+    (stages/xpath.py), keeping only element nodes (the callers walk
+    elements; attribute/text values resolve through _value)."""
+    from blacklab_ray.stages import xpath
+    out = xpath.evaluate_nodes(path, el, parents)
+    return [n for n in out
+            if not isinstance(n, (xpath.AttrNode, xpath.TextNode))]
+
+
 def _iter_path(el, path: str, parents: dict | None = None):
-    """Elements matching a path relative to ``el`` (subset XPath: see
-    module docstring). ``parents`` enables the ``..`` axis."""
-    for alt in path.split("|"):
-        yield from _iter_one_path(el, alt.strip(), parents)
+    """Elements matching a path relative to ``el``. The tuned subset
+    handles every shipped format's shapes; anything it cannot parse
+    (arbitrary user-config XPath — the DocIndexerSaxon surface)
+    delegates to the grammar-based engine in stages/xpath.py."""
+    if _needs_full_engine(path):
+        yield from _full_engine_nodes(el, path, parents)
+        return
+    try:
+        results = []
+        for alt in path.split("|"):
+            results.extend(_iter_one_path(el, alt.strip(), parents))
+    except ValueError:
+        results = _full_engine_nodes(el, path, parents)
+    yield from results
 
 
 def _iter_one_path(el, path: str, parents: dict | None):
@@ -364,8 +424,21 @@ def _value(el, path: str, parents: dict | None = None) -> str:
     """Resolve a value path: '.', '@attr', 'a/b', 'a/@attr', './/a',
     '../@attr' (parent axis needs ``parents``), quoted literals,
     numbers, and the concat/substring/normalize-space/local-name
-    function subset (nested calls allowed)."""
+    function subset (nested calls allowed). Expressions outside the
+    subset (arithmetic, comparisons, count()/sum()/... — arbitrary
+    user-config XPath) evaluate through stages/xpath.py."""
     path = path.strip().replace("attribute::", "@")
+    if _needs_full_engine(path):
+        from blacklab_ray.stages import xpath
+        return xpath.evaluate_string(path, el, parents)
+    try:
+        return _value_subset(el, path, parents)
+    except ValueError:
+        from blacklab_ray.stages import xpath
+        return xpath.evaluate_string(path, el, parents)
+
+
+def _value_subset(el, path: str, parents: dict | None = None) -> str:
     if path in (".", "text()"):
         return _text_of(el)
     if path == "local-name()":      # cmdi.blf.yaml namePath

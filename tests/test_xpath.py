@@ -1,0 +1,203 @@
+"""Grammar-based XPath engine (stages/xpath.py) + its fallback wiring
+into the config extractor's subset (stages/xmlconfig.py)."""
+
+import xml.etree.ElementTree as ET
+
+import pytest
+
+from blacklab_ray.stages import xpath
+from blacklab_ray.stages.xpath import (
+    AttrNode, XPathSyntaxError, evaluate, evaluate_nodes,
+    evaluate_string,
+)
+
+DOC = """
+<doc id="d1">
+  <meta year="2001"><title>The Tale</title><author>A. B.</author></meta>
+  <s n="1"><w pos="DET">The</w><w pos="NN">tale</w></s>
+  <s n="2"><w pos="VB">Begins</w></s>
+</doc>
+"""
+
+
+@pytest.fixture(scope="module")
+def doc():
+    root = ET.fromstring(DOC)
+    parents = {}
+    for p in root.iter():
+        for c in p:
+            parents[c] = p
+    return root, parents
+
+
+# ---------------------------------------------------------------------------
+# expressions
+
+
+def test_arithmetic(doc):
+    root, _ = doc
+    assert evaluate("1 + 2 * 3", root) == 7.0
+    assert evaluate("(1 + 2) * 3", root) == 9.0
+    assert evaluate("10 div 4", root) == 2.5
+    assert evaluate("10 mod 3", root) == 1.0
+    assert evaluate("-2 + 5", root) == 3.0
+    assert evaluate_string("1 + 1", root) == "2"
+
+
+def test_string_functions(doc):
+    root, _ = doc
+    assert evaluate("concat('a', 1 + 1)", root) == "a2"
+    assert evaluate("substring('12345', 2, 2)", root) == "23"
+    assert evaluate("normalize-space('  a   b ')", root) == "a b"
+    assert evaluate("translate('abc', 'ab', 'x')", root) == "xc"
+    assert evaluate("upper-case('ab')", root) == "AB"
+    assert evaluate("string-length('abcd')", root) == 4.0
+    assert evaluate("substring-after('a-b', '-')", root) == "b"
+    assert evaluate("contains('hello', 'ell')", root) is True
+    assert evaluate("matches('w123', '^w\\d+$')", root) is True
+    assert evaluate("replace('a1b2', '\\d', '_')", root) == "a_b_"
+
+
+def test_boolean_and_numeric_functions(doc):
+    root, _ = doc
+    assert evaluate("not(false())", root) is True
+    assert evaluate("boolean('')", root) is False
+    assert evaluate("floor(2.7)", root) == 2.0
+    assert evaluate("ceiling(2.1)", root) == 3.0
+    assert evaluate("round(2.5)", root) == 3.0
+    assert evaluate("number('3.5') * 2", root) == 7.0
+
+
+def test_paths_and_predicates(doc):
+    root, parents = doc
+    assert len(evaluate_nodes("//w", root)) == 3
+    assert evaluate("count(//w)", root) == 3.0
+    ws = evaluate_nodes("//w[@pos='NN']", root)
+    assert [w.text for w in ws] == ["tale"]
+    assert evaluate_string("//s[2]/w[1]", root) == "Begins"
+    # position()=last() applies per parent step context
+    assert evaluate("count(//w[position() = last()])", root) == 2.0
+    # existential node-set comparison
+    ss = evaluate_nodes("//s[w/@pos = 'VB']", root)
+    assert [s.get("n") for s in ss] == ["2"]
+    ss = evaluate_nodes("//s[@n > 1]", root)
+    assert [s.get("n") for s in ss] == ["2"]
+    # arithmetic over attribute node-sets
+    assert evaluate("//s[1]/@n + 1", root) == 2.0
+    assert evaluate("sum(//s/@n)", root) == 3.0
+
+
+def test_union_document_order(doc):
+    root, _ = doc
+    nodes = evaluate_nodes("//w[@pos='DET'] | //meta/title", root)
+    assert [xpath.string_value(n) for n in nodes] == ["The Tale", "The"]
+
+
+def test_filter_expression_and_tail(doc):
+    root, _ = doc
+    assert evaluate_string("(//w)[1]", root) == "The"
+    assert evaluate_string("(//s)[2]/w", root) == "Begins"
+    assert evaluate("count((//w)[position() < 3])", root) == 2.0
+
+
+def test_axes(doc):
+    root, parents = doc
+    first_w = evaluate_nodes("(//w)[1]", root)[0]
+    ctx = xpath.Context(root, parents)
+    assert evaluate("count(following::w)", first_w, ctx=ctx) == 2.0
+    assert evaluate("count(preceding::w)", first_w, ctx=ctx) == 0.0
+    assert evaluate_string("following-sibling::w", first_w,
+                           ctx=ctx) == "tale"
+    last_w = evaluate_nodes("(//w)[3]", root)[0]
+    assert evaluate("count(preceding::w)", last_w, ctx=ctx) == 2.0
+    assert evaluate_string("ancestor::s/@n", last_w, ctx=ctx) == "2"
+    assert evaluate_string("../@n", last_w, ctx=ctx) == "2"
+
+
+def test_attribute_and_text_nodes(doc):
+    root, _ = doc
+    attrs = evaluate_nodes("//s/@n", root)
+    assert all(isinstance(a, AttrNode) for a in attrs)
+    assert [a.value for a in attrs] == ["1", "2"]
+    texts = evaluate_nodes("//w/text()", root)
+    assert [t.value for t in texts] == ["The", "tale", "Begins"]
+    assert evaluate("count(//meta/@*)", root) == 1.0
+
+
+def test_absolute_path_from_inner_node(doc):
+    root, parents = doc
+    w = evaluate_nodes("(//w)[3]", root)[0]
+    got = evaluate_nodes("/doc/meta/title", w, parents=parents)
+    assert [xpath.string_value(n) for n in got] == ["The Tale"]
+
+
+def test_name_functions(doc):
+    root, _ = doc
+    assert evaluate("local-name(//s/w)", root) == "w"
+    assert evaluate("local-name()", root) == "doc"
+
+
+def test_syntax_errors(doc):
+    root, _ = doc
+    with pytest.raises(XPathSyntaxError):
+        evaluate("$var + 1", root)
+    with pytest.raises(XPathSyntaxError):
+        evaluate("nosuchfn(1)", root)
+    with pytest.raises(XPathSyntaxError):
+        evaluate("//w[", root)
+
+
+# ---------------------------------------------------------------------------
+# fallback wiring in the config extractor
+
+
+def test_value_falls_back_to_full_engine(doc):
+    from blacklab_ray.stages.xmlconfig import _value
+    root, parents = doc
+    s1 = root.find("s")
+    # outside the subset: arithmetic, count(), comparisons
+    assert _value(s1, "@n + 1", parents) == "2"
+    assert _value(s1, "count(w)", parents) == "2"
+    assert _value(root, "count(//w[@pos != 'NN'])", parents) == "2"
+    assert _value(s1, "concat(../@id, '-', count(w))", parents) == "d1-2"
+    # subset shapes still answer identically
+    assert _value(s1, "w/@pos", parents) == "DET"
+    assert _value(s1, "concat(@n, 'x')", parents) == "1x"
+
+
+def test_iter_path_falls_back(doc):
+    from blacklab_ray.stages.xmlconfig import _iter_path
+    root, parents = doc
+    got = list(_iter_path(root, "//s[count(w) = 2]", parents))
+    assert [g.get("n") for g in got] == ["1"]
+    got = list(_iter_path(root, "(//w)[2]", parents))
+    assert [g.text for g in got] == ["tale"]
+
+
+def test_config_extraction_with_full_engine_paths(ray_session, tmp_path):
+    """A user-style config whose metadata valuePath needs the full
+    engine extracts end-to-end (the DocIndexerSaxon surface)."""
+    import pyarrow as pa
+
+    from blacklab_ray.stages.xmlconfig import (
+        XmlFormatConfig, extract_xml_config,
+    )
+    xml = ("<corpus><text id='t1'>"
+           "<p><tok>Hello</tok><tok>world</tok></p>"
+           "<p><tok>Bye</tok></p>"
+           "</text></corpus>")
+    cfg = XmlFormatConfig(
+        name="user-style",
+        document_path="//text",
+        word_path=".//tok",
+        metadata={"n_paras": "count(p)",
+                  "n_toks": "count(.//tok)",
+                  "label": "concat(@id, ':', count(p) * 10)"})
+    fn = extract_xml_config(cfg)
+    out = fn(pa.table({"path": pa.array(["u1"]),
+                       "bytes": pa.array([xml.encode()])}))
+    assert out.num_rows == 1
+    assert out["text"][0].as_py() == "Hello world Bye"
+    assert out["meta_n_paras"][0].as_py() == "2"
+    assert out["meta_n_toks"][0].as_py() == "3"
+    assert out["meta_label"][0].as_py() == "t1:20"
