@@ -147,6 +147,61 @@ def test_syntax_errors(doc):
         evaluate("//w[", root)
 
 
+def test_fuzz_against_elementtree_findall():
+    """Property check: on the path subset ElementTree's findall
+    implements (steps, //, wildcards, [@a], [@a='v'], [child],
+    [child='text'], [n]), the engine must return the same elements in
+    the same (document) order. 300 random (tree, path) pairs."""
+    import random
+    rng = random.Random(4242)
+
+    def rand_tree(depth=0):
+        el = ET.Element(rng.choice("abcd"))
+        if rng.random() < 0.6:
+            el.set(rng.choice("xy"), rng.choice("123"))
+        if rng.random() < 0.5:
+            el.text = rng.choice(["t1", "t2"])  # leaf-ish single token
+        if depth < 3:
+            for _ in range(rng.randint(0, 3)):
+                el.append(rand_tree(depth + 1))
+        return el
+
+    def rand_step():
+        name = rng.choice("abcd*")
+        pred = ""
+        r = rng.random()
+        if r < 0.15:
+            pred = f"[@{rng.choice('xy')}]"
+        elif r < 0.3:
+            pred = f"[@{rng.choice('xy')}='{rng.choice('123')}']"
+        elif r < 0.4:
+            pred = f"[{rng.choice('abcd')}]"
+        elif r < 0.5:
+            pred = f"[{rng.choice('abcd')}='t1']"
+        elif r < 0.6:
+            pred = f"[{rng.randint(1, 3)}]"
+        return name + pred
+
+    checked = 0
+    for _ in range(300):
+        root = rand_tree()
+        n_steps = rng.randint(1, 3)
+        sep = [rng.choice(["/", "//"]) for _ in range(n_steps)]
+        path = "." + "".join(s + rand_step() for s in sep)
+        # ET findall returns DUPLICATES when nested '//' reach one
+        # element through several bases; XPath node-sets are sets, so
+        # dedup the oracle and require doc order of the engine result
+        exp_ids = {id(e) for e in root.findall(path)}
+        got = evaluate_nodes(path, root)
+        assert {id(e) for e in got} == exp_ids, \
+            (path, ET.tostring(root))
+        order = {el: i for i, el in enumerate(root.iter())}
+        assert [order[e] for e in got] == \
+            sorted(order[e] for e in got), (path,)
+        checked += 1
+    assert checked == 300
+
+
 # ---------------------------------------------------------------------------
 # fallback wiring in the config extractor
 
