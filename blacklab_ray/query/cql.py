@@ -444,7 +444,15 @@ def parse_cql(q: str) -> SeqPlan | UnionPlan | FilterPlan:
         elif kind == "rparen":
             depth -= 1
         elif kind == "op" and depth == 0:
-            left = _build_union(items[:i])
+            head = items[:i]
+            if len(head) == 1 and head[0][0] == "tag":
+                # `<u/> containing X`: structural spans as the PRODUCER
+                # (SpanQueryPositionFilter with a tag producer)
+                hname, hattrs = head[0][1]
+                left: SeqPlan | UnionPlan | TagPlan = \
+                    TagPlan(name=str(hname), attrs=hattrs)
+            else:
+                left = _build_union(head)
             rest = items[i + 1:]
             if len(rest) == 1 and rest[0][0] == "tag":
                 tname, tattrs = rest[0][1]
@@ -861,43 +869,165 @@ def _seq_args(reader, plan: SeqPlan):
     return term_sets, negates
 
 
+_PURE_ANY_RE = re.compile(
+    r"^\s*(?:\[\s*\]\s*(?:\{\d+(?:,\d+)?\}|[+*?])?\s*)+$")
+_ANY_UNIT_RE = re.compile(r"\[\s*\]\s*(\{(\d+)(?:,(\d+))?\}|[+*?])?")
+
+
+def _pure_any_widths(q: str) -> "tuple[int, int] | None":
+    """(min_width, max_width) when the query is ONLY any-token units
+    (``[] []{2,3} …`` — BLS SpanQueryAnyToken with no anchor), else
+    None. Unbounded forms raise: every-window-of-every-width is not a
+    meaningful result set."""
+    if not _PURE_ANY_RE.match(q):
+        return None
+    lo = hi = 0
+    for m in _ANY_UNIT_RE.finditer(q):
+        quant = m.group(1)
+        if quant in ("+", "*"):
+            raise ValueError("unbounded pure any-token query")
+        if quant == "?":
+            a, b = 0, 1
+        elif quant:
+            a = int(m.group(2))
+            b = int(m.group(3)) if m.group(3) else a
+        else:
+            a = b = 1
+        lo, hi = lo + a, hi + b
+    if hi == 0:
+        raise ValueError("empty query (all-zero repetitions)")
+    return lo, hi
+
+
+def _all_window_spans(reader, lo: int, hi: int) -> pa.Table:
+    """Every [i, i+w) window, w in [lo, hi], of every live doc — the
+    anchorless any-token result (result is corpus-sized by nature;
+    doc ids/lengths stream in chunks, the reference enumerates the
+    same set per leaf-reader)."""
+    lo = max(lo, 1)
+    ds_, ss_ = [], []
+    ws_ = []
+    for chunk in reader.iter_doc_id_chunks():
+        chunk = np.asarray(chunk, dtype=np.int64)
+        lens = reader.doc_lens(chunk)
+        for w in range(lo, hi + 1):
+            n = np.maximum(lens - w + 1, 0)
+            tot = int(n.sum())
+            if not tot:
+                continue
+            csum = np.cumsum(n)
+            s = np.arange(tot, dtype=np.int64) \
+                - np.repeat(csum - n, n)
+            ds_.append(np.repeat(chunk, n))
+            ss_.append(s)
+            ws_.append(np.full(tot, w, dtype=np.int64))
+    if not ds_:
+        e = np.empty(0, np.int64)
+        return pa.table({"doc_id": pa.array(e), "start": pa.array(e),
+                         "end": pa.array(e)})
+    d = np.concatenate(ds_)
+    s = np.concatenate(ss_)
+    e = s + np.concatenate(ws_)
+    order = np.lexsort((e, s, d))
+    return pa.table({"doc_id": pa.array(d[order]),
+                     "start": pa.array(s[order]),
+                     "end": pa.array(e[order])})
+
+
+_MULTITEST_RE = re.compile(
+    r"(?:(?P<cap>[A-Za-z_]\w*)\s*:\s*)?"
+    r"\[(?P<body>\s*\w+\s*!?=\s*\"[^\"]*\""
+    r"(?:\s*&\s*\w+\s*!?=\s*\"[^\"]*\")+)\s*\]")
+_ONE_TEST_RE = re.compile(r"(\w+)\s*(!?)=\s*\"([^\"]*)\"")
+
+
+def _lower_multitest(q: str) -> "tuple[str, list[CCmp], list[str]]":
+    """Lower intra-position conjunctions — ``[lemma="be" &
+    word="are"]`` (TextPatternAndNot over token-level clauses) — onto
+    the capture + global-constraint machinery: the FIRST test stays as
+    the position's pattern (it drives posting selection), the rest
+    become ``::``-style comparisons on a capture of that position
+    (hidden ``_xK`` unless the user already captured it). Returns the
+    rewritten query, the extra constraint nodes, and the hidden
+    capture names to drop from the result."""
+    extra: list[CCmp] = []
+    hidden: list[str] = []
+    k = 0
+
+    def repl(m: "re.Match") -> str:
+        nonlocal k
+        tests = _ONE_TEST_RE.findall(m.group("body"))
+        cap = m.group("cap")
+        if cap is None:
+            cap = f"_x{k}"
+            k += 1
+            hidden.append(cap)
+        for attr, neg, val in tests[1:]:
+            extra.append(CCmp(left=("cap", cap, attr),
+                              op="!=" if neg else "=",
+                              right=("lit", val)))
+        a0, n0, v0 = tests[0]
+        return f'{cap}:[{a0}{"!" if n0 else ""}="{v0}"]'
+
+    return _MULTITEST_RE.sub(repl, q), extra, hidden
+
+
+def _tag_plan_spans(reader, tp: TagPlan) -> pa.Table:
+    """Resolve a structural TagPlan to its span table — derived block
+    spans for <p>/<s> when the corpus stores them, else standoff tag
+    spans (config-driven XML input), attribute filters applied."""
+    if tp.name == "p" and not tp.attrs:
+        try:
+            return reader.paragraph_spans()
+        except (FileNotFoundError, KeyError, pa.lib.ArrowInvalid):
+            return reader.tag_spans("p")
+    if tp.name == "s" and not tp.attrs:
+        try:
+            return reader.sentence_spans()
+        except (FileNotFoundError, KeyError, pa.lib.ArrowInvalid):
+            return reader.tag_spans("s")
+    return reader.tag_spans(tp.name, tp.attrs or None)
+
+
 def cql_spans(reader, q: str) -> pa.Table:
     """Evaluate a CQL query to a span table (doc_id, start, end[,
     {cap}_pos per capture group]); `:: A.word = B.word` global
     constraints post-filter via forward-index lookups."""
     from blacklab_ray.query.spans import spans_containing, spans_within
     from blacklab_ray.query.rewrite import rewrite
+    widths = _pure_any_widths(q)
+    if widths is not None:
+        return _all_window_spans(reader, *widths)
     constraints: CNode | None = None
     if "::" in q:
         q, _, cexpr = q.partition("::")
         constraints = parse_constraints(cexpr)
+    q, extra_cmp, hidden_caps = _lower_multitest(q)
+    if extra_cmp:
+        parts: list = list(extra_cmp)
+        if constraints is not None:
+            parts.append(constraints)
+        constraints = parts[0] if len(parts) == 1 else CAnd(parts=parts)
     plan = rewrite(parse_cql(q))
     if isinstance(plan, FilterPlan):
-        prod = _plan_spans(reader, plan.producer)
+        prod = (_tag_plan_spans(reader, plan.producer)
+                if isinstance(plan.producer, TagPlan)
+                else _plan_spans(reader, plan.producer))
         if isinstance(plan.filter, TagPlan):
-            if plan.filter.name == "p" and not plan.filter.attrs:
-                try:
-                    filt = reader.paragraph_spans()
-                except (FileNotFoundError, KeyError, pa.lib.ArrowInvalid):
-                    # corpus carries <p> as STANDOFF tags instead of
-                    # the derived block spans (config-driven XML input)
-                    filt = reader.tag_spans("p")
-            elif plan.filter.name == "s" and not plan.filter.attrs:
-                try:
-                    filt = reader.sentence_spans()
-                except (FileNotFoundError, KeyError, pa.lib.ArrowInvalid):
-                    filt = reader.tag_spans("s")
-            else:
-                # standoff tag spans with attribute filters
-                filt = reader.tag_spans(plan.filter.name,
-                                        plan.filter.attrs or None)
+            filt = _tag_plan_spans(reader, plan.filter)
         else:
             filt = _plan_spans(reader, plan.filter)
         out = spans_within(prod, filt) if plan.op == "within" \
             else spans_containing(prod, filt)
     else:
         out = _plan_spans(reader, plan)
-    return _apply_constraints(reader, out, constraints)
+    out = _apply_constraints(reader, out, constraints)
+    if hidden_caps:
+        drop = [c for c in out.column_names
+                if any(c == f"{h}_pos" for h in hidden_caps)]
+        if drop:
+            out = out.drop_columns(drop)
+    return out
 
 
 def _apply_constraints(reader, spans: pa.Table,

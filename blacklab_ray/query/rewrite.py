@@ -199,10 +199,12 @@ def rewrite(plan):
     Pure tree transform (no reader / no I/O), applied by
     ``cql_spans`` between parse and execution."""
     if isinstance(plan, FilterPlan):
-        producer = rewrite(plan.producer)
+        producer = plan.producer if isinstance(plan.producer, TagPlan) \
+            else rewrite(plan.producer)
         filt = plan.filter if isinstance(plan.filter, TagPlan) \
             else rewrite(plan.filter)
         if not isinstance(filt, TagPlan) and \
+                not isinstance(producer, TagPlan) and \
                 plan_str(producer) == plan_str(filt):      # R6
             return producer
         return FilterPlan(op=plan.op, producer=producer, filter=filt)

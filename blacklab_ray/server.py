@@ -65,6 +65,25 @@ def _allowed_ids(reader, filter_expr: str | None):
     from blacklab_ray.query.metafilter import (filter_docs_meta,
                                                metadata_field_types)
     conds = parse_filter(filter_expr)
+    # pid is the persistent-id (url) column, not a metadata field —
+    # resolve pid:... conds by url equality (pruned pushdown scan)
+    pid_conds = [(f, op, v) for f, op, v in conds if f == "pid"]
+    conds = [(f, op, v) for f, op, v in conds if f != "pid"]
+    pid_ids = None
+    if pid_conds:
+        import os
+
+        import pyarrow.compute as pc
+        import pyarrow.dataset as pa_ds
+        ds = pa_ds.dataset(os.path.join(reader.index_dir, "fwd"),
+                           format="parquet")
+        want = [str(v) for _f, _op, v in pid_conds]
+        tbl = ds.to_table(columns=["doc_id"],
+                          filter=pc.field("url").isin(want))
+        pid_ids = np.unique(tbl["doc_id"].to_numpy(
+            zero_copy_only=False))
+        if not conds:
+            return pid_ids
     # BLS `field:value` on a TOKENIZED field is an analyzed-token
     # match, not exact equality (ADVICE r3: "=" would FieldTypeError)
     types = metadata_field_types(reader)
@@ -72,7 +91,10 @@ def _allowed_ids(reader, filter_expr: str | None):
              if op == "=" and types.get(f) == "tokenized"
              else (f, op, v)
              for f, op, v in conds]
-    return filter_docs_meta(reader, conds)
+    meta_ids = filter_docs_meta(reader, conds)
+    if pid_ids is None:
+        return meta_ids
+    return np.intersect1d(meta_ids, pid_ids)
 
 
 # ---------------------------------------------------------------------------
@@ -168,9 +190,14 @@ def handle_hits_grouped(reader, params: dict) -> dict:
         fieldname = crit.split(":", 1)[1]
         import os
 
-        import pyarrow.parquet as pq
-        tbl = pq.read_table(os.path.join(reader.index_dir, "fwd"),
-                            columns=["doc_id", fieldname])
+        import pyarrow.compute as pc
+        import pyarrow.dataset as pa_ds
+        uniq = np.unique(d)
+        # hit-doc-pruned gather, not a full fwd column scan
+        tbl = pa_ds.dataset(os.path.join(reader.index_dir, "fwd"),
+                            format="parquet").to_table(
+            columns=["doc_id", fieldname],
+            filter=pc.field("doc_id").isin(uniq.tolist()))
         lookup = dict(zip(tbl["doc_id"].to_pylist(),
                           tbl[fieldname].to_pylist()))
         keys = [str(lookup.get(int(x))) for x in d]

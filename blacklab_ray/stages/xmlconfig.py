@@ -195,7 +195,7 @@ def _pred_ok(el, pred: str, pos: int,
                   "<=": ln <= rn, ">=": ln >= rn}[op]
         return ok != neg
     if pred.startswith("@"):
-        ok = el.get(pred[1:]) is not None
+        ok = _attr_get(el, pred[1:]) is not None
     elif _FUNC_RE.match(pred):                  # [contains(@a,'x')] etc.
         ok = bool(_value(el, pred, parents))
     else:                                       # [child] existence
@@ -315,6 +315,21 @@ def _walk_steps_from(el, steps, parents: dict | None = None):
 
 def _text_of(el) -> str:
     return " ".join(s.strip() for s in el.itertext() if s.strip())
+
+
+def _attr_get(el, name: str) -> str | None:
+    """Attribute lookup tolerant of namespace prefixes: configs write
+    ``@xml:id`` but ElementTree stores the key as
+    ``{http://...}id`` — fall back to matching on the LOCAL attribute
+    name (after ':' or '}') when the literal key is absent."""
+    v = el.get(name)
+    if v is not None:
+        return v
+    local = name.rsplit(":", 1)[-1]
+    for k, v in el.attrib.items():
+        if k.rsplit("}", 1)[-1] == local:
+            return v
+    return None
 
 
 _FUNC_RE = re.compile(
@@ -451,11 +466,11 @@ def _value_subset(el, path: str, parents: dict | None = None) -> str:
     if m is not None:
         return _eval_func(el, m.group(1), m.group(2), parents)
     if path.startswith("@"):
-        return el.get(path[1:], "") or ""
+        return _attr_get(el, path[1:]) or ""
     if "/@" in path:
         sub_path, attr = path.rsplit("/@", 1)
         for sub in _iter_path(el, sub_path, parents):
-            return sub.get(attr, "") or ""
+            return _attr_get(sub, attr) or ""
         return ""
     for sub in _iter_path(el, path, parents):
         return _text_of(sub)

@@ -511,7 +511,10 @@ class _Evaluator:
         if isinstance(node, TextNode):
             return test == "text()"
         if isinstance(node, AttrNode):
-            return test == "*" or node.name == test
+            # match on the LOCAL attribute name: configs write
+            # @xml:id, ElementTree stores {ns}id
+            local = node.name.rsplit("}", 1)[-1].rsplit(":", 1)[-1]
+            return test == "*" or local == test.rsplit(":", 1)[-1]
         if test == "text()":
             return False
         if test == "*":

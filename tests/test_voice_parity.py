@@ -1,0 +1,197 @@
+"""Golden parity against the REFERENCE'S OWN integration corpus.
+
+The reference ships its integration-test inputs (three VOICE-project
+TEI files, test/data/input/*.xml), the indexing config
+(test/data/voice-tei.blf.yaml) and the expected server responses
+(test/data/saved-responses/). This module indexes the SAME inputs
+through the config-driven extractor + whitespace-analyzer build and
+asserts the SAME hit counts, document distributions, group sizes and
+— for the single-word query — the exact per-document hit positions
+recorded in the saved responses. The strongest external correctness
+signal available: the expectations were produced by the reference,
+not by this repo.
+"""
+
+import json
+import os
+import pathlib
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+VOICE_IN = "/root/reference/test/data/input"
+SAVED = "/root/reference/test/data/saved-responses"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(VOICE_IN), reason="reference test data not present")
+
+
+def _saved(kind: str, name: str) -> dict:
+    with open(os.path.join(SAVED, kind, name + ".json")) as f:
+        return json.load(f)
+
+
+@pytest.fixture(scope="module")
+def voice_index(ray_session, tmp_path_factory):
+    from blacklab_ray.index import BuildParams, build_index
+    from blacklab_ray.stages.xmlconfig import (
+        XmlFormatConfig, extract_xml_config,
+    )
+    # voice-tei.blf.yaml: documentPath /TEI, container .//text,
+    # wordPath .//w, word=".", lemma=@lemma, pos=@type, inline <u/>,
+    # pid=@xml:id, title=teiHeader/fileDesc/titleStmt/title
+    cfg = XmlFormatConfig(
+        name="voice-tei",
+        document_path=".//TEI",
+        word_path=".//text//w",
+        word_value=".",
+        annotations={"lemma": "@lemma", "pos": "@type"},
+        inline_tags=("u",),
+        metadata={"title": "teiHeader/fileDesc/titleStmt/title"},
+        doc_id_value="@xml:id",
+    )
+    files = sorted(pathlib.Path(VOICE_IN).glob("*.xml"))
+    batch = pa.table({
+        "path": pa.array([f.name for f in files]),
+        "bytes": pa.array([f.read_bytes() for f in files]),
+    })
+    pages = extract_xml_config(cfg)(batch)
+    root = tmp_path_factory.mktemp("voice")
+    src = root / "pages"
+    src.mkdir()
+    pq.write_table(pages, str(src / "p.parquet"))
+    idx = str(root / "idx")
+    build_index(str(src), idx, BuildParams(
+        num_buckets=4, n_salts=2, analyzer="whitespace",
+        annotations=("lemma", "pos"),
+        metadata_fields=(("meta_title", "untokenized"),)))
+    return idx
+
+
+@pytest.fixture(scope="module")
+def voice_reader(voice_index):
+    from blacklab_ray.query import IndexReader
+    return IndexReader(voice_index)
+
+
+def _hits(reader, patt, number=2000):
+    from blacklab_ray.server import handle_hits
+    return handle_hits(reader, {"patt": patt, "number": str(number),
+                                "wordsaroundhit": "1"})
+
+
+# reference patt → (saved-response file, notes)
+HIT_CASES = [
+    ('[]', "any token"),
+    ('"the"', "single word the"),
+    ('<u/> containing "good"', "containing"),
+    ('"very" "good" within <u/>', "within"),
+    ('"a" [lemma="successful"]', "simple phrase a succesful"),
+    ('"a" [lemma="successful"]', "phrase a succesful with _FI1"),
+    ('"a" [lemma="successful"]', "phrase a succesful with _FI2"),
+    ('"one" A:[]', "simple capture group"),
+    ('[lemma="be" & word="are"]', "token level AND"),
+    ('[lemma="be" & word!="are"]', "token level AND NOT"),
+    ('"two"|"four"', "two-four-separate"),
+    ('"two|four"', "two-four-single-regex"),
+]
+
+
+@pytest.mark.parametrize("patt,saved_name", HIT_CASES,
+                         ids=[c[1] for c in HIT_CASES])
+def test_hits_match_saved_response(voice_reader, patt, saved_name):
+    exp = _saved("hits", saved_name)
+    resp = _hits(voice_reader, patt)
+    assert resp["summary"]["numberOfHits"] == \
+        exp["summary"]["numberOfHits"], patt
+    assert resp["summary"]["numberOfDocs"] == \
+        exp["summary"]["numberOfDocs"], patt
+    # exact hit positions (both windows cover all hits for the small
+    # queries; 'any token' truncates to the requested window)
+    if exp["summary"]["numberOfHits"] <= len(exp["hits"]):
+        want = sorted((h["docPid"], h["start"], h["end"])
+                      for h in exp["hits"])
+        got = sorted((h["docPid"], h["start"], h["end"])
+                     for h in resp["hits"])
+        assert got == want, patt
+
+
+def test_the_match_words_and_context(voice_reader):
+    """Word forms of match + left/right context agree token-for-token
+    with the reference (modulo its sort: compare as sorted sets)."""
+    exp = _saved("hits", "single word the")
+    resp = _hits(voice_reader, '"the"')
+    want = sorted((h["docPid"], h["start"],
+                   tuple(h["left"]["word"]), tuple(h["match"]["word"]),
+                   tuple(h["right"]["word"])) for h in exp["hits"])
+    got = sorted((h["docPid"], h["start"],
+                  tuple(h["left"]["word"]), tuple(h["match"]["word"]),
+                  tuple(h["right"]["word"])) for h in resp["hits"])
+    assert got == want
+
+
+def test_any_token_per_doc_counts(voice_reader):
+    from blacklab_ray.server import handle_docs
+    exp = _saved("docs", "any token")
+    resp = handle_docs(voice_reader, {"patt": "[]", "number": "50"})
+    want = {d["docPid"]: d["numberOfHits"] for d in exp["docs"]}
+    got = {d["docPid"]: d["numberOfHits"] for d in resp["docs"]}
+    assert got == want == {"PBsve430": 334, "PBsve435": 164,
+                           "PRint602": 268}
+
+
+@pytest.mark.parametrize("saved_name,patt", [
+    ("single word she", '"she"'),
+    ("single word they", '"they"'),
+    ("pattern and filter", '"the"'),
+])
+def test_docs_hit_distribution(voice_reader, saved_name, patt):
+    from blacklab_ray.server import handle_docs
+    exp = _saved("docs", saved_name)
+    sp = exp["summary"]["searchParam"]
+    params = {"patt": patt, "number": "50"}
+    if sp.get("filter"):
+        params["filter"] = sp["filter"]
+    resp = handle_docs(voice_reader, params)
+    want = {d["docPid"]: d["numberOfHits"] for d in exp["docs"]}
+    got = {d["docPid"]: d["numberOfHits"] for d in resp["docs"]}
+    assert got == want, saved_name
+
+
+def test_hits_grouped_by_title(voice_reader):
+    from blacklab_ray.server import handle_hits_grouped
+    exp = _saved("hits-grouped", "a grouped by title")
+    resp = handle_hits_grouped(
+        voice_reader, {"patt": '"a"', "group": "field:meta_title"})
+    want = sorted((g["identityDisplay"], g["size"])
+                  for g in exp["hitGroups"])
+    got = sorted((g["identityDisplay"], g["size"])
+                 for g in resp["hitGroups"])
+    assert got == want
+
+
+def test_hits_grouped_by_word(voice_reader):
+    from blacklab_ray.server import handle_hits_grouped
+    exp = _saved("hits-grouped", "any token grouped by word")
+    resp = handle_hits_grouped(
+        voice_reader, {"patt": "[]", "group": "hit:word:i",
+                       "number": "500"})
+    assert resp["summary"]["numberOfGroups"] == \
+        exp["summary"]["numberOfGroups"]
+    want = {g["identityDisplay"]: g["size"] for g in exp["hitGroups"]}
+    got = {g["identityDisplay"]: g["size"] for g in resp["hitGroups"]}
+    for k, v in want.items():
+        assert got.get(k) == v, k
+
+
+def test_docs_grouped_by_title(voice_reader):
+    from blacklab_ray.server import handle_docs_grouped
+    exp = _saved("docs-grouped", "a grouped by title")
+    resp = handle_docs_grouped(
+        voice_reader, {"patt": '"a"', "group": "field:meta_title"})
+    want = sorted((g["identityDisplay"], g["size"])
+                  for g in exp["docGroups"])
+    got = sorted((g["identityDisplay"], g["size"])
+                 for g in resp["docGroups"])
+    assert got == want
