@@ -1057,6 +1057,20 @@ def _plan_spans(reader, plan: SeqPlan | UnionPlan) -> pa.Table:
     if isinstance(plan, SeqPlan):
         return cql_spans_seq(reader, plan)
     parts = [cql_spans_seq(reader, b) for b in plan.branches]
+    # branches may carry different capture columns ('"a"|"b" A:[]'):
+    # align on the union of columns, absent captures = -1 sentinel
+    # (no captured position in that branch — BLS leaves the group
+    # empty there too)
+    all_cols = list(dict.fromkeys(
+        c for t in parts for c in t.column_names))
+    if any(t.column_names != all_cols for t in parts):
+        parts = [
+            t if t.column_names == all_cols else pa.table({
+                c: (t[c] if c in t.column_names
+                    else pa.array(
+                        np.full(t.num_rows, -1, dtype=np.int64)))
+                for c in all_cols})
+            for t in parts]
     return unique_spans(pa.concat_tables(parts))
 
 

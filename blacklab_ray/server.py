@@ -139,18 +139,36 @@ def _doc_infos(reader, doc_ids) -> dict:
             for u, n in zip(urls, lens)}
 
 
-def _spans_for(reader, patt: str, filter_expr: str | None):
+def _spans_table_for(reader, patt: str,
+                     filter_expr: str | None):
+    """Filtered + (doc,start)-sorted span table, capture columns
+    included."""
     from blacklab_ray.query.cql import cql_spans
     spans = cql_spans(reader, patt)
     d = spans["doc_id"].to_numpy()
-    s = spans["start"].to_numpy()
-    e = spans["end"].to_numpy()
     allowed = _allowed_ids(reader, filter_expr)
+    keep = None
     if allowed is not None:
         keep = np.isin(d, allowed)
-        d, s, e = d[keep], s[keep], e[keep]
+        d = d[keep]
+    s = spans["start"].to_numpy()
+    if keep is not None:
+        s = s[keep]
     order = np.lexsort((s, d))
-    return d[order], s[order], e[order]
+    import pyarrow as pa
+    cols = {}
+    for c in spans.column_names:
+        arr = spans[c].to_numpy()
+        if keep is not None:
+            arr = arr[keep]
+        cols[c] = pa.array(arr[order])
+    return pa.table(cols)
+
+
+def _spans_for(reader, patt: str, filter_expr: str | None):
+    t = _spans_table_for(reader, patt, filter_expr)
+    return (t["doc_id"].to_numpy(), t["start"].to_numpy(),
+            t["end"].to_numpy())
 
 
 def handle_hits(reader, params: dict) -> dict:
@@ -178,13 +196,20 @@ def handle_hits(reader, params: dict) -> dict:
 
 
 def handle_hits_grouped(reader, params: dict) -> dict:
-    """GET /hits?group= — HitGroups analogue. Supported group criteria:
-    ``hit:word:i`` (matched text) and ``field:<meta>``."""
+    """GET /hits?group= — HitGroups analogue. Supported group
+    criteria: ``hit:word:i`` (matched text), ``field:<meta>``,
+    ``wordright:word:i`` / ``wordleft:word:i`` (context word —
+    HitPropertyRightContext/LeftContext, identity prefixes
+    cwo:/cwb: per the reference's saved responses), and
+    ``capture:word:i:<NAME>`` (captured token's word)."""
     patt = params.get("patt", "")
     crit = params["group"]
     first = int(params.get("first", 0))
     number = int(params.get("number", 50))
-    d, s, e = _spans_for(reader, patt, params.get("filter"))
+    spans_tbl = _spans_table_for(reader, patt, params.get("filter"))
+    d = spans_tbl["doc_id"].to_numpy()
+    s = spans_tbl["start"].to_numpy()
+    e = spans_tbl["end"].to_numpy()
     total = int(d.size)
     if crit.startswith("field:"):
         fieldname = crit.split(":", 1)[1]
@@ -202,6 +227,30 @@ def handle_hits_grouped(reader, params: dict) -> dict:
                           tbl[fieldname].to_pylist()))
         keys = [str(lookup.get(int(x))) for x in d]
         prop = f"doc:{fieldname}"
+    elif crit.startswith(("wordright:", "wordleft:")):
+        # group by the context word adjacent to the hit; a hit at the
+        # doc edge groups under the empty key (BLS does the same)
+        right = crit.startswith("wordright:")
+        pos = e.copy() if right else s - 1
+        lens = reader.doc_lens(d)
+        ok = (pos < lens) if right else (pos >= 0)
+        toks = reader.tokens_at(d[ok], pos[ok])
+        keys = [""] * int(d.size)
+        for i, t in zip(np.flatnonzero(ok), toks):
+            keys[int(i)] = t or ""
+        prop = crit
+    elif crit.startswith("capture:"):
+        cap = crit.rsplit(":", 1)[-1]
+        col = f"{cap}_pos"
+        if col not in spans_tbl.column_names:
+            raise KeyError(f"no capture group {cap!r} in pattern")
+        cpos = spans_tbl[col].to_numpy()
+        ok = cpos >= 0
+        toks = reader.tokens_at(d[ok], cpos[ok])
+        keys = [""] * int(d.size)
+        for i, t in zip(np.flatnonzero(ok), toks):
+            keys[int(i)] = t or ""
+        prop = crit
     else:
         # group identity is the FULL matched text (BLS groups
         # multi-token hits by all tokens s..e-1, not the first word —
@@ -233,8 +282,12 @@ def handle_hits_grouped(reader, params: dict) -> dict:
                                  else 0),
         },
         "hitGroups": [{
-            "identity": f"cws:word:i:{k}" if prop == "hit:word:i"
-                        else f"{prop}:{k}",
+            "identity": (
+                f"cws:word:i:{k}" if prop == "hit:word:i"
+                or prop.startswith("capture:")
+                else f"cwo:word:i:{k}" if prop.startswith("wordright:")
+                else f"cwb:word:i:{k}" if prop.startswith("wordleft:")
+                else f"{prop}:{k}"),
             "identityDisplay": k,
             "size": g["size"],
             "properties": [{"name": prop, "value": k}],
@@ -310,18 +363,62 @@ def _doc_by_pid(reader, pid: str) -> tuple[int, int]:
 
 def handle_doc_info(reader, pid: str) -> dict:
     """GET /corpora/<c>/docs/<pid> — single-doc metadata
-    (RequestHandlerDocInfo.java shape)."""
-    _, dl = _doc_by_pid(reader, pid)
-    return {"docPid": pid,
-            "docInfo": {"pid": [pid], "lengthInTokens": dl,
-                        "mayView": True}}
+    (RequestHandlerDocInfo.java shape): pid + stored metadata fields
+    (fwd ``meta_*``/declared columns, each a value list) +
+    lengthInTokens."""
+    import os
+
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pa_ds
+    did, dl = _doc_by_pid(reader, pid)
+    info: dict = {"pid": [pid]}
+    meta_fields = set(_field_types(reader))
+    ds = pa_ds.dataset(os.path.join(reader.index_dir, "fwd"),
+                       format="parquet")
+    cols = [c for c in ds.schema.names
+            if c in meta_fields or c.startswith("meta_")]
+    if cols:
+        tbl = ds.to_table(columns=cols,
+                          filter=pc.field("doc_id") == did)
+        if tbl.num_rows:
+            for c in cols:
+                v = tbl[c][0].as_py()
+                if v is not None:
+                    info[c.removeprefix("meta_")] = [str(v)]
+    info["lengthInTokens"] = dl
+    info["mayView"] = True
+    return {"docPid": pid, "docInfo": info}
+
+
+def _annotation_names(reader) -> list[str]:
+    return list((reader.meta.get("params") or {})
+                .get("annotations") or [])
+
+
+def _token_arrays(reader, did: int, lo: int, hi: int) -> dict:
+    """word + every parallel annotation for positions [lo, hi)."""
+    pos = np.arange(lo, hi, dtype=np.int64)
+    dids = np.full(pos.size, did, dtype=np.int64)
+    out = {"word": ["" if t is None else t
+                    for t in reader.tokens_at(dids, pos)]}
+    for a in _annotation_names(reader):
+        out[a] = ["" if t is None else t
+                  for t in reader.tokens_at(dids, pos, annotation=a)]
+    return out
 
 
 def handle_doc_snippet(reader, pid: str, params: dict) -> dict:
-    """GET /corpora/<c>/docs/<pid>/snippet — context words around a
-    hit window (RequestHandlerDocSnippet.java: hitstart/hitend +
-    wordsaroundhit → left/match/right word lists)."""
+    """GET /corpora/<c>/docs/<pid>/snippet — RequestHandlerDocSnippet:
+    ``hitstart/hitend + wordsaroundhit`` → left/match/right arrays, or
+    ``wordstart/wordend`` → one flat ``snippet`` block. Both include
+    every parallel annotation (lemma/pos/…), like the reference."""
     did, dl = _doc_by_pid(reader, pid)
+    if "wordstart" in params or "wordend" in params:
+        lo = max(0, int(params.get("wordstart", 0)))
+        hi = min(dl, int(params.get("wordend", dl)))
+        if lo >= hi:
+            raise ValueError(f"empty word window [{lo},{hi})")
+        return {"snippet": _token_arrays(reader, did, lo, hi)}
     hitstart = int(params.get("hitstart", 0))
     hitend = int(params.get("hitend", hitstart + 1))
     n_ctx = int(params.get("wordsaroundhit", 5))
@@ -330,16 +427,18 @@ def handle_doc_snippet(reader, pid: str, params: dict) -> dict:
                          f"document (0..{dl})")
     lo = max(0, hitstart - n_ctx)
     hi = min(dl, hitend + n_ctx)
-    pos = np.arange(lo, hi, dtype=np.int64)
-    toks = reader.tokens_at(np.full(pos.size, did, dtype=np.int64), pos)
-    words = ["" if t is None else t for t in toks]
+    arrays = _token_arrays(reader, did, lo, hi)
+
+    def window(a: int, b: int) -> dict:
+        return {k: v[a:b] for k, v in arrays.items()}
+
     return {
         "docPid": pid,
         "start": hitstart,
         "end": hitend,
-        "left": {"word": words[:hitstart - lo]},
-        "match": {"word": words[hitstart - lo:hitend - lo]},
-        "right": {"word": words[hitend - lo:]},
+        "left": window(0, hitstart - lo),
+        "match": window(hitstart - lo, hitend - lo),
+        "right": window(hitend - lo, hi - lo),
     }
 
 
@@ -374,6 +473,41 @@ def handle_doc_contents(reader, pid: str) -> str:
             parts.append(punct[q] if q < len(punct) else " ")
         parts.append(w)
     return "".join(parts)
+
+
+def handle_colloc(reader, params: dict) -> dict:
+    """GET /hits?calc=colloc — collocation token frequencies around
+    the pattern's hits (RequestHandlerHits' colloc branch). Context
+    width defaults to 10: the reference's saved colloc responses
+    reproduce EXACTLY at wordsaroundhit=10 (verified token-for-token
+    on the VOICE corpus)."""
+    patt = params.get("patt", "")
+    n_ctx = int(params.get("wordsaroundhit", 10))
+    d, s, e = _spans_for(reader, patt, params.get("filter"))
+    lens = reader.doc_lens(d)
+    lo = np.maximum(s - n_ctx, 0)
+    hi = np.minimum(e + n_ctx, lens)
+    n_left = (s - lo).astype(np.int64)
+    n_right = (hi - e).astype(np.int64)
+    n_all = n_left + n_right
+    tot = int(n_all.sum())
+    if tot == 0:
+        return {"tokenFrequencies": {}}
+    flat_d = np.repeat(d, n_all)
+    # left window positions lo..s-1 then right e..hi-1, per hit
+    csum = np.cumsum(n_all)
+    base = np.arange(tot, dtype=np.int64) - np.repeat(csum - n_all,
+                                                      n_all)
+    left_part = base < np.repeat(n_left, n_all)
+    flat_p = np.where(
+        left_part,
+        np.repeat(lo, n_all) + base,
+        np.repeat(e, n_all) + base - np.repeat(n_left, n_all))
+    toks = reader.tokens_at(flat_d, flat_p)
+    from collections import Counter
+    c = Counter(t for t in toks if t)
+    ordered = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))
+    return {"tokenFrequencies": dict(ordered)}
 
 
 def handle_termfreq(reader, params: dict) -> dict:
@@ -677,10 +811,10 @@ def _xml_value(v: Any, key: str, out: list) -> None:
                 _xml_value(info, "docInfo", out)
                 out.append("</docInfo>")
             return
-        if key in ("termFreq", "fieldValues"):
+        if key in ("termFreq", "fieldValues", "tokenFrequencies"):
             # arbitrary term/value strings can't be element names —
             # <term text="...">freq</term>, the DataStream map shape
-            child = "term" if key == "termFreq" else "value"
+            child = "value" if key == "fieldValues" else "term"
             for term, freq in v.items():
                 out.append(f"<{child} text={quoteattr(str(term))}>"
                            f"{int(freq)}</{child}>")
@@ -883,6 +1017,8 @@ class BlsApp:
             resp = handle_explain(reader, params)
         elif op == "fields" and len(parts) == 4:
             resp = handle_fieldinfo(reader, parts[3], params)
+        elif op == "hits" and params.get("calc") == "colloc":
+            resp = handle_colloc(reader, params)
         elif op == "hits" and "group" in params:
             resp = handle_hits_grouped(reader, params)
         elif op == "hits":

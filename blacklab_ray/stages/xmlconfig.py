@@ -536,7 +536,10 @@ def _extract_doc(doc_el, cfg: XmlFormatConfig,
             words.append("_".join(w.split()) or "_")
             for a, p in cfg.annotations.items():
                 v = _value(el, p, parents)
-                anns[a].append("_".join(v.split()) or "_")
+                # empty stays empty ("" = no value, the reference's
+                # convention for e.g. a missing @lemma); only internal
+                # whitespace is escaped (token alignment)
+                anns[a].append("_".join(v.split()))
             return
         opened = None
         if _local(el.tag) in inline:

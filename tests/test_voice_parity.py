@@ -185,6 +185,80 @@ def test_hits_grouped_by_word(voice_reader):
         assert got.get(k) == v, k
 
 
+def test_hits_grouped_by_right_context(voice_reader):
+    """'very grouped by word right' — HitPropertyRightContext: exact
+    identities (cwo: prefix), displays and sizes."""
+    from blacklab_ray.server import handle_hits_grouped
+    exp = _saved("hits-grouped", "very grouped by word right")
+    resp = handle_hits_grouped(
+        voice_reader, {"patt": '"very"', "group": "wordright:word:i"})
+    want = sorted((g["identity"], g["identityDisplay"], g["size"])
+                  for g in exp["hitGroups"])
+    got = sorted((g["identity"], g["identityDisplay"], g["size"])
+                 for g in resp["hitGroups"])
+    assert got == want
+
+
+def test_colloc_matches_saved(voice_reader):
+    """colloc token frequencies around '"the"' — token-for-token equal
+    to the reference's saved response at context width 10."""
+    from blacklab_ray.server import handle_colloc
+    exp = _saved("colloc", "single word the")
+    resp = handle_colloc(voice_reader, {"patt": '"the"'})
+    assert resp["tokenFrequencies"] == exp["tokenFrequencies"]
+
+
+def test_doc_snippet_wordstart_matches_saved(voice_reader):
+    """snippet by word window: the reference's saved response is
+    positions [5, 15) of PBsve430 — word AND annotation arrays must
+    agree (punct column not stored in this build: compared without
+    it)."""
+    from blacklab_ray.server import handle_doc_snippet
+    exp = _saved("docs", "document snippet wordstart")["snippet"]
+    resp = handle_doc_snippet(voice_reader, "PBsve430",
+                              {"wordstart": "5", "wordend": "15"})
+    for k in ("word", "lemma", "pos"):
+        assert resp["snippet"][k] == exp[k], k
+
+
+def test_doc_snippet_hitstart_matches_saved(voice_reader):
+    from blacklab_ray.server import handle_doc_snippet
+    exp = _saved("docs", "document snippet hitstart")
+    resp = handle_doc_snippet(voice_reader, "PBsve430",
+                              {"hitstart": "3", "hitend": "5",
+                               "wordsaroundhit": "2"})
+    for part in ("left", "match", "right"):
+        for k in ("word", "lemma", "pos"):
+            assert resp[part][k] == exp[part][k], (part, k)
+
+
+def test_doc_info_metadata_matches_saved(voice_reader):
+    from blacklab_ray.server import handle_doc_info
+    exp = _saved("docs", "document metadata")
+    resp = handle_doc_info(voice_reader, "PBsve430")
+    assert resp["docPid"] == "PBsve430"
+    assert resp["docInfo"]["pid"] == exp["docInfo"]["pid"]
+    assert resp["docInfo"]["title"] == exp["docInfo"]["title"]
+    assert resp["docInfo"]["lengthInTokens"] == \
+        exp["docInfo"]["lengthInTokens"]
+
+
+def test_hits_grouped_by_capture(voice_reader):
+    """capture:word:i:A groups hits by the captured token's word (the
+    reference's 'group by capture' property; its saved response uses
+    an unrecorded pattern, so expectations here come from the corpus
+    itself: 'the X' captures)."""
+    from blacklab_ray.server import handle_hits_grouped
+    resp = handle_hits_grouped(
+        voice_reader, {"patt": '"the" A:[]',
+                       "group": "capture:word:i:A"})
+    gm = {g["identityDisplay"]: g["size"] for g in resp["hitGroups"]}
+    assert gm["confirmation"] == 4
+    assert sum(gm.values()) == 21   # every 'the' hit grouped
+    top = resp["hitGroups"][0]
+    assert top["identity"] == "cws:word:i:confirmation"
+
+
 def test_docs_grouped_by_title(voice_reader):
     from blacklab_ray.server import handle_docs_grouped
     exp = _saved("docs-grouped", "a grouped by title")
