@@ -172,12 +172,22 @@ def _spans_for(reader, patt: str, filter_expr: str | None):
 
 
 def handle_hits(reader, params: dict) -> dict:
-    """GET /corpora/<c>/hits — RequestHandlerHits analogue."""
+    """GET /corpora/<c>/hits — RequestHandlerHits analogue.
+    ``facets=field:<f>`` adds per-facet distinct-doc counts."""
     patt = params.get("patt", "")
+    d, s, e = _spans_for(reader, patt, params.get("filter"))
+    resp = _render_hits(reader, params, d, s, e)
+    if params.get("facets"):
+        resp["facets"] = _facets(reader, d, params["facets"])
+    return resp
+
+
+def _render_hits(reader, params: dict, d, s, e) -> dict:
+    """Window + context + docInfos for a span set (the hits response
+    body, shared by /hits and the viewgroup view)."""
     first = int(params.get("first", 0))
     number = int(params.get("number", 50))
     n_ctx = int(params.get("wordsaroundhit", 1))
-    d, s, e = _spans_for(reader, patt, params.get("filter"))
     total = int(d.size)
     n_docs = int(np.unique(d).size)
     wd, ws, we = d[first:first + number], s[first:first + number], \
@@ -195,39 +205,36 @@ def handle_hits(reader, params: dict) -> dict:
     }
 
 
-def handle_hits_grouped(reader, params: dict) -> dict:
-    """GET /hits?group= — HitGroups analogue. Supported group
-    criteria: ``hit:word:i`` (matched text), ``field:<meta>``,
-    ``wordright:word:i`` / ``wordleft:word:i`` (context word —
-    HitPropertyRightContext/LeftContext, identity prefixes
-    cwo:/cwb: per the reference's saved responses), and
-    ``capture:word:i:<NAME>`` (captured token's word)."""
-    patt = params.get("patt", "")
-    crit = params["group"]
-    first = int(params.get("first", 0))
-    number = int(params.get("number", 50))
-    spans_tbl = _spans_table_for(reader, patt, params.get("filter"))
+def _doc_field_lookup(reader, doc_ids: np.ndarray,
+                      fieldname: str) -> dict:
+    """doc_id → metadata value, hit-doc-pruned gather ('pid' = url)."""
+    if fieldname == "pid":
+        uniq = np.unique(doc_ids)
+        return dict(zip(uniq.tolist(), reader.urls(uniq)))
+    import os
+
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pa_ds
+    uniq = np.unique(doc_ids)
+    tbl = pa_ds.dataset(os.path.join(reader.index_dir, "fwd"),
+                        format="parquet").to_table(
+        columns=["doc_id", fieldname],
+        filter=pc.field("doc_id").isin(uniq.tolist()))
+    return dict(zip(tbl["doc_id"].to_pylist(),
+                    tbl[fieldname].to_pylist()))
+
+
+def _group_keys(reader, spans_tbl, crit: str):
+    """Per-hit group key under a HitProperty criterion; returns
+    (keys, property-name)."""
     d = spans_tbl["doc_id"].to_numpy()
     s = spans_tbl["start"].to_numpy()
     e = spans_tbl["end"].to_numpy()
-    total = int(d.size)
     if crit.startswith("field:"):
         fieldname = crit.split(":", 1)[1]
-        import os
-
-        import pyarrow.compute as pc
-        import pyarrow.dataset as pa_ds
-        uniq = np.unique(d)
-        # hit-doc-pruned gather, not a full fwd column scan
-        tbl = pa_ds.dataset(os.path.join(reader.index_dir, "fwd"),
-                            format="parquet").to_table(
-            columns=["doc_id", fieldname],
-            filter=pc.field("doc_id").isin(uniq.tolist()))
-        lookup = dict(zip(tbl["doc_id"].to_pylist(),
-                          tbl[fieldname].to_pylist()))
-        keys = [str(lookup.get(int(x))) for x in d]
-        prop = f"doc:{fieldname}"
-    elif crit.startswith(("wordright:", "wordleft:")):
+        lookup = _doc_field_lookup(reader, d, fieldname)
+        return [str(lookup.get(int(x))) for x in d], f"doc:{fieldname}"
+    if crit.startswith(("wordright:", "wordleft:")):
         # group by the context word adjacent to the hit; a hit at the
         # doc edge groups under the empty key (BLS does the same)
         right = crit.startswith("wordright:")
@@ -238,8 +245,8 @@ def handle_hits_grouped(reader, params: dict) -> dict:
         keys = [""] * int(d.size)
         for i, t in zip(np.flatnonzero(ok), toks):
             keys[int(i)] = t or ""
-        prop = crit
-    elif crit.startswith("capture:"):
+        return keys, crit
+    if crit.startswith("capture:"):
         cap = crit.rsplit(":", 1)[-1]
         col = f"{cap}_pos"
         if col not in spans_tbl.column_names:
@@ -250,21 +257,71 @@ def handle_hits_grouped(reader, params: dict) -> dict:
         keys = [""] * int(d.size)
         for i, t in zip(np.flatnonzero(ok), toks):
             keys[int(i)] = t or ""
-        prop = crit
-    else:
-        # group identity is the FULL matched text (BLS groups
-        # multi-token hits by all tokens s..e-1, not the first word —
-        # ADVICE r3): one batched tokens_at over the ragged positions
-        lens = (e - s).astype(np.int64)
-        csum = np.cumsum(lens)
-        flat_docs = np.repeat(d, lens)
-        flat_pos = np.repeat(s, lens) \
-            + np.arange(int(csum[-1]), dtype=np.int64) \
-            - np.repeat(csum - lens, lens)
-        toks = reader.tokens_at(flat_docs, flat_pos)
-        keys = [" ".join(filter(None, toks[a:b]))
-                for a, b in zip((csum - lens).tolist(), csum.tolist())]
-        prop = "hit:word:i"
+        return keys, crit
+    # group identity is the FULL matched text (BLS groups multi-token
+    # hits by all tokens s..e-1, not the first word — ADVICE r3): one
+    # batched tokens_at over the ragged positions
+    lens = (e - s).astype(np.int64)
+    csum = np.cumsum(lens) if lens.size else np.zeros(0, np.int64)
+    flat_docs = np.repeat(d, lens)
+    flat_pos = (np.repeat(s, lens)
+                + np.arange(int(csum[-1]) if lens.size else 0,
+                            dtype=np.int64)
+                - np.repeat(csum - lens, lens))
+    toks = reader.tokens_at(flat_docs, flat_pos)
+    keys = [" ".join(filter(None, toks[a:b]))
+            for a, b in zip((csum - lens).tolist(), csum.tolist())]
+    return keys, "hit:word:i"
+
+
+def _facets(reader, doc_ids: np.ndarray, spec: str) -> dict:
+    """BLS facets block: per facet field, distinct-doc counts per
+    value (``facets=field:pid`` → {"pid": [{"value","size"},...]}),
+    size-desc then value-asc."""
+    out = {}
+    for part in spec.split(","):
+        part = part.strip()
+        if not part.startswith("field:"):
+            raise ValueError(f"unsupported facet {part!r}")
+        fieldname = part.split(":", 1)[1]
+        lookup = _doc_field_lookup(reader, doc_ids, fieldname)
+        counts: dict[str, int] = {}
+        for did in np.unique(doc_ids):
+            v = str(lookup.get(int(did)))
+            counts[v] = counts.get(v, 0) + 1
+        key = fieldname.removeprefix("meta_")
+        out[key] = [{"value": v, "size": n} for v, n in
+                    sorted(counts.items(), key=lambda kv: (-kv[1],
+                                                           kv[0]))]
+    return out
+
+
+def handle_hits_grouped(reader, params: dict) -> dict:
+    """GET /hits?group= — HitGroups analogue. Supported group
+    criteria: ``hit:word:i`` (matched text), ``field:<meta>``,
+    ``wordright:word:i`` / ``wordleft:word:i`` (context word —
+    HitPropertyRightContext/LeftContext, identity prefixes
+    cwo:/cwb: per the reference's saved responses), and
+    ``capture:word:i:<NAME>`` (captured token's word).
+
+    ``viewgroup=<identity-suffix>`` returns the HITS of one group
+    (RequestHandlerHits' group-contents view) instead of the group
+    list."""
+    patt = params.get("patt", "")
+    crit = params["group"]
+    first = int(params.get("first", 0))
+    number = int(params.get("number", 50))
+    spans_tbl = _spans_table_for(reader, patt, params.get("filter"))
+    d = spans_tbl["doc_id"].to_numpy()
+    total = int(d.size)
+    keys, prop = _group_keys(reader, spans_tbl, crit)
+    if params.get("viewgroup") is not None:
+        want = params["viewgroup"]
+        want = want.split(":", 1)[1] if want.startswith("str:") else want
+        sel = np.array([k == want for k in keys], dtype=bool)
+        return _render_hits(reader, params, d[sel],
+                            spans_tbl["start"].to_numpy()[sel],
+                            spans_tbl["end"].to_numpy()[sel])
     groups: dict[str, dict] = {}
     for k, doc in zip(keys, d):
         g = groups.setdefault(k, {"size": 0, "docs": set()})
@@ -314,7 +371,7 @@ def handle_docs(reader, params: dict) -> dict:
     wc = counts[first:first + number]
     urls = reader.urls(wd)
     lens = reader.doc_lens(wd)
-    return {
+    resp = {
         "summary": _summary(params, first, number, int(wd.size), total,
                             total),
         "docs": [{
@@ -324,6 +381,9 @@ def handle_docs(reader, params: dict) -> dict:
                         "mayView": True},
         } for u, c, n in zip(urls, wc, lens)],
     }
+    if params.get("facets"):
+        resp["facets"] = _facets(reader, uniq, params["facets"])
+    return resp
 
 
 def handle_info(reader, name: str = "index") -> dict:

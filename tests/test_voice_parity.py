@@ -259,6 +259,65 @@ def test_hits_grouped_by_capture(voice_reader):
     assert top["identity"] == "cws:word:i:confirmation"
 
 
+def test_hits_grouped_with_filter(voice_reader):
+    """'any token grouped by word with filter': group counts restricted
+    by a pid filter reproduce exactly (the saved numbers identify the
+    filter as pid:PBsve430)."""
+    from blacklab_ray.server import handle_hits_grouped
+    exp = _saved("hits-grouped", "any token grouped by word with filter")
+    resp = handle_hits_grouped(
+        voice_reader, {"patt": "[]", "group": "hit:word:i",
+                       "filter": "pid:PBsve430", "number": "500"})
+    assert resp["summary"]["numberOfGroups"] == \
+        exp["summary"]["numberOfGroups"] == 118
+    want = {g["identityDisplay"]: g["size"] for g in exp["hitGroups"]}
+    got = {g["identityDisplay"]: g["size"] for g in resp["hitGroups"]}
+    for k, v in want.items():
+        assert got.get(k) == v, k
+
+
+def test_viewgroup_matches_saved(voice_reader):
+    """'view single group': the hits of ONE title group — exact
+    positions."""
+    from blacklab_ray.server import handle_hits_grouped
+    exp = _saved("hits", "view single group")
+    title = ("service encounter about visa application for "
+             "family members")
+    resp = handle_hits_grouped(
+        voice_reader, {"patt": '"a"', "group": "field:meta_title",
+                       "viewgroup": f"str:{title}"})
+    assert resp["summary"]["numberOfHits"] == \
+        exp["summary"]["numberOfHits"] == 5
+    want = sorted((h["docPid"], h["start"], h["end"])
+                  for h in exp["hits"])
+    got = sorted((h["docPid"], h["start"], h["end"])
+                 for h in resp["hits"])
+    assert got == want
+
+
+def test_hits_facets_matches_saved(voice_reader):
+    """'document facets' (hits): per-facet distinct-doc counts."""
+    from blacklab_ray.server import handle_hits
+    exp = _saved("hits", "document facets")
+    resp = handle_hits(voice_reader, {"patt": '"the"',
+                                      "facets": "field:pid"})
+    want = sorted((f["value"], f["size"]) for f in exp["facets"]["pid"])
+    got = sorted((f["value"], f["size"]) for f in resp["facets"]["pid"])
+    assert got == want
+
+
+def test_docs_facets_matches_saved(voice_reader):
+    from blacklab_ray.server import handle_docs
+    exp = _saved("docs", "document facets")
+    resp = handle_docs(voice_reader, {"patt": '"the"',
+                                      "facets": "field:meta_title"})
+    want = sorted((f["value"], f["size"])
+                  for f in exp["facets"]["title"])
+    got = sorted((f["value"], f["size"])
+                 for f in resp["facets"]["title"])
+    assert got == want
+
+
 def test_docs_grouped_by_title(voice_reader):
     from blacklab_ray.server import handle_docs_grouped
     exp = _saved("docs-grouped", "a grouped by title")
