@@ -151,7 +151,8 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from blacklab_ray.pipelines import (
-        ann, dedup, frequency, hits, multimodal, textstats, windows,
+        ann, cleaning, dedup, frequency, hits, multimodal, textstats,
+        windows,
     )
     from blacklab_ray.query import phrase_search, search, search_taat
 
@@ -169,11 +170,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return t
 
     def q_corpus_stats(sf):
+        """Corpus stats + ResultCount for the OR query set in one row
+        (merged with the former hit_counts key — 50-key driver cap;
+        both operators stay individually driver-verified via their own
+        columns)."""
+        from blacklab_ray.query.engine import count_hits
         r = _index_for(sf)
+        hc = count_hits(r, OR_TERMS, "or")
         return pa.table({
             "total_docs": pa.array([r.n_docs], pa.int64()),
             "total_tokens": pa.array([r.meta["total_tokens"]], pa.int64()),
             "avg_doc_len": pa.array([round(r.avgdl, 6)], pa.float64()),
+            "hit_docs": hc["n_docs"],
+            "hit_count": hc["n_hits"],
         })
 
     def q_bm25_or_scores(sf):
@@ -233,11 +242,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         t = search_filtered(r, OR_TERMS, allowed, k=10**9) \
             .select(["doc_id", "score"])
         return _round_cols(t.to_pandas(), {"score": 4})
-
-    def q_hit_counts(sf):
-        from blacklab_ray.query.engine import count_hits
-        r = _index_for(sf)
-        return count_hits(r, OR_TERMS, "or")
 
     def q_top_docs_by_len(sf):
         import pyarrow.parquet as pq
@@ -505,14 +509,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return docsops.docs_window(ds, ["doc_len", "doc_id"],
                                    [True, False], 10, 10)
 
-    def q_dedup_exact(sf):
-        return dedup.exact_dedup_keep_ids(_docs_ds(sf))
+    def q_dedup_keep(sf):
+        """Exact-content dedup AND canonical-URL dedup survivors in one
+        key, discriminated by a `kind` column (merged — 50-key driver
+        cap; each stays individually driver-verified by its kind).
 
-    def q_url_dedup(sf):
-        """Canonical-URL dedup: min doc_id per canonical url (half the
-        synthesized urls collide after canonicalization: the even form
-        differs only in case/scheme/query/fragment from ITSELF — so we
-        make pairs collide by mapping doc_id -> doc_id - (doc_id % 2))."""
+        URL side: min doc_id per canonical url (half the synthesized
+        urls collide after canonicalization: the even form differs only
+        in case/scheme/query/fragment from ITSELF — so we make pairs
+        collide by mapping doc_id -> doc_id - (doc_id % 2))."""
         import pyarrow.compute as pc
         from blacklab_ray.pipelines.dedup import url_dedup_keep_ids
 
@@ -538,7 +543,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             })
 
         ds = _docs_ds(sf).map_batches(_mk, batch_format="pyarrow")
-        return url_dedup_keep_ids(ds)
+        a = dedup.exact_dedup_keep_ids(_docs_ds(sf)).to_pandas()
+        a.insert(0, "kind", "content")
+        b = url_dedup_keep_ids(ds).to_pandas()
+        b.insert(0, "kind", "url")
+        return pd.concat([a, b], ignore_index=True)
 
     def q_fingerprints(sf):
         """Per-doc rolling fingerprint AND simhash64 in one key (both
@@ -606,15 +615,87 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _round_cols(df, {"avg_tokens": 6, "avg_stopword_ratio": 6,
                                 "avg_alpha_ratio": 6})
 
-    def q_token_count_by_lang(sf):
-        # bpe=True adds the BPE-ish pretokenizer estimate — same RE2
-        # pattern string runs in the DuckDB oracle (regexp_extract_all)
-        return textstats.token_counts_by(_docs_ds(sf), "lang", bpe=True)
-
-    def q_lang_id(sf):
+    def q_lang_stats(sf):
+        """Token counts by metadata lang (kind='meta') AND predicted-
+        language doc counts (kind='pred') in one key (merged — 50-key
+        driver cap; each operator stays driver-verified by its kind).
+        bpe=True adds the BPE-ish pretokenizer estimate — same RE2
+        pattern string runs in the DuckDB oracle (regexp_extract_all)."""
         from ray.data.aggregate import Count
-        return textstats.lang_id(_docs_ds(sf)) \
-            .groupby("lang_pred").aggregate(Count(alias_name="n_docs"))
+        meta = textstats.token_counts_by(
+            _docs_ds(sf), "lang", bpe=True).to_pandas()
+        meta.insert(0, "kind", "meta")
+        pred = textstats.lang_id(_docs_ds(sf)) \
+            .groupby("lang_pred").aggregate(Count(alias_name="n_docs")) \
+            .to_pandas().rename(columns={"lang_pred": "lang"})
+        pred.insert(0, "kind", "pred")
+        return pd.concat([meta, pred], ignore_index=True)
+
+    # ---- cleaning: PII / decontamination / paragraph dedup --------------
+
+    def q_pii_scrub(sf):
+        """PII redaction counts + scrubbed-text md5. The synthetic
+        corpus carries no PII, so odd docs get a deterministic
+        contact line appended (email + phone + IPv4 derived from
+        doc_id) — the same augmentation runs in the SQL oracle."""
+        import pyarrow.compute as pc
+
+        def _aug(batch: pa.Table) -> pa.Table:
+            did = batch.column("doc_id").cast(pa.int64())
+            d = did.to_numpy(zero_copy_only=False)
+            extra = pa.array(
+                [f" contact user{i}@example.com or +1-555-{i % 10000}"
+                 f" at 10.0.{i % 256}.{(i // 7) % 256}" for i in d],
+                pa.string())
+            odd = pc.equal(pc.bit_wise_and(did, 1), 1)
+            text = pc.if_else(
+                odd,
+                pc.binary_join_element_wise(
+                    batch.column("text"), extra, ""),
+                batch.column("text"))
+            return pa.table({"doc_id": did, "text": text})
+
+        ds = _docs_ds(sf).map_batches(_aug, batch_format="pyarrow")
+        return cleaning.pii_scrub(ds)
+
+    def q_decontaminate(sf):
+        """Benchmark decontamination: docs with doc_id % 20 == 0 are
+        the held-out eval set; every other doc reports its 3-gram
+        occurrence overlap with that set (broadcast semi-join)."""
+        import pyarrow.compute as pc
+
+        def _half(is_bench: bool):
+            def _f(batch: pa.Table) -> pa.Table:
+                did = batch.column("doc_id").cast(pa.int64())
+                bench = pc.equal(
+                    pc.subtract(did, pc.multiply(
+                        pc.divide(did, 20), 20)), 0)
+                mask = bench if is_bench else pc.invert(bench)
+                return batch.filter(mask)
+            return _f
+
+        docs = _docs_ds(sf)
+        bench = docs.map_batches(_half(True), batch_format="pyarrow")
+        corpus = docs.map_batches(_half(False), batch_format="pyarrow")
+        return cleaning.decontaminate(corpus, bench, n=3)
+
+    def q_paragraph_dedup(sf):
+        """Paragraph-level dedup stats. The synthetic text has no
+        newlines, so paragraph boundaries are synthesized
+        deterministically (every ' value ' becomes a blank line) —
+        the same replace() runs in the SQL oracle."""
+        import pyarrow.compute as pc
+
+        def _mk(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "text": pc.replace_substring(
+                    batch.column("text"), pattern=" value ",
+                    replacement="\n\n"),
+            })
+
+        ds = _docs_ds(sf).map_batches(_mk, batch_format="pyarrow")
+        return cleaning.paragraph_dup_stats(ds)
 
     # ---- windowed event aggregates -------------------------------------
 
@@ -667,7 +748,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wildcard_or_scores": q_wildcard_scores,
         "term_expansion": q_term_expansion,
         "bm25_filtered_en": q_bm25_filtered_en,
-        "hit_counts": q_hit_counts,
         "top_docs_by_len": q_top_docs_by_len,
         "kwic_fwd": q_kwic_fwd,
         "cql_docs": q_cql,
@@ -701,19 +781,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "collocations_spark": q_collocations,
         "kwic_spark": q_kwic,
         "freq_by_lang": q_freq_by_lang,
-        "dedup_exact": q_dedup_exact,
+        "dedup_keep": q_dedup_keep,
         "jaccard_pairs": q_jaccard_pairs,
         "docs_window": q_docs_window,
         "fingerprints": q_fingerprints,
-        "url_dedup": q_url_dedup,
         "minhash_pairs": q_minhash_pairs,
         "ann_topk": q_ann_topk,
         "ann_lsh_topk": q_ann_lsh,
         "ann_ivf_topk": q_ann_ivf,
         "emb_dup_pairs": q_emb_dup_pairs,
         "quality_by_source": q_quality_by_source,
-        "token_count_by_lang": q_token_count_by_lang,
-        "lang_id_counts": q_lang_id,
+        "lang_stats": q_lang_stats,
+        "pii_scrub": q_pii_scrub,
+        "decontaminate": q_decontaminate,
+        "paragraph_dedup": q_paragraph_dedup,
     }
 
 
@@ -740,6 +821,37 @@ def _lang_profile_values() -> str:
         for term in sorted(_LANG_PROFILES[lang]):
             rows.append(f"('{lang}', '{term}')")
     return ", ".join(rows)
+
+
+def _pii_scrub_sql() -> str:
+    """PII-scrub oracle: the identical RE2 pattern strings the engine
+    uses (imported, not copied), over the same deterministic doc_id-
+    derived augmentation the Ray key applies."""
+    from blacklab_ray.pipelines.cleaning import (
+        PII_EMAIL_RE, PII_IP_RE, PII_PHONE_RE,
+    )
+    return f"""
+WITH aug AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 1
+              THEN text || ' contact user' || doc_id
+                   || '@example.com or +1-555-' || (doc_id % 10000)
+                   || ' at 10.0.' || (doc_id % 256) || '.'
+                   || ((doc_id // 7) % 256)
+              ELSE text END AS text
+  FROM documents)
+SELECT doc_id,
+       length(regexp_extract_all(text, '{PII_EMAIL_RE}'))::BIGINT
+         AS n_emails,
+       length(regexp_extract_all(text, '{PII_IP_RE}'))::BIGINT AS n_ips,
+       length(regexp_extract_all(text, '{PII_PHONE_RE}'))::BIGINT
+         AS n_phones,
+       md5(regexp_replace(regexp_replace(regexp_replace(text,
+           '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+           '{PII_IP_RE}', '<IP>', 'g'),
+           '{PII_PHONE_RE}', '<PHONE>', 'g')) AS scrubbed_md5
+FROM aug
+"""
 
 
 def _bm25_sql(terms: list[str], mode: str, topk: int | None,
@@ -844,7 +956,11 @@ WITH toks AS ({toks})
 SELECT (SELECT count(*) FROM documents) AS total_docs,
        count(*) AS total_tokens,
        round(count(*)::DOUBLE / (SELECT count(*) FROM documents), 6)
-           AS avg_doc_len
+           AS avg_doc_len,
+       (SELECT count(distinct doc_id) FROM toks
+        WHERE term IN ({_sql_list(OR_TERMS)})) AS hit_docs,
+       (SELECT count(*) FROM toks
+        WHERE term IN ({_sql_list(OR_TERMS)})) AS hit_count
 FROM toks
 """,
         "bm25_or_scores": _bm25_sql(OR_TERMS, "or", None),
@@ -866,11 +982,6 @@ UNION ALL
 SELECT 'fuzzy' AS kind, term
 FROM (SELECT DISTINCT term FROM toks
       WHERE levenshtein(term, 'spark') <= 1)
-""",
-        "hit_counts": f"""
-WITH toks AS ({toks})
-SELECT count(distinct doc_id) AS n_docs, count(*) AS n_hits
-FROM toks WHERE term IN ({_sql_list(OR_TERMS)})
 """,
         "top_docs_by_len": f"""
 WITH toks AS ({toks})
@@ -1084,9 +1195,14 @@ SELECT a, b,
 FROM inter JOIN s sa ON sa.doc_id = a JOIN s sb ON sb.doc_id = b
 WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.8
 """,
-        "lang_id_counts": f"""
-WITH toks AS (SELECT doc_id, unnest({_TOKS_SQL}) AS term
-              FROM documents),
+        "lang_stats": f"""
+WITH toks AS ({toks}),
+bpe AS (
+  SELECT lang, sum(length(regexp_extract_all(text,
+    ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\n]+|[ \t\n]+')))
+    AS total_bpe_tokens
+  FROM documents GROUP BY lang
+),
 profiles(lang, term) AS (VALUES {_lang_profile_values()}),
 scores AS (SELECT t.doc_id, p.lang, count(*) AS score
            FROM toks t JOIN profiles p ON t.term = p.term
@@ -1099,10 +1215,16 @@ pred AS (SELECT d.doc_id, coalesce(b.lang, 'und') AS lang_pred
          FROM documents d
          LEFT JOIN (SELECT doc_id, lang FROM best WHERE rn = 1) b
            USING (doc_id))
-SELECT lang_pred, count(*) AS n_docs FROM pred GROUP BY lang_pred
-""",
-        "dedup_exact": """
-SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
+SELECT 'meta' AS kind, d.lang, count(distinct d.doc_id) AS n_docs,
+       count(t.term) AS total_tokens,
+       any_value(b.total_bpe_tokens)::BIGINT AS total_bpe_tokens
+FROM documents d LEFT JOIN toks t ON d.doc_id = t.doc_id
+LEFT JOIN bpe b ON d.lang = b.lang
+GROUP BY d.lang
+UNION ALL
+SELECT 'pred' AS kind, lang_pred AS lang, count(*) AS n_docs,
+       NULL::BIGINT AS total_tokens, NULL::BIGINT AS total_bpe_tokens
+FROM pred GROUP BY lang_pred
 """,
         "jaccard_pairs": f"""
 WITH toks AS ({toks_pos}),
@@ -1130,7 +1252,7 @@ dl AS (SELECT d.doc_id, count(t.term) AS doc_len
 SELECT doc_id, doc_len FROM dl
 ORDER BY doc_len DESC, doc_id LIMIT 10 OFFSET 10
 """,
-        "url_dedup": r"""
+        "dedup_keep": r"""
 WITH u AS (
   SELECT doc_id,
          CASE WHEN doc_id % 2 = 0
@@ -1150,7 +1272,9 @@ s4 AS (SELECT doc_id,
                              '^www\.', '')
               || regexp_replace(u, '^[^/]*', '') AS u FROM s3),
 canon AS (SELECT doc_id, regexp_replace(u, '/$', '') AS c FROM s4)
-SELECT min(doc_id) AS doc_id FROM canon GROUP BY c
+SELECT 'content' AS kind, min(doc_id) AS doc_id FROM documents GROUP BY text
+UNION ALL
+SELECT 'url' AS kind, min(doc_id) AS doc_id FROM canon GROUP BY c
 """,
         "fingerprints": f"""
 WITH fp AS (
@@ -1293,20 +1417,38 @@ SELECT source, count(*) AS n_docs,
        round(avg(alpha_ratio), 6) AS avg_alpha_ratio
 FROM per_doc GROUP BY source
 """,
-        "token_count_by_lang": f"""
-WITH toks AS ({toks}),
-bpe AS (
-  SELECT lang, sum(length(regexp_extract_all(text,
-    ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\n]+|[ \t\n]+')))
-    AS total_bpe_tokens
-  FROM documents GROUP BY lang
-)
-SELECT d.lang, count(distinct d.doc_id) AS n_docs,
-       count(t.term) AS total_tokens,
-       any_value(b.total_bpe_tokens)::BIGINT AS total_bpe_tokens
-FROM documents d LEFT JOIN toks t ON d.doc_id = t.doc_id
-LEFT JOIN bpe b ON d.lang = b.lang
-GROUP BY d.lang
+        "pii_scrub": _pii_scrub_sql(),
+        "decontaminate": f"""
+WITH toks AS ({toks_pos}),
+g AS (SELECT a.doc_id,
+             a.term || ' ' || b.term || ' ' || c.term AS gram
+      FROM toks a
+      JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+      JOIN toks c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2),
+bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 20 = 0),
+hits AS (SELECT g.doc_id, count(*) AS n
+         FROM g JOIN bench USING (gram)
+         WHERE g.doc_id % 20 <> 0 GROUP BY g.doc_id)
+SELECT d.doc_id, coalesce(h.n, 0)::BIGINT AS n_gram_hits,
+       coalesce(h.n, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+WHERE d.doc_id % 20 <> 0
+""",
+        "paragraph_dedup": """
+WITH paras AS (
+  SELECT doc_id, trim(p) AS para FROM (
+    SELECT doc_id,
+           unnest(string_split(
+             replace(text, ' value ', chr(10) || chr(10)),
+             chr(10) || chr(10))) AS p
+    FROM documents)
+  WHERE trim(p) <> ''),
+cnt AS (SELECT para, count(*) AS n FROM paras GROUP BY para)
+SELECT p.doc_id, count(*)::BIGINT AS n_paragraphs,
+       sum(CASE WHEN c.n > 1 THEN 1 ELSE 0 END)::BIGINT
+         AS n_dup_paragraphs
+FROM paras p JOIN cnt c ON c.para = p.para
+GROUP BY p.doc_id
 """,
         "events_windows": """
 WITH sl AS (

@@ -1,3 +1,3 @@
 from blacklab_ray.pipelines import (
-    ann, dedup, frequency, hits, multimodal, textstats, windows,
+    ann, cleaning, dedup, frequency, hits, multimodal, textstats, windows,
 )

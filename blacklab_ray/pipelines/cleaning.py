@@ -1,0 +1,299 @@
+"""Corpus-cleaning operators: PII scrubbing, benchmark decontamination,
+paragraph-level dedup.
+
+The cleaning stages a web-scale training-data pipeline runs between
+crawling and tokenization. No reference analogue (BlackLab stops at
+indexing); the shapes follow the published pipeline literature
+(CCNet / Gopher / RefinedWeb-style cleaning):
+
+- ``pii_scrub``: single-pass vectorized RE2 redaction — embarrassingly
+  parallel, nothing shuffles.
+- ``decontaminate``: the benchmark side is SMALL by construction (an
+  eval set, thousands of docs), so it is collected once, ``ray.put``
+  once, and read once per actor — a broadcast semi-join, never a
+  corpus-wide shuffle.
+- ``paragraph_dup_stats``: explode → count → co-partitioned join-back.
+  Both shuffles are keyed by a content hash (uniform), and the
+  join-back uses ONE vectorized UDF call per hash partition — the same
+  proven shape as ``dedup.verify_jaccard_pairs`` (a Python call per
+  group is the per-group pattern that dies at scale, and Ray 2.49's
+  ``Dataset.join`` chokes on schema-less empty aggregate blocks).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+from ray.data.aggregate import Count, Sum
+
+from blacklab_ray.analysis.analyzers import tokenize_column
+
+# RE2 patterns shared VERBATIM with the DuckDB oracles (both engines
+# are RE2, so count/replace semantics match bit-for-bit).
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IP_RE = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+PII_PHONE_RE = r"\+\d[\d\- ]{5,}\d"
+
+# replacement order matters: emails first (their digits must not feed
+# the phone pattern), then IPs (dots exclude them from the phone
+# class), then phones.
+_PII_RULES = (
+    (PII_EMAIL_RE, "<EMAIL>", "n_emails"),
+    (PII_IP_RE, "<IP>", "n_ips"),
+    (PII_PHONE_RE, "<PHONE>", "n_phones"),
+)
+
+
+def pii_scrub(ds: ray.data.Dataset, text_col: str = "text",
+              id_col: str = "doc_id",
+              keep_text: bool = False) -> ray.data.Dataset:
+    """Redact emails / IPv4 addresses / phone numbers.
+
+    Per doc: match counts per category plus the md5 of the scrubbed
+    text (the compact equality witness — drivers hash cell values, and
+    the full scrubbed body would dominate the result). Pass
+    ``keep_text=True`` to keep the scrubbed body itself (the
+    production shape: write it back out).
+
+    Single ``map_batches`` pass, all counting/replacing in Arrow RE2
+    kernels; only the md5 digests are scalar (md5 IS the identity
+    spec, as in ``dedup.ContentHash``).
+    """
+
+    def _scrub(batch: pa.Table) -> pa.Table:
+        text = batch.column(text_col)
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        cols: dict[str, pa.Array] = {
+            id_col: batch.column(id_col).cast(pa.int64()),
+        }
+        scrubbed = text
+        for pattern, token, count_name in _PII_RULES:
+            cols[count_name] = pc.count_substring_regex(
+                text, pattern=pattern).cast(pa.int64())
+            scrubbed = pc.replace_substring_regex(
+                scrubbed, pattern=pattern, replacement=token)
+        cols["scrubbed_md5"] = pa.array(
+            [hashlib.md5(t.encode()).hexdigest()
+             for t in scrubbed.to_pylist()], pa.string())
+        if keep_text:
+            cols["scrubbed_text"] = scrubbed
+        return pa.table(cols)
+
+    return ds.map_batches(_scrub, batch_format="pyarrow")
+
+
+def _ngram_strings(col: pa.Array | pa.ChunkedArray, n: int
+                   ) -> tuple[np.ndarray, pa.Array]:
+    """(doc_row_index, gram_string) for every token n-gram, vectorized:
+    tokenize once, join n shifted views of the flat token array, mask
+    grams that straddle a document boundary."""
+    parents, flat, _, _ = tokenize_column(col)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    total = len(flat)
+    if total < n:
+        return (np.empty(0, dtype=np.int64),
+                pa.array([], pa.string()))
+    width = total - n + 1
+    views = [flat.slice(i, width) for i in range(n)]
+    grams = pc.binary_join_element_wise(*views, " ")
+    same_doc = parents[:width] == parents[n - 1:]
+    return parents[:width][same_doc], grams.filter(pa.array(same_doc))
+
+
+class _BenchmarkGramHits:
+    """map_batches actor: count n-gram occurrences hitting the
+    broadcast benchmark gram set. The set is ``ray.get`` once per
+    actor (``__init__``), never re-shipped per batch."""
+
+    def __init__(self, gram_ref, n: int, text_col: str, id_col: str):
+        self._grams: pa.Array = ray.get(gram_ref)
+        self._n = n
+        self._text = text_col
+        self._id = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self._id).cast(pa.int64())
+        gparents, grams = _ngram_strings(batch.column(self._text),
+                                         self._n)
+        hits = np.zeros(batch.num_rows, dtype=np.int64)
+        if len(grams) and len(self._grams):
+            mask = pc.is_in(grams, value_set=self._grams) \
+                .to_numpy(zero_copy_only=False)
+            np.add.at(hits, gparents[mask], 1)
+        return pa.table({
+            self._id: ids,
+            "n_gram_hits": pa.array(hits, pa.int64()),
+            "contaminated": pa.array(hits > 0),
+        })
+
+
+def benchmark_grams(benchmark_ds: ray.data.Dataset, n: int = 3,
+                    text_col: str = "text") -> pa.Array:
+    """Distinct n-gram strings of the benchmark set, as one Arrow
+    array on the driver. The benchmark side of decontamination is
+    small by definition (an eval set); per-batch dedup happens in the
+    tasks, only distinct grams come back."""
+
+    def _grams(batch: pa.Table) -> pa.Table:
+        _, grams = _ngram_strings(batch.column(text_col), n)
+        return pa.table({"gram": grams.unique()})
+
+    parts = [b["gram"] for b in benchmark_ds
+             .map_batches(_grams, batch_format="pyarrow")
+             .iter_batches(batch_format="pyarrow") if b.num_rows]
+    if not parts:
+        return pa.array([], pa.string())
+    return pa.concat_arrays(
+        [p.combine_chunks() if isinstance(p, pa.ChunkedArray) else p
+         for p in parts]).unique()
+
+
+def decontaminate(corpus_ds: ray.data.Dataset,
+                  benchmark_ds: ray.data.Dataset, n: int = 3,
+                  text_col: str = "text",
+                  id_col: str = "doc_id") -> ray.data.Dataset:
+    """Benchmark decontamination: per corpus doc, how many of its
+    token n-gram occurrences appear verbatim in the benchmark set
+    (the train/test-overlap check every published pipeline runs
+    before training).
+
+    Broadcast semi-join: benchmark grams are gathered once and
+    ``ray.put`` once; each corpus batch probes them with one
+    vectorized ``is_in``. No corpus-side shuffle at all.
+    """
+    gram_ref = ray.put(benchmark_grams(benchmark_ds, n, text_col))
+    return corpus_ds.map_batches(
+        _BenchmarkGramHits, batch_format="pyarrow",
+        concurrency=(1, 8),
+        fn_constructor_args=(gram_ref, n, text_col, id_col))
+
+
+# ---- paragraph-level dedup --------------------------------------------------
+
+
+def explode_paragraphs(ds: ray.data.Dataset, text_col: str = "text",
+                       id_col: str = "doc_id",
+                       sep: str = "\n\n") -> ray.data.Dataset:
+    """(doc_id, para_md5, part) per non-empty trimmed paragraph.
+
+    Paragraph identity travels as md5 (16 bytes hex) — the paragraph
+    body itself never shuffles. ``part`` is derived from the md5 so
+    the count and join-back stages are co-partitioned for free.
+    """
+
+    def _split(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).cast(pa.int64())
+        paras = pc.split_pattern(batch.column(text_col), pattern=sep)
+        flat = pc.list_flatten(paras)
+        parents = pc.list_parent_indices(paras) \
+            .to_numpy(zero_copy_only=False)
+        flat = pc.utf8_trim(flat, " ")
+        nonempty = pc.not_equal(flat, "")
+        mask = nonempty.to_numpy(zero_copy_only=False)
+        flat = flat.filter(nonempty)
+        parents = parents[mask]
+        md5s, parts = [], []
+        for t in flat.to_pylist():
+            h = hashlib.md5(t.encode()).hexdigest()
+            md5s.append(h)
+            parts.append(int(h[:8], 16))
+        return pa.table({
+            id_col: ids.take(pa.array(parents)),
+            "para_md5": pa.array(md5s, pa.string()),
+            "part": pa.array(parts, pa.int64()),
+        })
+
+    return ds.map_batches(_split, batch_format="pyarrow")
+
+
+def paragraph_dup_stats(ds: ray.data.Dataset, text_col: str = "text",
+                        id_col: str = "doc_id", sep: str = "\n\n",
+                        num_partitions: int = 32) -> ray.data.Dataset:
+    """Per doc: total paragraphs and how many of them are duplicates
+    (their exact trimmed text occurs >1 time across the whole corpus,
+    counting every occurrence).
+
+    Shape: explode → ``groupby(para hash).count`` (uniform content-hash
+    key) → ONE co-partitioned union ``map_groups`` to attach counts
+    back to occurrences (vectorized searchsorted inside the partition,
+    P Python calls total) → per-doc ``Sum`` rollup.
+    """
+    P = num_partitions
+    raw = explode_paragraphs(ds, text_col, id_col, sep)
+
+    def _occ_part(batch: pa.Table) -> pa.Table:
+        part = batch.column("part").to_numpy(zero_copy_only=False) % P
+        return pa.table({
+            "part": pa.array(part, pa.int64()),
+            "para_md5": batch.column("para_md5"),
+            id_col: batch.column(id_col).cast(pa.int64()),
+            # -1 tags an OCCURRENCE row in the union (count rows carry
+            # the real count; synthetic ids here are non-negative)
+            "n": pa.array(np.full(batch.num_rows, -1, np.int64)),
+        })
+
+    # consumed twice (count + union): materialize the hash stream once
+    occ = raw.map_batches(_occ_part, batch_format="pyarrow").materialize()
+
+    counts = occ.groupby("para_md5").aggregate(Count(alias_name="cnt"))
+
+    def _count_rows(batch: pa.Table) -> pa.Table:
+        md5 = batch.column("para_md5")
+        if isinstance(md5, pa.ChunkedArray):
+            md5 = md5.combine_chunks()
+        part = np.array([int(h[:8], 16) for h in md5.to_pylist()],
+                        dtype=np.int64) % P
+        return pa.table({
+            "part": pa.array(part, pa.int64()),
+            "para_md5": md5,
+            id_col: pa.array(np.full(len(md5), -1, np.int64)),
+            "n": batch.column("cnt").cast(pa.int64()),
+        })
+
+    count_rows = counts.map_batches(_count_rows, batch_format="pyarrow")
+
+    OUT_SCHEMA = pa.schema([(id_col, pa.int64()),
+                            ("n_paragraphs", pa.int64()),
+                            ("n_dup_paragraphs", pa.int64())])
+
+    def _attach(group: pa.Table) -> pa.Table:
+        # guard the schema-less empty blocks Ray 2.49 aggregates emit
+        if group.num_rows == 0 or "n" not in group.column_names:
+            return OUT_SCHEMA.empty_table()
+        # count rows carry n >= 1; occurrence rows are tagged n == -1
+        is_count = (group.column("n").to_numpy(zero_copy_only=False) >= 0)
+        md5 = group.column("para_md5").to_numpy(zero_copy_only=False)
+        cnt_md5 = md5[is_count]
+        cnt_n = group.column("n").to_numpy(
+            zero_copy_only=False)[is_count]
+        order = np.argsort(cnt_md5)
+        cnt_md5, cnt_n = cnt_md5[order], cnt_n[order]
+        occ_md5 = md5[~is_count]
+        occ_doc = group.column(id_col).to_numpy(
+            zero_copy_only=False)[~is_count]
+        if not occ_md5.size:
+            return OUT_SCHEMA.empty_table()
+        idx = np.searchsorted(cnt_md5, occ_md5)
+        n_occ = cnt_n[idx]  # every occurrence's para has a count row
+        docs, inv = np.unique(occ_doc, return_inverse=True)
+        n_paras = np.bincount(inv, minlength=docs.size)
+        n_dups = np.bincount(inv, weights=(n_occ > 1).astype(np.int64),
+                             minlength=docs.size).astype(np.int64)
+        return pa.table({
+            id_col: pa.array(docs, pa.int64()),
+            "n_paragraphs": pa.array(n_paras, pa.int64()),
+            "n_dup_paragraphs": pa.array(n_dups, pa.int64()),
+        })
+
+    partials = occ.union(count_rows).groupby("part").map_groups(
+        _attach, batch_format="pyarrow")
+    return partials.groupby(id_col).aggregate(
+        Sum("n_paragraphs", alias_name="n_paragraphs"),
+        Sum("n_dup_paragraphs", alias_name="n_dup_paragraphs"))

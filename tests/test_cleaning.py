@@ -1,0 +1,134 @@
+"""Corpus-cleaning operators: PII scrub, benchmark decontamination,
+paragraph-level dedup (blacklab_ray/pipelines/cleaning.py).
+
+Expected values are hand-computed; a DuckDB cross-check at sf0.01 runs
+through the driver contract (test_entry.py: pii_scrub / decontaminate /
+paragraph_dedup keys)."""
+
+import hashlib
+
+import pyarrow as pa
+import pytest
+import ray.data
+
+from blacklab_ray.pipelines import cleaning
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session):
+    docs = pa.table({
+        "doc_id": pa.array(list(range(6)), pa.int64()),
+        "text": pa.array([
+            "hello world contact me at bob.smith+x@mail.example.org now",
+            "server at 10.0.42.7 and 192.168.1.1 called +1-555-0134",
+            "plain text no pii here at all",
+            "alpha beta gamma delta epsilon zeta",
+            "alpha beta gamma delta epsilon zeta",  # exact dup of 3
+            "mail a@b.co or c@d.org phone +31 20 123 4567 ip 8.8.8.8",
+        ]),
+    })
+    return ray.data.from_arrow(docs).repartition(3)
+
+
+def test_pii_scrub_counts_and_redaction(docs_ds):
+    t = cleaning.pii_scrub(docs_ds, keep_text=True).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert t["n_emails"].tolist() == [1, 0, 0, 0, 0, 2]
+    assert t["n_ips"].tolist() == [0, 2, 0, 0, 0, 1]
+    assert t["n_phones"].tolist() == [0, 1, 0, 0, 0, 1]
+    assert t.loc[0, "scrubbed_text"] == \
+        "hello world contact me at <EMAIL> now"
+    assert t.loc[1, "scrubbed_text"] == \
+        "server at <IP> and <IP> called <PHONE>"
+    assert t.loc[5, "scrubbed_text"] == \
+        "mail <EMAIL> or <EMAIL> phone <PHONE> ip <IP>"
+    # md5 is of the scrubbed body
+    assert t.loc[2, "scrubbed_md5"] == hashlib.md5(
+        b"plain text no pii here at all").hexdigest()
+    # identical docs scrub to identical digests
+    assert t.loc[3, "scrubbed_md5"] == t.loc[4, "scrubbed_md5"]
+
+
+def test_pii_scrub_email_digits_not_counted_as_phone(ray_session):
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([0], pa.int64()),
+        "text": pa.array(["write to user12345678@example.com today"]),
+    }))
+    t = cleaning.pii_scrub(ds).to_pandas()
+    assert t["n_emails"].tolist() == [1]
+    assert t["n_phones"].tolist() == [0]
+    assert t["n_ips"].tolist() == [0]
+
+
+def test_decontaminate_broadcast_semi_join(docs_ds, ray_session):
+    bench = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([100], pa.int64()),
+        "text": pa.array(["alpha beta gamma question answer"]),
+    }))
+    d = cleaning.decontaminate(docs_ds, bench, n=3).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    # docs 3 and 4 contain the benchmark 3-gram "alpha beta gamma"
+    assert d["n_gram_hits"].tolist() == [0, 0, 0, 1, 1, 0]
+    assert d["contaminated"].tolist() == [
+        False, False, False, True, True, False]
+
+
+def test_decontaminate_counts_occurrences(ray_session):
+    corpus = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([0], pa.int64()),
+        "text": pa.array(["a b c x a b c y a b"]),  # "a b c" twice
+    }))
+    bench = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1], pa.int64()),
+        "text": pa.array(["a b c"]),
+    }))
+    d = cleaning.decontaminate(corpus, bench, n=3).to_pandas()
+    assert d["n_gram_hits"].tolist() == [2]
+
+
+def test_decontaminate_empty_benchmark(docs_ds, ray_session):
+    bench = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "text": pa.array([], pa.string()),
+    }))
+    d = cleaning.decontaminate(docs_ds, bench, n=3).to_pandas()
+    assert not d["contaminated"].any()
+
+
+def test_paragraph_dup_stats_cross_doc(ray_session):
+    pdocs = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array([
+            "first para\n\nshared para\n\nunique one",
+            "shared para\n\nanother thing",
+            # blank paragraph is dropped; trailing spaces trimmed
+            "totally different\n\n  \n\nshared para ",
+        ]),
+    })
+    ds = ray.data.from_arrow(pdocs).repartition(2)
+    p = cleaning.paragraph_dup_stats(ds, num_partitions=4).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert p["n_paragraphs"].tolist() == [3, 2, 2]
+    assert p["n_dup_paragraphs"].tolist() == [1, 1, 1]
+
+
+def test_paragraph_dup_stats_within_doc(ray_session):
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([7], pa.int64()),
+        "text": pa.array(["x y\n\nx y\n\nz"]),
+    }))
+    p = cleaning.paragraph_dup_stats(ds, num_partitions=4).to_pandas()
+    assert p["n_paragraphs"].tolist() == [3]
+    assert p["n_dup_paragraphs"].tolist() == [2]
+
+
+def test_explode_paragraphs_identity(ray_session):
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1], pa.int64()),
+        "text": pa.array(["  padded para \n\nsecond"]),
+    }))
+    t = cleaning.explode_paragraphs(ds).to_pandas()
+    assert t["para_md5"].tolist() == [
+        hashlib.md5(b"padded para").hexdigest(),
+        hashlib.md5(b"second").hexdigest(),
+    ]
