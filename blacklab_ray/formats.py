@@ -44,11 +44,36 @@ def register_format(name: str,
     _FORMATS[name] = reader
 
 
+# The reference's registry ids (DocumentFormats.java registrations +
+# shipped .blf.yaml names) that don't share this engine's canonical
+# name — a reference user's ``--format tei-p5`` etc. must keep working.
+# An explicit ``register_format`` under the alias name wins.
+FORMAT_ALIASES: dict[str, str] = {
+    "txt": "plaintext",
+    "csv": "tabular-csv",
+    "tsv": "tabular-tsv",
+    "tsv-frog": "tabular-tsv",
+    "tei-p5": "tei",
+    "tei-p5-legacy": "tei",
+    "tei-p4-legacy": "tei",
+    "cmdi": "xml",
+}
+
+
+def resolve_format(name: str) -> str:
+    """Canonical format id for ``name`` (aliases resolve unless the
+    user registered a reader under the alias itself)."""
+    if name in _FORMATS:
+        return name
+    return FORMAT_ALIASES.get(name, name)
+
+
 def formats() -> list[str]:
-    return sorted(_FORMATS)
+    return sorted(set(_FORMATS) | set(FORMAT_ALIASES))
 
 
 def read_pages(fmt: str, paths, **opts) -> ray.data.Dataset:
+    fmt = resolve_format(fmt)
     if fmt not in _FORMATS:
         raise ValueError(
             f"unknown input format {fmt!r}; registered: {formats()}")

@@ -612,10 +612,17 @@ def handle_autocomplete(reader, fieldname: str, params: dict) -> list:
                            format="parquet")
         if fieldname not in ds.schema.names:
             raise KeyError(f"unknown field {fieldname!r}") from None
-        col = ds.to_table(columns=[fieldname])[fieldname]
-        terms = [str(v) for v in
-                 pc.unique(col.combine_chunks()).to_pylist()
-                 if v is not None]
+        col = ds.to_table(columns=[fieldname])[fieldname].combine_chunks()
+        if _field_types(reader).get(fieldname) == "tokenized":
+            # TOKENIZED metadata completes from its ANALYZED terms
+            # (BLS autocompletes over the Lucene terms of the field,
+            # which are word-level for tokenized fields)
+            from blacklab_ray.query.metafilter import _analyze_tokens
+            toks = pc.list_flatten(_analyze_tokens(pc.unique(col)))
+            terms = [t for t in pc.unique(toks).to_pylist() if t]
+        else:
+            terms = [str(v) for v in pc.unique(col).to_pylist()
+                     if v is not None]
     out = sorted(t for t in terms if t.startswith(prefix))
     return out[:number]
 
@@ -716,6 +723,19 @@ def handle_fieldinfo(reader, fieldname: str, params: dict) -> dict:
         for a in bp.get("annotations", []) or []:
             annots[a] = {"sensitivity": "ONLY_INSENSITIVE",
                          "isInternal": False}
+        # ?listvalues=annot,annot — attach each listed annotation's
+        # term dictionary (RequestHandlerFieldInfo listValuesFor),
+        # capped at ``number`` with valueListComplete
+        number = int(params.get("number", 500))
+        for a in [v for v in params.get("listvalues", "").split(",")
+                  if v]:
+            if a not in annots:
+                continue
+            route = "i" if a == "word" else a
+            vals = sorted(
+                reader.terms_table_for(route)["term"].to_pylist())
+            annots[a]["values"] = vals[:number]
+            annots[a]["valueListComplete"] = len(vals) <= number
         return {"fieldName": "contents", "isAnnotatedField": True,
                 "mainAnnotation": "word", "annotations": annots}
     import os

@@ -65,7 +65,9 @@ def voice_index(ray_session, tmp_path_factory):
     build_index(str(src), idx, BuildParams(
         num_buckets=4, n_salts=2, analyzer="whitespace",
         annotations=("lemma", "pos"),
-        metadata_fields=(("meta_title", "untokenized"),)))
+        # title is TOKENIZED in the reference's index metadata
+        # (info/metadata field info with values.json: type TOKENIZED)
+        metadata_fields=(("meta_title", "tokenized"),)))
     return idx
 
 
@@ -328,3 +330,98 @@ def test_docs_grouped_by_title(voice_reader):
     got = sorted((g["identityDisplay"], g["size"])
                  for g in resp["docGroups"])
     assert got == want
+
+
+# ---- info / autocomplete / field-info endpoints (saved-responses/info) ----
+
+
+def test_autocomplete_annotated_field_matches_saved(voice_reader):
+    """/test/autocomplete/contents/lemma?term=b — exact list."""
+    from blacklab_ray.server import handle_autocomplete
+    exp = _saved("info", "autocomplete annotated field")
+    want = [exp[str(i)] for i in range(len(exp))]
+    got = handle_autocomplete(voice_reader, "lemma", {"term": "b"})
+    assert got == want
+
+
+def test_autocomplete_metadata_field_matches_saved(voice_reader):
+    """/test/autocomplete/title?term=a — a TOKENIZED metadata field
+    completes from its ANALYZED tokens, not its raw values."""
+    from blacklab_ray.server import handle_autocomplete
+    exp = _saved("info", "autocomplete metadata field")
+    want = [exp[str(i)] for i in range(len(exp))]
+    got = handle_autocomplete(voice_reader, "meta_title", {"term": "a"})
+    assert got == want
+
+
+def test_corpus_status_matches_saved(voice_reader):
+    from blacklab_ray.server import handle_index_status
+    exp = _saved("info", "corpus status")
+    resp = handle_index_status(voice_reader, "test")
+    assert resp["indexName"] == exp["indexName"] == "test"
+    assert resp["status"] == exp["status"] == "available"
+    assert resp["tokenCount"] == exp["tokenCount"] == 766
+
+
+def test_corpus_and_server_info_counts_match_saved(voice_reader):
+    from blacklab_ray.server import handle_server_info
+    corpus = _saved("info", "corpus")
+    assert voice_reader.n_docs == corpus["documentCount"] == 3
+    assert int(voice_reader.meta["total_tokens"]) == \
+        corpus["tokenCount"] == 766
+    exp = _saved("info", "server")
+    resp = handle_server_info({"test": voice_reader})
+    assert resp["indices"]["test"]["tokenCount"] == \
+        exp["indices"]["test"]["tokenCount"]
+    assert resp["indices"]["test"]["status"] == \
+        exp["indices"]["test"]["status"]
+
+
+def test_annotated_field_values_match_saved(voice_reader):
+    """/test/fields/contents?listvalues=lemma — the lemma term
+    dictionary, value-for-value (incl. the '' empty-lemma entry)."""
+    from blacklab_ray.server import handle_fieldinfo
+    exp = _saved("info", "annotated field info with values")
+    resp = handle_fieldinfo(voice_reader, "contents",
+                            {"listvalues": "lemma"})
+    lem = resp["annotations"]["lemma"]
+    assert lem["values"] == exp["annotations"]["lemma"]["values"]
+    assert lem["valueListComplete"] is True
+    assert resp["mainAnnotation"] == exp["mainAnnotation"] == "word"
+    # every non-internal reference annotation exists here
+    assert {"word", "lemma", "pos"} <= set(resp["annotations"])
+
+
+def test_metadata_field_info_matches_saved(voice_reader):
+    """/test/fields/title — TOKENIZED type + exact value counts."""
+    from blacklab_ray.server import handle_fieldinfo
+    exp = _saved("info", "metadata field info with values")
+    resp = handle_fieldinfo(voice_reader, "meta_title", {})
+    assert resp["fieldValues"] == exp["fieldValues"]
+    assert resp["type"].upper() == exp["type"] == "TOKENIZED"
+    assert resp["valueListComplete"] == \
+        exp["valueListComplete"] is True
+
+
+def test_docs_filter_only_matches_saved(voice_reader):
+    """'filter only': docs by pid filter with no pattern."""
+    from blacklab_ray.server import handle_docs
+    exp = _saved("docs", "filter only")
+    resp = handle_docs(voice_reader, {"filter": "pid:PBsve435"})
+    assert resp["summary"]["numberOfDocs"] == \
+        exp["summary"]["numberOfDocs"] == 1
+    assert [d["docPid"] for d in resp["docs"]] == \
+        [d["docPid"] for d in exp["docs"]] == ["PBsve435"]
+    assert resp["docs"][0]["docInfo"]["lengthInTokens"] == \
+        exp["docs"][0]["docInfo"]["lengthInTokens"]
+
+
+def test_input_formats_cover_reference_registry():
+    """Every format id the reference's server lists (minus its test
+    fixture format) resolves in this registry too — a reference user's
+    --format keeps working."""
+    from blacklab_ray.server import handle_input_formats
+    exp = _saved("info", "input formats")
+    want = set(exp["supportedInputFormats"]) - {"testformat"}
+    got = set(handle_input_formats()["supportedInputFormats"])
+    assert want <= got, want - got
