@@ -179,3 +179,176 @@ def token_counts_by(ds: ray.data.Dataset, group_col: str,
     out = partial.groupby("grp").aggregate(*aggs)
     return out.map_batches(
         lambda t: t.rename_columns(names), batch_format="pyarrow")
+
+
+# ---- Gopher-style repetition signals ---------------------------------------
+
+
+class RepetitionStats:
+    """map_batches: per-doc repetition signals (the Gopher paper's
+    repetition-removal family — Rae et al. 2021 §A1.1), all vectorized
+    across the batch:
+
+    - ``dup_line_frac``: fraction of non-empty lines whose exact text
+      occurs more than once in the document;
+    - ``top_bigram_frac``: fraction of tokens covered by the most
+      frequent token bigram (count*2 / tokens);
+    - ``max_token_run``: longest run of one repeated token.
+    """
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
+        self._text = text_col
+        self._id = id_col
+
+    @staticmethod
+    def _group_sizes(primary: np.ndarray, secondary: np.ndarray
+                     ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Sizes of (primary, secondary) groups via ONE lexsort —
+        returns (group_primary, group_size, size_of_own_group per
+        original row)."""
+        order = np.lexsort((secondary, primary))
+        p, s = primary[order], secondary[order]
+        new = np.empty(p.size, dtype=bool)
+        new[:1] = True
+        np.not_equal(p[1:], p[:-1], out=new[1:])
+        if s.size:
+            new[1:] |= s[1:] != s[:-1]
+        gid = np.cumsum(new) - 1
+        sizes = np.bincount(gid)
+        per_row_sorted = sizes[gid]
+        per_row = np.empty(p.size, dtype=np.int64)
+        per_row[order] = per_row_sorted
+        starts = np.flatnonzero(new)
+        return p[starts], sizes, per_row
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        text = batch.column(self._text)
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        n_docs = batch.num_rows
+        parents, toks, _, lens = tokenize_column(text)
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        codes = pc.dictionary_encode(toks).indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        safe = np.maximum(lens, 1).astype(np.float64)
+
+        # longest same-token run per doc
+        max_run = np.zeros(n_docs, dtype=np.int64)
+        if codes.size:
+            brk = np.flatnonzero(
+                (codes[1:] != codes[:-1]) | (parents[1:] != parents[:-1]))
+            starts = np.concatenate(([0], brk + 1))
+            ends = np.concatenate((brk + 1, [codes.size]))
+            np.maximum.at(max_run, parents[starts], ends - starts)
+
+        # most frequent bigram per doc
+        top_bi = np.zeros(n_docs, dtype=np.int64)
+        if codes.size > 1:
+            same = parents[1:] == parents[:-1]
+            bd = parents[:-1][same]
+            b1, b2 = codes[:-1][same], codes[1:][same]
+            if bd.size:
+                # group by (doc, bigram): two-level lexsort
+                order = np.lexsort((b2, b1, bd))
+                d, x, y = bd[order], b1[order], b2[order]
+                new = np.empty(d.size, dtype=bool)
+                new[:1] = True
+                new[1:] = (d[1:] != d[:-1]) | (x[1:] != x[:-1]) \
+                    | (y[1:] != y[:-1])
+                gid = np.cumsum(new) - 1
+                sizes = np.bincount(gid)
+                gstart = np.flatnonzero(new)
+                np.maximum.at(top_bi, d[gstart], sizes)
+
+        # duplicate-line occurrences per doc
+        lines = pc.split_pattern(text, pattern="\n")
+        flat = pc.list_flatten(lines)
+        lparents = pc.list_parent_indices(lines).to_numpy(
+            zero_copy_only=False)
+        nonempty = pc.not_equal(pc.utf8_trim_whitespace(flat), "")
+        nmask = nonempty.to_numpy(zero_copy_only=False)
+        flat = flat.filter(nonempty)
+        lparents = lparents[nmask]
+        n_lines = np.bincount(lparents, minlength=n_docs)
+        dup_lines = np.zeros(n_docs, dtype=np.int64)
+        if len(flat):
+            lcodes = pc.dictionary_encode(
+                flat.combine_chunks() if isinstance(flat, pa.ChunkedArray)
+                else flat).indices.to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            _, _, own = self._group_sizes(lparents, lcodes)
+            np.add.at(dup_lines, lparents[own > 1], 1)
+
+        return pa.table({
+            self._id: batch.column(self._id).cast(pa.int64()),
+            "dup_line_frac": pa.array(
+                dup_lines / np.maximum(n_lines, 1), pa.float64()),
+            "top_bigram_frac": pa.array(
+                np.minimum(top_bi * 2 / safe, 1.0), pa.float64()),
+            "max_token_run": pa.array(max_run, pa.int64()),
+        })
+
+
+def repetition_scores(ds: ray.data.Dataset, text_col: str = "text",
+                      id_col: str = "doc_id") -> ray.data.Dataset:
+    return ds.map_batches(RepetitionStats(text_col, id_col),
+                          batch_format="pyarrow")
+
+
+# Published Gopher-rule thresholds (Rae et al. 2021 table A1) that are
+# computable from this module's signals; callers can override any.
+GOPHER_THRESHOLDS = {
+    "min_tokens": 50,
+    "max_tokens": 100_000,
+    "min_mean_token_len": 3.0,
+    "max_mean_token_len": 10.0,
+    "min_stopword_ratio": 0.0,   # Gopher: >= 2 stopwords; ratio form
+    "min_alpha_ratio": 0.8,      # >= 80% words with an alphabetic char
+    "max_dup_line_frac": 0.30,
+    "max_top_bigram_frac": 0.18,
+}
+
+
+def quality_filter(ds: ray.data.Dataset, text_col: str = "text",
+                   id_col: str = "doc_id",
+                   thresholds: dict | None = None) -> ray.data.Dataset:
+    """Gopher-style keep/drop decision per doc: QualityStats +
+    RepetitionStats signals against the published thresholds. Returns
+    (id, keep, and every signal) so the caller can audit the decision.
+
+    One fused map_batches pass — both stat classes run on the same
+    batch, so the text is tokenized/scanned once per stage but never
+    shuffled."""
+    th = dict(GOPHER_THRESHOLDS)
+    th.update(thresholds or {})
+    q = QualityStats(text_col, id_col)
+    r = RepetitionStats(text_col, id_col)
+
+    def _score(batch: pa.Table) -> pa.Table:
+        qt, rt = q(batch), r(batch)
+        keep = (
+            (qt["token_count"].to_numpy(zero_copy_only=False)
+             >= th["min_tokens"])
+            & (qt["token_count"].to_numpy(zero_copy_only=False)
+               <= th["max_tokens"])
+            & (qt["mean_token_len"].to_numpy(zero_copy_only=False)
+               >= th["min_mean_token_len"])
+            & (qt["mean_token_len"].to_numpy(zero_copy_only=False)
+               <= th["max_mean_token_len"])
+            & (qt["stopword_ratio"].to_numpy(zero_copy_only=False)
+               >= th["min_stopword_ratio"])
+            & (qt["alpha_ratio"].to_numpy(zero_copy_only=False)
+               >= th["min_alpha_ratio"])
+            & (rt["dup_line_frac"].to_numpy(zero_copy_only=False)
+               <= th["max_dup_line_frac"])
+            & (rt["top_bigram_frac"].to_numpy(zero_copy_only=False)
+               <= th["max_top_bigram_frac"])
+        )
+        out = qt
+        for name in ("dup_line_frac", "top_bigram_frac",
+                     "max_token_run"):
+            out = out.append_column(name, rt[name])
+        return out.append_column("keep", pa.array(keep))
+
+    return ds.map_batches(_score, batch_format="pyarrow")
