@@ -4,7 +4,9 @@ Treats image/audio/video as opaque ``binary`` columns with typed metadata,
 processed by actor-pool ``map_batches`` stages. The decode kernel is
 pluggable: ``PngDecoder`` and ``WavDecoder`` are REAL stdlib-only
 decoders (zlib-inflated + unfiltered PNG pixels; wave-module PCM
-samples), proving the pipeline end-to-end on real formats; the
+samples), and ``Y4mFrameSampler`` is REAL video frame sampling
+(YUV4MPEG2 → luma-plane PNG frames via ``encode_png_gray``), so
+image, audio AND video each have a real-format path end-to-end; the
 ``FakeDecoder``/``Md5Decoder`` stand-ins remain for formats whose codec
 libraries (JPEG/H.264/...) are not in this environment and for
 SQL-oracleable driver checks. The Ray-side plumbing — schema, batch
@@ -325,18 +327,148 @@ class FrameSampler:
         })
 
 
+def encode_png_gray(arr: np.ndarray) -> bytes:
+    """Minimal REAL PNG writer for an (h, w) uint8 grayscale array —
+    stdlib zlib/struct only (IHDR color type 0, depth 8, filter 0
+    rows). Round-trips through PngDecoder."""
+    import struct
+    import zlib
+    h, w = arr.shape
+
+    def chunk(name: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + name + data
+                + struct.pack(">I", zlib.crc32(name + data)))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b""))
+
+
+class Y4mFrameSampler:
+    """REAL video frame sampling — YUV4MPEG2 (.y4m), the uncompressed
+    interchange format every ffmpeg pipeline can emit, parseable with
+    the stdlib alone: text header (``YUV4MPEG2 W<w> H<h> ...``), then
+    ``FRAME\\n`` + planar YUV per frame. Samples ``n_frames`` evenly
+    spaced frames and emits each frame's LUMA PLANE as a real PNG
+    (encode_png_gray), so the downstream ``PngDecoder`` computes real
+    pixel statistics — video → frames → image features end-to-end on
+    real formats, no codec libraries. C420 (default), C422, C444 and
+    Cmono subsamplings supported; non-video rows pass through."""
+
+    _MAGIC = b"YUV4MPEG2"
+    # chroma tag -> chroma bytes per luma pixel (both planes)
+    _CHROMA = {"420": 0.5, "420jpeg": 0.5, "420paldv": 0.5,
+               "420mpeg2": 0.5, "422": 1.0, "444": 2.0, "mono": 0.0}
+
+    def __init__(self, n_frames: int = 4):
+        self._n = n_frames
+
+    def sample_frames(self, payload: bytes) -> tuple[list[np.ndarray],
+                                                     int, int]:
+        nl = payload.index(b"\n")
+        header = payload[:nl].decode("ascii", errors="replace").split()
+        if not header or header[0] != "YUV4MPEG2":
+            raise ValueError("not a YUV4MPEG2 payload")
+        w = h = None
+        chroma = "420"
+        for p in header[1:]:
+            if p.startswith("W"):
+                w = int(p[1:])
+            elif p.startswith("H"):
+                h = int(p[1:])
+            elif p.startswith("C"):
+                chroma = p[1:]
+        if w is None or h is None or chroma not in self._CHROMA:
+            raise ValueError(f"unsupported y4m header {header!r}")
+        luma = w * h
+        fsize = luma + int(luma * self._CHROMA[chroma])
+        frames = []
+        pos = nl + 1
+        while pos < len(payload):
+            fnl = payload.index(b"\n", pos)
+            if payload[pos:pos + 5] != b"FRAME":
+                raise ValueError("bad y4m FRAME marker")
+            start = fnl + 1
+            y = np.frombuffer(payload[start:start + luma], np.uint8)
+            if y.size < luma:
+                break
+            frames.append(y.reshape(h, w))
+            pos = start + fsize
+        if not frames:
+            raise ValueError("y4m stream has no complete frames")
+        idx = np.unique(np.linspace(0, len(frames) - 1, self._n)
+                        .round().astype(int))
+        return [frames[i] for i in idx], w, h
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = {"media_id": [], "media_type": [], "frame_idx": [],
+                "payload": [], "width": [], "height": []}
+        for i in range(batch.num_rows):
+            mt = batch["media_type"][i].as_py()
+            payload = batch["payload"][i].as_py()
+            mid = batch["media_id"][i].as_py()
+            if mt == "video" and payload[:9] == self._MAGIC:
+                frames, w, h = self.sample_frames(payload)
+                for f, y in enumerate(frames):
+                    rows["media_id"].append(mid)
+                    rows["media_type"].append("image")
+                    rows["frame_idx"].append(f)
+                    rows["payload"].append(encode_png_gray(y))
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+            else:
+                rows["media_id"].append(mid)
+                rows["media_type"].append(mt)
+                rows["frame_idx"].append(0)
+                rows["payload"].append(payload)
+                rows["width"].append(batch["width"][i].as_py())
+                rows["height"].append(batch["height"][i].as_py())
+        return pa.table({
+            "media_id": pa.array(rows["media_id"], pa.int64()),
+            "media_type": pa.array(rows["media_type"], pa.string()),
+            "frame_idx": pa.array(rows["frame_idx"], pa.int32()),
+            "payload": pa.array(rows["payload"], pa.binary()),
+            "width": pa.array(rows["width"], pa.int32()),
+            "height": pa.array(rows["height"], pa.int32()),
+        })
+
+
+def synth_y4m(width: int, height: int, n_frames: int,
+              chroma: str = "420", seed: int = 0) -> bytes:
+    """Deterministic little y4m clip (moving gradient luma, flat
+    chroma) for tests."""
+    rng = np.random.default_rng(seed)
+    luma = width * height
+    csize = int(luma * Y4mFrameSampler._CHROMA[chroma])
+    head = f"YUV4MPEG2 W{width} H{height} F25:1 Ip A1:1 C{chroma}\n"
+    out = [head.encode()]
+    base = rng.integers(0, 64, size=(height, width), dtype=np.uint8)
+    for f in range(n_frames):
+        y = ((base.astype(np.int64)
+              + np.arange(width)[None, :] + 3 * f) % 256).astype(np.uint8)
+        out.append(b"FRAME\n" + y.tobytes() + bytes(csize))
+    return b"".join(out)
+
+
 def media_pipeline(ds: ray.data.Dataset, n_frames: int = 4,
                    width: int = 32, height: int = 32,
                    decoder_cls=FakeDecoder,
+                   sampler_cls=FrameSampler,
+                   resize: bool = True,
                    batch_size: int = 64) -> ray.data.Dataset:
     """frame-sample → resize → feature-extract, each an actor-pool
     map_batches stage with small batches (binary payloads; SURVEY
-    memory-aware note). The composition is the real multimodal
-    training-data shape; only the pixel kernels are stubbed."""
-    out = ds.map_batches(FrameSampler(n_frames), batch_format="pyarrow",
+    memory-aware note). With ``sampler_cls=Y4mFrameSampler``,
+    ``decoder_cls=PngDecoder`` and ``resize=False`` the whole chain
+    runs on REAL formats (y4m video → PNG frames → pixel stats)."""
+    out = ds.map_batches(sampler_cls(n_frames), batch_format="pyarrow",
                          batch_size=batch_size)
-    out = out.map_batches(FakeResizer(width, height),
-                          batch_format="pyarrow", batch_size=batch_size)
+    if resize:
+        out = out.map_batches(FakeResizer(width, height),
+                              batch_format="pyarrow",
+                              batch_size=batch_size)
     return out.map_batches(decoder_cls, batch_format="pyarrow",
                            batch_size=batch_size, concurrency=2)
 
