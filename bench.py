@@ -295,6 +295,12 @@ def run_bench(num_cpus: int) -> dict:
 
     timed("ann_brute_topk", _ann)
 
+    from blacklab_ray.pipelines import cleaning, textstats
+    timed("quality_filter", lambda: textstats.quality_filter(
+        ray.data.read_parquet(docs_path)).count())
+    timed("pii_scrub", lambda: cleaning.pii_scrub(
+        ray.data.read_parquet(docs_path)).count())
+
     result = {
         "metric": "index-build+query wall time (synthetic CC pages, "
                   f"{reader.n_docs} docs, {reader.meta['total_tokens']} "

@@ -425,3 +425,49 @@ def test_input_formats_cover_reference_registry():
     want = set(exp["supportedInputFormats"]) - {"testformat"}
     got = set(handle_input_formats()["supportedInputFormats"])
     assert want <= got, want - got
+
+
+def test_single_doc_index_matches_expected_index_content(
+        ray_session, tmp_path_factory):
+    """indices/expected-index-content.json: the reference's private-
+    index CRUD test — create an index, upload ONE document
+    (PBsve430), list docs. Reproduce the resulting listing: exactly
+    one doc, pid PBsve430, title and lengthInTokens (334) as saved."""
+    from blacklab_ray.index import BuildParams, build_index
+    from blacklab_ray.query import IndexReader
+    from blacklab_ray.server import handle_docs
+    from blacklab_ray.stages.xmlconfig import (
+        XmlFormatConfig, extract_xml_config,
+    )
+    exp = _saved("indices", "expected-index-content")
+    cfg = XmlFormatConfig(
+        name="voice-tei",
+        document_path=".//TEI",
+        word_path=".//text//w",
+        word_value=".",
+        annotations={"lemma": "@lemma", "pos": "@type"},
+        inline_tags=("u",),
+        metadata={"title": "teiHeader/fileDesc/titleStmt/title"},
+        doc_id_value="@xml:id",
+    )
+    f = pathlib.Path(VOICE_IN) / "PBsve430.xml"
+    batch = pa.table({"path": pa.array([f.name]),
+                      "bytes": pa.array([f.read_bytes()])})
+    pages = extract_xml_config(cfg)(batch)
+    root = tmp_path_factory.mktemp("one_doc")
+    src = root / "pages"
+    src.mkdir()
+    pq.write_table(pages, str(src / "p.parquet"))
+    idx = str(root / "idx")
+    build_index(str(src), idx, BuildParams(
+        num_buckets=2, n_salts=1, analyzer="whitespace",
+        annotations=("lemma", "pos"),
+        metadata_fields=(("meta_title", "tokenized"),)))
+    resp = handle_docs(IndexReader(idx), {})
+    assert resp["summary"]["numberOfDocs"] == \
+        exp["summary"]["numberOfDocs"] == 1
+    got, want = resp["docs"][0], exp["docs"][0]
+    assert got["docPid"] == want["docPid"] == "PBsve430"
+    assert got["docInfo"]["lengthInTokens"] == \
+        want["docInfo"]["lengthInTokens"] == 334
+    assert got["docInfo"]["mayView"] is want["docInfo"]["mayView"]
