@@ -35,9 +35,9 @@ class QualityStats:
         self._id = id_col
         self._stop = STOPWORD_SET
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
+    def __call__(self, batch: pa.Table, tokens=None) -> pa.Table:
         text = batch.column(self._text)
-        parents, toks, _, lens = tokenize_column(text)
+        parents, toks, _, lens = tokens or tokenize_column(text)
         n_docs = batch.num_rows
         # stopword tokens per doc
         stop_mask = pc.is_in(
@@ -48,12 +48,15 @@ class QualityStats:
         tok_lens = pc.utf8_length(toks).to_numpy(zero_copy_only=False)
         sum_len = np.bincount(parents, weights=tok_lens, minlength=n_docs)
         safe = np.maximum(lens, 1)
-        # character-class ratios on the raw text
+        # character-class ratios on the raw text — ONE RE2 kernel per
+        # batch (the same class the DuckDB oracle strips on); the old
+        # per-character Python loop is the hot-path shape that dies at
+        # corpus scale
         n_chars = pc.utf8_length(text).to_numpy(zero_copy_only=False) \
             .astype(np.float64)
-        alpha = np.array(
-            [sum(c.isalpha() or c.isspace() for c in t)
-             for t in text.to_pylist()], dtype=np.float64)
+        alpha = pc.count_substring_regex(
+            text, pattern=r"[a-zA-Z \t\n]").to_numpy(
+            zero_copy_only=False).astype(np.float64)
         return pa.table({
             "doc_id": batch.column(self._id).cast(pa.int64()),
             "token_count": pa.array(lens, pa.int64()),
@@ -112,16 +115,27 @@ class LangId:
         return best if scores[best] > 0 else "und"
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        """Vectorized: one ``is_in`` + ``bincount`` per profile builds
+        the (docs x langs) score matrix; argmax over langs sorted
+        ascending implements the score-DESC-then-lang tie-break (the
+        same ORDER BY the SQL oracle uses). The per-doc Python
+        ``classify`` loop this replaces is kept for single-doc use."""
         parents, toks, _, lens = tokenize_column(batch.column(self._text))
-        toks_list = toks.to_pylist()
-        starts = np.zeros(lens.size, dtype=np.int64)
-        np.cumsum(lens[:-1], out=starts[1:])
-        preds = [self.classify(
-            toks_list[int(s):int(s + l)])
-            for s, l in zip(starts, lens)]
+        n_docs = batch.num_rows
+        langs = sorted(self._profiles)
+        scores = np.zeros((n_docs, len(langs)), dtype=np.int64)
+        for j, lang in enumerate(langs):
+            mask = pc.is_in(
+                toks, value_set=pa.array(sorted(self._profiles[lang]))) \
+                .to_numpy(zero_copy_only=False)
+            scores[:, j] = np.bincount(parents[mask], minlength=n_docs)
+        best = np.argmax(scores, axis=1)  # first max = smallest lang
+        best_score = scores[np.arange(n_docs), best]
+        lang_arr = np.array(langs, dtype=object)
+        preds = np.where(best_score > 0, lang_arr[best], "und")
         return pa.table({
             "doc_id": batch.column(self._id).cast(pa.int64()),
-            "lang_pred": pa.array(preds, pa.string()),
+            "lang_pred": pa.array(list(preds), pa.string()),
         })
 
 
@@ -221,12 +235,12 @@ class RepetitionStats:
         starts = np.flatnonzero(new)
         return p[starts], sizes, per_row
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
+    def __call__(self, batch: pa.Table, tokens=None) -> pa.Table:
         text = batch.column(self._text)
         if isinstance(text, pa.ChunkedArray):
             text = text.combine_chunks()
         n_docs = batch.num_rows
-        parents, toks, _, lens = tokenize_column(text)
+        parents, toks, _, lens = tokens or tokenize_column(text)
         if isinstance(toks, pa.ChunkedArray):
             toks = toks.combine_chunks()
         codes = pc.dictionary_encode(toks).indices.to_numpy(
@@ -326,7 +340,9 @@ def quality_filter(ds: ray.data.Dataset, text_col: str = "text",
     r = RepetitionStats(text_col, id_col)
 
     def _score(batch: pa.Table) -> pa.Table:
-        qt, rt = q(batch), r(batch)
+        # tokenize ONCE, share across both stat classes
+        tk = tokenize_column(batch.column(text_col))
+        qt, rt = q(batch, tokens=tk), r(batch, tokens=tk)
         keep = (
             (qt["token_count"].to_numpy(zero_copy_only=False)
              >= th["min_tokens"])
