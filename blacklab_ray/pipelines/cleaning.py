@@ -297,3 +297,125 @@ def paragraph_dup_stats(ds: ray.data.Dataset, text_col: str = "text",
     return partials.groupby(id_col).aggregate(
         Sum("n_paragraphs", alias_name="n_paragraphs"),
         Sum("n_dup_paragraphs", alias_name="n_dup_paragraphs"))
+
+
+# ---- Bloom-filter scale path for decontamination ----------------------------
+
+
+class BloomFilter:
+    """Fixed-size vectorized Bloom filter over uint64 keys — the
+    broadcast-side representation when the benchmark gram set is too
+    big to ship exactly (the string set grows with the benchmark; the
+    filter is a constant ``m_bits/8`` bytes at a chosen FP rate).
+
+    k hash probes are derived from one 64-bit key by
+    double hashing: h_i = h1 + i*h2 (Kirsch-Mitzenmacher), all numpy.
+    """
+
+    def __init__(self, m_bits: int, k: int = 7):
+        # power-of-two bit count -> mask instead of modulo
+        m = 1
+        while m < m_bits:
+            m <<= 1
+        self._mask = np.uint64(m - 1)
+        self._k = k
+        self._bits = np.zeros(m // 64 + 1, dtype=np.uint64)
+
+    @staticmethod
+    def for_capacity(n: int, fp_rate: float = 0.01) -> "BloomFilter":
+        """Size for ``n`` keys at ``fp_rate`` (standard m/n formula)."""
+        import math
+        n = max(n, 1)
+        # floor at 4 KiB: below that the filter saturates on even tiny
+        # key sets and the FP guarantee is meaningless
+        m = max(int(-n * math.log(fp_rate) / (math.log(2) ** 2)) + 1,
+                32 * 1024)
+        k = max(1, min(16, round(m / n * math.log(2))))
+        return BloomFilter(m, k)
+
+    @staticmethod
+    def _h2(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        h1 = keys * np.uint64(0x9E3779B97F4A7C15)
+        h1 ^= h1 >> np.uint64(29)
+        h2 = keys * np.uint64(0xC2B2AE3D27D4EB4F)
+        h2 ^= h2 >> np.uint64(31)
+        return h1, h2 | np.uint64(1)
+
+    def add(self, keys: np.ndarray) -> None:
+        keys = keys.astype(np.uint64, copy=False)
+        h1, h2 = self._h2(keys)
+        for i in range(self._k):
+            pos = (h1 + np.uint64(i) * h2) & self._mask
+            np.bitwise_or.at(self._bits, pos >> np.uint64(6),
+                             np.uint64(1) << (pos & np.uint64(63)))
+
+    def contains(self, keys: np.ndarray) -> np.ndarray:
+        keys = keys.astype(np.uint64, copy=False)
+        h1, h2 = self._h2(keys)
+        out = np.ones(keys.size, dtype=bool)
+        for i in range(self._k):
+            pos = (h1 + np.uint64(i) * h2) & self._mask
+            bit = (self._bits[pos >> np.uint64(6)]
+                   >> (pos & np.uint64(63))) & np.uint64(1)
+            out &= bit.astype(bool)
+        return out
+
+    @property
+    def nbytes(self) -> int:
+        return int(self._bits.nbytes)
+
+
+def _gram_hashes(grams: pa.Array) -> np.ndarray:
+    """uint64 content hashes of gram strings (md5 low 64 — the house
+    content-identity digest), one Python md5 per DISTINCT gram."""
+    return np.array(
+        [int.from_bytes(hashlib.md5(g.encode()).digest()[:8], "big")
+         for g in grams.to_pylist()], dtype=np.uint64)
+
+
+class _BenchmarkGramHitsBloom:
+    """map_batches actor: Bloom-filter membership probe — constant-size
+    broadcast regardless of benchmark gram count. FP rate makes
+    ``n_gram_hits`` a slight OVERcount; ``contaminated`` errs toward
+    flagging (the safe direction for decontamination)."""
+
+    def __init__(self, bloom_ref, n: int, text_col: str, id_col: str):
+        self._bloom: BloomFilter = ray.get(bloom_ref)
+        self._n = n
+        self._text = text_col
+        self._id = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self._id).cast(pa.int64())
+        gparents, grams = _ngram_strings(batch.column(self._text),
+                                         self._n)
+        hits = np.zeros(batch.num_rows, dtype=np.int64)
+        if len(grams):
+            mask = self._bloom.contains(_gram_hashes(grams))
+            np.add.at(hits, gparents[mask], 1)
+        return pa.table({
+            self._id: ids,
+            "n_gram_hits": pa.array(hits, pa.int64()),
+            "contaminated": pa.array(hits > 0),
+        })
+
+
+def decontaminate_bloom(corpus_ds: ray.data.Dataset,
+                        benchmark_ds: ray.data.Dataset, n: int = 3,
+                        fp_rate: float = 0.01,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> ray.data.Dataset:
+    """Scale path of :func:`decontaminate`: the benchmark grams feed a
+    fixed-size Bloom filter (``-n ln p / ln²2`` bits ≈ 1.2 GB per 10⁹
+    grams at 1% FP) instead of an exact string set, so the broadcast
+    stays bounded no matter how large the eval suite grows. Flags are
+    conservative (no false negatives; FP-rate false positives)."""
+    grams = benchmark_grams(benchmark_ds, n, text_col)
+    bloom = BloomFilter.for_capacity(len(grams), fp_rate)
+    if len(grams):
+        bloom.add(_gram_hashes(grams))
+    bloom_ref = ray.put(bloom)
+    return corpus_ds.map_batches(
+        _BenchmarkGramHitsBloom, batch_format="pyarrow",
+        concurrency=(1, 8),
+        fn_constructor_args=(bloom_ref, n, text_col, id_col))

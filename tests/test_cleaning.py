@@ -132,3 +132,39 @@ def test_explode_paragraphs_identity(ray_session):
         hashlib.md5(b"padded para").hexdigest(),
         hashlib.md5(b"second").hexdigest(),
     ]
+
+
+def test_bloom_filter_membership():
+    import numpy as np
+
+    from blacklab_ray.pipelines.cleaning import BloomFilter
+    rng = np.random.default_rng(3)
+    keys = rng.integers(0, 2**63, size=5000).astype(np.uint64)
+    other = rng.integers(0, 2**63, size=5000).astype(np.uint64)
+    other = other[~np.isin(other, keys)]
+    b = BloomFilter.for_capacity(keys.size, fp_rate=0.01)
+    b.add(keys)
+    # no false negatives
+    assert b.contains(keys).all()
+    # false-positive rate near spec (generous bound)
+    fp = b.contains(other).mean()
+    assert fp < 0.03, fp
+    # fixed size: ~1.2 bytes/key at 1%
+    assert b.nbytes < 64 * 1024
+
+
+def test_decontaminate_bloom_matches_exact(docs_ds, ray_session):
+    from blacklab_ray.pipelines import cleaning
+    bench = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([100], pa.int64()),
+        "text": pa.array(["alpha beta gamma question answer"]),
+    }))
+    exact = cleaning.decontaminate(docs_ds, bench, n=3).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    bloom = cleaning.decontaminate_bloom(docs_ds, bench, n=3) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    # tiny gram set -> no false positives; results identical
+    assert exact["n_gram_hits"].tolist() == \
+        bloom["n_gram_hits"].tolist()
+    assert exact["contaminated"].tolist() == \
+        bloom["contaminated"].tolist()
