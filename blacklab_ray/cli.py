@@ -170,6 +170,50 @@ def cmd_gen(args) -> int:
     return 0
 
 
+def cmd_clean(args) -> int:
+    """Corpus-cleaning pass over a documents parquet dir: streaming in,
+    partitioned parquet out (write_parquet shards per block — a failed
+    run re-lists the output and the lazy pipeline re-streams; never one
+    giant file)."""
+    _ray_session()
+    import ray.data
+
+    from blacklab_ray.pipelines import cleaning, textstats
+    ds = ray.data.read_parquet(args.input)
+    if args.op == "pii":
+        out = cleaning.pii_scrub(ds, text_col=args.text_col,
+                                 id_col=args.id_col,
+                                 keep_text=args.keep_text)
+    elif args.op == "quality":
+        out = textstats.quality_filter(ds, text_col=args.text_col,
+                                       id_col=args.id_col)
+        if args.keep_only:
+            import pyarrow.compute as _pc
+            out = out.map_batches(
+                lambda t: t.filter(_pc.equal(t["keep"], True)),
+                batch_format="pyarrow")
+    elif args.op == "paragraph-dedup":
+        out = cleaning.paragraph_dup_stats(ds, text_col=args.text_col,
+                                           id_col=args.id_col)
+    else:  # decontaminate
+        import pyarrow.compute as _pc
+        bench = ray.data.read_parquet(args.benchmark)
+        fn = (cleaning.decontaminate_bloom if args.bloom
+              else cleaning.decontaminate)
+        out = fn(ds, bench, n=args.ngram, text_col=args.text_col,
+                 id_col=args.id_col)
+        if args.keep_only:
+            out = out.map_batches(
+                lambda t: t.filter(
+                    _pc.equal(t["contaminated"], False)),
+                batch_format="pyarrow")
+    out.write_parquet(args.out)
+    import ray
+    print(json.dumps({"op": args.op, "out": args.out}))
+    ray.shutdown()
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="blacklab_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -236,6 +280,26 @@ def main(argv=None) -> int:
     sv.add_argument("--host", default="127.0.0.1")
     sv.add_argument("--port", type=int, default=8080)
     sv.set_defaults(fn=cmd_serve)
+
+    cl = sub.add_parser("clean")
+    cl.add_argument("--input", required=True)
+    cl.add_argument("--out", required=True)
+    cl.add_argument("--op", required=True,
+                    choices=("pii", "quality", "paragraph-dedup",
+                             "decontaminate"))
+    cl.add_argument("--text-col", default="text")
+    cl.add_argument("--id-col", default="doc_id")
+    cl.add_argument("--keep-text", action="store_true")
+    cl.add_argument("--keep-only", action="store_true",
+                    help="emit only rows that pass (quality) or are "
+                         "uncontaminated (decontaminate)")
+    cl.add_argument("--benchmark",
+                    help="benchmark parquet dir (decontaminate)")
+    cl.add_argument("--ngram", type=int, default=3)
+    cl.add_argument("--bloom", action="store_true",
+                    help="Bloom-filter broadcast (decontaminate at "
+                         "large benchmark sizes)")
+    cl.set_defaults(fn=cmd_clean)
 
     g = sub.add_parser("gen")
     g.add_argument("--out", required=True)
