@@ -1,3 +1,4 @@
 from blacklab_ray.pipelines import (
-    ann, cleaning, dedup, frequency, hits, multimodal, textstats, windows,
+    ann, cleaning, curate, dedup, frequency, hits, multimodal, textstats,
+    windows,
 )

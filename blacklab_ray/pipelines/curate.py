@@ -1,0 +1,137 @@
+"""End-to-end corpus curation: the composed training-data flow.
+
+One call chains the pipeline a web-scale data-curation run performs
+between crawl and tokenizer — language ID → Gopher quality filter →
+exact dedup → PII scrub — each stage the library operator it names,
+all lazy Ray-Data stages so the streaming executor pipelines and
+spills; nothing materializes except the dedup keep-set (ids only,
+``ray.put``-broadcast).
+
+Scale shape per stage:
+- lang-ID / quality / PII: embarrassingly parallel ``map_batches``.
+- exact dedup: ONE (hash, id) shuffle; only the surviving ids come
+  back (8 bytes/doc), broadcast once for the keep filter. For corpora
+  where even the id vector outgrows the driver, swap the broadcast for
+  a semi-join on hash(id) — the operators compose either way.
+- optional near-dup: MinHash+LSH candidates + verify
+  (``dedup.minhash_candidate_pairs`` / ``verify_jaccard_pairs``) drop
+  the LOSING side of each verified pair.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+from blacklab_ray.pipelines import cleaning, dedup, textstats
+
+
+def curate(ds: ray.data.Dataset, text_col: str = "text",
+           id_col: str = "doc_id",
+           languages: tuple[str, ...] | None = ("en",),
+           quality_thresholds: dict | None = None,
+           near_dup: bool = False,
+           near_dup_threshold: float = 0.8,
+           scrub_pii: bool = True) -> ray.data.Dataset:
+    """Curated documents: (id, text[, lang_pred], per-doc signals).
+
+    Stages (each optional knob defaults to the standard recipe):
+    1. language ID; keep ``languages`` (None = keep all);
+    2. Gopher quality filter (``quality_thresholds`` overrides);
+    3. exact dedup (min id per content hash survives);
+    4. optional MinHash near-dup (drop the larger id of each verified
+       pair);
+    5. PII scrub (text replaced by the redacted form).
+    """
+    # 1+2: one fused pass — lang-id and quality signals share the batch
+    lang = textstats.LangId(text_col, id_col)
+    keep_langs = set(languages) if languages else None
+
+    def _lang_quality(batch: pa.Table) -> pa.Table:
+        lp = lang(batch)["lang_pred"]
+        batch = batch.append_column("lang_pred", lp)
+        if keep_langs is not None:
+            batch = batch.filter(
+                pc.is_in(lp, value_set=pa.array(sorted(keep_langs))))
+        return batch
+
+    out = ds.map_batches(_lang_quality, batch_format="pyarrow")
+    q = textstats.quality_filter(out, text_col, id_col,
+                                 thresholds=quality_thresholds)
+    keep_ids = q.map_batches(
+        lambda t: t.filter(pc.equal(t["keep"], True))
+        .select([id_col]), batch_format="pyarrow")
+
+    # 3: exact dedup over the quality survivors (semi-join via
+    # broadcast id set — ids only, never text)
+    survivors = _broadcast_filter(out, keep_ids, id_col)
+    kept = dedup.exact_dedup_keep_ids(survivors, id_col=id_col,
+                                      text_col=text_col)
+    out = _broadcast_filter(survivors, kept, id_col)
+
+    # 4: optional near-dup removal
+    if near_dup:
+        pairs = dedup.minhash_candidate_pairs(out, text_col=text_col,
+                                              id_col=id_col)
+        verified = dedup.verify_jaccard_pairs(
+            out, pairs, threshold=near_dup_threshold,
+            text_col=text_col, id_col=id_col)
+        losers = verified["b"]  # keep the smaller id of each pair
+        if len(losers):
+            lose_ref = ray.put(np.unique(
+                losers.to_numpy(zero_copy_only=False)))
+
+            def _drop(batch: pa.Table) -> pa.Table:
+                bad = pa.array(ray.get(lose_ref), pa.int64())
+                return batch.filter(pc.invert(pc.is_in(
+                    batch.column(id_col).cast(pa.int64()),
+                    value_set=bad)))
+
+            out = out.map_batches(_drop, batch_format="pyarrow")
+
+    # 5: PII scrub, keeping the scrubbed body as the text column
+    if scrub_pii:
+        scrubbed = cleaning.pii_scrub(out, text_col=text_col,
+                                      id_col=id_col, keep_text=True)
+
+        def _swap(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                id_col: batch.column(id_col),
+                text_col: batch.column("scrubbed_text"),
+                "n_pii": pc.add(
+                    pc.add(batch.column("n_emails"),
+                           batch.column("n_phones")),
+                    batch.column("n_ips")),
+            })
+
+        return scrubbed.map_batches(_swap, batch_format="pyarrow")
+    return out.select_columns([id_col, text_col])
+
+
+def _broadcast_filter(ds: ray.data.Dataset, ids_ds: ray.data.Dataset,
+                      id_col: str) -> ray.data.Dataset:
+    """Keep rows whose id is in ``ids_ds`` (an ids-only dataset):
+    gather ids once (8 bytes/doc), ``ray.put`` once, one vectorized
+    ``is_in`` per batch."""
+    parts = [b[id_col].to_numpy(zero_copy_only=False)
+             for b in ids_ds.iter_batches(batch_format="pyarrow")
+             if b.num_rows]
+    keep = (np.unique(np.concatenate(parts)) if parts
+            else np.empty(0, np.int64))
+    ref = ray.put(keep)
+
+    # plain tasks, not an actor pool: ray.get(ref) is a zero-copy read
+    # from the LOCAL object store after the first fetch per node (the
+    # canonical put-once/read-everywhere broadcast), and task stages
+    # avoid stacking actor pools — a curate() chain runs several of
+    # these and actor-pool minimums can starve each other on small
+    # clusters.
+    def _filter(batch: pa.Table) -> pa.Table:
+        keep_arr = pa.array(ray.get(ref), pa.int64())
+        return batch.filter(pc.is_in(
+            batch.column(id_col).cast(pa.int64()), value_set=keep_arr))
+
+    return ds.map_batches(_filter, batch_format="pyarrow")
