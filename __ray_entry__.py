@@ -494,7 +494,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def q_docs_window(sf):
         """DocResults.window analogue: docs sorted by (doc_len DESC,
-        doc_id), rows [10, 20)."""
+        doc_id), rows [10, 20) (kind='window'), MERGED with the former
+        top_docs_by_len key (kind='top', index-backed fwd read, rows
+        [0, TOPK)) — 50-key cap; both operators stay individually
+        driver-verified by their kind."""
         from blacklab_ray.pipelines import docsops
 
         def _with_len(batch: pa.Table) -> pa.Table:
@@ -506,8 +509,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             })
 
         ds = _docs_ds(sf).map_batches(_with_len, batch_format="pyarrow")
-        return docsops.docs_window(ds, ["doc_len", "doc_id"],
-                                   [True, False], 10, 10)
+        win = docsops.docs_window(ds, ["doc_len", "doc_id"],
+                                  [True, False], 10, 10).to_pandas()
+        win.insert(0, "kind", "window")
+        top = q_top_docs_by_len(sf)
+        top.insert(0, "kind", "top")
+        return pd.concat([top, win], ignore_index=True)
 
     def q_dedup_keep(sf):
         """Exact-content dedup AND canonical-URL dedup survivors in one
@@ -679,6 +686,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         corpus = docs.map_batches(_half(False), batch_format="pyarrow")
         return cleaning.decontaminate(corpus, bench, n=3)
 
+    def q_dup_spans(sf):
+        """Exact-substring dedup (ExactSubstr / Lee et al. 2022): per
+        doc, corpus-duplicated k-gram positions merged into spans —
+        span count, covered tokens, longest span."""
+        return dedup.duplicate_spans(_docs_ds(sf), k=3)
+
     def q_paragraph_dedup(sf):
         """Paragraph-level dedup stats. The synthetic text has no
         newlines, so paragraph boundaries are synthesized
@@ -748,7 +761,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wildcard_or_scores": q_wildcard_scores,
         "term_expansion": q_term_expansion,
         "bm25_filtered_en": q_bm25_filtered_en,
-        "top_docs_by_len": q_top_docs_by_len,
         "kwic_fwd": q_kwic_fwd,
         "cql_docs": q_cql,
         "bm25_andnot": q_bm25_andnot,
@@ -795,6 +807,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scrub": q_pii_scrub,
         "decontaminate": q_decontaminate,
         "paragraph_dedup": q_paragraph_dedup,
+        "dup_spans": q_dup_spans,
     }
 
 
@@ -983,12 +996,34 @@ SELECT 'fuzzy' AS kind, term
 FROM (SELECT DISTINCT term FROM toks
       WHERE levenshtein(term, 'spark') <= 1)
 """,
-        "top_docs_by_len": f"""
-WITH toks AS ({toks})
-SELECT d.doc_id, count(t.term) AS doc_len
-FROM documents d LEFT JOIN toks t ON d.doc_id = t.doc_id
-GROUP BY d.doc_id
-ORDER BY doc_len DESC, d.doc_id LIMIT {TOPK}
+        "dup_spans": f"""
+WITH toks AS ({toks_pos}),
+g AS (SELECT a.doc_id, a.pos,
+             a.term || ' ' || b.term || ' ' || c.term AS gram
+      FROM toks a
+      JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+      JOIN toks c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2),
+cnt AS (SELECT gram FROM g GROUP BY gram HAVING count(*) > 1),
+dup AS (SELECT doc_id, pos FROM g JOIN cnt USING (gram)),
+lagged AS (SELECT doc_id, pos,
+                  CASE WHEN pos - lag(pos) OVER (
+                           PARTITION BY doc_id ORDER BY pos) <= 3
+                       THEN 0 ELSE 1 END AS brk
+           FROM dup),
+isl AS (SELECT doc_id, pos,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS UNBOUNDED PRECEDING) AS grp
+        FROM lagged),
+spans AS (SELECT doc_id, max(pos) + 3 - min(pos) AS span_tokens
+          FROM isl GROUP BY doc_id, grp),
+st AS (SELECT doc_id, count(*) AS n_dup_spans,
+              sum(span_tokens) AS dup_tokens,
+              max(span_tokens) AS max_span_tokens
+       FROM spans GROUP BY doc_id)
+SELECT d.doc_id, coalesce(st.n_dup_spans, 0)::BIGINT AS n_dup_spans,
+       coalesce(st.dup_tokens, 0)::BIGINT AS dup_tokens,
+       coalesce(st.max_span_tokens, 0)::BIGINT AS max_span_tokens
+FROM documents d LEFT JOIN st USING (doc_id)
 """,
         "cql_docs": f"""
 WITH toks AS ({toks_pos})
@@ -1249,8 +1284,13 @@ WITH toks AS ({toks}),
 dl AS (SELECT d.doc_id, count(t.term) AS doc_len
        FROM documents d LEFT JOIN toks t ON d.doc_id = t.doc_id
        GROUP BY d.doc_id)
-SELECT doc_id, doc_len FROM dl
-ORDER BY doc_len DESC, doc_id LIMIT 10 OFFSET 10
+SELECT 'top' AS kind, doc_id, doc_len FROM
+  (SELECT doc_id, doc_len FROM dl
+   ORDER BY doc_len DESC, doc_id LIMIT {TOPK})
+UNION ALL
+SELECT 'window' AS kind, doc_id, doc_len FROM
+  (SELECT doc_id, doc_len FROM dl
+   ORDER BY doc_len DESC, doc_id LIMIT 10 OFFSET 10)
 """,
         "dedup_keep": r"""
 WITH u AS (

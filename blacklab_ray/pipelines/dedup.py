@@ -20,7 +20,7 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 import ray.data
-from ray.data.aggregate import Min
+from ray.data.aggregate import Count, Min
 
 from blacklab_ray.analysis.analyzers import tokenize_text
 
@@ -738,3 +738,167 @@ def simhashes(ds: ray.data.Dataset, text_col: str = "text",
               id_col: str = "doc_id") -> ray.data.Dataset:
     return ds.map_batches(SimHash64(text_col=text_col, id_col=id_col),
                           batch_format="pyarrow")
+
+
+# ---- exact-substring (duplicated-span) dedup --------------------------------
+
+
+def duplicate_spans(ds: ray.data.Dataset, k: int = 3,
+                    text_col: str = "text", id_col: str = "doc_id",
+                    num_partitions: int = 32) -> ray.data.Dataset:
+    """Exact-substring dedup signals (the ExactSubstr shape of Lee et
+    al. 2022, "Deduplicating Training Data Makes Language Models
+    Better"): a position is duplicated when its token ``k``-gram occurs
+    more than once across the WHOLE corpus; overlapping/abutting
+    duplicated positions (start gap <= k) merge into spans. Per doc:
+    span count, tokens covered, longest span — the inputs to a
+    cut-the-spans or drop-the-doc policy.
+
+    Distributed shape (two hash shuffles, no strings after stage 1):
+    1. map_batches explodes (gram-hash, doc, pos) — grams travel as
+       blake2b-64 (the MinHash identity scheme; only the digest loop is
+       scalar, construction is Arrow kernels);
+    2. ``groupby(hash).Count`` then ONE co-partitioned union
+       ``map_groups`` marks occurrences whose gram count > 1;
+    3. dup positions re-shuffle on ``hash(doc)`` along with one marker
+       row per doc; island-merge + stats are vectorized per partition.
+       Every doc appears in the output (zeros when clean).
+    """
+    import pyarrow.compute as _pc
+
+    from blacklab_ray.analysis.analyzers import tokenize_column
+
+    P = num_partitions
+    UNION1 = pa.schema([("part", pa.int64()), ("key", pa.int64()),
+                        (id_col, pa.int64()), ("pos", pa.int64())])
+    DUP = pa.schema([("part", pa.int64()), (id_col, pa.int64()),
+                     ("pos", pa.int64())])
+    OUT = pa.schema([(id_col, pa.int64()),
+                     ("n_dup_spans", pa.int64()),
+                     ("dup_tokens", pa.int64()),
+                     ("max_span_tokens", pa.int64())])
+
+    def _part_of(keys: np.ndarray) -> np.ndarray:
+        return ((keys * np.int64(2654435761)) & np.int64(0x7FFFFFFF)) % P
+
+    def _doc_part(ids: np.ndarray) -> np.ndarray:
+        return ((ids * np.int64(0x9E3779B1)) & np.int64(0x7FFFFFFF)) % P
+
+    def _gram_rows(batch: pa.Table) -> pa.Table:
+        parents, toks, positions, _ = tokenize_column(
+            batch.column(text_col))
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        ids = batch.column(id_col).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        n_tok = len(toks)
+        if n_tok < k:
+            return UNION1.empty_table()
+        width = n_tok - k + 1
+        slices = [toks.slice(j, width) for j in range(k)]
+        grams = _pc.binary_join_element_wise(*slices, " ")
+        valid = parents[:width] == parents[k - 1:]
+        grams = grams.filter(pa.array(valid))
+        gdoc = ids[parents[:width][valid]]
+        gpos = positions[:width][valid]
+        h = np.fromiter(
+            (int.from_bytes(hashlib.blake2b(g.encode(), digest_size=8)
+                            .digest(), "big") >> 1
+             for g in grams.to_pylist()),
+            dtype=np.int64, count=len(grams))
+        return pa.table({
+            "part": pa.array(_part_of(h), pa.int64()),
+            "key": pa.array(h, pa.int64()),
+            id_col: pa.array(gdoc, pa.int64()),
+            "pos": pa.array(gpos, pa.int64()),
+        })
+
+    occ = ds.map_batches(_gram_rows, batch_format="pyarrow") \
+        .materialize()    # consumed twice: count + union
+
+    counts = occ.groupby("key").aggregate(Count(alias_name="cnt"))
+
+    def _count_rows(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "key" not in batch.column_names:
+            return UNION1.empty_table()
+        keyn = batch.column("key").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "part": pa.array(_part_of(keyn), pa.int64()),
+            "key": batch.column("key"),
+            id_col: pa.array(np.full(keyn.size, -1, np.int64)),
+            "pos": batch.column("cnt").cast(pa.int64()),
+        })
+
+    count_rows = counts.map_batches(_count_rows, batch_format="pyarrow")
+
+    def _mark(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or "key" not in group.column_names:
+            return DUP.empty_table()
+        dids = group.column(id_col).to_numpy(zero_copy_only=False)
+        is_cnt = dids == -1
+        keys = group.column("key").to_numpy(zero_copy_only=False)
+        pos = group.column("pos").to_numpy(zero_copy_only=False)
+        ck, cn = keys[is_cnt], pos[is_cnt]
+        order = np.argsort(ck)
+        ck, cn = ck[order], cn[order]
+        ok, od, op = keys[~is_cnt], dids[~is_cnt], pos[~is_cnt]
+        if not ok.size:
+            return DUP.empty_table()
+        idx = np.searchsorted(ck, ok)
+        dup = cn[idx] > 1    # every occurrence's gram has a count row
+        od, op = od[dup], op[dup]
+        return pa.table({
+            "part": pa.array(_doc_part(od), pa.int64()),
+            id_col: pa.array(od, pa.int64()),
+            "pos": pa.array(op, pa.int64()),
+        })
+
+    dup_pos = occ.union(count_rows).groupby("part").map_groups(
+        _mark, batch_format="pyarrow")
+
+    def _markers(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        return pa.table({
+            "part": pa.array(_doc_part(ids), pa.int64()),
+            id_col: pa.array(ids, pa.int64()),
+            "pos": pa.array(np.full(ids.size, -1, np.int64)),
+        })
+
+    markers = ds.map_batches(_markers, batch_format="pyarrow")
+
+    def _islands(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or "pos" not in group.column_names:
+            return OUT.empty_table()
+        dids = group.column(id_col).to_numpy(zero_copy_only=False)
+        pos = group.column("pos").to_numpy(zero_copy_only=False)
+        marker = pos == -1
+        all_docs = np.unique(dids[marker])
+        dids, pos = dids[~marker], pos[~marker]
+        n_spans = np.zeros(all_docs.size, dtype=np.int64)
+        n_toks = np.zeros(all_docs.size, dtype=np.int64)
+        mx = np.zeros(all_docs.size, dtype=np.int64)
+        if dids.size:
+            order = np.lexsort((pos, dids))
+            d, p = dids[order], pos[order]
+            # island boundary: new doc OR start gap > k
+            brk = np.empty(d.size, dtype=bool)
+            brk[:1] = True
+            brk[1:] = (d[1:] != d[:-1]) | (p[1:] - p[:-1] > k)
+            starts = np.flatnonzero(brk)
+            ends = np.concatenate((starts[1:], [d.size]))
+            span_doc = d[starts]
+            span_len = p[ends - 1] + k - p[starts]   # tokens covered
+            di = np.searchsorted(all_docs, span_doc)
+            np.add.at(n_spans, di, 1)
+            np.add.at(n_toks, di, span_len)
+            np.maximum.at(mx, di, span_len)
+        return pa.table({
+            id_col: pa.array(all_docs, pa.int64()),
+            "n_dup_spans": pa.array(n_spans, pa.int64()),
+            "dup_tokens": pa.array(n_toks, pa.int64()),
+            "max_span_tokens": pa.array(mx, pa.int64()),
+        })
+
+    return dup_pos.union(markers).groupby("part").map_groups(
+        _islands, batch_format="pyarrow")

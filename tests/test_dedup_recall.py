@@ -321,3 +321,59 @@ def test_md5_ann_modes_deterministic(ray_session):
                c["rank"].to_pylist()) if r == 1}
     hits = sum(top.get(i) == 70 + i for i in range(5))
     assert hits >= 4
+
+
+def test_duplicate_spans_cross_and_within_doc(ray_session):
+    """ExactSubstr-style duplicated-span extraction: corpus-duplicated
+    k-gram starts merge into spans (gap <= k); every doc appears."""
+    import pyarrow as pa
+    import ray.data
+
+    from blacklab_ray.pipelines.dedup import duplicate_spans
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array([
+            "one two three four five unique ending here",
+            "xx one two three four five yy zz qq ww",
+            "nothing shared at all in this one doc",
+        ]),
+    })
+    ds = ray.data.from_arrow(docs).repartition(2)
+    t = duplicate_spans(ds, k=3, num_partitions=8).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    # the shared 5-token run -> one span of 5 tokens in docs 0 and 1
+    assert t["n_dup_spans"].tolist() == [1, 1, 0]
+    assert t["dup_tokens"].tolist() == [5, 5, 0]
+    assert t["max_span_tokens"].tolist() == [5, 5, 0]
+
+    # within-doc repetition: "a b c d" twice -> two spans of 4
+    ds2 = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([7], pa.int64()),
+        "text": pa.array(["a b c d x y z a b c d"]),
+    }))
+    t2 = duplicate_spans(ds2, k=3, num_partitions=4).to_pandas()
+    assert t2["n_dup_spans"].tolist() == [2]
+    assert t2["dup_tokens"].tolist() == [8]
+    assert t2["max_span_tokens"].tolist() == [4]
+
+
+def test_duplicate_spans_abutting_merge(ray_session):
+    """Spans whose starts are exactly k apart abut -> one merged span."""
+    import pyarrow as pa
+    import ray.data
+
+    from blacklab_ray.pipelines.dedup import duplicate_spans
+    # 6-token run "p q r s t u" shared; inner 3-gram starts 0..3 are
+    # consecutive, so this is one island of 6 tokens
+    docs = pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array([
+            "p q r s t u tail one",
+            "head p q r s t u other",
+        ]),
+    })
+    ds = ray.data.from_arrow(docs).repartition(2)
+    t = duplicate_spans(ds, k=3, num_partitions=4).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert t["n_dup_spans"].tolist() == [1, 1]
+    assert t["dup_tokens"].tolist() == [6, 6]
