@@ -854,16 +854,20 @@ WITH aug AS (
               ELSE text END AS text
   FROM documents)
 SELECT doc_id,
-       length(regexp_extract_all(text, '{PII_EMAIL_RE}'))::BIGINT
+       length(regexp_extract_all(t0, '{PII_EMAIL_RE}'))::BIGINT
          AS n_emails,
-       length(regexp_extract_all(text, '{PII_IP_RE}'))::BIGINT AS n_ips,
-       length(regexp_extract_all(text, '{PII_PHONE_RE}'))::BIGINT
+       length(regexp_extract_all(t1, '{PII_IP_RE}'))::BIGINT AS n_ips,
+       length(regexp_extract_all(t2, '{PII_PHONE_RE}'))::BIGINT
          AS n_phones,
-       md5(regexp_replace(regexp_replace(regexp_replace(text,
-           '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
-           '{PII_IP_RE}', '<IP>', 'g'),
-           '{PII_PHONE_RE}', '<PHONE>', 'g')) AS scrubbed_md5
-FROM aug
+       md5(regexp_replace(t2, '{PII_PHONE_RE}', '<PHONE>', 'g'))
+         AS scrubbed_md5
+FROM (
+  SELECT doc_id, text AS t0,
+         regexp_replace(text, '{PII_EMAIL_RE}', '<EMAIL>', 'g') AS t1,
+         regexp_replace(
+             regexp_replace(text, '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+             '{PII_IP_RE}', '<IP>', 'g') AS t2
+  FROM aug)
 """
 
 

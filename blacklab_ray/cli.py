@@ -197,6 +197,10 @@ def cmd_clean(args) -> int:
                                            id_col=args.id_col)
     else:  # decontaminate
         import pyarrow.compute as _pc
+        if not args.benchmark:
+            print("error: --benchmark is required for "
+                  "--op decontaminate", file=sys.stderr)
+            return 2
         bench = ray.data.read_parquet(args.benchmark)
         fn = (cleaning.decontaminate_bloom if args.bloom
               else cleaning.decontaminate)

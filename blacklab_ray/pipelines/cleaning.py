@@ -69,13 +69,17 @@ def pii_scrub(ds: ray.data.Dataset, text_col: str = "text",
         text = batch.column(text_col)
         if isinstance(text, pa.ChunkedArray):
             text = text.combine_chunks()
+        text = pc.fill_null(text, "")
         cols: dict[str, pa.Array] = {
             id_col: batch.column(id_col).cast(pa.int64()),
         }
+        # counts run SEQUENTIALLY on the progressively scrubbed text so
+        # they equal the redactions actually applied (an email whose
+        # digits also look phone-shaped counts once, as <EMAIL>)
         scrubbed = text
         for pattern, token, count_name in _PII_RULES:
             cols[count_name] = pc.count_substring_regex(
-                text, pattern=pattern).cast(pa.int64())
+                scrubbed, pattern=pattern).cast(pa.int64())
             scrubbed = pc.replace_substring_regex(
                 scrubbed, pattern=pattern, replacement=token)
         cols["scrubbed_md5"] = pa.array(
@@ -190,7 +194,10 @@ def explode_paragraphs(ds: ray.data.Dataset, text_col: str = "text",
 
     def _split(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).cast(pa.int64())
-        paras = pc.split_pattern(batch.column(text_col), pattern=sep)
+        text = batch.column(text_col)
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        paras = pc.split_pattern(pc.fill_null(text, ""), pattern=sep)
         flat = pc.list_flatten(paras)
         parents = pc.list_parent_indices(paras) \
             .to_numpy(zero_copy_only=False)
@@ -367,10 +374,17 @@ class BloomFilter:
 
 def _gram_hashes(grams: pa.Array) -> np.ndarray:
     """uint64 content hashes of gram strings (md5 low 64 — the house
-    content-identity digest), one Python md5 per DISTINCT gram."""
-    return np.array(
+    content-identity digest). Dictionary-encodes first so the scalar
+    md5 loop runs once per DISTINCT gram, not per occurrence."""
+    if isinstance(grams, pa.ChunkedArray):
+        grams = grams.combine_chunks()
+    d = pc.dictionary_encode(grams)
+    uniq = np.array(
         [int.from_bytes(hashlib.md5(g.encode()).digest()[:8], "big")
-         for g in grams.to_pylist()], dtype=np.uint64)
+         for g in d.dictionary.to_pylist()], dtype=np.uint64)
+    if not uniq.size:
+        return np.empty(0, dtype=np.uint64)
+    return uniq[d.indices.to_numpy(zero_copy_only=False)]
 
 
 class _BenchmarkGramHitsBloom:

@@ -58,7 +58,13 @@ def curate(ds: ray.data.Dataset, text_col: str = "text",
                 pc.is_in(lp, value_set=pa.array(sorted(keep_langs))))
         return batch
 
-    out = ds.map_batches(_lang_quality, batch_format="pyarrow")
+    # materialize the lang-filtered stream: it feeds the quality scan,
+    # the dedup hash scan and the final keep-filter — without a
+    # checkpoint Ray re-runs the lang-ID lineage once per consumer
+    # (blocks live in the object store and spill; re-running the most
+    # expensive stage 3-5x is the worse trade)
+    out = ds.map_batches(_lang_quality,
+                         batch_format="pyarrow").materialize()
     q = textstats.quality_filter(out, text_col, id_col,
                                  thresholds=quality_thresholds)
     keep_ids = q.map_batches(
@@ -66,8 +72,9 @@ def curate(ds: ray.data.Dataset, text_col: str = "text",
         .select([id_col]), batch_format="pyarrow")
 
     # 3: exact dedup over the quality survivors (semi-join via
-    # broadcast id set — ids only, never text)
-    survivors = _broadcast_filter(out, keep_ids, id_col)
+    # broadcast id set — ids only, never text); materialized for the
+    # same multi-consumer reason as `out`
+    survivors = _broadcast_filter(out, keep_ids, id_col).materialize()
     kept = dedup.exact_dedup_keep_ids(survivors, id_col=id_col,
                                       text_col=text_col)
     out = _broadcast_filter(survivors, kept, id_col)

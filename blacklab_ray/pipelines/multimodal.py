@@ -358,9 +358,21 @@ class Y4mFrameSampler:
     Cmono subsamplings supported; non-video rows pass through."""
 
     _MAGIC = b"YUV4MPEG2"
-    # chroma tag -> chroma bytes per luma pixel (both planes)
-    _CHROMA = {"420": 0.5, "420jpeg": 0.5, "420paldv": 0.5,
-               "420mpeg2": 0.5, "422": 1.0, "444": 2.0, "mono": 0.0}
+    # chroma tag -> (horizontal, vertical) subsampling divisors
+    _CHROMA = {"420": (2, 2), "420jpeg": (2, 2), "420paldv": (2, 2),
+               "420mpeg2": (2, 2), "422": (2, 1), "444": (1, 1),
+               "mono": None}
+
+    @classmethod
+    def _chroma_bytes(cls, chroma: str, w: int, h: int) -> int:
+        """Bytes of BOTH chroma planes — per-plane ceil division, so
+        odd-dimension clips parse (a 9x9 C420 chroma plane is 5x5)."""
+        div = cls._CHROMA[chroma]
+        if div is None:
+            return 0
+        cw = (w + div[0] - 1) // div[0]
+        ch = (h + div[1] - 1) // div[1]
+        return 2 * cw * ch
 
     def __init__(self, n_frames: int = 4):
         self._n = n_frames
@@ -383,7 +395,7 @@ class Y4mFrameSampler:
         if w is None or h is None or chroma not in self._CHROMA:
             raise ValueError(f"unsupported y4m header {header!r}")
         luma = w * h
-        fsize = luma + int(luma * self._CHROMA[chroma])
+        fsize = luma + self._chroma_bytes(chroma, w, h)
         frames = []
         pos = nl + 1
         while pos < len(payload):
@@ -440,8 +452,7 @@ def synth_y4m(width: int, height: int, n_frames: int,
     """Deterministic little y4m clip (moving gradient luma, flat
     chroma) for tests."""
     rng = np.random.default_rng(seed)
-    luma = width * height
-    csize = int(luma * Y4mFrameSampler._CHROMA[chroma])
+    csize = Y4mFrameSampler._chroma_bytes(chroma, width, height)
     head = f"YUV4MPEG2 W{width} H{height} F25:1 Ip A1:1 C{chroma}\n"
     out = [head.encode()]
     base = rng.integers(0, 64, size=(height, width), dtype=np.uint8)

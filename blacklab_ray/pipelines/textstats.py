@@ -57,13 +57,21 @@ class QualityStats:
         alpha = pc.count_substring_regex(
             text, pattern=r"[a-zA-Z \t\n]").to_numpy(
             zero_copy_only=False).astype(np.float64)
+        # Gopher's actual rule is WORD-level (fraction of words with an
+        # alphabetic char); the analyzer folds accents, so this is
+        # language-neutral where the char-level ASCII ratio is not
+        word_alpha = pc.match_substring_regex(toks, pattern="[a-z]") \
+            .to_numpy(zero_copy_only=False)
+        alpha_words = np.bincount(parents[word_alpha], minlength=n_docs)
         return pa.table({
-            "doc_id": batch.column(self._id).cast(pa.int64()),
+            self._id: batch.column(self._id).cast(pa.int64()),
             "token_count": pa.array(lens, pa.int64()),
             "stopword_ratio": pa.array(stop_per_doc / safe, pa.float64()),
             "mean_token_len": pa.array(sum_len / safe, pa.float64()),
             "alpha_ratio": pa.array(
                 np.divide(alpha, np.maximum(n_chars, 1)), pa.float64()),
+            "alpha_word_ratio": pa.array(alpha_words / safe,
+                                         pa.float64()),
         })
 
 
@@ -134,7 +142,7 @@ class LangId:
         lang_arr = np.array(langs, dtype=object)
         preds = np.where(best_score > 0, lang_arr[best], "und")
         return pa.table({
-            "doc_id": batch.column(self._id).cast(pa.int64()),
+            self._id: batch.column(self._id).cast(pa.int64()),
             "lang_pred": pa.array(list(preds), pa.string()),
         })
 
@@ -318,7 +326,13 @@ GOPHER_THRESHOLDS = {
     "min_mean_token_len": 3.0,
     "max_mean_token_len": 10.0,
     "min_stopword_ratio": 0.0,   # Gopher: >= 2 stopwords; ratio form
-    "min_alpha_ratio": 0.8,      # >= 80% words with an alphabetic char
+    # Gopher's published rule is WORD-level: >= 80% of words contain an
+    # alphabetic character. The char-level ASCII ratio stays available
+    # as an opt-in (min_alpha_ratio) but defaults OFF — it wrongly
+    # penalizes numeric/accented text in the non-English languages the
+    # lang-ID stage explicitly supports.
+    "min_alpha_word_ratio": 0.8,
+    "min_alpha_ratio": 0.0,
     "max_dup_line_frac": 0.30,
     "max_top_bigram_frac": 0.18,
 }
@@ -356,6 +370,8 @@ def quality_filter(ds: ray.data.Dataset, text_col: str = "text",
                >= th["min_stopword_ratio"])
             & (qt["alpha_ratio"].to_numpy(zero_copy_only=False)
                >= th["min_alpha_ratio"])
+            & (qt["alpha_word_ratio"].to_numpy(zero_copy_only=False)
+               >= th["min_alpha_word_ratio"])
             & (rt["dup_line_frac"].to_numpy(zero_copy_only=False)
                <= th["max_dup_line_frac"])
             & (rt["top_bigram_frac"].to_numpy(zero_copy_only=False)

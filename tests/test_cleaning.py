@@ -168,3 +168,27 @@ def test_decontaminate_bloom_matches_exact(docs_ds, ray_session):
         bloom["n_gram_hits"].tolist()
     assert exact["contaminated"].tolist() == \
         bloom["contaminated"].tolist()
+
+
+def test_pii_scrub_null_text(ray_session):
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array(["a@b.co", None]),
+    }))
+    t = cleaning.pii_scrub(ds).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+    assert t["n_emails"].tolist() == [1, 0]
+    assert t.loc[1, "scrubbed_md5"] == hashlib.md5(b"").hexdigest()
+
+
+def test_pii_scrub_sequential_counts(ray_session):
+    """An email whose local part is phone-shaped counts ONCE (as the
+    email that was actually redacted), not as email + phone."""
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([0], pa.int64()),
+        "text": pa.array(["dial +15551234567@relay.example.com now"]),
+    }))
+    t = cleaning.pii_scrub(ds, keep_text=True).to_pandas()
+    assert t["n_emails"].tolist() == [1]
+    assert t["n_phones"].tolist() == [0]
+    assert t.loc[0, "scrubbed_text"] == "dial <EMAIL> now"

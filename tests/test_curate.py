@@ -69,3 +69,14 @@ def test_curate_near_dup(ray_session):
     ids = sorted(out["doc_id"].tolist())
     # 11 is the larger id of the verified near-dup pair -> dropped
     assert 10 in ids and 11 not in ids and 12 in ids
+
+
+def test_curate_custom_id_column(ray_session):
+    docs = pa.table({
+        "page_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array([EN, EN]),
+    })
+    out = curate(ray.data.from_arrow(docs).repartition(2),
+                 id_col="page_id", languages=None,
+                 quality_thresholds=TH, scrub_pii=False).to_pandas()
+    assert out["page_id"].tolist() == [0]

@@ -618,3 +618,13 @@ def test_media_pipeline_real_video_end_to_end(ray_session):
         f = row["feature"]
         assert (f[0], f[1], f[2]) == (12.0, 10.0, 1.0)
         assert 0.0 <= f[3] <= 1.0
+
+
+def test_y4m_odd_dimensions():
+    """Odd width/height: chroma planes are per-plane ceil-divided
+    (a 9x9 C420 chroma plane is 5x5) — spec-valid clips parse."""
+    from blacklab_ray.pipelines import multimodal
+    for w, h, chroma in ((9, 9, "420"), (7, 6, "422"), (5, 3, "444")):
+        clip = multimodal.synth_y4m(w, h, n_frames=4, chroma=chroma)
+        frames, gw, gh = multimodal.Y4mFrameSampler(2).sample_frames(clip)
+        assert (gw, gh) == (w, h) and len(frames) == 2, (w, h, chroma)
