@@ -486,11 +486,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     # ---- dedup / fingerprints ------------------------------------------
 
-    def q_jaccard_pairs(sf):
-        """Standalone EXACT n-gram-Jaccard near-dup pairs (distributed
-        block-pair join over hashed shingle signatures)."""
-        t = dedup.jaccard_dup_pairs(_docs_ds(sf), threshold=0.8)
-        return _round_cols(t.to_pandas(), {"jaccard": 6})
+    # (q_jaccard_pairs rotated out for dup_clusters — its oracle SQL was
+    # byte-identical to minhash_pairs'; the standalone exact operator is
+    # covered by tests/test_dedup_recall.py::test_jaccard_dup_pairs_exact_oracle)
 
     def q_docs_window(sf):
         """DocResults.window analogue: docs sorted by (doc_len DESC,
@@ -572,6 +570,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         pairs = dedup.minhash_candidate_pairs(_docs_ds(sf))
         return dedup.verify_jaccard_pairs(
             _docs_ds(sf), pairs, threshold=0.8)
+
+    def q_dup_clusters(sf):
+        """Transitive near-dup CLUSTERS: MinHash-LSH candidates → exact
+        Jaccard verify → BSP connected components (the keep-one-per-
+        cluster tail of the fuzzy-dedup pipeline; oracle is a DuckDB
+        recursive-CTE reachability closure over the same pair set)."""
+        pairs = dedup.minhash_candidate_pairs(_docs_ds(sf))
+        verified = dedup.verify_jaccard_pairs(
+            _docs_ds(sf), pairs, threshold=0.8)
+        t = dedup.duplicate_clusters(verified.select(["a", "b"]))
+        return t.to_pandas().sort_values("doc_id") \
+            .reset_index(drop=True)
 
     def q_simhash(sf):
         return dedup.simhashes(_docs_ds(sf))
@@ -794,7 +804,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kwic_spark": q_kwic,
         "freq_by_lang": q_freq_by_lang,
         "dedup_keep": q_dedup_keep,
-        "jaccard_pairs": q_jaccard_pairs,
+        "dup_clusters": q_dup_clusters,
         "docs_window": q_docs_window,
         "fingerprints": q_fingerprints,
         "minhash_pairs": q_minhash_pairs,
@@ -1265,8 +1275,8 @@ SELECT 'pred' AS kind, lang_pred AS lang, count(*) AS n_docs,
        NULL::BIGINT AS total_tokens, NULL::BIGINT AS total_bpe_tokens
 FROM pred GROUP BY lang_pred
 """,
-        "jaccard_pairs": f"""
-WITH toks AS ({toks_pos}),
+        "dup_clusters": f"""
+WITH RECURSIVE toks AS ({toks_pos}),
 g AS (SELECT a.doc_id,
              a.term || ' ' || b.term || ' ' || c.term AS gram
       FROM toks a
@@ -1277,11 +1287,16 @@ s AS (SELECT doc_id, count(*) AS n FROM gd GROUP BY doc_id),
 inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
           FROM gd x JOIN gd y
             ON x.gram = y.gram AND x.doc_id < y.doc_id
-          GROUP BY x.doc_id, y.doc_id)
-SELECT a, b,
-       round(i::DOUBLE / (sa.n + sb.n - i), 6) AS jaccard
-FROM inter JOIN s sa ON sa.doc_id = a JOIN s sb ON sb.doc_id = b
-WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.8
+          GROUP BY x.doc_id, y.doc_id),
+dup AS (SELECT a, b FROM inter
+        JOIN s sa ON sa.doc_id = a JOIN s sb ON sb.doc_id = b
+        WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.8),
+edges AS (SELECT a AS u, b AS v FROM dup
+          UNION SELECT b, a FROM dup),
+lab AS (SELECT u AS n, u AS l FROM edges
+        UNION
+        SELECT e.v AS n, lab.l FROM lab JOIN edges e ON e.u = lab.n)
+SELECT n AS doc_id, min(l) AS cluster_id FROM lab GROUP BY n
 """,
         "docs_window": f"""
 WITH toks AS ({toks}),

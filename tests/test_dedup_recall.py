@@ -377,3 +377,130 @@ def test_duplicate_spans_abutting_merge(ray_session):
         .sort_values("doc_id").reset_index(drop=True)
     assert t["n_dup_spans"].tolist() == [1, 1]
     assert t["dup_tokens"].tolist() == [6, 6]
+
+
+def _uf_min_labels(pairs):
+    """Pure-Python union-find oracle: node -> component-min label."""
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    nodes = {n for p in pairs for n in p}
+    comps = {}
+    for n in nodes:
+        comps.setdefault(find(n), []).append(n)
+    return {n: min(mem) for mem in comps.values() for n in mem}
+
+
+def _check_clusters(pairs, num_partitions):
+    import pyarrow as pa
+
+    from blacklab_ray.pipelines.dedup import duplicate_clusters
+    t = pa.table({"a": pa.array([p[0] for p in pairs], pa.int64()),
+                  "b": pa.array([p[1] for p in pairs], pa.int64())})
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in duplicate_clusters(
+               t, num_partitions=num_partitions).take_all()}
+    assert got == _uf_min_labels(pairs)
+
+
+def test_duplicate_clusters_vs_union_find(ray_session):
+    """Hub-shaped clusters (the near-dup norm) at a multi-partition
+    count against a union-find oracle."""
+    import numpy as np
+    rng = np.random.default_rng(7)
+    pairs, base = [], 0
+    for sz in (2, 3, 5, 10, 40):
+        ids = list(range(base, base + sz))
+        base += 1000
+        for i in range(1, sz):
+            pairs.append((ids[int(rng.integers(0, i))], ids[i]))
+    rng.shuffle(pairs)
+    _check_clusters([tuple(map(int, p)) for p in pairs],
+                    num_partitions=8)
+
+
+def test_duplicate_clusters_chain_log_rounds(ray_session):
+    """Worst-case diameter: a 600-link chain must converge through the
+    pointer-doubling shortcut in O(log d) rounds (max_iters=16 >> would
+    fail under plain min-propagation, which needs 600)."""
+    import pyarrow as pa
+
+    from blacklab_ray.pipelines.dedup import duplicate_clusters
+    chain = [(i, i + 1) for i in range(600)]
+    t = pa.table({"a": pa.array([p[0] for p in chain], pa.int64()),
+                  "b": pa.array([p[1] for p in chain], pa.int64())})
+    got = duplicate_clusters(t, num_partitions=4, max_iters=16) \
+        .to_pandas()
+    assert (got["cluster_id"] == 0).all()
+    assert sorted(got["doc_id"].tolist()) == list(range(601))
+
+
+def test_duplicate_clusters_edge_shapes(ray_session):
+    """Self-pairs, duplicate pairs, reversed ids, dataset input, and
+    P-independence of the output."""
+    import pyarrow as pa
+    import ray.data
+
+    from blacklab_ray.pipelines.dedup import duplicate_clusters
+    pairs = [(5, 5), (6, 5), (5, 6), (7, 8), (8, 9), (5, 6), (42, 41)]
+    _check_clusters(pairs, num_partitions=2)
+    _check_clusters(pairs, num_partitions=7)
+    # dataset input, multi-block
+    t = pa.table({"a": pa.array([p[0] for p in pairs], pa.int64()),
+                  "b": pa.array([p[1] for p in pairs], pa.int64())})
+    ds = ray.data.from_arrow(t).repartition(3)
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in duplicate_clusters(ds, num_partitions=5).take_all()}
+    assert got == _uf_min_labels(pairs)
+
+
+def test_jaccard_dup_pairs_exact_oracle(ray_session):
+    """Exact n-gram-Jaccard pairs vs a brute-force python oracle
+    (rotated out of the driver contract for dup_clusters — its DuckDB
+    oracle was byte-identical to minhash_pairs'; this keeps the
+    standalone operator covered)."""
+    import pyarrow as pa
+    import ray.data
+
+    from blacklab_ray.analysis.analyzers import tokenize_text
+    from blacklab_ray.pipelines.dedup import jaccard_dup_pairs
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog today",
+        "the quick brown fox jumps over the lazy dog tonight",
+        "a completely different document about ray data engines",
+        "the quick brown fox jumps over the lazy dog today",
+        "short one",
+    ]
+    docs = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts),
+    })
+
+    def shingles(t, k=3):
+        toks = tokenize_text(t)
+        return {" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)}
+
+    want = {}
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            si, sj = shingles(texts[i]), shingles(texts[j])
+            if not si or not sj:
+                continue
+            jac = len(si & sj) / len(si | sj)
+            if jac >= 0.5:
+                want[(i, j)] = round(jac, 6)
+
+    ds = ray.data.from_arrow(docs).repartition(2)
+    got = {(r["a"], r["b"]): round(r["jaccard"], 6)
+           for r in jaccard_dup_pairs(ds, threshold=0.5).to_pylist()}
+    assert got == want
