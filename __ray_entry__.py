@@ -215,21 +215,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
                            algo="taat").select(["doc_id", "score"])
         return _round_cols(t.to_pandas(), {"score": 4})
 
-    def q_term_expansion(sf):
-        """Term-dictionary expansion for prefix/regex/fuzzy patterns
-        (BLSpanMultiTermQueryWrapper / SpanFuzzyQuery term enumeration),
-        one `kind` column per expansion flavor."""
-        from blacklab_ray.query.engine import expand_terms
-        r = _index_for(sf)
-        kinds, terms = [], []
-        for kind, arg, kw in (("prefix", "sp", {}),
-                              ("regex", "s.*a.*", {}),
-                              ("fuzzy", "spark", {"max_edits": 1})):
-            for t in expand_terms(r, arg, kind, max_terms=10**6, **kw):
-                kinds.append(kind)
-                terms.append(t)
-        return pa.table({"kind": pa.array(kinds, pa.string()),
-                         "term": pa.array(terms, pa.string())})
+    # (q_term_expansion rotated out for sample_stratified — expand_terms
+    # keeps pytest oracles in tests/test_operators.py and feeds the green
+    # wildcard_or_scores key)
+
+    def q_sample_stratified(sf):
+        """Deterministic n-per-group digest sampling (the balance-by-
+        language training-data staple): 25 docs per lang by
+        md5(doc_id:seed) rank, with in-group rank rn."""
+        import ray.data
+
+        from blacklab_ray.pipelines.docsops import sample_stratified
+        ds = ray.data.read_parquet(
+            os.path.join(sf, "documents.parquet"),
+            columns=["lang", "doc_id"])
+        t = sample_stratified(ds, "lang", 25, seed=29)
+        return t.to_pandas().sort_values(["lang", "rn"]) \
+            .reset_index(drop=True)
 
     def q_bm25_filtered_en(sf):
         import pyarrow.parquet as pq
@@ -769,7 +771,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # previously-dropped events/media entries placed mid-list.
     return {
         "wildcard_or_scores": q_wildcard_scores,
-        "term_expansion": q_term_expansion,
+        "sample_stratified": q_sample_stratified,
         "bm25_filtered_en": q_bm25_filtered_en,
         "kwic_fwd": q_kwic_fwd,
         "cql_docs": q_cql,
@@ -997,18 +999,13 @@ FROM toks
             [], "or", None, term_pred="term LIKE 's%'"),
         "bm25_filtered_en": _bm25_sql(
             OR_TERMS, "or", None, doc_filter="lang = 'en'"),
-        "term_expansion": f"""
-WITH toks AS ({toks})
-SELECT 'prefix' AS kind, term
-FROM (SELECT DISTINCT term FROM toks WHERE term LIKE 'sp%')
-UNION ALL
-SELECT 'regex' AS kind, term
-FROM (SELECT DISTINCT term FROM toks
-      WHERE regexp_matches(term, '^(?:s.*a.*)$'))
-UNION ALL
-SELECT 'fuzzy' AS kind, term
-FROM (SELECT DISTINCT term FROM toks
-      WHERE levenshtein(term, 'spark') <= 1)
+        "sample_stratified": """
+SELECT lang, doc_id, rn FROM (
+  SELECT lang, doc_id,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5(doc_id::VARCHAR || ':29'), doc_id) AS rn
+  FROM documents) WHERE rn <= 25
 """,
         "dup_spans": f"""
 WITH toks AS ({toks_pos}),

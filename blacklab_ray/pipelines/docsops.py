@@ -44,3 +44,76 @@ def sample_docs(ds: ray.data.Dataset, frac: float, seed: int = 29,
         return batch.filter(pa.array(keep))
 
     return ds.map_batches(_filt, batch_format="pyarrow")
+
+
+def sample_stratified(ds: ray.data.Dataset, group_col: str,
+                      n_per_group: int, seed: int = 29,
+                      id_col: str = "doc_id") -> ray.data.Dataset:
+    """Deterministic stratified sample: the ``n_per_group`` rows of
+    each group with the smallest md5(f"{id}:{seed}") digest, plus
+    their in-group rank ``rn`` (1-based).
+
+    The per-group equivalent of ``sample_docs`` — a training-data
+    pipeline staple (balance languages/sources before mixing). Digest
+    ordering makes the pick partition-order independent and
+    SQL-reproducible (DuckDB: ``row_number() OVER (PARTITION BY g
+    ORDER BY md5(id::VARCHAR || ':seed'))``).
+
+    Scale shape: a per-batch partial top-n combiner runs BEFORE the
+    groupby, so the shuffle moves at most n × groups × blocks rows,
+    never the corpus; the final per-group top-n then sees only those
+    survivors. Group values must be non-null (matches the documents
+    schema; DuckDB would put NULLs in their own partition).
+    """
+    import hashlib
+
+    import numpy as np
+
+    out_schema = pa.schema([
+        (group_col, pa.string()), (id_col, pa.int64()),
+        ("_k", pa.string())])
+
+    def _topn(groups: np.ndarray, ids: np.ndarray, keys: np.ndarray):
+        """Rows of the n smallest (key, id) per group run."""
+        order = np.lexsort((ids, keys, groups))
+        groups, ids, keys = groups[order], ids[order], keys[order]
+        first = np.empty(groups.size, bool)
+        first[:1] = True
+        first[1:] = groups[1:] != groups[:-1]
+        starts = np.flatnonzero(first)
+        run_id = np.cumsum(first) - 1
+        pos = np.arange(groups.size) - starts[run_id]
+        m = pos < n_per_group
+        return groups[m], ids[m], keys[m], pos[m]
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return out_schema.empty_table()
+        ids = batch.column(id_col).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        groups = np.asarray(batch.column(group_col).to_pylist(),
+                            dtype=object)
+        keys = np.asarray(
+            [hashlib.md5(f"{i}:{seed}".encode()).hexdigest()
+             for i in ids], dtype=object)
+        g, i, k, _ = _topn(groups, ids, keys)
+        return pa.table({group_col: pa.array(list(g), pa.string()),
+                         id_col: pa.array(i, pa.int64()),
+                         "_k": pa.array(list(k), pa.string())})
+
+    def _final(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.schema([
+                (group_col, pa.string()), (id_col, pa.int64()),
+                ("rn", pa.int64())]).empty_table()
+        ids = group.column(id_col).to_numpy(zero_copy_only=False)
+        groups = np.asarray(group.column(group_col).to_pylist(),
+                            dtype=object)
+        keys = np.asarray(group.column("_k").to_pylist(), dtype=object)
+        g, i, _, pos = _topn(groups, ids, keys)
+        return pa.table({group_col: pa.array(list(g), pa.string()),
+                         id_col: pa.array(i, pa.int64()),
+                         "rn": pa.array(pos + 1, pa.int64())})
+
+    return ds.map_batches(_partial, batch_format="pyarrow") \
+        .groupby(group_col).map_groups(_final, batch_format="pyarrow")

@@ -628,3 +628,45 @@ def test_y4m_odd_dimensions():
         clip = multimodal.synth_y4m(w, h, n_frames=4, chroma=chroma)
         frames, gw, gh = multimodal.Y4mFrameSampler(2).sample_frames(clip)
         assert (gw, gh) == (w, h) and len(frames) == 2, (w, h, chroma)
+
+
+def test_sample_stratified_vs_python_oracle(ray_session):
+    """n-per-group digest sample vs a brute-force oracle; result must
+    be independent of block layout and respect small groups."""
+    import hashlib
+
+    import ray.data
+
+    from blacklab_ray.pipelines.docsops import sample_stratified
+
+    rng = np.random.default_rng(3)
+    langs = ["en", "de", "fr", "nl"]
+    n = 120
+    g = [langs[int(rng.integers(0, len(langs)))] for _ in range(n)]
+    g[:2] = ["zz", "zz"]  # a group smaller than n_per_group
+    ids = list(range(1000, 1000 + n))
+    t = pa.table({"lang": pa.array(g), "doc_id": pa.array(ids, pa.int64())})
+
+    def oracle(npg, seed):
+        by = {}
+        for lang, d in zip(g, ids):
+            by.setdefault(lang, []).append(
+                (hashlib.md5(f"{d}:{seed}".encode()).hexdigest(), d))
+        want = {}
+        for lang, rows in by.items():
+            for rn, (_, d) in enumerate(sorted(rows)[:npg], 1):
+                want[(lang, d)] = rn
+        return want
+
+    for blocks in (1, 5):
+        ds = ray.data.from_arrow(t).repartition(blocks)
+        got = {(r["lang"], r["doc_id"]): r["rn"]
+               for r in sample_stratified(
+                   ds, "lang", 7, seed=29).take_all()}
+        assert got == oracle(7, 29)
+    # different seed picks a different sample
+    ds = ray.data.from_arrow(t)
+    got5 = {(r["lang"], r["doc_id"]): r["rn"]
+            for r in sample_stratified(ds, "lang", 7, seed=5).take_all()}
+    assert got5 == oracle(7, 5)
+    assert got5 != oracle(7, 29)
