@@ -174,15 +174,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         (merged with the former hit_counts key — 50-key driver cap;
         both operators stay individually driver-verified via their own
         columns)."""
+        import ray.data
+
+        from blacklab_ray.pipelines.docsops import exact_quantiles
         from blacklab_ray.query.engine import count_hits
         r = _index_for(sf)
         hc = count_hits(r, OR_TERMS, "or")
+        qt = exact_quantiles(
+            ray.data.read_parquet(os.path.join(r.index_dir, "fwd"),
+                                  columns=["doc_len"]),
+            "doc_len", [0.5, 0.9, 0.99])
         return pa.table({
             "total_docs": pa.array([r.n_docs], pa.int64()),
             "total_tokens": pa.array([r.meta["total_tokens"]], pa.int64()),
             "avg_doc_len": pa.array([round(r.avgdl, 6)], pa.float64()),
             "hit_docs": hc["n_docs"],
             "hit_count": hc["n_hits"],
+            "p50_doc_len": pa.array([qt[0.5]], pa.int64()),
+            "p90_doc_len": pa.array([qt[0.9]], pa.int64()),
+            "p99_doc_len": pa.array([qt[0.99]], pa.int64()),
         })
 
     def q_bm25_or_scores(sf):
@@ -981,7 +991,10 @@ FROM documents d LEFT JOIN toks t ON d.doc_id = t.doc_id
 GROUP BY d.doc_id
 """,
         "corpus_stats": f"""
-WITH toks AS ({toks})
+WITH toks AS ({toks}),
+dl AS (SELECT d.doc_id, count(t.term) AS doc_len
+       FROM documents d LEFT JOIN toks t ON d.doc_id = t.doc_id
+       GROUP BY d.doc_id)
 SELECT (SELECT count(*) FROM documents) AS total_docs,
        count(*) AS total_tokens,
        round(count(*)::DOUBLE / (SELECT count(*) FROM documents), 6)
@@ -989,7 +1002,10 @@ SELECT (SELECT count(*) FROM documents) AS total_docs,
        (SELECT count(distinct doc_id) FROM toks
         WHERE term IN ({_sql_list(OR_TERMS)})) AS hit_docs,
        (SELECT count(*) FROM toks
-        WHERE term IN ({_sql_list(OR_TERMS)})) AS hit_count
+        WHERE term IN ({_sql_list(OR_TERMS)})) AS hit_count,
+       (SELECT quantile_disc(doc_len, 0.5) FROM dl) AS p50_doc_len,
+       (SELECT quantile_disc(doc_len, 0.9) FROM dl) AS p90_doc_len,
+       (SELECT quantile_disc(doc_len, 0.99) FROM dl) AS p99_doc_len
 FROM toks
 """,
         "bm25_or_scores": _bm25_sql(OR_TERMS, "or", None),

@@ -117,3 +117,48 @@ def sample_stratified(ds: ray.data.Dataset, group_col: str,
 
     return ds.map_batches(_partial, batch_format="pyarrow") \
         .groupby(group_col).map_groups(_final, batch_format="pyarrow")
+
+
+def exact_quantiles(ds: ray.data.Dataset, col: str,
+                    qs: list[float]) -> dict[float, int]:
+    """EXACT quantiles of an integer column, distributed.
+
+    Shape: per-batch ``np.unique`` partials → ``groupby(value).sum`` →
+    driver-side cumsum over the DISTINCT-VALUE histogram. The shuffle
+    and the driver table are distinct-value-sized, never corpus-sized
+    — doc lengths have at most ~1e5 distinct values even at 100 TB, so
+    this stays exact where a sketch (t-digest/KLL) would approximate.
+
+    Semantics match DuckDB ``quantile_disc``: the sorted element at
+    0-based index ``max(0, ceil(q*n) - 1)``.
+    """
+    import math
+
+    import numpy as np
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.schema([(col, pa.int64()),
+                              ("cnt", pa.int64())]).empty_table()
+        vals, counts = np.unique(
+            batch.column(col).cast(pa.int64())
+            .to_numpy(zero_copy_only=False), return_counts=True)
+        return pa.table({col: pa.array(vals, pa.int64()),
+                         "cnt": pa.array(counts, pa.int64())})
+
+    hist = ds.map_batches(_partial, batch_format="pyarrow") \
+        .groupby(col).sum("cnt").take_all()
+    vals = np.array([r[col] for r in hist], dtype=np.int64)
+    cnts = np.array([r["sum(cnt)"] for r in hist], dtype=np.int64)
+    order = np.argsort(vals)
+    vals, cnts = vals[order], cnts[order]
+    cum = np.cumsum(cnts)
+    n = int(cum[-1]) if cum.size else 0
+    out = {}
+    for q in qs:
+        if n == 0:
+            out[q] = None
+            continue
+        rank = max(0, math.ceil(q * n) - 1) + 1  # 1-based target rank
+        out[q] = int(vals[np.searchsorted(cum, rank)])
+    return out

@@ -670,3 +670,30 @@ def test_sample_stratified_vs_python_oracle(ray_session):
             for r in sample_stratified(ds, "lang", 7, seed=5).take_all()}
     assert got5 == oracle(7, 5)
     assert got5 != oracle(7, 29)
+
+
+def test_exact_quantiles_vs_duckdb(ray_session):
+    """Distributed histogram quantiles vs DuckDB quantile_disc on a
+    skewed multi-block integer column."""
+    import duckdb
+    import ray.data
+
+    rng = np.random.default_rng(11)
+    vals = np.concatenate([
+        rng.integers(0, 50, 400),
+        rng.integers(0, 2000, 100),
+        np.array([7] * 200),  # heavy tie
+    ]).astype(np.int64)
+    ds = ray.data.from_arrow(
+        pa.table({"x": pa.array(vals, pa.int64())})).repartition(6)
+
+    from blacklab_ray.pipelines.docsops import exact_quantiles
+    got = exact_quantiles(ds, "x", [0.0, 0.25, 0.5, 0.9, 0.99, 1.0])
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT unnest($1::BIGINT[]) AS x",
+                [vals.tolist()])
+    for q, v in got.items():
+        want = con.execute(
+            f"SELECT quantile_disc(x, {q}) FROM t").fetchone()[0]
+        assert v == want, (q, v, want)
