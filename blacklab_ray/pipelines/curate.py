@@ -42,8 +42,10 @@ def curate(ds: ray.data.Dataset, text_col: str = "text",
     1. language ID; keep ``languages`` (None = keep all);
     2. Gopher quality filter (``quality_thresholds`` overrides);
     3. exact dedup (min id per content hash survives);
-    4. optional MinHash near-dup (drop the larger id of each verified
-       pair);
+    4. optional MinHash near-dup: verified pairs → transitive clusters
+       (``dedup.duplicate_clusters``) → keep the smallest id of each
+       cluster (a pairwise drop would keep both ends of an implied-
+       but-undetected pair);
     5. PII scrub (text replaced by the redacted form).
     """
     # 1+2: one fused pass — lang-id and quality signals share the batch
@@ -79,17 +81,13 @@ def curate(ds: ray.data.Dataset, text_col: str = "text",
                                       text_col=text_col)
     out = _broadcast_filter(survivors, kept, id_col)
 
-    # 4: optional near-dup removal
+    # 4: optional near-dup removal (transitive keep-one-per-cluster)
     if near_dup:
-        pairs = dedup.minhash_candidate_pairs(out, text_col=text_col,
-                                              id_col=id_col)
-        verified = dedup.verify_jaccard_pairs(
-            out, pairs, threshold=near_dup_threshold,
+        losers = dedup.near_dedup_drop_ids(
+            out, threshold=near_dup_threshold,
             text_col=text_col, id_col=id_col)
-        losers = verified["b"]  # keep the smaller id of each pair
         if len(losers):
-            lose_ref = ray.put(np.unique(
-                losers.to_numpy(zero_copy_only=False)))
+            lose_ref = ray.put(losers)
 
             def _drop(batch: pa.Table) -> pa.Table:
                 bad = pa.array(ray.get(lose_ref), pa.int64())

@@ -1085,3 +1085,35 @@ def duplicate_clusters(pairs: ray.data.Dataset | pa.Table,
 
     return ray.data.from_arrow_refs(
         [_emit.remote(shards[p], labels[p]) for p in range(P)])
+
+
+def near_dedup_drop_ids(ds: ray.data.Dataset, threshold: float = 0.8,
+                        text_col: str = "text",
+                        id_col: str = "doc_id",
+                        num_perm: int = 64, bands: int = 16,
+                        shingle_k: int = 3) -> np.ndarray:
+    """The full fuzzy-dedup tail in one call: MinHash-LSH candidates →
+    exact Jaccard verification → TRANSITIVE clusters → the sorted ids
+    to DROP (everything but the smallest id of each cluster).
+
+    Transitivity is the point: pairwise ``drop b of every (a, b)``
+    keeps both ends of an undetected-but-implied pair — for verified
+    pairs (1,3) and (2,3), docs 1 and 2 are duplicates via 3, yet a
+    pairwise drop keeps both. Routing the pairs through
+    ``duplicate_clusters`` drops {2, 3}.
+
+    The returned array is duplicate-cluster-sized (orders smaller than
+    the corpus) — small enough to ``ray.put`` as a broadcast drop set
+    for a streaming keep-filter, which is how ``pipelines.curate``
+    consumes it.
+    """
+    pairs = minhash_candidate_pairs(
+        ds, num_perm=num_perm, bands=bands, shingle_k=shingle_k,
+        text_col=text_col, id_col=id_col)
+    verified = verify_jaccard_pairs(
+        ds, pairs, threshold=threshold, shingle_k=shingle_k,
+        text_col=text_col, id_col=id_col)
+    clusters = duplicate_clusters(verified.select(["a", "b"]))
+    drop = [r["doc_id"] for r in clusters.take_all()
+            if r["doc_id"] != r["cluster_id"]]
+    return np.sort(np.asarray(drop, dtype=np.int64))

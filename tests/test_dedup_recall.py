@@ -504,3 +504,36 @@ def test_jaccard_dup_pairs_exact_oracle(ray_session):
     got = {(r["a"], r["b"]): round(r["jaccard"], 6)
            for r in jaccard_dup_pairs(ds, threshold=0.5).to_pylist()}
     assert got == want
+
+
+def test_near_dedup_drop_ids_transitive(ray_session):
+    """A≈C and B≈C verify above threshold but A≈B falls below it:
+    keep-one-per-cluster must still drop B (transitive closure), where
+    a pairwise 'drop b of every (a,b)' would keep it."""
+    import pyarrow as pa
+    import ray.data
+
+    from blacklab_ray.pipelines.dedup import (
+        near_dedup_drop_ids, verify_jaccard_pairs,
+        minhash_candidate_pairs,
+    )
+
+    base = [f"w{i}" for i in range(30)]
+    c = " ".join(base)
+    a = " ".join(["x1", "x2", "x3"] + base[3:])        # head replaced
+    b = " ".join(base[:-3] + ["y1", "y2", "y3"])       # tail replaced
+    other = " ".join(f"z{i}" for i in range(30))
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3, 9], pa.int64()),
+        "text": pa.array([a, b, c, other]),
+    })
+    ds = ray.data.from_arrow(docs).repartition(2)
+
+    # precondition: the verified pair set is exactly {(1,3), (2,3)}
+    pairs = minhash_candidate_pairs(ds, num_perm=64, bands=16)
+    verified = verify_jaccard_pairs(ds, pairs, threshold=0.7)
+    got_pairs = {(r["a"], r["b"]) for r in verified.to_pylist()}
+    assert got_pairs == {(1, 3), (2, 3)}
+
+    drop = near_dedup_drop_ids(ds, threshold=0.7)
+    assert drop.tolist() == [2, 3]
