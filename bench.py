@@ -281,6 +281,16 @@ def run_bench(num_cpus: int) -> dict:
         ray.data.read_parquet(docs_path)).count())
     timed("dedup_minhash", lambda: dedup.minhash_candidate_pairs(
         ray.data.read_parquet(docs_path)).count())
+
+    def _dedup_clusters():
+        # the full fuzzy-dedup tail: candidates → exact verify →
+        # transitive clusters (BSP connected components)
+        ds = ray.data.read_parquet(docs_path)
+        pairs = dedup.minhash_candidate_pairs(ds)
+        verified = dedup.verify_jaccard_pairs(ds, pairs, threshold=0.8)
+        dedup.duplicate_clusters(verified.select(["a", "b"])).count()
+
+    timed("dedup_clusters_e2e", _dedup_clusters)
     timed("events_tumbling", lambda: windows.tumbling(
         ray.data.read_parquet(events_path), 3600).count())
 

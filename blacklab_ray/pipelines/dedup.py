@@ -1045,16 +1045,21 @@ def duplicate_clusters(pairs: ray.data.Dataset | pa.Table,
     """
     import ray
 
+    if isinstance(pairs, pa.Table):
+        pairs = ray.data.from_arrow(pairs)
+    pairs = pairs.materialize()
     if num_partitions is None:
-        num_partitions = max(2, min(64, int(ray.cluster_resources()
-                                            .get("CPU", 8))))
+        # ~100k pair rows per shard, clamped to the CPU count: tiny
+        # graphs shouldn't pay P² message-ref overhead, huge ones
+        # shouldn't starve the cluster
+        cpus = max(2, int(ray.cluster_resources().get("CPU", 8)))
+        num_partitions = min(max(2, pairs.count() // 100_000 + 1),
+                             min(64, cpus))
     P = max(2, num_partitions)
     (_split, _build_shard, _init_labels, _attach, _minimize,
      _emit) = _cc_make_tasks(a_col, b_col)
 
-    if isinstance(pairs, pa.Table):
-        pairs = ray.data.from_arrow(pairs)
-    blocks = pairs.materialize().to_arrow_refs()
+    blocks = pairs.to_arrow_refs()
 
     splits = [_split.options(num_returns=P).remote(b, P)
               for b in blocks]
