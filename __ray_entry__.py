@@ -496,6 +496,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return pa.table({"doc_id": pa.array(ids, pa.int64()),
                          "doc_len": pa.array(lens, pa.int64())})
 
+    def q_pack_sequences(sf):
+        """LLM-training sequence packing (concat-and-chunk, seq_len
+        2048): per-doc start position in the global token stream plus
+        first/last covering sequence, computed as a distributed
+        two-pass prefix sum (id-range buckets, driver scans only the
+        bucket totals). rows_per_bucket is shrunk so sf0.01 exercises
+        the multi-bucket path the 100-TB shape relies on."""
+        from blacklab_ray.pipelines.packing import pack_sequences
+        out = pack_sequences(_docs_ds(sf), seq_len=2048,
+                             rows_per_bucket=64)
+        return out
+
+    def q_normalize_text(sf):
+        """Unicode/whitespace normalization (CCNet-style pre-tokenize
+        cleanup): NFC + control strip + paragraph-preserving whitespace
+        collapse; emits before/after char counts, a changed flag and
+        the md5 witness of the normalized body."""
+        from blacklab_ray.pipelines.cleaning import normalize_text
+        out = normalize_text(_docs_ds(sf))
+
+        def _cast(batch: pa.Table) -> pa.Table:
+            # bool -> int64 so the driver's value hash is dtype-stable
+            return batch.set_column(
+                batch.schema.get_field_index("changed"), "changed",
+                batch.column("changed").cast(pa.int64()))
+
+        return out.map_batches(_cast, batch_format="pyarrow")
+
     # ---- dedup / fingerprints ------------------------------------------
 
     # (q_jaccard_pairs rotated out for dup_clusters — its oracle SQL was
@@ -798,8 +826,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_windows": q_events_windows,
         "events_sessions": q_events_sessions,
         "media_features": q_media_features,
-        "docs_by_lang": q_docs_by_lang,
-        "docs_filter": q_docs_filter,
+        "pack_sequences": q_pack_sequences,
+        "normalize_text": q_normalize_text,
         "facets_spark": q_facets,
         "hits_ctx_sorted": q_hits_ctx_sorted,
         "highlight_snippets": q_highlight_snippets,
@@ -830,6 +858,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": q_decontaminate,
         "paragraph_dedup": q_paragraph_dedup,
         "dup_spans": q_dup_spans,
+        # ---- positions 51+: past the driver's 50-key recording cap, but
+        # still fully oracled and replayed by tests/test_entry.py (rotated
+        # out of the recorded set for pack_sequences / normalize_text)
+        "docs_by_lang": q_docs_by_lang,
+        "docs_filter": q_docs_filter,
     }
 
 
@@ -1157,6 +1190,42 @@ WHERE lang = 'en' AND doc_len BETWEEN 40 AND 60
         regexp_extract_all(lower(strip_accents(source)), '[a-z0-9]+'),
         ['src0','src1','src2','src3','src4',
          'src5','src6','src7','src8','src9'])) > 0
+""",
+        "pack_sequences": r"""
+WITH t AS (SELECT doc_id,
+                  length(regexp_extract_all(lower(strip_accents(text)),
+                                            '[a-z0-9]+'))::BIGINT
+                      AS n_tokens
+           FROM documents),
+c AS (SELECT doc_id, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0)::BIGINT AS start_pos
+      FROM t)
+SELECT doc_id, n_tokens, start_pos,
+       (start_pos // 2048)::BIGINT AS first_seq,
+       CASE WHEN n_tokens > 0
+            THEN ((start_pos + n_tokens - 1) // 2048)::BIGINT
+       END AS last_seq
+FROM c
+""",
+        "normalize_text": r"""
+WITH s0 AS (SELECT doc_id, coalesce(text, '') AS raw FROM documents),
+s1 AS (SELECT doc_id, raw, nfc_normalize(raw) AS t FROM s0),
+s2 AS (SELECT doc_id, raw, regexp_replace(t,
+           '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g') AS t FROM s1),
+s3 AS (SELECT doc_id, raw,
+           regexp_replace(t, '[ \t]+', ' ', 'g') AS t FROM s2),
+s4 AS (SELECT doc_id, raw,
+           regexp_replace(t, ' *\n *', chr(10), 'g') AS t FROM s3),
+s5 AS (SELECT doc_id, raw, regexp_replace(t, '\n{3,}',
+           chr(10) || chr(10), 'g') AS t FROM s4),
+s6 AS (SELECT doc_id, raw,
+           regexp_replace(t, '^\s+|\s+$', '', 'g') AS t FROM s5)
+SELECT doc_id, length(raw)::BIGINT AS n_chars_before,
+       length(t)::BIGINT AS n_chars_after,
+       (t != raw)::BIGINT AS changed, md5(t) AS norm_md5
+FROM s6
 """,
         "facets_spark": f"""
 WITH toks AS ({toks}),

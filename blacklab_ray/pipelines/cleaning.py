@@ -92,6 +92,87 @@ def pii_scrub(ds: ray.data.Dataset, text_col: str = "text",
     return ds.map_batches(_scrub, batch_format="pyarrow")
 
 
+def _nfc_array(col: pa.Array) -> pa.Array:
+    """NFC-normalize a string array. pyarrow's ``utf8_normalize``
+    returns DECOMPOSED output for every form in this build (utf8proc
+    option bug — verified: form="NFC" turns U+00E9 into e + U+0301),
+    so composition runs through ``unicodedata`` instead — but only
+    when the batch contains non-ASCII bytes (``binary_length !=
+    utf8_length``); pure-ASCII web text never leaves Arrow."""
+    import unicodedata
+    non_ascii = pc.not_equal(pc.binary_length(col), pc.utf8_length(col))
+    if not pc.any(non_ascii).as_py():
+        return col
+    mask = non_ascii.to_numpy(zero_copy_only=False)
+    vals = col.to_pylist()
+    for i in np.flatnonzero(mask):
+        v = vals[i]
+        if not unicodedata.is_normalized("NFC", v):
+            vals[i] = unicodedata.normalize("NFC", v)
+    return pa.array(vals, pa.string())
+
+
+# normalize_text's rule chain, applied in order. Each entry is
+# (RE2 pattern, replacement); shared verbatim with the DuckDB oracle
+# (both engines are RE2). Order matters: horizontal collapse first so
+# the newline-trim pattern only ever sees single spaces.
+NORM_RULES = (
+    # C0/C1 control chars except \t \n \r (mojibake / binary bleed)
+    (r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]", ""),
+    # runs of spaces/tabs -> one space
+    (r"[ \t]+", " "),
+    # spaces hugging a newline
+    (r" *\n *", "\n"),
+    # 3+ blank-line runs -> one blank line (paragraph-preserving)
+    (r"\n{3,}", "\n\n"),
+    # leading/trailing whitespace
+    (r"^\s+|\s+$", ""),
+)
+
+
+def normalize_text(ds: ray.data.Dataset, text_col: str = "text",
+                   id_col: str = "doc_id",
+                   keep_text: bool = False) -> ray.data.Dataset:
+    """Unicode + whitespace normalization (the CCNet/ftfy-style step a
+    web pipeline runs before tokenization): NFC-normalize, strip
+    control characters, collapse whitespace runs while PRESERVING
+    paragraph breaks, and trim.
+
+    Per doc: char counts before/after, a changed flag, and the md5 of
+    the normalized text (compact equality witness, as in
+    :func:`pii_scrub`); ``keep_text=True`` keeps the body.
+
+    Single ``map_batches`` pass: NFC via :func:`_nfc_array` (matches
+    DuckDB's ``nfc_normalize``; Python only touches non-ASCII rows)
+    plus one RE2 ``replace_substring_regex`` per rule — nothing
+    shuffles.
+    """
+
+    def _norm(batch: pa.Table) -> pa.Table:
+        text = batch.column(text_col)
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        text = pc.fill_null(text, "")
+        out = _nfc_array(text)
+        for pattern, repl in NORM_RULES:
+            out = pc.replace_substring_regex(
+                out, pattern=pattern, replacement=repl)
+        cols = {
+            id_col: batch.column(id_col).cast(pa.int64()),
+            "n_chars_before": pc.utf8_length(text).cast(pa.int64()),
+            "n_chars_after": pc.utf8_length(out).cast(pa.int64()),
+            "changed": pc.not_equal(out, text),
+            "norm_md5": pa.array(
+                [hashlib.md5(t.encode()).hexdigest()
+                 for t in out.to_pylist()], pa.string()),
+        }
+        if keep_text:
+            cols["norm_text"] = out
+        return pa.table(cols)
+
+    return ds.map_batches(_norm, batch_format="pyarrow")
+
+
 def _ngram_strings(col: pa.Array | pa.ChunkedArray, n: int
                    ) -> tuple[np.ndarray, pa.Array]:
     """(doc_row_index, gram_string) for every token n-gram, vectorized:

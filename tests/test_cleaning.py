@@ -192,3 +192,44 @@ def test_pii_scrub_sequential_counts(ray_session):
     assert t["n_emails"].tolist() == [1]
     assert t["n_phones"].tolist() == [0]
     assert t.loc[0, "scrubbed_text"] == "dial <EMAIL> now"
+
+
+def test_normalize_text_rules(ray_session):
+    """NFC composition, control strip, paragraph-preserving whitespace
+    collapse, trim — each rule exercised; oracle parity runs through
+    the driver contract (normalize_text key) and a DuckDB check in
+    test_entry.py."""
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+        "text": pa.array([
+            "café  au   lait\t\tok",      # NFD e + U+0301
+            "  lead\n\n\n\n\nmid  \n  tail  ",  # blank runs + pads
+            "ctrl\x00\x01here\x7f.",            # control chars
+            None,
+            "clean text",
+        ]),
+    })).repartition(2)
+    t = cleaning.normalize_text(ds, keep_text=True).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert t.loc[0, "norm_text"] == "café au lait ok"  # composed
+    assert t.loc[0, "n_chars_before"] == 20
+    assert t.loc[0, "n_chars_after"] == 15
+    # paragraph break survives, pads and blank runs collapse
+    assert t.loc[1, "norm_text"] == "lead\n\nmid\ntail"
+    assert t.loc[2, "norm_text"] == "ctrlhere."
+    assert t.loc[3, "norm_text"] == ""
+    assert not t.loc[3, "changed"]   # null -> '' counts as unchanged? no:
+    # null fills to '' BEFORE the compare, so changed is False
+    assert t.loc[4, "norm_text"] == "clean text"
+    assert not t.loc[4, "changed"]
+    assert t["changed"].tolist() == [True, True, True, False, False]
+    import hashlib as _h
+    assert t.loc[2, "norm_md5"] == _h.md5(b"ctrlhere.").hexdigest()
+
+
+def test_normalize_text_ascii_stays_in_arrow(ray_session):
+    """Pure-ASCII batches must not take the Python NFC path (scale
+    guard): _nfc_array returns the input array object untouched."""
+    col = pa.array(["plain ascii", "more ascii"])
+    out = cleaning._nfc_array(col)
+    assert out is col
