@@ -243,6 +243,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return t.to_pandas().sort_values(["lang", "rn"]) \
             .reset_index(drop=True)
 
+    def q_mixture_sample(sf):
+        """Domain-mixture resampling: 200 docs at lang weights
+        en/fr/de/nl = .5/.2/.2/.1 (es deliberately unlisted → quota 0),
+        exact per-group quotas by digest rank. Weights×total are
+        integral so Python round == DuckDB round."""
+        import ray.data
+
+        from blacklab_ray.pipelines.docsops import mixture_sample
+        ds = ray.data.read_parquet(
+            os.path.join(sf, "documents.parquet"),
+            columns=["lang", "doc_id"])
+        t = mixture_sample(ds, "lang",
+                           {"en": 0.5, "fr": 0.2, "de": 0.2, "nl": 0.1},
+                           total=200, seed=29)
+        return t.to_pandas().sort_values(["lang", "rn"]) \
+            .reset_index(drop=True)
+
     def q_bm25_filtered_en(sf):
         import pyarrow.parquet as pq
         from blacklab_ray.query.engine import search_filtered
@@ -863,6 +880,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # out of the recorded set for pack_sequences / normalize_text)
         "docs_by_lang": q_docs_by_lang,
         "docs_filter": q_docs_filter,
+        "mixture_sample": q_mixture_sample,
     }
 
 
@@ -1055,6 +1073,21 @@ SELECT lang, doc_id, rn FROM (
            PARTITION BY lang
            ORDER BY md5(doc_id::VARCHAR || ':29'), doc_id) AS rn
   FROM documents) WHERE rn <= 25
+""",
+        "mixture_sample": """
+WITH cnt AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+w(lang, wt) AS (VALUES ('en', 0.5), ('fr', 0.2), ('de', 0.2),
+                       ('nl', 0.1)),
+q AS (SELECT w.lang,
+             least(cnt.n, CAST(round(w.wt * 200) AS BIGINT)) AS k
+      FROM w JOIN cnt USING (lang)),
+r AS (SELECT lang, doc_id,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(doc_id::VARCHAR || ':29'), doc_id) AS rn
+      FROM documents)
+SELECT r.lang, r.doc_id, r.rn
+FROM r JOIN q ON r.lang = q.lang AND r.rn <= q.k
 """,
         "dup_spans": f"""
 WITH toks AS ({toks_pos}),

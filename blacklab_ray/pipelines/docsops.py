@@ -47,7 +47,7 @@ def sample_docs(ds: ray.data.Dataset, frac: float, seed: int = 29,
 
 
 def sample_stratified(ds: ray.data.Dataset, group_col: str,
-                      n_per_group: int, seed: int = 29,
+                      n_per_group: int | dict, seed: int = 29,
                       id_col: str = "doc_id") -> ray.data.Dataset:
     """Deterministic stratified sample: the ``n_per_group`` rows of
     each group with the smallest md5(f"{id}:{seed}") digest, plus
@@ -64,10 +64,18 @@ def sample_stratified(ds: ray.data.Dataset, group_col: str,
     never the corpus; the final per-group top-n then sees only those
     survivors. Group values must be non-null (matches the documents
     schema; DuckDB would put NULLs in their own partition).
+
+    ``n_per_group`` may be a dict {group value: quota} for per-group
+    VARIABLE quotas (the mixture-resampling shape,
+    :func:`mixture_sample`); unlisted groups get quota 0. The dict is
+    group-count-sized — closure-broadcast, never shuffled.
     """
     import hashlib
 
     import numpy as np
+
+    quota = (None if not isinstance(n_per_group, dict)
+             else dict(n_per_group))
 
     out_schema = pa.schema([
         (group_col, pa.string()), (id_col, pa.int64()),
@@ -83,7 +91,12 @@ def sample_stratified(ds: ray.data.Dataset, group_col: str,
         starts = np.flatnonzero(first)
         run_id = np.cumsum(first) - 1
         pos = np.arange(groups.size) - starts[run_id]
-        m = pos < n_per_group
+        if quota is None:
+            m = pos < n_per_group
+        else:
+            lim = np.array([quota.get(g, 0)
+                            for g in groups[starts]], dtype=np.int64)
+            m = pos < lim[run_id]
         return groups[m], ids[m], keys[m], pos[m]
 
     def _partial(batch: pa.Table) -> pa.Table:
@@ -117,6 +130,30 @@ def sample_stratified(ds: ray.data.Dataset, group_col: str,
 
     return ds.map_batches(_partial, batch_format="pyarrow") \
         .groupby(group_col).map_groups(_final, batch_format="pyarrow")
+
+
+def mixture_sample(ds: ray.data.Dataset, group_col: str,
+                   weights: dict[str, float], total: int,
+                   seed: int = 29, id_col: str = "doc_id"
+                   ) -> ray.data.Dataset:
+    """Domain-mixture resampling: draw a deterministic sample whose
+    group proportions match ``weights`` (a training-data staple —
+    reweight sources/languages before mixing).
+
+    Per-group quota ``k_g = min(n_g, round(w_g * total))`` — capped by
+    what the group actually has, so undersized groups deliver all
+    their docs rather than upsampling (duplication is a separate,
+    explicit op). Quotas come from one group-count-sized
+    ``groupby().count()``; the pick itself is
+    :func:`sample_stratified`'s digest ranking (exact counts,
+    partition-order independent, SQL-reproducible).
+    """
+    counts = {r[group_col]: r["count()"]
+              for r in ds.groupby(group_col).count().take_all()}
+    quota = {g: min(counts.get(g, 0), int(round(w * total)))
+             for g, w in weights.items()}
+    return sample_stratified(ds, group_col, quota, seed=seed,
+                             id_col=id_col)
 
 
 def exact_quantiles(ds: ray.data.Dataset, col: str,

@@ -672,6 +672,40 @@ def test_sample_stratified_vs_python_oracle(ray_session):
     assert got5 != oracle(7, 29)
 
 
+def test_mixture_sample_quotas(ray_session):
+    """Mixture resampling: exact per-group quotas from weights, capped
+    by group size; unlisted groups get nothing; digest pick matches
+    sample_stratified with the same quota dict."""
+    import ray.data
+
+    from blacklab_ray.pipelines.docsops import (
+        mixture_sample, sample_stratified,
+    )
+
+    rng = np.random.default_rng(9)
+    langs = ["en", "de", "fr", "xx"]
+    g = [langs[int(rng.integers(0, len(langs)))] for _ in range(200)]
+    g[:3] = ["rare"] * 3  # smaller than its weighted quota
+    ids = list(range(200))
+    t = pa.table({"lang": pa.array(g), "doc_id": pa.array(ids, pa.int64())})
+    ds = ray.data.from_arrow(t).repartition(4)
+    weights = {"en": 0.5, "de": 0.25, "rare": 0.25}  # xx, fr unlisted
+    out = mixture_sample(ds, "lang", weights, total=40, seed=29) \
+        .take_all()
+    by = {}
+    for r in out:
+        by.setdefault(r["lang"], []).append(r["doc_id"])
+    assert len(by.get("en", [])) == 20
+    assert len(by.get("de", [])) == 10
+    assert len(by.get("rare", [])) == 3   # capped at group size
+    assert "fr" not in by and "xx" not in by
+    # identical pick to sample_stratified given the computed quotas
+    want = {(r["lang"], r["doc_id"], r["rn"]) for r in sample_stratified(
+        ds, "lang", {"en": 20, "de": 10, "rare": 3}, seed=29).take_all()}
+    got = {(r["lang"], r["doc_id"], r["rn"]) for r in out}
+    assert got == want
+
+
 def test_exact_quantiles_vs_duckdb(ray_session):
     """Distributed histogram quantiles vs DuckDB quantile_disc on a
     skewed multi-block integer column."""
