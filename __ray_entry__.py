@@ -260,6 +260,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return t.to_pandas().sort_values(["lang", "rn"]) \
             .reset_index(drop=True)
 
+    def q_export_shards(sf):
+        """END-TO-END training-shard export: vocab (top-200 terms) →
+        token ids → packed 512-token sequences → per-shard Parquet,
+        then the written shards read back as per-sequence scalar lanes
+        (n_real, id sum, first/last id). The oracle rebuilds the same
+        vocab + stream chunking in SQL."""
+        import glob as _glob
+        import tempfile
+
+        import pyarrow.parquet as _pq
+
+        from blacklab_ray.pipelines.export import export_packed_sequences
+        out = tempfile.mkdtemp(prefix="blray_export_")
+        export_packed_sequences(
+            _docs_ds(sf), out, seq_len=512, seqs_per_shard=8,
+            vocab_size=202, rows_per_bucket=64)
+        files = sorted(_glob.glob(os.path.join(out, "shard-*.parquet")))
+        tbl = pa.concat_tables([_pq.read_table(f) for f in files])
+        import shutil
+        shutil.rmtree(out, ignore_errors=True)  # scratch cleanup
+        toks = tbl.column("tokens").to_pylist()
+        real = tbl.column("n_real").to_pylist()
+        return pa.table({
+            "seq_id": tbl.column("seq_id"),
+            "n_real": pa.array(real, pa.int64()),
+            "sum_ids": pa.array(
+                [sum(t[:r]) for t, r in zip(toks, real)], pa.int64()),
+            "first_id": pa.array([t[0] for t in toks], pa.int64()),
+            "last_id": pa.array(
+                [t[r - 1] for t, r in zip(toks, real)], pa.int64()),
+        })
+
     def q_bm25_filtered_en(sf):
         import pyarrow.parquet as pq
         from blacklab_ray.query.engine import search_filtered
@@ -881,6 +913,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_by_lang": q_docs_by_lang,
         "docs_filter": q_docs_filter,
         "mixture_sample": q_mixture_sample,
+        "export_shards": q_export_shards,
     }
 
 
@@ -1073,6 +1106,24 @@ SELECT lang, doc_id, rn FROM (
            PARTITION BY lang
            ORDER BY md5(doc_id::VARCHAR || ':29'), doc_id) AS rn
   FROM documents) WHERE rn <= 25
+""",
+        "export_shards": f"""
+WITH toks AS ({toks_pos}),
+tf AS (SELECT term, count(*) AS ctf FROM toks GROUP BY term),
+vocab AS (SELECT term,
+                 row_number() OVER (ORDER BY ctf DESC, term) + 1
+                     AS token_id
+          FROM tf ORDER BY ctf DESC, term LIMIT 200),
+ids AS (SELECT t.doc_id, t.pos, coalesce(v.token_id, 1) AS tid
+        FROM toks t LEFT JOIN vocab v USING (term)),
+stream AS (SELECT tid,
+                  row_number() OVER (ORDER BY doc_id, pos) - 1 AS idx
+           FROM ids)
+SELECT (idx // 512)::BIGINT AS seq_id, count(*)::BIGINT AS n_real,
+       sum(tid)::BIGINT AS sum_ids,
+       arg_min(tid, idx)::BIGINT AS first_id,
+       arg_max(tid, idx)::BIGINT AS last_id
+FROM stream GROUP BY seq_id
 """,
         "mixture_sample": """
 WITH cnt AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),

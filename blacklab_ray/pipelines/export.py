@@ -1,0 +1,322 @@
+"""Training-shard export: corpus → packed token-id sequences on disk.
+
+The end-to-end "make training data" pipeline the packing map exists
+for: build a frequency vocabulary, map every document to token ids,
+concatenate the corpus in doc-id order into one token stream, cut the
+stream into fixed-length sequences, and write them as one Parquet file
+per shard of ``seqs_per_shard`` sequences.
+
+Scale shape — the token payload crosses the exchange exactly ONCE:
+
+  1. ``build_vocab``: term-frequency groupby (narrow), top-V sort-limit
+     → a driver-sized (term, token_id) table, ``ray.put`` once.
+  2. ``write_pack_map``: the narrow two-pass prefix sum
+     (:mod:`packing`), but each id-bucket group WRITES its sorted
+     (doc_id, start_pos) rows to its own Parquet file (atomic rename)
+     and returns a manifest row — so pass 3 can find any doc's stream
+     offset with a pruned range read instead of a corpus-wide join.
+  3. payload pass: ``map_batches`` actors tokenize to ids, gather each
+     batch's ``start_pos`` from the pack map (per-bucket file cache —
+     parquet reads prune to the buckets the batch actually touches),
+     and flat-map every doc into per-shard slices.
+  4. ``groupby(shard)``: each shard group sorts its slices by stream
+     offset, concatenates, reshapes into ``(seq_len,)`` rows, pads the
+     ragged global tail with ``PAD_ID``, and writes
+     ``shard-NNNNNN.parquet`` (atomic rename, skip-if-complete resume).
+
+Nothing corpus-sized touches the driver; the only all-to-all over the
+ids payload is the shard groupby that the output layout requires.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray
+import ray.data
+
+from blacklab_ray.analysis.analyzers import tokenize_column
+from blacklab_ray.pipelines.frequency import term_frequencies
+from blacklab_ray.pipelines.packing import bucket_plan, token_counts
+
+PAD_ID = 0
+UNK_ID = 1
+FIRST_TERM_ID = 2
+
+
+def build_vocab(ds: ray.data.Dataset, size: int = 65536,
+                text_col: str = "text") -> pa.Table:
+    """Top-``size-2`` terms by (collection_tf DESC, term ASC) with ids
+    ``FIRST_TERM_ID..``; ids 0/1 are PAD/UNK. Deterministic: ties
+    break lexicographically. The table is driver-sized (V rows)."""
+    tf = term_frequencies(ds, text_col)
+    top = tf.sort(["collection_tf", "term"],
+                  descending=[True, False]).limit(size - FIRST_TERM_ID)
+    rows = top.take_all()
+    return pa.table({
+        "term": pa.array([r["term"] for r in rows], pa.string()),
+        "token_id": pa.array(
+            range(FIRST_TERM_ID, FIRST_TERM_ID + len(rows)), pa.int32()),
+        "collection_tf": pa.array([r["collection_tf"] for r in rows],
+                                  pa.int64()),
+    })
+
+
+def write_pack_map(ds: ray.data.Dataset, map_dir: str,
+                   text_col: str = "text", id_col: str = "doc_id",
+                   rows_per_bucket: int = 4_000_000) -> dict:
+    """Materialize the packing map as per-bucket SORTED Parquet files
+    plus ``ranges.json`` (bucket → id range / base offset) so the
+    payload pass can gather ``start_pos`` with pruned reads."""
+    os.makedirs(map_dir, exist_ok=True)
+    counts = token_counts(ds, text_col, id_col).materialize()
+    plan = bucket_plan(counts, id_col, rows_per_bucket)
+    if plan is None:
+        with open(os.path.join(map_dir, "ranges.json"), "w") as f:
+            json.dump({"buckets": [], "lo": 0, "width": 1,
+                       "total_tokens": 0}, f)
+        return {"buckets": 0, "total_tokens": 0}
+    lo, width, base = plan.lo, plan.width, plan.base
+
+    def _attach(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "bucket", pa.array((ids - lo) // width, pa.int64()))
+
+    def _write_bucket(group: pa.Table) -> pa.Table:
+        out_schema = pa.schema([("bucket", pa.int64()),
+                                ("id_lo", pa.int64()),
+                                ("id_hi", pa.int64()),
+                                ("rows", pa.int64()),
+                                ("tokens", pa.int64())])
+        if group.num_rows == 0:
+            return out_schema.empty_table()
+        ids = group.column(id_col).to_numpy(zero_copy_only=False)
+        tok = group.column("n_tokens").to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")
+        ids, tok = ids[order], tok[order]
+        b = int((ids[0] - lo) // width)
+        start = np.empty(ids.size, dtype=np.int64)
+        start[0] = base[b]
+        np.cumsum(tok[:-1], out=start[1:])
+        start[1:] += base[b]
+        path = os.path.join(map_dir, f"bucket-{b:06d}.parquet")
+        if not os.path.exists(path):  # resume: bucket content is
+            # deterministic, an existing file is already correct
+            pq.write_table(pa.table({
+                id_col: pa.array(ids, pa.int64()),
+                "n_tokens": pa.array(tok, pa.int64()),
+                "start_pos": pa.array(start, pa.int64()),
+            }), path + ".tmp")
+            os.replace(path + ".tmp", path)
+        return pa.table({
+            "bucket": pa.array([b], pa.int64()),
+            "id_lo": pa.array([int(ids[0])], pa.int64()),
+            "id_hi": pa.array([int(ids[-1])], pa.int64()),
+            "rows": pa.array([ids.size], pa.int64()),
+            "tokens": pa.array([int(tok.sum())], pa.int64()),
+        })
+
+    manifest = counts.map_batches(_attach, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(_write_bucket,
+                                      batch_format="pyarrow").take_all()
+    manifest.sort(key=lambda r: r["bucket"])
+    total = int(plan.base[-1])
+    with open(os.path.join(map_dir, "ranges.json"), "w") as f:
+        json.dump({"lo": int(lo), "width": int(width),
+                   "total_tokens": total, "buckets": manifest}, f)
+    return {"buckets": len(manifest), "total_tokens": total}
+
+
+class _SliceEmitter:
+    """Actor-pool payload stage: tokenize a batch to ids, gather
+    stream offsets from the pack map (per-bucket file cache), emit one
+    row per (doc × overlapped shard) carrying that doc's id slice."""
+
+    def __init__(self, vocab_ref, map_dir: str, shard_tokens: int,
+                 text_col: str, id_col: str, cache_buckets: int = 64):
+        vocab = ray.get(vocab_ref) if not isinstance(vocab_ref, pa.Table) \
+            else vocab_ref
+        self._terms = vocab.column("term").combine_chunks()
+        self._map_dir = map_dir
+        with open(os.path.join(map_dir, "ranges.json")) as f:
+            self._ranges = json.load(f)
+        self._shard_tokens = shard_tokens
+        self._text, self._id = text_col, id_col
+        self._cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        self._cache_cap = cache_buckets
+
+    def _bucket_table(self, b: int) -> tuple[np.ndarray, np.ndarray]:
+        hit = self._cache.get(b)
+        if hit is not None:
+            return hit
+        t = pq.read_table(
+            os.path.join(self._map_dir, f"bucket-{b:06d}.parquet"),
+            columns=[self._id, "start_pos"])
+        pair = (t.column(self._id).to_numpy(),
+                t.column("start_pos").to_numpy())
+        if len(self._cache) >= self._cache_cap:  # evict oldest insert
+            self._cache.pop(next(iter(self._cache)))
+        self._cache[b] = pair
+        return pair
+
+    def _starts_for(self, ids: np.ndarray) -> np.ndarray:
+        lo, width = self._ranges["lo"], self._ranges["width"]
+        buckets = (ids - lo) // width
+        out = np.empty(ids.size, dtype=np.int64)
+        for b in np.unique(buckets):
+            m = buckets == b
+            bid, bstart = self._bucket_table(int(b))
+            idx = np.searchsorted(bid, ids[m])
+            out[m] = bstart[idx]
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self._id).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        parents, toks, _, lens = tokenize_column(batch.column(self._text))
+        # term → token id: one dictionary probe; misses become UNK
+        tid = pc.index_in(toks, value_set=self._terms)
+        tid = pc.add(pc.fill_null(tid, UNK_ID - FIRST_TERM_ID),
+                     FIRST_TERM_ID).cast(pa.int32())
+        tid_np = tid.to_numpy(zero_copy_only=False)
+        doc_starts_local = np.zeros(len(ids) + 1, dtype=np.int64)
+        np.cumsum(lens, out=doc_starts_local[1:])
+        starts = self._starts_for(ids)
+        S = self._shard_tokens
+        nz = np.flatnonzero(lens)
+        if nz.size == 0:
+            return pa.table({
+                "shard": pa.array([], pa.int64()),
+                "start_pos": pa.array([], pa.int64()),
+                "ids": pa.array([], pa.list_(pa.int32())),
+            })
+        d_start, d_len = starts[nz], lens[nz].astype(np.int64)
+        first_shard = d_start // S
+        last_shard = (d_start + d_len - 1) // S
+        # one output row per (doc × overlapped shard), fully vectorized:
+        # rows come out in (doc order, shard ascending), so their flat
+        # token ranges are adjacent and disjoint — the ids list column
+        # is a zero-copy re-offsetting of the batch's flat id stream
+        reps = (last_shard - first_shard + 1).astype(np.int64)
+        n_rows = int(reps.sum())
+        run_start = np.cumsum(reps) - reps
+        pos_in_run = np.arange(n_rows, dtype=np.int64) \
+            - np.repeat(run_start, reps)
+        row_shard = np.repeat(first_shard, reps) + pos_in_run
+        row_d_start = np.repeat(d_start, reps)
+        row_d_end = np.repeat(d_start + d_len, reps)
+        row_lo = np.maximum(row_d_start, row_shard * S)
+        row_hi = np.minimum(row_d_end, (row_shard + 1) * S)
+        row_flat_lo = np.repeat(doc_starts_local[nz], reps) \
+            + (row_lo - row_d_start)
+        offsets = np.empty(n_rows + 1, dtype=np.int64)
+        offsets[:-1] = row_flat_lo
+        offsets[-1] = row_flat_lo[-1] + (row_hi[-1] - row_lo[-1])
+        ids_list = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int64()).cast(pa.int32()),
+            pa.array(tid_np, pa.int32()))
+        return pa.table({
+            "shard": pa.array(row_shard, pa.int64()),
+            "start_pos": pa.array(row_lo, pa.int64()),
+            "ids": ids_list,
+        })
+
+
+def export_packed_sequences(ds: ray.data.Dataset, out_dir: str,
+                            seq_len: int = 1024,
+                            seqs_per_shard: int = 1024,
+                            vocab: pa.Table | None = None,
+                            vocab_size: int = 65536,
+                            text_col: str = "text",
+                            id_col: str = "doc_id",
+                            rows_per_bucket: int = 4_000_000,
+                            concurrency: int | None = None) -> dict:
+    """Run the full export; returns corpus-level stats plus the shard
+    manifest (also written to ``out_dir/manifest.json``)."""
+    os.makedirs(out_dir, exist_ok=True)
+    if vocab is None:
+        vocab = build_vocab(ds, vocab_size, text_col)
+    vocab_ref = ray.put(vocab)
+    map_dir = os.path.join(out_dir, "_pack_map")
+    map_stats = write_pack_map(ds, map_dir, text_col, id_col,
+                               rows_per_bucket)
+    total = map_stats["total_tokens"]
+    S = seq_len * seqs_per_shard
+    n_seqs = -(-total // seq_len) if total else 0
+    n_shards = -(-total // S) if total else 0
+
+    slices = ds.map_batches(
+        _SliceEmitter,
+        fn_constructor_args=(vocab_ref, map_dir, S, text_col, id_col),
+        batch_format="pyarrow",
+        concurrency=concurrency or (1, 8))
+
+    def _assemble(group: pa.Table) -> pa.Table:
+        out_schema = pa.schema([
+            ("shard", pa.int64()), ("path", pa.string()),
+            ("n_seqs", pa.int64()), ("n_real_tokens", pa.int64()),
+            ("n_pad", pa.int64())])
+        if group.num_rows == 0:
+            return out_schema.empty_table()
+        shard = int(group.column("shard")[0].as_py())
+        starts = group.column("start_pos").to_numpy(zero_copy_only=False)
+        order = np.argsort(starts, kind="stable")
+        ids_col = group.column("ids")
+        if isinstance(ids_col, pa.ChunkedArray):
+            ids_col = ids_col.combine_chunks()
+        # .values (not .flatten()) so offsets index correctly even if
+        # the shuffle delivered a sliced array
+        flat = ids_col.values.to_numpy(zero_copy_only=False)
+        offs = ids_col.offsets.to_numpy(zero_copy_only=False)
+        parts = [flat[offs[i]:offs[i + 1]] for i in order]
+        stream = np.concatenate(parts) if parts else \
+            np.empty(0, dtype=np.int32)
+        n_real = stream.size
+        n_seq_here = -(-n_real // seq_len)
+        pad = n_seq_here * seq_len - n_real
+        if pad:
+            stream = np.concatenate(
+                [stream, np.full(pad, PAD_ID, dtype=np.int32)])
+        mat = stream.reshape(n_seq_here, seq_len)
+        real = np.full(n_seq_here, seq_len, dtype=np.int32)
+        if pad:
+            real[-1] = seq_len - pad
+        path = os.path.join(out_dir, f"shard-{shard:06d}.parquet")
+        if not os.path.exists(path):  # resume contract
+            seq_ids = shard * seqs_per_shard + np.arange(n_seq_here,
+                                                         dtype=np.int64)
+            tbl = pa.table({
+                "seq_id": pa.array(seq_ids, pa.int64()),
+                "tokens": pa.array(mat.tolist(), pa.list_(pa.int32())),
+                "n_real": pa.array(real, pa.int32()),
+            })
+            pq.write_table(tbl, path + ".tmp")
+            os.replace(path + ".tmp", path)
+        return pa.table({
+            "shard": pa.array([shard], pa.int64()),
+            "path": pa.array([path], pa.string()),
+            "n_seqs": pa.array([n_seq_here], pa.int64()),
+            "n_real_tokens": pa.array([int(n_real)], pa.int64()),
+            "n_pad": pa.array([int(pad)], pa.int64()),
+        })
+
+    manifest = slices.groupby("shard").map_groups(
+        _assemble, batch_format="pyarrow").take_all()
+    manifest.sort(key=lambda r: r["shard"])
+    stats = {
+        "total_tokens": total,
+        "seq_len": seq_len,
+        "n_sequences": n_seqs,
+        "n_shards": n_shards,
+        "vocab_size": int(vocab.num_rows) + FIRST_TERM_ID,
+        "shards": manifest,
+    }
+    with open(os.path.join(out_dir, "manifest.json"), "w") as f:
+        json.dump(stats, f)
+    return stats

@@ -61,27 +61,29 @@ def token_counts(ds: ray.data.Dataset, text_col: str = "text",
     return ds.map_batches(_cnt, batch_format="pyarrow")
 
 
-def pack_sequences(ds: ray.data.Dataset, seq_len: int,
-                   text_col: str = "text", id_col: str = "doc_id",
-                   rows_per_bucket: int = 4_000_000
-                   ) -> ray.data.Dataset:
-    """Per-doc packing map: columns ``(doc_id, n_tokens, start_pos,
-    first_seq, last_seq)`` where ``start_pos`` is the document's offset
-    in the global token stream (docs concatenated in ascending id
-    order), ``first_seq = start_pos // seq_len`` and ``last_seq``
-    covers the doc's final token (NULL for empty docs).
+class BucketPlan:
+    """The driver-held result of prefix-pass 1: id-range bucketing plus
+    the exclusive scan of per-bucket token totals. ``base[b]`` = tokens
+    in the stream before bucket ``b``; size is n_buckets+1 int64s."""
 
-    Equivalent SQL (the driver oracle):
-    ``SUM(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED
-    PRECEDING AND 1 PRECEDING)``.
-    """
-    counts = token_counts(ds, text_col, id_col).materialize()
+    def __init__(self, lo: int, width: int, n_buckets: int,
+                 base: np.ndarray):
+        self.lo, self.width, self.n_buckets = lo, width, n_buckets
+        self.base = base
+
+    def bucket_of(self, ids: np.ndarray) -> np.ndarray:
+        return (ids - self.lo) // self.width
+
+
+def bucket_plan(counts: ray.data.Dataset, id_col: str = "doc_id",
+                rows_per_bucket: int = 4_000_000) -> BucketPlan | None:
+    """Pass 1 of the distributed prefix sum over a (id, n_tokens)
+    dataset; returns None for an empty corpus."""
     bounds = counts.aggregate(Min(id_col), Max(id_col))
     lo = bounds[f"min({id_col})"]
     hi = bounds[f"max({id_col})"]
-    if lo is None:  # empty corpus
-        return counts.map_batches(
-            lambda t: _OUT_SCHEMA.empty_table(), batch_format="pyarrow")
+    if lo is None:
+        return None
     span = hi - lo + 1
     # bucket width from target rows per bucket, assuming ids are
     # roughly dense (the documents table's ids are); worst-case skew
@@ -105,6 +107,29 @@ def pack_sequences(ds: ray.data.Dataset, seq_len: int,
     for r in totals:
         base[r["bucket"] + 1] = r["sum(tok)"]
     np.cumsum(base, out=base)  # base[b] = tokens before bucket b
+    return BucketPlan(lo, width, n_buckets, base)
+
+
+def pack_sequences(ds: ray.data.Dataset, seq_len: int,
+                   text_col: str = "text", id_col: str = "doc_id",
+                   rows_per_bucket: int = 4_000_000
+                   ) -> ray.data.Dataset:
+    """Per-doc packing map: columns ``(doc_id, n_tokens, start_pos,
+    first_seq, last_seq)`` where ``start_pos`` is the document's offset
+    in the global token stream (docs concatenated in ascending id
+    order), ``first_seq = start_pos // seq_len`` and ``last_seq``
+    covers the doc's final token (NULL for empty docs).
+
+    Equivalent SQL (the driver oracle):
+    ``SUM(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED
+    PRECEDING AND 1 PRECEDING)``.
+    """
+    counts = token_counts(ds, text_col, id_col).materialize()
+    plan = bucket_plan(counts, id_col, rows_per_bucket)
+    if plan is None:  # empty corpus
+        return counts.map_batches(
+            lambda t: _OUT_SCHEMA.empty_table(), batch_format="pyarrow")
+    lo, width, base = plan.lo, plan.width, plan.base
 
     def _attach_bucket(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)

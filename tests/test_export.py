@@ -1,0 +1,139 @@
+"""Training-shard export (blacklab_ray/pipelines/export.py): the
+distributed pipeline vs a single-threaded brute oracle — exact token-id
+sequence equality, shard layout, padding, UNK mapping, resume."""
+
+import glob
+import hashlib
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+import ray.data
+
+from blacklab_ray.analysis.analyzers import tokenize_column
+from blacklab_ray.pipelines.export import (
+    FIRST_TERM_ID, PAD_ID, UNK_ID, build_vocab, export_packed_sequences,
+)
+
+SEQ_LEN = 5
+SEQS_PER_SHARD = 3  # shard = 15 tokens
+
+
+def _mk_corpus():
+    rng = np.random.default_rng(11)
+    words = ["alpha", "beta", "gamma", "delta", "epsi", "zeta", "rare1",
+             "rare2"]
+    texts = []
+    for i in range(40):
+        n = int(rng.integers(0, 12))
+        texts.append(" ".join(rng.choice(words[:6], size=n)))
+    texts[3] = ""                      # empty doc
+    texts[7] = " ".join(["alpha"] * 40)  # spans >2 shards
+    texts[9] = "rare1 rare2 rare1"     # rare terms -> UNK with tiny vocab
+    ids = np.arange(100, 140, dtype=np.int64)
+    return pd.DataFrame({"doc_id": ids, "text": texts})
+
+
+def _brute(df, vocab_terms, seq_len):
+    term_to_id = {t: i + FIRST_TERM_ID for i, t in enumerate(vocab_terms)}
+    stream = []
+    for _, row in df.sort_values("doc_id").iterrows():
+        col = pa.array([row["text"]])
+        _, toks, _, _ = tokenize_column(col)
+        stream.extend(term_to_id.get(t, UNK_ID) for t in toks.to_pylist())
+    seqs = []
+    for i in range(0, len(stream), seq_len):
+        s = stream[i:i + seq_len]
+        seqs.append((s + [PAD_ID] * (seq_len - len(s)), len(s)))
+    return stream, seqs
+
+
+@pytest.fixture(scope="module")
+def export_run(ray_session, tmp_path_factory):
+    df = _mk_corpus()
+    out = str(tmp_path_factory.mktemp("shards"))
+    ds = ray.data.from_arrow(pa.Table.from_pandas(df)).repartition(5)
+    vocab = build_vocab(ds, size=6 + FIRST_TERM_ID)  # 6 terms + PAD/UNK
+    stats = export_packed_sequences(
+        ds, out, seq_len=SEQ_LEN, seqs_per_shard=SEQS_PER_SHARD,
+        vocab=vocab, rows_per_bucket=8)
+    return df, vocab, out, stats
+
+
+def test_export_matches_brute_oracle(export_run):
+    df, vocab, out, stats = export_run
+    stream, want_seqs = _brute(df, vocab.column("term").to_pylist(),
+                               SEQ_LEN)
+    assert stats["total_tokens"] == len(stream)
+    assert stats["n_sequences"] == len(want_seqs)
+    files = sorted(glob.glob(os.path.join(out, "shard-*.parquet")))
+    assert len(files) == stats["n_shards"]
+    got = pq.read_table(files[0])
+    all_rows = pa.concat_tables([pq.read_table(f) for f in files])
+    all_rows = all_rows.take(
+        pa.compute.sort_indices(all_rows, sort_keys=[("seq_id", "ascending")]))
+    assert all_rows.column("seq_id").to_pylist() == \
+        list(range(len(want_seqs)))
+    got_tokens = all_rows.column("tokens").to_pylist()
+    got_real = all_rows.column("n_real").to_pylist()
+    for k, (want_toks, want_real) in enumerate(want_seqs):
+        assert got_tokens[k] == want_toks, f"seq {k}"
+        assert got_real[k] == want_real
+    # shard sizing: every shard but the last holds seqs_per_shard rows
+    for f in files[:-1]:
+        assert pq.read_metadata(f).num_rows == SEQS_PER_SHARD
+
+
+def test_export_vocab_ids_and_unk(export_run):
+    df, vocab, out, stats = export_run
+    terms = vocab.column("term").to_pylist()
+    assert "rare1" not in terms  # squeezed out by the tiny vocab
+    files = sorted(glob.glob(os.path.join(out, "shard-*.parquet")))
+    toks = pa.concat_tables([pq.read_table(f) for f in files]) \
+        .column("tokens").to_pylist()
+    flat = [t for row in toks for t in row]
+    assert UNK_ID in flat          # rare terms mapped to UNK
+    assert max(flat) < len(terms) + FIRST_TERM_ID
+    # vocab ids are dense and ordered by (tf desc, term)
+    assert vocab.column("token_id").to_pylist() == \
+        list(range(FIRST_TERM_ID, FIRST_TERM_ID + len(terms)))
+    tfs = vocab.column("collection_tf").to_pylist()
+    assert tfs == sorted(tfs, reverse=True)
+
+
+def test_export_manifest_and_pack_map(export_run):
+    df, vocab, out, stats = export_run
+    man = json.load(open(os.path.join(out, "manifest.json")))
+    assert man["total_tokens"] == stats["total_tokens"]
+    assert sum(s["n_real_tokens"] for s in man["shards"]) == \
+        man["total_tokens"]
+    assert sum(s["n_pad"] for s in man["shards"]) == \
+        stats["n_sequences"] * SEQ_LEN - stats["total_tokens"]
+    ranges = json.load(open(os.path.join(out, "_pack_map",
+                                         "ranges.json")))
+    assert ranges["total_tokens"] == stats["total_tokens"]
+    assert len(ranges["buckets"]) > 1  # rows_per_bucket=8 forced many
+
+
+def test_export_resume_skips_existing(export_run):
+    """Re-running over an existing output dir must not rewrite
+    completed shards (byte-identical files, same manifest)."""
+    df, vocab, out, stats = export_run
+    files = sorted(glob.glob(os.path.join(out, "shard-*.parquet")))
+    before = {f: (os.stat(f).st_mtime_ns,
+                  hashlib.md5(open(f, "rb").read()).hexdigest())
+              for f in files}
+    ds = ray.data.from_arrow(pa.Table.from_pandas(df)).repartition(3)
+    stats2 = export_packed_sequences(
+        ds, out, seq_len=SEQ_LEN, seqs_per_shard=SEQS_PER_SHARD,
+        vocab=vocab, rows_per_bucket=8)
+    assert stats2["total_tokens"] == stats["total_tokens"]
+    for f in files:
+        st = os.stat(f).st_mtime_ns
+        assert st == before[f][0], f"{f} was rewritten"
+        assert hashlib.md5(open(f, "rb").read()).hexdigest() == \
+            before[f][1]
