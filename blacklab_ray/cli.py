@@ -218,6 +218,37 @@ def cmd_clean(args) -> int:
     return 0
 
 
+def cmd_export(args) -> int:
+    """Corpus → packed training shards (optionally curated first).
+    Resumable: completed shard files are skipped on re-run."""
+    _ray_session()
+    import ray
+    import ray.data
+
+    ds = ray.data.read_parquet(args.input)
+    if args.curate:
+        from blacklab_ray.pipelines.curate import curate_and_export
+        stats = curate_and_export(
+            ds, args.out, seq_len=args.seq_len,
+            seqs_per_shard=args.seqs_per_shard,
+            vocab_size=args.vocab_size, text_col=args.text_col,
+            id_col=args.id_col,
+            languages=tuple(args.languages.split(","))
+            if args.languages else None,
+            near_dup=args.near_dup)
+    else:
+        from blacklab_ray.pipelines.export import export_packed_sequences
+        stats = export_packed_sequences(
+            ds, args.out, seq_len=args.seq_len,
+            seqs_per_shard=args.seqs_per_shard,
+            vocab_size=args.vocab_size, text_col=args.text_col,
+            id_col=args.id_col)
+    print(json.dumps({k: v for k, v in stats.items() if k != "shards"}
+                     | {"n_shard_files": len(stats["shards"])}))
+    ray.shutdown()
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="blacklab_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -304,6 +335,21 @@ def main(argv=None) -> int:
                     help="Bloom-filter broadcast (decontaminate at "
                          "large benchmark sizes)")
     cl.set_defaults(fn=cmd_clean)
+
+    ex = sub.add_parser("export")
+    ex.add_argument("--input", required=True)
+    ex.add_argument("--out", required=True)
+    ex.add_argument("--seq-len", type=int, default=1024)
+    ex.add_argument("--seqs-per-shard", type=int, default=1024)
+    ex.add_argument("--vocab-size", type=int, default=65536)
+    ex.add_argument("--text-col", default="text")
+    ex.add_argument("--id-col", default="doc_id")
+    ex.add_argument("--curate", action="store_true",
+                    help="run the curation recipe before packing")
+    ex.add_argument("--languages", default="",
+                    help="comma list for --curate (default: keep all)")
+    ex.add_argument("--near-dup", action="store_true")
+    ex.set_defaults(fn=cmd_export)
 
     g = sub.add_parser("gen")
     g.add_argument("--out", required=True)

@@ -130,6 +130,16 @@ NORM_RULES = (
 )
 
 
+def normalize_column(col: pa.Array) -> pa.Array:
+    """The normalize_text rule chain over a bare (null-free) string
+    array — shared with :func:`curate.curate`'s in-place stage."""
+    out = _nfc_array(col)
+    for pattern, repl in NORM_RULES:
+        out = pc.replace_substring_regex(
+            out, pattern=pattern, replacement=repl)
+    return out
+
+
 def normalize_text(ds: ray.data.Dataset, text_col: str = "text",
                    id_col: str = "doc_id",
                    keep_text: bool = False) -> ray.data.Dataset:
@@ -153,10 +163,7 @@ def normalize_text(ds: ray.data.Dataset, text_col: str = "text",
         if isinstance(text, pa.ChunkedArray):
             text = text.combine_chunks()
         text = pc.fill_null(text, "")
-        out = _nfc_array(text)
-        for pattern, repl in NORM_RULES:
-            out = pc.replace_substring_regex(
-                out, pattern=pattern, replacement=repl)
+        out = normalize_column(text)
         cols = {
             id_col: batch.column(id_col).cast(pa.int64()),
             "n_chars_before": pc.utf8_length(text).cast(pa.int64()),

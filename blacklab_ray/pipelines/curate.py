@@ -31,14 +31,21 @@ from blacklab_ray.pipelines import cleaning, dedup, textstats
 
 def curate(ds: ray.data.Dataset, text_col: str = "text",
            id_col: str = "doc_id",
+           normalize: bool = True,
            languages: tuple[str, ...] | None = ("en",),
            quality_thresholds: dict | None = None,
            near_dup: bool = False,
            near_dup_threshold: float = 0.8,
+           mixture_weights: dict[str, float] | None = None,
+           mixture_total: int = 0,
+           mixture_by: str = "lang_pred",
            scrub_pii: bool = True) -> ray.data.Dataset:
     """Curated documents: (id, text[, lang_pred], per-doc signals).
 
     Stages (each optional knob defaults to the standard recipe):
+    0. text normalization in place (NFC + whitespace/control cleanup,
+       :func:`cleaning.normalize_column`) so every later signal — and
+       the dedup hash — sees canonical text;
     1. language ID; keep ``languages`` (None = keep all);
     2. Gopher quality filter (``quality_thresholds`` overrides);
     3. exact dedup (min id per content hash survives);
@@ -46,13 +53,23 @@ def curate(ds: ray.data.Dataset, text_col: str = "text",
        (``dedup.duplicate_clusters``) → keep the smallest id of each
        cluster (a pairwise drop would keep both ends of an implied-
        but-undetected pair);
-    5. PII scrub (text replaced by the redacted form).
+    5. optional domain-mixture resampling: quota-exact digest sample
+       per ``mixture_by`` value (``docsops.mixture_sample``);
+    6. PII scrub (text replaced by the redacted form).
     """
-    # 1+2: one fused pass — lang-id and quality signals share the batch
+    # 0+1+2: one fused pass — normalization, lang-id and quality
+    # signals share the batch
     lang = textstats.LangId(text_col, id_col)
     keep_langs = set(languages) if languages else None
 
     def _lang_quality(batch: pa.Table) -> pa.Table:
+        if normalize:
+            col = batch.column(text_col)
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            batch = batch.set_column(
+                batch.schema.get_field_index(text_col), text_col,
+                cleaning.normalize_column(pc.fill_null(col, "")))
         lp = lang(batch)["lang_pred"]
         batch = batch.append_column("lang_pred", lp)
         if keep_langs is not None:
@@ -97,7 +114,15 @@ def curate(ds: ray.data.Dataset, text_col: str = "text",
 
             out = out.map_batches(_drop, batch_format="pyarrow")
 
-    # 5: PII scrub, keeping the scrubbed body as the text column
+    # 5: optional mixture resampling (ids-only pick, broadcast filter)
+    if mixture_weights:
+        from blacklab_ray.pipelines.docsops import mixture_sample
+        picked = mixture_sample(out, mixture_by, mixture_weights,
+                                total=mixture_total, id_col=id_col) \
+            .select_columns([id_col])
+        out = _broadcast_filter(out, picked, id_col)
+
+    # 6: PII scrub, keeping the scrubbed body as the text column
     if scrub_pii:
         scrubbed = cleaning.pii_scrub(out, text_col=text_col,
                                       id_col=id_col, keep_text=True)
@@ -113,7 +138,30 @@ def curate(ds: ray.data.Dataset, text_col: str = "text",
             })
 
         return scrubbed.map_batches(_swap, batch_format="pyarrow")
-    return out.select_columns([id_col, text_col])
+    return out.select_columns([id_col, text_col, "lang_pred"])
+
+
+def curate_and_export(ds: ray.data.Dataset, out_dir: str,
+                      seq_len: int = 1024, seqs_per_shard: int = 1024,
+                      vocab_size: int = 65536,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      **curate_kwargs) -> dict:
+    """The full crawl→training-shards flow: :func:`curate` then
+    :func:`export.export_packed_sequences` over the survivors.
+
+    The curated stream is materialized once between the halves — the
+    export makes three narrow passes (vocab, counts, payload) and
+    re-running the whole curation lineage per pass is the worse trade
+    (same reasoning as curate's internal checkpoints)."""
+    from blacklab_ray.pipelines.export import export_packed_sequences
+    curated = curate(ds, text_col=text_col, id_col=id_col,
+                     **curate_kwargs).materialize()
+    stats = export_packed_sequences(
+        curated, out_dir, seq_len=seq_len,
+        seqs_per_shard=seqs_per_shard, vocab_size=vocab_size,
+        text_col=text_col, id_col=id_col)
+    stats["n_curated_docs"] = int(curated.count())
+    return stats
 
 
 def _broadcast_filter(ds: ray.data.Dataset, ids_ds: ray.data.Dataset,

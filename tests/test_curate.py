@@ -52,7 +52,8 @@ def test_curate_keep_all_languages(corpus):
         .sort_values("doc_id").reset_index(drop=True)
     # nl doc kept; spam still dropped; dup still dropped
     assert out["doc_id"].tolist() == [0, 2, 4]
-    assert list(out.columns) == ["doc_id", "text"]
+    assert list(out.columns) == ["doc_id", "text", "lang_pred"]
+    assert out["lang_pred"].tolist() == ["en", "nl", "en"]
 
 
 def test_curate_near_dup(ray_session):
@@ -80,3 +81,64 @@ def test_curate_custom_id_column(ray_session):
                  id_col="page_id", languages=None,
                  quality_thresholds=TH, scrub_pii=False).to_pandas()
     assert out["page_id"].tolist() == [0]
+
+
+def test_curate_normalize_unifies_dedup(ray_session):
+    """Stage 0 canonicalizes text BEFORE the dedup hash: two docs
+    differing only in whitespace/control noise dedup to one; with
+    normalize=False both survive."""
+    noisy = EN.replace(" quick ", "  quick\t ") + "\x00"
+    docs = pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array([EN, noisy]),
+    })
+    ds = ray.data.from_arrow(docs).repartition(2)
+    out = curate(ds, quality_thresholds=TH, scrub_pii=False).to_pandas()
+    assert out["doc_id"].tolist() == [0]
+    out2 = curate(ds, normalize=False, quality_thresholds=TH,
+                  scrub_pii=False).to_pandas()
+    assert sorted(out2["doc_id"].tolist()) == [0, 1]
+
+
+def test_curate_mixture_stage(ray_session):
+    """Mixture resampling caps per-language doc counts by weight."""
+    rows = []
+    for i in range(12):
+        rows.append({"doc_id": i, "text": EN + f" variant {i}"})
+    for i in range(12, 18):
+        rows.append({"doc_id": i, "text": NL + f" nummer {i}"})
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows)).repartition(3)
+    out = curate(ds, languages=None, quality_thresholds=TH,
+                 scrub_pii=False,
+                 mixture_weights={"en": 0.5, "nl": 0.5},
+                 mixture_total=8).to_pandas()
+    langs = out["lang_pred"].value_counts().to_dict()
+    assert langs == {"en": 4, "nl": 4}
+
+
+def test_curate_and_export_end_to_end(ray_session, tmp_path):
+    """crawl -> curate -> packed shards on disk, one call."""
+    import glob
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    from blacklab_ray.pipelines.curate import curate_and_export
+
+    docs = pa.table({
+        "doc_id": pa.array(list(range(4)), pa.int64()),
+        "text": pa.array([EN, EN, EN + " tail doc", "spam " * 60]),
+    })
+    ds = ray.data.from_arrow(docs).repartition(2)
+    stats = curate_and_export(
+        ds, str(tmp_path), seq_len=16, seqs_per_shard=2,
+        vocab_size=40, quality_thresholds=TH, scrub_pii=False)
+    assert stats["n_curated_docs"] == 2  # dup + spam dropped
+    man = json.load(open(os.path.join(str(tmp_path), "manifest.json")))
+    files = sorted(glob.glob(os.path.join(str(tmp_path),
+                                          "shard-*.parquet")))
+    assert len(files) == man["n_shards"] > 0
+    total = sum(pq.read_metadata(f).num_rows for f in files)
+    assert total == man["n_sequences"]
+    assert man["total_tokens"] == stats["total_tokens"] > 0
