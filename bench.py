@@ -311,6 +311,37 @@ def run_bench(num_cpus: int) -> dict:
     timed("pii_scrub", lambda: cleaning.pii_scrub(
         ray.data.read_parquet(docs_path)).count())
 
+    def _export_shards():
+        # end-to-end training-shard export over the FULL bench corpus
+        # (vocab → token ids → prefix sum → shard write); fresh out dir
+        # per rep so the resume skip never hides the write cost
+        import shutil
+        import tempfile
+
+        import pyarrow.compute as pc
+
+        from blacklab_ray.pipelines.export import export_packed_sequences
+        out = tempfile.mkdtemp(prefix="blray_bench_export_")
+
+        def _with_id(batch):
+            seq = pc.replace_substring_regex(
+                batch.column("url"), pattern=r".*/p", replacement="")
+            return batch.select(["text"]).append_column(
+                "doc_id", pc.cast(seq, "int64"))
+
+        ds = ray.data.read_parquet(
+            CORPUS_DIR, columns=["url", "text"]).map_batches(
+            _with_id, batch_format="pyarrow")
+        stats = export_packed_sequences(ds, out, seq_len=2048,
+                                        seqs_per_shard=512,
+                                        vocab_size=65536)
+        timings["export_total_tokens"] = stats["total_tokens"]
+        shutil.rmtree(out, ignore_errors=True)
+
+    timed("export_shards", _export_shards)
+    timings["export_tokens_per_sec"] = round(
+        timings.pop("export_total_tokens") / timings["export_shards"], 1)
+
     result = {
         "metric": "index-build+query wall time (synthetic CC pages, "
                   f"{reader.n_docs} docs, {reader.meta['total_tokens']} "
