@@ -281,6 +281,7 @@ class _SliceEmitter:
         return pa.table({
             "shard": pa.array(row_shard, pa.int64()),
             "start_pos": pa.array(row_lo, pa.int64()),
+            "doc_id": pa.array(np.repeat(ids[nz], reps), pa.int64()),
             "ids": ids_list,
         })
 
@@ -396,10 +397,37 @@ def export_packed_sequences(ds: ray.data.Dataset, out_dir: str,
                 pa.array(np.arange(n_seq_here + 1, dtype=np.int64)
                          * seq_len).cast(pa.int32()),
                 pa.array(stream, pa.int32()))
+            # provenance: which docs contributed tokens to each
+            # sequence (attribution / opt-out lineage). Rows are
+            # slice-sized; each covers local sequences
+            # lo//L..(hi-1)//L — the same repeat expansion as the
+            # slice emitter, then a stable per-seq grouping
+            shard_lo = shard * seq_len * seqs_per_shard
+            s_lo = starts[order] - shard_lo
+            s_len = (offs[order + 1] - offs[order]).astype(np.int64)
+            nz_r = np.flatnonzero(s_len)
+            fs = s_lo[nz_r] // seq_len
+            ls = (s_lo[nz_r] + s_len[nz_r] - 1) // seq_len
+            reps = ls - fs + 1
+            npairs = int(reps.sum())
+            run0 = np.cumsum(reps) - reps
+            p_seq = np.repeat(fs, reps) + (
+                np.arange(npairs, dtype=np.int64) - np.repeat(run0, reps))
+            p_doc = np.repeat(
+                group.column("doc_id").to_numpy(
+                    zero_copy_only=False)[order][nz_r], reps)
+            sorder = np.argsort(p_seq, kind="stable")
+            seq_counts = np.bincount(p_seq, minlength=n_seq_here)
+            prov_offs = np.zeros(n_seq_here + 1, dtype=np.int64)
+            np.cumsum(seq_counts, out=prov_offs[1:])
+            prov_col = pa.ListArray.from_arrays(
+                pa.array(prov_offs, pa.int64()).cast(pa.int32()),
+                pa.array(p_doc[sorder], pa.int64()))
             tbl = pa.table({
                 "seq_id": pa.array(seq_ids, pa.int64()),
                 "tokens": tok_col,
                 "n_real": pa.array(real, pa.int32()),
+                "doc_ids": prov_col,
             })
             pq.write_table(tbl, path + ".tmp")
             os.replace(path + ".tmp", path)

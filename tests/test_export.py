@@ -137,3 +137,29 @@ def test_export_resume_skips_existing(export_run):
         assert st == before[f][0], f"{f} was rewritten"
         assert hashlib.md5(open(f, "rb").read()).hexdigest() == \
             before[f][1]
+
+
+def test_export_provenance_matches_brute(export_run):
+    """Per-sequence doc_ids lineage: exactly the docs whose token
+    ranges overlap each sequence, in stream order, no duplicates."""
+    df, vocab, out, stats = export_run
+    # brute: per-doc [start, end) ranges in doc_id order
+    spans = []
+    pos = 0
+    for _, row in df.sort_values("doc_id").iterrows():
+        col = pa.array([row["text"]])
+        _, toks, _, _ = tokenize_column(col)
+        n = len(toks)
+        if n:
+            spans.append((int(row["doc_id"]), pos, pos + n))
+        pos += n
+    files = sorted(glob.glob(os.path.join(out, "shard-*.parquet")))
+    tbl = pa.concat_tables([pq.read_table(f) for f in files])
+    tbl = tbl.take(pa.compute.sort_indices(
+        tbl, sort_keys=[("seq_id", "ascending")]))
+    got = tbl.column("doc_ids").to_pylist()
+    for k in range(len(got)):
+        lo, hi = k * SEQ_LEN, (k + 1) * SEQ_LEN
+        want = [d for d, a, b in spans if a < hi and b > lo]
+        assert got[k] == want, f"seq {k}"
+        assert len(set(got[k])) == len(got[k])
