@@ -237,10 +237,14 @@ class _SliceEmitter:
         ids = batch.column(self._id).cast(pa.int64()) \
             .to_numpy(zero_copy_only=False)
         parents, toks, _, lens = tokenize_column(batch.column(self._text))
-        # term → token id: one dictionary probe; misses become UNK
-        tid = pc.index_in(toks, value_set=self._terms)
-        tid = pc.add(pc.fill_null(tid, UNK_ID - FIRST_TERM_ID),
-                     FIRST_TERM_ID).cast(pa.int32())
+        # term → token id: one index_in probe over the token stream;
+        # misses become UNK. (A dictionary_encode-then-probe-uniques
+        # variant A/B'd SLOWER — 24.7-26.4 s vs 23.7 s at bench scale;
+        # the encode costs more than the saved probes.)
+        tid = pc.add(
+            pc.fill_null(pc.index_in(toks, value_set=self._terms),
+                         UNK_ID - FIRST_TERM_ID),
+            FIRST_TERM_ID).cast(pa.int32())
         tid_np = tid.to_numpy(zero_copy_only=False)
         doc_starts_local = np.zeros(len(ids) + 1, dtype=np.int64)
         np.cumsum(lens, out=doc_starts_local[1:])
