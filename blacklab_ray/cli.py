@@ -231,8 +231,8 @@ def cmd_export(args) -> int:
         stats = curate_and_export(
             ds, args.out, seq_len=args.seq_len,
             seqs_per_shard=args.seqs_per_shard,
-            vocab_size=args.vocab_size, text_col=args.text_col,
-            id_col=args.id_col,
+            vocab_size=args.vocab_size, eos=args.eos,
+            text_col=args.text_col, id_col=args.id_col,
             languages=tuple(args.languages.split(","))
             if args.languages else None,
             near_dup=args.near_dup)
@@ -241,8 +241,8 @@ def cmd_export(args) -> int:
         stats = export_packed_sequences(
             ds, args.out, seq_len=args.seq_len,
             seqs_per_shard=args.seqs_per_shard,
-            vocab_size=args.vocab_size, text_col=args.text_col,
-            id_col=args.id_col)
+            vocab_size=args.vocab_size, eos=args.eos,
+            text_col=args.text_col, id_col=args.id_col)
     print(json.dumps({k: v for k, v in stats.items() if k != "shards"}
                      | {"n_shard_files": len(stats["shards"])}))
     ray.shutdown()
@@ -349,6 +349,8 @@ def main(argv=None) -> int:
     ex.add_argument("--languages", default="",
                     help="comma list for --curate (default: keep all)")
     ex.add_argument("--near-dup", action="store_true")
+    ex.add_argument("--eos", action="store_true",
+                    help="insert an EOS delimiter after every doc")
     ex.set_defaults(fn=cmd_export)
 
     g = sub.add_parser("gen")

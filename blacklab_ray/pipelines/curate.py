@@ -143,7 +143,7 @@ def curate(ds: ray.data.Dataset, text_col: str = "text",
 
 def curate_and_export(ds: ray.data.Dataset, out_dir: str,
                       seq_len: int = 1024, seqs_per_shard: int = 1024,
-                      vocab_size: int = 65536,
+                      vocab_size: int = 65536, eos: bool = False,
                       text_col: str = "text", id_col: str = "doc_id",
                       **curate_kwargs) -> dict:
     """The full crawl→training-shards flow: :func:`curate` then
@@ -159,7 +159,7 @@ def curate_and_export(ds: ray.data.Dataset, out_dir: str,
     stats = export_packed_sequences(
         curated, out_dir, seq_len=seq_len,
         seqs_per_shard=seqs_per_shard, vocab_size=vocab_size,
-        text_col=text_col, id_col=id_col)
+        eos=eos, text_col=text_col, id_col=id_col)
     stats["n_curated_docs"] = int(curated.count())
     return stats
 

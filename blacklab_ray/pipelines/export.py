@@ -46,13 +46,17 @@ from blacklab_ray.pipelines.packing import bucket_plan, token_counts
 PAD_ID = 0
 UNK_ID = 1
 FIRST_TERM_ID = 2
+# with eos=True, EOS takes id 2 and vocab terms start at 3
+EOS_ID = 2
 
 
 def build_vocab(ds: ray.data.Dataset, size: int = 65536,
-                text_col: str = "text") -> pa.Table:
-    """Top-``size-2`` terms by (collection_tf DESC, term ASC) with ids
-    ``FIRST_TERM_ID..``; ids 0/1 are PAD/UNK. Deterministic: ties
-    break lexicographically. The table is driver-sized (V rows).
+                text_col: str = "text",
+                first_id: int = FIRST_TERM_ID) -> pa.Table:
+    """Top-``size-first_id`` terms by (collection_tf DESC, term ASC)
+    with ids ``first_id..``; ids 0/1 are PAD/UNK (and 2 is EOS when
+    the export reserves it). Deterministic: ties break
+    lexicographically. The table is driver-sized (V rows).
 
     tf only — one ``value_counts`` per batch, and the reduce runs as
     the repo's proven part-hash shape (hash64(term) % P partition key,
@@ -68,7 +72,7 @@ def build_vocab(ds: ray.data.Dataset, size: int = 65536,
         return _tf_rows(toks)
 
     tf = ds.map_batches(_tf_partial, batch_format="pyarrow")
-    return _vocab_from_tf(tf, size)
+    return _vocab_from_tf(tf, size, first_id)
 
 
 def _tf_rows(toks: pa.Array) -> pa.Table:
@@ -86,9 +90,10 @@ def _tf_rows(toks: pa.Array) -> pa.Table:
 _TF_PARTS = 64
 
 
-def _vocab_from_tf(tf_ds: ray.data.Dataset, size: int) -> pa.Table:
+def _vocab_from_tf(tf_ds: ray.data.Dataset, size: int,
+                   first_id: int = FIRST_TERM_ID) -> pa.Table:
     """Reduce (term, tf, part) partials to the final vocab table."""
-    v = size - FIRST_TERM_ID
+    v = size - first_id
 
     def _combine(g: pa.Table) -> pa.Table:
         if g.num_rows == 0:
@@ -109,8 +114,7 @@ def _vocab_from_tf(tf_ds: ray.data.Dataset, size: int) -> pa.Table:
     return pa.table({
         "term": pa.array([r["term"] for r in parts], pa.string()),
         "token_id": pa.array(
-            range(FIRST_TERM_ID, FIRST_TERM_ID + len(parts)),
-            pa.int32()),
+            range(first_id, first_id + len(parts)), pa.int32()),
         "collection_tf": pa.array([r["tf"] for r in parts],
                                   pa.int64()),
     })
@@ -118,11 +122,13 @@ def _vocab_from_tf(tf_ds: ray.data.Dataset, size: int) -> pa.Table:
 
 def write_pack_map(ds: ray.data.Dataset, map_dir: str,
                    text_col: str = "text", id_col: str = "doc_id",
-                   rows_per_bucket: int = 4_000_000) -> dict:
+                   rows_per_bucket: int = 4_000_000,
+                   extra_per_doc: int = 0) -> dict:
     """Materialize the packing map as per-bucket SORTED Parquet files
     plus ``ranges.json`` (bucket → id range / base offset) so the
     payload pass can gather ``start_pos`` with pruned reads."""
-    counts = token_counts(ds, text_col, id_col).materialize()
+    counts = token_counts(ds, text_col, id_col,
+                          extra_per_doc=extra_per_doc).materialize()
     return _write_pack_map_from_counts(counts, map_dir, id_col,
                                        rows_per_bucket)
 
@@ -196,10 +202,14 @@ class _SliceEmitter:
     row per (doc × overlapped shard) carrying that doc's id slice."""
 
     def __init__(self, vocab_ref, map_dir: str, shard_tokens: int,
-                 text_col: str, id_col: str, cache_buckets: int = 64):
+                 text_col: str, id_col: str, cache_buckets: int = 64,
+                 first_id: int = FIRST_TERM_ID,
+                 eos_id: int | None = None):
         vocab = ray.get(vocab_ref) if not isinstance(vocab_ref, pa.Table) \
             else vocab_ref
         self._terms = vocab.column("term").combine_chunks()
+        self._first_id = first_id
+        self._eos = eos_id
         self._map_dir = map_dir
         with open(os.path.join(map_dir, "ranges.json")) as f:
             self._ranges = json.load(f)
@@ -243,9 +253,16 @@ class _SliceEmitter:
         # the encode costs more than the saved probes.)
         tid = pc.add(
             pc.fill_null(pc.index_in(toks, value_set=self._terms),
-                         UNK_ID - FIRST_TERM_ID),
-            FIRST_TERM_ID).cast(pa.int32())
+                         UNK_ID - self._first_id),
+            self._first_id).cast(pa.int32())
         tid_np = tid.to_numpy(zero_copy_only=False)
+        lens = np.asarray(lens, dtype=np.int64)
+        if self._eos is not None:
+            # one EOS after every doc (empty docs included) — inserted
+            # at each doc's end position in the flat stream
+            tid_np = np.insert(tid_np, np.cumsum(lens),
+                               np.int32(self._eos))
+            lens = lens + 1
         doc_starts_local = np.zeros(len(ids) + 1, dtype=np.int64)
         np.cumsum(lens, out=doc_starts_local[1:])
         starts = self._starts_for(ids)
@@ -255,6 +272,7 @@ class _SliceEmitter:
             return pa.table({
                 "shard": pa.array([], pa.int64()),
                 "start_pos": pa.array([], pa.int64()),
+                "doc_id": pa.array([], pa.int64()),
                 "ids": pa.array([], pa.list_(pa.int32())),
             })
         d_start, d_len = starts[nz], lens[nz].astype(np.int64)
@@ -298,10 +316,19 @@ def export_packed_sequences(ds: ray.data.Dataset, out_dir: str,
                             text_col: str = "text",
                             id_col: str = "doc_id",
                             rows_per_bucket: int = 4_000_000,
-                            concurrency: int | None = None) -> dict:
+                            concurrency: int | None = None,
+                            eos: bool = False) -> dict:
     """Run the full export; returns corpus-level stats plus the shard
-    manifest (also written to ``out_dir/manifest.json``)."""
+    manifest (also written to ``out_dir/manifest.json``).
+
+    ``eos=True`` inserts one EOS delimiter (id ``EOS_ID``) after every
+    document — the standard boundary signal packed training data
+    carries — and shifts vocab term ids to start at ``EOS_ID + 1``.
+    EOS tokens occupy stream positions like any token (counted in the
+    pack map), so packing stays a pure prefix sum."""
     os.makedirs(out_dir, exist_ok=True)
+    first_id = EOS_ID + 1 if eos else FIRST_TERM_ID
+    extra = 1 if eos else 0
     map_dir = os.path.join(out_dir, "_pack_map")
     if vocab is None:
         # ONE fused tokenize serves both narrow consumers: per-doc
@@ -318,7 +345,7 @@ def export_packed_sequences(ds: ray.data.Dataset, out_dir: str,
                     batch.column(id_col).cast(pa.int64())
                     .combine_chunks(), pa.nulls(n1, pa.int64())]),
                 "n_tokens": pa.concat_arrays([
-                    pa.array(lens, pa.int64()),
+                    pa.array(lens + extra, pa.int64()),
                     pa.nulls(n1, pa.int64())]),
                 "term": pa.concat_arrays([
                     pa.nulls(n0, pa.string()),
@@ -341,13 +368,13 @@ def export_packed_sequences(ds: ray.data.Dataset, out_dir: str,
                 batch_format="pyarrow")
 
         vocab = _vocab_from_tf(_only(1, ["term", "tf", "part"]),
-                               vocab_size)
+                               vocab_size, first_id)
         counts = _only(0, [id_col, "n_tokens"]).materialize()
         map_stats = _write_pack_map_from_counts(counts, map_dir,
                                                 id_col, rows_per_bucket)
     else:
         map_stats = write_pack_map(ds, map_dir, text_col, id_col,
-                                   rows_per_bucket)
+                                   rows_per_bucket, extra_per_doc=extra)
     vocab_ref = ray.put(vocab)
     total = map_stats["total_tokens"]
     S = seq_len * seqs_per_shard
@@ -356,7 +383,8 @@ def export_packed_sequences(ds: ray.data.Dataset, out_dir: str,
 
     slices = ds.map_batches(
         _SliceEmitter,
-        fn_constructor_args=(vocab_ref, map_dir, S, text_col, id_col),
+        fn_constructor_args=(vocab_ref, map_dir, S, text_col, id_col,
+                             64, first_id, EOS_ID if eos else None),
         batch_format="pyarrow",
         concurrency=concurrency or (1, 32))
 
@@ -451,7 +479,8 @@ def export_packed_sequences(ds: ray.data.Dataset, out_dir: str,
         "seq_len": seq_len,
         "n_sequences": n_seqs,
         "n_shards": n_shards,
-        "vocab_size": int(vocab.num_rows) + FIRST_TERM_ID,
+        "vocab_size": int(vocab.num_rows) + first_id,
+        "eos": eos,
         "shards": manifest,
     }
     with open(os.path.join(out_dir, "manifest.json"), "w") as f:

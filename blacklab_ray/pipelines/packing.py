@@ -42,17 +42,22 @@ _TOKEN_RE = "[a-z0-9]+"
 
 
 def token_counts(ds: ray.data.Dataset, text_col: str = "text",
-                 id_col: str = "doc_id") -> ray.data.Dataset:
+                 id_col: str = "doc_id",
+                 extra_per_doc: int = 0) -> ray.data.Dataset:
     """(doc_id, n_tokens) projection using the standard analyzer's
     token definition — ``count_substring_regex`` over the normalized
     text is one RE2 kernel per batch and equals
     ``len(tokenize_column(...))`` per row (DuckDB:
     ``length(regexp_extract_all(lower(strip_accents(text)), '[a-z0-9]+'))``).
+    ``extra_per_doc`` adds a constant per doc (the export's EOS
+    delimiter occupies stream space like any token).
     """
 
     def _cnt(batch: pa.Table) -> pa.Table:
         norm = _normalize_array(batch.column(text_col))
         n = pc.count_substring_regex(norm, pattern=_TOKEN_RE)
+        if extra_per_doc:
+            n = pc.add(n, extra_per_doc)
         return pa.table({
             id_col: batch.column(id_col).cast(pa.int64()),
             "n_tokens": n.cast(pa.int64()),

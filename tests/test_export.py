@@ -163,3 +163,42 @@ def test_export_provenance_matches_brute(export_run):
         want = [d for d, a, b in spans if a < hi and b > lo]
         assert got[k] == want, f"seq {k}"
         assert len(set(got[k])) == len(got[k])
+
+
+def test_export_eos_delimiters(ray_session, tmp_path):
+    """eos=True: one EOS after every doc (empty docs included), vocab
+    ids shifted to start at EOS_ID+1, packing arithmetic unchanged —
+    checked against the brute oracle with EOS woven in."""
+    from blacklab_ray.pipelines.export import EOS_ID
+
+    df = _mk_corpus()
+    ds = ray.data.from_arrow(pa.Table.from_pandas(df)).repartition(5)
+    out = str(tmp_path)
+    stats = export_packed_sequences(
+        ds, out, seq_len=SEQ_LEN, seqs_per_shard=SEQS_PER_SHARD,
+        vocab_size=6 + EOS_ID + 1, rows_per_bucket=8, eos=True)
+    # brute with EOS: per-doc tokens + [EOS], ids from EOS_ID+1
+    man = json.load(open(os.path.join(out, "manifest.json")))
+    assert man["eos"] is True
+    # rebuild the brute vocab at the shifted id base
+    vocab = build_vocab(ds, size=6 + EOS_ID + 1, first_id=EOS_ID + 1)
+    term_to_id = {t: i + EOS_ID + 1
+                  for i, t in enumerate(vocab.column("term").to_pylist())}
+    stream = []
+    for _, row in df.sort_values("doc_id").iterrows():
+        col = pa.array([row["text"]])
+        _, toks, _, _ = tokenize_column(col)
+        stream.extend(term_to_id.get(t, UNK_ID)
+                      for t in toks.to_pylist())
+        stream.append(EOS_ID)
+    assert stats["total_tokens"] == len(stream)
+    files = sorted(glob.glob(os.path.join(out, "shard-*.parquet")))
+    tbl = pa.concat_tables([pq.read_table(f) for f in files])
+    tbl = tbl.take(pa.compute.sort_indices(
+        tbl, sort_keys=[("seq_id", "ascending")]))
+    got = [t for row in tbl.column("tokens").to_pylist() for t in row]
+    want = stream + [PAD_ID] * (stats["n_sequences"] * SEQ_LEN
+                                - len(stream))
+    assert got == want
+    # every doc contributes exactly one EOS
+    assert got.count(EOS_ID) == len(df)
