@@ -196,6 +196,36 @@ def _write_pack_map_from_counts(counts: ray.data.Dataset, map_dir: str,
     return {"buckets": len(manifest), "total_tokens": total}
 
 
+def read_packed(out_dir: str) -> ray.data.Dataset:
+    """The exported shards back as a Dataset (seq_id, tokens, n_real,
+    doc_ids) — the training-loop entry point; shard files are
+    independent Parquet so the read parallelizes per shard."""
+    import glob as _glob
+    files = sorted(_glob.glob(os.path.join(out_dir, "shard-*.parquet")))
+    return ray.data.read_parquet(files)
+
+
+def iter_training_batches(out_dir: str, batch_size: int,
+                          drop_last: bool = True):
+    """Yield ``(tokens, n_real)`` numpy batches — tokens shaped
+    ``(batch_size, seq_len)`` int32 — streaming shard by shard (one
+    shard resident at a time; Ray's iter_batches handles prefetch and
+    backpressure)."""
+    ds = read_packed(out_dir)
+    for b in ds.iter_batches(batch_size=batch_size,
+                             batch_format="pyarrow",
+                             drop_last=drop_last):
+        toks = b.column("tokens")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.values.to_numpy(zero_copy_only=False)
+        offs = toks.offsets.to_numpy(zero_copy_only=False)
+        seq_len = int(offs[1] - offs[0]) if len(offs) > 1 else 0
+        n = b.num_rows
+        mat = flat[offs[0]:offs[0] + n * seq_len].reshape(n, seq_len)
+        yield mat, b.column("n_real").to_numpy(zero_copy_only=False)
+
+
 class _SliceEmitter:
     """Actor-pool payload stage: tokenize a batch to ids, gather
     stream offsets from the pack map (per-bucket file cache), emit one

@@ -202,3 +202,25 @@ def test_export_eos_delimiters(ray_session, tmp_path):
     assert got == want
     # every doc contributes exactly one EOS
     assert got.count(EOS_ID) == len(df)
+
+
+def test_read_packed_and_training_batches(export_run):
+    """The reader round-trips the shards: row count, (B, L) batch
+    shapes, and token values identical to the brute stream."""
+    from blacklab_ray.pipelines.export import (
+        iter_training_batches, read_packed,
+    )
+    df, vocab, out, stats = export_run
+    ds = read_packed(out)
+    assert ds.count() == stats["n_sequences"]
+    _, want_seqs = _brute(df, vocab.column("term").to_pylist(), SEQ_LEN)
+    got = []
+    for mat, n_real in iter_training_batches(out, batch_size=4,
+                                             drop_last=False):
+        assert mat.shape[1] == SEQ_LEN and mat.dtype == np.int32
+        assert len(n_real) == mat.shape[0]
+        got.extend(mat.tolist())
+    # batches stream shard-by-shard in seq order within a shard; sort
+    # globally by first reconstructing ids via matching against wanted
+    assert sorted(map(tuple, got)) == sorted(
+        tuple(s) for s, _ in want_seqs)
