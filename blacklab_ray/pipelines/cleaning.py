@@ -51,7 +51,8 @@ _PII_RULES = (
 
 def pii_scrub(ds: ray.data.Dataset, text_col: str = "text",
               id_col: str = "doc_id",
-              keep_text: bool = False) -> ray.data.Dataset:
+              keep_text: bool = False,
+              keep_cols: tuple = ()) -> ray.data.Dataset:
     """Redact emails / IPv4 addresses / phone numbers.
 
     Per doc: match counts per category plus the md5 of the scrubbed
@@ -87,6 +88,8 @@ def pii_scrub(ds: ray.data.Dataset, text_col: str = "text",
              for t in scrubbed.to_pylist()], pa.string())
         if keep_text:
             cols["scrubbed_text"] = scrubbed
+        for c in keep_cols:  # pass-through metadata (e.g. lang_pred)
+            cols[c] = batch.column(c)
         return pa.table(cols)
 
     return ds.map_batches(_scrub, batch_format="pyarrow")
@@ -100,16 +103,21 @@ def _nfc_array(col: pa.Array) -> pa.Array:
     when the batch contains non-ASCII bytes (``binary_length !=
     utf8_length``); pure-ASCII web text never leaves Arrow."""
     import unicodedata
-    non_ascii = pc.not_equal(pc.binary_length(col), pc.utf8_length(col))
+    non_ascii = pc.fill_null(
+        pc.not_equal(pc.binary_length(col), pc.utf8_length(col)), False)
     if not pc.any(non_ascii).as_py():
         return col
-    mask = non_ascii.to_numpy(zero_copy_only=False)
-    vals = col.to_pylist()
-    for i in np.flatnonzero(mask):
-        v = vals[i]
-        if not unicodedata.is_normalized("NFC", v):
-            vals[i] = unicodedata.normalize("NFC", v)
-    return pa.array(vals, pa.string())
+    # only the non-ASCII rows leave Arrow (a whole-column to_pylist
+    # here made every mixed batch pay a full Python round-trip); the
+    # fixed strings scatter back through one if_else kernel
+    idx = np.flatnonzero(non_ascii.to_numpy(zero_copy_only=False))
+    sub = col.take(pa.array(idx)).to_pylist()
+    fixed = [v if unicodedata.is_normalized("NFC", v)
+             else unicodedata.normalize("NFC", v) for v in sub]
+    repl = [None] * len(col)
+    for i, v in zip(idx, fixed):
+        repl[int(i)] = v
+    return pc.if_else(non_ascii, pa.array(repl, pa.string()), col)
 
 
 # normalize_text's rule chain, applied in order. Each entry is

@@ -125,12 +125,14 @@ def curate(ds: ray.data.Dataset, text_col: str = "text",
     # 6: PII scrub, keeping the scrubbed body as the text column
     if scrub_pii:
         scrubbed = cleaning.pii_scrub(out, text_col=text_col,
-                                      id_col=id_col, keep_text=True)
+                                      id_col=id_col, keep_text=True,
+                                      keep_cols=("lang_pred",))
 
         def _swap(batch: pa.Table) -> pa.Table:
             return pa.table({
                 id_col: batch.column(id_col),
                 text_col: batch.column("scrubbed_text"),
+                "lang_pred": batch.column("lang_pred"),
                 "n_pii": pc.add(
                     pc.add(batch.column("n_emails"),
                            batch.column("n_phones")),

@@ -148,9 +148,17 @@ def mixture_sample(ds: ray.data.Dataset, group_col: str,
     :func:`sample_stratified`'s digest ranking (exact counts,
     partition-order independent, SQL-reproducible).
     """
+    import math
+
+    # count over the group column ALONE — a groupby on the full rows
+    # would shuffle the text payload for a group-count-sized answer
     counts = {r[group_col]: r["count()"]
-              for r in ds.groupby(group_col).count().take_all()}
-    quota = {g: min(counts.get(g, 0), int(round(w * total)))
+              for r in ds.select_columns([group_col])
+              .groupby(group_col).count().take_all()}
+    # floor(x+0.5), not round(): Python rounds halves to even while
+    # DuckDB rounds half away from zero — for positive quotas these
+    # agree only via the explicit form
+    quota = {g: min(counts.get(g, 0), int(math.floor(w * total + 0.5)))
              for g, w in weights.items()}
     return sample_stratified(ds, group_col, quota, seed=seed,
                              id_col=id_col)

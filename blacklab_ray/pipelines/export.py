@@ -270,6 +270,12 @@ class _SliceEmitter:
             m = buckets == b
             bid, bstart = self._bucket_table(int(b))
             idx = np.searchsorted(bid, ids[m])
+            if idx.size and (int(idx.max()) >= bid.size
+                             or not np.array_equal(bid[idx], ids[m])):
+                raise ValueError(
+                    f"pack map bucket {b} does not cover this batch's "
+                    f"doc ids — stale _pack_map for a different "
+                    f"corpus?")
             out[m] = bstart[idx]
         return out
 
@@ -358,7 +364,37 @@ def export_packed_sequences(ds: ray.data.Dataset, out_dir: str,
     pack map), so packing stays a pure prefix sum."""
     os.makedirs(out_dir, exist_ok=True)
     first_id = EOS_ID + 1 if eos else FIRST_TERM_ID
+    if vocab is not None and vocab.num_rows:
+        # a caller-supplied vocab defines its OWN id base — derive it
+        # so shard ids always agree with the vocab's token_id column
+        first_id = int(vocab.column("token_id")[0].as_py())
+        if eos and first_id <= EOS_ID:
+            raise ValueError(
+                f"eos=True reserves id {EOS_ID} but the supplied vocab "
+                f"assigns term ids from {first_id}; build it with "
+                f"first_id={EOS_ID + 1}")
     extra = 1 if eos else 0
+    # params stamp: the skip-if-complete resume is only valid for the
+    # SAME packing parameters — a re-run with different seq_len/eos/
+    # vocab over an existing out_dir must fail loudly, not silently
+    # mix stale shard bytes with a fresh manifest
+    params = {"seq_len": seq_len, "seqs_per_shard": seqs_per_shard,
+              "eos": eos, "first_id": first_id,
+              "vocab_size": vocab_size if vocab is None
+              else int(vocab.num_rows) + first_id}
+    params_path = os.path.join(out_dir, "params.json")
+    if os.path.exists(params_path):
+        with open(params_path) as f:
+            prior = json.load(f)
+        if prior != params:
+            raise ValueError(
+                f"out_dir {out_dir} holds an export with different "
+                f"parameters ({prior} != {params}); use a fresh "
+                f"directory or delete the old output")
+    else:
+        with open(params_path + ".tmp", "w") as f:
+            json.dump(params, f)
+        os.replace(params_path + ".tmp", params_path)
     map_dir = os.path.join(out_dir, "_pack_map")
     if vocab is None:
         # ONE fused tokenize serves both narrow consumers: per-doc

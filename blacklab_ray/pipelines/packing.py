@@ -36,9 +36,11 @@ import pyarrow.compute as pc
 import ray.data
 from ray.data.aggregate import Count, Max, Min
 
-from blacklab_ray.analysis.analyzers import _normalize_array
+from blacklab_ray.analysis.analyzers import TOKEN_RE, _normalize_array
 
-_TOKEN_RE = "[a-z0-9]+"
+# the analyzer's token definition, referenced (not re-encoded) so the
+# counts can never silently desynchronize from tokenize_column
+_TOKEN_RE = TOKEN_RE.pattern
 
 
 def token_counts(ds: ray.data.Dataset, text_col: str = "text",
@@ -55,7 +57,11 @@ def token_counts(ds: ray.data.Dataset, text_col: str = "text",
 
     def _cnt(batch: pa.Table) -> pa.Table:
         norm = _normalize_array(batch.column(text_col))
-        n = pc.count_substring_regex(norm, pattern=_TOKEN_RE)
+        # fill_null: a NULL text row must count 0 tokens (matching
+        # tokenize_column) — a null here becomes NaN in to_numpy and
+        # silently poisons the downstream cumsum
+        n = pc.fill_null(
+            pc.count_substring_regex(norm, pattern=_TOKEN_RE), 0)
         if extra_per_doc:
             n = pc.add(n, extra_per_doc)
         return pa.table({

@@ -224,3 +224,46 @@ def test_read_packed_and_training_batches(export_run):
     # globally by first reconstructing ids via matching against wanted
     assert sorted(map(tuple, got)) == sorted(
         tuple(s) for s, _ in want_seqs)
+
+
+def test_export_eos_with_mismatched_vocab_raises(ray_session, tmp_path):
+    """eos=True with a vocab whose ids start at FIRST_TERM_ID must
+    fail loudly — a silent +1 shift would decode every shard token to
+    the wrong term (code-review finding)."""
+    from blacklab_ray.pipelines.export import EOS_ID
+    df = _mk_corpus()
+    ds = ray.data.from_arrow(pa.Table.from_pandas(df))
+    vocab = build_vocab(ds, size=6 + FIRST_TERM_ID)  # base id 2
+    with pytest.raises(ValueError, match="reserves id"):
+        export_packed_sequences(ds, str(tmp_path), seq_len=SEQ_LEN,
+                                vocab=vocab, eos=True)
+
+
+def test_export_params_mismatch_raises(export_run, tmp_path):
+    """Re-running over an existing out_dir with different packing
+    parameters must refuse, not mix stale shards with a fresh
+    manifest (code-review finding)."""
+    df, vocab, out, stats = export_run
+    ds = ray.data.from_arrow(pa.Table.from_pandas(df))
+    with pytest.raises(ValueError, match="different"):
+        export_packed_sequences(ds, out, seq_len=SEQ_LEN + 1,
+                                seqs_per_shard=SEQS_PER_SHARD,
+                                vocab=vocab, rows_per_bucket=8)
+
+
+def test_supplied_vocab_id_base_is_derived(ray_session, tmp_path):
+    """A caller vocab built at a custom id base exports ids that agree
+    with its token_id column (no positional re-derivation)."""
+    df = _mk_corpus()
+    ds = ray.data.from_arrow(pa.Table.from_pandas(df))
+    vocab = build_vocab(ds, size=6 + 5, first_id=5)  # ids 5..10
+    stats = export_packed_sequences(
+        ds, str(tmp_path), seq_len=SEQ_LEN,
+        seqs_per_shard=SEQS_PER_SHARD, vocab=vocab, rows_per_bucket=8)
+    files = sorted(glob.glob(os.path.join(str(tmp_path),
+                                          "shard-*.parquet")))
+    toks = pa.concat_tables([pq.read_table(f) for f in files]) \
+        .column("tokens").to_pylist()
+    flat = [t for row in toks for t in row if t not in (PAD_ID, UNK_ID)]
+    assert flat and min(flat) >= 5 and max(flat) <= 10
+    assert stats["vocab_size"] == vocab.num_rows + 5

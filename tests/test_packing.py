@@ -88,3 +88,19 @@ def test_token_counts_matches_analyzer(ray_session):
         "text": col}))
     got = token_counts(ds).to_pandas().sort_values("doc_id")
     assert got["n_tokens"].tolist() == list(lens)
+
+
+def test_token_counts_null_text_is_zero(ray_session):
+    """A NULL text row counts 0 tokens (matching tokenize_column) —
+    an unfilled null became NaN in to_numpy and silently poisoned the
+    prefix-sum cumsum (code-review finding)."""
+    import pandas as pd
+
+    df = pd.DataFrame({"doc_id": [1, 2, 3],
+                       "text": ["one two", None, "three"]})
+    ds = ray.data.from_arrow(pa.Table.from_pandas(df))
+    got = token_counts(ds).to_pandas().sort_values("doc_id")
+    assert got["n_tokens"].tolist() == [2, 0, 1]
+    packed = pack_sequences(ds, 2).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+    assert packed["start_pos"].tolist() == [0, 2, 2]
