@@ -557,6 +557,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
                              rows_per_bucket=64)
         return out
 
+    def q_lm_perplexity(sf):
+        """CCNet-style quality signal: per-doc perplexity under an
+        add-0.5-smoothed bigram LM trained on the corpus itself (one
+        part-hash count shuffle; broadcast scoring — tests/test_lm.py
+        proves the co-partitioned join path returns the same table)."""
+        from blacklab_ray.pipelines.lm import lm_perplexity
+        return lm_perplexity(
+            _docs_ds(sf).select_columns(["doc_id", "text"]))
+
     def q_normalize_text(sf):
         """Unicode/whitespace normalization (CCNet-style pre-tokenize
         cleanup): NFC + control strip + paragraph-preserving whitespace
@@ -914,6 +923,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_filter": q_docs_filter,
         "mixture_sample": q_mixture_sample,
         "export_shards": q_export_shards,
+        "lm_perplexity": q_lm_perplexity,
     }
 
 
@@ -1274,6 +1284,28 @@ WHERE lang = 'en' AND doc_len BETWEEN 40 AND 60
         regexp_extract_all(lower(strip_accents(source)), '[a-z0-9]+'),
         ['src0','src1','src2','src3','src4',
          'src5','src6','src7','src8','src9'])) > 0
+""",
+        # self-scored corpus: every doc bigram exists in the count
+        # table, so plain (not left) joins are exact here; the engine
+        # additionally handles unseen bigrams/histories for external
+        # LMs (n=0 / h=0 smoothing), which this query never produces.
+        "lm_perplexity": f"""
+WITH tl AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+toks AS (SELECT doc_id, unnest(toks) AS term,
+                unnest(range(len(toks))) AS pos FROM tl),
+big AS (SELECT a.doc_id, a.term AS w1, b.term AS w2
+        FROM toks a JOIN toks b ON a.doc_id = b.doc_id
+                               AND b.pos = a.pos + 1),
+cnt AS (SELECT w1, w2, count(*) AS n FROM big GROUP BY w1, w2),
+hist AS (SELECT w1, sum(n) AS h FROM cnt GROUP BY w1),
+v AS (SELECT count(DISTINCT term) AS v FROM toks),
+scored AS (SELECT big.doc_id,
+                  ln((cnt.n + 0.5)
+                     / (hist.h + 0.5 * (SELECT v FROM v))) AS lp
+           FROM big JOIN cnt USING (w1, w2) JOIN hist USING (w1))
+SELECT doc_id, count(*) AS n_bigrams,
+       round(exp(-sum(lp) / count(*)), 4) AS ppl
+FROM scored GROUP BY doc_id ORDER BY doc_id
 """,
         "pack_sequences": r"""
 WITH t AS (SELECT doc_id,

@@ -80,7 +80,8 @@ def test_driver_key_cap(entry_mod):
     q = list(entry_mod.queries())
     extras = q[50:]
     assert set(extras) == {"docs_by_lang", "docs_filter",
-                           "mixture_sample", "export_shards"}, extras
+                           "mixture_sample", "export_shards",
+                           "lm_perplexity"}, extras
     o = entry_mod.oracle_sql()
     assert all(k in o for k in extras)  # extras stay oracled
 
