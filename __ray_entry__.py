@@ -43,6 +43,26 @@ _TOKS_SQL = ("regexp_extract_all(lower(strip_accents(text)), "
 _TOKS_SQL_S = ("regexp_extract_all(strip_accents(text), "
                "'[A-Za-z0-9]+')")
 
+# shared CTE chain: per-doc bigram-LM scores (pipelines/lm.py model:
+# p(w2|w1) = (n+0.5)/(h+0.5V)); `agg` = (doc_id, n_bigrams, ppl)
+_LM_SCORED_SQL = f"""
+WITH tl AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+toks AS (SELECT doc_id, unnest(toks) AS term,
+                unnest(range(len(toks))) AS pos FROM tl),
+big AS (SELECT a.doc_id, a.term AS w1, b.term AS w2
+        FROM toks a JOIN toks b ON a.doc_id = b.doc_id
+                               AND b.pos = a.pos + 1),
+cnt AS (SELECT w1, w2, count(*) AS n FROM big GROUP BY w1, w2),
+hist AS (SELECT w1, sum(n) AS h FROM cnt GROUP BY w1),
+v AS (SELECT count(DISTINCT term) AS v FROM toks),
+scored AS (SELECT big.doc_id,
+                  ln((cnt.n + 0.5)
+                     / (hist.h + 0.5 * (SELECT v FROM v))) AS lp
+           FROM big JOIN cnt USING (w1, w2) JOIN hist USING (w1)),
+agg AS (SELECT doc_id, count(*) AS n_bigrams,
+               round(exp(-sum(lp) / count(*)), 4) AS ppl
+        FROM scored GROUP BY doc_id)"""
+
 _IDX_CACHE: dict[str, Any] = {}
 
 
@@ -566,6 +586,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return lm_perplexity(
             _docs_ds(sf).select_columns(["doc_id", "text"]))
 
+    def q_ppl_buckets(sf):
+        """CCNet head/middle/tail cut at exact score-terciles (the
+        distinct-value-histogram quantiles, DuckDB quantile_disc
+        semantics)."""
+        from blacklab_ray.pipelines.lm import perplexity_buckets
+        return perplexity_buckets(
+            _docs_ds(sf).select_columns(["doc_id", "text"]))
+
     def q_normalize_text(sf):
         """Unicode/whitespace normalization (CCNet-style pre-tokenize
         cleanup): NFC + control strip + paragraph-preserving whitespace
@@ -924,6 +952,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mixture_sample": q_mixture_sample,
         "export_shards": q_export_shards,
         "lm_perplexity": q_lm_perplexity,
+        "ppl_buckets": q_ppl_buckets,
     }
 
 
@@ -1289,23 +1318,19 @@ WHERE lang = 'en' AND doc_len BETWEEN 40 AND 60
         # table, so plain (not left) joins are exact here; the engine
         # additionally handles unseen bigrams/histories for external
         # LMs (n=0 / h=0 smoothing), which this query never produces.
-        "lm_perplexity": f"""
-WITH tl AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
-toks AS (SELECT doc_id, unnest(toks) AS term,
-                unnest(range(len(toks))) AS pos FROM tl),
-big AS (SELECT a.doc_id, a.term AS w1, b.term AS w2
-        FROM toks a JOIN toks b ON a.doc_id = b.doc_id
-                               AND b.pos = a.pos + 1),
-cnt AS (SELECT w1, w2, count(*) AS n FROM big GROUP BY w1, w2),
-hist AS (SELECT w1, sum(n) AS h FROM cnt GROUP BY w1),
-v AS (SELECT count(DISTINCT term) AS v FROM toks),
-scored AS (SELECT big.doc_id,
-                  ln((cnt.n + 0.5)
-                     / (hist.h + 0.5 * (SELECT v FROM v))) AS lp
-           FROM big JOIN cnt USING (w1, w2) JOIN hist USING (w1))
-SELECT doc_id, count(*) AS n_bigrams,
-       round(exp(-sum(lp) / count(*)), 4) AS ppl
-FROM scored GROUP BY doc_id ORDER BY doc_id
+        "lm_perplexity": _LM_SCORED_SQL + """
+SELECT doc_id, n_bigrams, ppl FROM agg ORDER BY doc_id
+""",
+        "ppl_buckets": _LM_SCORED_SQL + """,
+k AS (SELECT doc_id, n_bigrams, ppl,
+             CAST(round(ppl * 10000) AS BIGINT) AS pk FROM agg),
+q AS (SELECT quantile_disc(pk, 1.0/3) AS q1,
+             quantile_disc(pk, 2.0/3) AS q2 FROM k)
+SELECT doc_id, n_bigrams, ppl,
+       CASE WHEN pk <= (SELECT q1 FROM q) THEN 'head'
+            WHEN pk <= (SELECT q2 FROM q) THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM k ORDER BY doc_id
 """,
         "pack_sequences": r"""
 WITH t AS (SELECT doc_id,

@@ -36,6 +36,7 @@ def curate(ds: ray.data.Dataset, text_col: str = "text",
            quality_thresholds: dict | None = None,
            near_dup: bool = False,
            near_dup_threshold: float = 0.8,
+           ppl_filter: tuple[str, ...] | None = None,
            mixture_weights: dict[str, float] | None = None,
            mixture_total: int = 0,
            mixture_by: str = "lang_pred",
@@ -53,6 +54,11 @@ def curate(ds: ray.data.Dataset, text_col: str = "text",
        (``dedup.duplicate_clusters``) → keep the smallest id of each
        cluster (a pairwise drop would keep both ends of an implied-
        but-undetected pair);
+    4b. optional CCNet perplexity filter: train the bigram LM on the
+       deduped survivors, bucket into head/middle/tail terciles
+       (``lm.perplexity_buckets``) and keep only ``ppl_filter``
+       buckets (CCNet keeps ``("head", "middle")``); docs too short
+       to score (no bigram) are dropped with the tail;
     5. optional domain-mixture resampling: quota-exact digest sample
        per ``mixture_by`` value (``docsops.mixture_sample``);
     6. PII scrub (text replaced by the redacted form).
@@ -113,6 +119,21 @@ def curate(ds: ray.data.Dataset, text_col: str = "text",
                     value_set=bad)))
 
             out = out.map_batches(_drop, batch_format="pyarrow")
+
+    # 4b: optional CCNet perplexity filter — LM trained on the deduped
+    # survivors themselves (the corpus stands in for CCNet's reference
+    # LM corpus); ids-only pick, broadcast filter
+    if ppl_filter:
+        from blacklab_ray.pipelines.lm import perplexity_buckets
+        out = out.materialize()   # feeds LM train + score + keep
+        keep_set = sorted(set(ppl_filter))
+        scored = perplexity_buckets(out, text_col=text_col,
+                                    id_col=id_col)
+        picked = scored.map_batches(
+            lambda t: t.filter(pc.is_in(
+                t["bucket"], value_set=pa.array(keep_set)))
+            .select([id_col]), batch_format="pyarrow")
+        out = _broadcast_filter(out, picked, id_col)
 
     # 5: optional mixture resampling (ids-only pick, broadcast filter)
     if mixture_weights:

@@ -349,6 +349,50 @@ def _score_join(ds, lm, v, text_col, id_col, parts):
         .groupby("dpart").map_groups(_finalize, batch_format="pyarrow")
 
 
+def perplexity_buckets(ds: ray.data.Dataset, *,
+                       text_col: str = "text", id_col: str = "doc_id",
+                       method: str = "broadcast",
+                       parts: int = _LM_PARTS,
+                       qs: tuple = (1 / 3, 2 / 3)
+                       ) -> ray.data.Dataset:
+    """CCNet head/middle/tail perplexity buckets.
+
+    Scores the corpus (``lm_perplexity``), then cuts at the exact
+    ``qs`` quantiles of the 4-decimal score (CCNet §4.3 cuts at
+    thirds; a typical filter keeps head+middle). The quantiles run on
+    the distinct-value histogram of ``round(ppl * 1e4)`` — exact,
+    never corpus-sized on the driver, matching DuckDB
+    ``quantile_disc``. Output adds a ``bucket`` column; ties at a cut
+    go to the lower bucket on both engines (<=)."""
+    from blacklab_ray.pipelines.docsops import exact_quantiles
+    scored = lm_perplexity(ds, text_col=text_col, id_col=id_col,
+                           method=method, parts=parts)
+
+    def _key(batch: pa.Table) -> pa.Table:
+        pk = np.round(batch["ppl"].to_numpy(zero_copy_only=False)
+                      * 10000.0).astype(np.int64)
+        return batch.append_column("pk", pa.array(pk, pa.int64()))
+
+    keyed = scored.map_batches(_key, batch_format="pyarrow") \
+        .materialize()     # two consumers: quantiles + assignment
+    cuts = exact_quantiles(keyed, "pk", list(qs))
+    q1, q2 = cuts[qs[0]], cuts[qs[1]]
+
+    def _assign(batch: pa.Table) -> pa.Table:
+        pk = batch["pk"].to_numpy(zero_copy_only=False)
+        bucket = np.where(pk <= q1, "head",
+                          np.where(pk <= q2, "middle", "tail"))
+        return batch.drop_columns(["pk"]).append_column(
+            "bucket", pa.array(bucket, pa.string()))
+
+    if q1 is None:          # empty corpus
+        return keyed.drop_columns(["pk"]).map_batches(
+            lambda t: t.append_column(
+                "bucket", pa.nulls(t.num_rows, pa.string())),
+            batch_format="pyarrow")
+    return keyed.map_batches(_assign, batch_format="pyarrow")
+
+
 def lm_perplexity(ds: ray.data.Dataset, *, text_col: str = "text",
                   id_col: str = "doc_id", method: str = "broadcast",
                   parts: int = _LM_PARTS) -> ray.data.Dataset:

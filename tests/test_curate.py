@@ -56,6 +56,23 @@ def test_curate_keep_all_languages(corpus):
     assert out["lang_pred"].tolist() == ["en", "nl", "en"]
 
 
+def test_curate_ppl_filter(ray_session):
+    """Stage 4b drops the tail tercile: with 9 docs (3 repeated
+    sentence shapes x 3 + garbage) the garbage doc lands in the tail
+    and the repeated shapes survive."""
+    base = [EN + f" variant {i} of the sentence" for i in range(8)]
+    docs = base + ["zq xv qj wk bn md plg vrt xx yy zz qq ww ee rr tt"]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(list(range(len(docs))), pa.int64()),
+        "text": pa.array(docs)})).repartition(2)
+    out = curate(ds, languages=None, quality_thresholds=TH,
+                 ppl_filter=("head", "middle"),
+                 scrub_pii=False).to_pandas()
+    kept = set(out["doc_id"])
+    assert len(docs) - 1 not in kept     # garbage doc in the tail
+    assert len(kept) >= 5                # head+middle survive
+
+
 def test_curate_near_dup(ray_session):
     a = EN + " unique tail one two three"
     b = EN + " unique tail one two four"      # near-dup of a

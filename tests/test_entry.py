@@ -81,7 +81,7 @@ def test_driver_key_cap(entry_mod):
     extras = q[50:]
     assert set(extras) == {"docs_by_lang", "docs_filter",
                            "mixture_sample", "export_shards",
-                           "lm_perplexity"}, extras
+                           "lm_perplexity", "ppl_buckets"}, extras
     o = entry_mod.oracle_sql()
     assert all(k in o for k in extras)  # extras stay oracled
 

@@ -123,6 +123,21 @@ def test_external_lm_unseen_bigrams(ray_session, lm_and_v):
         assert got == ref, method
 
 
+def test_perplexity_buckets(ray_session):
+    """Terciles cover the corpus; every scored doc gets a bucket and
+    bucket order agrees with ppl order (oracle parity runs in
+    test_entry against quantile_disc SQL)."""
+    from blacklab_ray.pipelines.lm import perplexity_buckets
+    df = perplexity_buckets(_ds(DOCS)).to_pandas()
+    assert set(df.columns) == {"doc_id", "n_bigrams", "ppl", "bucket"}
+    assert len(df) == 5
+    order = {"head": 0, "middle": 1, "tail": 2}
+    s = df.sort_values("ppl")
+    ranks = [order[b] for b in s.bucket]
+    assert ranks == sorted(ranks)           # monotone in ppl
+    assert ranks[0] == 0 and ranks[-1] == 2  # all three present at n=5
+
+
 def test_fully_seen_doc_scores_lower(ray_session, lm_and_v):
     lm, v = lm_and_v
     got = _collect(score_perplexity(
