@@ -206,11 +206,29 @@ def read_packed(out_dir: str) -> ray.data.Dataset:
 
 
 def iter_training_batches(out_dir: str, batch_size: int,
-                          drop_last: bool = True):
+                          drop_last: bool = True,
+                          shuffle_seed: int | None = None,
+                          shuffle_buffer_seqs: int = 0):
     """Yield ``(tokens, n_real)`` numpy batches — tokens shaped
     ``(batch_size, seq_len)`` int32 — streaming shard by shard (one
     shard resident at a time; Ray's iter_batches handles prefetch and
-    backpressure)."""
+    backpressure).
+
+    ``shuffle_seed`` turns on the standard two-level training shuffle
+    (seeded, BIT-reproducible): global SHARD-file order permutation
+    plus a seeded reservoir of ``shuffle_buffer_seqs`` sequences
+    (default 8 × batch_size). Never a full ``random_shuffle()`` —
+    that is an all-to-all over the whole token payload; two-level
+    gives training-grade decorrelation at zero shuffle cost (shard
+    assembly already interleaved docs). The seeded path reads shards
+    itself in the permuted order (Ray-task prefetch, depth 4) because
+    ``iter_batches(local_shuffle_seed=...)`` is only reproducible
+    under ``preserve_order``, which is off by default and a global
+    context switch."""
+    if shuffle_seed is not None:
+        yield from _iter_shuffled(out_dir, batch_size, drop_last,
+                                  shuffle_seed, shuffle_buffer_seqs)
+        return
     ds = read_packed(out_dir)
     for b in ds.iter_batches(batch_size=batch_size,
                              batch_format="pyarrow",
@@ -224,6 +242,70 @@ def iter_training_batches(out_dir: str, batch_size: int,
         n = b.num_rows
         mat = flat[offs[0]:offs[0] + n * seq_len].reshape(n, seq_len)
         yield mat, b.column("n_real").to_numpy(zero_copy_only=False)
+
+
+def _shard_matrix(tbl: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    toks = tbl.column("tokens")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = toks.values.to_numpy(zero_copy_only=False)
+    offs = toks.offsets.to_numpy(zero_copy_only=False)
+    seq_len = int(offs[1] - offs[0]) if len(offs) > 1 else 0
+    n = tbl.num_rows
+    mat = flat[offs[0]:offs[0] + n * seq_len].reshape(n, seq_len)
+    return mat, tbl.column("n_real").to_numpy(zero_copy_only=False)
+
+
+def _iter_shuffled(out_dir: str, batch_size: int, drop_last: bool,
+                   seed: int, buffer_seqs: int):
+    """Deterministic two-level shuffle: permuted shard order (raw Ray
+    read tasks, prefetch depth 4 — sequential consumption is inherent
+    to a training iterator, so the Dataset API buys nothing here) +
+    a seeded swap-pop reservoir over sequences."""
+    import glob as _glob
+    files = sorted(_glob.glob(os.path.join(out_dir, "shard-*.parquet")))
+    rng = np.random.default_rng(seed)
+    files = [files[i] for i in rng.permutation(len(files))]
+    cap = max(buffer_seqs, 8 * batch_size)
+
+    read = ray.remote(num_cpus=0.5)(pq.read_table)
+    refs = [read.remote(f) for f in files[:4]]
+    buf: list[tuple[np.ndarray, int]] = []
+    out_rows: list[tuple[np.ndarray, int]] = []
+
+    def _emit_from(row):
+        out_rows.append(row)
+
+    def _pour(mat, n_real):
+        for i in range(mat.shape[0]):
+            buf.append((mat[i], int(n_real[i])))
+            if len(buf) > cap:
+                j = int(rng.integers(len(buf)))
+                buf[j], buf[-1] = buf[-1], buf[j]
+                _emit_from(buf.pop())
+
+    for fi, f in enumerate(files):
+        tbl = ray.get(refs[fi])
+        if fi + 4 < len(files):
+            refs.append(read.remote(files[fi + 4]))
+        _pour(*_shard_matrix(tbl))
+        while len(out_rows) >= batch_size:
+            chunk = out_rows[:batch_size]
+            del out_rows[:batch_size]
+            yield (np.stack([r[0] for r in chunk]),
+                   np.array([r[1] for r in chunk], np.int64))
+    while buf:                               # drain the reservoir
+        j = int(rng.integers(len(buf)))
+        buf[j], buf[-1] = buf[-1], buf[j]
+        _emit_from(buf.pop())
+    while len(out_rows) >= batch_size:
+        chunk = out_rows[:batch_size]
+        del out_rows[:batch_size]
+        yield (np.stack([r[0] for r in chunk]),
+               np.array([r[1] for r in chunk], np.int64))
+    if out_rows and not drop_last:
+        yield (np.stack([r[0] for r in out_rows]),
+               np.array([r[1] for r in out_rows], np.int64))
 
 
 class _SliceEmitter:

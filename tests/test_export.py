@@ -226,6 +226,28 @@ def test_read_packed_and_training_batches(export_run):
         tuple(s) for s, _ in want_seqs)
 
 
+def test_training_batches_seeded_shuffle(export_run):
+    """Two-level shuffle: same multiset of sequences, deterministic
+    for a seed, different order from the unshuffled stream."""
+    from blacklab_ray.pipelines.export import iter_training_batches
+    _, _, out, stats = export_run
+
+    def _collect(**kw):
+        rows = []
+        for mat, _ in iter_training_batches(out, batch_size=4,
+                                            drop_last=False, **kw):
+            rows.extend(map(tuple, mat.tolist()))
+        return rows
+
+    plain = _collect()
+    s7a = _collect(shuffle_seed=7)
+    s7b = _collect(shuffle_seed=7)
+    s9 = _collect(shuffle_seed=9)
+    assert sorted(plain) == sorted(s7a) == sorted(s9)  # same content
+    assert s7a == s7b                                  # reproducible
+    assert s7a != plain or s9 != plain                 # order moved
+
+
 def test_export_eos_with_mismatched_vocab_raises(ray_session, tmp_path):
     """eos=True with a vocab whose ids start at FIRST_TERM_ID must
     fail loudly — a silent +1 shift would decode every shard token to
