@@ -594,6 +594,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return perplexity_buckets(
             _docs_ds(sf).select_columns(["doc_id", "text"]))
 
+    def q_bpe_fertility(sf):
+        """Train a BPE on the corpus word-frequency table (one
+        part-hash count shuffle; driver merge loop over word TYPES —
+        the real-trainer shape) and report per-doc subword fertility.
+        24 merges because the synthetic corpus has only ~31 distinct
+        words — more would fully collapse every word and flatten the
+        signal. Deterministic (count-desc/pair-asc tie-break) but not
+        SQL-expressible — rows-only driver check; the trainer is
+        fuzz-verified against an independent brute reference in
+        tests/test_bpe.py."""
+        from blacklab_ray.pipelines.bpe import (
+            bpe_stats, train_bpe_from_corpus,
+        )
+        ds = _docs_ds(sf).select_columns(["doc_id", "text"])
+        merges = train_bpe_from_corpus(ds, 24)
+        return bpe_stats(_docs_ds(sf).select_columns(
+            ["doc_id", "text"]), merges)
+
     def q_normalize_text(sf):
         """Unicode/whitespace normalization (CCNet-style pre-tokenize
         cleanup): NFC + control strip + paragraph-preserving whitespace
@@ -953,6 +971,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "export_shards": q_export_shards,
         "lm_perplexity": q_lm_perplexity,
         "ppl_buckets": q_ppl_buckets,
+        "bpe_fertility": q_bpe_fertility,
     }
 
 

@@ -1,0 +1,220 @@
+"""BPE tokenizer training and encoding over the corpus.
+
+Training-data operator family (beyond the reference): learn a
+byte-pair-encoding subword vocabulary from the corpus and encode
+documents with it (Sennrich et al. 2016; the GPT-2/HuggingFace
+trainer shape).
+
+Scale design (100 TB): BPE training needs only the WORD-FREQUENCY
+table, never the corpus — so the distributed stage is ONE part-hash
+word count (the repo's proven shape: per-batch ``value_counts``
+partials, ``hash64(term) % P`` partition key, one vectorized Arrow
+``group_by`` per partition), and the merge loop runs on the driver
+over word TYPES with incremental pair-count updates — exactly how
+real trainers work (HF ``tokenizers`` counts words in parallel, then
+merges over the type table in memory; the type table is ~1e6 rows
+where the corpus is 1e12). Encoding is an actor-pool ``map_batches``
+stage that encodes each batch's UNIQUE words once through an
+LRU-style per-actor cache (tokenizers' word cache), then fans results
+back out with dictionary indices.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+from blacklab_ray.analysis.analyzers import tokenize_column
+from blacklab_ray.stages.tokenize import hash64
+
+_WC_PARTS = 64
+EOW = "</w>"     # end-of-word marker symbol (Sennrich-style)
+
+
+def word_counts(ds: ray.data.Dataset, text_col: str = "text",
+                parts: int = _WC_PARTS) -> pa.Table:
+    """Exact (term, n) word-frequency table, driver-materialized
+    (type-table-sized — the input to BPE training)."""
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        _, toks, _, _ = tokenize_column(batch.column(text_col))
+        vc = pc.value_counts(toks)
+        terms = vc.field(0)
+        d = pc.dictionary_encode(terms)
+        uniq = d.dictionary.to_pylist()
+        per = np.array([hash64(t) % parts for t in uniq], np.int64) \
+            if uniq else np.array([], np.int64)
+        part = per[d.indices.to_numpy(zero_copy_only=False)] \
+            if uniq else np.array([], np.int64)
+        return pa.table({"term": terms,
+                         "n": vc.field(1).cast(pa.int64()),
+                         "part": pa.array(part, pa.int64())})
+
+    def _combine(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.schema([("term", pa.string()),
+                              ("n", pa.int64())]).empty_table()
+        agg = g.select(["term", "n"]).group_by("term") \
+            .aggregate([("n", "sum")])
+        return pa.table({"term": agg["term"],
+                         "n": agg["n_sum"].cast(pa.int64())})
+
+    out = ds.map_batches(_partial, batch_format="pyarrow") \
+        .groupby("part").map_groups(_combine, batch_format="pyarrow")
+    tbls = [t for t in ray.get(out.to_arrow_refs()) if t.num_rows]
+    return pa.concat_tables(tbls).combine_chunks() if tbls else \
+        pa.schema([("term", pa.string()),
+                   ("n", pa.int64())]).empty_table()
+
+
+def train_bpe(counts: pa.Table, num_merges: int) -> list[tuple[str, str]]:
+    """The classic BPE merge loop over the word-type table.
+
+    Each word is a symbol sequence (chars + ``EOW``); repeatedly merge
+    the most frequent adjacent pair, counts weighted by word
+    frequency. Deterministic: ties break on the lexicographically
+    smallest pair (HF breaks on insertion order — an arbitrary choice;
+    ours is reproducible across partitionings by construction).
+    Incremental maintenance: a pair → word-id index so each merge
+    touches only words containing the pair, and a lazy-invalidated
+    max-heap over (count, pair) so picking the best pair is O(log P),
+    not an O(P) scan per merge (the trainer-grade complexity)."""
+    import heapq
+
+    words = [list(t) + [EOW] for t in counts["term"].to_pylist()]
+    freq = counts["n"].to_numpy(zero_copy_only=False).tolist()
+    pair_counts: dict[tuple, int] = {}
+    pair_words: dict[tuple, set] = {}
+
+    def _add(w_id: int, sign: int, touched: set):
+        syms, f = words[w_id], freq[w_id] * sign
+        for a, b in zip(syms, syms[1:]):
+            p = (a, b)
+            pair_counts[p] = pair_counts.get(p, 0) + f
+            touched.add(p)
+            if sign > 0:
+                pair_words.setdefault(p, set()).add(w_id)
+
+    init_touched: set = set()
+    for w_id in range(len(words)):
+        _add(w_id, +1, init_touched)
+    heap = [(-n, p) for p, n in pair_counts.items() if n > 0]
+    heapq.heapify(heap)
+
+    merges: list[tuple[str, str]] = []
+    while len(merges) < num_merges and heap:
+        negn, best = heapq.heappop(heap)
+        if pair_counts.get(best, 0) != -negn:
+            continue                      # stale heap entry
+        merges.append(best)
+        joined = best[0] + best[1]
+        touched: set = set()
+        for w_id in list(pair_words.get(best, ())):
+            syms = words[w_id]
+            _add(w_id, -1, touched)
+            i, out = 0, []
+            while i < len(syms):
+                if (i + 1 < len(syms) and syms[i] == best[0]
+                        and syms[i + 1] == best[1]):
+                    out.append(joined)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[w_id] = out
+            _add(w_id, +1, touched)
+        pair_words.pop(best, None)        # fully consumed
+        for p in touched:
+            n = pair_counts.get(p, 0)
+            if n > 0:
+                heapq.heappush(heap, (-n, p))
+            else:
+                pair_counts.pop(p, None)
+                pair_words.pop(p, None)
+    return merges
+
+
+def train_bpe_from_corpus(ds: ray.data.Dataset, num_merges: int,
+                          text_col: str = "text",
+                          parts: int = _WC_PARTS
+                          ) -> list[tuple[str, str]]:
+    return train_bpe(word_counts(ds, text_col, parts), num_merges)
+
+
+def encode_word(word: str, ranks: dict[tuple, int]) -> list[str]:
+    """GPT-2-style greedy encode: repeatedly apply the LOWEST-RANK
+    (earliest-learned) applicable merge."""
+    syms = list(word) + [EOW]
+    while len(syms) > 1:
+        best_i, best_r = -1, None
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_r is None or r < best_r):
+                best_i, best_r = i, r
+        if best_r is None:
+            break
+        syms[best_i:best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+    return syms
+
+
+class BpeEncoder:
+    """map_batches actor: per-doc subword stats under a learned BPE.
+
+    Encodes each batch's UNIQUE words once (bounded per-actor cache),
+    fans per-word subword counts back out via dictionary indices, and
+    emits (doc_id, n_words, n_subwords, compression) — the fertility
+    signal tokenizer evaluations report."""
+
+    def __init__(self, merges_ref, text_col: str = "text",
+                 id_col: str = "doc_id", cache_cap: int = 1 << 20):
+        merges = merges_ref if isinstance(merges_ref, list) \
+            else ray.get(merges_ref)
+        self._ranks = {tuple(p): i for i, p in enumerate(merges)}
+        self._text, self._id = text_col, id_col
+        self._cache: dict[str, int] = {}
+        self._cap = cache_cap
+
+    def _n_subwords(self, word: str) -> int:
+        n = self._cache.get(word)
+        if n is None:
+            n = len(encode_word(word, self._ranks))
+            if len(self._cache) >= self._cap:
+                self._cache.clear()    # simple epoch cache, bounded
+            self._cache[word] = n
+        return n
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        parents, toks, _, lens = tokenize_column(
+            batch.column(self._text))
+        d = pc.dictionary_encode(toks.combine_chunks()
+                                 if isinstance(toks, pa.ChunkedArray)
+                                 else toks)
+        per_uniq = np.array([self._n_subwords(w)
+                             for w in d.dictionary.to_pylist()],
+                            np.int64)
+        idx = d.indices.to_numpy(zero_copy_only=False)
+        sub = np.bincount(parents,
+                          weights=per_uniq[idx] if len(idx) else None,
+                          minlength=batch.num_rows).astype(np.int64)
+        words = np.asarray(lens, np.int64)
+        comp = np.round(sub / np.maximum(words, 1), 4)
+        return pa.table({
+            self._id: batch.column(self._id).cast(pa.int64()),
+            "n_words": pa.array(words, pa.int64()),
+            "n_subwords": pa.array(sub, pa.int64()),
+            "compression": pa.array(comp, pa.float64()),
+        })
+
+
+def bpe_stats(ds: ray.data.Dataset, merges: list[tuple[str, str]],
+              text_col: str = "text", id_col: str = "doc_id"
+              ) -> ray.data.Dataset:
+    """Per-doc subword fertility under ``merges`` (actor pool; the
+    merge table ships once via ray.put)."""
+    ref = ray.put(merges)
+    return ds.map_batches(
+        BpeEncoder, fn_constructor_args=(ref, text_col, id_col),
+        batch_format="pyarrow", concurrency=(1, 8))

@@ -81,9 +81,14 @@ def test_driver_key_cap(entry_mod):
     extras = q[50:]
     assert set(extras) == {"docs_by_lang", "docs_filter",
                            "mixture_sample", "export_shards",
-                           "lm_perplexity", "ppl_buckets"}, extras
+                           "lm_perplexity", "ppl_buckets",
+                           "bpe_fertility"}, extras
     o = entry_mod.oracle_sql()
-    assert all(k in o for k in extras)  # extras stay oracled
+    # extras stay oracled, except declared rows-only ops whose
+    # semantics SQL can't express (BPE merge loop); those are
+    # brute-reference-verified in their own test files instead
+    rows_only = {"bpe_fertility"}
+    assert all(k in o for k in set(extras) - rows_only)
 
 
 def _contract():
