@@ -218,3 +218,102 @@ def bpe_stats(ds: ray.data.Dataset, merges: list[tuple[str, str]],
     return ds.map_batches(
         BpeEncoder, fn_constructor_args=(ref, text_col, id_col),
         batch_format="pyarrow", concurrency=(1, 8))
+
+
+def bpe_vocab(merges: list[tuple[str, str]],
+              counts: pa.Table, first_id: int = 2) -> pa.Table:
+    """(subword, token_id) table: base symbols (the corpus's distinct
+    characters + EOW, sorted) then merge products in merge order —
+    deterministic given (counts, merges). Ids 0/1 stay PAD/UNK, same
+    convention as export.build_vocab."""
+    chars: set = set()
+    for t in counts["term"].to_pylist():
+        chars.update(t)
+    symbols = sorted(chars) + [EOW] + [a + b for a, b in merges]
+    seen, ordered = set(), []
+    for s in symbols:
+        if s not in seen:
+            seen.add(s)
+            ordered.append(s)
+    return pa.table({
+        "subword": pa.array(ordered, pa.string()),
+        "token_id": pa.array(
+            range(first_id, first_id + len(ordered)), pa.int32()),
+    })
+
+
+class BpeIdEncoder:
+    """map_batches actor: append a ``token_ids`` (list<int32>) column —
+    each doc's BPE subword-id sequence.
+
+    Per batch: encode UNIQUE words once (cache), then a vectorized
+    flat gather fans per-word id arrays out across the token stream
+    (np.repeat offset arithmetic — no per-token Python)."""
+
+    def __init__(self, merges_ref, vocab_ref, text_col: str = "text",
+                 unk_id: int = 1, cache_cap: int = 1 << 20):
+        merges = merges_ref if isinstance(merges_ref, list) \
+            else ray.get(merges_ref)
+        vocab = vocab_ref if isinstance(vocab_ref, pa.Table) \
+            else ray.get(vocab_ref)
+        self._ranks = {tuple(p): i for i, p in enumerate(merges)}
+        self._ids = {s: int(i) for s, i in
+                     zip(vocab["subword"].to_pylist(),
+                         vocab["token_id"].to_pylist())}
+        self._unk = unk_id
+        self._text = text_col
+        self._cache: dict[str, np.ndarray] = {}
+        self._cap = cache_cap
+
+    def _word_ids(self, word: str) -> np.ndarray:
+        ids = self._cache.get(word)
+        if ids is None:
+            ids = np.array([self._ids.get(s, self._unk) for s in
+                            encode_word(word, self._ranks)], np.int32)
+            if len(self._cache) >= self._cap:
+                self._cache.clear()
+            self._cache[word] = ids
+        return ids
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        parents, toks, _, _ = tokenize_column(batch.column(self._text))
+        n_docs = batch.num_rows
+        d = pc.dictionary_encode(toks.combine_chunks()
+                                 if isinstance(toks, pa.ChunkedArray)
+                                 else toks)
+        uniq_arrays = [self._word_ids(w)
+                       for w in d.dictionary.to_pylist()]
+        if uniq_arrays:
+            ua = np.concatenate(uniq_arrays)
+            ulen = np.array([a.size for a in uniq_arrays], np.int64)
+            uoffs = np.zeros(ulen.size, np.int64)
+            np.cumsum(ulen[:-1], out=uoffs[1:])
+            idx = d.indices.to_numpy(zero_copy_only=False)
+            tlen = ulen[idx]
+            total = int(tlen.sum())
+            run0 = np.cumsum(tlen) - tlen
+            flat = ua[np.repeat(uoffs[idx], tlen)
+                      + (np.arange(total, dtype=np.int64)
+                         - np.repeat(run0, tlen))]
+            per_doc = np.bincount(parents, weights=tlen,
+                                  minlength=n_docs).astype(np.int64)
+        else:
+            flat = np.array([], np.int32)
+            per_doc = np.zeros(n_docs, np.int64)
+        offs = np.zeros(n_docs + 1, np.int64)
+        np.cumsum(per_doc, out=offs[1:])
+        col = pa.ListArray.from_arrays(
+            pa.array(offs, pa.int64()).cast(pa.int32()),
+            pa.array(flat, pa.int32()))
+        return batch.append_column("token_ids", col)
+
+
+def encode_ids(ds: ray.data.Dataset, merges: list[tuple[str, str]],
+               vocab: pa.Table, text_col: str = "text"
+               ) -> ray.data.Dataset:
+    """Append the per-doc BPE id sequence (feeds
+    ``export.export_packed_sequences(ids_col="token_ids")``)."""
+    mref, vref = ray.put(merges), ray.put(vocab)
+    return ds.map_batches(
+        BpeIdEncoder, fn_constructor_args=(mref, vref, text_col),
+        batch_format="pyarrow", concurrency=(1, 8))

@@ -316,10 +316,13 @@ class _SliceEmitter:
     def __init__(self, vocab_ref, map_dir: str, shard_tokens: int,
                  text_col: str, id_col: str, cache_buckets: int = 64,
                  first_id: int = FIRST_TERM_ID,
-                 eos_id: int | None = None):
-        vocab = ray.get(vocab_ref) if not isinstance(vocab_ref, pa.Table) \
-            else vocab_ref
-        self._terms = vocab.column("term").combine_chunks()
+                 eos_id: int | None = None,
+                 ids_col: str | None = None):
+        self._ids_col = ids_col
+        if ids_col is None:
+            vocab = ray.get(vocab_ref) \
+                if not isinstance(vocab_ref, pa.Table) else vocab_ref
+            self._terms = vocab.column("term").combine_chunks()
         self._first_id = first_id
         self._eos = eos_id
         self._map_dir = map_dir
@@ -364,17 +367,31 @@ class _SliceEmitter:
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column(self._id).cast(pa.int64()) \
             .to_numpy(zero_copy_only=False)
-        parents, toks, _, lens = tokenize_column(batch.column(self._text))
-        # term → token id: one index_in probe over the token stream;
-        # misses become UNK. (A dictionary_encode-then-probe-uniques
-        # variant A/B'd SLOWER — 24.7-26.4 s vs 23.7 s at bench scale;
-        # the encode costs more than the saved probes.)
-        tid = pc.add(
-            pc.fill_null(pc.index_in(toks, value_set=self._terms),
-                         UNK_ID - self._first_id),
-            self._first_id).cast(pa.int32())
-        tid_np = tid.to_numpy(zero_copy_only=False)
-        lens = np.asarray(lens, dtype=np.int64)
+        if self._ids_col is not None:
+            # precomputed token ids (any upstream tokenizer — BPE,
+            # external): the flat stream and per-doc lengths come
+            # straight off the list column, zero re-tokenization
+            lst = batch.column(self._ids_col)
+            if isinstance(lst, pa.ChunkedArray):
+                lst = lst.combine_chunks()
+            offs = lst.offsets.to_numpy(zero_copy_only=False)
+            tid_np = lst.values.to_numpy(zero_copy_only=False) \
+                [offs[0]:offs[-1]].astype(np.int32, copy=False)
+            lens = np.diff(offs).astype(np.int64)
+        else:
+            parents, toks, _, lens = tokenize_column(
+                batch.column(self._text))
+            # term → token id: one index_in probe over the token
+            # stream; misses become UNK. (A dictionary_encode-then-
+            # probe-uniques variant A/B'd SLOWER — 24.7-26.4 s vs
+            # 23.7 s at bench scale; the encode costs more than the
+            # saved probes.)
+            tid = pc.add(
+                pc.fill_null(pc.index_in(toks, value_set=self._terms),
+                             UNK_ID - self._first_id),
+                self._first_id).cast(pa.int32())
+            tid_np = tid.to_numpy(zero_copy_only=False)
+            lens = np.asarray(lens, dtype=np.int64)
         if self._eos is not None:
             # one EOS after every doc (empty docs included) — inserted
             # at each doc's end position in the flat stream
@@ -435,7 +452,9 @@ def export_packed_sequences(ds: ray.data.Dataset, out_dir: str,
                             id_col: str = "doc_id",
                             rows_per_bucket: int = 4_000_000,
                             concurrency: int | None = None,
-                            eos: bool = False) -> dict:
+                            eos: bool = False,
+                            ids_col: str | None = None,
+                            n_vocab: int | None = None) -> dict:
     """Run the full export; returns corpus-level stats plus the shard
     manifest (also written to ``out_dir/manifest.json``).
 
@@ -443,8 +462,19 @@ def export_packed_sequences(ds: ray.data.Dataset, out_dir: str,
     document — the standard boundary signal packed training data
     carries — and shifts vocab term ids to start at ``EOS_ID + 1``.
     EOS tokens occupy stream positions like any token (counted in the
-    pack map), so packing stays a pure prefix sum."""
+    pack map), so packing stays a pure prefix sum.
+
+    ``ids_col`` names a precomputed list<int32> token-id column (any
+    upstream tokenizer — ``bpe.encode_ids``, an external model's):
+    the export packs those ids verbatim (no word vocab is built;
+    pass ``n_vocab`` so the manifest records the id space). Vocab,
+    UNK and delimiter policy then belong to the upstream tokenizer,
+    so ``vocab``/``eos`` are rejected in this mode."""
     os.makedirs(out_dir, exist_ok=True)
+    if ids_col is not None and (vocab is not None or eos):
+        raise ValueError("ids_col mode packs precomputed ids verbatim"
+                         " — vocab/eos belong to the upstream"
+                         " tokenizer")
     first_id = EOS_ID + 1 if eos else FIRST_TERM_ID
     if vocab is not None and vocab.num_rows:
         # a caller-supplied vocab defines its OWN id base — derive it
@@ -462,8 +492,11 @@ def export_packed_sequences(ds: ray.data.Dataset, out_dir: str,
     # mix stale shard bytes with a fresh manifest
     params = {"seq_len": seq_len, "seqs_per_shard": seqs_per_shard,
               "eos": eos, "first_id": first_id,
-              "vocab_size": vocab_size if vocab is None
-              else int(vocab.num_rows) + first_id}
+              "vocab_size": (int(n_vocab or 0) if ids_col is not None
+                             else vocab_size if vocab is None
+                             else int(vocab.num_rows) + first_id)}
+    if ids_col is not None:
+        params["ids_col"] = ids_col
     params_path = os.path.join(out_dir, "params.json")
     if os.path.exists(params_path):
         with open(params_path) as f:
@@ -478,7 +511,24 @@ def export_packed_sequences(ds: ray.data.Dataset, out_dir: str,
             json.dump(params, f)
         os.replace(params_path + ".tmp", params_path)
     map_dir = os.path.join(out_dir, "_pack_map")
-    if vocab is None:
+    if ids_col is not None:
+        def _id_counts(batch: pa.Table) -> pa.Table:
+            lst = batch.column(ids_col)
+            if isinstance(lst, pa.ChunkedArray):
+                lst = lst.combine_chunks()
+            return pa.table({
+                id_col: batch.column(id_col).cast(pa.int64()),
+                "n_tokens": pc.list_value_length(lst)
+                .cast(pa.int64())})
+
+        counts = ds.map_batches(_id_counts,
+                                batch_format="pyarrow").materialize()
+        map_stats = _write_pack_map_from_counts(counts, map_dir,
+                                                id_col, rows_per_bucket)
+        vocab = pa.table({"term": pa.array([], pa.string()),
+                          "token_id": pa.array([], pa.int32()),
+                          "collection_tf": pa.array([], pa.int64())})
+    elif vocab is None:
         # ONE fused tokenize serves both narrow consumers: per-doc
         # counts (kind 0) for the pack map and per-part term
         # frequencies (kind 1) for the vocab — halves the pre-payload
@@ -532,7 +582,8 @@ def export_packed_sequences(ds: ray.data.Dataset, out_dir: str,
     slices = ds.map_batches(
         _SliceEmitter,
         fn_constructor_args=(vocab_ref, map_dir, S, text_col, id_col,
-                             64, first_id, EOS_ID if eos else None),
+                             64, first_id, EOS_ID if eos else None,
+                             ids_col),
         batch_format="pyarrow",
         concurrency=concurrency or (1, 32))
 
@@ -627,7 +678,8 @@ def export_packed_sequences(ds: ray.data.Dataset, out_dir: str,
         "seq_len": seq_len,
         "n_sequences": n_seqs,
         "n_shards": n_shards,
-        "vocab_size": int(vocab.num_rows) + first_id,
+        "vocab_size": (int(n_vocab or 0) if ids_col is not None
+                       else int(vocab.num_rows) + first_id),
         "eos": eos,
         "shards": manifest,
     }

@@ -119,6 +119,47 @@ def test_corpus_train_and_stats(ray_session):
         assert r.compression == round(want_sub / max(len(toks), 1), 4)
 
 
+def test_encode_ids_and_packed_export(ray_session, tmp_path):
+    """Full BPE training pipeline: train → encode to ids → pack into
+    shards via export(ids_col=...) → reconstruct the stream and check
+    it equals the brute per-doc concatenation in doc order."""
+    from blacklab_ray.pipelines.bpe import bpe_vocab, encode_ids
+    from blacklab_ray.pipelines.export import (
+        export_packed_sequences, read_packed,
+    )
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(DOCS)), pa.int64()),
+        "text": pa.array(DOCS)})).repartition(2)
+    wc_tbl = word_counts(ds)
+    merges = train_bpe(wc_tbl, 15)
+    vocab = bpe_vocab(merges, wc_tbl)
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+    ids_of = {s: i for s, i in zip(vocab["subword"].to_pylist(),
+                                   vocab["token_id"].to_pylist())}
+    want_stream = []
+    for t in DOCS:        # docs pack in doc_id order
+        for w in _tok(t):
+            want_stream += [ids_of[s]
+                            for s in encode_word(w, ranks)]
+    enc = encode_ids(ds, merges, vocab)
+    out = str(tmp_path / "bpe_shards")
+    stats = export_packed_sequences(
+        enc, out, seq_len=8, seqs_per_shard=2,
+        ids_col="token_ids", n_vocab=int(vocab.num_rows) + 2)
+    assert stats["total_tokens"] == len(want_stream)
+    assert stats["vocab_size"] == int(vocab.num_rows) + 2
+    packed = read_packed(out).to_pandas().sort_values("seq_id")
+    got = [t for row in packed["tokens"] for t in row]
+    n_real = int(sum(packed["n_real"]))
+    assert n_real == len(want_stream)
+    assert got[:n_real] == want_stream       # exact stream, doc order
+    assert all(t == 0 for t in got[n_real:])  # PAD tail
+    # vocab/eos are upstream concerns in ids mode
+    with pytest.raises(ValueError):
+        export_packed_sequences(enc, str(tmp_path / "x"),
+                                ids_col="token_ids", eos=True)
+
+
 def test_encoder_cache_and_determinism(ray_session):
     ds = ray.data.from_arrow(pa.table({
         "doc_id": pa.array(range(len(DOCS)), pa.int64()),
