@@ -277,8 +277,11 @@ def _iter_shuffled(out_dir: str, batch_size: int, drop_last: bool,
         out_rows.append(row)
 
     def _pour(mat, n_real):
+        # per-row copies: a VIEW would pin its whole shard's plasma
+        # buffer for as long as the row sits in the reservoir — the
+        # copy bounds resident memory at cap × seq_len × 4 bytes
         for i in range(mat.shape[0]):
-            buf.append((mat[i], int(n_real[i])))
+            buf.append((mat[i].copy(), int(n_real[i])))
             if len(buf) > cap:
                 j = int(rng.integers(len(buf)))
                 buf[j], buf[-1] = buf[-1], buf[j]
@@ -286,6 +289,8 @@ def _iter_shuffled(out_dir: str, batch_size: int, drop_last: bool,
 
     for fi, f in enumerate(files):
         tbl = ray.get(refs[fi])
+        refs[fi] = None      # drop the ref: unpin the shard from the
+        #                      object store once consumed
         if fi + 4 < len(files):
             refs.append(read.remote(files[fi + 4]))
         _pour(*_shard_matrix(tbl))
