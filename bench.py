@@ -311,6 +311,20 @@ def run_bench(num_cpus: int) -> dict:
     timed("pii_scrub", lambda: cleaning.pii_scrub(
         ray.data.read_parquet(docs_path)).count())
 
+    from blacklab_ray.pipelines import bpe as bpelib
+    from blacklab_ray.pipelines import lm as lmlib
+    timed("lm_perplexity", lambda: lmlib.lm_perplexity(
+        ray.data.read_parquet(docs_path, columns=["doc_id", "text"]))
+        .count())
+
+    def _bpe():
+        ds = ray.data.read_parquet(docs_path,
+                                   columns=["doc_id", "text"])
+        merges = bpelib.train_bpe(bpelib.word_counts(ds), 512)
+        bpelib.bpe_stats(ds, merges).count()
+
+    timed("bpe_train_stats", _bpe)
+
     def _export_shards():
         # end-to-end training-shard export over the FULL bench corpus
         # (vocab → token ids → prefix sum → shard write); fresh out dir

@@ -226,7 +226,19 @@ def cmd_export(args) -> int:
     import ray.data
 
     ds = ray.data.read_parquet(args.input)
-    if args.curate:
+    if args.tokenizer == "bpe":
+        from blacklab_ray.pipelines.bpe import export_bpe_shards
+        if args.curate:
+            from blacklab_ray.pipelines.curate import curate
+            ds = curate(ds, text_col=args.text_col, id_col=args.id_col,
+                        languages=tuple(args.languages.split(","))
+                        if args.languages else None,
+                        near_dup=args.near_dup).materialize()
+        stats = export_bpe_shards(
+            ds, args.out, num_merges=args.merges,
+            seq_len=args.seq_len, seqs_per_shard=args.seqs_per_shard,
+            text_col=args.text_col, id_col=args.id_col)
+    elif args.curate:
         from blacklab_ray.pipelines.curate import curate_and_export
         stats = curate_and_export(
             ds, args.out, seq_len=args.seq_len,
@@ -245,6 +257,35 @@ def cmd_export(args) -> int:
             text_col=args.text_col, id_col=args.id_col)
     print(json.dumps({k: v for k, v in stats.items() if k != "shards"}
                      | {"n_shard_files": len(stats["shards"])}))
+    ray.shutdown()
+    return 0
+
+
+def cmd_score(args) -> int:
+    """Per-doc quality signals → parquet (streamed write_parquet —
+    the sink IS the consumer, nothing corpus-sized materializes)."""
+    _ray_session()
+    import ray
+    import ray.data
+
+    ds = ray.data.read_parquet(args.input)
+    if args.op in ("ppl", "ppl-buckets"):
+        from blacklab_ray.pipelines.lm import (
+            lm_perplexity, perplexity_buckets,
+        )
+        fn = lm_perplexity if args.op == "ppl" else perplexity_buckets
+        out = fn(ds, text_col=args.text_col, id_col=args.id_col)
+    elif args.op == "quality":
+        from blacklab_ray.pipelines.textstats import quality_scores
+        out = quality_scores(ds, args.text_col, args.id_col)
+    else:
+        from blacklab_ray.pipelines.textstats import lang_id
+        out = lang_id(ds, args.text_col, args.id_col)
+    out.write_parquet(args.out)
+    # row count from the written files' parquet metadata — a .count()
+    # on `out` would re-run the whole scoring pipeline
+    n = ray.data.read_parquet(args.out).count()
+    print(json.dumps({"op": args.op, "out": args.out, "rows": n}))
     ray.shutdown()
     return 0
 
@@ -351,7 +392,25 @@ def main(argv=None) -> int:
     ex.add_argument("--near-dup", action="store_true")
     ex.add_argument("--eos", action="store_true",
                     help="insert an EOS delimiter after every doc")
+    ex.add_argument("--tokenizer", default="word",
+                    choices=["word", "bpe"],
+                    help="word = top-V whole-word vocab; bpe = train "
+                         "a BPE on the corpus and pack subword ids "
+                         "(writes bpe_vocab.parquet + bpe_merges.json)")
+    ex.add_argument("--merges", type=int, default=8192,
+                    help="BPE merge count (--tokenizer bpe)")
     ex.set_defaults(fn=cmd_export)
+
+    sc = sub.add_parser("score")
+    sc.add_argument("--input", required=True)
+    sc.add_argument("--out", required=True,
+                    help="output parquet dir (streamed write)")
+    sc.add_argument("--op", default="ppl",
+                    choices=["ppl", "ppl-buckets", "quality",
+                             "langid"])
+    sc.add_argument("--text-col", default="text")
+    sc.add_argument("--id-col", default="doc_id")
+    sc.set_defaults(fn=cmd_score)
 
     g = sub.add_parser("gen")
     g.add_argument("--out", required=True)

@@ -317,3 +317,37 @@ def encode_ids(ds: ray.data.Dataset, merges: list[tuple[str, str]],
     return ds.map_batches(
         BpeIdEncoder, fn_constructor_args=(mref, vref, text_col),
         batch_format="pyarrow", concurrency=(1, 8))
+
+
+def export_bpe_shards(ds: ray.data.Dataset, out_dir: str,
+                      num_merges: int = 8192, seq_len: int = 1024,
+                      seqs_per_shard: int = 1024,
+                      text_col: str = "text",
+                      id_col: str = "doc_id", **export_kwargs) -> dict:
+    """Corpus → BPE-packed training shards, plus the tokenizer
+    artifacts a consumer needs to decode them (``bpe_vocab.parquet``
+    and ``bpe_merges.json`` in ``out_dir``).
+
+    The encoded stream is materialized between encode and export —
+    the export makes two passes (counts, payload) and re-encoding the
+    corpus per pass is the worse trade (ids are ~4 bytes/token,
+    smaller than the text they replace; blocks spill)."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    from blacklab_ray.pipelines.export import export_packed_sequences
+    wc = word_counts(ds, text_col)
+    merges = train_bpe(wc, num_merges)
+    vocab = bpe_vocab(merges, wc)
+    enc = encode_ids(ds, merges, vocab, text_col).materialize()
+    stats = export_packed_sequences(
+        enc, out_dir, seq_len=seq_len, seqs_per_shard=seqs_per_shard,
+        ids_col="token_ids", n_vocab=int(vocab.num_rows) + 2,
+        text_col=text_col, id_col=id_col, **export_kwargs)
+    pq.write_table(vocab, os.path.join(out_dir, "bpe_vocab.parquet"))
+    with open(os.path.join(out_dir, "bpe_merges.json"), "w") as f:
+        json.dump([list(m) for m in merges], f)
+    stats["n_merges"] = len(merges)
+    return stats
