@@ -612,6 +612,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return bpe_stats(_docs_ds(sf).select_columns(
             ["doc_id", "text"]), merges)
 
+    def q_weighted_sample(sf):
+        """Importance resampling (Efraimidis-Spirakis A-Res): 50 docs
+        sampled without replacement with probability proportional to
+        n_chars; md5-digest uniforms make the pick SQL-reproducible."""
+        from blacklab_ray.pipelines.docsops import weighted_sample
+        return weighted_sample(
+            _docs_ds(sf).select_columns(["doc_id", "n_chars"]),
+            "n_chars", 50)
+
     def q_normalize_text(sf):
         """Unicode/whitespace normalization (CCNet-style pre-tokenize
         cleanup): NFC + control strip + paragraph-preserving whitespace
@@ -972,6 +981,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_perplexity": q_lm_perplexity,
         "ppl_buckets": q_ppl_buckets,
         "bpe_fertility": q_bpe_fertility,
+        "weighted_sample": q_weighted_sample,
     }
 
 
@@ -1350,6 +1360,17 @@ SELECT doc_id, n_bigrams, ppl,
             WHEN pk <= (SELECT q2 FROM q) THEN 'middle'
             ELSE 'tail' END AS bucket
 FROM k ORDER BY doc_id
+""",
+        "weighted_sample": """
+WITH p AS (
+  SELECT doc_id, n_chars::DOUBLE AS weight,
+         ln((CAST(md5_number_lower(doc_id::VARCHAR || ':7')
+                  AS DOUBLE) + 1)
+            / 18446744073709551616.0) / n_chars::DOUBLE AS pri
+  FROM documents WHERE n_chars > 0)
+SELECT doc_id, weight,
+       row_number() OVER (ORDER BY pri DESC, doc_id) AS rank
+FROM p ORDER BY pri DESC, doc_id LIMIT 50
 """,
         "pack_sequences": r"""
 WITH t AS (SELECT doc_id,

@@ -16,6 +16,7 @@ groupby/sort; these add the remaining two as named operators:
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import ray.data
 
@@ -162,6 +163,58 @@ def mixture_sample(ds: ray.data.Dataset, group_col: str,
              for g, w in weights.items()}
     return sample_stratified(ds, group_col, quota, seed=seed,
                              id_col=id_col)
+
+
+def weighted_sample(ds: ray.data.Dataset, weight_col: str, k: int,
+                    id_col: str = "doc_id", seed: int = 7) -> pa.Table:
+    """Deterministic weighted sample WITHOUT replacement — the
+    Efraimidis-Spirakis A-Res scheme: priority ``ln(u) / w`` with a
+    seeded md5-derived uniform ``u``; the k largest priorities win
+    with inclusion probability proportional to weight. The importance
+    -resampling shape (sample docs by quality score / length) the
+    plain and stratified samplers can't express.
+
+    Rows with weight <= 0 are never sampled (defined out). Digest
+    ``u`` uses md5_low64(f"{id}:{seed}") — EXACTLY DuckDB's
+    md5_number_lower, so the pick is SQL-reproducible and
+    partition-order independent.
+
+    Scale shape: per-batch top-k combiner, so the driver merge sees
+    at most k × blocks rows, never the corpus. Returns the k-row
+    table (doc_id, weight, rank) directly — it is result-sized."""
+    import hashlib  # noqa: F401  (md5_low64 wraps it)
+
+    from blacklab_ray.pipelines.hits import md5_low64
+
+    def _pri(ids: np.ndarray, w: np.ndarray) -> np.ndarray:
+        u = np.array([md5_low64(f"{i}:{seed}") for i in ids],
+                     np.uint64).astype(np.float64)
+        return np.log((u + 1.0) / 18446744073709551616.0) / w
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        w = batch.column(weight_col).cast(pa.float64()) \
+            .to_numpy(zero_copy_only=False)
+        keep = w > 0
+        ids, w = ids[keep], w[keep]
+        pri = _pri(ids, w) if ids.size else np.array([], np.float64)
+        order = np.lexsort((ids, -pri))[:k]
+        return pa.table({id_col: pa.array(ids[order], pa.int64()),
+                         "weight": pa.array(w[order], pa.float64()),
+                         "pri": pa.array(pri[order], pa.float64())})
+
+    rows = ds.map_batches(_partial, batch_format="pyarrow").take_all()
+    ids = np.array([r[id_col] for r in rows], np.int64)
+    w = np.array([r["weight"] for r in rows], np.float64)
+    pri = np.array([r["pri"] for r in rows], np.float64)
+    order = np.lexsort((ids, -pri))[:k]
+    return pa.table({
+        id_col: pa.array(ids[order], pa.int64()),
+        "weight": pa.array(w[order], pa.float64()),
+        "rank": pa.array(np.arange(1, order.size + 1, dtype=np.int64),
+                         pa.int64()),
+    })
 
 
 def exact_quantiles(ds: ray.data.Dataset, col: str,

@@ -82,7 +82,7 @@ def test_driver_key_cap(entry_mod):
     assert set(extras) == {"docs_by_lang", "docs_filter",
                            "mixture_sample", "export_shards",
                            "lm_perplexity", "ppl_buckets",
-                           "bpe_fertility"}, extras
+                           "bpe_fertility", "weighted_sample"}, extras
     o = entry_mod.oracle_sql()
     # extras stay oracled, except declared rows-only ops whose
     # semantics SQL can't express (BPE merge loop); those are

@@ -731,3 +731,42 @@ def test_exact_quantiles_vs_duckdb(ray_session):
         want = con.execute(
             f"SELECT quantile_disc(x, {q}) FROM t").fetchone()[0]
         assert v == want, (q, v, want)
+
+
+def test_weighted_sample_vs_duckdb(ray_session):
+    """A-Res weighted sample vs the same priority computed in DuckDB
+    (md5_number_lower parity), plus proportional-inclusion sanity."""
+    import duckdb
+    import ray.data
+
+    from blacklab_ray.pipelines.docsops import weighted_sample
+
+    rng = np.random.default_rng(5)
+    n = 600
+    ids = np.arange(n, dtype=np.int64)
+    # heavy docs (weight 100) vs light (weight 1), plus zero-weight
+    w = np.where(ids % 3 == 0, 100.0, 1.0)
+    w[::50] = 0.0          # never sampled
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "wt": pa.array(w, pa.float64())})).repartition(5)
+    got = weighted_sample(ds, "wt", 80, seed=7)
+    assert got.num_rows == 80
+    gd = got.to_pydict()
+    assert all(w[i] > 0 for i in gd["doc_id"])    # zero-weight excluded
+    heavy = sum(1 for i in gd["doc_id"] if i % 3 == 0)
+    assert heavy > 60                              # prob ∝ weight
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT unnest($1::BIGINT[]) AS id,"
+                " unnest($2::DOUBLE[]) AS wt",
+                [ids.tolist(), w.tolist()])
+    want = con.execute("""
+WITH p AS (SELECT id, wt,
+        ln((CAST(md5_number_lower(id::VARCHAR || ':7') AS DOUBLE) + 1)
+           / 18446744073709551616.0) / wt AS pri
+      FROM t WHERE wt > 0)
+SELECT id, wt, row_number() OVER (ORDER BY pri DESC, id) AS rank
+FROM p ORDER BY pri DESC, id LIMIT 80""").fetchall()
+    assert [(r["doc_id"], r["weight"], r["rank"])
+            for r in got.to_pylist()] == [tuple(r) for r in want]
