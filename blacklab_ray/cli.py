@@ -228,6 +228,14 @@ def cmd_export(args) -> int:
     ds = ray.data.read_parquet(args.input)
     if args.tokenizer == "bpe":
         from blacklab_ray.pipelines.bpe import export_bpe_shards
+        if args.eos:
+            raise SystemExit("--eos is a word-tokenizer option; with "
+                             "--tokenizer bpe delimiters belong to "
+                             "the BPE id space (not yet supported)")
+        if args.vocab_size != 65536:
+            raise SystemExit("--vocab-size has no effect with "
+                             "--tokenizer bpe; size the vocabulary "
+                             "with --merges")
         if args.curate:
             from blacklab_ray.pipelines.curate import curate
             ds = curate(ds, text_col=args.text_col, id_col=args.id_col,
@@ -264,6 +272,12 @@ def cmd_export(args) -> int:
 def cmd_score(args) -> int:
     """Per-doc quality signals → parquet (streamed write_parquet —
     the sink IS the consumer, nothing corpus-sized materializes)."""
+    import os
+    if os.path.isdir(args.out) and os.listdir(args.out):
+        raise SystemExit(f"--out {args.out} is not empty; a re-run "
+                         "would mix stale score files with new ones "
+                         "(write_parquet appends uniquely-named "
+                         "files) — use a fresh directory")
     _ray_session()
     import ray
     import ray.data

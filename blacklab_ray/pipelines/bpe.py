@@ -43,12 +43,9 @@ def word_counts(ds: ray.data.Dataset, text_col: str = "text",
         _, toks, _, _ = tokenize_column(batch.column(text_col))
         vc = pc.value_counts(toks)
         terms = vc.field(0)
-        d = pc.dictionary_encode(terms)
-        uniq = d.dictionary.to_pylist()
-        per = np.array([hash64(t) % parts for t in uniq], np.int64) \
-            if uniq else np.array([], np.int64)
-        part = per[d.indices.to_numpy(zero_copy_only=False)] \
-            if uniq else np.array([], np.int64)
+        # value_counts terms are already distinct — hash them directly
+        part = np.array([hash64(t) % parts
+                         for t in terms.to_pylist()], np.int64)
         return pa.table({"term": terms,
                          "n": vc.field(1).cast(pa.int64()),
                          "part": pa.array(part, pa.int64())})
@@ -330,8 +327,10 @@ def export_bpe_shards(ds: ray.data.Dataset, out_dir: str,
 
     The encoded stream is materialized between encode and export —
     the export makes two passes (counts, payload) and re-encoding the
-    corpus per pass is the worse trade (ids are ~4 bytes/token,
-    smaller than the text they replace; blocks spill)."""
+    corpus per pass is the worse trade. Only (id, token_ids) is
+    materialized (ids are ~4 bytes/token, smaller than the text they
+    replace — keeping the text column would more than double the
+    pinned footprint); blocks spill."""
     import json
     import os
 
@@ -341,7 +340,8 @@ def export_bpe_shards(ds: ray.data.Dataset, out_dir: str,
     wc = word_counts(ds, text_col)
     merges = train_bpe(wc, num_merges)
     vocab = bpe_vocab(merges, wc)
-    enc = encode_ids(ds, merges, vocab, text_col).materialize()
+    enc = encode_ids(ds, merges, vocab, text_col) \
+        .select_columns([id_col, "token_ids"]).materialize()
     stats = export_packed_sequences(
         enc, out_dir, seq_len=seq_len, seqs_per_shard=seqs_per_shard,
         ids_col="token_ids", n_vocab=int(vocab.num_rows) + 2,

@@ -182,8 +182,6 @@ def weighted_sample(ds: ray.data.Dataset, weight_col: str, k: int,
     Scale shape: per-batch top-k combiner, so the driver merge sees
     at most k × blocks rows, never the corpus. Returns the k-row
     table (doc_id, weight, rank) directly — it is result-sized."""
-    import hashlib  # noqa: F401  (md5_low64 wraps it)
-
     from blacklab_ray.pipelines.hits import md5_low64
 
     def _pri(ids: np.ndarray, w: np.ndarray) -> np.ndarray:

@@ -233,15 +233,7 @@ def iter_training_batches(out_dir: str, batch_size: int,
     for b in ds.iter_batches(batch_size=batch_size,
                              batch_format="pyarrow",
                              drop_last=drop_last):
-        toks = b.column("tokens")
-        if isinstance(toks, pa.ChunkedArray):
-            toks = toks.combine_chunks()
-        flat = toks.values.to_numpy(zero_copy_only=False)
-        offs = toks.offsets.to_numpy(zero_copy_only=False)
-        seq_len = int(offs[1] - offs[0]) if len(offs) > 1 else 0
-        n = b.num_rows
-        mat = flat[offs[0]:offs[0] + n * seq_len].reshape(n, seq_len)
-        yield mat, b.column("n_real").to_numpy(zero_copy_only=False)
+        yield _shard_matrix(b)
 
 
 def _shard_matrix(tbl: pa.Table) -> tuple[np.ndarray, np.ndarray]:
@@ -266,7 +258,9 @@ def _iter_shuffled(out_dir: str, batch_size: int, drop_last: bool,
     files = sorted(_glob.glob(os.path.join(out_dir, "shard-*.parquet")))
     rng = np.random.default_rng(seed)
     files = [files[i] for i in rng.permutation(len(files))]
-    cap = max(buffer_seqs, 8 * batch_size)
+    # an explicit buffer size is honored exactly; the 8x floor is the
+    # DEFAULT (buffer_seqs unset/0), not an override
+    cap = buffer_seqs if buffer_seqs > 0 else 8 * batch_size
 
     read = ray.remote(num_cpus=0.5)(pq.read_table)
     refs = [read.remote(f) for f in files[:4]]
@@ -480,6 +474,10 @@ def export_packed_sequences(ds: ray.data.Dataset, out_dir: str,
         raise ValueError("ids_col mode packs precomputed ids verbatim"
                          " — vocab/eos belong to the upstream"
                          " tokenizer")
+    if ids_col is not None and (n_vocab is None or n_vocab <= 0):
+        raise ValueError("ids_col mode requires n_vocab (the upstream"
+                         " tokenizer's id-space size) so the manifest"
+                         " records a usable vocab_size")
     first_id = EOS_ID + 1 if eos else FIRST_TERM_ID
     if vocab is not None and vocab.num_rows:
         # a caller-supplied vocab defines its OWN id base — derive it

@@ -101,49 +101,41 @@ def _batch_bigrams(batch: pa.Table, text_col: str) -> tuple:
     return parents[:-1][same.to_numpy(zero_copy_only=False)], w1, w2, toks
 
 
-def _count_partials(batch: pa.Table, text_col: str,
-                    parts: int) -> pa.Table:
-    """Per-batch pre-aggregated (w1, w2, n, part) bigram partials plus
-    distinct-unigram rows (w2 NULL, n 0) for the vocabulary count."""
-    _, w1, w2, toks = _batch_bigrams(batch, text_col)
-    big = pa.table({"w1": w1, "w2": w2}).group_by(["w1", "w2"]) \
-        .aggregate([([], "count_all")])
-    uni = pc.unique(toks)
-    bt = pa.table({"w1": big["w1"], "w2": big["w2"],
-                   "n": big["count_all"].cast(pa.int64())})
-    ut = pa.table({"w1": uni, "w2": pa.nulls(len(uni), pa.string()),
-                   "n": pa.array(np.zeros(len(uni), np.int64),
-                                 pa.int64())})
-    out = pa.concat_tables([bt, ut]).combine_chunks()
-    return out.append_column("part", _part_of_terms(out["w1"], parts))
+def _distinct_terms(ds: ray.data.Dataset, text_col: str,
+                    parts: int) -> pa.Array:
+    """Sorted distinct-term array (the LM's code space): per-batch
+    ``pc.unique`` partials → part-hash distinct → driver sort. Every
+    stage is type-table-sized."""
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        _, toks, _, _ = tokenize_column(batch.column(text_col))
+        uni = pc.unique(toks)
+        return pa.table({"term": uni,
+                         "part": _part_of_terms(uni, parts)})
+
+    def _comb(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.schema([("term", pa.string())]).empty_table()
+        return pa.table({"term": pc.unique(g["term"].combine_chunks())})
+
+    out = ds.map_batches(_partial, batch_format="pyarrow") \
+        .groupby("part").map_groups(_comb, batch_format="pyarrow")
+    tbls = [t for t in ray.get(out.to_arrow_refs()) if t.num_rows]
+    if not tbls:
+        return pa.array([], pa.string())
+    col = pa.concat_tables(tbls)["term"]
+    arr = pc.take(col, pc.sort_indices(col))
+    if isinstance(arr, pa.ChunkedArray):
+        arr = pa.concat_arrays(arr.chunks) if arr.num_chunks != 1 \
+            else arr.chunk(0)
+    return arr
 
 
-def _combine_counts(g: pa.Table) -> pa.Table:
-    """Reduce one part: exact bigram counts + history totals + the
-    part's distinct vocab rows. Schema (w1, w2, n, h); vocab rows have
-    w2 NULL and n = h = 0."""
-    if g.num_rows == 0:
-        return _LM_SCHEMA.empty_table()
-    is_big = pc.is_valid(g["w2"])
-    big = g.filter(is_big)
-    uni = g.filter(pc.invert(is_big))
-    vocab = pc.unique(uni["w1"].combine_chunks())
-    zeros = pa.array(np.zeros(len(vocab), np.int64), pa.int64())
-    out = [pa.table({"w1": vocab,
-                     "w2": pa.nulls(len(vocab), pa.string()),
-                     "n": zeros, "h": zeros}, schema=_LM_SCHEMA)]
-    if big.num_rows:
-        agg = big.select(["w1", "w2", "n"]).group_by(["w1", "w2"]) \
-            .aggregate([("n", "sum")])
-        hist = agg.group_by("w1").aggregate([("n_sum", "sum")])
-        hidx = pc.index_in(agg["w1"],
-                           value_set=hist["w1"].combine_chunks())
-        h = hist["n_sum_sum"].take(hidx)
-        out.append(pa.table({"w1": agg["w1"], "w2": agg["w2"],
-                             "n": agg["n_sum"].cast(pa.int64()),
-                             "h": h.cast(pa.int64())},
-                            schema=_LM_SCHEMA))
-    return pa.concat_tables(out)
+def _hash_part(keys: np.ndarray, parts: int) -> np.ndarray:
+    """Multiplicative part hash (plain ``% parts`` would collapse on
+    the packed-key structure — same reasoning as exchange._part_of)."""
+    h = keys.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+    return ((h >> np.uint64(32)).astype(np.int64)) % parts
 
 
 def train_bigram_lm(ds: ray.data.Dataset, text_col: str = "text",
@@ -151,12 +143,72 @@ def train_bigram_lm(ds: ray.data.Dataset, text_col: str = "text",
     """Exact corpus bigram counts as a Dataset with schema
     (w1, w2, n, h): bigram rows carry the pair count ``n`` and the
     history total ``h``; rows with w2 NULL enumerate the distinct
-    unigram vocabulary (``vocab_size`` counts them)."""
-    partials = ds.map_batches(
-        lambda b: _count_partials(b, text_col, parts),
-        batch_format="pyarrow")
-    return partials.groupby("part").map_groups(
-        _combine_counts, batch_format="pyarrow")
+    unigram vocabulary (``vocab_size`` counts them).
+
+    Two phases, so the corpus-sized stream never shuffles strings
+    (the exchange rule — the one-phase string version measured 67 s
+    vs 20 s at bench scale): (1) distinct-term vocab, type-sized,
+    broadcast once; (2) per-batch ``index_in`` coding + packed
+    ``c1 * V + c2`` int64 keys, np.unique partials, one int shuffle
+    part-hashed by ``c1`` so each part still owns every history.
+    Terms decode back to strings only in the reduce, over the
+    distinct-bigram table. (Beyond ~3e9 distinct terms the packed key
+    overflows int64 and the vocab broadcast stops fitting — that
+    regime wants the index exchange's map-local-code shuffle.)"""
+    terms = _distinct_terms(ds, text_col, parts)
+    v = len(terms)
+    vocab_rows = pa.table({
+        "w1": terms, "w2": pa.nulls(v, pa.string()),
+        "n": pa.array(np.zeros(v, np.int64), pa.int64()),
+        "h": pa.array(np.zeros(v, np.int64), pa.int64())},
+        schema=_LM_SCHEMA)
+    if v == 0:
+        return ray.data.from_arrow(_LM_SCHEMA.empty_table())
+    if v >= (1 << 31):
+        raise ValueError("packed-key space exceeds int64; use the "
+                         "map-local-code exchange for this vocabulary")
+    tref = ray.put(terms)
+
+    def _partials(batch: pa.Table) -> pa.Table:
+        vt = ray.get(tref)
+        _, w1, w2, _ = _batch_bigrams(batch, text_col)
+        c1 = pc.index_in(w1, value_set=vt) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        c2 = pc.index_in(w2, value_set=vt) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        keys, cnt = np.unique(c1 * v + c2, return_counts=True)
+        return pa.table({
+            "key": pa.array(keys, pa.int64()),
+            "n": pa.array(cnt.astype(np.int64), pa.int64()),
+            "part": pa.array(_hash_part(keys // v, parts), pa.int64())})
+
+    def _combine(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _LM_SCHEMA.empty_table()
+        vt = ray.get(tref)
+        keys = g["key"].to_numpy(zero_copy_only=False)
+        ns = g["n"].to_numpy(zero_copy_only=False)
+        order = np.argsort(keys)
+        keys, ns = keys[order], ns[order]
+        bounds = np.flatnonzero(np.diff(keys)) + 1
+        starts = np.concatenate(([0], bounds))
+        uk = keys[starts]
+        un = np.add.reduceat(ns, starts)
+        c1 = uk // v
+        hb = np.flatnonzero(np.diff(c1)) + 1
+        hstarts = np.concatenate(([0], hb))
+        h_per_group = np.add.reduceat(un, hstarts)
+        h = np.repeat(h_per_group,
+                      np.diff(np.concatenate((hstarts, [uk.size]))))
+        return pa.table({
+            "w1": vt.take(pa.array(c1, pa.int64())),
+            "w2": vt.take(pa.array(uk % v, pa.int64())),
+            "n": pa.array(un, pa.int64()),
+            "h": pa.array(h, pa.int64())}, schema=_LM_SCHEMA)
+
+    counts = ds.map_batches(_partials, batch_format="pyarrow") \
+        .groupby("part").map_groups(_combine, batch_format="pyarrow")
+    return counts.union(ray.data.from_arrow(vocab_rows))
 
 
 def vocab_size(lm: ray.data.Dataset) -> int:
@@ -172,26 +224,35 @@ def vocab_size(lm: ray.data.Dataset) -> int:
     return int(out or 0)
 
 
-class _BroadcastScorer:
-    """map_batches class: scores batches against a broadcast LM.
+def _build_lm_index(lm: pa.Table) -> tuple:
+    """(hist_terms, h, w2_terms, keys, n): the ready-made scorer index
+    — built ONCE on the driver and ray.put whole, so each scoring
+    actor deserializes (plasma-zero-copy numpy) instead of re-running
+    the unique/index_in/argsort pass over the bigram table (3.2 s per
+    actor at bench scale)."""
+    hist_terms = pc.unique(lm["w1"].combine_chunks())
+    c1 = _codes(lm["w1"], hist_terms)
+    h = np.zeros(len(hist_terms), np.int64)
+    h[c1] = lm["h"].to_numpy(zero_copy_only=False)
+    w2_terms = pc.unique(lm["w2"].combine_chunks())
+    c2 = _codes(lm["w2"], w2_terms)
+    packed = c1 * (len(w2_terms) + 1) + c2
+    order = np.argsort(packed)
+    return (hist_terms, h, w2_terms, packed[order],
+            lm["n"].to_numpy(zero_copy_only=False)[order])
 
-    Index built once per actor in __init__ (pc.index_in value sets +
-    one sorted packed-int64 key array); per batch the lookups are two
+
+class _BroadcastScorer:
+    """map_batches class: scores batches against a broadcast LM index
+    (prebuilt by ``_build_lm_index``); per batch the lookups are two
     hash probes and one searchsorted — no Python per-row work."""
 
-    def __init__(self, lm_ref, v: int, text_col: str, id_col: str):
-        lm = lm_ref if isinstance(lm_ref, pa.Table) else ray.get(lm_ref)
+    def __init__(self, index_ref, v: int, text_col: str, id_col: str):
+        idx = index_ref if isinstance(index_ref, tuple) \
+            else ray.get(index_ref)
         self._text, self._id, self._v = text_col, id_col, v
-        self._hist_terms = pc.unique(lm["w1"].combine_chunks())
-        c1 = _codes(lm["w1"], self._hist_terms)
-        self._h = np.zeros(len(self._hist_terms), np.int64)
-        self._h[c1] = lm["h"].to_numpy(zero_copy_only=False)
-        self._w2_terms = pc.unique(lm["w2"].combine_chunks())
-        c2 = _codes(lm["w2"], self._w2_terms)
-        packed = c1 * (len(self._w2_terms) + 1) + c2
-        order = np.argsort(packed)
-        self._keys = packed[order]
-        self._n = lm["n"].to_numpy(zero_copy_only=False)[order]
+        (self._hist_terms, self._h, self._w2_terms,
+         self._keys, self._n) = idx
 
     def _logp(self, w1: pa.Array, w2: pa.Array) -> np.ndarray:
         c1 = _codes(w1, self._hist_terms)
@@ -243,7 +304,8 @@ def score_perplexity(ds: ray.data.Dataset,
         if v is None:
             v = int(pc.sum(pc.is_null(tbl["w2"]).cast(pa.int64()))
                     .as_py() or 0)
-        ref = ray.put(tbl.filter(pc.is_valid(tbl["w2"])))
+        ref = ray.put(_build_lm_index(
+            tbl.filter(pc.is_valid(tbl["w2"]))))
         return ds.map_batches(
             _BroadcastScorer,
             fn_constructor_args=(ref, v, text_col, id_col),
