@@ -946,7 +946,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "highlight_snippets": q_highlight_snippets,
         "sample_hits_spark": q_sample_hits,
         "term_stats": q_term_stats,
-        "doc_stats": q_doc_stats,
+        "lm_perplexity": q_lm_perplexity,
         "corpus_stats": q_corpus_stats,
         "bm25_or_scores": q_bm25_or_scores,
         "bm25_topk": q_bm25_topk,
@@ -972,13 +972,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "paragraph_dedup": q_paragraph_dedup,
         "dup_spans": q_dup_spans,
         # ---- positions 51+: past the driver's 50-key recording cap, but
-        # still fully oracled and replayed by tests/test_entry.py (rotated
-        # out of the recorded set for pack_sequences / normalize_text)
+        # still fully oracled (bpe_fertility: rows-only) and replayed by
+        # tests/test_entry.py (rotated out of the recorded set for
+        # pack_sequences / normalize_text / lm_perplexity; doc_stats'
+        # analyzer row stays driver-recorded via term_stats)
         "docs_by_lang": q_docs_by_lang,
         "docs_filter": q_docs_filter,
+        "doc_stats": q_doc_stats,
         "mixture_sample": q_mixture_sample,
         "export_shards": q_export_shards,
-        "lm_perplexity": q_lm_perplexity,
         "ppl_buckets": q_ppl_buckets,
         "bpe_fertility": q_bpe_fertility,
         "weighted_sample": q_weighted_sample,

@@ -79,10 +79,11 @@ def test_driver_key_cap(entry_mod):
     insertion can't silently push a recorded key past the cap."""
     q = list(entry_mod.queries())
     extras = q[50:]
-    assert set(extras) == {"docs_by_lang", "docs_filter",
+    assert set(extras) == {"docs_by_lang", "docs_filter", "doc_stats",
                            "mixture_sample", "export_shards",
-                           "lm_perplexity", "ppl_buckets",
-                           "bpe_fertility", "weighted_sample"}, extras
+                           "ppl_buckets", "bpe_fertility",
+                           "weighted_sample"}, extras
+    assert "lm_perplexity" in q[:50]   # rotated INTO the recorded set
     o = entry_mod.oracle_sql()
     # extras stay oracled, except declared rows-only ops whose
     # semantics SQL can't express (BPE merge loop); those are
