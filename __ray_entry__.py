@@ -760,6 +760,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         t = ann.cosine_dup_pairs(_emb_ds(sf), threshold=0.95)
         return _round_cols(t.to_pandas(), {"cosine": 4})
 
+    def q_semdedup_pairs(sf):
+        # SemDeDup: md5-seeded 4-cell assignment, exact cosine pairs
+        # within each cell only (threshold 0.42 — the synthetic
+        # embeddings carry no planted near-dups; margin to the nearest
+        # cosine is >1e-3, and the min argmax assignment margin is
+        # >1.8e-4, so float64-vs-DuckDB rounding cannot flip a row)
+        t = ann.semantic_dup_pairs(_emb_ds(sf), threshold=0.42,
+                                   n_cells=4, centroids="md5")
+        return _round_cols(t.to_pandas(), {"cosine": 4})
+
     def q_ann_lsh(sf):
         # md5-derived hyperplanes: the DuckDB oracle replicates the
         # bucketing bit-exactly (VERDICT r2 item 9)
@@ -984,6 +994,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ppl_buckets": q_ppl_buckets,
         "bpe_fertility": q_bpe_fertility,
         "weighted_sample": q_weighted_sample,
+        "semdedup_pairs": q_semdedup_pairs,
     }
 
 
@@ -1718,6 +1729,30 @@ SELECT a.vec_id AS a, b.vec_id AS b,
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.embedding::DOUBLE[],
                              b.embedding::DOUBLE[]) >= 0.95
+""",
+        "semdedup_pairs": """
+WITH seeds AS (
+  SELECT embedding::DOUBLE[] AS ce,
+         row_number() OVER (ORDER BY
+           md5_number_lower('ivfseed:' || vec_id), vec_id) - 1 AS cell
+  FROM embeddings
+  QUALIFY cell < 4),
+assign AS (
+  SELECT e.vec_id, s.cell
+  FROM embeddings e, seeds s
+  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+    ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], s.ce) DESC,
+             s.cell) = 1)
+SELECT a.vec_id AS a, b.vec_id AS b,
+       round(list_cosine_similarity(ea.embedding::DOUBLE[],
+                                    eb.embedding::DOUBLE[]), 4) AS cosine
+FROM assign a
+JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+JOIN embeddings ea ON ea.vec_id = a.vec_id
+JOIN embeddings eb ON eb.vec_id = b.vec_id
+WHERE list_cosine_similarity(ea.embedding::DOUBLE[],
+                             eb.embedding::DOUBLE[]) >= 0.42
+ORDER BY a, b
 """,
         "quality_by_source": f"""
 WITH toks AS ({toks}),

@@ -509,3 +509,139 @@ def ivf_topk(ds: ray.data.Dataset, query_ids: np.ndarray,
         batch_format="pyarrow")
     return brute_topk(cand, query_ids, qmat, k,
                       vec_col=vec_col, id_col=id_col)
+
+
+# ---- SemDeDup: cluster-scoped semantic near-dup (Abbas et al. 2023) -------
+
+def _tiled_self_pairs(group: pa.Table, threshold: float, id_col: str,
+                      vec_col: str, tile: int = 4096) -> pa.Table:
+    """Thresholded cosine pairs WITHIN one table, tiled so memory is
+    bounded by tile² floats regardless of group size (no truncation —
+    unlike the LSH bucket cap, a k-means cell is the unit SemDeDup
+    compares exhaustively)."""
+    n = group.num_rows
+    if n < 2:
+        return pa.table(_EMPTY_PAIRS)
+    if n <= tile:
+        return _block_pair_table(group, None, threshold, id_col, vec_col)
+    chunks = [group.slice(i, tile) for i in range(0, n, tile)]
+    parts = []
+    for i, ci in enumerate(chunks):
+        parts.append(_block_pair_table(ci, None, threshold,
+                                       id_col, vec_col))
+        for cj in chunks[i + 1:]:
+            parts.append(_block_pair_table(ci, cj, threshold,
+                                           id_col, vec_col))
+    parts = [p for p in parts if p.num_rows]
+    return pa.concat_tables(parts) if parts else pa.table(_EMPTY_PAIRS)
+
+
+def semantic_dup_pairs(ds: ray.data.Dataset, threshold: float = 0.93,
+                       n_cells: int = 8, vec_col: str = "embedding",
+                       id_col: str = "vec_id",
+                       centroids: str | np.ndarray = "md5",
+                       tile: int = 4096) -> pa.Table:
+    """SemDeDup candidate pairs: k-means-assign every vector to a cell,
+    then exact thresholded cosine pairs ONLY within each cell.
+
+    This is the published scale shape (SemDeDup, arXiv:2303.09540):
+    at 10^12 docs the O(N²) exact all-pairs (``cosine_dup_pairs``) is
+    impossible; clustering first makes compute O(Σ n_cell²) with
+    n_cell ≈ N/C, and C is scaled with the corpus (the paper uses
+    ~10^5 clusters) so each cell fits one task. Cross-cell near-dups
+    are missed by design — the documented recall trade.
+
+    ``centroids="md5"`` (default) uses the SQL-reproducible
+    hash-seeded centroids so the driver oracle can replicate the
+    assignment; ``"kmeans"`` uses seeded Lloyd training (better
+    cells, not SQL-expressible); an ndarray is used as-is.
+
+    Shuffle: one groupby on the int cell id over (id, vector) — the
+    pruned columns only. Per-cell work is a tiled matmul (memory
+    ≤ tile² floats). Output (a, b, cosine), a < b, sorted."""
+    if isinstance(centroids, np.ndarray):
+        cent = centroids
+    elif centroids == "md5":
+        cent = md5_seed_centroids(ds, n_cells=n_cells, vec_col=vec_col,
+                                  id_col=id_col)
+    else:
+        cent = train_ivf_centroids(ds, n_cells=n_cells, vec_col=vec_col)
+    slim = ds.select_columns([id_col, vec_col])
+    assigned = slim.map_batches(IvfAssigner(ray.put(cent), vec_col),
+                                batch_format="pyarrow")
+
+    def _cell_pairs(group: pa.Table) -> pa.Table:
+        return _tiled_self_pairs(group, threshold, id_col, vec_col,
+                                 tile=tile)
+
+    pairs = assigned.groupby("ivf_cell").map_groups(
+        _cell_pairs, batch_format="pyarrow")
+    parts = [b for b in pairs.iter_batches(batch_format="pyarrow")
+             if b.num_rows]
+    if not parts:
+        return pa.table(_EMPTY_PAIRS)
+    return pa.concat_tables(parts).select(["a", "b", "cosine"]).sort_by(
+        [("a", "ascending"), ("b", "ascending")])
+
+
+def semdedup_drop_ids(ds: ray.data.Dataset, threshold: float = 0.93,
+                      n_cells: int = 8, vec_col: str = "embedding",
+                      id_col: str = "vec_id",
+                      centroids: str | np.ndarray = "md5",
+                      keep: str = "min_id") -> pa.Table:
+    """SemDeDup drop list: connected components over the cluster-scoped
+    pairs, keep ONE vector per component, drop the rest.
+
+    ``keep="min_id"`` keeps the smallest id (deterministic, the exact
+    analogue of ``near_dedup_drop_ids``); ``keep="far_from_centroid"``
+    keeps the component member with the LOWEST cosine to its cell
+    centroid — the paper's variant (retain the least prototypical
+    example, it carries the most information). Components never span
+    cells (pairs are cell-scoped), so labels from the distributed
+    ``duplicate_clusters`` are reused as-is. Returns (drop_id)."""
+    from .dedup import duplicate_clusters
+    if isinstance(centroids, np.ndarray):
+        cent = centroids
+    elif centroids == "md5":
+        cent = md5_seed_centroids(ds, n_cells=n_cells, vec_col=vec_col,
+                                  id_col=id_col)
+    else:
+        cent = train_ivf_centroids(ds, n_cells=n_cells, vec_col=vec_col)
+    pairs = semantic_dup_pairs(ds, threshold=threshold, n_cells=n_cells,
+                               vec_col=vec_col, id_col=id_col,
+                               centroids=cent)
+    if pairs.num_rows == 0:
+        return pa.table({"drop_id": pa.array([], pa.int64())})
+    # labels dataset is pair-sized (LSH-candidate scale), safe to gather
+    labels = pa.Table.from_pylist(duplicate_clusters(pairs).take_all())
+    doc_ids = labels.column("doc_id").to_numpy(zero_copy_only=False)
+    clusters = labels.column("cluster_id").to_numpy(zero_copy_only=False)
+    if keep == "min_id":
+        # cluster_id IS the component's min doc_id (hash-to-min), so
+        # the keeper of each component is doc_id == cluster_id
+        drop = doc_ids[doc_ids != clusters]
+    elif keep == "far_from_centroid":
+        member_set = pa.array(doc_ids.tolist(), pa.int64())
+        import pyarrow.compute as pc
+        sub = (ds.select_columns([id_col, vec_col])
+               .map_batches(lambda t: t.filter(
+                   pc.is_in(t[id_col], value_set=member_set)),
+                   batch_format="pyarrow")
+               .take_all())
+        tbl = pa.Table.from_pylist(sub)
+        ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
+        mat = _normalize(_batch_matrix(tbl, vec_col))
+        cell = np.argmax(mat @ cent.T, axis=1)
+        cent_sim = (mat * cent[cell]).sum(axis=1)
+        sim_of = dict(zip(ids.tolist(), cent_sim.tolist()))
+        order = np.lexsort((doc_ids,
+                            np.array([sim_of[int(i)] for i in doc_ids]),
+                            clusters))
+        first_of_cluster = np.zeros(len(order), dtype=bool)
+        sorted_clusters = clusters[order]
+        first_of_cluster[0] = True
+        first_of_cluster[1:] = sorted_clusters[1:] != sorted_clusters[:-1]
+        drop = doc_ids[order][~first_of_cluster]
+    else:
+        raise ValueError(f"unknown keep policy: {keep}")
+    return pa.table({"drop_id": pa.array(np.sort(drop), pa.int64())})
