@@ -898,6 +898,71 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_events_sessions(sf):
         return windows.sessionize(_events_ds(sf), gap_s=1800)
 
+    # ---- temporal joins (as-of / range) ---------------------------------
+
+    _JOIN_EPOCH_US = 1_704_067_200_000_000  # 2024-01-01 UTC, us
+    _HOUR_US = 3_600_000_000
+
+    def _orders_derived(sf, with_end: bool):
+        """Orders remapped onto the events' 2024 time axis: key =
+        o_custkey % 150, ts = 2024-01-01 + (o_orderkey % 720) hours
+        (+ a 1..48 h window end for the range join). Deterministic and
+        SQL-replicable; the raw o_orderdate column (1995-2001) never
+        overlaps the 2024 events, which would make the as-of degenerate
+        (one constant match per key)."""
+        import ray.data
+
+        def _m(t: pa.Table) -> pa.Table:
+            ok = t.column("o_orderkey").to_numpy(zero_copy_only=False)
+            ck = t.column("o_custkey").to_numpy(zero_copy_only=False)
+            s = _JOIN_EPOCH_US + (ok % 720) * _HOUR_US
+            cols = {
+                "o_orderkey": t.column("o_orderkey"),
+                "o_totalprice": t.column("o_totalprice"),
+                "k": pa.array(ck % 150, pa.int64()),
+                "rts": pa.array(s, pa.int64()).cast(
+                    pa.timestamp("us")),
+            }
+            if with_end:
+                cols["rte"] = pa.array(
+                    s + (1 + ok % 48) * _HOUR_US,
+                    pa.int64()).cast(pa.timestamp("us"))
+            return pa.table(cols)
+
+        return ray.data.read_parquet(
+            f"{sf}/orders.parquet",
+            columns=["o_orderkey", "o_custkey", "o_totalprice"],
+        ).map_batches(_m, batch_format="pyarrow")
+
+    def q_asof_join(sf):
+        """Distributed as-of join (pandas merge_asof semantics, no Ray
+        Data analogue): each event joins the latest derived order at or
+        before its ts for its user, max-o_orderkey tie-break, inner."""
+        from blacklab_ray.pipelines.joins import asof_join
+        got = asof_join(
+            _events_ds(sf).select_columns(["event_id", "ts", "user_id"]),
+            _orders_derived(sf, with_end=False),
+            left_key="user_id", right_key="k",
+            left_ts="ts", right_ts="rts",
+            left_cols=["event_id"],
+            right_cols=["o_orderkey", "o_totalprice"],
+            right_tie_col="o_orderkey", how="inner")
+        return _round_cols(got.to_pandas(), {"o_totalprice": 2})
+
+    def q_range_join(sf):
+        """Bucketed interval join: all (event, derived-order-window)
+        pairs with equal key and window_start <= ts < window_end —
+        exactly-once emission via per-bucket co-partitioning."""
+        from blacklab_ray.pipelines.joins import interval_join
+        got = interval_join(
+            _events_ds(sf).select_columns(["event_id", "ts", "user_id"]),
+            _orders_derived(sf, with_end=True),
+            probe_key="user_id", interval_key="k",
+            ts_col="ts", start_col="rts", end_col="rte",
+            probe_cols=["event_id"], interval_cols=["o_orderkey"],
+            bucket_s=86400)
+        return got.to_pandas()
+
     # ---- multimodal plumbing (decode STUB, real Ray plumbing) ----------
 
     def q_media_features(sf):
@@ -995,6 +1060,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_fertility": q_bpe_fertility,
         "weighted_sample": q_weighted_sample,
         "semdedup_pairs": q_semdedup_pairs,
+        "asof_join": q_asof_join,
+        "range_join": q_range_join,
     }
 
 
@@ -1753,6 +1820,31 @@ JOIN embeddings eb ON eb.vec_id = b.vec_id
 WHERE list_cosine_similarity(ea.embedding::DOUBLE[],
                              eb.embedding::DOUBLE[]) >= 0.42
 ORDER BY a, b
+""",
+        "asof_join": """
+WITH r AS (
+  SELECT o_orderkey, o_totalprice, o_custkey % 150 AS k,
+         TIMESTAMP '2024-01-01' + to_hours(o_orderkey % 720) AS rts
+  FROM orders)
+SELECT event_id, o_orderkey, round(o_totalprice, 2) AS o_totalprice
+FROM (
+  SELECT e.event_id, r.o_orderkey, r.o_totalprice,
+         row_number() OVER (PARTITION BY e.event_id
+           ORDER BY r.rts DESC, r.o_orderkey DESC) AS rn
+  FROM events e JOIN r ON r.k = e.user_id AND r.rts <= e.ts)
+WHERE rn = 1 ORDER BY event_id
+""",
+        "range_join": """
+WITH r AS (
+  SELECT o_orderkey, o_custkey % 150 AS k,
+         TIMESTAMP '2024-01-01' + to_hours(o_orderkey % 720) AS s,
+         TIMESTAMP '2024-01-01' + to_hours(o_orderkey % 720)
+           + to_hours(1 + o_orderkey % 48) AS e
+  FROM orders)
+SELECT ev.event_id, r.o_orderkey
+FROM events ev
+JOIN r ON r.k = ev.user_id AND r.s <= ev.ts AND ev.ts < r.e
+ORDER BY event_id, o_orderkey
 """,
         "quality_by_source": f"""
 WITH toks AS ({toks}),
