@@ -949,6 +949,45 @@ def queries() -> dict[str, Callable[[str], Any]]:
             right_tie_col="o_orderkey", how="inner")
         return _round_cols(got.to_pandas(), {"o_totalprice": 2})
 
+    def q_hll_registers(sf):
+        """HyperLogLog register table (b=8) over document tokens —
+        md5-hash parity makes the sketch itself driver-oracleable;
+        the estimator's error bound is asserted in
+        tests/test_sketches.py."""
+        from blacklab_ray.pipelines import sketches
+        t = sketches.hll_registers(_docs_ds(sf).select_columns(
+            ["text"]), "text", b=8, tokenize=True)
+        return t.to_pandas()
+
+    def q_cm_topk(sf):
+        """Count-Min estimates vs exact counts for the top-10 tokens:
+        sketch built with one per-block fold + one tiny groupby; the
+        exact side is the conventional full token shuffle it avoids."""
+        import numpy as np
+        from blacklab_ray.pipelines import sketches
+        ds = _docs_ds(sf).select_columns(["text"])
+
+        def _cnt(t: pa.Table) -> pa.Table:
+            toks = sketches._tokens_of(t, "text")
+            if not toks:
+                return pa.table({"t": pa.array([], pa.string()),
+                                 "c": pa.array([], pa.int64())})
+            u, c = np.unique(np.asarray(toks, dtype=object),
+                             return_counts=True)
+            return pa.table({"t": pa.array(u.tolist(), pa.string()),
+                             "c": pa.array(c, pa.int64())})
+
+        rows = (ds.map_batches(_cnt, batch_format="pyarrow")
+                .groupby("t").sum("c").take_all())
+        rows.sort(key=lambda r: (-r["sum(c)"], r["t"]))
+        terms = [r["t"] for r in rows[:10]]
+        exact = [int(r["sum(c)"]) for r in rows[:10]]
+        sk = sketches.count_min_sketch(ds, "text", w=1024, d=4,
+                                       tokenize=True)
+        est = sketches.cm_estimate(sk, terms, w=1024, d=4)
+        return pd.DataFrame({"term": terms, "exact_count": exact,
+                             "cm_estimate": est.astype("int64")})
+
     def q_range_join(sf):
         """Bucketed interval join: all (event, derived-order-window)
         pairs with equal key and window_start <= ts < window_end —
@@ -1062,6 +1101,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semdedup_pairs": q_semdedup_pairs,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
+        "hll_registers": q_hll_registers,
+        "cm_topk": q_cm_topk,
     }
 
 
@@ -1833,6 +1874,40 @@ FROM (
            ORDER BY r.rts DESC, r.o_orderkey DESC) AS rn
   FROM events e JOIN r ON r.k = e.user_id AND r.rts <= e.ts)
 WHERE rn = 1 ORDER BY event_id
+""",
+        "hll_registers": """
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+hs AS (SELECT DISTINCT md5_number_lower(t) AS h
+       FROM toks WHERE t <> ''),
+reg AS (
+  SELECT (h % 256)::BIGINT AS bucket,
+         CASE WHEN (h >> 8) = 0 THEN 57
+              ELSE 56 - length(bin(h >> 8)) + 1 END AS rank
+  FROM hs)
+SELECT bucket, max(rank)::BIGINT AS max_rank
+FROM reg GROUP BY bucket ORDER BY bucket
+""",
+        "cm_topk": """
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+cnt AS (SELECT t, count(*) AS exact_count
+        FROM toks WHERE t <> '' GROUP BY t),
+top AS (SELECT t, exact_count FROM cnt
+        ORDER BY exact_count DESC, t LIMIT 10),
+d AS (SELECT unnest([0, 1, 2, 3]) AS i),
+sk AS (SELECT d.i,
+              (md5_number_lower(d.i::VARCHAR || ':' || cnt.t)
+               % 1024)::BIGINT AS bucket,
+              sum(cnt.exact_count) AS c
+       FROM cnt, d GROUP BY 1, 2)
+SELECT top.t AS term, top.exact_count::BIGINT AS exact_count,
+       min(sk.c)::BIGINT AS cm_estimate
+FROM top, d
+JOIN sk ON sk.i = d.i
+       AND sk.bucket = (md5_number_lower(d.i::VARCHAR || ':' || top.t)
+                        % 1024)::BIGINT
+GROUP BY 1, 2 ORDER BY exact_count DESC, term
 """,
         "range_join": """
 WITH r AS (
