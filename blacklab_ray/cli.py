@@ -289,6 +289,15 @@ def cmd_score(args) -> int:
         )
         fn = lm_perplexity if args.op == "ppl" else perplexity_buckets
         out = fn(ds, text_col=args.text_col, id_col=args.id_col)
+    elif args.op == "clf":
+        if not args.model:
+            raise SystemExit("--op clf requires --model (a model "
+                             "file written by clf-train)")
+        from blacklab_ray.pipelines.classifier import (
+            load_model, score_documents,
+        )
+        out = score_documents(ds, load_model(args.model),
+                              text_col=args.text_col)
     elif args.op == "quality":
         from blacklab_ray.pipelines.textstats import quality_scores
         out = quality_scores(ds, args.text_col, args.id_col)
@@ -300,6 +309,29 @@ def cmd_score(args) -> int:
     # on `out` would re-run the whole scoring pipeline
     n = ray.data.read_parquet(args.out).count()
     print(json.dumps({"op": args.op, "out": args.out, "rows": n}))
+    ray.shutdown()
+    return 0
+
+
+def cmd_clf_train(args) -> int:
+    """Train the hashed-n-gram quality classifier on a labeled
+    parquet table and persist the model file."""
+    _ray_session()
+    import ray
+    import ray.data
+
+    from blacklab_ray.pipelines.classifier import (
+        save_model, train_linear_classifier,
+    )
+    ds = ray.data.read_parquet(args.input)
+    model = train_linear_classifier(
+        ds, args.text_col, args.label_col, args.id_col,
+        dim=args.dim, epochs=args.epochs, lr=args.lr)
+    save_model(model, args.out)
+    print(json.dumps({
+        "out": args.out, "classes": [str(c) for c in model.classes],
+        "epochs": args.epochs,
+        "final_loss": round(model.train_loss[-1], 6)}))
     ray.shutdown()
     return 0
 
@@ -421,10 +453,24 @@ def main(argv=None) -> int:
                     help="output parquet dir (streamed write)")
     sc.add_argument("--op", default="ppl",
                     choices=["ppl", "ppl-buckets", "quality",
-                             "langid"])
+                             "langid", "clf"])
     sc.add_argument("--text-col", default="text")
     sc.add_argument("--id-col", default="doc_id")
+    sc.add_argument("--model", default=None,
+                    help="model file for --op clf (from clf-train)")
     sc.set_defaults(fn=cmd_score)
+
+    ct = sub.add_parser("clf-train")
+    ct.add_argument("--input", required=True)
+    ct.add_argument("--out", required=True,
+                    help="model file (.npz)")
+    ct.add_argument("--text-col", default="text")
+    ct.add_argument("--label-col", required=True)
+    ct.add_argument("--id-col", default="doc_id")
+    ct.add_argument("--dim", type=int, default=1 << 16)
+    ct.add_argument("--epochs", type=int, default=20)
+    ct.add_argument("--lr", type=float, default=2.0)
+    ct.set_defaults(fn=cmd_clf_train)
 
     g = sub.add_parser("gen")
     g.add_argument("--out", required=True)

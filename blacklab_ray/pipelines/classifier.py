@@ -258,6 +258,25 @@ def score_documents(ds: ray.data.Dataset, model: LinearModel,
         concurrency=concurrency, batch_format="pyarrow")
 
 
+def save_model(model: LinearModel, path: str) -> None:
+    """Persist a trained model (npz: weights + metadata)."""
+    np.savez_compressed(
+        path, weights=model.weights,
+        classes=np.array([str(c) for c in model.classes],
+                         dtype=object),
+        dim=model.dim, ngrams=np.array(model.ngrams, np.int64),
+        train_loss=np.array(model.train_loss))
+
+
+def load_model(path: str) -> LinearModel:
+    z = np.load(path, allow_pickle=True)
+    return LinearModel(
+        classes=[str(c) for c in z["classes"].tolist()],
+        dim=int(z["dim"]), ngrams=tuple(int(n) for n in z["ngrams"]),
+        weights=z["weights"],
+        train_loss=[float(x) for x in z["train_loss"]])
+
+
 def quality_filter_by_model(ds: ray.data.Dataset, model: LinearModel,
                             keep_class, min_prob: float = 0.5,
                             text_col: str = "text") -> ray.data.Dataset:

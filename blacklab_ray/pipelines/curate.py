@@ -37,6 +37,9 @@ def curate(ds: ray.data.Dataset, text_col: str = "text",
            near_dup: bool = False,
            near_dup_threshold: float = 0.8,
            ppl_filter: tuple[str, ...] | None = None,
+           model_filter=None,
+           model_keep_class=None,
+           model_min_prob: float = 0.5,
            mixture_weights: dict[str, float] | None = None,
            mixture_total: int = 0,
            mixture_by: str = "lang_pred",
@@ -59,6 +62,10 @@ def curate(ds: ray.data.Dataset, text_col: str = "text",
        (``lm.perplexity_buckets``) and keep only ``ppl_filter``
        buckets (CCNet keeps ``("head", "middle")``); docs too short
        to score (no bigram) are dropped with the tail;
+    4c. optional trained model filter (``model_filter`` = a
+       ``classifier.LinearModel``): keep docs the classifier assigns
+       to ``model_keep_class`` with probability >=
+       ``model_min_prob`` — the GPT-3/LLaMA quality-classifier gate;
     5. optional domain-mixture resampling: quota-exact digest sample
        per ``mixture_by`` value (``docsops.mixture_sample``);
     6. PII scrub (text replaced by the redacted form).
@@ -133,6 +140,23 @@ def curate(ds: ray.data.Dataset, text_col: str = "text",
             lambda t: t.filter(pc.is_in(
                 t["bucket"], value_set=pa.array(keep_set)))
             .select([id_col]), batch_format="pyarrow")
+        out = _broadcast_filter(out, picked, id_col)
+
+    # 4c: optional trained model filter (GPT-3/LLaMA-style quality
+    # classifier): score pruned (id, text) columns with the actor-pool
+    # stage, keep ids above the probability cut, broadcast filter
+    if model_filter is not None:
+        if model_keep_class is None:
+            raise ValueError("model_filter needs model_keep_class")
+        from blacklab_ray.pipelines.classifier import score_documents
+        col = f"p_{model_keep_class}"
+        scored = score_documents(
+            out.select_columns([id_col, text_col]), model_filter,
+            text_col=text_col)
+        picked = scored.map_batches(
+            lambda t: t.filter(pc.greater_equal(
+                t[col], model_min_prob)).select([id_col]),
+            batch_format="pyarrow")
         out = _broadcast_filter(out, picked, id_col)
 
     # 5: optional mixture resampling (ids-only pick, broadcast filter)

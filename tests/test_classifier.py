@@ -156,3 +156,45 @@ def test_quality_filter(ray_session, planted, planted_model):
     scored = score_documents(hold_ds, model).to_pandas()
     want = set(scored[scored["p_good"] >= 0.6]["doc_id"])
     assert set(kept["doc_id"]) == want
+
+
+def test_save_load_roundtrip(ray_session, planted, planted_model, tmp_path):
+    import ray.data
+    from blacklab_ray.pipelines.classifier import load_model, save_model
+    _, hold = planted
+    p = str(tmp_path / "m.npz")
+    save_model(planted_model, p)
+    m2 = load_model(p)
+    assert m2.classes == planted_model.classes
+    assert m2.dim == planted_model.dim
+    assert m2.ngrams == planted_model.ngrams
+    assert np.array_equal(m2.weights, planted_model.weights)
+    hold_ds = ray.data.from_pandas(pd.DataFrame(hold))
+    a = score_documents(hold_ds, planted_model).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    b = score_documents(hold_ds, m2).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_curate_model_filter_stage(ray_session, planted, planted_model):
+    """curate(model_filter=...) keeps exactly the ids the classifier
+    passes, composed with the rest of the recipe disabled."""
+    import ray.data
+    from blacklab_ray.pipelines.curate import curate
+    _, hold = planted
+    ds = ray.data.from_pandas(pd.DataFrame(
+        [{"doc_id": r["doc_id"], "text": r["text"]} for r in hold]))
+    permissive = {"min_tokens": 1, "min_mean_token_len": 0.0,
+                  "max_mean_token_len": 100.0,
+                  "min_alpha_word_ratio": 0.0,
+                  "max_dup_line_frac": 1.0,
+                  "max_top_bigram_frac": 1.0}
+    out = curate(ds, languages=None, quality_thresholds=permissive,
+                 scrub_pii=False, normalize=False,
+                 model_filter=planted_model, model_keep_class="good",
+                 model_min_prob=0.6).to_pandas()
+    scored = score_documents(ds, planted_model).to_pandas()
+    want = set(scored[scored["p_good"] >= 0.6]["doc_id"])
+    assert set(out["doc_id"]) == want
+    assert 0 < len(out) < len(hold)
