@@ -294,6 +294,27 @@ def run_bench(num_cpus: int) -> dict:
     timed("events_tumbling", lambda: windows.tumbling(
         ray.data.read_parquet(events_path), 3600).count())
 
+    def _asof():
+        from blacklab_ray.pipelines import joins
+        orders_path = os.path.join(sf_dir, "orders.parquet")
+        ev = ray.data.read_parquet(
+            events_path, columns=["event_id", "ts", "user_id"])
+        od = ray.data.read_parquet(
+            orders_path,
+            columns=["o_orderkey", "o_custkey", "o_orderdate"])
+        joins.asof_join(
+            ev, od, left_key="user_id", right_key="o_custkey",
+            left_ts="ts", right_ts="o_orderdate",
+            left_cols=["event_id"], right_cols=["o_orderkey"],
+            right_tie_col="o_orderkey", how="inner").count()
+
+    timed("asof_join", _asof)
+
+    from blacklab_ray.pipelines import sketches
+    timed("hll_tokens", lambda: sketches.hll_registers(
+        ray.data.read_parquet(docs_path, columns=["text"]),
+        "text", b=12, tokenize=True).num_rows)
+
     def _ann():
         import pyarrow.parquet as pq
         t = pq.read_table(emb_path)

@@ -297,8 +297,11 @@ def interval_join(probe: ray.data.Dataset, intervals: ray.data.Dataset,
         # per-probe candidate range [g_lo, hi) in the sorted interval
         # array: group bounds from a searchsorted on the code, then
         # "first start > ts" from a searchsorted on a monotonic
-        # composite (group run index × span + normalized start) — the
-        # vectorized grouped-binary-search trick, no per-group loop
+        # composite (group run index × span + DENSE RANK of start) —
+        # the vectorized grouped-binary-search trick, no per-group
+        # loop. Ranks, not raw timestamps: runs × raw-us span can
+        # overflow int64 on a partition with many groups and a wide
+        # time range; runs × (n_intervals + 2) cannot.
         g_lo = np.searchsorted(ic, pc_, side="left")
         g_hi = np.searchsorted(ic, pc_, side="right")
         run_of_i = np.cumsum(
@@ -308,10 +311,14 @@ def interval_join(probe: ray.data.Dataset, intervals: ray.data.Dataset,
         exists = g_lo < g_hi
         run_of_p = np.zeros(po.size, np.int64)
         run_of_p[exists] = run_of_i[g_lo[exists]]
-        span = (it_.max() - it_.min() + 2) if it_.size else 1
-        comp_i_arr = run_of_i * span + (it_ - it_.min())
-        comp_p_arr = run_of_p * span + np.clip(
-            pt - it_.min(), 0, span - 1)
+        # shared dense rank: r(x) = #starts <= x over ALL intervals in
+        # the partition; interval rank <= probe rank  <=>  start <= ts
+        sorted_starts = np.sort(it_)
+        r_i = np.searchsorted(sorted_starts, it_, side="right")
+        r_p = np.searchsorted(sorted_starts, pt, side="right")
+        span = it_.size + 2
+        comp_i_arr = run_of_i * span + r_i
+        comp_p_arr = run_of_p * span + r_p
         hi = np.searchsorted(comp_i_arr, comp_p_arr, side="right")
         hi = np.where(exists, np.minimum(hi, g_hi), 0)
         lo = np.where(exists, g_lo, 0)
