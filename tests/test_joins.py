@@ -199,3 +199,38 @@ def test_asof_timestamp_columns(ray_session):
     m = got.merge(ev_df, on="event_id")
     want = last.loc[m["user_id"]]["o_orderkey"].to_numpy()
     assert (m["o_orderkey"].to_numpy() == want).all()
+
+
+def test_interval_join_wide_fanout(ray_session):
+    """Intervals hundreds of buckets long (bucket_s=1 over a 5000 s
+    span): replication fan-out + exactly-once emission still match the
+    brute set."""
+    rng = np.random.default_rng(13)
+    n_p, n_i, n_keys = 300, 80, 5
+    probe = pd.DataFrame({
+        "k": rng.integers(0, n_keys, n_p).astype(np.int64),
+        "ts": rng.integers(0, 5_000_000_000, n_p).astype(np.int64),
+        "pid": np.arange(n_p, dtype=np.int64),
+    })
+    s = rng.integers(0, 4_500_000_000, n_i).astype(np.int64)
+    intervals = pd.DataFrame({
+        "ik": rng.integers(0, n_keys, n_i).astype(np.int64),
+        "s": s,
+        "e": s + rng.integers(1_000_000, 800_000_000, n_i)
+                    .astype(np.int64),
+        "iid": np.arange(n_i, dtype=np.int64),
+    })
+    from blacklab_ray.pipelines.joins import interval_join
+    got = interval_join(
+        _mk(ray_session, probe), _mk(ray_session, intervals),
+        probe_key="k", interval_key="ik", ts_col="ts",
+        start_col="s", end_col="e",
+        probe_cols=["pid"], interval_cols=["iid"],
+        bucket_s=1, num_partitions=11)
+    df = got.to_pandas()
+    # exactly-once: no duplicate (pid, iid) rows
+    assert not df.duplicated(["pid", "iid"]).any()
+    pairs = set(zip(df["pid"].astype(int), df["iid"].astype(int)))
+    want = _brute_interval(probe, intervals)
+    assert pairs == want
+    assert len(want) > 100
