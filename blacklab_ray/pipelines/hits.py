@@ -235,6 +235,72 @@ def collocations(ds: ray.data.Dataset, term: str, window: int = 2,
         Sum("n", alias_name="n"))
 
 
+def collocation_measures(ds: ray.data.Dataset, term: str,
+                         window: int = 2, top_k: int = 30,
+                         text_col: str = "text") -> pa.Table:
+    """Collocation ASSOCIATION measures for the ``top_k`` most frequent
+    collocates of ``term`` (ranked by raw co-occurrence ``n``, term
+    ascending as the integer tiebreak — selection never depends on a
+    float boundary).
+
+    With n_xy = windowed co-occurrence count (the reference's
+    TermFrequencyList convention: positions within ±window, hit
+    positions excluded), f_x / f_y = corpus collection frequencies and
+    N = total corpus tokens:
+
+    * ``pmi``     = log2(n_xy · N / (f_x · f_y))  (Church & Hanks 1990)
+    * ``logdice`` = 14 + log2(2·n_xy / (f_x + f_y))  (Rychlý 2008)
+    * ``t_score`` = (n_xy − f_x·f_y/N) / sqrt(n_xy)
+
+    Scale shape: co-occurrence counts come from the existing
+    streaming :func:`collocations` pass; the frequency side is ONE
+    ``is_in`` filter of the type-sized ``term_frequencies`` table by
+    the k-sized collocate list — no join shuffle, and every driver
+    table is result- or scalar-sized.
+    """
+    from blacklab_ray.pipelines.frequency import term_frequencies
+
+    coll = pa.Table.from_pylist(
+        collocations(ds, term, window, text_col).take_all())
+    if coll.num_rows == 0:
+        return pa.schema([
+            ("context_term", pa.string()), ("n", pa.int64()),
+            ("f_coll", pa.int64()), ("pmi", pa.float64()),
+            ("logdice", pa.float64()), ("t_score", pa.float64()),
+        ]).empty_table()
+    ctx = np.asarray(coll.column("context_term").to_pylist(),
+                     dtype=object)
+    n_xy = coll.column("n").to_numpy(zero_copy_only=False)
+    order = np.lexsort((ctx, -n_xy))[:top_k]
+    ctx, n_xy = ctx[order], n_xy[order]
+
+    freqs = term_frequencies(ds, text_col)
+    wanted = pa.array(sorted(set(ctx.tolist()) | {term}), pa.string())
+
+    def _pick(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t.column("term"), value_set=wanted))
+
+    rows = freqs.map_batches(
+        _pick, batch_format="pyarrow").take_all()  # ≤ k+1 rows back
+    tf = {r["term"]: r["collection_tf"] for r in rows}
+    n_total = float(freqs.aggregate(
+        Sum("collection_tf", alias_name="nt"))["nt"])
+    f_x = float(tf.get(term, 0))
+    f_y = np.array([tf[c] for c in ctx], np.float64)
+    nxy = n_xy.astype(np.float64)
+    pmi = np.log2(nxy * n_total / (f_x * f_y))
+    logdice = 14.0 + np.log2(2.0 * nxy / (f_x + f_y))
+    t_score = (nxy - f_x * f_y / n_total) / np.sqrt(nxy)
+    return pa.table({
+        "context_term": pa.array(ctx, pa.string()),
+        "n": pa.array(n_xy, pa.int64()),
+        "f_coll": pa.array(f_y.astype(np.int64), pa.int64()),
+        "pmi": pa.array(pmi, pa.float64()),
+        "logdice": pa.array(logdice, pa.float64()),
+        "t_score": pa.array(t_score, pa.float64()),
+    })
+
+
 class KwicBuilder:
     """map_batches: keyword-in-context rows for hits of ``term``."""
 
