@@ -1002,6 +1002,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
             bucket_s=86400)
         return got.to_pandas()
 
+    def q_dsir_sample(sf):
+        """DSIR (Xie et al. 2023): hashed uni+bigram bucket histograms
+        for the lang='en' target vs the whole corpus, per-doc log
+        importance weights via a ray.put-broadcast log-ratio table,
+        Gumbel-top-k resampling on the seeded md5 digest — two
+        streaming passes, one bucket-sized shuffle, no corpus join."""
+        from blacklab_ray.pipelines.selection import dsir_select
+        t = dsir_select(_docs_ds(sf), "lang", "en", k=50,
+                        n_buckets=256, seed=13)
+        return _round_cols(t.drop_columns(["key"]).to_pandas(),
+                           {"logw": 6})
+
+    def q_keyness(sf):
+        """Log-likelihood keyword extraction (Dunning G²): terms most
+        distinctive of the lang='en' subcorpus vs the rest; type-sized
+        count shuffle + per-block top-k partials."""
+        from blacklab_ray.pipelines.selection import keyness
+        return keyness(_docs_ds(sf), "lang", "en", top_k=50,
+                       min_freq=5).to_pandas()
+
+    def q_colloc_assoc(sf):
+        """Collocation association measures (PMI / logDice / t-score)
+        for the top-20 collocates of the hit term — streaming
+        co-occurrence + an is_in probe of the frequency table."""
+        from blacklab_ray.pipelines.hits import collocation_measures
+        t = collocation_measures(_docs_ds(sf), HIT_TERM, window=2,
+                                 top_k=20)
+        return _round_cols(t.to_pandas(),
+                           {"pmi": 6, "logdice": 6, "t_score": 6})
+
     # ---- multimodal plumbing (decode STUB, real Ray plumbing) ----------
 
     def q_media_features(sf):
@@ -1103,6 +1133,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_join": q_range_join,
         "hll_registers": q_hll_registers,
         "cm_topk": q_cm_topk,
+        "dsir_sample": q_dsir_sample,
+        "keyness_ll": q_keyness,
+        "colloc_assoc": q_colloc_assoc,
     }
 
 
@@ -2012,5 +2045,90 @@ s AS (SELECT user_id, ts,
 SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
        count(*) AS n_events
 FROM s GROUP BY user_id, sess
+""",
+        # DSIR: hashed uni+bigram bucket log-ratios (add-0.5 smoothing,
+        # the EXACT ln(ratio) expression the engine evaluates), per-doc
+        # logw = Σ c_b · lratio_b, Gumbel key from the md5 digest.
+        "dsir_sample": f"""
+WITH tp AS ({toks_pos}),
+grams AS (
+  SELECT doc_id, lang, term AS g FROM tp
+  UNION ALL
+  SELECT a.doc_id, a.lang, a.term || ' ' || b.term AS g
+  FROM tp a JOIN tp b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+),
+bk AS (SELECT doc_id, lang,
+              (md5_number_lower(g) % 256)::BIGINT AS b FROM grams),
+dist AS (SELECT b,
+                count(*) FILTER (WHERE lang = 'en') AS t,
+                count(*) AS r
+         FROM bk GROUP BY b),
+tot AS (SELECT sum(t) AS tt, sum(r) AS rt FROM dist),
+lr AS (SELECT b,
+              ln((t + 0.5) / (tt + 0.5 * 256))
+              - ln((r + 0.5) / (rt + 0.5 * 256)) AS lratio
+       FROM dist, tot),
+docb AS (SELECT doc_id, b, count(*) AS c FROM bk GROUP BY doc_id, b),
+docw AS (SELECT doc_id, sum(c * lratio) AS logw
+         FROM docb JOIN lr USING (b) GROUP BY doc_id),
+keyed AS (SELECT doc_id, logw,
+                 logw + (-ln(-ln(
+                   (CAST(md5_number_lower(doc_id::VARCHAR || ':13')
+                         AS DOUBLE) + 1) / 18446744073709551616.0)))
+                 AS gk
+          FROM docw)
+SELECT doc_id, ROUND(logw, 6) AS logw,
+       CAST(row_number() OVER (ORDER BY gk DESC, doc_id) AS BIGINT)
+         AS rank
+FROM keyed ORDER BY gk DESC, doc_id LIMIT 50
+""",
+        # Dunning G² keyness, en vs rest; zero cells contribute 0;
+        # direction by exact integer cross-multiply (HUGEINT — no
+        # overflow); ranked by the ROUNDED statistic, term tiebreak.
+        "keyness_ll": f"""
+WITH tp AS ({toks}),
+cnt AS (SELECT term,
+               count(*) FILTER (WHERE lang = 'en') AS a,
+               count(*) FILTER (WHERE lang != 'en') AS b
+        FROM tp GROUP BY term),
+tot AS (SELECT sum(a) AS n1, sum(b) AS n2 FROM cnt),
+ll AS (SELECT term, a, b,
+              ROUND(2 * (
+                CASE WHEN a > 0
+                  THEN a * ln(a / (n1 * (a + b) / (n1 + n2)))
+                  ELSE 0 END
+              + CASE WHEN b > 0
+                  THEN b * ln(b / (n2 * (a + b) / (n1 + n2)))
+                  ELSE 0 END), 6) AS ll,
+              CASE WHEN CAST(a AS HUGEINT) * n2 >= CAST(b AS HUGEINT)
+                        * n1
+                   THEN 1 ELSE -1 END AS direction
+       FROM cnt, tot WHERE a + b >= 5)
+SELECT term, a AS f_focus, b AS f_ref, ll,
+       CAST(direction AS BIGINT) AS direction
+FROM ll ORDER BY ll DESC, term LIMIT 50
+""",
+        # collocation association measures over the windowed
+        # co-occurrence counts (collocations_spark's convention) and
+        # corpus collection frequencies
+        "colloc_assoc": f"""
+WITH tp AS ({toks_pos}),
+hits AS (SELECT doc_id, pos FROM tp WHERE term = '{HIT_TERM}'),
+co AS (SELECT t.term AS context_term, count(*) AS n
+       FROM hits h JOIN tp t ON t.doc_id = h.doc_id
+         AND t.pos BETWEEN h.pos - 2 AND h.pos + 2
+         AND t.pos != h.pos AND t.term != '{HIT_TERM}'
+       GROUP BY t.term),
+freq AS (SELECT term, count(*) AS tf FROM tp GROUP BY term),
+tot AS (SELECT sum(tf) AS nt FROM freq),
+fx AS (SELECT tf AS f_node FROM freq WHERE term = '{HIT_TERM}'),
+top AS (SELECT context_term, n FROM co
+        ORDER BY n DESC, context_term LIMIT 20)
+SELECT top.context_term, top.n, f.tf AS f_coll,
+       ROUND(log2(top.n * nt / (f_node * f.tf)), 6) AS pmi,
+       ROUND(14 + log2(2 * top.n / (f_node + f.tf)), 6) AS logdice,
+       ROUND((top.n - f_node * f.tf / nt) / sqrt(top.n), 6) AS t_score
+FROM top JOIN freq f ON f.term = top.context_term, tot, fx
+ORDER BY top.n DESC, top.context_term
 """,
     }

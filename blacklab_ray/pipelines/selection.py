@@ -196,6 +196,10 @@ def dsir_select(ds: ray.data.Dataset, target_col: str, target_value,
     def _partial(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
         logw = batch.column("logw").to_numpy(zero_copy_only=False)
+        # a doc with no features has no importance weight — defined out
+        # of the sample (and out of the SQL oracle's gram join)
+        feat = batch.column("n_grams").to_numpy(zero_copy_only=False) > 0
+        ids, logw = ids[feat], logw[feat]
         key = _key(ids, logw) if ids.size else np.empty(0, np.float64)
         order = np.lexsort((ids, -key))[:k]
         return pa.table({id_col: pa.array(ids[order], pa.int64()),

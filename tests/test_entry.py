@@ -84,7 +84,9 @@ def test_driver_key_cap(entry_mod):
                            "ppl_buckets", "bpe_fertility",
                            "weighted_sample", "semdedup_pairs",
                            "asof_join", "range_join",
-                           "hll_registers", "cm_topk"}, extras
+                           "hll_registers", "cm_topk",
+                           "dsir_sample", "keyness_ll",
+                           "colloc_assoc"}, extras
     assert "lm_perplexity" in q[:50]   # rotated INTO the recorded set
     o = entry_mod.oracle_sql()
     # extras stay oracled, except declared rows-only ops whose
