@@ -37,6 +37,16 @@ HIT_TERM = "spark"
 CQL_NOT = '"batch" [word != "join"]'
 TOPK = 20
 
+# c4_stats text augmentation (synthetic docs lack newlines/punctuation):
+# applied in order, identically in the Ray query and the SQL oracle
+_C4_AUG = (
+    (" line ", ".\n"),          # line boundaries ending in a period
+    (" window ", "! "),          # intra-line sentence marks
+    (" slow ", " javascript "),  # line-removal phrase
+    (" dup ", " lorem ipsum "),  # page-removal phrase
+    (" big ", " { "),            # page-removal brace
+)
+
 _TOKS_SQL = ("regexp_extract_all(lower(strip_accents(text)), "
              "'[a-z0-9]+')")
 # the @s (case-sensitive) annotation: accent-stripped, case-preserving
@@ -1032,6 +1042,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _round_cols(t.to_pandas(),
                            {"pmi": 6, "logdice": 6, "t_score": 6})
 
+    def q_c4_stats(sf):
+        """C4 cleaning rules (Raffel et al. 2020 §2.2). The synthetic
+        text has no newlines/punctuation, so line boundaries and the
+        rule-trigger phrases are synthesized deterministically — the
+        same replace() chain runs in the SQL oracle."""
+        import pyarrow.compute as pc
+
+        def _mk(batch: pa.Table) -> pa.Table:
+            t = batch.column("text")
+            for pat, rep in _C4_AUG:
+                t = pc.replace_substring(t, pattern=pat, replacement=rep)
+            return pa.table({
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "text": t,
+            })
+
+        ds = _docs_ds(sf).map_batches(_mk, batch_format="pyarrow")
+        return cleaning.c4_rules(ds)
+
     # ---- multimodal plumbing (decode STUB, real Ray plumbing) ----------
 
     def q_media_features(sf):
@@ -1136,6 +1165,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_sample": q_dsir_sample,
         "keyness_ll": q_keyness,
         "colloc_assoc": q_colloc_assoc,
+        "c4_stats": q_c4_stats,
     }
 
 
@@ -1151,6 +1181,17 @@ def _smallfloat_values_sql() -> str:
 
 def _sql_list(terms: list[str]) -> str:
     return ", ".join(f"'{t}'" for t in terms)
+
+
+def _c4_aug_sql(col: str) -> str:
+    """The _C4_AUG replace() chain as nested DuckDB calls (same order
+    as the Ray side; '\\n' spelled chr(10))."""
+    expr = col
+    for pat, rep in _C4_AUG:
+        rep_sql = "'" + rep.replace("\n", "' || chr(10) || '") + "'"
+        rep_sql = rep_sql.replace(" || ''", "").replace("'' || ", "")
+        expr = f"replace({expr}, '{pat}', {rep_sql})"
+    return expr
 
 
 def _lang_profile_values() -> str:
@@ -2130,5 +2171,43 @@ SELECT top.context_term, top.n, f.tf AS f_coll,
        ROUND((top.n - f_node * f.tf / nt) / sqrt(top.n), 6) AS t_score
 FROM top JOIN freq f ON f.term = top.context_term, tot, fx
 ORDER BY top.n DESC, top.context_term
+""",
+        # C4 cleaning rules over the deterministic augmentation chain
+        # (_C4_AUG, same order as the Ray side); line/page heuristics
+        # mirror cleaning.c4_rules exactly (both engines are RE2)
+        "c4_stats": f"""
+WITH aug AS (
+  SELECT doc_id, {_c4_aug_sql("text")} AS t FROM documents),
+l AS (
+  SELECT doc_id, t,
+         list_filter(list_transform(string_split(t, chr(10)),
+                                    x -> trim(x)),
+                     x -> x <> '') AS ls
+  FROM aug),
+k AS (
+  SELECT doc_id, t, ls,
+         list_filter(ls, x ->
+           regexp_matches(x, '[.!?"]$')
+           AND len(regexp_extract_all(x, '\\S+')) >= 5
+           AND NOT contains(lower(x), 'javascript')
+           AND NOT contains(lower(x), 'terms of use')
+           AND NOT contains(lower(x), 'privacy policy')
+           AND NOT contains(lower(x), 'cookie policy')
+           AND NOT contains(lower(x), 'uses cookies')) AS kls
+  FROM l),
+c AS (
+  SELECT doc_id, t, len(ls)::BIGINT AS n_lines,
+         len(kls)::BIGINT AS n_kept_lines,
+         -- array_to_string([]) is NULL in DuckDB; the engine's empty
+         -- clean text is ''
+         coalesce(array_to_string(kls, chr(10)), '') AS clean
+  FROM k)
+SELECT doc_id, n_lines, n_kept_lines,
+       len(regexp_extract_all(clean, '[.!?]'))::BIGINT AS n_sentences,
+       (NOT contains(lower(t), 'lorem ipsum')
+        AND NOT contains(t, '{{')
+        AND len(regexp_extract_all(clean, '[.!?]')) >= 3) AS kept,
+       md5(clean) AS clean_md5
+FROM c
 """,
     }

@@ -529,3 +529,107 @@ def decontaminate_bloom(corpus_ds: ray.data.Dataset,
         _BenchmarkGramHitsBloom, batch_format="pyarrow",
         concurrency=(1, 8),
         fn_constructor_args=(bloom_ref, n, text_col, id_col))
+
+
+# ---- C4 cleaning rules (Raffel et al. 2020) ---------------------------------
+
+# phrases whose presence removes a LINE (C4 §2.2: "terms of use",
+# "privacy policy", "cookie policy", "uses cookies", "javascript")
+C4_LINE_PHRASES = ("javascript", "terms of use", "privacy policy",
+                   "cookie policy", "uses cookies")
+# a line is kept only if its trimmed text ends in terminal punctuation
+C4_TERMINAL_RE = r'[.!?"]$'
+C4_MIN_WORDS = 5
+C4_MIN_SENTENCES = 3
+
+
+def c4_rules(ds: ray.data.Dataset, text_col: str = "text",
+             id_col: str = "doc_id",
+             keep_text: bool = False) -> ray.data.Dataset:
+    """C4-style page cleaning (Raffel et al. 2020, §2.2 heuristics).
+
+    Line level (a line = ``\\n``-separated, space-trimmed):
+      - keep only lines ending in terminal punctuation (``. ! ? "``),
+      - with at least :data:`C4_MIN_WORDS` whitespace words,
+      - not containing (case-insensitive) any :data:`C4_LINE_PHRASES`.
+    Page level, over the KEPT text:
+      - drop pages containing ``lorem ipsum`` (case-insensitive) or a
+        curly brace ``{`` anywhere in the ORIGINAL text,
+      - drop pages with fewer than :data:`C4_MIN_SENTENCES` sentences
+        (sentence count = ``[.!?]`` occurrences in the kept text — a
+        documented simplification of C4's sentence splitter).
+
+    The paper's "bad words" list and langdetect gates are separate
+    operators here (``quality_filter`` / ``lang_id``); span-level
+    dedup is :func:`dedup.duplicate_spans`.
+
+    Returns per doc: line counts, sentence count, the page-level
+    ``kept`` verdict and the md5 of the cleaned text (compact equality
+    witness, as in :func:`pii_scrub`); ``keep_text=True`` adds the
+    cleaned body itself. One vectorized ``map_batches`` pass — line
+    splitting, trimming, word counts, phrase tests and the per-doc
+    re-join all run as Arrow RE2 / list kernels; only the md5 digests
+    are per-doc Python. Embarrassingly parallel: nothing shuffles.
+    """
+
+    def _clean(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).cast(pa.int64())
+        text = batch.column(text_col)
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        text = pc.fill_null(text, "")
+        n_docs = len(text)
+
+        lines = pc.split_pattern(text, pattern="\n")
+        flat = pc.utf8_trim(pc.list_flatten(lines), " ")
+        parents = pc.list_parent_indices(lines) \
+            .to_numpy(zero_copy_only=False)
+
+        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        keep = np.array(
+            pc.match_substring_regex(flat, C4_TERMINAL_RE)
+            .to_numpy(zero_copy_only=False))
+        keep &= (pc.count_substring_regex(flat, r"\S+")
+                 .to_numpy(zero_copy_only=False) >= C4_MIN_WORDS)
+        low = pc.utf8_lower(flat)
+        for phrase in C4_LINE_PHRASES:
+            keep &= ~pc.match_substring(low, phrase) \
+                .to_numpy(zero_copy_only=False)
+        keep &= nonempty
+
+        n_lines = np.bincount(parents[nonempty], minlength=n_docs)
+        n_kept = np.bincount(parents[keep], minlength=n_docs)
+
+        # rebuild a list<string> of kept lines per doc (offsets from the
+        # kept-per-doc counts; order is preserved) and join with \n
+        kept_flat = flat.filter(pa.array(keep))
+        offsets = np.zeros(n_docs + 1, dtype=np.int32)
+        np.cumsum(n_kept, out=offsets[1:])
+        kept_lists = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()), kept_flat)
+        clean = pc.binary_join(kept_lists, "\n")
+
+        n_sent = pc.count_substring_regex(clean, r"[.!?]") \
+            .to_numpy(zero_copy_only=False)
+        low_text = pc.utf8_lower(text)
+        page_ok = ~pc.match_substring(low_text, "lorem ipsum") \
+            .to_numpy(zero_copy_only=False)
+        page_ok &= ~pc.match_substring(text, "{") \
+            .to_numpy(zero_copy_only=False)
+        page_ok &= n_sent >= C4_MIN_SENTENCES
+
+        md5s = [hashlib.md5(t.encode()).hexdigest()
+                for t in clean.to_pylist()]
+        cols = {
+            id_col: ids,
+            "n_lines": pa.array(n_lines, pa.int64()),
+            "n_kept_lines": pa.array(n_kept, pa.int64()),
+            "n_sentences": pa.array(n_sent.astype(np.int64), pa.int64()),
+            "kept": pa.array(page_ok),
+            "clean_md5": pa.array(md5s, pa.string()),
+        }
+        if keep_text:
+            cols["clean_text"] = clean
+        return pa.table(cols)
+
+    return ds.map_batches(_clean, batch_format="pyarrow")

@@ -233,3 +233,68 @@ def test_normalize_text_ascii_stays_in_arrow(ray_session):
     col = pa.array(["plain ascii", "more ascii"])
     out = cleaning._nfc_array(col)
     assert out is col
+
+
+# ---- C4 rules ---------------------------------------------------------------
+
+
+def _c4(texts, **kw):
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })).repartition(2)
+    return cleaning.c4_rules(ds, **kw).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+
+
+def test_c4_line_rules(ray_session):
+    t = _c4([
+        # kept: terminal punct + >=5 words; dropped: short / no punct /
+        # javascript / policy phrase
+        "This line has five good words.\n"
+        "short.\n"
+        "no terminal punctuation in this line\n"
+        "please enable JavaScript to view this.\n"
+        "read our Privacy Policy for details here.\n"
+        "Second proper sentence with enough words!\n"
+        'Quoted line also counts as terminal words."',
+    ], keep_text=True)
+    assert t.loc[0, "n_lines"] == 7
+    assert t.loc[0, "n_kept_lines"] == 3
+    assert t.loc[0, "clean_text"] == (
+        "This line has five good words.\n"
+        "Second proper sentence with enough words!\n"
+        'Quoted line also counts as terminal words."')
+
+
+def test_c4_page_rules(ray_session):
+    good = ("One full sentence with enough words here.\n"
+            "Two full sentences with enough words here!\n"
+            "Three full sentences with enough words here?")
+    t = _c4([
+        good,                                   # kept
+        good + "\nsee lorem ipsum dolor sit.",  # lorem ipsum -> dropped
+        good.replace("Two", "Br{ace"),          # '{' -> dropped
+        "Only one good sentence lives here.",   # <3 sentences -> dropped
+        "",                                     # empty
+    ])
+    assert t["kept"].tolist() == [True, False, False, False, False]
+    assert t.loc[0, "n_sentences"] == 3
+    # empty doc: zero lines, md5 of the empty string
+    assert t.loc[4, "n_lines"] == 0
+    assert t.loc[4, "clean_md5"] == hashlib.md5(b"").hexdigest()
+
+
+def test_c4_sentence_count_intra_line(ray_session):
+    # several [.!?] inside one kept line all count as sentences
+    t = _c4(["First part ends. second continues! third finishes? ok done."])
+    assert t.loc[0, "n_kept_lines"] == 1
+    assert t.loc[0, "n_sentences"] == 4
+    assert bool(t.loc[0, "kept"])
+
+
+def test_c4_trim_and_null(ray_session):
+    t = _c4([None, "   Padded line with five words here.   "])
+    assert t.loc[0, "n_lines"] == 0
+    # trimmed before the terminal-punct test
+    assert t.loc[1, "n_kept_lines"] == 1
