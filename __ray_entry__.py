@@ -1061,6 +1061,41 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = _docs_ds(sf).map_batches(_mk, batch_format="pyarrow")
         return cleaning.c4_rules(ds)
 
+    def q_html_extract(sf):
+        """HTML main-text extraction (stages/htmltext.py). Pages are
+        synthesized deterministically around the doc text — title from
+        doc_id, ' value ' separators become <p> boundaries, doc_id%3
+        empty-anchor links, plus script/style/nav/footer traps whose
+        text must NOT survive — so the SQL oracle can recompute the
+        expected extraction from the source column while the Ray side
+        genuinely parses the markup."""
+        import pyarrow.compute as pc
+        from blacklab_ray.stages.htmltext import extract_html_text
+
+        links = pa.array(["", '<a href="/x"></a>',
+                          '<a href="/x"></a><a href="/x"></a>'])
+
+        def _mk(batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").cast(pa.int64())
+            idx = pa.array((ids.to_numpy(zero_copy_only=False) % 3)
+                           .astype("int32"))
+            seg = pc.replace_substring(
+                batch.column("text"), pattern=" value ",
+                replacement="</p><p>")
+            html = pc.binary_join_element_wise(
+                '<html><head><title>Doc ', pc.cast(ids, pa.string()),
+                '</title><script>var t = "<p>trap</p>";</script>'
+                "<style>p{color:red}</style></head><body>"
+                "<nav>home | about | contact</nav><header>Site</header>"
+                "<p>", seg, "</p>",
+                links.take(idx),
+                '<footer>(c) 2026 <a href="/legal"></a></footer>'
+                "</body></html>", "")
+            return pa.table({"doc_id": ids, "html": html})
+
+        ds = _docs_ds(sf).map_batches(_mk, batch_format="pyarrow")
+        return extract_html_text(ds, keep_text=False)
+
     # ---- multimodal plumbing (decode STUB, real Ray plumbing) ----------
 
     def q_media_features(sf):
@@ -1166,6 +1201,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "keyness_ll": q_keyness,
         "colloc_assoc": q_colloc_assoc,
         "c4_stats": q_c4_stats,
+        "html_extract": q_html_extract,
     }
 
 
@@ -2209,5 +2245,21 @@ SELECT doc_id, n_lines, n_kept_lines,
         AND len(regexp_extract_all(clean, '[.!?]')) >= 3) AS kept,
        md5(clean) AS clean_md5
 FROM c
+""",
+        # HTML extraction ground truth recomputed from the source text:
+        # the synthesized page's only content blocks are the ' value '-
+        # separated segments (all non-empty by construction — the
+        # pattern needs both surrounding spaces), title is 'Doc '||id,
+        # links are doc_id%3 empty anchors (the footer link is
+        # boilerplate, dropped)
+        "html_extract": """
+WITH aug AS (
+  SELECT doc_id, replace(text, ' value ', chr(10)) AS xt
+  FROM documents)
+SELECT doc_id, 'Doc ' || doc_id AS title,
+       len(string_split(xt, chr(10)))::BIGINT AS n_blocks,
+       (doc_id % 3)::BIGINT AS n_links,
+       md5(xt) AS text_md5
+FROM aug
 """,
     }

@@ -1,0 +1,203 @@
+"""HTML main-text extraction — the crawl→text step of a webtext
+pipeline (trafilatura / jusText shape, stdlib-only).
+
+No reference analogue (BlackLab ingests already-tokenized XML/TEI; see
+DocIndexerXPath for that path — stages/xmlconfig.py). Raw web crawls
+need the step BEFORE that: strip markup, drop script/style payloads
+and boilerplate chrome (nav/header/footer), and recover readable block
+text. This module implements it on Python's ``html.parser`` (the only
+HTML tokenizer in this sandbox), wrapped as a vector-shaped
+``map_batches`` stage.
+
+Scale notes: HTML parsing is inherently per-document (a recursive
+grammar — no Arrow kernel exists), so the hot loop is per-row Python
+by necessity; the stage is embarrassingly parallel, nothing shuffles,
+and the parser is allocation-light (one list of block buffers per
+doc). At 100 TB this runs as a wide ``map_batches`` over the crawl
+shards with ``concurrency`` sized to the cluster; each task is pure
+CPU with zero-copy Arrow in/out of the string columns.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from html.parser import HTMLParser
+
+import pyarrow as pa
+import ray.data
+
+# elements whose entire subtree is non-content (never extracted)
+_DROP_SUBTREE = frozenset(
+    {"script", "style", "noscript", "template", "svg", "head"})
+# boilerplate chrome dropped when drop_boilerplate=True (jusText/
+# trafilatura default behavior)
+_BOILERPLATE = frozenset({"nav", "header", "footer", "aside", "form"})
+# elements that open a new text block (CSS block-level display)
+_BLOCK = frozenset({
+    "p", "div", "h1", "h2", "h3", "h4", "h5", "h6", "li", "ul", "ol",
+    "table", "tr", "td", "th", "blockquote", "pre", "article",
+    "section", "main", "figure", "figcaption", "dl", "dt", "dd",
+    "body", "br", "hr",
+    # boilerplate chrome is block-level too (matters when it is KEPT)
+    "nav", "header", "footer", "aside", "form",
+})
+# void elements: no closing tag, must not push the open-element stack
+_VOID = frozenset({
+    "br", "hr", "img", "input", "meta", "link", "area", "base", "col",
+    "embed", "source", "track", "wbr",
+})
+
+
+class _Extractor(HTMLParser):
+    """One-pass block-text extractor.
+
+    Maintains a depth counter per suppressed category instead of a full
+    DOM: ``_drop`` > 0 means we are inside script/style/head/...,
+    ``_boiler`` > 0 inside nav/header/... (when dropping boilerplate).
+    Text lands in the current block buffer; block-level tags seal the
+    buffer. Entities are decoded by the parser (convert_charrefs).
+    """
+
+    def __init__(self, drop_boilerplate: bool = True):
+        super().__init__(convert_charrefs=True)
+        self._drop_boiler = drop_boilerplate
+        self.blocks: list[list[str]] = [[]]
+        self.title_parts: list[str] = []
+        self.n_links = 0
+        self._drop = 0
+        self._boiler = 0
+        self._in_title = False
+        # parallel stacks so mismatched end tags can't underflow
+        self._drop_stack: list[str] = []
+        self._boiler_stack: list[str] = []
+
+    # -- tag events --------------------------------------------------
+    def handle_starttag(self, tag, attrs):
+        if tag in _DROP_SUBTREE:
+            if tag == "head":
+                # title lives in head; track it separately
+                pass
+            self._drop += 1
+            self._drop_stack.append(tag)
+            if tag == "head":
+                return
+        if tag == "title":
+            self._in_title = True
+            return
+        if self._drop and not self._in_title:
+            return
+        if self._drop_boiler and tag in _BOILERPLATE:
+            # a dropped subtree still separates its neighbors' blocks
+            self._seal()
+            self._boiler += 1
+            self._boiler_stack.append(tag)
+            return
+        if self._boiler:
+            return
+        if tag == "a":
+            self.n_links += 1
+        if tag in _BLOCK:
+            self._seal()
+        if tag in _VOID and tag in _BLOCK:
+            self._seal()
+
+    def handle_startendtag(self, tag, attrs):
+        self.handle_starttag(tag, attrs)
+        if tag not in _VOID:
+            self.handle_endtag(tag)
+
+    def handle_endtag(self, tag):
+        if tag == "title":
+            self._in_title = False
+            return
+        if self._drop_stack and tag in _DROP_SUBTREE:
+            # pop the innermost matching suppressed element
+            if tag in self._drop_stack:
+                self._drop_stack.remove(tag)
+                self._drop -= 1
+            return
+        if self._boiler_stack and tag in _BOILERPLATE:
+            if tag in self._boiler_stack:
+                self._boiler_stack.remove(tag)
+                self._boiler -= 1
+            return
+        if self._drop or self._boiler:
+            return
+        if tag in _BLOCK:
+            self._seal()
+
+    # -- text --------------------------------------------------------
+    def handle_data(self, data):
+        if self._in_title:
+            self.title_parts.append(data)
+            return
+        if self._drop or self._boiler:
+            return
+        if data:
+            self.blocks[-1].append(data)
+
+    # -- assembly ----------------------------------------------------
+    def _seal(self):
+        if self.blocks[-1]:
+            self.blocks.append([])
+
+    def result(self) -> tuple[str, str, int, int]:
+        """(text, title, n_blocks, n_links); block text is
+        whitespace-collapsed, blocks joined with newline."""
+        out = []
+        for buf in self.blocks:
+            t = " ".join("".join(buf).split())
+            if t:
+                out.append(t)
+        title = " ".join("".join(self.title_parts).split())
+        return "\n".join(out), title, len(out), self.n_links
+
+
+def extract_text(html: str, drop_boilerplate: bool = True
+                 ) -> tuple[str, str, int, int]:
+    """Extract (text, title, n_blocks, n_links) from one HTML string."""
+    p = _Extractor(drop_boilerplate)
+    try:
+        p.feed(html or "")
+        p.close()
+    except Exception:
+        # malformed markup: keep whatever was extracted before the
+        # parser gave up (crawl data is dirty by definition)
+        pass
+    return p.result()
+
+
+def extract_html_text(ds: ray.data.Dataset, html_col: str = "html",
+                      id_col: str = "doc_id",
+                      drop_boilerplate: bool = True,
+                      keep_text: bool = True) -> ray.data.Dataset:
+    """Dataset stage: per page, the extracted main text (+ md5 witness),
+    title, block count and link count.
+
+    ``keep_text=False`` returns only ``text_md5`` (compact equality
+    witness for driver hashing, as in ``cleaning.pii_scrub``).
+    """
+
+    def _extract(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).cast(pa.int64())
+        html = batch.column(html_col).to_pylist()
+        texts, titles, n_blocks, n_links, md5s = [], [], [], [], []
+        for h in html:
+            t, title, nb, nl = extract_text(h, drop_boilerplate)
+            texts.append(t)
+            titles.append(title)
+            n_blocks.append(nb)
+            n_links.append(nl)
+            md5s.append(hashlib.md5(t.encode()).hexdigest())
+        cols = {
+            id_col: ids,
+            "title": pa.array(titles, pa.string()),
+            "n_blocks": pa.array(n_blocks, pa.int64()),
+            "n_links": pa.array(n_links, pa.int64()),
+            "text_md5": pa.array(md5s, pa.string()),
+        }
+        if keep_text:
+            cols["text"] = pa.array(texts, pa.string())
+        return pa.table(cols)
+
+    return ds.map_batches(_extract, batch_format="pyarrow")

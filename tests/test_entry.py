@@ -86,7 +86,8 @@ def test_driver_key_cap(entry_mod):
                            "asof_join", "range_join",
                            "hll_registers", "cm_topk",
                            "dsir_sample", "keyness_ll",
-                           "colloc_assoc", "c4_stats"}, extras
+                           "colloc_assoc", "c4_stats",
+                           "html_extract"}, extras
     assert "lm_perplexity" in q[:50]   # rotated INTO the recorded set
     o = entry_mod.oracle_sql()
     # extras stay oracled, except declared rows-only ops whose
