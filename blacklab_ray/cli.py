@@ -195,6 +195,20 @@ def cmd_clean(args) -> int:
     elif args.op == "paragraph-dedup":
         out = cleaning.paragraph_dup_stats(ds, text_col=args.text_col,
                                            id_col=args.id_col)
+    elif args.op == "c4":
+        import pyarrow.compute as _pc
+        out = cleaning.c4_rules(ds, text_col=args.text_col,
+                                id_col=args.id_col,
+                                keep_text=args.keep_text)
+        if args.keep_only:
+            out = out.map_batches(
+                lambda t: t.filter(_pc.equal(t["kept"], True)),
+                batch_format="pyarrow")
+    elif args.op == "html":
+        from blacklab_ray.stages.htmltext import extract_html_text
+        out = extract_html_text(ds, html_col=args.html_col,
+                                id_col=args.id_col,
+                                keep_text=args.keep_text)
     else:  # decontaminate
         import pyarrow.compute as _pc
         if not args.benchmark:
@@ -408,8 +422,9 @@ def main(argv=None) -> int:
     cl.add_argument("--out", required=True)
     cl.add_argument("--op", required=True,
                     choices=("pii", "quality", "paragraph-dedup",
-                             "decontaminate"))
+                             "decontaminate", "c4", "html"))
     cl.add_argument("--text-col", default="text")
+    cl.add_argument("--html-col", default="html")
     cl.add_argument("--id-col", default="doc_id")
     cl.add_argument("--keep-text", action="store_true")
     cl.add_argument("--keep-only", action="store_true",

@@ -545,7 +545,8 @@ C4_MIN_SENTENCES = 3
 
 def c4_rules(ds: ray.data.Dataset, text_col: str = "text",
              id_col: str = "doc_id",
-             keep_text: bool = False) -> ray.data.Dataset:
+             keep_text: bool = False,
+             keep_cols: tuple = ()) -> ray.data.Dataset:
     """C4-style page cleaning (Raffel et al. 2020, §2.2 heuristics).
 
     Line level (a line = ``\\n``-separated, space-trimmed):
@@ -630,6 +631,8 @@ def c4_rules(ds: ray.data.Dataset, text_col: str = "text",
         }
         if keep_text:
             cols["clean_text"] = clean
+        for c in keep_cols:
+            cols[c] = batch.column(c)
         return pa.table(cols)
 
     return ds.map_batches(_clean, batch_format="pyarrow")

@@ -31,6 +31,9 @@ from blacklab_ray.pipelines import cleaning, dedup, textstats
 
 def curate(ds: ray.data.Dataset, text_col: str = "text",
            id_col: str = "doc_id",
+           from_html: bool = False,
+           html_col: str = "html",
+           c4: bool = False,
            normalize: bool = True,
            languages: tuple[str, ...] | None = ("en",),
            quality_thresholds: dict | None = None,
@@ -47,6 +50,11 @@ def curate(ds: ray.data.Dataset, text_col: str = "text",
     """Curated documents: (id, text[, lang_pred], per-doc signals).
 
     Stages (each optional knob defaults to the standard recipe):
+    -1. optional crawl front end (``from_html=True``): HTML main-text
+       extraction (markup stripped, script/style/boilerplate dropped,
+       :func:`stages.htmltext.extract_html_text`);
+    -0.5. optional C4 rules (``c4=True``): line-level filtering +
+       page-level rejection (:func:`cleaning.c4_rules`);
     0. text normalization in place (NFC + whitespace/control cleanup,
        :func:`cleaning.normalize_column`) so every later signal — and
        the dedup hash — sees canonical text;
@@ -70,6 +78,37 @@ def curate(ds: ray.data.Dataset, text_col: str = "text",
        per ``mixture_by`` value (``docsops.mixture_sample``);
     6. PII scrub (text replaced by the redacted form).
     """
+    # -1: optional crawl→text front end — raw HTML in, extracted main
+    # text out (stages/htmltext.py); the rest of the recipe then sees
+    # an ordinary (id, text) corpus. Note: projects to the extraction
+    # schema (id, text, title, counters) — a crawl input has nothing
+    # else to carry.
+    if from_html:
+        from blacklab_ray.stages.htmltext import extract_html_text
+        ds = extract_html_text(ds, html_col=html_col, id_col=id_col)
+        if text_col != "text":
+            ds = ds.rename_columns({"text": text_col})
+
+    # -0.5: optional C4 line/page rules (Raffel et al. 2020) — text is
+    # replaced by the line-filtered form and rejected pages drop out
+    # BEFORE the signals below see them; non-text columns pass through
+    if c4:
+        extra = tuple(c for c in ds.schema().names
+                      if c not in (id_col, text_col))
+        filtered = cleaning.c4_rules(ds, text_col=text_col,
+                                     id_col=id_col, keep_text=True,
+                                     keep_cols=extra)
+
+        def _c4_keep(batch: pa.Table) -> pa.Table:
+            batch = batch.filter(pc.equal(batch["kept"], True))
+            cols = {id_col: batch.column(id_col),
+                    text_col: batch.column("clean_text")}
+            for c in extra:
+                cols[c] = batch.column(c)
+            return pa.table(cols)
+
+        ds = filtered.map_batches(_c4_keep, batch_format="pyarrow")
+
     # 0+1+2: one fused pass — normalization, lang-id and quality
     # signals share the batch
     lang = textstats.LangId(text_col, id_col)

@@ -170,7 +170,8 @@ def extract_text(html: str, drop_boilerplate: bool = True
 def extract_html_text(ds: ray.data.Dataset, html_col: str = "html",
                       id_col: str = "doc_id",
                       drop_boilerplate: bool = True,
-                      keep_text: bool = True) -> ray.data.Dataset:
+                      keep_text: bool = True,
+                      keep_cols: tuple = ()) -> ray.data.Dataset:
     """Dataset stage: per page, the extracted main text (+ md5 witness),
     title, block count and link count.
 
@@ -198,6 +199,8 @@ def extract_html_text(ds: ray.data.Dataset, html_col: str = "html",
         }
         if keep_text:
             cols["text"] = pa.array(texts, pa.string())
+        for c in keep_cols:
+            cols[c] = batch.column(c)
         return pa.table(cols)
 
     return ds.map_batches(_extract, batch_format="pyarrow")

@@ -159,3 +159,30 @@ def test_curate_and_export_end_to_end(ray_session, tmp_path):
     total = sum(pq.read_metadata(f).num_rows for f in files)
     assert total == man["n_sequences"]
     assert man["total_tokens"] == stats["total_tokens"] > 0
+
+
+def test_curate_from_html_and_c4(ray_session):
+    # crawl front end: raw pages in, curated text out. Page 0 survives
+    # (3 proper sentences after line filtering); page 1 dies at the C4
+    # page gate (lorem ipsum); page 2's only block is boilerplate.
+    good_body = ("<p>" + EN + ".</p>"
+                 "<p>Another proper sentence with enough words!</p>"
+                 "<p>Third full sentence with enough words here?</p>")
+    pages = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "html": pa.array([
+            "<html><head><title>A</title><script>x()</script></head>"
+            "<body><nav>menu</nav>" + good_body + "</body></html>",
+            "<html><body>" + good_body +
+            "<p>see lorem ipsum dolor sit amet today.</p></body></html>",
+            "<html><body><footer>" + EN + ".</footer></body></html>",
+        ]),
+    })
+    ds = ray.data.from_arrow(pages).repartition(2)
+    out = curate(ds, from_html=True, c4=True, languages=("en",),
+                 quality_thresholds=TH).to_pandas()
+    assert out["doc_id"].tolist() == [0]
+    t = out.loc[0, "text"]
+    assert "menu" not in t and "x()" not in t
+    assert t.startswith(EN + ".")
+    assert "Third full sentence" in t
