@@ -1096,6 +1096,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = _docs_ds(sf).map_batches(_mk, batch_format="pyarrow")
         return extract_html_text(ds, keep_text=False)
 
+    def q_lsh_probe(sf):
+        """Persisted LSH index probe (pipelines/lshindex.py): even
+        doc_ids are indexed once (band table + shingle signatures on
+        disk), odd doc_ids are probed against that state without
+        touching the indexed text again. Oracle: brute-force
+        cross-split shingle Jaccard >= 0.8."""
+        import tempfile
+
+        from blacklab_ray.pipelines.lshindex import (
+            build_minhash_index, probe_minhash_index)
+
+        def _half(parity):
+            def _f(batch: pa.Table) -> pa.Table:
+                import pyarrow.compute as pc
+                ids = batch.column("doc_id").cast(pa.int64())
+                keep = pc.equal(
+                    pa.array(ids.to_numpy(zero_copy_only=False) % 2),
+                    parity)
+                return pa.table({"doc_id": ids,
+                                 "text": batch.column("text")}) \
+                    .filter(keep)
+            return _f
+
+        idx_dir = tempfile.mkdtemp(prefix="blray_lshidx_")
+        build_minhash_index(
+            _docs_ds(sf).map_batches(_half(0), batch_format="pyarrow"),
+            idx_dir)
+        return probe_minhash_index(
+            _docs_ds(sf).map_batches(_half(1), batch_format="pyarrow"),
+            idx_dir, threshold=0.8)
+
     # ---- multimodal plumbing (decode STUB, real Ray plumbing) ----------
 
     def q_media_features(sf):
@@ -1202,6 +1233,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "colloc_assoc": q_colloc_assoc,
         "c4_stats": q_c4_stats,
         "html_extract": q_html_extract,
+        "lsh_probe": q_lsh_probe,
     }
 
 
@@ -2245,6 +2277,27 @@ SELECT doc_id, n_lines, n_kept_lines,
         AND len(regexp_extract_all(clean, '[.!?]')) >= 3) AS kept,
        md5(clean) AS clean_md5
 FROM c
+""",
+        # persisted-LSH probe ground truth: brute-force 3-gram shingle
+        # Jaccard between the probe half (odd ids) and the indexed half
+        # (even ids) — same shingle convention as minhash_pairs
+        "lsh_probe": f"""
+WITH toks AS ({toks_pos}),
+g AS (SELECT a.doc_id,
+             a.term || ' ' || b.term || ' ' || c.term AS gram
+      FROM toks a
+      JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+      JOIN toks c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2),
+gd AS (SELECT DISTINCT doc_id, gram FROM g),
+s AS (SELECT doc_id, count(*) AS n FROM gd GROUP BY doc_id),
+inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+          FROM gd x JOIN gd y ON x.gram = y.gram
+          WHERE x.doc_id % 2 = 1 AND y.doc_id % 2 = 0
+          GROUP BY x.doc_id, y.doc_id)
+SELECT a AS doc_id, b AS index_doc_id,
+       round(i::DOUBLE / (sa.n + sb.n - i), 6) AS jaccard
+FROM inter JOIN s sa ON sa.doc_id = a JOIN s sb ON sb.doc_id = b
+WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.8
 """,
         # HTML extraction ground truth recomputed from the source text:
         # the synthesized page's only content blocks are the ' value '-

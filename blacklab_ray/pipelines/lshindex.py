@@ -1,0 +1,443 @@
+"""Persisted MinHash-LSH index: dedup NEW shards against an existing
+curated corpus WITHOUT re-scanning its text.
+
+The incremental-ingest shape a 100-TB pipeline needs: the corpus is
+curated once and its LSH state — banded bucket hashes plus exact
+shingle signatures — is written as partitioned Parquet; each new crawl
+shard is then probed against that state. Cost per probe is
+O(new shard) signature compute + a scan of the COMPACT band table
+(~``bands``×16 bytes/doc, ≈ 0.25% of the text it summarizes) + pruned
+reads of the shingle partitions the candidates actually touch. The
+original corpus text is never needed again.
+
+Same algorithmic core as ``dedup.minhash_candidate_pairs`` /
+``verify_jaccard_pairs`` (banded MinHash → bucket collisions → exact
+shingle-Jaccard verify), re-expressed over a (build-once, probe-many)
+split. No reference analogue (BlackLab's incremental story is the doc
+index — index/update.py); the published shape is the scale path of
+Lee et al. 2022 / RefinedWeb-style dedup against a growing corpus.
+
+Layout under ``index_dir``:
+- ``meta.json``          — num_perm/bands/shingle_k/seed/P (probe
+                           params must match build params).
+- ``bands/part=*/``      — (band, band_hash, doc_id) partitioned by
+                           ``part = hash(band, band_hash) % P`` so a
+                           probe co-partitions against it for free.
+- ``shingles/spart=*/``  — (doc_id, sig) exact shingle-hash sets
+                           (sorted unique int64s packed as one binary
+                           value), partitioned by ``doc_id % P`` and
+                           sorted by doc_id inside each file so
+                           verification gathers prune to row groups.
+
+``append_minhash_index`` adds new shard files into the same partition
+directories — Parquet dirs are append-only, so ingest is resumable and
+the probe side never sees a half-written partition layout (files land
+atomically per block).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+from blacklab_ray.pipelines.dedup import (
+    ExplodeBands,
+    MinHashSignature,
+    _distinct_pairs,
+    _hashed_shingles,
+)
+
+_SIG_T = pa.large_binary()
+
+
+def _part_of(keys: np.ndarray, P: int) -> np.ndarray:
+    return ((keys * np.int64(2654435761)) & np.int64(0x7FFFFFFF)) % P
+
+
+def _bucket_part(t: pa.Table, P: int, src: int) -> pa.Table:
+    """(band, band_hash, doc_id) → + part (bucket hash) + src tag."""
+    schema = pa.schema([("part", pa.int64()), ("band", pa.int32()),
+                        ("band_hash", pa.int64()),
+                        ("doc_id", pa.int64()), ("src", pa.int8())])
+    if t.num_rows == 0 or "band" not in t.column_names:
+        return schema.empty_table()
+    key = (t.column("band_hash").to_numpy(zero_copy_only=False)
+           ^ (t.column("band").to_numpy(zero_copy_only=False)
+              .astype(np.int64) * np.int64(0x9E3779B1)))
+    return pa.table({
+        "part": pa.array(_part_of(key, P), pa.int64()),
+        "band": t.column("band").cast(pa.int32()),
+        "band_hash": t.column("band_hash").cast(pa.int64()),
+        "doc_id": t.column("doc_id").cast(pa.int64()),
+        "src": pa.array(np.full(t.num_rows, src, np.int8())),
+    })
+
+
+def build_minhash_index(ds: ray.data.Dataset, index_dir: str,
+                        num_perm: int = 64, bands: int = 16,
+                        shingle_k: int = 3, seed: int = 7,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        num_partitions: int = 32) -> dict:
+    """Write the LSH state of ``ds`` to ``index_dir``. Returns stats.
+
+    Build is FRESH: existing band/shingle partitions are removed first
+    (Parquet partition dirs are append-only, so a re-build over stale
+    shards would double-count). Incremental ingest goes through
+    :func:`append_minhash_index`.
+    """
+    import shutil
+    os.makedirs(index_dir, exist_ok=True)
+    for sub in ("bands", "shingles"):
+        shutil.rmtree(os.path.join(index_dir, sub), ignore_errors=True)
+    meta = {"num_perm": num_perm, "bands": bands,
+            "shingle_k": shingle_k, "seed": seed,
+            "num_partitions": num_partitions}
+    with open(os.path.join(index_dir, "meta.json"), "w") as f:
+        json.dump(meta, f)
+    return append_minhash_index(ds, index_dir, text_col=text_col,
+                                id_col=id_col)
+
+
+def append_minhash_index(ds: ray.data.Dataset, index_dir: str,
+                         text_col: str = "text",
+                         id_col: str = "doc_id") -> dict:
+    """Add a corpus shard's LSH state under an existing ``index_dir``.
+
+    Two streaming passes over the shard (signatures are cheap relative
+    to the write): banded bucket rows, then exact shingle signatures.
+    Caller owns doc-id uniqueness across appends (same contract as
+    ``index.update.add`` — see idspace.py for the collision story).
+    """
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    P = meta["num_partitions"]
+
+    sigs = ds.map_batches(
+        MinHashSignature(num_perm=meta["num_perm"],
+                         shingle_k=meta["shingle_k"], seed=meta["seed"],
+                         text_col=text_col, id_col=id_col),
+        batch_format="pyarrow")
+    banded = sigs.map_batches(
+        ExplodeBands(num_perm=meta["num_perm"], bands=meta["bands"]),
+        batch_format="pyarrow")
+    banded.map_batches(lambda t: _bucket_part(t, P, 0),
+                       batch_format="pyarrow") \
+        .drop_columns(["src"]) \
+        .write_parquet(os.path.join(index_dir, "bands"),
+                       partition_cols=["part"])
+
+    k = meta["shingle_k"]
+
+    def _shingle_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        sig = [_hashed_shingles(t, k).tobytes()
+               for t in batch.column(text_col).to_pylist()]
+        order = np.argsort(ids, kind="stable")  # row-group pruning
+        return pa.table({
+            "spart": pa.array(ids[order] % P, pa.int64()),
+            "doc_id": pa.array(ids[order], pa.int64()),
+            "sig": pa.array(sig, _SIG_T).take(pa.array(order)),
+        })
+
+    ds.map_batches(_shingle_rows, batch_format="pyarrow") \
+        .write_parquet(os.path.join(index_dir, "shingles"),
+                       partition_cols=["spart"])
+    n = ds.count()
+    return {"n_docs": n, **meta}
+
+
+def _cross_pairs(group: pa.Table, cap: int = 50) -> pa.Table:
+    """One bucket-hash partition of unioned band rows (index src=0,
+    probe src=1): for every bucket containing BOTH sources, emit
+    (new_doc, index_doc) candidate pairs. Vectorized run detection;
+    the Python loop touches only mixed buckets. Buckets larger than
+    ``cap`` per side are truncated (counted in the 'truncated' column
+    of the stats row the caller logs — same contract as
+    dedup._pairs_from_buckets)."""
+    schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+    if group.num_rows == 0 or "band" not in group.column_names:
+        return schema.empty_table()
+    band = group.column("band").to_numpy(zero_copy_only=False)
+    bh = group.column("band_hash").to_numpy(zero_copy_only=False)
+    doc = group.column("doc_id").to_numpy(zero_copy_only=False)
+    src = group.column("src").to_numpy(zero_copy_only=False)
+    order = np.lexsort((src, doc, bh, band))
+    band, bh, doc, src = band[order], bh[order], doc[order], src[order]
+    new_bucket = np.empty(band.size, dtype=bool)
+    new_bucket[0] = True
+    np.not_equal(band[1:], band[:-1], out=new_bucket[1:])
+    new_bucket[1:] |= bh[1:] != bh[:-1]
+    starts = np.flatnonzero(new_bucket)
+    ends = np.append(starts[1:], band.size)
+    # per-bucket source mix via prefix sums of src
+    csrc = np.concatenate([[0], np.cumsum(src)])
+    n_new = csrc[ends] - csrc[starts]
+    sizes = ends - starts
+    mixed = np.flatnonzero((n_new > 0) & (n_new < sizes))
+    out_a, out_b = [], []
+    truncated = 0
+    for m in mixed.tolist():
+        s, e = starts[m], ends[m]
+        d, sr = doc[s:e], src[s:e]
+        idx_docs = np.unique(d[sr == 0])
+        new_docs = np.unique(d[sr == 1])
+        if idx_docs.size > cap or new_docs.size > cap:
+            truncated += 1
+            idx_docs, new_docs = idx_docs[:cap], new_docs[:cap]
+        out_a.append(np.repeat(new_docs, idx_docs.size))
+        out_b.append(np.tile(idx_docs, new_docs.size))
+    if truncated:
+        import logging
+        logging.getLogger(__name__).warning(
+            "lshindex probe: %d oversized buckets truncated at cap=%d",
+            truncated, cap)
+    if not out_a:
+        return schema.empty_table()
+    return pa.table({"a": pa.array(np.concatenate(out_a), pa.int64()),
+                     "b": pa.array(np.concatenate(out_b), pa.int64())})
+
+
+def probe_minhash_index(ds: ray.data.Dataset, index_dir: str,
+                        threshold: float = 0.8,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> pa.Table:
+    """Near-dup pairs between ``ds`` (the new shard) and the indexed
+    corpus: (doc_id, index_doc_id, jaccard), jaccard >= threshold.
+
+    Stages (all part-hash co-partitioned, P Python UDF calls each):
+    1. new shard → banded rows (same permutations: seed from meta);
+    2. union with the persisted band table (its ``part`` partition
+       column IS the bucket hash part — no reshuffle of the index
+       side) → cross-source candidate pairs per bucket;
+    3. cross-band pair dedup on ``hash(a,b)``;
+    4. exact verify: new-side signatures computed from the shard's
+       text, index-side signatures gathered from the shingle
+       partitions the candidates touch (partition-pruned read), then
+       the same two-shuffle attach/intersect as
+       ``dedup.verify_jaccard_pairs``.
+    """
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    P = meta["num_partitions"]
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "index_doc_id": pa.array([], pa.int64()),
+                      "jaccard": pa.array([], pa.float64())})
+
+    # 1-2: candidates. The persisted side already carries `part`.
+    new_banded = ds.map_batches(
+        MinHashSignature(num_perm=meta["num_perm"],
+                         shingle_k=meta["shingle_k"], seed=meta["seed"],
+                         text_col=text_col, id_col=id_col),
+        batch_format="pyarrow").map_batches(
+        ExplodeBands(num_perm=meta["num_perm"], bands=meta["bands"]),
+        batch_format="pyarrow").map_batches(
+        lambda t: _bucket_part(t, P, 1), batch_format="pyarrow")
+    def _idx_rows(t: pa.Table) -> pa.Table:
+        # hive partition values read back as strings in some pyarrow
+        # versions — normalize the whole row shape explicitly
+        return pa.table({
+            "part": t.column("part").cast(pa.int64()),
+            "band": t.column("band").cast(pa.int32()),
+            "band_hash": t.column("band_hash").cast(pa.int64()),
+            "doc_id": t.column("doc_id").cast(pa.int64()),
+            "src": pa.array(np.zeros(t.num_rows, np.int8)),
+        })
+
+    idx_banded = ray.data.read_parquet(
+        os.path.join(index_dir, "bands")).map_batches(
+        _idx_rows, batch_format="pyarrow")
+    pairs = new_banded.union(idx_banded).groupby("part").map_groups(
+        _cross_pairs, batch_format="pyarrow")
+
+    # 3: dedup (a,b) across bands
+    def _pair_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "a" not in t.column_names:
+            return pa.schema([("part", pa.int64()), ("a", pa.int64()),
+                              ("b", pa.int64())]).empty_table()
+        key = (t.column("a").to_numpy(zero_copy_only=False)
+               * np.int64(31)
+               + t.column("b").to_numpy(zero_copy_only=False))
+        return t.append_column(
+            "part", pa.array(_part_of(key, P), pa.int64())) \
+            .select(["part", "a", "b"])
+
+    pairs = pairs.map_batches(_pair_part, batch_format="pyarrow") \
+        .groupby("part").map_groups(_distinct_pairs,
+                                    batch_format="pyarrow") \
+        .materialize()  # pair-sized; consumed twice below
+
+    id_parts = [(np.unique(b["a"].to_numpy(zero_copy_only=False)),
+                 np.unique(b["b"].to_numpy(zero_copy_only=False)))
+                for b in pairs.iter_batches(batch_format="pyarrow")
+                if b.num_rows]
+    if not id_parts:
+        return empty
+    need_new = np.unique(np.concatenate([p[0] for p in id_parts]))
+    need_idx = np.unique(np.concatenate([p[1] for p in id_parts]))
+    need_new_ref = ray.put(need_new)
+
+    # 4: signature streams. Keys are packed (id << 1) | src so new and
+    # index ids can never collide in the attach shuffle.
+    k = meta["shingle_k"]
+    UNION_SCHEMA = pa.schema([
+        ("part", pa.int64()), ("key", pa.int64()),
+        ("a", pa.int64()), ("b", pa.int64()),
+        ("side", pa.int8()), ("sig", _SIG_T)])
+
+    def _explode_pairs(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "a" not in batch.column_names:
+            return UNION_SCHEMA.empty_table()
+        a = batch["a"].to_numpy(zero_copy_only=False)
+        b = batch["b"].to_numpy(zero_copy_only=False)
+        key = np.concatenate([(a << 1) | 1, b << 1])
+        return pa.table({
+            "part": pa.array(_part_of(key, P), pa.int64()),
+            "key": pa.array(key, pa.int64()),
+            "a": pa.array(np.concatenate([a, a]), pa.int64()),
+            "b": pa.array(np.concatenate([b, b]), pa.int64()),
+            "side": pa.array(np.repeat(
+                np.array([0, 1], np.int8), a.size), pa.int8()),
+            "sig": pa.nulls(2 * a.size, _SIG_T),
+        })
+
+    def _sig_row_table(key: np.ndarray, sig: pa.Array) -> pa.Table:
+        n = key.size
+        return pa.table({
+            "part": pa.array(_part_of(key, P), pa.int64()),
+            "key": pa.array(key, pa.int64()),
+            "a": pa.nulls(n, pa.int64()),
+            "b": pa.nulls(n, pa.int64()),
+            "side": pa.nulls(n, pa.int8()),
+            "sig": sig,
+        })
+
+    # plain functions, not actor classes: ray.get of a broadcast ref is
+    # a zero-copy local object-store fetch, and two actor pools at
+    # concurrency=2 each can reserve every CPU on a small node and
+    # starve the downstream groupby shuffle (observed as a 4-cpu
+    # deadlock in tests/test_lshindex.py::test_probe_multiblock)
+    def _new_sigs(batch: pa.Table) -> pa.Table:
+        need = pa.array(ray.get(need_new_ref), pa.int64())
+        sub = batch.filter(pc.is_in(
+            batch.column(id_col).cast(pa.int64()), value_set=need))
+        sig = pa.array([_hashed_shingles(t, k).tobytes()
+                        for t in sub.column(text_col).to_pylist()],
+                       _SIG_T)
+        ids = sub.column(id_col).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        return _sig_row_table((ids << 1) | 1, sig)
+
+    # index-side sigs: partition-pruned read (only spart dirs that
+    # candidate ids hash into), then an isin filter inside the task
+    need_parts = set(np.unique(need_idx % P).tolist())
+    shingle_root = os.path.join(index_dir, "shingles")
+    paths = [os.path.join(shingle_root, d, f)
+             for d in sorted(os.listdir(shingle_root))
+             if d.startswith("spart=")
+             and int(d.split("=", 1)[1]) in need_parts
+             for f in sorted(os.listdir(os.path.join(shingle_root, d)))
+             if f.endswith(".parquet")]
+    need_idx_ref = ray.put(need_idx)
+
+    def _idx_sigs(batch: pa.Table) -> pa.Table:
+        need = pa.array(ray.get(need_idx_ref), pa.int64())
+        sub = batch.filter(pc.is_in(
+            batch.column("doc_id").cast(pa.int64()), value_set=need))
+        ids = sub.column("doc_id").to_numpy(zero_copy_only=False)
+        return _sig_row_table(ids << 1, sub.column("sig")
+                              .combine_chunks().cast(_SIG_T))
+
+    idx_sigs = ray.data.read_parquet(paths, columns=["doc_id", "sig"]) \
+        .map_batches(_idx_sigs, batch_format="pyarrow")
+    new_sigs = ds.map_batches(_new_sigs, batch_format="pyarrow")
+
+    def _attach(g: pa.Table) -> pa.Table:
+        schema = pa.schema([("part", pa.int64()), ("a", pa.int64()),
+                            ("b", pa.int64()), ("side", pa.int8()),
+                            ("sig", _SIG_T)])
+        if g.num_rows == 0 or "sig" not in g.column_names:
+            return schema.empty_table()
+        is_sig = pc.is_valid(g.column("sig"))
+        sig_rows = g.filter(is_sig)
+        pair_rows = g.filter(pc.invert(is_sig))
+        if sig_rows.num_rows == 0 or pair_rows.num_rows == 0:
+            return schema.empty_table()
+        sig_keys = sig_rows.column("key").to_numpy(zero_copy_only=False)
+        order = np.argsort(sig_keys, kind="stable")
+        sig_keys = sig_keys[order]
+        sig_col = sig_rows.column("sig").take(pa.array(order))
+        # the pair row's own key: side 0 -> packed a, side 1 -> packed b
+        side = pair_rows.column("side").to_numpy(zero_copy_only=False)
+        a = pair_rows.column("a").to_numpy(zero_copy_only=False)
+        b = pair_rows.column("b").to_numpy(zero_copy_only=False)
+        pk = np.where(side == 0, (a << 1) | 1, b << 1)
+        pos = np.searchsorted(sig_keys, pk)
+        pos_c = np.minimum(pos, sig_keys.size - 1)
+        found = sig_keys[pos_c] == pk
+        pr = pair_rows.filter(pa.array(found))
+        a2 = pr.column("a").to_numpy(zero_copy_only=False)
+        b2 = pr.column("b").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "part": pa.array(
+                _part_of(a2 * np.int64(31) + b2, P), pa.int64()),
+            "a": pr.column("a"),
+            "b": pr.column("b"),
+            "side": pr.column("side"),
+            "sig": sig_col.take(pa.array(pos_c[found])),
+        })
+
+    def _verify(g: pa.Table) -> pa.Table:
+        out = pa.table({"doc_id": pa.array([], pa.int64()),
+                        "index_doc_id": pa.array([], pa.int64()),
+                        "jaccard": pa.array([], pa.float64())})
+        if g.num_rows == 0 or "a" not in g.column_names:
+            return out
+        idx = np.lexsort((
+            g.column("side").to_numpy(zero_copy_only=False),
+            g.column("b").to_numpy(zero_copy_only=False),
+            g.column("a").to_numpy(zero_copy_only=False)))
+        t = g.take(pa.array(idx))
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        side = t.column("side").to_numpy(zero_copy_only=False)
+        sig = t.column("sig")
+        out_a, out_b, out_j = [], [], []
+        i, n = 0, a.size
+        while i + 1 < n:
+            if a[i] == a[i + 1] and b[i] == b[i + 1] \
+                    and side[i] == 0 and side[i + 1] == 1:
+                sa = np.frombuffer(sig[i].as_py(), np.int64)
+                sb = np.frombuffer(sig[i + 1].as_py(), np.int64)
+                if sa.size and sb.size:
+                    inter = np.intersect1d(
+                        sa, sb, assume_unique=True).size
+                    j = inter / (sa.size + sb.size - inter)
+                    if j >= threshold:
+                        out_a.append(int(a[i]))
+                        out_b.append(int(b[i]))
+                        out_j.append(round(j, 6))
+                i += 2
+            else:
+                i += 1
+        return pa.table({"doc_id": pa.array(out_a, pa.int64()),
+                         "index_doc_id": pa.array(out_b, pa.int64()),
+                         "jaccard": pa.array(out_j, pa.float64())})
+
+    exploded = pairs.map_batches(_explode_pairs, batch_format="pyarrow")
+    attached = exploded.union(new_sigs).union(idx_sigs) \
+        .groupby("part").map_groups(_attach, batch_format="pyarrow")
+    verified = [b for b in
+                attached.groupby("part").map_groups(
+                    _verify, batch_format="pyarrow")
+                .iter_batches(batch_format="pyarrow") if b.num_rows]
+    if not verified:
+        return empty
+    return pa.concat_tables(verified).sort_by(
+        [("doc_id", "ascending"), ("index_doc_id", "ascending")])
