@@ -268,7 +268,8 @@ def keyness(ds: ray.data.Dataset, group_col: str, focus_value,
               .map_batches(_partial, batch_format="pyarrow")
               .groupby("term")
               .aggregate(Sum("f_focus", alias_name="f_focus"),
-                         Sum("f_ref", alias_name="f_ref")))
+                         Sum("f_ref", alias_name="f_ref"))
+              .materialize())  # type-table-sized; consumed twice below
     totals = counts.aggregate(Sum("f_focus", alias_name="n1"),
                               Sum("f_ref", alias_name="n2"))
     n1, n2 = float(totals["n1"]), float(totals["n2"])

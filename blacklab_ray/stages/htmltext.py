@@ -153,9 +153,15 @@ class _Extractor(HTMLParser):
         return "\n".join(out), title, len(out), self.n_links
 
 
-def extract_text(html: str, drop_boilerplate: bool = True
+def extract_text(html: str | bytes, drop_boilerplate: bool = True
                  ) -> tuple[str, str, int, int]:
-    """Extract (text, title, n_blocks, n_links) from one HTML string."""
+    """Extract (text, title, n_blocks, n_links) from one HTML string.
+
+    Accepts ``bytes`` too (the input-hint schema carries
+    ``html:binary``) — decoded utf-8 with replacement, since feeding
+    bytes to HTMLParser raises and would silently yield empty text."""
+    if isinstance(html, bytes):
+        html = html.decode("utf-8", "replace")
     p = _Extractor(drop_boilerplate)
     try:
         p.feed(html or "")

@@ -95,3 +95,16 @@ def test_dataset_stage(ray_session):
     # keep_text=False drops the body but keeps the witness
     cols = extract_html_text(ds, keep_text=False).schema().names
     assert "text" not in cols and "text_md5" in cols
+
+
+def test_binary_html_column(ray_session):
+    """input_hint carries html:binary — bytes must decode, not silently
+    produce empty text (HTMLParser.feed raises on bytes)."""
+    t0, title, nb, nl = extract_text(b"<html><p>bytes body</p></html>")
+    assert t0 == "bytes body" and nb == 1
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([0], pa.int64()),
+        "html": pa.array([b"<p>bin page</p>"], pa.binary()),
+    }))
+    t = extract_html_text(ds).to_pandas()
+    assert t.loc[0, "text"] == "bin page"
