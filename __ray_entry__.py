@@ -1127,6 +1127,45 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _docs_ds(sf).map_batches(_half(1), batch_format="pyarrow"),
             idx_dir, threshold=0.8)
 
+    def q_exact_probe(sf):
+        """Persisted exact-hash index probe (lshindex.build/probe
+        _exact_index): even doc_ids indexed; the probe shard is the odd
+        docs PLUS planted copies of every doc_id%10==0 doc under
+        offset ids (the corpus has no natural cross-parity exact dups
+        — the plant makes the match set deterministic and non-empty).
+        Oracle: md5(text) equi-join, min index id per probe doc."""
+        import tempfile
+
+        from blacklab_ray.pipelines.lshindex import (build_exact_index,
+                                                     probe_exact_index)
+
+        def _evens(batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").cast(pa.int64())
+            keep = pa.array(
+                ids.to_numpy(zero_copy_only=False) % 2 == 0)
+            return pa.table({"doc_id": ids,
+                             "text": batch.column("text")}).filter(keep)
+
+        def _probe_rows(batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").cast(pa.int64())
+            iv = ids.to_numpy(zero_copy_only=False)
+            odd = pa.table({"doc_id": ids,
+                            "text": batch.column("text")}) \
+                .filter(pa.array(iv % 2 == 1))
+            planted = pa.table({
+                "doc_id": pa.array(iv + 1_000_000, pa.int64()),
+                "text": batch.column("text"),
+            }).filter(pa.array(iv % 10 == 0))
+            return pa.concat_tables([odd, planted])
+
+        idx_dir = tempfile.mkdtemp(prefix="blray_exidx_")
+        build_exact_index(
+            _docs_ds(sf).map_batches(_evens, batch_format="pyarrow"),
+            idx_dir)
+        return probe_exact_index(
+            _docs_ds(sf).map_batches(_probe_rows, batch_format="pyarrow"),
+            idx_dir)
+
     # ---- multimodal plumbing (decode STUB, real Ray plumbing) ----------
 
     def q_media_features(sf):
@@ -1234,6 +1273,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "c4_stats": q_c4_stats,
         "html_extract": q_html_extract,
         "lsh_probe": q_lsh_probe,
+        "exact_probe": q_exact_probe,
     }
 
 
@@ -2298,6 +2338,21 @@ SELECT a AS doc_id, b AS index_doc_id,
        round(i::DOUBLE / (sa.n + sb.n - i), 6) AS jaccard
 FROM inter JOIN s sa ON sa.doc_id = a JOIN s sb ON sb.doc_id = b
 WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.8
+""",
+        # persisted exact-hash probe ground truth: md5(text) equi-join
+        # between the probe shard (odd ids + planted %10==0 copies at
+        # +1e6) and the indexed half (even ids), min index id per doc
+        "exact_probe": """
+WITH probe AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+  WHERE doc_id % 10 = 0
+),
+idx AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0)
+SELECT p.doc_id, min(i.doc_id) AS index_doc_id
+FROM probe p JOIN idx i ON md5(p.text) = md5(i.text)
+GROUP BY p.doc_id
 """,
         # HTML extraction ground truth recomputed from the source text:
         # the synthesized page's only content blocks are the ' value '-

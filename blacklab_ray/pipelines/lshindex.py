@@ -441,3 +441,130 @@ def probe_minhash_index(ds: ray.data.Dataset, index_dir: str,
         return empty
     return pa.concat_tables(verified).sort_by(
         [("doc_id", "ascending"), ("index_doc_id", "ascending")])
+
+
+# ---------------------------------------------------------------------------
+# persisted EXACT-hash index (the cheap companion: content-identical dedup
+# of new shards against a stored corpus digest — 16 bytes/doc of state)
+# ---------------------------------------------------------------------------
+
+def _exact_rows(batch: pa.Table, P: int, text_col: str,
+                id_col: str, normalize: bool) -> pa.Table:
+    from blacklab_ray.pipelines.dedup import ContentHash
+    hashed = ContentHash(text_col, out_col="content_md5",
+                         normalize=normalize)(batch)
+    ids = hashed.column(id_col).cast(pa.int64()) \
+        .to_numpy(zero_copy_only=False)
+    # low-64 bits of the hex digest as the partition key (string md5
+    # kept as the identity — exact equality is on the full digest)
+    md5 = hashed.column("content_md5")
+    low = np.array([int(h[16:], 16) - (1 << 63) for h in md5.to_pylist()],
+                   np.int64)
+    order = np.argsort(md5.to_numpy(zero_copy_only=False), kind="stable")
+    return pa.table({
+        "hpart": pa.array(_part_of(low, P)[order], pa.int64()),
+        "content_md5": md5.take(pa.array(order)),
+        "doc_id": pa.array(ids[order], pa.int64()),
+    })
+
+
+def build_exact_index(ds: ray.data.Dataset, index_dir: str,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      normalize: bool = False,
+                      num_partitions: int = 32) -> dict:
+    """Write ``ds``'s content digests under ``index_dir/exact/`` —
+    (content_md5, doc_id) partitioned by ``hpart = hash(low64(md5))%P``
+    so probes co-partition for free. Fresh build (see
+    :func:`build_minhash_index` for the append-only rationale)."""
+    import shutil
+    os.makedirs(index_dir, exist_ok=True)
+    shutil.rmtree(os.path.join(index_dir, "exact"), ignore_errors=True)
+    meta = {"num_partitions": num_partitions, "normalize": normalize}
+    with open(os.path.join(index_dir, "exact_meta.json"), "w") as f:
+        json.dump(meta, f)
+    return append_exact_index(ds, index_dir, text_col=text_col,
+                              id_col=id_col)
+
+
+def append_exact_index(ds: ray.data.Dataset, index_dir: str,
+                       text_col: str = "text",
+                       id_col: str = "doc_id") -> dict:
+    """Add a shard's digests into the existing partition layout
+    (append-only Parquet dirs — same resumable-ingest contract as
+    :func:`append_minhash_index`)."""
+    with open(os.path.join(index_dir, "exact_meta.json")) as f:
+        meta = json.load(f)
+    P, norm = meta["num_partitions"], meta["normalize"]
+    ds.map_batches(
+        lambda t: _exact_rows(t, P, text_col, id_col, norm),
+        batch_format="pyarrow") \
+        .write_parquet(os.path.join(index_dir, "exact"),
+                       partition_cols=["hpart"])
+    return {"n_docs": ds.count(), **meta}
+
+
+def probe_exact_index(ds: ray.data.Dataset, index_dir: str,
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> pa.Table:
+    """(doc_id, index_doc_id) for every new-shard doc whose content
+    digest already exists in the index; index_doc_id is the smallest
+    matching stored id. A probe doc with no match does not appear —
+    the caller's "keep" set is ``shard ids − probe ids``.
+
+    One co-partitioned union groupby (P vectorized UDF calls): the
+    stored side reads back pruned to its own partition files, the new
+    side computes digests in flight; inside each partition the match
+    is a sorted searchsorted join on the digest string."""
+    with open(os.path.join(index_dir, "exact_meta.json")) as f:
+        meta = json.load(f)
+    P, norm = meta["num_partitions"], meta["normalize"]
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "index_doc_id": pa.array([], pa.int64())})
+
+    def _probe_rows(t: pa.Table) -> pa.Table:
+        out = _exact_rows(t, P, text_col, id_col, norm)
+        return out.append_column("src", pa.array(
+            np.ones(out.num_rows, np.int8)))
+
+    def _idx_rows(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "hpart": t.column("hpart").cast(pa.int64()),
+            "content_md5": t.column("content_md5").cast(pa.string()),
+            "doc_id": t.column("doc_id").cast(pa.int64()),
+            "src": pa.array(np.zeros(t.num_rows, np.int8)),
+        })
+
+    def _match(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "src" not in g.column_names:
+            return empty
+        src = g.column("src").to_numpy(zero_copy_only=False)
+        md5 = g.column("content_md5").to_numpy(zero_copy_only=False)
+        doc = g.column("doc_id").to_numpy(zero_copy_only=False)
+        idx_m, idx_d = md5[src == 0], doc[src == 0]
+        new_m, new_d = md5[src == 1], doc[src == 1]
+        if idx_m.size == 0 or new_m.size == 0:
+            return empty
+        # min stored id per digest: sort by (md5, id), keep run heads
+        order = np.lexsort((idx_d, idx_m))
+        idx_m, idx_d = idx_m[order], idx_d[order]
+        head = np.ones(idx_m.size, bool)
+        head[1:] = idx_m[1:] != idx_m[:-1]
+        idx_m, idx_d = idx_m[head], idx_d[head]
+        pos = np.searchsorted(idx_m, new_m)
+        pos_c = np.minimum(pos, idx_m.size - 1)
+        hit = idx_m[pos_c] == new_m
+        return pa.table({
+            "doc_id": pa.array(new_d[hit], pa.int64()),
+            "index_doc_id": pa.array(idx_d[pos_c[hit]], pa.int64()),
+        })
+
+    idx = ray.data.read_parquet(os.path.join(index_dir, "exact")) \
+        .map_batches(_idx_rows, batch_format="pyarrow")
+    probe = ds.map_batches(_probe_rows, batch_format="pyarrow")
+    parts = [b for b in probe.union(idx).groupby("hpart")
+             .map_groups(_match, batch_format="pyarrow")
+             .iter_batches(batch_format="pyarrow") if b.num_rows]
+    if not parts:
+        return empty
+    return pa.concat_tables(parts).sort_by(
+        [("doc_id", "ascending"), ("index_doc_id", "ascending")])

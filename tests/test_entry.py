@@ -87,7 +87,8 @@ def test_driver_key_cap(entry_mod):
                            "hll_registers", "cm_topk",
                            "dsir_sample", "keyness_ll",
                            "colloc_assoc", "c4_stats",
-                           "html_extract", "lsh_probe"}, extras
+                           "html_extract", "lsh_probe",
+                           "exact_probe"}, extras
     assert "lm_perplexity" in q[:50]   # rotated INTO the recorded set
     o = entry_mod.oracle_sql()
     # extras stay oracled, except declared rows-only ops whose

@@ -98,3 +98,40 @@ def test_probe_empty_and_no_match(ray_session, tmp_path_factory, corpus):
         ray.data.from_arrow(_split(corpus, 40, 50)), idx, threshold=0.8)
     assert out.num_rows == 0
     assert out.column_names == ["doc_id", "index_doc_id", "jaccard"]
+
+
+def test_exact_index_probe(ray_session, tmp_path_factory, corpus):
+    import ray.data
+
+    from blacklab_ray.pipelines.lshindex import (append_exact_index,
+                                                 build_exact_index,
+                                                 probe_exact_index)
+    idx = str(tmp_path_factory.mktemp("exidx"))
+    stats = build_exact_index(
+        ray.data.from_arrow(_split(corpus, 0, 30)).repartition(8), idx)
+    assert stats["n_docs"] == 30
+    append_exact_index(
+        ray.data.from_arrow(_split(corpus, 30, 60)).repartition(8), idx)
+    out = probe_exact_index(
+        ray.data.from_arrow(_split(corpus, 60, 70)).repartition(4), idx)
+    pairs = set(zip(out["doc_id"].to_pylist(),
+                    out["index_doc_id"].to_pylist()))
+    # ids 60-64 are exact copies of 0-4; 65-69 are near-dups (no match)
+    assert pairs == {(60 + i, i) for i in range(5)}, pairs
+
+
+def test_exact_index_min_id_and_misses(ray_session, tmp_path_factory,
+                                       corpus):
+    import ray.data
+
+    from blacklab_ray.pipelines.lshindex import (build_exact_index,
+                                                 probe_exact_index)
+    idx = str(tmp_path_factory.mktemp("exidx_min"))
+    # index includes BOTH copies of doc 0's text (ids 0 and 60)
+    build_exact_index(ray.data.from_arrow(_split(corpus, 0, 70)), idx)
+    texts = corpus.column("text").to_pylist()
+    probe = pa.table({"doc_id": pa.array([100, 101], pa.int64()),
+                      "text": pa.array([texts[0], "nothing like this"])})
+    out = probe_exact_index(ray.data.from_arrow(probe), idx)
+    assert out["doc_id"].to_pylist() == [100]
+    assert out["index_doc_id"].to_pylist() == [0]  # min of {0, 60}
