@@ -1166,6 +1166,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _docs_ds(sf).map_batches(_probe_rows, batch_format="pyarrow"),
             idx_dir)
 
+    def q_split_counts(sf):
+        """Deterministic train/val/test assignment (docsops.assign_splits,
+        md5-digest buckets — recomputable from the id alone): per
+        (split, lang) doc counts. Oracle replays the bucket CASE."""
+        from blacklab_ray.pipelines.docsops import assign_splits
+        from ray.data.aggregate import Count
+        ds = assign_splits(_docs_ds(sf).select_columns(
+            ["doc_id", "lang"]))
+        return ds.groupby(["split", "lang"]).aggregate(
+            Count(alias_name="n"))
+
     # ---- multimodal plumbing (decode STUB, real Ray plumbing) ----------
 
     def q_media_features(sf):
@@ -1274,6 +1285,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "html_extract": q_html_extract,
         "lsh_probe": q_lsh_probe,
         "exact_probe": q_exact_probe,
+        "split_counts": q_split_counts,
     }
 
 
@@ -2353,6 +2365,19 @@ idx AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0)
 SELECT p.doc_id, min(i.doc_id) AS index_doc_id
 FROM probe p JOIN idx i ON md5(p.text) = md5(i.text)
 GROUP BY p.doc_id
+""",
+        # split assignment ground truth: same md5 bucket + boundary
+        # arithmetic (int(round(0.9*2^20))=943718, 0.95→996147)
+        "split_counts": """
+WITH b AS (
+  SELECT lang,
+         md5_number_lower(doc_id::VARCHAR || ':13') % 1048576 AS bucket
+  FROM documents)
+SELECT CASE WHEN bucket < 943718 THEN 'train'
+            WHEN bucket < 996147 THEN 'val'
+            ELSE 'test' END AS split,
+       lang, count(*) AS n
+FROM b GROUP BY 1, 2
 """,
         # HTML extraction ground truth recomputed from the source text:
         # the synthesized page's only content blocks are the ' value '-

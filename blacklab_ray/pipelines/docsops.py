@@ -258,3 +258,38 @@ def exact_quantiles(ds: ray.data.Dataset, col: str,
         rank = max(0, math.ceil(q * n) - 1) + 1  # 1-based target rank
         out[q] = int(vals[np.searchsorted(cum, rank)])
     return out
+
+
+def assign_splits(ds: ray.data.Dataset,
+                  splits: dict[str, float] | None = None,
+                  seed: int = 13,
+                  id_col: str = "doc_id") -> ray.data.Dataset:
+    """Deterministic train/val/test assignment by doc id.
+
+    ``bucket = md5_low64(f"{id}:{seed}") % 2^20`` lands each doc in the
+    first split whose cumulative boundary (``int(round(cum * 2^20))`` —
+    the CAST-AS-BIGINT convention every seeded sampler here uses)
+    exceeds it. Partition-order independent, stable across runs and
+    cluster sizes, SQL-reproducible via ``md5_number_lower`` — the
+    membership a training pipeline must be able to recompute years
+    later from the id alone. Weights must sum to 1 (±1e-9).
+    """
+    from blacklab_ray.pipelines.hits import md5_low64
+    splits = splits or {"train": 0.9, "val": 0.05, "test": 0.05}
+    names = list(splits)
+    cum = np.cumsum([splits[n] for n in names])
+    if abs(cum[-1] - 1.0) > 1e-9:
+        raise ValueError(f"split weights sum to {cum[-1]}, expected 1")
+    bounds = np.array([int(round(c * (1 << 20))) for c in cum[:-1]],
+                      np.int64)
+
+    def _assign(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        buckets = np.array(
+            [md5_low64(f"{i}:{seed}") % (1 << 20) for i in ids],
+            np.int64)
+        which = np.searchsorted(bounds, buckets, side="right")
+        return batch.append_column(
+            "split", pa.array([names[w] for w in which], pa.string()))
+
+    return ds.map_batches(_assign, batch_format="pyarrow")

@@ -770,3 +770,26 @@ SELECT id, wt, row_number() OVER (ORDER BY pri DESC, id) AS rank
 FROM p ORDER BY pri DESC, id LIMIT 80""").fetchall()
     assert [(r["doc_id"], r["weight"], r["rank"])
             for r in got.to_pylist()] == [tuple(r) for r in want]
+
+
+def test_assign_splits_deterministic(ray_session):
+    import ray.data
+
+    from blacklab_ray.pipelines.docsops import assign_splits
+    t = pa.table({"doc_id": pa.array(range(2000), pa.int64())})
+    a = assign_splits(ray.data.from_arrow(t)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    b = assign_splits(ray.data.from_arrow(t).repartition(16)) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    # identical assignment regardless of partitioning
+    assert (a["split"] == b["split"]).all()
+    frac = a["split"].value_counts(normalize=True)
+    assert abs(frac["train"] - 0.9) < 0.03
+    assert abs(frac.get("val", 0) - 0.05) < 0.02
+    assert abs(frac.get("test", 0) - 0.05) < 0.02
+    # custom weights + guard
+    c = assign_splits(ray.data.from_arrow(t),
+                      {"x": 0.5, "y": 0.5}, seed=7).to_pandas()
+    assert set(c["split"]) == {"x", "y"}
+    with pytest.raises(ValueError):
+        assign_splits(ray.data.from_arrow(t), {"x": 0.5, "y": 0.4})
