@@ -1096,6 +1096,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = _docs_ds(sf).map_batches(_mk, batch_format="pyarrow")
         return extract_html_text(ds, keep_text=False)
 
+    def q_pagerank(sf):
+        """Link graph + PageRank (stages/htmltext.extract_links →
+        pipelines/graph.pagerank): pages synthesized with out-links
+        dst = (doc_id*7 + c) % 1000 for c in (1,2,5,10)[: 1+doc_id%4]
+        — varying in/out degree; the Ray side genuinely parses the
+        anchors out of markup while the oracle regenerates the edge
+        set arithmetically and unrolls 3 rank iterations in SQL."""
+        import pyarrow.compute as pc
+        from blacklab_ray.pipelines.graph import pagerank
+        from blacklab_ray.stages.htmltext import extract_links
+
+        def _mk(batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").cast(pa.int64())
+            iv = ids.to_numpy(zero_copy_only=False)
+            html = []
+            for i in iv.tolist():
+                anchors = "".join(
+                    f'<a href="/doc/{(i * 7 + c) % 1000}">t</a>'
+                    for c in (1, 2, 5, 10)[: 1 + i % 4])
+                html.append(f"<html><body><p>{anchors}</p></body></html>")
+            return pa.table({"doc_id": ids,
+                             "html": pa.array(html, pa.string())})
+
+        def _edges(batch: pa.Table) -> pa.Table:
+            dst = pc.cast(pc.replace_substring_regex(
+                batch.column("href"), pattern=r"^/doc/", replacement=""),
+                pa.int64())
+            return pa.table({"src": batch.column("src"), "dst": dst})
+
+        links = extract_links(
+            _docs_ds(sf).map_batches(_mk, batch_format="pyarrow"))
+        edges = links.map_batches(_edges, batch_format="pyarrow")
+        return pagerank(edges, n_iter=3)
+
     def q_lsh_probe(sf):
         """Persisted LSH index probe (pipelines/lshindex.py): even
         doc_ids are indexed once (band table + shingle signatures on
@@ -1286,6 +1320,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lsh_probe": q_lsh_probe,
         "exact_probe": q_exact_probe,
         "split_counts": q_split_counts,
+        "pagerank_links": q_pagerank,
     }
 
 
@@ -2378,6 +2413,50 @@ SELECT CASE WHEN bucket < 943718 THEN 'train'
             ELSE 'test' END AS split,
        lang, count(*) AS n
 FROM b GROUP BY 1, 2
+""",
+        # PageRank ground truth: regenerate the synthetic edge set
+        # arithmetically, then unroll 3 iterations of
+        # rank' = 0.15/N + 0.85 * sum(rank/outdeg) (dangling mass
+        # dropped — the documented pagerank() semantics). All literals
+        # cast to DOUBLE so the arithmetic matches float64 exactly.
+        "pagerank_links": """
+WITH e AS (
+  SELECT d.doc_id AS src, (d.doc_id * 7 + c.c) % 1000 AS dst
+  FROM documents d, (VALUES (1), (2), (5), (10)) c(c)
+  WHERE CASE c.c WHEN 1 THEN 0 WHEN 2 THEN 1 WHEN 5 THEN 2 ELSE 3 END
+        <= d.doc_id % 4
+),
+deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+nodes AS (SELECT DISTINCT node
+          FROM (SELECT src AS node FROM e
+                UNION SELECT dst FROM e)),
+nn AS (SELECT count(*) AS n FROM nodes),
+r0 AS (SELECT node, 1.0::DOUBLE / nn.n AS rank FROM nodes, nn),
+r1 AS (SELECT nd.node,
+              0.15::DOUBLE / (SELECT n FROM nn)
+              + 0.85::DOUBLE * coalesce(c.s, 0) AS rank
+       FROM nodes nd LEFT JOIN (
+         SELECT e.dst AS node, sum(r0.rank / deg.outdeg) AS s
+         FROM e JOIN r0 ON r0.node = e.src
+                JOIN deg ON deg.src = e.src
+         GROUP BY e.dst) c ON c.node = nd.node),
+r2 AS (SELECT nd.node,
+              0.15::DOUBLE / (SELECT n FROM nn)
+              + 0.85::DOUBLE * coalesce(c.s, 0) AS rank
+       FROM nodes nd LEFT JOIN (
+         SELECT e.dst AS node, sum(r1.rank / deg.outdeg) AS s
+         FROM e JOIN r1 ON r1.node = e.src
+                JOIN deg ON deg.src = e.src
+         GROUP BY e.dst) c ON c.node = nd.node),
+r3 AS (SELECT nd.node,
+              0.15::DOUBLE / (SELECT n FROM nn)
+              + 0.85::DOUBLE * coalesce(c.s, 0) AS rank
+       FROM nodes nd LEFT JOIN (
+         SELECT e.dst AS node, sum(r2.rank / deg.outdeg) AS s
+         FROM e JOIN r2 ON r2.node = e.src
+                JOIN deg ON deg.src = e.src
+         GROUP BY e.dst) c ON c.node = nd.node)
+SELECT node, rank FROM r3
 """,
         # HTML extraction ground truth recomputed from the source text:
         # the synthesized page's only content blocks are the ' value '-

@@ -21,6 +21,8 @@ CPU with zero-copy Arrow in/out of the string columns.
 from __future__ import annotations
 
 import hashlib
+
+import numpy as np
 from html.parser import HTMLParser
 
 import pyarrow as pa
@@ -64,6 +66,7 @@ class _Extractor(HTMLParser):
         self.blocks: list[list[str]] = [[]]
         self.title_parts: list[str] = []
         self.n_links = 0
+        self.hrefs: list[str] = []
         self._drop = 0
         self._boiler = 0
         self._in_title = False
@@ -96,6 +99,9 @@ class _Extractor(HTMLParser):
             return
         if tag == "a":
             self.n_links += 1
+            href = next((v for k, v in attrs if k == "href" and v), None)
+            if href:
+                self.hrefs.append(href)
         if tag in _BLOCK:
             self._seal()
         if tag in _VOID and tag in _BLOCK:
@@ -210,3 +216,38 @@ def extract_html_text(ds: ray.data.Dataset, html_col: str = "html",
         return pa.table(cols)
 
     return ds.map_batches(_extract, batch_format="pyarrow")
+
+
+def extract_links(ds: ray.data.Dataset, html_col: str = "html",
+                  id_col: str = "doc_id",
+                  drop_boilerplate: bool = True) -> ray.data.Dataset:
+    """Outgoing-link edge list: one row (src, href, link_pos) per
+    content-area anchor with an href (same drop/boilerplate scoping
+    as the text extraction — chrome links don't become edges).
+
+    The crawl→graph step: feed the result to
+    ``pipelines.graph.pagerank`` / host-level aggregations."""
+
+    def _links(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        src, hrefs, pos = [], [], []
+        for i, h in enumerate(batch.column(html_col).to_pylist()):
+            if isinstance(h, bytes):
+                h = h.decode("utf-8", "replace")
+            p = _Extractor(drop_boilerplate)
+            try:
+                p.feed(h or "")
+                p.close()
+            except Exception:
+                pass
+            src.extend([ids[i]] * len(p.hrefs))
+            hrefs.extend(p.hrefs)
+            pos.extend(range(len(p.hrefs)))
+        return pa.table({
+            "src": pa.array(np.asarray(src, np.int64), pa.int64()),
+            "href": pa.array(hrefs, pa.string()),
+            "link_pos": pa.array(np.asarray(pos, np.int64), pa.int64()),
+        })
+
+    return ds.map_batches(_links, batch_format="pyarrow")

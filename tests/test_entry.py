@@ -88,7 +88,8 @@ def test_driver_key_cap(entry_mod):
                            "dsir_sample", "keyness_ll",
                            "colloc_assoc", "c4_stats",
                            "html_extract", "lsh_probe",
-                           "exact_probe", "split_counts"}, extras
+                           "exact_probe", "split_counts",
+                           "pagerank_links"}, extras
     assert "lm_perplexity" in q[:50]   # rotated INTO the recorded set
     o = entry_mod.oracle_sql()
     # extras stay oracled, except declared rows-only ops whose

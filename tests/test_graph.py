@@ -1,0 +1,86 @@
+"""PageRank (pipelines/graph.py) vs an independent dense numpy
+reference, plus the extract_links → pagerank plumbing."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _numpy_pagerank(edges, n_iter, d=0.85):
+    """Dense reference: same semantics (dangling mass dropped)."""
+    nodes = sorted({s for s, _ in edges} | {t for _, t in edges})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    outdeg = np.zeros(n)
+    for s, _ in edges:
+        outdeg[idx[s]] += 1
+    rank = np.full(n, 1.0 / n)
+    for _ in range(n_iter):
+        new = np.full(n, (1 - d) / n)
+        for s, t in edges:
+            new[idx[t]] += d * rank[idx[s]] / outdeg[idx[s]]
+        rank = new
+    return dict(zip(nodes, rank))
+
+
+def _rand_edges(n_nodes=60, n_edges=300, seed=3):
+    rng = np.random.default_rng(seed)
+    # leave some nodes dangling (never a src) and some multi-edges
+    e = [(int(rng.integers(0, n_nodes // 2)),
+          int(rng.integers(0, n_nodes)))
+         for _ in range(n_edges)]
+    e += e[:10]  # explicit multi-edges
+    return e
+
+
+@pytest.mark.parametrize("n_iter", [1, 3])
+def test_pagerank_matches_dense_reference(ray_session, n_iter):
+    import ray.data
+
+    from blacklab_ray.pipelines.graph import pagerank
+    edges = _rand_edges()
+    want = _numpy_pagerank(edges, n_iter)
+    ds = ray.data.from_arrow(pa.table({
+        "src": pa.array([s for s, _ in edges], pa.int64()),
+        "dst": pa.array([t for _, t in edges], pa.int64()),
+    })).repartition(8)
+    got = pagerank(ds, n_iter=n_iter).to_pandas()
+    assert len(got) == len(want)
+    for _, row in got.iterrows():
+        assert row["rank"] == pytest.approx(want[row["node"]], abs=1e-12)
+
+
+def test_pagerank_star_graph(ray_session):
+    """Hub-and-spoke sanity: the hub collects all spoke mass."""
+    import ray.data
+
+    from blacklab_ray.pipelines.graph import pagerank
+    edges = [(i, 0) for i in range(1, 11)]
+    ds = ray.data.from_arrow(pa.table({
+        "src": pa.array([s for s, _ in edges], pa.int64()),
+        "dst": pa.array([t for _, t in edges], pa.int64()),
+    }))
+    got = pagerank(ds, n_iter=1).to_pandas().set_index("node")["rank"]
+    n = 11
+    assert got[0] == pytest.approx(0.15 / n + 0.85 * 10 * (1 / n))
+    for i in range(1, 11):
+        assert got[i] == pytest.approx(0.15 / n)
+
+
+def test_extract_links_scoping(ray_session):
+    """Only content-area hrefs become edges; chrome links don't."""
+    import ray.data
+
+    from blacklab_ray.stages.htmltext import extract_links
+    page = ("<html><body><nav><a href='/chrome'>menu</a></nav>"
+            "<p><a href='https://a.example/x'>one</a> and "
+            "<a href='https://b.example/y'>two</a></p>"
+            "<script>var u='<a href=\"/no\">'</script></body></html>")
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([7], pa.int64()),
+        "html": pa.array([page]),
+    }))
+    t = ds and extract_links(ds).to_pandas().sort_values("link_pos")
+    assert list(t["href"]) == ["https://a.example/x",
+                               "https://b.example/y"]
+    assert list(t["src"]) == [7, 7]
