@@ -377,6 +377,33 @@ def run_bench(num_cpus: int) -> dict:
     timings["export_tokens_per_sec"] = round(
         timings.pop("export_total_tokens") / timings["export_shards"], 1)
 
+    def _pagerank():
+        # link graph synthesized at ~4 edges/doc (the html_extract
+        # convention), 3 BSP rank iterations over raw-task shards
+        import numpy as np
+        import pyarrow as pa
+
+        from blacklab_ray.pipelines.graph import pagerank
+
+        def _edges(batch):
+            ids = batch.column("doc_id").cast(pa.int64()) \
+                .to_numpy(zero_copy_only=False)
+            src, dst = [], []
+            for c in (1, 2, 5, 10):
+                src.append(ids)
+                dst.append((ids * 7 + c) % 100_000)
+            return pa.table({
+                "src": pa.array(np.concatenate(src), pa.int64()),
+                "dst": pa.array(np.concatenate(dst), pa.int64())})
+
+        edges = ray.data.read_parquet(
+            docs_path, columns=["doc_id"]).map_batches(
+            _edges, batch_format="pyarrow")
+        n = pagerank(edges, n_iter=3).count()
+        timings["pagerank_nodes"] = n
+
+    timed("pagerank_3iter", _pagerank)
+
     result = {
         "metric": "index-build+query wall time (synthetic CC pages, "
                   f"{reader.n_docs} docs, {reader.meta['total_tokens']} "
