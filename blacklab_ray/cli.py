@@ -209,6 +209,10 @@ def cmd_clean(args) -> int:
         out = extract_html_text(ds, html_col=args.html_col,
                                 id_col=args.id_col,
                                 keep_text=args.keep_text)
+    elif args.op == "links":
+        from blacklab_ray.stages.htmltext import extract_links
+        out = extract_links(ds, html_col=args.html_col,
+                            id_col=args.id_col)
     else:  # decontaminate
         import pyarrow.compute as _pc
         if not args.benchmark:
@@ -228,6 +232,69 @@ def cmd_clean(args) -> int:
     out.write_parquet(args.out)
     import ray
     print(json.dumps({"op": args.op, "out": args.out}))
+    ray.shutdown()
+    return 0
+
+
+def cmd_pagerank(args) -> int:
+    """PageRank over an edge parquet. String src/dst columns (urls)
+    are hashed to int64 node ids via hash64 after canonicalization;
+    int columns pass through. Writes (node, rank) parquet."""
+    _ray_session()
+    import pyarrow as pa
+    import ray
+    import ray.data
+
+    from blacklab_ray.pipelines.graph import pagerank
+    ds = ray.data.read_parquet(args.input,
+                               columns=[args.src_col, args.dst_col])
+    schema = ds.schema()
+    types = dict(zip(schema.names, schema.types))
+    if pa.types.is_string(types[args.src_col]) \
+            or pa.types.is_large_string(types[args.src_col]):
+        from blacklab_ray.pipelines.dedup import canonicalize_url_expr
+        from blacklab_ray.stages.tokenize import hash64
+
+        def _hash_cols(batch: pa.Table) -> pa.Table:
+            out = {}
+            for name, col in (("src", batch.column(args.src_col)),
+                              ("dst", batch.column(args.dst_col))):
+                canon = canonicalize_url_expr(col)
+                out[name] = pa.array(
+                    [hash64(u) for u in canon.to_pylist()], pa.int64())
+            return pa.table(out)
+
+        ds = ds.map_batches(_hash_cols, batch_format="pyarrow")
+        src_col = dst_col = None
+    else:
+        src_col, dst_col = args.src_col, args.dst_col
+    out = pagerank(ds, n_iter=args.iters, damping=args.damping,
+                   src_col=src_col or "src", dst_col=dst_col or "dst")
+    out.write_parquet(args.out)
+    print(json.dumps({"op": "pagerank", "iters": args.iters,
+                      "nodes": out.count(), "out": args.out}))
+    ray.shutdown()
+    return 0
+
+
+def cmd_split(args) -> int:
+    """Assign deterministic train/val/test splits and write the corpus
+    partitioned by split (resumable downstream readers select a split
+    by directory)."""
+    _ray_session()
+    import ray
+    import ray.data
+
+    from blacklab_ray.pipelines.docsops import assign_splits
+    weights = {}
+    for part in args.weights.split(","):
+        name, w = part.split("=")
+        weights[name] = float(w)
+    ds = ray.data.read_parquet(args.input)
+    out = assign_splits(ds, weights, seed=args.seed, id_col=args.id_col)
+    out.write_parquet(args.out, partition_cols=["split"])
+    print(json.dumps({"op": "split", "weights": weights,
+                      "seed": args.seed, "out": args.out}))
     ray.shutdown()
     return 0
 
@@ -422,7 +489,7 @@ def main(argv=None) -> int:
     cl.add_argument("--out", required=True)
     cl.add_argument("--op", required=True,
                     choices=("pii", "quality", "paragraph-dedup",
-                             "decontaminate", "c4", "html"))
+                             "decontaminate", "c4", "html", "links"))
     cl.add_argument("--text-col", default="text")
     cl.add_argument("--html-col", default="html")
     cl.add_argument("--id-col", default="doc_id")
@@ -437,6 +504,24 @@ def main(argv=None) -> int:
                     help="Bloom-filter broadcast (decontaminate at "
                          "large benchmark sizes)")
     cl.set_defaults(fn=cmd_clean)
+
+    pr = sub.add_parser("pagerank")
+    pr.add_argument("--input", required=True,
+                    help="edge parquet (int64 or url-string columns)")
+    pr.add_argument("--out", required=True)
+    pr.add_argument("--src-col", default="src")
+    pr.add_argument("--dst-col", default="dst")
+    pr.add_argument("--iters", type=int, default=3)
+    pr.add_argument("--damping", type=float, default=0.85)
+    pr.set_defaults(fn=cmd_pagerank)
+
+    sp = sub.add_parser("split")
+    sp.add_argument("--input", required=True)
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--weights", default="train=0.9,val=0.05,test=0.05")
+    sp.add_argument("--seed", type=int, default=13)
+    sp.add_argument("--id-col", default="doc_id")
+    sp.set_defaults(fn=cmd_split)
 
     ex = sub.add_parser("export")
     ex.add_argument("--input", required=True)
