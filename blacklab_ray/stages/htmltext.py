@@ -67,6 +67,8 @@ class _Extractor(HTMLParser):
         self.title_parts: list[str] = []
         self.n_links = 0
         self.hrefs: list[str] = []
+        self.anchor_texts: list[str] = []
+        self._anchor_buf: list[str] | None = None
         self._drop = 0
         self._boiler = 0
         self._in_title = False
@@ -101,7 +103,11 @@ class _Extractor(HTMLParser):
             self.n_links += 1
             href = next((v for k, v in attrs if k == "href" and v), None)
             if href:
+                if self._anchor_buf is not None:
+                    # nested <a> (invalid HTML): seal the outer one
+                    self.anchor_texts.append("".join(self._anchor_buf))
                 self.hrefs.append(href)
+                self._anchor_buf = []
         if tag in _BLOCK:
             self._seal()
         if tag in _VOID and tag in _BLOCK:
@@ -116,6 +122,9 @@ class _Extractor(HTMLParser):
         if tag == "title":
             self._in_title = False
             return
+        if tag == "a" and self._anchor_buf is not None:
+            self.anchor_texts.append("".join(self._anchor_buf))
+            self._anchor_buf = None
         if self._drop_stack and tag in _DROP_SUBTREE:
             # pop the innermost matching suppressed element
             if tag in self._drop_stack:
@@ -140,7 +149,15 @@ class _Extractor(HTMLParser):
         if self._drop or self._boiler:
             return
         if data:
+            if self._anchor_buf is not None:
+                self._anchor_buf.append(data)
             self.blocks[-1].append(data)
+
+    def close(self):
+        super().close()
+        if self._anchor_buf is not None:  # EOF inside an open <a>
+            self.anchor_texts.append("".join(self._anchor_buf))
+            self._anchor_buf = None
 
     # -- assembly ----------------------------------------------------
     def _seal(self):
@@ -221,9 +238,11 @@ def extract_html_text(ds: ray.data.Dataset, html_col: str = "html",
 def extract_links(ds: ray.data.Dataset, html_col: str = "html",
                   id_col: str = "doc_id",
                   drop_boilerplate: bool = True) -> ray.data.Dataset:
-    """Outgoing-link edge list: one row (src, href, link_pos) per
-    content-area anchor with an href (same drop/boilerplate scoping
-    as the text extraction — chrome links don't become edges).
+    """Outgoing-link edge list: one row (src, href, anchor, link_pos)
+    per content-area anchor with an href (same drop/boilerplate
+    scoping as the text extraction — chrome links don't become edges).
+    ``anchor`` is the whitespace-collapsed link text — the classic
+    target-side relevance signal.
 
     The crawl→graph step: feed the result to
     ``pipelines.graph.pagerank`` / host-level aggregations."""
@@ -231,7 +250,7 @@ def extract_links(ds: ray.data.Dataset, html_col: str = "html",
     def _links(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).cast(pa.int64()) \
             .to_numpy(zero_copy_only=False)
-        src, hrefs, pos = [], [], []
+        src, hrefs, anchors, pos = [], [], [], []
         for i, h in enumerate(batch.column(html_col).to_pylist()):
             if isinstance(h, bytes):
                 h = h.decode("utf-8", "replace")
@@ -240,13 +259,16 @@ def extract_links(ds: ray.data.Dataset, html_col: str = "html",
                 p.feed(h or "")
                 p.close()
             except Exception:
-                pass
+                if p._anchor_buf is not None:  # EOF mid-anchor
+                    p.anchor_texts.append("".join(p._anchor_buf))
             src.extend([ids[i]] * len(p.hrefs))
             hrefs.extend(p.hrefs)
+            anchors.extend(" ".join(a.split()) for a in p.anchor_texts)
             pos.extend(range(len(p.hrefs)))
         return pa.table({
             "src": pa.array(np.asarray(src, np.int64), pa.int64()),
             "href": pa.array(hrefs, pa.string()),
+            "anchor": pa.array(anchors, pa.string()),
             "link_pos": pa.array(np.asarray(pos, np.int64), pa.int64()),
         })
 

@@ -84,3 +84,20 @@ def test_extract_links_scoping(ray_session):
     assert list(t["href"]) == ["https://a.example/x",
                                "https://b.example/y"]
     assert list(t["src"]) == [7, 7]
+
+
+def test_extract_links_anchor_text(ray_session):
+    import ray.data
+
+    from blacklab_ray.stages.htmltext import extract_links
+    page = ("<p><a href='/a'>first  link</a>"
+            "<a href='/b'><b>bold</b> text</a>"
+            "<a name='no-href'>skip</a>"
+            "<a href='/c'>dangling")  # EOF inside an open anchor
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1], pa.int64()),
+        "html": pa.array([page]),
+    }))
+    t = extract_links(ds).to_pandas().sort_values("link_pos")
+    assert list(t["href"]) == ["/a", "/b", "/c"]
+    assert list(t["anchor"]) == ["first link", "bold text", "dangling"]
