@@ -26,8 +26,9 @@ Semantics (shared verbatim with the SQL oracle):
 ``rank_0 = 1/N``;
 ``rank_{i+1}(n) = (1-d)/N + d * Σ_{(s→n)} rank_i(s)/outdeg(s)``.
 Multi-edges count once per occurrence; dangling-node mass is DROPPED
-(ranks then sum to < 1 — the common "weighted PageRank over the link
-graph" simplification; redistribute-dangling is a one-line variant).
+by default (ranks then sum to < 1 — the common "weighted PageRank over
+the link graph" simplification); ``redistribute_dangling=True``
+spreads it uniformly (the textbook stochastic completion).
 """
 
 from __future__ import annotations
@@ -129,15 +130,29 @@ def _pr_make_tasks(src_col: str, dst_col: str):
         return _route(P, udst, sums)
 
     @ray.remote
-    def _apply(nodes, base: float, d: float, *msg_pieces):
+    def _dangling_mass(shard, nodes, rank):
+        """Σ rank over this part's dangling nodes (no out-edges)."""
+        usrc = shard[3]
+        if nodes.size == 0:
+            return 0.0
+        has_out = np.zeros(nodes.size, bool)
+        if usrc.size:
+            has_out[np.searchsorted(nodes, usrc)] = True
+        return float(rank[~has_out].sum())
+
+    @ray.remote
+    def _apply(nodes, base: float, d: float, extra: float,
+               *msg_pieces):
         """One part: rank' per local node from incoming per-part sums
-        (accumulated in sorted piece order — deterministic)."""
+        (accumulated in sorted piece order — deterministic). ``extra``
+        carries the redistributed dangling mass per node (0.0 when
+        dangling mass is dropped)."""
         sums = np.zeros(nodes.size, np.float64)
         for mn, ms in msg_pieces:
             if mn.size:
                 pos = np.searchsorted(nodes, mn)
                 np.add.at(sums, pos, ms)
-        return base + d * sums
+        return base + extra + d * sums
 
     @ray.remote
     def _emit(nodes, rank) -> pa.Table:
@@ -145,14 +160,20 @@ def _pr_make_tasks(src_col: str, dst_col: str):
                          "rank": pa.array(rank, pa.float64())})
 
     return (_split, _build_shard, _node_pieces, _build_nodes,
-            _contribs, _apply, _emit)
+            _contribs, _dangling_mass, _apply, _emit)
 
 
 def pagerank(edges: ray.data.Dataset | pa.Table, n_iter: int = 3,
              damping: float = 0.85, src_col: str = "src",
              dst_col: str = "dst",
+             redistribute_dangling: bool = False,
              num_partitions: int | None = None) -> ray.data.Dataset:
-    """(node, rank) after ``n_iter`` synchronous iterations."""
+    """(node, rank) after ``n_iter`` synchronous iterations.
+
+    ``redistribute_dangling=True`` spreads each iteration's dangling
+    rank mass uniformly (ranks then sum to exactly 1 — the textbook
+    stochastic-matrix completion); the per-iteration cost is one extra
+    P-way scalar reduction on the driver."""
     import ray
 
     if isinstance(edges, pa.Table):
@@ -165,7 +186,7 @@ def pagerank(edges: ray.data.Dataset | pa.Table, n_iter: int = 3,
     P = max(2, num_partitions)
     d = float(damping)
     (_split, _build_shard, _node_pieces, _build_nodes, _contribs,
-     _apply, _emit) = _pr_make_tasks(src_col, dst_col)
+     _dangling_mass, _apply, _emit) = _pr_make_tasks(src_col, dst_col)
 
     blocks = edges.to_arrow_refs()
     esplits = [_split.options(num_returns=P).remote(b, P)
@@ -191,7 +212,12 @@ def pagerank(edges: ray.data.Dataset | pa.Table, n_iter: int = 3,
     for _ in range(n_iter):
         msgs = [_contribs.options(num_returns=P).remote(
             shards[p], nodes[p], ranks[p], P) for p in range(P)]
-        ranks = [_apply.remote(nodes[q], base, d,
+        extra = 0.0
+        if redistribute_dangling:
+            extra = d * sum(ray.get(
+                [_dangling_mass.remote(shards[p], nodes[p], ranks[p])
+                 for p in range(P)])) / n_nodes
+        ranks = [_apply.remote(nodes[q], base, d, extra,
                                *[msgs[p][q] for p in range(P)])
                  for q in range(P)]
 

@@ -101,3 +101,34 @@ def test_extract_links_anchor_text(ray_session):
     t = extract_links(ds).to_pandas().sort_values("link_pos")
     assert list(t["href"]) == ["/a", "/b", "/c"]
     assert list(t["anchor"]) == ["first link", "bold text", "dangling"]
+
+
+def test_pagerank_redistribute_dangling(ray_session):
+    """With uniform dangling redistribution ranks sum to exactly 1;
+    values match a dense reference with the same completion."""
+    import ray.data
+
+    from blacklab_ray.pipelines.graph import pagerank
+    edges = _rand_edges(seed=11)
+    nodes = sorted({s for s, _ in edges} | {t for _, t in edges})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n, d = len(nodes), 0.85
+    outdeg = np.zeros(n)
+    for s, _ in edges:
+        outdeg[idx[s]] += 1
+    rank = np.full(n, 1.0 / n)
+    for _ in range(3):
+        dangling = rank[outdeg == 0].sum()
+        new = np.full(n, (1 - d) / n + d * dangling / n)
+        for s, t in edges:
+            new[idx[t]] += d * rank[idx[s]] / outdeg[idx[s]]
+        rank = new
+    want = dict(zip(nodes, rank))
+    ds = ray.data.from_arrow(pa.table({
+        "src": pa.array([s for s, _ in edges], pa.int64()),
+        "dst": pa.array([t for _, t in edges], pa.int64()),
+    })).repartition(6)
+    got = pagerank(ds, n_iter=3, redistribute_dangling=True).to_pandas()
+    assert got["rank"].sum() == pytest.approx(1.0, abs=1e-9)
+    for _, row in got.iterrows():
+        assert row["rank"] == pytest.approx(want[row["node"]], abs=1e-12)
