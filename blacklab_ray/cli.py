@@ -236,6 +236,22 @@ def cmd_clean(args) -> int:
     return 0
 
 
+def cmd_merge(args) -> int:
+    """Merge a separately built index into another (addIndexes
+    analogue): source forward shards are reused, postings re-exchange
+    into the destination layout as one new generation."""
+    _ray_session()
+    import ray
+
+    from blacklab_ray.index.update import compact_index, merge_indexes
+    rec = merge_indexes(args.dst, args.src)
+    if args.compact:
+        compact_index(args.dst)
+    print(json.dumps(rec))
+    ray.shutdown()
+    return 0
+
+
 def cmd_pagerank(args) -> int:
     """PageRank over an edge parquet. String src/dst columns (urls)
     are hashed to int64 node ids via hash64 after canonicalization;
@@ -504,6 +520,15 @@ def main(argv=None) -> int:
                     help="Bloom-filter broadcast (decontaminate at "
                          "large benchmark sizes)")
     cl.set_defaults(fn=cmd_clean)
+
+    mg = sub.add_parser("merge")
+    mg.add_argument("--dst", required=True,
+                    help="destination index dir (gains a generation)")
+    mg.add_argument("--src", required=True,
+                    help="source index dir (left untouched)")
+    mg.add_argument("--compact", action="store_true",
+                    help="fold the merged generation in afterwards")
+    mg.set_defaults(fn=cmd_merge)
 
     pr = sub.add_parser("pagerank")
     pr.add_argument("--input", required=True,

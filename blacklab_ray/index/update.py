@@ -21,6 +21,7 @@ import json
 import os
 import time
 
+import pyarrow as pa
 import pyarrow.parquet as pq
 import ray
 import ray.data
@@ -194,6 +195,18 @@ def add_documents(index_dir: str, source, params: BuildParams | None = None,
                         batch_size=params.batch_size)
     ds.write_parquet(fwd_dir)  # appends new uuid-named files
     new_files = sorted(set(os.listdir(fwd_dir)) - before)
+    return _index_new_fwd_files(index_dir, params, upd, gen, new_files,
+                                op="add", t0=t0)
+
+
+def _index_new_fwd_files(index_dir: str, params: BuildParams, upd: dict,
+                         gen: int, new_files: list[str], op: str,
+                         t0: float) -> dict:
+    """Shared tail of add/merge: id resolution + generation-suffixed
+    postings exchange over already-written fwd delta files + terms/meta
+    refresh + update log."""
+    fwd_dir = os.path.join(index_dir, "fwd")
+    post_dir = os.path.join(index_dir, "postings")
 
     # 63-bit id-collision resolution for the delta (idspace.py):
     # incumbents keep their ids, colliding new urls rehash. Must run
@@ -238,12 +251,77 @@ def add_documents(index_dir: str, source, params: BuildParams | None = None,
 
     upd["generation"] = gen
     upd.setdefault("log", []).append({
-        "gen": gen, "op": "add", "fwd_files": len(new_files),
+        "gen": gen, "op": op, "fwd_files": len(new_files),
         "postings": sum(v["postings"] for v in info.values()),
         "seconds": round(time.perf_counter() - t0, 3),
     })
     _save_updates(index_dir, upd)
     return upd["log"][-1]
+
+
+def merge_indexes(dst_index: str, src_index: str,
+                  params: BuildParams | None = None) -> dict:
+    """Merge a separately built index into ``dst_index`` — the Lucene
+    ``IndexWriter.addIndexes`` analogue (BlackLab's multi-indexer runs
+    share one IndexWriter, IndexerImpl.java:582; independent builds
+    merge via Lucene's addIndexes).
+
+    Reuses the source's FORWARD shards verbatim (hard links when the
+    source has no tombstones; otherwise a filtered rewrite drops its
+    deleted docs) — no re-extraction or re-tokenization, the expensive
+    analysis half of a build. Postings are re-exchanged into the
+    destination's bucket/salt layout as one new generation, so the
+    merged index is indistinguishable from one built over the union
+    (and compacts like any generation). Id collisions across corpora
+    resolve exactly like an add (idspace.py).
+
+    Requires compatible analysis params (analyzer / sensitivity /
+    annotations) — checked against both metas.
+    """
+    params = _inherit_layout(dst_index, params or BuildParams())
+    with open(os.path.join(src_index, "meta.json")) as f:
+        src_params = json.load(f).get("params") or {}
+    for k in ("analyzer", "sensitive"):
+        if k in src_params and getattr(params, k) != src_params[k]:
+            raise ValueError(
+                f"merge_indexes: incompatible {k!r}: dst="
+                f"{getattr(params, k)!r} src={src_params[k]!r}")
+    if tuple(src_params.get("annotations") or ()) \
+            != tuple(params.annotations):
+        raise ValueError(
+            "merge_indexes: annotation sets differ: "
+            f"dst={tuple(params.annotations)} "
+            f"src={tuple(src_params.get('annotations') or ())}")
+
+    upd = _load_updates(dst_index)
+    gen = upd["generation"] + 1
+    src_upd = _load_updates(src_index)
+    dead = set(src_upd.get("tombstones") or [])
+    src_fwd = os.path.join(src_index, "fwd")
+    dst_fwd = os.path.join(dst_index, "fwd")
+    t0 = time.perf_counter()
+    new_files = []
+    for f in sorted(os.listdir(src_fwd)):
+        if not f.endswith(".parquet"):
+            continue
+        out = f"merge-g{gen}-{f}"
+        if dead:
+            import pyarrow.compute as pc
+            t = pq.read_table(os.path.join(src_fwd, f))
+            t = t.filter(pc.invert(pc.is_in(
+                t["doc_id"], value_set=pa.array(sorted(dead),
+                                                pa.int64()))))
+            if t.num_rows == 0:
+                continue
+            pq.write_table(t, os.path.join(dst_fwd, out + ".tmp"))
+            os.replace(os.path.join(dst_fwd, out + ".tmp"),
+                       os.path.join(dst_fwd, out))
+        else:
+            os.link(os.path.join(src_fwd, f),
+                    os.path.join(dst_fwd, out))
+        new_files.append(out)
+    return _index_new_fwd_files(dst_index, params, upd, gen, new_files,
+                                op="merge", t0=t0)
 
 
 def delete_documents(index_dir: str, doc_ids=None, urls=None) -> dict:

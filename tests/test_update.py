@@ -286,3 +286,83 @@ def test_compact_generations_tiered(tmp_path, ray_session):
     w = search_wand(reader, ["the", "of"], 10)
     t = search_taat(reader, ["the", "of"], 10)
     assert w["doc_id"].to_pylist() == t["doc_id"].to_pylist()
+
+
+def test_merge_indexes_matches_full_rebuild(tmp_path, ray_session):
+    """IndexWriter.addIndexes analogue: two independently built indexes
+    merge into one that scores identically to a single union build —
+    without re-tokenizing the source corpus."""
+    from blacklab_ray.index.update import compact_index, merge_indexes
+    from blacklab_ray.sources.synth import generate_pages
+    a_src, b_src = tmp_path / "a_src", tmp_path / "b_src"
+    a_src.mkdir(); b_src.mkdir()
+    pq.write_table(generate_pages(70), str(a_src / "p.parquet"))
+    pq.write_table(generate_pages(50, doc_offset=70),
+                   str(b_src / "p.parquet"))
+    a_idx, b_idx = str(tmp_path / "a_idx"), str(tmp_path / "b_idx")
+    build_index(str(a_src), a_idx, BuildParams(num_buckets=4, n_salts=2))
+    # deliberately DIFFERENT layout on the source index — the merge
+    # re-exchanges into the destination's layout
+    build_index(str(b_src), b_idx, BuildParams(num_buckets=2, n_salts=1))
+
+    rec = merge_indexes(a_idx, b_idx)
+    assert rec["op"] == "merge" and rec["postings"] > 0
+
+    oracle = CorpusOracle.from_pages(generate_pages(120))
+    reader = IndexReader(a_idx)
+    assert reader.n_docs == 120
+    for terms in (["the"], ["the", "w000010"], ["w000123"]):
+        exp = oracle.topk(terms, 15)
+        got = search_taat(reader, terms, 15)
+        assert got["doc_id"].to_pylist() == [d for d, _ in exp]
+        for g, (_, s) in zip(got["score"].to_pylist(), exp):
+            assert abs(g - s) < 1e-9
+    terms_tbl = pq.read_table(os.path.join(a_idx, "terms"))
+    df = dict(zip(terms_tbl["term"].to_pylist(),
+                  terms_tbl["doc_freq"].to_pylist()))
+    assert df == oracle.doc_freq()
+    # merged generations compact like any add
+    compact_index(a_idx)
+    reader2 = IndexReader(a_idx)
+    got2 = search_taat(reader2, ["the"], 15)
+    exp2 = oracle.topk(["the"], 15)
+    assert got2["doc_id"].to_pylist() == [d for d, _ in exp2]
+
+
+def test_merge_indexes_source_tombstones_dropped(tmp_path, ray_session):
+    from blacklab_ray.index.update import merge_indexes
+    from blacklab_ray.sources.synth import generate_pages
+    a_src, b_src = tmp_path / "a_src", tmp_path / "b_src"
+    a_src.mkdir(); b_src.mkdir()
+    pq.write_table(generate_pages(40), str(a_src / "p.parquet"))
+    b_pages = generate_pages(40, doc_offset=40)
+    pq.write_table(b_pages, str(b_src / "p.parquet"))
+    a_idx, b_idx = str(tmp_path / "a_idx"), str(tmp_path / "b_idx")
+    build_index(str(a_src), a_idx, BuildParams(num_buckets=4, n_salts=2))
+    build_index(str(b_src), b_idx, BuildParams(num_buckets=4, n_salts=2))
+    victims = b_pages["url"].to_pylist()[:5]
+    delete_documents(b_idx, urls=victims)
+    merge_indexes(a_idx, b_idx)
+    reader = IndexReader(a_idx)
+    assert reader.n_docs == 75  # source deletes never arrive
+    dead = {hash64(u) for u in victims}
+    res = search_taat(reader, ["the"], k=10**9)
+    assert not dead & set(res["doc_id"].to_pylist())
+
+
+def test_merge_indexes_incompatible_analysis(tmp_path, ray_session):
+    from blacklab_ray.index.update import merge_indexes
+    from blacklab_ray.sources.synth import generate_pages
+    import pytest as _pytest
+    a_src, b_src = tmp_path / "a_src", tmp_path / "b_src"
+    a_src.mkdir(); b_src.mkdir()
+    pq.write_table(generate_pages(10), str(a_src / "p.parquet"))
+    pq.write_table(generate_pages(10, doc_offset=10),
+                   str(b_src / "p.parquet"))
+    a_idx, b_idx = str(tmp_path / "a_idx"), str(tmp_path / "b_idx")
+    build_index(str(a_src), a_idx, BuildParams(num_buckets=2, n_salts=1))
+    build_index(str(b_src), b_idx,
+                BuildParams(num_buckets=2, n_salts=1,
+                            analyzer="whitespace"))
+    with _pytest.raises(ValueError, match="analyzer"):
+        merge_indexes(a_idx, b_idx)
