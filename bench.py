@@ -299,12 +299,31 @@ def run_bench(num_cpus: int) -> dict:
         orders_path = os.path.join(sf_dir, "orders.parquet")
         ev = ray.data.read_parquet(
             events_path, columns=["event_id", "ts", "user_id"])
+
+        # remap orders onto the events' 2024 time axis (the contract
+        # key's derivation) so the as-of exercises real interleaving —
+        # raw o_orderdate (1995-2001, date32) sorts entirely before
+        # every 2024 event and degenerates to one constant match/key
+        def _derive(t):
+            import pyarrow as _pa
+            ok = t.column("o_orderkey").to_numpy(zero_copy_only=False)
+            ck = t.column("o_custkey").to_numpy(zero_copy_only=False)
+            epoch_us = 1704067200_000_000  # 2024-01-01 UTC
+            s = epoch_us + (ok % 720) * 3600_000_000
+            return _pa.table({
+                "o_orderkey": t.column("o_orderkey"),
+                "k": _pa.array(ck % 150, _pa.int64()),
+                "rts": _pa.array(s, _pa.int64()).cast(
+                    _pa.timestamp("us")),
+            })
+
         od = ray.data.read_parquet(
             orders_path,
-            columns=["o_orderkey", "o_custkey", "o_orderdate"])
+            columns=["o_orderkey", "o_custkey"],
+        ).map_batches(_derive, batch_format="pyarrow")
         joins.asof_join(
-            ev, od, left_key="user_id", right_key="o_custkey",
-            left_ts="ts", right_ts="o_orderdate",
+            ev, od, left_key="user_id", right_key="k",
+            left_ts="ts", right_ts="rts",
             left_cols=["event_id"], right_cols=["o_orderkey"],
             right_tie_col="o_orderkey", how="inner").count()
 

@@ -266,18 +266,27 @@ def cmd_pagerank(args) -> int:
                                columns=[args.src_col, args.dst_col])
     schema = ds.schema()
     types = dict(zip(schema.names, schema.types))
-    if pa.types.is_string(types[args.src_col]) \
-            or pa.types.is_large_string(types[args.src_col]):
+
+    def _is_str(t) -> bool:
+        return pa.types.is_string(t) or pa.types.is_large_string(t)
+    # decide per COLUMN, not from src alone — mixed tables (pre-hashed
+    # int src joined to raw string hrefs) hash only the string side
+    if _is_str(types[args.src_col]) or _is_str(types[args.dst_col]):
         from blacklab_ray.pipelines.dedup import canonicalize_url_expr
         from blacklab_ray.stages.tokenize import hash64
 
         def _hash_cols(batch: pa.Table) -> pa.Table:
             out = {}
-            for name, col in (("src", batch.column(args.src_col)),
-                              ("dst", batch.column(args.dst_col))):
-                canon = canonicalize_url_expr(col)
-                out[name] = pa.array(
-                    [hash64(u) for u in canon.to_pylist()], pa.int64())
+            for name, cname in (("src", args.src_col),
+                                ("dst", args.dst_col)):
+                col = batch.column(cname)
+                if _is_str(col.type):
+                    canon = canonicalize_url_expr(col)
+                    out[name] = pa.array(
+                        [hash64(u) for u in canon.to_pylist()],
+                        pa.int64())
+                else:
+                    out[name] = col.cast(pa.int64())
             return pa.table(out)
 
         ds = ds.map_batches(_hash_cols, batch_format="pyarrow")

@@ -275,44 +275,89 @@ def merge_indexes(dst_index: str, src_index: str,
     (and compacts like any generation). Id collisions across corpora
     resolve exactly like an add (idspace.py).
 
-    Requires compatible analysis params (analyzer / sensitivity /
-    annotations) — checked against both metas.
+    Requires compatible analysis AND fwd-schema params (analyzer /
+    sensitivity / annotations / metadata_fields / span stores /
+    id_column) — checked against both metas; a mismatch would split the
+    fwd dataset schema (see _inherit_layout's warning).
+
+    Edge semantics:
+    - src id_remap.json entries for surviving docs are imported into
+      the destination's remap (dst entries win on url conflict), so
+      delete/update-by-url keeps addressing collision-remapped merged
+      docs correctly.
+    - a live src doc whose id is tombstoned in dst (dst deleted that
+      url, src re-indexed it) is RESURRECTED under the
+      generation-salted url ``<url>@g{gen}`` — the update_documents
+      re-add convention — instead of being silently hidden by the dst
+      tombstone.
+    - a crashed merge leaves ``merge-g{gen}-*`` partials; re-running
+      the merge removes them first (the generation only advances on
+      success), so the operation is retry-idempotent.
     """
     params = _inherit_layout(dst_index, params or BuildParams())
     with open(os.path.join(src_index, "meta.json")) as f:
         src_params = json.load(f).get("params") or {}
-    for k in ("analyzer", "sensitive"):
-        if k in src_params and getattr(params, k) != src_params[k]:
+
+    def _norm(v):
+        return tuple(tuple(x) if isinstance(x, list) else x for x in v) \
+            if isinstance(v, (list, tuple)) else v
+    for k in ("analyzer", "sensitive", "annotations", "metadata_fields",
+              "paragraph_spans", "sentence_spans", "id_column",
+              "multivalue_column"):
+        if k in src_params and _norm(getattr(params, k)) \
+                != _norm(src_params[k]):
             raise ValueError(
                 f"merge_indexes: incompatible {k!r}: dst="
                 f"{getattr(params, k)!r} src={src_params[k]!r}")
-    if tuple(src_params.get("annotations") or ()) \
-            != tuple(params.annotations):
-        raise ValueError(
-            "merge_indexes: annotation sets differ: "
-            f"dst={tuple(params.annotations)} "
-            f"src={tuple(src_params.get('annotations') or ())}")
 
+    from blacklab_ray.index.idspace import load_remap, save_remap
+    from blacklab_ray.stages.tokenize import hash64
     upd = _load_updates(dst_index)
     gen = upd["generation"] + 1
     src_upd = _load_updates(src_index)
     dead = set(src_upd.get("tombstones") or [])
+    dst_tombs = set(upd.get("tombstones") or [])
     src_fwd = os.path.join(src_index, "fwd")
     dst_fwd = os.path.join(dst_index, "fwd")
     t0 = time.perf_counter()
+    # retry-idempotence: drop partials from a crashed attempt at this
+    # generation (the generation counter only advances on success)
+    for f in os.listdir(dst_fwd):
+        if f.startswith(f"merge-g{gen}-"):
+            os.unlink(os.path.join(dst_fwd, f))
     new_files = []
     for f in sorted(os.listdir(src_fwd)):
         if not f.endswith(".parquet"):
             continue
         out = f"merge-g{gen}-{f}"
-        if dead:
+        if dead or dst_tombs:
             import pyarrow.compute as pc
             t = pq.read_table(os.path.join(src_fwd, f))
-            t = t.filter(pc.invert(pc.is_in(
-                t["doc_id"], value_set=pa.array(sorted(dead),
-                                                pa.int64()))))
+            if dead:
+                t = t.filter(pc.invert(pc.is_in(
+                    t["doc_id"], value_set=pa.array(sorted(dead),
+                                                    pa.int64()))))
             if t.num_rows == 0:
                 continue
+            if dst_tombs:
+                ids = t["doc_id"].to_numpy(zero_copy_only=False)
+                hit = [i for i, d in enumerate(ids.tolist())
+                       if d in dst_tombs]
+                if hit:
+                    # resurrect under the generation-salted url — the
+                    # dst tombstone must keep hiding dst's OWN deleted
+                    # fwd rows, so the merged doc needs a fresh id
+                    urls = t["url"].to_pylist()
+                    new_ids = ids.copy()
+                    for i in hit:
+                        urls[i] = f"{urls[i]}@g{gen}"
+                        new_ids[i] = hash64(urls[i])
+                    t = t.set_column(
+                        t.schema.get_field_index("doc_id"), "doc_id",
+                        pa.array(new_ids, pa.int64()))
+                    t = t.set_column(
+                        t.schema.get_field_index("url"), "url",
+                        pa.array(urls, pa.string()))
             pq.write_table(t, os.path.join(dst_fwd, out + ".tmp"))
             os.replace(os.path.join(dst_fwd, out + ".tmp"),
                        os.path.join(dst_fwd, out))
@@ -320,6 +365,23 @@ def merge_indexes(dst_index: str, src_index: str,
             os.link(os.path.join(src_fwd, f),
                     os.path.join(dst_fwd, out))
         new_files.append(out)
+    # import the source's collision remap for surviving docs so
+    # url→id lookups (delete/update by url) keep working; dst entries
+    # win on conflict (incumbent rule), resurrected docs are reached
+    # via the salted-generation probe instead. Must happen BEFORE the
+    # exchange so resolve_added_doc_ids composes (it loads/updates/
+    # saves the same remap).
+    src_remap = load_remap(src_index)
+    if src_remap:
+        dst_remap = load_remap(dst_index)
+        changed = False
+        for u, x in src_remap.items():
+            if x not in dead and x not in dst_tombs \
+                    and u not in dst_remap:
+                dst_remap[u] = x
+                changed = True
+        if changed:
+            save_remap(dst_index, dst_remap)
     return _index_new_fwd_files(dst_index, params, upd, gen, new_files,
                                 op="merge", t0=t0)
 

@@ -31,6 +31,7 @@ document. Per-actor token→bucket memoization makes repeated tokens
 
 from __future__ import annotations
 
+import os
 import re
 import zlib
 from dataclasses import dataclass, field
@@ -231,7 +232,14 @@ class _ScoreStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         if n == 0:
-            return batch
+            # schema-consistent empty output: downstream filters key on
+            # p_<class>/pred_label and must not see a narrower block
+            out = batch
+            for c in self.classes:
+                out = out.append_column(
+                    f"p_{c}", pa.array([], pa.float64()))
+            return out.append_column("pred_label",
+                                     pa.array([], pa.string()))
         texts = batch.column(self.text_col).to_pylist()
         ptr, idx, val = _batch_csr(texts, self.dim, self.ngrams,
                                    self.memo)
@@ -259,7 +267,13 @@ def score_documents(ds: ray.data.Dataset, model: LinearModel,
 
 
 def save_model(model: LinearModel, path: str) -> None:
-    """Persist a trained model (npz: weights + metadata)."""
+    """Persist a trained model (npz: weights + metadata).
+
+    ``np.savez_compressed`` appends ``.npz`` when the suffix is
+    missing; normalize here so the path callers recorded (e.g. the
+    clf-train CLI's printed ``out``) is the file that exists."""
+    if not path.endswith(".npz"):
+        path = path + ".npz"
     np.savez_compressed(
         path, weights=model.weights,
         classes=np.array([str(c) for c in model.classes],
@@ -269,6 +283,9 @@ def save_model(model: LinearModel, path: str) -> None:
 
 
 def load_model(path: str) -> LinearModel:
+    if not os.path.exists(path) and not path.endswith(".npz") \
+            and os.path.exists(path + ".npz"):
+        path = path + ".npz"
     z = np.load(path, allow_pickle=True)
     return LinearModel(
         classes=[str(c) for c in z["classes"].tolist()],

@@ -22,6 +22,7 @@ import pyarrow as pa
 import ray.data
 from ray.data.aggregate import Count, Min
 
+from blacklab_ray.util import part_of
 from blacklab_ray.analysis.analyzers import tokenize_text
 
 
@@ -364,7 +365,7 @@ def minhash_candidate_pairs(ds: ray.data.Dataset, num_perm: int = 64,
         key = (t.column("band_hash").to_numpy(zero_copy_only=False)
                ^ (t.column("band").to_numpy(zero_copy_only=False)
                   .astype(np.int64) * np.int64(0x9E3779B1)))
-        part = ((key * np.int64(2654435761)) & np.int64(0x7FFFFFFF)) % P
+        part = part_of(key, P)
         return t.append_column("part", pa.array(part, pa.int64()))             .select(["part", "band", "band_hash", "doc_id"])
 
     def _pair_part(t: pa.Table) -> pa.Table:
@@ -374,7 +375,7 @@ def minhash_candidate_pairs(ds: ray.data.Dataset, num_perm: int = 64,
         key = (t.column("a").to_numpy(zero_copy_only=False)
                * np.int64(31)
                + t.column("b").to_numpy(zero_copy_only=False))
-        part = ((key * np.int64(2654435761)) & np.int64(0x7FFFFFFF)) % P
+        part = part_of(key, P)
         return t.append_column("part", pa.array(part, pa.int64()))             .select(["part", "a", "b"])
 
     pairs = banded.map_batches(_bucket_part, batch_format="pyarrow")         .groupby("part").map_groups(
@@ -468,7 +469,7 @@ def verify_jaccard_pairs(ds: ray.data.Dataset, pairs: ray.data.Dataset,
         ("side", pa.int8()), ("sig", SIG_T)])
 
     def _part_of(keys: np.ndarray) -> np.ndarray:
-        return ((keys * np.int64(2654435761)) & np.int64(0x7FFFFFFF)) % P
+        return part_of(keys, P)
 
     def _explode_pairs(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0 or "a" not in batch.column_names:
@@ -779,7 +780,7 @@ def duplicate_spans(ds: ray.data.Dataset, k: int = 3,
                      ("max_span_tokens", pa.int64())])
 
     def _part_of(keys: np.ndarray) -> np.ndarray:
-        return ((keys * np.int64(2654435761)) & np.int64(0x7FFFFFFF)) % P
+        return part_of(keys, P)
 
     def _doc_part(ids: np.ndarray) -> np.ndarray:
         return ((ids * np.int64(0x9E3779B1)) & np.int64(0x7FFFFFFF)) % P
@@ -905,7 +906,7 @@ def duplicate_spans(ds: ray.data.Dataset, k: int = 3,
 
 
 def _cc_part_of(keys: np.ndarray, P: int) -> np.ndarray:
-    return ((keys * np.int64(2654435761)) & np.int64(0x7FFFFFFF)) % P
+    return part_of(keys, P)
 
 
 def _cc_route(P: int, keys: np.ndarray, *payloads: np.ndarray):

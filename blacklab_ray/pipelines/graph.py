@@ -37,9 +37,11 @@ import numpy as np
 import pyarrow as pa
 import ray.data
 
+from blacklab_ray.util import part_of
+
 
 def _part_of(keys: np.ndarray, P: int) -> np.ndarray:
-    return ((keys * np.int64(2654435761)) & np.int64(0x7FFFFFFF)) % P
+    return part_of(keys, P)
 
 
 def _route(P: int, keys: np.ndarray, *payloads: np.ndarray):

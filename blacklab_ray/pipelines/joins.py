@@ -30,12 +30,11 @@ import numpy as np
 import pyarrow as pa
 import ray.data
 
-_FIB = np.int64(2654435761)
-_MASK = np.int64(0x7FFFFFFF)
+from blacklab_ray.util import part_of
 
 
 def _part_of(keys: np.ndarray, num_partitions: int) -> np.ndarray:
-    return ((keys * _FIB) & _MASK) % num_partitions
+    return part_of(keys, num_partitions)
 
 
 def _arrow_schema(ds: ray.data.Dataset) -> pa.Schema:
@@ -50,7 +49,12 @@ def _arrow_schema(ds: ray.data.Dataset) -> pa.Schema:
 
 
 def _ts_i64(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
-    """Timestamp/int column → int64 numpy (us for timestamps)."""
+    """Timestamp/date/int column → int64 numpy, ALWAYS in microseconds
+    for temporal types — date32 casts through timestamp so a
+    date-valued side lines up with a timestamp-valued side instead of
+    comparing days against microseconds."""
+    if pa.types.is_date(col.type):
+        col = col.cast(pa.timestamp("us"))
     if pa.types.is_timestamp(col.type):
         col = col.cast(pa.timestamp("us"))
     return col.cast(pa.int64()).to_numpy(zero_copy_only=False)

@@ -46,6 +46,8 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
+from blacklab_ray.util import part_of
+
 from blacklab_ray.pipelines.dedup import (
     ExplodeBands,
     MinHashSignature,
@@ -57,7 +59,7 @@ _SIG_T = pa.large_binary()
 
 
 def _part_of(keys: np.ndarray, P: int) -> np.ndarray:
-    return ((keys * np.int64(2654435761)) & np.int64(0x7FFFFFFF)) % P
+    return part_of(keys, P)
 
 
 def _bucket_part(t: pa.Table, P: int, src: int) -> pa.Table:

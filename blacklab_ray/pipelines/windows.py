@@ -17,6 +17,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 import ray.data
+
+from blacklab_ray.util import part_of
 from ray.data.aggregate import Sum
 
 
@@ -188,8 +190,7 @@ def sessionize(ds: ray.data.Dataset, gap_s: int, ts_col: str = "ts",
                 zero_copy_only=False)
             ts = t.column(ts_col).cast(pa.int64()).to_numpy(
                 zero_copy_only=False)
-            part = ((u * np.int64(2654435761))
-                    & np.int64(0x7FFFFFFF)) % P
+            part = part_of(u, P)
             return pa.table({"part": pa.array(part, pa.int64()),
                              "u": pa.array(u, pa.int64()),
                              "t": pa.array(ts, pa.int64())})

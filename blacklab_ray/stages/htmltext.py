@@ -79,12 +79,11 @@ class _Extractor(HTMLParser):
     # -- tag events --------------------------------------------------
     def handle_starttag(self, tag, attrs):
         if tag in _DROP_SUBTREE:
-            if tag == "head":
-                # title lives in head; track it separately
-                pass
             self._drop += 1
             self._drop_stack.append(tag)
             if tag == "head":
+                # title lives in head and is tracked separately below,
+                # so head itself contributes nothing further
                 return
         if tag == "title":
             self._in_title = True
@@ -109,8 +108,6 @@ class _Extractor(HTMLParser):
                 self.hrefs.append(href)
                 self._anchor_buf = []
         if tag in _BLOCK:
-            self._seal()
-        if tag in _VOID and tag in _BLOCK:
             self._seal()
 
     def handle_startendtag(self, tag, attrs):

@@ -36,3 +36,15 @@ def pin_worker_arrow_threads(n: int = 1) -> None:
     except Exception:
         pass
     _arrow_pinned = True
+
+
+def part_of(keys, P: int):
+    """Fibonacci-hash partition of int64 keys: the ONE partitioner every
+    part-hash ``groupby(part).map_groups`` stage must share — two stages
+    that co-partition on the same key (e.g. an LSH index build and its
+    probe, or a pair shuffle meeting a signature shuffle) silently
+    disagree if their hash ever diverges. Multiplication wraps mod 2^64
+    (numpy int64); the 31-bit mask keeps the result non-negative."""
+    import numpy as np
+    keys = np.asarray(keys, dtype=np.int64)
+    return ((keys * np.int64(2654435761)) & np.int64(0x7FFFFFFF)) % P

@@ -198,3 +198,35 @@ def test_curate_model_filter_stage(ray_session, planted, planted_model):
     want = set(scored[scored["p_good"] >= 0.6]["doc_id"])
     assert set(out["doc_id"]) == want
     assert 0 < len(out) < len(hold)
+
+
+def test_score_empty_blocks_keep_schema(ray_session, planted,
+                                        planted_model):
+    """An upstream filter that empties some blocks must not crash the
+    scorer chain: _ScoreStage emits schema-consistent empty tables
+    (p_<class>/pred_label present), so downstream filters still key on
+    those columns (code-review r4 finding)."""
+    import pyarrow.compute as pc
+    import ray.data
+    ds = ray.data.from_pandas(pd.DataFrame(planted[0])).repartition(8)
+    # empty MOST blocks before scoring
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.less(t["doc_id"], 3)),
+        batch_format="pyarrow")
+    kept = quality_filter_by_model(
+        ds, planted_model, keep_class="good", min_prob=0.0)
+    out = kept.to_pandas()
+    assert set(out["doc_id"]) <= {0, 1, 2}
+    assert "pred_label" in out.columns
+
+
+def test_save_load_suffix_normalized(ray_session, planted_model,
+                                     tmp_path):
+    """save_model without .npz still round-trips (numpy appends the
+    suffix; load_model falls back to path + '.npz')."""
+    from blacklab_ray.pipelines.classifier import load_model, save_model
+    p = str(tmp_path / "model")          # no suffix
+    save_model(planted_model, p)
+    m = load_model(p)                    # loads model.npz via fallback
+    assert m.classes == planted_model.classes
+    assert (m.weights == planted_model.weights).all()

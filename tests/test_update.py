@@ -366,3 +366,117 @@ def test_merge_indexes_incompatible_analysis(tmp_path, ray_session):
                             analyzer="whitespace"))
     with _pytest.raises(ValueError, match="analyzer"):
         merge_indexes(a_idx, b_idx)
+
+
+def test_merge_indexes_imports_src_remap(tmp_path, ray_session):
+    """Collision-remap entries from the source survive the merge so
+    delete/update-by-url keeps addressing remapped merged docs."""
+    from blacklab_ray.index.idspace import load_remap, save_remap
+    from blacklab_ray.index.update import merge_indexes
+    from blacklab_ray.sources.synth import generate_pages
+    a_src, b_src = tmp_path / "a_src", tmp_path / "b_src"
+    a_src.mkdir(); b_src.mkdir()
+    pq.write_table(generate_pages(15), str(a_src / "p.parquet"))
+    pq.write_table(generate_pages(15, doc_offset=15),
+                   str(b_src / "p.parquet"))
+    a_idx, b_idx = str(tmp_path / "a_idx"), str(tmp_path / "b_idx")
+    build_index(str(a_src), a_idx, BuildParams(num_buckets=2, n_salts=1))
+    build_index(str(b_src), b_idx, BuildParams(num_buckets=2, n_salts=1))
+    # simulate a prior collision resolution on the source
+    save_remap(b_idx, {"https://remapped.example/x": 424242})
+    # plus one whose doc was deleted in src (must NOT be imported)
+    from blacklab_ray.index.update import delete_documents as _del
+    _del(b_idx, doc_ids=[555])
+    save_remap(b_idx, {"https://remapped.example/x": 424242,
+                       "https://dead.example/y": 555})
+    merge_indexes(a_idx, b_idx)
+    got = load_remap(a_idx)
+    assert got.get("https://remapped.example/x") == 424242
+    assert "https://dead.example/y" not in got
+
+
+def test_merge_indexes_resurrects_dst_tombstoned_url(tmp_path,
+                                                     ray_session):
+    """src re-indexed a url that dst had deleted: the merged copy must
+    be SEARCHABLE (generation-salted re-add), while dst's own deleted
+    fwd rows stay hidden; a later delete-by-url removes it again."""
+    import pyarrow as pa
+
+    from blacklab_ray.index.update import merge_indexes
+    from blacklab_ray.sources.synth import generate_pages
+    a_src, b_src = tmp_path / "a_src", tmp_path / "b_src"
+    a_src.mkdir(); b_src.mkdir()
+    pages = generate_pages(30)
+    pq.write_table(pages, str(a_src / "p.parquet"))
+    # source: 10 fresh docs PLUS a re-index of dst's first url
+    extra = generate_pages(10, doc_offset=30)
+    shared = pages.slice(0, 1)
+    pq.write_table(pa.concat_tables([extra, shared]),
+                   str(b_src / "p.parquet"))
+    a_idx, b_idx = str(tmp_path / "a_idx"), str(tmp_path / "b_idx")
+    build_index(str(a_src), a_idx, BuildParams(num_buckets=2, n_salts=1))
+    build_index(str(b_src), b_idx, BuildParams(num_buckets=2, n_salts=1))
+    victim = pages["url"][0].as_py()
+    delete_documents(a_idx, urls=[victim])
+    rec = merge_indexes(a_idx, b_idx)
+    reader = IndexReader(a_idx)
+    # 30 - 1 deleted + 10 fresh + 1 resurrected
+    assert reader.n_docs == 41, rec
+    res = search_taat(reader, ["the"], k=10**9)
+    ids = set(res["doc_id"].to_pylist())
+    assert hash64(victim) not in ids          # dst's copy stays dead
+    assert hash64(f"{victim}@g1") in ids      # src's copy is live
+    # delete-by-url reaches the salted generation too
+    delete_documents(a_idx, urls=[victim])
+    reader2 = IndexReader(a_idx)
+    res2 = search_taat(reader2, ["the"], k=10**9)
+    assert hash64(f"{victim}@g1") not in set(res2["doc_id"].to_pylist())
+
+
+def test_merge_indexes_retry_after_partial_crash(tmp_path, ray_session):
+    """Stale merge-g{gen}-* partials from a crashed attempt are swept
+    before re-linking, so a retry succeeds and counts nothing twice."""
+    import shutil
+
+    from blacklab_ray.index.update import merge_indexes
+    from blacklab_ray.sources.synth import generate_pages
+    a_src, b_src = tmp_path / "a_src", tmp_path / "b_src"
+    a_src.mkdir(); b_src.mkdir()
+    pq.write_table(generate_pages(20), str(a_src / "p.parquet"))
+    pq.write_table(generate_pages(20, doc_offset=20),
+                   str(b_src / "p.parquet"))
+    a_idx, b_idx = str(tmp_path / "a_idx"), str(tmp_path / "b_idx")
+    build_index(str(a_src), a_idx, BuildParams(num_buckets=2, n_salts=1))
+    build_index(str(b_src), b_idx, BuildParams(num_buckets=2, n_salts=1))
+    # fake a crashed attempt: one already-linked partial for gen 1
+    src_f = next(f for f in os.listdir(os.path.join(b_idx, "fwd"))
+                 if f.endswith(".parquet"))
+    shutil.copy(os.path.join(b_idx, "fwd", src_f),
+                os.path.join(a_idx, "fwd", f"merge-g1-{src_f}"))
+    merge_indexes(a_idx, b_idx)
+    reader = IndexReader(a_idx)
+    assert reader.n_docs == 40   # not 60 — the stale partial was swept
+    oracle = CorpusOracle.from_pages(generate_pages(40))
+    exp = oracle.topk(["the"], 10)
+    got = search_taat(reader, ["the"], 10)
+    assert got["doc_id"].to_pylist() == [d for d, _ in exp]
+
+
+def test_merge_indexes_incompatible_metadata_fields(tmp_path,
+                                                    ray_session):
+    import pytest as _pytest
+
+    from blacklab_ray.index.update import merge_indexes
+    from blacklab_ray.sources.synth import generate_pages
+    a_src, b_src = tmp_path / "a_src", tmp_path / "b_src"
+    a_src.mkdir(); b_src.mkdir()
+    pq.write_table(generate_pages(8), str(a_src / "p.parquet"))
+    pq.write_table(generate_pages(8, doc_offset=8),
+                   str(b_src / "p.parquet"))
+    a_idx, b_idx = str(tmp_path / "a_idx"), str(tmp_path / "b_idx")
+    build_index(str(a_src), a_idx, BuildParams(
+        num_buckets=2, n_salts=1,
+        metadata_fields=(("lang", "untokenized"),)))
+    build_index(str(b_src), b_idx, BuildParams(num_buckets=2, n_salts=1))
+    with _pytest.raises(ValueError, match="metadata_fields"):
+        merge_indexes(a_idx, b_idx)
