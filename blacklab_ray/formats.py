@@ -392,6 +392,17 @@ def _read_chat(paths, encoding: str | None = None,
 register_format("xml", _read_xml)
 register_format("chat", _read_chat)
 register_format("sketch-wpl", _read_sketch_wpl)
+
+
+def _read_warc(paths, **opts) -> ray.data.Dataset:
+    from blacklab_ray.sources.warc import read_warc
+    return read_warc(paths, **opts)
+
+
+register_format("warc", _read_warc)      # raw crawl: html payloads
+register_format("wet",                   # extracted text only
+                lambda paths, **o: _read_warc(
+                    paths, types=(), text_records=True, **o))
 register_format("tei",
                 lambda paths, **o: _read_xml(
                     paths, document_tag="TEI",
