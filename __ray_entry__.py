@@ -1130,6 +1130,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
         edges = links.map_batches(_edges, batch_format="pyarrow")
         return pagerank(edges, n_iter=3)
 
+    def q_hits(sf):
+        """HITS hubs/authorities (pipelines/graph.hits) over the same
+        arithmetic link graph as pagerank_links; the oracle unrolls 2
+        L2-normalized iterations in SQL."""
+        from blacklab_ray.pipelines.graph import hits
+
+        def _mk_edges(batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").cast(pa.int64()) \
+                .to_numpy(zero_copy_only=False)
+            src, dst = [], []
+            for i in ids.tolist():
+                for c in (1, 2, 5, 10)[: 1 + i % 4]:
+                    src.append(i)
+                    dst.append((i * 7 + c) % 1000)
+            return pa.table({"src": pa.array(src, pa.int64()),
+                             "dst": pa.array(dst, pa.int64())})
+
+        edges = _docs_ds(sf).select_columns(["doc_id"]).map_batches(
+            _mk_edges, batch_format="pyarrow")
+        return hits(edges, n_iter=2)
+
     def q_lsh_probe(sf):
         """Persisted LSH index probe (pipelines/lshindex.py): even
         doc_ids are indexed once (band table + shingle signatures on
@@ -1321,6 +1342,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_probe": q_exact_probe,
         "split_counts": q_split_counts,
         "pagerank_links": q_pagerank,
+        "hits_scores": q_hits,
     }
 
 
@@ -2457,6 +2479,51 @@ r3 AS (SELECT nd.node,
                 JOIN deg ON deg.src = e.src
          GROUP BY e.dst) c ON c.node = nd.node)
 SELECT node, rank FROM r3
+""",
+        # HITS over the same arithmetic edge set: h0=1, two iterations
+        # of (authority = L2-normalized in-sum of hub, then hub =
+        # L2-normalized out-sum of authority) — graph.hits semantics
+        "hits_scores": """
+WITH e AS (
+  SELECT d.doc_id AS src, (d.doc_id * 7 + c.c) % 1000 AS dst
+  FROM documents d, (VALUES (1), (2), (5), (10)) c(c)
+  WHERE CASE c.c WHEN 1 THEN 0 WHEN 2 THEN 1 WHEN 5 THEN 2 ELSE 3 END
+        <= d.doc_id % 4
+),
+nodes AS (SELECT DISTINCT node
+          FROM (SELECT src AS node FROM e
+                UNION SELECT dst FROM e)),
+h0 AS (SELECT node, 1.0::DOUBLE AS r FROM nodes),
+a1u AS (SELECT nd.node, coalesce(c.s, 0)::DOUBLE AS r
+        FROM nodes nd LEFT JOIN (
+          SELECT e.dst AS node, sum(h0.r) AS s
+          FROM e JOIN h0 ON h0.node = e.src GROUP BY e.dst)
+          c ON c.node = nd.node),
+a1 AS (SELECT node, r / (SELECT sqrt(sum(r * r)) FROM a1u) AS r
+       FROM a1u),
+h1u AS (SELECT nd.node, coalesce(c.s, 0)::DOUBLE AS r
+        FROM nodes nd LEFT JOIN (
+          SELECT e.src AS node, sum(a1.r) AS s
+          FROM e JOIN a1 ON a1.node = e.dst GROUP BY e.src)
+          c ON c.node = nd.node),
+h1 AS (SELECT node, r / (SELECT sqrt(sum(r * r)) FROM h1u) AS r
+       FROM h1u),
+a2u AS (SELECT nd.node, coalesce(c.s, 0)::DOUBLE AS r
+        FROM nodes nd LEFT JOIN (
+          SELECT e.dst AS node, sum(h1.r) AS s
+          FROM e JOIN h1 ON h1.node = e.src GROUP BY e.dst)
+          c ON c.node = nd.node),
+a2 AS (SELECT node, r / (SELECT sqrt(sum(r * r)) FROM a2u) AS r
+       FROM a2u),
+h2u AS (SELECT nd.node, coalesce(c.s, 0)::DOUBLE AS r
+        FROM nodes nd LEFT JOIN (
+          SELECT e.src AS node, sum(a2.r) AS s
+          FROM e JOIN a2 ON a2.node = e.dst GROUP BY e.src)
+          c ON c.node = nd.node),
+h2 AS (SELECT node, r / (SELECT sqrt(sum(r * r)) FROM h2u) AS r
+       FROM h2u)
+SELECT a2.node, a2.r AS authority, h2.r AS hub
+FROM a2 JOIN h2 ON h2.node = a2.node
 """,
         # HTML extraction ground truth recomputed from the source text:
         # the synthesized page's only content blocks are the ' value '-

@@ -225,3 +225,156 @@ def pagerank(edges: ray.data.Dataset | pa.Table, n_iter: int = 3,
 
     return ray.data.from_arrow_refs(
         [_emit.remote(nodes[p], ranks[p]) for p in range(P)])
+
+
+# ---------------------------------------------------------------------------
+# HITS (Kleinberg 1999): hubs & authorities
+# ---------------------------------------------------------------------------
+
+def _hits_make_tasks(src_col: str, dst_col: str):
+    """Remote task definitions for HITS — same BSP/partitioning shape
+    as PageRank (hash-sharded edges, shard-local score lookups, routed
+    per-target pre-sums), but scores come in PAIRS (hub on the src
+    side, authority on the dst side), so the edge set is sharded
+    TWICE: by hash(src) for the authority update and by hash(dst) for
+    the hub update."""
+    import ray
+
+    @ray.remote
+    def _split(block: pa.Table, P: int, by_dst: bool):
+        if block.num_rows == 0 or src_col not in block.column_names:
+            e = np.empty(0, np.int64)
+            return [(e, e)] * P
+        s = block.column(src_col).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        t = block.column(dst_col).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        return _route(P, t, s) if by_dst else _route(P, s, t)
+
+    @ray.remote
+    def _build_shard(*pieces):
+        """(key_sorted, other) edge arrays of one part — key is the
+        side this shard is hashed by."""
+        key = np.concatenate([p[0] for p in pieces]) \
+            if pieces else np.empty(0, np.int64)
+        oth = np.concatenate([p[1] for p in pieces]) \
+            if pieces else np.empty(0, np.int64)
+        order = np.argsort(key, kind="stable")
+        return key[order], oth[order]
+
+    @ray.remote
+    def _contribs(shard, nodes, score, P: int):
+        """Σ score[key] per distinct other-side node, routed by
+        hash(other) — the half-iteration exchange."""
+        key, oth = shard
+        if key.size == 0:
+            e = np.empty(0, np.int64)
+            f = np.empty(0, np.float64)
+            return [(e, f)] * P
+        contrib = score[np.searchsorted(nodes, key)]
+        order = np.argsort(oth, kind="stable")
+        oth, contrib = oth[order], contrib[order]
+        heads = np.ones(oth.size, bool)
+        heads[1:] = oth[1:] != oth[:-1]
+        idx = np.cumsum(heads) - 1
+        uoth = oth[heads]
+        sums = np.zeros(uoth.size, np.float64)
+        np.add.at(sums, idx, contrib)
+        return _route(P, uoth, sums)
+
+    @ray.remote
+    def _apply(nodes, *msg_pieces):
+        sums = np.zeros(nodes.size, np.float64)
+        for mn, ms in msg_pieces:
+            if mn.size:
+                np.add.at(sums, np.searchsorted(nodes, mn), ms)
+        return sums
+
+    @ray.remote
+    def _sumsq(score) -> float:
+        return float((score * score).sum())
+
+    @ray.remote
+    def _scale(score, norm: float):
+        return score / norm if norm > 0 else score
+
+    @ray.remote
+    def _emit(nodes, auth, hub) -> pa.Table:
+        return pa.table({"node": pa.array(nodes, pa.int64()),
+                         "authority": pa.array(auth, pa.float64()),
+                         "hub": pa.array(hub, pa.float64())})
+
+    return _split, _build_shard, _contribs, _apply, _sumsq, _scale, _emit
+
+
+def hits(edges: ray.data.Dataset | pa.Table, n_iter: int = 2,
+         src_col: str = "src", dst_col: str = "dst",
+         num_partitions: int | None = None) -> ray.data.Dataset:
+    """(node, authority, hub) after ``n_iter`` HITS iterations.
+
+    Semantics (shared verbatim with the SQL oracle): ``h_0 = 1`` for
+    every node; each iteration computes
+    ``a_i(n) = Σ_{(s→n)} h_{i-1}(s)`` then L2-normalizes ``a_i``, then
+    ``h_i(n) = Σ_{(n→t)} a_i(t)`` then L2-normalizes ``h_i``.
+    Multi-edges count per occurrence. Nodes with no in-edges get
+    authority 0 (resp. hubs 0 without out-edges).
+
+    Scale shape: identical to :func:`pagerank` — per-iteration shuffle
+    is distinct (shard, target) pre-sums × 16 B; the L2 norm is a
+    P-way scalar reduce on the driver."""
+    import ray
+
+    if isinstance(edges, pa.Table):
+        edges = ray.data.from_arrow(edges)
+    edges = edges.materialize()
+    if num_partitions is None:
+        cpus = max(2, int(ray.cluster_resources().get("CPU", 8)))
+        num_partitions = min(max(2, edges.count() // 500_000 + 1),
+                             min(64, cpus))
+    P = max(2, num_partitions)
+    (_split, _build_shard, _contribs, _apply, _sumsq, _scale,
+     _emit) = _hits_make_tasks(src_col, dst_col)
+    (_, _, _node_pieces, _build_nodes, *_rest) = \
+        _pr_make_tasks(src_col, dst_col)
+
+    blocks = edges.to_arrow_refs()
+    fwd_sp = [_split.options(num_returns=P).remote(b, P, False)
+              for b in blocks]
+    rev_sp = [_split.options(num_returns=P).remote(b, P, True)
+              for b in blocks]
+    fwd = [_build_shard.remote(*[s[p] for s in fwd_sp])
+           for p in range(P)]
+    rev = [_build_shard.remote(*[s[p] for s in rev_sp])
+           for p in range(P)]
+    nsplits = [_node_pieces.options(num_returns=P).remote(b, P)
+               for b in blocks]
+    nodes = [_build_nodes.remote(*[s[p] for s in nsplits])
+             for p in range(P)]
+    sizes = ray.get([ray.remote(lambda n: n.size).remote(nd)
+                     for nd in nodes])
+    if sum(sizes) == 0:
+        return ray.data.from_arrow(pa.table({
+            "node": pa.array([], pa.int64()),
+            "authority": pa.array([], pa.float64()),
+            "hub": pa.array([], pa.float64())}))
+
+    ones = ray.remote(lambda nd: np.ones(nd.size, np.float64))
+    hub = [ones.remote(nodes[p]) for p in range(P)]
+    auth = hub
+
+    def _half(shards, score):
+        """One half-iteration: exchange + apply + global L2 scale."""
+        msgs = [_contribs.options(num_returns=P).remote(
+            shards[p], nodes[p], score[p], P) for p in range(P)]
+        out = [_apply.remote(nodes[q], *[msgs[p][q] for p in range(P)])
+               for q in range(P)]
+        norm = float(np.sqrt(sum(ray.get(
+            [_sumsq.remote(s) for s in out]))))
+        return [_scale.remote(s, norm) for s in out]
+
+    for _ in range(n_iter):
+        auth = _half(fwd, hub)   # a(n) = Σ h(s) over s→n
+        hub = _half(rev, auth)   # h(n) = Σ a(t) over n→t
+
+    return ray.data.from_arrow_refs(
+        [_emit.remote(nodes[p], auth[p], hub[p]) for p in range(P)])

@@ -132,3 +132,74 @@ def test_pagerank_redistribute_dangling(ray_session):
     assert got["rank"].sum() == pytest.approx(1.0, abs=1e-9)
     for _, row in got.iterrows():
         assert row["rank"] == pytest.approx(want[row["node"]], abs=1e-12)
+
+
+def _numpy_hits(edges, n_iter):
+    """Dense reference with the same semantics: h0=1, per iteration
+    a = L2-normalized in-sum of h, then h = L2-normalized out-sum
+    of a; multi-edges count per occurrence."""
+    nodes = sorted({s for s, _ in edges} | {t for _, t in edges})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    h = np.ones(n)
+    a = np.ones(n)
+    for _ in range(n_iter):
+        a = np.zeros(n)
+        for s, t in edges:
+            a[idx[t]] += h[idx[s]]
+        nr = np.linalg.norm(a)
+        a = a / nr if nr > 0 else a
+        h = np.zeros(n)
+        for s, t in edges:
+            h[idx[s]] += a[idx[t]]
+        nr = np.linalg.norm(h)
+        h = h / nr if nr > 0 else h
+    return {nd: (a[idx[nd]], h[idx[nd]]) for nd in nodes}
+
+
+@pytest.mark.parametrize("n_iter", [1, 3])
+def test_hits_matches_dense_reference(ray_session, n_iter):
+    import ray.data
+
+    from blacklab_ray.pipelines.graph import hits
+    edges = _rand_edges(seed=11)
+    want = _numpy_hits(edges, n_iter)
+    ds = ray.data.from_arrow(pa.table({
+        "src": pa.array([s for s, _ in edges], pa.int64()),
+        "dst": pa.array([t for _, t in edges], pa.int64()),
+    })).repartition(8)
+    got = hits(ds, n_iter=n_iter).to_pandas()
+    assert len(got) == len(want)
+    for _, row in got.iterrows():
+        wa, wh = want[row["node"]]
+        assert row["authority"] == pytest.approx(wa, abs=1e-12)
+        assert row["hub"] == pytest.approx(wh, abs=1e-12)
+
+
+def test_hits_star_graph(ray_session):
+    """Spokes → hub: the hub is the only authority, every spoke an
+    equal hub; the center has hub score 0 (no out-edges)."""
+    import ray.data
+
+    from blacklab_ray.pipelines.graph import hits
+    edges = [(i, 0) for i in range(1, 6)]
+    ds = ray.data.from_arrow(pa.table({
+        "src": pa.array([s for s, _ in edges], pa.int64()),
+        "dst": pa.array([t for _, t in edges], pa.int64()),
+    }))
+    got = hits(ds, n_iter=2).to_pandas().set_index("node")
+    assert got.loc[0, "authority"] == pytest.approx(1.0)
+    assert got.loc[0, "hub"] == pytest.approx(0.0)
+    for i in range(1, 6):
+        assert got.loc[i, "authority"] == pytest.approx(0.0)
+        assert got.loc[i, "hub"] == pytest.approx(1 / np.sqrt(5))
+
+
+def test_hits_empty_edges(ray_session):
+    import ray.data
+
+    from blacklab_ray.pipelines.graph import hits
+    ds = ray.data.from_arrow(pa.table({
+        "src": pa.array([], pa.int64()),
+        "dst": pa.array([], pa.int64())}))
+    assert hits(ds).count() == 0
