@@ -219,3 +219,87 @@ def cm_estimate(sketch: pa.Table, values: list[str], w: int = 1024,
         sketch.column("cnt").to_numpy(zero_copy_only=False)
     bk = _cm_buckets(values, d, w)
     return dense[np.arange(d)[:, None], bk].min(axis=0)
+
+
+# ---- mergeable quantile digest ---------------------------------------------
+
+def _compress(values: np.ndarray, weights: np.ndarray,
+              k: int) -> tuple[np.ndarray, np.ndarray]:
+    """(value, weight) points sorted by value → ≤ k equi-weight points.
+
+    Each output point sits at the weighted-rank midpoint of its slot,
+    so one compression moves any rank estimate by at most W/(2k) —
+    the classic equi-depth summary bound (GK/t-digest-lite)."""
+    if values.size <= k:
+        return values, weights
+    W = float(weights.sum())
+    cum = np.cumsum(weights) - weights / 2.0   # midpoint ranks
+    targets = (np.arange(k) + 0.5) * (W / k)
+    idx = np.searchsorted(cum, targets)
+    idx = np.clip(idx, 0, values.size - 1)
+    return values[idx], np.full(k, W / k, np.float64)
+
+
+def quantile_digest(ds: ray.data.Dataset, col: str,
+                    k: int = 256) -> pa.Table:
+    """Mergeable equi-depth quantile summary of an UNBOUNDED-cardinality
+    numeric column — the general-path companion to
+    ``docsops.exact_quantiles`` (whose value-count shuffle is exact but
+    assumes bounded distinct values, e.g. integer doc lengths).
+
+    Per block: sort + compress to ≤ k (value, weight) points inside
+    ``map_batches`` (the combiner); the driver merge sees ≤ k × blocks
+    rows (digest-sized, never corpus-sized) and recompresses once.
+    Two compression levels bound the rank error of any quantile by
+    ~W/k. Deterministic (no sampling)."""
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"value": pa.array([], pa.float64()),
+                          "weight": pa.array([], pa.float64())})
+        if batch.num_rows == 0:
+            return empty
+        v = batch.column(col).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        v = v[~np.isnan(v)]
+        if v.size == 0:
+            return empty
+        v = np.sort(v)
+        cv, cw = _compress(v, np.ones(v.size, np.float64), k)
+        return pa.table({"value": pa.array(cv, pa.float64()),
+                         "weight": pa.array(cw, pa.float64())})
+
+    parts = [b for b in ds.select_columns([col])
+             .map_batches(_partial, batch_format="pyarrow")
+             .iter_batches(batch_format="pyarrow") if b.num_rows]
+    if not parts:
+        return pa.table({"value": pa.array([], pa.float64()),
+                         "weight": pa.array([], pa.float64())})
+    t = pa.concat_tables(parts)
+    v = t.column("value").to_numpy(zero_copy_only=False)
+    w = t.column("weight").to_numpy(zero_copy_only=False)
+    order = np.argsort(v, kind="stable")
+    cv, cw = _compress(v[order], w[order], k)
+    return pa.table({"value": pa.array(cv, pa.float64()),
+                     "weight": pa.array(cw, pa.float64())})
+
+
+def digest_quantiles(digest: pa.Table, qs: list[float]) -> dict:
+    """q → approximate value: the first digest point whose cumulative
+    weight reaches q·W (quantile_disc-style lower selection)."""
+    v = digest.column("value").to_numpy(zero_copy_only=False)
+    w = digest.column("weight").to_numpy(zero_copy_only=False)
+    if v.size == 0:
+        return {float(q): None for q in qs}
+    cum = np.cumsum(w)
+    W = float(cum[-1])
+    out = {}
+    for q in qs:
+        i = int(np.searchsorted(cum, q * W, side="left"))
+        out[float(q)] = float(v[min(i, v.size - 1)])
+    return out
+
+
+def approx_quantiles(ds: ray.data.Dataset, col: str, qs: list[float],
+                     k: int = 256) -> dict:
+    """Convenience: digest + query in one call (rank error ~n/k)."""
+    return digest_quantiles(quantile_digest(ds, col, k), qs)

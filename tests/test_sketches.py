@@ -2,6 +2,7 @@
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import pytest
 
 from blacklab_ray.pipelines.dedup import _md5_low64
@@ -117,3 +118,70 @@ def test_cm_total_mass(ray_session):
     df = sk.to_pandas()
     # every row of the sketch holds the full count mass
     assert (df.groupby("row")["cnt"].sum() == 1000).all()
+
+
+# ---- quantile digest --------------------------------------------------------
+
+def test_quantile_digest_rank_error(ray_session):
+    """Rank error of every queried quantile stays within the ~n/k
+    two-level compression bound on a skewed continuous column."""
+    import ray.data
+
+    from blacklab_ray.pipelines.sketches import approx_quantiles
+    rng = np.random.default_rng(7)
+    vals = rng.lognormal(3.0, 1.2, size=200_000)
+    ds = ray.data.from_arrow(pa.table({
+        "x": pa.array(vals, pa.float64())})).repartition(16)
+    k = 256
+    got = approx_quantiles(ds, "x", [0.01, 0.1, 0.5, 0.9, 0.99], k=k)
+    s = np.sort(vals)
+    n = s.size
+    for q, v in got.items():
+        rank = np.searchsorted(s, v)
+        assert abs(rank - q * n) <= 2.5 * n / k, (q, rank, q * n)
+
+
+def test_quantile_digest_exact_when_small(ray_session):
+    """Fewer distinct points than k → the digest is exact."""
+    import ray.data
+
+    from blacklab_ray.pipelines.sketches import approx_quantiles
+    vals = np.arange(100, dtype=np.float64)
+    ds = ray.data.from_arrow(pa.table({
+        "x": pa.array(vals, pa.float64())})).repartition(4)
+    got = approx_quantiles(ds, "x", [0.0, 0.5, 1.0], k=256)
+    assert got[0.0] == 0.0
+    assert got[0.5] in (49.0, 50.0)
+    assert got[1.0] == 99.0
+
+
+def test_quantile_digest_edges(ray_session):
+    import ray.data
+
+    from blacklab_ray.pipelines.sketches import (approx_quantiles,
+                                                 quantile_digest)
+    empty = ray.data.from_arrow(pa.table({
+        "x": pa.array([], pa.float64())}))
+    assert approx_quantiles(empty, "x", [0.5]) == {0.5: None}
+    const = ray.data.from_arrow(pa.table({
+        "x": pa.array([3.5] * 1000, pa.float64())})).repartition(3)
+    assert approx_quantiles(const, "x", [0.1, 0.9]) \
+        == {0.1: 3.5, 0.9: 3.5}
+    # NaNs are ignored, not propagated
+    withnan = ray.data.from_arrow(pa.table({
+        "x": pa.array([1.0, float("nan"), 2.0, 3.0], pa.float64())}))
+    d = quantile_digest(withnan, "x", k=8)
+    assert float(pa.compute.sum(d["weight"]).as_py()) == 3.0
+
+
+def test_quantile_digest_deterministic(ray_session):
+    import ray.data
+
+    from blacklab_ray.pipelines.sketches import quantile_digest
+    rng = np.random.default_rng(11)
+    vals = rng.normal(size=50_000)
+    ds = ray.data.from_arrow(pa.table({
+        "x": pa.array(vals, pa.float64())})).repartition(8)
+    a = quantile_digest(ds, "x", k=64).to_pydict()
+    b = quantile_digest(ds, "x", k=64).to_pydict()
+    assert a == b
