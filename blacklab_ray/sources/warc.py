@@ -186,3 +186,57 @@ def write_warc(path: str, records: list[tuple[str, str | None,
                 rec_type, url, ts_us, payload,
                 http_headers=http_headers and rec_type == "response")
             f.write(gzip.compress(raw) if gzip_members else raw)
+
+
+def write_warc_dataset(ds: ray.data.Dataset, out_dir: str,
+                       gzip_members: bool = True) -> list[str]:
+    """Export a pages Dataset back to WARC shards (the curate → crawl
+    round trip: html rows become ``response`` records with a synthetic
+    HTTP head, text-only rows become WET-style ``conversion``
+    records).
+
+    One WARC file per input block, written inside ``map_batches`` with
+    atomic tmp+rename; the filename is the md5 of the block's url list,
+    so a re-run over identical content skips finished shards instead
+    of duplicating them (the repo's resumable-output convention).
+    Returns the shard paths (sorted)."""
+    import hashlib
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def _write(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"path": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        urls = batch.column("url").to_pylist()
+        name = hashlib.md5("\n".join(urls).encode()).hexdigest()
+        path = os.path.join(
+            out_dir, f"part-{name}.warc" + (".gz" if gzip_members
+                                            else ""))
+        if not os.path.exists(path):
+            stamps = (batch.column("warc_ts")
+                      .cast(pa.timestamp("us")).cast(pa.int64())
+                      .to_pylist() if "warc_ts" in batch.column_names
+                      else [None] * len(urls))
+            htmls = (batch.column("html").to_pylist()
+                     if "html" in batch.column_names
+                     else [None] * len(urls))
+            texts = (batch.column("text").to_pylist()
+                     if "text" in batch.column_names
+                     else [None] * len(urls))
+            recs = []
+            for u, ts, h, t in zip(urls, stamps, htmls, texts):
+                if h is not None:
+                    recs.append(("response", u, ts, bytes(h)))
+                elif t is not None:
+                    recs.append(("conversion", u, ts, t.encode()))
+            tmp = path + ".tmp"
+            write_warc(tmp, recs, gzip_members=gzip_members)
+            os.replace(tmp, path)
+        return pa.table({"path": pa.array([path], pa.string()),
+                         "n": pa.array([batch.num_rows], pa.int64())})
+
+    out = ds.map_batches(_write, batch_format="pyarrow") \
+        .to_pandas()
+    return sorted(set(out["path"]))

@@ -148,3 +148,54 @@ def test_warc_to_index_byte_identical_extraction(ray_session, tmp_path):
     assert res["doc_id"].to_pylist() == [d for d, _ in exp]
     for g, (_, s) in zip(res["score"].to_pylist(), exp):
         assert abs(g - s) < 1e-9
+
+
+def test_write_warc_dataset_roundtrip(ray_session, tmp_path):
+    """pages → WARC shards → pages round trip, with skip-if-exists
+    resumability (re-run writes nothing new)."""
+    import os
+
+    import ray.data
+
+    from blacklab_ray.sources.synth import generate_pages
+    from blacklab_ray.sources.warc import write_warc_dataset
+
+    pages = generate_pages(30)
+    ds = ray.data.from_arrow(pages).repartition(4)
+    out = str(tmp_path / "shards")
+    paths = write_warc_dataset(ds, out)
+    assert len(paths) >= 1 and all(p.endswith(".warc.gz")
+                                   for p in paths)
+    mtimes = {p: os.path.getmtime(p) for p in paths}
+    # resumable: identical content skips finished shards
+    paths2 = write_warc_dataset(ray.data.from_arrow(pages)
+                                .repartition(4), out)
+    assert sorted(paths2) == sorted(paths)
+    assert all(os.path.getmtime(p) == mtimes[p] for p in paths)
+
+    got = read_warc(paths).to_pandas().sort_values("url") \
+        .reset_index(drop=True)
+    want = pages.to_pandas().sort_values("url").reset_index(drop=True)
+    assert list(got["url"]) == list(want["url"])
+    for g, w in zip(got["html"], want["html"]):
+        assert bytes(g) == bytes(w)
+    assert list(got["warc_ts"]) == list(want["warc_ts"])
+
+
+def test_write_warc_dataset_wet_rows(ray_session, tmp_path):
+    """Text-only rows export as conversion records and read back as
+    text."""
+    import ray.data
+    from blacklab_ray.sources.warc import write_warc_dataset
+    t = pa.table({
+        "url": pa.array(["https://t.example/a"], pa.string()),
+        "warc_ts": pa.array([TS], pa.timestamp("us")),
+        "html": pa.array([None], pa.binary()),
+        "text": pa.array(["plain body"], pa.string()),
+        "lang": pa.array(["en"], pa.string()),
+    })
+    paths = write_warc_dataset(ray.data.from_arrow(t),
+                               str(tmp_path / "w"))
+    got = read_warc(paths).to_pandas()
+    assert got.loc[0, "text"] == "plain body"
+    assert got.loc[0, "html"] is None
