@@ -203,3 +203,51 @@ def test_hits_empty_edges(ray_session):
         "src": pa.array([], pa.int64()),
         "dst": pa.array([], pa.int64())}))
     assert hits(ds).count() == 0
+
+
+def test_anchor_texts(ray_session):
+    """Per-target anchor profiles: counts, distinct-cap, empty-anchor
+    handling, multi-block determinism."""
+    import ray.data
+
+    from blacklab_ray.pipelines.graph import anchor_texts
+    rows = []
+    for i in range(40):
+        rows.append({"src": i, "href": "https://hub.example/",
+                     "anchor": f"hub {i % 3}"})
+    rows.append({"src": 99, "href": "https://solo.example/",
+                 "anchor": ""})
+    rows.append({"src": 98, "href": "https://solo.example/",
+                 "anchor": "only label"})
+    ds = ray.data.from_items(rows).repartition(7)
+    got = anchor_texts(ds, max_per_target=2).to_pandas() \
+        .set_index("target")
+    assert got.loc["https://hub.example/", "n_links"] == 40
+    assert got.loc["https://hub.example/", "n_anchors"] == 40
+    # 3 distinct anchors, capped to the lexicographically-first 2
+    assert got.loc["https://hub.example/", "anchors"] \
+        == "hub 0 | hub 1"
+    assert got.loc["https://solo.example/", "n_links"] == 2
+    assert got.loc["https://solo.example/", "n_anchors"] == 1
+    assert got.loc["https://solo.example/", "anchors"] == "only label"
+    # deterministic across a different partitioning
+    again = anchor_texts(ds.repartition(2), max_per_target=2) \
+        .to_pandas().set_index("target")
+    assert got.sort_index().equals(again.sort_index())
+
+
+def test_anchor_texts_from_extraction(ray_session):
+    """extract_links → anchor_texts plumbing over real markup."""
+    import ray.data
+
+    from blacklab_ray.pipelines.graph import anchor_texts
+    from blacklab_ray.stages.htmltext import extract_links
+    html = ('<html><body><p><a href="/t">Visit Target</a> and '
+            '<a href="/t">visit target again</a>'
+            '<a href="/u"></a></p></body></html>')
+    ds = ray.data.from_items([{"doc_id": 1, "html": html}])
+    links = extract_links(ds)
+    got = anchor_texts(links).to_pandas().set_index("target")
+    assert got.loc["/t", "n_links"] == 2
+    assert "Visit Target" in got.loc["/t", "anchors"]
+    assert got.loc["/u", "n_anchors"] == 0
