@@ -293,11 +293,36 @@ def cmd_pagerank(args) -> int:
         src_col = dst_col = None
     else:
         src_col, dst_col = args.src_col, args.dst_col
-    out = pagerank(ds, n_iter=args.iters, damping=args.damping,
+    algo = getattr(args, "algo", "pagerank")
+    if algo == "hits":
+        from blacklab_ray.pipelines.graph import hits
+        out = hits(ds, n_iter=args.iters,
                    src_col=src_col or "src", dst_col=dst_col or "dst")
+    else:
+        out = pagerank(ds, n_iter=args.iters, damping=args.damping,
+                       src_col=src_col or "src",
+                       dst_col=dst_col or "dst")
     out.write_parquet(args.out)
-    print(json.dumps({"op": "pagerank", "iters": args.iters,
+    print(json.dumps({"op": algo, "iters": args.iters,
                       "nodes": out.count(), "out": args.out}))
+    ray.shutdown()
+    return 0
+
+
+def cmd_anchors(args) -> int:
+    """Per-target anchor-text profiles from a link parquet."""
+    _ray_session()
+    import ray
+    import ray.data
+
+    from blacklab_ray.pipelines.graph import anchor_texts
+    ds = ray.data.read_parquet(args.input)
+    out = anchor_texts(ds, target_col=args.target_col,
+                       anchor_col=args.anchor_col,
+                       max_per_target=args.max_per_target)
+    out.write_parquet(args.out)
+    print(json.dumps({"op": "anchors", "targets": out.count(),
+                      "out": args.out}))
     ray.shutdown()
     return 0
 
@@ -547,7 +572,20 @@ def main(argv=None) -> int:
     pr.add_argument("--dst-col", default="dst")
     pr.add_argument("--iters", type=int, default=3)
     pr.add_argument("--damping", type=float, default=0.85)
+    pr.add_argument("--algo", choices=("pagerank", "hits"),
+                    default="pagerank",
+                    help="hits writes (node, authority, hub) instead")
     pr.set_defaults(fn=cmd_pagerank)
+
+    at = sub.add_parser("anchors")
+    at.add_argument("--input", required=True,
+                    help="link parquet (href + anchor columns, e.g. "
+                         "from extract_links)")
+    at.add_argument("--out", required=True)
+    at.add_argument("--target-col", default="href")
+    at.add_argument("--anchor-col", default="anchor")
+    at.add_argument("--max-per-target", type=int, default=20)
+    at.set_defaults(fn=cmd_anchors)
 
     sp = sub.add_parser("split")
     sp.add_argument("--input", required=True)
