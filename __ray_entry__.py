@@ -717,6 +717,43 @@ def queries() -> dict[str, Callable[[str], Any]]:
         b.insert(0, "kind", "url")
         return pd.concat([a, b], ignore_index=True)
 
+    def q_host_stats(sf):
+        """Per-host corpus profile over the same synthesized url set
+        as dedup_keep's url side (cleaning.host_stats: per-batch
+        distinct-host fold + one host-table-sized groupby-sum); the
+        oracle re-derives host = lowercased www-stripped authority in
+        SQL."""
+        import pyarrow.compute as pc
+
+        from blacklab_ray.pipelines.cleaning import host_stats
+
+        def _mk(batch: pa.Table) -> pa.Table:
+            base = pc.subtract(
+                batch.column("doc_id").cast(pa.int64()),
+                pc.bit_wise_and(batch.column("doc_id").cast(pa.int64()),
+                                1))
+            did = base.cast(pa.string())
+            even = pc.equal(
+                pc.bit_wise_and(batch.column("doc_id").cast(pa.int64()),
+                                1), 0)
+            up = pc.binary_join_element_wise(
+                pa.scalar("HTTPS://WWW."), batch.column("source"),
+                pa.scalar(".Example.COM/p/"), did,
+                pa.scalar("/?q=1#frag"), "")
+            lo = pc.binary_join_element_wise(
+                pa.scalar("http://"), batch.column("source"),
+                pa.scalar(".example.com/p/"), did, "")
+            return pa.table({
+                "url": pc.if_else(even, up, lo),
+                "n_chars": batch.column("n_chars").cast(pa.int64()),
+            })
+
+        ds = _docs_ds(sf).map_batches(_mk, batch_format="pyarrow")
+        t = pa.Table.from_pylist(
+            host_stats(ds, chars_col="n_chars").take_all())
+        return t.to_pandas().sort_values("host") \
+            .reset_index(drop=True)
+
     def q_fingerprints(sf):
         """Per-doc rolling fingerprint AND simhash64 in one key (both
         are per-doc hash tables; merged so the 50-key driver cap has
@@ -1343,6 +1380,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_counts": q_split_counts,
         "pagerank_links": q_pagerank,
         "hits_scores": q_hits,
+        "host_stats": q_host_stats,
     }
 
 
@@ -2524,6 +2562,33 @@ h2 AS (SELECT node, r / (SELECT sqrt(sum(r * r)) FROM h2u) AS r
        FROM h2u)
 SELECT a2.node, a2.r AS authority, h2.r AS hub
 FROM a2 JOIN h2 ON h2.node = a2.node
+""",
+        # same synthesized urls as dedup_keep's url side; host =
+        # lowercased www-stripped authority after fragment/query/scheme
+        # strips (the extract_host_expr kernels, verbatim)
+        "host_stats": """
+WITH u AS (
+  SELECT doc_id, n_chars,
+         CASE WHEN doc_id % 2 = 0
+              THEN 'HTTPS://WWW.' || source || '.Example.COM/p/'
+                   || (doc_id - doc_id % 2) || '/?q=1#frag'
+              ELSE 'http://' || source || '.example.com/p/'
+                   || (doc_id - doc_id % 2)
+         END AS url
+  FROM documents),
+s1 AS (SELECT doc_id, n_chars,
+              regexp_replace(url, '#.*$', '') AS u FROM u),
+s2 AS (SELECT doc_id, n_chars,
+              regexp_replace(u, '\?.*$', '') AS u FROM s1),
+s3 AS (SELECT doc_id, n_chars,
+              regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.-]*://', '')
+                AS u FROM s2),
+h AS (SELECT doc_id, n_chars,
+             regexp_replace(lower(regexp_replace(u, '/.*$', '')),
+                            '^www\.', '') AS host FROM s3)
+SELECT host, count(*)::BIGINT AS n_docs,
+       sum(n_chars)::BIGINT AS total_chars
+FROM h GROUP BY host ORDER BY host
 """,
         # HTML extraction ground truth recomputed from the source text:
         # the synthesized page's only content blocks are the ' value '-

@@ -636,3 +636,107 @@ def c4_rules(ds: ray.data.Dataset, text_col: str = "text",
         return pa.table(cols)
 
     return ds.map_batches(_clean, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# URL / domain curation (crawl front end)
+# ---------------------------------------------------------------------------
+
+def extract_host_expr(col: pa.Array | pa.ChunkedArray):
+    """Vectorized host extraction: drop fragment/query/scheme, take up
+    to the first '/', lowercase, strip a leading 'www.' — byte-for-
+    byte the ``dedup.canonicalize_url_expr`` host step, so the SQL
+    twin is ``regexp_replace(lower(regexp_replace(u,'/.*$','')),
+    '^www\\.','')`` after the same fragment/query/scheme strips."""
+    u = pc.replace_substring_regex(col, pattern=r"#.*$",
+                                   replacement="")
+    u = pc.replace_substring_regex(u, pattern=r"\?.*$", replacement="")
+    u = pc.replace_substring_regex(
+        u, pattern=r"^[A-Za-z][A-Za-z0-9+.-]*://", replacement="")
+    host = pc.replace_substring_regex(u, pattern=r"/.*$",
+                                      replacement="")
+    return pc.replace_substring_regex(pc.utf8_lower(host),
+                                      pattern=r"^www\.",
+                                      replacement="")
+
+
+def url_filter(ds: ray.data.Dataset,
+               blocked_hosts: tuple[str, ...] = (),
+               blocked_patterns: tuple[str, ...] = (),
+               url_col: str = "url") -> ray.data.Dataset:
+    """Drop rows whose url's host is blocklisted or whose url matches
+    a blocked RE2 pattern — the UT1/C4-style crawl blocklist step.
+
+    The host list ships ONCE per actor via ``ray.put`` (real
+    blocklists are 10^6 domains — never per batch); patterns compile
+    into one alternation evaluated by an Arrow RE2 kernel per batch."""
+    hosts_ref = ray.put(pa.array(sorted({h.lower().removeprefix("www.")
+                                         for h in blocked_hosts}),
+                                 pa.string()))
+    alternation = "|".join(f"(?:{p})" for p in blocked_patterns)
+
+    class _Filter:
+        def __init__(self):
+            self._hosts = ray.get(hosts_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return batch
+            keep = np.ones(batch.num_rows, bool)
+            urls = batch.column(url_col)
+            if len(self._hosts):
+                host = extract_host_expr(urls)
+                keep &= np.logical_not(
+                    pc.is_in(host, value_set=self._hosts)
+                    .to_numpy(zero_copy_only=False))
+            if alternation:
+                keep &= np.logical_not(
+                    pc.match_substring_regex(urls, alternation)
+                    .to_numpy(zero_copy_only=False))
+            return batch.filter(pa.array(keep))
+
+    return ds.map_batches(_Filter, batch_format="pyarrow",
+                          concurrency=(1, 8))
+
+
+def host_stats(ds: ray.data.Dataset, url_col: str = "url",
+               chars_col: str | None = None) -> ray.data.Dataset:
+    """Per-host corpus profile (host, n_docs, total_chars) — the
+    CCNet/C4-style domain accounting a crawl pipeline uses to spot
+    over-represented or junk hosts before curation.
+
+    Scale shape: per-batch vectorized fold to one row per DISTINCT
+    host of the batch (the combiner), then one groupby-sum over the
+    host-table-sized partials — no url ever shuffles."""
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"host": pa.array([], pa.string()),
+                          "n_docs": pa.array([], pa.int64()),
+                          "total_chars": pa.array([], pa.int64())})
+        if batch.num_rows == 0:
+            return empty
+        host = extract_host_expr(batch.column(url_col))
+        chars = (batch.column(chars_col).cast(pa.int64())
+                 .to_numpy(zero_copy_only=False)
+                 if chars_col else np.zeros(batch.num_rows, np.int64))
+        h = np.asarray(host.to_pylist(), dtype=object)
+        order = np.argsort(h, kind="stable")
+        h, chars = h[order], chars[order]
+        heads = np.ones(h.size, bool)
+        heads[1:] = h[1:] != h[:-1]
+        starts = np.flatnonzero(heads)
+        ends = np.append(starts[1:], h.size)
+        return pa.table({
+            "host": pa.array(h[starts], pa.string()),
+            "n_docs": pa.array(ends - starts, pa.int64()),
+            "total_chars": pa.array(
+                np.add.reduceat(chars, starts) if h.size
+                else np.empty(0, np.int64), pa.int64()),
+        })
+
+    return (ds.select_columns([url_col] + ([chars_col] if chars_col
+                                           else []))
+            .map_batches(_partial, batch_format="pyarrow")
+            .groupby("host")
+            .aggregate(Sum("n_docs", alias_name="n_docs"),
+                       Sum("total_chars", alias_name="total_chars")))

@@ -298,3 +298,49 @@ def test_c4_trim_and_null(ray_session):
     assert t.loc[0, "n_lines"] == 0
     # trimmed before the terminal-punct test
     assert t.loc[1, "n_kept_lines"] == 1
+
+
+# ---- URL / domain curation --------------------------------------------------
+
+def test_url_filter_hosts_and_patterns(ray_session):
+    import ray.data
+
+    from blacklab_ray.pipelines.cleaning import url_filter
+    rows = [
+        {"doc_id": 1, "url": "https://WWW.Spam.Example/x"},
+        {"doc_id": 2, "url": "http://good.example/page?q=1"},
+        {"doc_id": 3, "url": "https://spam.example/other#f"},
+        {"doc_id": 4, "url": "https://fine.example/casino/win"},
+        {"doc_id": 5, "url": "https://fine.example/articles/1"},
+    ]
+    ds = ray.data.from_items(rows).repartition(3)
+    kept = url_filter(ds, blocked_hosts=("spam.example",),
+                      blocked_patterns=(r"/casino/",))
+    got = sorted(kept.to_pandas()["doc_id"])
+    # 1 and 3 blocked by host (www./case-insensitive), 4 by pattern
+    assert got == [2, 5]
+
+
+def test_host_stats_matches_brute(ray_session):
+    import ray.data
+
+    from blacklab_ray.pipelines.cleaning import host_stats
+    rows = []
+    for i in range(60):
+        host = f"h{i % 7}.example"
+        rows.append({"url": f"https://www.{host}/p/{i}?x=1",
+                     "n_chars": 100 + i})
+    ds = ray.data.from_items(rows).repartition(5)
+    got = host_stats(ds, chars_col="n_chars").to_pandas() \
+        .sort_values("host").reset_index(drop=True)
+    import collections
+    nd = collections.Counter()
+    tc = collections.Counter()
+    for i, r in enumerate(rows):
+        h = f"h{i % 7}.example"
+        nd[h] += 1
+        tc[h] += r["n_chars"]
+    assert len(got) == 7
+    for _, row in got.iterrows():
+        assert row["n_docs"] == nd[row["host"]]
+        assert row["total_chars"] == tc[row["host"]]
