@@ -349,6 +349,10 @@ def cmd_split(args) -> int:
     return 0
 
 
+def _csv(s: str) -> tuple:
+    return tuple(x for x in s.split(",") if x)
+
+
 def cmd_export(args) -> int:
     """Corpus → packed training shards (optionally curated first).
     Resumable: completed shard files are skipped on re-run."""
@@ -372,7 +376,10 @@ def cmd_export(args) -> int:
             ds = curate(ds, text_col=args.text_col, id_col=args.id_col,
                         languages=tuple(args.languages.split(","))
                         if args.languages else None,
-                        near_dup=args.near_dup).materialize()
+                        near_dup=args.near_dup,
+                        blocked_hosts=_csv(args.block_hosts),
+                        blocked_patterns=_csv(args.block_patterns)) \
+                .materialize()
         stats = export_bpe_shards(
             ds, args.out, num_merges=args.merges,
             seq_len=args.seq_len, seqs_per_shard=args.seqs_per_shard,
@@ -386,7 +393,9 @@ def cmd_export(args) -> int:
             text_col=args.text_col, id_col=args.id_col,
             languages=tuple(args.languages.split(","))
             if args.languages else None,
-            near_dup=args.near_dup)
+            near_dup=args.near_dup,
+            blocked_hosts=_csv(args.block_hosts),
+            blocked_patterns=_csv(args.block_patterns))
     else:
         from blacklab_ray.pipelines.export import export_packed_sequences
         stats = export_packed_sequences(
@@ -608,6 +617,12 @@ def main(argv=None) -> int:
     ex.add_argument("--languages", default="",
                     help="comma list for --curate (default: keep all)")
     ex.add_argument("--near-dup", action="store_true")
+    ex.add_argument("--block-hosts", default="",
+                    help="comma list of blocked hosts for --curate "
+                         "(UT1/C4-style url blocklist, stage -2)")
+    ex.add_argument("--block-patterns", default="",
+                    help="comma list of blocked url RE2 patterns "
+                         "for --curate")
     ex.add_argument("--eos", action="store_true",
                     help="insert an EOS delimiter after every doc")
     ex.add_argument("--tokenizer", default="word",

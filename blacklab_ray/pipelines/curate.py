@@ -31,6 +31,9 @@ from blacklab_ray.pipelines import cleaning, dedup, textstats
 
 def curate(ds: ray.data.Dataset, text_col: str = "text",
            id_col: str = "doc_id",
+           blocked_hosts: tuple[str, ...] = (),
+           blocked_patterns: tuple[str, ...] = (),
+           url_col: str = "url",
            from_html: bool = False,
            html_col: str = "html",
            c4: bool = False,
@@ -50,6 +53,10 @@ def curate(ds: ray.data.Dataset, text_col: str = "text",
     """Curated documents: (id, text[, lang_pred], per-doc signals).
 
     Stages (each optional knob defaults to the standard recipe):
+    -2. optional URL blocklist (``blocked_hosts`` / ``blocked_patterns``):
+       the UT1/C4-style crawl gate (:func:`cleaning.url_filter`) —
+       FIRST, before any byte of html is parsed, because a blocked
+       page should never pay extraction;
     -1. optional crawl front end (``from_html=True``): HTML main-text
        extraction (markup stripped, script/style/boilerplate dropped,
        :func:`stages.htmltext.extract_html_text`);
@@ -78,6 +85,13 @@ def curate(ds: ray.data.Dataset, text_col: str = "text",
        per ``mixture_by`` value (``docsops.mixture_sample``);
     6. PII scrub (text replaced by the redacted form).
     """
+    # -2: URL blocklist — the cheapest reject, applied before
+    # extraction so blocked pages never pay an HTML parse
+    if blocked_hosts or blocked_patterns:
+        ds = cleaning.url_filter(ds, blocked_hosts=blocked_hosts,
+                                 blocked_patterns=blocked_patterns,
+                                 url_col=url_col)
+
     # -1: optional crawl→text front end — raw HTML in, extracted main
     # text out (stages/htmltext.py); the rest of the recipe then sees
     # an ordinary (id, text) corpus. Note: projects to the extraction

@@ -161,6 +161,33 @@ def test_curate_and_export_end_to_end(ray_session, tmp_path):
     assert man["total_tokens"] == stats["total_tokens"] > 0
 
 
+def test_curate_url_blocklist(ray_session):
+    """Stage -2: blocked hosts/patterns drop pages before anything
+    else sees them — including the HTML extractor."""
+    body = ("<p>" + EN + ".</p>"
+            "<p>Another proper sentence with enough words!</p>"
+            "<p>Third full sentence with enough words here?</p>")
+    pages = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "url": pa.array([
+            "https://good.example/a",
+            "https://www.Spam.example/page",     # blocked host
+            "https://good.example/casino/x",     # blocked pattern
+            "https://fine.example/b",
+        ]),
+        # distinct bodies so exact dedup keeps all survivors
+        "html": pa.array([
+            "<html><body><p>variant %d here.</p>%s</body></html>"
+            % (i, body) for i in range(4)]),
+    })
+    ds = ray.data.from_arrow(pages).repartition(2)
+    out = curate(ds, blocked_hosts=("spam.example",),
+                 blocked_patterns=(r"/casino/",),
+                 from_html=True, languages=("en",),
+                 quality_thresholds=TH, scrub_pii=False).to_pandas()
+    assert sorted(out["doc_id"].tolist()) == [0, 3]
+
+
 def test_curate_from_html_and_c4(ray_session):
     # crawl front end: raw pages in, curated text out. Page 0 survives
     # (3 proper sentences after line filtering); page 1 dies at the C4
