@@ -644,20 +644,13 @@ def c4_rules(ds: ray.data.Dataset, text_col: str = "text",
 
 def extract_host_expr(col: pa.Array | pa.ChunkedArray):
     """Vectorized host extraction: drop fragment/query/scheme, take up
-    to the first '/', lowercase, strip a leading 'www.' — byte-for-
-    byte the ``dedup.canonicalize_url_expr`` host step, so the SQL
-    twin is ``regexp_replace(lower(regexp_replace(u,'/.*$','')),
-    '^www\\.','')`` after the same fragment/query/scheme strips."""
-    u = pc.replace_substring_regex(col, pattern=r"#.*$",
-                                   replacement="")
-    u = pc.replace_substring_regex(u, pattern=r"\?.*$", replacement="")
-    u = pc.replace_substring_regex(
-        u, pattern=r"^[A-Za-z][A-Za-z0-9+.-]*://", replacement="")
-    host = pc.replace_substring_regex(u, pattern=r"/.*$",
-                                      replacement="")
-    return pc.replace_substring_regex(pc.utf8_lower(host),
-                                      pattern=r"^www\.",
-                                      replacement="")
+    to the first '/', lowercase, strip a leading 'www.' — THE
+    ``dedup.split_host_path_expr`` host step (one shared kernel chain,
+    not a copy), so the SQL twin is
+    ``regexp_replace(lower(regexp_replace(u,'/.*$','')),'^www\\.','')``
+    after the same fragment/query/scheme strips."""
+    from blacklab_ray.pipelines.dedup import split_host_path_expr
+    return split_host_path_expr(col)[0]
 
 
 def url_filter(ds: ray.data.Dataset,
@@ -686,13 +679,15 @@ def url_filter(ds: ray.data.Dataset,
             urls = batch.column(url_col)
             if len(self._hosts):
                 host = extract_host_expr(urls)
+                # fill_null(False): a null url is not blocklisted
                 keep &= np.logical_not(
-                    pc.is_in(host, value_set=self._hosts)
-                    .to_numpy(zero_copy_only=False))
+                    pc.fill_null(pc.is_in(host, value_set=self._hosts),
+                                 False).to_numpy(zero_copy_only=False))
             if alternation:
                 keep &= np.logical_not(
-                    pc.match_substring_regex(urls, alternation)
-                    .to_numpy(zero_copy_only=False))
+                    pc.fill_null(
+                        pc.match_substring_regex(urls, alternation),
+                        False).to_numpy(zero_copy_only=False))
             return batch.filter(pa.array(keep))
 
     return ds.map_batches(_Filter, batch_format="pyarrow",
@@ -715,9 +710,12 @@ def host_stats(ds: ray.data.Dataset, url_col: str = "url",
                           "total_chars": pa.array([], pa.int64())})
         if batch.num_rows == 0:
             return empty
-        host = extract_host_expr(batch.column(url_col))
-        chars = (batch.column(chars_col).cast(pa.int64())
-                 .to_numpy(zero_copy_only=False)
+        # null urls fold into an '' host bucket rather than poisoning
+        # the object-array sort with None
+        host = pc.fill_null(
+            extract_host_expr(batch.column(url_col)), "")
+        chars = (pc.fill_null(batch.column(chars_col), 0)
+                 .cast(pa.int64()).to_numpy(zero_copy_only=False)
                  if chars_col else np.zeros(batch.num_rows, np.int64))
         h = np.asarray(host.to_pylist(), dtype=object)
         order = np.argsort(h, kind="stable")

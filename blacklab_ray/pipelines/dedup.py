@@ -93,11 +93,13 @@ def fingerprints(ds: ray.data.Dataset, id_col: str = "doc_id",
     return hashed.select_columns([id_col, "fingerprint"])
 
 
-def canonicalize_url_expr(col: pa.ChunkedArray | pa.Array):
-    """Vectorized URL canonicalization (Arrow kernels only):
-    lowercase scheme+host, drop the scheme, drop the #fragment and
-    ?query, strip a trailing slash and a leading 'www.'. The standard
-    crawl-pipeline normalization ahead of URL-level dedup."""
+def split_host_path_expr(col: pa.ChunkedArray | pa.Array):
+    """Vectorized (host, path) split of a URL column (Arrow kernels
+    only): drop #fragment / ?query / scheme, split at the first '/',
+    lowercase the host and strip a leading 'www.'. Shared by
+    :func:`canonicalize_url_expr` and ``cleaning.extract_host_expr``
+    so the kernels (whose byte-identity with the SQL oracles is
+    load-bearing) exist exactly once."""
     import pyarrow.compute as pc
     u = col
     u = pc.replace_substring_regex(u, pattern=r"#.*$", replacement="")
@@ -111,6 +113,16 @@ def canonicalize_url_expr(col: pa.ChunkedArray | pa.Array):
     host = pc.utf8_lower(host)
     host = pc.replace_substring_regex(host, pattern=r"^www\.",
                                       replacement="")
+    return host, path
+
+
+def canonicalize_url_expr(col: pa.ChunkedArray | pa.Array):
+    """Vectorized URL canonicalization (Arrow kernels only):
+    lowercase scheme+host, drop the scheme, drop the #fragment and
+    ?query, strip a trailing slash and a leading 'www.'. The standard
+    crawl-pipeline normalization ahead of URL-level dedup."""
+    import pyarrow.compute as pc
+    host, path = split_host_path_expr(col)
     u = pc.binary_join_element_wise(host, path, "")
     u = pc.replace_substring_regex(u, pattern=r"/$", replacement="")
     return u

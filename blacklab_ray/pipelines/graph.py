@@ -55,48 +55,54 @@ def _route(P: int, keys: np.ndarray, *payloads: np.ndarray):
             for p in range(P)]
 
 
-def _pr_make_tasks(src_col: str, dst_col: str):
-    """Remote task definitions (module-level factory — pickled once)."""
+def _graph_make_tasks(src_col: str, dst_col: str):
+    """Remote task definitions shared by PageRank and HITS (module-
+    level factory — pickled once). One BSP machine: hash-sharded
+    edges, shard-local score lookups, per-target pre-summed
+    contributions routed by hash(target), per-node apply. PageRank
+    uses the out-degree weighting (``use_inv=True``) and the
+    ``base + extra + d*sums`` apply; HITS passes ``use_inv=False``
+    and ``base=0, d=1, extra=0`` (plain sums) — one implementation,
+    so a fix in the route/pre-sum machinery reaches both."""
     import ray
 
     @ray.remote
-    def _split(block: pa.Table, P: int):
-        """One edge block → P (src, dst) pieces routed by hash(src)."""
-        if block.num_rows == 0 or src_col not in block.column_names:
+    def _split(block: pa.Table, P: int, by_dst: bool = False):
+        """One edge block → P (key, other) pieces routed by the
+        hashed side (src by default; dst when ``by_dst``)."""
+        if block.num_rows == 0 or src_col not in block.column_names \
+                or dst_col not in block.column_names:
             e = np.empty(0, np.int64)
             return [(e, e)] * P
         s = block.column(src_col).cast(pa.int64()) \
             .to_numpy(zero_copy_only=False)
         t = block.column(dst_col).cast(pa.int64()) \
             .to_numpy(zero_copy_only=False)
-        return _route(P, s, t)
+        return _route(P, t, s) if by_dst else _route(P, s, t)
 
     @ray.remote
-    def _build_shard(P: int, *pieces):
-        """One part's edge pieces → (src_sorted, dst, inv_outdeg,
-        local node set incl. foreign dsts routed here).
-
-        All edges of a src land in one shard, so outdeg is local.
-        The node set must ALSO include dst nodes that hash here (they
-        may never appear as src anywhere) — collected by each piece's
-        sender? No: dsts of THIS shard's edges hash elsewhere. The
-        caller unions dst-side nodes via _node_pieces below."""
-        src = np.concatenate([p[0] for p in pieces]) \
+    def _build_shard(*pieces):
+        """One part's edge pieces → (key_sorted, other, inv_outdeg,
+        distinct key set). All edges of a key land in one shard, so
+        the key side's degree is local; ``inv`` is 1/outdeg per edge
+        (PageRank's weighting — HITS ignores it)."""
+        key = np.concatenate([p[0] for p in pieces]) \
             if pieces else np.empty(0, np.int64)
-        dst = np.concatenate([p[1] for p in pieces]) \
+        oth = np.concatenate([p[1] for p in pieces]) \
             if pieces else np.empty(0, np.int64)
-        order = np.argsort(src, kind="stable")
-        src, dst = src[order], dst[order]
-        usrc, counts = np.unique(src, return_counts=True)
-        inv = np.zeros(src.size, np.float64)
-        if src.size:
+        order = np.argsort(key, kind="stable")
+        key, oth = key[order], oth[order]
+        ukey, counts = np.unique(key, return_counts=True)
+        inv = np.zeros(key.size, np.float64)
+        if key.size:
             inv = 1.0 / np.repeat(counts.astype(np.float64), counts)
-        return src, dst, inv, usrc
+        return key, oth, inv, ukey
 
     @ray.remote
     def _node_pieces(block: pa.Table, P: int):
         """Distinct src∪dst of one block routed by node hash."""
-        if block.num_rows == 0 or src_col not in block.column_names:
+        if block.num_rows == 0 or src_col not in block.column_names \
+                or dst_col not in block.column_names:
             return [(np.empty(0, np.int64),)] * P
         s = block.column(src_col).cast(pa.int64()) \
             .to_numpy(zero_copy_only=False)
@@ -111,44 +117,47 @@ def _pr_make_tasks(src_col: str, dst_col: str):
                 else np.empty(0, np.int64))
 
     @ray.remote
-    def _contribs(shard, nodes, rank, P: int):
-        """One part: per-dst pre-summed contributions, routed by
-        hash(dst). Deterministic order (src-sorted edges, then
-        dst-sorted within the pre-sum)."""
-        src, dst, inv, _ = shard
-        if src.size == 0:
+    def _contribs(shard, nodes, score, P: int, use_inv: bool = True):
+        """One part: per-target pre-summed contributions routed by
+        hash(target). Deterministic order (key-sorted edges, then
+        target-sorted within the pre-sum). ``use_inv`` applies the
+        1/outdeg PageRank weighting; HITS sums raw scores."""
+        key, oth, inv, _ = shard
+        if key.size == 0:
             e = np.empty(0, np.int64)
             f = np.empty(0, np.float64)
             return [(e, f)] * P
-        contrib = rank[np.searchsorted(nodes, src)] * inv
-        order = np.argsort(dst, kind="stable")
-        dst, contrib = dst[order], contrib[order]
-        heads = np.ones(dst.size, bool)
-        heads[1:] = dst[1:] != dst[:-1]
+        contrib = score[np.searchsorted(nodes, key)]
+        if use_inv:
+            contrib = contrib * inv
+        order = np.argsort(oth, kind="stable")
+        oth, contrib = oth[order], contrib[order]
+        heads = np.ones(oth.size, bool)
+        heads[1:] = oth[1:] != oth[:-1]
         idx = np.cumsum(heads) - 1
-        udst = dst[heads]
-        sums = np.zeros(udst.size, np.float64)
+        uoth = oth[heads]
+        sums = np.zeros(uoth.size, np.float64)
         np.add.at(sums, idx, contrib)
-        return _route(P, udst, sums)
+        return _route(P, uoth, sums)
 
     @ray.remote
     def _dangling_mass(shard, nodes, rank):
         """Σ rank over this part's dangling nodes (no out-edges)."""
-        usrc = shard[3]
+        ukey = shard[3]
         if nodes.size == 0:
             return 0.0
         has_out = np.zeros(nodes.size, bool)
-        if usrc.size:
-            has_out[np.searchsorted(nodes, usrc)] = True
+        if ukey.size:
+            has_out[np.searchsorted(nodes, ukey)] = True
         return float(rank[~has_out].sum())
 
     @ray.remote
     def _apply(nodes, base: float, d: float, extra: float,
                *msg_pieces):
-        """One part: rank' per local node from incoming per-part sums
-        (accumulated in sorted piece order — deterministic). ``extra``
-        carries the redistributed dangling mass per node (0.0 when
-        dangling mass is dropped)."""
+        """One part: score' per local node from incoming per-part
+        sums (accumulated in sorted piece order — deterministic).
+        PageRank: ``base=(1-d)/N``, ``extra`` = redistributed
+        dangling mass per node; HITS: base=0, d=1, extra=0."""
         sums = np.zeros(nodes.size, np.float64)
         for mn, ms in msg_pieces:
             if mn.size:
@@ -156,13 +165,8 @@ def _pr_make_tasks(src_col: str, dst_col: str):
                 np.add.at(sums, pos, ms)
         return base + extra + d * sums
 
-    @ray.remote
-    def _emit(nodes, rank) -> pa.Table:
-        return pa.table({"node": pa.array(nodes, pa.int64()),
-                         "rank": pa.array(rank, pa.float64())})
-
     return (_split, _build_shard, _node_pieces, _build_nodes,
-            _contribs, _dangling_mass, _apply, _emit)
+            _contribs, _dangling_mass, _apply)
 
 
 def pagerank(edges: ray.data.Dataset | pa.Table, n_iter: int = 3,
@@ -188,12 +192,17 @@ def pagerank(edges: ray.data.Dataset | pa.Table, n_iter: int = 3,
     P = max(2, num_partitions)
     d = float(damping)
     (_split, _build_shard, _node_pieces, _build_nodes, _contribs,
-     _dangling_mass, _apply, _emit) = _pr_make_tasks(src_col, dst_col)
+     _dangling_mass, _apply) = _graph_make_tasks(src_col, dst_col)
+
+    @ray.remote
+    def _emit(nodes, rank) -> pa.Table:
+        return pa.table({"node": pa.array(nodes, pa.int64()),
+                         "rank": pa.array(rank, pa.float64())})
 
     blocks = edges.to_arrow_refs()
     esplits = [_split.options(num_returns=P).remote(b, P)
                for b in blocks]
-    shards = [_build_shard.remote(P, *[s[p] for s in esplits])
+    shards = [_build_shard.remote(*[s[p] for s in esplits])
               for p in range(P)]
     nsplits = [_node_pieces.options(num_returns=P).remote(b, P)
                for b in blocks]
@@ -231,64 +240,11 @@ def pagerank(edges: ray.data.Dataset | pa.Table, n_iter: int = 3,
 # HITS (Kleinberg 1999): hubs & authorities
 # ---------------------------------------------------------------------------
 
-def _hits_make_tasks(src_col: str, dst_col: str):
-    """Remote task definitions for HITS — same BSP/partitioning shape
-    as PageRank (hash-sharded edges, shard-local score lookups, routed
-    per-target pre-sums), but scores come in PAIRS (hub on the src
-    side, authority on the dst side), so the edge set is sharded
-    TWICE: by hash(src) for the authority update and by hash(dst) for
-    the hub update."""
+def _hits_extra_tasks():
+    """HITS-only task definitions — the shared BSP machinery (split/
+    shard/contribs/apply) comes from :func:`_graph_make_tasks`; HITS
+    adds only the L2-normalization pair and its emit."""
     import ray
-
-    @ray.remote
-    def _split(block: pa.Table, P: int, by_dst: bool):
-        if block.num_rows == 0 or src_col not in block.column_names:
-            e = np.empty(0, np.int64)
-            return [(e, e)] * P
-        s = block.column(src_col).cast(pa.int64()) \
-            .to_numpy(zero_copy_only=False)
-        t = block.column(dst_col).cast(pa.int64()) \
-            .to_numpy(zero_copy_only=False)
-        return _route(P, t, s) if by_dst else _route(P, s, t)
-
-    @ray.remote
-    def _build_shard(*pieces):
-        """(key_sorted, other) edge arrays of one part — key is the
-        side this shard is hashed by."""
-        key = np.concatenate([p[0] for p in pieces]) \
-            if pieces else np.empty(0, np.int64)
-        oth = np.concatenate([p[1] for p in pieces]) \
-            if pieces else np.empty(0, np.int64)
-        order = np.argsort(key, kind="stable")
-        return key[order], oth[order]
-
-    @ray.remote
-    def _contribs(shard, nodes, score, P: int):
-        """Σ score[key] per distinct other-side node, routed by
-        hash(other) — the half-iteration exchange."""
-        key, oth = shard
-        if key.size == 0:
-            e = np.empty(0, np.int64)
-            f = np.empty(0, np.float64)
-            return [(e, f)] * P
-        contrib = score[np.searchsorted(nodes, key)]
-        order = np.argsort(oth, kind="stable")
-        oth, contrib = oth[order], contrib[order]
-        heads = np.ones(oth.size, bool)
-        heads[1:] = oth[1:] != oth[:-1]
-        idx = np.cumsum(heads) - 1
-        uoth = oth[heads]
-        sums = np.zeros(uoth.size, np.float64)
-        np.add.at(sums, idx, contrib)
-        return _route(P, uoth, sums)
-
-    @ray.remote
-    def _apply(nodes, *msg_pieces):
-        sums = np.zeros(nodes.size, np.float64)
-        for mn, ms in msg_pieces:
-            if mn.size:
-                np.add.at(sums, np.searchsorted(nodes, mn), ms)
-        return sums
 
     @ray.remote
     def _sumsq(score) -> float:
@@ -304,7 +260,7 @@ def _hits_make_tasks(src_col: str, dst_col: str):
                          "authority": pa.array(auth, pa.float64()),
                          "hub": pa.array(hub, pa.float64())})
 
-    return _split, _build_shard, _contribs, _apply, _sumsq, _scale, _emit
+    return _sumsq, _scale, _emit
 
 
 def hits(edges: ray.data.Dataset | pa.Table, n_iter: int = 2,
@@ -332,10 +288,9 @@ def hits(edges: ray.data.Dataset | pa.Table, n_iter: int = 2,
         num_partitions = min(max(2, edges.count() // 500_000 + 1),
                              min(64, cpus))
     P = max(2, num_partitions)
-    (_split, _build_shard, _contribs, _apply, _sumsq, _scale,
-     _emit) = _hits_make_tasks(src_col, dst_col)
-    (_, _, _node_pieces, _build_nodes, *_rest) = \
-        _pr_make_tasks(src_col, dst_col)
+    (_split, _build_shard, _node_pieces, _build_nodes, _contribs,
+     _dangling_mass, _apply) = _graph_make_tasks(src_col, dst_col)
+    _sumsq, _scale, _emit = _hits_extra_tasks()
 
     blocks = edges.to_arrow_refs()
     fwd_sp = [_split.options(num_returns=P).remote(b, P, False)
@@ -363,10 +318,14 @@ def hits(edges: ray.data.Dataset | pa.Table, n_iter: int = 2,
     auth = hub
 
     def _half(shards, score):
-        """One half-iteration: exchange + apply + global L2 scale."""
+        """One half-iteration: exchange + apply + global L2 scale.
+        HITS sums RAW scores (use_inv=False) with the identity apply
+        (base=0, d=1, extra=0)."""
         msgs = [_contribs.options(num_returns=P).remote(
-            shards[p], nodes[p], score[p], P) for p in range(P)]
-        out = [_apply.remote(nodes[q], *[msgs[p][q] for p in range(P)])
+            shards[p], nodes[p], score[p], P, False)
+            for p in range(P)]
+        out = [_apply.remote(nodes[q], 0.0, 1.0, 0.0,
+                             *[msgs[p][q] for p in range(P)])
                for q in range(P)]
         norm = float(np.sqrt(sum(ray.get(
             [_sumsq.remote(s) for s in out]))))

@@ -9,8 +9,8 @@ pages schema ``(url, warc_ts, html, text, lang)`` so a CC shard feeds
 
 Container handling:
 - plain and gzip files, INCLUDING the CC convention of one gzip
-  member per record (``gzip.GzipFile`` reads multi-member streams
-  transparently);
+  member per record (member-by-member ``zlib.decompressobj`` so a
+  truncated tail member keeps the good members before it);
 - ``response`` / ``resource`` records → payload into the ``html``
   binary column (HTTP response headers stripped per the spec's
   ``application/http`` content type); extraction/decoding happens
@@ -30,7 +30,7 @@ concern).
 from __future__ import annotations
 
 import gzip
-import io
+import zlib
 from collections.abc import Iterator
 from datetime import datetime, timezone
 
@@ -46,7 +46,9 @@ def _parse_warc_date(s: str) -> int | None:
         dt = datetime.fromisoformat(s.replace("Z", "+00:00"))
         if dt.tzinfo is None:
             dt = dt.replace(tzinfo=timezone.utc)
-        return int(dt.timestamp() * 1_000_000)
+        # exact us math: float-seconds would round 2024-era epochs
+        return (int(dt.replace(microsecond=0).timestamp())
+                * 1_000_000 + dt.microsecond)
     except ValueError:
         return None
 
@@ -70,8 +72,24 @@ def iter_warc_records(data: bytes) -> Iterator[dict]:
     crawler) must not poison the 1 GB of good records before it.
     """
     if data[:2] == b"\x1f\x8b":
-        with gzip.GzipFile(fileobj=io.BytesIO(data)) as gz:
-            data = gz.read()
+        # member-by-member decompress (zlib.decompressobj, wbits=31 =
+        # gzip framing) so a truncated final gzip member (the
+        # killed-crawler case in the per-record CC layout) or trailing
+        # garbage yields the bytes decompressed so far instead of
+        # raising EOFError — gzip.GzipFile buffers whole members and
+        # raises before returning ANY of a truncated stream
+        chunks = []
+        buf = data
+        while buf[:2] == b"\x1f\x8b":
+            d = zlib.decompressobj(wbits=31)
+            try:
+                chunks.append(d.decompress(buf))
+            except zlib.error:
+                break  # corrupt member: keep what earlier members gave
+            if not d.eof:
+                break  # truncated member (partial bytes already kept)
+            buf = d.unused_data
+        data = b"".join(chunks)
     pos, n = 0, len(data)
     while pos < n:
         # skip inter-record CRLFs
@@ -157,18 +175,38 @@ def read_warc(paths, types: tuple[str, ...] = _PAYLOAD_TYPES,
 def encode_warc_record(rec_type: str, url: str | None, ts_us: int | None,
                        payload: bytes,
                        http_headers: bool = False) -> bytes:
-    """One WARC/1.0 record (test/synthesis helper — the writer half of
-    the round trip; CC itself writes these)."""
+    """One WARC record (the writer half of the round trip; CC itself
+    writes these). Emits the ISO-28500 mandatory headers
+    (WARC-Record-ID — a deterministic content-derived urn:uuid —
+    and Content-Type); whole-second timestamps produce a WARC/1.0
+    record, sub-second ones the WARC/1.1 fractional form (1.0 mandates
+    second precision, so the version advertises what the date uses)."""
+    import hashlib
+    import uuid
+
     if http_headers:
         payload = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
                    b"\r\n" + payload)
-    heads = [b"WARC/1.0", b"WARC-Type: " + rec_type.encode()]
+    frac = ts_us is not None and ts_us % 1_000_000 != 0
+    heads = [b"WARC/1.1" if frac else b"WARC/1.0",
+             b"WARC-Type: " + rec_type.encode()]
+    rid = uuid.UUID(bytes=hashlib.md5(
+        rec_type.encode() + b"\x00" + (url or "").encode()
+        + b"\x00" + str(ts_us).encode() + b"\x00" + payload).digest())
+    heads.append(b"WARC-Record-ID: <urn:uuid:" + str(rid).encode()
+                 + b">")
     if url:
         heads.append(b"WARC-Target-URI: " + url.encode())
     if ts_us is not None:
-        dt = datetime.fromtimestamp(ts_us / 1e6, tz=timezone.utc)
-        heads.append(b"WARC-Date: "
-                     + dt.strftime("%Y-%m-%dT%H:%M:%SZ").encode())
+        dt = datetime.fromtimestamp(ts_us // 1_000_000,
+                                    tz=timezone.utc) \
+            .replace(microsecond=ts_us % 1_000_000)
+        stamp = (dt.strftime("%Y-%m-%dT%H:%M:%S.%fZ") if frac
+                 else dt.strftime("%Y-%m-%dT%H:%M:%SZ"))
+        heads.append(b"WARC-Date: " + stamp.encode())
+    heads.append(b"Content-Type: "
+                 + (b"application/http;msgtype=response"
+                    if http_headers else b"text/plain"))
     heads.append(b"Content-Length: " + str(len(payload)).encode())
     return b"\r\n".join(heads) + b"\r\n\r\n" + payload + b"\r\n\r\n"
 
@@ -196,10 +234,12 @@ def write_warc_dataset(ds: ray.data.Dataset, out_dir: str,
     records).
 
     One WARC file per input block, written inside ``map_batches`` with
-    atomic tmp+rename; the filename is the md5 of the block's url list,
-    so a re-run over identical content skips finished shards instead
-    of duplicating them (the repo's resumable-output convention).
-    Returns the shard paths (sorted)."""
+    atomic tmp+rename; the filename is the md5 of the block's urls AND
+    payload bytes, so a re-run over identical content skips finished
+    shards (the repo's resumable-output convention) while changed
+    content under the same urls writes a NEW shard rather than
+    silently keeping the stale one. Returns the shard paths (sorted).
+    """
     import hashlib
     import os
 
@@ -210,27 +250,33 @@ def write_warc_dataset(ds: ray.data.Dataset, out_dir: str,
             return pa.table({"path": pa.array([], pa.string()),
                              "n": pa.array([], pa.int64())})
         urls = batch.column("url").to_pylist()
-        name = hashlib.md5("\n".join(urls).encode()).hexdigest()
+        stamps = (batch.column("warc_ts")
+                  .cast(pa.timestamp("us")).cast(pa.int64())
+                  .to_pylist() if "warc_ts" in batch.column_names
+                  else [None] * len(urls))
+        htmls = (batch.column("html").to_pylist()
+                 if "html" in batch.column_names
+                 else [None] * len(urls))
+        texts = (batch.column("text").to_pylist()
+                 if "text" in batch.column_names
+                 else [None] * len(urls))
+        recs = []
+        digest = hashlib.md5()
+        for u, ts, h, t in zip(urls, stamps, htmls, texts):
+            if h is not None:
+                recs.append(("response", u, ts, bytes(h)))
+            elif t is not None:
+                recs.append(("conversion", u, ts, t.encode()))
+            else:
+                continue
+            digest.update(u.encode() if u else b"")
+            digest.update(b"\x00")
+            digest.update(recs[-1][3])
+            digest.update(b"\x00")
         path = os.path.join(
-            out_dir, f"part-{name}.warc" + (".gz" if gzip_members
-                                            else ""))
+            out_dir, f"part-{digest.hexdigest()}.warc"
+            + (".gz" if gzip_members else ""))
         if not os.path.exists(path):
-            stamps = (batch.column("warc_ts")
-                      .cast(pa.timestamp("us")).cast(pa.int64())
-                      .to_pylist() if "warc_ts" in batch.column_names
-                      else [None] * len(urls))
-            htmls = (batch.column("html").to_pylist()
-                     if "html" in batch.column_names
-                     else [None] * len(urls))
-            texts = (batch.column("text").to_pylist()
-                     if "text" in batch.column_names
-                     else [None] * len(urls))
-            recs = []
-            for u, ts, h, t in zip(urls, stamps, htmls, texts):
-                if h is not None:
-                    recs.append(("response", u, ts, bytes(h)))
-                elif t is not None:
-                    recs.append(("conversion", u, ts, t.encode()))
             tmp = path + ".tmp"
             write_warc(tmp, recs, gzip_members=gzip_members)
             os.replace(tmp, path)

@@ -321,6 +321,30 @@ def test_url_filter_hosts_and_patterns(ray_session):
     assert got == [2, 5]
 
 
+def test_url_filter_and_host_stats_null_urls(ray_session):
+    """A null url must neither crash the blocklist filter (it is kept
+    — not blocklisted) nor the host profile (it folds into the ''
+    bucket)."""
+    import pyarrow as pa
+    import ray.data
+
+    from blacklab_ray.pipelines.cleaning import host_stats, url_filter
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "url": pa.array(["https://spam.example/x", None,
+                         "https://good.example/y"], pa.string()),
+        "n_chars": pa.array([10, 20, 30], pa.int64()),
+    })
+    ds = ray.data.from_arrow(t).repartition(2)
+    kept = url_filter(ds, blocked_hosts=("spam.example",),
+                      blocked_patterns=(r"/casino/",)).to_pandas()
+    assert sorted(kept["doc_id"]) == [2, 3]
+    hs = host_stats(ds, chars_col="n_chars").to_pandas() \
+        .set_index("host")
+    assert hs.loc["", "n_docs"] == 1 and hs.loc["", "total_chars"] == 20
+    assert hs.loc["spam.example", "n_docs"] == 1
+
+
 def test_host_stats_matches_brute(ray_session):
     import ray.data
 

@@ -72,6 +72,49 @@ def test_truncated_tail_tolerated(tmp_path):
     assert len(recs) == 4  # the 5th record's payload is cut short
 
 
+def test_truncated_gzip_tail_tolerated(tmp_path):
+    """A truncated final GZIP MEMBER (the per-record CC layout cut
+    mid-member by a killed crawler) yields the complete members
+    before it instead of raising EOFError."""
+    members = [gzip.compress(encode_warc_record(
+        t, u, ts, p, http_headers=(t == "response")))
+        for t, u, ts, p in _sample_records()]
+    data = b"".join(members[:-1]) + members[-1][:10]  # cut mid-member
+    recs = list(iter_warc_records(data))
+    assert [r["type"] for r in recs] == [
+        "warcinfo", "request", "response", "response"]
+    # garbage tail (not even a gzip header) after good members
+    recs2 = list(iter_warc_records(b"".join(members) + b"\x1fgarbage"))
+    assert len(recs2) >= 4
+
+
+def test_mandatory_headers_and_fractional_dates():
+    """Records carry ISO-28500 WARC-Record-ID + Content-Type; a
+    sub-second timestamp round-trips exactly (WARC/1.1 fractional
+    form), a whole-second one stays WARC/1.0."""
+    frac_ts = TS + 123_456
+    raw = encode_warc_record("response", "https://a.example/",
+                             frac_ts, b"<html/>", http_headers=True)
+    assert raw.startswith(b"WARC/1.1")
+    assert b"WARC-Record-ID: <urn:uuid:" in raw
+    assert b"Content-Type: application/http;msgtype=response" in raw
+    assert b".123456Z" in raw
+    (rec,) = iter_warc_records(raw)
+    assert rec["ts_us"] == frac_ts
+    whole = encode_warc_record("conversion", "https://c.example/",
+                               TS, b"text")
+    assert whole.startswith(b"WARC/1.0")
+    assert b"Content-Type: text/plain" in whole
+    (rec2,) = iter_warc_records(whole)
+    assert rec2["ts_us"] == TS
+    # record ids are deterministic and distinct per content
+    assert encode_warc_record("response", "u", TS, b"x") \
+        == encode_warc_record("response", "u", TS, b"x")
+    id_of = lambda r: r.split(b"urn:uuid:")[1][:36]  # noqa: E731
+    assert id_of(encode_warc_record("response", "u", TS, b"x")) \
+        != id_of(encode_warc_record("response", "u", TS, b"y"))
+
+
 def test_pages_table_shape():
     data = b"".join(
         encode_warc_record(t, u, ts, p, http_headers=(t == "response"))
@@ -180,6 +223,33 @@ def test_write_warc_dataset_roundtrip(ray_session, tmp_path):
     for g, w in zip(got["html"], want["html"]):
         assert bytes(g) == bytes(w)
     assert list(got["warc_ts"]) == list(want["warc_ts"])
+
+
+def test_write_warc_dataset_content_keyed_resume(ray_session, tmp_path):
+    """Changed content under the SAME urls writes a new shard instead
+    of silently keeping the stale one (the skip key hashes payloads,
+    not just urls)."""
+    import ray.data
+    from blacklab_ray.sources.warc import write_warc_dataset
+
+    def _pages(body: bytes) -> pa.Table:
+        return pa.table({
+            "url": pa.array(["https://r.example/a",
+                             "https://r.example/b"], pa.string()),
+            "warc_ts": pa.array([TS, TS], pa.timestamp("us")),
+            "html": pa.array([body, body], pa.binary()),
+            "text": pa.array([None, None], pa.string()),
+            "lang": pa.array(["en", "en"], pa.string()),
+        })
+
+    out = str(tmp_path / "rs")
+    p1 = write_warc_dataset(ray.data.from_arrow(_pages(b"<p>v1</p>")),
+                            out)
+    p2 = write_warc_dataset(ray.data.from_arrow(_pages(b"<p>v2</p>")),
+                            out)
+    assert set(p1) != set(p2)
+    got = read_warc(p2).to_pandas()
+    assert all(bytes(h) == b"<p>v2</p>" for h in got["html"])
 
 
 def test_write_warc_dataset_wet_rows(ray_session, tmp_path):
