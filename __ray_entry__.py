@@ -717,6 +717,56 @@ def queries() -> dict[str, Callable[[str], Any]]:
         b.insert(0, "kind", "url")
         return pd.concat([a, b], ignore_index=True)
 
+    def q_latest_snapshot(sf):
+        """Crawl-revisit resolution: per canonical url keep the NEWEST
+        capture (dedup.latest_snapshot_keep_ids). Unlike dedup_keep's
+        url side (host from the per-doc ``source`` — no collisions,
+        canonicalization-only), the host here derives from the PAIR
+        BASE, so docs 2k and 2k+1 genuinely share a canonical url
+        (250 groups at sf0.01); synthetic capture times
+        ts = epoch + ((doc_id*37) % 11) s make the winner alternate
+        between the even and odd member of each pair."""
+        import pyarrow.compute as pc
+        from blacklab_ray.pipelines.dedup import latest_snapshot_keep_ids
+
+        def _mk(batch: pa.Table) -> pa.Table:
+            did64 = batch.column("doc_id").cast(pa.int64())
+            base = pc.subtract(did64, pc.bit_wise_and(did64, 1))
+            did = base.cast(pa.string())
+            host = pc.binary_join_element_wise(
+                pa.scalar("h"),
+                pc.subtract(base, pc.multiply(
+                    pc.divide(base, pa.scalar(7, pa.int64())),
+                    pa.scalar(7, pa.int64()))).cast(pa.string()), "")
+            even = pc.equal(pc.bit_wise_and(did64, 1), 0)
+            up = pc.binary_join_element_wise(
+                pa.scalar("HTTPS://WWW."), host,
+                pa.scalar(".Example.COM/p/"), did,
+                pa.scalar("/?q=1#frag"), "")
+            lo = pc.binary_join_element_wise(
+                pa.scalar("http://"), host,
+                pa.scalar(".example.com/p/"), did, "")
+            ts = pc.add(
+                pa.scalar(1_700_000_000_000_000, pa.int64()),
+                pc.multiply(
+                    pc.subtract(
+                        pc.multiply(did64, pa.scalar(37, pa.int64())),
+                        pc.multiply(
+                            pc.divide(pc.multiply(
+                                did64, pa.scalar(37, pa.int64())),
+                                pa.scalar(11, pa.int64())),
+                            pa.scalar(11, pa.int64()))),
+                    pa.scalar(1_000_000, pa.int64())))
+            return pa.table({
+                "doc_id": did64,
+                "url": pc.if_else(even, up, lo),
+                "warc_ts": ts.cast(pa.timestamp("us")),
+            })
+
+        ds = _docs_ds(sf).map_batches(_mk, batch_format="pyarrow")
+        out = latest_snapshot_keep_ids(ds).to_pandas()
+        return out.sort_values("doc_id").reset_index(drop=True)
+
     def q_host_stats(sf):
         """Per-host corpus profile over the same synthesized url set
         as dedup_keep's url side (cleaning.host_stats: per-batch
@@ -1381,6 +1431,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_links": q_pagerank,
         "hits_scores": q_hits,
         "host_stats": q_host_stats,
+        "latest_snapshot": q_latest_snapshot,
     }
 
 
@@ -2589,6 +2640,39 @@ h AS (SELECT doc_id, n_chars,
 SELECT host, count(*)::BIGINT AS n_docs,
        sum(n_chars)::BIGINT AS total_chars
 FROM h GROUP BY host ORDER BY host
+""",
+        # crawl-revisit resolution: newest capture (ties: min id) per
+        # canonical url — same url derivation as dedup_keep, synthetic
+        # capture time epoch + ((doc_id*37) % 11) seconds
+        "latest_snapshot": r"""
+WITH u AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0
+              THEN 'HTTPS://WWW.h' || ((doc_id - doc_id % 2) % 7)
+                   || '.Example.COM/p/'
+                   || (doc_id - doc_id % 2) || '/?q=1#frag'
+              ELSE 'http://h' || ((doc_id - doc_id % 2) % 7)
+                   || '.example.com/p/'
+                   || (doc_id - doc_id % 2)
+         END AS url,
+         1700000000000000 + ((doc_id * 37) % 11) * 1000000 AS ts
+  FROM documents),
+s1 AS (SELECT doc_id, ts, regexp_replace(url, '#.*$', '') AS u FROM u),
+s2 AS (SELECT doc_id, ts, regexp_replace(u, '\?.*$', '') AS u FROM s1),
+s3 AS (SELECT doc_id, ts,
+              regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.-]*://', '')
+                AS u FROM s2),
+s4 AS (SELECT doc_id, ts,
+              regexp_replace(lower(regexp_replace(u, '/.*$', '')),
+                             '^www\.', '')
+              || regexp_replace(u, '^[^/]*', '') AS u FROM s3),
+canon AS (SELECT doc_id, ts, regexp_replace(u, '/$', '') AS c FROM s4),
+ranked AS (
+  SELECT doc_id,
+         row_number() OVER (PARTITION BY c
+                            ORDER BY ts DESC, doc_id ASC) AS rn
+  FROM canon)
+SELECT doc_id FROM ranked WHERE rn = 1 ORDER BY doc_id
 """,
         # HTML extraction ground truth recomputed from the source text:
         # the synthesized page's only content blocks are the ' value '-

@@ -151,6 +151,73 @@ def url_dedup_keep_ids(ds: ray.data.Dataset, id_col: str = "doc_id",
     return kept.select_columns([id_col])
 
 
+def latest_snapshot_keep_ids(ds: ray.data.Dataset,
+                             id_col: str = "doc_id",
+                             url_col: str = "url",
+                             ts_col: str = "warc_ts") -> ray.data.Dataset:
+    """Doc ids surviving crawl-revisit resolution: per CANONICAL url
+    keep the NEWEST capture (max ``ts_col``; ties broken by min id —
+    deterministic). The standard Common-Crawl cross-snapshot step —
+    the same url is re-fetched every snapshot and only the latest
+    capture should enter curation; contrast ``url_dedup_keep_ids``
+    which keeps the smallest id (first capture).
+
+    Scale shape: one PART-HASH shuffle on ``hash(canonical_url) % P``
+    over (url-hash, ts, id) triplets — 24 bytes/row move, never page
+    bytes or even url strings; the per-partition pick is ONE
+    vectorized UDF call (lexsort + run heads), not a Python call per
+    url (the repo's per-group anti-pattern rule). Distinct urls
+    colliding on the 64-bit hash would merge their groups — at 10^12
+    urls the expected collision count is ~0.03 (birthday bound), the
+    same accepted identity scheme as the doc-id space."""
+    import pyarrow.compute as pc
+
+    from blacklab_ray.pipelines.hits import md5_low64
+
+    P = 32
+
+    def _slim(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.schema([
+                ("part", pa.int64()), ("key", pa.int64()),
+                ("ts", pa.int64()), (id_col, pa.int64()),
+            ]).empty_table()
+        ts = batch.column(ts_col)
+        if pa.types.is_timestamp(ts.type):
+            ts = ts.cast(pa.timestamp("us"))
+        canon = canonicalize_url_expr(pc.fill_null(
+            batch.column(url_col), ""))
+        key = np.array([md5_low64(u) for u in canon.to_pylist()],
+                       np.uint64).view(np.int64)
+        return pa.table({
+            "part": pa.array(part_of(key, P), pa.int64()),
+            "key": pa.array(key, pa.int64()),
+            # min+1, not min: the pick's lexsort negates ts and
+            # -int64.min overflows back to itself (would sort a null
+            # ts as NEWEST instead of oldest)
+            "ts": pc.fill_null(ts.cast(pa.int64()),
+                               np.iinfo(np.int64).min + 1),
+            id_col: batch.column(id_col).cast(pa.int64()),
+        })
+
+    def _pick(group: pa.Table) -> pa.Table:
+        schema = pa.schema([(id_col, pa.int64())])
+        if group.num_rows == 0 or "key" not in group.column_names:
+            return schema.empty_table()
+        key = group.column("key").to_numpy(zero_copy_only=False)
+        ts = group.column("ts").to_numpy(zero_copy_only=False)
+        ids = group.column(id_col).to_numpy(zero_copy_only=False)
+        # newest ts first within url, then smallest id
+        order = np.lexsort((ids, -ts, key))
+        key, ids = key[order], ids[order]
+        heads = np.ones(key.size, bool)
+        heads[1:] = key[1:] != key[:-1]
+        return pa.table({id_col: pa.array(ids[heads], pa.int64())})
+
+    return ds.map_batches(_slim, batch_format="pyarrow") \
+        .groupby("part").map_groups(_pick, batch_format="pyarrow")
+
+
 # ---- MinHash + LSH ---------------------------------------------------------
 
 _MERSENNE = (1 << 61) - 1

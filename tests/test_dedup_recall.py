@@ -537,3 +537,32 @@ def test_near_dedup_drop_ids_transitive(ray_session):
 
     drop = near_dedup_drop_ids(ds, threshold=0.7)
     assert drop.tolist() == [2, 3]
+
+
+def test_latest_snapshot_keep_ids(ray_session):
+    """Crawl-revisit resolution: newest capture per canonical url;
+    equal timestamps break to the smallest id; null ts loses to any
+    real ts; distinct urls all survive."""
+    import pyarrow as pa
+    import ray.data
+
+    from blacklab_ray.pipelines.dedup import latest_snapshot_keep_ids
+    TS = 1_700_000_000_000_000
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3, 4, 5, 6], pa.int64()),
+        "url": pa.array([
+            "https://a.example/p",            # trio: 0 old
+            "HTTPS://WWW.A.Example/p?q=1",    # 1 newest -> keep
+            "http://a.example/p/",            # 2 middle
+            "https://b.example/x",            # tie pair: 3 keep (min id)
+            "https://b.example/x#frag",       # 4 same ts
+            "https://c.example/y",            # 5 null ts
+            "https://c.example/y?utm=z",      # 6 real ts -> keep
+        ]),
+        "warc_ts": pa.array(
+            [TS, TS + 9_000_000, TS + 5_000_000,
+             TS, TS, None, TS], pa.timestamp("us")),
+    })
+    ds = ray.data.from_arrow(t).repartition(3)
+    kept = sorted(latest_snapshot_keep_ids(ds).to_pandas()["doc_id"])
+    assert kept == [1, 3, 6]
