@@ -59,9 +59,20 @@ def cmd_build(args) -> int:
     return 0
 
 
+def _open_reader(index_arg: str):
+    """One dir → IndexReader; comma-separated dirs → federated
+    MultiIndexReader (query-time merge, exact global BM25 stats)."""
+    dirs = [d for d in index_arg.split(",") if d]
+    if len(dirs) > 1:
+        from blacklab_ray.query import MultiIndexReader
+        return MultiIndexReader(dirs)
+    from blacklab_ray.query import IndexReader
+    return IndexReader(dirs[0])
+
+
 def cmd_search(args) -> int:
-    from blacklab_ray.query import IndexReader, search
-    reader = IndexReader(args.index)
+    from blacklab_ray.query import search
+    reader = _open_reader(args.index)
     res = search(reader, args.terms.split(","), k=args.k, mode=args.mode,
                  algo=args.algo, resolve_urls=True)
     if getattr(args, "out", None):
@@ -77,8 +88,8 @@ def cmd_search(args) -> int:
 
 
 def cmd_phrase(args) -> int:
-    from blacklab_ray.query import IndexReader, phrase_search
-    reader = IndexReader(args.index)
+    from blacklab_ray.query import phrase_search
+    reader = _open_reader(args.index)
     res = phrase_search(reader, args.terms.split(","), k=args.k,
                         resolve_urls=True)
     for row in res.to_pylist():
@@ -87,9 +98,8 @@ def cmd_phrase(args) -> int:
 
 
 def cmd_cql(args) -> int:
-    from blacklab_ray.query import IndexReader
     from blacklab_ray.query.cql import search_cql
-    reader = IndexReader(args.index)
+    reader = _open_reader(args.index)
     res = search_cql(reader, args.query, k=args.k, resolve_urls=True)
     for row in res.to_pylist():
         print(json.dumps(row))
@@ -499,7 +509,9 @@ def main(argv=None) -> int:
     b.set_defaults(fn=cmd_build)
 
     s = sub.add_parser("search")
-    s.add_argument("--index", required=True)
+    s.add_argument("--index", required=True,
+                   help="index dir, or comma-separated dirs for "
+                        "federated search (query-time merge)")
     s.add_argument("--terms", required=True)
     s.add_argument("--mode", default="or", choices=["or", "and"])
     s.add_argument("--algo", default="wand", choices=["wand", "taat"])
@@ -508,7 +520,9 @@ def main(argv=None) -> int:
     s.set_defaults(fn=cmd_search)
 
     ph = sub.add_parser("phrase")
-    ph.add_argument("--index", required=True)
+    ph.add_argument("--index", required=True,
+                    help="index dir, or comma-separated dirs "
+                         "(federated)")
     ph.add_argument("--terms", required=True)
     ph.add_argument("-k", type=int, default=10)
     ph.set_defaults(fn=cmd_phrase)

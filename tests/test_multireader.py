@@ -1,0 +1,108 @@
+"""Query-time federation (MultiIndexReader, the Lucene MultiReader
+analogue): N independently built indexes searched as one corpus with
+EXACT global BM25 stats — verified rank- and score-identical to the
+single union-built index."""
+
+import pyarrow.parquet as pq
+import pytest
+
+from blacklab_ray.index import BuildParams, build_index
+from blacklab_ray.query import IndexReader, search_taat
+from blacklab_ray.query.engine import phrase_search, search
+from blacklab_ray.query.multireader import MultiIndexReader
+
+
+@pytest.fixture(scope="module")
+def federated(ray_session, tmp_path_factory):
+    """Three sub-indexes over disjoint corpora (deliberately DIFFERENT
+    layouts) + the union-built oracle index."""
+    from blacklab_ray.sources.synth import generate_pages
+    tmp = tmp_path_factory.mktemp("fed")
+    sizes = [(0, 50), (50, 40), (90, 30)]
+    sub_dirs = []
+    union_src = tmp / "union_src"
+    union_src.mkdir()
+    for i, (off, n) in enumerate(sizes):
+        src = tmp / f"src{i}"
+        src.mkdir()
+        pages = generate_pages(n, doc_offset=off)
+        pq.write_table(pages, str(src / "p.parquet"))
+        pq.write_table(pages, str(union_src / f"p{i}.parquet"))
+        idx = str(tmp / f"idx{i}")
+        build_index(str(src), idx,
+                    BuildParams(num_buckets=2 + i, n_salts=1 + i % 2))
+        sub_dirs.append(idx)
+    union_idx = str(tmp / "union_idx")
+    build_index(str(union_src), union_idx,
+                BuildParams(num_buckets=4, n_salts=2))
+    return MultiIndexReader(sub_dirs), IndexReader(union_idx)
+
+
+QUERIES = (["the"], ["the", "w000010"], ["w000123"], ["w000010", "and"])
+
+
+def test_global_stats_match_union(federated):
+    multi, union = federated
+    assert multi.n_docs == union.n_docs == 120
+    assert abs(multi.avgdl - union.avgdl) < 1e-12
+    mt = multi.terms_table.to_pydict()
+    ut = union.terms_table.to_pydict()
+    m = dict(zip(mt["term"], zip(mt["doc_freq"], mt["collection_tf"])))
+    u = dict(zip(ut["term"], zip(ut["doc_freq"], ut["collection_tf"])))
+    assert m == u
+
+
+@pytest.mark.parametrize("terms", QUERIES)
+@pytest.mark.parametrize("algo", ["taat", "wand"])
+def test_topk_identical_to_union_index(federated, terms, algo):
+    multi, union = federated
+    if algo == "taat":
+        got = search_taat(multi, terms, 15)
+        want = search_taat(union, terms, 15)
+    else:
+        got = search(multi, terms, 15)
+        want = search(union, terms, 15)
+    assert got["doc_id"].to_pylist() == want["doc_id"].to_pylist()
+    for g, w in zip(got["score"].to_pylist(),
+                    want["score"].to_pylist()):
+        assert abs(g - w) < 1e-9
+
+
+def test_phrase_identical_to_union_index(federated):
+    multi, union = federated
+    got = phrase_search(multi, ["the", "quick"], 10)
+    want = phrase_search(union, ["the", "quick"], 10)
+    assert got["doc_id"].to_pylist() == want["doc_id"].to_pylist()
+    for g, w in zip(got["score"].to_pylist(),
+                    want["score"].to_pylist()):
+        assert abs(g - w) < 1e-9
+
+
+def test_gathers_route_to_owning_sub(federated):
+    import numpy as np
+    multi, union = federated
+    # one doc from each sub-index, interleaved + repeated
+    ids = search_taat(multi, ["the"], 120)["doc_id"].to_numpy()
+    probe = np.concatenate([ids[:3], ids[-3:], ids[:3]])
+    assert (multi.doc_lens(probe) == union.doc_lens(probe)).all()
+    assert (multi.norms_for(probe) == union.norms_for(probe)).all()
+    assert multi.urls(probe) == union.urls(probe)
+    pos = np.zeros(probe.size, dtype=np.int64)
+    assert multi.tokens_at(probe, pos) == union.tokens_at(probe, pos)
+
+
+def test_tombstone_union_masks_federated_hits(federated, tmp_path):
+    """Deleting in ONE sub-index hides the doc from federated search."""
+    import numpy as np
+    multi, _ = federated
+    from blacklab_ray.index.update import delete_documents
+    sub = multi.subs[1]
+    victim_ids = sub.all_doc_ids()[:2]
+    urls = sub.urls(victim_ids)
+    delete_documents(sub.index_dir, urls=urls)
+    fresh = MultiIndexReader(multi.index_dirs)
+    res = search_taat(fresh, ["the"], 10**9)
+    assert not set(int(v) for v in victim_ids) \
+        & set(res["doc_id"].to_pylist())
+    mask = fresh.mask_tombstones(np.asarray(victim_ids))
+    assert not mask.any()
