@@ -77,6 +77,12 @@ class MultiIndexReader(IndexReader):
         self._tomb_arr = np.array(sorted(tombs), dtype=np.int64)
         self._terms_tbl = None
 
+    def fwd_dataset(self):
+        """Union Parquet dataset over every sub-index's forward index
+        (serving-tier doc reads see the whole federation)."""
+        import pyarrow.dataset as pa_ds
+        return pa_ds.dataset([s.fwd_dataset() for s in self.subs])
+
     # ---- side tables ----------------------------------------------------
 
     def terms_table_for(self, annot: str) -> pa.Table:

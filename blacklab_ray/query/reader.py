@@ -235,6 +235,14 @@ class IndexReader:
             self.tombstones = frozenset(tombs)
             self._tomb_arr = np.array(sorted(tombs), dtype=np.int64)
 
+    def fwd_dataset(self) -> "pa_ds.Dataset":
+        """The forward-index Parquet dataset — THE handle for doc-table
+        reads (serving-tier doc info/snippets/fields); goes through a
+        method so the federated MultiIndexReader can substitute a
+        union over its sub-indexes."""
+        return pa_ds.dataset(os.path.join(self.index_dir, "fwd"),
+                             format="parquet")
+
     def mask_tombstones(self, doc_ids: np.ndarray) -> np.ndarray:
         """Boolean mask of NON-deleted docs (vectorized)."""
         if not self.tombstones.__len__():

@@ -75,8 +75,7 @@ def _allowed_ids(reader, filter_expr: str | None):
 
         import pyarrow.compute as pc
         import pyarrow.dataset as pa_ds
-        ds = pa_ds.dataset(os.path.join(reader.index_dir, "fwd"),
-                           format="parquet")
+        ds = reader.fwd_dataset()
         want = [str(v) for _f, _op, v in pid_conds]
         tbl = ds.to_table(columns=["doc_id"],
                           filter=pc.field("url").isin(want))
@@ -216,8 +215,7 @@ def _doc_field_lookup(reader, doc_ids: np.ndarray,
     import pyarrow.compute as pc
     import pyarrow.dataset as pa_ds
     uniq = np.unique(doc_ids)
-    tbl = pa_ds.dataset(os.path.join(reader.index_dir, "fwd"),
-                        format="parquet").to_table(
+    tbl = reader.fwd_dataset().to_table(
         columns=["doc_id", fieldname],
         filter=pc.field("doc_id").isin(uniq.tolist()))
     return dict(zip(tbl["doc_id"].to_pylist(),
@@ -412,8 +410,7 @@ def _doc_by_pid(reader, pid: str) -> tuple[int, int]:
 
     import pyarrow.compute as pc
     import pyarrow.dataset as pa_ds
-    ds = pa_ds.dataset(os.path.join(reader.index_dir, "fwd"),
-                       format="parquet")
+    ds = reader.fwd_dataset()
     tbl = ds.to_table(columns=["doc_id", "doc_len"],
                       filter=pc.field("url") == pid)
     if tbl.num_rows == 0:
@@ -433,8 +430,7 @@ def handle_doc_info(reader, pid: str) -> dict:
     did, dl = _doc_by_pid(reader, pid)
     info: dict = {"pid": [pid]}
     meta_fields = set(_field_types(reader))
-    ds = pa_ds.dataset(os.path.join(reader.index_dir, "fwd"),
-                       format="parquet")
+    ds = reader.fwd_dataset()
     cols = [c for c in ds.schema.names
             if c in meta_fields or c.startswith("meta_")]
     if cols:
@@ -517,8 +513,7 @@ def handle_doc_contents(reader, pid: str) -> str:
     pos = np.arange(dl, dtype=np.int64)
     toks = reader.tokens_at(np.full(dl, did, dtype=np.int64), pos)
     words = ["" if t is None else t for t in toks]
-    ds = pa_ds.dataset(os.path.join(reader.index_dir, "fwd"),
-                       format="parquet")
+    ds = reader.fwd_dataset()
     punct = None
     if "punct" in ds.schema.names:
         tbl = ds.to_table(columns=["punct"],
@@ -608,8 +603,7 @@ def handle_autocomplete(reader, fieldname: str, params: dict) -> list:
 
         import pyarrow.compute as pc
         import pyarrow.dataset as pa_ds
-        ds = pa_ds.dataset(os.path.join(reader.index_dir, "fwd"),
-                           format="parquet")
+        ds = reader.fwd_dataset()
         if fieldname not in ds.schema.names:
             raise KeyError(f"unknown field {fieldname!r}") from None
         col = ds.to_table(columns=[fieldname])[fieldname].combine_chunks()
@@ -645,8 +639,7 @@ def handle_docs_grouped(reader, params: dict) -> dict:
     first = int(params.get("first", 0))
     number = int(params.get("number", 50))
     patt = params.get("patt")
-    ds = pa_ds.dataset(os.path.join(reader.index_dir, "fwd"),
-                       format="parquet")
+    ds = reader.fwd_dataset()
     if fieldname not in ds.schema.names:
         raise KeyError(f"unknown metadata field {fieldname!r}")
     if patt:
@@ -746,8 +739,7 @@ def handle_fieldinfo(reader, fieldname: str, params: dict) -> dict:
     if fieldname not in types:
         raise KeyError(f"unknown field {fieldname!r}")
     number = int(params.get("number", 50))
-    ds = pa_ds.dataset(os.path.join(reader.index_dir, "fwd"),
-                       format="parquet")
+    ds = reader.fwd_dataset()
     col = ds.to_table(columns=[fieldname])[fieldname].combine_chunks()
     vc = pc.value_counts(col)
     pairs = sorted(((str(x["values"]), int(x["counts"]))
@@ -776,13 +768,14 @@ def handle_index_status(reader, name: str) -> dict:
     plus this engine's incremental-update state (generation +
     tombstone count from updates.json)."""
     import os
-    upd_p = os.path.join(reader.index_dir, "updates.json")
-    gen, n_tomb = 0, 0
-    if os.path.exists(upd_p):
-        with open(upd_p) as f:
-            upd = json.load(f)
-        gen = int(upd.get("generation", 0))
-        n_tomb = len(upd.get("tombstones", []))
+    gen, n_tomb = 0, len(reader.tombstones)
+    # federated readers report the max sub-index generation
+    for sub in getattr(reader, "subs", [reader]):
+        upd_p = os.path.join(sub.index_dir, "updates.json")
+        if os.path.exists(upd_p):
+            with open(upd_p) as f:
+                upd = json.load(f)
+            gen = max(gen, int(upd.get("generation", 0)))
     return {"indexName": name, "status": "available",
             "documentCount": int(reader.n_docs),
             "tokenCount": int(reader.meta["total_tokens"]),
@@ -995,8 +988,7 @@ class BlsApp:
         return [data]
 
     def _reopen(self, name: str):
-        from blacklab_ray.query import IndexReader
-        self._readers[name] = IndexReader(self._dirs[name])
+        self._readers[name] = _open_index(self._dirs[name])
         return self._readers[name]
 
     def _mutate(self, name: str, method: str, parts: list,
@@ -1004,6 +996,10 @@ class BlsApp:
         if name not in self._dirs:
             raise ValueError(f"corpus {name!r} is read-only "
                              "(no index dir registered)")
+        if "," in self._dirs[name]:
+            raise ValueError(f"corpus {name!r} is federated "
+                             "(read-only); update the owning "
+                             "sub-index instead")
         if method == "POST" and len(parts) == 3:
             import pyarrow as pa
 
@@ -1124,6 +1120,18 @@ class BlsApp:
         return emit(resp)
 
 
+def _open_index(spec: str):
+    """One dir -> IndexReader; comma-separated dirs -> federated
+    MultiIndexReader (read-only: HTTP mutations reject multi-dir
+    corpora because updates belong to the owning sub-index)."""
+    dirs = [d for d in spec.split(",") if d]
+    if len(dirs) > 1:
+        from blacklab_ray.query import MultiIndexReader
+        return MultiIndexReader(dirs)
+    from blacklab_ray.query import IndexReader
+    return IndexReader(dirs[0])
+
+
 def serve(index_dirs: dict, host: str = "127.0.0.1",
           port: int = 8080):
     """Blocking localhost server: ``index_dirs`` maps corpus name →
@@ -1131,8 +1139,7 @@ def serve(index_dirs: dict, host: str = "127.0.0.1",
     (tests); call ``httpd.serve_forever()``."""
     from wsgiref.simple_server import make_server
 
-    from blacklab_ray.query import IndexReader
-    readers = {name: IndexReader(d) for name, d in index_dirs.items()}
+    readers = {name: _open_index(d) for name, d in index_dirs.items()}
     app = BlsApp(readers, index_dirs)
     httpd = make_server(host, port, app)
     return httpd, app

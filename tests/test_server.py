@@ -430,3 +430,48 @@ def test_affinity_routing_same_results(ray_session, small_index):
         assert k1 == k2
     finally:
         svc.shutdown()
+
+
+def test_federated_corpus_serving(ray_session, tmp_path_factory):
+    """A corpus registered as 'dirA,dirB' serves hits/doc-info across
+    BOTH sub-indexes (MultiIndexReader behind the same handlers) and
+    rejects HTTP mutations."""
+    from blacklab_ray.index import BuildParams, build_index
+    from blacklab_ray.server import BlsApp, _open_index
+    root = tmp_path_factory.mktemp("fedsrv")
+    corp = [
+        pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                  "url": ["a0", "a1"],
+                  "text": ["the quick fox", "a quick dog"],
+                  "lang": ["en", "en"]}),
+        pa.table({"doc_id": pa.array([2, 3], pa.int64()),
+                  "url": ["b0", "b1"],
+                  "text": ["quick snail mail", "slow boat"],
+                  "lang": ["en", "en"]}),
+    ]
+    dirs = []
+    for i, tbl in enumerate(corp):
+        src = root / f"p{i}.parquet"
+        pq.write_table(tbl, str(src))
+        idx = str(root / f"idx{i}")
+        build_index(str(src), idx,
+                    BuildParams(num_buckets=2, n_salts=1,
+                                id_column="doc_id"))
+        dirs.append(idx)
+    spec = ",".join(dirs)
+    call = _mkcall(BlsApp({"fed": _open_index(spec)}, {"fed": spec}))
+
+    st, _, body = call("/corpora/fed/hits?patt=%22quick%22&number=10")
+    assert st.startswith("200")
+    resp = json.loads(body)
+    assert resp["summary"]["numberOfHits"] == 3
+    pids = {h["docPid"] for h in resp["hits"]}
+    assert pids == {"a0", "a1", "b0"}   # hits from BOTH sub-indexes
+    assert resp["docInfos"]["b0"]["lengthInTokens"] == 3
+
+    st, _, body = call("/corpora/fed/status")
+    assert json.loads(body)["documentCount"] == 4
+
+    st, _, body = call("/corpora/fed/docs/a1",
+                       method="DELETE")
+    assert not st.startswith("200") and "federated" in body
