@@ -60,14 +60,8 @@ def cmd_build(args) -> int:
 
 
 def _open_reader(index_arg: str):
-    """One dir → IndexReader; comma-separated dirs → federated
-    MultiIndexReader (query-time merge, exact global BM25 stats)."""
-    dirs = [d for d in index_arg.split(",") if d]
-    if len(dirs) > 1:
-        from blacklab_ray.query import MultiIndexReader
-        return MultiIndexReader(dirs)
-    from blacklab_ray.query import IndexReader
-    return IndexReader(dirs[0])
+    from blacklab_ray.query import open_reader
+    return open_reader(index_arg)
 
 
 def cmd_search(args) -> int:

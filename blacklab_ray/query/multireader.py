@@ -35,6 +35,17 @@ import pyarrow as pa
 from blacklab_ray.query.reader import IndexReader, Segment
 
 
+def open_reader(spec: str | list[str]):
+    """THE index-opening convention: one dir → ``IndexReader``;
+    a list or comma-separated dirs → federated ``MultiIndexReader``.
+    Shared by the CLI, the HTTP server, and the query-actor pool."""
+    dirs = ([d for d in spec.split(",") if d]
+            if isinstance(spec, str) else list(spec))
+    if len(dirs) > 1:
+        return MultiIndexReader(dirs)
+    return IndexReader(dirs[0])
+
+
 class MultiIndexReader(IndexReader):
     """Read-only federated view over ``IndexReader``s.
 

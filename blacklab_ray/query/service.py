@@ -22,11 +22,12 @@ class QueryWorker:
 
     def __init__(self, index_dir: str, cache_entries: int = 256,
                  shared_cache: list | None = None):
-        from blacklab_ray.query import IndexReader
+        from blacklab_ray.query import open_reader
         from blacklab_ray.query.cache import SearchCache
         from blacklab_ray.util import pin_worker_arrow_threads
         pin_worker_arrow_threads()
-        self.reader = IndexReader(index_dir)
+        # comma-separated dirs -> federated MultiIndexReader replica
+        self.reader = open_reader(index_dir)
         self.cache = SearchCache(max_entries=cache_entries)
         # optional L2: key-hash-sharded SharedCacheShard actor handles
         self._shared = list(shared_cache or [])

@@ -1121,15 +1121,10 @@ class BlsApp:
 
 
 def _open_index(spec: str):
-    """One dir -> IndexReader; comma-separated dirs -> federated
-    MultiIndexReader (read-only: HTTP mutations reject multi-dir
-    corpora because updates belong to the owning sub-index)."""
-    dirs = [d for d in spec.split(",") if d]
-    if len(dirs) > 1:
-        from blacklab_ray.query import MultiIndexReader
-        return MultiIndexReader(dirs)
-    from blacklab_ray.query import IndexReader
-    return IndexReader(dirs[0])
+    """Comma-separated dirs serve a read-only federated corpus (HTTP
+    mutations reject them — updates belong to the owning sub-index)."""
+    from blacklab_ray.query import open_reader
+    return open_reader(spec)
 
 
 def serve(index_dirs: dict, host: str = "127.0.0.1",

@@ -106,3 +106,21 @@ def test_tombstone_union_masks_federated_hits(federated, tmp_path):
         & set(res["doc_id"].to_pylist())
     mask = fresh.mask_tombstones(np.asarray(victim_ids))
     assert not mask.any()
+
+
+def test_query_service_federated(federated):
+    """The replicated query-actor pool accepts the comma-dir spec and
+    serves federated results (minus the sub-1 docs deleted by the
+    tombstone test, which may run first in module order)."""
+    multi, _ = federated
+    from blacklab_ray.query import QueryService
+    fresh = MultiIndexReader(multi.index_dirs)
+    svc = QueryService(",".join(multi.index_dirs), n_actors=1)
+    try:
+        import ray
+        got = ray.get(svc.submit(["the"], k=12, algo="taat"))["rows"]
+        want = search_taat(fresh, ["the"], 12)
+        assert [r["doc_id"] for r in got] == \
+            want["doc_id"].to_pylist()
+    finally:
+        svc.shutdown()
