@@ -154,7 +154,8 @@ def url_dedup_keep_ids(ds: ray.data.Dataset, id_col: str = "doc_id",
 def latest_snapshot_keep_ids(ds: ray.data.Dataset,
                              id_col: str = "doc_id",
                              url_col: str = "url",
-                             ts_col: str = "warc_ts") -> ray.data.Dataset:
+                             ts_col: str = "warc_ts",
+                             num_partitions: int = 32) -> ray.data.Dataset:
     """Doc ids surviving crawl-revisit resolution: per CANONICAL url
     keep the NEWEST capture (max ``ts_col``; ties broken by min id —
     deterministic). The standard Common-Crawl cross-snapshot step —
@@ -174,7 +175,7 @@ def latest_snapshot_keep_ids(ds: ray.data.Dataset,
 
     from blacklab_ray.pipelines.hits import md5_low64
 
-    P = 32
+    P = num_partitions
 
     def _slim(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:

@@ -41,6 +41,8 @@ def open_reader(spec: str | list[str]):
     Shared by the CLI, the HTTP server, and the query-actor pool."""
     dirs = ([d for d in spec.split(",") if d]
             if isinstance(spec, str) else list(spec))
+    if not dirs:
+        raise ValueError(f"empty index spec {spec!r}")
     if len(dirs) > 1:
         return MultiIndexReader(dirs)
     return IndexReader(dirs[0])
@@ -96,12 +98,26 @@ class MultiIndexReader(IndexReader):
 
     # ---- side tables ----------------------------------------------------
 
+    def _require_annotation(self, annot: str) -> None:
+        """Fail fast with a per-sub message when an annotation is not
+        carried by EVERY sub-index — a federated query over a partial
+        annotation would silently miss the lacking subs' docs."""
+        if annot in ("i", None, "word"):
+            return
+        lacking = [s.index_dir for s in self.subs
+                   if annot not in s.annotations()]
+        if lacking:
+            raise FileNotFoundError(
+                f"annotation {annot!r} is not universal across the "
+                f"federation — missing from: {lacking}")
+
     def terms_table_for(self, annot: str) -> pa.Table:
         """Merged term dictionary: one row per term with SUMMED
         doc_freq / collection_tf (exact global stats)."""
         if not hasattr(self, "_merged_terms"):
             self._merged_terms: dict[str, pa.Table] = {}
         if annot not in self._merged_terms:
+            self._require_annotation(annot)
             parts = [s.terms_table_for(annot) for s in self.subs]
             cols = ["term", "doc_freq", "collection_tf"]
             cat = pa.concat_tables([p.select(cols) for p in parts])
@@ -125,11 +141,14 @@ class MultiIndexReader(IndexReader):
         return self.terms_table_for("s")
 
     def annotations(self) -> list[str]:
-        out: list[str] = []
-        for s in self.subs:
-            for a in s.annotations():
-                if a not in out:
-                    out.append(a)
+        """INTERSECTION across sub-indexes: only annotations every sub
+        carries are queryable over the federation (a union would
+        advertise routes that crash — or silently miss docs — for
+        subs lacking the annotation)."""
+        out = self.subs[0].annotations()
+        for s in self.subs[1:]:
+            have = set(s.annotations())
+            out = [a for a in out if a in have]
         return out
 
     # ---- postings -------------------------------------------------------
@@ -148,36 +167,41 @@ class MultiIndexReader(IndexReader):
             out[t].sort(key=lambda sg: (sg.first_doc, sg.last_doc))
         return out
 
-    # ---- per-doc gathers (loop the subs; each sub does its own
-    # doc_id-pruned read and caching) --------------------------------------
+    # ---- per-doc gathers (loop the subs' pruned fwd reads; cached at
+    # the federation level with the base class's bounded-cache
+    # discipline, so repeated serving queries don't re-scan Parquet) --------
 
     def doc_lens(self, doc_ids: np.ndarray) -> np.ndarray:
-        return self._gather_int(doc_ids, "doc_len", np.int64)
+        return self._gather_int(doc_ids, "doc_len", np.int64,
+                                "_doclen_cache", self._DOCLEN_CACHE_MAX)
 
     def norms_for(self, doc_ids: np.ndarray) -> np.ndarray:
-        return self._gather_int(doc_ids, "norm", np.uint8)
+        return self._gather_int(doc_ids, "norm", np.uint8,
+                                "_norm_cache", self._NORM_CACHE_MAX)
 
-    def _gather_int(self, doc_ids: np.ndarray, col: str,
-                    dtype) -> np.ndarray:
+    def _gather_int(self, doc_ids: np.ndarray, col: str, dtype,
+                    cache_attr: str, cache_max: int) -> np.ndarray:
         import pyarrow.compute as pc
-        import pyarrow.dataset as pa_ds
-        import os
         doc_ids = np.asarray(doc_ids, dtype=np.int64)
-        lookup: dict[int, int] = {}
-        missing = {int(d) for d in np.unique(doc_ids)}
+        if not hasattr(self, cache_attr):
+            setattr(self, cache_attr, {})
+        cache: dict[int, int] = getattr(self, cache_attr)
+        # evict BEFORE computing `missing` (the norms_for rationale)
+        if len(cache) > cache_max:
+            cache.clear()
+        missing = {int(d) for d in np.unique(doc_ids)
+                   if int(d) not in cache}
         for s in self.subs:
             if not missing:
                 break
-            ds = pa_ds.dataset(os.path.join(s.index_dir, "fwd"),
-                               format="parquet")
-            tbl = ds.to_table(
+            tbl = s.fwd_dataset().to_table(
                 columns=["doc_id", col],
                 filter=pc.field("doc_id").isin(sorted(missing)))
             for d, v in zip(tbl["doc_id"].to_numpy(),
                             tbl[col].to_numpy()):
-                lookup[int(d)] = int(v)
+                cache[int(d)] = int(v)
                 missing.discard(int(d))
-        return np.array([lookup[int(d)] for d in doc_ids], dtype=dtype)
+        return np.array([cache[int(d)] for d in doc_ids], dtype=dtype)
 
     def urls(self, doc_ids: np.ndarray) -> list:
         doc_ids = np.asarray(doc_ids, dtype=np.int64)
@@ -198,6 +222,7 @@ class MultiIndexReader(IndexReader):
 
     def tokens_at(self, doc_ids: np.ndarray, positions: np.ndarray,
                   annotation: str | None = None) -> list:
+        self._require_annotation(annotation)
         doc_ids = np.asarray(doc_ids, dtype=np.int64)
         positions = np.asarray(positions, dtype=np.int64)
         out: list = [None] * doc_ids.size
@@ -246,13 +271,14 @@ class MultiIndexReader(IndexReader):
     # ---- caches ------------------------------------------------------------
 
     def cache_info(self) -> dict:
-        out: dict[str, int] = {}
+        out = IndexReader.cache_info(self)   # federation-level gathers
         for s in self.subs:
             for k, v in s.cache_info().items():
                 out[k] = out.get(k, 0) + v
         return out
 
     def clear_caches(self) -> None:
+        IndexReader.clear_caches(self)
         for s in self.subs:
             s.clear_caches()
         if hasattr(self, "_merged_terms"):

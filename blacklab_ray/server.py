@@ -74,7 +74,6 @@ def _allowed_ids(reader, filter_expr: str | None):
         import os
 
         import pyarrow.compute as pc
-        import pyarrow.dataset as pa_ds
         ds = reader.fwd_dataset()
         want = [str(v) for _f, _op, v in pid_conds]
         tbl = ds.to_table(columns=["doc_id"],
@@ -213,7 +212,6 @@ def _doc_field_lookup(reader, doc_ids: np.ndarray,
     import os
 
     import pyarrow.compute as pc
-    import pyarrow.dataset as pa_ds
     uniq = np.unique(doc_ids)
     tbl = reader.fwd_dataset().to_table(
         columns=["doc_id", fieldname],
@@ -409,7 +407,6 @@ def _doc_by_pid(reader, pid: str) -> tuple[int, int]:
     import os
 
     import pyarrow.compute as pc
-    import pyarrow.dataset as pa_ds
     ds = reader.fwd_dataset()
     tbl = ds.to_table(columns=["doc_id", "doc_len"],
                       filter=pc.field("url") == pid)
@@ -426,7 +423,6 @@ def handle_doc_info(reader, pid: str) -> dict:
     import os
 
     import pyarrow.compute as pc
-    import pyarrow.dataset as pa_ds
     did, dl = _doc_by_pid(reader, pid)
     info: dict = {"pid": [pid]}
     meta_fields = set(_field_types(reader))
@@ -508,7 +504,6 @@ def handle_doc_contents(reader, pid: str) -> str:
     import os
 
     import pyarrow.compute as pc
-    import pyarrow.dataset as pa_ds
     did, dl = _doc_by_pid(reader, pid)
     pos = np.arange(dl, dtype=np.int64)
     toks = reader.tokens_at(np.full(dl, did, dtype=np.int64), pos)
@@ -602,7 +597,6 @@ def handle_autocomplete(reader, fieldname: str, params: dict) -> list:
         import os
 
         import pyarrow.compute as pc
-        import pyarrow.dataset as pa_ds
         ds = reader.fwd_dataset()
         if fieldname not in ds.schema.names:
             raise KeyError(f"unknown field {fieldname!r}") from None
@@ -631,7 +625,6 @@ def handle_docs_grouped(reader, params: dict) -> dict:
     import os
 
     import pyarrow.compute as pc
-    import pyarrow.dataset as pa_ds
     crit = params["group"]
     if not crit.startswith("field:"):
         raise ValueError("docs grouping supports field:<metadata>")
@@ -734,7 +727,6 @@ def handle_fieldinfo(reader, fieldname: str, params: dict) -> dict:
     import os
 
     import pyarrow.compute as pc
-    import pyarrow.dataset as pa_ds
     types = _field_types(reader)
     if fieldname not in types:
         raise KeyError(f"unknown field {fieldname!r}")
@@ -996,7 +988,8 @@ class BlsApp:
         if name not in self._dirs:
             raise ValueError(f"corpus {name!r} is read-only "
                              "(no index dir registered)")
-        if "," in self._dirs[name]:
+        from blacklab_ray.query import MultiIndexReader
+        if isinstance(self._readers.get(name), MultiIndexReader):
             raise ValueError(f"corpus {name!r} is federated "
                              "(read-only); update the owning "
                              "sub-index instead")

@@ -124,3 +124,38 @@ def test_query_service_federated(federated):
             want["doc_id"].to_pylist()
     finally:
         svc.shutdown()
+
+
+def test_open_reader_empty_spec_raises():
+    from blacklab_ray.query import open_reader
+    with pytest.raises(ValueError):
+        open_reader("")
+    with pytest.raises(ValueError):
+        open_reader(",")
+
+
+def test_partial_annotation_not_advertised(ray_session,
+                                           tmp_path_factory):
+    """An annotation only SOME subs carry is excluded from
+    annotations() and fails fast when queried."""
+    from blacklab_ray.sources.synth import generate_pages
+    tmp = tmp_path_factory.mktemp("partannot")
+    dirs = []
+    for i, sens in enumerate((True, False)):
+        src = tmp / f"s{i}"
+        src.mkdir()
+        pq.write_table(generate_pages(12, doc_offset=12 * i),
+                       str(src / "p.parquet"))
+        idx = str(tmp / f"i{i}")
+        build_index(str(src), idx,
+                    BuildParams(num_buckets=2, n_salts=1,
+                                sensitive=sens))
+        dirs.append(idx)
+    multi = MultiIndexReader(dirs)
+    assert "s" not in multi.annotations()
+    assert "i" in multi.annotations()
+    with pytest.raises(FileNotFoundError, match="not universal"):
+        multi.terms_table_for("s")
+    import numpy as np
+    with pytest.raises(FileNotFoundError, match="not universal"):
+        multi.tokens_at(np.array([0]), np.array([0]), "s")
