@@ -256,6 +256,21 @@ def cmd_merge(args) -> int:
     return 0
 
 
+def cmd_compact_federation(args) -> int:
+    """Size-tiered physical compaction of a federation: merge the
+    smallest sub-indexes pairwise until at most --max-indexes remain
+    (the serving federation re-opens on the printed spec)."""
+    _ray_session()
+    import ray
+
+    from blacklab_ray.query.multireader import compact_federation
+    dirs = [d for d in args.index.split(",") if d]
+    kept = compact_federation(dirs, max_indexes=args.max_indexes)
+    print(json.dumps({"spec": ",".join(kept), "n_indexes": len(kept)}))
+    ray.shutdown()
+    return 0
+
+
 def cmd_pagerank(args) -> int:
     """PageRank over an edge parquet. String src/dst columns (urls)
     are hashed to int64 node ids via hash64 after canonicalization;
@@ -580,6 +595,12 @@ def main(argv=None) -> int:
     mg.add_argument("--compact", action="store_true",
                     help="fold the merged generation in afterwards")
     mg.set_defaults(fn=cmd_merge)
+
+    cf = sub.add_parser("compact-federation")
+    cf.add_argument("--index", required=True,
+                    help="comma-separated federation dirs")
+    cf.add_argument("--max-indexes", type=int, default=4)
+    cf.set_defaults(fn=cmd_compact_federation)
 
     pr = sub.add_parser("pagerank")
     pr.add_argument("--input", required=True,

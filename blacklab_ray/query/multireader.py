@@ -35,6 +35,43 @@ import pyarrow as pa
 from blacklab_ray.query.reader import IndexReader, Segment
 
 
+def compact_federation(index_dirs: list[str],
+                       max_indexes: int = 4,
+                       params=None) -> list[str]:
+    """Size-tiered PHYSICAL compaction of a federation — the Lucene
+    merge-policy analogue one level up: while ``MultiIndexReader``
+    serves queries over N per-shard-range indexes immediately (the
+    measured ~2% overhead), this merges the SMALLEST sub-indexes
+    pairwise (``index.update.merge_indexes`` — fwd shards hard-linked,
+    postings re-exchanged as one generation) until at most
+    ``max_indexes`` remain, and returns the new dir list. Merging
+    smallest-first minimizes bytes rewritten per round, exactly like
+    size-tiered segment merge policies. The merged-into dirs stay
+    valid the whole time — a serving federation can re-open on the
+    returned spec whenever convenient."""
+    import os
+
+    from blacklab_ray.index.update import merge_indexes
+
+    def _size(d: str) -> int:
+        total = 0
+        for root, _dirs, files in os.walk(d):
+            total += sum(os.path.getsize(os.path.join(root, f))
+                         for f in files)
+        return total
+
+    dirs = list(index_dirs)
+    if max_indexes < 1:
+        raise ValueError("max_indexes must be >= 1")
+    while len(dirs) > max_indexes:
+        dirs.sort(key=_size)
+        small, nxt = dirs[0], dirs[1]
+        # merge the smallest INTO the second-smallest (dst survives)
+        merge_indexes(nxt, small, params=params)
+        dirs = [d for d in dirs if d != small]
+    return dirs
+
+
 def open_reader(spec: str | list[str]):
     """THE index-opening convention: one dir → ``IndexReader``;
     a list or comma-separated dirs → federated ``MultiIndexReader``.

@@ -159,3 +159,36 @@ def test_partial_annotation_not_advertised(ray_session,
     import numpy as np
     with pytest.raises(FileNotFoundError, match="not universal"):
         multi.tokens_at(np.array([0]), np.array([0]), "s")
+
+
+def test_compact_federation(ray_session, tmp_path_factory):
+    """Size-tiered physical compaction: 3 sub-indexes -> 2, results
+    identical to the pre-compaction federation (smallest merged into
+    second-smallest; the surviving spec still covers every doc)."""
+    from blacklab_ray.query.multireader import compact_federation
+    from blacklab_ray.sources.synth import generate_pages
+    tmp = tmp_path_factory.mktemp("compactfed")
+    dirs = []
+    for i, n in enumerate((40, 10, 25)):   # deliberately uneven sizes
+        src = tmp / f"s{i}"
+        src.mkdir()
+        pq.write_table(generate_pages(n, doc_offset=100 * i),
+                       str(src / "p.parquet"))
+        idx = str(tmp / f"i{i}")
+        build_index(str(src), idx,
+                    BuildParams(num_buckets=2, n_salts=1))
+        dirs.append(idx)
+    before = search_taat(MultiIndexReader(dirs), ["the"], 10**9)
+
+    kept = compact_federation(dirs, max_indexes=2)
+    assert len(kept) == 2
+    assert str(tmp / "i1") not in kept   # the 10-doc index was absorbed
+    after = search_taat(MultiIndexReader(kept), ["the"], 10**9)
+    assert before["doc_id"].to_pylist() == after["doc_id"].to_pylist()
+    for g, w in zip(before["score"].to_pylist(),
+                    after["score"].to_pylist()):
+        assert abs(g - w) < 1e-9
+    # compaction to 1 = a plain single index
+    (only,) = compact_federation(kept, max_indexes=1)
+    solo = search_taat(IndexReader(only), ["the"], 10**9)
+    assert before["doc_id"].to_pylist() == solo["doc_id"].to_pylist()
