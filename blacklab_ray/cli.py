@@ -91,6 +91,25 @@ def cmd_phrase(args) -> int:
     return 0
 
 
+def cmd_mlt(args) -> int:
+    """More-like-this: top-k docs similar to a seed doc (by --doc-id
+    or --url; url resolves through the id convention hash64(url))."""
+    from blacklab_ray.query.mlt import more_like_this
+    reader = _open_reader(args.index)
+    doc_id = args.doc_id
+    if doc_id is None:
+        if not args.url:
+            raise SystemExit("mlt needs --doc-id or --url")
+        from blacklab_ray.stages.tokenize import hash64
+        doc_id = hash64(args.url)
+    res = more_like_this(reader, doc_id, k=args.k,
+                         max_terms=args.max_terms,
+                         resolve_urls=True)
+    for row in res.to_pylist():
+        print(json.dumps(row))
+    return 0
+
+
 def cmd_cql(args) -> int:
     from blacklab_ray.query.cql import search_cql
     reader = _open_reader(args.index)
@@ -601,6 +620,16 @@ def main(argv=None) -> int:
                     help="comma-separated federation dirs")
     cf.add_argument("--max-indexes", type=int, default=4)
     cf.set_defaults(fn=cmd_compact_federation)
+
+    ml = sub.add_parser("mlt")
+    ml.add_argument("--index", required=True,
+                    help="index dir, or comma-separated dirs "
+                         "(federated)")
+    ml.add_argument("--doc-id", type=int, default=None)
+    ml.add_argument("--url", default=None)
+    ml.add_argument("-k", type=int, default=10)
+    ml.add_argument("--max-terms", type=int, default=25)
+    ml.set_defaults(fn=cmd_mlt)
 
     pr = sub.add_parser("pagerank")
     pr.add_argument("--input", required=True,
