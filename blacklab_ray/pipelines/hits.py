@@ -575,9 +575,10 @@ class FwdIndexKwic:
 def term_doc_ids(index_dir: str, term: str) -> np.ndarray:
     """Sorted live doc ids containing ``term``, from its postings —
     the candidate seed for index-backed KWIC (decodes ONE term's
-    posting list, never scans the forward index; VERDICT r2 #4)."""
-    from blacklab_ray.query.reader import IndexReader
-    reader = IndexReader(index_dir)
+    posting list, never scans the forward index; VERDICT r2 #4).
+    ``index_dir`` may be a comma-separated federation spec."""
+    from blacklab_ray.query import open_reader
+    reader = open_reader(index_dir)
     segs = reader.segments([term]).get(term, [])
     parts = [s.decode_all()[0] for s in segs]
     if not parts:
@@ -598,11 +599,17 @@ def kwic_from_forward_index(index_dir: str, term: str, context: int = 2,
     cand = term_doc_ids(index_dir, term)
     import pyarrow.dataset as pads
     cols = ["doc_id", "doc_len", "terms", "tfs", "pos"]
-    fwd_dir = os.path.join(index_dir, "fwd")
-    if "punct" in pads.dataset(fwd_dir, format="parquet").schema.names:
+    # one fwd dir, or every sub-index's fwd for a federation spec
+    # (read_parquet wants files when given a list — expand each dir)
+    fwd_dirs = [os.path.join(d, "fwd")
+                for d in index_dir.split(",") if d]
+    datasets = [pads.dataset(f, format="parquet") for f in fwd_dirs]
+    if all("punct" in d.schema.names for d in datasets):
         cols.append("punct")    # faithful separators when indexed
+    src = fwd_dirs[0] if len(fwd_dirs) == 1 else \
+        [f for d in datasets for f in d.files]
     fwd = rdm.read_parquet(
-        fwd_dir, columns=cols,
+        src, columns=cols,
         filter=pc.field("doc_id").isin(pa.array(cand, pa.int64())))
     out = fwd.map_batches(FwdIndexKwic(term, context),
                           batch_format="pyarrow")

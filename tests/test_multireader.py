@@ -192,3 +192,32 @@ def test_compact_federation(ray_session, tmp_path_factory):
     (only,) = compact_federation(kept, max_indexes=1)
     solo = search_taat(IndexReader(only), ["the"], 10**9)
     assert before["doc_id"].to_pylist() == solo["doc_id"].to_pylist()
+
+
+def test_kwic_federated_spec(ray_session, tmp_path_factory):
+    """kwic_from_forward_index accepts the comma-dir federation spec
+    and windows hits from every sub-index."""
+    import pyarrow as pa
+    from blacklab_ray.pipelines.hits import kwic_from_forward_index
+    tmp = tmp_path_factory.mktemp("kwicfed")
+    dirs = []
+    for i, text in enumerate(("alpha target beta gamma",
+                              "delta epsilon target zeta")):
+        src = tmp / f"s{i}"
+        src.mkdir()
+        pq.write_table(pa.table({
+            "doc_id": pa.array([i], pa.int64()),
+            "url": [f"u{i}"], "text": [text], "lang": ["en"]}),
+            str(src / "p.parquet"))
+        idx = str(tmp / f"i{i}")
+        build_index(str(src), idx,
+                    BuildParams(num_buckets=2, n_salts=1,
+                                id_column="doc_id"))
+        dirs.append(idx)
+    out = kwic_from_forward_index(",".join(dirs), "target",
+                                  context=1).to_pandas()
+    assert sorted(out["doc_id"]) == [0, 1]
+    row0 = out[out["doc_id"] == 0].iloc[0]
+    assert row0["left"] == "alpha" and row0["right"] == "beta"
+    row1 = out[out["doc_id"] == 1].iloc[0]
+    assert row1["left"] == "epsilon" and row1["right"] == "zeta"
