@@ -171,9 +171,30 @@ def _spans_for(reader, patt: str, filter_expr: str | None):
 
 def handle_hits(reader, params: dict) -> dict:
     """GET /corpora/<c>/hits — RequestHandlerHits analogue.
-    ``facets=field:<f>`` adds per-facet distinct-doc counts."""
+    ``facets=field:<f>`` adds per-facet distinct-doc counts;
+    ``sort=<crit>`` orders hits by a HitProperty before windowing
+    (criteria shared with ``group=``: ``hit:word:i`` matched text,
+    ``field:<meta>``, ``wordleft:/wordright:`` context word,
+    ``capture:...:<NAME>``; a ``-`` prefix sorts descending —
+    HitProperty.deserialize's reverse convention). String keys
+    compare by the engine's collation (the hits_ctx_sorted order),
+    with (doc, start) as the stable tiebreak."""
     patt = params.get("patt", "")
-    d, s, e = _spans_for(reader, patt, params.get("filter"))
+    spans_tbl = _spans_table_for(reader, patt, params.get("filter"))
+    if params.get("sort"):
+        crit = params["sort"]
+        desc = crit.startswith("-")
+        keys, _prop = _group_keys(reader, spans_tbl,
+                                  crit.lstrip("-"))
+        from blacklab_ray.analysis.collate import key_for_context
+        ck = [key_for_context(k, sensitive=False) for k in keys]
+        order = sorted(range(len(ck)),
+                       key=lambda i: ck[i], reverse=desc)
+        import pyarrow as pa
+        spans_tbl = spans_tbl.take(pa.array(order))
+    d = spans_tbl["doc_id"].to_numpy()
+    s = spans_tbl["start"].to_numpy()
+    e = spans_tbl["end"].to_numpy()
     resp = _render_hits(reader, params, d, s, e)
     if params.get("facets"):
         resp["facets"] = _facets(reader, d, params["facets"])

@@ -475,3 +475,20 @@ def test_federated_corpus_serving(ray_session, tmp_path_factory):
     st, _, body = call("/corpora/fed/docs/a1",
                        method="DELETE")
     assert not st.startswith("200") and "federated" in body
+
+
+def test_handle_hits_sort(srv_reader):
+    """sort= orders hits by a HitProperty before windowing: context
+    word right of the hit, ascending and descending."""
+    from blacklab_ray.server import handle_hits
+    asc = handle_hits(srv_reader, {"patt": '"quick"',
+                                   "sort": "wordright:word:i"})
+    # d0: quick -> right "fox"; d1: quick -> right "dog"
+    assert [h["docPid"] for h in asc["hits"]] == ["d1", "d0"]
+    desc = handle_hits(srv_reader, {"patt": '"quick"',
+                                    "sort": "-wordright:word:i"})
+    assert [h["docPid"] for h in desc["hits"]] == ["d0", "d1"]
+    # by metadata field
+    by_year = handle_hits(srv_reader, {"patt": '"quick"',
+                                       "sort": "field:year"})
+    assert [h["docPid"] for h in by_year["hits"]] == ["d0", "d1"]
