@@ -181,6 +181,28 @@ def handle_hits(reader, params: dict) -> dict:
     with (doc, start) as the stable tiebreak."""
     patt = params.get("patt", "")
     spans_tbl = _spans_table_for(reader, patt, params.get("filter"))
+    if params.get("sample") or params.get("samplenum"):
+        # BLS sample/samplenum/sampleseed: the engine's deterministic
+        # seeded hash sampling (md5_low64(doc:pos:seed), partition-
+        # order independent — HashSampleHits semantics). samplenum
+        # keeps the first n of the seed-shuffled order (hash asc).
+        import pyarrow as pa
+
+        from blacklab_ray.pipelines.hits import md5_low64
+        seed = int(params.get("sampleseed", 17))
+        d0 = spans_tbl["doc_id"].to_numpy()
+        s0 = spans_tbl["start"].to_numpy()
+        hv = np.array([md5_low64(f"{d}:{p}:{seed}") % (1 << 20)
+                       for d, p in zip(d0.tolist(), s0.tolist())],
+                      np.int64)
+        if params.get("sample"):
+            frac = float(params["sample"]) / 100.0  # BLS: percentage
+            thresh = int(round(frac * (1 << 20)))
+            idx = np.flatnonzero(hv < thresh)
+        else:
+            n = int(params["samplenum"])
+            idx = np.sort(np.argsort(hv, kind="stable")[:n])
+        spans_tbl = spans_tbl.take(pa.array(idx))
     if params.get("sort"):
         crit = params["sort"]
         desc = crit.startswith("-")

@@ -492,3 +492,30 @@ def test_handle_hits_sort(srv_reader):
     by_year = handle_hits(srv_reader, {"patt": '"quick"',
                                        "sort": "field:year"})
     assert [h["docPid"] for h in by_year["hits"]] == ["d0", "d1"]
+
+
+def test_handle_hits_sample(srv_reader):
+    """sample= / samplenum= / sampleseed=: deterministic seeded hit
+    sampling (HashSampleHits hash semantics) applied before the
+    window."""
+    from blacklab_ray.pipelines.hits import md5_low64
+    from blacklab_ray.server import handle_hits
+    full = handle_hits(srv_reader, {"patt": '"quick"'})
+    assert full["summary"]["numberOfHits"] == 2
+    # samplenum=1 keeps the hash-smallest hit, deterministically
+    one = handle_hits(srv_reader, {"patt": '"quick"',
+                                   "samplenum": "1",
+                                   "sampleseed": "5"})
+    assert one["summary"]["numberOfHits"] == 1
+    again = handle_hits(srv_reader, {"patt": '"quick"',
+                                     "samplenum": "1",
+                                     "sampleseed": "5"})
+    assert one["hits"] == again["hits"]
+    # percentage form reproduces the hash-threshold rule exactly:
+    # hits are (doc 0, start 1) and (doc 1, start 1)
+    pct = handle_hits(srv_reader, {"patt": '"quick"', "sample": "50",
+                                   "sampleseed": "5"})
+    thresh = int(round(0.5 * (1 << 20)))
+    want = sum(md5_low64(f"{d}:1:5") % (1 << 20) < thresh
+               for d in (0, 1))
+    assert pct["summary"]["numberOfHits"] == want
