@@ -181,6 +181,16 @@ def handle_hits(reader, params: dict) -> dict:
     with (doc, start) as the stable tiebreak."""
     patt = params.get("patt", "")
     spans_tbl = _spans_table_for(reader, patt, params.get("filter"))
+    if params.get("hitfiltercrit"):
+        # BLS hitfiltercrit/hitfilterval (HitsFiltered.java:13): keep
+        # hits whose property value equals the given value — criteria
+        # shared with group=/sort=
+        import pyarrow as pa
+        keys, _prop = _group_keys(reader, spans_tbl,
+                                  params["hitfiltercrit"])
+        want = params.get("hitfilterval", "")
+        spans_tbl = spans_tbl.filter(
+            pa.array([k == want for k in keys]))
     if params.get("sample") or params.get("samplenum"):
         # BLS sample/samplenum/sampleseed: the engine's deterministic
         # seeded hash sampling (md5_low64(doc:pos:seed), partition-

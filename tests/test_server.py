@@ -519,3 +519,19 @@ def test_handle_hits_sample(srv_reader):
     want = sum(md5_low64(f"{d}:1:5") % (1 << 20) < thresh
                for d in (0, 1))
     assert pct["summary"]["numberOfHits"] == want
+
+
+def test_handle_hits_hitfilter(srv_reader):
+    """hitfiltercrit/hitfilterval keep only hits whose property equals
+    the value (HitsFiltered analogue)."""
+    from blacklab_ray.server import handle_hits
+    resp = handle_hits(srv_reader, {
+        "patt": '"quick"',
+        "hitfiltercrit": "wordright:word:i",
+        "hitfilterval": "dog"})
+    assert resp["summary"]["numberOfHits"] == 1
+    assert resp["hits"][0]["docPid"] == "d1"
+    by_meta = handle_hits(srv_reader, {
+        "patt": '"quick"',
+        "hitfiltercrit": "field:lang", "hitfilterval": "en"})
+    assert by_meta["summary"]["numberOfHits"] == 2
