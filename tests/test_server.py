@@ -476,6 +476,19 @@ def test_federated_corpus_serving(ray_session, tmp_path_factory):
                        method="DELETE")
     assert not st.startswith("200") and "federated" in body
 
+    # breadth endpoints over the federation: grouped hits span both
+    # subs, termfreq sums global stats, autocomplete merges the
+    # dictionaries
+    st, _, body = call("/corpora/fed/hits?patt=%22quick%22"
+                       "&group=hit%3Aword%3Ai")
+    groups = json.loads(body)["hitGroups"]
+    assert [g["identityDisplay"] for g in groups] == ["quick"]
+    assert groups[0]["size"] == 3
+    st, _, body = call("/corpora/fed/termfreq?terms=quick,snail")
+    assert json.loads(body)["termFreq"] == {"quick": 3, "snail": 1}
+    st, _, body = call("/corpora/fed/autocomplete/word?term=s")
+    assert "snail" in json.loads(body) and "slow" in json.loads(body)
+
 
 def test_handle_hits_sort(srv_reader):
     """sort= orders hits by a HitProperty before windowing: context
