@@ -227,6 +227,20 @@ def handle_hits(reader, params: dict) -> dict:
     d = spans_tbl["doc_id"].to_numpy()
     s = spans_tbl["start"].to_numpy()
     e = spans_tbl["end"].to_numpy()
+    if params.get("calc") == "colloc":
+        # BLS /hits?calc=colloc (RequestHandlerHits.java's colloc
+        # branch → TermFrequencyList.collocations): frequencies of the
+        # context words around the hits, the hit tokens themselves
+        # excluded (Contexts.java:166 semantics)
+        n_ctx = int(params.get("wordsaroundhit", 5))
+        ctx = _context(reader, d, s, e, n_ctx)
+        counts: dict[str, int] = {}
+        for left, _match, right in ctx:
+            for w in left["word"] + right["word"]:
+                if w:
+                    counts[w] = counts.get(w, 0) + 1
+        return {"tokenFrequencies": dict(
+            sorted(counts.items(), key=lambda kv: (-kv[1], kv[0])))}
     resp = _render_hits(reader, params, d, s, e)
     if params.get("facets"):
         resp["facets"] = _facets(reader, d, params["facets"])

@@ -548,3 +548,16 @@ def test_handle_hits_hitfilter(srv_reader):
         "patt": '"quick"',
         "hitfiltercrit": "field:lang", "hitfilterval": "en"})
     assert by_meta["summary"]["numberOfHits"] == 2
+
+
+def test_handle_hits_calc_colloc(srv_reader):
+    """calc=colloc returns context-word frequencies around the hits,
+    hit tokens excluded (TermFrequencyList.collocations analogue)."""
+    from blacklab_ray.server import handle_hits
+    resp = handle_hits(srv_reader, {"patt": '"quick"',
+                                    "calc": "colloc",
+                                    "wordsaroundhit": "1"})
+    # d0: the [quick] fox ; d1: a [quick] dog
+    assert resp["tokenFrequencies"] == {"a": 1, "dog": 1,
+                                        "fox": 1, "the": 1}
+    assert "quick" not in resp["tokenFrequencies"]
