@@ -767,6 +767,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = latest_snapshot_keep_ids(ds).to_pandas()
         return out.sort_values("doc_id").reset_index(drop=True)
 
+    def q_doc_chunks(sf):
+        """Overlapping word-window chunking (docsops.chunk_documents,
+        C=32 O=8) — the embed/RAG preprocessing step; oracle is the
+        range-join window arithmetic in SQL."""
+        from blacklab_ray.pipelines.docsops import chunk_documents
+        out = chunk_documents(_docs_ds(sf), chunk_tokens=32,
+                              overlap=8).to_pandas()
+        return out.sort_values(["doc_id", "chunk_id"]) \
+            .reset_index(drop=True)
+
     def q_host_stats(sf):
         """Per-host corpus profile over the same synthesized url set
         as dedup_keep's url side (cleaning.host_stats: per-batch
@@ -1432,6 +1442,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hits_scores": q_hits,
         "host_stats": q_host_stats,
         "latest_snapshot": q_latest_snapshot,
+        "doc_chunks": q_doc_chunks,
     }
 
 
@@ -2673,6 +2684,27 @@ ranked AS (
                             ORDER BY ts DESC, doc_id ASC) AS rn
   FROM canon)
 SELECT doc_id FROM ranked WHERE rn = 1 ORDER BY doc_id
+""",
+        # word-window chunking: C=32 O=8 stride=24; window w>0 must
+        # contribute a new word beyond the previous window's end
+        "doc_chunks": r"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(text, '\s+') AS words
+  FROM documents),
+n AS (
+  SELECT doc_id, words,
+         CASE WHEN len(words) = 1 AND words[1] = '' THEN 0
+              ELSE len(words) END AS nw
+  FROM w),
+c AS (
+  SELECT doc_id, r.i AS chunk_id,
+         least(nw - r.i * 24, 32)::BIGINT AS n_tokens,
+         array_to_string(words[r.i * 24 + 1 : r.i * 24 + 32], ' ')
+           AS text
+  FROM n, range(0, 1000) r(i)
+  WHERE (r.i = 0 AND nw > 0) OR (r.i > 0 AND nw > r.i * 24 + 8))
+SELECT doc_id, chunk_id, n_tokens, text FROM c
+ORDER BY doc_id, chunk_id
 """,
         # HTML extraction ground truth recomputed from the source text:
         # the synthesized page's only content blocks are the ' value '-

@@ -293,3 +293,79 @@ def assign_splits(ds: ray.data.Dataset,
             "split", pa.array([names[w] for w in which], pa.string()))
 
     return ds.map_batches(_assign, batch_format="pyarrow")
+
+
+def chunk_documents(ds: ray.data.Dataset, chunk_tokens: int = 256,
+                    overlap: int = 0, text_col: str = "text",
+                    id_col: str = "doc_id") -> ray.data.Dataset:
+    """Split long documents into overlapping word-window chunks — the
+    standard preprocessing step ahead of embedding / RAG pipelines
+    (each chunk small enough for an encoder, ``overlap`` words of
+    context carried across boundaries).
+
+    Windows start every ``chunk_tokens - overlap`` words; the final
+    window keeps the remainder. Chunk text is the window's whitespace
+    words joined by single spaces (whitespace-normalized — the exact
+    ``array_to_string(regexp_split(...))`` SQL twin), so chunking is
+    deterministic and oracle-checkable. Output: one row per chunk
+    ``(id, chunk_id, n_tokens, text)``; empty docs yield no chunks.
+
+    Scale shape: embarrassingly parallel ``map_batches``; per batch
+    the loop is over WINDOW INDEX (bounded by the longest doc), each
+    iteration one vectorized ``list_slice`` + ``binary_join`` over
+    every doc — never a Python loop over rows."""
+    import pyarrow.compute as pc
+
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    stride = chunk_tokens - overlap
+    SCHEMA = pa.schema([(id_col, pa.int64()),
+                        ("chunk_id", pa.int64()),
+                        ("n_tokens", pa.int64()),
+                        ("text", pa.string())])
+
+    def _chunks(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return SCHEMA.empty_table()
+        col = batch.column(text_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        words = pc.split_pattern_regex(pc.fill_null(col, ""),
+                                       pattern=r"\s+")
+        # regexp split of '' yields one empty token; drop those rows'
+        # chunks via the n_words > 0 masks below
+        lens = pc.list_value_length(words).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        first = pc.list_slice(words, 0, 1)
+        empty = pc.equal(pc.binary_join(first, ""), "") \
+            .to_numpy(zero_copy_only=False)
+        n_words = np.where(empty & (lens == 1), 0, lens)
+        ids = batch.column(id_col).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        out = []
+        w = 0
+        while True:
+            start = w * stride
+            # a window past the first must contribute at least one NEW
+            # word beyond the previous window's end (start + overlap);
+            # otherwise it is wholly contained in the overlap
+            has = (n_words > start + overlap) if w else (n_words > 0)
+            if not has.any():
+                break
+            sl = pc.list_slice(words, start, start + chunk_tokens)
+            txt = pc.binary_join(sl, " ")
+            idx = np.flatnonzero(has)
+            out.append(pa.table({
+                id_col: pa.array(ids[idx], pa.int64()),
+                "chunk_id": pa.array(np.full(idx.size, w, np.int64)),
+                "n_tokens": pa.array(
+                    np.minimum(n_words[idx] - start, chunk_tokens),
+                    pa.int64()),
+                "text": pc.take(txt, pa.array(idx)),
+            }))
+            w += 1
+        if not out:
+            return SCHEMA.empty_table()
+        return pa.concat_tables(out)
+
+    return ds.map_batches(_chunks, batch_format="pyarrow")

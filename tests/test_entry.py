@@ -90,7 +90,8 @@ def test_driver_key_cap(entry_mod):
                            "html_extract", "lsh_probe",
                            "exact_probe", "split_counts",
                            "pagerank_links", "hits_scores",
-                           "host_stats", "latest_snapshot"}, extras
+                           "host_stats", "latest_snapshot",
+                           "doc_chunks"}, extras
     assert "lm_perplexity" in q[:50]   # rotated INTO the recorded set
     o = entry_mod.oracle_sql()
     # extras stay oracled, except declared rows-only ops whose

@@ -793,3 +793,30 @@ def test_assign_splits_deterministic(ray_session):
     assert set(c["split"]) == {"x", "y"}
     with pytest.raises(ValueError):
         assign_splits(ray.data.from_arrow(t), {"x": 0.5, "y": 0.4})
+
+
+def test_chunk_documents(ray_session):
+    """Word-window chunking: stride windows, remainder kept, trailing
+    windows wholly inside the overlap dropped, empty docs skipped."""
+    import pyarrow as pa
+    import ray.data
+
+    from blacklab_ray.pipelines.docsops import chunk_documents
+    t = pa.table({"doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+                  "text": ["a b c d e f g", "x  y\nz", "", "solo"]})
+    out = chunk_documents(ray.data.from_arrow(t), chunk_tokens=3,
+                          overlap=1).to_pandas() \
+        .sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+    rows = list(zip(out["doc_id"], out["chunk_id"],
+                    out["n_tokens"], out["text"]))
+    assert rows == [
+        (0, 0, 3, "a b c"), (0, 1, 3, "c d e"), (0, 2, 3, "e f g"),
+        (1, 0, 3, "x y z"),          # whitespace runs normalized
+        (3, 0, 1, "solo"),           # short doc = one chunk; empty none
+    ]
+    # overlap words repeat across chunk boundaries
+    assert rows[1][3].startswith(rows[0][3].split()[-1])
+    import pytest as _p
+    with _p.raises(ValueError):
+        chunk_documents(ray.data.from_arrow(t), chunk_tokens=3,
+                        overlap=3)
