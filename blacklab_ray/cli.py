@@ -236,6 +236,12 @@ def cmd_clean(args) -> int:
         from blacklab_ray.stages.htmltext import extract_links
         out = extract_links(ds, html_col=args.html_col,
                             id_col=args.id_col)
+    elif args.op == "chunk":
+        from blacklab_ray.pipelines.docsops import chunk_documents
+        out = chunk_documents(ds, chunk_tokens=args.chunk_tokens,
+                              overlap=args.overlap,
+                              text_col=args.text_col,
+                              id_col=args.id_col)
     else:  # decontaminate
         import pyarrow.compute as _pc
         if not args.benchmark:
@@ -590,11 +596,13 @@ def main(argv=None) -> int:
     cl.add_argument("--out", required=True)
     cl.add_argument("--op", required=True,
                     choices=("pii", "quality", "paragraph-dedup",
-                             "decontaminate", "c4", "html", "links"))
+                             "chunk", "decontaminate", "c4", "html", "links"))
     cl.add_argument("--text-col", default="text")
     cl.add_argument("--html-col", default="html")
     cl.add_argument("--id-col", default="doc_id")
     cl.add_argument("--keep-text", action="store_true")
+    cl.add_argument("--chunk-tokens", type=int, default=256)
+    cl.add_argument("--overlap", type=int, default=0)
     cl.add_argument("--keep-only", action="store_true",
                     help="emit only rows that pass (quality) or are "
                          "uncontaminated (decontaminate)")
