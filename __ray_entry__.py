@@ -2686,10 +2686,14 @@ ranked AS (
 SELECT doc_id FROM ranked WHERE rn = 1 ORDER BY doc_id
 """,
         # word-window chunking: C=32 O=8 stride=24; window w>0 must
-        # contribute a new word beyond the previous window's end
+        # contribute a new word beyond the previous window's end.
+        # Window count per doc is exact ((nw-9)//24 + 1), not a fixed
+        # cap, and text is edge-trimmed with the engine's regex class
         "doc_chunks": r"""
 WITH w AS (
-  SELECT doc_id, regexp_split_to_array(text, '\s+') AS words
+  SELECT doc_id,
+         regexp_split_to_array(
+           regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS words
   FROM documents),
 n AS (
   SELECT doc_id, words,
@@ -2697,13 +2701,14 @@ n AS (
               ELSE len(words) END AS nw
   FROM w),
 c AS (
-  SELECT doc_id, r.i AS chunk_id,
-         least(nw - r.i * 24, 32)::BIGINT AS n_tokens,
-         array_to_string(words[r.i * 24 + 1 : r.i * 24 + 32], ' ')
-           AS text
-  FROM n, range(0, 1000) r(i)
-  WHERE (r.i = 0 AND nw > 0) OR (r.i > 0 AND nw > r.i * 24 + 8))
-SELECT doc_id, chunk_id, n_tokens, text FROM c
+  SELECT doc_id, words, nw,
+         unnest(range(0, CASE WHEN nw = 0 THEN 0
+                    ELSE greatest(nw - 9, 0) // 24 + 1 END)) AS i
+  FROM n)
+SELECT doc_id, i AS chunk_id,
+       least(nw - i * 24, 32)::BIGINT AS n_tokens,
+       array_to_string(words[i * 24 + 1 : i * 24 + 32], ' ') AS text
+FROM c
 ORDER BY doc_id, chunk_id
 """,
         # HTML extraction ground truth recomputed from the source text:

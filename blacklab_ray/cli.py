@@ -93,15 +93,17 @@ def cmd_phrase(args) -> int:
 
 def cmd_mlt(args) -> int:
     """More-like-this: top-k docs similar to a seed doc (by --doc-id
-    or --url; url resolves through the id convention hash64(url))."""
+    or --url; url resolves THROUGH THE INDEX — a url-filtered fwd
+    gather — so user-supplied id columns and collision-remapped ids
+    resolve correctly, unlike re-deriving hash64(url))."""
     from blacklab_ray.query.mlt import more_like_this
     reader = _open_reader(args.index)
     doc_id = args.doc_id
     if doc_id is None:
         if not args.url:
             raise SystemExit("mlt needs --doc-id or --url")
-        from blacklab_ray.stages.tokenize import hash64
-        doc_id = hash64(args.url)
+        from blacklab_ray.server import _doc_by_pid
+        doc_id, _dl = _doc_by_pid(reader, args.url)
     res = more_like_this(reader, doc_id, k=args.k,
                          max_terms=args.max_terms,
                          resolve_urls=True)

@@ -397,12 +397,34 @@ def delete_documents(index_dir: str, doc_ids=None, urls=None) -> dict:
     upd = _load_updates(index_dir)
     remap = load_remap(index_dir)
     ids = set(int(i) for i in (doc_ids or []))
-    for u in (urls or []):
-        # collision-resolved ids (idspace.py) take precedence over the
-        # plain hash — delete-by-pid must hit the id actually indexed
-        ids.add(doc_id_for_url(u, remap))
-        for g in range(1, upd.get("generation", 0) + 1):
-            ids.add(doc_id_for_url(f"{u}@g{g}", remap))
+    meta_p = os.path.join(index_dir, "meta.json")
+    id_column = "url"
+    if urls and os.path.exists(meta_p):
+        with open(meta_p) as f:
+            id_column = (json.load(f).get("params") or {}) \
+                .get("id_column", "url")
+    if urls and id_column != "url":
+        # user-supplied id space: the hash64(url) convention does not
+        # apply — resolve urls THROUGH the index (one url-filtered
+        # pushdown gather over the fwd doc table, never a full scan)
+        import pyarrow.compute as pc
+        import pyarrow.dataset as pa_ds
+        fwd = pa_ds.dataset(os.path.join(index_dir, "fwd"),
+                            format="parquet")
+        salted = [f"{u}@g{g}" for u in urls
+                  for g in range(1, upd.get("generation", 0) + 1)]
+        tbl = fwd.to_table(
+            columns=["doc_id"],
+            filter=pc.field("url").isin(list(urls) + salted))
+        ids.update(int(x) for x in tbl["doc_id"].to_pylist())
+    else:
+        for u in (urls or []):
+            # collision-resolved ids (idspace.py) take precedence over
+            # the plain hash — delete-by-pid must hit the id actually
+            # indexed
+            ids.add(doc_id_for_url(u, remap))
+            for g in range(1, upd.get("generation", 0) + 1):
+                ids.add(doc_id_for_url(f"{u}@g{g}", remap))
     upd["tombstones"] = sorted(set(upd["tombstones"]) | ids)
     _save_updates(index_dir, upd)
     return {"op": "delete", "n_tombstones": len(upd["tombstones"])}

@@ -316,8 +316,10 @@ def chunk_documents(ds: ray.data.Dataset, chunk_tokens: int = 256,
     every doc — never a Python loop over rows."""
     import pyarrow.compute as pc
 
-    if overlap >= chunk_tokens:
-        raise ValueError("overlap must be < chunk_tokens")
+    if chunk_tokens <= 0:
+        raise ValueError("chunk_tokens must be > 0")
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("overlap must be in [0, chunk_tokens)")
     stride = chunk_tokens - overlap
     SCHEMA = pa.schema([(id_col, pa.int64()),
                         ("chunk_id", pa.int64()),
@@ -330,8 +332,12 @@ def chunk_documents(ds: ray.data.Dataset, chunk_tokens: int = 256,
         col = batch.column(text_col)
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
-        words = pc.split_pattern_regex(pc.fill_null(col, ""),
-                                       pattern=r"\s+")
+        # strip leading/trailing whitespace with the SAME regex class
+        # the split uses (the DuckDB oracle's regexp_replace twin), so
+        # padded text never yields empty edge tokens
+        trimmed = pc.replace_substring_regex(
+            pc.fill_null(col, ""), pattern=r"^\s+|\s+$", replacement="")
+        words = pc.split_pattern_regex(trimmed, pattern=r"\s+")
         # regexp split of '' yields one empty token; drop those rows'
         # chunks via the n_words > 0 masks below
         lens = pc.list_value_length(words).to_numpy(
@@ -352,16 +358,20 @@ def chunk_documents(ds: ray.data.Dataset, chunk_tokens: int = 256,
             has = (n_words > start + overlap) if w else (n_words > 0)
             if not has.any():
                 break
-            sl = pc.list_slice(words, start, start + chunk_tokens)
-            txt = pc.binary_join(sl, " ")
+            # slice/join ONLY the surviving rows: the tail windows of
+            # one long doc must not re-join every short doc in the
+            # batch each iteration
             idx = np.flatnonzero(has)
+            sub = words.take(pa.array(idx))
+            txt = pc.binary_join(
+                pc.list_slice(sub, start, start + chunk_tokens), " ")
             out.append(pa.table({
                 id_col: pa.array(ids[idx], pa.int64()),
                 "chunk_id": pa.array(np.full(idx.size, w, np.int64)),
                 "n_tokens": pa.array(
                     np.minimum(n_words[idx] - start, chunk_tokens),
                     pa.int64()),
-                "text": pc.take(txt, pa.array(idx)),
+                "text": txt,
             }))
             w += 1
         if not out:

@@ -35,6 +35,9 @@ def seed_terms(reader, doc_id: int, max_terms: int = 25,
     (MLT's classic stopword guard — their idf is near zero anyway, and
     dropping them keeps the OR query short), as are terms shorter than
     ``min_term_len``. Ties break on (score desc, term asc)."""
+    if not reader.mask_tombstones(np.array([int(doc_id)],
+                                           np.int64))[0]:
+        raise KeyError(f"doc {doc_id} is deleted")
     tbl = reader.fwd_dataset().to_table(
         columns=["doc_id", "terms", "tfs"],
         filter=pc.field("doc_id") == int(doc_id))
@@ -67,9 +70,13 @@ def more_like_this(reader, doc_id: int, k: int = 10,
     from blacklab_ray.query.engine import search
     terms = seed_terms(reader, doc_id, max_terms=max_terms)
     if not terms:
-        return pa.table({"doc_id": pa.array([], pa.int64()),
-                         "score": pa.array([], pa.float64()),
-                         "rank": pa.array([], pa.int64())})
+        cols = {"doc_id": pa.array([], pa.int64()),
+                "score": pa.array([], pa.float64()),
+                "rank": pa.array([], pa.int64())}
+        if resolve_urls:
+            # keep the schema identical to the non-empty path
+            cols["url"] = pa.array([], pa.string())
+        return pa.table(cols)
     res = search(reader, terms, k=k + (1 if exclude_self else 0),
                  mode="or", algo=algo, resolve_urls=resolve_urls)
     if exclude_self:

@@ -231,16 +231,13 @@ def handle_hits(reader, params: dict) -> dict:
         # BLS /hits?calc=colloc (RequestHandlerHits.java's colloc
         # branch → TermFrequencyList.collocations): frequencies of the
         # context words around the hits, the hit tokens themselves
-        # excluded (Contexts.java:166 semantics)
-        n_ctx = int(params.get("wordsaroundhit", 5))
-        ctx = _context(reader, d, s, e, n_ctx)
-        counts: dict[str, int] = {}
-        for left, _match, right in ctx:
-            for w in left["word"] + right["word"]:
-                if w:
-                    counts[w] = counts.get(w, 0) + 1
-        return {"tokenFrequencies": dict(
-            sorted(counts.items(), key=lambda kv: (-kv[1], kv[0])))}
+        # excluded (Contexts.java:166 semantics) — computed over the
+        # filtered/sampled span set so hitfiltercrit/sample compose.
+        # Context width defaults to 10: the reference's saved colloc
+        # responses reproduce EXACTLY at wordsaroundhit=10
+        n_ctx = int(params.get("wordsaroundhit", 10))
+        return {"tokenFrequencies": _colloc_counts(reader, d, s, e,
+                                                   n_ctx)}
     resp = _render_hits(reader, params, d, s, e)
     if params.get("facets"):
         resp["facets"] = _facets(reader, d, params["facets"])
@@ -597,10 +594,18 @@ def handle_colloc(reader, params: dict) -> dict:
     the pattern's hits (RequestHandlerHits' colloc branch). Context
     width defaults to 10: the reference's saved colloc responses
     reproduce EXACTLY at wordsaroundhit=10 (verified token-for-token
-    on the VOICE corpus)."""
-    patt = params.get("patt", "")
-    n_ctx = int(params.get("wordsaroundhit", 10))
-    d, s, e = _spans_for(reader, patt, params.get("filter"))
+    on the VOICE corpus). Thin wrapper over ``handle_hits``'s colloc
+    branch so hitfiltercrit/sample/sort params compose identically
+    whether callers hit this entry point or the router."""
+    p = dict(params)
+    p["calc"] = "colloc"
+    return handle_hits(reader, p)
+
+
+def _colloc_counts(reader, d, s, e, n_ctx: int) -> dict:
+    """Context-word frequency dict for a span set — one flat
+    vectorized position expansion + one batched token gather (never a
+    per-hit Python loop)."""
     lens = reader.doc_lens(d)
     lo = np.maximum(s - n_ctx, 0)
     hi = np.minimum(e + n_ctx, lens)
@@ -609,7 +614,7 @@ def handle_colloc(reader, params: dict) -> dict:
     n_all = n_left + n_right
     tot = int(n_all.sum())
     if tot == 0:
-        return {"tokenFrequencies": {}}
+        return {}
     flat_d = np.repeat(d, n_all)
     # left window positions lo..s-1 then right e..hi-1, per hit
     csum = np.cumsum(n_all)
@@ -624,7 +629,7 @@ def handle_colloc(reader, params: dict) -> dict:
     from collections import Counter
     c = Counter(t for t in toks if t)
     ordered = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))
-    return {"tokenFrequencies": dict(ordered)}
+    return dict(ordered)
 
 
 def handle_termfreq(reader, params: dict) -> dict:

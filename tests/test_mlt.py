@@ -98,3 +98,74 @@ def test_more_like_this_federated(ray_session, tmp_path_factory):
     assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist()
     for g, w in zip(a["score"].to_pylist(), b["score"].to_pylist()):
         assert abs(g - w) < 1e-9
+
+
+def test_more_like_this_deleted_seed_raises(ray_session,
+                                            tmp_path_factory):
+    """MLT on a tombstoned doc must KeyError, not rank from the
+    deleted content (the fwd rows linger until compaction)."""
+    import pyarrow.parquet as pq
+
+    from blacklab_ray.index import BuildParams, build_index
+    from blacklab_ray.index.update import delete_documents
+    from blacklab_ray.sources.synth import generate_pages
+    tmp = tmp_path_factory.mktemp("mltdel")
+    src = tmp / "src"
+    src.mkdir()
+    pq.write_table(generate_pages(30), str(src / "p.parquet"))
+    idx = str(tmp / "idx")
+    build_index(str(src), idx, BuildParams(num_buckets=2, n_salts=1))
+    r = IndexReader(idx)
+    doc = int(r.all_doc_ids()[0])
+    url = r.urls(np.array([doc], np.int64))[0]
+    assert more_like_this(r, doc, k=3).num_rows > 0
+    delete_documents(idx, urls=[url])
+    r2 = IndexReader(idx)
+    with pytest.raises(KeyError):
+        more_like_this(r2, doc, k=3)
+
+
+def test_more_like_this_empty_terms_keeps_url_schema(reader,
+                                                     monkeypatch):
+    """The all-stopword early return must carry the same schema as
+    the non-empty path when resolve_urls is on."""
+    import blacklab_ray.query.mlt as mlt_mod
+    monkeypatch.setattr(mlt_mod, "seed_terms", lambda *a, **k: [])
+    res = mlt_mod.more_like_this(reader, 0, resolve_urls=True)
+    assert res.num_rows == 0
+    assert res.column_names == ["doc_id", "score", "rank", "url"]
+    res2 = mlt_mod.more_like_this(reader, 0, resolve_urls=False)
+    assert res2.column_names == ["doc_id", "score", "rank"]
+
+
+def test_cli_mlt_url_resolves_through_index(ray_session,
+                                            tmp_path_factory, capsys):
+    """`cli mlt --url` must resolve the seed THROUGH the index (a
+    url-filtered gather), not re-derive hash64(url) — which is wrong
+    for --id-column builds and collision-remapped ids."""
+    import json as _json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from blacklab_ray import cli
+    from blacklab_ray.index import BuildParams, build_index
+    tmp = tmp_path_factory.mktemp("mltcli")
+    tbl = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "url": ["u0", "u1", "u2", "u3"],
+        "text": ["alpha beta gamma", "alpha beta delta",
+                 "gamma delta epsilon", "zeta eta theta"],
+    })
+    src = tmp / "p.parquet"
+    pq.write_table(tbl, str(src))
+    idx = str(tmp / "idx")
+    build_index(str(src), idx,
+                BuildParams(num_buckets=2, n_salts=1,
+                            id_column="doc_id"))
+    rc = cli.main(["mlt", "--index", idx, "--url", "u0", "-k", "2"])
+    assert rc == 0
+    rows = [_json.loads(line) for line in
+            capsys.readouterr().out.strip().splitlines()]
+    assert rows and all(r["doc_id"] != 0 for r in rows)
+    assert rows[0]["url"] in {"u1", "u2", "u3"}

@@ -820,3 +820,20 @@ def test_chunk_documents(ray_session):
     with _p.raises(ValueError):
         chunk_documents(ray.data.from_arrow(t), chunk_tokens=3,
                         overlap=3)
+    # negative overlap would silently DROP words between windows;
+    # non-positive window is nonsense — both rejected
+    with _p.raises(ValueError):
+        chunk_documents(ray.data.from_arrow(t), chunk_tokens=3,
+                        overlap=-2)
+    with _p.raises(ValueError):
+        chunk_documents(ray.data.from_arrow(t), chunk_tokens=0)
+    # whitespace-padded / whitespace-only text: edge tokens trimmed,
+    # counts exact, whitespace-only docs yield NO chunks
+    t2 = pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()),
+                   "text": ["   ", " a b", "  x \n y  "]})
+    out2 = chunk_documents(ray.data.from_arrow(t2), chunk_tokens=3,
+                           overlap=0).to_pandas() \
+        .sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+    rows2 = list(zip(out2["doc_id"], out2["chunk_id"],
+                     out2["n_tokens"], out2["text"]))
+    assert rows2 == [(1, 0, 2, "a b"), (2, 0, 2, "x y")]

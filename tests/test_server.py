@@ -561,3 +561,31 @@ def test_handle_hits_calc_colloc(srv_reader):
     assert resp["tokenFrequencies"] == {"a": 1, "dog": 1,
                                         "fox": 1, "the": 1}
     assert "quick" not in resp["tokenFrequencies"]
+
+
+def test_colloc_route_honors_hit_params(srv_index):
+    """/hits?calc=colloc through the ROUTER composes with samplenum/
+    hitfiltercrit (it must reach handle_hits' colloc branch, not a
+    param-dropping shortcut), and handle_colloc delegates to the same
+    code (identical output, shared default context 10)."""
+    from blacklab_ray.query import IndexReader
+    from blacklab_ray.server import BlsApp, handle_colloc, handle_hits
+    reader = IndexReader(srv_index)
+    call = _mkcall(BlsApp({"test": IndexReader(srv_index)}))
+    base = "/corpora/test/hits?patt=%22quick%22&calc=colloc" \
+           "&wordsaroundhit=1"
+    _, _, all_body = call(base)
+    all_freqs = json.loads(all_body)["tokenFrequencies"]
+    assert sum(all_freqs.values()) >= 2
+    # samplenum=1 keeps one hit -> strictly fewer context tokens
+    _, _, s_body = call(base + "&samplenum=1&sampleseed=3")
+    s_freqs = json.loads(s_body)["tokenFrequencies"]
+    assert 0 < sum(s_freqs.values()) < sum(all_freqs.values())
+    # hitfiltercrit composes too (no 'fr' doc matches "quick")
+    _, _, f_body = call(base + "&hitfiltercrit=field:lang"
+                        "&hitfilterval=fr")
+    assert json.loads(f_body)["tokenFrequencies"] == {}
+    # the two entry points are the same code path (default ctx 10)
+    a = handle_colloc(reader, {"patt": '"quick"'})
+    b = handle_hits(reader, {"patt": '"quick"', "calc": "colloc"})
+    assert a == b

@@ -480,3 +480,37 @@ def test_merge_indexes_incompatible_metadata_fields(tmp_path,
     build_index(str(b_src), b_idx, BuildParams(num_buckets=2, n_salts=1))
     with _pytest.raises(ValueError, match="metadata_fields"):
         merge_indexes(a_idx, b_idx)
+
+
+def test_delete_by_url_id_column_index(ray_session, tmp_path_factory):
+    """delete-by-url on an --id-column build must resolve urls
+    THROUGH the index (pushdown fwd gather), not via hash64(url) —
+    which names ids that don't exist there (silent no-op)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from blacklab_ray.index import BuildParams, build_index
+    from blacklab_ray.index.update import delete_documents
+    from blacklab_ray.query import IndexReader
+    tmp = tmp_path_factory.mktemp("delidcol")
+    tbl = pa.table({
+        "doc_id": pa.array([10, 11, 12], pa.int64()),
+        "url": ["a", "b", "c"],
+        "text": ["alpha beta", "beta gamma", "gamma delta"],
+    })
+    src = tmp / "p.parquet"
+    pq.write_table(tbl, str(src))
+    idx = str(tmp / "idx")
+    build_index(str(src), idx,
+                BuildParams(num_buckets=2, n_salts=1,
+                            id_column="doc_id"))
+    delete_documents(idx, urls=["b"])
+    r = IndexReader(idx)
+    assert 11 in r.tombstones
+    mask = r.mask_tombstones(np.array([10, 11, 12], np.int64))
+    assert mask.tolist() == [True, False, True]
+    # deleted doc no longer matches queries
+    from blacklab_ray.query.engine import search
+    res = search(r, ["gamma"], k=10)
+    assert 11 not in res["doc_id"].to_pylist()
