@@ -238,13 +238,47 @@ def handle_hits(reader, params: dict) -> dict:
         n_ctx = int(params.get("wordsaroundhit", 10))
         return {"tokenFrequencies": _colloc_counts(reader, d, s, e,
                                                    n_ctx)}
-    resp = _render_hits(reader, params, d, s, e)
+    resp = _render_hits(reader, params, d, s, e, spans_tbl=spans_tbl)
     if params.get("facets"):
         resp["facets"] = _facets(reader, d, params["facets"])
     return resp
 
 
-def _render_hits(reader, params: dict, d, s, e) -> dict:
+def _capture_groups(spans_tbl, first: int, number: int,
+                    omit_empty: bool) -> list | None:
+    """Per-hit ``captureGroups`` lists for the response window —
+    BLS's hit shape (DStream.java:329: [{name, start, end}, ...]),
+    null/unmatched groups skipped, zero-length ones skipped under
+    ``omitemptycapture``. Returns None when the pattern has no
+    capture columns (the entry is omitted, like BLS without
+    capturedGroups)."""
+    caps: list[tuple[str, str]] = []   # (group name, kind)
+    for c in spans_tbl.column_names:
+        if c.endswith("_pos"):
+            caps.append((c[:-4], "pos"))
+        elif c.endswith("_start"):
+            caps.append((c[:-6], "span"))
+    if not caps:
+        return None
+    win = spans_tbl.slice(first, number)
+    out: list[list[dict]] = [[] for _ in range(win.num_rows)]
+    for name, kind in caps:
+        if kind == "pos":
+            st = win[f"{name}_pos"].to_numpy()
+            en = st + 1
+        else:
+            st = win[f"{name}_start"].to_numpy()
+            en = win[f"{name}_end"].to_numpy()
+        for i in range(win.num_rows):
+            a, b = int(st[i]), int(en[i])
+            if a < 0 or (omit_empty and a >= b):
+                continue
+            out[i].append({"name": name, "start": a, "end": b})
+    return out
+
+
+def _render_hits(reader, params: dict, d, s, e,
+                 spans_tbl=None) -> dict:
     """Window + context + docInfos for a span set (the hits response
     body, shared by /hits and the viewgroup view)."""
     first = int(params.get("first", 0))
@@ -259,6 +293,14 @@ def _render_hits(reader, params: dict, d, s, e) -> dict:
     hits = [{"docPid": str(u), "start": int(a), "end": int(b),
              "left": L, "match": M, "right": R}
             for u, a, b, (L, M, R) in zip(urls, ws, we, ctx)]
+    if spans_tbl is not None:
+        groups = _capture_groups(
+            spans_tbl, first, number,
+            omit_empty=params.get("omitemptycapture", "")
+            in ("true", "yes", "1", True))
+        if groups is not None:
+            for h, g in zip(hits, groups):
+                h["captureGroups"] = g
     return {
         "summary": _summary(params, first, number, len(hits), total,
                             n_docs),
@@ -379,9 +421,12 @@ def handle_hits_grouped(reader, params: dict) -> dict:
         want = params["viewgroup"]
         want = want.split(":", 1)[1] if want.startswith("str:") else want
         sel = np.array([k == want for k in keys], dtype=bool)
+        import pyarrow as pa
+        sub = spans_tbl.take(pa.array(np.flatnonzero(sel)))
         return _render_hits(reader, params, d[sel],
                             spans_tbl["start"].to_numpy()[sel],
-                            spans_tbl["end"].to_numpy()[sel])
+                            spans_tbl["end"].to_numpy()[sel],
+                            spans_tbl=sub)
     groups: dict[str, dict] = {}
     for k, doc in zip(keys, d):
         g = groups.setdefault(k, {"size": 0, "docs": set()})
@@ -927,7 +972,7 @@ def _summary(params, first, number, actual, total, n_docs) -> dict:
 _SINGULAR = {"hits": "hit", "docs": "doc", "hitGroups": "hitGroup",
              "docGroups": "docGroup", "properties": "property",
              "left": "w", "match": "w", "right": "w", "word": "w",
-             "terms": "term"}
+             "terms": "term", "captureGroups": "group"}
 
 
 def to_xml(obj: Any, root: str = "blacklabResponse") -> str:

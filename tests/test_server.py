@@ -589,3 +589,45 @@ def test_colloc_route_honors_hit_params(srv_index):
     a = handle_colloc(reader, {"patt": '"quick"'})
     b = handle_hits(reader, {"patt": '"quick"', "calc": "colloc"})
     assert a == b
+
+
+def test_hits_capture_groups_rendered(srv_reader):
+    """Hits from a capture-group pattern carry BLS's per-hit
+    captureGroups [{name, start, end}] (DStream.java:329 shape);
+    patterns without captures omit the entry."""
+    from blacklab_ray.server import handle_hits
+    resp = handle_hits(srv_reader, {"patt": 'A:"quick"',
+                                    "wordsaroundhit": "1"})
+    assert resp["summary"]["numberOfHits"] == 2
+    for h in resp["hits"]:
+        assert h["captureGroups"] == [
+            {"name": "A", "start": h["start"], "end": h["end"]}]
+    plain = handle_hits(srv_reader, {"patt": '"quick"'})
+    assert all("captureGroups" not in h for h in plain["hits"])
+
+
+def test_hits_capture_groups_xml_and_multitoken(srv_index):
+    """Multi-token group captures render as <captureGroups><group>
+    in DataStream XML; viewgroup hit lists carry captures too."""
+    from blacklab_ray.query import IndexReader
+    from blacklab_ray.server import BlsApp, handle_hits_grouped
+    call = _mkcall(BlsApp({"test": IndexReader(srv_index)}))
+    patt = 'A:("the" "quick")'
+    from urllib.parse import quote
+    _, _, body = call(f"/corpora/test/hits?patt={quote(patt)}"
+                      "&outputformat=xml")
+    assert "<captureGroups><group><name>A</name>" in body \
+        .replace("\n", "")
+    # JSON: start/end of the captured sub-span
+    _, _, jbody = call(f"/corpora/test/hits?patt={quote(patt)}")
+    h = json.loads(jbody)["hits"][0]
+    assert h["captureGroups"][0]["name"] == "A"
+    assert h["captureGroups"][0]["end"] - \
+        h["captureGroups"][0]["start"] == 2
+    # viewgroup path keeps captures
+    r = IndexReader(srv_index)
+    resp = handle_hits_grouped(r, {"patt": 'A:"quick"',
+                                   "group": "field:lang",
+                                   "viewgroup": "en"})
+    assert all(h["captureGroups"][0]["name"] == "A"
+               for h in resp["hits"])
