@@ -459,7 +459,11 @@ def handle_hits_grouped(reader, params: dict) -> dict:
 
 
 def handle_docs(reader, params: dict) -> dict:
-    """GET /corpora/<c>/docs — doc results (with or without patt)."""
+    """GET /corpora/<c>/docs — doc results (with or without patt).
+    ``sort=`` orders docs by a DocProperty before windowing
+    (DocProperty.deserialize analogues: ``field:<meta>``, ``numhits``,
+    ``pid``; a ``-`` prefix sorts descending). String fields compare
+    by the engine's collation; doc_id is the stable tiebreak."""
     first = int(params.get("first", 0))
     number = int(params.get("number", 50))
     patt = params.get("patt")
@@ -471,6 +475,31 @@ def handle_docs(reader, params: dict) -> dict:
         uniq = (allowed if allowed is not None
                 else reader.all_doc_ids())
         counts = np.zeros(uniq.size, dtype=np.int64)
+    if params.get("sort"):
+        crit = params["sort"]
+        desc = crit.startswith("-")
+        c = crit.lstrip("-")
+        if c == "numhits":
+            keys = [int(x) for x in counts]
+        elif c == "pid":
+            keys = [str(u) for u in reader.urls(uniq)]
+        elif c.startswith("field:"):
+            fieldname = c.split(":", 1)[1]
+            lookup = _doc_field_lookup(reader, uniq, fieldname)
+            keys = [lookup.get(int(x)) for x in uniq]
+        else:
+            raise KeyError(f"unknown doc sort criterion {crit!r}")
+        if any(isinstance(k, str) for k in keys):
+            from blacklab_ray.analysis.collate import key_for_context
+            keys = [key_for_context("" if k is None else str(k),
+                                    sensitive=False) for k in keys]
+        else:
+            keys = [float("-inf") if k is None else k for k in keys]
+        order = sorted(range(len(keys)),
+                       key=lambda i: keys[i], reverse=desc)
+        uniq = uniq[np.array(order, np.int64)] if len(order) else uniq
+        counts = counts[np.array(order, np.int64)] \
+            if len(order) else counts
     total = int(uniq.size)
     wd = uniq[first:first + number]
     wc = counts[first:first + number]

@@ -631,3 +631,24 @@ def test_hits_capture_groups_xml_and_multitoken(srv_index):
                                    "viewgroup": "en"})
     assert all(h["captureGroups"][0]["name"] == "A"
                for h in resp["hits"])
+
+
+def test_handle_docs_sort(srv_reader):
+    """/docs sort= orders before windowing: field:<meta> (collated),
+    numhits, pid; '-' prefix descends; doc order is the stable tie."""
+    from blacklab_ray.server import handle_docs
+    by_year = handle_docs(srv_reader, {"sort": "-field:year"})
+    assert [d["docPid"] for d in by_year["docs"]] == ["d2", "d1", "d0"]
+    by_lang = handle_docs(srv_reader, {"sort": "field:lang"})
+    assert [d["docPid"] for d in by_lang["docs"]] == ["d0", "d1", "d2"]
+    by_hits = handle_docs(srv_reader, {"patt": '[word="q.*|f.*"]',
+                                       "sort": "-numhits"})
+    assert by_hits["docs"][0]["docPid"] == "d0"    # quick+fox = 2 hits
+    assert by_hits["docs"][0]["numberOfHits"] == 2
+    # windowing applies AFTER the sort
+    win = handle_docs(srv_reader, {"sort": "-field:year", "first": 1,
+                                   "number": 1})
+    assert [d["docPid"] for d in win["docs"]] == ["d1"]
+    import pytest as _p
+    with _p.raises(KeyError):
+        handle_docs(srv_reader, {"sort": "bogus"})
