@@ -51,7 +51,8 @@ def cmd_build(args) -> int:
                     id_column=id_column,
                     sensitive=args.sensitive,
                     annotations=annots,
-                    analyzer=args.analyzer),
+                    analyzer=args.analyzer,
+                    store_text=args.store_text),
         resume=not args.no_resume)
     print(json.dumps({k: {kk: vv for kk, vv in v.items()
                           if kk in ("seconds", "n_docs", "total_tokens")}
@@ -541,6 +542,10 @@ def main(argv=None) -> int:
     b.add_argument("--analyzer", default="standard",
                    help="analyzer registry key")
     b.add_argument("--id-column", default="url")
+    b.add_argument("--store-text", action="store_true",
+                   help="carry the original text into the index "
+                        "(content store: original doc contents and "
+                        "usecontent=orig concordances)")
     b.add_argument("--no-resume", action="store_true")
     b.set_defaults(fn=cmd_build)
 

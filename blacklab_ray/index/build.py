@@ -101,6 +101,14 @@ class BuildParams:
     #                                  tokenized | numeric | untokenized);
     #                                  the named input columns are carried
     #                                  into fwd and typed in meta.json
+    store_text: bool = False         # content-store analogue: carry the
+    #                                  original text column into fwd so
+    #                                  serving can return the stored
+    #                                  original (doc contents, BLS
+    #                                  usecontent=orig concordances)
+    #                                  instead of reconstructing from
+    #                                  tokens. Off by default: at corpus
+    #                                  scale it doubles fwd bytes
     multivalue_column: str | None = None  # standoff secondary values
     #                                  (list<struct<pos,value>>): indexed
     #                                  into the main annotation's
@@ -268,7 +276,8 @@ def build_index(source: str | list[str] | ray.data.Dataset, index_dir: str,
                       "annotations": tuple(params.annotations),
                       "multivalue_column": params.multivalue_column,
                       "metadata_cols": tuple(
-                          n for n, _t in params.metadata_fields)}
+                          n for n, _t in params.metadata_fields),
+                      "store_text": params.store_text}
         if params.tokenize_concurrency is not None:
             ds = ds.map_batches(
                 TokenizeForwardIndex,
@@ -379,7 +388,8 @@ def build_index(source: str | list[str] | ray.data.Dataset, index_dir: str,
                 batch_size=params.batch_size,
                 files_per_map=params.files_per_map,
                 analyzer=params.analyzer,
-                annotations=tuple(params.annotations))
+                annotations=tuple(params.annotations),
+                store_text=params.store_text)
             if params.verify_doc_ids:
                 n_dup = check_doc_id_collisions(fwd_dir)
                 if n_dup:

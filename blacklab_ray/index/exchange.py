@@ -211,7 +211,8 @@ def _map_fused(paths: list[str], fwd_dir: str, chunk_id: int,
                paragraph_spans: bool, sentence_spans: bool,
                sensitive: bool, batch_size: int,
                analyzer: str = "standard",
-               annotations: tuple = ()) -> list:
+               annotations: tuple = (),
+               store_text: bool = False) -> list:
     """Fused single-pass map: pages chunk → extract → tokenize → write
     the fwd shard (atomic, deterministic name) → explode → split.
 
@@ -242,7 +243,8 @@ def _map_fused(paths: list[str], fwd_dir: str, chunk_id: int,
                                sentence_spans=sentence_spans,
                                sensitive=sensitive,
                                analyzer=analyzer,
-                               annotations=annotations)
+                               annotations=annotations,
+                               store_text=store_text)
     explode = ExplodePostings(num_buckets=num_buckets, n_salts=n_salts,
                               hot_terms=hot_terms)
     writer = None
@@ -291,7 +293,8 @@ def run_fused_build(page_paths: list[str], index_dir: str, *,
                     n_parts: int | None = None,
                     files_per_map: int | None = None,
                     analyzer: str = "standard",
-                    annotations: tuple = ()) -> dict:
+                    annotations: tuple = (),
+                    store_text: bool = False) -> dict:
     """Single-pass build: pages → (fwd shards + postings) in one wave of
     map tasks feeding the standard reduces. Returns per-part lineage."""
     files = sorted(page_paths)
@@ -319,7 +322,7 @@ def run_fused_build(page_paths: list[str], index_dir: str, *,
                                n_salts, hot_terms, extract_html,
                                trust_text, id_column, paragraph_spans,
                                sentence_spans, sensitive, batch_size,
-                               analyzer, annotations)
+                               analyzer, annotations, store_text)
                for ci, c in enumerate(chunks)]
     vocab_refs = [m[n_parts] for m in map_out]
     reduce_refs = []

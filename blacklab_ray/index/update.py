@@ -73,7 +73,7 @@ def _inherit_layout(index_dir: str, params: BuildParams) -> BuildParams:
         for k in ("num_buckets", "n_salts", "block_size",
                   "max_seg_postings", "paragraph_spans",
                   "sentence_spans", "id_column", "codec",
-                  "exchange", "sensitive", "analyzer"):
+                  "exchange", "sensitive", "analyzer", "store_text"):
             if k in rec:
                 setattr(params, k, rec[k])
         if "annotations" in rec:
@@ -303,7 +303,7 @@ def merge_indexes(dst_index: str, src_index: str,
             if isinstance(v, (list, tuple)) else v
     for k in ("analyzer", "sensitive", "annotations", "metadata_fields",
               "paragraph_spans", "sentence_spans", "id_column",
-              "multivalue_column"):
+              "multivalue_column", "store_text"):
         if k in src_params and _norm(getattr(params, k)) \
                 != _norm(src_params[k]):
             raise ValueError(

@@ -277,6 +277,53 @@ def _capture_groups(spans_tbl, first: int, number: int,
     return out
 
 
+def _stored_texts(reader, doc_ids: np.ndarray) -> dict:
+    """doc_id → stored original text (content-store column), pruned
+    isin gather; {} when the index was built without store_text."""
+    import pyarrow.compute as pc
+    ds = reader.fwd_dataset()
+    if "text" not in ds.schema.names:
+        return {}
+    uniq = np.unique(doc_ids)
+    tbl = ds.to_table(columns=["doc_id", "text"],
+                      filter=pc.field("doc_id").isin(uniq.tolist()))
+    return dict(zip(tbl["doc_id"].to_pylist(),
+                    tbl["text"].to_pylist()))
+
+
+def _orig_concordances(reader, wd, ws, we, n_ctx: int):
+    """Per-hit (left, match, right) RAW TEXT fragments cut from the
+    stored original by token char offsets — BLS's
+    ConcordanceType.CONTENT_STORE (usecontent=orig). Returns None when
+    the index has no content-store column, or per-hit None when the
+    offset tokenizer doesn't align with the indexed positions (custom
+    analyzers) — callers fall back to forward-index rendering."""
+    from blacklab_ray.stages.offsets import token_offsets
+    texts = _stored_texts(reader, wd)
+    if not texts:
+        return None
+    offcache: dict[int, list] = {}
+    out = []
+    for did, a, b in zip(wd.tolist(), ws.tolist(), we.tolist()):
+        txt = texts.get(int(did))
+        if txt is None:
+            out.append(None)
+            continue
+        offs = offcache.get(int(did))
+        if offs is None:
+            offs = offcache[int(did)] = token_offsets(txt)
+        if b > len(offs) or a < 0 or a >= b:
+            out.append(None)     # offset/position misalignment
+            continue
+        lo = max(0, a - n_ctx)
+        hi = min(len(offs), b + n_ctx)
+        left = txt[offs[lo][0]:offs[a][0]] if a > lo else ""
+        match = txt[offs[a][0]:offs[b - 1][1]]
+        right = txt[offs[b - 1][1]:offs[hi - 1][1]] if hi > b else ""
+        out.append((left, match, right))
+    return out
+
+
 def _render_hits(reader, params: dict, d, s, e,
                  spans_tbl=None) -> dict:
     """Window + context + docInfos for a span set (the hits response
@@ -293,6 +340,16 @@ def _render_hits(reader, params: dict, d, s, e,
     hits = [{"docPid": str(u), "start": int(a), "end": int(b),
              "left": L, "match": M, "right": R}
             for u, a, b, (L, M, R) in zip(urls, ws, we, ctx)]
+    if params.get("usecontent") == "orig":
+        # BLS usecontent=orig: concordances cut from the stored
+        # original (content store) instead of forward-index tokens;
+        # hits whose doc/analyzer can't be offset-aligned keep the
+        # fwd rendering
+        orig = _orig_concordances(reader, wd, ws, we, n_ctx)
+        if orig is not None:
+            for h, frag in zip(hits, orig):
+                if frag is not None:
+                    h["left"], h["match"], h["right"] = frag
     if spans_tbl is not None:
         groups = _capture_groups(
             spans_tbl, first, number,
@@ -633,16 +690,19 @@ def handle_doc_snippet(reader, pid: str, params: dict) -> dict:
 
 
 def handle_doc_contents(reader, pid: str) -> str:
-    """GET /corpora/<c>/docs/<pid>/contents — the document rendered
-    from the FORWARD INDEX (tokens joined punct-aware when the corpus
-    stores punctuation). The reference serves the stored original from
-    its content store (RequestHandlerDocContents.java); this engine's
-    content store is the source parquet, and the serving surface
-    reconstructs the analyzed text instead — documented deviation."""
+    """GET /corpora/<c>/docs/<pid>/contents — the STORED ORIGINAL when
+    the index was built with ``store_text`` (the content-store
+    analogue, matching RequestHandlerDocContents.java), else the
+    document rendered from the FORWARD INDEX (tokens joined
+    punct-aware when the corpus stores punctuation) — the documented
+    deviation for indexes without a content store."""
     import os
 
     import pyarrow.compute as pc
     did, dl = _doc_by_pid(reader, pid)
+    stored = _stored_texts(reader, np.array([did], np.int64))
+    if stored:
+        return stored[did]
     pos = np.arange(dl, dtype=np.int64)
     toks = reader.tokens_at(np.full(dl, did, dtype=np.int64), pos)
     words = ["" if t is None else t for t in toks]

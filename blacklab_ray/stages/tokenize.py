@@ -71,7 +71,8 @@ class TokenizeForwardIndex:
                  analyzer: str = "standard",
                  annotations: tuple[str, ...] = (),
                  multivalue_column: str | None = None,
-                 metadata_cols: tuple[str, ...] = ()):
+                 metadata_cols: tuple[str, ...] = (),
+                 store_text: bool = False):
         from blacklab_ray.analysis.analyzers import get_analyzer
         self._id_column = id_column
         self._para = paragraph_spans
@@ -94,6 +95,10 @@ class TokenizeForwardIndex:
         # columns carried verbatim into the fwd rows; their declared
         # types live in meta.json and drive filter_docs_meta semantics
         self._metadata_cols = tuple(metadata_cols)
+        # content-store analogue (ContentStore.java semantics one column
+        # over): carry the (post-extraction) original text into fwd so
+        # serving can return the stored original
+        self._store_text = bool(store_text)
         # extra PARALLEL annotations (lemma/pos — the reference's
         # multi-annotation data model, AnnotatedField.java:14): each
         # name is a list<string> input column whose element i is the
@@ -243,6 +248,8 @@ class TokenizeForwardIndex:
                 raise KeyError(f"metadata field {name!r} not in input "
                                f"columns {batch.column_names}")
             cols[name] = batch.column(name)
+        if self._store_text:
+            cols["text"] = batch.column("text")
         return pa.table(cols)
 
     def _term_vector(self, parents, tokens, positions, n_docs,

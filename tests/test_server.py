@@ -652,3 +652,48 @@ def test_handle_docs_sort(srv_reader):
     import pytest as _p
     with _p.raises(KeyError):
         handle_docs(srv_reader, {"sort": "bogus"})
+
+
+def test_content_store_orig_contents_and_concordances(
+        ray_session, tmp_path_factory):
+    """store_text builds carry the original text: /docs/<pid>/contents
+    serves the STORED original (casing + punctuation preserved), and
+    /hits?usecontent=orig cuts raw-text concordances from it by token
+    char offsets (ConcordanceType.CONTENT_STORE analogue). Indexes
+    without store_text keep the reconstructed-text deviation."""
+    from blacklab_ray.index import BuildParams, build_index
+    from blacklab_ray.server import handle_doc_contents, handle_hits
+    from blacklab_ray.query import IndexReader
+    root = tmp_path_factory.mktemp("cstore")
+    orig = "The QUICK, brown fox -- jumps!"
+    tbl = pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "url": ["d0", "d1"],
+        "text": [orig, "a quick dog"],
+    })
+    src = root / "p.parquet"
+    pq.write_table(tbl, str(src))
+    idx = str(root / "idx")
+    build_index(str(src), idx,
+                BuildParams(num_buckets=2, n_salts=1,
+                            id_column="doc_id", store_text=True))
+    r = IndexReader(idx)
+    assert handle_doc_contents(r, "d0") == orig
+    resp = handle_hits(r, {"patt": '"quick"', "usecontent": "orig",
+                           "wordsaroundhit": "1"})
+    h0 = next(h for h in resp["hits"] if h["docPid"] == "d0")
+    assert h0["match"] == "QUICK"
+    assert h0["left"] == "The "
+    assert h0["right"] == ", brown"
+    # fwd rendering unchanged without the param
+    resp_fi = handle_hits(r, {"patt": '"quick"',
+                              "wordsaroundhit": "1"})
+    h0fi = next(h for h in resp_fi["hits"] if h["docPid"] == "d0")
+    assert h0fi["match"]["word"] == ["quick"]
+    # a store-less index keeps the deviation (reconstructed text)
+    idx2 = str(root / "idx2")
+    build_index(str(src), idx2,
+                BuildParams(num_buckets=2, n_salts=1,
+                            id_column="doc_id"))
+    r2 = IndexReader(idx2)
+    assert handle_doc_contents(r2, "d0") != orig

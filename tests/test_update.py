@@ -514,3 +514,27 @@ def test_delete_by_url_id_column_index(ray_session, tmp_path_factory):
     from blacklab_ray.query.engine import search
     res = search(r, ["gamma"], k=10)
     assert 11 not in res["doc_id"].to_pylist()
+
+
+def test_merge_indexes_incompatible_store_text(tmp_path, ray_session):
+    """store_text is fwd-schema-shaping: merging a content-store index
+    into a store-less one would split the fwd schema — rejected."""
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    from blacklab_ray.index import BuildParams, build_index
+    from blacklab_ray.index.update import merge_indexes
+    from blacklab_ray.sources.synth import generate_pages
+    a_src = tmp_path / "a"
+    b_src = tmp_path / "b"
+    a_src.mkdir(); b_src.mkdir()
+    pq.write_table(generate_pages(10), str(a_src / "p.parquet"))
+    pq.write_table(generate_pages(10, doc_offset=10),
+                   str(b_src / "p.parquet"))
+    a_idx = str(tmp_path / "ai")
+    b_idx = str(tmp_path / "bi")
+    build_index(str(a_src), a_idx,
+                BuildParams(num_buckets=2, n_salts=1, store_text=True))
+    build_index(str(b_src), b_idx, BuildParams(num_buckets=2, n_salts=1))
+    with _pytest.raises(ValueError, match="store_text"):
+        merge_indexes(a_idx, b_idx)
