@@ -689,20 +689,33 @@ def handle_doc_snippet(reader, pid: str, params: dict) -> dict:
     }
 
 
-def handle_doc_contents(reader, pid: str) -> str:
+def handle_doc_contents(reader, pid: str,
+                        params: dict | None = None) -> str:
     """GET /corpora/<c>/docs/<pid>/contents — the STORED ORIGINAL when
     the index was built with ``store_text`` (the content-store
     analogue, matching RequestHandlerDocContents.java), else the
     document rendered from the FORWARD INDEX (tokens joined
     punct-aware when the corpus stores punctuation) — the documented
-    deviation for indexes without a content store."""
+    deviation for indexes without a content store. ``patt=`` wraps
+    the pattern's hits in this doc in ``<hl>`` markers
+    (RequestHandlerDocContents' highlighting), stored-original builds
+    only."""
     import os
 
     import pyarrow.compute as pc
     did, dl = _doc_by_pid(reader, pid)
     stored = _stored_texts(reader, np.array([did], np.int64))
     if stored:
-        return stored[did]
+        txt = stored[did]
+        patt = (params or {}).get("patt")
+        if patt:
+            from blacklab_ray.stages.offsets import highlight
+            d, s, e = _spans_for(reader, patt, None)
+            mine = d == did
+            spans = list(zip(s[mine].tolist(), e[mine].tolist()))
+            if spans:
+                txt = highlight(txt, spans)
+        return txt
     pos = np.arange(dl, dtype=np.int64)
     toks = reader.tokens_at(np.full(dl, did, dtype=np.int64), pos)
     words = ["" if t is None else t for t in toks]
@@ -1308,7 +1321,7 @@ class BlsApp:
             resp = handle_doc_snippet(reader, parts[3], params)
         elif op == "docs" and len(parts) == 4 and sub == "contents":
             # contents is raw text, never DataStream-wrapped
-            return handle_doc_contents(reader, parts[3]), \
+            return handle_doc_contents(reader, parts[3], params), \
                 "text/plain; charset=utf-8"
         elif op == "termfreq":
             resp = handle_termfreq(reader, params)

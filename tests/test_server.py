@@ -697,3 +697,29 @@ def test_content_store_orig_contents_and_concordances(
                             id_column="doc_id"))
     r2 = IndexReader(idx2)
     assert handle_doc_contents(r2, "d0") != orig
+
+
+def test_doc_contents_patt_highlighting(ray_session, tmp_path_factory):
+    """/docs/<pid>/contents?patt= wraps that doc's hits in <hl> within
+    the stored original (RequestHandlerDocContents highlighting)."""
+    from blacklab_ray.index import BuildParams, build_index
+    from blacklab_ray.query import IndexReader
+    from blacklab_ray.server import BlsApp
+    root = tmp_path_factory.mktemp("hlstore")
+    tbl = pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "url": ["d0", "d1"],
+        "text": ["The quick fox, the quick dog.", "slow snail"],
+    })
+    src = root / "p.parquet"
+    pq.write_table(tbl, str(src))
+    idx = str(root / "idx")
+    build_index(str(src), idx,
+                BuildParams(num_buckets=2, n_salts=1,
+                            id_column="doc_id", store_text=True))
+    call = _mkcall(BlsApp({"c": IndexReader(idx)}))
+    _, ct, body = call("/corpora/c/docs/d0/contents?patt=%22quick%22")
+    assert body == "The <hl>quick</hl> fox, the <hl>quick</hl> dog."
+    # no patt -> raw stored original
+    _, _, raw = call("/corpora/c/docs/d0/contents")
+    assert raw == "The quick fox, the quick dog."
