@@ -672,6 +672,19 @@ def handle_doc_snippet(reader, pid: str, params: dict) -> dict:
     if not (0 <= hitstart < hitend <= dl):
         raise ValueError(f"hit window [{hitstart},{hitend}) outside "
                          f"document (0..{dl})")
+    if params.get("usecontent") == "orig":
+        # content-store snippet: raw-text fragments cut by char
+        # offsets (RequestHandlerDocSnippet's ConcordanceType.
+        # CONTENT_STORE branch); falls through to token arrays when
+        # the index stores no original or offsets misalign
+        wd = np.array([did], np.int64)
+        frags = _orig_concordances(reader, wd,
+                                   np.array([hitstart], np.int64),
+                                   np.array([hitend], np.int64), n_ctx)
+        if frags and frags[0] is not None:
+            L, M, R = frags[0]
+            return {"docPid": pid, "start": hitstart, "end": hitend,
+                    "left": L, "match": M, "right": R}
     lo = max(0, hitstart - n_ctx)
     hi = min(dl, hitend + n_ctx)
     arrays = _token_arrays(reader, did, lo, hi)

@@ -723,3 +723,33 @@ def test_doc_contents_patt_highlighting(ray_session, tmp_path_factory):
     # no patt -> raw stored original
     _, _, raw = call("/corpora/c/docs/d0/contents")
     assert raw == "The quick fox, the quick dog."
+
+
+def test_doc_snippet_usecontent_orig(ray_session, tmp_path_factory):
+    """/docs/<pid>/snippet?usecontent=orig returns raw-text fragments
+    from the stored original (content-store snippet)."""
+    from blacklab_ray.index import BuildParams, build_index
+    from blacklab_ray.query import IndexReader
+    from blacklab_ray.server import handle_doc_snippet
+    root = tmp_path_factory.mktemp("snorig")
+    tbl = pa.table({
+        "doc_id": pa.array([0], pa.int64()),
+        "url": ["d0"],
+        "text": ["The QUICK, brown fox jumps."],
+    })
+    src = root / "p.parquet"
+    pq.write_table(tbl, str(src))
+    idx = str(root / "idx")
+    build_index(str(src), idx,
+                BuildParams(num_buckets=2, n_salts=1,
+                            id_column="doc_id", store_text=True))
+    r = IndexReader(idx)
+    snip = handle_doc_snippet(r, "d0", {"hitstart": 1, "hitend": 2,
+                                        "wordsaroundhit": 1,
+                                        "usecontent": "orig"})
+    assert snip["left"] == "The " and snip["match"] == "QUICK" \
+        and snip["right"] == ", brown"
+    # token-array shape preserved without the param
+    fi = handle_doc_snippet(r, "d0", {"hitstart": 1, "hitend": 2,
+                                      "wordsaroundhit": 1})
+    assert fi["match"]["word"] == ["quick"]
