@@ -99,9 +99,13 @@ def _allowed_ids(reader, filter_expr: str | None):
 # handlers
 # ---------------------------------------------------------------------------
 
-def _context(reader, doc_ids, starts, ends, n_ctx: int):
+def _context(reader, doc_ids, starts, ends, n_ctx: int,
+             annots: tuple[str, ...] = ()):
     """left/match/right word lists per hit via forward-index gathers
-    (Kwics/Contexts semantics) — one batched tokens_at per region."""
+    (Kwics/Contexts semantics) — one batched tokens_at per annotation.
+    ``annots`` adds parallel annotations (lemma/pos/…) to each region
+    dict — BLS lists all annotations by default; here the word-only
+    default keeps the gather minimal and ``listvalues=`` opts in."""
     doc_lens = reader.doc_lens(doc_ids)
     regions: list[list[int]] = []
     flat_docs: list[int] = []
@@ -115,16 +119,21 @@ def _context(reader, doc_ids, starts, ends, n_ctx: int):
         for part in span:
             flat_docs += [int(d)] * len(part)
             flat_pos += part
-    words = reader.tokens_at(np.array(flat_docs, dtype=np.int64),
-                             np.array(flat_pos, dtype=np.int64))
+    fd = np.array(flat_docs, dtype=np.int64)
+    fp = np.array(flat_pos, dtype=np.int64)
+    streams = {"word": reader.tokens_at(fd, fp)}
+    for a in annots:
+        streams[a] = reader.tokens_at(fd, fp, annotation=a)
     out = []
     i = 0
     for nl, nm, nr in regions:
-        left = words[i:i + nl]
-        match = words[i + nl:i + nl + nm]
-        right = words[i + nl + nm:i + nl + nm + nr]
+        L, M, R = {}, {}, {}
+        for name, toks in streams.items():
+            L[name] = toks[i:i + nl]
+            M[name] = toks[i + nl:i + nl + nm]
+            R[name] = toks[i + nl + nm:i + nl + nm + nr]
         i += nl + nm + nr
-        out.append(({"word": left}, {"word": match}, {"word": right}))
+        out.append((L, M, R))
     return out
 
 
@@ -335,7 +344,17 @@ def _render_hits(reader, params: dict, d, s, e,
     n_docs = int(np.unique(d).size)
     wd, ws, we = d[first:first + number], s[first:first + number], \
         e[first:first + number]
-    ctx = _context(reader, wd, ws, we, n_ctx)
+    annots: tuple[str, ...] = ()
+    if params.get("listvalues"):
+        have = set(_annotation_names(reader))
+        want = [a for a in params["listvalues"].split(",")
+                if a and a != "word"]
+        missing = [a for a in want if a not in have]
+        if missing:
+            raise KeyError(f"unknown annotation(s) in listvalues: "
+                           f"{missing}")
+        annots = tuple(want)
+    ctx = _context(reader, wd, ws, we, n_ctx, annots=annots)
     urls = reader.urls(wd)
     hits = [{"docPid": str(u), "start": int(a), "end": int(b),
              "left": L, "match": M, "right": R}

@@ -753,3 +753,35 @@ def test_doc_snippet_usecontent_orig(ray_session, tmp_path_factory):
     fi = handle_doc_snippet(r, "d0", {"hitstart": 1, "hitend": 2,
                                       "wordsaroundhit": 1})
     assert fi["match"]["word"] == ["quick"]
+
+
+def test_hits_listvalues_annotations(ray_session, tmp_path_factory):
+    """listvalues= adds parallel annotations (lemma/...) to the
+    left/match/right context dicts; unknown names 400 clearly."""
+    from blacklab_ray.formats import read_pages
+    from blacklab_ray.index import BuildParams, build_index
+    from blacklab_ray.query import IndexReader
+    from blacklab_ray.server import handle_hits
+    tmp = tmp_path_factory.mktemp("listv")
+    lines = ["url\tpos\tword\tlemma",
+             "d1\t0\tcats\tcat", "d1\t1\tand\tand", "d1\t2\tdogs\tdog"]
+    tsv = tmp / "c.tsv"
+    tsv.write_text("\n".join(lines) + "\n")
+    idx = str(tmp / "idx")
+    build_index(read_pages("tabular-tsv", str(tsv)), idx,
+                BuildParams(num_buckets=2, n_salts=1,
+                            annotations=("lemma",)))
+    r = IndexReader(idx)
+    resp = handle_hits(r, {"patt": '"and"', "wordsaroundhit": "1",
+                           "listvalues": "lemma"})
+    h = resp["hits"][0]
+    assert h["match"]["word"] == ["and"]
+    assert h["match"]["lemma"] == ["and"]
+    assert h["left"]["lemma"] == ["cat"]
+    assert h["right"]["lemma"] == ["dog"]
+    # default stays word-only
+    resp0 = handle_hits(r, {"patt": '"and"', "wordsaroundhit": "1"})
+    assert "lemma" not in resp0["hits"][0]["match"]
+    import pytest as _p
+    with _p.raises(KeyError):
+        handle_hits(r, {"patt": '"and"', "listvalues": "nope"})
