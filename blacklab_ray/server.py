@@ -404,7 +404,17 @@ def _doc_field_lookup(reader, doc_ids: np.ndarray,
 
 def _group_keys(reader, spans_tbl, crit: str):
     """Per-hit group key under a HitProperty criterion; returns
-    (keys, property-name)."""
+    (keys, property-name). Comma-separated criteria compose
+    (HitPropertyMultiple: PropertySerializeUtil.splitMultiple on ','),
+    with component identities joined by ' / '
+    (PropertyValueMultiple.toString)."""
+    if "," in crit:
+        parts = [c for c in crit.split(",") if c]
+        if len(parts) > 1:
+            sub = [_group_keys(reader, spans_tbl, c) for c in parts]
+            keys = [" / ".join(ks) for ks in zip(*(k for k, _n in sub))]
+            return keys, ",".join(n for _k, n in sub)
+        crit = parts[0]
     d = spans_tbl["doc_id"].to_numpy()
     s = spans_tbl["start"].to_numpy()
     e = spans_tbl["end"].to_numpy()

@@ -785,3 +785,29 @@ def test_hits_listvalues_annotations(ray_session, tmp_path_factory):
     import pytest as _p
     with _p.raises(KeyError):
         handle_hits(r, {"patt": '"and"', "listvalues": "nope"})
+
+
+def test_hits_grouped_compound_criteria(srv_reader):
+    """Comma-separated group= composes criteria (HitPropertyMultiple):
+    identities join component values with ' / '."""
+    from blacklab_ray.server import handle_hits_grouped
+    resp = handle_hits_grouped(srv_reader,
+                               {"patt": '[word="q.*|s.*"]',
+                                "group": "hit:word:i,field:lang"})
+    idents = sorted(g["identityDisplay"] for g in resp["hitGroups"])
+    assert idents == ["quick / en", "slow / fr", "snail / fr"]
+    sizes = {g["identityDisplay"]: g["size"]
+             for g in resp["hitGroups"]}
+    assert sizes["quick / en"] == 2
+    # viewgroup addresses a compound identity
+    v = handle_hits_grouped(srv_reader,
+                            {"patt": '[word="q.*|s.*"]',
+                             "group": "hit:word:i,field:lang",
+                             "viewgroup": "quick / en"})
+    assert v["summary"]["numberOfHits"] == 2
+    # compound sort works too
+    from blacklab_ray.server import handle_hits
+    s = handle_hits(srv_reader, {"patt": '[word="q.*|s.*"]',
+                                 "sort": "field:lang,hit:word:i"})
+    assert [h["docPid"] for h in s["hits"]][-1] == "d2"   # fr last? no:
+    # en < fr collated; the fr doc's hit sorts last
