@@ -909,6 +909,30 @@ def handle_docs_grouped(reader, params: dict) -> dict:
         tbl = ds.to_table(columns=["doc_id", fieldname, "doc_len"],
                           filter=flt)
         hits_by_doc = {}
+    if params.get("viewgroup") is not None:
+        # group-contents view: the docs of ONE group
+        # (RequestHandlerDocsGrouped's viewgroup branch)
+        want = params["viewgroup"]
+        want = want.split(":", 1)[1] if want.startswith("str:") \
+            else want
+        sel = [(did, int(dl))
+               for did, val, dl in zip(tbl["doc_id"].to_pylist(),
+                                       tbl[fieldname].to_pylist(),
+                                       tbl["doc_len"].to_pylist())
+               if str(val) == want]
+        win = sel[first:first + number]
+        wd = np.array([did for did, _dl in win], np.int64)
+        urls = reader.urls(wd) if win else []
+        return {
+            "summary": _summary(params, first, number, len(win),
+                                len(sel), len(sel)),
+            "docs": [{
+                "docPid": str(u),
+                "numberOfHits": int(hits_by_doc.get(int(did), 0)),
+                "docInfo": {"pid": [str(u)], "lengthInTokens": dl,
+                            "mayView": True},
+            } for u, (did, dl) in zip(urls, win)],
+        }
     groups: dict[str, dict] = {}
     for did, val, dl in zip(tbl["doc_id"].to_pylist(),
                             tbl[fieldname].to_pylist(),

@@ -811,3 +811,22 @@ def test_hits_grouped_compound_criteria(srv_reader):
                                  "sort": "field:lang,hit:word:i"})
     assert [h["docPid"] for h in s["hits"]][-1] == "d2"   # fr last? no:
     # en < fr collated; the fr doc's hit sorts last
+
+
+def test_docs_grouped_viewgroup(srv_reader):
+    """/docs?group=field:lang&viewgroup=en returns that group's doc
+    list (the docs-grouped group-contents view)."""
+    from blacklab_ray.server import handle_docs_grouped
+    v = handle_docs_grouped(srv_reader, {"group": "field:lang",
+                                         "viewgroup": "en"})
+    assert [d["docPid"] for d in v["docs"]] == ["d0", "d1"]
+    assert v["summary"]["numberOfDocs"] == 2
+    # with patt, per-doc hit counts carry into the view
+    v2 = handle_docs_grouped(srv_reader, {"group": "field:lang",
+                                          "viewgroup": "en",
+                                          "patt": '"quick"'})
+    assert all(d["numberOfHits"] == 1 for d in v2["docs"])
+    # str: prefix convention accepted
+    v3 = handle_docs_grouped(srv_reader, {"group": "field:lang",
+                                          "viewgroup": "str:fr"})
+    assert [d["docPid"] for d in v3["docs"]] == ["d2"]
