@@ -221,3 +221,34 @@ def test_kwic_federated_spec(ray_session, tmp_path_factory):
     assert row0["left"] == "alpha" and row0["right"] == "beta"
     row1 = out[out["doc_id"] == 1].iloc[0]
     assert row1["left"] == "epsilon" and row1["right"] == "zeta"
+
+
+def test_federated_content_store(ray_session, tmp_path_factory):
+    """usecontent=orig and stored contents work over a federation:
+    _stored_texts gathers through the union fwd dataset."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from blacklab_ray.index import BuildParams, build_index
+    from blacklab_ray.query import MultiIndexReader
+    from blacklab_ray.server import handle_doc_contents, handle_hits
+    tmp = tmp_path_factory.mktemp("fedcs")
+    texts = [("d0", "The QUICK fox."), ("d1", "A QUICK dog!")]
+    dirs = []
+    for i, (u, t) in enumerate(texts):
+        src = tmp / f"s{i}"
+        src.mkdir()
+        pq.write_table(pa.table({"url": [u], "text": [t]}),
+                       str(src / "p.parquet"))
+        idx = str(tmp / f"i{i}")
+        build_index(str(src), idx,
+                    BuildParams(num_buckets=2, n_salts=1,
+                                store_text=True))
+        dirs.append(idx)
+    multi = MultiIndexReader(dirs)
+    assert handle_doc_contents(multi, "d1") == "A QUICK dog!"
+    resp = handle_hits(multi, {"patt": '"quick"',
+                               "usecontent": "orig",
+                               "wordsaroundhit": "1"})
+    matches = {h["docPid"]: h["match"] for h in resp["hits"]}
+    assert matches == {"d0": "QUICK", "d1": "QUICK"}
