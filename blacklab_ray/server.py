@@ -436,16 +436,34 @@ def _group_keys(reader, spans_tbl, crit: str):
         return keys, crit
     if crit.startswith("capture:"):
         cap = crit.rsplit(":", 1)[-1]
-        col = f"{cap}_pos"
-        if col not in spans_tbl.column_names:
-            raise KeyError(f"no capture group {cap!r} in pattern")
-        cpos = spans_tbl[col].to_numpy()
-        ok = cpos >= 0
-        toks = reader.tokens_at(d[ok], cpos[ok])
-        keys = [""] * int(d.size)
-        for i, t in zip(np.flatnonzero(ok), toks):
-            keys[int(i)] = t or ""
-        return keys, crit
+        if f"{cap}_pos" in spans_tbl.column_names:
+            cpos = spans_tbl[f"{cap}_pos"].to_numpy()
+            ok = cpos >= 0
+            toks = reader.tokens_at(d[ok], cpos[ok])
+            keys = [""] * int(d.size)
+            for i, t in zip(np.flatnonzero(ok), toks):
+                keys[int(i)] = t or ""
+            return keys, crit
+        if f"{cap}_start" in spans_tbl.column_names:
+            # multi-token group capture: identity is the captured
+            # sub-span's full text (same ragged batched gather as the
+            # hit:word identity below)
+            cs = spans_tbl[f"{cap}_start"].to_numpy()
+            ce = spans_tbl[f"{cap}_end"].to_numpy()
+            lens = np.maximum(ce - cs, 0).astype(np.int64)
+            csum = np.cumsum(lens) if lens.size else \
+                np.zeros(0, np.int64)
+            tot = int(csum[-1]) if lens.size else 0
+            flat_docs = np.repeat(d, lens)
+            flat_pos = (np.repeat(cs, lens)
+                        + np.arange(tot, dtype=np.int64)
+                        - np.repeat(csum - lens, lens))
+            toks = reader.tokens_at(flat_docs, flat_pos)
+            keys = [" ".join(filter(None, toks[a:b]))
+                    for a, b in zip((csum - lens).tolist(),
+                                    csum.tolist())]
+            return keys, crit
+        raise KeyError(f"no capture group {cap!r} in pattern")
     # group identity is the FULL matched text (BLS groups multi-token
     # hits by all tokens s..e-1, not the first word — ADVICE r3): one
     # batched tokens_at over the ragged positions

@@ -830,3 +830,15 @@ def test_docs_grouped_viewgroup(srv_reader):
     v3 = handle_docs_grouped(srv_reader, {"group": "field:lang",
                                           "viewgroup": "str:fr"})
     assert [d["docPid"] for d in v3["docs"]] == ["d2"]
+
+
+def test_hits_grouped_by_multitoken_capture(srv_reader):
+    """group=capture:word:i:<NAME> over a multi-token group capture
+    uses the captured sub-span's full text as the identity."""
+    from blacklab_ray.server import handle_hits_grouped
+    resp = handle_hits_grouped(
+        srv_reader, {"patt": 'A:("the" "quick") [word="fox"]',
+                     "group": "capture:word:i:A"})
+    assert [g["identityDisplay"] for g in resp["hitGroups"]] \
+        == ["the quick"]
+    assert resp["hitGroups"][0]["size"] == 1
