@@ -466,13 +466,24 @@ def build_index(source: str | list[str] | ray.data.Dataset, index_dir: str,
             # finish from the exchange's per-part stats: driver-side,
             # vocab-sized — no extra pipeline over the postings
             parts = pq.read_table(terms_parts_dir)
-            gb = parts.group_by("term").aggregate(
-                [("df_seg_sum", "sum"), ("ctf_seg_sum", "sum")])
-            stats_tbl = pa.table({
-                "term": gb["term"],
-                "doc_freq": gb["df_seg_sum_sum"].cast(pa.int64()),
-                "collection_tf": gb["ctf_seg_sum_sum"].cast(pa.int64()),
-            })
+            if "term" not in parts.column_names:
+                # zero-doc corpus: the exchange wrote schema-less
+                # empty parts — an empty index is valid (created
+                # empty, filled by add_documents later)
+                stats_tbl = pa.table({
+                    "term": pa.array([], pa.string()),
+                    "doc_freq": pa.array([], pa.int64()),
+                    "collection_tf": pa.array([], pa.int64()),
+                })
+            else:
+                gb = parts.group_by("term").aggregate(
+                    [("df_seg_sum", "sum"), ("ctf_seg_sum", "sum")])
+                stats_tbl = pa.table({
+                    "term": gb["term"],
+                    "doc_freq": gb["df_seg_sum_sum"].cast(pa.int64()),
+                    "collection_tf":
+                        gb["ctf_seg_sum_sum"].cast(pa.int64()),
+                })
             _fresh_dir(terms_dir)
             pq.write_table(stats_tbl,
                            os.path.join(terms_dir, "terms.parquet"))

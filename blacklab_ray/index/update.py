@@ -103,9 +103,18 @@ def _ensure_terms_parts(index_dir: str) -> None:
     post_dir = os.path.join(index_dir, "postings")
     import pyarrow.dataset as pads
     dset = pads.dataset(post_dir, partitioning="hive")
-    tbl = dset.to_table(columns=["term", "df_seg", "ctf_seg"])
-    stats = tbl.group_by("term").aggregate(
-        [("df_seg", "sum"), ("ctf_seg", "sum")])
+    if "term" in dset.schema.names:
+        tbl = dset.to_table(columns=["term", "df_seg", "ctf_seg"])
+        stats = tbl.group_by("term").aggregate(
+            [("df_seg", "sum"), ("ctf_seg", "sum")])
+    else:
+        # zero-doc base (index created empty): no postings yet —
+        # backfill a schema'd empty part so delta stats can merge
+        stats = pa.table({
+            "term": pa.array([], pa.string()),
+            "df_seg_sum": pa.array([], pa.int64()),
+            "ctf_seg_sum": pa.array([], pa.int64()),
+        })
     os.makedirs(tdir, exist_ok=True)
     out = os.path.join(tdir, "part-backfill.parquet")
     pq.write_table(stats, out + ".tmp")

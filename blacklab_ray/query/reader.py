@@ -239,9 +239,25 @@ class IndexReader:
         """The forward-index Parquet dataset — THE handle for doc-table
         reads (serving-tier doc info/snippets/fields); goes through a
         method so the federated MultiIndexReader can substitute a
-        union over its sub-indexes."""
-        return pa_ds.dataset(os.path.join(self.index_dir, "fwd"),
-                             format="parquet")
+        union over its sub-indexes. A zero-doc index (created empty,
+        filled later) has no fwd files yet — return a schema'd empty
+        dataset so pushdown gathers see the canonical columns instead
+        of failing on a schema-less dir."""
+        d = pa_ds.dataset(os.path.join(self.index_dir, "fwd"),
+                          format="parquet")
+        if "doc_id" not in d.schema.names:
+            empty = pa.table({
+                "doc_id": pa.array([], pa.int64()),
+                "url": pa.array([], pa.string()),
+                "lang": pa.array([], pa.string()),
+                "doc_len": pa.array([], pa.int64()),
+                "norm": pa.array([], pa.int64()),
+                "terms": pa.array([], pa.list_(pa.string())),
+                "tfs": pa.array([], pa.list_(pa.int64())),
+                "pos": pa.array([], pa.list_(pa.binary())),
+            })
+            return pa_ds.dataset(empty)
+        return d
 
     def mask_tombstones(self, doc_ids: np.ndarray) -> np.ndarray:
         """Boolean mask of NON-deleted docs (vectorized)."""
@@ -349,8 +365,7 @@ class IndexReader:
         missing = [int(d) for d in np.unique(doc_ids)
                    if int(d) not in self._doclen_cache]
         if missing:
-            ds = pa_ds.dataset(os.path.join(self.index_dir, "fwd"),
-                               format="parquet")
+            ds = self.fwd_dataset()
             tbl = ds.to_table(columns=["doc_id", "doc_len"],
                               filter=pc.field("doc_id").isin(missing))
             for d, n in zip(tbl["doc_id"].to_numpy(),
@@ -377,8 +392,7 @@ class IndexReader:
         missing = [int(d) for d in np.unique(doc_ids)
                    if int(d) not in self._norm_cache]
         if missing:
-            ds = pa_ds.dataset(os.path.join(self.index_dir, "fwd"),
-                               format="parquet")
+            ds = self.fwd_dataset()
             tbl = ds.to_table(columns=["doc_id", "norm"],
                               filter=pc.field("doc_id").isin(missing))
             for d, n in zip(tbl["doc_id"].to_numpy(),
@@ -406,8 +420,7 @@ class IndexReader:
         per fwd row group; each yielded chunk is sorted (global
         cross-chunk order is not needed: complement evaluation is
         per-doc and results are re-sorted by unique_spans)."""
-        ds = pa_ds.dataset(os.path.join(self.index_dir, "fwd"),
-                           format="parquet")
+        ds = self.fwd_dataset()
         buf: list[np.ndarray] = []
         n = 0
         for batch in ds.to_batches(columns=["doc_id"],
@@ -429,8 +442,7 @@ class IndexReader:
         """Resolve urls for (top-k-sized) doc id sets via a doc_id-pruned
         gather — never materializes the full url column (VERDICT r1 #7)."""
         doc_ids = np.asarray(doc_ids, dtype=np.int64)
-        ds = pa_ds.dataset(os.path.join(self.index_dir, "fwd"),
-                           format="parquet")
+        ds = self.fwd_dataset()
         need = [int(x) for x in np.unique(doc_ids)]
         tbl = ds.to_table(columns=["doc_id", "url"],
                           filter=pc.field("doc_id").isin(need))
@@ -549,8 +561,7 @@ class IndexReader:
         missing = [int(d) for d in need
                    if (annot, int(d)) not in self._fwd_tok_cache]
         if missing:
-            ds = pa_ds.dataset(os.path.join(self.index_dir, "fwd"),
-                               format="parquet")
+            ds = self.fwd_dataset()
             cols = ["doc_id", f"terms{suffix}", f"tfs{suffix}",
                     f"pos{suffix}"]
             if annot is not None and \

@@ -25,6 +25,7 @@ protocol in front of them.
 from __future__ import annotations
 
 import json
+import os
 import re
 from typing import Any
 from xml.sax.saxutils import escape, quoteattr
@@ -1246,13 +1247,20 @@ class BlsApp:
       with a JSON array of page objects appends via
       ``update.add_documents``; ``DELETE /corpora/<name>/docs/<pid>``
       tombstones by pid. The corpus reader is reopened after either.
+    - index management (RequestHandlerCreateIndex/DeleteIndex
+      analogues, ``data_dir`` required): ``POST /corpora/<name>``
+      creates an empty index under the server's data dir (filled via
+      POST docs later); ``DELETE /corpora/<name>`` removes a
+      data-dir-owned index from disk and the registry.
 
     ``outputformat`` json (default) | xml | csv (hits/docs/grouped).
     """
 
-    def __init__(self, readers: dict, index_dirs: dict | None = None):
+    def __init__(self, readers: dict, index_dirs: dict | None = None,
+                 data_dir: str | None = None):
         self._readers = readers
         self._dirs = dict(index_dirs or {})
+        self._data_dir = data_dir
 
     def __call__(self, environ, start_response):
         from urllib.parse import parse_qsl
@@ -1273,6 +1281,10 @@ class BlsApp:
             body = json.dumps({"error": {"code": "NOT_FOUND",
                                          "message": str(e)}})
             ctype, status = "application/json", "404 Not Found"
+        except ValueError as e:
+            body = json.dumps({"error": {"code": "BAD_REQUEST",
+                                         "message": str(e)}})
+            ctype, status = "application/json", "400 Bad Request"
         except Exception as e:   # noqa: BLE001 — wire boundary
             body = json.dumps({"error": {
                 "code": "INTERNAL_ERROR", "message": str(e)}})
@@ -1325,6 +1337,56 @@ class BlsApp:
         raise KeyError(f"unsupported mutation {method} on "
                        f"{'/'.join(parts)}")
 
+    def _create_index(self, name: str, params: dict) -> dict:
+        """POST /corpora/<name> — create an empty index under the
+        server's data dir (RequestHandlerCreateIndex analogue; BLS
+        user indexes start empty and are filled via add-to-index)."""
+        import re as _re
+
+        import pyarrow as pa
+
+        import ray.data
+
+        from blacklab_ray.index import BuildParams, build_index
+        from blacklab_ray.query import IndexReader
+        if not self._data_dir:
+            raise ValueError("index creation needs a server data_dir")
+        if not _re.fullmatch(r"[A-Za-z0-9._-]+", name):
+            raise ValueError(f"invalid index name {name!r}")
+        idx = os.path.join(self._data_dir, name)
+        if name in self._readers or os.path.exists(idx):
+            raise ValueError(f"corpus {name!r} already exists")
+        empty = pa.table({"url": pa.array([], pa.string()),
+                          "text": pa.array([], pa.string())})
+        build_index(ray.data.from_arrow(empty), idx,
+                    BuildParams(
+                        num_buckets=int(params.get("buckets", 4)),
+                        n_salts=int(params.get("salts", 1)),
+                        store_text=params.get("storetext", "")
+                        in ("true", "yes", "1")))
+        self._dirs[name] = idx
+        self._readers[name] = IndexReader(idx)
+        return {"status": {"code": "SUCCESS"}, "indexName": name}
+
+    def _delete_index(self, name: str) -> dict:
+        """DELETE /corpora/<name> — remove a data-dir-owned index
+        (RequestHandlerDeleteIndex analogue); registered indexes
+        outside the data dir are protected."""
+        import shutil
+        if name not in self._readers:
+            raise KeyError(f"unknown corpus {name!r}")
+        d = self._dirs.get(name)
+        root = os.path.realpath(self._data_dir) if self._data_dir \
+            else None
+        if not d or root is None or not \
+                os.path.realpath(d).startswith(root + os.sep):
+            raise ValueError(f"corpus {name!r} is not a data-dir "
+                             "index; refusing to delete")
+        shutil.rmtree(d)
+        del self._dirs[name]
+        del self._readers[name]
+        return {"status": {"code": "SUCCESS"}, "deleted": name}
+
     def _route(self, path: str, params: dict, method: str = "GET",
                body_in: bytes = b"") -> tuple[str, str]:
         from urllib.parse import unquote
@@ -1360,6 +1422,10 @@ class BlsApp:
         if len(parts) < 2:
             raise KeyError("no corpus named")
         name = parts[1]
+        if len(parts) == 2 and method == "POST":
+            return emit(self._create_index(name, params))
+        if len(parts) == 2 and method == "DELETE":
+            return emit(self._delete_index(name))
         reader = self._readers[name]
         op = parts[2] if len(parts) > 2 else None
         # pids are urls and may contain slashes (the server decodes

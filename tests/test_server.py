@@ -324,7 +324,7 @@ def test_breadth_endpoints(srv_index):
     st, _, body = call("/cache-clear", method="POST")
     assert json.loads(body)["status"]["code"] == "SUCCESS"
     st, _, _ = call("/cache-clear")          # GET is rejected
-    assert st.startswith("500")
+    assert st.startswith("400")
 
     for path in ("/corpora/test/docs?group=field:lang&outputformat=xml",
                  "/corpora/test/fields/year?outputformat=xml",
@@ -371,7 +371,7 @@ def test_mutation_endpoints(ray_session, srv_index, tmp_path):
     ro = BlsApp({"r": IndexReader(idx)})
     st, _, body = _mkcall(ro)("/corpora/r/docs", method="POST",
                               body=b"[]")
-    assert st.startswith("500")
+    assert st.startswith("400")
 
 
 def test_wsgi_live_roundtrip(srv_index):
@@ -842,3 +842,39 @@ def test_hits_grouped_by_multitoken_capture(srv_reader):
     assert [g["identityDisplay"] for g in resp["hitGroups"]] \
         == ["the quick"]
     assert resp["hitGroups"][0]["size"] == 1
+
+
+def test_index_create_and_delete_lifecycle(ray_session,
+                                           tmp_path_factory):
+    """POST /corpora/<name> creates an empty data-dir index (searches
+    return nothing), POST docs fills it, DELETE /corpora/<name>
+    removes it; non-data-dir indexes refuse deletion."""
+    import os
+
+    from blacklab_ray.server import BlsApp
+    data_dir = str(tmp_path_factory.mktemp("blsdata"))
+    app = BlsApp({}, {}, data_dir=data_dir)
+    call = _mkcall(app)
+    st, _, body = call("/corpora/mycorp?buckets=2", method="POST")
+    assert st.startswith("200") and \
+        json.loads(body)["status"]["code"] == "SUCCESS"
+    st, _, body = call("/corpora/mycorp/hits?patt=%22hello%22")
+    assert json.loads(body)["summary"]["numberOfHits"] == 0
+    # fill it
+    pages = json.dumps([{"url": "u0", "text": "hello world"}]).encode()
+    st, _, body = call("/corpora/mycorp/docs", method="POST",
+                       body=pages)
+    assert json.loads(body)["status"]["code"] == "SUCCESS"
+    st, _, body = call("/corpora/mycorp/hits?patt=%22hello%22")
+    assert json.loads(body)["summary"]["numberOfHits"] == 1
+    # duplicate create rejected; bad names rejected
+    st, _, _b = call("/corpora/mycorp", method="POST")
+    assert st.startswith("400")
+    st, _, _b = call("/corpora/..%2Fevil", method="POST")
+    assert st.startswith("400")
+    # delete removes dir + registry
+    st, _, body = call("/corpora/mycorp", method="DELETE")
+    assert json.loads(body)["deleted"] == "mycorp"
+    assert not os.path.exists(os.path.join(data_dir, "mycorp"))
+    st, _, _b = call("/corpora/mycorp/hits?patt=%22x%22")
+    assert not st.startswith("200")
