@@ -170,16 +170,21 @@ def cmd_kwic(args) -> int:
 
 def cmd_serve(args) -> int:
     """BLS-style HTTP server over one or more built indexes
-    (``--corpus name=/path/to/index``, repeatable)."""
+    (``--corpus name=/path/to/index``, repeatable); ``--data-dir``
+    enables index management (create/delete) and auto-registers the
+    indexes already under it."""
     _ray_session()
     from blacklab_ray.server import serve
     dirs = {}
-    for spec in args.corpus:
+    for spec in args.corpus or []:
         name, _, path = spec.partition("=")
         if not path:
             name, path = "default", spec
         dirs[name] = path
-    httpd, _ = serve(dirs, host=args.host, port=args.port)
+    if not dirs and not args.data_dir:
+        raise SystemExit("serve needs --corpus and/or --data-dir")
+    httpd, _ = serve(dirs, host=args.host, port=args.port,
+                     data_dir=args.data_dir)
     print(json.dumps({"serving": sorted(dirs),
                       "port": httpd.server_address[1]}))
     try:
@@ -592,8 +597,12 @@ def main(argv=None) -> int:
     kw.set_defaults(fn=cmd_kwic)
 
     sv = sub.add_parser("serve")
-    sv.add_argument("--corpus", action="append", required=True,
+    sv.add_argument("--corpus", action="append", default=None,
                     help="name=/path/to/index (repeatable)")
+    sv.add_argument("--data-dir", default=None,
+                    help="writable index root: enables POST/DELETE "
+                         "/corpora/<name> and auto-registers its "
+                         "existing indexes")
     sv.add_argument("--host", default="127.0.0.1")
     sv.add_argument("--port", type=int, default=8080)
     sv.set_defaults(fn=cmd_serve)

@@ -1490,13 +1490,22 @@ def _open_index(spec: str):
 
 
 def serve(index_dirs: dict, host: str = "127.0.0.1",
-          port: int = 8080):
+          port: int = 8080, data_dir: str | None = None):
     """Blocking localhost server: ``index_dirs`` maps corpus name →
-    index dir. Returns (httpd, app) when ``port=0`` picks a free port
+    index dir. ``data_dir`` enables index management (POST/DELETE
+    /corpora/<name>) and auto-registers every existing index dir
+    under it. Returns (httpd, app) when ``port=0`` picks a free port
     (tests); call ``httpd.serve_forever()``."""
     from wsgiref.simple_server import make_server
 
+    index_dirs = dict(index_dirs)
+    if data_dir and os.path.isdir(data_dir):
+        for name in sorted(os.listdir(data_dir)):
+            d = os.path.join(data_dir, name)
+            if name not in index_dirs and \
+                    os.path.exists(os.path.join(d, "meta.json")):
+                index_dirs[name] = d
     readers = {name: _open_index(d) for name, d in index_dirs.items()}
-    app = BlsApp(readers, index_dirs)
+    app = BlsApp(readers, index_dirs, data_dir=data_dir)
     httpd = make_server(host, port, app)
     return httpd, app

@@ -878,3 +878,39 @@ def test_index_create_and_delete_lifecycle(ray_session,
     assert not os.path.exists(os.path.join(data_dir, "mycorp"))
     st, _, _b = call("/corpora/mycorp/hits?patt=%22x%22")
     assert not st.startswith("200")
+
+
+def test_serve_data_dir_autoregister(ray_session, tmp_path_factory):
+    """serve(data_dir=...) auto-registers existing data-dir indexes
+    and enables create/delete on the live server."""
+    import urllib.request
+
+    from blacklab_ray.index import BuildParams, build_index
+    from blacklab_ray.server import serve
+    data_dir = str(tmp_path_factory.mktemp("servedd"))
+    import os
+
+    import pyarrow.parquet as pq
+    src = tmp_path_factory.mktemp("servesrc")
+    pq.write_table(pa.table({"url": ["a"], "text": ["hello there"]}),
+                   str(src / "p.parquet"))
+    build_index(str(src), os.path.join(data_dir, "pre"),
+                BuildParams(num_buckets=2, n_salts=1))
+    httpd, app = serve({}, port=0, data_dir=data_dir)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        j = json.load(urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/corpora/pre/hits?patt=%22hello%22"))
+        assert j["summary"]["numberOfHits"] == 1
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/corpora/fresh", method="POST")
+        assert json.load(urllib.request.urlopen(req))["status"][
+            "code"] == "SUCCESS"
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/corpora/fresh", method="DELETE")
+        assert json.load(urllib.request.urlopen(req))["deleted"] \
+            == "fresh"
+    finally:
+        httpd.shutdown()
