@@ -777,6 +777,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return out.sort_values(["doc_id", "chunk_id"]) \
             .reset_index(drop=True)
 
+    def q_substr_dup(sf):
+        """Exact duplicate-substring spans (dedup.substr_dup_spans,
+        W=16): maximal token intervals covered by any 16-token run
+        whose text occurs >1 time anywhere in the corpus — the
+        ExactSubstr half of Lee et al. 2022; oracle re-derives the
+        windows, the >1 count, and the gaps-and-islands merge in
+        SQL."""
+        from blacklab_ray.pipelines.dedup import substr_dup_spans
+        out = substr_dup_spans(_docs_ds(sf), window=16).to_pandas()
+        return out.sort_values(["doc_id", "start"]) \
+            .reset_index(drop=True)
+
     def q_host_stats(sf):
         """Per-host corpus profile over the same synthesized url set
         as dedup_keep's url side (cleaning.host_stats: per-batch
@@ -1443,6 +1455,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_stats": q_host_stats,
         "latest_snapshot": q_latest_snapshot,
         "doc_chunks": q_doc_chunks,
+        "substr_dup": q_substr_dup,
     }
 
 
@@ -2710,6 +2723,48 @@ SELECT doc_id, i AS chunk_id,
        array_to_string(words[i * 24 + 1 : i * 24 + 32], ' ') AS text
 FROM c
 ORDER BY doc_id, chunk_id
+""",
+        # exact duplicate-substring spans, W=16: windows occurring >1
+        # time anywhere mark their span; touching/overlapping marked
+        # windows merge (gaps-and-islands; lag(pos)+16 threshold is
+        # the previous window's exclusive end)
+        "substr_dup": r"""
+WITH w AS (
+  SELECT doc_id,
+         regexp_split_to_array(
+           regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS words
+  FROM documents),
+n AS (
+  SELECT doc_id, words,
+         CASE WHEN len(words) = 1 AND words[1] = '' THEN 0
+              ELSE len(words) END AS nw
+  FROM w),
+win AS (
+  SELECT doc_id, words,
+         unnest(range(0, greatest(nw - 15, 0))) AS pos
+  FROM n),
+wt AS (
+  SELECT doc_id, pos,
+         array_to_string(words[pos + 1 : pos + 16], ' ') AS wtext
+  FROM win),
+dup AS (
+  SELECT doc_id, pos FROM wt
+  WHERE wtext IN (SELECT wtext FROM wt
+                  GROUP BY wtext HAVING count(*) > 1)),
+mk AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos <= coalesce(
+                lag(pos) OVER (PARTITION BY doc_id ORDER BY pos),
+                -1000000) + 16
+              THEN 0 ELSE 1 END AS brk
+  FROM dup),
+g AS (
+  SELECT doc_id, pos,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM mk)
+SELECT doc_id, min(pos) AS start, max(pos) + 16 AS "end"
+FROM g GROUP BY doc_id, grp
+ORDER BY doc_id, start
 """,
         # HTML extraction ground truth recomputed from the source text:
         # the synthesized page's only content blocks are the ' value '-

@@ -1203,3 +1203,161 @@ def near_dedup_drop_ids(ds: ray.data.Dataset, threshold: float = 0.8,
     drop = [r["doc_id"] for r in clusters.take_all()
             if r["doc_id"] != r["cluster_id"]]
     return np.sort(np.asarray(drop, dtype=np.int64))
+
+
+# ---- exact duplicate-substring spans (ExactSubstr) --------------------------
+
+
+def substr_dup_spans(ds: ray.data.Dataset, window: int = 32,
+                     text_col: str = "text", id_col: str = "doc_id",
+                     num_partitions: int = 32) -> ray.data.Dataset:
+    """Token spans covered by an EXACT duplicated substring — the
+    ExactSubstr side of Lee et al. 2022 ("Deduplicating Training Data
+    Makes Language Models Better"): any ``window``-token run whose
+    text occurs more than once ANYWHERE in the corpus (another doc or
+    the same doc) marks its span; overlapping/adjacent marked windows
+    merge into maximal ``(doc_id, start, end)`` token intervals (the
+    intervals a training pipeline would cut out). The paper uses a
+    suffix array over the concatenated corpus; fixed-window rolling
+    hashes find the same >= window-token duplicates in two
+    data-parallel shuffles, which is the shape that scales.
+
+    Tokenization is the whitespace convention shared with
+    ``docsops.chunk_documents``'s SQL twin (regex trim + ``\\s+``
+    split), so the operator is DuckDB-oracle-checkable.
+
+    Scale shape: one ``map_batches`` pass computes per-batch
+    vectorized window hashes (per-unique-token md5 → polynomial
+    window hash, doc-boundary-masked; never a Python loop over
+    windows), then TWO part-hash shuffles of slim int64 triplets:
+    (1) co-partition on window hash — a hash's occurrences all land
+    in one partition, so a partition-local count IS the global count;
+    rows with count >= 2 survive; (2) co-partition on doc hash — one
+    vectorized lexsort + break-scan per partition merges windows into
+    maximal intervals. Both shuffles move (int64 x 3) rows only.
+    """
+    import pyarrow.compute as pc
+
+    if window < 2:
+        raise ValueError("window must be >= 2")
+    P = num_partitions
+    W = window
+    # polynomial base (odd -> full-period under mod 2^64 wrap)
+    B = np.int64(0x100000001B3)  # FNV prime
+    pw = np.empty(W, dtype=np.int64)
+    pw[W - 1] = 1
+    with np.errstate(over="ignore"):
+        for j in range(W - 2, -1, -1):
+            pw[j] = pw[j + 1] * B   # int64 wrap-around on purpose
+
+    OUT1 = pa.schema([("part", pa.int64()), ("h", pa.int64()),
+                      (id_col, pa.int64()), ("pos", pa.int64())])
+
+    def _window_hashes(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return OUT1.empty_table()
+        col = batch.column(text_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        trimmed = pc.replace_substring_regex(
+            pc.fill_null(col, ""), pattern=r"^\s+|\s+$",
+            replacement="")
+        words = pc.split_pattern_regex(trimmed, pattern=r"\s+")
+        lens = pc.list_value_length(words).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        first = pc.list_slice(words, 0, 1)
+        empty = pc.equal(pc.binary_join(first, ""), "") \
+            .to_numpy(zero_copy_only=False)
+        lens = np.where(empty & (lens == 1), 0, lens)
+        flat = words.flatten()
+        if len(flat) == 0 or lens.sum() < W:
+            return OUT1.empty_table()
+        # per-UNIQUE-token md5 (vocab-sized loop), broadcast to the
+        # token stream via the dictionary codes
+        from blacklab_ray.pipelines.hits import md5_low64
+        dict_arr = pc.dictionary_encode(flat)
+        vocab = dict_arr.dictionary.to_pylist()
+        # md5_low64 is unsigned 64-bit; view as int64 (wrap, not clip)
+        th = np.fromiter((md5_low64(t) for t in vocab),
+                         dtype=np.uint64,
+                         count=len(vocab)).view(np.int64)
+        tok_h = th[dict_arr.indices.to_numpy(zero_copy_only=False)]
+        # doc boundaries in the flat stream; note empty-split docs
+        # contribute one '' token to flat but lens==0 — use the RAW
+        # split lengths for offsets
+        raw_lens = pc.list_value_length(words).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        starts = np.zeros(raw_lens.size, np.int64)
+        np.cumsum(raw_lens[:-1], out=starts[1:])
+        ids = batch.column(id_col).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        out_h = []
+        out_d = []
+        out_p = []
+        with np.errstate(over="ignore"):
+            from numpy.lib.stride_tricks import sliding_window_view
+            for di in np.flatnonzero(lens >= W):
+                seg = tok_h[starts[di]:starts[di] + lens[di]]
+                wh = (sliding_window_view(seg, W) * pw).sum(axis=1)
+                out_h.append(wh)
+                out_d.append(np.full(wh.size, ids[di], np.int64))
+                out_p.append(np.arange(wh.size, dtype=np.int64))
+        if not out_h:
+            return OUT1.empty_table()
+        h = np.concatenate(out_h)
+        return pa.table({
+            "part": pa.array(part_of(h, P), pa.int64()),
+            "h": pa.array(h, pa.int64()),
+            id_col: pa.array(np.concatenate(out_d), pa.int64()),
+            "pos": pa.array(np.concatenate(out_p), pa.int64()),
+        })
+
+    occ = ds.map_batches(_window_hashes, batch_format="pyarrow")
+
+    OUT2 = pa.schema([("part", pa.int64()), (id_col, pa.int64()),
+                      ("pos", pa.int64())])
+
+    def _keep_dups(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or "h" not in group.column_names:
+            return OUT2.empty_table()
+        h = group.column("h").to_numpy(zero_copy_only=False)
+        uniq, inv, cnt = np.unique(h, return_inverse=True,
+                                   return_counts=True)
+        keep = cnt[inv] >= 2
+        if not keep.any():
+            return OUT2.empty_table()
+        d = group.column(id_col).to_numpy(zero_copy_only=False)[keep]
+        p = group.column("pos").to_numpy(zero_copy_only=False)[keep]
+        return pa.table({
+            "part": pa.array(part_of(d, P), pa.int64()),
+            id_col: pa.array(d, pa.int64()),
+            "pos": pa.array(p, pa.int64()),
+        })
+
+    dups = occ.groupby("part").map_groups(_keep_dups,
+                                          batch_format="pyarrow")
+
+    OUT3 = pa.schema([(id_col, pa.int64()), ("start", pa.int64()),
+                      ("end", pa.int64())])
+
+    def _merge_intervals(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or "pos" not in group.column_names:
+            return OUT3.empty_table()
+        d = group.column(id_col).to_numpy(zero_copy_only=False)
+        p = group.column("pos").to_numpy(zero_copy_only=False)
+        order = np.lexsort((p, d))
+        d, p = d[order], p[order]
+        # new interval when the doc changes or the next window starts
+        # beyond the previous window's END (touching windows merge)
+        brk = np.ones(d.size, dtype=bool)
+        brk[1:] = (d[1:] != d[:-1]) | (p[1:] > p[:-1] + W)
+        bounds = np.flatnonzero(brk)
+        ends = np.r_[bounds[1:], d.size] - 1
+        return pa.table({
+            id_col: pa.array(d[bounds], pa.int64()),
+            "start": pa.array(p[bounds], pa.int64()),
+            "end": pa.array(p[ends] + W, pa.int64()),
+        })
+
+    return dups.groupby("part").map_groups(_merge_intervals,
+                                           batch_format="pyarrow")

@@ -566,3 +566,60 @@ def test_latest_snapshot_keep_ids(ray_session):
     ds = ray.data.from_arrow(t).repartition(3)
     kept = sorted(latest_snapshot_keep_ids(ds).to_pandas()["doc_id"])
     assert kept == [1, 3, 6]
+
+
+def test_substr_dup_spans_matches_brute(ray_session):
+    """ExactSubstr spans: engine == brute window-count + interval
+    merge on planted cross-doc and within-doc duplicate runs, across
+    multiple blocks/partitions."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from blacklab_ray.pipelines.dedup import substr_dup_spans
+    rng = np.random.default_rng(11)
+    vocab = [f"t{i}" for i in range(80)]
+
+    def rnd(n):
+        return " ".join(rng.choice(vocab, n))
+    run_a = rnd(9)      # >= W so it marks spans
+    run_b = rnd(14)
+    texts = []
+    for i in range(40):
+        t = rnd(25)
+        if i % 7 == 0:
+            t += " " + run_a + " " + rnd(5)
+        if i % 11 == 0:
+            t += " " + run_b
+        if i == 13:
+            t = run_a + " " + rnd(2) + " " + run_a   # within-doc
+        texts.append(t)
+    texts += ["   ", ""]
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": texts})
+    W = 6
+    out = substr_dup_spans(
+        ray.data.from_arrow(tbl).repartition(8), window=W,
+        num_partitions=16).to_pandas() \
+        .sort_values(["doc_id", "start"]).reset_index(drop=True)
+    # brute
+    from collections import Counter
+    toks = {i: t.split() for i, t in enumerate(texts)}
+    wins = [(d, i, " ".join(ts[i:i + W]))
+            for d, ts in toks.items()
+            for i in range(len(ts) - W + 1)]
+    cnt = Counter(w for _, _, w in wins)
+    marked = sorted((d, i) for d, i, w in wins if cnt[w] > 1)
+    ivals: list[list[int]] = []
+    for d, i in marked:
+        if ivals and ivals[-1][0] == d and i <= ivals[-1][2]:
+            ivals[-1][2] = max(ivals[-1][2], i + W)
+        else:
+            ivals.append([d, i, i + W])
+    exp = [(d, s, e) for d, s, e in ivals]
+    got = list(zip(out["doc_id"], out["start"], out["end"]))
+    assert got == exp
+    assert len(exp) > 6   # the plant actually exercised merging
+    import pytest as _p
+    with _p.raises(ValueError):
+        substr_dup_spans(ray.data.from_arrow(tbl), window=1)
