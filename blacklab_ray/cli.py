@@ -250,6 +250,17 @@ def cmd_clean(args) -> int:
                               overlap=args.overlap,
                               text_col=args.text_col,
                               id_col=args.id_col)
+    elif args.op == "substr-dedup":
+        # ExactSubstr cut (Lee et al. 2022): find every duplicated
+        # W-token span, then cut the marked spans from the text
+        from blacklab_ray.pipelines.dedup import (
+            cut_dup_spans, substr_dup_spans,
+        )
+        spans = substr_dup_spans(ds, window=args.window,
+                                 text_col=args.text_col,
+                                 id_col=args.id_col)
+        out = cut_dup_spans(ds, spans, text_col=args.text_col,
+                            id_col=args.id_col)
     else:  # decontaminate
         import pyarrow.compute as _pc
         if not args.benchmark:
@@ -612,13 +623,17 @@ def main(argv=None) -> int:
     cl.add_argument("--out", required=True)
     cl.add_argument("--op", required=True,
                     choices=("pii", "quality", "paragraph-dedup",
-                             "chunk", "decontaminate", "c4", "html", "links"))
+                             "chunk", "substr-dedup", "decontaminate",
+                             "c4", "html", "links"))
     cl.add_argument("--text-col", default="text")
     cl.add_argument("--html-col", default="html")
     cl.add_argument("--id-col", default="doc_id")
     cl.add_argument("--keep-text", action="store_true")
     cl.add_argument("--chunk-tokens", type=int, default=256)
     cl.add_argument("--overlap", type=int, default=0)
+    cl.add_argument("--window", type=int, default=32,
+                    help="duplicate-substring window in tokens "
+                         "(substr-dedup)")
     cl.add_argument("--keep-only", action="store_true",
                     help="emit only rows that pass (quality) or are "
                          "uncontaminated (decontaminate)")

@@ -1361,3 +1361,57 @@ def substr_dup_spans(ds: ray.data.Dataset, window: int = 32,
 
     return dups.groupby("part").map_groups(_merge_intervals,
                                            batch_format="pyarrow")
+
+
+def cut_dup_spans(ds: ray.data.Dataset,
+                  spans: "pa.Table | ray.data.Dataset",
+                  text_col: str = "text",
+                  id_col: str = "doc_id") -> ray.data.Dataset:
+    """Remove ``(doc_id, start, end)`` TOKEN spans from each doc's
+    text — the cut step that consumes ``substr_dup_spans`` output
+    (Lee et al. 2022 cut duplicated substrings from the training
+    text). Policy-free: pass the spans to cut verbatim (all marked
+    spans, or a keep-first-occurrence subset the caller selected).
+    Tokenization matches the span producer's whitespace convention;
+    surviving tokens re-join with single spaces.
+
+    Scale shape: the spans table is duplicate-interval-sized (orders
+    below the corpus) — ``ray.put`` broadcast once, read per batch;
+    inside each batch only rows WITH spans are rebuilt (dup spans are
+    sparse), everything else passes through untouched.
+    """
+    if isinstance(spans, ray.data.Dataset):
+        spans = pa.Table.from_pandas(spans.to_pandas())
+    by_doc: dict[int, list[tuple[int, int]]] = {}
+    for d, s, e in zip(spans[id_col].to_pylist(),
+                       spans["start"].to_pylist(),
+                       spans["end"].to_pylist()):
+        by_doc.setdefault(int(d), []).append((int(s), int(e)))
+    spans_ref = ray.put(by_doc)
+
+    def _cut(batch: pa.Table) -> pa.Table:
+        lookup = ray.get(spans_ref)
+        ids = batch.column(id_col).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        hit_rows = [i for i, d in enumerate(ids.tolist())
+                    if d in lookup]
+        if not hit_rows:
+            return batch
+        col = batch.column(text_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        texts = col.to_pylist()
+        # str.split() drops edge whitespace — identical tokenization
+        # to the span producer's trim + \s+ convention; untouched rows
+        # keep their text byte-for-byte
+        for i in hit_rows:
+            toks = texts[i].split() if texts[i] else []
+            keep = np.ones(len(toks), dtype=bool)
+            for s, e in lookup[int(ids[i])]:
+                keep[s:e] = False
+            texts[i] = " ".join(t for t, k in zip(toks, keep) if k)
+        idx = batch.schema.get_field_index(text_col)
+        return batch.set_column(idx, text_col,
+                                pa.array(texts, pa.string()))
+
+    return ds.map_batches(_cut, batch_format="pyarrow")

@@ -623,3 +623,31 @@ def test_substr_dup_spans_matches_brute(ray_session):
     import pytest as _p
     with _p.raises(ValueError):
         substr_dup_spans(ray.data.from_arrow(tbl), window=1)
+
+
+def test_cut_dup_spans_removes_marked_tokens(ray_session, tmp_path):
+    """cut_dup_spans removes exactly the span tokens; untouched docs
+    keep their text byte-for-byte; null text survives."""
+    import pyarrow as pa
+    import ray.data
+
+    from blacklab_ray.pipelines.dedup import (
+        cut_dup_spans, substr_dup_spans,
+    )
+    run = "d1 d2 d3 d4 d5 d6"
+    texts = [f"a b c {run} x y", f"p q {run} r s", "  keep me  ", None]
+    tbl = pa.table({"doc_id": pa.array(range(4), pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    ds = ray.data.from_arrow(tbl)
+    spans = substr_dup_spans(ds, window=4)
+    out = cut_dup_spans(ds, spans).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert out.loc[0, "text"] == "a b c x y"
+    assert out.loc[1, "text"] == "p q r s"
+    assert out.loc[2, "text"] == "  keep me  "   # untouched verbatim
+    assert out.loc[3, "text"] is None
+    # the cut corpus has no surviving duplicated windows
+    again = substr_dup_spans(
+        ray.data.from_arrow(pa.Table.from_pandas(out)),
+        window=4).to_pandas()
+    assert len(again) == 0
