@@ -36,6 +36,10 @@ def cmd_build(args) -> int:
     from blacklab_ray.index import BuildParams, build_index
     source = args.input
     id_column = args.id_column
+    if getattr(args, "format_file", None):
+        # user-supplied .blf.yaml: register it and read through it
+        from blacklab_ray.formats import register_yaml_format
+        args.format = register_yaml_format(args.format_file)
     if args.format not in ("webtext-html", "webtext-text"):
         # non-parquet formats read through the registry into the
         # canonical pages schema (url becomes the pid)
@@ -551,6 +555,9 @@ def main(argv=None) -> int:
     b.add_argument("--extract-html", action="store_true")
     b.add_argument("--format", default="webtext-text",
                    help="input format (see blacklab_ray.formats)")
+    b.add_argument("--format-file", default=None,
+                   help="path to a user .blf.yaml format config "
+                        "(registered and used for this build)")
     b.add_argument("--sensitive", action="store_true",
                    help="also index the case-sensitive @s annotation")
     b.add_argument("--annotations", default="",

@@ -60,6 +60,23 @@ FORMAT_ALIASES: dict[str, str] = {
 }
 
 
+def register_yaml_format(src: str, name: str | None = None) -> str:
+    """Register a BlackLab ``.blf.yaml`` config (file path or YAML
+    text) as a named format — the AddFormat analogue
+    (InputFormatReader.java): a reference user's own format file
+    reads their corpus through the config-driven XML engine. Returns
+    the registered name."""
+    from blacklab_ray.stages.blfyaml import load_blf_yaml
+    from blacklab_ray.stages.xmlconfig import read_xml_config
+    cfg = load_blf_yaml(src, name=name)
+
+    def _reader(paths, **opts):
+        return read_xml_config(paths, cfg, **opts)
+
+    register_format(cfg.name, _reader)
+    return cfg.name
+
+
 def resolve_format(name: str) -> str:
     """Canonical format id for ``name`` (aliases resolve unless the
     user registered a reader under the alias itself)."""

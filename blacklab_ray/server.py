@@ -1410,6 +1410,25 @@ class BlsApp:
         if not parts:
             return emit(handle_server_info(self._readers))
         if parts[0] == "input-formats":
+            if method == "POST":
+                # AddFormat analogue (RequestHandlerAddFormat.java):
+                # body is the .blf.yaml text; ?name= overrides
+                from blacklab_ray.formats import register_yaml_format
+                if not body_in:
+                    raise ValueError("POST /input-formats needs the "
+                                     ".blf.yaml text as the body")
+                reg = register_yaml_format(body_in.decode("utf-8"),
+                                           name=params.get("name"))
+                return emit({"status": {"code": "SUCCESS"},
+                             "formatName": reg})
+            if method == "DELETE" and len(parts) == 2:
+                # DeleteFormat analogue
+                from blacklab_ray.formats import _FORMATS
+                if parts[1] not in _FORMATS:
+                    raise KeyError(f"unknown format {parts[1]!r}")
+                del _FORMATS[parts[1]]
+                return emit({"status": {"code": "SUCCESS"},
+                             "deleted": parts[1]})
             return emit(handle_input_formats())
         if parts[0] == "cache-info":
             return emit(handle_cache_info(self._readers))

@@ -1,0 +1,181 @@
+"""Load BlackLab ``.blf.yaml`` input-format configs.
+
+The reference's user-supplied format descriptors (InputFormatReader /
+ConfigInputFormat, engine/src/main/java/nl/inl/blacklab/indexers/
+config/InputFormatReader.java; the shipped files live under
+core/src/main/resources/formats/*.blf.yaml) map onto this engine's
+``XmlFormatConfig``: documentPath, the first annotatedField's
+containerPath/wordPath/punctPath/tokenIdPath, its annotations (first
+annotation is the main word form), inlineTags, standoffAnnotations,
+and metadata blocks (static fields and forEachPath/namePath/valuePath
+dynamic blocks).  A user who wrote a ``.blf.yaml`` for BlackLab can
+hand the same file to ``formats.register_yaml_format`` (or the
+server's ``POST /input-formats`` — the AddFormat analogue) and read
+their corpus through it.
+
+Scope: ``fileType: xml`` (the default when documentPath is present).
+Tabular and plain-text configs error with a pointer at the native
+``tabular-*`` / ``plaintext`` readers, which cover those shapes.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from blacklab_ray.stages.xmlconfig import XmlFormatConfig
+
+__all__ = ["load_blf_yaml"]
+
+
+def _norm_doc_path(p: str | None) -> str:
+    """documentPath: '//TEI' → './/TEI', '/TEI' → './/TEI' (the path
+    engine evaluates relative to the parsed root, and a descendant
+    search from the root also matches the root element itself via the
+    engine's self-inclusive document scan), '/' or '.' → '.'."""
+    if not p or p in (".", "/"):
+        return "."
+    if p.startswith("//"):
+        return "." + p
+    if p.startswith("/"):
+        return ".//" + p.lstrip("/")
+    return p
+
+
+def _join(base: str | None, rel: str | None) -> str | None:
+    """Compose a containerPath-relative path onto its container."""
+    if rel is None:
+        return None
+    if not base or base == ".":
+        return rel
+    if rel.startswith(".//"):
+        return base + "//" + rel[3:]
+    if rel.startswith("./"):
+        return base + "/" + rel[2:]
+    if rel.startswith("//"):
+        return base + rel
+    if rel == ".":
+        return base
+    return base + "/" + rel
+
+
+def _tag_local(path: str) -> str:
+    """Inline-tag path → element local name ('.//tei:p[...]' → 'p')."""
+    last = path.rstrip("/").rsplit("/", 1)[-1]
+    last = re.sub(r"\[[^\]]*\]", "", last)
+    if "::" in last:
+        last = last.rsplit("::", 1)[-1]
+    return last.rsplit(":", 1)[-1]
+
+
+def load_blf_yaml(src: str, name: str | None = None) -> XmlFormatConfig:
+    """Parse a ``.blf.yaml`` file path or YAML text into an
+    ``XmlFormatConfig``.  ``name`` overrides the config's registry
+    name (defaults to the file stem or the YAML ``name:``)."""
+    import yaml
+
+    text = src
+    if "\n" not in src and os.path.exists(src):
+        with open(src, encoding="utf-8") as f:
+            text = f.read()
+        if name is None:
+            base = os.path.basename(src)
+            name = base.split(".blf.yaml")[0].split(".yaml")[0]
+    cfg = yaml.safe_load(text) or {}
+    if not isinstance(cfg, dict):
+        raise ValueError("blf.yaml must be a mapping at top level")
+    ftype = cfg.get("fileType", "xml" if "documentPath" in cfg
+                    else None)
+    if ftype in ("tabular", "csv", "tsv"):
+        raise ValueError(
+            "tabular .blf.yaml configs map to the native "
+            "'tabular-csv'/'tabular-tsv'/'sketch-wpl' readers "
+            "(blacklab_ray.formats)")
+    if ftype in ("text", "txt"):
+        raise ValueError(
+            "plain-text .blf.yaml configs map to the native "
+            "'plaintext' reader (blacklab_ray.formats)")
+    if ftype == "chat":
+        raise ValueError(
+            "CHAT .blf.yaml configs map to the native 'chat' reader "
+            "(blacklab_ray.stages.chat)")
+    if ftype != "xml":
+        raise ValueError(f"unsupported fileType {ftype!r}")
+    name = name or cfg.get("name") or "user-xml"
+
+    fields = cfg.get("annotatedFields") or {}
+    word_path = None
+    word_value = "."
+    extra: dict[str, str] = {}
+    inline: tuple = ()
+    standoff: list = []
+    fld: dict = {}
+    if fields:
+        # the first annotated field (conventionally 'contents')
+        fld = fields[next(iter(fields))]
+        container = fld.get("containerPath")
+        word_path = _join(container, fld.get("wordPath"))
+        annots = fld.get("annotations") or []
+        if not annots:
+            raise ValueError("annotatedField needs an annotations "
+                             "list")
+        word_value = annots[0].get("valuePath", ".")
+        for a in annots[1:]:
+            if "forEachPath" in a:
+                raise ValueError(
+                    "forEachPath is not allowed inside annotations "
+                    "(the reference forbids it too: the annotation "
+                    "set must be static)")
+            extra[a["name"]] = a.get("valuePath", ".")
+        inline = tuple(_tag_local(t["path"] if isinstance(t, dict)
+                                  else str(t))
+                       for t in (fld.get("inlineTags") or []))
+        for s in (fld.get("standoffAnnotations") or []):
+            vals = {a["name"]: a.get("valuePath", ".")
+                    for a in (s.get("annotations") or [])}
+            standoff.append((s["path"], s.get("tokenRefPath", "."),
+                             vals))
+    elif not cfg.get("metadata"):
+        # metadata-only configs (cmdi.blf.yaml: linked-document
+        # metadata) are valid; a config with NEITHER is empty
+        raise ValueError("blf.yaml needs an annotatedFields block "
+                         "or a metadata block")
+
+    meta: dict[str, str] = {}
+    foreach: list[tuple] = []
+    blocks = cfg.get("metadata") or []
+    if isinstance(blocks, dict):
+        blocks = [blocks]
+    declared: list[str] = []
+    for blk in blocks:
+        base = blk.get("containerPath")
+        for f in (blk.get("fields") or []):
+            if "forEachPath" in f:
+                foreach.append((_join(base, f["forEachPath"]),
+                                f.get("namePath", "local-name()"),
+                                f.get("valuePath", ".")))
+            elif "name" in f:
+                meta[f["name"]] = _join(base, f.get("valuePath", "."))
+                declared.append(f["name"])
+
+    doc_id_value = None
+    pid = cfg.get("pidField") or cfg.get("corpusConfig", {}) \
+        .get("specialFields", {}).get("pidField")
+    if pid and pid in meta:
+        doc_id_value = meta[pid]
+
+    return XmlFormatConfig(
+        name=name,
+        document_path=_norm_doc_path(cfg.get("documentPath")),
+        word_path=word_path,
+        word_value=word_value,
+        annotations=extra,
+        inline_tags=inline,
+        metadata=meta,
+        doc_id_value=doc_id_value,
+        metadata_foreach=tuple(foreach),
+        foreach_fields=tuple(cfg.get("foreachFields", ())),
+        token_id_path=fld.get("tokenIdPath"),
+        standoff_annotations=tuple(standoff),
+        capture_punct=bool(fld.get("punctPath")),
+    )

@@ -261,3 +261,79 @@ def test_sketch_wpl_punct_aware_kwic(ray_session, tmp_path):
     out = kwic_from_forward_index(idx, "world", context=2).take_all()
     assert len(out) == 1
     assert out[0]["left"] == "Hello,"
+
+
+REF_FORMATS = "/root/reference/core/src/main/resources/formats"
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_FORMATS),
+                    reason="reference formats dir not present")
+def test_load_reference_blf_yaml_files():
+    """Every shipped XML .blf.yaml parses into an XmlFormatConfig
+    (tabular/text configs route to the native readers with a clear
+    error) — a reference user's own format file is accepted as-is."""
+    from blacklab_ray.stages.blfyaml import load_blf_yaml
+    xml_ok, routed = [], []
+    for fn in sorted(os.listdir(REF_FORMATS)):
+        if not fn.endswith(".blf.yaml"):
+            continue
+        path = os.path.join(REF_FORMATS, fn)
+        try:
+            cfg = load_blf_yaml(path)
+            assert cfg.word_path or cfg.document_path
+            xml_ok.append(fn)
+        except ValueError as e:
+            assert "native" in str(e), (fn, e)
+            routed.append(fn)
+    assert len(xml_ok) >= 8, (xml_ok, routed)   # the xml family
+    # cmdi (metadata-only, linked documents) loads too
+    assert "cmdi.blf.yaml" in xml_ok
+    assert any("tsv" in f or "csv" in f or "txt" in f
+               for f in routed)
+
+
+def test_register_yaml_format_end_to_end(ray_session, tmp_path):
+    """A user-authored .blf.yaml registers and reads a corpus through
+    the config-driven XML engine: words, annotations, punct, inline
+    tags, static + forEachPath metadata."""
+    from blacklab_ray.formats import read_pages, register_yaml_format
+    yml = """
+displayName: my user format
+documentPath: //doc
+annotatedFields:
+  contents:
+    containerPath: .//body
+    wordPath: .//w
+    punctPath: .//text()[not(ancestor::w)]
+    annotations:
+    - name: word
+      valuePath: .
+    - name: lemma
+      valuePath: "@lem"
+    inlineTags:
+    - path: .//s
+metadata:
+  containerPath: .//meta
+  fields:
+  - name: title
+    valuePath: title
+  - forEachPath: kv
+    namePath: "@k"
+    valuePath: .
+pidField: title
+"""
+    name = register_yaml_format(yml, name="userfmt")
+    assert name == "userfmt"
+    xml = ("<root><doc><meta><title>T1</title>"
+           "<kv k='lang'>en</kv></meta>"
+           "<body><s><w lem='the'>The</w> <w lem='cat'>cats</w>"
+           "</s></body></doc></root>")
+    p = tmp_path / "c.xml"
+    p.write_text(xml)
+    rows = read_pages("userfmt", str(p)).take_all()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["url"] == "T1"                 # pidField routing
+    assert r["text"].split() == ["The", "cats"]
+    assert r["lemma"] == ["the", "cat"]
+    assert r["meta_title"] == "T1" or r.get("title") == "T1"

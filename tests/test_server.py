@@ -914,3 +914,39 @@ def test_serve_data_dir_autoregister(ray_session, tmp_path_factory):
             == "fresh"
     finally:
         httpd.shutdown()
+
+
+def test_input_format_add_delete_and_use(ray_session,
+                                         tmp_path_factory):
+    """POST /input-formats registers a user .blf.yaml (AddFormat),
+    GET lists it, a build can use it, DELETE removes it."""
+    from blacklab_ray.formats import read_pages
+    from blacklab_ray.server import BlsApp
+    app = BlsApp({}, {})
+    call = _mkcall(app)
+    yml = b"""
+documentPath: //doc
+annotatedFields:
+  contents:
+    wordPath: .//w
+    annotations:
+    - name: word
+      valuePath: .
+"""
+    st, _, body = call("/input-formats?name=httpfmt", method="POST",
+                       body=yml)
+    assert json.loads(body)["formatName"] == "httpfmt"
+    _, _, listing = call("/input-formats")
+    assert "httpfmt" in json.loads(listing)["supportedInputFormats"]
+    # the registered format actually reads
+    p = tmp_path_factory.mktemp("httpfmt") / "d.xml"
+    p.write_text("<doc><w>hi</w> <w>there</w></doc>")
+    rows = read_pages("httpfmt", str(p)).take_all()
+    assert rows[0]["text"].split() == ["hi", "there"]
+    st, _, body = call("/input-formats/httpfmt", method="DELETE")
+    assert json.loads(body)["deleted"] == "httpfmt"
+    _, _, listing = call("/input-formats")
+    assert "httpfmt" not in json.loads(listing)[
+        "supportedInputFormats"]
+    st, _, _b = call("/input-formats/nope", method="DELETE")
+    assert st.startswith("404")
