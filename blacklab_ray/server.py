@@ -1299,7 +1299,8 @@ class BlsApp:
         return self._readers[name]
 
     def _mutate(self, name: str, method: str, parts: list,
-                body_in: bytes) -> dict:
+                body_in: bytes, params: dict | None = None) -> dict:
+        params = params or {}
         if name not in self._dirs:
             raise ValueError(f"corpus {name!r} is read-only "
                              "(no index dir registered)")
@@ -1314,6 +1315,29 @@ class BlsApp:
             import ray.data
 
             from blacklab_ray.index.update import add_documents
+            fmt = params.get("format")
+            if fmt:
+                # file upload in a registered input format (BLS
+                # AddToIndex uploads documents in the corpus format):
+                # the raw body is ONE file, read through the registry
+                import tempfile
+
+                from blacklab_ray.formats import read_pages
+                if not body_in:
+                    raise ValueError("file upload needs a body")
+                suffix = params.get("filename", "upload.dat")
+                with tempfile.NamedTemporaryFile(
+                        suffix="-" + os.path.basename(suffix),
+                        delete=False) as f:
+                    f.write(body_in)
+                    tmp = f.name
+                try:
+                    ds = read_pages(fmt, tmp)
+                    rec = add_documents(self._dirs[name], ds)
+                finally:
+                    os.unlink(tmp)
+                self._reopen(name)
+                return {"status": {"code": "SUCCESS"}, "added": rec}
             pages = json.loads(body_in.decode("utf-8"))
             if not isinstance(pages, list) or not pages:
                 raise ValueError("POST body must be a non-empty JSON "
@@ -1465,7 +1489,8 @@ class BlsApp:
         if method in ("POST", "DELETE"):
             if op != "docs":
                 raise KeyError(f"unsupported {method} on {path!r}")
-            return emit(self._mutate(name, method, parts, body_in))
+            return emit(self._mutate(name, method, parts, body_in,
+                                     params))
         if op is None:
             resp: Any = handle_info(reader, name)
         elif op == "status":

@@ -950,3 +950,42 @@ annotatedFields:
         "supportedInputFormats"]
     st, _, _b = call("/input-formats/nope", method="DELETE")
     assert st.startswith("404")
+
+
+def test_upload_file_in_registered_format(ray_session,
+                                          tmp_path_factory):
+    """The full HTTP lifecycle a BLS user runs: register a .blf.yaml
+    format, create an index, UPLOAD a raw file in that format
+    (AddToIndex), and search it."""
+    from blacklab_ray.server import BlsApp
+    data_dir = str(tmp_path_factory.mktemp("upldd"))
+    app = BlsApp({}, {}, data_dir=data_dir)
+    call = _mkcall(app)
+    yml = b"""
+documentPath: //doc
+annotatedFields:
+  contents:
+    wordPath: .//w
+    annotations:
+    - name: word
+      valuePath: .
+metadata:
+  fields:
+  - name: title
+    valuePath: .//title
+pidField: title
+"""
+    st, _, b1 = call("/input-formats?name=uplfmt", method="POST",
+                     body=yml)
+    assert json.loads(b1)["formatName"] == "uplfmt"
+    st, _, _b = call("/corpora/uplcorp?buckets=2", method="POST")
+    assert st.startswith("200")
+    xml = (b"<corpus><doc><title>D1</title><w>hello</w> <w>world"
+           b"</w></doc></corpus>")
+    st, _, b2 = call("/corpora/uplcorp/docs?format=uplfmt"
+                     "&filename=d.xml", method="POST", body=xml)
+    assert json.loads(b2)["status"]["code"] == "SUCCESS"
+    st, _, b3 = call("/corpora/uplcorp/hits?patt=%22hello%22")
+    resp = json.loads(b3)
+    assert resp["summary"]["numberOfHits"] == 1
+    assert resp["hits"][0]["docPid"] == "D1"
