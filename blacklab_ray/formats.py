@@ -60,20 +60,33 @@ FORMAT_ALIASES: dict[str, str] = {
 }
 
 
-def register_yaml_format(src: str, name: str | None = None) -> str:
+# names registered through register_yaml_format — the only formats
+# the HTTP DeleteFormat endpoint may remove (built-ins are protected)
+USER_FORMATS: set[str] = set()
+
+
+def register_yaml_format(src: str, name: str | None = None,
+                         allow_path: bool = True) -> str:
     """Register a BlackLab ``.blf.yaml`` config (file path or YAML
     text) as a named format — the AddFormat analogue
     (InputFormatReader.java): a reference user's own format file
     reads their corpus through the config-driven XML engine. Returns
-    the registered name."""
+    the registered name. ``allow_path=False`` for untrusted sources
+    (HTTP bodies). A name that collides with a BUILT-IN format or
+    alias is rejected; re-registering a user format replaces it."""
     from blacklab_ray.stages.blfyaml import load_blf_yaml
     from blacklab_ray.stages.xmlconfig import read_xml_config
-    cfg = load_blf_yaml(src, name=name)
+    cfg = load_blf_yaml(src, name=name, allow_path=allow_path)
+    if cfg.name not in USER_FORMATS and \
+            (cfg.name in _FORMATS or cfg.name in FORMAT_ALIASES):
+        raise ValueError(f"format name {cfg.name!r} collides with a "
+                         "built-in format")
 
     def _reader(paths, **opts):
         return read_xml_config(paths, cfg, **opts)
 
     register_format(cfg.name, _reader)
+    USER_FORMATS.add(cfg.name)
     return cfg.name
 
 

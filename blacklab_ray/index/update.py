@@ -199,7 +199,8 @@ def add_documents(index_dir: str, source, params: BuildParams | None = None,
         sensitive=params.sensitive,
         analyzer=params.analyzer,
         annotations=tuple(params.annotations),
-        metadata_cols=tuple(n for n, _t in params.metadata_fields)),
+        metadata_cols=tuple(n for n, _t in params.metadata_fields),
+        store_text=params.store_text),
                         batch_format="pyarrow",
                         batch_size=params.batch_size)
     ds.write_parquet(fwd_dir)  # appends new uuid-named files

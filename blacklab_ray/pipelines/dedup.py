@@ -1401,11 +1401,18 @@ def cut_dup_spans(ds: ray.data.Dataset,
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
         texts = col.to_pylist()
-        # str.split() drops edge whitespace — identical tokenization
-        # to the span producer's trim + \s+ convention; untouched rows
+        import re as _re
+
+        # tokenize with the SAME character class as the span
+        # producer's RE2 \s ([\t\n\f\r ] — ASCII only; Python
+        # str.split() would also split on unicode whitespace like
+        # \xa0 and shift every token index after it); untouched rows
         # keep their text byte-for-byte
+        ws = _re.compile(r"[\t\n\f\r ]+")
         for i in hit_rows:
-            toks = texts[i].split() if texts[i] else []
+            raw = texts[i] or ""
+            toks = [t for t in ws.split(raw.strip("\t\n\f\r "))
+                    if t != ""]
             keep = np.ones(len(toks), dtype=bool)
             for s, e in lookup[int(ids[i])]:
                 keep[s:e] = False

@@ -246,7 +246,7 @@ class IndexReader:
         d = pa_ds.dataset(os.path.join(self.index_dir, "fwd"),
                           format="parquet")
         if "doc_id" not in d.schema.names:
-            empty = pa.table({
+            cols = {
                 "doc_id": pa.array([], pa.int64()),
                 "url": pa.array([], pa.string()),
                 "lang": pa.array([], pa.string()),
@@ -255,8 +255,24 @@ class IndexReader:
                 "terms": pa.array([], pa.list_(pa.string())),
                 "tfs": pa.array([], pa.list_(pa.int64())),
                 "pos": pa.array([], pa.list_(pa.binary())),
-            })
-            return pa_ds.dataset(empty)
+            }
+            # the index's CONFIGURED extra columns must exist too, or
+            # metadata sorts / annotation gathers on the empty index
+            # error instead of returning cleanly empty results
+            p = self.meta.get("params") or {}
+            for a in (p.get("annotations") or ()):
+                cols[f"terms_{a}"] = pa.array([], pa.list_(pa.string()))
+                cols[f"tfs_{a}"] = pa.array([], pa.list_(pa.int64()))
+                cols[f"pos_{a}"] = pa.array([], pa.list_(pa.binary()))
+            for item in (p.get("metadata_fields") or ()):
+                nm, ty = item[0], item[1]
+                if nm not in cols:
+                    cols[nm] = pa.array(
+                        [], pa.float64() if ty == "numeric"
+                        else pa.string())
+            if p.get("store_text"):
+                cols["text"] = pa.array([], pa.string())
+            return pa_ds.dataset(pa.table(cols))
         return d
 
     def mask_tombstones(self, doc_ids: np.ndarray) -> np.ndarray:

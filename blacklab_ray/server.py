@@ -308,6 +308,7 @@ def _orig_concordances(reader, wd, ws, we, n_ctx: int):
     the index has no content-store column, or per-hit None when the
     offset tokenizer doesn't align with the indexed positions (custom
     analyzers) — callers fall back to forward-index rendering."""
+    from blacklab_ray.analysis.analyzers import strip_accents
     from blacklab_ray.stages.offsets import token_offsets
     texts = _stored_texts(reader, wd)
     if not texts:
@@ -319,6 +320,10 @@ def _orig_concordances(reader, wd, ws, we, n_ctx: int):
         if txt is None:
             out.append(None)
             continue
+        # token_offsets indexes into the accent-stripped DISPLAY text
+        # (NFKD can change string length: 'ﬁ' → 'fi'), so slice that
+        # same string — identity on ASCII corpora
+        txt = strip_accents(txt)
         offs = offcache.get(int(did))
         if offs is None:
             offs = offcache[int(did)] = token_offsets(txt)
@@ -760,7 +765,11 @@ def handle_doc_contents(reader, pid: str,
     deviation for indexes without a content store. ``patt=`` wraps
     the pattern's hits in this doc in ``<hl>`` markers
     (RequestHandlerDocContents' highlighting), stored-original builds
-    only."""
+    only; the highlighted variant returns the accent-stripped DISPLAY
+    text (char offsets index into it). NOTE the pattern evaluates
+    corpus-wide and is then filtered to this doc — the engine has no
+    single-doc query scope; route repeated contents+patt traffic
+    through the caching query-actor pool."""
     import os
 
     import pyarrow.compute as pc
@@ -1112,11 +1121,16 @@ def hits_csv(resp: dict) -> str:
     w = csv.writer(buf)
     w.writerow(["docPid", "start", "end", "left_context", "match",
                 "right_context"])
+
+    def _ctx(v) -> str:
+        # usecontent=orig contexts are raw strings; fwd contexts are
+        # {annotation: [tokens]} dicts
+        return v if isinstance(v, str) else " ".join(v["word"])
+
     for h in resp.get("hits", []):
         w.writerow([h["docPid"], h["start"], h["end"],
-                    " ".join(h["left"]["word"]),
-                    " ".join(h["match"]["word"]),
-                    " ".join(h["right"]["word"])])
+                    _ctx(h["left"]), _ctx(h["match"]),
+                    _ctx(h["right"])])
     return buf.getvalue()
 
 
@@ -1382,12 +1396,19 @@ class BlsApp:
             raise ValueError(f"corpus {name!r} already exists")
         empty = pa.table({"url": pa.array([], pa.string()),
                           "text": pa.array([], pa.string())})
-        build_index(ray.data.from_arrow(empty), idx,
-                    BuildParams(
-                        num_buckets=int(params.get("buckets", 4)),
-                        n_salts=int(params.get("salts", 1)),
-                        store_text=params.get("storetext", "")
-                        in ("true", "yes", "1")))
+        try:
+            build_index(ray.data.from_arrow(empty), idx,
+                        BuildParams(
+                            num_buckets=int(params.get("buckets", 4)),
+                            n_salts=int(params.get("salts", 1)),
+                            store_text=params.get("storetext", "")
+                            in ("true", "yes", "1")))
+        except BaseException:
+            # a partial dir would wedge the name ('already exists' on
+            # every retry with nothing registered to DELETE)
+            import shutil
+            shutil.rmtree(idx, ignore_errors=True)
+            raise
         self._dirs[name] = idx
         self._readers[name] = IndexReader(idx)
         return {"status": {"code": "SUCCESS"}, "indexName": name}
@@ -1436,21 +1457,30 @@ class BlsApp:
         if parts[0] == "input-formats":
             if method == "POST":
                 # AddFormat analogue (RequestHandlerAddFormat.java):
-                # body is the .blf.yaml text; ?name= overrides
+                # body is the .blf.yaml text; ?name= overrides.
+                # allow_path=False: the body must never be
+                # interpretable as a server-side file path
                 from blacklab_ray.formats import register_yaml_format
                 if not body_in:
                     raise ValueError("POST /input-formats needs the "
                                      ".blf.yaml text as the body")
                 reg = register_yaml_format(body_in.decode("utf-8"),
-                                           name=params.get("name"))
+                                           name=params.get("name"),
+                                           allow_path=False)
                 return emit({"status": {"code": "SUCCESS"},
                              "formatName": reg})
             if method == "DELETE" and len(parts) == 2:
-                # DeleteFormat analogue
-                from blacklab_ray.formats import _FORMATS
-                if parts[1] not in _FORMATS:
-                    raise KeyError(f"unknown format {parts[1]!r}")
+                # DeleteFormat analogue — USER formats only
+                # (deleting a built-in would degrade the whole
+                # server until restart)
+                from blacklab_ray.formats import (
+                    _FORMATS, USER_FORMATS,
+                )
+                if parts[1] not in USER_FORMATS:
+                    raise KeyError(f"unknown user format "
+                                   f"{parts[1]!r}")
                 del _FORMATS[parts[1]]
+                USER_FORMATS.discard(parts[1])
                 return emit({"status": {"code": "SUCCESS"},
                              "deleted": parts[1]})
             return emit(handle_input_formats())

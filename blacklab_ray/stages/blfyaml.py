@@ -68,14 +68,23 @@ def _tag_local(path: str) -> str:
     return last.rsplit(":", 1)[-1]
 
 
-def load_blf_yaml(src: str, name: str | None = None) -> XmlFormatConfig:
+def load_blf_yaml(src: str, name: str | None = None,
+                  allow_path: bool = True) -> XmlFormatConfig:
     """Parse a ``.blf.yaml`` file path or YAML text into an
     ``XmlFormatConfig``.  ``name`` overrides the config's registry
-    name (defaults to the file stem or the YAML ``name:``)."""
+    name (defaults to the file stem or the YAML ``name:``).
+    ``allow_path=False`` treats ``src`` as YAML text ONLY — required
+    when ``src`` comes from an untrusted source (the HTTP AddFormat
+    body must never be interpretable as a server-side file path)."""
     import yaml
 
     text = src
-    if "\n" not in src and os.path.exists(src):
+    looks_like_path = "\n" not in src and (
+        src.endswith((".yaml", ".yml")) or os.path.sep in src)
+    if allow_path and looks_like_path:
+        if not os.path.exists(src):
+            raise FileNotFoundError(f"format config file not found: "
+                                    f"{src!r}")
         with open(src, encoding="utf-8") as f:
             text = f.read()
         if name is None:

@@ -651,3 +651,30 @@ def test_cut_dup_spans_removes_marked_tokens(ray_session, tmp_path):
         ray.data.from_arrow(pa.Table.from_pandas(out)),
         window=4).to_pandas()
     assert len(again) == 0
+
+
+def test_cut_dup_spans_unicode_whitespace_alignment(ray_session):
+    """Producer (RE2 \\s = ASCII) and consumer tokenization agree on
+    text containing unicode whitespace like \\xa0 — span offsets must
+    not shift (the str.split() mismatch fix)."""
+    import pyarrow as pa
+    import ray.data
+
+    from blacklab_ray.pipelines.dedup import (
+        cut_dup_spans, substr_dup_spans,
+    )
+    run = "k1 k2 k3 k4"
+    # '\xa0' binds 'a\xa0b' into ONE RE2 token; a unicode-split
+    # consumer would see two and cut the wrong positions
+    texts = [f"a\xa0b {run} tail1", f"head {run} tail2"]
+    tbl = pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                    "text": texts})
+    ds = ray.data.from_arrow(tbl)
+    spans = substr_dup_spans(ds, window=4).to_pandas()
+    # doc 0's run starts at token 1 (a\xa0b is one token)
+    assert set(zip(spans.doc_id, spans.start, spans.end)) == \
+        {(0, 1, 5), (1, 1, 5)}
+    out = cut_dup_spans(ds, pa.Table.from_pandas(spans)) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert out.loc[0, "text"] == "a\xa0b tail1"
+    assert out.loc[1, "text"] == "head tail2"

@@ -989,3 +989,102 @@ pidField: title
     resp = json.loads(b3)
     assert resp["summary"]["numberOfHits"] == 1
     assert resp["hits"][0]["docPid"] == "D1"
+
+
+def test_store_text_flows_through_add_documents(ray_session,
+                                                tmp_path_factory):
+    """store_text must reach appended docs too: the create-empty →
+    upload → read-stored-contents server workflow (the fix for the
+    add_documents tokenizer dropping the flag)."""
+    from blacklab_ray.server import BlsApp
+    data_dir = str(tmp_path_factory.mktemp("stadd"))
+    app = BlsApp({}, {}, data_dir=data_dir)
+    call = _mkcall(app)
+    call("/corpora/st1?buckets=2&storetext=true", method="POST")
+    orig = "The QUICK fox."
+    pages = json.dumps([{"url": "u0", "text": orig}]).encode()
+    st, _, body = call("/corpora/st1/docs", method="POST", body=pages)
+    assert json.loads(body)["status"]["code"] == "SUCCESS"
+    st, ct, body = call("/corpora/st1/docs/u0/contents")
+    assert body == orig
+    # orig concordances in CSV don't crash (string contexts)
+    st, ct, body = call("/corpora/st1/hits?patt=%22quick%22"
+                        "&usecontent=orig&outputformat=csv")
+    assert st.startswith("200") and "QUICK" in body
+
+
+def test_input_format_body_never_a_path_and_builtins_protected(
+        ray_session):
+    """POST /input-formats body must not be interpretable as a
+    server-side file path; built-in formats can be neither shadowed
+    nor deleted."""
+    from blacklab_ray.server import BlsApp
+    call = _mkcall(BlsApp({}, {}))
+    # a path-looking body is parsed AS YAML (a bare string -> 400),
+    # never opened from disk
+    st, _, body = call("/input-formats?name=evil", method="POST",
+                       body=b"/root/repo/README.md")
+    assert st.startswith("400")
+    # shadowing a built-in name is rejected
+    yml = (b"documentPath: //d\nannotatedFields:\n  contents:\n"
+           b"    wordPath: .//w\n    annotations:\n"
+           b"    - name: word\n      valuePath: .\n")
+    st, _, _b = call("/input-formats?name=plaintext", method="POST",
+                     body=yml)
+    assert st.startswith("400")
+    # deleting a built-in is rejected
+    st, _, _b = call("/input-formats/plaintext", method="DELETE")
+    assert st.startswith("404")
+
+
+def test_empty_index_metadata_sort_and_annotations(ray_session,
+                                                   tmp_path_factory):
+    """A freshly created empty index answers metadata sorts and
+    annotated routes cleanly (the configured-columns fallback)."""
+    import ray.data
+
+    from blacklab_ray.index import BuildParams, build_index
+    from blacklab_ray.query import IndexReader
+    from blacklab_ray.server import handle_docs
+    idx = str(tmp_path_factory.mktemp("emptymeta") / "idx")
+    empty = pa.table({
+        "url": pa.array([], pa.string()),
+        "text": pa.array([], pa.string()),
+        "author": pa.array([], pa.string()),
+        "year": pa.array([], pa.int64()),
+    })
+    build_index(ray.data.from_arrow(empty), idx,
+                BuildParams(num_buckets=2, n_salts=1,
+                            store_text=True,
+                            metadata_fields=(("author", "tokenized"),
+                                             ("year", "numeric"))))
+    r = IndexReader(idx)
+    resp = handle_docs(r, {"sort": "field:author"})
+    assert resp["docs"] == []
+    resp = handle_docs(r, {"sort": "-field:year"})
+    assert resp["docs"] == []
+
+
+def test_orig_concordances_accented_text_alignment(ray_session,
+                                                   tmp_path_factory):
+    """usecontent=orig slices the accent-stripped display text, so
+    NFKD length changes (ligatures) cannot garble the match window."""
+    from blacklab_ray.index import BuildParams, build_index
+    from blacklab_ray.query import IndexReader
+    from blacklab_ray.server import handle_hits
+    idx = str(tmp_path_factory.mktemp("accent") / "idx")
+    # 'ﬁ' NFKD-decomposes to 'fi' (string gets LONGER)
+    tbl = pa.table({"doc_id": pa.array([0], pa.int64()),
+                    "url": ["d0"],
+                    "text": ["ﬁsh eat QUICK fox now"]})
+    src = tmp_path_factory.mktemp("accentsrc") / "p.parquet"
+    pq.write_table(tbl, str(src))
+    build_index(str(src), idx,
+                BuildParams(num_buckets=2, n_salts=1,
+                            id_column="doc_id", store_text=True))
+    r = IndexReader(idx)
+    resp = handle_hits(r, {"patt": '"quick"', "usecontent": "orig",
+                           "wordsaroundhit": "1"})
+    h = resp["hits"][0]
+    assert h["match"] == "QUICK", h
+    assert h["left"].strip() == "eat" and h["right"].strip() == "fox"
