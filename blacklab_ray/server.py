@@ -397,7 +397,6 @@ def _doc_field_lookup(reader, doc_ids: np.ndarray,
     if fieldname == "pid":
         uniq = np.unique(doc_ids)
         return dict(zip(uniq.tolist(), reader.urls(uniq)))
-    import os
 
     import pyarrow.compute as pc
     uniq = np.unique(doc_ids)
@@ -652,7 +651,6 @@ def _field_types(reader) -> dict:
 def _doc_by_pid(reader, pid: str) -> tuple[int, int]:
     """(doc_id, doc_len) for a pid (=url) — a url-filtered pushdown
     gather over the fwd dataset, never a full scan."""
-    import os
 
     import pyarrow.compute as pc
     ds = reader.fwd_dataset()
@@ -668,7 +666,6 @@ def handle_doc_info(reader, pid: str) -> dict:
     (RequestHandlerDocInfo.java shape): pid + stored metadata fields
     (fwd ``meta_*``/declared columns, each a value list) +
     lengthInTokens."""
-    import os
 
     import pyarrow.compute as pc
     did, dl = _doc_by_pid(reader, pid)
@@ -770,7 +767,6 @@ def handle_doc_contents(reader, pid: str,
     corpus-wide and is then filtered to this doc — the engine has no
     single-doc query scope; route repeated contents+patt traffic
     through the caching query-actor pool."""
-    import os
 
     import pyarrow.compute as pc
     did, dl = _doc_by_pid(reader, pid)
@@ -911,7 +907,6 @@ def handle_docs_grouped(reader, params: dict) -> dict:
     pattern are grouped and per-group hit counts are included. The
     scale path for corpus-wide grouping is pipelines/docsops.py; this
     endpoint serves the interactive window."""
-    import os
 
     import pyarrow.compute as pc
     crit = params["group"]
@@ -1037,7 +1032,6 @@ def handle_fieldinfo(reader, fieldname: str, params: dict) -> dict:
             annots[a]["valueListComplete"] = len(vals) <= number
         return {"fieldName": "contents", "isAnnotatedField": True,
                 "mainAnnotation": "word", "annotations": annots}
-    import os
 
     import pyarrow.compute as pc
     types = _field_types(reader)
@@ -1072,7 +1066,6 @@ def handle_index_status(reader, name: str) -> dict:
     """GET /corpora/<c>/status — RequestHandlerIndexStatus analogue,
     plus this engine's incremental-update state (generation +
     tombstone count from updates.json)."""
-    import os
     gen, n_tomb = 0, len(reader.tombstones)
     # federated readers report the max sub-index generation
     for sub in getattr(reader, "subs", [reader]):
