@@ -262,7 +262,8 @@ def cmd_clean(args) -> int:
         )
         spans = substr_dup_spans(ds, window=args.window,
                                  text_col=args.text_col,
-                                 id_col=args.id_col)
+                                 id_col=args.id_col,
+                                 keep_first=args.keep_first)
         out = cut_dup_spans(ds, spans, text_col=args.text_col,
                             id_col=args.id_col)
     else:  # decontaminate
@@ -641,6 +642,9 @@ def main(argv=None) -> int:
     cl.add_argument("--window", type=int, default=32,
                     help="duplicate-substring window in tokens "
                          "(substr-dedup)")
+    cl.add_argument("--keep-first", action="store_true",
+                    help="substr-dedup: keep each duplicated run's "
+                         "first occurrence (cut only later copies)")
     cl.add_argument("--keep-only", action="store_true",
                     help="emit only rows that pass (quality) or are "
                          "uncontaminated (decontaminate)")

@@ -1210,7 +1210,8 @@ def near_dedup_drop_ids(ds: ray.data.Dataset, threshold: float = 0.8,
 
 def substr_dup_spans(ds: ray.data.Dataset, window: int = 32,
                      text_col: str = "text", id_col: str = "doc_id",
-                     num_partitions: int = 32) -> ray.data.Dataset:
+                     num_partitions: int = 32,
+                     keep_first: bool = False) -> ray.data.Dataset:
     """Token spans covered by an EXACT duplicated substring — the
     ExactSubstr side of Lee et al. 2022 ("Deduplicating Training Data
     Makes Language Models Better"): any ``window``-token run whose
@@ -1235,6 +1236,12 @@ def substr_dup_spans(ds: ray.data.Dataset, window: int = 32,
     rows with count >= 2 survive; (2) co-partition on doc hash — one
     vectorized lexsort + break-scan per partition merges windows into
     maximal intervals. Both shuffles move (int64 x 3) rows only.
+
+    ``keep_first=True`` excludes each duplicated window's FIRST
+    occurrence (min ``(doc_id, pos)``) from the marks, so cutting the
+    returned spans keeps exactly one copy of every duplicated run —
+    the paper's deduplication policy; the default marks every
+    occurrence (the conservative remove-all variant).
     """
     import pyarrow.compute as pc
 
@@ -1321,13 +1328,25 @@ def substr_dup_spans(ds: ray.data.Dataset, window: int = 32,
         if group.num_rows == 0 or "h" not in group.column_names:
             return OUT2.empty_table()
         h = group.column("h").to_numpy(zero_copy_only=False)
+        d0 = group.column(id_col).to_numpy(zero_copy_only=False)
+        p0 = group.column("pos").to_numpy(zero_copy_only=False)
         uniq, inv, cnt = np.unique(h, return_inverse=True,
                                    return_counts=True)
         keep = cnt[inv] >= 2
+        if keep.any() and keep_first:
+            # unmark each duplicated window's (doc, pos)-min
+            # occurrence: this partition holds ALL occurrences of its
+            # hashes, so the lexicographic first here IS global
+            order = np.lexsort((p0, d0, h))
+            first_of_run = np.ones(order.size, dtype=bool)
+            first_of_run[1:] = h[order][1:] != h[order][:-1]
+            is_first = np.zeros(order.size, dtype=bool)
+            is_first[order] = first_of_run
+            keep &= ~is_first
         if not keep.any():
             return OUT2.empty_table()
-        d = group.column(id_col).to_numpy(zero_copy_only=False)[keep]
-        p = group.column("pos").to_numpy(zero_copy_only=False)[keep]
+        d = d0[keep]
+        p = p0[keep]
         return pa.table({
             "part": pa.array(part_of(d, P), pa.int64()),
             id_col: pa.array(d, pa.int64()),

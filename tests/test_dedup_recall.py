@@ -678,3 +678,35 @@ def test_cut_dup_spans_unicode_whitespace_alignment(ray_session):
         .to_pandas().sort_values("doc_id").reset_index(drop=True)
     assert out.loc[0, "text"] == "a\xa0b tail1"
     assert out.loc[1, "text"] == "head tail2"
+
+
+def test_substr_dup_spans_keep_first(ray_session):
+    """keep_first=True unmarks each duplicated window's global first
+    occurrence, so cutting the spans keeps exactly one copy."""
+    import pyarrow as pa
+    import ray.data
+
+    from blacklab_ray.pipelines.dedup import (
+        cut_dup_spans, substr_dup_spans,
+    )
+    run = "k1 k2 k3 k4 k5"
+    tbl = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": [f"intro {run} outro", f"pre {run} post",
+                 f"{run} gap gap {run}"],
+    })
+    ds = ray.data.from_arrow(tbl)
+    spans = substr_dup_spans(ds, window=5, keep_first=True) \
+        .to_pandas()
+    got = set(zip(spans.doc_id, spans.start, spans.end))
+    # doc 0 holds the (doc,pos)-min occurrence -> unmarked; doc 1's
+    # copy and BOTH of doc 2's runs (not first) are marked
+    assert got == {(1, 1, 6), (2, 0, 5), (2, 7, 12)}
+    out = cut_dup_spans(ds, pa.Table.from_pandas(spans)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert out.loc[0, "text"] == f"intro {run} outro"   # untouched
+    assert out.loc[1, "text"] == "pre post"
+    assert out.loc[2, "text"] == "gap gap"
+    # remove-all default still marks everything
+    all_spans = substr_dup_spans(ds, window=5).to_pandas()
+    assert len(all_spans) == 4
