@@ -244,10 +244,17 @@ def handle_hits(reader, params: dict) -> dict:
         # excluded (Contexts.java:166 semantics) — computed over the
         # filtered/sampled span set so hitfiltercrit/sample compose.
         # Context width defaults to 10: the reference's saved colloc
-        # responses reproduce EXACTLY at wordsaroundhit=10
+        # responses reproduce EXACTLY at wordsaroundhit=10.
+        # ``annotation=`` collocates a parallel annotation's tokens
+        # (lemma/pos) instead of the word form
         n_ctx = int(params.get("wordsaroundhit", 10))
-        return {"tokenFrequencies": _colloc_counts(reader, d, s, e,
-                                                   n_ctx)}
+        annot = params.get("annotation")
+        if annot and annot != "word" and \
+                annot not in _annotation_names(reader):
+            raise KeyError(f"unknown annotation {annot!r}")
+        return {"tokenFrequencies": _colloc_counts(
+            reader, d, s, e, n_ctx,
+            annotation=None if annot in (None, "word") else annot)}
     resp = _render_hits(reader, params, d, s, e, spans_tbl=spans_tbl)
     if params.get("facets"):
         resp["facets"] = _facets(reader, d, params["facets"])
@@ -815,10 +822,12 @@ def handle_colloc(reader, params: dict) -> dict:
     return handle_hits(reader, p)
 
 
-def _colloc_counts(reader, d, s, e, n_ctx: int) -> dict:
+def _colloc_counts(reader, d, s, e, n_ctx: int,
+                   annotation: str | None = None) -> dict:
     """Context-word frequency dict for a span set — one flat
     vectorized position expansion + one batched token gather (never a
-    per-hit Python loop)."""
+    per-hit Python loop). ``annotation`` routes the gather to a
+    parallel annotation's forward index."""
     lens = reader.doc_lens(d)
     lo = np.maximum(s - n_ctx, 0)
     hi = np.minimum(e + n_ctx, lens)
@@ -838,7 +847,7 @@ def _colloc_counts(reader, d, s, e, n_ctx: int) -> dict:
         left_part,
         np.repeat(lo, n_all) + base,
         np.repeat(e, n_all) + base - np.repeat(n_left, n_all))
-    toks = reader.tokens_at(flat_d, flat_p)
+    toks = reader.tokens_at(flat_d, flat_p, annotation=annotation)
     from collections import Counter
     c = Counter(t for t in toks if t)
     ordered = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))

@@ -1088,3 +1088,34 @@ def test_orig_concordances_accented_text_alignment(ray_session,
     h = resp["hits"][0]
     assert h["match"] == "QUICK", h
     assert h["left"].strip() == "eat" and h["right"].strip() == "fox"
+
+
+def test_colloc_annotation_param(ray_session, tmp_path_factory):
+    """calc=colloc&annotation=lemma collocates the parallel
+    annotation's tokens; unknown annotations 404."""
+    from blacklab_ray.formats import read_pages
+    from blacklab_ray.index import BuildParams, build_index
+    from blacklab_ray.query import IndexReader
+    from blacklab_ray.server import handle_hits
+    tmp = tmp_path_factory.mktemp("collann")
+    lines = ["url\tpos\tword\tlemma",
+             "d1\t0\tcats\tcat", "d1\t1\tand\tand",
+             "d1\t2\tdogs\tdog"]
+    tsv = tmp / "c.tsv"
+    tsv.write_text("\n".join(lines) + "\n")
+    idx = str(tmp / "idx")
+    build_index(read_pages("tabular-tsv", str(tsv)), idx,
+                BuildParams(num_buckets=2, n_salts=1,
+                            annotations=("lemma",)))
+    r = IndexReader(idx)
+    resp = handle_hits(r, {"patt": '"and"', "calc": "colloc",
+                           "wordsaroundhit": "1",
+                           "annotation": "lemma"})
+    assert resp["tokenFrequencies"] == {"cat": 1, "dog": 1}
+    word = handle_hits(r, {"patt": '"and"', "calc": "colloc",
+                           "wordsaroundhit": "1"})
+    assert word["tokenFrequencies"] == {"cats": 1, "dogs": 1}
+    import pytest as _p
+    with _p.raises(KeyError):
+        handle_hits(r, {"patt": '"and"', "calc": "colloc",
+                        "annotation": "nope"})
