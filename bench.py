@@ -291,6 +291,8 @@ def run_bench(num_cpus: int) -> dict:
         dedup.duplicate_clusters(verified.select(["a", "b"])).count()
 
     timed("dedup_clusters_e2e", _dedup_clusters)
+    timed("dedup_substr", lambda: dedup.substr_dup_spans(
+        ray.data.read_parquet(docs_path), window=16).count())
     timed("events_tumbling", lambda: windows.tumbling(
         ray.data.read_parquet(events_path), 3600).count())
 
