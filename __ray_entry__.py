@@ -777,6 +777,54 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return out.sort_values(["doc_id", "chunk_id"]) \
             .reset_index(drop=True)
 
+    def q_snapshot_diff(sf):
+        """Crawl-snapshot content diff (docsops.snapshot_diff):
+        old = documents; new = documents with doc_id%7==0 dropped
+        (removed), ' v2' appended where doc_id%5==0 (changed), and a
+        '#new' url added per doc_id%11==0 (added). Oracle is the
+        FULL OUTER JOIN + CASE re-derivation."""
+        import pyarrow.compute as pc
+
+        from blacklab_ray.pipelines.docsops import snapshot_diff
+
+        def _url(tbl: pa.Table) -> pa.ChunkedArray:
+            return pc.binary_join_element_wise(
+                "d", pc.cast(tbl["doc_id"], pa.string()), "")
+
+        def _mk_old(t: pa.Table) -> pa.Table:
+            return pa.table({"url": _url(t), "text": t["text"]})
+
+        old = _docs_ds(sf).map_batches(_mk_old, batch_format="pyarrow")
+
+        def _cc(arr):
+            return arr.combine_chunks() if isinstance(
+                arr, pa.ChunkedArray) else arr
+
+        def _mk_new(t: pa.Table) -> pa.Table:
+            did = t["doc_id"].to_numpy()
+            base = t.filter(pa.array(did % 7 != 0))
+            bd = base["doc_id"].to_numpy()
+            txt = pc.if_else(pa.array(bd % 5 == 0),
+                             pc.binary_join_element_wise(
+                                 base["text"], " v2", ""),
+                             base["text"])
+            fresh = t.filter(pa.array(did % 11 == 0))
+            return pa.table({
+                "url": pa.concat_arrays([
+                    _cc(_url(base)),
+                    _cc(pc.binary_join_element_wise(
+                        _url(fresh), "#new", ""))]),
+                "text": pa.concat_arrays([
+                    _cc(txt),
+                    _cc(pc.binary_join_element_wise(
+                        "fresh", pc.cast(fresh["doc_id"],
+                                         pa.string()), " "))]),
+            })
+
+        new = _docs_ds(sf).map_batches(_mk_new, batch_format="pyarrow")
+        out = snapshot_diff(old, new).to_pandas()
+        return out.sort_values("url").reset_index(drop=True)
+
     def q_substr_dup(sf):
         """Exact duplicate-substring spans (dedup.substr_dup_spans,
         W=16): maximal token intervals covered by any 16-token run
@@ -1456,6 +1504,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "latest_snapshot": q_latest_snapshot,
         "doc_chunks": q_doc_chunks,
         "substr_dup": q_substr_dup,
+        "snapshot_diff": q_snapshot_diff,
     }
 
 
@@ -2723,6 +2772,30 @@ SELECT doc_id, i AS chunk_id,
        array_to_string(words[i * 24 + 1 : i * 24 + 32], ' ') AS text
 FROM c
 ORDER BY doc_id, chunk_id
+""",
+        # snapshot content diff: FULL OUTER JOIN on url, status from
+        # presence + text equality (the engine compares content md5 —
+        # equivalent); unchanged rows dropped like the operator's
+        # default
+        "snapshot_diff": r"""
+WITH o AS (SELECT 'd' || doc_id AS url, text FROM documents),
+n AS (
+  SELECT 'd' || doc_id AS url,
+         CASE WHEN doc_id % 5 = 0 THEN text || ' v2'
+              ELSE text END AS text
+  FROM documents WHERE doc_id % 7 <> 0
+  UNION ALL
+  SELECT 'd' || doc_id || '#new' AS url, 'fresh ' || doc_id AS text
+  FROM documents WHERE doc_id % 11 = 0),
+j AS (
+  SELECT coalesce(o.url, n.url) AS url,
+         CASE WHEN o.url IS NULL THEN 'added'
+              WHEN n.url IS NULL THEN 'removed'
+              WHEN o.text <> n.text THEN 'changed'
+              ELSE 'unchanged' END AS status
+  FROM o FULL OUTER JOIN n ON o.url = n.url)
+SELECT url, status FROM j WHERE status <> 'unchanged'
+ORDER BY url
 """,
         # exact duplicate-substring spans, W=16: windows occurring >1
         # time anywhere mark their span; touching/overlapping marked

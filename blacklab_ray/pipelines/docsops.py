@@ -379,3 +379,86 @@ def chunk_documents(ds: ray.data.Dataset, chunk_tokens: int = 256,
         return pa.concat_tables(out)
 
     return ds.map_batches(_chunks, batch_format="pyarrow")
+
+
+def snapshot_diff(old_ds: ray.data.Dataset, new_ds: ray.data.Dataset,
+                  id_col: str = "url", text_col: str = "text",
+                  num_partitions: int = 32,
+                  include_unchanged: bool = False) -> ray.data.Dataset:
+    """Diff two corpus snapshots by content: per document key, one of
+    ``added`` (only in new), ``removed`` (only in old), ``changed``
+    (both, different content md5), or ``unchanged`` — the continuous-
+    crawl ops step between ``latest_snapshot_keep_ids`` (within ONE
+    snapshot) and incremental index update (which consumes the
+    added/changed set). ``unchanged`` rows — normally the overwhelming
+    bulk — are dropped unless ``include_unchanged``.
+
+    Scale shape: each side folds to slim (key-hash part, key,
+    content_md5, side) rows in one ``map_batches`` pass; ONE part-hash
+    co-partitioned union shuffle brings a key's two sides together,
+    and a vectorized per-partition sort + neighbor compare emits the
+    statuses — no driver-side state, both inputs stream.
+    """
+    import hashlib
+
+    from blacklab_ray.util import part_of
+    P = num_partitions
+
+    def _slim(side: str):
+        def _f(batch: pa.Table) -> pa.Table:
+            keys = batch.column(id_col).to_pylist()
+            texts = batch.column(text_col).to_pylist()
+            md5s = [hashlib.md5((t or "").encode()).hexdigest()
+                    for t in texts]
+            kh = np.array([int(hashlib.md5(str(k).encode())
+                               .hexdigest()[:15], 16)
+                           for k in keys], np.int64)
+            return pa.table({
+                "part": pa.array(part_of(kh, P), pa.int64()),
+                id_col: pa.array([str(k) for k in keys], pa.string()),
+                "content_md5": pa.array(md5s, pa.string()),
+                "side": pa.array([side] * len(keys), pa.string()),
+            })
+        return _f
+
+    both = old_ds.map_batches(_slim("old"), batch_format="pyarrow") \
+        .union(new_ds.map_batches(_slim("new"), batch_format="pyarrow"))
+
+    OUT = pa.schema([(id_col, pa.string()), ("status", pa.string())])
+
+    def _diff(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or "side" not in group.column_names:
+            return OUT.empty_table()
+        k = np.asarray(group.column(id_col).to_pylist(), dtype=object)
+        h = np.asarray(group.column("content_md5").to_pylist(),
+                       dtype=object)
+        s = np.asarray(group.column("side").to_pylist(), dtype=object)
+        order = np.argsort(k, kind="stable")
+        k, h, s = k[order], h[order], s[order]
+        keys_out, status_out = [], []
+        i = 0
+        n = k.size
+        while i < n:
+            j = i
+            while j < n and k[j] == k[i]:
+                j += 1
+            sides = set(s[i:j])
+            if sides == {"old"}:
+                st = "removed"
+            elif sides == {"new"}:
+                st = "added"
+            else:
+                olds = {hh for hh, ss in zip(h[i:j], s[i:j])
+                        if ss == "old"}
+                news = {hh for hh, ss in zip(h[i:j], s[i:j])
+                        if ss == "new"}
+                st = "unchanged" if olds == news else "changed"
+            if st != "unchanged" or include_unchanged:
+                keys_out.append(k[i])
+                status_out.append(st)
+            i = j
+        return pa.table({id_col: pa.array(keys_out, pa.string()),
+                         "status": pa.array(status_out, pa.string())})
+
+    return both.groupby("part").map_groups(_diff,
+                                           batch_format="pyarrow")

@@ -91,7 +91,8 @@ def test_driver_key_cap(entry_mod):
                            "exact_probe", "split_counts",
                            "pagerank_links", "hits_scores",
                            "host_stats", "latest_snapshot",
-                           "doc_chunks", "substr_dup"}, extras
+                           "doc_chunks", "substr_dup",
+                           "snapshot_diff"}, extras
     assert "lm_perplexity" in q[:50]   # rotated INTO the recorded set
     o = entry_mod.oracle_sql()
     # extras stay oracled, except declared rows-only ops whose

@@ -837,3 +837,25 @@ def test_chunk_documents(ray_session):
     rows2 = list(zip(out2["doc_id"], out2["chunk_id"],
                      out2["n_tokens"], out2["text"]))
     assert rows2 == [(1, 0, 2, "a b"), (2, 0, 2, "x y")]
+
+
+def test_snapshot_diff(ray_session):
+    """Content diff between two snapshots: added/removed/changed,
+    unchanged dropped by default, null text treated as empty."""
+    import pyarrow as pa
+    import ray.data
+
+    from blacklab_ray.pipelines.docsops import snapshot_diff
+    old = pa.table({"url": ["a", "b", "c", "d"],
+                    "text": ["same", "old text", "gone", None]})
+    new = pa.table({"url": ["a", "b", "e", "d"],
+                    "text": ["same", "new text", "fresh", None]})
+    out = snapshot_diff(ray.data.from_arrow(old),
+                        ray.data.from_arrow(new)).to_pandas() \
+        .sort_values("url").reset_index(drop=True)
+    assert list(zip(out["url"], out["status"])) == [
+        ("b", "changed"), ("c", "removed"), ("e", "added")]
+    full = snapshot_diff(ray.data.from_arrow(old),
+                         ray.data.from_arrow(new),
+                         include_unchanged=True).to_pandas()
+    assert set(full[full.status == "unchanged"]["url"]) == {"a", "d"}
