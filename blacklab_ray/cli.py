@@ -205,6 +205,33 @@ def cmd_gen(args) -> int:
     return 0
 
 
+def cmd_sync(args) -> int:
+    """Sync an index to a new corpus snapshot: diff by content, then
+    delete removed / update changed / add new documents."""
+    _ray_session()
+    from blacklab_ray.index.update import sync_snapshot
+    rec = sync_snapshot(args.index, args.new, old_source=args.old)
+    print(json.dumps(rec))
+    return 0
+
+
+def cmd_diff(args) -> int:
+    """Content diff between two corpus snapshots (added/removed/
+    changed per doc key) to partitioned parquet — the crawl-ops step
+    feeding incremental index updates."""
+    _ray_session()
+    import ray.data
+
+    from blacklab_ray.pipelines.docsops import snapshot_diff
+    out = snapshot_diff(ray.data.read_parquet(args.old),
+                        ray.data.read_parquet(args.new),
+                        id_col=args.id_col, text_col=args.text_col,
+                        include_unchanged=args.include_unchanged)
+    out.write_parquet(args.out)
+    print(json.dumps({"op": "diff", "out": args.out}))
+    return 0
+
+
 def cmd_clean(args) -> int:
     """Corpus-cleaning pass over a documents parquet dir: streaming in,
     partitioned parquet out (write_parquet shards per block — a failed
@@ -625,6 +652,26 @@ def main(argv=None) -> int:
     sv.add_argument("--host", default="127.0.0.1")
     sv.add_argument("--port", type=int, default=8080)
     sv.set_defaults(fn=cmd_serve)
+
+    sy = sub.add_parser("sync")
+    sy.add_argument("--index", required=True)
+    sy.add_argument("--new", required=True,
+                    help="new snapshot parquet dir")
+    sy.add_argument("--old", default=None,
+                    help="old snapshot parquet dir (defaults to the "
+                         "index's content store — store_text builds)")
+    sy.set_defaults(fn=cmd_sync)
+
+    df = sub.add_parser("diff")
+    df.add_argument("--old", required=True,
+                    help="old snapshot parquet dir")
+    df.add_argument("--new", required=True,
+                    help="new snapshot parquet dir")
+    df.add_argument("--out", required=True)
+    df.add_argument("--id-col", default="url")
+    df.add_argument("--text-col", default="text")
+    df.add_argument("--include-unchanged", action="store_true")
+    df.set_defaults(fn=cmd_diff)
 
     cl = sub.add_parser("clean")
     cl.add_argument("--input", required=True)

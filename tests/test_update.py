@@ -538,3 +538,55 @@ def test_merge_indexes_incompatible_store_text(tmp_path, ray_session):
     build_index(str(b_src), b_idx, BuildParams(num_buckets=2, n_salts=1))
     with _pytest.raises(ValueError, match="store_text"):
         merge_indexes(a_idx, b_idx)
+
+
+def test_sync_snapshot_store_text(ray_session, tmp_path):
+    """sync_snapshot brings a store_text index in line with a new
+    snapshot: removed docs stop matching, changed docs re-index under
+    the new content, added docs appear — old side derived from the
+    index's own content store."""
+    import pyarrow as pa
+    import ray.data
+
+    from blacklab_ray.index.update import sync_snapshot
+    from blacklab_ray.query import IndexReader
+    from blacklab_ray.query.engine import search
+
+    old = pa.table({
+        "url": ["a", "b", "c"],
+        "text": ["alpha words here", "bravo words there",
+                 "charlie words gone"],
+    })
+    src = tmp_path / "old"
+    src.mkdir()
+    pq.write_table(old, str(src / "p.parquet"))
+    idx = str(tmp_path / "idx")
+    build_index(str(src), idx,
+                BuildParams(num_buckets=2, n_salts=1,
+                            store_text=True))
+    new = pa.table({
+        "url": ["a", "b", "d"],
+        "text": ["alpha words here",              # unchanged
+                 "bravo NEWTEXT there",           # changed
+                 "delta fresh content"],          # added; c removed
+    })
+    rec = sync_snapshot(idx, ray.data.from_arrow(new))
+    assert (rec["removed"], rec["changed"], rec["added"]) == (1, 1, 1)
+    r = IndexReader(idx)
+
+    def hits(term):
+        res = search(r, [term], k=10, resolve_urls=True)
+        return set(res["url"].to_pylist())
+
+    assert hits("charlie") == set()               # removed
+    assert hits("newtext") == {"b@g1"}            # changed, regen'd
+    assert hits("bravo") == {"b@g1"}
+    assert hits("delta") == {"d"}                 # added
+    assert hits("alpha") == {"a"}                 # untouched
+    # a second sync against the SAME snapshot is a no-op... except the
+    # generation-salted re-add diffs as removed+added (documented);
+    # everything still matches afterwards
+    rec2 = sync_snapshot(idx, ray.data.from_arrow(new))
+    r2 = IndexReader(idx)
+    res = search(r2, ["newtext"], k=10, resolve_urls=True)
+    assert res.num_rows == 1
