@@ -723,13 +723,13 @@ def compact_index(index_dir: str, params: BuildParams | None = None) -> dict:
 
 def sync_snapshot(index_dir: str, new_source,
                   params: BuildParams | None = None,
-                  old_source=None, id_col: str = "url",
-                  text_col: str = "text") -> dict:
+                  old_source=None) -> dict:
     """Bring an index built from snapshot A in line with snapshot B:
     diff the snapshots by content (``docsops.snapshot_diff``), then
     delete removed docs, ``update_documents`` changed ones, and
     ``add_documents`` new ones — the maintenance loop a continuous
-    crawl runs per capture.
+    crawl runs per capture. Snapshots are ``url``-keyed with a
+    ``text`` column (the index update lifecycle is url-addressed).
 
     ``old_source`` defaults to the index's OWN content store (a
     ``store_text`` build: fwd ``url``/``text``, tombstoned docs
@@ -739,63 +739,66 @@ def sync_snapshot(index_dir: str, new_source,
     removed+added; compaction normalizes them away.
 
     Scale shape: the diff is the two-snapshot shuffle of slim hash
-    rows; only the DIFF SET (added/changed/removed keys and their new
-    rows) is driver-materialized — sized to the day's churn, not the
-    corpus. Bulk re-syncs (diff comparable to corpus size) should
-    rebuild instead.
+    rows (the content-store old side STREAMS through a pruned
+    read + vectorized tombstone mask, never a driver load); the new
+    snapshot is scanned ONCE to collect the churn rows, and only the
+    DIFF SET (added/changed/removed keys and their new rows) is
+    driver-materialized — sized to the day\'s churn, not the corpus.
+    Bulk re-syncs (diff comparable to corpus size) should rebuild.
     """
-    import numpy as np
-    import pyarrow.compute as pc
-
     from blacklab_ray.pipelines.docsops import snapshot_diff
     params = _inherit_layout(index_dir, params or BuildParams())
     new_ds = (ray.data.read_parquet(new_source)
               if isinstance(new_source, str) else new_source)
     if old_source is None:
         import pyarrow.dataset as pa_ds
-        fwd = pa_ds.dataset(os.path.join(index_dir, "fwd"),
-                            format="parquet")
-        if "text" not in fwd.schema.names:
+        fwd_dir = os.path.join(index_dir, "fwd")
+        if "text" not in pa_ds.dataset(fwd_dir,
+                                       format="parquet").schema.names:
             raise ValueError(
                 "sync_snapshot without old_source needs a store_text "
                 "index (the content store IS the old snapshot); pass "
                 "old_source for store-less indexes")
-        upd = _load_updates(index_dir)
-        tombs = set(upd.get("tombstones") or [])
-        tbl = fwd.to_table(columns=["doc_id", "url", "text"])
-        if tombs:
-            keep = [int(d) not in tombs
-                    for d in tbl["doc_id"].to_pylist()]
-            tbl = tbl.filter(pa.array(keep))
-        old_ds = ray.data.from_arrow(tbl.select(["url", "text"]))
+        upd0 = _load_updates(index_dir)
+        tomb_arr = pa.array(sorted(upd0.get("tombstones") or []),
+                            pa.int64())
+
+        def _live(t: pa.Table) -> pa.Table:
+            if len(tomb_arr):
+                t = t.filter(pa.compute.invert(pa.compute.is_in(
+                    t["doc_id"], value_set=tomb_arr)))
+            return t.select(["url", "text"])
+
+        old_ds = ray.data.read_parquet(
+            fwd_dir, columns=["doc_id", "url", "text"]) \
+            .map_batches(_live, batch_format="pyarrow")
     else:
         old_ds = (ray.data.read_parquet(old_source)
                   if isinstance(old_source, str) else old_source)
 
-    diff = snapshot_diff(old_ds, new_ds, id_col=id_col,
-                         text_col=text_col).to_pandas()
-    removed = diff.loc[diff.status == "removed", id_col].tolist()
-    changed = set(diff.loc[diff.status == "changed", id_col])
-    added = set(diff.loc[diff.status == "added", id_col])
+    diff = snapshot_diff(old_ds, new_ds).to_pandas()
+    removed = diff.loc[diff.status == "removed", "url"].tolist()
+    changed = set(diff.loc[diff.status == "changed", "url"])
+    added = set(diff.loc[diff.status == "added", "url"])
     out = {"op": "sync", "removed": len(removed),
            "changed": len(changed), "added": len(added)}
     if removed:
         delete_documents(index_dir, urls=removed)
-    if changed:
-        ref = ray.put(changed)
 
-        def _keep_changed(t: pa.Table) -> pa.Table:
-            want = ray.get(ref)
+    if changed or added:
+        # ONE scan of the new snapshot collects every churn row
+        # (diff-sized result; the broadcast key set is churn-sized)
+        churn_ref = ray.put(changed | added)
+
+        def _keep_churn(t: pa.Table) -> pa.Table:
+            want = ray.get(churn_ref)
             return t.filter(pa.array(
-                [str(u) in want for u in t[id_col].to_pylist()]))
+                [str(u) in want for u in t["url"].to_pylist()]))
 
-        rows = pa.concat_tables(
-            [pa.Table.from_pandas(
-                new_ds.map_batches(_keep_changed,
-                                   batch_format="pyarrow")
-                .to_pandas())])
-        update_documents(index_dir, rows, params)
-    if added:
+        churn = pa.Table.from_pandas(
+            new_ds.map_batches(_keep_churn, batch_format="pyarrow")
+            .to_pandas(), preserve_index=False)
+        urls = churn["url"].to_pylist()
         # an added url whose plain id is TOMBSTONED (deleted or
         # previously updated) must re-enter under a fresh generation
         # salt, exactly like update_documents — a plain add would be
@@ -807,30 +810,16 @@ def sync_snapshot(index_dir: str, new_source,
         remap = load_remap(index_dir)
         resurrect = {u for u in added
                      if doc_id_for_url(str(u), remap) in tombs2}
-        fresh = added - resurrect
-        if fresh:
-            ref2 = ray.put(fresh)
-
-            def _keep_added(t: pa.Table) -> pa.Table:
-                want = ray.get(ref2)
-                return t.filter(pa.array(
-                    [str(u) in want for u in t[id_col].to_pylist()]))
-
+        fresh_mask = [str(u) in (added - resurrect) for u in urls]
+        upd_mask = [str(u) in changed or str(u) in resurrect
+                    for u in urls]
+        if any(fresh_mask):
             add_documents(index_dir,
-                          new_ds.map_batches(_keep_added,
-                                             batch_format="pyarrow"),
+                          ray.data.from_arrow(
+                              churn.filter(pa.array(fresh_mask))),
                           params)
-        if resurrect:
-            ref3 = ray.put(resurrect)
-
-            def _keep_res(t: pa.Table) -> pa.Table:
-                want = ray.get(ref3)
-                return t.filter(pa.array(
-                    [str(u) in want for u in t[id_col].to_pylist()]))
-
-            rows = pa.Table.from_pandas(
-                new_ds.map_batches(_keep_res, batch_format="pyarrow")
-                .to_pandas())
-            update_documents(index_dir, rows, params)
-            out["resurrected"] = len(resurrect)
+        if any(upd_mask):
+            update_documents(index_dir,
+                             churn.filter(pa.array(upd_mask)), params)
+        out["resurrected"] = len(resurrect)
     return out

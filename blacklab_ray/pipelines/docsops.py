@@ -427,38 +427,45 @@ def snapshot_diff(old_ds: ray.data.Dataset, new_ds: ray.data.Dataset,
     OUT = pa.schema([(id_col, pa.string()), ("status", pa.string())])
 
     def _diff(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
         if group.num_rows == 0 or "side" not in group.column_names:
             return OUT.empty_table()
-        k = np.asarray(group.column(id_col).to_pylist(), dtype=object)
-        h = np.asarray(group.column("content_md5").to_pylist(),
-                       dtype=object)
-        s = np.asarray(group.column("side").to_pylist(), dtype=object)
-        order = np.argsort(k, kind="stable")
-        k, h, s = k[order], h[order], s[order]
-        keys_out, status_out = [], []
-        i = 0
-        n = k.size
-        while i < n:
-            j = i
-            while j < n and k[j] == k[i]:
-                j += 1
-            sides = set(s[i:j])
-            if sides == {"old"}:
-                st = "removed"
-            elif sides == {"new"}:
-                st = "added"
-            else:
-                olds = {hh for hh, ss in zip(h[i:j], s[i:j])
-                        if ss == "old"}
-                news = {hh for hh, ss in zip(h[i:j], s[i:j])
-                        if ss == "new"}
-                st = "unchanged" if olds == news else "changed"
-            if st != "unchanged" or include_unchanged:
-                keys_out.append(k[i])
-                status_out.append(st)
-            i = j
-        return pa.table({id_col: pa.array(keys_out, pa.string()),
-                         "status": pa.array(status_out, pa.string())})
+        # fully vectorized neighbor compare: Arrow sort by key, then
+        # dictionary codes (first-appearance order == sorted order, so
+        # codes are nondecreasing) + reduceat per group. Keys are
+        # unique PER SIDE (snapshots), so a both-sides group is
+        # changed iff its two md5 codes differ
+        st = group.sort_by([(id_col, "ascending")])
+        kcodes = pc.dictionary_encode(
+            st[id_col].combine_chunks()).indices.to_numpy(
+            zero_copy_only=False)
+        hcodes = pc.dictionary_encode(
+            st["content_md5"].combine_chunks()).indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        is_new = pc.equal(st["side"], "new").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        brk = np.ones(kcodes.size, dtype=bool)
+        brk[1:] = kcodes[1:] != kcodes[:-1]
+        starts = np.flatnonzero(brk)
+        counts = np.diff(np.r_[starts, kcodes.size])
+        n_new = np.add.reduceat(is_new, starts)
+        n_old = counts - n_new
+        hmax = np.maximum.reduceat(hcodes, starts)
+        hmin = np.minimum.reduceat(hcodes, starts)
+        status = np.where(
+            n_old == 0, "added",
+            np.where(n_new == 0, "removed",
+                     np.where(hmax != hmin, "changed", "unchanged")))
+        keys = st[id_col].combine_chunks().take(
+            pa.array(starts, pa.int64()))
+        if not include_unchanged:
+            keep = status != "unchanged"
+            keys = keys.take(pa.array(np.flatnonzero(keep),
+                                      pa.int64()))
+            status = status[keep]
+        return pa.table({id_col: keys,
+                         "status": pa.array(status.tolist(),
+                                            pa.string())})
 
     return both.groupby("part").map_groups(_diff,
                                            batch_format="pyarrow")

@@ -248,13 +248,16 @@ def handle_hits(reader, params: dict) -> dict:
         # ``annotation=`` collocates a parallel annotation's tokens
         # (lemma/pos) instead of the word form
         n_ctx = int(params.get("wordsaroundhit", 10))
-        annot = params.get("annotation")
-        if annot and annot != "word" and \
+        # '' and 'word' both mean the word form (a blank param must
+        # not leak into tokens_at as a bogus annotation route)
+        annot = params.get("annotation") or None
+        if annot == "word":
+            annot = None
+        if annot is not None and \
                 annot not in _annotation_names(reader):
             raise KeyError(f"unknown annotation {annot!r}")
         return {"tokenFrequencies": _colloc_counts(
-            reader, d, s, e, n_ctx,
-            annotation=None if annot in (None, "word") else annot)}
+            reader, d, s, e, n_ctx, annotation=annot)}
     resp = _render_hits(reader, params, d, s, e, spans_tbl=spans_tbl)
     if params.get("facets"):
         resp["facets"] = _facets(reader, d, params["facets"])
