@@ -199,8 +199,10 @@ def handle_hits(reader, params: dict) -> dict:
         keys, _prop = _group_keys(reader, spans_tbl,
                                   params["hitfiltercrit"])
         want = params.get("hitfilterval", "")
+        # typed bool: an EMPTY comprehension otherwise infers null
+        # type and Arrow rejects it as a filter mask
         spans_tbl = spans_tbl.filter(
-            pa.array([k == want for k in keys]))
+            pa.array([k == want for k in keys], pa.bool_()))
     if params.get("sample") or params.get("samplenum"):
         # BLS sample/samplenum/sampleseed: the engine's deterministic
         # seeded hash sampling (md5_low64(doc:pos:seed), partition-
@@ -222,7 +224,7 @@ def handle_hits(reader, params: dict) -> dict:
         else:
             n = int(params["samplenum"])
             idx = np.sort(np.argsort(hv, kind="stable")[:n])
-        spans_tbl = spans_tbl.take(pa.array(idx))
+        spans_tbl = spans_tbl.take(pa.array(idx, pa.int64()))
     if params.get("sort"):
         crit = params["sort"]
         desc = crit.startswith("-")
@@ -233,7 +235,7 @@ def handle_hits(reader, params: dict) -> dict:
         order = sorted(range(len(ck)),
                        key=lambda i: ck[i], reverse=desc)
         import pyarrow as pa
-        spans_tbl = spans_tbl.take(pa.array(order))
+        spans_tbl = spans_tbl.take(pa.array(order, pa.int64()))
     d = spans_tbl["doc_id"].to_numpy()
     s = spans_tbl["start"].to_numpy()
     e = spans_tbl["end"].to_numpy()

@@ -1119,3 +1119,52 @@ def test_colloc_annotation_param(ray_session, tmp_path_factory):
     with _p.raises(KeyError):
         handle_hits(r, {"patt": '"and"', "calc": "colloc",
                         "annotation": "nope"})
+
+
+def test_server_param_fuzz_no_500(srv_index):
+    """Random (sometimes nonsensical) param combos over /hits and
+    /docs: the router answers 200/400/404, never a raw 500 — bad
+    input must map to the BLS error contract."""
+    import itertools
+    import random
+
+    from blacklab_ray.query import IndexReader
+    from blacklab_ray.server import BlsApp
+    call = _mkcall(BlsApp({"test": IndexReader(srv_index)}))
+    rng = random.Random(41)
+    patts = ['"quick"', '[word="q.*"]', 'A:"quick"', '"quick" "fox"',
+             "", "(((", '"nosuchtoken"']
+    groups = [None, "hit:word:i", "field:lang", "field:nope",
+              "hit:word:i,field:lang", "capture:word:i:A",
+              "capture:word:i:NOPE", "bogus:crit"]
+    sorts = [None, "hit:word:i", "-field:lang", "numhits", "pid",
+             "field:year", "junk"]
+    extras = [{}, {"samplenum": "1"}, {"sample": "150"},
+              {"hitfiltercrit": "field:lang", "hitfilterval": "en"},
+              {"listvalues": "nope"}, {"usecontent": "orig"},
+              {"calc": "colloc"}, {"annotation": ""},
+              {"first": "-1"}, {"number": "0"},
+              {"wordsaroundhit": "99"},
+              {"omitemptycapture": "true"},
+              {"viewgroup": "zzz"}, {"facets": "field:lang"}]
+    from urllib.parse import urlencode
+    checked = 0
+    for _ in range(120):
+        params = {}
+        p = rng.choice(patts)
+        if p:
+            params["patt"] = p
+        g = rng.choice(groups)
+        if g:
+            params["group"] = g
+        s = rng.choice(sorts)
+        if s:
+            params["sort"] = s
+        params.update(rng.choice(extras))
+        op = rng.choice(["hits", "docs"])
+        st, _ct, body = call(f"/corpora/test/{op}?"
+                             + urlencode(params))
+        code = int(st.split()[0])
+        assert code in (200, 400, 404), (op, params, st, body[:200])
+        checked += 1
+    assert checked == 120
