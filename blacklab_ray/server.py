@@ -481,6 +481,10 @@ def _group_keys(reader, spans_tbl, crit: str):
                                     csum.tolist())]
             return keys, crit
         raise KeyError(f"no capture group {cap!r} in pattern")
+    if not crit.startswith("hit:"):
+        # HitProperty.deserialize rejects unknown criteria; a silent
+        # hit-text fallback would mask caller typos ('filed:lang')
+        raise KeyError(f"unknown hit property criterion {crit!r}")
     # group identity is the FULL matched text (BLS groups multi-token
     # hits by all tokens s..e-1, not the first word — ADVICE r3): one
     # batched tokens_at over the ragged positions
