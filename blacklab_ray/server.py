@@ -261,6 +261,13 @@ def handle_hits(reader, params: dict) -> dict:
         return {"tokenFrequencies": _colloc_counts(
             reader, d, s, e, n_ctx, annotation=annot)}
     resp = _render_hits(reader, params, d, s, e, spans_tbl=spans_tbl)
+    if params.get("includetokencount") in ("true", "yes", "1", True):
+        # RequestHandlerHits.java:76 tokensInMatchingDocuments: total
+        # tokens across the docs the hits fall in (opt-in: it costs a
+        # doc_len gather over every matched doc)
+        ud = np.unique(d)
+        resp["summary"]["tokensInMatchingDocuments"] = (
+            int(reader.doc_lens(ud).sum()) if ud.size else 0)
     if params.get("facets"):
         resp["facets"] = _facets(reader, d, params["facets"])
     return resp
@@ -419,6 +426,55 @@ def _doc_field_lookup(reader, doc_ids: np.ndarray,
                     tbl[fieldname].to_pylist()))
 
 
+def _subcorpus_size(reader, filter_expr: str | None) -> dict:
+    """{documents, tokens} of the filter-defined subcorpus — the
+    reference's WebserviceParamsImpl.subcorpus() (the metadata filter
+    only, or all live docs) sized via DocResults.subcorpusSize()
+    (ResultHitsGrouped.java:96, ResultDocsGrouped.java:75). With no
+    filter and no tombstones this is the O(1) index metadata; else a
+    pruned (doc_id, doc_len) gather."""
+    allowed = _allowed_ids(reader, filter_expr)
+    if allowed is None and not reader.tombstones:
+        return {"documents": int(reader.n_docs),
+                "tokens": int(reader.meta["total_tokens"])}
+    if allowed is None:
+        allowed = reader.all_doc_ids()
+    else:
+        allowed = allowed[reader.mask_tombstones(allowed)]
+    if allowed.size == 0:
+        return {"documents": 0, "tokens": 0}
+    return {"documents": int(allowed.size),
+            "tokens": int(reader.doc_lens(allowed).sum())}
+
+
+def _meta_subcorpus_sizes(reader, fields: list[str],
+                          filter_expr: str | None) -> dict:
+    """metadata-value tuple → {documents, tokens} over the
+    filter-defined subcorpus: the per-group CorpusSize of
+    WebserviceOperations.findSubcorpusSize (the reference runs one
+    Lucene count query PER GROUP; one pruned (fields…, doc_len) scan
+    aggregated per value covers every group at once)."""
+    import pyarrow.compute as pc
+    allowed = _allowed_ids(reader, filter_expr)
+    flt = (pc.field("doc_id").isin(allowed.tolist())
+           if allowed is not None else None)
+    phys = ["url" if f == "pid" else f for f in fields]
+    tbl = reader.fwd_dataset().to_table(
+        columns=["doc_id", *phys, "doc_len"], filter=flt)
+    ids = tbl["doc_id"].to_numpy()
+    live = reader.mask_tombstones(ids)
+    cols = [tbl[f].to_pylist() for f in phys]
+    lens = tbl["doc_len"].to_numpy()
+    out: dict[tuple, list] = {}
+    for i in np.flatnonzero(live):
+        key = tuple(str(c[i]) for c in cols)
+        g = out.setdefault(key, [0, 0])
+        g[0] += 1
+        g[1] += int(lens[i])
+    return {k: {"documents": a, "tokens": b}
+            for k, (a, b) in out.items()}
+
+
 def _group_keys(reader, spans_tbl, crit: str):
     """Per-hit group key under a HitProperty criterion; returns
     (keys, property-name). Comma-separated criteria compose
@@ -552,14 +608,31 @@ def handle_hits_grouped(reader, params: dict) -> dict:
                             spans_tbl["start"].to_numpy()[sel],
                             spans_tbl["end"].to_numpy()[sel],
                             spans_tbl=sub)
+    # metadata criteria components drive per-group subcorpusSize
+    # (ResultHitGroup.java:55 computes the size of the subcorpus
+    # matching the group's doc-property values; frontends use it for
+    # relative frequencies)
+    crit_parts = [c for c in crit.split(",") if c] or [crit]
+    meta_fields = [c.split(":", 1)[1] for c in crit_parts
+                   if c.startswith("field:")]
+    meta_keys = None
+    if meta_fields:
+        lookups = [_doc_field_lookup(reader, d, f) for f in meta_fields]
+        meta_keys = [tuple(str(lk.get(int(x))) for lk in lookups)
+                     for x in d]
     groups: dict[str, dict] = {}
-    for k, doc in zip(keys, d):
+    for i, (k, doc) in enumerate(zip(keys, d)):
         g = groups.setdefault(k, {"size": 0, "docs": set()})
         g["size"] += 1
         g["docs"].add(int(doc))
+        if meta_keys is not None and "meta" not in g:
+            g["meta"] = meta_keys[i]
     ordered = sorted(groups.items(), key=lambda kv: (-kv[1]["size"],
                                                      kv[0]))
     window = ordered[first:first + number]
+    sizes = (_meta_subcorpus_sizes(reader, meta_fields,
+                                   params.get("filter"))
+             if meta_fields else None)
     return {
         "summary": {
             **_summary(params, first, number, len(window), total,
@@ -567,6 +640,10 @@ def handle_hits_grouped(reader, params: dict) -> dict:
             "numberOfGroups": len(groups),
             "largestGroupSize": (ordered[0][1]["size"] if ordered
                                  else 0),
+            # ResultHitsGrouped.java:96/126: grouped summaries always
+            # carry the filter-subcorpus size
+            "subcorpusSize": _subcorpus_size(reader,
+                                             params.get("filter")),
         },
         "hitGroups": [{
             "identity": (
@@ -579,6 +656,9 @@ def handle_hits_grouped(reader, params: dict) -> dict:
             "size": g["size"],
             "properties": [{"name": prop, "value": k}],
             "numberOfDocs": len(g["docs"]),
+            **({"subcorpusSize": sizes.get(
+                g["meta"], {"documents": 0, "tokens": 0})}
+               if sizes is not None else {}),
         } for k, g in window],
     }
 
@@ -640,6 +720,11 @@ def handle_docs(reader, params: dict) -> dict:
                         "mayView": True},
         } for u, c, n in zip(urls, wc, lens)],
     }
+    if params.get("includetokencount") in ("true", "yes", "1", True):
+        # RequestHandlerDocs.java:57 tokensInMatchingDocuments over
+        # the FULL doc result set (not just the window)
+        resp["summary"]["tokensInMatchingDocuments"] = (
+            int(reader.doc_lens(uniq).sum()) if uniq.size else 0)
     if params.get("facets"):
         resp["facets"] = _facets(reader, uniq, params["facets"])
     return resp
@@ -987,6 +1072,13 @@ def handle_docs_grouped(reader, params: dict) -> dict:
                                                      kv[0]))
     window = ordered[first:first + number]
     total_docs = int(tbl.num_rows)
+    # with a pattern, each group's size/numberOfTokens cover only the
+    # MATCHING docs — per-group subcorpusSize gives the full-corpus
+    # group size (ResultDocsGrouped.java:95–99, pattern branch only:
+    # without one the group already IS the subcorpus group)
+    sizes = (_meta_subcorpus_sizes(reader, [fieldname],
+                                   params.get("filter"))
+             if patt else None)
     return {
         "summary": {
             **_summary(params, first, number, len(window), total_docs,
@@ -994,6 +1086,8 @@ def handle_docs_grouped(reader, params: dict) -> dict:
             "numberOfGroups": len(groups),
             "largestGroupSize": (ordered[0][1]["size"] if ordered
                                  else 0),
+            "subcorpusSize": _subcorpus_size(reader,
+                                             params.get("filter")),
         },
         "docGroups": [{
             "identity": f"{fieldname}:{k}",
@@ -1001,6 +1095,9 @@ def handle_docs_grouped(reader, params: dict) -> dict:
             "size": g["size"],
             "numberOfTokens": g["tokens"],
             **({"numberOfHits": g["hits"]} if patt else {}),
+            **({"subcorpusSize": sizes.get(
+                (k,), {"documents": 0, "tokens": 0})}
+               if sizes is not None else {}),
             "properties": [{"name": f"field:{fieldname}", "value": k}],
         } for k, g in window],
     }

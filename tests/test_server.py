@@ -1168,3 +1168,86 @@ def test_server_param_fuzz_no_500(srv_index):
         assert code in (200, 400, 404), (op, params, st, body[:200])
         checked += 1
     assert checked == 120
+
+
+def test_subcorpus_size_grouped_by_field(srv_reader):
+    """Metadata grouping carries per-group subcorpusSize (all corpus
+    docs with that value, not just hit docs) plus a summary-level
+    filter-subcorpus size — ResultHitGroup.java:55,
+    ResultHitsGrouped.java:96."""
+    from blacklab_ray.server import handle_hits_grouped
+    resp = handle_hits_grouped(srv_reader, {"patt": '[word="q.*"]',
+                                            "group": "field:lang"})
+    # whole corpus: 3 docs, 4+3+2 tokens
+    assert resp["summary"]["subcorpusSize"] == {"documents": 3,
+                                                "tokens": 9}
+    g = resp["hitGroups"][0]
+    assert g["identityDisplay"] == "en"
+    # subcorpus lang=en: d0 (4 tokens) + d1 (3 tokens)
+    assert g["subcorpusSize"] == {"documents": 2, "tokens": 7}
+
+
+def test_subcorpus_size_respects_filter(srv_reader):
+    """findSubcorpusSize ANDs the group value with the request's
+    metadata filter (WebserviceOperations.java:500-503)."""
+    from blacklab_ray.server import handle_hits_grouped
+    resp = handle_hits_grouped(srv_reader,
+                               {"patt": '[word="q.*"]',
+                                "group": "field:lang",
+                                "filter": "year:[2005 TO 2025]"})
+    # filter keeps d1 (2010, en, 3 tok) + d2 (2020, fr, 2 tok)
+    assert resp["summary"]["subcorpusSize"] == {"documents": 2,
+                                                "tokens": 5}
+    assert resp["hitGroups"][0]["subcorpusSize"] == {"documents": 1,
+                                                     "tokens": 3}
+
+
+def test_subcorpus_size_only_for_metadata_groups(srv_reader):
+    """Non-metadata criteria get no per-group subcorpusSize (the
+    reference emits it only when metadataGroupProperties != null,
+    RequestHandlerHitsGrouped.java:87-89); compound criteria with a
+    field: component do."""
+    from blacklab_ray.server import handle_hits_grouped
+    resp = handle_hits_grouped(srv_reader, {"patt": '"quick"',
+                                            "group": "hit:word:i"})
+    assert "subcorpusSize" in resp["summary"]
+    assert all("subcorpusSize" not in g for g in resp["hitGroups"])
+    resp = handle_hits_grouped(srv_reader,
+                               {"patt": '[word="q.*"]',
+                                "group": "field:lang,hit:word:i"})
+    assert all(g["subcorpusSize"] == {"documents": 2, "tokens": 7}
+               for g in resp["hitGroups"])
+
+
+def test_tokens_in_matching_documents(srv_reader):
+    """includetokencount=yes adds tokensInMatchingDocuments to the
+    /hits and /docs summaries (RequestHandlerHits.java:76,
+    RequestHandlerDocs.java:57); absent without the param."""
+    from blacklab_ray.server import handle_docs, handle_hits
+    resp = handle_hits(srv_reader, {"patt": '"quick"',
+                                    "includetokencount": "yes"})
+    assert resp["summary"]["tokensInMatchingDocuments"] == 7
+    resp = handle_hits(srv_reader, {"patt": '"quick"'})
+    assert "tokensInMatchingDocuments" not in resp["summary"]
+    resp = handle_docs(srv_reader, {"includetokencount": "true"})
+    assert resp["summary"]["tokensInMatchingDocuments"] == 9
+    resp = handle_docs(srv_reader, {"patt": '"quick"',
+                                    "includetokencount": "true",
+                                    "number": 1})
+    # full result set (d0+d1), not just the 1-doc window
+    assert resp["summary"]["tokensInMatchingDocuments"] == 7
+
+
+def test_docs_grouped_subcorpus_size(srv_reader):
+    """Docs-grouped: summary subcorpusSize always; per-group only
+    with a pattern (ResultDocsGrouped.java:75,95-99)."""
+    from blacklab_ray.server import handle_docs_grouped
+    resp = handle_docs_grouped(srv_reader, {"group": "field:lang"})
+    assert resp["summary"]["subcorpusSize"] == {"documents": 3,
+                                                "tokens": 9}
+    assert all("subcorpusSize" not in g for g in resp["docGroups"])
+    resp = handle_docs_grouped(srv_reader, {"patt": '"quick"',
+                                            "group": "field:lang"})
+    g = resp["docGroups"][0]
+    assert g["identityDisplay"] == "en"
+    assert g["subcorpusSize"] == {"documents": 2, "tokens": 7}
