@@ -197,7 +197,9 @@ def handle_hits(reader, params: dict) -> dict:
         # shared with group=/sort=
         import pyarrow as pa
         keys, _prop = _group_keys(reader, spans_tbl,
-                                  params["hitfiltercrit"])
+                                  params["hitfiltercrit"],
+                                  n_ctx=int(params.get(
+                                      "wordsaroundhit", 5)))
         want = params.get("hitfilterval", "")
         # typed bool: an EMPTY comprehension otherwise infers null
         # type and Arrow rejects it as a filter mask
@@ -229,7 +231,9 @@ def handle_hits(reader, params: dict) -> dict:
         crit = params["sort"]
         desc = crit.startswith("-")
         keys, _prop = _group_keys(reader, spans_tbl,
-                                  crit.lstrip("-"))
+                                  crit.lstrip("-"),
+                                  n_ctx=int(params.get(
+                                      "wordsaroundhit", 5)))
         from blacklab_ray.analysis.collate import key_for_context
         ck = [key_for_context(k, sensitive=False) for k in keys]
         order = sorted(range(len(ck)),
@@ -448,12 +452,14 @@ def _subcorpus_size(reader, filter_expr: str | None) -> dict:
 
 
 def _meta_subcorpus_sizes(reader, fields: list[str],
-                          filter_expr: str | None) -> dict:
+                          filter_expr: str | None,
+                          transforms: list | None = None) -> dict:
     """metadata-value tuple → {documents, tokens} over the
     filter-defined subcorpus: the per-group CorpusSize of
     WebserviceOperations.findSubcorpusSize (the reference runs one
     Lucene count query PER GROUP; one pruned (fields…, doc_len) scan
-    aggregated per value covers every group at once)."""
+    aggregated per value covers every group at once). ``transforms``
+    maps each field's raw value to its group key (decade binning)."""
     import pyarrow.compute as pc
     allowed = _allowed_ids(reader, filter_expr)
     flt = (pc.field("doc_id").isin(allowed.tolist())
@@ -465,9 +471,10 @@ def _meta_subcorpus_sizes(reader, fields: list[str],
     live = reader.mask_tombstones(ids)
     cols = [tbl[f].to_pylist() for f in phys]
     lens = tbl["doc_len"].to_numpy()
+    tfs = transforms or [str] * len(fields)
     out: dict[tuple, list] = {}
     for i in np.flatnonzero(live):
-        key = tuple(str(c[i]) for c in cols)
+        key = tuple(tf(c[i]) for tf, c in zip(tfs, cols))
         g = out.setdefault(key, [0, 0])
         g[0] += 1
         g[1] += int(lens[i])
@@ -475,16 +482,31 @@ def _meta_subcorpus_sizes(reader, fields: list[str],
             for k, (a, b) in out.items()}
 
 
-def _group_keys(reader, spans_tbl, crit: str):
+def _decade_key(v) -> str:
+    """PropertyValueDecade display: year floored to its decade,
+    'Y-(Y+9)'; unparseable → 'unknown'
+    (DocPropertyDecade.java:36-44, PropertyValueDecade.java:23-28)."""
+    try:
+        y = int(str(v))
+    except (TypeError, ValueError):
+        return "unknown"
+    y -= y % 10
+    return f"{y}-{y + 9}"
+
+
+def _group_keys(reader, spans_tbl, crit: str, n_ctx: int = 5):
     """Per-hit group key under a HitProperty criterion; returns
     (keys, property-name). Comma-separated criteria compose
     (HitPropertyMultiple: PropertySerializeUtil.splitMultiple on ','),
     with component identities joined by ' / '
-    (PropertyValueMultiple.toString)."""
+    (PropertyValueMultiple.toString). ``n_ctx`` bounds the left:/
+    right: full-context criteria (the reference's context-size
+    setting, default 5)."""
     if "," in crit:
         parts = [c for c in crit.split(",") if c]
         if len(parts) > 1:
-            sub = [_group_keys(reader, spans_tbl, c) for c in parts]
+            sub = [_group_keys(reader, spans_tbl, c, n_ctx=n_ctx)
+                   for c in parts]
             keys = [" / ".join(ks) for ks in zip(*(k for k, _n in sub))]
             return keys, ",".join(n for _k, n in sub)
         crit = parts[0]
@@ -495,6 +517,53 @@ def _group_keys(reader, spans_tbl, crit: str):
         fieldname = crit.split(":", 1)[1]
         lookup = _doc_field_lookup(reader, d, fieldname)
         return [str(lookup.get(int(x))) for x in d], f"doc:{fieldname}"
+    if crit.startswith("decade:"):
+        # HitPropertyDocumentDecade: the metadata year floored to
+        # its decade
+        fieldname = crit.split(":", 1)[1]
+        lookup = _doc_field_lookup(reader, d, fieldname)
+        return [_decade_key(lookup.get(int(x))) for x in d], crit
+    if crit == "docid":
+        # HitPropertyDocumentId: the index-internal doc id
+        return [str(int(x)) for x in d], "docid"
+    if crit == "doc":
+        # HitPropertyDoc: the document itself (pid identity)
+        uniq = np.unique(d)
+        lk = dict(zip(uniq.tolist(), reader.urls(uniq)))
+        return [str(lk.get(int(x))) for x in d], "doc"
+    if crit == "hitposition":
+        return [str(int(x)) for x in s], "hitposition"
+    if crit == "fieldlen" or crit.startswith("fieldlen:"):
+        # HitPropertyDocumentStoredField's length sibling
+        # (DocPropertyAnnotatedFieldLength): the doc's token length
+        lens = reader.doc_lens(d)
+        return [str(int(x)) for x in lens], crit
+    if crit.startswith(("left:", "right:")):
+        # HitPropertyLeftContext / RightContext: the FULL context
+        # window (n_ctx words), left compared/displayed nearest-word-
+        # first (HitPropertyLeftContext.java:63-66 reverses the array)
+        if crit.startswith("left:"):
+            lens_ctx = np.minimum(n_ctx, s).astype(np.int64)
+            base = s - 1
+            sign = -1
+        else:
+            dl = reader.doc_lens(d)
+            lens_ctx = np.minimum(n_ctx, np.maximum(dl - e, 0)) \
+                .astype(np.int64)
+            base = e
+            sign = 1
+        csum = np.cumsum(lens_ctx) if lens_ctx.size else \
+            np.zeros(0, np.int64)
+        tot = int(csum[-1]) if lens_ctx.size else 0
+        flat_docs = np.repeat(d, lens_ctx)
+        local = (np.arange(tot, dtype=np.int64)
+                 - np.repeat(csum - lens_ctx, lens_ctx))
+        flat_pos = np.repeat(base, lens_ctx) + sign * local
+        toks = reader.tokens_at(flat_docs, flat_pos)
+        keys = [" ".join(filter(None, toks[a:b]))
+                for a, b in zip((csum - lens_ctx).tolist(),
+                                csum.tolist())]
+        return keys, crit
     if crit.startswith(("wordright:", "wordleft:")):
         # group by the context word adjacent to the hit; a hit at the
         # doc edge groups under the empty key (BLS does the same)
@@ -582,9 +651,10 @@ def _facets(reader, doc_ids: np.ndarray, spec: str) -> dict:
 def handle_hits_grouped(reader, params: dict) -> dict:
     """GET /hits?group= — HitGroups analogue. Supported group
     criteria: ``hit:word:i`` (matched text), ``field:<meta>``,
-    ``wordright:word:i`` / ``wordleft:word:i`` (context word —
-    HitPropertyRightContext/LeftContext, identity prefixes
-    cwo:/cwb: per the reference's saved responses), and
+    ``decade:<meta>``, ``wordright:word:i`` / ``wordleft:word:i``
+    (adjacent context word), ``left:word:i`` / ``right:word:i``
+    (full context window, left nearest-word-first), ``doc`` /
+    ``docid`` / ``hitposition`` / ``fieldlen``, and
     ``capture:word:i:<NAME>`` (captured token's word).
 
     ``viewgroup=<identity-suffix>`` returns the HITS of one group
@@ -597,7 +667,9 @@ def handle_hits_grouped(reader, params: dict) -> dict:
     spans_tbl = _spans_table_for(reader, patt, params.get("filter"))
     d = spans_tbl["doc_id"].to_numpy()
     total = int(d.size)
-    keys, prop = _group_keys(reader, spans_tbl, crit)
+    keys, prop = _group_keys(reader, spans_tbl, crit,
+                             n_ctx=int(params.get("wordsaroundhit",
+                                                  5)))
     if params.get("viewgroup") is not None:
         want = params["viewgroup"]
         want = want.split(":", 1)[1] if want.startswith("str:") else want
@@ -613,12 +685,16 @@ def handle_hits_grouped(reader, params: dict) -> dict:
     # matching the group's doc-property values; frontends use it for
     # relative frequencies)
     crit_parts = [c for c in crit.split(",") if c] or [crit]
-    meta_fields = [c.split(":", 1)[1] for c in crit_parts
-                   if c.startswith("field:")]
+    meta_comps = [(c.split(":", 1)[1],
+                   _decade_key if c.startswith("decade:") else str)
+                  for c in crit_parts
+                  if c.startswith(("field:", "decade:"))]
+    meta_fields = [f for f, _tf in meta_comps]
     meta_keys = None
-    if meta_fields:
-        lookups = [_doc_field_lookup(reader, d, f) for f in meta_fields]
-        meta_keys = [tuple(str(lk.get(int(x))) for lk in lookups)
+    if meta_comps:
+        lookups = [(_doc_field_lookup(reader, d, f), tf)
+                   for f, tf in meta_comps]
+        meta_keys = [tuple(tf(lk.get(int(x))) for lk, tf in lookups)
                      for x in d]
     groups: dict[str, dict] = {}
     for i, (k, doc) in enumerate(zip(keys, d)):
@@ -631,8 +707,10 @@ def handle_hits_grouped(reader, params: dict) -> dict:
                                                      kv[0]))
     window = ordered[first:first + number]
     sizes = (_meta_subcorpus_sizes(reader, meta_fields,
-                                   params.get("filter"))
-             if meta_fields else None)
+                                   params.get("filter"),
+                                   transforms=[tf for _f, tf
+                                               in meta_comps])
+             if meta_comps else None)
     return {
         "summary": {
             **_summary(params, first, number, len(window), total,
@@ -667,7 +745,8 @@ def handle_docs(reader, params: dict) -> dict:
     """GET /corpora/<c>/docs — doc results (with or without patt).
     ``sort=`` orders docs by a DocProperty before windowing
     (DocProperty.deserialize analogues: ``field:<meta>``, ``numhits``,
-    ``pid``; a ``-`` prefix sorts descending). String fields compare
+    ``pid``, ``docid``, ``fieldlen``, ``decade:<meta>``; a ``-``
+    prefix sorts descending). String fields compare
     by the engine's collation; doc_id is the stable tiebreak."""
     first = int(params.get("first", 0))
     number = int(params.get("number", 50))
@@ -688,6 +767,23 @@ def handle_docs(reader, params: dict) -> dict:
             keys = [int(x) for x in counts]
         elif c == "pid":
             keys = [str(u) for u in reader.urls(uniq)]
+        elif c == "docid":
+            keys = [int(x) for x in uniq]
+        elif c == "fieldlen" or c.startswith("fieldlen:"):
+            # DocPropertyAnnotatedFieldLength: doc length in tokens
+            keys = [int(x) for x in reader.doc_lens(uniq)]
+        elif c.startswith("decade:"):
+            fieldname = c.split(":", 1)[1]
+            lookup = _doc_field_lookup(reader, uniq, fieldname)
+
+            def _dec(v):
+                try:
+                    y = int(str(v))
+                except (TypeError, ValueError):
+                    # DocPropertyDecade UNKNOWN_VALUE sorts last
+                    return 10_000_000
+                return y - y % 10
+            keys = [_dec(lookup.get(int(x))) for x in uniq]
         elif c.startswith("field:"):
             fieldname = c.split(":", 1)[1]
             lookup = _doc_field_lookup(reader, uniq, fieldname)
@@ -1013,9 +1109,14 @@ def handle_docs_grouped(reader, params: dict) -> dict:
 
     import pyarrow.compute as pc
     crit = params["group"]
-    if not crit.startswith("field:"):
-        raise ValueError("docs grouping supports field:<metadata>")
+    if not crit.startswith(("field:", "decade:")):
+        raise ValueError(
+            "docs grouping supports field:<metadata> / decade:<meta>")
+    decade = crit.startswith("decade:")
     fieldname = crit.split(":", 1)[1]
+
+    def _gkey(v) -> str:
+        return _decade_key(v) if decade else str(v)
     first = int(params.get("first", 0))
     number = int(params.get("number", 50))
     patt = params.get("patt")
@@ -1045,7 +1146,7 @@ def handle_docs_grouped(reader, params: dict) -> dict:
                for did, val, dl in zip(tbl["doc_id"].to_pylist(),
                                        tbl[fieldname].to_pylist(),
                                        tbl["doc_len"].to_pylist())
-               if str(val) == want]
+               if _gkey(val) == want]
         win = sel[first:first + number]
         wd = np.array([did for did, _dl in win], np.int64)
         urls = reader.urls(wd) if win else []
@@ -1063,8 +1164,8 @@ def handle_docs_grouped(reader, params: dict) -> dict:
     for did, val, dl in zip(tbl["doc_id"].to_pylist(),
                             tbl[fieldname].to_pylist(),
                             tbl["doc_len"].to_pylist()):
-        g = groups.setdefault(str(val), {"size": 0, "tokens": 0,
-                                         "hits": 0})
+        g = groups.setdefault(_gkey(val), {"size": 0, "tokens": 0,
+                                           "hits": 0})
         g["size"] += 1
         g["tokens"] += int(dl)
         g["hits"] += hits_by_doc.get(did, 0)
@@ -1077,8 +1178,10 @@ def handle_docs_grouped(reader, params: dict) -> dict:
     # group size (ResultDocsGrouped.java:95–99, pattern branch only:
     # without one the group already IS the subcorpus group)
     sizes = (_meta_subcorpus_sizes(reader, [fieldname],
-                                   params.get("filter"))
+                                   params.get("filter"),
+                                   transforms=[_gkey])
              if patt else None)
+    prop_name = crit if decade else f"field:{fieldname}"
     return {
         "summary": {
             **_summary(params, first, number, len(window), total_docs,
@@ -1098,7 +1201,7 @@ def handle_docs_grouped(reader, params: dict) -> dict:
             **({"subcorpusSize": sizes.get(
                 (k,), {"documents": 0, "tokens": 0})}
                if sizes is not None else {}),
-            "properties": [{"name": f"field:{fieldname}", "value": k}],
+            "properties": [{"name": prop_name, "value": k}],
         } for k, g in window],
     }
 

@@ -1251,3 +1251,79 @@ def test_docs_grouped_subcorpus_size(srv_reader):
     g = resp["docGroups"][0]
     assert g["identityDisplay"] == "en"
     assert g["subcorpusSize"] == {"documents": 2, "tokens": 7}
+
+
+def test_hit_property_breadth(srv_reader):
+    """decade:/docid/doc/hitposition/fieldlen criteria
+    (HitPropertyDocumentDecade, HitPropertyDocumentId,
+    HitPropertyDoc, HitPropertyHitPosition,
+    DocPropertyAnnotatedFieldLength analogues)."""
+    from blacklab_ray.server import handle_hits, handle_hits_grouped
+    resp = handle_hits_grouped(srv_reader, {"patt": '[word="q.*"]',
+                                            "group": "decade:year"})
+    idents = sorted(g["identityDisplay"] for g in resp["hitGroups"])
+    assert idents == ["2000-2009", "2010-2019"]
+    # decade counts as a metadata criterion -> per-group subcorpusSize
+    by_id = {g["identityDisplay"]: g for g in resp["hitGroups"]}
+    assert by_id["2000-2009"]["subcorpusSize"] == {"documents": 1,
+                                                   "tokens": 4}
+    resp = handle_hits_grouped(srv_reader, {"patt": '"quick"',
+                                            "group": "docid"})
+    assert sorted(g["identityDisplay"] for g in resp["hitGroups"]) \
+        == ["0", "1"]
+    resp = handle_hits_grouped(srv_reader, {"patt": '"quick"',
+                                            "group": "doc"})
+    assert sorted(g["identityDisplay"] for g in resp["hitGroups"]) \
+        == ["d0", "d1"]
+    resp = handle_hits(srv_reader, {"patt": '"quick"',
+                                    "sort": "hitposition"})
+    starts = [h["start"] for h in resp["hits"]]
+    assert starts == sorted(starts)
+    resp = handle_hits(srv_reader, {"patt": '"quick"',
+                                    "sort": "-fieldlen"})
+    # d0 has 4 tokens, d1 has 3 -> d0 first under descending fieldlen
+    assert [h["docPid"] for h in resp["hits"]] == ["d0", "d1"]
+
+
+def test_left_right_context_criteria(srv_reader):
+    """left:/right: full-context criteria — left identity is
+    nearest-word-first (HitPropertyLeftContext.java:63-66)."""
+    from blacklab_ray.server import handle_hits, handle_hits_grouped
+    resp = handle_hits_grouped(srv_reader, {"patt": '"fox"',
+                                            "group": "left:word:i",
+                                            "wordsaroundhit": "2"})
+    # d0 = "the quick fox jumps": left context of "fox" nearest-first
+    assert resp["hitGroups"][0]["identityDisplay"] == "quick the"
+    resp = handle_hits_grouped(srv_reader, {"patt": '"quick"',
+                                            "group": "right:word:i",
+                                            "wordsaroundhit": "2"})
+    idents = sorted(g["identityDisplay"] for g in resp["hitGroups"])
+    assert idents == ["dog", "fox jumps"]
+    # sort by left context: d1's "a" < d0's "the"
+    resp = handle_hits(srv_reader, {"patt": '"quick"',
+                                    "sort": "left:word:i"})
+    assert [h["docPid"] for h in resp["hits"]] == ["d1", "d0"]
+
+
+def test_docs_grouped_by_decade(srv_reader):
+    """docs?group=decade:<meta> — DocPropertyDecade grouping with
+    per-group subcorpusSize under a pattern."""
+    from blacklab_ray.server import handle_docs, handle_docs_grouped
+    resp = handle_docs_grouped(srv_reader, {"group": "decade:year"})
+    assert resp["summary"]["numberOfGroups"] == 3
+    idents = sorted(g["identityDisplay"] for g in resp["docGroups"])
+    assert idents == ["2000-2009", "2010-2019", "2020-2029"]
+    resp = handle_docs_grouped(srv_reader, {"patt": '"quick"',
+                                            "group": "decade:year"})
+    by_id = {g["identityDisplay"]: g for g in resp["docGroups"]}
+    assert set(by_id) == {"2000-2009", "2010-2019"}
+    assert by_id["2000-2009"]["subcorpusSize"] == {"documents": 1,
+                                                   "tokens": 4}
+    assert by_id["2000-2009"]["properties"][0]["name"] == "decade:year"
+    # viewgroup by decade identity
+    resp = handle_docs_grouped(srv_reader, {"group": "decade:year",
+                                            "viewgroup": "2010-2019"})
+    assert [d["docPid"] for d in resp["docs"]] == ["d1"]
+    # doc sort by decade
+    resp = handle_docs(srv_reader, {"sort": "-decade:year"})
+    assert [d["docPid"] for d in resp["docs"]] == ["d2", "d1", "d0"]
