@@ -138,13 +138,47 @@ def _context(reader, doc_ids, starts, ends, n_ctx: int,
     return out
 
 
-def _doc_infos(reader, doc_ids) -> dict:
+def _doc_meta_values(reader, doc_ids, params: dict | None = None
+                     ) -> dict:
+    """doc_id → {field: [values]} for docInfo metadata blocks
+    (ResultDocInfo.getDocInfo: every metadata field by default,
+    restricted by ``listmetadatavalues``; null values omitted).
+    One pruned gather for the whole (window-sized) doc set."""
+    fields = sorted(_field_types(reader))
+    if params and params.get("listmetadatavalues"):
+        want = {f for f in params["listmetadatavalues"].split(",")
+                if f}
+        fields = [f for f in fields if f in want]
+    uniq = np.unique(np.asarray(doc_ids, np.int64))
+    if not fields or uniq.size == 0:
+        return {}
+    import pyarrow.compute as pc
+    tbl = reader.fwd_dataset().to_table(
+        columns=["doc_id", *fields],
+        filter=pc.field("doc_id").isin(uniq.tolist()))
+    out: dict[int, dict] = {}
+    ids = tbl["doc_id"].to_pylist()
+    cols = {f: tbl[f].to_pylist() for f in fields}
+    for i, did in enumerate(ids):
+        m = {}
+        for f in fields:
+            v = cols[f][i]
+            if v is None:
+                continue
+            m[f] = [str(v)]
+        out[int(did)] = m
+    return out
+
+
+def _doc_infos(reader, doc_ids, params: dict | None = None) -> dict:
     urls = reader.urls(doc_ids)
     lens = reader.doc_lens(doc_ids)
+    meta = _doc_meta_values(reader, doc_ids, params)
     return {str(u): {"pid": [str(u)],
+                     **meta.get(int(did), {}),
                      "lengthInTokens": int(n),
                      "mayView": True}
-            for u, n in zip(urls, lens)}
+            for u, did, n in zip(urls, doc_ids, lens)}
 
 
 def _spans_table_for(reader, patt: str,
@@ -179,6 +213,37 @@ def _spans_for(reader, patt: str, filter_expr: str | None):
             t["end"].to_numpy())
 
 
+def _apply_maxretrieve(spans_tbl, params: dict):
+    """BLS maxretrieve/maxcount clamps (SearchSettings /
+    MaxStats): hits beyond maxretrieve are not retrieved (they can't
+    be sorted/grouped/rendered), counting continues to maxcount.
+    Returns (clamped table, counted total, stoppedRetrieving,
+    stoppedCounting). Defaults mirror BlackLabServerParams.java:
+    113-114 (1M retrieve / 10M count); -1 = unlimited."""
+    maxretrieve = int(params.get("maxretrieve", 1_000_000))
+    maxcount = int(params.get("maxcount", 10_000_000))
+    n_all = spans_tbl.num_rows
+    stopped_retr = 0 <= maxretrieve < n_all
+    stopped_count = 0 <= maxcount < n_all
+    if stopped_retr:
+        spans_tbl = spans_tbl.slice(0, maxretrieve)
+    counted = min(n_all, maxcount) if maxcount >= 0 else n_all
+    return spans_tbl, counted, stopped_retr, stopped_count
+
+
+def _clamp_summary(summary: dict, counted: int | None,
+                   stopped_retr: bool, stopped_count: bool) -> None:
+    """counted=None: set only the stopped flags (the result set was
+    re-filtered/sampled after retrieval, so the rendered count
+    stands)."""
+    if not (stopped_retr or stopped_count):
+        return
+    if counted is not None:
+        summary["numberOfHits"] = counted
+    summary["stoppedRetrievingHits"] = stopped_retr
+    summary["stoppedCountingHits"] = stopped_count
+
+
 def handle_hits(reader, params: dict) -> dict:
     """GET /corpora/<c>/hits — RequestHandlerHits analogue.
     ``facets=field:<f>`` adds per-facet distinct-doc counts;
@@ -191,6 +256,8 @@ def handle_hits(reader, params: dict) -> dict:
     with (doc, start) as the stable tiebreak."""
     patt = params.get("patt", "")
     spans_tbl = _spans_table_for(reader, patt, params.get("filter"))
+    spans_tbl, counted, stopped_retr, stopped_count = \
+        _apply_maxretrieve(spans_tbl, params)
     if params.get("hitfiltercrit"):
         # BLS hitfiltercrit/hitfilterval (HitsFiltered.java:13): keep
         # hits whose property value equals the given value — criteria
@@ -265,6 +332,11 @@ def handle_hits(reader, params: dict) -> dict:
         return {"tokenFrequencies": _colloc_counts(
             reader, d, s, e, n_ctx, annotation=annot)}
     resp = _render_hits(reader, params, d, s, e, spans_tbl=spans_tbl)
+    refiltered = bool(params.get("hitfiltercrit")
+                      or params.get("sample")
+                      or params.get("samplenum"))
+    _clamp_summary(resp["summary"], None if refiltered else counted,
+                   stopped_retr, stopped_count)
     if params.get("includetokencount") in ("true", "yes", "1", True):
         # RequestHandlerHits.java:76 tokensInMatchingDocuments: total
         # tokens across the docs the hits fall in (opt-in: it costs a
@@ -399,9 +471,13 @@ def _render_hits(reader, params: dict, d, s, e,
                 if frag is not None:
                     h["left"], h["match"], h["right"] = frag
     if spans_tbl is not None:
+        # BLS spells it "omitemptycaptures"; the singular is kept for
+        # backward compatibility with earlier clients of this server
         groups = _capture_groups(
             spans_tbl, first, number,
-            omit_empty=params.get("omitemptycapture", "")
+            omit_empty=params.get(
+                "omitemptycaptures",
+                params.get("omitemptycapture", ""))
             in ("true", "yes", "1", True))
         if groups is not None:
             for h, g in zip(hits, groups):
@@ -410,7 +486,7 @@ def _render_hits(reader, params: dict, d, s, e,
         "summary": _summary(params, first, number, len(hits), total,
                             n_docs),
         "hits": hits,
-        "docInfos": _doc_infos(reader, np.unique(wd)),
+        "docInfos": _doc_infos(reader, np.unique(wd), params),
     }
 
 
@@ -665,6 +741,8 @@ def handle_hits_grouped(reader, params: dict) -> dict:
     first = int(params.get("first", 0))
     number = int(params.get("number", 50))
     spans_tbl = _spans_table_for(reader, patt, params.get("filter"))
+    spans_tbl, counted, stopped_retr, stopped_count = \
+        _apply_maxretrieve(spans_tbl, params)
     d = spans_tbl["doc_id"].to_numpy()
     total = int(d.size)
     keys, prop = _group_keys(reader, spans_tbl, crit,
@@ -696,11 +774,15 @@ def handle_hits_grouped(reader, params: dict) -> dict:
                    for f, tf in meta_comps]
         meta_keys = [tuple(tf(lk.get(int(x))) for lk, tf in lookups)
                      for x in d]
+    include_contents = params.get("includegroupcontents") in \
+        ("true", "yes", "1", True)
     groups: dict[str, dict] = {}
     for i, (k, doc) in enumerate(zip(keys, d)):
         g = groups.setdefault(k, {"size": 0, "docs": set()})
         g["size"] += 1
         g["docs"].add(int(doc))
+        if include_contents:
+            g.setdefault("idx", []).append(i)
         if meta_keys is not None and "meta" not in g:
             g["meta"] = meta_keys[i]
     ordered = sorted(groups.items(), key=lambda kv: (-kv[1]["size"],
@@ -711,7 +793,22 @@ def handle_hits_grouped(reader, params: dict) -> dict:
                                    transforms=[tf for _f, tf
                                                in meta_comps])
              if meta_comps else None)
-    return {
+
+    def _contents(g: dict) -> dict:
+        # includegroupcontents=yes (RequestHandlerHitsGrouped.java:
+        # 61-66): each group carries its hits rendered like a /hits
+        # window
+        import pyarrow as pa
+        sub = spans_tbl.take(pa.array(g["idx"], pa.int64()))
+        r = _render_hits(reader, {**params, "first": 0},
+                         sub["doc_id"].to_numpy(),
+                         sub["start"].to_numpy(),
+                         sub["end"].to_numpy(), spans_tbl=sub)
+        return {"listOfHits": r["hits"], "_docInfos": r["docInfos"]}
+
+    contents = {k: _contents(g) for k, g in window} \
+        if include_contents else {}
+    resp = {
         "summary": {
             **_summary(params, first, number, len(window), total,
                        int(np.unique(d).size)),
@@ -737,8 +834,17 @@ def handle_hits_grouped(reader, params: dict) -> dict:
             **({"subcorpusSize": sizes.get(
                 g["meta"], {"documents": 0, "tokens": 0})}
                if sizes is not None else {}),
+            **({"listOfHits": contents[k]["listOfHits"]}
+               if include_contents else {}),
         } for k, g in window],
     }
+    if include_contents:
+        infos: dict = {}
+        for c in contents.values():
+            infos.update(c["_docInfos"])
+        resp["docInfos"] = infos
+    _clamp_summary(resp["summary"], None, stopped_retr, stopped_count)
+    return resp
 
 
 def handle_docs(reader, params: dict) -> dict:
@@ -806,15 +912,18 @@ def handle_docs(reader, params: dict) -> dict:
     wc = counts[first:first + number]
     urls = reader.urls(wd)
     lens = reader.doc_lens(wd)
+    meta = _doc_meta_values(reader, wd, params)
     resp = {
         "summary": _summary(params, first, number, int(wd.size), total,
                             total),
         "docs": [{
             "docPid": str(u),
             "numberOfHits": int(c),
-            "docInfo": {"pid": [str(u)], "lengthInTokens": int(n),
+            "docInfo": {"pid": [str(u)],
+                        **meta.get(int(did), {}),
+                        "lengthInTokens": int(n),
                         "mayView": True},
-        } for u, c, n in zip(urls, wc, lens)],
+        } for u, did, c, n in zip(urls, wd, wc, lens)],
     }
     if params.get("includetokencount") in ("true", "yes", "1", True):
         # RequestHandlerDocs.java:57 tokensInMatchingDocuments over
@@ -1323,12 +1432,32 @@ def handle_input_formats() -> dict:
         for name in formats()}}
 
 
-def hits_csv(resp: dict) -> str:
+def _csv_summary_rows(w, resp: dict, n_cols: int) -> None:
+    """WriteCsv.addSummaryCsvCommon analogue: summary rows appended
+    after the data, padded to the column count."""
+    sm = resp.get("summary", {})
+    for key in ("numberOfHits", "numberOfDocs"):
+        if key in sm:
+            row = [f"summary.{key}", sm[key]]
+            w.writerow(row + [""] * max(0, n_cols - len(row)))
+    sz = sm.get("subcorpusSize")
+    if sz:
+        for part in ("documents", "tokens"):
+            row = [f"summary.subcorpusSize.{part}", sz[part]]
+            w.writerow(row + [""] * max(0, n_cols - len(row)))
+
+
+def hits_csv(resp: dict, sepline: bool = False,
+             summary: bool = False) -> str:
     """CSV of a hits response (WriteCsv.hitsResponse shape: context +
-    pid columns)."""
+    pid columns). ``sepline`` prepends the Excel ``sep=,`` declaration
+    (csvsepline=yes); ``summary`` appends summary rows
+    (csvsummary=yes)."""
     import csv
     import io
     buf = io.StringIO()
+    if sepline:
+        buf.write("sep=,\r\n")
     w = csv.writer(buf)
     w.writerow(["docPid", "start", "end", "left_context", "match",
                 "right_context"])
@@ -1342,19 +1471,26 @@ def hits_csv(resp: dict) -> str:
         w.writerow([h["docPid"], h["start"], h["end"],
                     _ctx(h["left"]), _ctx(h["match"]),
                     _ctx(h["right"])])
+    if summary:
+        _csv_summary_rows(w, resp, 6)
     return buf.getvalue()
 
 
-def docs_csv(resp: dict) -> str:
+def docs_csv(resp: dict, sepline: bool = False,
+             summary: bool = False) -> str:
     """CSV of a docs response (WriteCsv.docsResponse shape)."""
     import csv
     import io
     buf = io.StringIO()
+    if sepline:
+        buf.write("sep=,\r\n")
     w = csv.writer(buf)
     w.writerow(["docPid", "numberOfHits", "lengthInTokens"])
     for d in resp.get("docs", []):
         w.writerow([d["docPid"], d["numberOfHits"],
                     d["docInfo"]["lengthInTokens"]])
+    if summary:
+        _csv_summary_rows(w, resp, 3)
     return buf.getvalue()
 
 
@@ -1440,17 +1576,28 @@ def _xml_value(v: Any, key: str, out: list) -> None:
         out.append(escape(str(v)))
 
 
-def groups_csv(resp: dict) -> str:
+def groups_csv(resp: dict, sepline: bool = False,
+               summary: bool = False) -> str:
     """CSV export of grouped results (WriteCsv.hitsGroupsResponse
     shape: identity, size, numberOfDocs)."""
     import csv
     import io
     buf = io.StringIO()
+    if sepline:
+        buf.write("sep=,\r\n")
     w = csv.writer(buf)
-    w.writerow(["identity", "size", "numberOfDocs"])
-    for g in resp.get("hitGroups", []):
-        w.writerow([g["identityDisplay"], g["size"],
-                    g["numberOfDocs"]])
+    if "docGroups" in resp:
+        w.writerow(["identity", "size", "numberOfTokens"])
+        for g in resp["docGroups"]:
+            w.writerow([g["identityDisplay"], g["size"],
+                        g["numberOfTokens"]])
+    else:
+        w.writerow(["identity", "size", "numberOfDocs"])
+        for g in resp.get("hitGroups", []):
+            w.writerow([g["identityDisplay"], g["size"],
+                        g["numberOfDocs"]])
+    if summary:
+        _csv_summary_rows(w, resp, 3)
     return buf.getvalue()
 
 
@@ -1655,12 +1802,17 @@ class BlsApp:
                            else resp)
                 return to_xml(wrapped), "application/xml"
             if fmt == "csv":
+                sepline = params.get("csvsepline") in ("true", "yes",
+                                                       "1")
+                summary = params.get("csvsummary") in ("true", "yes",
+                                                       "1")
+                kw = {"sepline": sepline, "summary": summary}
                 if "hitGroups" in resp or "docGroups" in resp:
-                    return groups_csv(resp), "text/csv"
+                    return groups_csv(resp, **kw), "text/csv"
                 if "hits" in resp:
-                    return hits_csv(resp), "text/csv"
+                    return hits_csv(resp, **kw), "text/csv"
                 if "docs" in resp:
-                    return docs_csv(resp), "text/csv"
+                    return docs_csv(resp, **kw), "text/csv"
             return json.dumps(resp, indent=1), "application/json"
 
         if not parts:

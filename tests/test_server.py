@@ -1327,3 +1327,86 @@ def test_docs_grouped_by_decade(srv_reader):
     # doc sort by decade
     resp = handle_docs(srv_reader, {"sort": "-decade:year"})
     assert [d["docPid"] for d in resp["docs"]] == ["d2", "d1", "d0"]
+
+
+def test_maxretrieve_maxcount_clamps(srv_reader):
+    """BLS maxretrieve/maxcount: hits beyond maxretrieve are not
+    retrieved, counting continues to maxcount, stopped* flags set."""
+    from blacklab_ray.server import handle_hits
+    base = {"patt": '[word="q.*|s.*"]'}
+    full = handle_hits(srv_reader, base)
+    n_all = full["summary"]["numberOfHits"]
+    assert n_all == 4
+    resp = handle_hits(srv_reader, {**base, "maxretrieve": "2"})
+    assert len(resp["hits"]) == 2
+    assert resp["summary"]["numberOfHits"] == 4  # counted past
+    assert resp["summary"]["numberOfHitsRetrieved"] == 2
+    assert resp["summary"]["stoppedRetrievingHits"] is True
+    assert resp["summary"]["stoppedCountingHits"] is False
+    resp = handle_hits(srv_reader, {**base, "maxretrieve": "2",
+                                    "maxcount": "3"})
+    assert resp["summary"]["numberOfHits"] == 3
+    assert resp["summary"]["stoppedCountingHits"] is True
+    # grouped path carries the flags too
+    from blacklab_ray.server import handle_hits_grouped
+    resp = handle_hits_grouped(srv_reader, {**base, "maxretrieve": "2",
+                                            "group": "hit:word:i"})
+    assert resp["summary"]["stoppedRetrievingHits"] is True
+
+
+def test_include_group_contents(srv_reader):
+    """includegroupcontents=yes: groups carry their hits
+    (listOfHits) and the response carries docInfos
+    (RequestHandlerHitsGrouped.java:61-66,99-101)."""
+    from blacklab_ray.server import handle_hits_grouped
+    resp = handle_hits_grouped(srv_reader,
+                               {"patt": '"quick"',
+                                "group": "hit:word:i",
+                                "includegroupcontents": "yes"})
+    g = resp["hitGroups"][0]
+    assert len(g["listOfHits"]) == 2
+    assert {h["docPid"] for h in g["listOfHits"]} == {"d0", "d1"}
+    assert "d0" in resp["docInfos"]
+    # off by default
+    resp = handle_hits_grouped(srv_reader, {"patt": '"quick"',
+                                            "group": "hit:word:i"})
+    assert "listOfHits" not in resp["hitGroups"][0]
+
+
+def test_doc_infos_carry_metadata(srv_reader):
+    """docInfos include metadata field values (ResultDocInfo), with
+    listmetadatavalues restricting the listed fields."""
+    from blacklab_ray.server import handle_docs, handle_hits
+    resp = handle_hits(srv_reader, {"patt": '"quick"'})
+    info = resp["docInfos"]["d0"]
+    assert info["year"] == ["2000"]
+    assert info["title"] == ["The Fox Story"]
+    resp = handle_hits(srv_reader, {"patt": '"quick"',
+                                    "listmetadatavalues": "year"})
+    info = resp["docInfos"]["d0"]
+    assert info["year"] == ["2000"] and "title" not in info
+    resp = handle_docs(srv_reader, {"number": 1})
+    assert resp["docs"][0]["docInfo"]["year"] == ["2000"]
+
+
+def test_csv_sepline_and_summary(srv_index):
+    """csvsepline/csvsummary params (WriteCsv.java:159,308) and
+    docGroups CSV rows."""
+    from urllib.parse import urlencode
+    from blacklab_ray.query import IndexReader
+    from blacklab_ray.server import BlsApp
+    app = BlsApp({"test": IndexReader(srv_index)})
+    call = _mkcall(app)
+    st, ct, body = call("/corpora/test/hits?" + urlencode(
+        {"patt": '"quick"', "outputformat": "csv",
+         "csvsepline": "yes", "csvsummary": "yes"}))
+    assert st.startswith("200") and ct == "text/csv"
+    lines = body.splitlines()
+    assert lines[0] == "sep=,"
+    assert lines[1].startswith("docPid,")
+    assert any(ln.startswith("summary.numberOfHits,2") for ln in lines)
+    st, ct, body = call("/corpora/test/docs?" + urlencode(
+        {"group": "field:lang", "outputformat": "csv"}))
+    lines = body.splitlines()
+    assert lines[0] == "identity,size,numberOfTokens"
+    assert "en,2,7" in lines and "fr,1,2" in lines
