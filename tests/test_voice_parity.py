@@ -171,6 +171,15 @@ def test_hits_grouped_by_title(voice_reader):
     got = sorted((g["identityDisplay"], g["size"])
                  for g in resp["hitGroups"])
     assert got == want
+    # subcorpusSize exact parity: per-group {documents, tokens} and
+    # the summary-level whole-corpus size match the saved response
+    want_sizes = {g["identityDisplay"]: g["subcorpusSize"]
+                  for g in exp["hitGroups"]}
+    got_sizes = {g["identityDisplay"]: g["subcorpusSize"]
+                 for g in resp["hitGroups"]}
+    assert got_sizes == want_sizes
+    assert resp["summary"]["subcorpusSize"] == \
+        exp["summary"]["subcorpusSize"]
 
 
 def test_hits_grouped_by_word(voice_reader):
@@ -276,6 +285,10 @@ def test_hits_grouped_with_filter(voice_reader):
     got = {g["identityDisplay"]: g["size"] for g in resp["hitGroups"]}
     for k, v in want.items():
         assert got.get(k) == v, k
+    # the summary subcorpusSize reflects the FILTERED corpus
+    assert resp["summary"]["subcorpusSize"] == \
+        exp["summary"]["subcorpusSize"] == {"documents": 1,
+                                            "tokens": 334}
 
 
 def test_viewgroup_matches_saved(voice_reader):
@@ -330,6 +343,14 @@ def test_docs_grouped_by_title(voice_reader):
     got = sorted((g["identityDisplay"], g["size"])
                  for g in resp["docGroups"])
     assert got == want
+    # per-group and summary subcorpusSize exact parity
+    want_sizes = {g["identityDisplay"]: g["subcorpusSize"]
+                  for g in exp["docGroups"]}
+    got_sizes = {g["identityDisplay"]: g["subcorpusSize"]
+                 for g in resp["docGroups"]}
+    assert got_sizes == want_sizes
+    assert resp["summary"]["subcorpusSize"] == \
+        exp["summary"]["subcorpusSize"]
 
 
 # ---- info / autocomplete / field-info endpoints (saved-responses/info) ----
