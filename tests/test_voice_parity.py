@@ -492,3 +492,36 @@ def test_single_doc_index_matches_expected_index_content(
     assert got["docInfo"]["lengthInTokens"] == \
         want["docInfo"]["lengthInTokens"] == 334
     assert got["docInfo"]["mayView"] is want["docInfo"]["mayView"]
+
+
+def test_colloc_phrase_matches_saved(voice_reader):
+    """colloc around the phrase '"a" []' — the reference's saved
+    response carries a known artifact: an empty term "" with
+    frequency 2 from its integrated index format (colloc.js:41,
+    issue #333 FIXME in the reference's own suite). Every REAL term
+    frequency must match exactly."""
+    from blacklab_ray.server import handle_hits
+    exp = _saved("colloc", "phrase")["tokenFrequencies"]
+    resp = handle_hits(voice_reader, {"patt": '"a" []',
+                                      "calc": "colloc",
+                                      "wordsaroundhit": "10"})
+    got = resp["tokenFrequencies"]
+    want = {k: v for k, v in exp.items() if k != ""}
+    assert got == want
+
+
+def test_docs_grouped_viewgroup_matches_saved(voice_reader):
+    """docs-grouped viewgroup: the documents of ONE title group —
+    exact pid and hit count."""
+    from blacklab_ray.server import handle_docs_grouped
+    exp = _saved("docs-grouped", "view single group")
+    title = ("interview about conference experience and "
+             "impressions of city")
+    resp = handle_docs_grouped(
+        voice_reader, {"patt": '"a"', "group": "field:meta_title",
+                       "viewgroup": f"str:{title}"})
+    want = [(d["docPid"], d["numberOfHits"]) for d in exp["docs"]]
+    got = [(d["docPid"], d["numberOfHits"]) for d in resp["docs"]]
+    assert got == want == [("PRint602", 8)]
+    assert resp["summary"]["numberOfDocs"] == \
+        exp["summary"]["numberOfDocs"] == 1
