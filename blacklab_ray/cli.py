@@ -126,6 +126,18 @@ def cmd_cql(args) -> int:
     return 0
 
 
+def cmd_querytool(args) -> int:
+    """QueryTool analogue: interactive console, or -f batch file with
+    per-query timing output (QueryTool.java:451-460)."""
+    from blacklab_ray.querytool import run_querytool
+    commands = None
+    if args.file:
+        with open(args.file) as f:
+            commands = f.readlines()
+    return run_querytool(args.index, commands=commands,
+                         batch=args.file is not None)
+
+
 def cmd_freq(args) -> int:
     ray = _ray_session()
     import ray.data
@@ -624,6 +636,15 @@ def main(argv=None) -> int:
     cq.add_argument("--query", required=True)
     cq.add_argument("-k", type=int, default=10)
     cq.set_defaults(fn=cmd_cql)
+
+    qt = sub.add_parser(
+        "querytool",
+        help="interactive/batch query console (QueryTool analogue)")
+    qt.add_argument("--index", required=True)
+    qt.add_argument("-f", "--file", default=None,
+                    help="batch mode: read commands from file, print "
+                         "per-query timing + hit counts")
+    qt.set_defaults(fn=cmd_querytool)
 
     f = sub.add_parser("freq")
     f.add_argument("--input", required=True)
