@@ -1633,8 +1633,11 @@ class BlsApp:
         self._readers = readers
         self._dirs = dict(index_dirs or {})
         self._data_dir = data_dir
+        # (handler, method, status) → [count, seconds]
+        self._metrics: dict[tuple, list] = {}
 
     def __call__(self, environ, start_response):
+        import time
         from urllib.parse import parse_qsl
         path = environ.get("PATH_INFO", "")
         method = environ.get("REQUEST_METHOD", "GET").upper()
@@ -1646,6 +1649,7 @@ class BlsApp:
             n = 0
         if n and "wsgi.input" in environ:
             body_in = environ["wsgi.input"].read(n)
+        t0 = time.perf_counter()
         try:
             body, ctype = self._route(path, params, method, body_in)
             status = "200 OK"
@@ -1661,10 +1665,82 @@ class BlsApp:
             body = json.dumps({"error": {
                 "code": "INTERNAL_ERROR", "message": str(e)}})
             ctype, status = "application/json", "500 Internal Server Error"
+        self._record_metrics(path, method, status,
+                             time.perf_counter() - t0)
         data = body.encode("utf-8")
         start_response(status, [("Content-Type", ctype),
                                 ("Content-Length", str(len(data)))])
         return [data]
+
+    # -- instrumentation (PrometheusMetricsProvider /
+    # RequestInstrumentationProvider analogue) -------------------------
+
+    @staticmethod
+    def _handler_label(path: str, method: str) -> str:
+        """Classify the request like the reference's per-handler
+        request metrics: the handler name, not the raw path (no
+        per-corpus/per-pid label explosion)."""
+        parts = [p for p in path.split("/") if p]
+        if not parts:
+            return "server-info"
+        if parts[0] != "corpora":
+            return parts[0]
+        if len(parts) == 2:
+            return "corpus-info"
+        if parts[2] == "docs" and len(parts) > 3:
+            tail = parts[4] if len(parts) > 4 else ""
+            return {"snippet": "doc-snippet",
+                    "contents": "doc-contents"}.get(tail, "doc-info")
+        return parts[2]
+
+    def _record_metrics(self, path: str, method: str, status: str,
+                        seconds: float) -> None:
+        if path.rstrip("/") == "/metrics":
+            return
+        key = (self._handler_label(path, method), method,
+               status.split()[0])
+        m = self._metrics.setdefault(key, [0, 0.0])
+        m[0] += 1
+        m[1] += seconds
+
+    def _metrics_text(self) -> str:
+        """Prometheus text exposition of request counters/durations
+        plus per-corpus index gauges — the reference's
+        instrumentation module surface (PrometheusMetricsProvider
+        serves /metrics), without external deps."""
+        out = [
+            "# HELP blacklab_requests_total Requests by handler/"
+            "method/status",
+            "# TYPE blacklab_requests_total counter",
+        ]
+        for (h, meth, st), (n, _s) in sorted(self._metrics.items()):
+            out.append(
+                f'blacklab_requests_total{{handler="{h}",'
+                f'method="{meth}",status="{st}"}} {n}')
+        out += [
+            "# HELP blacklab_request_seconds_total Wall time by "
+            "handler",
+            "# TYPE blacklab_request_seconds_total counter",
+        ]
+        agg: dict[str, float] = {}
+        for (h, _meth, _st), (_n, s) in self._metrics.items():
+            agg[h] = agg.get(h, 0.0) + s
+        for h, s in sorted(agg.items()):
+            out.append(
+                f'blacklab_request_seconds_total{{handler="{h}"}} '
+                f'{s:.6f}')
+        out += [
+            "# HELP blacklab_index_documents Documents per corpus",
+            "# TYPE blacklab_index_documents gauge",
+            "# HELP blacklab_index_tokens Tokens per corpus",
+            "# TYPE blacklab_index_tokens gauge",
+        ]
+        for name, rd in sorted(self._readers.items()):
+            out.append(f'blacklab_index_documents{{corpus="{name}"}} '
+                       f'{int(rd.n_docs)}')
+            out.append(f'blacklab_index_tokens{{corpus="{name}"}} '
+                       f'{int(rd.meta["total_tokens"])}')
+        return "\n".join(out) + "\n"
 
     def _reopen(self, name: str):
         self._readers[name] = _open_index(self._dirs[name])
@@ -1817,6 +1893,8 @@ class BlsApp:
 
         if not parts:
             return emit(handle_server_info(self._readers))
+        if parts == ["metrics"]:
+            return self._metrics_text(), "text/plain; version=0.0.4"
         if parts[0] == "input-formats":
             if method == "POST":
                 # AddFormat analogue (RequestHandlerAddFormat.java):

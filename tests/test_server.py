@@ -1410,3 +1410,39 @@ def test_csv_sepline_and_summary(srv_index):
     lines = body.splitlines()
     assert lines[0] == "identity,size,numberOfTokens"
     assert "en,2,7" in lines and "fr,1,2" in lines
+
+
+def test_metrics_endpoint(srv_index):
+    """GET /metrics — Prometheus text exposition of request counters,
+    per-handler wall time, and per-corpus index gauges (the
+    instrumentation module's PrometheusMetricsProvider analogue)."""
+    from urllib.parse import urlencode
+    from blacklab_ray.query import IndexReader
+    from blacklab_ray.server import BlsApp
+    app = BlsApp({"test": IndexReader(srv_index)})
+    call = _mkcall(app)
+    call("/corpora/test/hits?" + urlencode({"patt": '"quick"'}))
+    call("/corpora/test/hits?" + urlencode({"patt": '"quick"'}))
+    call("/corpora/test/docs")
+    call("/corpora/test/docs/d0")
+    call("/corpora/test/hits")          # missing patt -> error status
+    st, ct, body = call("/metrics")
+    assert st.startswith("200") and ct.startswith("text/plain")
+    lines = body.splitlines()
+    assert ('blacklab_requests_total{handler="hits",method="GET",'
+            'status="200"} 2') in lines
+    assert ('blacklab_requests_total{handler="docs",method="GET",'
+            'status="200"} 1') in lines
+    assert any(ln.startswith('blacklab_requests_total{handler='
+                             '"doc-info"') for ln in lines)
+    assert any(ln.startswith('blacklab_request_seconds_total'
+                             '{handler="hits"}') for ln in lines)
+    assert 'blacklab_index_documents{corpus="test"} 3' in lines
+    assert 'blacklab_index_tokens{corpus="test"} 9' in lines
+    # the hits error is counted with its status, and /metrics itself
+    # is not self-counted
+    assert any('handler="hits"' in ln and 'status="5' in ln or
+               'status="4' in ln for ln in lines
+               if ln.startswith("blacklab_requests_total"))
+    st2, _ct, body2 = call("/metrics")
+    assert 'handler="metrics"' not in body2
