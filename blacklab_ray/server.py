@@ -1550,6 +1550,14 @@ def _xml_value(v: Any, key: str, out: list) -> None:
                            f"{int(freq)}</{child}>")
             return
         for k, sub in v.items():
+            if k == "users[]":
+                # the sharing response's JSON key is not a valid XML
+                # element name — <users><user>…</user></users>
+                out.append("<users>")
+                for u in sub:
+                    out.append(f"<user>{escape(str(u))}</user>")
+                out.append("</users>")
+                continue
             if isinstance(sub, list):
                 out.append(f"<{k}>")
                 child = _SINGULAR.get(k, "item")
@@ -1641,7 +1649,13 @@ class BlsApp:
         from urllib.parse import parse_qsl
         path = environ.get("PATH_INFO", "")
         method = environ.get("REQUEST_METHOD", "GET").upper()
-        params = dict(parse_qsl(environ.get("QUERY_STRING", "")))
+        qsl = parse_qsl(environ.get("QUERY_STRING", ""))
+        params = dict(qsl)
+        # repeated users[] params arrive as a list (the sharing
+        # endpoint's getParameterValues analogue)
+        multi = [v for k, v in qsl if k == "users[]"]
+        if multi:
+            params["users[]"] = multi
         body_in = b""
         try:
             n = int(environ.get("CONTENT_LENGTH") or 0)
@@ -1741,6 +1755,42 @@ class BlsApp:
             out.append(f'blacklab_index_tokens{{corpus="{name}"}} '
                        f'{int(rd.meta["total_tokens"])}')
         return "\n".join(out) + "\n"
+
+    def _sharing(self, name: str, method: str, params: dict,
+                 body_in: bytes) -> dict:
+        """GET/POST /corpora/<name>/sharing — RequestHandlerSharing:
+        the user ids a corpus is shared with, persisted like the
+        reference's .shareWithUsers file (one id per line) inside the
+        index dir. POST takes repeated ``users[]`` params (query
+        string or form body); an empty list un-shares."""
+        if name not in self._readers:
+            raise KeyError(f"corpus {name!r} not found")
+        d = self._dirs.get(name)
+        if d is None or "," in d:
+            raise ValueError(f"corpus {name!r} has no single writable "
+                             f"index dir (read-only or federated)")
+        fp = os.path.join(d, ".shareWithUsers")
+        if method == "POST":
+            users = params.get("users[]", [])
+            if isinstance(users, str):
+                users = [users]
+            if body_in:
+                from urllib.parse import parse_qsl
+                users = users + [
+                    v for k, v in parse_qsl(
+                        body_in.decode("utf-8", "replace"))
+                    if k == "users[]"]
+            users = [u.strip() for u in users if u.strip()]
+            with open(fp, "w") as f:
+                f.write("".join(u + "\n" for u in users))
+            return {"status": {
+                "code": "SUCCESS",
+                "message": "Index shared with specified user(s)."}}
+        users = []
+        if os.path.exists(fp):
+            with open(fp) as f:
+                users = [ln.strip() for ln in f if ln.strip()]
+        return {"users[]": users}
 
     def _reopen(self, name: str):
         self._readers[name] = _open_index(self._dirs[name])
@@ -1957,6 +2007,8 @@ class BlsApp:
                     pid = pid[:-(len(s) + 1)]
                     break
             parts = parts[:3] + [pid]
+        if op == "sharing":
+            return emit(self._sharing(name, method, params, body_in))
         if method in ("POST", "DELETE"):
             if op != "docs":
                 raise KeyError(f"unsupported {method} on {path!r}")

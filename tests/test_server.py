@@ -1446,3 +1446,45 @@ def test_metrics_endpoint(srv_index):
                if ln.startswith("blacklab_requests_total"))
     st2, _ct, body2 = call("/metrics")
     assert 'handler="metrics"' not in body2
+
+
+def test_sharing_endpoint(srv_index):
+    """GET/POST /corpora/<name>/sharing — RequestHandlerSharing:
+    users[] list persisted to the index dir's .shareWithUsers file."""
+    import os
+    from blacklab_ray.query import IndexReader
+    from blacklab_ray.server import BlsApp
+    app = BlsApp({"test": IndexReader(srv_index)},
+                 index_dirs={"test": srv_index})
+    call = _mkcall(app)
+    st, _ct, body = call("/corpora/test/sharing")
+    assert st.startswith("200")
+    assert json.loads(body) == {"users[]": []}
+    st, _ct, body = call(
+        "/corpora/test/sharing?users[]=alice&users[]=bob",
+        method="POST", body=b"")
+    assert st.startswith("200")
+    assert json.loads(body)["status"]["code"] == "SUCCESS"
+    with open(os.path.join(srv_index, ".shareWithUsers")) as f:
+        assert f.read() == "alice\nbob\n"
+    st, _ct, body = call("/corpora/test/sharing")
+    assert json.loads(body) == {"users[]": ["alice", "bob"]}
+    # XML stays well-formed (users[] is not a valid element name)
+    st, _ct, body = call("/corpora/test/sharing?outputformat=xml")
+    import xml.etree.ElementTree as ET
+    x = ET.fromstring(body)
+    assert [u.text for u in x.findall(".//user")] == ["alice", "bob"]
+    # form-body users[] and un-share via empty POST
+    st, _ct, _b = call("/corpora/test/sharing", method="POST",
+                       body=b"users[]=carol")
+    st, _ct, body = call("/corpora/test/sharing")
+    assert json.loads(body) == {"users[]": ["carol"]}
+    st, _ct, _b = call("/corpora/test/sharing", method="POST",
+                       body=b"")
+    st, _ct, body = call("/corpora/test/sharing")
+    assert json.loads(body) == {"users[]": []}
+    # a reader-only corpus (no index dir) rejects sharing
+    app2 = BlsApp({"ro": IndexReader(srv_index)})
+    call2 = _mkcall(app2)
+    st, _ct, _b = call2("/corpora/ro/sharing")
+    assert st.startswith("400")
