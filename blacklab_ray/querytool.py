@@ -256,12 +256,17 @@ class QueryToolSession:
         import pyarrow as pa
 
         from blacklab_ray.analysis.collate import key_for_context
-        from blacklab_ray.server import _group_keys
+        from blacklab_ray.server import _group_keys, _is_numeric_crit
         keys, _prop = _group_keys(self.reader, self.spans,
                                   _crit(spec), n_ctx=self.context)
-        ck = [key_for_context(k, sensitive=False) for k in keys]
+        if _is_numeric_crit(_crit(spec)):
+            ck: list = [int(k) for k in keys]
+        else:
+            ck = [key_for_context(k, sensitive=False) for k in keys]
         order = sorted(range(len(ck)), key=lambda i: ck[i])
         self.spans = self.spans.take(pa.array(order, pa.int64()))
+        # per-hit group keys were computed in the OLD span order
+        self.groups = self.group_keys = None
         self.page = 0
         self.view = "hits"
         return self._show_hits()

@@ -222,6 +222,11 @@ def _apply_maxretrieve(spans_tbl, params: dict):
     113-114 (1M retrieve / 10M count); -1 = unlimited."""
     maxretrieve = int(params.get("maxretrieve", 1_000_000))
     maxcount = int(params.get("maxcount", 10_000_000))
+    # BLS never processes more hits than it counts: an explicit
+    # maxcount below maxretrieve lowers the retrieval cap too,
+    # keeping numberOfHitsRetrieved <= numberOfHits
+    if 0 <= maxcount and (maxretrieve < 0 or maxcount < maxretrieve):
+        maxretrieve = maxcount
     n_all = spans_tbl.num_rows
     stopped_retr = 0 <= maxretrieve < n_all
     stopped_count = 0 <= maxcount < n_all
@@ -302,7 +307,10 @@ def handle_hits(reader, params: dict) -> dict:
                                   n_ctx=int(params.get(
                                       "wordsaroundhit", 5)))
         from blacklab_ray.analysis.collate import key_for_context
-        ck = [key_for_context(k, sensitive=False) for k in keys]
+        if _is_numeric_crit(crit.lstrip("-")):
+            ck: list = [int(k) for k in keys]
+        else:
+            ck = [key_for_context(k, sensitive=False) for k in keys]
         order = sorted(range(len(ck)),
                        key=lambda i: ck[i], reverse=desc)
         import pyarrow as pa
@@ -340,7 +348,10 @@ def handle_hits(reader, params: dict) -> dict:
     if params.get("includetokencount") in ("true", "yes", "1", True):
         # RequestHandlerHits.java:76 tokensInMatchingDocuments: total
         # tokens across the docs the hits fall in (opt-in: it costs a
-        # doc_len gather over every matched doc)
+        # doc_len gather over every matched doc). Computed from the
+        # PROCESSED hit set — the reference does the same
+        # (ResultHits.java:346 builds perDocResults from the
+        # retrieval-clamped Hits object)
         ud = np.unique(d)
         resp["summary"]["tokensInMatchingDocuments"] = (
             int(reader.doc_lens(ud).sum()) if ud.size else 0)
@@ -536,26 +547,47 @@ def _meta_subcorpus_sizes(reader, fields: list[str],
     Lucene count query PER GROUP; one pruned (fields…, doc_len) scan
     aggregated per value covers every group at once). ``transforms``
     maps each field's raw value to its group key (decade binning)."""
+    import pyarrow as pa
     import pyarrow.compute as pc
+    tfs = transforms or [str] * len(fields)
+    # one scan per (fields, filter) per reader lifetime — the reader
+    # is reopened on every index mutation, which drops the cache
+    cache_key = (tuple(fields),
+                 tuple(getattr(tf, "__name__", "?") for tf in tfs),
+                 filter_expr)
+    cache = getattr(reader, "_subcorpus_cache", None)
+    if cache is None:
+        cache = reader._subcorpus_cache = {}
+    hit = cache.get(cache_key)
+    if hit is not None:
+        return hit
     allowed = _allowed_ids(reader, filter_expr)
     flt = (pc.field("doc_id").isin(allowed.tolist())
            if allowed is not None else None)
     phys = ["url" if f == "pid" else f for f in fields]
+    uphys = list(dict.fromkeys(phys))
     tbl = reader.fwd_dataset().to_table(
-        columns=["doc_id", *phys, "doc_len"], filter=flt)
-    ids = tbl["doc_id"].to_numpy()
-    live = reader.mask_tombstones(ids)
-    cols = [tbl[f].to_pylist() for f in phys]
-    lens = tbl["doc_len"].to_numpy()
-    tfs = transforms or [str] * len(fields)
-    out: dict[tuple, list] = {}
-    for i in np.flatnonzero(live):
+        columns=["doc_id", *uphys, "doc_len"], filter=flt)
+    live = reader.mask_tombstones(tbl["doc_id"].to_numpy())
+    if not live.all():
+        tbl = tbl.filter(pa.array(live))
+    # vectorized per-value aggregation; transforms (decade binning)
+    # then collapse the distinct-value-sized result in Python
+    agg = tbl.group_by(uphys).aggregate([("doc_len", "sum"),
+                                         ("doc_id", "count")])
+    cols = [agg[f].to_pylist() for f in phys]
+    sums = agg["doc_len_sum"].to_pylist()
+    cnts = agg["doc_id_count"].to_pylist()
+    out: dict[tuple, dict] = {}
+    for i in range(agg.num_rows):
         key = tuple(tf(c[i]) for tf, c in zip(tfs, cols))
-        g = out.setdefault(key, [0, 0])
-        g[0] += 1
-        g[1] += int(lens[i])
-    return {k: {"documents": a, "tokens": b}
-            for k, (a, b) in out.items()}
+        g = out.setdefault(key, {"documents": 0, "tokens": 0})
+        g["documents"] += int(cnts[i])
+        g["tokens"] += int(sums[i])
+    if len(cache) >= 32:      # bound per-reader memory
+        cache.pop(next(iter(cache)))
+    cache[cache_key] = out
+    return out
 
 
 def _decade_key(v) -> str:
@@ -568,6 +600,13 @@ def _decade_key(v) -> str:
         return "unknown"
     y -= y % 10
     return f"{y}-{y + 9}"
+
+
+def _is_numeric_crit(crit: str) -> bool:
+    """Criteria whose keys are integers — sorted numerically, not by
+    string collation ('10' < '2' lexicographically)."""
+    return crit in ("hitposition", "docid") or crit == "fieldlen" \
+        or crit.startswith("fieldlen:")
 
 
 def _group_keys(reader, spans_tbl, crit: str, n_ctx: int = 5):
@@ -754,10 +793,15 @@ def handle_hits_grouped(reader, params: dict) -> dict:
         sel = np.array([k == want for k in keys], dtype=bool)
         import pyarrow as pa
         sub = spans_tbl.take(pa.array(np.flatnonzero(sel)))
-        return _render_hits(reader, params, d[sel],
-                            spans_tbl["start"].to_numpy()[sel],
-                            spans_tbl["end"].to_numpy()[sel],
-                            spans_tbl=sub)
+        vg = _render_hits(reader, params, d[sel],
+                          spans_tbl["start"].to_numpy()[sel],
+                          spans_tbl["end"].to_numpy()[sel],
+                          spans_tbl=sub)
+        # the group was built from the clamped retrieval — surface
+        # the stopped* flags (counts stay the group's own)
+        _clamp_summary(vg["summary"], None, stopped_retr,
+                       stopped_count)
+        return vg
     # metadata criteria components drive per-group subcorpusSize
     # (ResultHitGroup.java:55 computes the size of the subcorpus
     # matching the group's doc-property values; frontends use it for
@@ -794,20 +838,33 @@ def handle_hits_grouped(reader, params: dict) -> dict:
                                                in meta_comps])
              if meta_comps else None)
 
-    def _contents(g: dict) -> dict:
+    def _contents_for(win) -> tuple[dict, dict]:
         # includegroupcontents=yes (RequestHandlerHitsGrouped.java:
-        # 61-66): each group carries its hits rendered like a /hits
-        # window
+        # 61-66): every windowed group's hits rendered through ONE
+        # batched context/url/docInfo gather, then split per group
         import pyarrow as pa
-        sub = spans_tbl.take(pa.array(g["idx"], pa.int64()))
-        r = _render_hits(reader, {**params, "first": 0},
-                         sub["doc_id"].to_numpy(),
-                         sub["start"].to_numpy(),
-                         sub["end"].to_numpy(), spans_tbl=sub)
-        return {"listOfHits": r["hits"], "_docInfos": r["docInfos"]}
+        idxs: list[int] = []
+        bounds = []
+        for k, g in win:
+            bounds.append((k, len(idxs), len(idxs) + len(g["idx"])))
+            idxs.extend(g["idx"])
+        sub = spans_tbl.take(pa.array(idxs, pa.int64()))
+        d_ = sub["doc_id"].to_numpy()
+        s_ = sub["start"].to_numpy()
+        e_ = sub["end"].to_numpy()
+        ctx = _context(reader, d_, s_, e_,
+                       int(params.get("wordsaroundhit", 1)))
+        urls = reader.urls(d_)
+        hits = [{"docPid": str(u), "start": int(a), "end": int(b),
+                 "left": L, "match": M, "right": R}
+                for u, a, b, (L, M, R) in zip(urls, s_, e_, ctx)]
+        per_group = {k: hits[lo:hi] for k, lo, hi in bounds}
+        return per_group, _doc_infos(reader, np.unique(d_), params)
 
-    contents = {k: _contents(g) for k, g in window} \
-        if include_contents else {}
+    if include_contents:
+        group_hits, content_infos = _contents_for(window)
+    else:
+        group_hits, content_infos = {}, {}
     resp = {
         "summary": {
             **_summary(params, first, number, len(window), total,
@@ -834,16 +891,16 @@ def handle_hits_grouped(reader, params: dict) -> dict:
             **({"subcorpusSize": sizes.get(
                 g["meta"], {"documents": 0, "tokens": 0})}
                if sizes is not None else {}),
-            **({"listOfHits": contents[k]["listOfHits"]}
+            **({"listOfHits": group_hits[k]}
                if include_contents else {}),
         } for k, g in window],
     }
     if include_contents:
-        infos: dict = {}
-        for c in contents.values():
-            infos.update(c["_docInfos"])
-        resp["docInfos"] = infos
-    _clamp_summary(resp["summary"], None, stopped_retr, stopped_count)
+        resp["docInfos"] = content_infos
+    # grouping never re-filters the retrieved set, so the counted
+    # total applies (matches the ungrouped /hits summary)
+    _clamp_summary(resp["summary"], counted, stopped_retr,
+                   stopped_count)
     return resp
 
 
@@ -1689,30 +1746,47 @@ class BlsApp:
     # -- instrumentation (PrometheusMetricsProvider /
     # RequestInstrumentationProvider analogue) -------------------------
 
+    # handlers that may appear as metric labels — a CLOSED set, so
+    # scanner paths can't grow the metrics dict or inject characters
+    # into the exposition format
+    _KNOWN_OPS = frozenset({
+        "hits", "docs", "termfreq", "autocomplete", "fields",
+        "status", "explain", "sharing",
+    })
+    _KNOWN_TOP = frozenset({"input-formats", "cache-info",
+                            "cache-clear"})
+
     @staticmethod
     def _handler_label(path: str, method: str) -> str:
         """Classify the request like the reference's per-handler
         request metrics: the handler name, not the raw path (no
-        per-corpus/per-pid label explosion)."""
+        per-corpus/per-pid label explosion; unknown paths all map
+        to 'other')."""
         parts = [p for p in path.split("/") if p]
         if not parts:
             return "server-info"
         if parts[0] != "corpora":
-            return parts[0]
-        if len(parts) == 2:
+            return parts[0] if parts[0] in BlsApp._KNOWN_TOP \
+                else "other"
+        if len(parts) < 3:
             return "corpus-info"
         if parts[2] == "docs" and len(parts) > 3:
-            tail = parts[4] if len(parts) > 4 else ""
+            tail = parts[-1]
             return {"snippet": "doc-snippet",
                     "contents": "doc-contents"}.get(tail, "doc-info")
-        return parts[2]
+        return parts[2] if parts[2] in BlsApp._KNOWN_OPS else "other"
 
     def _record_metrics(self, path: str, method: str, status: str,
                         seconds: float) -> None:
         if path.rstrip("/") == "/metrics":
             return
-        key = (self._handler_label(path, method), method,
-               status.split()[0])
+        try:
+            label = self._handler_label(path, method)
+        except Exception:   # noqa: BLE001 — metrics must never
+            label = "other"  # break the response path
+        if method not in ("GET", "POST", "PUT", "DELETE", "HEAD"):
+            method = "other"
+        key = (label, method, status.split()[0])
         m = self._metrics.setdefault(key, [0, 0.0])
         m[0] += 1
         m[1] += seconds
@@ -1781,6 +1855,11 @@ class BlsApp:
                         body_in.decode("utf-8", "replace"))
                     if k == "users[]"]
             users = [u.strip() for u in users if u.strip()]
+            bad = [u for u in users if re.search(r"[\r\n]", u)]
+            if bad:
+                # the store is one id per line — embedded newlines
+                # would fabricate extra user ids on read-back
+                raise ValueError(f"invalid user id(s): {bad!r}")
             with open(fp, "w") as f:
                 f.write("".join(u + "\n" for u in users))
             return {"status": {

@@ -125,3 +125,20 @@ def test_cli_batch_file(qt_index, tmp_path):
     assert len(rows) == 2
     assert rows[0].split("\t")[1] == "2"
     assert rows[1].split("\t")[1] == "2"
+
+
+def test_group_after_sort_uses_fresh_keys(qt):
+    """Review finding: sorting reorders the span table, so stale
+    per-hit group keys must be invalidated — 'group N' after a sort
+    must not mix groups."""
+    qt.execute("pagesize 20")
+    qt.execute('[word="quick|slow"]')
+    qt.execute("group word")
+    qt.execute("sort left")          # invalidates the grouping
+    lines, _ = qt.execute("group 1")
+    assert lines[0] == "Group number out of range."
+    lines, _ = qt.execute("group word")
+    lines, _ = qt.execute("group 1")
+    assert lines[0] == "Viewing group: quick"
+    # every hit in the entered group really is 'quick'
+    assert all("[quick]" in ln for ln in lines[1:-1])

@@ -1488,3 +1488,77 @@ def test_sharing_endpoint(srv_index):
     call2 = _mkcall(app2)
     st, _ct, _b = call2("/corpora/ro/sharing")
     assert st.startswith("400")
+
+
+def test_review_fixes_session12(srv_index):
+    """Regression tests for the session-12 review findings."""
+    import numpy as np
+    from blacklab_ray.query import IndexReader
+    from blacklab_ray.server import BlsApp, handle_hits, \
+        handle_hits_grouped
+    reader = IndexReader(srv_index)
+    app = BlsApp({"test": reader}, index_dirs={"test": srv_index})
+    call = _mkcall(app)
+
+    # 1. /corpora (one segment) is a clean 404, not an IndexError 500
+    st, _ct, _b = call("/corpora")
+    assert st.startswith("404")
+
+    # 2. numeric sort criteria order numerically, not lexically:
+    # doc d0 'the quick fox jumps' -> 'the' at positions 0 and... use
+    # hitposition across docs with 2-digit positions via a fresh doc
+    resp = handle_hits(reader, {"patt": '[word="fox|jumps|the"]',
+                                "sort": "-hitposition"})
+    starts = [h["start"] for h in resp["hits"]]
+    assert starts == sorted(starts, reverse=True)
+
+    # 3. maxcount below maxretrieve also caps retrieval
+    resp = handle_hits(reader, {"patt": '[word="q.*|s.*"]',
+                                "maxcount": "2"})
+    assert resp["summary"]["numberOfHits"] == 2
+    assert len(resp["hits"]) == 2
+    assert resp["summary"]["numberOfHitsRetrieved"] <= 2
+    assert resp["summary"]["stoppedCountingHits"] is True
+
+    # 6. grouped summary reports the counted total under clamps,
+    # matching the ungrouped response; viewgroup carries the flags
+    resp = handle_hits_grouped(reader,
+                               {"patt": '[word="q.*|s.*"]',
+                                "group": "hit:word:i",
+                                "maxretrieve": "2", "maxcount": "3"})
+    assert resp["summary"]["numberOfHits"] == 3
+    assert resp["summary"]["stoppedRetrievingHits"] is True
+    resp = handle_hits_grouped(reader,
+                               {"patt": '[word="q.*|s.*"]',
+                                "group": "hit:word:i",
+                                "maxretrieve": "1",
+                                "viewgroup": "quick"})
+    assert resp["summary"]["stoppedRetrievingHits"] is True
+
+    # 5. unknown paths collapse to one 'other' metrics label
+    call("/scan-123")
+    call("/scan-456")
+    call('/%22quoted')
+    st, _ct, body = call("/metrics")
+    assert 'handler="scan-123"' not in body
+    assert '"x' not in body.replace('handler="other"', "")
+    others = [ln for ln in body.splitlines()
+              if 'handler="other"' in ln
+              and ln.startswith("blacklab_requests_total")]
+    assert others and sum(int(ln.rsplit(" ", 1)[1])
+                          for ln in others) >= 3
+
+    # 7. the subcorpus-size scan is cached per reader
+    handle_hits_grouped(reader, {"patt": '[word="q.*"]',
+                                 "group": "field:lang"})
+    assert getattr(reader, "_subcorpus_cache", None)
+    n0 = len(reader._subcorpus_cache)
+    handle_hits_grouped(reader, {"patt": '[word="q.*"]',
+                                 "group": "field:lang"})
+    assert len(reader._subcorpus_cache) == n0
+
+    # 10. sharing rejects ids with embedded newlines
+    st, _ct, _b = call("/corpora/test/sharing?users[]=a%0Ab",
+                       method="POST", body=b"")
+    assert st.startswith("400")
+
