@@ -602,6 +602,28 @@ def _decade_key(v) -> str:
     return f"{y}-{y + 9}"
 
 
+def _order_groups(items: list, sort_spec: str | None,
+                  size_of=lambda g: g["size"]) -> list:
+    """Order (identity, group) pairs. Default: size desc, identity
+    asc (the view every grouped test pins). ``sort=`` accepts the
+    GroupProperty criteria ``size`` / ``identity`` (HitGroupProperty
+    Size/Identity), ``-`` prefix for descending."""
+    if not sort_spec:
+        return sorted(items, key=lambda kv: (-size_of(kv[1]), kv[0]))
+    desc = sort_spec.startswith("-")
+    c = sort_spec.lstrip("-")
+    if c == "size":
+        out = sorted(items, key=lambda kv: (size_of(kv[1]), kv[0]))
+    elif c == "identity":
+        from blacklab_ray.analysis.collate import key_for_context
+        out = sorted(items,
+                     key=lambda kv: key_for_context(kv[0],
+                                                    sensitive=False))
+    else:
+        raise KeyError(f"unknown group sort criterion {sort_spec!r}")
+    return out[::-1] if desc else out
+
+
 def _is_numeric_crit(crit: str) -> bool:
     """Criteria whose keys are integers — sorted numerically, not by
     string collation ('10' < '2' lexicographically)."""
@@ -829,8 +851,7 @@ def handle_hits_grouped(reader, params: dict) -> dict:
             g.setdefault("idx", []).append(i)
         if meta_keys is not None and "meta" not in g:
             g["meta"] = meta_keys[i]
-    ordered = sorted(groups.items(), key=lambda kv: (-kv[1]["size"],
-                                                     kv[0]))
+    ordered = _order_groups(list(groups.items()), params.get("sort"))
     window = ordered[first:first + number]
     sizes = (_meta_subcorpus_sizes(reader, meta_fields,
                                    params.get("filter"),
@@ -870,8 +891,8 @@ def handle_hits_grouped(reader, params: dict) -> dict:
             **_summary(params, first, number, len(window), total,
                        int(np.unique(d).size)),
             "numberOfGroups": len(groups),
-            "largestGroupSize": (ordered[0][1]["size"] if ordered
-                                 else 0),
+            "largestGroupSize": max(
+                (g["size"] for _k, g in ordered), default=0),
             # ResultHitsGrouped.java:96/126: grouped summaries always
             # carry the filter-subcorpus size
             "subcorpusSize": _subcorpus_size(reader,
@@ -1335,8 +1356,7 @@ def handle_docs_grouped(reader, params: dict) -> dict:
         g["size"] += 1
         g["tokens"] += int(dl)
         g["hits"] += hits_by_doc.get(did, 0)
-    ordered = sorted(groups.items(), key=lambda kv: (-kv[1]["size"],
-                                                     kv[0]))
+    ordered = _order_groups(list(groups.items()), params.get("sort"))
     window = ordered[first:first + number]
     total_docs = int(tbl.num_rows)
     # with a pattern, each group's size/numberOfTokens cover only the
@@ -1353,8 +1373,8 @@ def handle_docs_grouped(reader, params: dict) -> dict:
             **_summary(params, first, number, len(window), total_docs,
                        total_docs),
             "numberOfGroups": len(groups),
-            "largestGroupSize": (ordered[0][1]["size"] if ordered
-                                 else 0),
+            "largestGroupSize": max(
+                (g["size"] for _k, g in ordered), default=0),
             "subcorpusSize": _subcorpus_size(reader,
                                              params.get("filter")),
         },

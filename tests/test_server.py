@@ -1562,3 +1562,25 @@ def test_review_fixes_session12(srv_index):
                        method="POST", body=b"")
     assert st.startswith("400")
 
+
+
+def test_grouped_sort_param(srv_reader):
+    """sort=size/identity on grouped endpoints (HitGroupPropertySize/
+    Identity); largestGroupSize stays the max regardless of order."""
+    from blacklab_ray.server import handle_docs_grouped, \
+        handle_hits_grouped
+    base = {"patt": '[word="q.*|s.*"]', "group": "hit:word:i"}
+    resp = handle_hits_grouped(srv_reader, {**base, "sort": "size"})
+    sizes = [g["size"] for g in resp["hitGroups"]]
+    assert sizes == sorted(sizes)
+    assert resp["summary"]["largestGroupSize"] == max(sizes)
+    resp = handle_hits_grouped(srv_reader,
+                               {**base, "sort": "-identity"})
+    idents = [g["identityDisplay"] for g in resp["hitGroups"]]
+    assert idents == sorted(idents, reverse=True)
+    resp = handle_docs_grouped(srv_reader, {"group": "field:lang",
+                                            "sort": "identity"})
+    assert [g["identityDisplay"] for g in resp["docGroups"]] == \
+        ["en", "fr"]
+    with pytest.raises(KeyError):
+        handle_hits_grouped(srv_reader, {**base, "sort": "bogus"})
