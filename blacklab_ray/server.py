@@ -1013,16 +1013,94 @@ def handle_docs(reader, params: dict) -> dict:
     return resp
 
 
+def _annotated_field_block(reader) -> dict:
+    """The IndexMetadata ``annotatedFields.contents`` block
+    (RequestHandlerIndexMetadata → MetadataFields/AnnotatedFields;
+    shape pinned by the reference's saved
+    indices/expected-index-metadata.json): mainAnnotation, display
+    order, and per-annotation sensitivity / forward-index /
+    isInternal flags. ``starttag`` and ``punct`` appear only when the
+    index actually carries tag spans / punctuation, like the
+    reference's internal annotations."""
+    bp = reader.meta.get("params", {}) or {}
+    word_sens = ("SENSITIVE_AND_INSENSITIVE" if bp.get("sensitive")
+                 else "ONLY_INSENSITIVE")
+    annots = {"word": {"hasForwardIndex": True,
+                       "sensitivity": word_sens,
+                       "isInternal": False}}
+    order = ["word"]
+    for a in bp.get("annotations", []) or []:
+        annots[a] = {"hasForwardIndex": True,
+                     "sensitivity": "ONLY_INSENSITIVE",
+                     "isInternal": False}
+        order.append(a)
+    try:
+        fwd_cols = set(reader.fwd_dataset().schema.names)
+    except Exception:
+        fwd_cols = set()
+    if "tag_spans" in fwd_cols:
+        annots["starttag"] = {"hasForwardIndex": False,
+                              "sensitivity": "ONLY_SENSITIVE",
+                              "isInternal": True}
+        order.append("starttag")
+    if "punct" in fwd_cols:
+        annots["punct"] = {"hasForwardIndex": True,
+                           "sensitivity": "ONLY_INSENSITIVE",
+                           "isInternal": True}
+        order.append("punct")
+    return {"contents": {
+        "fieldName": "contents",
+        "isAnnotatedField": True,
+        "hasContentStore": bool(bp.get("store_text")),
+        "hasXmlTags": "tag_spans" in fwd_cols,
+        "mainAnnotation": "word",
+        "displayOrder": order,
+        "annotations": annots,
+    }}
+
+
+def _version_info(reader) -> dict:
+    """IndexMetadata ``versionInfo`` from the build lineage: the
+    manifest's mtime approximates timeCreated (it is finalized when
+    the build completes), meta.json's timeModified (rewritten by
+    incremental updates)."""
+    import datetime
+
+    def _stamp(fn: str) -> str:
+        p = os.path.join(getattr(reader, "index_dir", ""), fn)
+        if not os.path.exists(p):
+            return ""
+        return datetime.datetime.fromtimestamp(
+            os.path.getmtime(p)).strftime("%Y-%m-%d %H:%M:%S")
+
+    return {"indexFormat": "blacklab-ray-1",
+            "timeCreated": _stamp("manifest.json"),
+            "timeModified": _stamp("meta.json")}
+
+
 def handle_info(reader, name: str = "index") -> dict:
-    """GET /corpora/<c> — index metadata summary."""
+    """GET /corpora/<c> — RequestHandlerIndexMetadata analogue
+    (shape: the reference's saved
+    indices/expected-index-metadata.json)."""
+    bp = reader.meta.get("params", {}) or {}
     return {
         "indexName": name,
+        "displayName": name,
+        "description": "",
         "tokenCount": int(reader.meta["total_tokens"]),
         "documentCount": int(reader.n_docs),
         "status": "available",
+        "contentViewable": True,
+        "textDirection": "ltr",
         "documentFormat": "webtext",
-        "fieldInfo": {"pidField": "url"},
-        "metadataFields": {f: {"type": t} for f, t in sorted(
+        "versionInfo": _version_info(reader),
+        "fieldInfo": {"pidField": bp.get("id_column") or "url",
+                      "titleField": "", "authorField": "",
+                      "dateField": ""},
+        "annotatedFields": _annotated_field_block(reader),
+        "metadataFields": {f: {"fieldName": f,
+                               "isAnnotatedField": False,
+                               "type": t} for f, t in sorted(
             _field_types(reader).items())},
     }
 
@@ -1455,15 +1533,22 @@ def handle_fieldinfo(reader, fieldname: str, params: dict) -> dict:
             "valueListComplete": len(pairs) <= number}
 
 
-def handle_server_info(readers: dict) -> dict:
+def handle_server_info(readers: dict,
+                       can_create_index: bool = False) -> dict:
     """GET / — RequestHandlerServerInfo analogue: the corpora this
-    server exposes."""
-    return {"indices": {name: {
-        "displayName": name,
-        "status": "available",
-        "documentFormat": "webtext",
-        "tokenCount": int(r.meta["total_tokens"]),
-    } for name, r in sorted(readers.items())}}
+    server exposes plus the user block (shape: the reference's saved
+    info/Server info page.json — no auth here, so loggedIn is always
+    false and canCreateIndex reflects whether a writable data_dir is
+    configured)."""
+    return {"blacklabVersion": "blacklab-ray",
+            "indices": {name: {
+                "displayName": name,
+                "status": "available",
+                "documentFormat": "webtext",
+                "tokenCount": int(r.meta["total_tokens"]),
+            } for name, r in sorted(readers.items())},
+            "user": {"loggedIn": False,
+                     "canCreateIndex": bool(can_create_index)}}
 
 
 def handle_index_status(reader, name: str) -> dict:
@@ -2041,7 +2126,8 @@ class BlsApp:
             return json.dumps(resp, indent=1), "application/json"
 
         if not parts:
-            return emit(handle_server_info(self._readers))
+            return emit(handle_server_info(
+                self._readers, can_create_index=bool(self._data_dir)))
         if parts == ["metrics"]:
             return self._metrics_text(), "text/plain; version=0.0.4"
         if parts[0] == "input-formats":

@@ -525,3 +525,81 @@ def test_docs_grouped_viewgroup_matches_saved(voice_reader):
     assert got == want == [("PRint602", 8)]
     assert resp["summary"]["numberOfDocs"] == \
         exp["summary"]["numberOfDocs"] == 1
+
+
+def test_group_by_capture_matches_saved(voice_reader):
+    """hits-grouped/group by capture: '"a|the" X:[]' grouped by the
+    captured token's word (capture:word:i:X), filtered to PBsve430 —
+    exact group identities, sizes and doc counts
+    (hits-grouped.js:63)."""
+    from blacklab_ray.server import handle_hits_grouped
+    exp = _saved("hits-grouped", "group by capture")
+    resp = handle_hits_grouped(
+        voice_reader, {"patt": '"a|the" X:[]',
+                       "filter": "pid:PBsve430",
+                       "group": "capture:word:i:X", "number": "30"})
+    for k in ("numberOfGroups", "largestGroupSize", "numberOfHits",
+              "numberOfDocs", "subcorpusSize"):
+        assert resp["summary"][k] == exp["summary"][k], k
+    want = sorted((g["identity"], g["size"], g["numberOfDocs"])
+                  for g in exp["hitGroups"])
+    got = sorted((g["identity"], g["size"], g["numberOfDocs"])
+                 for g in resp["hitGroups"])
+    assert got == want
+
+
+def test_server_info_page_matches_saved(voice_reader):
+    """info/Server info page.json: GET / carries the indices block
+    (tokenCount over the whole corpus) and the user block
+    (loggedIn/canCreateIndex) like RequestHandlerServerInfo."""
+    from blacklab_ray.server import handle_server_info
+    exp = _saved("info", "Server info page")
+    resp = handle_server_info({"test": voice_reader})
+    assert resp["indices"]["test"]["tokenCount"] == \
+        exp["indices"]["test"]["tokenCount"] == 766
+    assert resp["indices"]["test"]["status"] == "available"
+    assert resp["user"]["loggedIn"] is \
+        exp["user"]["loggedIn"] is False
+    # no data_dir passed → like the reference's logged-out default
+    assert resp["user"]["canCreateIndex"] is \
+        exp["user"]["canCreateIndex"] is False
+
+
+def test_index_metadata_matches_expected_shape(voice_index):
+    """indices/expected-index-metadata.json: the IndexMetadata
+    response of the voice index — field info, annotated-field block
+    (annotations with forward-index/sensitivity/internal flags,
+    display order starting at the main annotation), versionInfo
+    stamps, and metadata-field typing."""
+    from blacklab_ray.query import IndexReader
+    from blacklab_ray.server import handle_info
+    exp = _saved("indices", "expected-index-metadata")
+    resp = handle_info(IndexReader(voice_index), "voice")
+    # scalar shape keys the reference pins
+    for k in ("displayName", "description", "status",
+              "contentViewable", "textDirection"):
+        assert k in resp, k
+    assert resp["status"] == exp["status"] == "available"
+    assert resp["textDirection"] == exp["textDirection"] == "ltr"
+    assert resp["tokenCount"] == 766 and resp["documentCount"] == 3
+    assert set(resp["fieldInfo"]) == set(exp["fieldInfo"])
+    # annotated-field block: same flags per annotation as the
+    # reference's contents field (this index has no inline tags or
+    # punct capture, so starttag/punct are absent — the reference
+    # includes them because its indexer captures both)
+    got_c = resp["annotatedFields"]["contents"]
+    want_c = exp["annotatedFields"]["contents"]
+    assert got_c["mainAnnotation"] == want_c["mainAnnotation"]
+    assert got_c["isAnnotatedField"] is True
+    assert got_c["displayOrder"][0] == "word"
+    for a in ("word", "lemma", "pos"):
+        ga, wa = got_c["annotations"][a], want_c["annotations"][a]
+        assert ga["hasForwardIndex"] is wa["hasForwardIndex"], a
+        assert ga["isInternal"] is wa["isInternal"], a
+    # whitespace-analyzer build is insensitive-only; flag must say so
+    assert got_c["annotations"]["word"]["sensitivity"] == \
+        "ONLY_INSENSITIVE"
+    vi = resp["versionInfo"]
+    assert vi["indexFormat"] and vi["timeCreated"] \
+        and vi["timeModified"]
+    assert resp["metadataFields"]["meta_title"]["type"] == "tokenized"
