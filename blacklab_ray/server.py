@@ -602,26 +602,49 @@ def _decade_key(v) -> str:
     return f"{y}-{y + 9}"
 
 
+def _group_ident_key(k, numeric: bool):
+    """Sort key for a group identity string. Numeric identities
+    (docid/hitposition/fieldlen groups, decade ranges, typed numeric
+    metadata) order by leading number — '10' after '2', '200-209'
+    before '1990-1999' — with unparseable values ('unknown') last,
+    matching the doc-sort convention (PropertyValueDecade compares by
+    decade int). Collated identities get a sensitive secondary key so
+    case-folded-equal groups order deterministically (the
+    collate.sort_terms convention)."""
+    k = str(k)
+    if numeric:
+        try:
+            return (0, float(k), "")
+        except (TypeError, ValueError):
+            m = re.match(r"-?\d+", k)
+            if m:
+                return (0, float(m.group()), k)
+            return (1, 0.0, k)
+    from blacklab_ray.analysis.collate import key_for_context
+    return (key_for_context(k, sensitive=False), k)
+
+
 def _order_groups(items: list, sort_spec: str | None,
-                  size_of=lambda g: g["size"]) -> list:
+                  numeric: bool = False) -> list:
     """Order (identity, group) pairs. Default: size desc, identity
     asc (the view every grouped test pins). ``sort=`` accepts the
     GroupProperty criteria ``size`` / ``identity`` (HitGroupProperty
-    Size/Identity), ``-`` prefix for descending."""
+    Size/Identity), ``-`` prefix for descending. The identity
+    tie-break under size sorts stays ASCENDING in both directions, so
+    sort=-size is the same view the no-sort default pins."""
+    def ident(kv):
+        return _group_ident_key(kv[0], numeric)
     if not sort_spec:
-        return sorted(items, key=lambda kv: (-size_of(kv[1]), kv[0]))
+        return sorted(items, key=lambda kv: (-kv[1]["size"], ident(kv)))
     desc = sort_spec.startswith("-")
     c = sort_spec.lstrip("-")
     if c == "size":
-        out = sorted(items, key=lambda kv: (size_of(kv[1]), kv[0]))
-    elif c == "identity":
-        from blacklab_ray.analysis.collate import key_for_context
-        out = sorted(items,
-                     key=lambda kv: key_for_context(kv[0],
-                                                    sensitive=False))
-    else:
-        raise KeyError(f"unknown group sort criterion {sort_spec!r}")
-    return out[::-1] if desc else out
+        sign = -1 if desc else 1
+        return sorted(items,
+                      key=lambda kv: (sign * kv[1]["size"], ident(kv)))
+    if c == "identity":
+        return sorted(items, key=ident, reverse=desc)
+    raise ValueError(f"unknown group sort criterion {sort_spec!r}")
 
 
 def _is_numeric_crit(crit: str) -> bool:
@@ -851,7 +874,11 @@ def handle_hits_grouped(reader, params: dict) -> dict:
             g.setdefault("idx", []).append(i)
         if meta_keys is not None and "meta" not in g:
             g["meta"] = meta_keys[i]
-    ordered = _order_groups(list(groups.items()), params.get("sort"))
+    numeric_ident = (len(crit_parts) == 1
+                     and (_is_numeric_crit(crit_parts[0])
+                          or crit_parts[0].startswith("decade:")))
+    ordered = _order_groups(list(groups.items()), params.get("sort"),
+                            numeric=numeric_ident)
     window = ordered[first:first + number]
     sizes = (_meta_subcorpus_sizes(reader, meta_fields,
                                    params.get("filter"),
@@ -1066,8 +1093,14 @@ def _version_info(reader) -> dict:
     incremental updates)."""
     import datetime
 
+    idx_dir = getattr(reader, "index_dir", "")
+
     def _stamp(fn: str) -> str:
-        p = os.path.join(getattr(reader, "index_dir", ""), fn)
+        # no index_dir (e.g. a federated MultiIndexReader): report
+        # empty stamps rather than resolving against the process cwd
+        if not idx_dir:
+            return ""
+        p = os.path.join(idx_dir, fn)
         if not os.path.exists(p):
             return ""
         return datetime.datetime.fromtimestamp(
@@ -1434,7 +1467,12 @@ def handle_docs_grouped(reader, params: dict) -> dict:
         g["size"] += 1
         g["tokens"] += int(dl)
         g["hits"] += hits_by_doc.get(did, 0)
-    ordered = _order_groups(list(groups.items()), params.get("sort"))
+    import pyarrow as pa
+    ftype = tbl.schema.field(fieldname).type
+    numeric_ident = decade or pa.types.is_integer(ftype) \
+        or pa.types.is_floating(ftype)
+    ordered = _order_groups(list(groups.items()), params.get("sort"),
+                            numeric=numeric_ident)
     window = ordered[first:first + number]
     total_docs = int(tbl.num_rows)
     # with a pattern, each group's size/numberOfTokens cover only the

@@ -73,7 +73,10 @@ for key, fn in qs.items():
             want = norm(con.execute(oracles[key]).fetchdf())
             err = compare(res, want)
         else:
-            err = None if len(res) >= 0 else "no rows"
+            # oracle-less keys: the driver's weaker rows-only check —
+            # an empty result from a key that should produce rows is
+            # a regression worth flagging here
+            err = None if len(res) > 0 else "no rows"
         if err:
             fails.append((key, err))
             print(f"FAIL {key}: {err}", flush=True)

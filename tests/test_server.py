@@ -1582,5 +1582,55 @@ def test_grouped_sort_param(srv_reader):
                                             "sort": "identity"})
     assert [g["identityDisplay"] for g in resp["docGroups"]] == \
         ["en", "fr"]
-    with pytest.raises(KeyError):
+    # bad sort param is a client error (ValueError -> HTTP 400),
+    # not a KeyError (-> 404)
+    with pytest.raises(ValueError):
         handle_hits_grouped(srv_reader, {**base, "sort": "bogus"})
+
+
+def test_order_groups_numeric_and_tiebreak():
+    """Numeric group identities (docid/fieldlen/decade) sort by
+    number, not string collation; sort=-size keeps the identity
+    tie-break ascending (same view as the no-sort default)."""
+    from blacklab_ray.server import _order_groups
+    items = [(str(i), {"size": 1}) for i in (2, 10, 1, 30, 3)]
+    got = [k for k, _g in _order_groups(items, "identity",
+                                        numeric=True)]
+    assert got == ["1", "2", "3", "10", "30"]
+    # decade ranges order by leading year; 'unknown' sorts last
+    dec = [(k, {"size": 1}) for k in
+           ("1990-1999", "200-209", "unknown", "2010-2019")]
+    got = [k for k, _g in _order_groups(dec, "identity",
+                                        numeric=True)]
+    assert got == ["200-209", "1990-1999", "2010-2019", "unknown"]
+    # equal sizes: -size and the default agree (identity asc)
+    ties = [("b", {"size": 2}), ("a", {"size": 2}),
+            ("c", {"size": 5})]
+    default = [k for k, _g in _order_groups(ties, None)]
+    explicit = [k for k, _g in _order_groups(ties, "-size")]
+    assert default == explicit == ["c", "a", "b"]
+    assert [k for k, _g in _order_groups(ties, "size")] == \
+        ["a", "b", "c"]
+
+
+def test_hits_grouped_docid_numeric_order(srv_reader):
+    """group=docid&sort=identity orders by doc id number."""
+    from blacklab_ray.server import handle_hits_grouped
+    resp = handle_hits_grouped(srv_reader, {"patt": '[]',
+                                            "group": "docid",
+                                            "sort": "identity"})
+    idents = [g["identityDisplay"] for g in resp["hitGroups"]]
+    assert idents == sorted(idents, key=int)
+
+
+def test_version_info_without_index_dir(tmp_path, monkeypatch):
+    """A reader with no index_dir (federation) reports empty stamps —
+    never a cwd-relative meta.json's mtime."""
+    from blacklab_ray.server import _version_info
+    (tmp_path / "meta.json").write_text("{}")
+    monkeypatch.chdir(tmp_path)
+
+    class NoDir:
+        pass
+    vi = _version_info(NoDir())
+    assert vi["timeCreated"] == "" and vi["timeModified"] == ""
