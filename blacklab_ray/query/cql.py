@@ -517,11 +517,11 @@ def _collapse_groups(items: list) -> list:
                 out.append(("gclose", None))
                 i = j + 1
                 continue
-            alts = []
+            members: list[tuple] = []
             expect_term = True
             for k, v in inner:
-                if expect_term and k == "term":
-                    alts.append(str(v))
+                if expect_term and k in ("term", "nterm"):
+                    members.append((k, v))
                     expect_term = False
                 elif not expect_term and k == "pipe":
                     expect_term = True
@@ -530,9 +530,18 @@ def _collapse_groups(items: list) -> list:
                         "parenthesized groups support single-position "
                         "alternation only, e.g. (\"a\"|\"b\") — or a "
                         "pipe-free sequence group")
-            if expect_term or not alts:
+            if expect_term or not members:
                 raise ValueError("empty or dangling '|' in group")
-            out.append(("alt", alts))
+            if all(k == "term" and not isinstance(v, tuple)
+                   for k, v in members):
+                # homogeneous word-annotation positives: ONE position
+                # whose postings are the union (the cheap path)
+                out.append(("alt", [str(v) for _k, v in members]))
+            else:
+                # heterogeneous members (parallel annotations or
+                # negations): expanded into sequence variants by
+                # _expand_alt_groups (TextPatternOr over one position)
+                out.append(("altv", members))
             i = j + 1
         elif kind == "rparen":
             raise ValueError("unbalanced ')'")
@@ -542,11 +551,32 @@ def _collapse_groups(items: list) -> list:
     return out
 
 
+def _expand_alt_groups(items: list) -> list[list]:
+    """Lower heterogeneous single-position alternation groups —
+    `([word="a"] | [lemma="b"])`, negated members — into item-list
+    variants, one per member choice (cross product across groups,
+    capped at MAX_VARIANTS). Homogeneous word-only groups stay the
+    single-position ("alt", patterns) fast path."""
+    variants: list[list] = [[]]
+    for it in items:
+        if it[0] == "altv":
+            variants = [v + [m] for v in variants for m in it[1]]
+            if len(variants) > MAX_VARIANTS:
+                raise ValueError(
+                    f"alternation groups expand to {len(variants)} "
+                    f"variants (cap {MAX_VARIANTS})")
+        else:
+            for v in variants:
+                v.append(it)
+    return variants
+
+
 def _build_union(items: list) -> SeqPlan | UnionPlan:
     branches: list[SeqPlan] = []
     for branch in _split_pipe_depth0(items):
-        for var in _expand_group_reps(_collapse_groups(branch)):
-            branches.extend(_build_seq_variants(var))
+        for var0 in _expand_alt_groups(_collapse_groups(branch)):
+            for var in _expand_group_reps(var0):
+                branches.extend(_build_seq_variants(var))
     if not branches:
         raise ValueError("empty query")
     if len(branches) == 1:
@@ -934,6 +964,138 @@ def _all_window_spans(reader, lo: int, hi: int) -> pa.Table:
                      "end": pa.array(e[order])})
 
 
+_BRACKET_EXPR_RE = re.compile(
+    r'\[(?P<body>(?:[^\]"]|"[^"]*")*)\](?P<flag>%c)?')
+_BOOL_TEST_RE = re.compile(r'(\w+)\s*(!?)=\s*"([^"]*)"')
+_DNF_CAP = 64
+
+
+def _bool_body_tokens(s: str) -> list:
+    """Tokenize a bracket body's boolean expression: tests
+    (annot (!)= "val") plus & | ! ( )."""
+    toks: list = []
+    i = 0
+    while i < len(s):
+        c = s[i]
+        if c.isspace():
+            i += 1
+            continue
+        if c in "()|&!":
+            toks.append((c, None))
+            i += 1
+            continue
+        m = _BOOL_TEST_RE.match(s, i)
+        if not m:
+            raise ValueError(f"bad token test at {s[i:]!r}")
+        toks.append(("test",
+                     (m.group(1), bool(m.group(2)), m.group(3))))
+        i = m.end()
+    if not toks:
+        raise ValueError("empty token expression")
+    return toks
+
+
+def _dnf_body(body: str) -> list:
+    """Parse a boolean token-constraint body and normalize to DNF:
+    a list of conjunctions, each a list of (annot, negated, value)
+    tests. Blow-up is capped at _DNF_CAP conjunctions."""
+    toks = _bool_body_tokens(body)
+    pos = 0
+
+    def peek():
+        return toks[pos][0] if pos < len(toks) else None
+
+    def _cross(a: list, b: list) -> list:
+        out = [c1 + c2 for c1 in a for c2 in b]
+        if len(out) > _DNF_CAP:
+            raise ValueError("token expression too complex")
+        return out
+
+    def expr() -> list:
+        nonlocal pos
+        parts = [andexpr()]
+        while peek() == "|":
+            pos += 1
+            parts.append(andexpr())
+        return [c for p in parts for c in p]
+
+    def andexpr() -> list:
+        nonlocal pos
+        cur = unary()
+        while peek() == "&":
+            pos += 1
+            cur = _cross(cur, unary())
+        return cur
+
+    def unary() -> list:
+        nonlocal pos
+        if peek() == "!":
+            pos += 1
+            return negate(unary())
+        if peek() == "(":
+            pos += 1
+            e = expr()
+            if peek() != ")":
+                raise ValueError("unbalanced parens in token "
+                                 "expression")
+            pos += 1
+            return e
+        if peek() == "test":
+            t = toks[pos][1]
+            pos += 1
+            return [[t]]
+        raise ValueError("bad token expression")
+
+    def negate(dnf: list) -> list:
+        # De Morgan: !(c1 | c2 ...) = !c1 & !c2 ...; a negated
+        # conjunction is the union of its negated tests
+        cur: list = [[]]
+        for conj in dnf:
+            cur = _cross(cur, [[(a, not n, v)] for a, n, v in conj])
+        return cur
+
+    out = expr()
+    if pos != len(toks):
+        raise ValueError("trailing tokens in token expression")
+    return out
+
+
+def _lower_boolexpr_variants(q: str) -> list[str]:
+    """Lower boolean token-constraint bodies — ``[a="x" | b="y"]``,
+    parens, ``!(...)`` (CorpusQL boolean token expressions,
+    TextPatternOr/And/Not inside one position; the reference's
+    corpusql.jj complexQuery/simpleQuery production) — by DNF-ing
+    each body and CROSS-PRODUCING the conjunct choices into full
+    query-string variants, each inside the pure-conjunction subset
+    (_lower_multitest handles those). The caller unions + dedups the
+    per-variant span tables (TextPatternOr semantics). A ``%c`` flag
+    distributes onto each alternative. Queries without boolean
+    brackets return ``[q]`` unchanged."""
+    res: list[list[str]] = [[]]
+    pos = 0
+    for m in _BRACKET_EXPR_RE.finditer(q):
+        body = m.group("body")
+        pre = q[pos:m.start()]
+        pos = m.end()
+        # only boolean structure beyond pure conjunction triggers: a
+        # disjunction, parens, or a negation that is not '!='
+        if not re.search(r'\||\(|!(?!=)', body):
+            for r in res:
+                r.append(pre + m.group(0))
+            continue
+        conjs = _dnf_body(body)
+        flag = m.group("flag") or ""
+        alts = ["[" + " & ".join(
+            f'{a}{"!" if n else ""}="{v}"' for a, n, v in c)
+            + "]" + flag for c in conjs]
+        if len(res) * len(alts) > _DNF_CAP:
+            raise ValueError("token expressions expand to too many "
+                             f"query variants (cap {_DNF_CAP})")
+        res = [r + [pre + a] for r in res for a in alts]
+    tail = q[pos:]
+    return ["".join(r) + tail for r in res]
+
+
 _MULTITEST_RE = re.compile(
     r"(?:(?P<cap>[A-Za-z_]\w*)\s*:\s*)?"
     r"\[(?P<body>\s*\w+\s*!?=\s*\"[^\"]*\""
@@ -998,6 +1160,14 @@ def cql_spans(reader, q: str) -> pa.Table:
     widths = _pure_any_widths(q)
     if widths is not None:
         return _all_window_spans(reader, *widths)
+    bool_variants = _lower_boolexpr_variants(q)
+    if len(bool_variants) > 1:
+        # boolean token expressions: evaluate each DNF-conjunct
+        # choice as its own query, union + dedup the span tables
+        # (TextPatternOr over one position)
+        return _union_span_tables(
+            [cql_spans(reader, v) for v in bool_variants])
+    q = bool_variants[0]
     constraints: CNode | None = None
     if "::" in q:
         q, _, cexpr = q.partition("::")
@@ -1052,15 +1222,12 @@ def _apply_constraints(reader, spans: pa.Table,
     return spans.filter(pa.array(keep))
 
 
-def _plan_spans(reader, plan: SeqPlan | UnionPlan) -> pa.Table:
+def _union_span_tables(parts: list) -> pa.Table:
+    """Union span tables from alternative branches: align capture
+    columns (absent captures = -1 sentinel — no captured position in
+    that branch, BLS leaves the group empty there too), concat,
+    (doc,start,end)-dedup + sort."""
     from blacklab_ray.query.spans import unique_spans
-    if isinstance(plan, SeqPlan):
-        return cql_spans_seq(reader, plan)
-    parts = [cql_spans_seq(reader, b) for b in plan.branches]
-    # branches may carry different capture columns ('"a"|"b" A:[]'):
-    # align on the union of columns, absent captures = -1 sentinel
-    # (no captured position in that branch — BLS leaves the group
-    # empty there too)
     all_cols = list(dict.fromkeys(
         c for t in parts for c in t.column_names))
     if any(t.column_names != all_cols for t in parts):
@@ -1072,6 +1239,13 @@ def _plan_spans(reader, plan: SeqPlan | UnionPlan) -> pa.Table:
                 for c in all_cols})
             for t in parts]
     return unique_spans(pa.concat_tables(parts))
+
+
+def _plan_spans(reader, plan: SeqPlan | UnionPlan) -> pa.Table:
+    if isinstance(plan, SeqPlan):
+        return cql_spans_seq(reader, plan)
+    return _union_span_tables(
+        [cql_spans_seq(reader, b) for b in plan.branches])
 
 
 def _has_unbounded(plan: SeqPlan) -> bool:

@@ -800,3 +800,67 @@ def test_quantifiers_and_group_repetition(ray_session, tmp_path):
     # captured groups cannot repeat
     with pytest.raises(ValueError, match="captured groups"):
         cql_spans(r, 'A:("a" "b"){2}')
+
+
+def test_boolean_token_expressions(ray_session, tmp_path):
+    """Boolean token-constraint bodies — `[a="x" | b="y"]`, parens,
+    `!(...)` (CorpusQL boolean token expressions) — lower to the
+    subset via DNF and match like the reference's TextPatternOr/
+    And/Not inside one position. Overlapping alternatives dedup."""
+    from blacklab_ray.formats import read_pages
+    from blacklab_ray.index import BuildParams, build_index
+    from blacklab_ray.query import IndexReader
+    from blacklab_ray.stages.tokenize import hash64
+    docs = {
+        "d1": [("cats", "cat"), ("and", "and"), ("cat", "cat")],
+        "d2": [("cat", "cat"), ("and", "and"), ("dogs", "dog")],
+        "d3": [("runs", "run"), ("and", "and"), ("ran", "run")],
+    }
+    lines = ["url\tpos\tword\tlemma"]
+    for url, toks in docs.items():
+        for i, (w, le) in enumerate(toks):
+            lines.append(f"{url}\t{i}\t{w}\t{le}")
+    tsv = tmp_path / "c.tsv"
+    tsv.write_text("\n".join(lines) + "\n")
+    idx = str(tmp_path / "idx")
+    build_index(read_pages("tabular-tsv", str(tsv)), idx,
+                BuildParams(num_buckets=2, n_salts=1,
+                            annotations=("lemma",)))
+    r = IndexReader(idx)
+    d1, d2, d3 = hash64("d1"), hash64("d2"), hash64("d3")
+
+    def spans(q):
+        t = cql_spans(r, q)
+        return sorted(zip(t["doc_id"].to_pylist(),
+                          t["start"].to_pylist()))
+
+    # cross-annotation disjunction
+    assert spans('[word="cat" | lemma="run"]') == \
+        sorted([(d1, 2), (d2, 0), (d3, 0), (d3, 2)])
+    # overlapping alternatives dedup (d1:0 matches BOTH tests)
+    assert spans('[word="cats" | lemma="cat"]') == \
+        sorted([(d1, 0), (d1, 2), (d2, 0)])
+    # parenthesized disjunction conjoined with a test
+    assert spans('[(word="cat" | word="cats") & lemma="cat"]') == \
+        sorted([(d1, 0), (d1, 2), (d2, 0)])
+    # negated group (De Morgan into negative conjunction)
+    assert spans('[!(lemma="cat" | lemma="and")]') == \
+        sorted([(d2, 2), (d3, 0), (d3, 2)])
+    # inside a sequence
+    assert spans('"and" [word="dogs" | word="ran"]') == \
+        sorted([(d2, 1), (d3, 1)])
+    # malformed expression errors clearly
+    with pytest.raises(ValueError):
+        cql_spans(r, '[word="a" | ]')
+    # user-written heterogeneous groups (previously the non-word
+    # alternative was silently corrupted via str() of its tuple)
+    assert spans('([word="cat"] | [lemma="run"])') == \
+        sorted([(d1, 2), (d2, 0), (d3, 0), (d3, 2)])
+    # negated member in a group
+    assert spans('"and" ([word="dogs"] | [word!="cat"])') == \
+        sorted([(d2, 1), (d3, 1)])
+    # constraint suffix composes with boolean-bracket expansion
+    t = cql_spans(r, 'A:[word="cats" | lemma="run"] "and"'
+                     ' :: A.lemma = "cat"')
+    assert sorted(zip(t["doc_id"].to_pylist(),
+                      t["start"].to_pylist())) == [(d1, 0)]
