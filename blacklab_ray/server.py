@@ -60,6 +60,91 @@ def parse_filter(expr: str) -> list[tuple]:
     return conds
 
 
+def _contextql_to_cql(q: str) -> str:
+    """SRU ContextQL pattern → the CQL subset (``pattlang=contextql``;
+    BlsUtils.parsePatt routing, WebserviceParamsImpl.java:151).
+    ``or`` → a top-level union of term positions; ``and``/``not`` →
+    ONE position with conjoined token tests (TextPatternAnd /
+    TextPatternAndNot are position-coincident); ``prox/distance=d`` →
+    a bounded any-token gap sequence."""
+    from blacklab_ray.query.contextql import parse_contextql
+    plan = parse_contextql(q)
+
+    def esc(t: str) -> str:
+        return t.replace('"', '\\"')
+    terms, negs = plan["terms"], plan["neg_terms"]
+    if plan["op"] == "prox":
+        a, b = terms
+        d = max(1, plan["distance"] or 1)
+        gap = "" if d == 1 else f"[]{{0,{d - 1}}} "
+        return f'"{esc(a)}" {gap}"{esc(b)}"'
+    if plan["op"] == "and" or negs:
+        tests = [f'word="{esc(t)}"' for t in terms] + \
+                [f'word!="{esc(t)}"' for t in negs]
+        return "[" + " & ".join(tests) + "]"
+    return " | ".join(f'"{esc(t)}"' for t in terms)
+
+
+def _fill_gaps(template: str, tsv: str) -> str:
+    """``pattgapdata``: fill ``@@`` gaps in a CorpusQL template with
+    the columns of each TSV row and OR the filled patterns together
+    (GapFiller.java:89-109 — one TextPattern per value row, quotes
+    escaped, missing columns empty)."""
+    parts = template.split("@@")
+    filled = []
+    for line in tsv.split("\n"):
+        row = line.split("\t")
+        if not any(c.strip() for c in row):
+            continue
+        buf = [parts[0]]
+        for i in range(len(parts) - 1):
+            val = row[i] if i < len(row) else ""
+            buf.append(val.replace('"', '\\"'))
+            buf.append(parts[i + 1])
+        filled.append("(" + "".join(buf) + ")")
+    if not filled:
+        raise ValueError("pattgapdata contains no value rows")
+    return " | ".join(filled)
+
+
+def _normalize_params(reader, params: dict) -> dict:
+    """BLS search-parameter pre-processing (the remaining
+    BlackLabServerParams.java NAMES): ``pattlang``/``pattgapdata``
+    rewrite the pattern, ``docpid`` becomes a pid filter clause (404
+    when unknown, BlsUtils.getDocIdFromPid), ``filterlang`` is
+    validated. The execution/debug params ``usecache``,
+    ``waitfortotal`` and ``fimatch`` are accepted without effect:
+    handlers recompute every request (so usecache=no is the only
+    behavior), totals are always exact (waitfortotal=yes semantics),
+    and there is no NFA forward-index threshold to tune."""
+    patt = params.get("patt")
+    if patt:
+        lang = params.get("pattlang", "corpusql")
+        if lang == "contextql":
+            params["patt"] = patt = _contextql_to_cql(patt)
+        elif lang not in ("corpusql", "default"):
+            raise ValueError(f"unsupported pattlang {lang!r}")
+        gap = params.get("pattgapdata")
+        if gap and lang != "contextql" and "@@" in patt:
+            params["patt"] = _fill_gaps(patt, gap)
+    if params.get("filterlang", "luceneql") != "luceneql":
+        raise ValueError(
+            f"unsupported filterlang {params['filterlang']!r}")
+    docpid = params.get("docpid")
+    if docpid:
+        import pyarrow.compute as pc
+        tbl = reader.fwd_dataset().to_table(
+            columns=["doc_id"],
+            filter=pc.field("url") == str(docpid))
+        if tbl.num_rows == 0:
+            raise KeyError(
+                f"document with pid {docpid!r} not found")
+        clause = f'pid:"{docpid}"'
+        f = params.get("filter")
+        params["filter"] = f"{clause} AND {f}" if f else clause
+    return params
+
+
 def _allowed_ids(reader, filter_expr: str | None):
     if not filter_expr:
         return None
@@ -2237,6 +2322,7 @@ class BlsApp:
                 raise KeyError(f"unsupported {method} on {path!r}")
             return emit(self._mutate(name, method, parts, body_in,
                                      params))
+        _normalize_params(reader, params)
         if op is None:
             resp: Any = handle_info(reader, name)
         elif op == "status":

@@ -1,4 +1,7 @@
-"""Mini-driver: replay queries() vs oracle_sql() at sf0.01, 32 cpus."""
+"""Mini-driver: replay queries() vs oracle_sql() at sf0.01, 32 cpus.
+
+Env overrides: REPLAY_SF (sf dir), REPLAY_KEYS (comma list of keys).
+"""
 import sys, time, traceback
 sys.path.insert(0, "/root/repo")
 import ray
@@ -7,7 +10,10 @@ import duckdb
 import numpy as np
 import pandas as pd
 
-SF = "/root/testdata/sf0.01"
+import os as _os
+SF = _os.environ.get("REPLAY_SF", "/root/testdata/sf0.01")
+ONLY = set(k for k in
+           _os.environ.get("REPLAY_KEYS", "").split(",") if k)
 import os
 os.chdir("/root/repo")
 import __ray_entry__ as E
@@ -66,6 +72,8 @@ oracles = E.oracle_sql()
 fails, n_ok = [], 0
 t_all = time.time()
 for key, fn in qs.items():
+    if ONLY and key not in ONLY:
+        continue
     t0 = time.time()
     try:
         res = norm(to_df(fn(SF)))

@@ -1623,6 +1623,82 @@ def test_hits_grouped_docid_numeric_order(srv_reader):
     assert idents == sorted(idents, key=int)
 
 
+def test_param_parity_batch(srv_index):
+    """The remaining BlackLabServerParams NAMES: pattlang=contextql
+    routing, pattgapdata gap filling, docpid restriction (404 when
+    unknown), filterlang validation, and accepted no-op execution
+    params (usecache/waitfortotal/fimatch)."""
+    from urllib.parse import quote
+
+    from blacklab_ray.query import IndexReader
+    from blacklab_ray.server import BlsApp
+    call = _mkcall(BlsApp({"test": IndexReader(srv_index)}))
+
+    # pattlang=contextql: or / prox route through the SRU parser
+    st, _ct, body = call("/corpora/test/hits?patt="
+                         + quote('"quick" or "slow"')
+                         + "&pattlang=contextql")
+    assert st.startswith("200")
+    assert json.loads(body)["summary"]["numberOfHits"] == 3
+    st, _ct, body = call("/corpora/test/hits?patt="
+                         + quote('"quick" prox/distance=2 "jumps"')
+                         + "&pattlang=contextql")
+    assert st.startswith("200")
+    hits = json.loads(body)["hits"]
+    assert len(hits) == 1 and hits[0]["docPid"] == "d0"
+    # bad pattlang -> 400
+    st, _ct, body = call("/corpora/test/hits?patt=%22a%22"
+                         "&pattlang=sparql")
+    assert st.startswith("400")
+
+    # pattgapdata: @@ gaps filled per TSV row, rows OR'ed
+    st, _ct, body = call("/corpora/test/hits?patt="
+                         + quote('"@@"') + "&pattgapdata="
+                         + quote("quick\nslow"))
+    assert st.startswith("200")
+    assert json.loads(body)["summary"]["numberOfHits"] == 3
+
+    # docpid restricts hits to one document; unknown pid -> 404
+    st, _ct, body = call("/corpora/test/hits?patt=%22quick%22"
+                         "&docpid=d1")
+    assert st.startswith("200")
+    hits = json.loads(body)["hits"]
+    assert [h["docPid"] for h in hits] == ["d1"]
+    st, _ct, _b = call("/corpora/test/hits?patt=%22quick%22"
+                       "&docpid=nope")
+    assert st.startswith("404")
+
+    # filterlang: luceneql accepted, anything else 400
+    st, _ct, _b = call("/corpora/test/hits?patt=%22quick%22"
+                       "&filterlang=luceneql")
+    assert st.startswith("200")
+    st, _ct, _b = call("/corpora/test/hits?patt=%22quick%22"
+                       "&filterlang=contextql")
+    assert st.startswith("400")
+
+    # accepted no-op execution params
+    st, _ct, body = call("/corpora/test/hits?patt=%22quick%22"
+                         "&usecache=no&waitfortotal=yes&fimatch=900")
+    assert st.startswith("200")
+    assert json.loads(body)["summary"]["numberOfHits"] == 2
+
+
+def test_contextql_and_translation(srv_reader):
+    """pattlang=contextql 'and' is position-coincident
+    (TextPatternAnd): same term and'ed with itself matches, two
+    different terms do not."""
+    from blacklab_ray.server import _normalize_params, handle_hits
+    p = {"patt": '"quick" and "quick"', "pattlang": "contextql"}
+    _normalize_params(srv_reader, p)
+    assert handle_hits(srv_reader, p)["summary"]["numberOfHits"] == 2
+    p = {"patt": '"quick" and "fox"', "pattlang": "contextql"}
+    _normalize_params(srv_reader, p)
+    assert handle_hits(srv_reader, p)["summary"]["numberOfHits"] == 0
+    p = {"patt": '"quick" not "fox"', "pattlang": "contextql"}
+    _normalize_params(srv_reader, p)
+    assert handle_hits(srv_reader, p)["summary"]["numberOfHits"] == 2
+
+
 def test_version_info_without_index_dir(tmp_path, monkeypatch):
     """A reader with no index_dir (federation) reports empty stamps —
     never a cwd-relative meta.json's mtime."""
