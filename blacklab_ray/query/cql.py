@@ -139,6 +139,11 @@ class CCmp:
     left: tuple     # ("cap", name, annot) | ("lit", value)
     op: str         # "=" | "!="
     right: tuple
+    regex: bool = False  # right literal is a token-test REGEX — set
+    #                      only by _lower_multitest's lowering of
+    #                      [a="x" & b="y.*"] token tests (regex
+    #                      semantics); user `::` constraints compare
+    #                      literally (MatchFilterString)
 
 
 @dataclass
@@ -323,8 +328,13 @@ def _eval_constraint(reader, node: CNode, spans: pa.Table,
         elif ta is None or tb is None:
             toks = tb if ta is None else ta
             lit = node.left[1] if ta is None else node.right[1]
-            eq = np.array([x is not None and x == lit for x in toks],
-                          dtype=bool)
+            if node.regex and _is_regex(str(lit)):
+                rx = re.compile(f"^(?:{lit})$")
+                eq = np.array([x is not None and bool(rx.match(x))
+                               for x in toks], dtype=bool)
+            else:
+                eq = np.array([x is not None and x == lit
+                               for x in toks], dtype=bool)
         else:
             eq = np.array([x is not None and x == y
                            for x, y in zip(ta, tb)], dtype=bool)
@@ -1127,7 +1137,7 @@ def _lower_multitest(q: str) -> "tuple[str, list[CCmp], list[str]]":
         for attr, neg, val in tests[1:]:
             extra.append(CCmp(left=("cap", cap, attr),
                               op="!=" if neg else "=",
-                              right=("lit", val)))
+                              right=("lit", val), regex=True))
         a0, n0, v0 = tests[0]
         return f'{cap}:[{a0}{"!" if n0 else ""}="{v0}"]'
 

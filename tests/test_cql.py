@@ -864,3 +864,13 @@ def test_boolean_token_expressions(ray_session, tmp_path):
                      ' :: A.lemma = "cat"')
     assert sorted(zip(t["doc_id"].to_pylist(),
                       t["start"].to_pylist())) == [(d1, 0)]
+    # REGEX values keep regex semantics in non-first conjunct tests
+    # (the multitest lowering routes them through constraints, which
+    # compare literally for user `::` expressions)
+    assert spans('[lemma="cat" & word="ca.*"]') == \
+        sorted([(d1, 0), (d1, 2), (d2, 0)])
+    assert spans('[lemma="cat" & word!="ca.*"]') == []
+    # user `::` constraints still compare literally — a regex-looking
+    # literal does NOT match (MatchFilterString semantics)
+    t = cql_spans(r, 'A:[] "and" :: A.word = "ca.*"')
+    assert t.num_rows == 0

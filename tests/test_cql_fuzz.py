@@ -335,3 +335,161 @@ def test_cql_constraint_fuzz_vs_brute(reader, small_oracle):
             f"{sorted(exp - got)[:5]}"
         checked += 1
     assert checked >= 50
+
+
+# ---------------------------------------------------------------------------
+# boolean token-expression fuzzing (DNF lowering, r4)
+# ---------------------------------------------------------------------------
+
+_BF_TEST = re.compile(r'\s*word\s*(!?)=\s*"([^"]*)"')
+
+
+def _pred_of_body(body: str):
+    """Independent recursive-descent evaluator for a boolean bracket
+    body over the word annotation — shares NO code with the engine's
+    _dnf_body lowering."""
+    pos = 0
+
+    def skip():
+        nonlocal pos
+        while pos < len(body) and body[pos].isspace():
+            pos += 1
+
+    def parse_or():
+        nonlocal pos
+        p = parse_and()
+        while True:
+            skip()
+            if pos < len(body) and body[pos] == "|":
+                pos += 1
+                q = parse_and()
+                p = (lambda a, b: lambda t: a(t) or b(t))(p, q)
+            else:
+                return p
+
+    def parse_and():
+        nonlocal pos
+        p = parse_un()
+        while True:
+            skip()
+            if pos < len(body) and body[pos] == "&":
+                pos += 1
+                q = parse_un()
+                p = (lambda a, b: lambda t: a(t) and b(t))(p, q)
+            else:
+                return p
+
+    def parse_un():
+        nonlocal pos
+        skip()
+        if body[pos] == "!":
+            pos += 1
+            p = parse_un()
+            return lambda t: not p(t)
+        if body[pos] == "(":
+            pos += 1
+            p = parse_or()
+            skip()
+            assert body[pos] == ")", body
+            pos += 1
+            return p
+        m = _BF_TEST.match(body, pos)
+        assert m, (body, pos)
+        pos = m.end()
+        neg, val = m.group(1), m.group(2)
+        rx = re.compile(f"^(?:{val})$")
+        if neg:
+            return lambda t: not rx.match(t)
+        return lambda t: bool(rx.match(t))
+
+    p = parse_or()
+    skip()
+    assert pos == len(body), body
+    return p
+
+
+def _rand_bool_body(rng, vocab, depth=0) -> str:
+    def test():
+        t = vocab[int(rng.integers(0, len(vocab)))]
+        val = t if rng.random() < 0.7 else t[:2] + ".*"
+        neg = "!" if rng.random() < 0.3 else ""
+        return f'word{neg}="{val}"'
+    r = rng.random()
+    if depth >= 2 or r < 0.35:
+        return test()
+    a = _rand_bool_body(rng, vocab, depth + 1)
+    b = _rand_bool_body(rng, vocab, depth + 1)
+    if r < 0.6:
+        e = f"{a} & {b}"
+    elif r < 0.85:
+        e = f"{a} | {b}"
+    else:
+        return f"!({a})"
+    return f"({e})" if depth > 0 else e
+
+
+def test_cql_bool_bracket_fuzz_vs_brute(reader, small_oracle):
+    """Boolean bracket bodies, alone and inside short sequences,
+    span-exact vs an independent predicate evaluator."""
+    rng = np.random.default_rng(211)
+    df = small_oracle.doc_freq()
+    vocab = sorted(df, key=df.get, reverse=True)[:30]
+    docs = small_oracle.docs
+
+    def brute(preds, gaps):
+        out = set()
+        for did, toks in docs.items():
+            n = len(toks)
+            for s in range(n):
+                if not preds[0](toks[s]):
+                    continue
+                frontier = {s + 1}
+                for (lo, hi), p in zip(gaps, preds[1:]):
+                    nxt = set()
+                    for en in frontier:
+                        for g in range(lo, hi + 1):
+                            q = en + g
+                            if q < n and p(toks[q]):
+                                nxt.add(q + 1)
+                    frontier = nxt
+                for en in frontier:
+                    out.add((did, s, en))
+        return out
+
+    checked = 0
+    for qi in range(60):
+        n = 1 if rng.random() < 0.5 else 2
+        bodies, parts, gaps = [], [], []
+        for i in range(n):
+            if rng.random() < 0.75:
+                body = _rand_bool_body(rng, vocab)
+            else:
+                t = vocab[int(rng.integers(0, len(vocab)))]
+                body = f'word="{t}"'
+            bodies.append(body)
+            parts.append(f"[{body}]")
+            if i < n - 1:
+                if rng.random() < 0.4:
+                    lo = int(rng.integers(0, 2))
+                    hi = lo + int(rng.integers(0, 3))
+                    parts.append(f"[]{{{lo},{hi}}}")
+                    gaps.append((lo, hi))
+                else:
+                    gaps.append((0, 0))
+        q = " ".join(parts)
+        preds = [_pred_of_body(b) for b in bodies]
+        exp = brute(preds, gaps)
+        try:
+            t = cql_spans(reader, q)
+        except ValueError as e:
+            assert "anchor" in str(e) or "expands" in str(e) \
+                or "variants" in str(e), (q, e)
+            continue
+        got = set(zip(*[t[c].to_pylist()
+                        for c in ("doc_id", "start", "end")])) \
+            if t.num_rows else set()
+        assert got == exp, f"query {qi}: {q!r}\nonly engine: " \
+            f"{sorted(got - exp)[:5]}\nonly brute: " \
+            f"{sorted(exp - got)[:5]}"
+        checked += 1
+    assert checked >= 45, f"only {checked} queries exercised"
