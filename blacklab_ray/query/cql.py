@@ -78,9 +78,13 @@ _TOKEN_RE = re.compile(r"""
     | (?P<plus>\+)
     | (?P<star>\*)
     | (?P<tag><\s*(?P<tagname>\w+)(?P<tagattrs>(?:\s+\w+\s*=\s*"[^"]*")*)\s*/\s*>)
+    | (?P<tagclose><\s*/\s*(?P<ctagname>\w+)\s*>)
+    | (?P<tagopen><\s*(?P<otagname>\w+)(?P<otagattrs>(?:\s+\w+\s*=\s*"[^"]*")*)\s*>)
     | (?P<word>within|containing)
     | (?P<capture>(?P<capname>[A-Za-z_]\w*)\s*:)
     | (?P<flag>%\s*c)
+    | (?P<arrow>->)
+    | (?P<amp>&)
     | (?P<pipe>\|)
     | (?P<lparen>\()
     | (?P<rparen>\))
@@ -363,6 +367,28 @@ class UnionPlan:
 
 
 @dataclass
+class AndPlan:
+    """Query-level `a & b` (simpleQuery booleanOperator,
+    GeneratedCorpusQueryLanguageParser.java:231 — RIGHT-associative):
+    TextPatternAnd / SpanQueryAnd.java:7-10 keeps only spans with the
+    same doc, start AND end in every clause. Capture columns of the
+    FIRST clause are kept."""
+    parts: list
+
+
+@dataclass
+class AnchorPlan:
+    """Edge-anchored query: a leading `<s>` / trailing `</s>` tag
+    (corpusql tag() production → TextPatternEdge: the zero-width
+    LEFT/RIGHT edge of the tag spans, sequenced with the rest —
+    equivalently, the inner spans filtered to start at a tag start /
+    end at a tag end)."""
+    inner: object
+    open: tuple | None    # (name, attrs) — inner.start ∈ tag starts
+    close: tuple | None   # (name, attrs) — inner.end ∈ tag ends
+
+
+@dataclass
 class TagPlan:
     name: str                       # structural span source
     attrs: dict = None              # attribute filters (<s type="q"/>)
@@ -427,12 +453,22 @@ def _tokenize(q: str) -> list[tuple[str, object]]:
             attrs = dict(re.findall(r'(\w+)\s*=\s*"([^"]*)"',
                                     m.group("tagattrs") or ""))
             items.append(("tag", (m.group("tagname"), attrs)))
+        elif m.group("tagclose") is not None:
+            items.append(("tagclose", (m.group("ctagname"), {})))
+        elif m.group("tagopen") is not None:
+            attrs = dict(re.findall(r'(\w+)\s*=\s*"([^"]*)"',
+                                    m.group("otagattrs") or ""))
+            items.append(("tagopen", (m.group("otagname"), attrs)))
         elif m.group("word") is not None:
             items.append(("op", m.group("word")))
         elif m.group("capture") is not None:
             items.append(("cap", m.group("capname")))
         elif m.group("flag") is not None:
             items.append(("flag", "c"))
+        elif m.group("arrow") is not None:
+            items.append(("arrow", None))
+        elif m.group("amp") is not None:
+            items.append(("amp", None))
         elif m.group("pipe") is not None:
             items.append(("pipe", None))
         elif m.group("lparen") is not None:
@@ -446,6 +482,27 @@ def parse_cql(q: str) -> SeqPlan | UnionPlan | FilterPlan:
     """Parse the CQL subset into a plan; raises ValueError on anything
     outside the subset."""
     items = _tokenize(q)
+    # edge-anchored tags: a LEADING start tag and/or TRAILING end tag
+    # (tag() production: <s> → TextPatternEdge left, </s> → right);
+    # mid-sequence edges are out of subset
+    open_anchor = close_anchor = None
+    if items and items[0][0] == "tagopen":
+        open_anchor = items[0][1]
+        items = items[1:]
+    if items and items[-1][0] == "tagclose":
+        close_anchor = items[-1][1]
+        items = items[:-1]
+    if any(k in ("tagopen", "tagclose") for k, _ in items):
+        raise ValueError(
+            "edge-anchored tags (<s> / </s>) are only supported at "
+            "the start/end of the query")
+    if open_anchor or close_anchor:
+        return AnchorPlan(inner=_parse_items(items),
+                          open=open_anchor, close=close_anchor)
+    return _parse_items(items)
+
+
+def _parse_items(items: list):
     # split on within/containing (only meaningful at paren depth 0)
     depth = 0
     for i, (kind, val) in enumerate(items):
@@ -581,12 +638,39 @@ def _expand_alt_groups(items: list) -> list[list]:
     return variants
 
 
-def _build_union(items: list) -> SeqPlan | UnionPlan:
+def _build_union(items: list) -> "SeqPlan | UnionPlan | AndPlan":
+    # query-level boolean operators first (simpleQuery := sequence
+    # (booleanOperator simpleQuery)? — the FIRST depth-0 operator
+    # decides, RIGHT-associative like the reference grammar)
+    depth = 0
+    for i, (kind, _val) in enumerate(items):
+        if kind == "lparen":
+            depth += 1
+        elif kind == "rparen":
+            depth -= 1
+        elif depth == 0 and kind == "arrow":
+            raise ValueError(
+                "implication is only supported within global "
+                "constraints (`:: a -> b`)")
+        elif depth == 0 and kind == "amp":
+            if not items[:i] or not items[i + 1:]:
+                raise ValueError("dangling '&'")
+            return AndPlan(parts=[_build_union(items[:i]),
+                                  _build_union(items[i + 1:])])
+        elif depth == 0 and kind == "pipe":
+            if not items[:i] or not items[i + 1:]:
+                raise ValueError("dangling '|'")
+            left = _build_union(items[:i])
+            right = _build_union(items[i + 1:])
+            lb = left.branches if isinstance(left, UnionPlan) \
+                else [left]
+            rb = right.branches if isinstance(right, UnionPlan) \
+                else [right]
+            return UnionPlan(branches=lb + rb)
     branches: list[SeqPlan] = []
-    for branch in _split_pipe_depth0(items):
-        for var0 in _expand_alt_groups(_collapse_groups(branch)):
-            for var in _expand_group_reps(var0):
-                branches.extend(_build_seq_variants(var))
+    for var0 in _expand_alt_groups(_collapse_groups(items)):
+        for var in _expand_group_reps(var0):
+            branches.extend(_build_seq_variants(var))
     if not branches:
         raise ValueError("empty query")
     if len(branches) == 1:
@@ -1161,6 +1245,29 @@ def _tag_plan_spans(reader, tp: TagPlan) -> pa.Table:
     return reader.tag_spans(tp.name, tp.attrs or None)
 
 
+def _apply_edge_anchors(reader, out: pa.Table,
+                        open_anchor: "tuple | None",
+                        close_anchor: "tuple | None") -> pa.Table:
+    """Filter spans to those starting at a tag start (`<s>` left
+    edge) / ending at a tag end (`</s>` right edge) — SpansEdge
+    sequenced with the rest, expressed as a vectorized membership
+    filter."""
+    for spec, col in ((open_anchor, "start"), (close_anchor, "end")):
+        if spec is None or out.num_rows == 0:
+            continue
+        name, attrs = spec
+        tags = _tag_plan_spans(reader,
+                               TagPlan(name=str(name), attrs=attrs))
+        k_tags = np.rec.fromarrays([tags["doc_id"].to_numpy(),
+                                    tags[col].to_numpy()],
+                                   names=["d", "p"])
+        k_out = np.rec.fromarrays([out["doc_id"].to_numpy(),
+                                   out[col].to_numpy()],
+                                  names=["d", "p"])
+        out = out.filter(pa.array(np.isin(k_out, k_tags)))
+    return out
+
+
 def cql_spans(reader, q: str) -> pa.Table:
     """Evaluate a CQL query to a span table (doc_id, start, end[,
     {cap}_pos per capture group]); `:: A.word = B.word` global
@@ -1189,6 +1296,10 @@ def cql_spans(reader, q: str) -> pa.Table:
             parts.append(constraints)
         constraints = parts[0] if len(parts) == 1 else CAnd(parts=parts)
     plan = rewrite(parse_cql(q))
+    anchors = (None, None)
+    if isinstance(plan, AnchorPlan):
+        anchors = (plan.open, plan.close)
+        plan = plan.inner
     if isinstance(plan, FilterPlan):
         prod = (_tag_plan_spans(reader, plan.producer)
                 if isinstance(plan.producer, TagPlan)
@@ -1201,6 +1312,7 @@ def cql_spans(reader, q: str) -> pa.Table:
             else spans_containing(prod, filt)
     else:
         out = _plan_spans(reader, plan)
+    out = _apply_edge_anchors(reader, out, *anchors)
     out = _apply_constraints(reader, out, constraints)
     if hidden_caps:
         drop = [c for c in out.column_names
@@ -1251,11 +1363,36 @@ def _union_span_tables(parts: list) -> pa.Table:
     return unique_spans(pa.concat_tables(parts))
 
 
-def _plan_spans(reader, plan: SeqPlan | UnionPlan) -> pa.Table:
+def _intersect_span_tables(tabs: list) -> pa.Table:
+    """Exact (doc, start, end) intersection across clause span tables
+    (SpansAnd: same doc+start+end in every clause). The first table's
+    capture columns are kept."""
+    base = tabs[0]
+    if any(t.num_rows == 0 for t in tabs):
+        return base.slice(0, 0)
+
+    def key(t):
+        return np.rec.fromarrays([t["doc_id"].to_numpy(),
+                                  t["start"].to_numpy(),
+                                  t["end"].to_numpy()],
+                                 names=["d", "s", "e"])
+    k0 = key(base)
+    keep = np.ones(len(k0), dtype=bool)
+    for t in tabs[1:]:
+        keep &= np.isin(k0, key(t))
+    return base.filter(pa.array(keep))
+
+
+def _plan_spans(reader, plan: "SeqPlan | UnionPlan | AndPlan") \
+        -> pa.Table:
     if isinstance(plan, SeqPlan):
         return cql_spans_seq(reader, plan)
+    if isinstance(plan, AndPlan):
+        return _intersect_span_tables(
+            [_plan_spans(reader, p) for p in plan.parts])
     return _union_span_tables(
-        [cql_spans_seq(reader, b) for b in plan.branches])
+        [(cql_spans_seq(reader, b) if isinstance(b, SeqPlan)
+          else _plan_spans(reader, b)) for b in plan.branches])
 
 
 def _has_unbounded(plan: SeqPlan) -> bool:

@@ -31,8 +31,10 @@ from __future__ import annotations
 
 import re
 
-from blacklab_ray.query.cql import (FilterPlan, SeqPlan, SeqPos, TagPlan,
-                                    UnionPlan, _is_regex)
+from blacklab_ray.query.cql import (AnchorPlan, AndPlan,
+                                     FilterPlan, SeqPlan,
+                                     SeqPos, TagPlan, UnionPlan,
+                                     _is_regex)
 
 __all__ = ["rewrite", "plan_str"]
 
@@ -92,6 +94,12 @@ def plan_str(plan) -> str:
     if isinstance(plan, FilterPlan):
         return (f"{plan.op.upper()}({plan_str(plan.producer)}, "
                 f"{plan_str(plan.filter)})")
+    if isinstance(plan, AndPlan):
+        return f"AND({', '.join(plan_str(p) for p in plan.parts)})"
+    if isinstance(plan, AnchorPlan):
+        o = f"<{plan.open[0]}>" if plan.open else ""
+        c = f"</{plan.close[0]}>" if plan.close else ""
+        return f"ANCHOR({o}{plan_str(plan.inner)}{c})"
     raise TypeError(f"not a plan: {plan!r}")
 
 
@@ -208,7 +216,16 @@ def rewrite(plan):
                 plan_str(producer) == plan_str(filt):      # R6
             return producer
         return FilterPlan(op=plan.op, producer=producer, filter=filt)
+    if isinstance(plan, AndPlan):
+        return AndPlan(parts=[rewrite(p) for p in plan.parts])
+    if isinstance(plan, AnchorPlan):
+        return AnchorPlan(inner=rewrite(plan.inner), open=plan.open,
+                          close=plan.close)
     if isinstance(plan, UnionPlan):
+        if any(not isinstance(b, SeqPlan) for b in plan.branches):
+            # mixed branches (query-level '&' under '|'): rewrite each
+            return UnionPlan(branches=[rewrite(b) for b in
+                                       plan.branches])
         return _rw_union(plan)
     if isinstance(plan, SeqPlan):
         return _rw_seq(plan)

@@ -874,3 +874,67 @@ def test_boolean_token_expressions(ray_session, tmp_path):
     # literal does NOT match (MatchFilterString semantics)
     t = cql_spans(r, 'A:[] "and" :: A.word = "ca.*"')
     assert t.num_rows == 0
+    # query-level '&' (SpanQueryAnd: same doc+start+end): lemma cat
+    # AND word cat — excludes 'cats' (word differs)
+    assert spans('[lemma="cat"] & [word="cat"]') == \
+        sorted([(d1, 2), (d2, 0)])
+    # sequence & sequence: identical two-token windows only
+    assert spans('"and" [word="ca.*"] & [lemma="and"] [lemma="cat"]') \
+        == [(d1, 1)]
+    # right-associative mixed ops: a & (b | c)
+    assert spans('[lemma="run"] & "runs" | "ran"') == \
+        sorted([(d3, 0), (d3, 2)])
+    # implication is a constraint-only operator
+    with pytest.raises(ValueError, match="global constraints"):
+        cql_spans(r, '"a" -> "b"')
+
+
+def test_edge_anchored_tags(ray_session, tmp_path):
+    """`<p> X` / `X </p>` edge anchors (tag() production →
+    TextPatternEdge): X constrained to start at a tag start / end at
+    a tag end."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from blacklab_ray.index import BuildParams, build_index
+    from blacklab_ray.stages.tokenize import hash64
+    texts = [
+        "alpha beta\ngamma delta",   # p1: alpha beta | p2: gamma delta
+        "alpha beta gamma\ndelta",   # p1: alpha beta gamma | p2: delta
+    ]
+    pages = pa.table({
+        "url": pa.array(["d0", "d1"], pa.string()),
+        "warc_ts": pa.array([0, 0], pa.timestamp("us")),
+        "html": pa.array([t.encode() for t in texts], pa.binary()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en", "en"], pa.string()),
+    })
+    src = tmp_path / "p"
+    src.mkdir()
+    pq.write_table(pages, str(src / "x.parquet"))
+    idx = str(tmp_path / "idx")
+    build_index(str(src), idx,
+                BuildParams(num_buckets=2, n_salts=1,
+                            paragraph_spans=True))
+    r = IndexReader(idx)
+    d0, d1 = hash64("d0"), hash64("d1")
+
+    def spans(q):
+        t = cql_spans(r, q)
+        return sorted(zip(t["doc_id"].to_pylist(),
+                          t["start"].to_pylist(),
+                          t["end"].to_pylist()))
+
+    # gamma at a paragraph START: only d0 (p2 starts at gamma)
+    assert spans('<p> "gamma"') == [(d0, 2, 3)]
+    # beta at a paragraph END: only d0 (p1 = alpha beta)
+    assert spans('"beta" </p>') == [(d0, 1, 2)]
+    # exactly a whole paragraph
+    assert spans('<p> "alpha" "beta" </p>') == [(d0, 0, 2)]
+    assert spans('<p> "gamma" "delta" </p>') == [(d0, 2, 4)]
+    # anchors compose with unions/sequences inside
+    assert spans('<p> ("gamma" | "delta")') == [(d0, 2, 3),
+                                                (d1, 3, 4)]
+    # mid-sequence edges are a clear error
+    with pytest.raises(ValueError, match="start/end"):
+        cql_spans(r, '"alpha" <p> "beta"')

@@ -90,7 +90,7 @@ def _brute_cql(q, docs):
     """Interpret the same subset grammar by expanding to predicate
     sequences (mirrors the parser's lowering independently)."""
     from blacklab_ray.query.cql import (
-        FilterPlan, SeqPlan, UnionPlan, parse_cql,
+        AndPlan, FilterPlan, SeqPlan, UnionPlan, parse_cql,
     )
     plan = parse_cql(q)
 
@@ -123,10 +123,16 @@ def _brute_cql(q, docs):
     def plan_spans(pl):
         if isinstance(pl, SeqPlan):
             return seq_spans(pl)
+        if isinstance(pl, AndPlan):
+            sets = [plan_spans(p) for p in pl.parts]
+            out = sets[0]
+            for s in sets[1:]:
+                out = out & s
+            return out
         if isinstance(pl, UnionPlan):
             out = set()
             for b in pl.branches:
-                out |= seq_spans(b)
+                out |= plan_spans(b)
             return out
         raise AssertionError(type(pl))
 
@@ -199,6 +205,14 @@ def _rand_query(rng, vocab) -> str:
             q = f'("{a}" "{b}"){{{max(lo, 1)},}} {q}'
         else:
             q = f'("{a}" "{b}"){{{lo},{lo + 1}}} {q}'
+    if rng.random() < 0.12:
+        # query-level '&' (SpanQueryAnd: exact span intersection)
+        t = vocab[int(rng.integers(0, len(vocab)))]
+        if rng.random() < 0.5:
+            q = f'{q} & [word="{t[:2]}.*"]'
+        else:
+            t2 = vocab[int(rng.integers(0, len(vocab)))]
+            q = f'{q} & ("{t}" | "{t2}")'
     if rng.random() < 0.15:
         q = f"[]{{1,2}} {q}"                    # leading expansion
     if rng.random() < 0.2:
