@@ -404,6 +404,38 @@ class FilterPlan:
 _REGEX_META = set(".*+?[](){}|\\^$")
 
 
+def _normalize_quotes(q: str) -> str:
+    """Single-quoted strings are allowed wherever double-quoted ones
+    are (CorpusQueryLanguageParser.getStringBetweenQuotes,
+    allowSingleQuotes default true; no escape processing — a plain
+    chop). Normalized to double quotes before tokenizing."""
+    out: list[str] = []
+    i, n = 0, len(q)
+    while i < n:
+        c = q[i]
+        if c == '"':
+            j = q.find('"', i + 1)
+            if j < 0:
+                out.append(q[i:])
+                break
+            out.append(q[i:j + 1])
+            i = j + 1
+        elif c == "'":
+            j = q.find("'", i + 1)
+            if j < 0:
+                raise ValueError("unterminated single-quoted string")
+            body = q[i + 1:j]
+            if '"' in body:
+                raise ValueError("a double quote inside a single-"
+                                 "quoted string is out of subset")
+            out.append('"' + body + '"')
+            i = j + 1
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
 def _is_regex(s: str) -> bool:
     return any(c in _REGEX_META for c in s)
 
@@ -481,7 +513,7 @@ def _tokenize(q: str) -> list[tuple[str, object]]:
 def parse_cql(q: str) -> SeqPlan | UnionPlan | FilterPlan:
     """Parse the CQL subset into a plan; raises ValueError on anything
     outside the subset."""
-    items = _tokenize(q)
+    items = _tokenize(_normalize_quotes(q))
     # edge-anchored tags: a LEADING start tag and/or TRAILING end tag
     # (tag() production: <s> → TextPatternEdge left, </s> → right);
     # mid-sequence edges are out of subset
@@ -1274,6 +1306,7 @@ def cql_spans(reader, q: str) -> pa.Table:
     constraints post-filter via forward-index lookups."""
     from blacklab_ray.query.spans import spans_containing, spans_within
     from blacklab_ray.query.rewrite import rewrite
+    q = _normalize_quotes(q)
     widths = _pure_any_widths(q)
     if widths is not None:
         return _all_window_spans(reader, *widths)

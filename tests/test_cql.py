@@ -938,3 +938,13 @@ def test_edge_anchored_tags(ray_session, tmp_path):
     # mid-sequence edges are a clear error
     with pytest.raises(ValueError, match="start/end"):
         cql_spans(r, '"alpha" <p> "beta"')
+
+
+def test_single_quoted_strings(reader, small_oracle):
+    """Single-quoted strings parse like double-quoted ones
+    (CorpusQueryLanguageParser allowSingleQuotes default)."""
+    a = _rows(cql_spans(reader, '"the" "the"'))
+    assert _rows(cql_spans(reader, "'the' 'the'")) == a
+    assert _rows(cql_spans(reader, "[word='the'] \"the\"")) == a
+    with pytest.raises(ValueError, match="unterminated"):
+        cql_spans(reader, "'the")
