@@ -81,7 +81,7 @@ _TOKEN_RE = re.compile(r"""
     | (?P<tagclose><\s*/\s*(?P<ctagname>\w+)\s*>)
     | (?P<tagopen><\s*(?P<otagname>\w+)(?P<otagattrs>(?:\s+\w+\s*=\s*"[^"]*")*)\s*>)
     | (?P<word>within|containing)
-    | (?P<capture>(?P<capname>[A-Za-z_]\w*)\s*:)
+    | (?P<capture>(?P<capname>\w+)\s*:)
     | (?P<flag>%\s*c)
     | (?P<arrow>->)
     | (?P<amp>&)

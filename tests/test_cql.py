@@ -948,3 +948,11 @@ def test_single_quoted_strings(reader, small_oracle):
     assert _rows(cql_spans(reader, "[word='the'] \"the\"")) == a
     with pytest.raises(ValueError, match="unterminated"):
         cql_spans(reader, "'the")
+
+
+def test_numeric_capture_labels(reader):
+    """captureLabel accepts NUMBER (GeneratedCorpusQueryLanguage-
+    Parser.java:594): `1:"the"` captures under the name '1'."""
+    t = cql_spans(reader, '1:"the" "the"')
+    assert "1_pos" in t.column_names
+    assert t["1_pos"].to_pylist() == t["start"].to_pylist()
