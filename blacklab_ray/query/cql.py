@@ -71,7 +71,7 @@ import pyarrow as pa
 _TOKEN_RE = re.compile(r"""
     \s*(?:
       (?P<quoted>"(?P<qbody>[^"]*)")
-    | (?P<bracket>\[\s*(?P<battr>\w+)\s*(?P<bneg>!?)=\s*"(?P<bval>[^"]*)"\s*\])
+    | (?P<bracket>\[\s*(?P<battr>\w+(?:/\w+)?)\s*(?P<bneg>!?)=\s*"(?P<bval>[^"]*)"\s*\])
     | (?P<any>\[\s*\])
     | (?P<rep>\{\s*(?P<rlo>\d+)\s*(?:(?P<rcomma>,)\s*(?P<rhi>\d+)?\s*)?\})
     | (?P<qmark>\?)
@@ -453,7 +453,9 @@ def _tokenize(q: str) -> list[tuple[str, object]]:
         if m.group("quoted") is not None:
             items.append(("term", m.group("qbody")))
         elif m.group("bracket") is not None:
-            attr = m.group("battr")
+            # annot/subannot routes to the parent_sub annotation
+            # (annotName production; AnnotatedFieldNameUtil.java:32)
+            attr = m.group("battr").replace("/", "_")
             kind = "nterm" if m.group("bneg") else "term"
             if attr == "word":
                 items.append((kind, m.group("bval")))
@@ -1092,7 +1094,7 @@ def _all_window_spans(reader, lo: int, hi: int) -> pa.Table:
 
 _BRACKET_EXPR_RE = re.compile(
     r'\[(?P<body>(?:[^\]"]|"[^"]*")*)\](?P<flag>%c)?')
-_BOOL_TEST_RE = re.compile(r'(\w+)\s*(!?)=\s*"([^"]*)"')
+_BOOL_TEST_RE = re.compile(r'(\w+(?:/\w+)?)\s*(!?)=\s*"([^"]*)"')
 _DNF_CAP = 64
 
 
@@ -1114,7 +1116,8 @@ def _bool_body_tokens(s: str) -> list:
         if not m:
             raise ValueError(f"bad token test at {s[i:]!r}")
         toks.append(("test",
-                     (m.group(1), bool(m.group(2)), m.group(3))))
+                     (m.group(1).replace("/", "_"),
+                      bool(m.group(2)), m.group(3))))
         i = m.end()
     if not toks:
         raise ValueError("empty token expression")
@@ -1224,9 +1227,9 @@ def _lower_boolexpr_variants(q: str) -> list[str]:
 
 _MULTITEST_RE = re.compile(
     r"(?:(?P<cap>[A-Za-z_]\w*)\s*:\s*)?"
-    r"\[(?P<body>\s*\w+\s*!?=\s*\"[^\"]*\""
-    r"(?:\s*&\s*\w+\s*!?=\s*\"[^\"]*\")+)\s*\]")
-_ONE_TEST_RE = re.compile(r"(\w+)\s*(!?)=\s*\"([^\"]*)\"")
+    r"\[(?P<body>\s*\w+(?:/\w+)?\s*!?=\s*\"[^\"]*\""
+    r"(?:\s*&\s*\w+(?:/\w+)?\s*!?=\s*\"[^\"]*\")+)\s*\]")
+_ONE_TEST_RE = re.compile(r"(\w+(?:/\w+)?)\s*(!?)=\s*\"([^\"]*)\"")
 
 
 def _lower_multitest(q: str) -> "tuple[str, list[CCmp], list[str]]":
@@ -1250,6 +1253,7 @@ def _lower_multitest(q: str) -> "tuple[str, list[CCmp], list[str]]":
             cap = f"_x{k}"
             k += 1
             hidden.append(cap)
+        tests = [(a.replace("/", "_"), n, v) for a, n, v in tests]
         for attr, neg, val in tests[1:]:
             extra.append(CCmp(left=("cap", cap, attr),
                               op="!=" if neg else "=",

@@ -118,6 +118,7 @@ def load_blf_yaml(src: str, name: str | None = None,
     extra: dict[str, str] = {}
     inline: tuple = ()
     standoff: list = []
+    subfe: list = []
     fld: dict = {}
     if fields:
         # the first annotated field (conventionally 'contents')
@@ -135,7 +136,25 @@ def load_blf_yaml(src: str, name: str | None = None,
                     "forEachPath is not allowed inside annotations "
                     "(the reference forbids it too: the annotation "
                     "set must be static)")
-            extra[a["name"]] = a.get("valuePath", ".")
+            # basePath: subsequent XPaths are relative to it
+            # (ConfigAnnotation.java:42)
+            base = a.get("basePath")
+            extra[a["name"]] = _join(base, a.get("valuePath", "."))
+            # subannotations index as separate annotations named
+            # parent_sub (AnnotatedFieldNameUtil.java:32-35); declared
+            # names without a valuePath are filled by a forEachPath
+            # entry per word (folia.blf.yaml's folia:feat) or stay ""
+            for s in (a.get("subannotations") or []):
+                if "forEachPath" in s:
+                    subfe.append((a["name"],
+                                  _join(base, s["forEachPath"]),
+                                  s.get("namePath", "local-name()"),
+                                  s.get("valuePath", ".")))
+                elif "valuePath" in s:
+                    extra[f'{a["name"]}_{s["name"]}'] = \
+                        _join(base, s["valuePath"])
+                else:
+                    extra[f'{a["name"]}_{s["name"]}'] = None
         inline = tuple(_tag_local(t["path"] if isinstance(t, dict)
                                   else str(t))
                        for t in (fld.get("inlineTags") or []))
@@ -186,5 +205,6 @@ def load_blf_yaml(src: str, name: str | None = None,
         foreach_fields=tuple(cfg.get("foreachFields", ())),
         token_id_path=fld.get("tokenIdPath"),
         standoff_annotations=tuple(standoff),
+        subannotation_foreach=tuple(subfe),
         capture_punct=bool(fld.get("punctPath")),
     )

@@ -89,6 +89,10 @@ class XmlFormatConfig:
     # values to the referenced token positions
     token_id_path: str | None = None
     standoff_annotations: tuple = ()
+    # (parent_annot, foreach_path, name_path, value_path): per-word
+    # dynamic subannotation fill — the value lands in the DECLARED
+    # annotation named parent_<name> (folia:feat @subset/@class)
+    subannotation_foreach: tuple = ()
     # punctPath analogue (tei-p5.blf.yaml: .//text()[not(ancestor::w)]
     # = all text nodes not inside a word element): True captures
     # inter-word XML text into a ``punct`` column, punct-before-each-
@@ -121,7 +125,14 @@ def _parse_step(step: str):
     axis = m.group(1)
     if axis is not None and axis not in _AXES:
         raise ValueError(f"unsupported axis: {axis!r}")
-    return axis, m.group(2), _PRED_RE.findall(m.group(3))
+    name = m.group(2)
+    if name not in ("..", "*") and ":" in name:
+        # namespace-prefixed step ('folia:w'): match by LOCAL name —
+        # element tags are compared via _local, and the shipped
+        # configs' prefixes all resolve to the document's own default
+        # namespace, so local-name matching is equivalent
+        name = name.rsplit(":", 1)[-1]
+    return axis, name, _PRED_RE.findall(m.group(3))
 
 
 def _axis_candidates(el, axis: str | None, parents: dict | None):
@@ -535,11 +546,21 @@ def _extract_doc(doc_el, cfg: XmlFormatConfig,
             # contain token separators
             words.append("_".join(w.split()) or "_")
             for a, p in cfg.annotations.items():
-                v = _value(el, p, parents)
+                # p None: declared subannotation with no valuePath —
+                # filled by subannotation_foreach below or left ""
+                v = _value(el, p, parents) if p else ""
                 # empty stays empty ("" = no value, the reference's
                 # convention for e.g. a missing @lemma); only internal
                 # whitespace is escaped (token alignment)
                 anns[a].append("_".join(v.split()))
+            for parent, fe_path, name_path, value_path in \
+                    cfg.subannotation_foreach:
+                for m_el in _iter_path(el, fe_path, parents):
+                    nm = _value(m_el, name_path, parents)
+                    key = f"{parent}_{nm}"
+                    if key in anns:    # only DECLARED names
+                        v = _value(m_el, value_path, parents)
+                        anns[key][-1] = "_".join(v.split())
             return
         opened = None
         if _local(el.tag) in inline:
@@ -598,8 +619,9 @@ def extract_xml_config(cfg: XmlFormatConfig, encoding: str = "utf-8"):
             ".." in p or "ancestor" in p or "sibling" in p
             or "parent::" in p for p in
             list(cfg.metadata.values()) + [cfg.word_value]
-            + list(cfg.annotations.values())
+            + [p for p in cfg.annotations.values() if p]
             + [v for fe in cfg.metadata_foreach for v in fe]
+            + [p for sf in cfg.subannotation_foreach for p in sf[1:]]
             + [p for st in cfg.standoff_annotations
                for p in (st[0], st[1], *st[2].values())])
         for path, body in zip(batch.column("path").to_pylist(),
@@ -618,7 +640,8 @@ def extract_xml_config(cfg: XmlFormatConfig, encoding: str = "utf-8"):
                 first_step = _parse_step(
                     cfg.document_path.removeprefix(".//")
                     .removeprefix("//").lstrip("./").split("/")[0])[1]
-                if not doc_els and _local(root.tag) == first_step:
+                if not doc_els and _local(root.tag) == \
+                        first_step.rsplit(":", 1)[-1]:
                     # the file's root element IS the document tag
                     doc_els = [root]
             for i, el in enumerate(doc_els):

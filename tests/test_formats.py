@@ -337,3 +337,90 @@ pidField: title
     assert r["text"].split() == ["The", "cats"]
     assert r["lemma"] == ["the", "cat"]
     assert r["meta_title"] == "T1" or r.get("title") == "T1"
+
+
+def test_subannotations_folia_style(ray_session, tmp_path):
+    """Subannotations (ConfigAnnotation.java:42-65) index as separate
+    parent_<name> annotations (AnnotatedFieldNameUtil.java:32-35):
+    a basePath-relative static valuePath plus a forEachPath fill
+    (folia.blf.yaml's folia:feat @subset/@class), queried with the
+    `[pos/head="..."]` annotName production."""
+    from blacklab_ray.formats import read_pages, register_yaml_format
+    yml = """
+displayName: subannot test
+documentPath: //doc
+annotatedFields:
+  contents:
+    containerPath: .//body
+    wordPath: .//w
+    annotations:
+    - name: word
+      valuePath: .
+    - name: pos
+      basePath: p
+      valuePath: "@class"
+      subannotations:
+      - name: head
+        valuePath: "@head"
+      - name: getal
+      - forEachPath: feat
+        namePath: "@subset"
+        valuePath: "@class"
+metadata:
+  fields:
+  - name: title
+    valuePath: .//title
+pidField: title
+"""
+    name = register_yaml_format(yml, name="subfmt")
+    xml = ("<root><doc><title>D1</title><body>"
+           "<w><p class='WW' head='V'><feat subset='getal' "
+           "class='ev'/><feat subset='ignored' class='x'/></p>"
+           "loopt</w> "
+           "<w><p class='N' head='N'><feat subset='getal' "
+           "class='mv'/></p>katten</w>"
+           "</body></doc></root>")
+    p = tmp_path / "c.xml"
+    p.write_text(xml)
+    rows = read_pages(name, str(p)).take_all()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["text"].split() == ["loopt", "katten"]
+    assert r["pos"] == ["WW", "N"]          # basePath-relative value
+    assert r["pos_head"] == ["V", "N"]      # static subannotation
+    assert r["pos_getal"] == ["ev", "mv"]   # forEachPath fill
+    assert "pos_ignored" not in r           # undeclared names dropped
+
+    # build + query through the annot/subannot CQL production
+    from blacklab_ray.index import BuildParams, build_index
+    from blacklab_ray.query import IndexReader
+    from blacklab_ray.query.cql import cql_spans
+    idx = str(tmp_path / "idx")
+    build_index(read_pages(name, str(p)), idx,
+                BuildParams(num_buckets=2, n_salts=1,
+                            annotations=("pos", "pos_head",
+                                         "pos_getal")))
+    rd = IndexReader(idx)
+    t = cql_spans(rd, '[pos/head="V"]')
+    assert t["start"].to_pylist() == [0]
+    t = cql_spans(rd, '[pos/getal="mv"]')
+    assert t["start"].to_pylist() == [1]
+    t = cql_spans(rd, '[pos="WW" & pos/getal="ev"]')
+    assert t["start"].to_pylist() == [0]
+
+
+def test_reference_folia_config_subannotations():
+    """The REAL folia.blf.yaml loads with basePath-relative pos and
+    parent_sub annotation names."""
+    import os as _os
+    if not _os.path.isdir(REF_FORMATS):
+        pytest.skip("reference formats dir not present")
+    from blacklab_ray.stages.blfyaml import load_blf_yaml
+    cfg = load_blf_yaml(_os.path.join(REF_FORMATS, "folia.blf.yaml"))
+    assert cfg.annotations["pos"] == "folia:pos/@class"
+    assert "pos_head" in cfg.annotations
+    assert cfg.annotations["pos_head"] == "folia:pos/@head"
+    assert "pos_getal" in cfg.annotations       # declared, no path
+    assert cfg.annotations["pos_getal"] is None
+    assert cfg.subannotation_foreach and \
+        cfg.subannotation_foreach[0][0] == "pos"
