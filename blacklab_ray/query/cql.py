@@ -70,16 +70,16 @@ import pyarrow as pa
 
 _TOKEN_RE = re.compile(r"""
     \s*(?:
-      (?P<quoted>"(?P<qbody>[^"]*)")
-    | (?P<bracket>\[\s*(?P<battr>\w+(?:/\w+)?)\s*(?P<bneg>!?)=\s*"(?P<bval>[^"]*)"\s*\])
+      (?P<quoted>"(?P<qbody>(?:[^"\\]|\\.)*)")
+    | (?P<bracket>\[\s*(?P<battr>\w+(?:/\w+)?)\s*(?P<bneg>!?)=\s*"(?P<bval>(?:[^"\\]|\\.)*)"\s*\])
     | (?P<any>\[\s*\])
     | (?P<rep>\{\s*(?P<rlo>\d+)\s*(?:(?P<rcomma>,)\s*(?P<rhi>\d+)?\s*)?\})
     | (?P<qmark>\?)
     | (?P<plus>\+)
     | (?P<star>\*)
-    | (?P<tag><\s*(?P<tagname>\w+)(?P<tagattrs>(?:\s+\w+\s*=\s*"[^"]*")*)\s*/\s*>)
+    | (?P<tag><\s*(?P<tagname>\w+)(?P<tagattrs>(?:\s+\w+\s*=\s*"(?:[^"\\]|\\.)*")*)\s*/\s*>)
     | (?P<tagclose><\s*/\s*(?P<ctagname>\w+)\s*>)
-    | (?P<tagopen><\s*(?P<otagname>\w+)(?P<otagattrs>(?:\s+\w+\s*=\s*"[^"]*")*)\s*>)
+    | (?P<tagopen><\s*(?P<otagname>\w+)(?P<otagattrs>(?:\s+\w+\s*=\s*"(?:[^"\\]|\\.)*")*)\s*>)
     | (?P<word>within|containing)
     | (?P<capture>(?P<capname>\w+)\s*:)
     | (?P<flag>%\s*c)
@@ -176,7 +176,7 @@ CNode = CCmp | CNot | CAnd | COr | CImpl
 
 _C_TOKEN_RE = re.compile(r"""\s*(?:
       (?P<name>[A-Za-z_]\w*)\s*\.\s*(?P<annot>[A-Za-z_]\w*)
-    | "(?P<lit>[^"]*)"
+    | "(?P<lit>(?:[^"\\]|\\.)*)"
     | (?P<arrow>->)
     | (?P<neq>!=)
     | (?P<eq>=)
@@ -404,31 +404,57 @@ class FilterPlan:
 _REGEX_META = set(".*+?[](){}|\\^$")
 
 
+def _scan_quoted(q: str, i: int, quote: str) -> int:
+    """``q[i] == quote``: return the index of the CLOSING quote,
+    honoring backslash escapes (cql.jj:85 QUOTED_STRING:
+    ``(~["\\"","\\\\"] | "\\\\" ~[])*``), or -1 if unterminated."""
+    j, n = i + 1, len(q)
+    while j < n:
+        c = q[j]
+        if c == "\\":
+            j += 2
+        elif c == quote:
+            return j
+        else:
+            j += 1
+    return -1
+
+
 def _normalize_quotes(q: str) -> str:
     """Single-quoted strings are allowed wherever double-quoted ones
     are (CorpusQueryLanguageParser.getStringBetweenQuotes,
-    allowSingleQuotes default true; no escape processing — a plain
-    chop). Normalized to double quotes before tokenizing."""
+    allowSingleQuotes default true; chopEnds keeps backslash escapes
+    raw). Normalized to double quotes before tokenizing; a bare ``"``
+    inside a single-quoted string becomes ``\\"``."""
     out: list[str] = []
     i, n = 0, len(q)
     while i < n:
         c = q[i]
         if c == '"':
-            j = q.find('"', i + 1)
+            j = _scan_quoted(q, i, '"')
             if j < 0:
                 out.append(q[i:])
                 break
             out.append(q[i:j + 1])
             i = j + 1
         elif c == "'":
-            j = q.find("'", i + 1)
+            j = _scan_quoted(q, i, "'")
             if j < 0:
                 raise ValueError("unterminated single-quoted string")
             body = q[i + 1:j]
-            if '"' in body:
-                raise ValueError("a double quote inside a single-"
-                                 "quoted string is out of subset")
-            out.append('"' + body + '"')
+            # escape bare double quotes (escape pairs pass through)
+            buf, k, m = [], 0, len(body)
+            while k < m:
+                if body[k] == "\\":
+                    buf.append(body[k:k + 2])
+                    k += 2
+                elif body[k] == '"':
+                    buf.append('\\"')
+                    k += 1
+                else:
+                    buf.append(body[k])
+                    k += 1
+            out.append('"' + "".join(buf) + '"')
             i = j + 1
         else:
             out.append(c)
@@ -484,13 +510,13 @@ def _tokenize(q: str) -> list[tuple[str, object]]:
         elif m.group("star") is not None:
             items.append(("rep", (0, None)))
         elif m.group("tag") is not None:
-            attrs = dict(re.findall(r'(\w+)\s*=\s*"([^"]*)"',
+            attrs = dict(re.findall(r'(\w+)\s*=\s*"((?:[^"\\\\]|\\\\.)*)"',
                                     m.group("tagattrs") or ""))
             items.append(("tag", (m.group("tagname"), attrs)))
         elif m.group("tagclose") is not None:
             items.append(("tagclose", (m.group("ctagname"), {})))
         elif m.group("tagopen") is not None:
-            attrs = dict(re.findall(r'(\w+)\s*=\s*"([^"]*)"',
+            attrs = dict(re.findall(r'(\w+)\s*=\s*"((?:[^"\\\\]|\\\\.)*)"',
                                     m.group("otagattrs") or ""))
             items.append(("tagopen", (m.group("otagname"), attrs)))
         elif m.group("word") is not None:
@@ -514,26 +540,15 @@ def _tokenize(q: str) -> list[tuple[str, object]]:
 
 def parse_cql(q: str) -> SeqPlan | UnionPlan | FilterPlan:
     """Parse the CQL subset into a plan; raises ValueError on anything
-    outside the subset."""
-    items = _tokenize(_normalize_quotes(q))
-    # edge-anchored tags: a LEADING start tag and/or TRAILING end tag
-    # (tag() production: <s> → TextPatternEdge left, </s> → right);
-    # mid-sequence edges are out of subset
-    open_anchor = close_anchor = None
-    if items and items[0][0] == "tagopen":
-        open_anchor = items[0][1]
-        items = items[1:]
-    if items and items[-1][0] == "tagclose":
-        close_anchor = items[-1][1]
-        items = items[:-1]
-    if any(k in ("tagopen", "tagclose") for k, _ in items):
-        raise ValueError(
-            "edge-anchored tags (<s> / </s>) are only supported at "
-            "the start/end of the query")
-    if open_anchor or close_anchor:
-        return AnchorPlan(inner=_parse_items(items),
-                          open=open_anchor, close=close_anchor)
-    return _parse_items(items)
+    outside the subset.
+
+    Edge-anchored tags (`<s> X`, `X </s>`) bind at the SEQUENCE level,
+    tighter than the boolean operators (cql.jj:215 simpleQuery :=
+    sequence [booleanOperator simpleQuery] where tag() is a
+    sequencePart) — `<p> "a" | "b"` anchors only the `"a"` branch —
+    so anchor stripping happens per sequence inside `_build_union`,
+    not here."""
+    return _parse_items(_tokenize(_normalize_quotes(q)))
 
 
 def _parse_items(items: list):
@@ -566,27 +581,6 @@ def _parse_items(items: list):
         raise ValueError("structural tags are only supported as the "
                          "filter operand of within/containing")
     return _build_union(items)
-
-
-def _split_pipe_depth0(items: list) -> list[list]:
-    """Split an item list on `|` at paren depth 0."""
-    out, cur, depth = [], [], 0
-    for kind, val in items:
-        if kind == "lparen":
-            depth += 1
-        elif kind == "rparen":
-            depth -= 1
-            if depth < 0:
-                raise ValueError("unbalanced ')'")
-        if kind == "pipe" and depth == 0:
-            out.append(cur)
-            cur = []
-        else:
-            cur.append((kind, val))
-    if depth != 0:
-        raise ValueError("unbalanced '('")
-    out.append(cur)
-    return out
 
 
 def _collapse_groups(items: list) -> list:
@@ -701,15 +695,32 @@ def _build_union(items: list) -> "SeqPlan | UnionPlan | AndPlan":
             rb = right.branches if isinstance(right, UnionPlan) \
                 else [right]
             return UnionPlan(branches=lb + rb)
+    # no depth-0 boolean operator: this is one sequence() — strip its
+    # edge anchors (tag() is a sequencePart, cql.jj:351, so a leading
+    # <s> / trailing </s> anchor THIS branch only, not the whole query)
+    open_anchor = close_anchor = None
+    if items and items[0][0] == "tagopen":
+        open_anchor = items[0][1]
+        items = items[1:]
+    if items and items[-1][0] == "tagclose":
+        close_anchor = items[-1][1]
+        items = items[:-1]
+    if any(k in ("tagopen", "tagclose") for k, _ in items):
+        raise ValueError(
+            "edge-anchored tags (<s> / </s>) are only supported at "
+            "the start/end of a sequence")
     branches: list[SeqPlan] = []
     for var0 in _expand_alt_groups(_collapse_groups(items)):
         for var in _expand_group_reps(var0):
             branches.extend(_build_seq_variants(var))
     if not branches:
         raise ValueError("empty query")
-    if len(branches) == 1:
-        return branches[0]
-    return UnionPlan(branches=branches)
+    plan = branches[0] if len(branches) == 1 \
+        else UnionPlan(branches=branches)
+    if open_anchor or close_anchor:
+        return AnchorPlan(inner=plan, open=open_anchor,
+                          close=close_anchor)
+    return plan
 
 
 def _expand_group_reps(items: list) -> list[list]:
@@ -1093,8 +1104,32 @@ def _all_window_spans(reader, lo: int, hi: int) -> pa.Table:
 
 
 _BRACKET_EXPR_RE = re.compile(
-    r'\[(?P<body>(?:[^\]"]|"[^"]*")*)\](?P<flag>%c)?')
-_BOOL_TEST_RE = re.compile(r'(\w+(?:/\w+)?)\s*(!?)=\s*"([^"]*)"')
+    r'\[(?P<body>(?:[^\]"]|"(?:[^"\\]|\\.)*")*)\](?P<flag>%c)?')
+
+
+def _iter_bracket_exprs(q: str):
+    """Yield `_BRACKET_EXPR_RE` matches for brackets OUTSIDE quoted
+    strings only — a `[` inside a quoted regex term (`"x[a|b]y"`) is
+    a character class, not a token expression (the raw-regex
+    ``finditer`` misparsed those as boolean bodies). Input is already
+    double-quote-normalized; quoted strings have no escapes."""
+    i, n = 0, len(q)
+    while i < n:
+        c = q[i]
+        if c == '"':
+            j = _scan_quoted(q, i, '"')
+            i = n if j < 0 else j + 1
+        elif c == '[':
+            m = _BRACKET_EXPR_RE.match(q, i)
+            if m is None:
+                i += 1
+            else:
+                yield m
+                i = m.end()
+        else:
+            i += 1
+_BOOL_TEST_RE = re.compile(
+    r'(\w+(?:/\w+)?)\s*(!?)=\s*"((?:[^"\\]|\\.)*)"')
 _DNF_CAP = 64
 
 
@@ -1202,7 +1237,7 @@ def _lower_boolexpr_variants(q: str) -> list[str]:
     brackets return ``[q]`` unchanged."""
     res: list[list[str]] = [[]]
     pos = 0
-    for m in _BRACKET_EXPR_RE.finditer(q):
+    for m in _iter_bracket_exprs(q):
         body = m.group("body")
         pre = q[pos:m.start()]
         pos = m.end()
@@ -1226,10 +1261,11 @@ def _lower_boolexpr_variants(q: str) -> list[str]:
 
 
 _MULTITEST_RE = re.compile(
-    r"(?:(?P<cap>[A-Za-z_]\w*)\s*:\s*)?"
-    r"\[(?P<body>\s*\w+(?:/\w+)?\s*!?=\s*\"[^\"]*\""
-    r"(?:\s*&\s*\w+(?:/\w+)?\s*!?=\s*\"[^\"]*\")+)\s*\]")
-_ONE_TEST_RE = re.compile(r"(\w+(?:/\w+)?)\s*(!?)=\s*\"([^\"]*)\"")
+    r"(?:(?P<cap>\w+)\s*:\s*)?"
+    r"\[(?P<body>\s*\w+(?:/\w+)?\s*!?=\s*\"(?:[^\"\\\\]|\\\\.)*\""
+    r"(?:\s*&\s*\w+(?:/\w+)?\s*!?=\s*\"(?:[^\"\\\\]|\\\\.)*\")+)\s*\]")
+_ONE_TEST_RE = re.compile(
+    r"(\w+(?:/\w+)?)\s*(!?)=\s*\"((?:[^\"\\\\]|\\\\.)*)\"")
 
 
 def _lower_multitest(q: str) -> "tuple[str, list[CCmp], list[str]]":
@@ -1424,6 +1460,10 @@ def _plan_spans(reader, plan: "SeqPlan | UnionPlan | AndPlan") \
         -> pa.Table:
     if isinstance(plan, SeqPlan):
         return cql_spans_seq(reader, plan)
+    if isinstance(plan, AnchorPlan):
+        return _apply_edge_anchors(
+            reader, _plan_spans(reader, plan.inner),
+            plan.open, plan.close)
     if isinstance(plan, AndPlan):
         return _intersect_span_tables(
             [_plan_spans(reader, p) for p in plan.parts])

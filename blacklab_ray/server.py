@@ -39,11 +39,38 @@ import numpy as np
 _RANGE_RE = re.compile(r"^\[(\S+)\s+TO\s+(\S+)\]$")
 
 
+def _split_and_clauses(expr: str) -> list[str]:
+    """Split a filter expression on `` AND `` OUTSIDE quoted values —
+    a quoted value containing the word AND (e.g. a pid url) is one
+    clause, not two."""
+    out: list[str] = []
+    buf: list[str] = []
+    i, n = 0, len(expr)
+    while i < n:
+        c = expr[i]
+        if c == '"':
+            j = expr.find('"', i + 1)
+            j = n - 1 if j < 0 else j
+            buf.append(expr[i:j + 1])
+            i = j + 1
+        elif (c == "A" and expr.startswith("AND", i)
+                and i > 0 and expr[i - 1].isspace()
+                and i + 3 < n and expr[i + 3].isspace()):
+            out.append("".join(buf))
+            buf = []
+            i += 3
+        else:
+            buf.append(c)
+            i += 1
+    out.append("".join(buf))
+    return [p.strip() for p in out]
+
+
 def parse_filter(expr: str) -> list[tuple]:
     """Lucene-ish metadata filter subset (BLS ``filter`` param):
     ``field:value``, ``field:[lo TO hi]``, joined by ``AND``."""
     conds: list[tuple] = []
-    for part in re.split(r"\s+AND\s+", expr.strip()):
+    for part in _split_and_clauses(expr.strip()):
         if not part:
             continue
         field, _, value = part.partition(":")
@@ -132,17 +159,33 @@ def _normalize_params(reader, params: dict) -> dict:
             f"unsupported filterlang {params['filterlang']!r}")
     docpid = params.get("docpid")
     if docpid:
-        import pyarrow.compute as pc
-        tbl = reader.fwd_dataset().to_table(
-            columns=["doc_id"],
-            filter=pc.field("url") == str(docpid))
-        if tbl.num_rows == 0:
+        if _pid_doc_ids(reader, str(docpid)).size == 0:
             raise KeyError(
                 f"document with pid {docpid!r} not found")
         clause = f'pid:"{docpid}"'
         f = params.get("filter")
         params["filter"] = f"{clause} AND {f}" if f else clause
     return params
+
+
+def _pid_doc_ids(reader, pid: str) -> np.ndarray:
+    """doc ids for one pid (url), via a pruned pushdown scan, cached
+    per reader lifetime (readers are reopened on every index
+    mutation, which drops the cache) — the docpid 404 check and the
+    pid-filter resolution share one scan per request."""
+    cache = getattr(reader, "_pid_ids_cache", None)
+    if cache is None:
+        cache = reader._pid_ids_cache = {}
+    ids = cache.get(pid)
+    if ids is None:
+        import pyarrow.compute as pc
+        if len(cache) >= 4096:      # bound per-reader memory
+            cache.clear()
+        tbl = reader.fwd_dataset().to_table(
+            columns=["doc_id"], filter=pc.field("url") == pid)
+        ids = cache[pid] = np.unique(
+            tbl["doc_id"].to_numpy(zero_copy_only=False))
+    return ids
 
 
 def _allowed_ids(reader, filter_expr: str | None):
@@ -157,15 +200,20 @@ def _allowed_ids(reader, filter_expr: str | None):
     conds = [(f, op, v) for f, op, v in conds if f != "pid"]
     pid_ids = None
     if pid_conds:
-        import os
-
-        import pyarrow.compute as pc
-        ds = reader.fwd_dataset()
         want = [str(v) for _f, _op, v in pid_conds]
-        tbl = ds.to_table(columns=["doc_id"],
-                          filter=pc.field("url").isin(want))
-        pid_ids = np.unique(tbl["doc_id"].to_numpy(
-            zero_copy_only=False))
+        cache = getattr(reader, "_pid_ids_cache", {})
+        if all(p in cache for p in want):
+            # every pid already resolved (the docpid flow resolved it
+            # for the 404 check) — no second scan
+            pid_ids = np.unique(np.concatenate(
+                [_pid_doc_ids(reader, p) for p in want]))
+        else:
+            import pyarrow.compute as pc
+            ds = reader.fwd_dataset()
+            tbl = ds.to_table(columns=["doc_id"],
+                              filter=pc.field("url").isin(want))
+            pid_ids = np.unique(tbl["doc_id"].to_numpy(
+                zero_copy_only=False))
         if not conds:
             return pid_ids
     # BLS `field:value` on a TOKENIZED field is an analyzed-token

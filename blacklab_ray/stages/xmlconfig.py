@@ -640,8 +640,7 @@ def extract_xml_config(cfg: XmlFormatConfig, encoding: str = "utf-8"):
                 first_step = _parse_step(
                     cfg.document_path.removeprefix(".//")
                     .removeprefix("//").lstrip("./").split("/")[0])[1]
-                if not doc_els and _local(root.tag) == \
-                        first_step.rsplit(":", 1)[-1]:
+                if not doc_els and _local(root.tag) == first_step:
                     # the file's root element IS the document tag
                     doc_els = [root]
             for i, el in enumerate(doc_els):

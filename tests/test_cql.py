@@ -935,6 +935,13 @@ def test_edge_anchored_tags(ray_session, tmp_path):
     # anchors compose with unions/sequences inside
     assert spans('<p> ("gamma" | "delta")') == [(d0, 2, 3),
                                                 (d1, 3, 4)]
+    # anchors bind at the SEQUENCE level (cql.jj simpleQuery :=
+    # sequence [booleanOperator simpleQuery]): a top-level '|' branch
+    # without the tag is NOT anchored — every delta hit survives
+    assert spans('<p> "gamma" | "delta"') == [(d0, 2, 3), (d0, 3, 4),
+                                              (d1, 3, 4)]
+    # ...and on the right-hand branch of '&'
+    assert spans('"gamma" & <p> "gamma"') == [(d0, 2, 3)]
     # mid-sequence edges are a clear error
     with pytest.raises(ValueError, match="start/end"):
         cql_spans(r, '"alpha" <p> "beta"')
@@ -956,3 +963,31 @@ def test_numeric_capture_labels(reader):
     t = cql_spans(reader, '1:"the" "the"')
     assert "1_pos" in t.column_names
     assert t["1_pos"].to_pylist() == t["start"].to_pylist()
+
+
+def test_numeric_capture_on_multitest(reader):
+    """Numeric labels also work on multi-test brackets (the
+    _MULTITEST_RE cap group must match the tokenizer's label set)."""
+    a = cql_spans(reader, '2:[word="the" & word="th.*"] "the"')
+    b = cql_spans(reader, 'A:[word="the" & word="th.*"] "the"')
+    assert "2_pos" in a.column_names
+    assert a["2_pos"].to_pylist() == b["A_pos"].to_pylist()
+
+
+def test_regex_char_class_with_bool_metachars(reader, small_oracle):
+    """A quoted regex whose character class contains '|', '(' or '!'
+    is a TERM, not a boolean token expression — the bracket scan must
+    be quote-aware (r4 session-14 regression)."""
+    base = _rows(cql_spans(reader, '"the"'))
+    assert _rows(cql_spans(reader, '"th[e|e]"')) == base
+    assert _rows(cql_spans(reader, '[word="th[e|e]"]')) == base
+    # char class inside a :: constraint literal parses (no bogus
+    # boolean-body error); MatchFilterEquals is a LITERAL compare so
+    # it matches nothing here
+    t = cql_spans(reader, '(A:"the") (B:"the") :: A.word = "th[e!(]"')
+    assert t.num_rows == 0
+    # a regex char class in a multitest conjunct (regex semantics)
+    got = _rows(cql_spans(reader, '[word="the" & word="th[e|e]"]'))
+    assert got == base
+    # regex metachars that can't match anything real still parse
+    assert cql_spans(reader, '"x[(]y"').num_rows == 0

@@ -1710,3 +1710,49 @@ def test_version_info_without_index_dir(tmp_path, monkeypatch):
         pass
     vi = _version_info(NoDir())
     assert vi["timeCreated"] == "" and vi["timeModified"] == ""
+
+
+def test_filter_value_containing_and(ray_session, tmp_path):
+    """A quoted filter/pid value containing the word AND is ONE
+    clause (quote-aware AND split), and a docpid whose url embeds
+    ' AND ' round-trips instead of corrupting the spliced filter."""
+    from blacklab_ray.index import BuildParams, build_index
+    from blacklab_ray.query import IndexReader
+    from blacklab_ray.server import BlsApp, parse_filter
+
+    assert parse_filter('pid:"x AND y" AND lang:en') == [
+        ("pid", "=", "x AND y"), ("lang", "=", "en")]
+    assert parse_filter('pid:"a AND b"') == [("pid", "=", "a AND b")]
+
+    tbl = pa.table({
+        "url": ["doc one AND two", "plain"],
+        "text": ["quick fox", "quick dog"],
+        "lang": ["en", "en"],
+    })
+    src = tmp_path / "p.parquet"
+    pq.write_table(tbl, str(src))
+    idx = str(tmp_path / "idx")
+    build_index(str(src), idx, BuildParams(num_buckets=2, n_salts=1))
+    call = _mkcall(BlsApp({"t": IndexReader(idx)}))
+    from urllib.parse import quote
+    st, _ct, body = call("/corpora/t/hits?patt=%22quick%22&docpid="
+                         + quote("doc one AND two"))
+    assert st.startswith("200")
+    hits = json.loads(body)["hits"]
+    assert [h["docPid"] for h in hits] == ["doc one AND two"]
+
+
+def test_gap_value_with_quotes(srv_index):
+    """pattgapdata values containing double quotes are escaped into
+    the pattern and PARSE (cql.jj:85 escaped-string parity) — a 200
+    with zero hits, not a 400 parse error."""
+    from urllib.parse import quote
+
+    from blacklab_ray.query import IndexReader
+    from blacklab_ray.server import BlsApp
+    call = _mkcall(BlsApp({"test": IndexReader(srv_index)}))
+    st, _ct, body = call("/corpora/test/hits?patt="
+                         + quote('"@@"') + "&pattgapdata="
+                         + quote('say "hi"\nquick'))
+    assert st.startswith("200")
+    assert json.loads(body)["summary"]["numberOfHits"] == 2
