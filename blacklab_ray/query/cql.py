@@ -538,6 +538,106 @@ def _tokenize(q: str) -> list[tuple[str, object]]:
     return items
 
 
+_FUNC_CALL_RE = re.compile(r"(?<![\w.%])(?P<fn>[A-Za-z_]\w*)\s*\(")
+
+
+def _lower_query_functions(q: str) -> str:
+    """Lower query-function calls — ``_FI1(a, b)`` / ``_FI2(a, b)``
+    (cql.jj:386 queryFunctionCall → TextPatternQueryFunction.java:31)
+    — to the plain two-clause sequence ``a b``: the functions are
+    execution-strategy hints (resolve one clause via the forward
+    index, SpanQueryFiSeq) whose MATCHES equal the sequence's; this
+    engine chooses its own per-clause strategy. Non-``_``-prefixed
+    names and wrong arity raise, like the reference."""
+    if "(" not in q or not _FUNC_CALL_RE.search(q):
+        return q
+    out: list[str] = []
+    i, n = 0, len(q)
+    while i < n:
+        c = q[i]
+        if c == '"':
+            j = _scan_quoted(q, i, '"')
+            j = n - 1 if j < 0 else j
+            out.append(q[i:j + 1])
+            i = j + 1
+            continue
+        m = _FUNC_CALL_RE.match(q, i)
+        if m is None or m.group("fn") in ("within", "containing"):
+            out.append(c)
+            i += 1
+            continue
+        name = m.group("fn")
+        # scan to the matching ')' (quote/brace-aware), splitting
+        # depth-0 commas (commas inside {n,m} are repetition bounds)
+        j = m.end()
+        depth, brace = 1, 0
+        args: list[str] = []
+        a0 = j
+        while j < n and depth > 0:
+            cj = q[j]
+            if cj == '"':
+                k = _scan_quoted(q, j, '"')
+                j = (n if k < 0 else k) + 1
+                continue
+            if cj == "(":
+                depth += 1
+            elif cj == ")":
+                depth -= 1
+                if depth == 0:
+                    args.append(q[a0:j])
+                    j += 1
+                    break
+            elif cj == "{":
+                brace += 1
+            elif cj == "}":
+                brace = max(0, brace - 1)
+            elif cj == "," and depth == 1 and brace == 0:
+                args.append(q[a0:j])
+                a0 = j + 1
+            j += 1
+        else:
+            if depth > 0:
+                raise ValueError(
+                    f"unbalanced '(' in query function {name}(...)")
+        if not name.startswith("_"):
+            raise ValueError(
+                "query functions are a BlackLab-specific extension "
+                "and must start with '_'")
+        if name not in ("_FI1", "_FI2"):
+            raise ValueError(
+                f"unsupported query function {name!r} "
+                "(supported: _FI1, _FI2)")
+        if len(args) != 2 or not all(a.strip() for a in args):
+            raise ValueError(
+                f"query function {name} takes two arguments")
+        parts = []
+        for a in (s.strip() for s in args):
+            a = _lower_query_functions(a)
+            # an arg with a top-level boolean operator needs grouping
+            parts.append(f"({a})" if _has_depth0_bool(a) else a)
+        out.append(" ".join(parts))
+        i = j
+    return "".join(out)
+
+
+def _has_depth0_bool(q: str) -> bool:
+    depth, i, n = 0, 0, len(q)
+    while i < n:
+        c = q[i]
+        if c == '"':
+            j = _scan_quoted(q, i, '"')
+            i = (n if j < 0 else j) + 1
+            continue
+        if c in "([":
+            depth += 1
+        elif c in ")]":
+            depth -= 1
+        elif depth == 0 and c in "|&":
+            return True
+        i += 1
+    return False
+
+
 def parse_cql(q: str) -> SeqPlan | UnionPlan | FilterPlan:
     """Parse the CQL subset into a plan; raises ValueError on anything
     outside the subset.
@@ -548,7 +648,8 @@ def parse_cql(q: str) -> SeqPlan | UnionPlan | FilterPlan:
     sequencePart) — `<p> "a" | "b"` anchors only the `"a"` branch —
     so anchor stripping happens per sequence inside `_build_union`,
     not here."""
-    return _parse_items(_tokenize(_normalize_quotes(q)))
+    return _parse_items(_tokenize(
+        _lower_query_functions(_normalize_quotes(q))))
 
 
 def _parse_items(items: list):
@@ -1346,7 +1447,7 @@ def cql_spans(reader, q: str) -> pa.Table:
     constraints post-filter via forward-index lookups."""
     from blacklab_ray.query.spans import spans_containing, spans_within
     from blacklab_ray.query.rewrite import rewrite
-    q = _normalize_quotes(q)
+    q = _lower_query_functions(_normalize_quotes(q))
     widths = _pure_any_widths(q)
     if widths is not None:
         return _all_window_spans(reader, *widths)

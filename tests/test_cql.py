@@ -991,3 +991,25 @@ def test_regex_char_class_with_bool_metachars(reader, small_oracle):
     assert got == base
     # regex metachars that can't match anything real still parse
     assert cql_spans(reader, '"x[(]y"').num_rows == 0
+
+
+def test_query_functions_fi(reader, small_oracle):
+    """`_FI1(a, b)` / `_FI2(a, b)` (cql.jj:386 queryFunctionCall →
+    TextPatternQueryFunction): forward-index-strategy hints whose
+    matches equal the plain sequence `a b`."""
+    base = _rows(cql_spans(reader, '"the" "the"'))
+    assert _rows(cql_spans(reader, '_FI1("the", "the")')) == base
+    assert _rows(cql_spans(reader, '_FI2("the", "the")')) == base
+    # nested + multi-token args
+    assert _rows(cql_spans(reader, '_FI1(_FI2("the", "the"), [])')) \
+        == _rows(cql_spans(reader, '"the" "the" []'))
+    # reference-parity errors: non-underscore name, unknown name, arity
+    with pytest.raises(ValueError, match="must start with '_'"):
+        cql_spans(reader, 'foo("a", "b")')
+    with pytest.raises(ValueError, match="unsupported query function"):
+        cql_spans(reader, '_NFA("a", "b")')
+    with pytest.raises(ValueError, match="two arguments"):
+        cql_spans(reader, '_FI1("a")')
+    # 'containing (' is the operator, not a function call
+    n = cql_spans(reader, '"the" []{0,3} "the" containing ("the")')
+    assert n.num_rows > 0
