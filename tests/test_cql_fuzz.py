@@ -195,6 +195,12 @@ def _rand_query(rng, vocab) -> str:
                 hi = lo + int(rng.integers(0, 3))
                 parts.append(f"[]{{{lo},{hi}}}")
     q = " ".join(parts)
+    if rng.random() < 0.1:
+        # queryFunctionCall: _FI1/_FI2 are strategy hints lowered to
+        # the plain sequence of their two args
+        t = vocab[int(rng.integers(0, len(vocab)))]
+        fn = "_FI1" if rng.random() < 0.5 else "_FI2"
+        q = f'{fn}({q}, "{t}")'
     if rng.random() < 0.15:
         # repeated multi-token group prefix (group-rep lowering);
         # sometimes UNBOUNDED (chained fixed-point path)
