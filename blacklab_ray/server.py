@@ -189,44 +189,19 @@ def _pid_doc_ids(reader, pid: str) -> np.ndarray:
 
 
 def _allowed_ids(reader, filter_expr: str | None):
+    """Doc ids matching the BLS ``filter`` parameter — the Lucene-ish
+    expression language (field:value / quoted phrases / [lo TO hi]
+    ranges / wildcards, AND/OR/NOT, parens; LuceneUtil.
+    parseLuceneQuery analogue). ``pid:`` clauses resolve by url
+    lookup (cached per reader, shared with the docpid 404 check);
+    tokenized ``field:value`` is an analyzed-token match."""
     if not filter_expr:
         return None
-    from blacklab_ray.query.metafilter import (filter_docs_meta,
-                                               metadata_field_types)
-    conds = parse_filter(filter_expr)
-    # pid is the persistent-id (url) column, not a metadata field —
-    # resolve pid:... conds by url equality (pruned pushdown scan)
-    pid_conds = [(f, op, v) for f, op, v in conds if f == "pid"]
-    conds = [(f, op, v) for f, op, v in conds if f != "pid"]
-    pid_ids = None
-    if pid_conds:
-        want = [str(v) for _f, _op, v in pid_conds]
-        cache = getattr(reader, "_pid_ids_cache", {})
-        if all(p in cache for p in want):
-            # every pid already resolved (the docpid flow resolved it
-            # for the 404 check) — no second scan
-            pid_ids = np.unique(np.concatenate(
-                [_pid_doc_ids(reader, p) for p in want]))
-        else:
-            import pyarrow.compute as pc
-            ds = reader.fwd_dataset()
-            tbl = ds.to_table(columns=["doc_id"],
-                              filter=pc.field("url").isin(want))
-            pid_ids = np.unique(tbl["doc_id"].to_numpy(
-                zero_copy_only=False))
-        if not conds:
-            return pid_ids
-    # BLS `field:value` on a TOKENIZED field is an analyzed-token
-    # match, not exact equality (ADVICE r3: "=" would FieldTypeError)
-    types = metadata_field_types(reader)
-    conds = [(f, "contains", v)
-             if op == "=" and types.get(f) == "tokenized"
-             else (f, op, v)
-             for f, op, v in conds]
-    meta_ids = filter_docs_meta(reader, conds)
-    if pid_ids is None:
-        return meta_ids
-    return np.intersect1d(meta_ids, pid_ids)
+    from blacklab_ray.query.metafilter import (eval_filter_expr,
+                                               parse_filter_expr)
+    tree = parse_filter_expr(filter_expr)
+    return eval_filter_expr(
+        reader, tree, pid_resolver=lambda p: _pid_doc_ids(reader, p))
 
 
 # ---------------------------------------------------------------------------

@@ -120,3 +120,58 @@ def test_bad_type_declaration_raises():
     with pytest.raises(ValueError, match="unknown metadata field types"):
         build_index("/nonexistent", "/tmp/never2",
                     BuildParams(metadata_fields=(("x", "integer"),)))
+
+
+def test_filter_expr_boolean_tree(meta_reader):
+    """Lucene-QL filter expressions (LuceneUtil.parseLuceneQuery
+    analogue): AND/OR/NOT, parens, precedence NOT > AND > OR."""
+    from blacklab_ray.query.metafilter import (eval_filter_expr,
+                                               parse_filter_expr)
+
+    def ids(expr):
+        return eval_filter_expr(
+            meta_reader, parse_filter_expr(expr)).tolist()
+
+    assert ids("lang:en AND year:2005") == [1]
+    assert ids("lang:fr OR year:2021") == [2, 3]
+    assert ids("lang:en AND NOT year:2005") == [0, 3]
+    assert ids("NOT lang:en") == [2]
+    assert ids("(lang:fr OR year:1999) AND year:[1990 TO 2010]") \
+        == [0, 2]
+    assert ids("lang:en && !year:2021") == [0, 1]
+    assert ids("lang:en OR lang:fr AND year:2005") == [0, 1, 2, 3]
+
+
+def test_filter_expr_wildcards_and_phrase(meta_reader):
+    from blacklab_ray.query.metafilter import (eval_filter_expr,
+                                               parse_filter_expr)
+
+    def ids(expr):
+        return eval_filter_expr(
+            meta_reader, parse_filter_expr(expr)).tolist()
+
+    # untokenized wildcard: full raw value, case-sensitive
+    assert ids("url:u*") == [0, 1, 2, 3]
+    assert ids("url:u?") == [0, 1, 2, 3]
+    assert ids("url:v*") == []
+    # tokenized wildcard: any analyzed (lowercased) token
+    assert ids("title:Fu*") == [1]
+    assert ids("title:f?x") == [0, 3]
+    # tokenized quoted phrase: analyzed-token adjacency
+    assert ids('title:"quick fox"') == [0]
+    assert ids('title:"fox quick"') == []
+    assert ids('title:"the quick fox"') == [0]
+
+
+def test_filter_expr_errors(meta_reader):
+    from blacklab_ray.query.metafilter import (FieldTypeError,
+                                               eval_filter_expr,
+                                               parse_filter_expr)
+    with pytest.raises(ValueError, match="missing AND/OR"):
+        parse_filter_expr("lang:en year:2005")
+    with pytest.raises(ValueError, match="unbalanced"):
+        parse_filter_expr("(lang:en OR lang:fr")
+    with pytest.raises(KeyError, match="unknown metadata field"):
+        eval_filter_expr(meta_reader, parse_filter_expr("nope:x"))
+    with pytest.raises(FieldTypeError, match="non-numeric"):
+        eval_filter_expr(meta_reader, parse_filter_expr("year:abc"))

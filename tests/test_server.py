@@ -1756,3 +1756,20 @@ def test_gap_value_with_quotes(srv_index):
                          + quote('say "hi"\nquick'))
     assert st.startswith("200")
     assert json.loads(body)["summary"]["numberOfHits"] == 2
+
+
+def test_filter_param_boolean_expressions(srv_reader):
+    """The BLS filter param accepts Lucene-QL boolean expressions
+    (OR/NOT/parens/wildcards), not just AND conjunctions."""
+    from blacklab_ray.server import handle_docs, handle_hits
+    resp = handle_docs(srv_reader, {"filter": "lang:fr OR year:2000"})
+    assert sorted(d["docPid"] for d in resp["docs"]) == ["d0", "d2"]
+    resp = handle_docs(srv_reader, {"filter": "NOT lang:fr"})
+    assert sorted(d["docPid"] for d in resp["docs"]) == ["d0", "d1"]
+    resp = handle_hits(srv_reader, {
+        "patt": '"quick"',
+        "filter": "(year:2000 OR year:2010) AND NOT title:dog"})
+    assert [h["docPid"] for h in resp["hits"]] == ["d0"]
+    # wildcard on a tokenized field
+    resp = handle_docs(srv_reader, {"filter": "title:d*"})
+    assert [d["docPid"] for d in resp["docs"]] == ["d1"]
