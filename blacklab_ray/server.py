@@ -87,29 +87,18 @@ def parse_filter(expr: str) -> list[tuple]:
     return conds
 
 
-def _contextql_to_cql(q: str) -> str:
-    """SRU ContextQL pattern → the CQL subset (``pattlang=contextql``;
-    BlsUtils.parsePatt routing, WebserviceParamsImpl.java:151).
-    ``or`` → a top-level union of term positions; ``and``/``not`` →
-    ONE position with conjoined token tests (TextPatternAnd /
-    TextPatternAndNot are position-coincident); ``prox/distance=d`` →
-    a bounded any-token gap sequence."""
-    from blacklab_ray.query.contextql import parse_contextql
-    plan = parse_contextql(q)
-
-    def esc(t: str) -> str:
-        return t.replace('"', '\\"')
-    terms, negs = plan["terms"], plan["neg_terms"]
-    if plan["op"] == "prox":
-        a, b = terms
-        d = max(1, plan["distance"] or 1)
-        gap = "" if d == 1 else f"[]{{0,{d - 1}}} "
-        return f'"{esc(a)}" {gap}"{esc(b)}"'
-    if plan["op"] == "and" or negs:
-        tests = [f'word="{esc(t)}"' for t in terms] + \
-                [f'word!="{esc(t)}"' for t in negs]
-        return "[" + " & ".join(tests) + "]"
-    return " | ".join(f'"{esc(t)}"' for t in terms)
+def _contextql_to_cql(reader, q: str) -> tuple:
+    """SRU ContextQL pattern → ``(CQL pattern | None, filter
+    expression | None)`` (``pattlang=contextql``; BlsUtils.parsePatt
+    routing, WebserviceParamsImpl.java:151). The FULL contextql.jj
+    grammar: recursive boolean trees, parens, ``[index relation]
+    term`` clauses routed to annotations (contents patterns) or
+    metadata fields (filter clauses, CompleteQuery analogue),
+    wildcards, quoted phrases."""
+    from blacklab_ray.query.contextql import contextql_to_patterns
+    annots = {"word"} | {a for a in reader.annotations()
+                         if a not in ("i", "s")}
+    return contextql_to_patterns(q, annotations=annots)
 
 
 def _fill_gaps(template: str, tsv: str) -> str:
@@ -148,7 +137,16 @@ def _normalize_params(reader, params: dict) -> dict:
     if patt:
         lang = params.get("pattlang", "corpusql")
         if lang == "contextql":
-            params["patt"] = patt = _contextql_to_cql(patt)
+            cql, flt = _contextql_to_cql(reader, patt)
+            if cql is None:
+                # pure-metadata ContextQL: a docs query, no pattern
+                params.pop("patt", None)
+                patt = None
+            else:
+                params["patt"] = patt = cql
+            if flt:
+                f = params.get("filter")
+                params["filter"] = f"({flt}) AND ({f})" if f else flt
         elif lang not in ("corpusql", "default"):
             raise ValueError(f"unsupported pattlang {lang!r}")
         gap = params.get("pattgapdata")

@@ -1773,3 +1773,59 @@ def test_filter_param_boolean_expressions(srv_reader):
     # wildcard on a tokenized field
     resp = handle_docs(srv_reader, {"filter": "title:d*"})
     assert [d["docPid"] for d in resp["docs"]] == ["d1"]
+
+
+def test_contextql_full_grammar(srv_index):
+    """Full contextql.jj grammar through the server: parens +
+    recursive boolean trees, [index relation] term clauses routed to
+    annotations or metadata filters (CompleteQuery analogue),
+    wildcards, quoted phrases, scope prefixes, reference-parity
+    errors."""
+    from urllib.parse import quote
+
+    from blacklab_ray.query import IndexReader
+    from blacklab_ray.server import BlsApp
+    call = _mkcall(BlsApp({"test": IndexReader(srv_index)}))
+
+    def hits(q, extra=""):
+        st, _ct, body = call("/corpora/test/hits?pattlang=contextql"
+                             "&patt=" + quote(q) + extra)
+        assert st.startswith("200"), (q, body)
+        return json.loads(body)
+
+    # parens + nested boolean tree
+    r = hits('(quick or slow) and fox')
+    assert r["summary"]["numberOfHits"] == 0    # position-coincident
+    # token-level and-not (TextPatternAndNot): no matched POSITION is
+    # 'slow', so all three survive — not a doc-level exclusion
+    r = hits('(quick or snail) not slow')
+    assert r["summary"]["numberOfHits"] == 3
+    r = hits('(quick or slow) not slow')
+    assert r["summary"]["numberOfHits"] == 2
+    # wildcards (TextPatternWildcard)
+    r = hits('qu?ck or sl*')
+    assert r["summary"]["numberOfHits"] == 3
+    # quoted phrase -> sequence
+    r = hits('"quick fox"')
+    assert r["summary"]["numberOfHits"] == 1
+    # metadata clause + contents clause (CompleteQuery.and)
+    r = hits('quick and lang = en')
+    assert [h["docPid"] for h in r["hits"]] == ["d0", "d1"]
+    r = hits('quick and title = "dog days"')
+    assert [h["docPid"] for h in r["hits"]] == ["d1"]
+    # metadata clause composes with a user filter
+    r = hits('quick and year = 2000', extra="&filter=lang%3Aen")
+    assert [h["docPid"] for h in r["hits"]] == ["d0"]
+    # pure-metadata ContextQL on /docs (no pattern)
+    st, _ct, body = call("/corpora/test/docs?pattlang=contextql"
+                         "&patt=" + quote('lang = fr'))
+    assert st.startswith("200")
+    assert [d["docPid"] for d in json.loads(body)["docs"]] == ["d2"]
+    # scope prefix parsed and discarded
+    r = hits('> dc = "http://dublincore.org/" quick')
+    assert r["summary"]["numberOfHits"] == 2
+    # reference-parity errors -> 400
+    for bad in ("a any b", "a < b", "quick dog", "a or lang = en"):
+        st, _ct, _b = call("/corpora/test/hits?pattlang=contextql"
+                           "&patt=" + quote(bad))
+        assert st.startswith("400"), bad
