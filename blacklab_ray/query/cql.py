@@ -652,7 +652,43 @@ def parse_cql(q: str) -> SeqPlan | UnionPlan | FilterPlan:
         _lower_query_functions(_normalize_quotes(q))))
 
 
+def _collapse_filter_groups(items: list) -> list:
+    """Replace parenthesized groups whose body contains a depth-0
+    within/containing — `("a" within <s/>)` — with one
+    ("subplan", FilterPlan) item (sequencePart := "(" complexQuery ")",
+    cql.jj:351: the position-filter operators are legal inside
+    parens). Recursive; other paren groups pass through untouched."""
+    out: list = []
+    i, n = 0, len(items)
+    while i < n:
+        kind, _val = items[i]
+        if kind != "lparen":
+            out.append(items[i])
+            i += 1
+            continue
+        depth, j = 1, i + 1
+        has_op = False
+        while j < n and depth > 0:
+            k = items[j][0]
+            if k == "lparen":
+                depth += 1
+            elif k == "rparen":
+                depth -= 1
+            elif k == "op" and depth == 1:
+                has_op = True
+            j += 1
+        if depth > 0:
+            raise ValueError("unbalanced '('")
+        if has_op:
+            out.append(("subplan", _parse_items(items[i + 1:j - 1])))
+        else:
+            out.extend(items[i:j])
+        i = j
+    return out
+
+
 def _parse_items(items: list):
+    items = _collapse_filter_groups(items)
     # split on within/containing (only meaningful at paren depth 0)
     depth = 0
     for i, (kind, val) in enumerate(items):
@@ -810,6 +846,17 @@ def _build_union(items: list) -> "SeqPlan | UnionPlan | AndPlan":
         raise ValueError(
             "edge-anchored tags (<s> / </s>) are only supported at "
             "the start/end of a sequence")
+    if any(k == "subplan" for k, _ in items):
+        if len(items) != 1:
+            raise ValueError(
+                "a parenthesized within/containing group must be a "
+                "whole alternation branch (sequencing it with other "
+                "elements is out of subset)")
+        sub = items[0][1]
+        if open_anchor or close_anchor:
+            return AnchorPlan(inner=sub, open=open_anchor,
+                              close=close_anchor)
+        return sub
     branches: list[SeqPlan] = []
     for var0 in _expand_alt_groups(_collapse_groups(items)):
         for var in _expand_group_reps(var0):
@@ -1475,15 +1522,7 @@ def cql_spans(reader, q: str) -> pa.Table:
         anchors = (plan.open, plan.close)
         plan = plan.inner
     if isinstance(plan, FilterPlan):
-        prod = (_tag_plan_spans(reader, plan.producer)
-                if isinstance(plan.producer, TagPlan)
-                else _plan_spans(reader, plan.producer))
-        if isinstance(plan.filter, TagPlan):
-            filt = _tag_plan_spans(reader, plan.filter)
-        else:
-            filt = _plan_spans(reader, plan.filter)
-        out = spans_within(prod, filt) if plan.op == "within" \
-            else spans_containing(prod, filt)
+        out = _filter_plan_spans(reader, plan)
     else:
         out = _plan_spans(reader, plan)
     out = _apply_edge_anchors(reader, out, *anchors)
@@ -1557,10 +1596,27 @@ def _intersect_span_tables(tabs: list) -> pa.Table:
     return base.filter(pa.array(keep))
 
 
+def _filter_plan_spans(reader, plan: FilterPlan) -> pa.Table:
+    """Execute a within/containing position filter (works nested —
+    `("a" within <s/>) | "b"` — as well as at the top level)."""
+    from blacklab_ray.query.spans import spans_containing, spans_within
+    prod = (_tag_plan_spans(reader, plan.producer)
+            if isinstance(plan.producer, TagPlan)
+            else _plan_spans(reader, plan.producer))
+    if isinstance(plan.filter, TagPlan):
+        filt = _tag_plan_spans(reader, plan.filter)
+    else:
+        filt = _plan_spans(reader, plan.filter)
+    return spans_within(prod, filt) if plan.op == "within" \
+        else spans_containing(prod, filt)
+
+
 def _plan_spans(reader, plan: "SeqPlan | UnionPlan | AndPlan") \
         -> pa.Table:
     if isinstance(plan, SeqPlan):
         return cql_spans_seq(reader, plan)
+    if isinstance(plan, FilterPlan):
+        return _filter_plan_spans(reader, plan)
     if isinstance(plan, AnchorPlan):
         return _apply_edge_anchors(
             reader, _plan_spans(reader, plan.inner),

@@ -1013,3 +1013,39 @@ def test_query_functions_fi(reader, small_oracle):
     # 'containing (' is the operator, not a function call
     n = cql_spans(reader, '"the" []{0,3} "the" containing ("the")')
     assert n.num_rows > 0
+
+
+def test_parenthesized_filter_groups(ray_session, tmp_path):
+    """`("a" within <s/>) | "b"` — sequencePart := "(" complexQuery
+    ")" (cql.jj:351) admits within/containing inside parens; the
+    group executes as a nested FilterPlan branch."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from blacklab_ray.index import BuildParams, build_index
+    texts = ["alpha beta\ngamma delta", "alpha beta gamma\ndelta"]
+    pq.write_table(pa.table({
+        "url": ["d0", "d1"],
+        "text": texts, "lang": ["en", "en"]}),
+        str(tmp_path / "x.parquet"))
+    idx = str(tmp_path / "idx")
+    build_index(str(tmp_path), idx,
+                BuildParams(num_buckets=2, n_salts=1,
+                            paragraph_spans=True))
+    r = IndexReader(idx)
+
+    def rows(q):
+        return _rows(cql_spans(r, q))
+
+    manual = sorted(set(rows('"beta" "gamma" within <p/>')
+                        + rows('"delta"')))
+    assert rows('("beta" "gamma" within <p/>) | "delta"') == manual
+    assert rows('("beta" "gamma" within <p/>)') \
+        == rows('"beta" "gamma" within <p/>')
+    # nested as the FILTER operand too: alpha..delta windows contain
+    # gamma in both docs, so every beta inside such a window matches
+    assert rows('"beta" within ("alpha" []{0,3} "delta" '
+                'containing "gamma")') == rows('"beta"')
+    # sequencing a filtered group is a clear subset error
+    with pytest.raises(ValueError, match="whole alternation branch"):
+        cql_spans(r, '("beta" within <p/>) "gamma"')
