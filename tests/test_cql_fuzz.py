@@ -120,9 +120,22 @@ def _brute_cql(q, docs):
             spans = out
         return spans
 
+    def filter_spans(pl):
+        prod = plan_spans(pl.producer)
+        filt = plan_spans(pl.filter)
+        if pl.op == "within":
+            return {x for x in prod
+                    if any(f[0] == x[0] and f[1] <= x[1] and x[2] <= f[2]
+                           for f in filt)}
+        return {x for x in prod
+                if any(f[0] == x[0] and x[1] <= f[1] and f[2] <= x[2]
+                       for f in filt)}
+
     def plan_spans(pl):
         if isinstance(pl, SeqPlan):
             return seq_spans(pl)
+        if isinstance(pl, FilterPlan):
+            return filter_spans(pl)
         if isinstance(pl, AndPlan):
             sets = [plan_spans(p) for p in pl.parts]
             out = sets[0]
@@ -136,16 +149,6 @@ def _brute_cql(q, docs):
             return out
         raise AssertionError(type(pl))
 
-    if isinstance(plan, FilterPlan):
-        prod = plan_spans(plan.producer)
-        filt = plan_spans(plan.filter)
-        if plan.op == "within":
-            return {x for x in prod
-                    if any(f[0] == x[0] and f[1] <= x[1] and x[2] <= f[2]
-                           for f in filt)}
-        return {x for x in prod
-                if any(f[0] == x[0] and x[1] <= f[1] and f[2] <= x[2]
-                       for f in filt)}
     return plan_spans(plan)
 
 
@@ -231,7 +234,13 @@ def _rand_query(rng, vocab) -> str:
         op = "within" if rng.random() < 0.5 else "containing"
         lo = int(rng.integers(0, 2))
         hi = lo + int(rng.integers(1, 4))
-        q = f'{q} {op} "{a}" []{{{lo},{hi}}} "{b}"'
+        filt = f'"{a}" []{{{lo},{hi}}} "{b}"'
+        if rng.random() < 0.3:
+            # parenthesized filter group as an alternation branch
+            t = vocab[int(rng.integers(0, len(vocab)))]
+            q = f'({q} {op} {filt}) | "{t}"'
+        else:
+            q = f'{q} {op} {filt}'
     return q
 
 
