@@ -333,9 +333,10 @@ def parse_contextql_tree(q: str):
 
 def _ct_wildcard_rx(value: str) -> str:
     """TextPatternWildcard semantics: * and ? are wildcards, every
-    other char is literal."""
-    return "".join(".*" if c == "*" else "." if c == "?"
-                   else re.escape(c) for c in value)
+    other char is literal (shared with the filter language's
+    WildcardQuery translation)."""
+    from blacklab_ray.query.metafilter import _wildcard_rx
+    return _wildcard_rx(value)
 
 
 def _cql_esc(rx: str) -> str:
@@ -392,9 +393,19 @@ def _leaf_complete(field, value, annots):
                 for p in parts]
         pat = poss[0] if len(poss) == 1 else _Pat("seq", parts=poss)
         return pat, None
-    # metadata filter clause (WildcardQuery / PhraseQuery analogue)
+    # metadata filter clause (WildcardQuery / PhraseQuery analogue);
+    # values outside the filter language's bare-token charset are
+    # quoted, and the filter grammar's quoted strings carry no
+    # escapes, so an embedded double quote is unrepresentable
     v = value
-    flt = f'{field}:"{v}"' if re.search(r"\s", v) else f"{field}:{v}"
+    if re.fullmatch(r"[\w.\-*?]+", v):
+        flt = f"{field}:{v}"
+    elif '"' not in v:
+        flt = f'{field}:"{v}"'
+    else:
+        raise ValueError(
+            "a metadata value containing a double quote is out of "
+            "subset for the filter language")
     return None, flt
 
 

@@ -613,14 +613,19 @@ def _lower_query_functions(q: str) -> str:
         parts = []
         for a in (s.strip() for s in args):
             a = _lower_query_functions(a)
-            # an arg with a top-level boolean operator needs grouping
-            parts.append(f"({a})" if _has_depth0_bool(a) else a)
+            # an arg with a top-level boolean or position-filter
+            # operator needs grouping (without it, '"a", "b" within
+            # <s/>' would silently regroup as '("a" "b") within <s/>')
+            parts.append(f"({a})" if _needs_func_arg_group(a) else a)
         out.append(" ".join(parts))
         i = j
     return "".join(out)
 
 
-def _has_depth0_bool(q: str) -> bool:
+_DEPTH0_OP_RE = re.compile(r"\b(?:within|containing)\b")
+
+
+def _needs_func_arg_group(q: str) -> bool:
     depth, i, n = 0, 0, len(q)
     while i < n:
         c = q[i]
@@ -632,8 +637,12 @@ def _has_depth0_bool(q: str) -> bool:
             depth += 1
         elif c in ")]":
             depth -= 1
-        elif depth == 0 and c in "|&":
-            return True
+        elif depth == 0:
+            if c in "|&":
+                return True
+            m = _DEPTH0_OP_RE.match(q, i)
+            if m:
+                return True
         i += 1
     return False
 

@@ -51,16 +51,21 @@ def metadata_field_types(reader) -> dict[str, str]:
 
 def _analyze_tokens(values: pa.Array) -> pa.Array:
     """list<string> of analyzed tokens per value (the standard
-    analyzer's normalization: lowercase + accent strip + [a-z0-9]+)."""
+    analyzer's normalization: lowercase + accent strip + [a-z0-9]+).
+    Edge separators are trimmed first so values with leading/trailing
+    punctuation don't produce empty edge tokens (which would break
+    phrase adjacency and in-set matching)."""
     from blacklab_ray.analysis.analyzers import _normalize_array
-    return pc.split_pattern_regex(_normalize_array(values),
-                                  pattern="[^a-z0-9]+")
+    norm = pc.replace_substring_regex(
+        _normalize_array(values),
+        pattern="^[^a-z0-9]+|[^a-z0-9]+$", replacement="")
+    return pc.split_pattern_regex(norm, pattern="[^a-z0-9]+")
 
 
 def _check(field: str, ftype: str, op: str) -> None:
     ok = {
         "tokenized": {"contains", "in", "wildcard", "phrase"},
-        "untokenized": {"=", "in", "wildcard"},
+        "untokenized": {"=", "in", "wildcard", "range"},
         "numeric": {"=", "in", "range"},
     }[ftype]
     if op not in ok:
@@ -113,9 +118,19 @@ def filter_docs_meta(reader, conditions: list[tuple],
         elif op == "phrase":
             post.append((field, "phrase", value))
         else:
-            toks = ([value] if op == "contains"
-                    else [str(v) for v in value])
-            post.append((field, "tokens", toks))
+            # analyze the QUERY side too (Lucene's parser analyzes
+            # query terms): 'Fox' matches the lowercased token 'fox'
+            raw = ([str(value)] if op == "contains"
+                   else [str(v) for v in value])
+            analyzed = _analyze_tokens(pa.array(raw)).to_pylist()
+            toks = [t for sub in analyzed for t in sub if t]
+            if op == "contains" and len(toks) > 1:
+                # one term that analyzes to several tokens
+                # ('dog-days') is an adjacency match, like Lucene's
+                # analyzed phrase
+                post.append((field, "phrase", " ".join(toks)))
+            else:
+                post.append((field, "tokens", toks))
     ds = pa_ds.dataset(os.path.join(reader.index_dir, "fwd"),
                        format="parquet")
     cols = ["doc_id"] + sorted({f for f, _k, _d in post})
@@ -136,13 +151,17 @@ def filter_docs_meta(reader, conditions: list[tuple],
                 # analyzed-token adjacency: match the phrase inside
                 # the space-joined analyzed token stream
                 joined = pc.binary_join(_analyze_tokens(col), " ")
-                toks = _analyze_tokens(
-                    pa.array([data]))[0].as_py()
-                rx = r"(?:^| )" + r" ".join(
-                    _re.escape(t) for t in toks) + r"(?: |$)"
-                m = pc.match_substring_regex(
-                    joined, pattern=rx).fill_null(False).to_numpy(
-                    zero_copy_only=False)
+                toks = [t for t in _analyze_tokens(
+                    pa.array([data]))[0].as_py() if t]
+                if not toks:
+                    m = np.zeros(tbl.num_rows, dtype=bool)
+                else:
+                    rx = r"(?:^| )" + r" ".join(
+                        _re.escape(t) for t in toks) + r"(?: |$)"
+                    m = pc.match_substring_regex(
+                        joined,
+                        pattern=rx).fill_null(False).to_numpy(
+                        zero_copy_only=False)
             else:
                 analyzed = _analyze_tokens(col)
                 flat = pc.list_flatten(analyzed)
@@ -280,33 +299,37 @@ def _wildcard_rx(value: str) -> str:
                    else _re.escape(c) for c in value)
 
 
+def _num(field: str, v: str):
+    try:
+        return float(v) if "." in v else int(v)
+    except ValueError:
+        raise FieldTypeError(
+            f"non-numeric value {v!r} for numeric "
+            f"field {field!r}") from None
+
+
 def _leaf_cond(field: str, rawval: str, ftype: str) -> tuple:
     """Resolve a raw clause value to a typed (field, op, value) cond
-    (Lucene semantics: quoted → phrase/exact term, [a TO b] → range,
+    (Lucene semantics: quoted → phrase/exact term, [a TO b] → range
+    — numeric, or a string TermRangeQuery on untokenized fields —
     * ? → WildcardQuery)."""
     m = _F_RANGE_RE.match(rawval)
     if m:
         lo, hi = m.group(1), m.group(2)
-        num = (float(lo) if "." in lo else int(lo),
-               float(hi) if "." in hi else int(hi))
-        return (field, "range", num)
+        if ftype == "untokenized":
+            return (field, "range", (lo, hi))
+        return (field, "range", (_num(field, lo), _num(field, hi)))
     if rawval.startswith('"'):
         v = rawval[1:-1]
         if ftype == "tokenized":
             return (field, "phrase", v)
         if ftype == "numeric":
-            return (field, "=", float(v) if "." in v else int(v))
+            return (field, "=", _num(field, v))
         return (field, "=", v)
     if "*" in rawval or "?" in rawval:
         return (field, "wildcard", rawval)
     if ftype == "numeric":
-        try:
-            return (field, "=",
-                    float(rawval) if "." in rawval else int(rawval))
-        except ValueError:
-            raise FieldTypeError(
-                f"non-numeric value {rawval!r} for numeric "
-                f"field {field!r}") from None
+        return (field, "=", _num(field, rawval))
     if ftype == "tokenized":
         return (field, "contains", rawval)
     return (field, "=", rawval)
@@ -314,10 +337,12 @@ def _leaf_cond(field: str, rawval: str, ftype: str) -> tuple:
 
 def eval_filter_expr(reader, node, pid_resolver=None) -> np.ndarray:
     """Evaluate a parsed filter tree to a doc-id array. ``pid``
-    leaves resolve via ``pid_resolver(pid) -> ids`` (url lookup).
-    AND groups of plain leaves run as ONE ``filter_docs_meta`` scan;
-    ``a AND NOT b`` subtracts without materializing the universe; a
-    bare NOT complements against all live doc ids."""
+    leaves resolve via ``pid_resolver(pids: list) -> ids`` (url
+    lookup — list-valued so N pid clauses in one conjunction batch
+    into one scan). AND groups of plain leaves run as ONE
+    ``filter_docs_meta`` scan; ``a AND NOT b`` subtracts without
+    materializing the universe; a bare NOT complements against all
+    live doc ids."""
     types = metadata_field_types(reader)
 
     def resolve(field, rawval):
@@ -335,7 +360,7 @@ def eval_filter_expr(reader, node, pid_resolver=None) -> np.ndarray:
         if kind == "leaf":
             _k, field, rawval = n
             if field == "pid" and pid_resolver is not None:
-                return pid_resolver(rawval.strip('"'))
+                return pid_resolver([rawval.strip('"')])
             return filter_docs_meta(reader, [resolve(field, rawval)])
         if kind == "not":
             return np.setdiff1d(reader.all_doc_ids(), ev(n[1]))
@@ -346,11 +371,11 @@ def eval_filter_expr(reader, node, pid_resolver=None) -> np.ndarray:
                 else np.empty(0, np.int64)
         # and: one scan for the plain-leaf conjuncts, then intersect
         # subtree results and subtract NOT children
-        leaf_conds, pid_sets, subs, negs = [], [], [], []
+        leaf_conds, pids, subs, negs = [], [], [], []
         for c in children:
             if c[0] == "leaf" and c[1] == "pid" \
                     and pid_resolver is not None:
-                pid_sets.append(pid_resolver(c[2].strip('"')))
+                pids.append(c[2].strip('"'))
             elif c[0] == "leaf":
                 leaf_conds.append(resolve(c[1], c[2]))
             elif c[0] == "not":
@@ -360,9 +385,10 @@ def eval_filter_expr(reader, node, pid_resolver=None) -> np.ndarray:
         ids = None
         if leaf_conds:
             ids = filter_docs_meta(reader, leaf_conds)
-        if pid_sets:
-            # multiple pid conds union (any-of), like _allowed_ids
-            p = np.unique(np.concatenate(pid_sets))
+        if pids:
+            # multiple pid conds union (any-of), resolved in ONE
+            # batched lookup, like the pre-tree _allowed_ids
+            p = pid_resolver(pids)
             ids = p if ids is None else np.intersect1d(ids, p)
         for s in subs:
             e = ev(s)

@@ -36,57 +36,6 @@ import numpy as np
 # parameter parsing
 # ---------------------------------------------------------------------------
 
-_RANGE_RE = re.compile(r"^\[(\S+)\s+TO\s+(\S+)\]$")
-
-
-def _split_and_clauses(expr: str) -> list[str]:
-    """Split a filter expression on `` AND `` OUTSIDE quoted values —
-    a quoted value containing the word AND (e.g. a pid url) is one
-    clause, not two."""
-    out: list[str] = []
-    buf: list[str] = []
-    i, n = 0, len(expr)
-    while i < n:
-        c = expr[i]
-        if c == '"':
-            j = expr.find('"', i + 1)
-            j = n - 1 if j < 0 else j
-            buf.append(expr[i:j + 1])
-            i = j + 1
-        elif (c == "A" and expr.startswith("AND", i)
-                and i > 0 and expr[i - 1].isspace()
-                and i + 3 < n and expr[i + 3].isspace()):
-            out.append("".join(buf))
-            buf = []
-            i += 3
-        else:
-            buf.append(c)
-            i += 1
-    out.append("".join(buf))
-    return [p.strip() for p in out]
-
-
-def parse_filter(expr: str) -> list[tuple]:
-    """Lucene-ish metadata filter subset (BLS ``filter`` param):
-    ``field:value``, ``field:[lo TO hi]``, joined by ``AND``."""
-    conds: list[tuple] = []
-    for part in _split_and_clauses(expr.strip()):
-        if not part:
-            continue
-        field, _, value = part.partition(":")
-        if not _:
-            raise ValueError(f"bad filter clause {part!r}")
-        m = _RANGE_RE.match(value)
-        if m:
-            lo, hi = m.group(1), m.group(2)
-            conds.append((field, "range",
-                          (float(lo) if "." in lo else int(lo),
-                           float(hi) if "." in hi else int(hi))))
-        else:
-            conds.append((field, "=", value.strip('"')))
-    return conds
-
-
 def _contextql_to_cql(reader, q: str) -> tuple:
     """SRU ContextQL pattern → ``(CQL pattern | None, filter
     expression | None)`` (``pattlang=contextql``; BlsUtils.parsePatt
@@ -162,28 +111,47 @@ def _normalize_params(reader, params: dict) -> dict:
                 f"document with pid {docpid!r} not found")
         clause = f'pid:"{docpid}"'
         f = params.get("filter")
-        params["filter"] = f"{clause} AND {f}" if f else clause
+        # parenthesize: the filter grammar gives AND precedence over
+        # OR, so an unwrapped 'pid AND a OR b' would leak docs
+        params["filter"] = f"{clause} AND ({f})" if f else clause
     return params
 
 
-def _pid_doc_ids(reader, pid: str) -> np.ndarray:
-    """doc ids for one pid (url), via a pruned pushdown scan, cached
-    per reader lifetime (readers are reopened on every index
-    mutation, which drops the cache) — the docpid 404 check and the
-    pid-filter resolution share one scan per request."""
+def _pid_doc_ids_many(reader, pids: list) -> np.ndarray:
+    """doc ids for a list of pids (urls): cache misses resolve in ONE
+    pruned ``url.isin`` pushdown scan, cached per reader lifetime
+    (readers are reopened on every index mutation, which drops the
+    cache) — the docpid 404 check and the pid-filter resolution share
+    one scan per request, and N pid clauses in one filter cost one
+    scan, not N."""
     cache = getattr(reader, "_pid_ids_cache", None)
     if cache is None:
         cache = reader._pid_ids_cache = {}
-    ids = cache.get(pid)
-    if ids is None:
+    missing = [p for p in pids if p not in cache]
+    if missing:
         import pyarrow.compute as pc
         if len(cache) >= 4096:      # bound per-reader memory
             cache.clear()
         tbl = reader.fwd_dataset().to_table(
-            columns=["doc_id"], filter=pc.field("url") == pid)
-        ids = cache[pid] = np.unique(
-            tbl["doc_id"].to_numpy(zero_copy_only=False))
-    return ids
+            columns=["doc_id", "url"],
+            filter=pc.field("url").isin(missing))
+        ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+        urls = tbl["url"].to_pylist()
+        for p in missing:
+            cache[p] = np.empty(0, np.int64)
+        by_pid: dict = {}
+        for u, d in zip(urls, ids):
+            by_pid.setdefault(u, []).append(int(d))
+        for u, ds in by_pid.items():
+            cache[u] = np.unique(np.asarray(ds, np.int64))
+    sets = [cache[p] for p in pids]
+    if not sets:
+        return np.empty(0, np.int64)
+    return np.unique(np.concatenate(sets))
+
+
+def _pid_doc_ids(reader, pid: str) -> np.ndarray:
+    return _pid_doc_ids_many(reader, [pid])
 
 
 def _allowed_ids(reader, filter_expr: str | None):
@@ -199,7 +167,8 @@ def _allowed_ids(reader, filter_expr: str | None):
                                                parse_filter_expr)
     tree = parse_filter_expr(filter_expr)
     return eval_filter_expr(
-        reader, tree, pid_resolver=lambda p: _pid_doc_ids(reader, p))
+        reader, tree,
+        pid_resolver=lambda ps: _pid_doc_ids_many(reader, ps))
 
 
 # ---------------------------------------------------------------------------

@@ -1049,3 +1049,20 @@ def test_parenthesized_filter_groups(ray_session, tmp_path):
     # sequencing a filtered group is a clear subset error
     with pytest.raises(ValueError, match="whole alternation branch"):
         cql_spans(r, '("beta" within <p/>) "gamma"')
+
+
+def test_query_function_filter_args(reader):
+    """A _FI arg containing a depth-0 within/containing is
+    parenthesized by the lowering, surfacing the filtered-group
+    subset rule instead of SILENTLY regrouping — previously
+    '_FI1("a", "b" within <s/>)' lowered to '"a" "b" within <s/>',
+    which filters the two-token sequence instead of just "b"."""
+    with pytest.raises(ValueError, match="whole alternation branch"):
+        cql_spans(reader, '_FI1("the" within "the" []{0,4} "the", [])')
+    with pytest.raises(ValueError, match="whole alternation branch"):
+        cql_spans(reader, '_FI1("the", "the" within "the" "the")')
+    # a filtered group as the WHOLE query still works through _FI
+    # lowering when it is the only element
+    a = _rows(cql_spans(reader, '("the" within "the" []{0,4} "the")'))
+    assert a == _rows(cql_spans(reader,
+                                '"the" within "the" []{0,4} "the"'))

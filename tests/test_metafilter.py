@@ -175,3 +175,32 @@ def test_filter_expr_errors(meta_reader):
         eval_filter_expr(meta_reader, parse_filter_expr("nope:x"))
     with pytest.raises(FieldTypeError, match="non-numeric"):
         eval_filter_expr(meta_reader, parse_filter_expr("year:abc"))
+
+
+def test_filter_expr_analyzed_query_terms(meta_reader):
+    """Lucene's parser analyzes query terms: capitalized/accented
+    terms and punctuated phrases match the analyzed tokens."""
+    from blacklab_ray.query.metafilter import (eval_filter_expr,
+                                               parse_filter_expr)
+
+    def ids(expr):
+        return eval_filter_expr(
+            meta_reader, parse_filter_expr(expr)).tolist()
+
+    assert ids("title:Fox") == ids("title:fox") == [0, 3]
+    assert ids('title:"Quick FOX"') == [0]
+    # a single term that analyzes to several tokens is an adjacency
+    # match
+    assert ids("title:quick-fox") == [0]
+    # string TermRangeQuery on an untokenized field
+    assert ids("url:[u0 TO u1]") == [0, 1]
+    assert ids("lang:[en TO eo]") == [0, 1, 3]
+
+
+def test_filter_expr_typed_errors(meta_reader):
+    from blacklab_ray.query.metafilter import (FieldTypeError,
+                                               eval_filter_expr,
+                                               parse_filter_expr)
+    for expr in ("year:[a TO b]", 'year:"abc"'):
+        with pytest.raises(FieldTypeError, match="year"):
+            eval_filter_expr(meta_reader, parse_filter_expr(expr))

@@ -1718,11 +1718,14 @@ def test_filter_value_containing_and(ray_session, tmp_path):
     ' AND ' round-trips instead of corrupting the spliced filter."""
     from blacklab_ray.index import BuildParams, build_index
     from blacklab_ray.query import IndexReader
-    from blacklab_ray.server import BlsApp, parse_filter
+    from blacklab_ray.query.metafilter import parse_filter_expr
+    from blacklab_ray.server import BlsApp
 
-    assert parse_filter('pid:"x AND y" AND lang:en') == [
-        ("pid", "=", "x AND y"), ("lang", "=", "en")]
-    assert parse_filter('pid:"a AND b"') == [("pid", "=", "a AND b")]
+    assert parse_filter_expr('pid:"x AND y" AND lang:en') == (
+        "and", [("leaf", "pid", '"x AND y"'),
+                ("leaf", "lang", "en")])
+    assert parse_filter_expr('pid:"a AND b"') \
+        == ("leaf", "pid", '"a AND b"')
 
     tbl = pa.table({
         "url": ["doc one AND two", "plain"],
@@ -1829,3 +1832,38 @@ def test_contextql_full_grammar(srv_index):
         st, _ct, _b = call("/corpora/test/hits?pattlang=contextql"
                            "&patt=" + quote(bad))
         assert st.startswith("400"), bad
+
+
+def test_docpid_with_or_filter(srv_index):
+    """docpid composes with an OR filter without leaking other docs
+    (the spliced pid clause parenthesizes the user filter)."""
+    from urllib.parse import quote
+
+    from blacklab_ray.query import IndexReader
+    from blacklab_ray.server import BlsApp
+    call = _mkcall(BlsApp({"test": IndexReader(srv_index)}))
+    st, _ct, body = call(
+        "/corpora/test/hits?patt=%22quick%22&docpid=d1&filter="
+        + quote("lang:en OR lang:fr"))
+    assert st.startswith("200")
+    assert [h["docPid"] for h in json.loads(body)["hits"]] == ["d1"]
+
+
+def test_contextql_quoted_metadata_values(srv_index):
+    """ContextQL metadata values outside the bare-token charset are
+    quoted into the filter language; embedded double quotes raise."""
+    from urllib.parse import quote
+
+    from blacklab_ray.query import IndexReader
+    from blacklab_ray.query.contextql import contextql_to_patterns
+    from blacklab_ray.server import BlsApp
+    p, f = contextql_to_patterns('title = "(draft)"')
+    assert p is None and f == 'title:"(draft)"'
+    with pytest.raises(ValueError, match="double quote"):
+        contextql_to_patterns('title = "say \\"hi\\""')
+    # end-to-end: a parenthesized value parses and filters (no 400)
+    call = _mkcall(BlsApp({"test": IndexReader(srv_index)}))
+    st, _ct, body = call("/corpora/test/docs?pattlang=contextql"
+                         "&patt=" + quote('title = "(draft)"'))
+    assert st.startswith("200")
+    assert json.loads(body)["summary"]["numberOfDocs"] == 0
