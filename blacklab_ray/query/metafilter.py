@@ -74,6 +74,111 @@ def _check(field: str, ftype: str, op: str) -> None:
             f"(allowed: {sorted(ok)})")
 
 
+def _norm_cond(field: str, ftype: str, op: str, value):
+    """Resolve one typed condition to ``(kind, data, pushdown_expr)``:
+    ``kind`` selects the per-batch mask kernel, ``pushdown_expr`` is an
+    EQUIVALENT Parquet pushdown expression when one exists (=/in/range
+    on numeric/untokenized fields)."""
+    _check(field, ftype, op)
+    if ftype in ("numeric", "untokenized") and op != "wildcard":
+        f = pc.field(field)
+        if op == "=":
+            return "=", value, f == value
+        if op == "in":
+            return "in", list(value), f.isin(list(value))
+        lo, hi = value
+        return "range", (lo, hi), (f >= lo) & (f <= hi)
+    if op == "wildcard":
+        # Lucene WildcardQuery: full-value match on untokenized
+        # fields (raw, case-sensitive), any-analyzed-token match on
+        # tokenized (terms are lowercased by the analyzer)
+        rx = _wildcard_rx(value.lower() if ftype == "tokenized"
+                          else value)
+        kind = "tok_rx" if ftype == "tokenized" else "raw_rx"
+        return kind, f"^(?:{rx})$", None
+    if op == "phrase":
+        return "phrase", value, None
+    # tokenized contains / in: analyze the QUERY side too (Lucene's
+    # parser analyzes query terms): 'Fox' matches the token 'fox'
+    raw = ([str(value)] if op == "contains"
+           else [str(v) for v in value])
+    analyzed = _analyze_tokens(pa.array(raw)).to_pylist()
+    toks = [t for sub in analyzed for t in sub if t]
+    if op == "contains" and len(toks) > 1:
+        # one term that analyzes to several tokens ('dog-days') is an
+        # adjacency match, like Lucene's analyzed phrase
+        return "phrase", " ".join(toks), None
+    return "tokens", toks, None
+
+
+def _cond_mask(tbl: pa.Table, field: str, kind: str,
+               data) -> np.ndarray:
+    """Vectorized boolean mask for one normalized condition over one
+    scanned batch."""
+    if kind == "pid_ids":
+        ids = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+        return np.isin(ids, data)
+    col = tbl.column(field).combine_chunks()
+    if kind == "=":
+        m = pc.equal(col, data)
+    elif kind == "in":
+        m = pc.is_in(col, value_set=pa.array(data, col.type))
+    elif kind == "range":
+        lo, hi = data
+        m = pc.and_(pc.greater_equal(col, lo), pc.less_equal(col, hi))
+    elif kind == "raw_rx":
+        m = pc.match_substring_regex(col, pattern=data)
+    elif kind == "phrase":
+        # analyzed-token adjacency: match the phrase inside the
+        # space-joined analyzed token stream
+        joined = pc.binary_join(_analyze_tokens(col), " ")
+        toks = [t for t in _analyze_tokens(
+            pa.array([data]))[0].as_py() if t]
+        if not toks:
+            return np.zeros(tbl.num_rows, dtype=bool)
+        rx = r"(?:^| )" + r" ".join(
+            _re.escape(t) for t in toks) + r"(?: |$)"
+        m = pc.match_substring_regex(joined, pattern=rx)
+    else:  # tok_rx / tokens: any analyzed token matches
+        analyzed = _analyze_tokens(col)
+        flat = pc.list_flatten(analyzed)
+        parents = pc.list_parent_indices(analyzed).to_numpy(
+            zero_copy_only=False)
+        if kind == "tok_rx":
+            eq = pc.match_substring_regex(
+                flat, pattern=data).fill_null(False).to_numpy(
+                zero_copy_only=False)
+        else:
+            eq = pc.is_in(flat, value_set=pa.array(
+                data, pa.string())).to_numpy(zero_copy_only=False)
+        out = np.zeros(tbl.num_rows, dtype=bool)
+        out[parents[eq]] = True
+        return out
+    return m.fill_null(False).to_numpy(zero_copy_only=False)
+
+
+def _scan_ids(reader, cols: list, pushdown, eval_mask,
+              batch_size: int = 65536) -> np.ndarray:
+    """ONE pruned scan over the fwd dataset; ``eval_mask(tbl) ->
+    bool mask | None`` selects rows per batch. Returns live doc ids."""
+    ds = pa_ds.dataset(os.path.join(reader.index_dir, "fwd"),
+                       format="parquet")
+    out: list[np.ndarray] = []
+    for batch in ds.to_batches(columns=cols, filter=pushdown,
+                               batch_size=batch_size):
+        if batch.num_rows == 0:
+            continue
+        tbl = pa.Table.from_batches([batch])
+        mask = eval_mask(tbl)
+        ids = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+        out.append(ids if mask is None else ids[mask])
+    if not out:
+        return np.empty(0, dtype=np.int64)
+    ids = np.unique(np.concatenate(out))
+    live = reader.mask_tombstones(ids)
+    return ids[live]
+
+
 def filter_docs_meta(reader, conditions: list[tuple],
                      batch_size: int = 65536) -> np.ndarray:
     """Doc ids matching ALL typed conditions.
@@ -84,10 +189,14 @@ def filter_docs_meta(reader, conditions: list[tuple],
     - ``("in", [v, ...])`` — any-of; for tokenized fields each v is an
       analyzed token
     - ``("contains", tok)`` — tokenized: analyzed token present
-    - ``("range", (lo, hi))`` — numeric, inclusive both ends
-    """
+    - ``("range", (lo, hi))`` — inclusive both ends (numeric, or
+      string TermRangeQuery on untokenized fields)
+    - ``("wildcard", v)`` / ``("phrase", v)`` — Lucene wildcard /
+      analyzed-phrase matches
+
+    Pushdown-expressible conds prune at the Parquet reader; the rest
+    evaluate as vectorized per-batch kernels. ONE scan total."""
     types = metadata_field_types(reader)
-    fields = []
     pushdown = None
     post: list[tuple] = []
     for field, op, value in conditions:
@@ -95,95 +204,21 @@ def filter_docs_meta(reader, conditions: list[tuple],
         if ftype is None:
             raise KeyError(f"unknown metadata field {field!r}; declared: "
                            f"{sorted(types)}")
-        _check(field, ftype, op)
-        fields.append(field)
-        if ftype in ("numeric", "untokenized") and op != "wildcard":
-            f = pc.field(field)
-            if op == "=":
-                expr = f == value
-            elif op == "in":
-                expr = f.isin(list(value))
-            else:
-                lo, hi = value
-                expr = (f >= lo) & (f <= hi)
+        kind, data, expr = _norm_cond(field, ftype, op, value)
+        if expr is not None:
             pushdown = expr if pushdown is None else (pushdown & expr)
-        elif op == "wildcard":
-            # Lucene WildcardQuery: full-value match on untokenized
-            # fields (raw, case-sensitive), any-analyzed-token match
-            # on tokenized (terms are lowercased by the analyzer)
-            rx = _wildcard_rx(value.lower() if ftype == "tokenized"
-                              else value)
-            post.append((field, "tok_rx" if ftype == "tokenized"
-                         else "raw_rx", f"^(?:{rx})$"))
-        elif op == "phrase":
-            post.append((field, "phrase", value))
         else:
-            # analyze the QUERY side too (Lucene's parser analyzes
-            # query terms): 'Fox' matches the lowercased token 'fox'
-            raw = ([str(value)] if op == "contains"
-                   else [str(v) for v in value])
-            analyzed = _analyze_tokens(pa.array(raw)).to_pylist()
-            toks = [t for sub in analyzed for t in sub if t]
-            if op == "contains" and len(toks) > 1:
-                # one term that analyzes to several tokens
-                # ('dog-days') is an adjacency match, like Lucene's
-                # analyzed phrase
-                post.append((field, "phrase", " ".join(toks)))
-            else:
-                post.append((field, "tokens", toks))
-    ds = pa_ds.dataset(os.path.join(reader.index_dir, "fwd"),
-                       format="parquet")
-    cols = ["doc_id"] + sorted({f for f, _k, _d in post})
-    out: list[np.ndarray] = []
-    for batch in ds.to_batches(columns=cols, filter=pushdown,
-                               batch_size=batch_size):
-        if batch.num_rows == 0:
-            continue
-        tbl = pa.Table.from_batches([batch])
+            post.append((field, kind, data))
+
+    def eval_mask(tbl):
         mask = None
         for field, kind, data in post:
-            col = tbl.column(field).combine_chunks()
-            if kind == "raw_rx":
-                m = pc.match_substring_regex(
-                    col, pattern=data).fill_null(False).to_numpy(
-                    zero_copy_only=False)
-            elif kind == "phrase":
-                # analyzed-token adjacency: match the phrase inside
-                # the space-joined analyzed token stream
-                joined = pc.binary_join(_analyze_tokens(col), " ")
-                toks = [t for t in _analyze_tokens(
-                    pa.array([data]))[0].as_py() if t]
-                if not toks:
-                    m = np.zeros(tbl.num_rows, dtype=bool)
-                else:
-                    rx = r"(?:^| )" + r" ".join(
-                        _re.escape(t) for t in toks) + r"(?: |$)"
-                    m = pc.match_substring_regex(
-                        joined,
-                        pattern=rx).fill_null(False).to_numpy(
-                        zero_copy_only=False)
-            else:
-                analyzed = _analyze_tokens(col)
-                flat = pc.list_flatten(analyzed)
-                parents = pc.list_parent_indices(analyzed).to_numpy(
-                    zero_copy_only=False)
-                if kind == "tok_rx":
-                    eq = pc.match_substring_regex(
-                        flat, pattern=data).fill_null(False).to_numpy(
-                        zero_copy_only=False)
-                else:
-                    eq = pc.is_in(flat, value_set=pa.array(
-                        data)).to_numpy(zero_copy_only=False)
-                m = np.zeros(tbl.num_rows, dtype=bool)
-                m[parents[eq]] = True
+            m = _cond_mask(tbl, field, kind, data)
             mask = m if mask is None else (mask & m)
-        ids = tbl.column("doc_id").to_numpy(zero_copy_only=False)
-        out.append(ids if mask is None else ids[mask])
-    if not out:
-        return np.empty(0, dtype=np.int64)
-    ids = np.unique(np.concatenate(out))
-    live = reader.mask_tombstones(ids)
-    return ids[live]
+        return mask
+
+    cols = ["doc_id"] + sorted({f for f, _k, _d in post})
+    return _scan_ids(reader, cols, pushdown, eval_mask, batch_size)
 
 
 # ---------------------------------------------------------------------------
@@ -336,67 +371,102 @@ def _leaf_cond(field: str, rawval: str, ftype: str) -> tuple:
 
 
 def eval_filter_expr(reader, node, pid_resolver=None) -> np.ndarray:
-    """Evaluate a parsed filter tree to a doc-id array. ``pid``
-    leaves resolve via ``pid_resolver(pids: list) -> ids`` (url
-    lookup — list-valued so N pid clauses in one conjunction batch
-    into one scan). AND groups of plain leaves run as ONE
-    ``filter_docs_meta`` scan; ``a AND NOT b`` subtracts without
-    materializing the universe; a bare NOT complements against all
-    live doc ids."""
+    """Evaluate a parsed filter tree to a doc-id array in ONE pruned
+    scan: every leaf becomes a vectorized per-batch mask and the tree
+    combines masks row-wise (AND/OR/NOT are numpy boolean algebra —
+    NOT never materializes the corpus universe, which matters at
+    10^12 docs). A NECESSARY-condition Parquet expression derived
+    from the tree (AND of whatever conjuncts are pushdown-expressible;
+    OR only when every branch is) prunes row groups before the mask
+    pass. ``pid`` leaves resolve via ``pid_resolver(pids: list) ->
+    ids`` (url lookup, batched and cached by the caller)."""
     types = metadata_field_types(reader)
 
-    def resolve(field, rawval):
-        if field == "pid" and pid_resolver is not None:
-            return None  # handled by caller
-        ftype = types.get(field)
-        if ftype is None:
-            raise KeyError(
-                f"unknown metadata field {field!r}; declared: "
-                f"{sorted(types)}")
-        return _leaf_cond(field, rawval, ftype)
+    # resolve leaves: ("mask", field, kind, data, pushdown|None)
+    pid_vals: list[str] = []
 
-    def ev(n) -> np.ndarray:
+    def compile_node(n):
         kind = n[0]
         if kind == "leaf":
             _k, field, rawval = n
             if field == "pid" and pid_resolver is not None:
-                return pid_resolver([rawval.strip('"')])
-            return filter_docs_meta(reader, [resolve(field, rawval)])
+                pid_vals.append(rawval.strip('"'))
+                return ("pid", rawval.strip('"'))
+            ftype = types.get(field)
+            if ftype is None:
+                raise KeyError(
+                    f"unknown metadata field {field!r}; declared: "
+                    f"{sorted(types)}")
+            f, op, value = _leaf_cond(field, rawval, ftype)
+            mkind, data, expr = _norm_cond(f, ftype, op, value)
+            return ("mask", f, mkind, data, expr)
         if kind == "not":
-            return np.setdiff1d(reader.all_doc_ids(), ev(n[1]))
-        children = n[1]
-        if kind == "or":
-            sets = [ev(c) for c in children]
-            return np.unique(np.concatenate(sets)) if sets \
-                else np.empty(0, np.int64)
-        # and: one scan for the plain-leaf conjuncts, then intersect
-        # subtree results and subtract NOT children
-        leaf_conds, pids, subs, negs = [], [], [], []
-        for c in children:
-            if c[0] == "leaf" and c[1] == "pid" \
-                    and pid_resolver is not None:
-                pids.append(c[2].strip('"'))
-            elif c[0] == "leaf":
-                leaf_conds.append(resolve(c[1], c[2]))
-            elif c[0] == "not":
-                negs.append(c[1])
-            else:
-                subs.append(c)
-        ids = None
-        if leaf_conds:
-            ids = filter_docs_meta(reader, leaf_conds)
-        if pids:
-            # multiple pid conds union (any-of), resolved in ONE
-            # batched lookup, like the pre-tree _allowed_ids
-            p = pid_resolver(pids)
-            ids = p if ids is None else np.intersect1d(ids, p)
-        for s in subs:
-            e = ev(s)
-            ids = e if ids is None else np.intersect1d(ids, e)
-        if ids is None:
-            ids = reader.all_doc_ids()
-        for g in negs:
-            ids = np.setdiff1d(ids, ev(g))
-        return ids
+            return ("not", compile_node(n[1]))
+        return (kind, [compile_node(c) for c in n[1]])
 
-    return ev(node)
+    tree = compile_node(node)
+    pid_ids = (pid_resolver(sorted(set(pid_vals)))
+               if pid_vals else None)
+    pid_set: dict = {}
+    if pid_vals:
+        # per-pid ids for leaf masks (resolver caches, so re-asking
+        # per distinct pid costs no extra scan)
+        for pv in set(pid_vals):
+            pid_set[pv] = pid_resolver([pv])
+
+    def necessary(n):
+        """A Parquet expression IMPLIED by the subtree (or None)."""
+        kind = n[0]
+        if kind == "mask":
+            return n[4]
+        if kind == "pid":
+            return pc.field("url") == n[1]
+        if kind == "not":
+            return None
+        parts = [necessary(c) for c in n[1]]
+        if kind == "and":
+            parts = [e for e in parts if e is not None]
+            if not parts:
+                return None
+            out = parts[0]
+            for e in parts[1:]:
+                out = out & e
+            return out
+        # or: only valid if EVERY branch has a necessary expr
+        if any(e is None for e in parts):
+            return None
+        out = parts[0]
+        for e in parts[1:]:
+            out = out | e
+        return out
+
+    def fields_of(n, acc):
+        kind = n[0]
+        if kind == "mask":
+            acc.add(n[1])
+        elif kind in ("and", "or"):
+            for c in n[1]:
+                fields_of(c, acc)
+        elif kind == "not":
+            fields_of(n[1], acc)
+        return acc
+
+    def ev_mask(tbl, n):
+        kind = n[0]
+        if kind == "mask":
+            return _cond_mask(tbl, n[1], n[2], n[3])
+        if kind == "pid":
+            ids = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+            return np.isin(ids, pid_set[n[1]])
+        if kind == "not":
+            return ~ev_mask(tbl, n[1])
+        parts = [ev_mask(tbl, c) for c in n[1]]
+        return (np.logical_and.reduce(parts) if kind == "and"
+                else np.logical_or.reduce(parts))
+
+    # pure-pid fast path: the resolver already did the pruned lookup
+    if tree[0] == "pid":
+        return pid_ids
+    cols = ["doc_id"] + sorted(fields_of(tree, set()))
+    return _scan_ids(reader, cols, necessary(tree),
+                     lambda tbl: ev_mask(tbl, tree))

@@ -204,3 +204,25 @@ def test_filter_expr_typed_errors(meta_reader):
     for expr in ("year:[a TO b]", 'year:"abc"'):
         with pytest.raises(FieldTypeError, match="year"):
             eval_filter_expr(meta_reader, parse_filter_expr(expr))
+
+
+def test_filter_expr_single_scan_tree(meta_reader, monkeypatch):
+    """OR/NOT trees evaluate in ONE pruned scan (per-batch boolean
+    masks), not one scan per leaf plus set algebra."""
+    import blacklab_ray.query.metafilter as mf
+    calls = []
+    real = mf.pa_ds.dataset
+
+    def spy(*a, **k):
+        calls.append(a)
+        return real(*a, **k)
+    monkeypatch.setattr(mf.pa_ds, "dataset", spy)
+    ids = mf.eval_filter_expr(
+        meta_reader, mf.parse_filter_expr(
+            "(lang:en OR title:fox) AND NOT year:2021"))
+    assert ids.tolist() == [0, 1]
+    assert len(calls) == 1, f"expected 1 scan, saw {len(calls)}"
+    # tombstone masking still applies on the NOT path
+    ids = mf.eval_filter_expr(
+        meta_reader, mf.parse_filter_expr("NOT lang:xx"))
+    assert ids.tolist() == [0, 1, 2, 3]
