@@ -319,16 +319,25 @@ def _eval_constraint(reader, node: CNode, spans: pa.Table,
     table (SpansConstrained.java:15 post-filter, one forward-index
     gather per distinct (capture, annotation) operand)."""
     if isinstance(node, CCmp):
+        from blacklab_ray.analysis.analyzers import normalize_text
+
         def resolve(op):
             if op[0] == "lit":
                 return None  # handled below
             _, name, annot = op
             return reader.tokens_at(d, spans[f"{name}_pos"].to_numpy(),
                                     annotation=annot)
+
+        def fold(x):
+            # MatchFilterEquals compares INSENSITIVE (cql.jj:147):
+            # lowercase + accent strip both sides (idempotent when the
+            # fwd stream is already the normalized 'i' annotation)
+            return None if x is None else normalize_text(x)
         ta = resolve(node.left)
         tb = resolve(node.right)
         if ta is None and tb is None:
-            eq = np.full(len(d), node.left[1] == node.right[1])
+            eq = np.full(len(d), normalize_text(str(node.left[1]))
+                         == normalize_text(str(node.right[1])))
         elif ta is None or tb is None:
             toks = tb if ta is None else ta
             lit = node.left[1] if ta is None else node.right[1]
@@ -337,10 +346,11 @@ def _eval_constraint(reader, node: CNode, spans: pa.Table,
                 eq = np.array([x is not None and bool(rx.match(x))
                                for x in toks], dtype=bool)
             else:
-                eq = np.array([x is not None and x == lit
+                nlit = normalize_text(str(lit))
+                eq = np.array([x is not None and fold(x) == nlit
                                for x in toks], dtype=bool)
         else:
-            eq = np.array([x is not None and x == y
+            eq = np.array([x is not None and fold(x) == fold(y)
                            for x, y in zip(ta, tb)], dtype=bool)
         return eq if node.op == "=" else ~eq
     if isinstance(node, CNot):

@@ -1066,3 +1066,16 @@ def test_query_function_filter_args(reader):
     a = _rows(cql_spans(reader, '("the" within "the" []{0,4} "the")'))
     assert a == _rows(cql_spans(reader,
                                 '"the" within "the" []{0,4} "the"'))
+
+
+def test_constraint_equality_insensitive(reader):
+    """MatchFilterEquals compares with MatchSensitivity.INSENSITIVE
+    (cql.jj:147): literal case/diacritics don't matter."""
+    base = cql_spans(reader, '(A:"the") (B:"the") :: A.word = "the"')
+    cap = cql_spans(reader, '(A:"the") (B:"the") :: A.word = "The"')
+    assert cap.num_rows == base.num_rows > 0
+    neq = cql_spans(reader, '(A:"the") (B:"the") :: A.word != "THE"')
+    assert neq.num_rows == 0
+    # annot-vs-annot compare folds both sides
+    both = cql_spans(reader, '(A:"the") (B:"the") :: A.word = B.word')
+    assert both.num_rows == base.num_rows
