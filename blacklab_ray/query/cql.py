@@ -733,9 +733,16 @@ def _parse_items(items: list):
             else:
                 right = _build_union(rest)
             return FilterPlan(op=str(val), producer=left, filter=right)
+    if len(items) == 1 and items[0][0] == "tag":
+        # standalone structural tag query (`<character/>` —
+        # SpanQueryTags.java:31 as a top-level query, the
+        # TestStandoffSpans.java shape): the tag spans ARE the result
+        name, attrs = items[0][1]
+        return TagPlan(name=str(name), attrs=attrs)
     if any(k == "tag" for k, _ in items):
         raise ValueError("structural tags are only supported as the "
-                         "filter operand of within/containing")
+                         "filter operand of within/containing, a "
+                         "standalone tag query, or edge anchors")
     return _build_union(items)
 
 
@@ -1632,6 +1639,8 @@ def _filter_plan_spans(reader, plan: FilterPlan) -> pa.Table:
 
 def _plan_spans(reader, plan: "SeqPlan | UnionPlan | AndPlan") \
         -> pa.Table:
+    if isinstance(plan, TagPlan):
+        return _tag_plan_spans(reader, plan)
     if isinstance(plan, SeqPlan):
         return cql_spans_seq(reader, plan)
     if isinstance(plan, FilterPlan):

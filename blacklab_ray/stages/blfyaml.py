@@ -117,7 +117,9 @@ def load_blf_yaml(src: str, name: str | None = None,
     word_value = "."
     extra: dict[str, str] = {}
     inline: tuple = ()
+    inline_ids: dict[str, str] = {}
     standoff: list = []
+    spanoff: list = []
     subfe: list = []
     fld: dict = {}
     if fields:
@@ -155,14 +157,33 @@ def load_blf_yaml(src: str, name: str | None = None,
                         _join(base, s["valuePath"])
                 else:
                     extra[f'{a["name"]}_{s["name"]}'] = None
-        inline = tuple(_tag_local(t["path"] if isinstance(t, dict)
-                                  else str(t))
-                       for t in (fld.get("inlineTags") or []))
+        inline_names: list[str] = []
+        for t in (fld.get("inlineTags") or []):
+            nm = _tag_local(t["path"] if isinstance(t, dict)
+                            else str(t))
+            inline_names.append(nm)
+            # tokenIdPath on an inline tag: position-marker (anchor)
+            # ids standoff spans can reference
+            if isinstance(t, dict) and (t.get("tokenIdPath")
+                                        or t.get("tokenPositionIdPath")):
+                inline_ids[nm] = (t.get("tokenIdPath")
+                                  or t["tokenPositionIdPath"])
+        inline = tuple(inline_names)
         for s in (fld.get("standoffAnnotations") or []):
             vals = {a["name"]: a.get("valuePath", ".")
                     for a in (s.get("annotations") or [])}
-            standoff.append((s["path"], s.get("tokenRefPath", "."),
-                             vals))
+            if s.get("spanEndPath"):
+                # span-style standoff (ConfigStandoffAnnotations
+                # spanStartPath/spanEndPath) → a queryable tag span
+                spanoff.append((
+                    s["path"], s["spanStartPath"], s["spanEndPath"],
+                    bool(s.get("spanEndIsInclusive", True)),
+                    s.get("spanNamePath"), vals))
+            else:
+                standoff.append((
+                    s["path"],
+                    s.get("tokenRefPath")
+                    or s.get("refTokenPositionIdPath") or ".", vals))
     elif not cfg.get("metadata"):
         # metadata-only configs (cmdi.blf.yaml: linked-document
         # metadata) are valid; a config with NEITHER is empty
@@ -203,8 +224,11 @@ def load_blf_yaml(src: str, name: str | None = None,
         doc_id_value=doc_id_value,
         metadata_foreach=tuple(foreach),
         foreach_fields=tuple(cfg.get("foreachFields", ())),
-        token_id_path=fld.get("tokenIdPath"),
+        token_id_path=(fld.get("tokenIdPath")
+                       or fld.get("tokenPositionIdPath")),
         standoff_annotations=tuple(standoff),
+        standoff_spans=tuple(spanoff),
+        inline_tag_id_paths=inline_ids,
         subannotation_foreach=tuple(subfe),
         capture_punct=bool(fld.get("punctPath")),
     )

@@ -89,6 +89,24 @@ class XmlFormatConfig:
     # values to the referenced token positions
     token_id_path: str | None = None
     standoff_annotations: tuple = ()
+    # standoff SPAN annotations (ConfigStandoffAnnotations.java:21-36,
+    # TestStandoffSpans.java; tei-standoff-spans.blf.yaml): entries
+    # (path, span_start_path, span_end_path, end_inclusive,
+    # span_name_path, {ann: value_path}). Start/end resolve through
+    # the token-id map (word tokenIdPath AND inline-tag tokenIdPath
+    # anchors); the span lands in the tags column with the
+    # annotations as attributes. NOTE: with end_inclusive=False the
+    # end ref's own position IS the exclusive end — the semantics
+    # TestStandoffSpans.java:86 asserts as correct (the reference's
+    # implementation has a known off-by-one there, annotated "FAILS,
+    # actually 3, but that's wrong"; we implement the asserted
+    # behavior).
+    standoff_spans: tuple = ()
+    # inline-tag local name → tokenIdPath: the tag registers a token
+    # id for the CURRENT position when opened (anchor/@synch in
+    # tei-standoff-spans.blf.yaml — a zero-length position marker
+    # standoff spans can reference)
+    inline_tag_id_paths: Mapping[str, str] = field(default_factory=dict)
     # (parent_annot, foreach_path, name_path, value_path): per-word
     # dynamic subannotation fill — the value lands in the DECLARED
     # annotation named parent_<name> (folia:feat @subset/@class)
@@ -564,6 +582,13 @@ def _extract_doc(doc_el, cfg: XmlFormatConfig,
             return
         opened = None
         if _local(el.tag) in inline:
+            idp = cfg.inline_tag_id_paths.get(_local(el.tag))
+            if idp:
+                # position-marker tag (anchor/@synch): its id refers
+                # to the position of the NEXT token
+                tid = _value(el, idp, parents)
+                if tid:
+                    tok_pos[tid] = len(words)
             opened = {"name": _local(el.tag), "start": len(words),
                       "attrs": ";".join(
                           f"{_local(k)}={v}"
@@ -584,6 +609,25 @@ def _extract_doc(doc_el, cfg: XmlFormatConfig,
         punct.append(" ".join(pbuf))    # trailing text
         pbuf.clear()
         anns["punct"] = punct
+    # standoff SPAN annotations → tag spans, start/end resolved
+    # through the token-id map (words and anchors both register ids)
+    for sp_path, p_start, p_end, inclusive, name_path, sp_anns in \
+            cfg.standoff_spans:
+        for sp_el in _iter_path(doc_el, sp_path, parents):
+            s = tok_pos.get(_value(sp_el, p_start, parents))
+            e = tok_pos.get(_value(sp_el, p_end, parents))
+            if s is None or e is None:
+                continue                # unresolvable ref: skip span
+            if inclusive:
+                e += 1                  # end ref = LAST token inside
+            nm = (_value(sp_el, name_path, parents)
+                  if name_path else "") or "span"
+            if e > s:
+                spans.append({
+                    "name": nm, "start": s, "end": e,
+                    "attrs": ";".join(
+                        f"{a}={_value(sp_el, vp, parents)}"
+                        for a, vp in sorted(sp_anns.items()))})
     # standoff annotations attach by token reference after the walk
     for st_path, ref_path, st_anns in cfg.standoff_annotations:
         filled = {a: ["_"] * len(words) for a in st_anns}
@@ -623,7 +667,10 @@ def extract_xml_config(cfg: XmlFormatConfig, encoding: str = "utf-8"):
             + [v for fe in cfg.metadata_foreach for v in fe]
             + [p for sf in cfg.subannotation_foreach for p in sf[1:]]
             + [p for st in cfg.standoff_annotations
-               for p in (st[0], st[1], *st[2].values())])
+               for p in (st[0], st[1], *st[2].values())]
+            + [p for sp in cfg.standoff_spans
+               for p in (sp[0], sp[1], sp[2], sp[4] or "",
+                         *sp[5].values())])
         for path, body in zip(batch.column("path").to_pylist(),
                               batch.column("bytes").to_pylist()):
             root = ET.fromstring(body.decode(encoding,

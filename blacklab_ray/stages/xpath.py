@@ -519,7 +519,10 @@ class _Evaluator:
             return False
         if test == "*":
             return isinstance(node.tag, str)
-        return _local(node.tag) == test
+        # namespace-prefixed name tests (tei:w) match by LOCAL name,
+        # like the subset engine: ElementTree stores {uri}w and the
+        # config's prefix binding is informational here
+        return _local(node.tag) == test.rsplit(":", 1)[-1]
 
     # ---- steps ----
 

@@ -424,3 +424,58 @@ def test_reference_folia_config_subannotations():
     assert cfg.annotations["pos_getal"] is None
     assert cfg.subannotation_foreach and \
         cfg.subannotation_foreach[0][0] == "pos"
+
+
+# ---------------------------------------------------------------------------
+# standoff SPAN annotations (TestStandoffSpans.java)
+# ---------------------------------------------------------------------------
+
+REF_STANDOFF = "/root/reference/engine/src/test/resources/standoff"
+
+
+def test_standoff_spans_reference_fixture(ray_session, tmp_path):
+    """TestStandoffSpans.java replicated over the reference's own
+    tei-standoff-spans.blf.yaml + test.xml: spanGrp/span standoff
+    annotations become queryable <character/> tag spans, start/end
+    resolved through BOTH w/@xml:id word ids and anchor/@synch
+    position markers (inline-tag tokenIdPath).
+
+    Expected spans per the reference test's assertions: (0,2)
+    [time-based, exclusive anchor end — the asserted-correct value;
+    the reference impl's known off-by-one yields 3 and the test
+    comment calls that wrong] and (3,5) [inclusive word end]."""
+    if not os.path.isdir(REF_STANDOFF):
+        pytest.skip("reference standoff dir not present")
+    from blacklab_ray.formats import register_yaml_format
+    with open(os.path.join(REF_STANDOFF,
+                           "tei-standoff-spans.blf.yaml")) as f:
+        name = register_yaml_format(f.read(), name="tei-standoff")
+    rows = read_pages(name,
+                      os.path.join(REF_STANDOFF, "test.xml")).take_all()
+    assert len(rows) == 1
+    r = rows[0]
+    # tokens: w w pause w w vocal incident (wordPath matches all four
+    # element kinds); element annotation via name()
+    assert r["element"] == ["w", "w", "pause", "w", "w", "vocal",
+                            "incident"]
+    ch = sorted((t["start"], t["end"]) for t in r["tags"]
+                if t["name"] == "character")
+    assert ch == [(0, 2), (3, 5)]
+    # span annotations land as tag attributes
+    attrs = {(t["start"], t["end"]): t["attrs"] for t in r["tags"]
+             if t["name"] == "character"}
+    assert "value=Santa Claus" in attrs[(0, 2)]
+    assert "value=Easter Bunny" in attrs[(3, 5)]
+
+    # build + query <character/> like SpanQueryTags
+    from blacklab_ray.index import BuildParams, build_index
+    from blacklab_ray.query import IndexReader
+    from blacklab_ray.query.cql import cql_spans
+    idx = str(tmp_path / "idx")
+    build_index(read_pages(name, os.path.join(REF_STANDOFF,
+                                              "test.xml")),
+                idx, BuildParams(num_buckets=2, n_salts=1))
+    rd = IndexReader(idx)
+    t = cql_spans(rd, "<character/>")
+    got = sorted(zip(t["start"].to_pylist(), t["end"].to_pylist()))
+    assert got == [(0, 2), (3, 5)]
