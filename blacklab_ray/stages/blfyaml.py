@@ -90,7 +90,29 @@ def load_blf_yaml(src: str, name: str | None = None,
         if name is None:
             base = os.path.basename(src)
             name = base.split(".blf.yaml")[0].split(".yaml")[0]
-    cfg = yaml.safe_load(text) or {}
+    # duplicate mapping keys are configuration errors, not
+    # last-wins (InputFormatReader rejects them; TestYaml.java
+    # expects a message containing "Duplicate")
+    class _NoDupLoader(yaml.SafeLoader):
+        pass
+
+    def _mapping_nodup(loader, node, deep=False):
+        seen = set()
+        for k_node, _v in node.value:
+            k = loader.construct_object(k_node, deep=deep)
+            try:
+                dup = k in seen
+            except TypeError:       # unhashable key: let yaml handle
+                continue
+            if dup:
+                raise ValueError(
+                    f"Duplicate key {k!r} in .blf.yaml mapping")
+            seen.add(k)
+        return yaml.SafeLoader.construct_mapping(loader, node, deep)
+
+    _NoDupLoader.add_constructor(
+        yaml.resolver.BaseResolver.DEFAULT_MAPPING_TAG, _mapping_nodup)
+    cfg = yaml.load(text, Loader=_NoDupLoader) or {}
     if not isinstance(cfg, dict):
         raise ValueError("blf.yaml must be a mapping at top level")
     ftype = cfg.get("fileType", "xml" if "documentPath" in cfg
@@ -120,6 +142,7 @@ def load_blf_yaml(src: str, name: str | None = None,
     inline_ids: dict[str, str] = {}
     standoff: list = []
     spanoff: list = []
+    captures: dict[str, tuple] = {}
     subfe: list = []
     fld: dict = {}
     if fields:
@@ -132,7 +155,11 @@ def load_blf_yaml(src: str, name: str | None = None,
             raise ValueError("annotatedField needs an annotations "
                              "list")
         word_value = annots[0].get("valuePath", ".")
+        if annots[0].get("captureValuePaths"):
+            captures[""] = tuple(annots[0]["captureValuePaths"])
         for a in annots[1:]:
+            if a.get("captureValuePaths"):
+                captures[a["name"]] = tuple(a["captureValuePaths"])
             if "forEachPath" in a:
                 raise ValueError(
                     "forEachPath is not allowed inside annotations "
@@ -229,6 +256,7 @@ def load_blf_yaml(src: str, name: str | None = None,
         standoff_annotations=tuple(standoff),
         standoff_spans=tuple(spanoff),
         inline_tag_id_paths=inline_ids,
+        annotation_captures=captures,
         subannotation_foreach=tuple(subfe),
         capture_punct=bool(fld.get("punctPath")),
     )

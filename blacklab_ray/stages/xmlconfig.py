@@ -107,6 +107,13 @@ class XmlFormatConfig:
     # tei-standoff-spans.blf.yaml — a zero-length position marker
     # standoff spans can reference)
     inline_tag_id_paths: Mapping[str, str] = field(default_factory=dict)
+    # captureValuePaths (ConfigAnnotation.java:55-56,
+    # DocIndexerXPath.java:693-702): per word element, each capture
+    # path evaluates to a string substituted for $1..$9 in the
+    # annotation's valuePath BEFORE it is evaluated. Keyed by
+    # annotation name; the main word annotation uses key "".
+    annotation_captures: Mapping[str, tuple] = field(
+        default_factory=dict)
     # (parent_annot, foreach_path, name_path, value_path): per-word
     # dynamic subannotation fill — the value lands in the DECLARED
     # annotation named parent_<name> (folia:feat @subset/@class)
@@ -494,6 +501,11 @@ def _value_subset(el, path: str, parents: dict | None = None) -> str:
     m = _FUNC_RE.match(path)
     if m is not None:
         return _eval_func(el, m.group(1), m.group(2), parents)
+    if "@" in path and "|" in _outside_brackets(path):
+        # attribute unions ('@lemma | sib::join[...]/@lemma', the
+        # nodups.blf.yaml shape) need XPath document-order union
+        # semantics — out of subset
+        raise ValueError("attribute union path")
     if path.startswith("@"):
         return _attr_get(el, path[1:]) or ""
     if "/@" in path:
@@ -550,9 +562,21 @@ def _extract_doc(doc_el, cfg: XmlFormatConfig,
         if s and s.strip():
             pbuf.append(s.strip())
 
+    def subst_captures(el, aname: str, path: str) -> str:
+        """$1..$9 substitution from the annotation's
+        captureValuePaths, evaluated against the word element
+        (DocIndexerXPath.java:693-702)."""
+        caps = cfg.annotation_captures.get(aname)
+        if not caps or "$" not in path:
+            return path
+        for i, cp in enumerate(caps, 1):
+            path = path.replace(f"${i}", _value(el, cp, parents))
+        return path
+
     def walk(el):
         if id(el) in word_ids:
-            w = _value(el, cfg.word_value, parents)
+            w = _value(el, subst_captures(el, "", cfg.word_value),
+                       parents)
             if cfg.token_id_path:
                 tid = _value(el, cfg.token_id_path, parents)
                 if tid:
@@ -566,7 +590,8 @@ def _extract_doc(doc_el, cfg: XmlFormatConfig,
             for a, p in cfg.annotations.items():
                 # p None: declared subannotation with no valuePath —
                 # filled by subannotation_foreach below or left ""
-                v = _value(el, p, parents) if p else ""
+                v = (_value(el, subst_captures(el, a, p), parents)
+                     if p else "")
                 # empty stays empty ("" = no value, the reference's
                 # convention for e.g. a missing @lemma); only internal
                 # whitespace is escaped (token alignment)
@@ -670,7 +695,9 @@ def extract_xml_config(cfg: XmlFormatConfig, encoding: str = "utf-8"):
                for p in (st[0], st[1], *st[2].values())]
             + [p for sp in cfg.standoff_spans
                for p in (sp[0], sp[1], sp[2], sp[4] or "",
-                         *sp[5].values())])
+                         *sp[5].values())]
+            + [p for caps in cfg.annotation_captures.values()
+               for p in caps])
         for path, body in zip(batch.column("path").to_pylist(),
                               batch.column("bytes").to_pylist()):
             root = ET.fromstring(body.decode(encoding,

@@ -479,3 +479,59 @@ def test_standoff_spans_reference_fixture(ray_session, tmp_path):
     t = cql_spans(rd, "<character/>")
     got = sorted(zip(t["start"].to_pylist(), t["end"].to_pylist()))
     assert got == [(0, 2), (3, 5)]
+
+
+def test_blf_yaml_duplicate_keys_rejected():
+    """TestYaml.java: duplicate mapping keys in a .blf.yaml are a
+    configuration error (InputFormatReader), not YAML last-wins —
+    the reference's own nodups.blf.yaml fixture must be rejected."""
+    from blacklab_ray.stages.blfyaml import load_blf_yaml
+    nodups = ("/root/reference/engine/src/test/resources/yaml/"
+              "nodups.blf.yaml")
+    if not os.path.exists(nodups):
+        pytest.skip("reference yaml dir not present")
+    with pytest.raises(ValueError, match="Duplicate"):
+        load_blf_yaml(nodups)
+    with pytest.raises(ValueError, match="Duplicate"):
+        load_blf_yaml("documentPath: //a\ndocumentPath: //b\n",
+                      allow_path=False)
+
+
+def test_capture_value_paths(ray_session, tmp_path):
+    """captureValuePaths (ConfigAnnotation.java:55-56,
+    DocIndexerXPath.java:693-702): per word element each capture
+    path's string value substitutes $1..$9 into the valuePath before
+    evaluation — the nodups.blf.yaml lemma-join shape, where a word
+    without its own @lemma inherits it from a following tei:join
+    element whose @target lists the word's xml:id."""
+    from blacklab_ray.formats import read_pages, register_yaml_format
+    yml = """
+documentPath: //TEI
+annotatedFields:
+  contents:
+    containerPath: text
+    wordPath: .//w
+    annotations:
+    - name: word
+      valuePath: .
+    - name: lemma
+      captureValuePaths:
+      - "@xml:id"
+      valuePath: "@lemma | following-sibling::join[position()=1 and\
+ '$1'!='' and contains(concat(@target,' '),'#$1 ')]/@lemma"
+"""
+    name = register_yaml_format(yml, name="capfmt")
+    xml = ("<TEI><text>"
+           "<w xml:id='a1' lemma='direct'>one</w>"
+           "<w xml:id='a2'>two</w>"
+           "<w xml:id='a3'>three</w>"
+           "<join target='#a2 #a3' lemma='joined'/>"
+           "<w xml:id='a4'>four</w>"
+           "</text></TEI>")
+    p = tmp_path / "c.xml"
+    p.write_text(xml)
+    rows = read_pages(name, str(p)).take_all()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["text"].split() == ["one", "two", "three", "four"]
+    assert r["lemma"] == ["direct", "joined", "joined", ""]
