@@ -172,10 +172,21 @@ class CImpl:
     b: "CNode"
 
 
-CNode = CCmp | CNot | CAnd | COr | CImpl
+@dataclass
+class CCapRef:
+    """Bare capture reference used as a boolean: true when the
+    (possibly optional) capture matched in this hit
+    (TestSearches.testConstraintImplication1: `c -> (a.word =
+    b.word)` with `(c:'noot')?` — the reference resolves the label to
+    the capture's match state)."""
+    name: str
+
+
+CNode = CCmp | CNot | CAnd | COr | CImpl | CCapRef
 
 _C_TOKEN_RE = re.compile(r"""\s*(?:
       (?P<name>[A-Za-z_]\w*)\s*\.\s*(?P<annot>[A-Za-z_]\w*)
+    | (?P<bare>[A-Za-z_]\w*)
     | "(?P<lit>(?:[^"\\]|\\.)*)"
     | (?P<arrow>->)
     | (?P<neq>!=)
@@ -208,6 +219,10 @@ class _ConstraintParser:
             if m.group("name") is not None:
                 self.toks.append(("cap", (m.group("name"),
                                           m.group("annot"))))
+            elif m.group("bare") is not None:
+                # bare capture label: A.word-style default annotation
+                # in comparisons, match-state boolean standalone
+                self.toks.append(("cap", (m.group("bare"), None)))
             elif m.group("lit") is not None:
                 self.toks.append(("lit", m.group("lit")))
             elif m.group("arrow"):
@@ -286,10 +301,13 @@ class _ConstraintParser:
             f"expected A.annotation or \"literal\" in constraint, "
             f"got {val!r}")
 
-    def _cmp(self) -> CCmp:
+    def _cmp(self) -> "CCmp | CCapRef":
         left = self._operand()
         kind, val = self._peek()
         if kind != "op" or val not in ("=", "!="):
+            if left[0] == "cap" and left[2] is None:
+                # bare capture as a boolean: did it match?
+                return CCapRef(name=left[1])
             raise ValueError(
                 "constraint comparisons support = and != only "
                 f"(got {val!r})")
@@ -304,6 +322,8 @@ def parse_constraints(expr: str) -> CNode:
 
 
 def _constraint_captures(node: CNode) -> set[str]:
+    if isinstance(node, CCapRef):
+        return {node.name}
     if isinstance(node, CCmp):
         return {o[1] for o in (node.left, node.right) if o[0] == "cap"}
     if isinstance(node, CNot):
@@ -325,8 +345,13 @@ def _eval_constraint(reader, node: CNode, spans: pa.Table,
             if op[0] == "lit":
                 return None  # handled below
             _, name, annot = op
-            return reader.tokens_at(d, spans[f"{name}_pos"].to_numpy(),
+            pos = spans[f"{name}_pos"].to_numpy()
+            toks = reader.tokens_at(d, np.where(pos < 0, 0, pos),
                                     annotation=annot)
+            # -1 sentinel = the optional capture did not match in
+            # this hit: its value is undefined → comparisons false
+            return [None if p < 0 else t
+                    for t, p in zip(toks, pos)]
 
         def fold(x):
             # MatchFilterEquals compares INSENSITIVE (cql.jj:147):
@@ -353,6 +378,9 @@ def _eval_constraint(reader, node: CNode, spans: pa.Table,
             eq = np.array([x is not None and fold(x) == fold(y)
                            for x, y in zip(ta, tb)], dtype=bool)
         return eq if node.op == "=" else ~eq
+    if isinstance(node, CCapRef):
+        # bare capture: true where the (optional) capture matched
+        return spans[f"{node.name}_pos"].to_numpy() >= 0
     if isinstance(node, CNot):
         return ~_eval_constraint(reader, node.x, spans, d)
     if isinstance(node, CImpl):
@@ -409,6 +437,29 @@ class FilterPlan:
     op: str                         # "within" | "containing"
     producer: "SeqPlan | UnionPlan"
     filter: "SeqPlan | UnionPlan | TagPlan"
+
+
+@dataclass
+class NGramPlan:
+    """Pure any-token n-gram producer of a position filter
+    (`[]{1,5} containing X` — SpanQueryFilterNGrams.java:18): grams
+    are enumerated around the filter spans, never materialized
+    corpus-wide."""
+    lo: int
+    hi: int
+
+
+@dataclass
+class ExpandPlan:
+    """A parenthesized subquery sequenced with any-token (optionally
+    captured) neighbours — `a:[] (X containing Y) b:[]` — lowered to
+    stretch-by-n expansion of the subquery spans
+    (SpanQueryExpansion.java:36, the reference's own rewrite for
+    TestSearches.testConstraintSimple4/4a shapes). Units are
+    (lo, hi, capture_name|None); captured units must be width 1."""
+    inner: object
+    pre: tuple = ()
+    post: tuple = ()
 
 
 _REGEX_META = set(".*+?[](){}|\\^$")
@@ -723,6 +774,14 @@ def _parse_items(items: list):
                 hname, hattrs = head[0][1]
                 left: SeqPlan | UnionPlan | TagPlan = \
                     TagPlan(name=str(hname), attrs=hattrs)
+            elif (rng := _pure_any_range(head)) is not None:
+                # `[]{1,5} containing X`: n-gram producer enumerated
+                # around the filter spans (SpanQueryFilterNGrams)
+                if rng[1] is None:
+                    raise ValueError(
+                        "unbounded any-token producers of a position "
+                        "filter are out of subset")
+                left = NGramPlan(lo=rng[0], hi=rng[1])
             else:
                 left = _build_union(head)
             rest = items[i + 1:]
@@ -744,6 +803,74 @@ def _parse_items(items: list):
                          "filter operand of within/containing, a "
                          "standalone tag query, or edge anchors")
     return _build_union(items)
+
+
+def _lower_subplan_sequence(items: list) -> "ExpandPlan | None":
+    """Lower `pre... (subplan) post...` where pre/post are any-token
+    units (optionally captured, `a:[]`) to an ExpandPlan. Returns
+    None when the neighbours contain term positions (out of subset).
+    """
+    sub = None
+    pre: list[tuple] = []
+    post: list[tuple] = []
+    side = pre
+    cap = None
+    i = 0
+    while i < len(items):
+        kind, val = items[i]
+        if kind == "subplan":
+            if sub is not None:
+                return None            # two subplans in one sequence
+            sub = val
+            side = post
+            if cap is not None:
+                return None            # capture label on the subplan
+        elif kind == "cap":
+            if cap is not None:
+                return None
+            cap = str(val)
+        elif kind == "any":
+            lo, hi = 1, 1
+            if i + 1 < len(items) and items[i + 1][0] == "rep":
+                lo, hi = items[i + 1][1]
+                i += 1
+            if cap is not None and (lo, hi) != (1, 1):
+                raise ValueError(
+                    "captured any-token next to a group must have "
+                    "width 1")
+            side.append((lo, hi, cap))
+            cap = None
+        else:
+            return None
+        i += 1
+    if sub is None or cap is not None:
+        return None
+    if any(u[1] is None for u in pre + post):
+        raise ValueError(
+            "unbounded any-token stretch around a parenthesized "
+            "group is out of subset")
+    return ExpandPlan(inner=sub, pre=tuple(pre), post=tuple(post))
+
+
+def _pure_any_range(items: list) -> "tuple[int, int | None] | None":
+    """If ``items`` is ONLY any-token units (`[] []{2,3} …`), the
+    summed width range (lo, hi) — hi None for unbounded; else None."""
+    lo, hi = 0, 0
+    i = 0
+    seen = False
+    while i < len(items):
+        k, _v = items[i]
+        if k != "any":
+            return None
+        seen = True
+        l, h = 1, 1
+        if i + 1 < len(items) and items[i + 1][0] == "rep":
+            l, h = items[i + 1][1]
+            i += 1
+        lo += l
+        hi = None if (hi is None or h is None) else hi + h
+        i += 1
+    return (lo, hi) if seen else None
 
 
 def _collapse_groups(items: list) -> list:
@@ -873,12 +1000,16 @@ def _build_union(items: list) -> "SeqPlan | UnionPlan | AndPlan":
             "edge-anchored tags (<s> / </s>) are only supported at "
             "the start/end of a sequence")
     if any(k == "subplan" for k, _ in items):
-        if len(items) != 1:
-            raise ValueError(
-                "a parenthesized within/containing group must be a "
-                "whole alternation branch (sequencing it with other "
-                "elements is out of subset)")
-        sub = items[0][1]
+        if len(items) == 1:
+            sub = items[0][1]
+        else:
+            sub = _lower_subplan_sequence(items)
+            if sub is None:
+                raise ValueError(
+                    "a parenthesized within/containing group may only "
+                    "be sequenced with any-token elements "
+                    "(`a:[] (X containing Y) b:[]`); sequencing it "
+                    "with term positions is out of subset")
         if open_anchor or close_anchor:
             return AnchorPlan(inner=sub, open=open_anchor,
                               close=close_anchor)
@@ -915,23 +1046,56 @@ def _expand_group_reps(items: list) -> list[list]:
             if j + 1 < len(items) and items[j + 1][0] == "rep":
                 lo, hi = items[j + 1][1]
                 body = items[i + 1:j]
-                if (i > 0 and items[i - 1][0] == "cap") or \
-                        any(k == "cap" for k, _ in body):
+                if any(k == "cap" for k, _ in body) and \
+                        not (hi is not None and hi <= 1):
+                    # `(c:'noot')?` is fine (the capture occurs at
+                    # most once: the zero-count variant leaves it
+                    # unset, the -1 sentinel); true repetition of an
+                    # inner capture is out of subset
                     raise ValueError(
-                        "captured groups cannot repeat (out of subset)")
+                        "captures inside repeated groups are out of "
+                        "subset")
+                cap_label = None
+                if i > 0 and items[i - 1][0] == "cap":
+                    # `group:('aap')+` — the capture spans the WHOLE
+                    # repetition (the group is the repetition's
+                    # operand); the label item was already appended
+                    # to every variant — take it back
+                    cap_label = str(items[i - 1][1])
+                    for v in variants:
+                        if v and v[-1] == items[i - 1]:
+                            v.pop()
                 if hi is None:
                     # `(...){n,}` / `(...)+` / `(...)*` — EXACT: one
                     # unbounded-group element (chained to a fixed
                     # point at execution), plus the absent variant
                     # for lo == 0
-                    marker = ("ubgroup", (tuple(body), max(lo, 1)))
+                    marker = ("ubgroup", (tuple(body), max(lo, 1),
+                                          cap_label))
                     absent = [list(v) for v in variants] if lo == 0 \
                         else []
                     variants = [v + [marker] for v in variants]
                     variants += absent
                     i = j + 2
                     continue
-                counts = [list(body) * c for c in range(lo, hi + 1)]
+                counts = []
+                for c in range(lo, hi + 1):
+                    if c == 0:
+                        counts.append([])       # capture stays unset
+                    elif cap_label is None:
+                        counts.append(list(body) * c)
+                    elif c == 1 and len(body) == 1:
+                        # single-token capture (c_pos — usable in
+                        # `::` constraints, like an unparenthesized
+                        # `c:'noot'`)
+                        counts.append([("cap", cap_label)]
+                                      + list(body))
+                    else:
+                        # multi-token capture over the c copies
+                        counts.append([("cap", cap_label),
+                                       ("gopen", None)]
+                                      + list(body) * c
+                                      + [("gclose", None)])
                 variants = [pre + c for pre in variants for c in counts]
                 if len(variants) > MAX_VARIANTS:
                     raise ValueError(
@@ -995,7 +1159,7 @@ def _build_seq_variants(items: list) -> list[SeqPlan]:
             i += 1
             continue
         if kind == "ubgroup":
-            body_items, m_min = val
+            body_items, m_min, ub_cap = val
             bplans = _build_seq_variants(list(body_items))
             if len(bplans) != 1:
                 raise ValueError(
@@ -1013,7 +1177,7 @@ def _build_seq_variants(items: list) -> list[SeqPlan]:
                 raise ValueError(
                     "captured groups cannot repeat (out of subset)")
             structs.append(("ubody", tuple(bp.positions),
-                            tuple(bp.gaps), m_min))
+                            tuple(bp.gaps), m_min, ub_cap))
             i += 1
             continue
         if kind in ("term", "nterm", "alt"):
@@ -1023,6 +1187,24 @@ def _build_seq_variants(items: list) -> list[SeqPlan]:
             patterns = list(val) if kind == "alt" else [str(val)]
             rep = (1, 1)
             sens = "i"
+            # inline sensitivity flags (TextPatternRegex.java:52-115):
+            # a leading (?-i) / (?c) forces case-SENSITIVE matching
+            # (the @s annotation, like %c), (?i) forces the
+            # insensitive default; the flag is stripped from the
+            # pattern before regex/literal detection
+            forced_sensitive = False
+            stripped = []
+            for p0 in patterns:
+                if p0.startswith("(?-i)"):
+                    forced_sensitive, p0 = True, p0[5:]
+                elif p0.startswith("(?c)"):
+                    forced_sensitive, p0 = True, p0[4:]
+                elif p0.startswith("(?i)"):
+                    p0 = p0[4:]
+                stripped.append(p0)
+            patterns = stripped
+            if forced_sensitive:
+                sens = "s"
             # %c and {n,m} may follow the position in either order
             while i + 1 < len(items) and items[i + 1][0] in ("rep",
                                                              "flag"):
@@ -1131,11 +1313,13 @@ def _build_seq_variants(items: list) -> list[SeqPlan]:
                 pending = (g[0] + lo, ghi)
                 continue
             if s[0] == "ubody":
-                _, bpositions, bgaps, m_min = s
+                _, bpositions, bgaps, m_min, ub_cap = s
                 _emit(SeqPos(
                     pattern=bpositions[0].pattern, literal=True,
                     rep_min=m_min, unbounded=True,
-                    body=(bpositions, bgaps)))
+                    body=(bpositions, bgaps),
+                    # group:(...)+ — capture the WHOLE run span
+                    cap_open=ub_cap, cap_close=ub_cap))
                 continue
             _, patterns, negate, _, cap, sens, copen, cclose = s
             count = combo[ci]
@@ -1161,9 +1345,18 @@ def _build_seq_variants(items: list) -> list[SeqPlan]:
                     cap_open=copen,
                     cap_close=cclose))
         if not positions:
-            raise ValueError(
-                "pure any-token queries are out of subset (no anchor; "
-                "use filter_ngrams for n-gram generation)")
+            if pending is not None and (pending[0] > 0
+                                        or pending[1] is None
+                                        or pending[1] > 0):
+                raise ValueError(
+                    "pure any-token queries are out of subset (no "
+                    "anchor; use filter_ngrams for n-gram generation)")
+            # all-optional variant where every position chose zero
+            # repetitions ('a'? 'b'? → the empty combo): the empty
+            # sequence matches nothing in the reference either
+            # (TestSearches.testOptional3 returns only non-empty
+            # matches) — skip the variant, keep the others
+            continue
         plans.append(SeqPlan(positions=positions, gaps=gaps,
                              lead=lead, trail=pending))
     if not plans:
@@ -1187,6 +1380,12 @@ def _expand_position(reader, p: SeqPos, max_terms: int = 1024) -> list[str]:
     # many literals; per-literal probes would re-scan the dictionary)
     literals = [pat for pat in (p.pattern, *p.alts) if not _is_regex(pat)]
     if literals:
+        if p.sensitivity == "i":
+            # insensitive literals probe the desensitized dictionary
+            # with a desensitized key ('May' → 'may',
+            # TextPattern.optInsensitive)
+            from blacklab_ray.analysis.analyzers import normalize_text
+            literals = [normalize_text(t) for t in literals]
         out.update(reader.term_stats(literals, p.sensitivity))
     for pat in (p.pattern, *p.alts):
         if not _is_regex(pat):
@@ -1625,22 +1824,98 @@ def _intersect_span_tables(tabs: list) -> pa.Table:
 def _filter_plan_spans(reader, plan: FilterPlan) -> pa.Table:
     """Execute a within/containing position filter (works nested —
     `("a" within <s/>) | "b"` — as well as at the top level)."""
-    from blacklab_ray.query.spans import spans_containing, spans_within
-    prod = (_tag_plan_spans(reader, plan.producer)
-            if isinstance(plan.producer, TagPlan)
-            else _plan_spans(reader, plan.producer))
+    from blacklab_ray.query.spans import (filter_ngrams,
+                                          spans_containing,
+                                          spans_within)
     if isinstance(plan.filter, TagPlan):
         filt = _tag_plan_spans(reader, plan.filter)
     else:
         filt = _plan_spans(reader, plan.filter)
+    if isinstance(plan.producer, NGramPlan):
+        # grams enumerated around the filter spans, never the corpus
+        return filter_ngrams(reader, filt, plan.op,
+                             plan.producer.lo, plan.producer.hi)
+    prod = (_tag_plan_spans(reader, plan.producer)
+            if isinstance(plan.producer, TagPlan)
+            else _plan_spans(reader, plan.producer))
     return spans_within(prod, filt) if plan.op == "within" \
         else spans_containing(prod, filt)
+
+
+def _expand_plan_spans(reader, plan: ExpandPlan) -> pa.Table:
+    """Stretch the inner subquery's spans by the surrounding
+    any-token units (SpansExpansionRaw), clamped to doc bounds;
+    captured width-1 units land as {name}_pos columns."""
+    import itertools as _it
+    inner = _plan_spans(reader, plan.inner)
+    if inner.num_rows == 0:
+        cols = dict(zip(inner.column_names, inner.columns))
+        for _lo, _hi, cap in (*plan.pre, *plan.post):
+            if cap:
+                cols[f"{cap}_pos"] = pa.array([], pa.int64())
+        return pa.table(cols)
+    d = inner["doc_id"].to_numpy()
+    s = inner["start"].to_numpy()
+    e = inner["end"].to_numpy()
+    uniq = np.unique(d)
+    lens = dict(zip(uniq.tolist(), reader.doc_lens(uniq).tolist()))
+    dl = np.array([lens[int(x)] for x in d], dtype=np.int64)
+    extra_cols = [c for c in inner.column_names
+                  if c not in ("doc_id", "start", "end")]
+    pre_opts = [range(lo, hi + 1) for lo, hi, _c in plan.pre]
+    post_opts = [range(lo, hi + 1) for lo, hi, _c in plan.post]
+    parts: list[pa.Table] = []
+    for pw in _it.product(*pre_opts):
+        for qw in _it.product(*post_opts):
+            W, V = sum(pw), sum(qw)
+            ns, ne = s - W, e + V
+            keep = (ns >= 0) & (ne <= dl)
+            if not keep.any():
+                continue
+            cols = {"doc_id": pa.array(d[keep]),
+                    "start": pa.array(ns[keep]),
+                    "end": pa.array(ne[keep])}
+            for c in extra_cols:
+                cols[c] = inner[c].filter(pa.array(keep))
+            # capture offsets: pre unit j sits at start - sum(w_j..)
+            off = 0
+            for (_, _, cap), w in zip(reversed(plan.pre),
+                                      reversed(pw)):
+                off += w
+                if cap:
+                    cols[f"{cap}_pos"] = pa.array(ns[keep] + (W - off))
+            off = 0
+            for (_, _, cap), w in zip(plan.post, qw):
+                if cap:   # width-1 unit at old_end + off
+                    cols[f"{cap}_pos"] = pa.array(ne[keep] - V + off)
+                off += w
+            parts.append(pa.table(cols))
+    if not parts:
+        cols = dict(zip(inner.slice(0, 0).column_names,
+                        inner.slice(0, 0).columns))
+        for _lo, _hi, cap in (*plan.pre, *plan.post):
+            if cap:
+                cols[f"{cap}_pos"] = pa.array([], pa.int64())
+        return pa.table(cols)
+    out = pa.concat_tables(parts)
+    # dedup on ALL columns (distinct capture placements are distinct
+    # matches), stable (doc,start,end) order
+    df = out.to_pandas().drop_duplicates()
+    df = df.sort_values(["doc_id", "start", "end"]).reset_index(
+        drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
 
 
 def _plan_spans(reader, plan: "SeqPlan | UnionPlan | AndPlan") \
         -> pa.Table:
     if isinstance(plan, TagPlan):
         return _tag_plan_spans(reader, plan)
+    if isinstance(plan, ExpandPlan):
+        return _expand_plan_spans(reader, plan)
+    if isinstance(plan, NGramPlan):
+        raise ValueError(
+            "pure any-token n-gram plans only execute as position-"
+            "filter producers")
     if isinstance(plan, SeqPlan):
         return cql_spans_seq(reader, plan)
     if isinstance(plan, FilterPlan):
@@ -1860,9 +2135,15 @@ def _cql_spans_seq_unbounded(reader, plan: SeqPlan) -> pa.Table:
             start_anchors = (
                 prv["doc_id"].to_numpy(zero_copy_only=False),
                 prv["end"].to_numpy(zero_copy_only=False))
-        tables[j] = _rep_spans(reader, plan.positions[payload],
-                               end_anchors=end_anchors,
-                               start_anchors=start_anchors)
+        rp = plan.positions[payload]
+        rt = _rep_spans(reader, rp, end_anchors=end_anchors,
+                        start_anchors=start_anchors)
+        if rp.cap_open:
+            # group:(...)+ — the capture is the run's own span;
+            # recorded before concatenation extends start/end
+            rt = rt.append_column(f"{rp.cap_open}_start", rt["start"])
+            rt = rt.append_column(f"{rp.cap_close}_end", rt["end"])
+        tables[j] = rt
     out = tables[0]
     for t, g in zip(tables[1:], conns):
         if out.num_rows == 0:

@@ -865,6 +865,13 @@ def expand_terms(reader: IndexReader, pattern: str, kind: str = "regex",
     import pyarrow.compute as _pc
     col = (reader.terms_table if sensitivity == "i"
            else reader.terms_table_sensitive)["term"]
+    insensitive = sensitivity == "i"
+    if insensitive and kind in ("prefix", "wildcard", "fuzzy"):
+        # the @i dictionary stores desensitized terms; fold the query
+        # side too (TextPattern.optInsensitive) — safe here because
+        # these kinds carry no regex escapes that folding could alter
+        from blacklab_ray.analysis.analyzers import normalize_text
+        pattern = normalize_text(pattern)
     if kind == "prefix":
         mask = _pc.starts_with(col, pattern)
     elif kind == "wildcard":
@@ -873,7 +880,11 @@ def expand_terms(reader: IndexReader, pattern: str, kind: str = "regex",
                      else _re.escape(c) for c in pattern)
         mask = _pc.match_substring_regex(col, f"^(?:{rx})$")
     elif kind == "regex":
-        mask = _pc.match_substring_regex(col, f"^(?:{pattern})$")
+        # case-insensitive COMPILATION instead of folding the pattern
+        # string: lowercasing regex source would corrupt escapes
+        # (\W → \w); accent-folding of regex literals is not applied
+        mask = _pc.match_substring_regex(
+            col, f"^(?:{pattern})$", ignore_case=insensitive)
     elif kind == "fuzzy":
         out = _fuzzy_match_terms(col.to_pylist(), pattern, max_edits)
         return out[:max_terms]

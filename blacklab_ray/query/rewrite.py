@@ -31,7 +31,7 @@ from __future__ import annotations
 
 import re
 
-from blacklab_ray.query.cql import (AnchorPlan, AndPlan,
+from blacklab_ray.query.cql import (AnchorPlan, AndPlan, ExpandPlan,
                                      FilterPlan, SeqPlan,
                                      SeqPos, TagPlan, UnionPlan,
                                      _is_regex)
@@ -100,6 +100,12 @@ def plan_str(plan) -> str:
         o = f"<{plan.open[0]}>" if plan.open else ""
         c = f"</{plan.close[0]}>" if plan.close else ""
         return f"ANCHOR({o}{plan_str(plan.inner)}{c})"
+    from blacklab_ray.query.cql import ExpandPlan, NGramPlan
+    if isinstance(plan, NGramPlan):
+        return f"NGRAMS({plan.lo},{plan.hi})"
+    if isinstance(plan, ExpandPlan):
+        return (f"EXPANDSEQ({plan.pre}, {plan_str(plan.inner)}, "
+                f"{plan.post})")
     raise TypeError(f"not a plan: {plan!r}")
 
 
@@ -221,6 +227,9 @@ def rewrite(plan):
     if isinstance(plan, AnchorPlan):
         return AnchorPlan(inner=rewrite(plan.inner), open=plan.open,
                           close=plan.close)
+    if isinstance(plan, ExpandPlan):
+        return ExpandPlan(inner=rewrite(plan.inner), pre=plan.pre,
+                          post=plan.post)
     if isinstance(plan, UnionPlan):
         if any(not isinstance(b, SeqPlan) for b in plan.branches):
             # mixed branches (query-level '&' under '|'): rewrite each

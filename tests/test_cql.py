@@ -797,9 +797,19 @@ def test_quantifiers_and_group_repetition(ray_session, tmp_path):
         exp = brute(rx)
         assert got == exp, (q, sorted(got), sorted(exp))
 
-    # captured groups cannot repeat
-    with pytest.raises(ValueError, match="captured groups"):
-        cql_spans(r, 'A:("a" "b"){2}')
+    # a capture on a repeated group spans the WHOLE repetition
+    # (TestSearches.testNGramsNotContaining's group:('aap')+ shape)
+    tb = cql_spans(r, 'A:("a" "b"){2}')
+    plain = cql_spans(r, '("a" "b"){2}')
+    assert set(zip(tb["doc_id"].to_pylist(), tb["start"].to_pylist(),
+                   tb["end"].to_pylist())) == \
+        set(zip(plain["doc_id"].to_pylist(),
+                plain["start"].to_pylist(), plain["end"].to_pylist()))
+    assert tb["A_start"].to_pylist() == tb["start"].to_pylist()
+    assert tb["A_end"].to_pylist() == tb["end"].to_pylist()
+    # true repetition of an INNER capture stays out of subset
+    with pytest.raises(ValueError, match="repeated groups"):
+        cql_spans(r, '(A:"a" "b"){2}')
 
 
 def test_boolean_token_expressions(ray_session, tmp_path):
@@ -1046,9 +1056,14 @@ def test_parenthesized_filter_groups(ray_session, tmp_path):
     # gamma in both docs, so every beta inside such a window matches
     assert rows('"beta" within ("alpha" []{0,3} "delta" '
                 'containing "gamma")') == rows('"beta"')
-    # sequencing a filtered group is a clear subset error
-    with pytest.raises(ValueError, match="whole alternation branch"):
+    # sequencing a filtered group with TERM positions is a clear
+    # subset error; any-token neighbours lower to expansion
+    with pytest.raises(ValueError, match="out of subset"):
         cql_spans(r, '("beta" within <p/>) "gamma"')
+    exp = rows('"beta" within <p/>')
+    got = rows('[] ("beta" within <p/>)')
+    assert got == sorted(set((d, s - 1, e) for d, s, e in exp
+                             if s >= 1))
 
 
 def test_query_function_filter_args(reader):
@@ -1057,9 +1072,21 @@ def test_query_function_filter_args(reader):
     subset rule instead of SILENTLY regrouping — previously
     '_FI1("a", "b" within <s/>)' lowered to '"a" "b" within <s/>',
     which filters the two-token sequence instead of just "b"."""
-    with pytest.raises(ValueError, match="whole alternation branch"):
-        cql_spans(reader, '_FI1("the" within "the" []{0,4} "the", [])')
-    with pytest.raises(ValueError, match="whole alternation branch"):
+    # a trailing any-token next to the parenthesized filtered group
+    # now lowers to right-expansion of the group's spans
+    base = _rows(cql_spans(reader,
+                           '"the" within "the" []{0,4} "the"'))
+    lens = {int(i): int(n) for i, n in zip(
+        *[np.unique([d for d, _s, _e in base]),
+          reader.doc_lens(np.unique(
+              [d for d, _s, _e in base]).astype(np.int64))])}
+    exp = sorted({(d, s, e + 1) for d, s, e in base
+                  if e + 1 <= lens[int(d)]})
+    got = _rows(cql_spans(reader,
+                          '_FI1("the" within "the" []{0,4} "the", [])'))
+    assert got == exp
+    # sequencing with TERM positions stays out of subset
+    with pytest.raises(ValueError, match="out of subset"):
         cql_spans(reader, '_FI1("the", "the" within "the" "the")')
     # a filtered group as the WHOLE query still works through _FI
     # lowering when it is the only element
