@@ -522,3 +522,98 @@ def test_cql_bool_bracket_fuzz_vs_brute(reader, small_oracle):
             f"{sorted(exp - got)[:5]}"
         checked += 1
     assert checked >= 45, f"only {checked} queries exercised"
+
+
+# ---------------------------------------------------------------------------
+# session-15 productions: optional captures / bare caprefs / n-gram
+# filters / expansion around parenthesized groups
+# ---------------------------------------------------------------------------
+
+def test_optional_capture_implication_fuzz_vs_brute(reader,
+                                                    small_oracle):
+    """`(c:'T')? a:[] 'X' b:[] :: <tree over c, a, b>` span-exact vs
+    an independent enumerator that models the optional capture's
+    matched/unmatched state (TestSearches.testConstraintImplication
+    generalized)."""
+    rng = np.random.default_rng(1501)
+    df = small_oracle.doc_freq()
+    vocab = sorted(df, key=df.get, reverse=True)[:25]
+    checked = 0
+    for _qi in range(40):
+        T = vocab[int(rng.integers(0, len(vocab)))]
+        X = vocab[int(rng.integers(0, len(vocab)))]
+        # random constraint: c -> cmp | c & cmp | !c | bare c,
+        # where cmp compares a/b words to each other or a literal
+        lit = vocab[int(rng.integers(0, len(vocab)))]
+        r = rng.random()
+        if r < 0.3:
+            cexpr = "c -> (a.word = b.word)"
+            fn = lambda cset, ta, tb: (not cset) or ta == tb
+        elif r < 0.55:
+            cexpr = f'c & a.word = "{lit}"'
+            fn = lambda cset, ta, tb, lit=lit: cset and ta == lit
+        elif r < 0.8:
+            cexpr = "!c"
+            fn = lambda cset, ta, tb: not cset
+        else:
+            cexpr = "c | a.word != b.word"
+            fn = lambda cset, ta, tb: cset or ta != tb
+        q = f"(c:'{T}')? a:[] '{X}' b:[] :: {cexpr}"
+        got = cql_spans(reader, q)
+        got_rows = set(zip(got["doc_id"].to_pylist(),
+                           got["start"].to_pylist(),
+                           got["end"].to_pylist()))
+        exp = set()
+        for did, toks in small_oracle.docs.items():
+            n = len(toks)
+            # variant WITHOUT c: a X b at p..p+3
+            for p in range(n - 2):
+                if toks[p + 1] == X and fn(False, toks[p],
+                                           toks[p + 2]):
+                    exp.add((did, p, p + 3))
+            # variant WITH c: T a X b at p..p+4
+            for p in range(n - 3):
+                if toks[p] == T and toks[p + 2] == X and \
+                        fn(True, toks[p + 1], toks[p + 3]):
+                    exp.add((did, p, p + 4))
+        assert got_rows == exp, (q, len(got_rows), len(exp))
+        checked += 1
+    assert checked == 40
+
+
+def test_ngram_filter_and_expansion_fuzz_vs_brute(reader,
+                                                  small_oracle):
+    """`[] ([]{1,k} containing 'T')` and `a:[] ([]{lo,k} containing
+    'T') b:[]` span-exact vs direct window enumeration
+    (SpanQueryFilterNGrams + SpanQueryExpansion shapes)."""
+    rng = np.random.default_rng(1502)
+    df = small_oracle.doc_freq()
+    vocab = sorted(df, key=df.get, reverse=True)[:20]
+    for _qi in range(25):
+        T = vocab[int(rng.integers(0, len(vocab)))]
+        lo = int(rng.integers(1, 3))
+        k = lo + int(rng.integers(0, 3))
+        pre = int(rng.integers(0, 2))
+        post = int(rng.integers(0, 2))
+        caps = ("a:[] " if pre else "") + \
+            f"([]{{{lo},{k}}} containing '{T}')" + \
+            (" b:[]" if post else "")
+        got = cql_spans(reader, caps)
+        got_rows = set(zip(got["doc_id"].to_pylist(),
+                           got["start"].to_pylist(),
+                           got["end"].to_pylist()))
+        exp = set()
+        for did, toks in small_oracle.docs.items():
+            n = len(toks)
+            hits = [p for p, t in enumerate(toks) if t == T]
+            grams = set()
+            for p in hits:
+                for L in range(lo, k + 1):
+                    for s in range(max(0, p - L + 1), p + 1):
+                        if s + L <= n:
+                            grams.add((s, s + L))
+            for s, e in grams:
+                ns, ne = s - pre, e + post
+                if ns >= 0 and ne <= n:
+                    exp.add((did, ns, ne))
+        assert got_rows == exp, (caps, len(got_rows), len(exp))
