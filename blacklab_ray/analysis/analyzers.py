@@ -12,7 +12,8 @@ Our normalization pipeline (must stay in lock-step with the DuckDB oracle
 SQL in __ray_entry__.py: ``regexp_extract_all(lower(strip_accents(text)),
 '[a-z0-9]+')``):
 
-    normalize(text) = drop_combining_marks(NFKD(lower(text)))
+    normalize(text) = drop_combining_marks(NFD(lower(text)))
+                      minus U+00AD/U+2003, Ł→L
     tokens = re.findall('[a-z0-9]+', normalize(text))
 
 The Arrow path dictionary-encodes before normalizing so the Python
@@ -44,17 +45,29 @@ STOPWORD_SET = frozenset(STOPWORDS)
 _NONASCII_RE = re.compile(r"[^\x00-\x7f]+")
 
 
+# StringUtil.stripAccents parity (StringUtil.java:30,85-105): NFD +
+# drop combining marks, remove soft hyphen (U+00AD) and em space
+# (U+2003) entirely (PATT_DIACRITICAL_MARKS includes both — the
+# TestCollators contract: 'te­st' desensitizes to 'test'), and
+# map the non-decomposable Ł/ł to L/l.
+_STRIP_ALSO = {"\u00ad", "\u2003"}
+_STRIP_MAP = {"Ł": "L", "ł": "l"}
+
+
 def _strip_segment(m: "re.Match[str]") -> str:
-    return "".join(
-        ch for ch in unicodedata.normalize("NFKD", m.group())
-        if not unicodedata.combining(ch)
-    )
+    out = []
+    for ch in unicodedata.normalize("NFD", m.group()):
+        if unicodedata.combining(ch) or ch in _STRIP_ALSO:
+            continue
+        out.append(_STRIP_MAP.get(ch, ch))
+    return "".join(out)
 
 
 def strip_accents(s: str) -> str:
-    """NFKD-decompose and drop combining marks.
+    """NFD-decompose and drop combining marks + the reference's two
+    explicit ignorables (soft hyphen, em space); Ł→L.
 
-    Only non-ASCII runs are processed (NFKD is identity on ASCII and
+    Only non-ASCII runs are processed (NFD is identity on ASCII and
     combining marks are never ASCII, so segment-wise normalization equals
     whole-string normalization) — ~10× faster on mostly-ASCII web text.
     """

@@ -40,17 +40,47 @@ __all__ = ["collation_key", "sort_terms", "term_sort_ranks",
            "key_for_context", "collation_key_column"]
 
 
+# The reference's V2 insensitive collator (Collators.java:55-80 +
+# TestValueSort.testValueSortV2): PRIMARY strength over the
+# desensitized string with the Java rule-based punctuation order —
+# spaces < dash < underscore < other punctuation
+# (, ; : ! ? . ' " ( ) [ ] { } @ * / \ & # % ` ^ + < = > | ~ $)
+# < digits < letters — and the V2 rule edit putting
+# ' ' < '-' < '_'. Chars get a class-prefixed weight so plain byte
+# comparison of keys reproduces that order.
+_PUNCT_ORDER = " -_,;:!?.'\"()[]{}@*/\\&#%`^+<=>|~$"
+_PRIM_MAP = {ch: bytes((0x02, 0x20 + i))
+             for i, ch in enumerate(_PUNCT_ORDER)}
+
+
+def _primary_bytes(s: str) -> bytes:
+    if not s:
+        return b""
+    out = bytearray()
+    for ch in s:
+        w = _PRIM_MAP.get(ch)
+        if w is not None:
+            out += w
+        elif "0" <= ch <= "9":
+            out += b"\x03" + ch.encode()
+        else:
+            out += b"\x04" + ch.encode("utf-8")
+    return bytes(out)
+
+
 def collation_key(term: str, sensitive: bool = True) -> bytes:
     """Byte sort key; lexicographic order of keys == collated order.
 
     ``sensitive=False`` keys only on the primary level (terms equal
     under the fold compare equal — the insensitive collator)."""
-    primary = normalize_text(term)
+    primary = _primary_bytes(normalize_text(term))
     if not sensitive:
-        return primary.encode()
+        return primary
     secondary = unicodedata.normalize("NFC", term.lower())
-    tertiary = unicodedata.normalize("NFC", term)
-    return b"\x00".join((primary.encode(), secondary.encode(),
+    # tertiary (case) level: ICU orders lowercase BEFORE uppercase —
+    # swapcase makes byte comparison produce that order
+    tertiary = unicodedata.normalize("NFC", term).swapcase()
+    return b"\x00".join((primary, secondary.encode(),
                          tertiary.encode()))
 
 

@@ -79,3 +79,41 @@ def test_reader_sorted_terms_and_ranks(small_index):
     order = np.argsort(ranks, kind="stable")
     primaries = [collation_key(terms[i], sensitive=False) for i in order]
     assert primaries == sorted(primaries)
+
+
+def test_value_sort_v2_reference_list():
+    """TestValueSort.testValueSortV2 (wslib): the default V2
+    insensitive collator's exact order — punctuation before digits
+    before letters, ' ' < '-' < '_', ICU punct order ('?' < '.'
+    < '('), case ties lowercase-first."""
+    from blacklab_ray.analysis.collate import sort_terms
+    lst = ["a-", "-b", "a", "AA-", "aa", "AA", "cool_stuff",
+           "cool stuff", "cool-stuff", "help?", "help.", "help",
+           "(h)elp", ".", "a-", "b", "tes(t)ed", "test", "tested",
+           ""]
+    assert sort_terms(lst, sensitive=False) == [
+        "", "-b", ".", "(h)elp", "a", "a-", "a-", "aa", "AA", "AA-",
+        "b", "cool stuff", "cool-stuff", "cool_stuff", "help",
+        "help?", "help.", "tes(t)ed", "test", "tested"]
+
+
+def test_collators_ignorable_chars():
+    """TestCollators (engine): the insensitive fold REMOVES soft
+    hyphen (U+00AD) and em space (U+2003) but keeps ' ', tab, LF, CR
+    as real characters (StringUtil.PATT_DIACRITICAL_MARKS)."""
+    from blacklab_ray.analysis.analyzers import normalize_text
+    from blacklab_ray.analysis.collate import collation_key
+    for c in ("­", " "):
+        assert normalize_text(f"{c}te{c}st{c}") == "test"
+        assert collation_key(f"{c}te{c}st{c}", sensitive=False) == \
+            collation_key("test", sensitive=False)
+    for c in (" ", "\t", "\n", "\r"):
+        assert normalize_text(f"{c}te{c}st{c}") != "test"
+        assert collation_key(f"te{c}st", sensitive=False) != \
+            collation_key("test", sensitive=False)
+
+
+def test_strip_accents_l_stroke():
+    """StringUtil.convertRemainingAccentCharacters: Ł/ł →  L/l."""
+    from blacklab_ray.analysis.analyzers import normalize_text
+    assert normalize_text("Łódź") == "lodz"
