@@ -143,6 +143,19 @@ def load_blf_yaml(src: str, name: str | None = None,
     standoff: list = []
     spanoff: list = []
     captures: dict[str, tuple] = {}
+    processes: dict[str, tuple] = {}
+    multi_names: list[str] = []
+
+    def _steps(node: dict) -> tuple:
+        """`process:` actions + trailing mapValues → step tuples."""
+        steps = []
+        for st in (node.get("process") or []):
+            prm = {k: v for k, v in st.items() if k != "action"}
+            steps.append((st["action"], prm))
+        if node.get("mapValues"):
+            steps.append(("mapvalues",
+                          {"mapping": dict(node["mapValues"])}))
+        return tuple(steps)
     subfe: list = []
     fld: dict = {}
     if fields:
@@ -157,9 +170,17 @@ def load_blf_yaml(src: str, name: str | None = None,
         word_value = annots[0].get("valuePath", ".")
         if annots[0].get("captureValuePaths"):
             captures[""] = tuple(annots[0]["captureValuePaths"])
+        if _steps(annots[0]):
+            processes[""] = _steps(annots[0])
+        if annots[0].get("multipleValues"):
+            multi_names.append("")
         for a in annots[1:]:
             if a.get("captureValuePaths"):
                 captures[a["name"]] = tuple(a["captureValuePaths"])
+            if _steps(a):
+                processes[a["name"]] = _steps(a)
+            if a.get("multipleValues"):
+                multi_names.append(a["name"])
             if "forEachPath" in a:
                 raise ValueError(
                     "forEachPath is not allowed inside annotations "
@@ -233,10 +254,17 @@ def load_blf_yaml(src: str, name: str | None = None,
             elif "name" in f:
                 meta[f["name"]] = _join(base, f.get("valuePath", "."))
                 declared.append(f["name"])
+                if _steps(f):
+                    processes[f"meta:{f['name']}"] = _steps(f)
 
     doc_id_value = None
     pid = cfg.get("pidField") or cfg.get("corpusConfig", {}) \
         .get("specialFields", {}).get("pidField")
+    if not pid and "pid" in meta:
+        # BLS convention: a metadata field literally named 'pid' is
+        # the persistent id (testformat.blf.yaml declares one without
+        # a pidField entry)
+        pid = "pid"
     if pid and pid in meta:
         doc_id_value = meta[pid]
 
@@ -257,6 +285,8 @@ def load_blf_yaml(src: str, name: str | None = None,
         standoff_spans=tuple(spanoff),
         inline_tag_id_paths=inline_ids,
         annotation_captures=captures,
+        processes=processes,
+        multivalue_annotations=frozenset(multi_names),
         subannotation_foreach=tuple(subfe),
         capture_punct=bool(fld.get("punctPath")),
     )

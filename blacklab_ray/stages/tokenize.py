@@ -204,7 +204,13 @@ class TokenizeForwardIndex:
             mp = pc.list_parent_indices(mv_col).to_numpy(
                 zero_copy_only=False)
             flat_mv = pc.list_flatten(mv_col)
-            mv_vals = flat_mv.field("value")
+            # secondary values are searchable through the ANALYZED
+            # (insensitive) route like primaries ('The|DOH|ZZZ' —
+            # TestIndex.java:118-121: query 'zzz' matches), so fold
+            # them the same way
+            from blacklab_ray.analysis.analyzers import \
+                _normalize_array
+            mv_vals = _normalize_array(flat_mv.field("value"))
             mv_pos = flat_mv.field("pos").to_numpy(zero_copy_only=False) \
                 .astype(np.int64)
             # positions must exist in the doc (increment-0 attaches to a

@@ -114,6 +114,18 @@ class XmlFormatConfig:
     # annotation name; the main word annotation uses key "".
     annotation_captures: Mapping[str, tuple] = field(
         default_factory=dict)
+    # config `process:` chains (DocIndexerConfig.processString /
+    # processStringMultipleValues): key "" = the main word
+    # annotation, annotation name for extras, "meta:<name>" for
+    # metadata fields. Steps are (action, params) tuples evaluated
+    # by stages.process.apply_steps_value.
+    processes: Mapping[str, tuple] = field(default_factory=dict)
+    # annotations declaring multipleValues: a process split on the
+    # MAIN word annotation indexes values[1:] at the same token
+    # position (position-increment 0, testformat.blf.yaml's
+    # 'The|DOH|ZZZ'); the extraction output gains a `multi`
+    # list<struct<pos,value>> column
+    multivalue_annotations: frozenset = frozenset()
     # (parent_annot, foreach_path, name_path, value_path): per-word
     # dynamic subannotation fill — the value lands in the DECLARED
     # annotation named parent_<name> (folia:feat @subset/@class)
@@ -532,6 +544,19 @@ def _extract_doc(doc_el, cfg: XmlFormatConfig,
             name = _value(m_el, name_path, parents)
             if name in declared and name not in meta:
                 meta[name] = _value(m_el, value_path, parents)
+
+    def get_field(name):
+        """Metadata accessor for process-step field references."""
+        v = meta.get(name, "")
+        return [v] if v else []
+
+    if cfg.processes:
+        from blacklab_ray.stages.process import apply_steps_value
+        for k in list(meta):
+            msteps = cfg.processes.get(f"meta:{k}")
+            if msteps:
+                vals = apply_steps_value(meta[k], msteps, get_field)
+                meta[k] = vals[0] if vals else ""
     if cfg.word_path is None:
         if cfg.text_path:
             parts = [_text_of(s) for s in _iter_path(doc_el,
@@ -540,7 +565,7 @@ def _extract_doc(doc_el, cfg: XmlFormatConfig,
             text = "\n".join(p for p in parts if p)
         else:
             text = _text_of(doc_el)
-        return text, {}, [], meta
+        return text, {}, [], meta, []
 
     # full-path word selection (EAF's tier-predicated word path needs
     # more than a last-step match); the tree walk below preserves
@@ -573,10 +598,23 @@ def _extract_doc(doc_el, cfg: XmlFormatConfig,
             path = path.replace(f"${i}", _value(el, cp, parents))
         return path
 
+    multivals: list[dict] = []      # (pos, value) increment-0 extras
+
     def walk(el):
         if id(el) in word_ids:
             w = _value(el, subst_captures(el, "", cfg.word_value),
                        parents)
+            wsteps = cfg.processes.get("") if cfg.processes else None
+            extra_word_vals: tuple = ()
+            if wsteps:
+                from blacklab_ray.stages.process import \
+                    apply_steps_value
+                vals = apply_steps_value(w, wsteps, get_field)
+                w = vals[0] if vals else ""
+                if "" in cfg.multivalue_annotations and len(vals) > 1:
+                    # secondary values index at the SAME position
+                    # (AnnotationWriter increment-0)
+                    extra_word_vals = tuple(vals[1:])
             if cfg.token_id_path:
                 tid = _value(el, cfg.token_id_path, parents)
                 if tid:
@@ -587,11 +625,21 @@ def _extract_doc(doc_el, cfg: XmlFormatConfig,
             # keep whitespace-analyzer alignment: a form may not
             # contain token separators
             words.append("_".join(w.split()) or "_")
+            for ev in extra_word_vals:
+                multivals.append({"pos": len(words) - 1,
+                                  "value": "_".join(ev.split())})
             for a, p in cfg.annotations.items():
                 # p None: declared subannotation with no valuePath —
                 # filled by subannotation_foreach below or left ""
                 v = (_value(el, subst_captures(el, a, p), parents)
                      if p else "")
+                asteps = (cfg.processes.get(a)
+                          if cfg.processes else None)
+                if asteps:
+                    from blacklab_ray.stages.process import \
+                        apply_steps_value
+                    avals = apply_steps_value(v, asteps, get_field)
+                    v = avals[0] if avals else ""
                 # empty stays empty ("" = no value, the reference's
                 # convention for e.g. a missing @lemma); only internal
                 # whitespace is escaped (token alignment)
@@ -666,7 +714,7 @@ def _extract_doc(doc_el, cfg: XmlFormatConfig,
                         filled[a][pos] = v
         for a in st_anns:
             anns[a] = filled[a]
-    return " ".join(words), anns, spans, meta
+    return " ".join(words), anns, spans, meta, multivals
 
 
 def extract_xml_config(cfg: XmlFormatConfig, encoding: str = "utf-8"):
@@ -681,6 +729,7 @@ def extract_xml_config(cfg: XmlFormatConfig, encoding: str = "utf-8"):
             ["punct"] if cfg.capture_punct else [])
         ann_cols: dict[str, list] = {a: [] for a in ann_names}
         tag_col: list = []
+        multi_col: list = []
         meta_cols: dict[str, list] = {
             m: [] for m in list(cfg.metadata) + list(cfg.foreach_fields)}
         langs: list = []
@@ -718,7 +767,8 @@ def extract_xml_config(cfg: XmlFormatConfig, encoding: str = "utf-8"):
                     # the file's root element IS the document tag
                     doc_els = [root]
             for i, el in enumerate(doc_els):
-                text, anns, spans, meta = _extract_doc(el, cfg, parents)
+                text, anns, spans, meta, mvals = _extract_doc(
+                    el, cfg, parents)
                 pid = (_value(el, cfg.doc_id_value, parents)
                        if cfg.doc_id_value else "") or f"{path}#{i}"
                 urls.append(pid)
@@ -727,6 +777,7 @@ def extract_xml_config(cfg: XmlFormatConfig, encoding: str = "utf-8"):
                 for a in ann_cols:
                     ann_cols[a].append(anns.get(a, []))
                 tag_col.append(spans)
+                multi_col.append(mvals)
                 for m in meta_cols:
                     meta_cols[m].append(meta.get(m, ""))
                 langs.append(meta.get("lang") or None)
@@ -745,6 +796,11 @@ def extract_xml_config(cfg: XmlFormatConfig, encoding: str = "utf-8"):
                 [[{"name": s["name"], "start": s["start"],
                    "end": s["end"], "attrs": s["attrs"]} for s in row]
                  for row in tag_col], TAG_SPANS_TYPE)
+        if cfg.multivalue_annotations:
+            # increment-0 secondary values (BuildParams
+            # multivalue_column="multi" indexes them)
+            cols["multi"] = pa.array(multi_col, pa.list_(pa.struct([
+                ("pos", pa.int32()), ("value", pa.string())])))
         for m, vals in meta_cols.items():
             if m != "lang":
                 cols[f"meta_{m}"] = pa.array(vals, pa.string())

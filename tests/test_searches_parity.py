@@ -502,3 +502,93 @@ def test_doc_results(ti_reader):
     assert set(lk.values()) == {"Pangram", "Learning words",
                                 "Star Wars",
                                 "Bastardized Shakespeare"}
+
+
+# ---------------------------------------------------------------------------
+# the REAL testformat.blf.yaml over TestIndex.TEST_DATA
+# ---------------------------------------------------------------------------
+
+# TestIndex.java:117-170's four XML documents (test fixture data)
+TEST_DATA = [
+    "<doc pid='0' title='Pangram'><s><entity>"
+    "<w l='the'   p='art'>The|DOH|ZZZ</w> "
+    "<w l='quick' p='adj'>quick</w> "
+    "<w l='brown' p='adj'>brown</w> "
+    "<w l='fox'   p='nou'>fox</w></entity> "
+    "<w l='jump'  p='vrb' >jumps</w> "
+    "<w l='over'  p='pre' >over</w> "
+    "<entity><w l='the'   p='art' >the</w> "
+    "<w l='lazy'  p='adj'>lazy</w> "
+    "<w l='dog'   p='nou'>dog</w></entity>.</s></doc>",
+    "<doc pid='1' title='Learning words'> <w l='noot'>noot</w> "
+    "<w l='mier'>mier</w> <w l='aap'>aap</w> <w l='mier'>mier</w> "
+    "<w l='mier'>mier</w> <w l='mier'>mier</w> <w l='noot'>noot</w> "
+    "<w l='noot'>noot</w> <w l='aap'>aap</w> <w l='aap'>aap</w> "
+    "<w l='aap'>aap</w> <w l='aap'>aap</w> </doc>",
+    "<doc pid='2' title='Star Wars'> <s><w l='may' p='vrb'>May</w> "
+    "<entity><w l='the' p='art'>the</w> "
+    "<w l='force' p='nou'>Force</w></entity> "
+    "<w l='be' p='vrb'>be</w> <w l='with' p='pre'>with</w> "
+    "<w l='you' p='pro'>you</w>.</s></doc>",
+    "<doc pid='3' title='Bastardized Shakespeare'> "
+    "<s><w l='to' p='pre'>To</w> <w l='find' p='vrb'>find</w> "
+    "<w l='or' p='con'>or</w> <w l='be' p='adv'>not</w> "
+    "<w l='to' p='pre'>to</w> <w l='find' p='vrb'>find</w>.</s>"
+    "<s><w l='that' p='pro'>That</w> <w l='be' p='vrb'>is</w> "
+    "<w l='the' p='art'>the</w> "
+    "<w l='question' p='nou'>question</w>.</s></doc>",
+]
+
+REF_TESTFORMAT = ("/root/reference/core/src/main/resources/formats/"
+                  "testformat.blf.yaml")
+
+
+def test_real_testformat_config_extracts_testindex(ray_session,
+                                                   tmp_path):
+    """The REAL testformat.blf.yaml (the TestIndex format: word
+    process split on '|' with multipleValues, punctPath, s/entity
+    inline tags, pid/title metadata) over TestIndex.TEST_DATA
+    reproduces the corpus the parity fixture hand-builds — and a
+    built index answers a TestSearches query identically."""
+    import os
+    if not os.path.exists(REF_TESTFORMAT):
+        pytest.skip("reference formats dir not present")
+    from blacklab_ray.formats import read_pages, register_yaml_format
+    with open(REF_TESTFORMAT) as f:
+        name = register_yaml_format(f.read(), name="testformat-real")
+    src = tmp_path / "docs.xml"
+    src.write_text("<docs>%s</docs>" % "".join(TEST_DATA))
+    rows = sorted(read_pages(name, str(src)).take_all(),
+                  key=lambda r: r["url"])
+    assert [r["url"] for r in rows] == ["0", "1", "2", "3"]
+    ref = _testindex_table().to_pylist()
+    for got, exp in zip(rows, ref):
+        assert got["text"].split() == exp["text"].split(), got["url"]
+        assert got["lemma"] == exp["lemma"]
+        assert got["pos"] == exp["pos"]
+        assert sorted((t["name"], t["start"], t["end"])
+                      for t in got["tags"]) == \
+            sorted((t["name"], t["start"], t["end"])
+                   for t in exp["tags"])
+        assert got["multi"] == exp["multi"]
+        assert got["meta_title"] == exp["title"]
+    # punctPath: the trailing '.' lands as punct, not a token
+    assert rows[0]["punct"][-1] == "."
+
+    # build through the config output and run a TestSearches query
+    from blacklab_ray.index import BuildParams, build_index
+    from blacklab_ray.query import IndexReader
+    idx = str(tmp_path / "idx")
+    build_index(read_pages(name, str(src)), idx, BuildParams(
+        num_buckets=2, n_salts=1, sensitive=True,
+        annotations=("lemma", "pos"),
+        metadata_fields=(("meta_title", "tokenized"),),
+        multivalue_column="multi"))
+    rd = IndexReader(idx)
+    got = find_conc(rd, " [pos='adj'] [pos='nou'] ")
+    assert got == ["quick [brown fox] jumps", "the [lazy dog]"]
+    # the multi-value token: 'zzz' searches hit position 0 of doc 0
+    from blacklab_ray.query.cql import cql_spans
+    t = cql_spans(rd, "'zzz'")
+    docs = rd.urls(t["doc_id"].to_numpy())
+    assert list(docs) == ["0"] and t["start"].to_pylist() == [0]
