@@ -841,13 +841,35 @@ def _group_keys(reader, spans_tbl, crit: str, n_ctx: int = 5):
                                     csum.tolist())]
             return keys, crit
         raise KeyError(f"no capture group {cap!r} in pattern")
+    if crit.startswith("context:"):
+        # HitPropertyContextWords ('context:word:s:L1-1;H1-2'):
+        # arbitrary context-word specs — L = left of hit
+        # (nearest-first), H = hit words (1-based), R = right of
+        # hit, E = hit words from the end; a descending range
+        # (H2-1) reverses; out-of-range slots serialize as '~'
+        # (PropertyValueContext.serializeTerm(NO_TERM))
+        cparts = crit.split(":", 3)
+        if len(cparts) != 4:
+            raise KeyError(
+                f"context criterion needs annotation:sensitivity:"
+                f"spec, got {crit!r}")
+        _, annot, sens, spec = cparts
+        annotation = _crit_annotation(annot, sens)
+        keys = _context_words_keys(reader, d, s, e, spec, annotation)
+        return keys, crit
     if not crit.startswith("hit:"):
         # HitProperty.deserialize rejects unknown criteria; a silent
         # hit-text fallback would mask caller typos ('filed:lang')
         raise KeyError(f"unknown hit property criterion {crit!r}")
-    # group identity is the FULL matched text (BLS groups multi-token
-    # hits by all tokens s..e-1, not the first word — ADVICE r3): one
-    # batched tokens_at over the ragged positions
+    # hit:<annot>:<sens> — group by the FULL matched text of the
+    # given annotation/sensitivity (BLS groups multi-token hits by
+    # all tokens s..e-1, not the first word — ADVICE r3;
+    # TestHitProperties.testHitPropHitText groups 'the' vs 'The'
+    # under hit:word:s): one batched tokens_at over ragged positions
+    hparts = crit.split(":")
+    annot = hparts[1] if len(hparts) > 1 and hparts[1] else "word"
+    sens = hparts[2] if len(hparts) > 2 and hparts[2] else "i"
+    annotation = _crit_annotation(annot, sens)
     lens = (e - s).astype(np.int64)
     csum = np.cumsum(lens) if lens.size else np.zeros(0, np.int64)
     flat_docs = np.repeat(d, lens)
@@ -855,10 +877,73 @@ def _group_keys(reader, spans_tbl, crit: str, n_ctx: int = 5):
                 + np.arange(int(csum[-1]) if lens.size else 0,
                             dtype=np.int64)
                 - np.repeat(csum - lens, lens))
-    toks = reader.tokens_at(flat_docs, flat_pos)
+    toks = reader.tokens_at(flat_docs, flat_pos,
+                            annotation=annotation)
     keys = [" ".join(filter(None, toks[a:b]))
             for a, b in zip((csum - lens).tolist(), csum.tolist())]
-    return keys, "hit:word:i"
+    return keys, f"hit:{annot}:{sens}"
+
+
+def _crit_annotation(annot: str, sens: str):
+    """Criterion annotation route: word:i → the insensitive stream
+    (None = fwd default), word:s → the @s annotation, parallel
+    annotations by name (their single stored stream)."""
+    if annot == "word":
+        return "s" if sens == "s" else None
+    return annot
+
+
+_CTX_SPEC_RE = re.compile(r"^([LHRE])(\d+)(?:-(\d+))?$", re.I)
+
+
+def serialize_term(t: "str | None") -> str:
+    """PropertyValueContext.serializeTerm (TestHitProperties.
+    testTermSerialization): NO_TERM → '~'; all-tilde terms gain one
+    more tilde; everything else verbatim."""
+    if t is None:
+        return "~"
+    if t and set(t) == {"~"}:
+        return t + "~"
+    return t
+
+
+def _context_words_keys(reader, d, s, e, spec: str,
+                        annotation) -> list[str]:
+    n = int(d.size)
+    doc_lens = reader.doc_lens(d) if n else np.zeros(0, np.int64)
+    slots: list[list] = [[] for _ in range(n)]
+    for part in spec.split(";"):
+        m = _CTX_SPEC_RE.match(part.strip())
+        if m is None:
+            raise KeyError(f"bad context-words spec part {part!r}")
+        side = m.group(1).upper()
+        a = int(m.group(2))
+        b = int(m.group(3)) if m.group(3) else a
+        step = 1 if b >= a else -1
+        for k in range(a, b + step, step):
+            if side == "L":
+                pos = s - k                  # nearest-first
+                ok = pos >= 0
+            elif side == "H":
+                pos = s + (k - 1)
+                ok = pos < e
+            elif side == "E":
+                pos = e - k
+                ok = pos >= s
+            else:                            # R
+                pos = e + (k - 1)
+                ok = pos < doc_lens
+            valid = np.flatnonzero(ok)
+            toks = reader.tokens_at(d[valid], pos[valid],
+                                    annotation=annotation) \
+                if valid.size else []
+            col = [None] * n
+            for i, t in zip(valid, toks):
+                col[int(i)] = t
+            for i in range(n):
+                slots[i].append(col[i])
+    return [" ".join(serialize_term(t) for t in row)
+            for row in slots]
 
 
 def _facets(reader, doc_ids: np.ndarray, spec: str) -> dict:
@@ -1002,8 +1087,9 @@ def handle_hits_grouped(reader, params: dict) -> dict:
         },
         "hitGroups": [{
             "identity": (
-                f"cws:word:i:{k}" if prop == "hit:word:i"
-                or prop.startswith("capture:")
+                f"cws:{prop.split(':')[1]}:{prop.split(':')[2]}:{k}"
+                if prop.startswith(("hit:", "context:"))
+                else f"cws:word:i:{k}" if prop.startswith("capture:")
                 else f"cwo:word:i:{k}" if prop.startswith("wordright:")
                 else f"cwb:word:i:{k}" if prop.startswith("wordleft:")
                 else f"{prop}:{k}"),

@@ -592,3 +592,61 @@ def test_real_testformat_config_extracts_testindex(ray_session,
     t = cql_spans(rd, "'zzz'")
     docs = rd.urls(t["doc_id"].to_numpy())
     assert list(docs) == ["0"] and t["start"].to_pylist() == [0]
+
+
+# ---------------------------------------------------------------------------
+# TestHitProperties.java: grouping criteria + term serialization
+# ---------------------------------------------------------------------------
+
+def _group_sizes(reader, q, crit):
+    from collections import Counter
+    from blacklab_ray.query.cql import cql_spans
+    from blacklab_ray.server import _group_keys
+    t = cql_spans(reader, q)
+    keys, _name = _group_keys(reader, t, crit)
+    return Counter(keys)
+
+
+def test_hit_prop_hit_text_sensitive(ti_reader):
+    """testHitPropHitText: SENSITIVE hit-text grouping separates
+    'the' (3) from 'The' (1)."""
+    g = _group_sizes(ti_reader, " 'the' ", "hit:word:s")
+    assert g["the"] == 3
+    assert g["The"] == 1
+
+
+def test_hit_prop_context_words(ti_reader):
+    """testHitPropContextWords: spec L1-1;H1-2 over 'the' yields four
+    singleton groups; out-of-range slots serialize as '~'."""
+    g = _group_sizes(ti_reader, " 'the' ",
+                     "context:word:s:L1-1;H1-2")
+    assert len(g) == 4
+    assert g["~ The ~"] == 1
+    assert g["over the ~"] == 1
+    assert g["May the ~"] == 1
+    assert g["is the ~"] == 1
+
+
+def test_hit_prop_context_words_reverse(ti_reader):
+    """testHitPropContextWordsReverse: descending hit range H2-1
+    reverses the hit words."""
+    g = _group_sizes(ti_reader, " 'the' 'lazy' ",
+                     "context:word:s:L1;H2-1;R1")
+    assert dict(g) == {"over lazy the dog": 1}
+
+
+def test_term_serialization():
+    """testTermSerialization: all-tilde terms escape by doubling,
+    NO_TERM serializes as '~'."""
+    from blacklab_ray.server import serialize_term
+    assert serialize_term("aap") == "aap"
+    assert serialize_term("~") == "~~"
+    assert serialize_term("~~") == "~~~"
+    assert serialize_term("") == ""
+    assert serialize_term(None) == "~"
+
+
+def test_hit_prop_annotation_route(ti_reader):
+    """hit:<annot>: grouping by a parallel annotation (lemma)."""
+    g = _group_sizes(ti_reader, " [pos='nou'] ", "hit:lemma:i")
+    assert dict(g) == {"fox": 1, "dog": 1, "force": 1, "question": 1}
