@@ -117,3 +117,9 @@ def test_strip_accents_l_stroke():
     """StringUtil.convertRemainingAccentCharacters: Ł/ł →  L/l."""
     from blacklab_ray.analysis.analyzers import normalize_text
     assert normalize_text("Łódź") == "lodz"
+
+
+def test_strip_accents_reference_case():
+    """TestStringUtil.testRemoveAccents: 'Hé, jij!' → 'He, jij!'."""
+    from blacklab_ray.analysis.analyzers import strip_accents
+    assert strip_accents("Hé, jij!") == "He, jij!"
