@@ -46,34 +46,51 @@ _NONASCII_RE = re.compile(r"[^\x00-\x7f]+")
 
 
 # StringUtil.stripAccents parity (StringUtil.java:30,85-105): NFD +
-# drop combining marks, remove soft hyphen (U+00AD) and em space
-# (U+2003) entirely (PATT_DIACRITICAL_MARKS includes both — the
-# TestCollators contract: 'te­st' desensitizes to 'test'), and
-# map the non-decomposable Ł/ł to L/l.
-_STRIP_ALSO = {"\u00ad", "\u2003"}
-_STRIP_MAP = {"Ł": "L", "ł": "l"}
+# drop combining marks, the soft hyphen U+00AD removed entirely
+# (Lucene's tokenizer treats it as a format char, so 'foo\u00adbar'
+# is ONE token in both systems), and the non-decomposable L-stroke
+# mapped to L/l. TEXT-level vs TERM-level treatment of the em space
+# U+2003 differs: pre-tokenization it must stay a SEPARATOR (mapped
+# to ' ' — deleting it would merge adjacent words into one token,
+# diverging from the reference tokenizer and the DuckDB oracle),
+# while the reference's per-term desensitize
+# (PATT_DIACRITICAL_MARKS, TestCollators) REMOVES it — see
+# desensitize_term below.
+_STRIP_MAP = {"\u0141": "L", "\u0142": "l", "\u2003": " "}
 
 
 def _strip_segment(m: "re.Match[str]") -> str:
     out = []
     for ch in unicodedata.normalize("NFD", m.group()):
-        if unicodedata.combining(ch) or ch in _STRIP_ALSO:
+        if unicodedata.combining(ch) or ch == "\u00ad":
             continue
         out.append(_STRIP_MAP.get(ch, ch))
     return "".join(out)
 
 
 def strip_accents(s: str) -> str:
-    """NFD-decompose and drop combining marks + the reference's two
-    explicit ignorables (soft hyphen, em space); Ł→L.
+    """NFD-decompose and drop combining marks; soft hyphen removed,
+    em space kept as a separator, L-stroke folded.
 
     Only non-ASCII runs are processed (NFD is identity on ASCII and
     combining marks are never ASCII, so segment-wise normalization equals
-    whole-string normalization) — ~10× faster on mostly-ASCII web text.
+    whole-string normalization) — ~10x faster on mostly-ASCII web text.
     """
     if s.isascii():
         return s
     return _NONASCII_RE.sub(_strip_segment, s)
+
+
+def desensitize_term(s: str) -> str:
+    """TERM-level insensitive fold — StringUtil.desensitize exactly
+    (stripAccents + lowercase, with U+2003 REMOVED like U+00AD per
+    PATT_DIACRITICAL_MARKS; TestCollators: em-space-wrapped 'test'
+    desensitizes to 'test'). Used for collation keys; identical to
+    ``normalize_text`` on anything the tokenizer can emit (tokens
+    never contain separators)."""
+    if "\u2003" in s:
+        s = s.replace("\u2003", "")
+    return normalize_text(s)
 
 
 def normalize_text(s: str) -> str:

@@ -34,7 +34,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from blacklab_ray.analysis.analyzers import normalize_text
+from blacklab_ray.analysis.analyzers import desensitize_term
 
 __all__ = ["collation_key", "sort_terms", "term_sort_ranks",
            "key_for_context", "collation_key_column"]
@@ -73,7 +73,7 @@ def collation_key(term: str, sensitive: bool = True) -> bytes:
 
     ``sensitive=False`` keys only on the primary level (terms equal
     under the fold compare equal — the insensitive collator)."""
-    primary = _primary_bytes(normalize_text(term))
+    primary = _primary_bytes(desensitize_term(term))
     if not sensitive:
         return primary
     secondary = unicodedata.normalize("NFC", term.lower())

@@ -1084,14 +1084,20 @@ def _expand_group_reps(items: list) -> list[list]:
                         counts.append([])       # capture stays unset
                     elif cap_label is None:
                         counts.append(list(body) * c)
-                    elif c == 1 and len(body) == 1:
-                        # single-token capture (c_pos — usable in
-                        # `::` constraints, like an unparenthesized
-                        # `c:'noot'`)
+                    elif (lo, hi) == (1, 1) and len(body) == 1:
+                        # degenerate {1,1}: single-token capture
+                        # (c_pos — usable in `::` constraints, like
+                        # an unparenthesized `c:'noot'`)
                         counts.append([("cap", cap_label)]
                                       + list(body))
                     else:
-                        # multi-token capture over the c copies
+                        # multi-token capture over the c copies —
+                        # ALL counts of one range use the SAME
+                        # column shape (A_start/A_end); mixing a
+                        # c==1 A_pos variant with c>=2 group
+                        # variants would leave the union's -1
+                        # sentinel masquerading as 'capture unset'
+                        # for every multi-count hit
                         counts.append([("cap", cap_label),
                                        ("gopen", None)]
                                       + list(body) * c
@@ -1192,18 +1198,31 @@ def _build_seq_variants(items: list) -> list[SeqPlan]:
             # (the @s annotation, like %c), (?i) forces the
             # insensitive default; the flag is stripped from the
             # pattern before regex/literal detection
-            forced_sensitive = False
+            flags = []
             stripped = []
             for p0 in patterns:
                 if p0.startswith("(?-i)"):
-                    forced_sensitive, p0 = True, p0[5:]
+                    flags.append(True)
+                    p0 = p0[5:]
                 elif p0.startswith("(?c)"):
-                    forced_sensitive, p0 = True, p0[4:]
-                elif p0.startswith("(?i)"):
+                    flags.append(True)
                     p0 = p0[4:]
+                else:
+                    if p0.startswith("(?i)"):
+                        p0 = p0[4:]
+                    flags.append(False)
                 stripped.append(p0)
             patterns = stripped
-            if forced_sensitive:
+            if any(flags):
+                if not all(flags):
+                    # the reference binds the flag per regex clause;
+                    # this position holds ONE sensitivity — refuse
+                    # rather than silently forcing the unflagged
+                    # branches sensitive
+                    raise ValueError(
+                        "mixed (?-i)/(?c) sensitivity flags across "
+                        "alternation branches are out of subset "
+                        "(split the alternation)")
                 sens = "s"
             # %c and {n,m} may follow the position in either order
             while i + 1 < len(items) and items[i + 1][0] in ("rep",
@@ -1845,9 +1864,20 @@ def _filter_plan_spans(reader, plan: FilterPlan) -> pa.Table:
 def _expand_plan_spans(reader, plan: ExpandPlan) -> pa.Table:
     """Stretch the inner subquery's spans by the surrounding
     any-token units (SpansExpansionRaw), clamped to doc bounds;
-    captured width-1 units land as {name}_pos columns."""
+    captured width-1 units land as {name}_pos columns. The
+    capture-free case delegates to ``_expand_edges`` (the shared
+    lead/trail stretch kernel); only captured units need the
+    per-unit combo enumeration below."""
     import itertools as _it
     inner = _plan_spans(reader, plan.inner)
+    if not any(cap for _lo, _hi, cap in (*plan.pre, *plan.post)):
+        def _total(units):
+            if not units:
+                return None
+            return (sum(u[0] for u in units),
+                    sum(u[1] for u in units))
+        return _expand_edges(reader, inner, _total(plan.pre),
+                             _total(plan.post))
     if inner.num_rows == 0:
         cols = dict(zip(inner.column_names, inner.columns))
         for _lo, _hi, cap in (*plan.pre, *plan.post):

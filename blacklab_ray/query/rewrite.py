@@ -32,7 +32,7 @@ from __future__ import annotations
 import re
 
 from blacklab_ray.query.cql import (AnchorPlan, AndPlan, ExpandPlan,
-                                     FilterPlan, SeqPlan,
+                                     FilterPlan, NGramPlan, SeqPlan,
                                      SeqPos, TagPlan, UnionPlan,
                                      _is_regex)
 
@@ -100,7 +100,6 @@ def plan_str(plan) -> str:
         o = f"<{plan.open[0]}>" if plan.open else ""
         c = f"</{plan.close[0]}>" if plan.close else ""
         return f"ANCHOR({o}{plan_str(plan.inner)}{c})"
-    from blacklab_ray.query.cql import ExpandPlan, NGramPlan
     if isinstance(plan, NGramPlan):
         return f"NGRAMS({plan.lo},{plan.hi})"
     if isinstance(plan, ExpandPlan):

@@ -796,9 +796,11 @@ def extract_xml_config(cfg: XmlFormatConfig, encoding: str = "utf-8"):
                 [[{"name": s["name"], "start": s["start"],
                    "end": s["end"], "attrs": s["attrs"]} for s in row]
                  for row in tag_col], TAG_SPANS_TYPE)
-        if cfg.multivalue_annotations:
-            # increment-0 secondary values (BuildParams
-            # multivalue_column="multi" indexes them)
+        if "" in cfg.multivalue_annotations:
+            # increment-0 secondary values of the MAIN annotation
+            # (BuildParams multivalue_column="multi" indexes them);
+            # non-main multipleValues keep first-value-only (warned
+            # at config load)
             cols["multi"] = pa.array(multi_col, pa.list_(pa.struct([
                 ("pos", pa.int32()), ("value", pa.string())])))
         for m, vals in meta_cols.items():

@@ -101,16 +101,23 @@ def test_collators_ignorable_chars():
     """TestCollators (engine): the insensitive fold REMOVES soft
     hyphen (U+00AD) and em space (U+2003) but keeps ' ', tab, LF, CR
     as real characters (StringUtil.PATT_DIACRITICAL_MARKS)."""
-    from blacklab_ray.analysis.analyzers import normalize_text
+    from blacklab_ray.analysis.analyzers import (desensitize_term,
+                                                 tokenize_text)
     from blacklab_ray.analysis.collate import collation_key
     for c in ("­", " "):
-        assert normalize_text(f"{c}te{c}st{c}") == "test"
+        assert desensitize_term(f"{c}te{c}st{c}") == "test"
         assert collation_key(f"{c}te{c}st{c}", sensitive=False) == \
             collation_key("test", sensitive=False)
     for c in (" ", "\t", "\n", "\r"):
-        assert normalize_text(f"{c}te{c}st{c}") != "test"
+        assert desensitize_term(f"{c}te{c}st{c}") != "test"
         assert collation_key(f"te{c}st", sensitive=False) != \
             collation_key("test", sensitive=False)
+    # TEXT-level: the em space is a token SEPARATOR (deleting it
+    # pre-tokenization would merge adjacent words — the reference
+    # strips per token, after its tokenizer already split); the soft
+    # hyphen is a format char in the tokenizer too (one token)
+    assert tokenize_text("foo bar") == ["foo", "bar"]
+    assert tokenize_text("foo­bar") == ["foobar"]
 
 
 def test_strip_accents_l_stroke():

@@ -1106,3 +1106,39 @@ def test_constraint_equality_insensitive(reader):
     # annot-vs-annot compare folds both sides
     both = cql_spans(reader, '(A:"the") (B:"the") :: A.word = B.word')
     assert both.num_rows == base.num_rows
+
+
+def test_captured_range_repetition_consistent_columns(reader):
+    """A capture over a multi-count range (A:('x'){1,2}) uses ONE
+    column shape (A_start/A_end) for every count — a mixed A_pos/
+    A_start union would leave -1 sentinels masquerading as 'capture
+    unset' on the multi-count hits (review finding, session 15)."""
+    t = cql_spans(reader, 'A:("the"){1,2}')
+    assert "A_start" in t.column_names and "A_end" in t.column_names
+    assert "A_pos" not in t.column_names
+    # every row carries a real captured range
+    assert (t["A_start"].to_numpy() >= 0).all()
+    assert (t["A_end"].to_numpy() > t["A_start"].to_numpy()).all()
+    # the degenerate {1,1} keeps the constraint-friendly single
+    # capture
+    t1 = cql_spans(reader, 'A:("the"){1,1}')
+    assert "A_pos" in t1.column_names
+
+
+def test_mixed_sensitivity_flags_rejected(reader):
+    """A (?-i) flag on one alternation branch must not silently force
+    the other branches sensitive (TextPatternRegex binds flags per
+    clause) — mixed flags are refused."""
+    # ('(?-i)the' | 'of'): separate quoted terms in a group
+    # alternation collapse into ONE position — mixed flags refused
+    with pytest.raises(ValueError, match="mixed"):
+        cql_spans(reader, '("(?-i)the" | "of")')
+    # uniformly-flagged group alternations parse to ONE sensitive
+    # position (execution over a sensitive index is covered by
+    # test_searches_parity.test_simple's '(?-i)the'); a flag inside
+    # one REGEX source ('(?-i)the|of') applies to the whole regex,
+    # exactly like TextPatternRegex
+    p = parse_cql('("(?-i)the" | "(?-i)of")')
+    assert p.positions[0].sensitivity == "s"
+    assert set((p.positions[0].pattern, *p.positions[0].alts)) == \
+        {"the", "of"}
