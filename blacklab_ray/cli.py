@@ -164,6 +164,24 @@ def cmd_freq(args) -> int:
     return 0
 
 
+def cmd_freq_lists(args) -> int:
+    """FrequencyTool analogue: config-driven frequency lists over a
+    BUILT index (tools/frequency/FrequencyTool.java usage:
+    FrequencyTool [--json] [--gzip] INDEX CONFIG [OUTPUT_DIR])."""
+    _ray_session()
+    import yaml
+
+    from blacklab_ray.pipelines.frequency import frequency_lists
+    with open(args.config, encoding="utf-8") as f:
+        cfg = yaml.safe_load(f) or {}
+    paths = frequency_lists(args.index, cfg, args.out,
+                            fmt="json" if args.json else "tsv",
+                            gzip_out=args.gzip)
+    for pth in paths:
+        print(f"wrote {pth}")
+    return 0
+
+
 def cmd_kwic(args) -> int:
     """Keyword-in-context from an index's forward index (Kwics.java)."""
     _ray_session()
@@ -654,6 +672,13 @@ def main(argv=None) -> int:
     f.add_argument("--limit", type=int, default=50)
     f.add_argument("--fmt", default="csv", choices=["csv", "json"])
     f.add_argument("--gzip", action="store_true")
+    fl = sub.add_parser("freq-lists")
+    fl.add_argument("index")
+    fl.add_argument("config")
+    fl.add_argument("out", nargs="?", default=".")
+    fl.add_argument("--json", action="store_true")
+    fl.add_argument("--gzip", action="store_true")
+    fl.set_defaults(fn=cmd_freq_lists)
     kw = sub.add_parser("kwic")
     kw.add_argument("--index", required=True)
     kw.add_argument("--term", required=True)

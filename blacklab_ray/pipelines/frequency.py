@@ -111,3 +111,123 @@ def corpus_stats(ds: ray.data.Dataset, text_col: str = "text",
         "avg_doc_len": pa.array(
             [round(total_tokens / max(total_docs, 1), 6)], pa.float64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# FrequencyTool over a BUILT index: config-driven frequency lists
+# (tools/frequency/FrequencyTool.java + ConfigFreqList.java + README:
+# YAML `frequencyLists` of annotations x metadataFields, one TSV/JSON
+# report per list)
+# ---------------------------------------------------------------------------
+
+
+class _FwdFreqPartial:
+    """map_batches combiner over fwd shards: decode the requested
+    annotation streams per doc, key each token position by
+    (annotation values..., metadata values...), fold to per-batch
+    partial counts. Shuffle bytes ≈ distinct keys per batch, never
+    token count."""
+
+    def __init__(self, annotations: list[str], meta_fields: list[str]):
+        self._annots = list(annotations)
+        self._meta = list(meta_fields)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+        import pandas as pd
+
+        from blacklab_ray.codec.vbyte import decode_position_lists
+        lens = batch.column("doc_len").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        total = int(lens.sum())
+        cols: dict[str, object] = {}
+        for a in self._annots:
+            suffix = "" if a == "word" else f"_{a}"
+            terms_col = batch.column(f"terms{suffix}").to_pylist()
+            tfs_col = batch.column(f"tfs{suffix}").to_pylist()
+            pos_col = batch.column(f"pos{suffix}").to_pylist()
+            flat = np.empty(total, dtype=object)
+            off = 0
+            for terms, tfs, blobs, n in zip(terms_col, tfs_col,
+                                            pos_col, lens):
+                for term, tf, blob in zip(terms, tfs, blobs):
+                    ps = decode_position_lists(
+                        blob, np.array([tf], dtype=np.int64))
+                    flat[off + ps] = term
+                off += int(n)
+            cols[a] = flat
+        for m in self._meta:
+            vals = batch.column(m).to_pylist()
+            cols[m] = np.repeat(np.array(vals, dtype=object), lens)
+        df = pd.DataFrame(cols)
+        out = (df.groupby(list(df.columns), dropna=False,
+                          observed=True)
+               .size().reset_index(name="frequency"))
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def frequency_list(index_dir: str, annotations: list[str],
+                   meta_fields: list[str] | None = None
+                   ) -> ray.data.Dataset:
+    """ONE frequency list over a built index: per-token tuples of the
+    given annotation streams x the docs' metadata fields → summed
+    counts (CalcTokenFrequencies.java's loop over doc forward
+    indexes, as a partial-fold + one composite-key groupby)."""
+    import os
+    meta_fields = list(meta_fields or [])
+    cols = ["doc_id", "doc_len"] + meta_fields
+    for a in annotations:
+        suffix = "" if a == "word" else f"_{a}"
+        cols += [f"terms{suffix}", f"tfs{suffix}", f"pos{suffix}"]
+    ds = ray.data.read_parquet(os.path.join(index_dir, "fwd"),
+                               columns=sorted(set(cols)))
+    partial = ds.map_batches(
+        _FwdFreqPartial(annotations, meta_fields),
+        batch_format="pyarrow")
+    keys = list(annotations) + meta_fields
+    return partial.groupby(keys).aggregate(
+        Sum("frequency", alias_name="frequency"))
+
+
+def frequency_lists(index_dir: str, config: dict, out_dir: str,
+                    fmt: str = "tsv", gzip_out: bool = False) -> list:
+    """FrequencyTool.main analogue: run every ``frequencyLists`` spec
+    from a config mapping (the reference's YAML shape:
+    ``annotatedField`` + list of {name?, annotations,
+    metadataFields?}) and write one report file per list (TSV
+    annotation-cols, meta-cols, frequency — or JSON records), sorted
+    by key for deterministic output. Returns the written paths."""
+    import gzip as _gzip
+    import json as _json
+    import os
+    written = []
+    specs = config.get("frequencyLists") or []
+    if not specs:
+        raise ValueError("config has no frequencyLists")
+    for spec in specs:
+        annots = list(spec.get("annotations") or [])
+        if not annots:
+            raise ValueError("frequency list needs annotations")
+        metas = list(spec.get("metadataFields") or [])
+        name = spec.get("name") or "-".join(annots + metas)
+        t = frequency_list(index_dir, annots, metas)
+        tbl = pa.Table.from_pandas(
+            t.to_pandas().sort_values(annots + metas)
+            .reset_index(drop=True), preserve_index=False)
+        ext = "json" if fmt == "json" else "tsv"
+        path = os.path.join(out_dir, f"{name}.{ext}"
+                            + (".gz" if gzip_out else ""))
+        os.makedirs(out_dir, exist_ok=True)
+        opener = (lambda p: _gzip.open(p, "wt", encoding="utf-8")) \
+            if gzip_out else (lambda p: open(p, "w", encoding="utf-8"))
+        with opener(path) as f:
+            rows = tbl.to_pylist()
+            if fmt == "json":
+                _json.dump(rows, f)
+            else:
+                for r in rows:
+                    f.write("\t".join(
+                        str(r[c]) for c in annots + metas
+                        + ["frequency"]) + "\n")
+        written.append(path)
+    return written

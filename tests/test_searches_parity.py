@@ -650,3 +650,52 @@ def test_hit_prop_annotation_route(ti_reader):
     """hit:<annot>: grouping by a parallel annotation (lemma)."""
     g = _group_sizes(ti_reader, " [pos='nou'] ", "hit:lemma:i")
     assert dict(g) == {"fox": 1, "dog": 1, "force": 1, "question": 1}
+
+
+# ---------------------------------------------------------------------------
+# FrequencyTool (config-driven frequency lists over the built index)
+# ---------------------------------------------------------------------------
+
+def test_frequency_lists_tool(ti_reader, tmp_path):
+    """FrequencyTool README's config shape over the TestIndex corpus:
+    per-list TSVs of annotation-tuple x metadata counts, checked
+    against exact hand counts from the fixture."""
+    from collections import Counter
+    from blacklab_ray.pipelines.frequency import (frequency_list,
+                                                  frequency_lists)
+    idx = ti_reader.index_dir
+    # word frequencies over the entire corpus
+    t = frequency_list(idx, ["word"]).to_pandas()
+    got = dict(zip(t["word"], t["frequency"]))
+    exp = Counter()
+    for row in _testindex_table().to_pylist():
+        for w in row["text"].split():
+            exp[w.lower()] += 1          # analyzed (insensitive) fold
+    assert got == dict(exp)
+
+    # lemma+pos per title (annotations x metadataFields)
+    t2 = frequency_list(idx, ["lemma", "pos"],
+                        ["title"]).to_pandas()
+    exp2 = Counter()
+    for row in _testindex_table().to_pylist():
+        for lem, pos in zip(row["lemma"], row["pos"]):
+            exp2[(lem, pos, row["title"])] += 1
+    got2 = {(r["lemma"], r["pos"], r["title"]): r["frequency"]
+            for _i, r in t2.iterrows()}
+    assert got2 == dict(exp2)
+
+    # the tool entry point: one report file per configured list
+    cfg = {"annotatedField": "contents", "frequencyLists": [
+        {"annotations": ["word"]},
+        {"annotations": ["lemma"], "metadataFields": ["title"],
+         "name": "lemma-by-title"},
+    ]}
+    out = str(tmp_path / "reports")
+    paths = frequency_lists(idx, cfg, out)
+    import os
+    assert sorted(os.path.basename(p) for p in paths) == \
+        ["lemma-by-title.tsv", "word.tsv"]
+    lines = open(paths[0]).read().strip().split("\n")
+    assert len(lines) == len(exp)        # word.tsv rows = vocab size
+    first = lines[0].split("\t")
+    assert len(first) == 2 and first[1].isdigit()
