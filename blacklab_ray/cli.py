@@ -164,6 +164,16 @@ def cmd_freq(args) -> int:
     return 0
 
 
+def cmd_export_corpus(args) -> int:
+    """ExportCorpus analogue: dump every live doc's stored original
+    (or reconstructed token stream) to one file per pid."""
+    _ray_session()
+    from blacklab_ray.pipelines.docsops import export_corpus
+    n = export_corpus(args.index, args.out)
+    print(f"exported {n} documents to {args.out}")
+    return 0
+
+
 def cmd_freq_lists(args) -> int:
     """FrequencyTool analogue: config-driven frequency lists over a
     BUILT index (tools/frequency/FrequencyTool.java usage:
@@ -672,6 +682,10 @@ def main(argv=None) -> int:
     f.add_argument("--limit", type=int, default=50)
     f.add_argument("--fmt", default="csv", choices=["csv", "json"])
     f.add_argument("--gzip", action="store_true")
+    ec = sub.add_parser("export-corpus")
+    ec.add_argument("index")
+    ec.add_argument("out")
+    ec.set_defaults(fn=cmd_export_corpus)
     fl = sub.add_parser("freq-lists")
     fl.add_argument("index")
     fl.add_argument("config")

@@ -469,3 +469,62 @@ def snapshot_diff(old_ds: ray.data.Dataset, new_ds: ray.data.Dataset,
 
     return both.groupby("part").map_groups(_diff,
                                            batch_format="pyarrow")
+
+
+def export_corpus(index_dir: str, out_dir: str) -> int:
+    """ExportCorpus.java analogue: write each LIVE document's stored
+    original (``store_text`` indexes) — or the space-joined forward-
+    index token stream when no content store exists — to
+    ``<out_dir>/<quoted pid>.txt``. Files are written by the workers
+    from their own batches (never driver-materialized); existing
+    files are skipped so a crashed export resumes. Returns the doc
+    count written or skipped-as-done."""
+    import os
+
+    from blacklab_ray.query import IndexReader
+    rd = IndexReader(index_dir)
+    fwd = rd.fwd_dataset()
+    stored = "text" in fwd.schema.names
+    cols = ["doc_id", "url"] + (
+        ["text"] if stored else ["terms", "tfs", "pos", "doc_len"])
+    tombs = np.asarray(sorted(rd.tombstones), dtype=np.int64)
+    os.makedirs(out_dir, exist_ok=True)
+
+    def _write(batch: pa.Table) -> pa.Table:
+        from urllib.parse import quote
+
+        from blacklab_ray.codec.vbyte import decode_position_lists
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        live = ~np.isin(ids, tombs) if tombs.size else \
+            np.ones(ids.size, dtype=bool)
+        urls = batch.column("url").to_pylist()
+        if stored:
+            texts = batch.column("text").to_pylist()
+        else:
+            texts = []
+            for row in batch.select(
+                    ["terms", "tfs", "pos", "doc_len"]).to_pylist():
+                words = [""] * int(row["doc_len"])
+                for term, tf, blob in zip(row["terms"], row["tfs"],
+                                          row["pos"]):
+                    ps = decode_position_lists(
+                        blob, np.array([tf], dtype=np.int64))
+                    for p in ps.tolist():
+                        words[int(p)] = term
+                texts.append(" ".join(words))
+        n = 0
+        for ok, pid, text in zip(live.tolist(), urls, texts):
+            if not ok:
+                continue
+            path = os.path.join(out_dir, quote(str(pid), safe="")
+                                + ".txt")
+            if not os.path.exists(path):
+                with open(path, "w", encoding="utf-8") as f:
+                    f.write(text or "")
+            n += 1
+        return pa.table({"n": pa.array([n], pa.int64())})
+
+    parts = ray.data.read_parquet(
+        os.path.join(index_dir, "fwd"), columns=cols).map_batches(
+        _write, batch_format="pyarrow").take_all()
+    return int(sum(r["n"] for r in parts))

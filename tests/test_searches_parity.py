@@ -699,3 +699,18 @@ def test_frequency_lists_tool(ti_reader, tmp_path):
     assert len(lines) == len(exp)        # word.tsv rows = vocab size
     first = lines[0].split("\t")
     assert len(first) == 2 and first[1].isdigit()
+
+
+def test_export_corpus(ti_reader, tmp_path):
+    """ExportCorpus.java analogue: one file per live pid; without a
+    content store the forward-index token stream reconstructs."""
+    from blacklab_ray.pipelines.docsops import export_corpus
+    out = str(tmp_path / "export")
+    n = export_corpus(ti_reader.index_dir, out)
+    assert n == 4
+    import os
+    files = sorted(os.listdir(out))
+    assert files == ["0.txt", "1.txt", "2.txt", "3.txt"]
+    # analyzed stream round-trips (fwd holds the insensitive fold)
+    body = open(os.path.join(out, "2.txt")).read()
+    assert body == "may the force be with you"
