@@ -591,3 +591,113 @@ def test_sync_snapshot_store_text(ray_session, tmp_path):
     r2 = IndexReader(idx)
     res = search(r2, ["newtext"], k=10, resolve_urls=True)
     assert res.num_rows == 1
+
+
+def test_lifecycle_differential_fuzz(ray_session, tmp_path):
+    """Randomized op sequences (add / delete-by-url / update /
+    compact) applied incrementally answer queries identically to a
+    FROM-SCRATCH build of the equivalent final corpus — the
+    generation-salting / tombstone / compaction machinery has no
+    order-dependent state (updated docs live under salted urls, so
+    comparison keys are @g-stripped urls, and sequences end with a
+    compact so deleted docs leave the stats like the pinned
+    deletes-count-until-merge semantics)."""
+    import re as _re
+
+    import numpy as np
+    import pyarrow as pa
+
+    from blacklab_ray.index.update import compact_generations
+    from blacklab_ray.sources.synth import generate_pages
+
+    def strip_gen(u):
+        return _re.sub(r"@g\d+$", "", u)
+
+    for seed in (5, 19):
+        rng = np.random.default_rng(seed)
+        root = tmp_path / f"fz{seed}"
+        root.mkdir()
+        src = root / "base"
+        src.mkdir()
+        base = generate_pages(50, doc_offset=9000 + seed * 100)
+        pq.write_table(base, str(src / "b.parquet"))
+        idx = str(root / "idx")
+        build_index(str(src), idx, BuildParams(num_buckets=4,
+                                               n_salts=2))
+        model = {r["url"]: r for r in base.to_pylist()}
+        next_off = 9000 + seed * 100 + 50
+        for step in range(5):
+            op = rng.choice(["add", "delete", "update", "compact"])
+            if op == "add":
+                extra = generate_pages(15, doc_offset=next_off)
+                next_off += 15
+                d = root / f"a{step}"
+                d.mkdir()
+                pq.write_table(extra, str(d / "e.parquet"))
+                add_documents(idx, str(d),
+                              BuildParams(num_buckets=4, n_salts=2))
+                model.update({r["url"]: r
+                              for r in extra.to_pylist()})
+            elif op == "delete" and len(model) > 10:
+                urls = sorted(model)
+                pick = [urls[int(i)] for i in
+                        rng.choice(len(urls), size=5, replace=False)]
+                delete_documents(idx, urls=[strip_gen(u)
+                                            for u in pick])
+                for u in pick:
+                    del model[u]
+            elif op == "update" and len(model) > 10:
+                urls = sorted(model)
+                pick = [urls[int(i)] for i in
+                        rng.choice(len(urls), size=4, replace=False)]
+                rows = []
+                for u in pick:
+                    r = dict(model[u])
+                    base_u = strip_gen(u)
+                    r["url"] = base_u
+                    r["text"] = r["text"] + f" updated{step} the"
+                    rows.append(r)
+                    del model[u]
+                    model[base_u] = r
+                update_documents(idx, pa.Table.from_pylist(rows),
+                                 BuildParams(num_buckets=4,
+                                             n_salts=2))
+            else:
+                compact_generations(idx)
+        compact_generations(idx)
+
+        # fresh rebuild of the equivalent corpus
+        ref_src = root / "ref"
+        ref_src.mkdir()
+        ref_rows = []
+        for u, r in model.items():
+            rr = dict(r)
+            rr["url"] = strip_gen(u)
+            ref_rows.append(rr)
+        pq.write_table(pa.Table.from_pylist(ref_rows),
+                       str(ref_src / "r.parquet"))
+        ref_idx = str(root / "ref_idx")
+        build_index(str(ref_src), ref_idx,
+                    BuildParams(num_buckets=4, n_salts=2))
+
+        inc = IndexReader(idx)
+        ref = IndexReader(ref_idx)
+        assert inc.n_docs == ref.n_docs == len(model)
+        for terms in (["the"], ["the", "of"]):
+            gi = search_taat(inc, terms, 25)
+            gr = search_taat(ref, terms, 25)
+            mi = sorted((strip_gen(u), round(s, 9)) for u, s in
+                        zip(inc.urls(gi["doc_id"].to_numpy()),
+                            gi["score"].to_pylist()))
+            mr = sorted((u, round(s, 9)) for u, s in
+                        zip(ref.urls(gr["doc_id"].to_numpy()),
+                            gr["score"].to_pylist()))
+            assert mi == mr, (seed, terms)
+        # dictionary stats agree post-compaction
+        ti = pq.read_table(os.path.join(idx, "terms"))
+        tr = pq.read_table(os.path.join(ref_idx, "terms"))
+        di = dict(zip(ti["term"].to_pylist(),
+                      ti["doc_freq"].to_pylist()))
+        dr = dict(zip(tr["term"].to_pylist(),
+                      tr["doc_freq"].to_pylist()))
+        assert di == dr, seed
