@@ -895,6 +895,12 @@ def _crit_annotation(annot: str, sens: str):
 
 _CTX_SPEC_RE = re.compile(r"^([LHRE])(\d+)(?:-(\d+))?$", re.I)
 
+# Index.PATT_INDEXID (server/.../index/Index.java:351,
+# TestBlsUtils.testIsValidIndexName): optional userid prefix
+# ('user@example.com:') then the short name
+_INDEXID_RE = re.compile(
+    r"^(?:([\w\-.!$&'()*+,;=@]+):)?([\w\-.]+)$")
+
 
 def serialize_term(t: "str | None") -> str:
     """PropertyValueContext.serializeTerm (TestHitProperties.
@@ -2256,11 +2262,26 @@ class BlsApp:
         from blacklab_ray.query import IndexReader
         if not self._data_dir:
             raise ValueError("index creation needs a server data_dir")
-        if not _re.fullmatch(r"[A-Za-z0-9._-]+", name):
+        m = _INDEXID_RE.fullmatch(name)
+        if m is None:
             raise ValueError(f"invalid index name {name!r}")
-        idx = os.path.join(self._data_dir, name)
+        user, short = m.group(1), m.group(2)
+        if set(short) <= {"."} or (user and set(user) <= {"."}):
+            # the reference pattern technically admits '..' — never
+            # let a name or user component be all dots
+            raise ValueError(f"invalid index name {name!r}")
+        if user:
+            # user-scoped private index (Index.PATT_INDEXID's
+            # 'user@example.com:name' form): stored under a
+            # path-safe per-user subdirectory
+            from urllib.parse import quote
+            idx = os.path.join(self._data_dir, quote(user, safe=""),
+                               short)
+        else:
+            idx = os.path.join(self._data_dir, name)
         if name in self._readers or os.path.exists(idx):
             raise ValueError(f"corpus {name!r} already exists")
+        os.makedirs(os.path.dirname(idx), exist_ok=True)
         empty = pa.table({"url": pa.array([], pa.string()),
                           "text": pa.array([], pa.string())})
         try:

@@ -1867,3 +1867,38 @@ def test_contextql_quoted_metadata_values(srv_index):
                          "&patt=" + quote('title = "(draft)"'))
     assert st.startswith("200")
     assert json.loads(body)["summary"]["numberOfDocs"] == 0
+
+
+def test_index_name_validation_reference_cases(ray_session, tmp_path):
+    """TestBlsUtils.testIsValidIndexName (Index.PATT_INDEXID): the
+    user-scoped 'user@example.com:name' form is valid (stored under
+    a path-safe per-user subdir); malformed ids are rejected."""
+    import os
+
+    from blacklab_ray.server import BlsApp, _INDEXID_RE
+    valid = ["user@example.com:my_index_name",
+             "user@example.com:my-index-name1",
+             "user@example.com:a1", "0abd"]
+    invalid = ["user@example.com:", "user@example.com:bla:bla",
+               "user@example.com:bla:", ":user@example.com:bla",
+               ":user@example.com:bla:", "", "a*b"]
+    for n in valid:
+        assert _INDEXID_RE.fullmatch(n), n
+    for n in invalid:
+        assert _INDEXID_RE.fullmatch(n) is None, n
+
+    app = BlsApp({}, data_dir=str(tmp_path))
+    call = _mkcall(app)
+    st, _ct, _b = call("/corpora/user@example.com:mine?buckets=2",
+                       method="POST", body=b"")
+    assert st.startswith("2"), st
+    assert os.path.isdir(
+        os.path.join(str(tmp_path), "user%40example.com", "mine"))
+    st, _ct, _b = call("/corpora/a*b", method="POST", body=b"")
+    assert st.startswith("400")
+    # traversal-shaped ids never create dirs
+    st, _ct, _b = call("/corpora/..", method="POST", body=b"")
+    assert st.startswith("400")
+    st, _ct, _b = call("/corpora/user@example.com:mine",
+                       method="DELETE")
+    assert st.startswith("2"), st
