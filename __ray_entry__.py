@@ -825,6 +825,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = snapshot_diff(old, new).to_pandas()
         return out.sort_values("url").reset_index(drop=True)
 
+    def q_freq_list(sf):
+        """FrequencyTool frequency list (frequency.frequency_list):
+        word x lang counts decoded from the built index's forward
+        shards — partial per-batch fold, one composite groupby."""
+        from blacklab_ray.pipelines.frequency import frequency_list
+        r = _index_for(sf)
+        t = frequency_list(r.index_dir, ["word"], ["lang"]).to_pandas()
+        return t.sort_values(["word", "lang"]).reset_index(drop=True)
+
     def q_substr_dup(sf):
         """Exact duplicate-substring spans (dedup.substr_dup_spans,
         W=16): maximal token intervals covered by any 16-token run
@@ -1505,6 +1514,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_chunks": q_doc_chunks,
         "substr_dup": q_substr_dup,
         "snapshot_diff": q_snapshot_diff,
+        "freq_list": q_freq_list,
     }
 
 
@@ -2854,5 +2864,11 @@ SELECT doc_id, 'Doc ' || doc_id AS title,
        (doc_id % 3)::BIGINT AS n_links,
        md5(xt) AS text_md5
 FROM aug
+""",
+        "freq_list": f"""
+WITH tl AS (SELECT doc_id, lang, {_TOKS_SQL} AS toks FROM documents),
+toks AS (SELECT lang, unnest(toks) AS word FROM tl)
+SELECT word, lang, count(*) AS frequency
+FROM toks GROUP BY word, lang ORDER BY word, lang
 """,
     }

@@ -92,7 +92,7 @@ def test_driver_key_cap(entry_mod):
                            "pagerank_links", "hits_scores",
                            "host_stats", "latest_snapshot",
                            "doc_chunks", "substr_dup",
-                           "snapshot_diff"}, extras
+                           "snapshot_diff", "freq_list"}, extras
     assert "lm_perplexity" in q[:50]   # rotated INTO the recorded set
     o = entry_mod.oracle_sql()
     # extras stay oracled, except declared rows-only ops whose
