@@ -475,11 +475,15 @@ def export_corpus(index_dir: str, out_dir: str) -> int:
     """ExportCorpus.java analogue: write each LIVE document's stored
     original (``store_text`` indexes) — or the space-joined forward-
     index token stream when no content store exists — to
-    ``<out_dir>/<quoted pid>.txt``. Files are written by the workers
-    from their own batches (never driver-materialized); existing
-    files are skipped so a crashed export resumes. Returns the doc
-    count written or skipped-as-done."""
+    ``<out_dir>/<quoted pid>.txt``. Pids are generation-stripped
+    (updated docs live under ``url@g<n>`` in fwd — the export file
+    keeps the logical pid). Files are written by the workers from
+    their own batches (never driver-materialized) via temp-file +
+    atomic rename; complete files are skipped so a crashed export
+    resumes without trusting partial writes. Returns the doc count
+    written or skipped-as-done."""
     import os
+    import re as _re
 
     from blacklab_ray.query import IndexReader
     rd = IndexReader(index_dir)
@@ -495,32 +499,52 @@ def export_corpus(index_dir: str, out_dir: str) -> int:
 
         from blacklab_ray.codec.vbyte import decode_position_lists
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        live = ~np.isin(ids, tombs) if tombs.size else \
-            np.ones(ids.size, dtype=bool)
+        if tombs.size:
+            live = ~np.isin(ids, tombs)
+            if not live.all():
+                batch = batch.filter(pa.array(live))
+        if batch.num_rows == 0:
+            return pa.table({"n": pa.array([0], pa.int64())})
         urls = batch.column("url").to_pylist()
         if stored:
             texts = batch.column("text").to_pylist()
         else:
-            texts = []
-            for row in batch.select(
-                    ["terms", "tfs", "pos", "doc_len"]).to_pylist():
-                words = [""] * int(row["doc_len"])
-                for term, tf, blob in zip(row["terms"], row["tfs"],
-                                          row["pos"]):
-                    ps = decode_position_lists(
-                        blob, np.array([tf], dtype=np.int64))
-                    for p in ps.tolist():
-                        words[int(p)] = term
-                texts.append(" ".join(words))
+            # ONE segmented decode for the whole batch (the
+            # FwdIndexKwic pattern), then per-doc joins
+            lens = batch.column("doc_len").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            total = int(lens.sum())
+            starts = np.zeros(lens.size, dtype=np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            terms_l = batch.column("terms").to_pylist()
+            tfs_l = batch.column("tfs").to_pylist()
+            pos_l = batch.column("pos").to_pylist()
+            blob = b"".join(b for row in pos_l for b in row)
+            cnt = np.array([t for row in tfs_l for t in row],
+                           dtype=np.int64)
+            flat = np.empty(total, dtype=object)
+            flat[:] = ""
+            if cnt.size:
+                allpos = decode_position_lists(blob, cnt)
+                row_of_list = np.repeat(
+                    np.arange(lens.size, dtype=np.int64),
+                    [len(x) for x in tfs_l])
+                row_of_pos = np.repeat(row_of_list, cnt)
+                term_of_pos = np.repeat(np.array(
+                    [t for row in terms_l for t in row],
+                    dtype=object), cnt)
+                flat[starts[row_of_pos] + allpos] = term_of_pos
+            texts = [" ".join(flat[s:s + n])
+                     for s, n in zip(starts.tolist(), lens.tolist())]
         n = 0
-        for ok, pid, text in zip(live.tolist(), urls, texts):
-            if not ok:
-                continue
-            path = os.path.join(out_dir, quote(str(pid), safe="")
-                                + ".txt")
+        for pid, text in zip(urls, texts):
+            pid = _re.sub(r"@g\d+$", "", str(pid))
+            path = os.path.join(out_dir, quote(pid, safe="") + ".txt")
             if not os.path.exists(path):
-                with open(path, "w", encoding="utf-8") as f:
+                tmp = path + f".tmp{os.getpid()}"
+                with open(tmp, "w", encoding="utf-8") as f:
                     f.write(text or "")
+                os.replace(tmp, path)
             n += 1
         return pa.table({"n": pa.array([n], pa.int64())})
 

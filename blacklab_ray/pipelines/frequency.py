@@ -122,39 +122,67 @@ def corpus_stats(ds: ray.data.Dataset, text_col: str = "text",
 
 
 class _FwdFreqPartial:
-    """map_batches combiner over fwd shards: decode the requested
-    annotation streams per doc, key each token position by
-    (annotation values..., metadata values...), fold to per-batch
-    partial counts. Shuffle bytes ≈ distinct keys per batch, never
-    token count."""
+    """map_batches combiner over fwd shards: ONE segmented decode of
+    every position blob per annotation (the hits.py FwdIndexKwic
+    pattern — never a per-term Python decode call), key each LIVE
+    token position by (annotation values..., metadata values...),
+    fold to per-batch partial counts. Shuffle bytes ≈ distinct keys
+    per batch, never token count. Tombstoned docs are excluded
+    (deleted and superseded generations must not inflate counts)."""
 
-    def __init__(self, annotations: list[str], meta_fields: list[str]):
+    def __init__(self, annotations: list[str], meta_fields: list[str],
+                 tombstones):
+        import numpy as np
         self._annots = list(annotations)
         self._meta = list(meta_fields)
+        self._tombs = np.asarray(sorted(tombstones), dtype=np.int64)
+
+    def _empty(self) -> pa.Table:
+        cols = {a: pa.array([], pa.string())
+                for a in self._annots + self._meta}
+        cols["frequency"] = pa.array([], pa.int64())
+        return pa.table(cols)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import numpy as np
         import pandas as pd
 
         from blacklab_ray.codec.vbyte import decode_position_lists
+        if batch.num_rows and self._tombs.size:
+            ids = batch.column("doc_id").to_numpy(
+                zero_copy_only=False)
+            live = ~np.isin(ids, self._tombs)
+            if not live.all():
+                batch = batch.filter(pa.array(live))
+        if batch.num_rows == 0:
+            return self._empty()
         lens = batch.column("doc_len").to_numpy(zero_copy_only=False) \
             .astype(np.int64)
         total = int(lens.sum())
+        if total == 0:
+            return self._empty()
+        starts = np.zeros(lens.size, dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
         cols: dict[str, object] = {}
         for a in self._annots:
             suffix = "" if a == "word" else f"_{a}"
-            terms_col = batch.column(f"terms{suffix}").to_pylist()
-            tfs_col = batch.column(f"tfs{suffix}").to_pylist()
-            pos_col = batch.column(f"pos{suffix}").to_pylist()
+            terms_l = batch.column(f"terms{suffix}").to_pylist()
+            tfs_l = batch.column(f"tfs{suffix}").to_pylist()
+            pos_l = batch.column(f"pos{suffix}").to_pylist()
+            blob = b"".join(b for row in pos_l for b in row)
+            cnt = np.array([t for row in tfs_l for t in row],
+                           dtype=np.int64)
             flat = np.empty(total, dtype=object)
-            off = 0
-            for terms, tfs, blobs, n in zip(terms_col, tfs_col,
-                                            pos_col, lens):
-                for term, tf, blob in zip(terms, tfs, blobs):
-                    ps = decode_position_lists(
-                        blob, np.array([tf], dtype=np.int64))
-                    flat[off + ps] = term
-                off += int(n)
+            if cnt.size:
+                allpos = decode_position_lists(blob, cnt)
+                row_of_list = np.repeat(
+                    np.arange(lens.size, dtype=np.int64),
+                    [len(x) for x in tfs_l])
+                row_of_pos = np.repeat(row_of_list, cnt)
+                term_of_pos = np.repeat(np.array(
+                    [t for row in terms_l for t in row],
+                    dtype=object), cnt)
+                flat[starts[row_of_pos] + allpos] = term_of_pos
             cols[a] = flat
         for m in self._meta:
             vals = batch.column(m).to_pylist()
@@ -172,9 +200,13 @@ def frequency_list(index_dir: str, annotations: list[str],
     """ONE frequency list over a built index: per-token tuples of the
     given annotation streams x the docs' metadata fields → summed
     counts (CalcTokenFrequencies.java's loop over doc forward
-    indexes, as a partial-fold + one composite-key groupby)."""
+    indexes, as a partial-fold + one composite-key groupby).
+    Tombstoned (deleted / superseded-generation) docs are excluded."""
     import os
+
+    from blacklab_ray.query import IndexReader
     meta_fields = list(meta_fields or [])
+    tombs = IndexReader(index_dir).tombstones
     cols = ["doc_id", "doc_len"] + meta_fields
     for a in annotations:
         suffix = "" if a == "word" else f"_{a}"
@@ -182,11 +214,14 @@ def frequency_list(index_dir: str, annotations: list[str],
     ds = ray.data.read_parquet(os.path.join(index_dir, "fwd"),
                                columns=sorted(set(cols)))
     partial = ds.map_batches(
-        _FwdFreqPartial(annotations, meta_fields),
+        _FwdFreqPartial(annotations, meta_fields, tombs),
         batch_format="pyarrow")
     keys = list(annotations) + meta_fields
     return partial.groupby(keys).aggregate(
         Sum("frequency", alias_name="frequency"))
+
+
+_TSV_BAD = str.maketrans({"\t": " ", "\n": " ", "\r": " "})
 
 
 def frequency_lists(index_dir: str, config: dict, out_dir: str,
@@ -196,38 +231,50 @@ def frequency_lists(index_dir: str, config: dict, out_dir: str,
     ``annotatedField`` + list of {name?, annotations,
     metadataFields?}) and write one report file per list (TSV
     annotation-cols, meta-cols, frequency — or JSON records), sorted
-    by key for deterministic output. Returns the written paths."""
+    by key for deterministic output. Returns the written paths.
+    Report names sanitize into filenames; duplicate names are a
+    config error (the second list would silently overwrite the
+    first's report)."""
     import gzip as _gzip
     import json as _json
     import os
+    from urllib.parse import quote
     written = []
     specs = config.get("frequencyLists") or []
     if not specs:
         raise ValueError("config has no frequencyLists")
+    seen: set[str] = set()
     for spec in specs:
         annots = list(spec.get("annotations") or [])
         if not annots:
             raise ValueError("frequency list needs annotations")
         metas = list(spec.get("metadataFields") or [])
         name = spec.get("name") or "-".join(annots + metas)
-        t = frequency_list(index_dir, annots, metas)
-        tbl = pa.Table.from_pandas(
-            t.to_pandas().sort_values(annots + metas)
-            .reset_index(drop=True), preserve_index=False)
+        if name in seen:
+            raise ValueError(f"duplicate frequency-list name {name!r}")
+        seen.add(name)
+        df = (frequency_list(index_dir, annots, metas).to_pandas()
+              .sort_values(annots + metas).reset_index(drop=True))
         ext = "json" if fmt == "json" else "tsv"
-        path = os.path.join(out_dir, f"{name}.{ext}"
+        path = os.path.join(out_dir, quote(name, safe="") + f".{ext}"
                             + (".gz" if gzip_out else ""))
         os.makedirs(out_dir, exist_ok=True)
         opener = (lambda p: _gzip.open(p, "wt", encoding="utf-8")) \
             if gzip_out else (lambda p: open(p, "w", encoding="utf-8"))
+        key_cols = annots + metas
+
+        def _cell(v):
+            return "" if v is None else str(v).translate(_TSV_BAD)
         with opener(path) as f:
-            rows = tbl.to_pylist()
             if fmt == "json":
-                _json.dump(rows, f)
+                _json.dump(df.to_dict(orient="records"), f,
+                           default=str)
             else:
-                for r in rows:
+                key_arrays = [df[c].tolist() for c in key_cols]
+                freqs = df["frequency"].tolist()
+                for i in range(len(df)):
                     f.write("\t".join(
-                        str(r[c]) for c in annots + metas
-                        + ["frequency"]) + "\n")
+                        [_cell(arr[i]) for arr in key_arrays]
+                        + [str(int(freqs[i]))]) + "\n")
         written.append(path)
     return written

@@ -897,9 +897,11 @@ _CTX_SPEC_RE = re.compile(r"^([LHRE])(\d+)(?:-(\d+))?$", re.I)
 
 # Index.PATT_INDEXID (server/.../index/Index.java:351,
 # TestBlsUtils.testIsValidIndexName): optional userid prefix
-# ('user@example.com:') then the short name
+# ('user@example.com:') then the short name. re.ASCII matches Java's
+# ASCII-default \w — unicode \w would silently widen the accepted
+# surface past the reference's.
 _INDEXID_RE = re.compile(
-    r"^(?:([\w\-.!$&'()*+,;=@]+):)?([\w\-.]+)$")
+    r"^(?:([\w\-.!$&'()*+,;=@]+):)?([\w\-.]+)$", re.ASCII)
 
 
 def serialize_term(t: "str | None") -> str:
@@ -2272,11 +2274,14 @@ class BlsApp:
             raise ValueError(f"invalid index name {name!r}")
         if user:
             # user-scoped private index (Index.PATT_INDEXID's
-            # 'user@example.com:name' form): stored under a
-            # path-safe per-user subdirectory
+            # 'user@example.com:name' form): the FULL id quotes into
+            # ONE flat directory name — the quoted ':' (%3A) cannot
+            # appear in a plain index name ('%' is outside [\w\-.]),
+            # so user-scoped dirs can never collide with plain dirs
+            # ('alice' vs 'alice:sub'), and the flat layout lets the
+            # serve() data-dir scan rediscover them after a restart
             from urllib.parse import quote
-            idx = os.path.join(self._data_dir, quote(user, safe=""),
-                               short)
+            idx = os.path.join(self._data_dir, quote(name, safe=""))
         else:
             idx = os.path.join(self._data_dir, name)
         if name in self._readers or os.path.exists(idx):
@@ -2473,8 +2478,13 @@ def serve(index_dirs: dict, host: str = "127.0.0.1",
 
     index_dirs = dict(index_dirs)
     if data_dir and os.path.isdir(data_dir):
-        for name in sorted(os.listdir(data_dir)):
-            d = os.path.join(data_dir, name)
+        from urllib.parse import unquote
+        for dirname in sorted(os.listdir(data_dir)):
+            d = os.path.join(data_dir, dirname)
+            # user-scoped indexes store under the QUOTED full id
+            # ('user%40example.com%3Amine') — unquote back to the
+            # registry name so they survive restarts
+            name = unquote(dirname) if "%" in dirname else dirname
             if name not in index_dirs and \
                     os.path.exists(os.path.join(d, "meta.json")):
                 index_dirs[name] = d

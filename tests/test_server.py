@@ -1892,13 +1892,34 @@ def test_index_name_validation_reference_cases(ray_session, tmp_path):
     st, _ct, _b = call("/corpora/user@example.com:mine?buckets=2",
                        method="POST", body=b"")
     assert st.startswith("2"), st
+    # the FULL id quotes into one flat dir — ':' becomes %3A, which
+    # no plain index name can contain, so 'alice' vs 'alice:sub'
+    # can never collide
     assert os.path.isdir(
-        os.path.join(str(tmp_path), "user%40example.com", "mine"))
+        os.path.join(str(tmp_path), "user%40example.com%3Amine"))
     st, _ct, _b = call("/corpora/a*b", method="POST", body=b"")
+    assert st.startswith("400")
+    # java \w is ASCII: unicode letters are rejected too
+    st, _ct, _b = call("/corpora/caf%C3%A9", method="POST", body=b"")
     assert st.startswith("400")
     # traversal-shaped ids never create dirs
     st, _ct, _b = call("/corpora/..", method="POST", body=b"")
     assert st.startswith("400")
+    # a plain index named like the user part does NOT collide
+    st, _ct, _b = call("/corpora/user@example.com:mine2?buckets=2",
+                       method="POST", body=b"")
+    assert st.startswith("2"), st
+
+    # restart: the data-dir scan rediscovers user-scoped indexes
+    from blacklab_ray.server import serve
+    httpd, app2 = serve({}, port=0, data_dir=str(tmp_path))
+    try:
+        call2 = _mkcall(app2)
+        st, _ct, body = call2("/corpora/user@example.com:mine")
+        assert st.startswith("2"), st
+    finally:
+        httpd.server_close()
+
     st, _ct, _b = call("/corpora/user@example.com:mine",
                        method="DELETE")
     assert st.startswith("2"), st
