@@ -714,3 +714,16 @@ def test_export_corpus(ti_reader, tmp_path):
     # analyzed stream round-trips (fwd holds the insensitive fold)
     body = open(os.path.join(out, "2.txt")).read()
     assert body == "may the force be with you"
+
+
+def test_search_hit_groups(ti_reader):
+    """TestSearchHitGroups: every token ([] any-token query) grouped
+    by SENSITIVE hit text and sorted by identity — 25 groups, 'aap'
+    (5) first, 'be' (1) second."""
+    from blacklab_ray.analysis.collate import collation_key
+    g = _group_sizes(ti_reader, "[]", "hit:word:s")
+    assert len(g) == 25
+    ordered = sorted(g, key=lambda k: collation_key(k,
+                                                    sensitive=True))
+    assert ordered[0] == "aap" and g["aap"] == 5
+    assert ordered[1] == "be" and g["be"] == 1
