@@ -727,3 +727,31 @@ def test_search_hit_groups(ti_reader):
                                                     sensitive=True))
     assert ordered[0] == "aap" and g["aap"] == 5
     assert ordered[1] == "be" and g["be"] == 1
+
+
+def test_hit_prop_context_words_from_end(ti_reader):
+    """The E side counts hit words from the END (E1 = last hit
+    word): 'the lazy' hits keyed by E1;L1."""
+    g = _group_sizes(ti_reader, " 'the' 'lazy' ",
+                     "context:word:s:E1;L1")
+    assert dict(g) == {"lazy over": 1}
+
+
+def test_sort_param_accepts_new_criteria(ti_reader):
+    """sort= shares the criterion machinery: sorting hits by
+    sensitive hit text through the HTTP handler."""
+    from blacklab_ray.server import BlsApp
+    import json as _json
+    app = BlsApp({"ti": ti_reader})
+
+    def call(qs):
+        def sr(status, headers):
+            pass
+        env = {"PATH_INFO": "/corpora/ti/hits", "QUERY_STRING": qs,
+               "REQUEST_METHOD": "GET"}
+        return _json.loads(b"".join(app(env, sr)).decode())
+    r = call("patt=%22the%22&sort=hit:word:s")
+    words = [h["match"]["word"][0] for h in r["hits"]]
+    assert words == sorted(words, key=str.lower)
+    r2 = call("patt=%22the%22&sort=context:word:s:L1-1")
+    assert len(r2["hits"]) == 4
