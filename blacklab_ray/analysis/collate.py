@@ -129,3 +129,18 @@ def collation_key_column(col: pa.Array | pa.ChunkedArray,
     keys = pa.array([fn(u, sensitive).hex() if u is not None else None
                      for u in uniq], pa.string())
     return pc.take(keys, dict_arr.indices)
+
+
+_V1_IGNORED = str.maketrans({" ": None, "-": None, "_": None})
+
+
+def sort_terms_v1(terms: Iterable[str]) -> list[str]:
+    """The LEGACY V1 insensitive collator order
+    (Collators.CollatorVersion.V1, TestValueSort.testValueSortV1):
+    PRIMARY strength of the stock Java collator, which IGNORES dash,
+    space and underscore entirely ('a-' ≡ 'a', 'cool stuff' ≡
+    'cool-stuff' ≡ 'cool_stuff'); ties keep input order (Java
+    List.sort is stable). V2 — the default everywhere else in this
+    engine — stopped ignoring them (Collators.java:55-80)."""
+    return sorted(terms, key=lambda t: _primary_bytes(
+        desensitize_term(t).translate(_V1_IGNORED)))

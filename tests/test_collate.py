@@ -130,3 +130,17 @@ def test_strip_accents_reference_case():
     """TestStringUtil.testRemoveAccents: 'Hé, jij!' → 'He, jij!'."""
     from blacklab_ray.analysis.analyzers import strip_accents
     assert strip_accents("Hé, jij!") == "He, jij!"
+
+
+def test_value_sort_v1_reference_list():
+    """TestValueSort.testValueSortV1: the legacy dash/space-ignoring
+    PRIMARY order, ties input-stable."""
+    from blacklab_ray.analysis.collate import sort_terms_v1
+    lst = ["a-", "-b", "a", "AA-", "aa", "AA", "cool_stuff",
+           "cool stuff", "cool-stuff", "help?", "help.", "help",
+           "(h)elp", ".", "a-", "b", "tes(t)ed", "test", "tested",
+           ""]
+    assert sort_terms_v1(lst) == [
+        "", ".", "(h)elp", "a-", "a", "a-", "AA-", "aa", "AA", "-b",
+        "b", "cool_stuff", "cool stuff", "cool-stuff", "help",
+        "help?", "help.", "tes(t)ed", "test", "tested"]
