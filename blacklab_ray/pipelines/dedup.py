@@ -1193,6 +1193,26 @@ def near_dedup_drop_ids(ds: ray.data.Dataset, threshold: float = 0.8,
     for a streaming keep-filter, which is how ``pipelines.curate``
     consumes it.
     """
+    drop_ds = near_dedup_drop_ids_ds(
+        ds, threshold=threshold, text_col=text_col, id_col=id_col,
+        num_perm=num_perm, bands=bands, shingle_k=shingle_k)
+    drop = [r[id_col] for r in drop_ds.take_all()]
+    return np.sort(np.asarray(drop, dtype=np.int64))
+
+
+def near_dedup_drop_ids_ds(ds: ray.data.Dataset, threshold: float = 0.8,
+                           text_col: str = "text",
+                           id_col: str = "doc_id",
+                           num_perm: int = 64, bands: int = 16,
+                           shingle_k: int = 3) -> ray.data.Dataset:
+    """Dataset-returning form of :func:`near_dedup_drop_ids` — the
+    drop ids stay distributed (one ids-only column) so a caller at
+    keep-set-exceeds-driver scale can anti-semi-join them against the
+    corpus (``joins.semi_join_ids(keep=False)``) instead of
+    collecting a broadcast list. ``pipelines.curate`` consumes this
+    form and picks broadcast vs join by size."""
+    import pyarrow.compute as _pc
+
     pairs = minhash_candidate_pairs(
         ds, num_perm=num_perm, bands=bands, shingle_k=shingle_k,
         text_col=text_col, id_col=id_col)
@@ -1200,9 +1220,15 @@ def near_dedup_drop_ids(ds: ray.data.Dataset, threshold: float = 0.8,
         ds, pairs, threshold=threshold, shingle_k=shingle_k,
         text_col=text_col, id_col=id_col)
     clusters = duplicate_clusters(verified.select(["a", "b"]))
-    drop = [r["doc_id"] for r in clusters.take_all()
-            if r["doc_id"] != r["cluster_id"]]
-    return np.sort(np.asarray(drop, dtype=np.int64))
+    empty = pa.schema([(id_col, pa.int64())])
+
+    def _losers(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "doc_id" not in t.column_names:
+            return empty.empty_table()
+        sub = t.filter(_pc.not_equal(t["doc_id"], t["cluster_id"]))
+        return pa.table({id_col: sub["doc_id"].cast(pa.int64())})
+
+    return clusters.map_batches(_losers, batch_format="pyarrow")
 
 
 # ---- exact duplicate-substring spans (ExactSubstr) --------------------------
@@ -1385,7 +1411,8 @@ def substr_dup_spans(ds: ray.data.Dataset, window: int = 32,
 def cut_dup_spans(ds: ray.data.Dataset,
                   spans: "pa.Table | ray.data.Dataset",
                   text_col: str = "text",
-                  id_col: str = "doc_id") -> ray.data.Dataset:
+                  id_col: str = "doc_id",
+                  num_partitions: int = 64) -> ray.data.Dataset:
     """Remove ``(doc_id, start, end)`` TOKEN spans from each doc's
     text — the cut step that consumes ``substr_dup_spans`` output
     (Lee et al. 2022 cut duplicated substrings from the training
@@ -1394,50 +1421,130 @@ def cut_dup_spans(ds: ray.data.Dataset,
     Tokenization matches the span producer's whitespace convention;
     surviving tokens re-join with single spaces.
 
-    Scale shape: the spans table is duplicate-interval-sized (orders
-    below the corpus) — ``ray.put`` broadcast once, read per batch;
-    inside each batch only rows WITH spans are rebuilt (dup spans are
-    sparse), everything else passes through untouched.
+    Scale shape (r4 VERDICT item 1): on web data ExactSubstr marks
+    ~5–15% of tokens, so the span table is NOT broadcastable at
+    10^12 docs. Both sides co-partition on ``part_of(doc_id) % P``
+    and union under one null-padded schema; ONE
+    ``groupby(part).map_groups`` does the whole partition's cut in a
+    single vectorized pass (Arrow regex split → flat token keep-mask
+    via a difference array → ``binary_join``) — P Python calls
+    total, no driver-side span materialization, one payload shuffle
+    of the corpus. Untouched rows keep their text byte-for-byte.
+    ``num_partitions`` must scale so a partition's payload fits a
+    worker heap (corpus_bytes / P ≲ 1 GiB).
     """
-    if isinstance(spans, ray.data.Dataset):
-        spans = pa.Table.from_pandas(spans.to_pandas())
-    by_doc: dict[int, list[tuple[int, int]]] = {}
-    for d, s, e in zip(spans[id_col].to_pylist(),
-                       spans["start"].to_pylist(),
-                       spans["end"].to_pylist()):
-        by_doc.setdefault(int(d), []).append((int(s), int(e)))
-    spans_ref = ray.put(by_doc)
+    import pyarrow.compute as pc
+    from blacklab_ray.pipelines.joins import _arrow_schema
 
-    def _cut(batch: pa.Table) -> pa.Table:
-        lookup = ray.get(spans_ref)
-        ids = batch.column(id_col).cast(pa.int64()).to_numpy(
+    if isinstance(spans, pa.Table):
+        spans = ray.data.from_arrow(spans)
+    P = int(num_partitions)
+    base = _arrow_schema(ds)
+    union_schema = pa.schema(
+        list(zip(base.names, base.types))
+        + [("__cut_part", pa.int64()), ("__cut_start", pa.int64()),
+           ("__cut_end", pa.int64())])
+
+    def _tag_docs(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return union_schema.empty_table()
+        key = batch.column(id_col).cast(pa.int64()).to_numpy(
             zero_copy_only=False)
-        hit_rows = [i for i, d in enumerate(ids.tolist())
-                    if d in lookup]
-        if not hit_rows:
-            return batch
-        col = batch.column(text_col)
+        cols = [batch.column(n) for n in base.names]
+        cols.append(pa.array(part_of(key, P), pa.int64()))
+        cols.append(pa.nulls(key.size, pa.int64()))
+        cols.append(pa.nulls(key.size, pa.int64()))
+        return pa.Table.from_arrays(cols, schema=union_schema)
+
+    def _tag_spans(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "start" not in batch.column_names:
+            return union_schema.empty_table()
+        key = batch.column(id_col).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        cols = []
+        for n, t in zip(base.names, base.types):
+            if n == id_col:
+                cols.append(pa.array(key, pa.int64()).cast(t))
+            else:
+                cols.append(pa.nulls(key.size, t))
+        cols.append(pa.array(part_of(key, P), pa.int64()))
+        cols.append(batch.column("start").cast(pa.int64()))
+        cols.append(batch.column("end").cast(pa.int64()))
+        return pa.Table.from_arrays(cols, schema=union_schema)
+
+    helper_cols = ["__cut_part", "__cut_start", "__cut_end"]
+
+    def _cut_partition(g: pa.Table) -> pa.Table:
+        # guard the schema-less empty blocks Ray 2.49 aggregates emit
+        if g.num_rows == 0 or "__cut_start" not in g.column_names:
+            return base.empty_table()
+        is_span = g.column("__cut_start").is_valid().to_numpy(
+            zero_copy_only=False)
+        docs = g.filter(pa.array(~is_span)).drop_columns(helper_cols)
+        if docs.num_rows == 0:
+            return base.empty_table()
+        sp = g.filter(pa.array(is_span))
+        if sp.num_rows == 0:
+            return docs
+        sdoc = sp.column(id_col).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        ss = sp.column("__cut_start").to_numpy(zero_copy_only=False)
+        se = sp.column("__cut_end").to_numpy(zero_copy_only=False)
+        ids = docs.column(id_col).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        present = np.isin(sdoc, ids)
+        sdoc, ss, se = sdoc[present], ss[present], se[present]
+        if sdoc.size == 0:
+            return docs
+        hit_mask = np.isin(ids, sdoc)
+        hit_rows = np.nonzero(hit_mask)[0]
+        col = docs.column(text_col)
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
-        texts = col.to_pylist()
-        import re as _re
-
+        hit_texts = pc.fill_null(col.take(pa.array(hit_rows)), "")
         # tokenize with the SAME character class as the span
-        # producer's RE2 \s ([\t\n\f\r ] — ASCII only; Python
-        # str.split() would also split on unicode whitespace like
-        # \xa0 and shift every token index after it); untouched rows
-        # keep their text byte-for-byte
-        ws = _re.compile(r"[\t\n\f\r ]+")
-        for i in hit_rows:
-            raw = texts[i] or ""
-            toks = [t for t in ws.split(raw.strip("\t\n\f\r "))
-                    if t != ""]
-            keep = np.ones(len(toks), dtype=bool)
-            for s, e in lookup[int(ids[i])]:
-                keep[s:e] = False
-            texts[i] = " ".join(t for t, k in zip(toks, keep) if k)
-        idx = batch.schema.get_field_index(text_col)
-        return batch.set_column(idx, text_col,
-                                pa.array(texts, pa.string()))
+        # producer's RE2 \s ([\t\n\f\r ] — ASCII only; unicode
+        # whitespace like \xa0 must NOT split or every later token
+        # index shifts)
+        trimmed = pc.utf8_trim(hit_texts, "\t\n\f\r ")
+        toks = pc.split_pattern_regex(trimmed, r"[\t\n\f\r ]+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        offsets = toks.offsets.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        values = toks.flatten()
+        offsets = offsets - offsets[0]
+        total = int(offsets[-1])
+        counts = np.diff(offsets)
+        # span → its hit-row; clamp to the doc's token range
+        hit_ids = ids[hit_rows]
+        order = np.argsort(hit_ids, kind="stable")
+        row = order[np.searchsorted(hit_ids[order], sdoc)]
+        starts = np.minimum(offsets[row] + np.maximum(ss, 0),
+                            offsets[row + 1])
+        ends = np.minimum(offsets[row] + np.maximum(se, 0),
+                          offsets[row + 1])
+        ends = np.maximum(ends, starts)
+        delta = np.zeros(total + 1, np.int64)
+        np.add.at(delta, starts, 1)
+        np.add.at(delta, ends, -1)
+        keep = np.cumsum(delta[:total]) == 0
+        # an empty/whitespace-only doc splits to one "" token
+        keep &= pc.not_equal(values, "").to_numpy(zero_copy_only=False)
+        kept_counts = np.bincount(
+            np.repeat(np.arange(hit_rows.size), counts)[keep],
+            minlength=hit_rows.size)
+        new_off = np.zeros(hit_rows.size + 1, np.int64)
+        np.cumsum(kept_counts, out=new_off[1:])
+        lst = pa.LargeListArray.from_arrays(
+            pa.array(new_off, pa.int64()),
+            values.filter(pa.array(keep)))
+        joined = pc.binary_join(lst, " ").cast(col.type)
+        new_col = pc.replace_with_mask(col, pa.array(hit_mask), joined)
+        idx = docs.schema.get_field_index(text_col)
+        return docs.set_column(idx, text_col, new_col)
 
-    return ds.map_batches(_cut, batch_format="pyarrow")
+    tagged = ds.map_batches(_tag_docs, batch_format="pyarrow").union(
+        spans.map_batches(_tag_spans, batch_format="pyarrow"))
+    return tagged.groupby("__cut_part").map_groups(
+        _cut_partition, batch_format="pyarrow")

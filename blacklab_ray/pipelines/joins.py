@@ -356,3 +356,86 @@ def interval_join(probe: ray.data.Dataset, intervals: ray.data.Dataset,
         lambda tb: tb.rename_columns(
             [rename[c] for c in tb.column_names]),
         batch_format="pyarrow")
+
+
+def semi_join_ids(ds: ray.data.Dataset, ids: ray.data.Dataset,
+                  id_col: str, keep: bool = True,
+                  num_partitions: int = 64) -> ray.data.Dataset:
+    """Distributed semi-join (``keep=True``) or anti-join
+    (``keep=False``) of ``ds`` against an ids-only dataset — the
+    scale path behind every "filter the corpus to/against this id
+    set" step when the id set is too large to ``ray.put`` as a
+    broadcast (a keep-set at 10^12 docs is ~8 TB of int64s; no node
+    holds it).
+
+    Shape: both sides hash to ``part = part_of(id) % P``, ``union``
+    under ONE null-padded schema, ``groupby(part).map_groups`` once —
+    inside each partition the membership test is a single vectorized
+    ``np.isin`` over the partition's rows against the partition's id
+    slice. One payload shuffle of ``ds``, one 8-byte/row shuffle of
+    the ids; driver memory holds nothing.
+
+    ``num_partitions`` must scale with the corpus so one partition's
+    payload fits a worker heap (bytes/P ≲ 1 GiB); the default suits
+    bench scale.
+    """
+    import pyarrow.compute as pc
+
+    P = int(num_partitions)
+    base = _arrow_schema(ds)
+    if id_col not in base.names:
+        raise ValueError(f"semi_join_ids: {id_col!r} not in dataset")
+    union_schema = pa.schema(
+        list(zip(base.names, base.types))
+        + [("__sj_part", pa.int64()), ("__sj_tag", pa.int8())])
+
+    def _tag_rows(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return union_schema.empty_table()
+        key = batch.column(id_col).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        cols = [batch.column(n) if n in batch.column_names
+                else pa.nulls(batch.num_rows, t)
+                for n, t in zip(base.names, base.types)]
+        cols.append(pa.array(part_of(key, P), pa.int64()))
+        cols.append(pa.array(np.zeros(key.size, np.int8), pa.int8()))
+        return pa.Table.from_arrays(cols, schema=union_schema)
+
+    def _tag_ids(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or id_col not in batch.column_names:
+            return union_schema.empty_table()
+        key = batch.column(id_col).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        cols = []
+        for n, t in zip(base.names, base.types):
+            if n == id_col:
+                cols.append(pa.array(key, pa.int64()).cast(t))
+            else:
+                cols.append(pa.nulls(key.size, t))
+        cols.append(pa.array(part_of(key, P), pa.int64()))
+        cols.append(pa.array(np.ones(key.size, np.int8), pa.int8()))
+        return pa.Table.from_arrays(cols, schema=union_schema)
+
+    out_schema = base
+
+    def _filter_part(g: pa.Table) -> pa.Table:
+        # guard the schema-less empty blocks Ray 2.49 aggregates emit
+        if g.num_rows == 0 or "__sj_tag" not in g.column_names:
+            return out_schema.empty_table()
+        tag = g.column("__sj_tag").to_numpy(zero_copy_only=False)
+        ids_np = g.column(id_col).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        member = np.unique(ids_np[tag == 1])
+        rows = g.filter(pc.equal(g.column("__sj_tag"), 0)) \
+            .drop_columns(["__sj_part", "__sj_tag"])
+        if rows.num_rows == 0:
+            return out_schema.empty_table()
+        mask = np.isin(ids_np[tag == 0], member)
+        if not keep:
+            mask = ~mask
+        return rows.filter(pa.array(mask))
+
+    tagged = ds.map_batches(_tag_rows, batch_format="pyarrow").union(
+        ids.map_batches(_tag_ids, batch_format="pyarrow"))
+    return tagged.groupby("__sj_part").map_groups(
+        _filter_part, batch_format="pyarrow")

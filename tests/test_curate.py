@@ -213,3 +213,45 @@ def test_curate_from_html_and_c4(ray_session):
     assert "menu" not in t and "x()" not in t
     assert t.startswith(EN + ".")
     assert "Third full sentence" in t
+
+
+def test_curate_semi_join_path_matches_broadcast(corpus, monkeypatch):
+    """Forcing every keep/drop filter onto the co-partitioned
+    semi-join (BROADCAST_ID_LIMIT=0) changes nothing — the 10^12-doc
+    path and the broadcast path are the same operator."""
+    import blacklab_ray.pipelines.curate as cur
+
+    kw = dict(languages=("en",), quality_thresholds=TH)
+    base = curate(corpus, **kw).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    monkeypatch.setattr(cur, "BROADCAST_ID_LIMIT", 0)
+    out = curate(corpus, **kw).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert out.equals(base)
+    assert base["doc_id"].tolist() == [0, 4]
+
+
+def test_curate_near_dup_semi_join_path(ray_session, monkeypatch):
+    """near_dup drop ids flow through the anti-join path when forced
+    past the broadcast limit, with identical survivors."""
+    import blacklab_ray.pipelines.curate as cur
+
+    base_doc = EN + " unique tail number {}"
+    near = EN + " extra words appended here to make a near dup {}"
+    docs = pa.table({
+        "doc_id": pa.array(list(range(4)), pa.int64()),
+        "text": pa.array([
+            base_doc.format(1), near.format(1),
+            near.format(1) + " x", base_doc.format(99) + " y z w",
+        ]),
+    })
+    ds = ray.data.from_arrow(docs).repartition(2)
+    kw = dict(languages=None, quality_thresholds=TH, scrub_pii=False,
+              near_dup=True, near_dup_threshold=0.7)
+    base = curate(ds, **kw).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    monkeypatch.setattr(cur, "BROADCAST_ID_LIMIT", 0)
+    out = curate(ds, **kw).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert out.equals(base)
+    assert len(base) < 4   # the near-dup stage actually dropped docs

@@ -710,3 +710,35 @@ def test_substr_dup_spans_keep_first(ray_session):
     # remove-all default still marks everything
     all_spans = substr_dup_spans(ds, window=5).to_pandas()
     assert len(all_spans) == 4
+
+
+def test_cut_dup_spans_no_driver_span_materialization(ray_session,
+                                                     monkeypatch):
+    """cut_dup_spans never materializes the span table (or anything
+    else) on the driver — spans stay a Dataset through the
+    co-partitioned shuffle (r4 VERDICT item 1 regression guard)."""
+    import pyarrow as pa
+    import ray.data
+
+    from blacklab_ray.pipelines.dedup import (
+        cut_dup_spans, substr_dup_spans,
+    )
+    run = "d1 d2 d3 d4 d5 d6"
+    texts = [f"a b c {run} x y", f"p q {run} r s", "  keep me  ", None]
+    tbl = pa.table({"doc_id": pa.array(range(4), pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    ds = ray.data.from_arrow(tbl)
+    spans = substr_dup_spans(ds, window=4)
+    out = cut_dup_spans(ds, spans, num_partitions=4)
+
+    def _boom(self, *a, **k):
+        raise AssertionError("driver-side materialization")
+
+    monkeypatch.setattr(ray.data.Dataset, "to_pandas", _boom)
+    monkeypatch.setattr(ray.data.Dataset, "take_all", _boom)
+    got = pa.concat_tables(
+        list(out.iter_batches(batch_format="pyarrow")))
+    by_id = dict(zip(got["doc_id"].to_pylist(),
+                     got["text"].to_pylist()))
+    assert by_id == {0: "a b c x y", 1: "p q r s",
+                     2: "  keep me  ", 3: None}

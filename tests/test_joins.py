@@ -234,3 +234,68 @@ def test_interval_join_wide_fanout(ray_session):
     want = _brute_interval(probe, intervals)
     assert pairs == want
     assert len(want) > 100
+
+
+# ---- semi_join_ids ----------------------------------------------------------
+
+
+def test_semi_join_ids_matches_isin(ray_session):
+    """Co-partitioned semi/anti-join == pandas isin on a mixed-type
+    table (nulls, strings, floats), both directions."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from blacklab_ray.pipelines.joins import semi_join_ids
+
+    rng = np.random.default_rng(7)
+    n = 500
+    ids = rng.permutation(n).astype(np.int64) + 1000
+    tbl = pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(
+            [None if i % 17 == 0 else f"doc {i}" for i in range(n)],
+            pa.string()),
+        "score": pa.array(rng.random(n), pa.float64()),
+    })
+    ds = ray.data.from_arrow(tbl).repartition(5)
+    pick = np.sort(rng.choice(ids, size=200, replace=False))
+    # id set includes some ids absent from the corpus
+    id_tbl = pa.table({"doc_id": pa.array(
+        np.concatenate([pick, [10, 11]]), pa.int64())})
+    ids_ds = ray.data.from_arrow(id_tbl).repartition(3)
+
+    pdf = tbl.to_pandas()
+    for keep in (True, False):
+        got = semi_join_ids(ds, ids_ds, "doc_id", keep=keep,
+                            num_partitions=7).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        mask = pdf["doc_id"].isin(pick)
+        want = pdf[mask if keep else ~mask] \
+            .sort_values("doc_id").reset_index(drop=True)
+        assert got.equals(want)
+
+
+def test_semi_join_ids_no_driver_gather(ray_session, monkeypatch):
+    """The semi-join path never collects rows or ids to the driver
+    (spy: to_pandas/take_all poisoned during execution)."""
+    import pyarrow as pa
+    import ray.data
+
+    from blacklab_ray.pipelines.joins import semi_join_ids
+
+    tbl = pa.table({"doc_id": pa.array(range(50), pa.int64()),
+                    "text": [f"t{i}" for i in range(50)]})
+    ds = ray.data.from_arrow(tbl).repartition(3)
+    ids_ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(range(0, 50, 2), pa.int64())}))
+
+    def _boom(self, *a, **k):
+        raise AssertionError("driver-side materialization")
+
+    out = semi_join_ids(ds, ids_ds, "doc_id", num_partitions=4)
+    monkeypatch.setattr(ray.data.Dataset, "to_pandas", _boom)
+    monkeypatch.setattr(ray.data.Dataset, "take_all", _boom)
+    got = pa.concat_tables(
+        list(out.iter_batches(batch_format="pyarrow")))
+    assert sorted(got["doc_id"].to_pylist()) == list(range(0, 50, 2))
