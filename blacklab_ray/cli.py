@@ -416,10 +416,10 @@ def cmd_pagerank(args) -> int:
                                 ("dst", args.dst_col)):
                 col = batch.column(cname)
                 if _is_str(col.type):
+                    from blacklab_ray.util import hash64_batch
                     canon = canonicalize_url_expr(col)
                     out[name] = pa.array(
-                        [hash64(u) for u in canon.to_pylist()],
-                        pa.int64())
+                        hash64_batch(canon).view(np.int64), pa.int64())
                 else:
                     out[name] = col.cast(pa.int64())
             return pa.table(out)

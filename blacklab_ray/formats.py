@@ -162,9 +162,9 @@ def _read_tabular(paths, delimiter: str = "\t",
             return t
         import pyarrow.compute as pc
         from blacklab_ray.stages.tokenize import hash64
+        from blacklab_ray.util import hash64_batch
         d = pc.dictionary_encode(t.column("url").combine_chunks())
-        uniq = d.dictionary.to_pylist()
-        uniq_part = np.array([hash64(u) % P for u in uniq], np.int64)
+        uniq_part = (hash64_batch(d.dictionary) % P).astype(np.int64)
         part = uniq_part[d.indices.to_numpy(zero_copy_only=False)]
         return t.append_column("part", pa.array(part, pa.int64()))
 

@@ -64,10 +64,10 @@ SEGMENT_SCHEMA = pa.schema([
 
 def term_bucket_array(terms: pa.Array, num_buckets: int) -> np.ndarray:
     """Vectorized stable bucket per term (hash64 over batch-unique terms)."""
+    from blacklab_ray.util import hash64_batch
     d = pc.dictionary_encode(terms)
-    uniq = d.dictionary.to_pylist()
-    uniq_buckets = np.array([hash64(t) % num_buckets for t in uniq],
-                            dtype=np.int64)
+    uniq_buckets = (hash64_batch(d.dictionary)
+                    % num_buckets).astype(np.int64)
     return uniq_buckets[d.indices.to_numpy(zero_copy_only=False)]
 
 
@@ -202,8 +202,9 @@ class ExplodePostings:
         d = pc.dictionary_encode(flat_terms)
         uniq = d.dictionary.to_pylist()
         codes = d.indices.to_numpy(zero_copy_only=False)
-        uniq_buckets = np.array([hash64(t) % self._buckets for t in uniq],
-                                dtype=np.int64)
+        from blacklab_ray.util import hash64_batch
+        uniq_buckets = (hash64_batch(d.dictionary)
+                        % self._buckets).astype(np.int64)
         uniq_hot = np.array([t in self._hot for t in uniq], dtype=bool)
         if self._hot_frac and batch.num_rows:
             df_local = np.bincount(codes, minlength=len(uniq))

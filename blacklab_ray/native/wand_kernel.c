@@ -624,3 +624,215 @@ int64_t wand_topk(
     free(exs); free(exbuf);
     return n_out;
 }
+
+/* ---- batch string hashing ------------------------------------------------
+ *
+ * Two 64-bit string hashes the Python side otherwise computes in
+ * per-string hashlib loops (the hottest remaining Python loops, r4
+ * VERDICT item 3):
+ *
+ *   md5_low64_batch:  low 8 bytes of MD5 (RFC 1321), little-endian —
+ *                     EXACTLY DuckDB's md5_number_lower (the
+ *                     oracle-reproducibility primitive).
+ *   blake2b64_batch:  BLAKE2b with digest_size=8 (RFC 7693), read
+ *                     big-endian and masked to 63 bits — EXACTLY
+ *                     stages/tokenize.hash64 (the doc-id primitive).
+ *
+ * Input: one concatenated UTF-8 buffer + int64 offsets (a zero-copy
+ * view of an Arrow large_utf8 column); output one uint64 per string.
+ * Both implementations are written from the public RFC specs.
+ */
+
+/* ---- MD5 (RFC 1321) ---- */
+
+static const uint32_t md5_k[64] = {
+    0xd76aa478u, 0xe8c7b756u, 0x242070dbu, 0xc1bdceeeu,
+    0xf57c0fafu, 0x4787c62au, 0xa8304613u, 0xfd469501u,
+    0x698098d8u, 0x8b44f7afu, 0xffff5bb1u, 0x895cd7beu,
+    0x6b901122u, 0xfd987193u, 0xa679438eu, 0x49b40821u,
+    0xf61e2562u, 0xc040b340u, 0x265e5a51u, 0xe9b6c7aau,
+    0xd62f105du, 0x02441453u, 0xd8a1e681u, 0xe7d3fbc8u,
+    0x21e1cde6u, 0xc33707d6u, 0xf4d50d87u, 0x455a14edu,
+    0xa9e3e905u, 0xfcefa3f8u, 0x676f02d9u, 0x8d2a4c8au,
+    0xfffa3942u, 0x8771f681u, 0x6d9d6122u, 0xfde5380cu,
+    0xa4beea44u, 0x4bdecfa9u, 0xf6bb4b60u, 0xbebfbc70u,
+    0x289b7ec6u, 0xeaa127fau, 0xd4ef3085u, 0x04881d05u,
+    0xd9d4d039u, 0xe6db99e5u, 0x1fa27cf8u, 0xc4ac5665u,
+    0xf4292244u, 0x432aff97u, 0xab9423a7u, 0xfc93a039u,
+    0x655b59c3u, 0x8f0ccc92u, 0xffeff47du, 0x85845dd1u,
+    0x6fa87e4fu, 0xfe2ce6e0u, 0xa3014314u, 0x4e0811a1u,
+    0xf7537e82u, 0xbd3af235u, 0x2ad7d2bbu, 0xeb86d391u };
+
+static const uint8_t md5_r[64] = {
+    7, 12, 17, 22, 7, 12, 17, 22, 7, 12, 17, 22, 7, 12, 17, 22,
+    5,  9, 14, 20, 5,  9, 14, 20, 5,  9, 14, 20, 5,  9, 14, 20,
+    4, 11, 16, 23, 4, 11, 16, 23, 4, 11, 16, 23, 4, 11, 16, 23,
+    6, 10, 15, 21, 6, 10, 15, 21, 6, 10, 15, 21, 6, 10, 15, 21 };
+
+static inline uint32_t md5_rotl(uint32_t x, uint8_t c) {
+    return (x << c) | (x >> (32 - c));
+}
+
+static void md5_block(uint32_t h[4], const uint8_t *p) {
+    uint32_t m[16];
+    for (int i = 0; i < 16; i++)
+        m[i] = (uint32_t)p[4 * i] | ((uint32_t)p[4 * i + 1] << 8) |
+               ((uint32_t)p[4 * i + 2] << 16) |
+               ((uint32_t)p[4 * i + 3] << 24);
+    uint32_t a = h[0], b = h[1], c = h[2], d = h[3];
+    for (int i = 0; i < 64; i++) {
+        uint32_t f; int g;
+        if (i < 16)      { f = (b & c) | (~b & d);  g = i; }
+        else if (i < 32) { f = (d & b) | (~d & c);  g = (5 * i + 1) & 15; }
+        else if (i < 48) { f = b ^ c ^ d;           g = (3 * i + 5) & 15; }
+        else             { f = c ^ (b | ~d);        g = (7 * i) & 15; }
+        uint32_t tmp = d;
+        d = c; c = b;
+        b = b + md5_rotl(a + f + md5_k[i] + m[g], md5_r[i]);
+        a = tmp;
+    }
+    h[0] += a; h[1] += b; h[2] += c; h[3] += d;
+}
+
+static void md5_digest_state(const uint8_t *msg, int64_t len,
+                             uint32_t h[4]) {
+    h[0] = 0x67452301u; h[1] = 0xefcdab89u;
+    h[2] = 0x98badcfeu; h[3] = 0x10325476u;
+    int64_t full = len / 64;
+    for (int64_t i = 0; i < full; i++) md5_block(h, msg + i * 64);
+    uint8_t tail[128];
+    int64_t rem = len - full * 64;
+    memcpy(tail, msg + full * 64, (size_t)rem);
+    tail[rem] = 0x80;
+    int tlen = (rem < 56) ? 64 : 128;
+    memset(tail + rem + 1, 0, (size_t)(tlen - rem - 1));
+    uint64_t bits = (uint64_t)len * 8;
+    for (int i = 0; i < 8; i++)
+        tail[tlen - 8 + i] = (uint8_t)(bits >> (8 * i));
+    md5_block(h, tail);
+    if (tlen == 128) md5_block(h, tail + 64);
+}
+
+static inline uint32_t bswap32u(uint32_t x) {
+    return (x >> 24) | ((x >> 8) & 0xFF00u) |
+           ((x << 8) & 0xFF0000u) | (x << 24);
+}
+
+void md5_low64_batch(const uint8_t *data, const int64_t *offsets,
+                     int64_t n, uint64_t *out) {
+    uint32_t h[4];
+    for (int64_t i = 0; i < n; i++) {
+        md5_digest_state(data + offsets[i],
+                         offsets[i + 1] - offsets[i], h);
+        /* digest bytes 8..16 little-endian == (d << 32) | c */
+        out[i] = ((uint64_t)h[3] << 32) | (uint64_t)h[2];
+    }
+}
+
+void md5_high64be_batch(const uint8_t *data, const int64_t *offsets,
+                        int64_t n, uint64_t *out) {
+    uint32_t h[4];
+    for (int64_t i = 0; i < n; i++) {
+        md5_digest_state(data + offsets[i],
+                         offsets[i + 1] - offsets[i], h);
+        /* digest bytes 0..8 read BIG-endian */
+        out[i] = ((uint64_t)bswap32u(h[0]) << 32)
+                 | (uint64_t)bswap32u(h[1]);
+    }
+}
+
+/* ---- BLAKE2b, digest_size = 8, no key (RFC 7693) ---- */
+
+static const uint64_t b2b_iv[8] = {
+    0x6a09e667f3bcc908ULL, 0xbb67ae8584caa73bULL,
+    0x3c6ef372fe94f82bULL, 0xa54ff53a5f1d36f1ULL,
+    0x510e527fade682d1ULL, 0x9b05688c2b3e6c1fULL,
+    0x1f83d9abfb41bd6bULL, 0x5be0cd19137e2179ULL };
+
+static const uint8_t b2b_sigma[12][16] = {
+    { 0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15},
+    {14, 10, 4, 8, 9, 15, 13, 6, 1, 12, 0, 2, 11, 7, 5, 3},
+    {11, 8, 12, 0, 5, 2, 15, 13, 10, 14, 3, 6, 7, 1, 9, 4},
+    { 7, 9, 3, 1, 13, 12, 11, 14, 2, 6, 5, 10, 4, 0, 15, 8},
+    { 9, 0, 5, 7, 2, 4, 10, 15, 14, 1, 11, 12, 6, 8, 3, 13},
+    { 2, 12, 6, 10, 0, 11, 8, 3, 4, 13, 7, 5, 15, 14, 1, 9},
+    {12, 5, 1, 15, 14, 13, 4, 10, 0, 7, 6, 3, 9, 2, 8, 11},
+    {13, 11, 7, 14, 12, 1, 3, 9, 5, 0, 15, 4, 8, 6, 2, 10},
+    { 6, 15, 14, 9, 11, 3, 0, 8, 12, 2, 13, 7, 1, 4, 10, 5},
+    {10, 2, 8, 4, 7, 6, 1, 5, 15, 11, 9, 14, 3, 12, 13, 0},
+    { 0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15},
+    {14, 10, 4, 8, 9, 15, 13, 6, 1, 12, 0, 2, 11, 7, 5, 3} };
+
+static inline uint64_t b2b_rotr(uint64_t x, int c) {
+    return (x >> c) | (x << (64 - c));
+}
+
+#define B2B_G(a, b, c, d, x, y)                  \
+    do {                                         \
+        v[a] = v[a] + v[b] + (x);                \
+        v[d] = b2b_rotr(v[d] ^ v[a], 32);        \
+        v[c] = v[c] + v[d];                      \
+        v[b] = b2b_rotr(v[b] ^ v[c], 24);        \
+        v[a] = v[a] + v[b] + (y);                \
+        v[d] = b2b_rotr(v[d] ^ v[a], 16);        \
+        v[c] = v[c] + v[d];                      \
+        v[b] = b2b_rotr(v[b] ^ v[c], 63);        \
+    } while (0)
+
+static void b2b_compress(uint64_t h[8], const uint8_t *p,
+                         uint64_t t, int last) {
+    uint64_t v[16], m[16];
+    for (int i = 0; i < 8; i++) { v[i] = h[i]; v[i + 8] = b2b_iv[i]; }
+    v[12] ^= t;                 /* t_hi stays 0: offsets < 2^64 */
+    if (last) v[14] = ~v[14];
+    for (int i = 0; i < 16; i++) {
+        uint64_t w = 0;
+        for (int j = 7; j >= 0; j--)
+            w = (w << 8) | p[8 * i + j];
+        m[i] = w;
+    }
+    for (int r = 0; r < 12; r++) {
+        const uint8_t *s = b2b_sigma[r];
+        B2B_G(0, 4,  8, 12, m[s[0]],  m[s[1]]);
+        B2B_G(1, 5,  9, 13, m[s[2]],  m[s[3]]);
+        B2B_G(2, 6, 10, 14, m[s[4]],  m[s[5]]);
+        B2B_G(3, 7, 11, 15, m[s[6]],  m[s[7]]);
+        B2B_G(0, 5, 10, 15, m[s[8]],  m[s[9]]);
+        B2B_G(1, 6, 11, 12, m[s[10]], m[s[11]]);
+        B2B_G(2, 7,  8, 13, m[s[12]], m[s[13]]);
+        B2B_G(3, 4,  9, 14, m[s[14]], m[s[15]]);
+    }
+    for (int i = 0; i < 8; i++) h[i] ^= v[i] ^ v[i + 8];
+}
+
+static uint64_t blake2b64_one(const uint8_t *msg, int64_t len) {
+    uint64_t h[8];
+    memcpy(h, b2b_iv, sizeof h);
+    h[0] ^= 0x01010008ULL;      /* digest_len=8, fanout=1, depth=1 */
+    uint64_t t = 0;
+    while (len > 128) {
+        t += 128;
+        b2b_compress(h, msg, t, 0);
+        msg += 128; len -= 128;
+    }
+    uint8_t block[128];
+    memset(block, 0, sizeof block);
+    memcpy(block, msg, (size_t)len);
+    b2b_compress(h, block, t + (uint64_t)len, 1);
+    /* digest = LE bytes of h[0], read back BIG-endian (callers mask
+     * or shift: hash64 = >>0 & 2^63-1, shingle hashes = >>1 / >>3) */
+    uint64_t x = h[0];
+    x = ((x & 0x00000000FFFFFFFFULL) << 32) | (x >> 32);
+    x = ((x & 0x0000FFFF0000FFFFULL) << 16) |
+        ((x >> 16) & 0x0000FFFF0000FFFFULL);
+    x = ((x & 0x00FF00FF00FF00FFULL) << 8) |
+        ((x >> 8) & 0x00FF00FF00FF00FFULL);
+    return x;
+}
+
+void blake2b64_batch(const uint8_t *data, const int64_t *offsets,
+                     int64_t n, uint64_t *out) {
+    for (int64_t i = 0; i < n; i++)
+        out[i] = blake2b64_one(data + offsets[i],
+                               offsets[i + 1] - offsets[i]);
+}

@@ -391,8 +391,8 @@ def md5_seed_centroids(ds: ray.data.Dataset, n_cells: int = 8,
                              id_col: pa.array([], pa.int64()),
                              vec_col: batch.column(vec_col)})
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
-        keys = np.array([_md5_low64(f"ivfseed:{int(i)}") for i in ids],
-                        dtype=np.uint64)
+        from blacklab_ray.util import md5_low64_keyed
+        keys = md5_low64_keyed("ivfseed", np.asarray(ids, np.int64))
         order = np.lexsort((ids, keys))[:n_cells]
         sub = batch.take(pa.array(order, pa.int64()))
         return pa.table({

@@ -44,8 +44,8 @@ def word_counts(ds: ray.data.Dataset, text_col: str = "text",
         vc = pc.value_counts(toks)
         terms = vc.field(0)
         # value_counts terms are already distinct — hash them directly
-        part = np.array([hash64(t) % parts
-                         for t in terms.to_pylist()], np.int64)
+        from blacklab_ray.util import hash64_batch
+        part = (hash64_batch(terms) % parts).astype(np.int64)
         return pa.table({"term": terms,
                          "n": vc.field(1).cast(pa.int64()),
                          "part": pa.array(part, pa.int64())})

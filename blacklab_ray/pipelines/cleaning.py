@@ -474,10 +474,9 @@ def _gram_hashes(grams: pa.Array) -> np.ndarray:
     md5 loop runs once per DISTINCT gram, not per occurrence."""
     if isinstance(grams, pa.ChunkedArray):
         grams = grams.combine_chunks()
+    from blacklab_ray.util import md5_high64be_batch
     d = pc.dictionary_encode(grams)
-    uniq = np.array(
-        [int.from_bytes(hashlib.md5(g.encode()).digest()[:8], "big")
-         for g in d.dictionary.to_pylist()], dtype=np.uint64)
+    uniq = md5_high64be_batch(d.dictionary)
     if not uniq.size:
         return np.empty(0, dtype=np.uint64)
     return uniq[d.indices.to_numpy(zero_copy_only=False)]

@@ -188,8 +188,8 @@ def latest_snapshot_keep_ids(ds: ray.data.Dataset,
             ts = ts.cast(pa.timestamp("us"))
         canon = canonicalize_url_expr(pc.fill_null(
             batch.column(url_col), ""))
-        key = np.array([md5_low64(u) for u in canon.to_pylist()],
-                       np.uint64).view(np.int64)
+        from blacklab_ray.util import md5_low64_batch
+        key = md5_low64_batch(canon).view(np.int64)
         return pa.table({
             "part": pa.array(part_of(key, P), pa.int64()),
             "key": pa.array(key, pa.int64()),
@@ -249,12 +249,10 @@ class MinHashSignature:
     def _shingle_hashes(self, toks: list[str]) -> np.ndarray:
         if len(toks) < self._k:
             toks = toks + ["_"] * (self._k - len(toks))
+        from blacklab_ray.util import blake2b64_batch
         grams = {" ".join(toks[i:i + self._k])
                  for i in range(len(toks) - self._k + 1)}
-        return np.array(
-            [int.from_bytes(hashlib.blake2b(g.encode(), digest_size=8)
-                            .digest(), "big") >> 3 for g in grams],
-            dtype=np.uint64)
+        return blake2b64_batch(list(grams)) >> np.uint64(3)
 
     def signature(self, toks: list[str]) -> np.ndarray:
         h = self._shingle_hashes(toks)
@@ -305,10 +303,8 @@ class MinHashSignature:
             np.empty(0, dtype=np.int64)
         order = np.argsort(gp, kind="stable")
         gp = gp[order]
-        h = np.fromiter(
-            (int.from_bytes(hashlib.blake2b(g.encode(), digest_size=8)
-                            .digest(), "big") >> 3 for g in gs[order]),
-            dtype=np.uint64, count=gs.size)
+        from blacklab_ray.util import blake2b64_batch
+        h = blake2b64_batch(gs[order].tolist()) >> np.uint64(3)
         sig = np.zeros((n_docs, self._num), dtype=np.uint64)
         if gp.size:
             seg_starts = np.searchsorted(gp, np.arange(n_docs))
@@ -472,12 +468,11 @@ def _hashed_shingles(text: str, shingle_k: int) -> np.ndarray:
     toks = tokenize_text(text)
     if len(toks) < shingle_k:
         toks = toks + ["_"] * (shingle_k - len(toks))
+    from blacklab_ray.util import blake2b64_batch
     grams = {" ".join(toks[i:i + shingle_k])
              for i in range(len(toks) - shingle_k + 1)}
-    return np.unique(np.array(
-        [int.from_bytes(hashlib.blake2b(g.encode(), digest_size=8)
-                        .digest(), "big") >> 1 for g in grams],
-        dtype=np.int64))
+    return np.unique((blake2b64_batch(list(grams))
+                      >> np.uint64(1)).astype(np.int64))
 
 
 def verify_jaccard_pairs(ds: ray.data.Dataset, pairs: ray.data.Dataset,
@@ -770,7 +765,8 @@ class SimHash64:
     def simhash(self, toks: list[str]) -> int:
         if not toks:
             return 0
-        hs = np.array([_md5_low64(t) for t in toks], dtype=np.uint64)
+        from blacklab_ray.util import md5_low64_batch
+        hs = md5_low64_batch(toks)
         bits = ((hs[:, None] >> self._bit_cols[None, :])
                 & np.uint64(1)).astype(np.int64)
         charge = (2 * bits - 1).sum(axis=0)
@@ -792,9 +788,8 @@ class SimHash64:
         out = np.zeros(n_docs, dtype=np.uint64)
         if len(toks):
             d = pc.dictionary_encode(toks)
-            uniq = d.dictionary.to_pylist()
-            uh = np.fromiter((_md5_low64(u) for u in uniq),
-                             dtype=np.uint64, count=len(uniq))
+            from blacklab_ray.util import md5_low64_batch
+            uh = md5_low64_batch(d.dictionary)
             hs = uh[d.indices.to_numpy(zero_copy_only=False)]
             nz = np.flatnonzero(doc_lens > 0)
             offsets = np.zeros(n_docs, dtype=np.int64)
@@ -1307,13 +1302,10 @@ def substr_dup_spans(ds: ray.data.Dataset, window: int = 32,
             return OUT1.empty_table()
         # per-UNIQUE-token md5 (vocab-sized loop), broadcast to the
         # token stream via the dictionary codes
-        from blacklab_ray.pipelines.hits import md5_low64
+        from blacklab_ray.util import md5_low64_batch
         dict_arr = pc.dictionary_encode(flat)
-        vocab = dict_arr.dictionary.to_pylist()
         # md5_low64 is unsigned 64-bit; view as int64 (wrap, not clip)
-        th = np.fromiter((md5_low64(t) for t in vocab),
-                         dtype=np.uint64,
-                         count=len(vocab)).view(np.int64)
+        th = md5_low64_batch(dict_arr.dictionary).view(np.int64)
         tok_h = th[dict_arr.indices.to_numpy(zero_copy_only=False)]
         # doc boundaries in the flat stream; note empty-split docs
         # contribute one '' token to flat but lens==0 — use the RAW

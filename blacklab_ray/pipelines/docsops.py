@@ -40,9 +40,10 @@ def sample_docs(ds: ray.data.Dataset, frac: float, seed: int = 29,
     thresh = int(round(frac * (1 << 20)))
 
     def _filt(batch: pa.Table) -> pa.Table:
-        keep = [md5_low64(f"{d}:{seed}") % (1 << 20) < thresh
-                for d in batch.column(id_col).to_pylist()]
-        return batch.filter(pa.array(keep))
+        from blacklab_ray.util import md5_low64_keyed
+        hv = md5_low64_keyed(
+            batch.column(id_col).cast(pa.int64()), seed) % (1 << 20)
+        return batch.filter(pa.array(hv < thresh))
 
     return ds.map_batches(_filt, batch_format="pyarrow")
 
@@ -185,8 +186,9 @@ def weighted_sample(ds: ray.data.Dataset, weight_col: str, k: int,
     from blacklab_ray.pipelines.hits import md5_low64
 
     def _pri(ids: np.ndarray, w: np.ndarray) -> np.ndarray:
-        u = np.array([md5_low64(f"{i}:{seed}") for i in ids],
-                     np.uint64).astype(np.float64)
+        from blacklab_ray.util import md5_low64_keyed
+        u = md5_low64_keyed(ids.astype(np.int64),
+                            seed).astype(np.float64)
         return np.log((u + 1.0) / 18446744073709551616.0) / w
 
     def _partial(batch: pa.Table) -> pa.Table:
@@ -284,10 +286,10 @@ def assign_splits(ds: ray.data.Dataset,
                       np.int64)
 
     def _assign(batch: pa.Table) -> pa.Table:
-        ids = batch.column(id_col).to_pylist()
-        buckets = np.array(
-            [md5_low64(f"{i}:{seed}") % (1 << 20) for i in ids],
-            np.int64)
+        from blacklab_ray.util import md5_low64_keyed
+        buckets = (md5_low64_keyed(
+            batch.column(id_col).cast(pa.int64()), seed)
+            % (1 << 20)).astype(np.int64)
         which = np.searchsorted(bounds, buckets, side="right")
         return batch.append_column(
             "split", pa.array([names[w] for w in which], pa.string()))

@@ -77,11 +77,10 @@ def build_vocab(ds: ray.data.Dataset, size: int = 65536,
 
 def _tf_rows(toks: pa.Array) -> pa.Table:
     """(term, tf, part) partial rows from a flat token array."""
-    from blacklab_ray.stages.tokenize import hash64
+    from blacklab_ray.util import hash64_batch
     vc = pc.value_counts(toks)
     terms = vc.field(0)
-    part = np.array([hash64(t) % _TF_PARTS for t in terms.to_pylist()],
-                    np.int64)
+    part = (hash64_batch(terms) % _TF_PARTS).astype(np.int64)
     return pa.table({"term": terms,
                      "tf": vc.field(1).cast(pa.int64()),
                      "part": pa.array(part, pa.int64())})

@@ -373,9 +373,9 @@ def anchor_texts(links: ray.data.Dataset, target_col: str = "href",
             return pa.schema([("part", pa.int64()),
                               ("target", pa.string()),
                               ("anchor", pa.string())]).empty_table()
+        from blacklab_ray.util import md5_low64_batch
         tgt = t.column(target_col).cast(pa.string())
-        key = np.array([md5_low64(u) for u in tgt.to_pylist()],
-                       np.uint64).view(np.int64)  # md5 is unsigned
+        key = md5_low64_batch(tgt).view(np.int64)  # md5 is unsigned
         return pa.table({
             "part": pa.array(_part_of(key, P), pa.int64()),
             "target": tgt,

@@ -435,10 +435,11 @@ class HashSampleHits:
         # round to match DuckDB's CAST(frac * 1048576 AS BIGINT)
         # (ADVICE r2 #4 — truncation flips boundary hits vs the oracle)
         thresh = int(round(self._frac * (1 << 20)))
-        keep = [md5_low64(f"{d}:{p}:{self._seed}") % (1 << 20) < thresh
-                for d, p in zip(t["doc_id"].to_pylist(),
-                                t["pos"].to_pylist())]
-        return t.filter(pa.array(keep))
+        from blacklab_ray.util import md5_low64_keyed
+        hv = md5_low64_keyed(t["doc_id"].cast(pa.int64()),
+                             t["pos"].cast(pa.int64()),
+                             self._seed) % (1 << 20)
+        return t.filter(pa.array(hv < thresh))
 
 
 def sample_hits(ds: ray.data.Dataset, term: str, frac: float,

@@ -71,9 +71,10 @@ def _doc_gram_buckets(col: pa.Array | pa.ChunkedArray,
         gparents = np.concatenate([parents, big_parents])
     else:
         grams, gparents = toks, parents
+    from blacklab_ray.util import md5_low64_batch
     d = pc.dictionary_encode(grams)
-    uniq = np.array([md5_low64(g) % n_buckets
-                     for g in d.dictionary.to_pylist()], dtype=np.int64)
+    uniq = (md5_low64_batch(d.dictionary)
+            % n_buckets).astype(np.int64)
     buckets = uniq[d.indices.to_numpy(zero_copy_only=False)]
     return gparents.astype(np.int64), buckets
 
@@ -189,8 +190,9 @@ def dsir_select(ds: ray.data.Dataset, target_col: str, target_value,
     def _key(ids: np.ndarray, logw: np.ndarray) -> np.ndarray:
         if method == "topk":
             return logw
-        u = np.array([md5_low64(f"{i}:{seed}") for i in ids],
-                     np.uint64).astype(np.float64)
+        from blacklab_ray.util import md5_low64_keyed
+        u = md5_low64_keyed(np.asarray(ids, np.int64),
+                            seed).astype(np.float64)
         return logw + -np.log(-np.log((u + 1.0) / TWO64))
 
     def _partial(batch: pa.Table) -> pa.Table:

@@ -35,8 +35,8 @@ from .dedup import _md5_low64
 def _hash_values(vals: list[str], memo: dict | None = None
                  ) -> np.ndarray:
     if memo is None:
-        return np.array([_md5_low64(v) for v in vals],
-                        dtype=np.uint64)
+        from blacklab_ray.util import md5_low64_batch
+        return md5_low64_batch(vals)
     if len(memo) > 1_000_000:       # bound per-actor memo growth
         memo.clear()
     out = np.empty(len(vals), np.uint64)
@@ -162,9 +162,9 @@ def hll_distinct(ds: ray.data.Dataset, col: str, b: int = 12,
 
 def _cm_buckets(vals: list[str], d: int, w: int) -> np.ndarray:
     """(d, n) bucket matrix: row i hashes ``f"{i}:{val}"``."""
+    from blacklab_ray.util import md5_low64_keyed
     return np.stack([
-        np.array([_md5_low64(f"{i}:{v}") % w for v in vals],
-                 np.int64)
+        (md5_low64_keyed(str(i), vals) % w).astype(np.int64)
         for i in range(d)])
 
 

@@ -84,6 +84,12 @@ def _compile() -> "ctypes.CDLL | None":
         ctypes.c_int64, ctypes.c_int64,                # max_n, k
         _PI64, _PF64,                                  # out
     ]
+    _PU64 = ctypes.POINTER(ctypes.c_uint64)
+    for fn in ("md5_low64_batch", "md5_high64be_batch",
+               "blake2b64_batch"):
+        f = getattr(lib, fn)
+        f.restype = None
+        f.argtypes = [_PU8, _PI64, ctypes.c_int64, _PU64]
     return lib
 
 

@@ -105,8 +105,9 @@ class ShardWorker:
         from blacklab_ray.stages.tokenize import hash64
         tbl = self.reader.terms_table
         nb = self.reader.num_buckets
-        mask = np.array([hash64(t) % nb in self._buckets
-                         for t in tbl["term"].to_pylist()])
+        from blacklab_ray.util import hash64_batch
+        mask = np.isin((hash64_batch(tbl["term"]) % nb).astype(np.int64),
+                       np.fromiter(self._buckets, np.int64))
         self.reader._terms_tbl = tbl.filter(pa.array(mask))
         self._partial_cache: dict = {}
         self._cache_max = cache_terms

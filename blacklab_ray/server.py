@@ -256,12 +256,30 @@ def _doc_infos(reader, doc_ids, params: dict | None = None) -> dict:
             for u, did, n in zip(urls, doc_ids, lens)}
 
 
+def _resolved_maxcount(params: dict) -> int:
+    """The effective COUNT cap — the engine budget. BLS keeps
+    counting past maxretrieve up to maxcount, so the engine may only
+    stop enumerating at maxcount (a tighter engine clamp would
+    under-report numberOfHits for results between the two caps);
+    -1 = unlimited (no engine budget, the reference's behavior with
+    counting uncapped)."""
+    return int(params.get("maxcount", 10_000_000))
+
+
 def _spans_table_for(reader, patt: str,
-                     filter_expr: str | None):
+                     filter_expr: str | None,
+                     max_spans: int | None = None):
     """Filtered + (doc,start)-sorted span table, capture columns
-    included."""
-    from blacklab_ray.query.cql import cql_spans
-    spans = cql_spans(reader, patt)
+    included. With ``max_spans`` the ENGINE stops enumerating
+    output-bound shapes at the cap (cql_spans_budgeted) — the
+    stopped flag is surfaced through ``_apply_maxretrieve`` (pass
+    ``engine_stopped``)."""
+    from blacklab_ray.query.cql import cql_spans, cql_spans_budgeted
+    if max_spans is not None and max_spans >= 0:
+        spans, engine_stopped = cql_spans_budgeted(
+            reader, patt, max_spans)
+    else:
+        spans, engine_stopped = cql_spans(reader, patt), False
     d = spans["doc_id"].to_numpy()
     allowed = _allowed_ids(reader, filter_expr)
     keep = None
@@ -279,11 +297,11 @@ def _spans_table_for(reader, patt: str,
         if keep is not None:
             arr = arr[keep]
         cols[c] = pa.array(arr[order])
-    return pa.table(cols)
+    return pa.table(cols), engine_stopped
 
 
 def _spans_for(reader, patt: str, filter_expr: str | None):
-    t = _spans_table_for(reader, patt, filter_expr)
+    t, _ = _spans_table_for(reader, patt, filter_expr)
     return (t["doc_id"].to_numpy(), t["start"].to_numpy(),
             t["end"].to_numpy())
 
@@ -303,8 +321,12 @@ def _apply_maxretrieve(spans_tbl, params: dict):
     if 0 <= maxcount and (maxretrieve < 0 or maxcount < maxretrieve):
         maxretrieve = maxcount
     n_all = spans_tbl.num_rows
-    stopped_retr = 0 <= maxretrieve < n_all
-    stopped_count = 0 <= maxcount < n_all
+    # engine-side budget clamp (cql_spans_budgeted): retrieval AND
+    # counting already stopped inside the plan — the true total is
+    # unknown beyond the retrieved prefix
+    engine_stopped = bool(params.get("_engine_stopped"))
+    stopped_retr = (0 <= maxretrieve < n_all) or engine_stopped
+    stopped_count = (0 <= maxcount < n_all) or engine_stopped
     if stopped_retr:
         spans_tbl = spans_tbl.slice(0, maxretrieve)
     counted = min(n_all, maxcount) if maxcount >= 0 else n_all
@@ -335,7 +357,10 @@ def handle_hits(reader, params: dict) -> dict:
     compare by the engine's collation (the hits_ctx_sorted order),
     with (doc, start) as the stable tiebreak."""
     patt = params.get("patt", "")
-    spans_tbl = _spans_table_for(reader, patt, params.get("filter"))
+    spans_tbl, engine_stopped = _spans_table_for(
+        reader, patt, params.get("filter"),
+        max_spans=_resolved_maxcount(params))
+    params = dict(params, _engine_stopped=engine_stopped)
     spans_tbl, counted, stopped_retr, stopped_count = \
         _apply_maxretrieve(spans_tbl, params)
     if params.get("hitfiltercrit"):
@@ -363,9 +388,10 @@ def handle_hits(reader, params: dict) -> dict:
         seed = int(params.get("sampleseed", 17))
         d0 = spans_tbl["doc_id"].to_numpy()
         s0 = spans_tbl["start"].to_numpy()
-        hv = np.array([md5_low64(f"{d}:{p}:{seed}") % (1 << 20)
-                       for d, p in zip(d0.tolist(), s0.tolist())],
-                      np.int64)
+        from blacklab_ray.util import md5_low64_keyed
+        hv = (md5_low64_keyed(d0.astype(np.int64),
+                              s0.astype(np.int64), seed)
+              % (1 << 20)).astype(np.int64)
         if params.get("sample"):
             frac = float(params["sample"]) / 100.0  # BLS: percentage
             thresh = int(round(frac * (1 << 20)))
@@ -992,7 +1018,10 @@ def handle_hits_grouped(reader, params: dict) -> dict:
     crit = params["group"]
     first = int(params.get("first", 0))
     number = int(params.get("number", 50))
-    spans_tbl = _spans_table_for(reader, patt, params.get("filter"))
+    spans_tbl, engine_stopped = _spans_table_for(
+        reader, patt, params.get("filter"),
+        max_spans=_resolved_maxcount(params))
+    params = dict(params, _engine_stopped=engine_stopped)
     spans_tbl, counted, stopped_retr, stopped_count = \
         _apply_maxretrieve(spans_tbl, params)
     d = spans_tbl["doc_id"].to_numpy()

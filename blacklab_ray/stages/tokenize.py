@@ -148,8 +148,10 @@ class TokenizeForwardIndex:
             urls = (batch.column("url") if "url" in batch.column_names
                     else pa.array([str(i) for i in doc_ids.to_pylist()]))
         else:
-            url_list = batch.column("url").to_pylist()
-            doc_ids = pa.array([hash64(u) for u in url_list], pa.int64())
+            from blacklab_ray.util import hash64_batch
+            doc_ids = pa.array(
+                hash64_batch(batch.column("url")).view(np.int64),
+                pa.int64())
             urls = batch.column("url")
         norm = encode_lengths(doc_lens)
         cols = {
@@ -196,11 +198,10 @@ class TokenizeForwardIndex:
             cols[f"terms_{name}"] = avec[0]
             cols[f"tfs_{name}"] = avec[1]
             cols[f"pos_{name}"] = avec[2]
-        if self._multivalue and self._multivalue in batch.column_names:
-            mv_col = batch.column(self._multivalue).combine_chunks() \
-                if isinstance(batch.column(self._multivalue),
-                              pa.ChunkedArray) \
-                else batch.column(self._multivalue)
+        def _mv_vector(col_name: str):
+            mv_col = batch.column(col_name).combine_chunks() \
+                if isinstance(batch.column(col_name), pa.ChunkedArray) \
+                else batch.column(col_name)
             mp = pc.list_parent_indices(mv_col).to_numpy(
                 zero_copy_only=False)
             flat_mv = pc.list_flatten(mv_col)
@@ -223,11 +224,28 @@ class TokenizeForwardIndex:
                 raise ValueError(
                     f"multivalue position {int(mv_pos[i])} >= doc_len "
                     f"{int(doc_lens[mp[i]])} at batch row {int(mp[i])}")
-            mvec = self._term_vector(mp, mv_vals, mv_pos, n_docs,
+            return self._term_vector(mp, mv_vals, mv_pos, n_docs,
                                      sort_positions=True)
+
+        if self._multivalue and self._multivalue in batch.column_names:
+            mvec = _mv_vector(self._multivalue)
             cols["terms_mv"] = mvec[0]
             cols["tfs_mv"] = mvec[1]
             cols["pos_mv"] = mvec[2]
+        # NON-main-annotation multi-values (AnnotationWriter.java:
+        # 246-343 indexes increment-0 secondaries on ANY annotation —
+        # naf.blf.yaml's word_or_lemma): a `multi_<name>` input column
+        # (list<struct<pos,value>>) rides the fwd rows as parallel
+        # terms_mv_<name>/... vectors; the per-annotation postings
+        # exchange folds them into that annotation's postings while
+        # the primary terms_<name> stays the forward-index value.
+        for name in self._annotations:
+            mv_name = f"multi_{name}"
+            if mv_name in batch.column_names:
+                mvec = _mv_vector(mv_name)
+                cols[f"terms_mv_{name}"] = mvec[0]
+                cols[f"tfs_mv_{name}"] = mvec[1]
+                cols[f"pos_mv_{name}"] = mvec[2]
         if "punct" in batch.column_names:
             # inter-token separators (punct-before-each-word, len
             # n_tokens+1) ride the forward index for faithful KWIC
