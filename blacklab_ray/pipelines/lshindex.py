@@ -51,7 +51,6 @@ from blacklab_ray.util import part_of
 from blacklab_ray.pipelines.dedup import (
     ExplodeBands,
     MinHashSignature,
-    _distinct_pairs,
     _hashed_shingles,
 )
 
@@ -213,17 +212,23 @@ def probe_minhash_index(ds: ray.data.Dataset, index_dir: str,
     """Near-dup pairs between ``ds`` (the new shard) and the indexed
     corpus: (doc_id, index_doc_id, jaccard), jaccard >= threshold.
 
-    Stages (all part-hash co-partitioned, P Python UDF calls each):
-    1. new shard → banded rows (same permutations: seed from meta);
-    2. union with the persisted band table (its ``part`` partition
+    TWO shuffles total (was four — r4 VERDICT item 3: each chained
+    part-hash stage pays a fixed Ray stage-barrier cost that dominates
+    at probe scale):
+    1. new shard → banded rows (same permutations: seed from meta),
+       unioned with the persisted band table (its ``part`` partition
        column IS the bucket hash part — no reshuffle of the index
-       side) → cross-source candidate pairs per bucket;
-    3. cross-band pair dedup on ``hash(a,b)``;
-    4. exact verify: new-side signatures computed from the shard's
-       text, index-side signatures gathered from the shingle
-       partitions the candidates touch (partition-pruned read), then
-       the same two-shuffle attach/intersect as
-       ``dedup.verify_jaccard_pairs``.
+       side) → ONE groupby → cross-source candidate pairs per bucket;
+    2. pair dedup on the DRIVER (both the duplicated and deduped pair
+       sets are candidate-pair-sized by LSH construction — the bound
+       the id gather already accepted), which also yields each pair's
+       verify partition and an id → verify-partitions fanout map;
+    3. exact verify in ONE groupby: new-side signatures computed from
+       the shard's text, index-side signatures gathered from the
+       shingle partitions the candidates touch (partition-pruned
+       read), each sig row replicated DIRECTLY to the verify
+       partitions that need it (sig bytes cross the wire once, not
+       twice), attach + intersect fused in the partition UDF.
     """
     with open(os.path.join(index_dir, "meta.json")) as f:
         meta = json.load(f)
@@ -258,66 +263,83 @@ def probe_minhash_index(ds: ray.data.Dataset, index_dir: str,
     pairs = new_banded.union(idx_banded).groupby("part").map_groups(
         _cross_pairs, batch_format="pyarrow")
 
-    # 3: dedup (a,b) across bands
-    def _pair_part(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0 or "a" not in t.column_names:
-            return pa.schema([("part", pa.int64()), ("a", pa.int64()),
-                              ("b", pa.int64())]).empty_table()
-        key = (t.column("a").to_numpy(zero_copy_only=False)
-               * np.int64(31)
-               + t.column("b").to_numpy(zero_copy_only=False))
-        return t.append_column(
-            "part", pa.array(_part_of(key, P), pa.int64())) \
-            .select(["part", "a", "b"])
-
-    pairs = pairs.map_batches(_pair_part, batch_format="pyarrow") \
-        .groupby("part").map_groups(_distinct_pairs,
-                                    batch_format="pyarrow") \
-        .materialize()  # pair-sized; consumed twice below
-
-    id_parts = [(np.unique(b["a"].to_numpy(zero_copy_only=False)),
-                 np.unique(b["b"].to_numpy(zero_copy_only=False)))
-                for b in pairs.iter_batches(batch_format="pyarrow")
-                if b.num_rows]
-    if not id_parts:
+    # 3: pair dedup ON THE DRIVER. The cross-band duplicates and the
+    # deduped pairs are both candidate-pair-sized by LSH construction
+    # (the same driver bound verify_jaccard_pairs already accepts for
+    # its id gather) — folding the dedup into the gather that stage 4
+    # needs anyway deletes a whole shuffle round (r4 VERDICT item 3:
+    # each part-hash stage pays ~2 s of Ray stage-barrier latency at
+    # probe scale).
+    raw = [b.select(["a", "b"])
+           for b in pairs.iter_batches(batch_format="pyarrow")
+           if b.num_rows and "a" in b.column_names]
+    if not raw:
         return empty
-    need_new = np.unique(np.concatenate([p[0] for p in id_parts]))
-    need_idx = np.unique(np.concatenate([p[1] for p in id_parts]))
-    need_new_ref = ray.put(need_new)
+    allp = pa.concat_tables(raw)
+    a = allp.column("a").to_numpy(zero_copy_only=False)
+    b = allp.column("b").to_numpy(zero_copy_only=False)
+    order = np.lexsort((b, a))
+    a, b = a[order], b[order]
+    keep = np.ones(a.size, bool)
+    keep[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+    a, b = a[keep], b[keep]
+    # each pair's ONE verify partition
+    vpart = _part_of(a * np.int64(31) + b, P)
+    need_new = np.unique(a)
+    need_idx = np.unique(b)
 
-    # 4: signature streams. Keys are packed (id << 1) | src so new and
-    # index ids can never collide in the attach shuffle.
+    # 4+5 FUSED: instead of attach-by-id then re-shuffle-by-pair (two
+    # exchanges, sig bytes moving twice), route every signature
+    # DIRECTLY to the verify partitions of the pairs that need it.
+    # The id -> verify-partitions fanout map is computed from the
+    # driver-held pairs (sorted key + part arrays, broadcast once);
+    # sig bytes then cross the wire exactly once, and attach+verify
+    # run inside ONE groupby.
+    def _fanout(keys: np.ndarray, parts: np.ndarray):
+        o = np.lexsort((parts, keys))
+        k, p = keys[o], parts[o]
+        kp = np.ones(k.size, bool)
+        kp[1:] = (k[1:] != k[:-1]) | (p[1:] != p[:-1])
+        return k[kp], p[kp]
+
+    # fanout keys use the SAME (id << 1) | src packing as the sig
+    # rows, so the producer's searchsorted lookup matches directly
+    new_fan_ref = ray.put(_fanout((a << 1) | 1, vpart))
+    idx_fan_ref = ray.put(_fanout(b << 1, vpart))
+    need_new_ref = ray.put(need_new)
+    need_idx_ref = ray.put(need_idx)
+
     k = meta["shingle_k"]
     UNION_SCHEMA = pa.schema([
-        ("part", pa.int64()), ("key", pa.int64()),
-        ("a", pa.int64()), ("b", pa.int64()),
-        ("side", pa.int8()), ("sig", _SIG_T)])
+        ("part", pa.int64()), ("a", pa.int64()), ("b", pa.int64()),
+        ("key", pa.int64()), ("sig", _SIG_T)])
 
-    def _explode_pairs(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0 or "a" not in batch.column_names:
-            return UNION_SCHEMA.empty_table()
-        a = batch["a"].to_numpy(zero_copy_only=False)
-        b = batch["b"].to_numpy(zero_copy_only=False)
-        key = np.concatenate([(a << 1) | 1, b << 1])
-        return pa.table({
-            "part": pa.array(_part_of(key, P), pa.int64()),
-            "key": pa.array(key, pa.int64()),
-            "a": pa.array(np.concatenate([a, a]), pa.int64()),
-            "b": pa.array(np.concatenate([b, b]), pa.int64()),
-            "side": pa.array(np.repeat(
-                np.array([0, 1], np.int8), a.size), pa.int8()),
-            "sig": pa.nulls(2 * a.size, _SIG_T),
-        })
+    pair_rows = pa.table({
+        "part": pa.array(vpart, pa.int64()),
+        "a": pa.array(a, pa.int64()),
+        "b": pa.array(b, pa.int64()),
+        "key": pa.nulls(a.size, pa.int64()),
+        "sig": pa.nulls(a.size, _SIG_T),
+    })
 
-    def _sig_row_table(key: np.ndarray, sig: pa.Array) -> pa.Table:
-        n = key.size
+    def _sig_fan_table(key: np.ndarray, sig: pa.Array,
+                       fan) -> pa.Table:
+        """One row per (sig, verify partition that needs it)."""
+        fk, fp = fan
+        lo = np.searchsorted(fk, key, side="left")
+        hi = np.searchsorted(fk, key, side="right")
+        cnt = hi - lo
+        total = int(cnt.sum())
+        rep = np.repeat(np.arange(key.size), cnt)
+        offs = np.cumsum(cnt) - cnt
+        fidx = np.repeat(lo, cnt) + (np.arange(total)
+                                     - np.repeat(offs, cnt))
         return pa.table({
-            "part": pa.array(_part_of(key, P), pa.int64()),
-            "key": pa.array(key, pa.int64()),
-            "a": pa.nulls(n, pa.int64()),
-            "b": pa.nulls(n, pa.int64()),
-            "side": pa.nulls(n, pa.int8()),
-            "sig": sig,
+            "part": pa.array(fp[fidx], pa.int64()),
+            "a": pa.nulls(total, pa.int64()),
+            "b": pa.nulls(total, pa.int64()),
+            "key": pa.array(key[rep], pa.int64()),
+            "sig": sig.take(pa.array(rep, pa.int64())),
         })
 
     # plain functions, not actor classes: ray.get of a broadcast ref is
@@ -334,7 +356,8 @@ def probe_minhash_index(ds: ray.data.Dataset, index_dir: str,
                        _SIG_T)
         ids = sub.column(id_col).cast(pa.int64()) \
             .to_numpy(zero_copy_only=False)
-        return _sig_row_table((ids << 1) | 1, sig)
+        return _sig_fan_table((ids << 1) | 1, sig,
+                              ray.get(new_fan_ref))
 
     # index-side sigs: partition-pruned read (only spart dirs that
     # candidate ids hash into), then an isin filter inside the task
@@ -346,99 +369,68 @@ def probe_minhash_index(ds: ray.data.Dataset, index_dir: str,
              and int(d.split("=", 1)[1]) in need_parts
              for f in sorted(os.listdir(os.path.join(shingle_root, d)))
              if f.endswith(".parquet")]
-    need_idx_ref = ray.put(need_idx)
 
     def _idx_sigs(batch: pa.Table) -> pa.Table:
         need = pa.array(ray.get(need_idx_ref), pa.int64())
         sub = batch.filter(pc.is_in(
             batch.column("doc_id").cast(pa.int64()), value_set=need))
         ids = sub.column("doc_id").to_numpy(zero_copy_only=False)
-        return _sig_row_table(ids << 1, sub.column("sig")
-                              .combine_chunks().cast(_SIG_T))
+        return _sig_fan_table(ids << 1, sub.column("sig")
+                              .combine_chunks().cast(_SIG_T),
+                              ray.get(idx_fan_ref))
 
     idx_sigs = ray.data.read_parquet(paths, columns=["doc_id", "sig"]) \
         .map_batches(_idx_sigs, batch_format="pyarrow")
     new_sigs = ds.map_batches(_new_sigs, batch_format="pyarrow")
 
-    def _attach(g: pa.Table) -> pa.Table:
-        schema = pa.schema([("part", pa.int64()), ("a", pa.int64()),
-                            ("b", pa.int64()), ("side", pa.int8()),
-                            ("sig", _SIG_T)])
-        if g.num_rows == 0 or "sig" not in g.column_names:
-            return schema.empty_table()
-        is_sig = pc.is_valid(g.column("sig"))
-        sig_rows = g.filter(is_sig)
-        pair_rows = g.filter(pc.invert(is_sig))
-        if sig_rows.num_rows == 0 or pair_rows.num_rows == 0:
-            return schema.empty_table()
-        sig_keys = sig_rows.column("key").to_numpy(zero_copy_only=False)
-        order = np.argsort(sig_keys, kind="stable")
-        sig_keys = sig_keys[order]
-        sig_col = sig_rows.column("sig").take(pa.array(order))
-        # the pair row's own key: side 0 -> packed a, side 1 -> packed b
-        side = pair_rows.column("side").to_numpy(zero_copy_only=False)
-        a = pair_rows.column("a").to_numpy(zero_copy_only=False)
-        b = pair_rows.column("b").to_numpy(zero_copy_only=False)
-        pk = np.where(side == 0, (a << 1) | 1, b << 1)
-        pos = np.searchsorted(sig_keys, pk)
-        pos_c = np.minimum(pos, sig_keys.size - 1)
-        found = sig_keys[pos_c] == pk
-        pr = pair_rows.filter(pa.array(found))
-        a2 = pr.column("a").to_numpy(zero_copy_only=False)
-        b2 = pr.column("b").to_numpy(zero_copy_only=False)
-        return pa.table({
-            "part": pa.array(
-                _part_of(a2 * np.int64(31) + b2, P), pa.int64()),
-            "a": pr.column("a"),
-            "b": pr.column("b"),
-            "side": pr.column("side"),
-            "sig": sig_col.take(pa.array(pos_c[found])),
-        })
-
-    def _verify(g: pa.Table) -> pa.Table:
+    # fan-out keys: packed (id << 1) | src so new and index ids can
+    # never collide. Pair rows look BOTH sides up via searchsorted
+    # over the partition's sorted sig keys, then verify in place.
+    def _attach_verify(g: pa.Table) -> pa.Table:
         out = pa.table({"doc_id": pa.array([], pa.int64()),
                         "index_doc_id": pa.array([], pa.int64()),
                         "jaccard": pa.array([], pa.float64())})
-        if g.num_rows == 0 or "a" not in g.column_names:
+        if g.num_rows == 0 or "sig" not in g.column_names:
             return out
-        idx = np.lexsort((
-            g.column("side").to_numpy(zero_copy_only=False),
-            g.column("b").to_numpy(zero_copy_only=False),
-            g.column("a").to_numpy(zero_copy_only=False)))
-        t = g.take(pa.array(idx))
-        a = t.column("a").to_numpy(zero_copy_only=False)
-        b = t.column("b").to_numpy(zero_copy_only=False)
-        side = t.column("side").to_numpy(zero_copy_only=False)
-        sig = t.column("sig")
+        is_sig = pc.is_valid(g.column("sig"))
+        sig_rows = g.filter(is_sig)
+        prs = g.filter(pc.invert(is_sig))
+        if sig_rows.num_rows == 0 or prs.num_rows == 0:
+            return out
+        keys = sig_rows.column("key").to_numpy(zero_copy_only=False)
+        so = np.argsort(keys, kind="stable")
+        keys = keys[so]
+        sig_col = sig_rows.column("sig").take(pa.array(so))
+        pa_ = prs.column("a").to_numpy(zero_copy_only=False)
+        pb_ = prs.column("b").to_numpy(zero_copy_only=False)
+        pk_a = (pa_ << 1) | 1
+        pk_b = pb_ << 1
+        pos_a = np.minimum(np.searchsorted(keys, pk_a), keys.size - 1)
+        pos_b = np.minimum(np.searchsorted(keys, pk_b), keys.size - 1)
+        both = (keys[pos_a] == pk_a) & (keys[pos_b] == pk_b)
         out_a, out_b, out_j = [], [], []
-        i, n = 0, a.size
-        while i + 1 < n:
-            if a[i] == a[i + 1] and b[i] == b[i + 1] \
-                    and side[i] == 0 and side[i + 1] == 1:
-                sa = np.frombuffer(sig[i].as_py(), np.int64)
-                sb = np.frombuffer(sig[i + 1].as_py(), np.int64)
-                if sa.size and sb.size:
-                    inter = np.intersect1d(
-                        sa, sb, assume_unique=True).size
-                    j = inter / (sa.size + sb.size - inter)
-                    if j >= threshold:
-                        out_a.append(int(a[i]))
-                        out_b.append(int(b[i]))
-                        out_j.append(round(j, 6))
-                i += 2
-            else:
-                i += 1
+        for i in np.flatnonzero(both).tolist():
+            sa = np.frombuffer(sig_col[pos_a[i]].as_py(), np.int64)
+            sb = np.frombuffer(sig_col[pos_b[i]].as_py(), np.int64)
+            if sa.size and sb.size:
+                inter = np.intersect1d(sa, sb, assume_unique=True).size
+                j = inter / (sa.size + sb.size - inter)
+                if j >= threshold:
+                    out_a.append(int(pa_[i]))
+                    out_b.append(int(pb_[i]))
+                    out_j.append(round(j, 6))
         return pa.table({"doc_id": pa.array(out_a, pa.int64()),
                          "index_doc_id": pa.array(out_b, pa.int64()),
                          "jaccard": pa.array(out_j, pa.float64())})
 
-    exploded = pairs.map_batches(_explode_pairs, batch_format="pyarrow")
-    attached = exploded.union(new_sigs).union(idx_sigs) \
-        .groupby("part").map_groups(_attach, batch_format="pyarrow")
-    verified = [b for b in
-                attached.groupby("part").map_groups(
-                    _verify, batch_format="pyarrow")
-                .iter_batches(batch_format="pyarrow") if b.num_rows]
+    fused = ray.data.from_arrow(pair_rows) \
+        .map_batches(lambda t: t.cast(UNION_SCHEMA),
+                     batch_format="pyarrow") \
+        .union(new_sigs).union(idx_sigs) \
+        .groupby("part").map_groups(_attach_verify,
+                                    batch_format="pyarrow")
+    verified = [b for b in fused.iter_batches(batch_format="pyarrow")
+                if b.num_rows]
     if not verified:
         return empty
     return pa.concat_tables(verified).sort_by(
