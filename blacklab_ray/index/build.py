@@ -435,6 +435,13 @@ def build_index(source: str | list[str] | ray.data.Dataset, index_dir: str,
     # parallel annotations like lemma/pos) — reads the written fwd ----
     extra_annots = (["s"] if params.sensitive else []) \
         + list(params.annotations)
+    fwd_schema_names: set = set()
+    if extra_annots:
+        fwd_files = [f for f in os.listdir(fwd_dir)
+                     if f.endswith(".parquet")]
+        if fwd_files:
+            fwd_schema_names = set(pq.read_schema(
+                os.path.join(fwd_dir, fwd_files[0])).names)
     for annot in extra_annots:
         stage = f"postings_{annot}"
         if resume and man.stage_complete(stage, src_fp, pfp):
@@ -444,6 +451,12 @@ def build_index(source: str | list[str] | ray.data.Dataset, index_dir: str,
         post_a = os.path.join(index_dir, f"postings_{annot}")
         _fresh_dir(post_a)
         _fresh_dir(os.path.join(index_dir, f"terms_parts_{annot}"))
+        # non-main multi-values (AnnotationWriter.java:246-343): when
+        # the tokenize stage emitted increment-0 secondaries for this
+        # annotation, fold them into ITS postings — searchable like
+        # primaries, while the fwd terms_<annot> stays primary-only
+        mv = (f"terms_mv_{annot}", f"tfs_mv_{annot}",
+              f"pos_mv_{annot}")
         run_postings_exchange(
             fwd_dir, post_a,
             num_buckets=params.num_buckets, n_salts=params.n_salts,
@@ -452,7 +465,8 @@ def build_index(source: str | list[str] | ray.data.Dataset, index_dir: str,
             codec=params.codec,
             annot_cols=(f"terms_{annot}", f"tfs_{annot}",
                         f"pos_{annot}"),
-            terms_parts_name=f"terms_parts_{annot}")
+            terms_parts_name=f"terms_parts_{annot}",
+            mv_cols=(mv if mv[0] in fwd_schema_names else None))
         man.record(stage, src_fp, pfp,
                    seconds=round(time.perf_counter() - t0, 3))
 

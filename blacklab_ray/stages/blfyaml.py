@@ -180,17 +180,11 @@ def load_blf_yaml(src: str, name: str | None = None,
             if _steps(a):
                 processes[a["name"]] = _steps(a)
             if a.get("multipleValues"):
-                # non-main multi-values are not indexed at
-                # increment 0 here (only the MAIN annotation's
-                # secondaries are — naf.blf.yaml's word_or_lemma
-                # keeps its first value); warn instead of silently
-                # dropping
-                import warnings
-                warnings.warn(
-                    f"multipleValues on non-main annotation "
-                    f"{a['name']!r}: only the first value is "
-                    f"indexed (increment-0 secondaries are "
-                    f"supported on the main annotation only)")
+                # non-main multi-values: extraction emits a
+                # multi_<name> secondaries column and the build
+                # folds it into that annotation's postings
+                # (AnnotationWriter.java:246-343 increment-0 —
+                # naf.blf.yaml's word_or_lemma)
                 multi_names.append(a["name"])
             if "forEachPath" in a:
                 raise ValueError(

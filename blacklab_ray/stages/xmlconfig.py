@@ -501,6 +501,24 @@ def _value(el, path: str, parents: dict | None = None) -> str:
         return xpath.evaluate_string(path, el, parents)
 
 
+def _value_list(el, path: str, parents: dict | None = None) -> list:
+    """ALL string values of a valuePath — the ``multipleValues: true``
+    contract (DocIndexerConfig indexes every node the path matches;
+    naf.blf.yaml's word_or_lemma ``.//text()|./@lemma`` yields the
+    word form AND the lemma). Evaluated through the full engine so
+    unions/text()/attribute node-sets enumerate in document order;
+    non-node-set results collapse to their one string value."""
+    from blacklab_ray.stages import xpath
+    path = path.strip().replace("attribute::", "@")
+    try:
+        v = xpath.evaluate(path, el, parents)
+    except Exception:
+        return [_value(el, path, parents)]
+    if isinstance(v, list):
+        return [xpath.string_value(n) for n in v]
+    return [xpath._to_string(v)]
+
+
 def _value_subset(el, path: str, parents: dict | None = None) -> str:
     if path in (".", "text()"):
         return _text_of(el)
@@ -565,7 +583,7 @@ def _extract_doc(doc_el, cfg: XmlFormatConfig,
             text = "\n".join(p for p in parts if p)
         else:
             text = _text_of(doc_el)
-        return text, {}, [], meta, []
+        return text, {}, [], meta, [], {}
 
     # full-path word selection (EAF's tier-predicated word path needs
     # more than a last-step match); the tree walk below preserves
@@ -599,6 +617,10 @@ def _extract_doc(doc_el, cfg: XmlFormatConfig,
         return path
 
     multivals: list[dict] = []      # (pos, value) increment-0 extras
+    # non-main annotations declaring multipleValues collect their
+    # secondaries here (one list per annotation name)
+    ann_multivals: dict[str, list] = {
+        a: [] for a in cfg.multivalue_annotations if a}
 
     def walk(el):
         if id(el) in word_ids:
@@ -631,19 +653,39 @@ def _extract_doc(doc_el, cfg: XmlFormatConfig,
             for a, p in cfg.annotations.items():
                 # p None: declared subannotation with no valuePath —
                 # filled by subannotation_foreach below or left ""
-                v = (_value(el, subst_captures(el, a, p), parents)
-                     if p else "")
+                multi = a in ann_multivals
+                if multi and p:
+                    # multipleValues: EVERY node the path matches is a
+                    # value at this position (AnnotationWriter
+                    # increment-0 secondaries on any annotation)
+                    raw_vals = _value_list(
+                        el, subst_captures(el, a, p), parents)
+                else:
+                    raw_vals = [_value(el, subst_captures(el, a, p),
+                                       parents) if p else ""]
                 asteps = (cfg.processes.get(a)
                           if cfg.processes else None)
                 if asteps:
                     from blacklab_ray.stages.process import \
                         apply_steps_value
-                    avals = apply_steps_value(v, asteps, get_field)
-                    v = avals[0] if avals else ""
+                    stepped: list = []
+                    for rv in raw_vals:
+                        stepped.extend(
+                            apply_steps_value(rv, asteps, get_field))
+                    raw_vals = stepped or [""]
+                elif not raw_vals:
+                    raw_vals = [""]
+                v = raw_vals[0]
                 # empty stays empty ("" = no value, the reference's
                 # convention for e.g. a missing @lemma); only internal
                 # whitespace is escaped (token alignment)
                 anns[a].append("_".join(v.split()))
+                if multi:
+                    for ev in raw_vals[1:]:
+                        ev = "_".join(ev.split())
+                        if ev:
+                            ann_multivals[a].append(
+                                {"pos": len(words) - 1, "value": ev})
             for parent, fe_path, name_path, value_path in \
                     cfg.subannotation_foreach:
                 for m_el in _iter_path(el, fe_path, parents):
@@ -714,7 +756,7 @@ def _extract_doc(doc_el, cfg: XmlFormatConfig,
                         filled[a][pos] = v
         for a in st_anns:
             anns[a] = filled[a]
-    return " ".join(words), anns, spans, meta, multivals
+    return " ".join(words), anns, spans, meta, multivals, ann_multivals
 
 
 def extract_xml_config(cfg: XmlFormatConfig, encoding: str = "utf-8"):
@@ -730,6 +772,8 @@ def extract_xml_config(cfg: XmlFormatConfig, encoding: str = "utf-8"):
         ann_cols: dict[str, list] = {a: [] for a in ann_names}
         tag_col: list = []
         multi_col: list = []
+        ann_multi_cols: dict[str, list] = {
+            a: [] for a in cfg.multivalue_annotations if a}
         meta_cols: dict[str, list] = {
             m: [] for m in list(cfg.metadata) + list(cfg.foreach_fields)}
         langs: list = []
@@ -767,8 +811,8 @@ def extract_xml_config(cfg: XmlFormatConfig, encoding: str = "utf-8"):
                     # the file's root element IS the document tag
                     doc_els = [root]
             for i, el in enumerate(doc_els):
-                text, anns, spans, meta, mvals = _extract_doc(
-                    el, cfg, parents)
+                (text, anns, spans, meta, mvals,
+                 ann_mvals) = _extract_doc(el, cfg, parents)
                 pid = (_value(el, cfg.doc_id_value, parents)
                        if cfg.doc_id_value else "") or f"{path}#{i}"
                 urls.append(pid)
@@ -778,6 +822,8 @@ def extract_xml_config(cfg: XmlFormatConfig, encoding: str = "utf-8"):
                     ann_cols[a].append(anns.get(a, []))
                 tag_col.append(spans)
                 multi_col.append(mvals)
+                for a in ann_multi_cols:
+                    ann_multi_cols[a].append(ann_mvals.get(a, []))
                 for m in meta_cols:
                     meta_cols[m].append(meta.get(m, ""))
                 langs.append(meta.get("lang") or None)
@@ -799,9 +845,13 @@ def extract_xml_config(cfg: XmlFormatConfig, encoding: str = "utf-8"):
         if "" in cfg.multivalue_annotations:
             # increment-0 secondary values of the MAIN annotation
             # (BuildParams multivalue_column="multi" indexes them);
-            # non-main multipleValues keep first-value-only (warned
-            # at config load)
+            # non-main multipleValues emit multi_<name> columns below
             cols["multi"] = pa.array(multi_col, pa.list_(pa.struct([
+                ("pos", pa.int32()), ("value", pa.string())])))
+        for a, vals in ann_multi_cols.items():
+            # per-annotation increment-0 secondaries: indexed into
+            # postings_<a> by the build (fwd keeps the primary)
+            cols[f"multi_{a}"] = pa.array(vals, pa.list_(pa.struct([
                 ("pos", pa.int32()), ("value", pa.string())])))
         for m, vals in meta_cols.items():
             if m != "lang":

@@ -173,3 +173,90 @@ def test_merge_duplicate_doc_terms_unit():
                                                np.uint8)))
     assert got.tolist() == [0, 2, 4]
     assert rows["y"]["tf"] == 1
+
+
+# ---- non-main-annotation multi-values (naf.blf.yaml word_or_lemma) ----
+
+NAF_DOC = """<NAF xml:lang="en" version="3.0">
+ <nafHeader>
+  <fileDesc title="Multivalue test"/>
+  <public publicId="naf-1"/>
+ </nafHeader>
+ <text>
+  <wf id="w1" lemma="the">The</wf>
+  <wf id="w2" lemma="run">ran</wf>
+  <wf id="w3">fast</wf>
+ </text>
+ <terms>
+  <term id="t2" lemma="rennen" pos="verb"><span><target id="w2"/></span></term>
+ </terms>
+</NAF>"""
+
+
+def test_naf_word_or_lemma_extraction(ray_session):
+    """The REAL naf.blf.yaml loads without the first-value warning and
+    word_or_lemma's union valuePath (.//text()|./@lemma) yields the
+    word AND the lemma — lemma as an increment-0 secondary."""
+    import warnings
+
+    from blacklab_ray.stages.blfyaml import load_blf_yaml
+    from blacklab_ray.stages.xmlconfig import extract_xml_config
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        cfg = load_blf_yaml(
+            "/root/reference/core/src/main/resources/formats/"
+            "naf.blf.yaml")
+    assert "word_or_lemma" in cfg.multivalue_annotations
+    fn = extract_xml_config(cfg)
+    t = fn(pa.table({"path": ["n.xml"],
+                     "bytes": [NAF_DOC.encode()]}))
+    assert t["text"][0].as_py() == "The ran fast"
+    # primary = first matched node in DOCUMENT ORDER: the XPath data
+    # model places an element's attributes before its children, so
+    # @lemma wins when present and the word text is the secondary
+    assert t["word_or_lemma"][0].as_py() == ["the", "run", "fast"]
+    mv = t["multi_word_or_lemma"][0].as_py()
+    assert {(m["pos"], m["value"]) for m in mv} == \
+        {(0, "The"), (1, "ran")}   # w3 has no @lemma -> no secondary
+    # standoff lemma layer attaches by token ref as before
+    assert t["lemma"][0].as_py() == ["_", "rennen", "_"]
+
+
+def test_naf_word_or_lemma_cql(ray_session, tmp_path):
+    """End-to-end: the secondary (lemma) value is searchable through
+    [word_or_lemma="..."] while the forward index keeps the primary."""
+    from blacklab_ray.formats import read_pages, register_yaml_format
+    from blacklab_ray.index import BuildParams, build_index
+    from blacklab_ray.query import IndexReader
+    from blacklab_ray.query.cql import cql_spans
+
+    src = tmp_path / "naf"
+    src.mkdir()
+    (src / "a.xml").write_text(NAF_DOC)
+    name = register_yaml_format(
+        "/root/reference/core/src/main/resources/formats/naf.blf.yaml",
+        name="naf-mv-test")
+    try:
+        ds = read_pages(name, [str(src / "a.xml")])
+        idx = str(tmp_path / "idx")
+        build_index(ds, idx, BuildParams(
+            num_buckets=2, n_salts=1, analyzer="whitespace",
+            annotations=("word_or_lemma", "lemma", "pos")))
+        r = IndexReader(idx)
+        # secondary value "run" (wf @lemma) matches at position 1
+        got = cql_spans(r, '[word_or_lemma="run"]')
+        assert got.num_rows == 1 and got["start"][0].as_py() == 1
+        # so does the primary word form at the same position
+        got2 = cql_spans(r, '[word_or_lemma="ran"]')
+        assert got2.num_rows == 1 and got2["start"][0].as_py() == 1
+        # a secondary on another position
+        assert cql_spans(r, '[word_or_lemma="the"]').num_rows == 1
+        # absent value stays absent
+        assert cql_spans(r, '[word_or_lemma="rennen"]').num_rows == 0
+        # standoff annotation still routes separately
+        assert cql_spans(r, '[lemma="rennen"]').num_rows == 1
+    finally:
+        from blacklab_ray import formats as F
+        F._FORMATS.pop(name, None)
+        F.USER_FORMATS.discard(name)
