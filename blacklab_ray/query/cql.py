@@ -1465,10 +1465,14 @@ def _all_window_spans(reader, lo: int, hi: int) -> pa.Table:
     anchorless any-token result (result is corpus-sized by nature;
     doc ids/lengths stream in chunks, the reference enumerates the
     same set per leaf-reader)."""
+    from blacklab_ray.query.spans import active_span_budget
     lo = max(lo, 1)
+    budget = active_span_budget()
+    chunk_docs = 256 if budget is not None else (1 << 20)
+    produced = 0
     ds_, ss_ = [], []
     ws_ = []
-    for chunk in reader.iter_doc_id_chunks():
+    for chunk in reader.iter_doc_id_chunks(chunk_docs):
         chunk = np.asarray(chunk, dtype=np.int64)
         lens = reader.doc_lens(chunk)
         for w in range(lo, hi + 1):
@@ -1482,6 +1486,12 @@ def _all_window_spans(reader, lo: int, hi: int) -> pa.Table:
             ds_.append(np.repeat(chunk, n))
             ss_.append(s)
             ws_.append(np.full(tot, w, dtype=np.int64))
+            produced += tot
+        # stoppedRetrieving: the anchorless window set is corpus-sized
+        # by definition — stop enumerating once past the budget
+        if budget is not None and produced >= budget.limit:
+            budget.stopped = True
+            break
     if not ds_:
         e = np.empty(0, np.int64)
         return pa.table({"doc_id": pa.array(e), "start": pa.array(e),
@@ -1777,6 +1787,31 @@ def cql_spans(reader, q: str) -> pa.Table:
         if drop:
             out = out.drop_columns(drop)
     return out
+
+
+def cql_spans_budgeted(reader, q: str,
+                       max_spans: int) -> tuple[pa.Table, bool]:
+    """``cql_spans`` under a result budget — the engine-side
+    maxHitsToProcess (SearchSettings.java / MaxStats): output-bound
+    shapes (all-negative complements, anchorless windows, unbounded
+    gaps — inherently O(L²) result sets) stop ENUMERATING once
+    ``max_spans`` rows exist instead of materializing tens of
+    millions of spans and timing out. Returns ``(spans, stopped)``;
+    ``stopped=True`` means retrieval was cut short
+    (stoppedRetrievingHits semantics — the table holds the first
+    ``max_spans`` spans the plan produced, and the true total is
+    unknown)."""
+    from blacklab_ray.query.spans import _SPAN_BUDGET, SpanBudget
+    b = SpanBudget(max_spans)
+    tok = _SPAN_BUDGET.set(b)
+    try:
+        out = cql_spans(reader, q)
+    finally:
+        _SPAN_BUDGET.reset(tok)
+    stopped = b.stopped or out.num_rows > max_spans
+    if out.num_rows > max_spans:
+        out = out.slice(0, max_spans)
+    return out, stopped
 
 
 def _apply_constraints(reader, spans: pa.Table,
@@ -2174,11 +2209,14 @@ def _cql_spans_seq_unbounded(reader, plan: SeqPlan) -> pa.Table:
             rt = rt.append_column(f"{rp.cap_open}_start", rt["start"])
             rt = rt.append_column(f"{rp.cap_close}_end", rt["end"])
         tables[j] = rt
+    from blacklab_ray.query.spans import clamp_to_budget
     out = tables[0]
     for t, g in zip(tables[1:], conns):
         if out.num_rows == 0:
             break
-        out = concat_spans(out, t, gap=g)
+        # unbounded gaps pair left×right positions per doc — clamp
+        # each composition to the active budget (stoppedRetrieving)
+        out = clamp_to_budget(concat_spans(out, t, gap=g))
     out = _expand_edges(reader, out, plan.lead, plan.trail)
     if out.num_rows == 0:
         return out

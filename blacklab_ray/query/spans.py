@@ -27,6 +27,51 @@ import pyarrow.compute as pc
 SPAN_SCHEMA = pa.schema([("doc_id", pa.int64()), ("start", pa.int64()),
                          ("end", pa.int64())])
 
+# ---- result-budget clamp (stoppedRetrieving semantics) --------------------
+#
+# Some CQL shapes are inherently output-bound: all-negative sequences
+# enumerate a complement over every live doc and unbounded any-token
+# gaps pair positions quadratically (the fuzz log's worst shape emits
+# 57.8M spans on 140 docs). The reference's safety valve is
+# SearchSettings.maxHitsToProcess — retrieval STOPS at the cap and
+# the result carries stoppedRetrievingHits=true (MaxStats). Here a
+# budget rides a contextvar: `cql_spans_budgeted` installs it, and the
+# output-bound producers (complement chunk loop, anchorless window
+# enumeration, unbounded-gap concatenation) stop enumerating once the
+# accumulated row count passes the limit. Bounded-producer joins are
+# postings-sized and stay unclamped — their cost is input-bound.
+
+import contextvars as _contextvars
+
+
+class SpanBudget:
+    """Mutable budget: ``limit`` rows; producers flip ``stopped`` when
+    they cut enumeration short."""
+
+    __slots__ = ("limit", "stopped")
+
+    def __init__(self, limit: int):
+        self.limit = int(limit)
+        self.stopped = False
+
+
+_SPAN_BUDGET: "_contextvars.ContextVar[SpanBudget | None]" = \
+    _contextvars.ContextVar("blray_span_budget", default=None)
+
+
+def active_span_budget() -> "SpanBudget | None":
+    return _SPAN_BUDGET.get()
+
+
+def clamp_to_budget(t: pa.Table) -> pa.Table:
+    """Slice ``t`` to the active budget's limit (marking it stopped)
+    — a no-op when no budget is installed or the table fits."""
+    b = _SPAN_BUDGET.get()
+    if b is None or t.num_rows <= b.limit:
+        return t
+    b.stopped = True
+    return t.slice(0, b.limit)
+
 
 def span_table(doc_ids, starts, ends) -> pa.Table:
     return pa.table({"doc_id": pa.array(np.asarray(doc_ids, np.int64)),
@@ -417,12 +462,24 @@ def sequence_spans_multi(reader, term_sets: list[list[str]],
         # such a query is still universe-sized by definition; callers
         # wanting the reference's safety valve should clamp via
         # maxHitsToProcess (engine.count_hits clamps the same way).
-        parts = [
-            sequence_spans_multi(reader, term_sets, gaps=gaps,
-                                 negates=negates, captures=captures,
-                                 annots=annots, _cand=chunk)
-            for chunk in reader.iter_doc_id_chunks()]
-        parts = [p for p in parts if p.num_rows]
+        budget = _SPAN_BUDGET.get()
+        # small chunks under a budget so the early stop actually
+        # bounds enumeration (a complement query's output is
+        # universe-sized, and an unbounded gap can square a doc's
+        # length; per-16-doc granularity keeps the overshoot to one
+        # chunk's worth)
+        chunk_docs = 16 if budget is not None else (1 << 20)
+        parts, total = [], 0
+        for chunk in reader.iter_doc_id_chunks(chunk_docs):
+            p = sequence_spans_multi(reader, term_sets, gaps=gaps,
+                                     negates=negates, captures=captures,
+                                     annots=annots, _cand=chunk)
+            if p.num_rows:
+                parts.append(p)
+                total += p.num_rows
+            if budget is not None and total >= budget.limit:
+                budget.stopped = True
+                break
         if not parts:
             return SPAN_SCHEMA.empty_table()
         merged = pa.concat_tables(parts)

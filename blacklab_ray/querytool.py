@@ -143,7 +143,7 @@ class QueryToolSession:
 
     def _query(self, patt: str) -> list[str]:
         from blacklab_ray.server import _spans_table_for
-        self.spans = _spans_table_for(self.reader, patt,
+        self.spans, _ = _spans_table_for(self.reader, patt,
                                       self.filter_expr)
         self.last_patt = patt
         self.groups = self.group_keys = None

@@ -1142,3 +1142,53 @@ def test_mixed_sensitivity_flags_rejected(reader):
     assert p.positions[0].sensitivity == "s"
     assert set((p.positions[0].pattern, *p.positions[0].alts)) == \
         {"the", "of"}
+
+
+# ---- result-budget clamp (stoppedRetrieving semantics) --------------------
+
+
+class TestSpanBudget:
+    """cql_spans_budgeted bounds output-bound shapes (all-negative
+    complements, anchorless windows, unbounded gaps) and flags the
+    clamp — the engine-side maxHitsToProcess."""
+
+    def test_exact_when_under_limit(self, reader):
+        from blacklab_ray.query.cql import cql_spans_budgeted
+        full = cql_spans(reader, '"the"')
+        got, stopped = cql_spans_budgeted(reader, '"the"',
+                                          full.num_rows + 10)
+        assert not stopped
+        assert _rows(got) == _rows(full)
+
+    def test_all_negative_clamps(self, reader):
+        from blacklab_ray.query.cql import cql_spans_budgeted
+        q = '[word!="zzzznotaword"]'
+        full = cql_spans(reader, q)
+        assert full.num_rows > 20
+        got, stopped = cql_spans_budgeted(reader, q, 20)
+        assert stopped and 0 < got.num_rows <= 20
+        # every clamped row is a REAL match
+        assert set(_rows(got)) <= set(_rows(full))
+
+    def test_anchorless_windows_clamp(self, reader):
+        from blacklab_ray.query.cql import cql_spans_budgeted
+        full = cql_spans(reader, '[]{1,2}')
+        got, stopped = cql_spans_budgeted(reader, '[]{1,2}', 15)
+        assert stopped and 0 < got.num_rows <= 15
+        assert set(_rows(got)) <= set(_rows(full))
+
+    def test_negative_unbounded_gap_clamps(self, reader):
+        """The fuzz log's O(L^2) shape: all-negative + unbounded gap."""
+        from blacklab_ray.query.cql import cql_spans_budgeted
+        q = '[word!="qqq"] []{0,} [word!="rrr"]'
+        full = cql_spans(reader, q)
+        got, stopped = cql_spans_budgeted(reader, q, 25)
+        assert stopped and 0 < got.num_rows <= 25
+        assert set(_rows(got)) <= set(_rows(full))
+
+    def test_budget_does_not_leak(self, reader):
+        """After a budgeted call the plain path is uncapped again."""
+        from blacklab_ray.query.cql import cql_spans_budgeted
+        cql_spans_budgeted(reader, '[]{1,2}', 5)
+        full = cql_spans(reader, '[]{1,2}')
+        assert full.num_rows > 5
