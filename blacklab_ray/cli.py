@@ -227,8 +227,16 @@ def cmd_serve(args) -> int:
         dirs[name] = path
     if not dirs and not args.data_dir:
         raise SystemExit("serve needs --corpus and/or --data-dir")
+    auth_method = "none"
+    if args.auth_fixed_user:
+        auth_method = "debug-fixed"
+    elif args.auth_header:
+        auth_method = "http-header"
     httpd, _ = serve(dirs, host=args.host, port=args.port,
-                     data_dir=args.data_dir)
+                     data_dir=args.data_dir,
+                     auth_method=auth_method,
+                     auth_header=args.auth_header or "X-BlackLabUser",
+                     auth_fixed_user=args.auth_fixed_user)
     print(json.dumps({"serving": sorted(dirs),
                       "port": httpd.server_address[1]}))
     try:
@@ -711,6 +719,13 @@ def main(argv=None) -> int:
                          "existing indexes")
     sv.add_argument("--host", default="127.0.0.1")
     sv.add_argument("--port", type=int, default=8080)
+    sv.add_argument("--auth-header", default=None,
+                    help="enable header auth: trusted reverse-proxy "
+                         "header carrying the user id (HttpHeader"
+                         "AuthMethod analogue), e.g. X-BlackLabUser")
+    sv.add_argument("--auth-fixed-user", default=None,
+                    help="debug auth: every request is this user "
+                         "(AuthDebugFixed analogue)")
     sv.set_defaults(fn=cmd_serve)
 
     sy = sub.add_parser("sync")

@@ -1770,12 +1770,18 @@ def handle_fieldinfo(reader, fieldname: str, params: dict) -> dict:
 
 
 def handle_server_info(readers: dict,
-                       can_create_index: bool = False) -> dict:
+                       can_create_index: bool = False,
+                       user_id: str | None = None) -> dict:
     """GET / — RequestHandlerServerInfo analogue: the corpora this
     server exposes plus the user block (shape: the reference's saved
-    info/Server info page.json — no auth here, so loggedIn is always
-    false and canCreateIndex reflects whether a writable data_dir is
-    configured)."""
+    info/Server info page.json). With an authenticated ``user_id``
+    (AuthManager → AuthMethod.determineCurrentUser analogue) the
+    block reports loggedIn=true + id, and the caller passes only the
+    corpora this user may see."""
+    user: dict = {"loggedIn": user_id is not None,
+                  "canCreateIndex": bool(can_create_index)}
+    if user_id is not None:
+        user["id"] = user_id
     return {"blacklabVersion": "blacklab-ray",
             "indices": {name: {
                 "displayName": name,
@@ -1783,8 +1789,7 @@ def handle_server_info(readers: dict,
                 "documentFormat": "webtext",
                 "tokenCount": int(r.meta["total_tokens"]),
             } for name, r in sorted(readers.items())},
-            "user": {"loggedIn": False,
-                     "canCreateIndex": bool(can_create_index)}}
+            "user": user}
 
 
 def handle_index_status(reader, name: str) -> dict:
@@ -2035,12 +2040,95 @@ class BlsApp:
     """
 
     def __init__(self, readers: dict, index_dirs: dict | None = None,
-                 data_dir: str | None = None):
+                 data_dir: str | None = None,
+                 auth_method: str = "none",
+                 auth_header: str = "X-BlackLabUser",
+                 auth_fixed_user: str | None = None):
         self._readers = readers
         self._dirs = dict(index_dirs or {})
         self._data_dir = data_dir
+        # pluggable user resolution (wslib auth package analogue —
+        # AuthManager picks an AuthMethod from server config):
+        #   "none"        AuthMethod "anonymous": no user, and — like
+        #                 a reference deployment without auth — no
+        #                 ACL enforcement (backward compatible);
+        #   "http-header" HttpHeaderAuthMethod: the user id is read
+        #                 from a trusted reverse-proxy header
+        #                 (``auth_header``);
+        #   "debug-fixed" AuthDebugFixed: every request is
+        #                 ``auth_fixed_user`` (development).
+        if auth_method not in ("none", "http-header", "debug-fixed"):
+            raise ValueError(f"unknown auth_method {auth_method!r}")
+        if auth_method == "debug-fixed" and not auth_fixed_user:
+            raise ValueError("auth_method='debug-fixed' needs "
+                             "auth_fixed_user")
+        self._auth_method = auth_method
+        self._auth_env_key = "HTTP_" + auth_header.upper() \
+            .replace("-", "_")
+        self._auth_fixed_user = auth_fixed_user
         # (handler, method, status) → [count, seconds]
         self._metrics: dict[tuple, list] = {}
+
+    # -- auth / ACL (wslib auth + Index.userMayRead analogues) ---------
+
+    def _resolve_user(self, environ) -> str | None:
+        if self._auth_method == "debug-fixed":
+            return self._auth_fixed_user
+        if self._auth_method == "http-header":
+            u = (environ.get(self._auth_env_key) or "").strip()
+            return u or None
+        return None
+
+    @staticmethod
+    def _corpus_owner(name: str) -> str | None:
+        """The userid prefix of a user-scoped index id
+        ('user@example.com:name' — Index.PATT_INDEXID), else None."""
+        m = _INDEXID_RE.fullmatch(name)
+        return m.group(1) if m else None
+
+    def _shared_users(self, name: str) -> list:
+        d = self._dirs.get(name)
+        if not d or "," in d:
+            return []
+        fp = os.path.join(d, ".shareWithUsers")
+        if not os.path.exists(fp):
+            return []
+        with open(fp) as f:
+            return [ln.strip() for ln in f if ln.strip()]
+
+    def _check_access(self, name: str, user: str | None,
+                      write: bool = False) -> None:
+        """Private-corpus ACL (Index.userMayRead/userMayAddData):
+        a user-scoped corpus is readable by its owner and the users
+        it is shared with, writable by the owner only. Public corpora
+        are open. With auth_method='none' there is no user concept
+        and no enforcement (the pre-auth behavior)."""
+        if self._auth_method == "none":
+            return
+        if write and user is None:
+            # with auth enabled every mutation needs a logged-in user
+            raise PermissionError("mutations require a logged-in user")
+        owner = self._corpus_owner(name)
+        if owner is None or user == owner:
+            return
+        if not write and user is not None and \
+                user in self._shared_users(name):
+            return
+        raise PermissionError(
+            f"not authorized to {'modify' if write else 'access'} "
+            f"corpus {name!r}")
+
+    def _visible_readers(self, user: str | None) -> dict:
+        if self._auth_method == "none":
+            return self._readers
+        out = {}
+        for name, r in self._readers.items():
+            try:
+                self._check_access(name, user)
+            except PermissionError:
+                continue
+            out[name] = r
+        return out
 
     def __call__(self, environ, start_response):
         import time
@@ -2062,9 +2150,16 @@ class BlsApp:
         if n and "wsgi.input" in environ:
             body_in = environ["wsgi.input"].read(n)
         t0 = time.perf_counter()
+        user = self._resolve_user(environ)
         try:
-            body, ctype = self._route(path, params, method, body_in)
+            body, ctype = self._route(path, params, method, body_in,
+                                      user=user)
             status = "200 OK"
+        except PermissionError as e:
+            # the reference's NOT_AUTHORIZED error shape
+            body = json.dumps({"error": {"code": "NOT_AUTHORIZED",
+                                         "message": str(e)}})
+            ctype, status = "application/json", "403 Forbidden"
         except KeyError as e:
             body = json.dumps({"error": {"code": "NOT_FOUND",
                                          "message": str(e)}})
@@ -2355,7 +2450,8 @@ class BlsApp:
         return {"status": {"code": "SUCCESS"}, "deleted": name}
 
     def _route(self, path: str, params: dict, method: str = "GET",
-               body_in: bytes = b"") -> tuple[str, str]:
+               body_in: bytes = b"",
+               user: str | None = None) -> tuple[str, str]:
         from urllib.parse import unquote
         parts = [unquote(p) for p in path.split("/") if p]
         fmt = params.get("outputformat", "json")
@@ -2381,7 +2477,9 @@ class BlsApp:
 
         if not parts:
             return emit(handle_server_info(
-                self._readers, can_create_index=bool(self._data_dir)))
+                self._visible_readers(user),
+                can_create_index=bool(self._data_dir),
+                user_id=user))
         if parts == ["metrics"]:
             return self._metrics_text(), "text/plain; version=0.0.4"
         if parts[0] == "input-formats":
@@ -2425,7 +2523,21 @@ class BlsApp:
         if len(parts) < 2:
             raise KeyError("no corpus named")
         name = parts[1]
+        # ACL first: reads need read access, every mutation (index
+        # create/delete, doc add/delete, sharing change) needs WRITE
+        # access — owner-only on user-scoped corpora
+        self._check_access(name, user,
+                           write=(method in ("POST", "DELETE")))
         if len(parts) == 2 and method == "POST":
+            if self._auth_method != "none" and \
+                    self._corpus_owner(name) is None and \
+                    user is not None:
+                # a logged-in user creates PRIVATE corpora under
+                # their own id (IndexManager.createIndex: non-admin
+                # users may only create user-scoped indexes)
+                raise PermissionError(
+                    f"logged-in users must create user-scoped "
+                    f"corpora ('{user}:{name}')")
             return emit(self._create_index(name, params))
         if len(parts) == 2 and method == "DELETE":
             return emit(self._delete_index(name))
@@ -2497,7 +2609,10 @@ def _open_index(spec: str):
 
 
 def serve(index_dirs: dict, host: str = "127.0.0.1",
-          port: int = 8080, data_dir: str | None = None):
+          port: int = 8080, data_dir: str | None = None,
+          auth_method: str = "none",
+          auth_header: str = "X-BlackLabUser",
+          auth_fixed_user: str | None = None):
     """Blocking localhost server: ``index_dirs`` maps corpus name →
     index dir. ``data_dir`` enables index management (POST/DELETE
     /corpora/<name>) and auto-registers every existing index dir
@@ -2518,6 +2633,8 @@ def serve(index_dirs: dict, host: str = "127.0.0.1",
                     os.path.exists(os.path.join(d, "meta.json")):
                 index_dirs[name] = d
     readers = {name: _open_index(d) for name, d in index_dirs.items()}
-    app = BlsApp(readers, index_dirs, data_dir=data_dir)
+    app = BlsApp(readers, index_dirs, data_dir=data_dir,
+                 auth_method=auth_method, auth_header=auth_header,
+                 auth_fixed_user=auth_fixed_user)
     httpd = make_server(host, port, app)
     return httpd, app

@@ -1923,3 +1923,129 @@ def test_index_name_validation_reference_cases(ray_session, tmp_path):
     st, _ct, _b = call("/corpora/user@example.com:mine",
                        method="DELETE")
     assert st.startswith("2"), st
+
+
+# ---- auth layer (wslib auth package analogue) -----------------------------
+
+
+def _mkcall_auth(app):
+    """Like _mkcall but with per-request extra environ (auth headers)."""
+    import io
+
+    def call(path, method="GET", body=b"", qs="", headers=None):
+        environ = {
+            "PATH_INFO": path, "REQUEST_METHOD": method,
+            "QUERY_STRING": qs, "CONTENT_LENGTH": str(len(body)),
+            "wsgi.input": io.BytesIO(body),
+        }
+        for k, v in (headers or {}).items():
+            environ["HTTP_" + k.upper().replace("-", "_")] = v
+        out = {}
+
+        def start(status, hdrs):
+            out["status"] = status
+
+        data = b"".join(app(environ, start))
+        return out["status"], json.loads(data) if data else None
+
+    return call
+
+
+def test_auth_private_corpus_acl(ray_session, srv_index, tmp_path):
+    """Header auth: a user-scoped corpus is readable by its owner and
+    shared users, 403 for others; mutations are owner-only; the
+    server-info listing hides inaccessible corpora."""
+    from blacklab_ray.query import IndexReader
+    from blacklab_ray.server import BlsApp
+
+    import shutil
+    priv = str(tmp_path / "alice_priv")
+    shutil.copytree(srv_index, priv)
+    app = BlsApp({"public": IndexReader(srv_index),
+                  "alice:priv": IndexReader(priv)},
+                 {"alice:priv": priv},
+                 auth_method="http-header")
+    call = _mkcall_auth(app)
+
+    # server info: anonymous sees only the public corpus; alice both
+    st, r = call("/")
+    assert st.startswith("200")
+    assert set(r["indices"]) == {"public"}
+    assert r["user"]["loggedIn"] is False
+    st, r = call("/", headers={"X-BlackLabUser": "alice"})
+    assert set(r["indices"]) == {"public", "alice:priv"}
+    assert r["user"] == {"loggedIn": True, "canCreateIndex": False,
+                         "id": "alice"}
+
+    # reads: owner yes, anonymous/bob 403, public corpus open to all
+    st, _ = call("/corpora/alice:priv/hits", qs="patt=%22the%22",
+                 headers={"X-BlackLabUser": "alice"})
+    assert st.startswith("200")
+    for hdrs in ({}, {"X-BlackLabUser": "bob"}):
+        st, r = call("/corpora/alice:priv/hits", qs="patt=%22the%22",
+                     headers=hdrs)
+        assert st.startswith("403")
+        assert r["error"]["code"] == "NOT_AUTHORIZED"
+    st, _ = call("/corpora/public/hits", qs="patt=%22the%22")
+    assert st.startswith("200")
+
+    # sharing: owner shares with bob -> bob can read, carol cannot;
+    # bob cannot re-share or mutate
+    st, _ = call("/corpora/alice:priv/sharing", method="POST",
+                 qs="users%5B%5D=bob",
+                 headers={"X-BlackLabUser": "alice"})
+    assert st.startswith("200")
+    st, _ = call("/corpora/alice:priv/hits", qs="patt=%22the%22",
+                 headers={"X-BlackLabUser": "bob"})
+    assert st.startswith("200")
+    st, _ = call("/corpora/alice:priv/hits", qs="patt=%22the%22",
+                 headers={"X-BlackLabUser": "carol"})
+    assert st.startswith("403")
+    st, _ = call("/corpora/alice:priv/sharing", method="POST",
+                 qs="users%5B%5D=bob&users%5B%5D=carol",
+                 headers={"X-BlackLabUser": "bob"})
+    assert st.startswith("403")
+    st, _ = call("/corpora/alice:priv/docs/u1", method="DELETE",
+                 headers={"X-BlackLabUser": "bob"})
+    assert st.startswith("403")
+
+
+def test_auth_create_requires_user_scope(ray_session, tmp_path):
+    """With auth enabled, logged-in users create PRIVATE (user-scoped)
+    corpora only, and anonymous users cannot mutate at all."""
+    from blacklab_ray.server import BlsApp
+
+    app = BlsApp({}, {}, data_dir=str(tmp_path / "data"),
+                 auth_method="debug-fixed", auth_fixed_user="alice")
+    (tmp_path / "data").mkdir()
+    call = _mkcall_auth(app)
+    st, r = call("/corpora/plain", method="POST")
+    assert st.startswith("403") and "user-scoped" in r["error"]["message"]
+    st, r = call("/corpora/alice:mine", method="POST")
+    assert st.startswith("200")
+    st, r = call("/corpora/bob:theirs", method="POST")
+    assert st.startswith("403")
+    st, r = call("/")
+    assert "alice:mine" in r["indices"]
+    assert r["user"]["canCreateIndex"] is True
+
+    # anonymous mutation with header auth on
+    anon = BlsApp({}, {}, data_dir=str(tmp_path / "data"),
+                  auth_method="http-header")
+    call2 = _mkcall_auth(anon)
+    st, r = call2("/corpora/x", method="POST")
+    assert st.startswith("403")
+
+
+def test_auth_none_is_unenforced(ray_session, srv_index):
+    """auth_method='none' (default): the pre-auth behavior — no user,
+    no ACL, user-scoped ids fully accessible (backward compat)."""
+    from blacklab_ray.query import IndexReader
+    from blacklab_ray.server import BlsApp
+
+    app = BlsApp({"u:priv": IndexReader(srv_index)})
+    call = _mkcall_auth(app)
+    st, r = call("/corpora/u:priv/hits", qs="patt=%22the%22")
+    assert st.startswith("200")
+    st, r = call("/")
+    assert r["user"]["loggedIn"] is False
