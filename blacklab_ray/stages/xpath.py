@@ -59,6 +59,9 @@ def string_value(node) -> str:
         return node.value
     if isinstance(node, TextNode):
         return node.value
+    if isinstance(node, (str, float, bool)):
+        # atomic items appear in XPath-2 sequences (for/tokenize())
+        return _to_string(node)
     # element: concatenation of descendant text (XPath string-value);
     # whitespace chunks are joined the same way the extractor's
     # _text_of does, keeping subset and engine agreeing on values
@@ -130,6 +133,7 @@ _TOKEN_RE = re.compile(r"""
       (?P<num>\d+(?:\.\d+)?|\.\d+)
     | (?P<str>'[^']*'|"[^"]*")
     | (?P<op>\.\.|//|!=|<=|>=|::|[()\[\]@,/|*+\-=<>.])
+    | (?P<var>\$[\w][\w.-]*)
     | (?P<name>[\w][\w.-]*(?::[\w][\w.-]*)?)
     )""", re.X)
 
@@ -144,7 +148,7 @@ def tokenize(expr: str) -> list[tuple[str, str]]:
                     f"bad token at {expr[i:]!r} in {expr!r}")
             break
         i = m.end()
-        for kind in ("num", "str", "op", "name"):
+        for kind in ("num", "str", "op", "var", "name"):
             v = m.group(kind)
             if v is not None:
                 out.append((kind, v))
@@ -191,11 +195,39 @@ class _Parser:
     # ---- expression grammar (precedence climbing) ----
 
     def parse(self):
-        e = self.expr_or()
+        e = self.expr_single()
         if self.i != len(self.toks):
             raise XPathSyntaxError(
                 f"trailing tokens {self.toks[self.i:]} in {self.expr!r}")
         return e
+
+    def expr_single(self):
+        # XPath 2.0 ExprSingle: the ForExpr production ('for $x in
+        # e1, $y in e2 return body' — the one Saxon construct user
+        # configs still reached for); everything else is XPath 1.0
+        if self.peek() == ("name", "for") and self.peek(1)[0] == "var":
+            self.next()
+            bindings = []
+            while True:
+                k, v = self.next()
+                if k != "var":
+                    raise XPathSyntaxError(
+                        f"for needs a $variable in {self.expr!r}")
+                if self.peek() != ("name", "in"):
+                    raise XPathSyntaxError(
+                        f"for ${v[1:]} needs 'in' in {self.expr!r}")
+                self.next()
+                bindings.append((v[1:], self.expr_or()))
+                if self.peek()[1] == ",":
+                    self.next()
+                    continue
+                break
+            if self.peek() != ("name", "return"):
+                raise XPathSyntaxError(
+                    f"for needs 'return' in {self.expr!r}")
+            self.next()
+            return ("for", bindings, self.expr_single())
+        return self.expr_or()
 
     def expr_or(self):
         e = self.expr_and()
@@ -359,9 +391,21 @@ class _Parser:
     def primary(self):
         k, v = self.next()
         if v == "(":
-            e = self.expr_or()
+            if self.peek()[1] == ")":      # () = empty sequence
+                self.next()
+                return ("seq", [])
+            e = self.expr_single()
+            if self.peek()[1] == ",":      # (a, b, ...) sequence
+                items = [e]
+                while self.peek()[1] == ",":
+                    self.next()
+                    items.append(self.expr_single())
+                self.eat(")")
+                return ("seq", items)
             self.eat(")")
             return e
+        if k == "var":
+            return ("var", v[1:])
         if k == "num":
             return ("num", float(v))
         if k == "str":
@@ -370,10 +414,10 @@ class _Parser:
             self.next()
             args = []
             if self.peek()[1] != ")":
-                args.append(self.expr_or())
+                args.append(self.expr_single())
                 while self.peek()[1] == ",":
                     self.next()
-                    args.append(self.expr_or())
+                    args.append(self.expr_single())
             self.eat(")")
             return ("call", v, args)
         raise XPathSyntaxError(
@@ -434,6 +478,7 @@ def _to_bool(v) -> bool:
 class _Evaluator:
     def __init__(self, ctx: Context):
         self.ctx = ctx
+        self._vars: dict = {}
 
     # ---- axes ----
 
@@ -574,6 +619,48 @@ class _Evaluator:
             return ast[1]
         if kind == "str":
             return ast[1]
+        if kind == "var":
+            try:
+                return self._vars[ast[1]]
+            except (AttributeError, KeyError):
+                raise XPathSyntaxError(
+                    f"unbound variable ${ast[1]}") from None
+        if kind == "seq":
+            items: list = []
+            for sub in ast[1]:
+                v = self.eval(sub, node, pos, size)
+                items.extend(v) if isinstance(v, list) \
+                    else items.append(v)
+            return items
+        if kind == "for":
+            # sequence order (NOT re-sorted to document order: the
+            # ForExpr result is the concatenation of the return
+            # clause over the bound items, per the XPath 2.0 spec)
+            if not hasattr(self, "_vars"):
+                self._vars = {}
+            results: list = []
+
+            def _rec(i):
+                if i == len(ast[1]):
+                    v = self.eval(ast[2], node, pos, size)
+                    results.extend(v) if isinstance(v, list) \
+                        else results.append(v)
+                    return
+                nm, e = ast[1][i]
+                seq = self.eval(e, node, pos, size)
+                if not isinstance(seq, list):
+                    seq = [seq]
+                missing = object()
+                old_v = self._vars.get(nm, missing)
+                for item in seq:
+                    self._vars[nm] = item
+                    _rec(i + 1)
+                if old_v is missing:
+                    del self._vars[nm]
+                else:
+                    self._vars[nm] = old_v
+            _rec(0)
+            return results
         if kind == "or":
             return _to_bool(self.eval(ast[1], node, pos, size)) \
                 or _to_bool(self.eval(ast[2], node, pos, size))
@@ -625,10 +712,16 @@ class _Evaluator:
             _, prim, preds, tail, tail_descend = ast
             v = self.eval(prim, node, pos, size)
             if not isinstance(v, list):
-                if preds or tail:
+                # a for-variable bound to one node is an item, not a
+                # node-set — steps on it treat it as a singleton
+                if not isinstance(v, (str, float, bool)) and \
+                        v is not None:
+                    v = [v]
+                elif preds or tail:
                     raise XPathSyntaxError(
                         "predicates/steps on a non-node-set")
-                return v
+                else:
+                    return v
             cands = self._filter_preds(
                 sorted(v, key=self.ctx.doc_order_key), preds, "child")
             if tail:
@@ -768,6 +861,19 @@ class _Evaluator:
             import math
             v = _to_number(ev[0])
             return v if v != v else float(math.floor(v + 0.5))
+        if name == "tokenize":
+            # XPath 2.0 fn:tokenize(input, pattern) — a sequence of
+            # strings (empty sequence for the empty input, per spec)
+            s0 = s(0)
+            if s0 == "":
+                return []
+            return list(re.split(ev[1] if len(ev) > 1 and
+                                 isinstance(ev[1], str)
+                                 else _to_string(ev[1]), s0))
+        if name == "string-join":
+            sep = s(1, "") if len(ev) > 1 else ""
+            seq = ev[0] if isinstance(ev[0], list) else [ev[0]]
+            return sep.join(string_value(x) for x in seq)
         raise XPathSyntaxError(f"unknown function {name}()")
 
 

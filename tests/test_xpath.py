@@ -310,3 +310,82 @@ def test_fuzz_namespaced_against_elementtree_findall():
         got = evaluate_nodes(path, root)
         assert {id(e) for e in got} == exp_ids, \
             (path, ET.tostring(root))
+
+
+# ---- XPath 2.0 increment: for-expressions, sequences, tokenize() ----------
+
+
+class TestXPath2Constructs:
+    def _root(self):
+        import xml.etree.ElementTree as ET
+        return ET.fromstring(
+            '<d><w l="aa">X</w><w l="bb">Y</w><n>1,2,3</n></d>')
+
+    def test_for_expression(self):
+        from blacklab_ray.stages import xpath
+        r = self._root()
+        got = xpath.evaluate('for $x in w return $x/@l', r)
+        assert [xpath.string_value(x) for x in got] == ["aa", "bb"]
+
+    def test_for_cartesian_and_sequence_literal(self):
+        from blacklab_ray.stages import xpath
+        r = self._root()
+        got = xpath.evaluate(
+            "for $x in w, $y in ('1', '2') return concat($x/@l, $y)",
+            r)
+        assert got == ["aa1", "aa2", "bb1", "bb2"]
+        assert xpath.evaluate("()", r) == []
+        assert xpath.evaluate("('a', 'b')", r) == ["a", "b"]
+
+    def test_tokenize_and_string_join(self):
+        from blacklab_ray.stages import xpath
+        r = self._root()
+        assert xpath.evaluate("tokenize(string(n), ',')", r) == \
+            ["1", "2", "3"]
+        assert xpath.evaluate("tokenize('', ',')", r) == []
+        assert xpath.evaluate(
+            "string-join(for $x in w return $x/@l, '-')", r) == "aa-bb"
+
+    def test_unbound_variable_raises(self):
+        import pytest
+
+        from blacklab_ray.stages import xpath
+        with pytest.raises(xpath.XPathSyntaxError):
+            xpath.evaluate("$nope", self._root())
+
+    def test_for_in_fixture_config(self, ray_session):
+        """A user .blf.yaml whose valuePath uses for/tokenize()
+        extracts through the config engine (the DocIndexerSaxon
+        surface the reference hands to Saxon)."""
+        import pyarrow as pa
+
+        from blacklab_ray.stages.blfyaml import load_blf_yaml
+        from blacklab_ray.stages.xmlconfig import extract_xml_config
+
+        cfg = load_blf_yaml("""
+name: xp2test
+fileType: xml
+documentPath: //doc
+annotatedFields:
+  contents:
+    containerPath: .
+    wordPath: .//w
+    annotations:
+      - name: word
+        valuePath: .
+      - name: morphs
+        valuePath: "string-join(for $m in m return $m/@v, '+')"
+metadata:
+  fields:
+    - name: kws
+      valuePath: "string-join(tokenize(string(//kw), ','), ';')"
+""", allow_path=False)
+        fn = extract_xml_config(cfg)
+        xml = ('<doc><kw>alpha,beta</kw>'
+               '<w><m v="un"/><m v="do"/>undo</w>'
+               '<w><m v="re"/>re</w></doc>')
+        t = fn(pa.table({"path": ["x.xml"],
+                         "bytes": [xml.encode()]}))
+        assert t["text"][0].as_py() == "undo re"
+        assert t["morphs"][0].as_py() == ["un+do", "re"]
+        assert t["meta_kws"][0].as_py() == "alpha;beta"
