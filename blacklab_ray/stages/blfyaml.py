@@ -294,4 +294,6 @@ def load_blf_yaml(src: str, name: str | None = None,
         multivalue_annotations=frozenset(multi_names),
         subannotation_foreach=tuple(subfe),
         capture_punct=bool(fld.get("punctPath")),
+        convert_plugin=cfg.get("convertPlugin"),
+        tag_plugin=cfg.get("tagPlugin"),
     )

@@ -120,6 +120,12 @@ class XmlFormatConfig:
     # metadata fields. Steps are (action, params) tuples evaluated
     # by stages.process.apply_steps_value.
     processes: Mapping[str, tuple] = field(default_factory=dict)
+    # convert/tag plugin chain (DocIndexerConvertAndTag.java:35 —
+    # a format's convertPlugin/tagPlugin keys): plugin NAMES from
+    # stages/convert.py applied to each file's bytes before XML
+    # parsing (convert first, then tag)
+    convert_plugin: "str | None" = None
+    tag_plugin: "str | None" = None
     # annotations declaring multipleValues: a process split on the
     # MAIN word annotation indexes values[1:] at the same token
     # position (position-increment 0, testformat.blf.yaml's
@@ -791,8 +797,21 @@ def extract_xml_config(cfg: XmlFormatConfig, encoding: str = "utf-8"):
                          *sp[5].values())]
             + [p for caps in cfg.annotation_captures.values()
                for p in caps])
+        convert = tag = None
+        if cfg.convert_plugin:
+            from blacklab_ray.stages.convert import get_convert_plugin
+            convert = get_convert_plugin(cfg.convert_plugin).fn
+        if cfg.tag_plugin:
+            from blacklab_ray.stages.convert import get_tag_plugin
+            tag = get_tag_plugin(cfg.tag_plugin)
         for path, body in zip(batch.column("path").to_pylist(),
                               batch.column("bytes").to_pylist()):
+            # DocIndexerConvertAndTag chain: convert, then tag, then
+            # the ordinary config-driven extraction
+            if convert is not None:
+                body = convert(body)
+            if tag is not None:
+                body = tag(body)
             root = ET.fromstring(body.decode(encoding,
                                              errors="replace"))
             # one O(n) pass builds the ``..`` axis; skipped when no

@@ -535,3 +535,93 @@ annotatedFields:
     r = rows[0]
     assert r["text"].split() == ["one", "two", "three", "four"]
     assert r["lemma"] == ["direct", "joined", "joined", ""]
+
+
+# ---- convert/tag plugin chain (DocIndexerConvertAndTag analogue) ----------
+
+
+MD_DOC = """# Crawl Report
+
+First paragraph with **bold** text and a [link](http://example.com).
+
+- alpha item
+- beta item
+
+Second paragraph mentions zebras.
+"""
+
+
+def test_markdown_to_tei_converter():
+    from blacklab_ray.stages.convert import (markdown_to_tei,
+                                             whitespace_tag_tei)
+    tei = markdown_to_tei(MD_DOC.encode())
+    s = tei.decode()
+    assert "<title>Crawl Report</title>" in s
+    assert "<head>Crawl Report</head>" in s
+    assert "<p>First paragraph with bold text and a link.</p>" in s
+    assert "<item>alpha item</item>" in s
+    tagged = whitespace_tag_tei(tei).decode()
+    assert "<w>zebras.</w>" in tagged
+    assert "<w>alpha</w><w>item</w>" in tagged.replace("> <", "><")
+
+
+def test_convert_plugin_format_chain(ray_session, tmp_path):
+    """The full chain the reference's convertPlugin/tagPlugin keys
+    drive: markdown file → TEI (convert) → <w>-tokenized TEI (tag) →
+    .blf.yaml extraction → index build → CQL search."""
+    from blacklab_ray import formats as F
+    from blacklab_ray.formats import read_pages, register_yaml_format
+    from blacklab_ray.index import BuildParams, build_index
+    from blacklab_ray.query import IndexReader
+    from blacklab_ray.query.cql import cql_spans
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    (src / "a.md").write_text(MD_DOC)
+    name = register_yaml_format("""
+name: md-tei-test
+fileType: xml
+convertPlugin: markdown-to-tei
+tagPlugin: whitespace-tagger
+documentPath: //TEI
+annotatedFields:
+  contents:
+    containerPath: .//body
+    wordPath: .//w
+    annotations:
+      - name: word
+        valuePath: .
+metadata:
+  fields:
+    - name: title
+      valuePath: "//titleStmt/title"
+""", allow_path=False)
+    try:
+        ds = read_pages(name, [str(src / "a.md")])
+        t = ds.take_all()
+        assert t[0]["meta_title"] == "Crawl Report"
+        assert "zebras." in t[0]["text"].split()
+        idx = str(tmp_path / "idx")
+        build_index(read_pages(name, [str(src / "a.md")]), idx,
+                    BuildParams(num_buckets=2, n_salts=1,
+                                analyzer="whitespace"))
+        r = IndexReader(idx)
+        assert cql_spans(r, '"zebras."').num_rows == 1
+        assert cql_spans(r, '"alpha" "item"').num_rows == 1
+    finally:
+        F._FORMATS.pop(name, None)
+        F.USER_FORMATS.discard(name)
+
+
+def test_unknown_plugin_name_errors():
+    import pyarrow as pa
+    import pytest
+
+    from blacklab_ray.stages.xmlconfig import (XmlFormatConfig,
+                                               extract_xml_config)
+    cfg = XmlFormatConfig(name="x", document_path=".//d",
+                          word_path=".//w",
+                          convert_plugin="no-such-plugin")
+    fn = extract_xml_config(cfg)
+    with pytest.raises(ValueError, match="unknown convertPlugin"):
+        fn(pa.table({"path": ["a.xml"], "bytes": [b"<d/>"]}))
