@@ -424,6 +424,8 @@ def cmd_pagerank(args) -> int:
                                 ("dst", args.dst_col)):
                 col = batch.column(cname)
                 if _is_str(col.type):
+                    import numpy as np
+
                     from blacklab_ray.util import hash64_batch
                     canon = canonicalize_url_expr(col)
                     out[name] = pa.array(

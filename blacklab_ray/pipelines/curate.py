@@ -285,6 +285,9 @@ def _broadcast_filter(ds: ray.data.Dataset, ids_ds: ray.data.Dataset,
     not re-run the pick lineage.
     """
     ids_ds = ids_ds.materialize()
+    if not keep and ids_ds.count() == 0:
+        # nothing to drop: skip the full-corpus filter pass entirely
+        return ds
     if ids_ds.count() > BROADCAST_ID_LIMIT:
         from blacklab_ray.pipelines.joins import semi_join_ids
         return semi_join_ids(ds, ids_ds, id_col, keep=keep)

@@ -1508,10 +1508,21 @@ def cut_dup_spans(ds: ray.data.Dataset,
         offsets = offsets - offsets[0]
         total = int(offsets[-1])
         counts = np.diff(offsets)
-        # span → its hit-row; clamp to the doc's token range
+        # span → EVERY hit-row sharing its doc_id (duplicate doc_id
+        # rows must each be cut — the broadcast path's behavior);
+        # clamp to each doc's token range
         hit_ids = ids[hit_rows]
         order = np.argsort(hit_ids, kind="stable")
-        row = order[np.searchsorted(hit_ids[order], sdoc)]
+        sorted_ids = hit_ids[order]
+        lo = np.searchsorted(sorted_ids, sdoc, side="left")
+        hi = np.searchsorted(sorted_ids, sdoc, side="right")
+        cnt = hi - lo
+        total_sp = int(cnt.sum())
+        rep = np.repeat(np.arange(sdoc.size), cnt)
+        local = np.arange(total_sp, dtype=np.int64) \
+            - np.repeat(np.cumsum(cnt) - cnt, cnt)
+        row = order[np.repeat(lo, cnt) + local]
+        ss, se = ss[rep], se[rep]
         starts = np.minimum(offsets[row] + np.maximum(ss, 0),
                             offsets[row + 1])
         ends = np.minimum(offsets[row] + np.maximum(se, 0),

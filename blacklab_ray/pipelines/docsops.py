@@ -41,8 +41,10 @@ def sample_docs(ds: ray.data.Dataset, frac: float, seed: int = 29,
 
     def _filt(batch: pa.Table) -> pa.Table:
         from blacklab_ray.util import md5_low64_keyed
-        hv = md5_low64_keyed(
-            batch.column(id_col).cast(pa.int64()), seed) % (1 << 20)
+        # NO int cast: string ids hash as their literal text (the
+        # pre-batch f"{id}:{seed}" behavior; an int cast would crash
+        # on string ids and change '007' -> '7')
+        hv = md5_low64_keyed(batch.column(id_col), seed) % (1 << 20)
         return batch.filter(pa.array(hv < thresh))
 
     return ds.map_batches(_filt, batch_format="pyarrow")
@@ -287,9 +289,9 @@ def assign_splits(ds: ray.data.Dataset,
 
     def _assign(batch: pa.Table) -> pa.Table:
         from blacklab_ray.util import md5_low64_keyed
-        buckets = (md5_low64_keyed(
-            batch.column(id_col).cast(pa.int64()), seed)
-            % (1 << 20)).astype(np.int64)
+        # NO int cast (see sample_docs): ids keep their literal text
+        buckets = (md5_low64_keyed(batch.column(id_col), seed)
+                   % (1 << 20)).astype(np.int64)
         which = np.searchsorted(bounds, buckets, side="right")
         return batch.append_column(
             "split", pa.array([names[w] for w in which], pa.string()))

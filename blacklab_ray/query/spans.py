@@ -463,14 +463,28 @@ def sequence_spans_multi(reader, term_sets: list[list[str]],
         # wanting the reference's safety valve should clamp via
         # maxHitsToProcess (engine.count_hits clamps the same way).
         budget = _SPAN_BUDGET.get()
-        # small chunks under a budget so the early stop actually
-        # bounds enumeration (a complement query's output is
-        # universe-sized, and an unbounded gap can square a doc's
-        # length; per-16-doc granularity keeps the overshoot to one
-        # chunk's worth)
-        chunk_docs = 16 if budget is not None else (1 << 20)
+
+        def _grown(it):
+            """Geometric chunk growth under a budget: tiny first
+            chunks so an O(L^2) shape stops after one doc's worth of
+            overshoot, doubling sizes so a sparse-output query pays
+            per-chunk overhead (term stats, negated-postings decode)
+            only O(log n_docs) times, not n_docs/16 times."""
+            buf: list = []
+            want = 1
+            for c in it:
+                buf.append(c)
+                if len(buf) >= want:
+                    yield np.concatenate(buf)
+                    buf, want = [], min(want * 2, 1 << 16)
+            if buf:
+                yield np.concatenate(buf)
+
+        chunk_iter = (reader.iter_doc_id_chunks()
+                      if budget is None
+                      else _grown(reader.iter_doc_id_chunks(16)))
         parts, total = [], 0
-        for chunk in reader.iter_doc_id_chunks(chunk_docs):
+        for chunk in chunk_iter:
             p = sequence_spans_multi(reader, term_sets, gaps=gaps,
                                      negates=negates, captures=captures,
                                      annots=annots, _cand=chunk)

@@ -2483,6 +2483,12 @@ class BlsApp:
         if parts == ["metrics"]:
             return self._metrics_text(), "text/plain; version=0.0.4"
         if parts[0] == "input-formats":
+            if method in ("POST", "DELETE") and \
+                    self._auth_method != "none" and user is None:
+                # format registration is server-global state: with
+                # auth enabled it needs a logged-in user
+                raise PermissionError(
+                    "mutations require a logged-in user")
             if method == "POST":
                 # AddFormat analogue (RequestHandlerAddFormat.java):
                 # body is the .blf.yaml text; ?name= overrides.
@@ -2513,11 +2519,16 @@ class BlsApp:
                              "deleted": parts[1]})
             return emit(handle_input_formats())
         if parts[0] == "cache-info":
-            return emit(handle_cache_info(self._readers))
+            # per-corpus cache entries leak private corpus names —
+            # list only what this user may see
+            return emit(handle_cache_info(self._visible_readers(user)))
         if parts[0] == "cache-clear":
             if method != "POST":
                 raise ValueError("cache-clear requires POST")
-            return emit(handle_cache_clear(self._readers))
+            if self._auth_method != "none" and user is None:
+                raise PermissionError(
+                    "mutations require a logged-in user")
+            return emit(handle_cache_clear(self._visible_readers(user)))
         if parts[0] != "corpora":
             raise KeyError(f"unknown path {path!r}")
         if len(parts) < 2:

@@ -863,13 +863,17 @@ class _Evaluator:
             return v if v != v else float(math.floor(v + 0.5))
         if name == "tokenize":
             # XPath 2.0 fn:tokenize(input, pattern) — a sequence of
-            # strings (empty sequence for the empty input, per spec)
+            # strings (empty sequence for the empty input, per spec).
+            # The XPath-3.1 one-arg whitespace form is out of scope:
+            # name it instead of crashing on a missing argument.
+            if len(ev) < 2:
+                raise XPathSyntaxError(
+                    "tokenize() needs (input, pattern) — the one-"
+                    "argument whitespace form is not supported")
             s0 = s(0)
             if s0 == "":
                 return []
-            return list(re.split(ev[1] if len(ev) > 1 and
-                                 isinstance(ev[1], str)
-                                 else _to_string(ev[1]), s0))
+            return list(re.split(_to_string(ev[1]), s0))
         if name == "string-join":
             sep = s(1, "") if len(ev) > 1 else ""
             seq = ev[0] if isinstance(ev[0], list) else [ev[0]]

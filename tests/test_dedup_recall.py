@@ -742,3 +742,21 @@ def test_cut_dup_spans_no_driver_span_materialization(ray_session,
                      got["text"].to_pylist()))
     assert by_id == {0: "a b c x y", 1: "p q r s",
                      2: "  keep me  ", 3: None}
+
+
+def test_cut_dup_spans_duplicate_doc_id_rows(ray_session):
+    """Every corpus row sharing a span's doc_id is cut (review fix:
+    the co-partitioned rewrite initially cut only the first)."""
+    import pyarrow as pa
+    import ray.data
+
+    from blacklab_ray.pipelines.dedup import cut_dup_spans
+    tbl = pa.table({"doc_id": pa.array([1, 2, 1], pa.int64()),
+                    "text": ["a b c d", "keep me", "a b c d"]})
+    spans = pa.table({"doc_id": pa.array([1], pa.int64()),
+                      "start": pa.array([1], pa.int64()),
+                      "end": pa.array([3], pa.int64())})
+    out = cut_dup_spans(ray.data.from_arrow(tbl), spans,
+                        num_partitions=4).to_pandas()
+    got = sorted(zip(out["doc_id"], out["text"]))
+    assert got == [(1, "a d"), (1, "a d"), (2, "keep me")]

@@ -251,3 +251,30 @@ def test_anchor_texts_from_extraction(ray_session):
     assert got.loc["/t", "n_links"] == 2
     assert "Visit Target" in got.loc["/t", "anchors"]
     assert got.loc["/u", "n_anchors"] == 0
+
+
+def test_pagerank_cli_string_columns(ray_session, tmp_path):
+    """CLI pagerank over STRING src/dst columns (url edges) — the
+    hash-per-column path (review fix: missing numpy import crashed
+    every string-column run)."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from blacklab_ray.cli import main
+    edges = pa.table({
+        "src": pa.array(["http://a.com/x", "http://b.com/y",
+                         "http://c.com/z"], pa.string()),
+        "dst": pa.array(["http://b.com/y", "http://c.com/z",
+                         "http://a.com/x"], pa.string()),
+    })
+    src = tmp_path / "edges.parquet"
+    pq.write_table(edges, str(src))
+    out = tmp_path / "pr"
+    rc = main(["pagerank", "--input", str(src), "--out", str(out),
+               "--iters", "2"])
+    assert rc == 0
+    got = pq.read_table(str(out))
+    assert got.num_rows == 3
+    assert abs(sum(got["rank"].to_pylist()) - 1.0) < 1e-6

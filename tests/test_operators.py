@@ -859,3 +859,24 @@ def test_snapshot_diff(ray_session):
                          ray.data.from_arrow(new),
                          include_unchanged=True).to_pandas()
     assert set(full[full.status == "unchanged"]["url"]) == {"a", "d"}
+
+
+def test_sample_docs_string_ids(ray_session):
+    """Seeded sampling hashes the id column's LITERAL text — string
+    ids work and '007' != '7' (review fix: no int64 cast)."""
+    import pyarrow as pa
+    import ray.data
+
+    from blacklab_ray.pipelines.docsops import assign_splits, sample_docs
+    from blacklab_ray.pipelines.hits import md5_low64
+    ids = [f"doc-{i:03d}" for i in range(50)]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(ids, pa.string()),
+        "x": pa.array(range(50), pa.int64())}))
+    out = sample_docs(ds, 0.5, seed=17).to_pandas()
+    want = [i for i in ids
+            if md5_low64(f"{i}:17") % (1 << 20) < round(0.5 * (1 << 20))]
+    assert sorted(out["doc_id"]) == sorted(want)
+    sp = assign_splits(ds, {"train": 0.8, "test": 0.2},
+                       seed=17).to_pandas()
+    assert set(sp["split"]) <= {"train", "test"} and len(sp) == 50

@@ -2049,3 +2049,36 @@ def test_auth_none_is_unenforced(ray_session, srv_index):
     assert st.startswith("200")
     st, r = call("/")
     assert r["user"]["loggedIn"] is False
+
+
+def test_auth_top_level_routes(ray_session, srv_index, tmp_path):
+    """With auth enabled, cache-clear/input-formats mutations need a
+    logged-in user and cache-info lists only visible corpora (review
+    fix: the ACL initially covered /corpora routes only)."""
+    import shutil
+
+    from blacklab_ray.query import IndexReader
+    from blacklab_ray.server import BlsApp
+
+    priv = str(tmp_path / "p")
+    shutil.copytree(srv_index, priv)
+    app = BlsApp({"pub": IndexReader(srv_index),
+                  "alice:p": IndexReader(priv)}, {"alice:p": priv},
+                 auth_method="http-header")
+    call = _mkcall_auth(app)
+    # anonymous mutations refused
+    st, r = call("/cache-clear", method="POST")
+    assert st.startswith("403")
+    st, r = call("/input-formats", method="POST", body=b"name: x")
+    assert st.startswith("403")
+    st, r = call("/input-formats/whatever", method="DELETE")
+    assert st.startswith("403")
+    # logged-in cache-clear works
+    st, r = call("/cache-clear", method="POST",
+                 headers={"X-BlackLabUser": "bob"})
+    assert st.startswith("200")
+    # cache-info hides the private corpus from anonymous/others
+    st, r = call("/cache-info")
+    assert "alice:p" not in json.dumps(r)
+    st, r = call("/cache-info", headers={"X-BlackLabUser": "alice"})
+    assert st.startswith("200")

@@ -389,3 +389,12 @@ metadata:
         assert t["text"][0].as_py() == "undo re"
         assert t["morphs"][0].as_py() == ["un+do", "re"]
         assert t["meta_kws"][0].as_py() == "alpha;beta"
+
+
+def test_tokenize_one_arg_clean_error():
+    import pytest
+    import xml.etree.ElementTree as ET
+
+    from blacklab_ray.stages import xpath
+    with pytest.raises(xpath.XPathSyntaxError, match="tokenize"):
+        xpath.evaluate("tokenize('a b')", ET.fromstring("<d/>"))
