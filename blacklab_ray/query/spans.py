@@ -475,10 +475,13 @@ def sequence_spans_multi(reader, term_sets: list[list[str]],
             for c in it:
                 buf.append(c)
                 if len(buf) >= want:
-                    yield np.concatenate(buf)
+                    # re-sort: each source chunk is sorted but their
+                    # concatenation is not, and the candidate joins
+                    # binary-search the chunk
+                    yield np.sort(np.concatenate(buf))
                     buf, want = [], min(want * 2, 1 << 16)
             if buf:
-                yield np.concatenate(buf)
+                yield np.sort(np.concatenate(buf))
 
         chunk_iter = (reader.iter_doc_id_chunks()
                       if budget is None
