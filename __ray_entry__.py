@@ -622,6 +622,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return bpe_stats(_docs_ds(sf).select_columns(
             ["doc_id", "text"]), merges)
 
+    def q_unigram_fertility(sf):
+        """Train a unigram-LM subword tokenizer (Kudo 2018 — the
+        SentencePiece companion to q_bpe_fertility: same one
+        part-hash word-count shuffle, driver EM + prune over word
+        TYPES) and report per-doc subword fertility. Deterministic
+        (canonical-order accumulation + lexicographic tie-breaks)
+        but EM is not SQL-expressible — rows-only driver check; the
+        trainer's EM-likelihood/round-trip/coverage properties are
+        pinned in tests/test_unigram.py."""
+        from blacklab_ray.pipelines.unigram import (
+            train_unigram_from_corpus, unigram_stats,
+        )
+        ds = _docs_ds(sf).select_columns(["doc_id", "text"])
+        pieces = train_unigram_from_corpus(ds, vocab_size=60)
+        return unigram_stats(_docs_ds(sf).select_columns(
+            ["doc_id", "text"]), pieces)
+
     def q_weighted_sample(sf):
         """Importance resampling (Efraimidis-Spirakis A-Res): 50 docs
         sampled without replacement with probability proportional to
@@ -1493,6 +1510,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "export_shards": q_export_shards,
         "ppl_buckets": q_ppl_buckets,
         "bpe_fertility": q_bpe_fertility,
+        "unigram_fertility": q_unigram_fertility,
         "weighted_sample": q_weighted_sample,
         "semdedup_pairs": q_semdedup_pairs,
         "asof_join": q_asof_join,

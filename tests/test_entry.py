@@ -92,13 +92,14 @@ def test_driver_key_cap(entry_mod):
                            "pagerank_links", "hits_scores",
                            "host_stats", "latest_snapshot",
                            "doc_chunks", "substr_dup",
-                           "snapshot_diff", "freq_list"}, extras
+                           "snapshot_diff", "freq_list",
+                           "unigram_fertility"}, extras
     assert "lm_perplexity" in q[:50]   # rotated INTO the recorded set
     o = entry_mod.oracle_sql()
     # extras stay oracled, except declared rows-only ops whose
     # semantics SQL can't express (BPE merge loop); those are
     # brute-reference-verified in their own test files instead
-    rows_only = {"bpe_fertility"}
+    rows_only = {"bpe_fertility", "unigram_fertility"}
     assert all(k in o for k in set(extras) - rows_only)
 
 
