@@ -588,7 +588,8 @@ def run_bench_defended(reps: int = 3, max_reps: int | None = None)\
     reps run (up to `max_reps`) while the merged record still misses
     the repo's demonstrated floors (_DEFEND_TARGETS)."""
     if max_reps is None:
-        max_reps = int(os.environ.get("BLRAY_BENCH_REPS_MAX", "6"))
+        max_reps = max(reps, int(os.environ.get(
+            "BLRAY_BENCH_REPS_MAX", "6")))
     runs = []
     i = 0
     while i < max_reps:

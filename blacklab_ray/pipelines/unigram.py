@@ -127,6 +127,14 @@ def train_unigram(counts: pa.Table, vocab_size: int,
         return pa.table({"piece": pa.array([], pa.string()),
                          "logprob": pa.array([], pa.float64())})
     seed_size = seed_size or max(vocab_size * 4, 1000)
+    n_chars = len({c for t in counts["term"].to_pylist() for c in t})
+    if vocab_size < n_chars:
+        # single characters are unprunable (coverage guarantee), so a
+        # smaller target can never be reached — SentencePiece raises
+        # the same way ('vocab_size too small')
+        raise ValueError(
+            f"vocab_size={vocab_size} is smaller than the corpus's "
+            f"{n_chars} distinct characters (the unprunable floor)")
     # canonical order FIRST: the distributed count table arrives in
     # whatever partition order the shuffle produced, and float
     # accumulation is order-sensitive — sorting makes training
@@ -152,6 +160,7 @@ def train_unigram(counts: pa.Table, vocab_size: int,
 
     exp_tot = _em_round()
     while len(logp) > vocab_size:
+        before = len(logp)
         keep_n = max(vocab_size, int(len(logp) * shrink))
         multi = [(s, exp_tot.get(s, 0.0))
                  for s in logp if len(s) > 1]
@@ -163,6 +172,8 @@ def train_unigram(counts: pa.Table, vocab_size: int,
                 break
             kept.add(s)
         logp = {s: lp for s, lp in logp.items() if s in kept}
+        if len(logp) >= before:
+            break    # nothing prunable left (all-chars floor)
         for _ in range(n_em):
             exp_tot = _em_round()
     out = sorted(logp.items(), key=lambda x: (-x[1], x[0]))

@@ -2043,7 +2043,8 @@ class BlsApp:
                  data_dir: str | None = None,
                  auth_method: str = "none",
                  auth_header: str = "X-BlackLabUser",
-                 auth_fixed_user: str | None = None):
+                 auth_fixed_user: str | None = None,
+                 admin_users: tuple = ()):
         self._readers = readers
         self._dirs = dict(index_dirs or {})
         self._data_dir = data_dir
@@ -2066,6 +2067,11 @@ class BlsApp:
         self._auth_env_key = "HTTP_" + auth_header.upper() \
             .replace("-", "_")
         self._auth_fixed_user = auth_fixed_user
+        # server-global operations (cache-clear) are gated to these
+        # users when auth is enabled — the reference restricts
+        # RequestHandlerClearCache to debug mode; any logged-in user
+        # flushing shared caches would be a trivial cache-thrash DoS
+        self._admin_users = frozenset(admin_users)
         # (handler, method, status) → [count, seconds]
         self._metrics: dict[tuple, list] = {}
 
@@ -2525,9 +2531,12 @@ class BlsApp:
         if parts[0] == "cache-clear":
             if method != "POST":
                 raise ValueError("cache-clear requires POST")
-            if self._auth_method != "none" and user is None:
+            if self._auth_method != "none" and \
+                    user not in self._admin_users:
+                # server-global flush: admin-only under auth (the
+                # reference gates ClearCache behind debug mode)
                 raise PermissionError(
-                    "mutations require a logged-in user")
+                    "cache-clear requires an admin user")
             return emit(handle_cache_clear(self._visible_readers(user)))
         if parts[0] != "corpora":
             raise KeyError(f"unknown path {path!r}")

@@ -2064,7 +2064,7 @@ def test_auth_top_level_routes(ray_session, srv_index, tmp_path):
     shutil.copytree(srv_index, priv)
     app = BlsApp({"pub": IndexReader(srv_index),
                   "alice:p": IndexReader(priv)}, {"alice:p": priv},
-                 auth_method="http-header")
+                 auth_method="http-header", admin_users=("root",))
     call = _mkcall_auth(app)
     # anonymous mutations refused
     st, r = call("/cache-clear", method="POST")
@@ -2073,9 +2073,12 @@ def test_auth_top_level_routes(ray_session, srv_index, tmp_path):
     assert st.startswith("403")
     st, r = call("/input-formats/whatever", method="DELETE")
     assert st.startswith("403")
-    # logged-in cache-clear works
+    # cache-clear is ADMIN-only under auth (reference: debug mode)
     st, r = call("/cache-clear", method="POST",
                  headers={"X-BlackLabUser": "bob"})
+    assert st.startswith("403")
+    st, r = call("/cache-clear", method="POST",
+                 headers={"X-BlackLabUser": "root"})
     assert st.startswith("200")
     # cache-info hides the private corpus from anonymous/others
     st, r = call("/cache-info")

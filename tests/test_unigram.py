@@ -103,3 +103,10 @@ def test_em_improves_or_holds_likelihood():
     logp2 = {s: math.log(max(exp_tot.get(s, 0.0), 1e-10) / tot)
              for s in logp}
     assert loglik(logp2) >= before - 1e-6
+
+
+def test_vocab_size_below_char_floor_raises():
+    import pytest
+    counts = _counts([("abcdefghij", 3), ("klmnopqrst", 2)])
+    with pytest.raises(ValueError, match="distinct characters"):
+        train_unigram(counts, vocab_size=5)
