@@ -236,7 +236,8 @@ def cmd_serve(args) -> int:
                      data_dir=args.data_dir,
                      auth_method=auth_method,
                      auth_header=args.auth_header or "X-BlackLabUser",
-                     auth_fixed_user=args.auth_fixed_user)
+                     auth_fixed_user=args.auth_fixed_user,
+                     admin_users=tuple(args.admin_user or ()))
     print(json.dumps({"serving": sorted(dirs),
                       "port": httpd.server_address[1]}))
     try:
@@ -728,6 +729,10 @@ def main(argv=None) -> int:
     sv.add_argument("--auth-fixed-user", default=None,
                     help="debug auth: every request is this user "
                          "(AuthDebugFixed analogue)")
+    sv.add_argument("--admin-user", action="append", default=None,
+                    help="user allowed server-global operations "
+                         "(cache-clear) when auth is enabled; "
+                         "repeatable")
     sv.set_defaults(fn=cmd_serve)
 
     sy = sub.add_parser("sync")

@@ -2632,7 +2632,8 @@ def serve(index_dirs: dict, host: str = "127.0.0.1",
           port: int = 8080, data_dir: str | None = None,
           auth_method: str = "none",
           auth_header: str = "X-BlackLabUser",
-          auth_fixed_user: str | None = None):
+          auth_fixed_user: str | None = None,
+          admin_users: tuple = ()):
     """Blocking localhost server: ``index_dirs`` maps corpus name →
     index dir. ``data_dir`` enables index management (POST/DELETE
     /corpora/<name>) and auto-registers every existing index dir
@@ -2655,6 +2656,7 @@ def serve(index_dirs: dict, host: str = "127.0.0.1",
     readers = {name: _open_index(d) for name, d in index_dirs.items()}
     app = BlsApp(readers, index_dirs, data_dir=data_dir,
                  auth_method=auth_method, auth_header=auth_header,
-                 auth_fixed_user=auth_fixed_user)
+                 auth_fixed_user=auth_fixed_user,
+                 admin_users=admin_users)
     httpd = make_server(host, port, app)
     return httpd, app
